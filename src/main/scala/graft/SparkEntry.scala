@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator from SURVEY §2 (or a
+  * beyond-reference LLM-pipeline operator); `oracleSql` holds the DuckDB
+  * equivalent where the semantics are SQL-expressible.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1_agg(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** name -> (query, Some(oracle sql) | None for rows-only checks) */
+  def registry: Seq[(String, Q, Option[String])] = Seq(
+    ("q1_agg", Analytics.q1_agg _, Some(Analytics.q1_sql)),
+    ("q3_topk", Analytics.q3_topk _, Some(Analytics.q3_sql)),
+    ("q5_join", Analytics.q5_join _, Some(Analytics.q5_sql)),
+    ("q_window", Analytics.q_window _, Some(Analytics.q_window_sql)),
+    ("q_antijoin", Analytics.q_antijoin _, Some(Analytics.q_antijoin_sql)),
+    ("q_semijoin", Analytics.q_semijoin _, Some(Analytics.q_semijoin_sql)),
+    ("q_setops", Analytics.q_setops _, Some(Analytics.q_setops_sql)),
+    ("q_rollup", Analytics.q_rollup _, Some(Analytics.q_rollup_sql)),
+    ("q_events_agg", Analytics.q_events_agg _, Some(Analytics.q_events_agg_sql)),
+  )
+
+  def queries: Map[String, Q] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }
