@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Analytics
+import graft.queries.{Analytics, Ingest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,13 @@ object SparkEntry {
     ("q_setops", Analytics.q_setops _, Some(Analytics.q_setops_sql)),
     ("q_rollup", Analytics.q_rollup _, Some(Analytics.q_rollup_sql)),
     ("q_events_agg", Analytics.q_events_agg _, Some(Analytics.q_events_agg_sql)),
+    // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
+    ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
+    ("csv_roundtrip", Ingest.csv_roundtrip _, Some(Ingest.csv_roundtrip_sql)),
+    ("schema_align_defaults", Ingest.schema_align_defaults _, Some(Ingest.schema_align_defaults_sql)),
+    ("mydump_discover", Ingest.mydump_discover _, None),
+    ("import_e2e", Ingest.import_e2e _, None),
+    ("kv_checksum", Ingest.kv_checksum _, None),
   )
 
   def queries: Map[String, Q] =

@@ -47,14 +47,12 @@ object KvChecksumAgg extends Aggregator[Row, ChecksumState, Row] {
 
 object KvChecksum {
   /** Aggregate column over (key binary, value binary) pairs. */
-  def apply(key: Column, value: Column): Column = {
-    import org.apache.spark.sql.functions.struct
+  def apply(key: Column, value: Column): Column =
     udaf(KvChecksumAgg, Encoders.row(
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("key",
           org.apache.spark.sql.types.BinaryType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.BinaryType)))))
-      .apply(struct(key, value))
-  }
+      .apply(key, value)
 }

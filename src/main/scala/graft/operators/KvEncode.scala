@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.KvChecksum
+import graft.sources.MysqlTable
+
+/** P7/A2: row → KV-pair view + data/index classification, for checksum
+  * verification.
+  *
+  * The reference replays TiDB's row encoder to produce `t{tid}_r{handle}`
+  * record keys plus one KV per index entry, then splits data vs index KVs
+  * into two running checksums (reference: lightning/backend/sql2kv.go:
+  * 147-239, key tag test at :228). A Spark-native engine does not need
+  * TiKV's byte encoding — it needs *self-consistent* KVs: a deterministic
+  * key and a canonical value serialization, so pipeline-side and sink-side
+  * re-scans agree (SURVEY §7 risk register).
+  *
+  * Representation: key = "t{tableId}_r{rowId}" utf8 bytes; value =
+  * to_json(struct(cols)) utf8 bytes (stable field order = declared order).
+  * Index KVs: key = "t{tableId}_i{n}_" + join(indexCols) bytes, value = the
+  * row handle. All expressions codegen'd — the KV view is a projection, the
+  * checksum a partial-aggregable XOR (never a shuffle of the data itself).
+  */
+object KvEncode {
+
+  /** Data-KV columns (`_kv_key`, `_kv_val`) appended to `df`. */
+  def dataKv(df: DataFrame, tableId: Long, rowIdCol: String,
+             valueCols: Seq[String]): DataFrame = {
+    val key = concat(lit(s"t${tableId}_r"), col(rowIdCol).cast("string"))
+    val value = to_json(struct(valueCols.map(col): _*))
+    df.withColumn("_kv_key", encode(key, "UTF-8"))
+      .withColumn("_kv_val", encode(value, "UTF-8"))
+  }
+
+  /** Index-KV pairs for one index (n = index ordinal). */
+  def indexKv(df: DataFrame, tableId: Long, n: Int, indexCols: Seq[String],
+              rowIdCol: String): DataFrame = {
+    val key = concat(lit(s"t${tableId}_i${n}_"),
+      concat_ws("", indexCols.map(c => col(c).cast("string")): _*))
+    df.select(
+      encode(key, "UTF-8").as("_kv_key"),
+      encode(col(rowIdCol).cast("string"), "UTF-8").as("_kv_val"))
+  }
+
+  /** A1+A2: one row per KV class with (checksum, total_bytes, total_kvs) —
+    * the triple `ADMIN CHECKSUM TABLE` compares (restore.go:1429-1503). */
+  def checksumReport(df: DataFrame, table: MysqlTable, tableId: Long,
+                     rowIdCol: String): DataFrame = {
+    val cols = table.columns.map(_.name)
+    val data = dataKv(df, tableId, rowIdCol, cols)
+      .select(lit("data").as("kv_class"), col("_kv_key").as("k"), col("_kv_val").as("v"))
+    val indexes =
+      if (table.primaryKey.nonEmpty)
+        Seq(indexKv(df, tableId, 0, table.primaryKey, rowIdCol)
+          .select(lit("index").as("kv_class"), col("_kv_key").as("k"), col("_kv_val").as("v")))
+      else Nil
+    val all = indexes.foldLeft(data)(_ unionByName _)
+    all.groupBy(col("kv_class"))
+      .agg(KvChecksum(col("k"), col("v")).as("cs"))
+      .select(col("kv_class"), col("cs.checksum").as("checksum"),
+        col("cs.total_bytes").as("total_bytes"), col("cs.total_kvs").as("total_kvs"))
+  }
+}

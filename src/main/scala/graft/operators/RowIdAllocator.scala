@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** P4/S8: deterministic, contiguous row-id allocation.
+  *
+  * The reference pre-allocates a disjoint row-id range per file chunk
+  * (estimate at lightning/mydump/region.go:135-176, exact rebase at
+  * lightning/backend/allocator.go:40-57). Here the ranges are *exact*: one
+  * cheap count per file (driver-side, metadata-cheap for columnar inputs,
+  * one scan worst-case) gives cumulative base offsets in deterministic file
+  * order; within a file, `row_number()` over the file partition adds the
+  * local index.
+  *
+  * Scale: the window partitions by file — parallelism = number of files,
+  * the same unit the reference uses. Never `monotonically_increasing_id`
+  * (not stable under retries / repartitioning).
+  */
+object RowIdAllocator {
+
+  /** Add `rowIdCol` (1-based, contiguous across files in lexicographic file
+    * order) to a DataFrame carrying (fileCol, idxCol) from a parser that
+    * numbered rows within each file. Avoids the window entirely — pure
+    * projection + one tiny broadcast join. */
+  def fromFileIndex(df: DataFrame, fileCol: String, idxCol: String,
+                    rowIdCol: String = "_row_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(fileCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val bases = counts.scanLeft(("", 0L)) { case ((_, acc), (f, n)) => (f, acc + n) }
+      .sliding(2).collect { case Array((_, base), (f, _)) => (f, base) }.toSeq
+    val baseDf = bases.toDF(fileCol + "__f", "__base")
+    df.join(broadcast(baseDf), col(fileCol) === col(fileCol + "__f"))
+      .withColumn(rowIdCol, col("__base") + col(idxCol) + 1)
+      .drop(fileCol + "__f", "__base")
+  }
+
+  /** Same, but for sources with no per-file row index (CSV): row_number()
+    * within the file partition ordered by a stable in-file column. */
+  def fromOrdering(df: DataFrame, fileCol: Column, orderCol: Column,
+                   rowIdCol: String = "_row_id"): DataFrame = {
+    val w = Window.partitionBy(fileCol).orderBy(orderCol)
+    val withIdx = df.withColumn("__idx", row_number().over(w) - 1)
+      .withColumn("__file", fileCol)
+    fromFileIndex(withIdx, "__file", "__idx", rowIdCol)
+      .drop("__idx", "__file")
+  }
+
+  /** P8 analog: next auto-increment value after the import
+    * (`ALTER TABLE t AUTO_INCREMENT = max(id)+1` — reference
+    * lightning/restore/tidb.go:241-257). */
+  def nextAutoIncrement(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol).cast("long"))).collect()(0) match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+}

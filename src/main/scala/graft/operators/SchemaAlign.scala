@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{MysqlColumn, MysqlTable}
+
+/** SQL_MODE strictness: STRICT rejects bad values (raise_error), LENIENT
+  * applies MySQL non-strict coercions — clamp on overflow, round fractional
+  * → integer, truncate garbage → 0, bad NULL → column default / zero value
+  * (reference: lightning/backend/sql2kv.go:165-186 CastValue+HandleBadNull;
+  * session flags session.go:95-121; observable matrix tests/sqlmode/). */
+sealed trait SqlMode
+object SqlMode {
+  case object Strict extends SqlMode
+  case object Lenient extends SqlMode
+}
+
+/** P1–P3: align loosely-typed parsed rows (all strings) to the declared
+  * table schema: permute file columns → table column order, fill defaults
+  * for missing columns, cast per SQL_MODE.
+  *
+  * Everything is a plan-time projection of codegen'd Column expressions —
+  * one narrow map stage, no shuffle, fused by whole-stage codegen
+  * (reference equivalents: restore.go:1356-1406 initializeColumns,
+  * sql2kv.go:147-216 encode loop).
+  */
+object SchemaAlign {
+
+  /** Integer range for clamping in lenient mode, from the *declared* MySQL
+    * type (the Spark type alone is ambiguous: mediumint and int both map to
+    * IntegerType). */
+  private def intRange(mc: MysqlColumn): Option[(BigDecimal, BigDecimal)] = {
+    val base = mc.rawType.toLowerCase.takeWhile(_.isLetter)
+    val u = mc.unsigned
+    base match {
+      case "tinyint" => Some(if (u) (BigDecimal(0), BigDecimal(255))
+                             else (BigDecimal(-128), BigDecimal(127)))
+      case "smallint" => Some(if (u) (BigDecimal(0), BigDecimal(65535))
+                              else (BigDecimal(-32768), BigDecimal(32767)))
+      case "mediumint" => Some(if (u) (BigDecimal(0), BigDecimal(16777215))
+                               else (BigDecimal(-8388608), BigDecimal(8388607)))
+      case "int" | "integer" => Some(if (u) (BigDecimal(0), BigDecimal(4294967295L))
+                                     else (BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue)))
+      case "bigint" if !u => Some((BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue)))
+      case "year" => Some((BigDecimal(0), BigDecimal(2155)))
+      case _ => None
+    }
+  }
+
+  /** Cast a string column to `mc`'s Spark type under `mode`.
+    * Lenient numeric path: extract leading numeric prefix (MySQL truncation
+    * semantics), round half-away-from-zero for integers, clamp to range. */
+  def castTo(src: Column, mc: MysqlColumn, mode: SqlMode): Column = {
+    val t = mc.sparkType
+    def numericPrefix: Column =
+      regexp_extract(src, "^\\s*([+-]?\\d*\\.?\\d+(?:[eE][+-]?\\d+)?)", 1)
+    mode match {
+      // Strict: ANSI cast (Spark 4 default) — malformed input raises
+      // CAST_INVALID_INPUT, the SQL_MODE=strict behavior.
+      case SqlMode.Strict => src.cast(t)
+      case SqlMode.Lenient => t match {
+        case it @ (ByteType | ShortType | IntegerType | LongType) =>
+          val dec = when(numericPrefix === "" || src.isNull, lit(0))
+            .otherwise(numericPrefix.cast(DecimalType(38, 10)))
+          val rounded = round(dec, 0)
+          val clamped = intRange(mc) match {
+            case Some((lo, hi)) =>
+              least(greatest(rounded, lit(lo.toString).cast(DecimalType(38, 10))),
+                lit(hi.toString).cast(DecimalType(38, 10)))
+            case None => rounded
+          }
+          when(src.isNull, lit(null).cast(it)).otherwise(clamped.cast(it))
+        case FloatType | DoubleType =>
+          when(src.isNull, lit(null).cast(t))
+            .otherwise(when(numericPrefix === "", lit(0).cast(t))
+              .otherwise(numericPrefix.cast(t)))
+        case d: DecimalType =>
+          // try_cast: out-of-precision decimals → NULL → 0 (MySQL clamps to
+          // the max; 0 keeps the pipeline total; pinned deviation)
+          when(src.isNull, lit(null).cast(d))
+            .otherwise(coalesce(numericPrefix.try_cast(d), lit(0).cast(d)))
+        case _ =>
+          // strings/binary/temporal: best-effort; bad temporal → null
+          src.try_cast(t)
+      }
+    }
+  }
+
+  /** Default-value expression for a missing/NULL-rejected column (P2).
+    * CURRENT_TIMESTAMP defaults use the pinned job timestamp for rerun
+    * determinism (reference pins SessionOptions.Timestamp,
+    * restore.go:1323,1759). */
+  def defaultExpr(mc: MysqlColumn, jobTsMicros: Long): Column =
+    mc.default match {
+      case Some(d) if d.equalsIgnoreCase("CURRENT_TIMESTAMP") ||
+                      d.equalsIgnoreCase("NOW()") =>
+        timestamp_micros(lit(jobTsMicros)).cast(mc.sparkType)
+      case Some(d) if d.equalsIgnoreCase("NULL") => lit(null).cast(mc.sparkType)
+      case Some(d) =>
+        val lit0 = if (d.startsWith("'")) d.substring(1, d.length - 1) else d
+        lit(lit0).cast(mc.sparkType)
+      case None if mc.nullable => lit(null).cast(mc.sparkType)
+      case None => zeroValue(mc) // NOT NULL, no default → type zero value
+    }
+
+  /** MySQL "zero value" per type (lenient HandleBadNull target). */
+  def zeroValue(mc: MysqlColumn): Column = mc.sparkType match {
+    case StringType => lit("")
+    case BinaryType => lit(Array.empty[Byte])
+    case DateType => lit("1970-01-01").cast(DateType)
+    case TimestampType | TimestampNTZType => lit(0L).cast(mc.sparkType)
+    case _ => lit(0).cast(mc.sparkType)
+  }
+
+  /** P1+P2+P3 over *named* string columns (CSV path).
+    * `fileCols` is the file's column order; names matched case-insensitively
+    * against the table schema. Missing table columns get defaults. */
+  def fromColumns(df: DataFrame, srcCols: Seq[String], table: MysqlTable,
+                  mode: SqlMode, jobTsMicros: Long = 0L,
+                  keep: Seq[Column] = Nil): DataFrame = {
+    val srcIdx = srcCols.map(_.toLowerCase).zipWithIndex.toMap
+    val dfCols = df.columns
+    val projected = table.columns.map { mc =>
+      srcIdx.get(mc.name.toLowerCase) match {
+        case Some(i) =>
+          val src = col(dfCols(i))
+          val casted = castTo(src, mc, mode)
+          val withNullFix =
+            if (!mc.nullable && mode == SqlMode.Lenient)
+              coalesce(casted, defaultExpr(mc, jobTsMicros))
+            else casted
+          withNullFix.as(mc.name)
+        case None => defaultExpr(mc, jobTsMicros).as(mc.name)
+      }
+    }
+    df.select(keep ++ projected: _*)
+  }
+
+  /** P1+P2+P3 over the SQL-dump array representation: `valsCol` is an
+    * array<string> in statement order; `stmtCols` (when the INSERT carried a
+    * column list) overrides positional order. */
+  def fromArray(df: DataFrame, valsCol: Column, stmtCols: Option[Seq[String]],
+                table: MysqlTable, mode: SqlMode, jobTsMicros: Long = 0L,
+                keep: Seq[Column] = Nil): DataFrame = {
+    val order = stmtCols.getOrElse(table.columns.map(_.name))
+    val srcIdx = order.map(_.toLowerCase).zipWithIndex.toMap
+    val projected = table.columns.map { mc =>
+      srcIdx.get(mc.name.toLowerCase) match {
+        case Some(i) =>
+          val src = valsCol.getItem(i)
+          val casted = castTo(src, mc, mode)
+          val withNullFix =
+            if (!mc.nullable && mode == SqlMode.Lenient)
+              coalesce(casted, defaultExpr(mc, jobTsMicros))
+            else casted
+          withNullFix.as(mc.name)
+        case None => defaultExpr(mc, jobTsMicros).as(mc.name)
+      }
+    }
+    df.select(keep ++ projected: _*)
+  }
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import java.io.{File, PrintWriter}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{KvEncode, RowIdAllocator, SchemaAlign, SqlMode}
+import graft.pipeline.{ImportConfig, ImportPipeline}
+import graft.sinks.JdbcSink
+import graft.sources._
+import graft.util.Tables
+
+/** Ingest-operator queries: each entry re-creates dump-format inputs from
+  * the sf parquet tables (deterministically), pushes them through the real
+  * parser → align → row-id stack, and returns a DataFrame the DuckDB oracle
+  * can reproduce with plain SQL over the same parquet — a full-fidelity
+  * correctness gate for S5/S6/P1-P5 without shipping fixture files.
+  */
+object Ingest {
+
+  /** Stable scratch dir (under the repo's target/, per driver constraints). */
+  private def scratch(name: String): File = {
+    val d = new File(new File("target", "qtmp"), name)
+    d.mkdirs()
+    d
+  }
+
+  private val OrdersKeyCap = 2000 // ~500 rows at any sf (keys are dense-ish)
+
+  private def fmtTs(us: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(us / 1000000, ((us % 1000000) * 1000).toInt,
+      java.time.ZoneOffset.UTC).toString.replace("T", " ")
+
+  /** S5+P1+P3+P4: orders sample → 4-shard INSERT dump → parse → align →
+    * row-id. Oracle reproduces with ROW_NUMBER() in key order. */
+  def sqldump_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = scratch("sqldump_rt")
+    val rows = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") <= OrdersKeyCap)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+      .collect()
+    val ddl =
+      """CREATE TABLE `orders_rt` (
+        |  `o_orderkey` bigint(20) NOT NULL,
+        |  `o_custkey` bigint(20) NOT NULL,
+        |  `o_orderstatus` varchar(1) DEFAULT NULL,
+        |  `o_totalprice` double DEFAULT NULL,
+        |  `o_orderdate` datetime DEFAULT NULL,
+        |  `o_orderpriority` varchar(15) DEFAULT NULL,
+        |  PRIMARY KEY (`o_orderkey`)
+        |) ENGINE=InnoDB;""".stripMargin
+    write(new File(d, "rt.orders_rt-schema.sql"), ddl)
+    val shards = 4
+    val per = math.max(1, (rows.length + shards - 1) / shards)
+    rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      val sb = new StringBuilder
+      sb ++= "/* shard */\nINSERT INTO `orders_rt` (`o_orderkey`,`o_custkey`,`o_orderstatus`,`o_totalprice`,`o_orderdate`,`o_orderpriority`) VALUES\n"
+      sb ++= chunk.map { r =>
+        "(" + r.getLong(0) + "," + r.getLong(1) + "," +
+          JdbcSink.quoteString(r.getString(2)) + "," + r.getDouble(3) + "," +
+          JdbcSink.quoteString(r.getString(4)) + "," +
+          JdbcSink.quoteString(r.getString(5)) + ")"
+      }.mkString(",\n")
+      sb ++= ";\n"
+      write(new File(d, f"rt.orders_rt.$i%04d.sql"), sb.toString)
+    }
+    val table = MysqlDdl.parseCreateTable(ddl)
+    val files = d.listFiles().filter(_.getName.matches("rt\\.orders_rt\\.\\d+\\.sql"))
+      .map(_.getAbsolutePath).toSeq.sorted
+    val raw = SqlDumpSource.read(s, files)
+    val aligned = SchemaAlign.fromArray(raw, col("vals"),
+      Some(table.columns.map(_.name)), table, SqlMode.Lenient,
+      keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")))
+    RowIdAllocator.fromFileIndex(aligned, "_src_file", "_row_idx", "row_id")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("row_id"))
+  }
+
+  val sqldump_roundtrip_sql: String =
+    s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+       | CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       | ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+       |FROM orders WHERE o_orderkey <= $OrdersKeyCap""".stripMargin
+
+  private val CustKeyCap = 500
+
+  /** S6+S7+P5: customer sample → quirky CSV (quoted strings, backslash
+    * escapes, \\N nulls) → CsvSource → align. */
+  def csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = scratch("csv_rt")
+    val rows = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= CustKeyCap)
+      .orderBy("c_custkey")
+      .collect()
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      def q(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      sb ++= Seq(
+        r.getLong(0).toString, q(r.getString(1)), r.getInt(2).toString,
+        r.getDouble(3).toString, q(r.getString(4))).mkString(",")
+      sb += '\n'
+    }
+    write(new File(d, "rt.customer_rt.csv"), sb.toString)
+    val ddl =
+      """CREATE TABLE `customer_rt` (
+        |  `c_custkey` bigint(20) NOT NULL,
+        |  `c_name` varchar(32) DEFAULT NULL,
+        |  `c_nationkey` int(11) DEFAULT NULL,
+        |  `c_acctbal` double DEFAULT NULL,
+        |  `c_mktsegment` varchar(16) DEFAULT NULL,
+        |  PRIMARY KEY (`c_custkey`)
+        |)""".stripMargin
+    val table = MysqlDdl.parseCreateTable(ddl)
+    val raw = CsvSource.read(s, Seq(new File(d, "rt.customer_rt.csv").getAbsolutePath),
+      CsvConfig(), ncols = 5)
+    SchemaAlign.fromColumns(raw, table.columns.map(_.name), table, SqlMode.Lenient)
+  }
+
+  val csv_roundtrip_sql: String =
+    s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       |FROM customer WHERE c_custkey <= $CustKeyCap""".stripMargin
+
+  /** P1+P2: file misses a column and permutes the rest — defaults fill,
+    * projection realigns. */
+  def schema_align_defaults(s: SparkSession, dir: String): DataFrame = {
+    val d = scratch("align_rt")
+    val rows = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= CustKeyCap)
+      .orderBy("c_custkey")
+      .collect()
+    // file carries (c_name, c_custkey) only, in that (permuted) order
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      sb ++= "\"" + r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      sb ++= "," + r.getLong(0) + "\n"
+    }
+    write(new File(d, "rt.cust_slim.csv"), sb.toString)
+    val ddl =
+      """CREATE TABLE `cust_slim` (
+        |  `c_custkey` bigint(20) NOT NULL,
+        |  `c_name` varchar(32) NOT NULL DEFAULT 'anon',
+        |  `c_acctbal` double NOT NULL DEFAULT '0',
+        |  `c_grade` varchar(8) NOT NULL DEFAULT 'basic'
+        |)""".stripMargin
+    val table = MysqlDdl.parseCreateTable(ddl)
+    val raw = CsvSource.read(s,
+      Seq(new File(d, "rt.cust_slim.csv").getAbsolutePath), CsvConfig(), ncols = 2)
+    SchemaAlign.fromColumns(raw, Seq("c_name", "c_custkey"), table, SqlMode.Lenient)
+  }
+
+  val schema_align_defaults_sql: String =
+    s"""SELECT c_custkey, c_name, CAST(0 AS DOUBLE) AS c_acctbal,
+       | 'basic' AS c_grade
+       |FROM customer WHERE c_custkey <= $CustKeyCap""".stripMargin
+
+  /** S1-S3: discovery + filter + routing over a generated dump dir
+    * (rows-only check — file classification is not SQL-expressible). */
+  def mydump_discover(s: SparkSession, dir: String): DataFrame = {
+    sqldump_roundtrip(s, dir).count() // ensure shard files exist
+    csv_roundtrip(s, dir).count()
+    import s.implicits._
+    val root = new File("target", "qtmp").getAbsolutePath
+    val plan = MydumpDiscovery.plan(root,
+      routes = Seq(RouteRule("rt", "orders_rt", "rt", "orders_routed")))
+    plan.tables.flatMap(t => t.dataFiles.map(f =>
+      (t.db, t.table, f.kind.toString, f.part.getOrElse(-1), t.dataFiles.size)))
+      .toDF("db", "table_name", "kind", "part", "n_files")
+  }
+
+  /** Full pipeline e2e over the generated dump dir (rows-only): discover →
+    * parse → align → row-id → parquet sink + commit log + checksum. */
+  def import_e2e(s: SparkSession, dir: String): DataFrame = {
+    sqldump_roundtrip(s, dir).count() // materialize inputs
+    val root = new File("target", "qtmp").getAbsolutePath
+    val out = new File("target", "qtmp_out").getAbsolutePath
+    deleteRec(new File(out))
+    val cfg = ImportConfig(sourceDir = root, outDir = out,
+      filter = TableFilter(doTables = Seq(("rt", "orders_rt"))))
+    val reports = new ImportPipeline(s, cfg).run()
+    import s.implicits._
+    reports.map(r => (r.db, r.table, r.rows, f"${r.dataChecksum}%016x",
+      r.dataBytes, r.dataKvs))
+      .toDF("db", "table_name", "rows", "checksum_hex", "bytes", "kvs")
+  }
+
+  /** A1+A2: KV checksum over lineitem with a natural row handle
+    * (rows-only: DuckDB has no crc64-ECMA). */
+  def kv_checksum(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= OrdersKeyCap)
+      .withColumn("_row_id",
+        col("l_orderkey") * 10 + col("l_linenumber"))
+    val ddl =
+      """CREATE TABLE `lineitem_cs` (
+        |  `l_orderkey` bigint(20) NOT NULL,
+        |  `l_partkey` bigint(20) NOT NULL,
+        |  `l_suppkey` bigint(20) NOT NULL,
+        |  `l_linenumber` int(11) NOT NULL,
+        |  `l_quantity` double NOT NULL,
+        |  PRIMARY KEY (`l_orderkey`,`l_linenumber`)
+        |)""".stripMargin
+    val table = MysqlDdl.parseCreateTable(ddl)
+    KvEncode.checksumReport(
+      li.select((table.columns.map(c => col(c.name)) :+ col("_row_id")): _*),
+      table, tableId = 7, rowIdCol = "_row_id")
+  }
+
+  private def write(f: File, content: String): Unit = {
+    val pw = new PrintWriter(f, "UTF-8")
+    try pw.write(content) finally pw.close()
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** K6: resumable-import commit log — the checkpoint role, lakehouse-shaped.
+  *
+  * The reference persists per-table/engine/chunk status + allocator base +
+  * running checksum into MySQL tables or a protobuf file
+  * (lightning/checkpoints/checkpoints.go:92-171, 321-451) and merges
+  * updates through an async queue (restore.go:367-441). In Spark the unit
+  * of restart is a whole table write (task-level retry is Spark's job), so
+  * the log is one JSON status document per table under
+  * `<outDir>/_state/<db>.<table>.json`, written atomically (temp + rename)
+  * on the driver. Statuses mirror CheckpointStatus (checkpoints.go:42-55).
+  *
+  * Resume = skip tables whose status is `imported` with a matching plan
+  * fingerprint; rerun anything else. The pinned `jobTsMicros` keeps
+  * CURRENT_TIMESTAMP defaults stable across reruns (restore.go:1323,1759).
+  */
+final case class TableState(
+    db: String, table: String,
+    status: String, // loaded | written | imported | failed
+    rows: Long,
+    checksum: Long, totalBytes: Long, totalKvs: Long,
+    planFingerprint: String,
+    jobTsMicros: Long)
+
+final class CommitLog(outDir: String, conf: Configuration) {
+  private val stateDir = new Path(outDir, "_state")
+  private def fs: FileSystem = stateDir.getFileSystem(conf)
+
+  private def pathFor(db: String, table: String) =
+    new Path(stateDir, s"$db.$table.json")
+
+  def write(st: TableState): Unit = {
+    fs.mkdirs(stateDir)
+    val tmp = new Path(stateDir, s".${st.db}.${st.table}.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(toJson(st).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = pathFor(st.db, st.table)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  def read(db: String, table: String): Option[TableState] = {
+    val p = pathFor(db, table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try fromJson(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  def remove(db: String, table: String): Unit = {
+    val p = pathFor(db, table)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  // minimal flat-JSON codec (no deps)
+  private def toJson(s: TableState): String = {
+    def q(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"db":${q(s.db)},"table":${q(s.table)},"status":${q(s.status)},""" +
+      s""""rows":${s.rows},"checksum":${s.checksum},"totalBytes":${s.totalBytes},""" +
+      s""""totalKvs":${s.totalKvs},"planFingerprint":${q(s.planFingerprint)},""" +
+      s""""jobTsMicros":${s.jobTsMicros}}"""
+  }
+
+  private def fromJson(j: String): Option[TableState] = {
+    def str(k: String) =
+      (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(j)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    def num(k: String) =
+      (s""""$k":(-?\\d+)""").r.findFirstMatchIn(j).map(_.group(1).toLong)
+    for {
+      db <- str("db"); table <- str("table"); status <- str("status")
+      rows <- num("rows"); cs <- num("checksum"); tb <- num("totalBytes")
+      kvs <- num("totalKvs"); fp <- str("planFingerprint"); ts <- num("jobTsMicros")
+    } yield TableState(db, table, status, rows, cs, tb, kvs, fp, ts)
+  }
+}

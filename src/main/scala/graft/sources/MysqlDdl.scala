@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** MySQL `CREATE TABLE` DDL → Spark `StructType` + per-column metadata.
+  *
+  * The reference replays schema files against an embedded TiDB parser and
+  * reloads `model.TableInfo` over HTTP (reference: lightning/restore/
+  * tidb.go:85-208). A Spark-native engine needs none of that machinery —
+  * just the declared shape: Spark type, nullability, default value,
+  * AUTO_INCREMENT flag, primary key. This is a pragmatic recursive-descent
+  * reader of the mydumper-emitted DDL dialect (type mapping per SURVEY §1.2).
+  *
+  * Schema is fixed and user-declared — never inferred (reference:
+  * lightning/mydump/loader.go:65: `no-schema` aside, every table has a
+  * `*-schema.sql`).
+  */
+final case class MysqlColumn(
+    name: String,
+    sparkType: DataType,
+    nullable: Boolean,
+    default: Option[String],     // raw default literal (None = no default)
+    autoIncrement: Boolean,
+    unsigned: Boolean,
+    rawType: String)
+
+final case class MysqlTable(
+    name: String,
+    columns: Seq[MysqlColumn],
+    primaryKey: Seq[String]) {
+  def schema: StructType =
+    StructType(columns.map(c => StructField(c.name, c.sparkType, c.nullable)))
+  def column(n: String): Option[MysqlColumn] =
+    columns.find(_.name.equalsIgnoreCase(n))
+}
+
+object MysqlDdl {
+
+  /** Map a MySQL type spec (already lowercased, e.g. "bigint(20) unsigned")
+    * to a Spark type per SURVEY §1.2. */
+  def mapType(raw: String): DataType = {
+    val t = raw.trim.toLowerCase
+    val base = t.takeWhile(c => c.isLetter)
+    val args: Seq[Int] = {
+      val i = t.indexOf('(')
+      if (i < 0) Nil
+      else t.substring(i + 1, t.indexOf(')', i) max (i + 1))
+        .split(',').toSeq.map(_.trim).filter(_.forall(_.isDigit))
+        .flatMap(s => if (s.isEmpty) None else Some(s.toInt))
+    }
+    val unsigned = t.contains("unsigned")
+    base match {
+      case "tinyint"   => if (unsigned) ShortType else ByteType
+      case "smallint"  => if (unsigned) IntegerType else ShortType
+      case "mediumint" => IntegerType
+      case "int" | "integer" => if (unsigned) LongType else IntegerType
+      case "bigint"    => if (unsigned) DecimalType(20, 0) else LongType
+      case "decimal" | "numeric" =>
+        DecimalType(args.headOption.getOrElse(10), args.lift(1).getOrElse(0))
+      case "float"     => FloatType
+      case "double" | "real" => DoubleType
+      case "bit"       => if (args.headOption.getOrElse(1) <= 64) LongType else BinaryType
+      case "char" | "varchar" | "tinytext" | "text" | "mediumtext" | "longtext" =>
+        StringType
+      case "binary" | "varbinary" | "tinyblob" | "blob" | "mediumblob" | "longblob" =>
+        BinaryType
+      case "date"      => DateType
+      case "datetime"  => TimestampNTZType
+      case "timestamp" => TimestampType
+      case "time"      => StringType // no native duration; validated textually
+      case "year"      => ShortType
+      case "enum" | "set" => StringType // domain check applied post-cast
+      case "json"      => StringType
+      case _           => StringType
+    }
+  }
+
+  private val ColLine =
+    """^\s*`([^`]+)`\s+([a-zA-Z]+(?:\([^)]*\))?(?:\s+unsigned)?(?:\s+zerofill)?)(.*)$""".r
+  private val PkLine = """(?i)^\s*PRIMARY\s+KEY\s*\(([^)]*)\).*$""".r
+
+  /** Parse one CREATE TABLE statement. Comment stripping mirrors the
+    * reference's schema reader (lightning/mydump/reader.go:67-114). */
+  def parseCreateTable(ddl: String): MysqlTable = {
+    val noComments = ddl.linesIterator
+      .map(l => l.replaceAll("--.*$", ""))
+      .filterNot(_.trim.isEmpty)
+      .mkString("\n")
+      .replaceAll("(?s)/\\*.*?\\*/", "")
+    val nameR = """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`"]?([^`"\s(]+)[`"]?""".r
+    val tableName = nameR.findFirstMatchIn(noComments)
+      .map(_.group(1)).getOrElse(sys.error(s"not a CREATE TABLE: ${ddl.take(80)}"))
+    val body = {
+      val start = noComments.indexOf('(')
+      val end = noComments.lastIndexOf(')')
+      require(start >= 0 && end > start, s"malformed DDL for $tableName")
+      noComments.substring(start + 1, end)
+    }
+    // split body on top-level commas (respect parens + quoted strings)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var quote = ' '
+    val cur = new StringBuilder
+    body.foreach { ch =>
+      if (inStr) { cur += ch; if (ch == quote) inStr = false }
+      else ch match {
+        case '\'' | '"' => inStr = true; quote = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) parts += cur.toString
+
+    var pk = Seq.empty[String]
+    val cols = parts.toSeq.flatMap { p =>
+      p.trim match {
+        case PkLine(keys) =>
+          pk = keys.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+          None
+        case l if l.toUpperCase.startsWith("UNIQUE") ||
+                  l.toUpperCase.startsWith("KEY") ||
+                  l.toUpperCase.startsWith("INDEX") ||
+                  l.toUpperCase.startsWith("CONSTRAINT") ||
+                  l.toUpperCase.startsWith("FOREIGN") => None
+        case ColLine(name, typeSpec, rest) =>
+          val restU = rest.toUpperCase
+          val notNull = restU.contains("NOT NULL")
+          val autoInc = restU.contains("AUTO_INCREMENT")
+          val default = {
+            val m = """(?i)DEFAULT\s+('(?:[^'\\]|\\.)*'|[^\s,]+)""".r.findFirstMatchIn(rest)
+            m.map(_.group(1))
+          }
+          if (restU.contains("PRIMARY KEY") && pk.isEmpty) pk = Seq(name)
+          Some(MysqlColumn(name, mapType(typeSpec), nullable = !notNull,
+            default = default, autoIncrement = autoInc,
+            unsigned = typeSpec.toLowerCase.contains("unsigned"),
+            rawType = typeSpec.trim))
+        case _ => None
+      }
+    }
+    MysqlTable(tableName, cols, pk)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sources.{RouteRule, TableFilter}
+
+class ImportPipelineSpec extends SparkSpec {
+
+  private def freshOut(): String =
+    java.nio.file.Files.createTempDirectory("graft-import").toString
+
+  test("end-to-end: fixture dump dir → parquet + checksums + commit log") {
+    val out = freshOut()
+    val cfg = ImportConfig(
+      sourceDir = fixture("mydump"),
+      outDir = out,
+      filter = TableFilter(doTables = Seq(("mdb", "*"))))
+    val reports = new ImportPipeline(spark, cfg).run()
+    val byTable = reports.map(r => r.table -> r).toMap
+    assert(byTable.keySet === Set("people", "items"))
+    assert(byTable("items").rows === 5)
+    assert(byTable("people").rows === 3)
+    assert(byTable("items").dataKvs === 5)
+    assert(byTable("items").dataChecksum !== 0L)
+
+    // written parquet round-trips with declared schema
+    val items = spark.read.parquet(s"$out/mdb/items")
+    assert(items.columns.toSeq === Seq("item_id", "sku", "qty", "price", "tag"))
+    val r = items.filter("item_id = 2").collect()(0)
+    assert(r.getString(1) === "has'quote")
+    assert(r.isNullAt(3))
+    val sci = items.filter("item_id = 4").collect()(0)
+    assert(sci.getAs[java.math.BigDecimal]("price").doubleValue() === 250.0)
+
+    // resume: second run skips everything, checksums identical
+    val again = new ImportPipeline(spark, cfg).run()
+    assert(again.forall(_.resumedSkip))
+    assert(again.map(r => r.table -> r.dataChecksum).toMap ===
+      reports.map(r => r.table -> r.dataChecksum).toMap)
+  }
+
+  test("routing merges shards into one target table") {
+    val out = freshOut()
+    val cfg = ImportConfig(
+      sourceDir = fixture("mydump"),
+      outDir = out,
+      filter = TableFilter(doTables = Seq(("routes_b", "*"))),
+      routes = Seq(RouteRule("routes_a*", "t*", "routes_b", "u")))
+    val reports = new ImportPipeline(spark, cfg).run()
+    assert(reports.map(_.table) === Seq("u"))
+    assert(reports.head.rows === 3)
+    val u = spark.read.parquet(s"$out/routes_b/u")
+    assert(u.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
+  }
+
+  test("csv table lands with lenient casts applied") {
+    val out = freshOut()
+    val cfg = ImportConfig(
+      sourceDir = fixture("mydump"),
+      outDir = out,
+      filter = TableFilter(doTables = Seq(("mdb", "people"))))
+    new ImportPipeline(spark, cfg).run()
+    val ppl = spark.read.parquet(s"$out/mdb/people")
+    val bob = ppl.filter("id = 2").collect()(0)
+    assert(bob.getString(1) === "Bob \"the builder\"")
+    assert(bob.isNullAt(2)) // \N age
+    assert(bob.getAs[java.math.BigDecimal]("balance").doubleValue() === -7.25)
+    val joined = bob.getAs[java.time.LocalDateTime]("joined")
+    assert(joined.toString.startsWith("2021-06-07T08:09:10.123456"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MysqlDdlSpec extends AnyFunSuite {
+
+  val peopleDdl: String =
+    scala.io.Source.fromResource("mydump/mdb.people-schema.sql").mkString
+
+  test("parses people schema: names, types, nullability") {
+    val t = MysqlDdl.parseCreateTable(peopleDdl)
+    assert(t.name === "people")
+    assert(t.columns.map(_.name) ===
+      Seq("id", "name", "age", "balance", "ratio", "status", "joined", "note"))
+    assert(t.schema.fields.map(_.dataType).toSeq === Seq(
+      LongType, StringType, ByteType, DecimalType(12, 2), DoubleType,
+      StringType, TimestampNTZType, StringType))
+    assert(!t.column("id").get.nullable)
+    assert(t.column("age").get.nullable)
+  }
+
+  test("primary key, auto_increment, defaults") {
+    val t = MysqlDdl.parseCreateTable(peopleDdl)
+    assert(t.primaryKey === Seq("id"))
+    assert(t.column("id").get.autoIncrement)
+    assert(t.column("balance").get.default === Some("'0.00'"))
+    assert(t.column("status").get.default === Some("'idle'"))
+    assert(t.column("age").get.default === Some("NULL"))
+  }
+
+  test("unsigned bigint maps to decimal(20,0)") {
+    val t = MysqlDdl.parseCreateTable(
+      "CREATE TABLE `u` (`a` bigint(20) unsigned NOT NULL, `b` int(10) unsigned DEFAULT NULL)")
+    assert(t.column("a").get.sparkType === DecimalType(20, 0))
+    assert(t.column("a").get.unsigned)
+    assert(t.column("b").get.sparkType === LongType)
+  }
+
+  test("inline primary key and key lines skipped") {
+    val t = MysqlDdl.parseCreateTable(
+      "CREATE TABLE `k` (`pk` char(36) PRIMARY KEY, `v` json, KEY `i` (`v`(10)))")
+    assert(t.primaryKey === Seq("pk"))
+    assert(t.columns.map(_.name) === Seq("pk", "v"))
+    assert(t.column("v").get.sparkType === StringType)
+  }
+}

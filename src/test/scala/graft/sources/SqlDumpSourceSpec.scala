@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class SqlDumpSourceSpec extends SparkSpec {
+
+  // parseString rows are schemaless GenericRows — positional access:
+  // 0=src_file 1=row_idx 2=stmt_cols 3=vals 4=kinds
+  private def rows(sql: String): List[Row] =
+    SqlDumpSource.parseString(sql).toList
+  private def vals(r: Row): Seq[String] = r.getAs[Seq[String]](3)
+  private def kinds(r: Row): Seq[Int] = r.getAs[Seq[Int]](4)
+
+  test("multi-row insert with column list") {
+    val rs = rows("INSERT INTO `t` (`a`,`b`) VALUES (1,'x'),(2,'y');")
+    assert(rs.size === 2)
+    assert(rs.head.getAs[Seq[String]](2) === Seq("a", "b"))
+    assert(vals(rs.head) === Seq("1", "x"))
+    assert(vals(rs(1)) === Seq("2", "y"))
+  }
+
+  test("escapes, doubled quotes, NULL, negative + scientific numbers") {
+    val rs = rows(
+      """INSERT INTO t VALUES ('it''s','a\tb','c\\d',NULL,-1.5,2.5e2,TRUE);""")
+    assert(vals(rs.head) === Seq("it's", "a\tb", "c\\d", null, "-1.5", "2.5e2", "1"))
+    assert(kinds(rs.head) === Seq(SqlDumpSource.Kind.Str, SqlDumpSource.Kind.Str,
+      SqlDumpSource.Kind.Str, SqlDumpSource.Kind.Null,
+      SqlDumpSource.Kind.Number, SqlDumpSource.Kind.Number,
+      SqlDumpSource.Kind.Bool))
+  }
+
+  test("hex and bit literals") {
+    val rs = rows("INSERT INTO t VALUES (0x414243,0b101,x'4f4b');")
+    assert(vals(rs.head) === Seq("414243", "101", "4f4b"))
+    assert(kinds(rs.head) === Seq(SqlDumpSource.Kind.Hex, SqlDumpSource.Kind.Bit,
+      SqlDumpSource.Kind.Hex))
+  }
+
+  test("comments and multiple statements; rows numbered per file") {
+    val rs = rows(
+      """-- comment
+        |/* block
+        |   comment */
+        |INSERT INTO t VALUES (1);
+        |INSERT INTO t VALUES (2),(3);
+        |""".stripMargin)
+    assert(rs.map(_.getAs[Long](1)) === List(0L, 1L, 2L))
+    assert(rs.map(r => vals(r).head) === List("1", "2", "3"))
+    // second statement has no column list
+    assert(rs(1).getAs[Seq[String]](2) === null)
+  }
+
+  test("multi-line values and embedded parens/commas in strings") {
+    val rs = rows("INSERT INTO t VALUES\n(1, 'a,b)c'),\n(2, 'd(e');")
+    assert(rs.map(r => vals(r)(1)) === List("a,b)c", "d(e"))
+  }
+
+  test("distributed read over fixture shards") {
+    val paths = Seq(fixture("mydump/mdb.items.1.sql"), fixture("mydump/mdb.items.2.sql"))
+    val df = SqlDumpSource.read(spark, paths)
+    val got = df.collect()
+    assert(got.length === 5)
+    // deterministic per-file numbering; DataFrame rows carry schema
+    val byFile = got.groupBy(_.getAs[String]("src_file")).view.mapValues(_.length).toMap
+    assert(byFile.values.toSet === Set(3, 2))
+  }
+}
