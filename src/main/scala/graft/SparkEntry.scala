@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Ingest}
+import graft.queries.{Analytics, Curation, Ingest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,19 @@ object SparkEntry {
     ("mydump_discover", Ingest.mydump_discover _, None),
     ("import_e2e", Ingest.import_e2e _, None),
     ("kv_checksum", Ingest.kv_checksum _, None),
+    // LLM-data-pipeline operators (BASELINE.json north star)
+    ("dedup_exact", Curation.dedup_exact _, Some(Curation.dedup_exact_sql)),
+    ("dedup_minhash", Curation.dedup_minhash _, None),
+    ("dedup_simhash", Curation.dedup_simhash _, None),
+    ("dedup_ngram", Curation.dedup_ngram _, None),
+    ("dedup_embed", Curation.dedup_embed _, None),
+    ("ann_topk", Curation.ann_topk _, Some(Curation.ann_topk_sql)),
+    ("ann_lsh", Curation.ann_lsh _, None),
+    ("txt_tokens", Curation.txt_tokens _, Some(Curation.txt_tokens_sql)),
+    ("txt_langid", Curation.txt_langid _, Some(Curation.txt_langid_sql)),
+    ("txt_quality", Curation.txt_quality _, Some(Curation.txt_quality_sql)),
+    ("txt_fingerprint", Curation.txt_fingerprint _, None),
+    ("multimodal_pipe", Curation.multimodal_pipe _, None),
   )
 
   def queries: Map[String, Q] =

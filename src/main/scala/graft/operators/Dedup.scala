@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation — exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard (beyond-reference surface per
+  * BASELINE.json's north star; no analog in the reference, which dedups at
+  * the row level only via REPLACE INTO — lightning/backend/tidb.go:45-63).
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup: one hash-shuffle on the dedup key; with a pre-computed
+  *    digest column the shuffle moves 16-byte digests, not documents.
+  *  - MinHash LSH: the only shuffle is the band-bucket join; candidate
+  *    verification happens only within buckets (output ≪ N²). Signatures
+  *    are computed in one narrow pass of array expressions, no UDFs.
+  *  - SimHash: narrow projection to a 64-bit sketch + band join on 16-bit
+  *    sub-keys; Hamming verification on candidates only.
+  *
+  * PERF INVARIANT: array lambdas only ever reference *attribute* columns
+  * (precomputed via withColumn), never inline expression trees — an inlined
+  * normalization would re-run its regexes once per array element and turn a
+  * linear pass quadratic.
+  */
+object Dedup {
+
+  /** Normalize text for content-identity: lowercase, collapse whitespace,
+    * strip non-alphanumerics (keeps CJK). */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text),
+      "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+
+  /** Non-empty whitespace tokens of a (pre-normalized) text column. */
+  def tokensOf(norm: Column): Column =
+    filter(split(norm, " "), t => t =!= "")
+
+  /** 128-bit content fingerprint of the normalized text (md5 — cheap,
+    * portable, and reproducible in any engine for verification). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Exact dedup: keep the lowest-key row per identical value of `on`.
+    * Window over the digest — the shuffle key is the digest, so payload
+    * movement is bounded by the digest size at 100 TB. */
+  def exact(df: DataFrame, on: Column, key: Column): DataFrame = {
+    val w = Window.partitionBy(on).orderBy(key)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Character k-shingles (distinct) of a pre-materialized normalized
+    * column. `norm` MUST be an attribute (see PERF INVARIANT above). */
+  def shinglesOf(norm: Column, k: Int = 5): Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(length(norm) - k, lit(0))),
+        i => norm.substr(i + 1, lit(k))))
+
+  /** MinHash signature: for each of `numHashes` hash functions h_j, the
+    * minimum over shingles of xxhash64(shingle, j). One narrow pass. */
+  def minhashSignature(shingles: Column, numHashes: Int = 32): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles, s => xxhash64(s, j))))
+
+  /** LSH banding: split the signature into `bands` equal bands; emit one
+    * (band_idx, band_key) per band. Docs sharing any band key are
+    * candidates. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)
+          .as("bkey")))
+
+  /** Near-duplicate pairs via MinHash+LSH, verified by the MinHash
+    * signature-agreement estimator (E[matches/numHashes] = Jaccard).
+    * Returns (id_a, id_b, jaccard_est) with id_a < id_b, est ≥ threshold.
+    *
+    * The per-doc sketch is materialized behind a repartition barrier:
+    * Catalyst's project-collapsing would otherwise re-inline the whole
+    * shingle pipeline into the self-join and recompute it per candidate
+    * pair. The join then moves only (id, band, 32×8B signature) — never
+    * shingle sets, never documents — which is what keeps this linear-ish
+    * at corpus scale. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // normalize → barrier → explode shingles → 32 codegen'd min-aggregates.
+    // The groupBy gives map-side partial mins, so the shuffle moves one
+    // (id, 32×8B) row per doc; the repartition below it keeps Catalyst from
+    // re-inlining the normalization into per-shingle lambdas (its project
+    // collapse would turn the scan quadratic).
+    val normed = df
+      .select(col(idCol).as("_id"), normalized(col(textCol)).as("_norm"))
+      .repartition(col("_id"))
+    val exploded = normed
+      .select(col("_id"), explode(shinglesOf(col("_norm"), k)).as("_s"))
+    val minCols = (0 until numHashes).map(j =>
+      min(xxhash64(col("_s"), lit(j))).as(s"_h$j"))
+    val sigs = exploded.groupBy(col("_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val sigArr = array((0 until numHashes).map(j => col(s"_h$j")): _*)
+    val banded = sigs
+      .select(col("_id"), sigArr.as("_sig"),
+        explode(lshBandKeys(sigArr, bands, rowsPerBand)).as("_b"))
+    val l = banded.select(col("_id").as("id_a"), col("_sig").as("sig_a"), col("_b"))
+    val r = banded.select(col("_id").as("id_b"), col("_sig").as("sig_b"), col("_b"))
+    l.join(r, l("_b") === r("_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard_est"), 6).as("jaccard_est"))
+  }
+
+  /** 64-bit SimHash over a pre-materialized token-hash array column:
+    * one pass accumulating 64 signed bit-counts, then bit-packing. */
+  def simhashOf(tokenHashes: Column): Column = {
+    val counts = aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(i =>
+          when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))): _*),
+        (a, b) => a + b))
+    aggregate(counts, lit(0L),
+      (acc, c) => shiftleft(acc, 1) // bitwise: no ANSI overflow on bit 63
+        .bitwiseOR(when(c > 0, lit(1L)).otherwise(lit(0L))))
+  }
+
+  /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
+    * 16-bit keys; verify by Hamming distance ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    // explode tokens → 64 codegen'd signed-bit-count sums (map-side
+    // combined) → bit-pack. Same shape (and rationale) as minhashPairs.
+    val exploded = df
+      .select(col(idCol).as("_id"), normalized(col(textCol)).as("_norm"))
+      .repartition(col("_id"))
+      .select(col("_id"), explode(tokensOf(col("_norm"))).as("_t"))
+      .select(col("_id"), xxhash64(col("_t")).as("_th"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("_th"), i).bitwiseAND(lit(1L)) === 1L,
+        lit(1L)).otherwise(lit(-1L))).as(s"_b$i"))
+    val packed = exploded.groupBy(col("_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id"),
+        (0 until 64).map(i =>
+          when(col(s"_b$i") > 0, lit(1L << (63 - i)))
+            .otherwise(lit(0L))).reduce((a, b) => a.bitwiseOR(b)).as("_h"))
+    val withH = packed
+    val banded = withH.select(col("_id"), col("_h"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("_h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("_b"))
+    val l = banded.select(col("_id").as("id_a"), col("_h").as("h_a"), col("_b"))
+    val r = banded.select(col("_id").as("id_b"), col("_h").as("h_b"), col("_b"))
+    l.join(r, l("_b") === r("_b") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Distinct word n-grams of a pre-materialized token-array column. */
+  def gramsOf(toks: Column, n: Int = 2): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
+  /** Jaccard similarity of two pre-materialized gram-array columns. */
+  def jaccard(ga: Column, gb: Column): Column =
+    size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb)).cast("double")
+
+  /** Embedding near-dup: all pairs with cosine ≥ threshold, bucketed by
+    * random-hyperplane LSH so the join is bucket-local (scale path; brute
+    * force would be N²). */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+      planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val withB = df
+      .withColumn("_bucket", Similarity.hyperplaneSketch(col(vecCol), planes))
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("_bucket"))
+      .repartition(col("_id")) // barrier: sketch computed once per vector
+    val l = withB.select(col("_id").as("id_a"), col("_v").as("v_a"), col("_bucket"))
+    val r = withB.select(col("_id").as("id_b"), col("_v").as("v_b"), col("_bucket"))
+    l.join(r, l("_bucket") === r("_bucket") && col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

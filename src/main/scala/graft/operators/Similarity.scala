@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a narrow codegen'd projection +
+  * TakeOrderedAndProject; the whole corpus is scanned once, no shuffle of
+  * vectors. Scale path: random-hyperplane LSH buckets (IVF-style): a probe
+  * touches only its bucket, so a 1000-executor cluster scans 1/2^planes of
+  * the corpus per query (plus multi-probe neighbors for recall).
+  *
+  * All math is `functions._` over array columns (zip_with/aggregate) —
+  * codegen'd, no UDFs, order of float accumulation fixed left-to-right so
+  * results are deterministic and engine-comparable.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane sketch: `planes` sign bits packed into a long.
+    * Hyperplane p's component for dimension i is a deterministic pseudo-
+    * random ±1 derived from xxhash64(p, i) — reproducible on any cluster,
+    * no broadcast of plane matrices needed. */
+  def hyperplaneSketch(vec: Column, planes: Int = 8): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+            x.cast("double") *
+              when(pmod(xxhash64(p, i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, bit) => acc * 2 + bit)
+
+  /** Brute-force cosine top-k against a literal query vector. */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol),
+        round(cosine(col(vecCol), q), 9).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: probe only the query's bucket (single-probe).
+    * Recall < 1 by construction; the point is the pruning shape. */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, planes: Int = 6): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val withBucket = df.withColumn("_bucket",
+      hyperplaneSketch(col(vecCol), planes))
+    val queryBucket = withBucket.sparkSession.range(1)
+      .select(hyperplaneSketch(q, planes).as("_qb"))
+      .collect()(0).getLong(0)
+    withBucket.filter(col("_bucket") === queryBucket)
+      .select(col(idCol), round(cosine(col(vecCol), q), 9).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting. All pure `functions._`
+  * expressions (codegen'd, shuffle-free per-row transforms) so each is
+  * reproducible as plain SQL — the DuckDB oracle runs the same formulas.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for empty/blank). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword-unit estimate: words + extra units for long words
+    * (a word of length L costs ceil(L/4) units) + digit/punct runs. */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      filter(split(trim(lower(text)), "\\s+"), t => t =!= ""),
+      lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Marker-word occurrence count: occurrences of ` w ` in the padded
+    * lowercased text (match-count formula reproducible in any SQL engine:
+    * (len(x) - len(replace(x, w))) / len(w); literal replace on both
+    * sides so non-overlap semantics agree). */
+  private def occurrences(padded: Column, w: String): Column =
+    ((length(padded) - length(replace(padded, lit(" " + w + " "), lit(""))))
+      .cast("long") / lit((w.length + 2).toLong)).cast("long")
+
+  /** Language markers: tiny per-language stopword lists (n-gram heuristic).
+    * Deterministic argmax with fixed tie order (en,de,fr,es,zh). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "de", "y", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => occurrences(padded, w)).reduce(_ + _)
+    }
+  }
+
+  /** Best-scoring language, 'und' when no marker hits. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** SQL text of the same langId formula for the DuckDB oracle. */
+  def langIdSql(textExpr: String): String = {
+    def occ(w: String) =
+      s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+    val scoreDefs = langMarkers.map { case (lang, ws) =>
+      s"${ws.map(occ).mkString(" + ")} AS s_$lang"
+    }.mkString(", ")
+    val best = "greatest(" + langMarkers.map("s_" + _._1).mkString(", ") + ")"
+    val caseExpr = langMarkers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+      s"CASE WHEN s_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
+    }
+    s"""(SELECT $caseExpr FROM (SELECT $scoreDefs, $best AS best
+       |  FROM (SELECT ' ' || lower($textExpr) || ' ' AS p)))""".stripMargin
+  }
+
+  /** Quality score in [0,100]: length band + alpha ratio + stopword
+    * presence + token-length band − punctuation excess. Pure integer
+    * comparisons (no division) so any engine reproduces it bit-exactly. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("long")
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    val punct = length(regexp_replace(text, "[^!?.,;:]", "")).cast("long")
+    val toks = tokenCount(text).cast("long")
+    val lenScore = when(len.between(100, 2000), lit(40L))
+      .when(len.between(20, 99), lit(20L)).otherwise(lit(0L))
+    val alphaScore = when(alpha * 10 >= len * 7, lit(20L))
+      .when(alpha * 10 >= len * 5, lit(10L)).otherwise(lit(0L))
+    val stopScore = when(langId(text) =!= "und", lit(20L)).otherwise(lit(0L))
+    val punctPenalty = when(punct * 10 > len, lit(20L)).otherwise(lit(0L))
+    val tokScore = when(toks > 0 && len >= toks * 4 && len <= toks * 10, lit(10L))
+      .otherwise(lit(0L))
+    greatest(least(lenScore + alphaScore + stopScore + tokScore - punctPenalty,
+      lit(100L)), lit(0L))
+  }
+
+  /** SQL text of the same qualityScore formula (DuckDB oracle). */
+  def qualityScoreSql(t: String): String =
+    s"""greatest(least(
+       |  (CASE WHEN length($t) BETWEEN 100 AND 2000 THEN 40
+       |        WHEN length($t) BETWEEN 20 AND 99 THEN 20 ELSE 0 END)
+       |  + (CASE WHEN length(regexp_replace($t, '[^a-zA-Z]', '', 'g')) * 10
+       |            >= length($t) * 7 THEN 20
+       |          WHEN length(regexp_replace($t, '[^a-zA-Z]', '', 'g')) * 10
+       |            >= length($t) * 5 THEN 10 ELSE 0 END)
+       |  + (CASE WHEN ${langIdSql(t)} != 'und' THEN 20 ELSE 0 END)
+       |  + (CASE WHEN len(regexp_split_to_array(trim($t), '\\s+')) > 0
+       |           AND length($t) >= len(regexp_split_to_array(trim($t), '\\s+')) * 4
+       |           AND length($t) <= len(regexp_split_to_array(trim($t), '\\s+')) * 10
+       |          THEN 10 ELSE 0 END)
+       |  - (CASE WHEN length(regexp_replace($t, '[^!?.,;:]', '', 'g')) * 10
+       |            > length($t) THEN 20 ELSE 0 END),
+       | 100), 0)""".stripMargin
+
+  /** Rolling-hash document fingerprint: polynomial base-31 over the chars
+    * of the normalized text, mod the largest prime < 2^57 (so `acc*31 + c`
+    * never exceeds a signed long under ANSI overflow checking) —
+    * content-defined, stable, cheap to recompute anywhere. `norm` must be
+    * a pre-materialized attribute column (see Dedup's PERF INVARIANT). */
+  def rollingFingerprintOf(norm: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c.cast("long"), lit(144115188075855859L)))
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "The quick brown fox jumps over a lazy dog!"),  // near dup of 1
+    (4L, "Completely different content about spark engines and shuffles"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per fingerprint") {
+    val out = Dedup.exact(
+      docs.withColumn("fp", Dedup.fingerprint(col("text"))),
+      col("fp"), col("doc_id"))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 5L)) // 2 deduped into 1
+  }
+
+  test("minhash LSH finds the near-dup pair, not the distinct one") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs distance 0, related docs close") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 === 0)
+  }
+
+  test("ngram jaccard of identical token arrays is 1") {
+    val g = docs.withColumn("_norm", Dedup.normalized(col("text")))
+      .withColumn("_toks", Dedup.tokensOf(col("_norm")))
+      .withColumn("_g", Dedup.gramsOf(col("_toks"), 2))
+    val row = g.filter(col("doc_id") === 1).select(col("_g")).collect()(0)
+    val sim = g.filter(col("doc_id") === 2)
+      .select(Dedup.jaccard(col("_g"),
+        lit(row.getSeq[String](0).toArray)).as("j"))
+      .collect()(0).getDouble(0)
+    assert(sim === 1.0)
+  }
+
+  test("cosine similarity: orthogonal=0, identical=1") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f))
+    ).toDF("id", "v")
+    val got = df.select(col("id"),
+      round(Similarity.cosine(col("v"), array(lit(1.0f), lit(0.0f))), 6).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 1.0 && got(2L) === 0.0 && got(3L) === 1.0)
+  }
+
+  test("brute-force topk returns k best by cosine with id tiebreak") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, "embedding", "vec_id",
+      Seq(1.0, 0.0), 2).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("token count, langid, quality are deterministic and sane") {
+    val r = docs.filter(col("doc_id") === 1).select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect()(0)
+    assert(r.getInt(0) === 9)
+    assert(r.getString(1) === "en") // two "the"
+    assert(r.getLong(2) >= 40 && r.getLong(2) <= 100)
+    val empty = docs.filter(col("doc_id") === 5).select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.langId(col("text"))).collect()(0)
+    assert(empty.getInt(0) === 0 && empty.getString(1) === "und")
+  }
+
+  test("multimodal plumbing: payload → decode stub → frames → features") {
+    val media = Multimodal.syntheticPayload(docs.filter(length(col("text")) > 0),
+      "doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.frameSample(Multimodal.decodeStub(media)))
+    val r = out.collect()
+    assert(r.length === 4)
+    assert(out.columns.contains("features") && out.columns.contains("frames"))
+    val feats = r.head.getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(feats.size === 8 && feats.forall(v => v >= 0.0 && v <= 1.0))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(
+      Multimodal.frameSample(Multimodal.decodeStub(media)))
+      .collect().head.getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(again === feats)
+  }
+
+  test("rolling fingerprint: equal content ⇒ equal fp; stable under punct") {
+    val fps = docs.withColumn("_norm", Dedup.normalized(col("text")))
+      .select(col("doc_id"), TextAnalysis.rollingFingerprintOf(col("_norm")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(4L))
+  }
+}
