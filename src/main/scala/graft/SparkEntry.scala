@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, Ingest}
+import graft.queries.{Analytics, Curation, Events, Ingest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,9 @@ object SparkEntry {
     ("txt_quality", Curation.txt_quality _, Some(Curation.txt_quality_sql)),
     ("txt_fingerprint", Curation.txt_fingerprint _, None),
     ("multimodal_pipe", Curation.multimodal_pipe _, None),
+    // streaming surface (SURVEY §2.7)
+    ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),
+    ("q_sessionize", Events.q_sessionize _, Some(Events.q_sessionize_sql)),
   )
 
   def queries: Map[String, Q] =

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gaps > threshold, aggregates within") {
+    val us = 1000000L
+    val evs = Seq(
+      EventStream.Ev(1L, 0 * us, "a", 1.0),
+      EventStream.Ev(1L, 60 * us, "b", 2.0),       // same session (1 min gap)
+      EventStream.Ev(1L, 4000 * us, "c", 3.0),     // > 30 min later → new
+      EventStream.Ev(2L, 0 * us, "d", 5.0)
+    ).toDS()
+    val out = EventStream.sessionize(evs, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start_us))
+    assert(out.length === 3)
+    assert(out(0).n_events === 2 && out(0).total_value === 3.0)
+    assert(out(0).session_start_us === 0L && out(0).session_end_us === 60 * us)
+    assert(out(1).n_events === 1 && out(1).session_start_us === 4000 * us)
+    assert(out(2).user_id === 2L)
+  }
+
+  test("windowed streaming drains AvailableNow and is replay-stable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    val src = new java.io.File(tmp, "events.parquet").getAbsolutePath
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.parquet(src)
+    val cp1 = new java.io.File(tmp, "cp1").getAbsolutePath
+    val r1 = EventStream.windowedCounts(spark, src, cp1)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val cp2 = new java.io.File(tmp, "cp2").getAbsolutePath
+    val r2 = EventStream.windowedCounts(spark, src, cp2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(r1.nonEmpty)
+    assert(r1.toSeq === r2.toSeq)
+  }
+}
