@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{KvEncode, SqlMode}
+import graft.pipeline.{ImportConfig, ImportPipeline, ProgressListener}
+import graft.sinks.CommitLog
+import graft.sources.{MydumpDiscovery, MysqlDdl, RouteRule, TableFilter}
+
+/** Admin CLI — the role of `tidb-lightning` + `tidb-lightning-ctl`
+  * (reference: cmd/tidb-lightning/main.go, cmd/tidb-lightning-ctl/main.go:
+  * 42-307: one-shot import, checkpoint dump/removal, verification).
+  *
+  * Subcommands:
+  *   import          --source DIR --out DIR [--strict] [--no-checkpoint]
+  *                   [--filter db.tbl ...] [--route src.tbl=dst.tbl ...]
+  *   checkpoint-dump --source DIR --out DIR            (CSV to stdout)
+  *   checkpoint-remove --out DIR --table db.tbl
+  *   verify          --source DIR --out DIR            (A3: re-scan compare)
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val cmd = args.head
+    val opts = parseOpts(args.tail)
+    cmd match {
+      case "import" => doImport(opts)
+      case "checkpoint-dump" => checkpointDump(opts)
+      case "checkpoint-remove" => checkpointRemove(opts)
+      case "verify" => doVerify(opts)
+      case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+    }
+  }
+
+  private def usage(): Unit =
+    System.err.println("usage: graft.Main import|checkpoint-dump|checkpoint-remove|verify --source DIR --out DIR [opts]")
+
+  private def parseOpts(args: Array[String]): Map[String, List[String]] = {
+    val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val key = a.drop(2)
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          out(key) = out(key) :+ args(i + 1); i += 2
+        } else { out(key) = out(key) :+ "true"; i += 1 }
+      } else i += 1
+    }
+    out.toMap.withDefaultValue(Nil)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def buildConfig(o: Map[String, List[String]]): ImportConfig = {
+    def one(k: String): Option[String] = o(k).headOption
+    val filters = o("filter").map { f =>
+      val Array(db, tbl) = f.split("\\.", 2); (db, tbl)
+    }
+    val routes = o("route").map { r =>
+      val Array(src, dst) = r.split("=", 2)
+      val Array(sdb, stbl) = src.split("\\.", 2)
+      val Array(ddb, dtbl) = dst.split("\\.", 2)
+      RouteRule(sdb, stbl, ddb, dtbl)
+    }
+    ImportConfig(
+      sourceDir = one("source").getOrElse(sys.error("--source required")),
+      outDir = one("out").getOrElse(sys.error("--out required")),
+      sqlMode = if (o("strict").nonEmpty) SqlMode.Strict else SqlMode.Lenient,
+      filter = if (filters.isEmpty) TableFilter() else TableFilter(doTables = filters),
+      routes = routes,
+      checkpointEnabled = o("no-checkpoint").isEmpty)
+  }
+
+  private def doImport(o: Map[String, List[String]]): Unit = {
+    val spark = session()
+    val listener = new ProgressListener
+    spark.sparkContext.addSparkListener(listener)
+    val cfg = buildConfig(o)
+    val reports = new ImportPipeline(spark, cfg).run()
+    reports.foreach { r =>
+      val skip = if (r.resumedSkip) " (resumed: skipped)" else ""
+      println(f"imported ${r.db}.${r.table}: rows=${r.rows} " +
+        f"checksum=${r.dataChecksum}%016x bytes=${r.dataBytes} kvs=${r.dataKvs}$skip")
+    }
+    println(s"progress: ${listener.summary()}")
+    spark.stop()
+  }
+
+  private def checkpointDump(o: Map[String, List[String]]): Unit = {
+    val spark = session()
+    val cfg = buildConfig(o)
+    val log = new CommitLog(cfg.outDir, spark.sparkContext.hadoopConfiguration)
+    val plan = MydumpDiscovery.plan(cfg.sourceDir, cfg.filter, cfg.routes,
+      spark.sparkContext.hadoopConfiguration)
+    println("db,table,status,rows,checksum,total_bytes,total_kvs,plan_fingerprint")
+    plan.tables.foreach { t =>
+      log.read(t.db, t.table).foreach { st =>
+        println(s"${st.db},${st.table},${st.status},${st.rows}," +
+          f"${st.checksum}%016x,${st.totalBytes},${st.totalKvs},${st.planFingerprint}")
+      }
+    }
+    spark.stop()
+  }
+
+  private def checkpointRemove(o: Map[String, List[String]]): Unit = {
+    val spark = session()
+    val out = o("out").headOption.getOrElse(sys.error("--out required"))
+    val log = new CommitLog(out, spark.sparkContext.hadoopConfiguration)
+    o("table").foreach { t =>
+      val Array(db, tbl) = t.split("\\.", 2)
+      log.remove(db, tbl)
+      println(s"removed checkpoint $db.$tbl")
+    }
+    spark.stop()
+  }
+
+  /** A3: re-scan each imported table, recompute the checksum triple from
+    * the sink-side data, compare to the commit log (the Spark analog of
+    * ADMIN CHECKSUM TABLE vs local checksum — restore.go:1429-1503). */
+  private def doVerify(o: Map[String, List[String]]): Unit = {
+    val spark = session()
+    val cfg = buildConfig(o)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val log = new CommitLog(cfg.outDir, hconf)
+    val plan = MydumpDiscovery.plan(cfg.sourceDir, cfg.filter, cfg.routes, hconf)
+    var failed = 0
+    plan.tables.filter(_.dataFiles.nonEmpty).foreach { t =>
+      log.read(t.db, t.table) match {
+        case None => println(s"SKIP ${t.db}.${t.table}: no checkpoint")
+        case Some(st) =>
+          val table = MysqlDdl.parseCreateTable(
+            new ImportPipeline(spark, cfg).readFile(t.schemaFile.get))
+          val df = spark.read.parquet(s"${cfg.outDir}/${t.db}/${t.table}")
+          val cs = KvEncode.checksumReport(df, table,
+            ImportPipeline.tableId(t.db, t.table), "_row_id")
+            .filter(col("kv_class") === "data").collect()(0)
+          val ok = cs.getLong(1) == st.checksum && cs.getLong(2) == st.totalBytes &&
+            cs.getLong(3) == st.totalKvs
+          if (!ok) failed += 1
+          println(s"${if (ok) "OK  " else "FAIL"} ${t.db}.${t.table}: " +
+            f"sink=${cs.getLong(1)}%016x/${cs.getLong(2)}/${cs.getLong(3)} " +
+            f"pipeline=${st.checksum}%016x/${st.totalBytes}/${st.totalKvs}")
+      }
+    }
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

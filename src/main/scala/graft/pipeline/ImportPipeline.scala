@@ -38,6 +38,12 @@ final case class ImportConfig(
 final case class TableReport(db: String, table: String, rows: Long,
     dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean)
 
+object ImportPipeline {
+  /** Stable numeric table id (role of TiDB's table ID in record keys). */
+  def tableId(db: String, table: String): Long =
+    math.abs(Crc64.checksum(s"$db.$table".getBytes("UTF-8"))) % 100000
+}
+
 final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     sink: Option[Sink] = None) {
 
@@ -77,9 +83,11 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
       .cache()
     try {
-      val res = theSink.write(finalDf.drop("_row_id"), t.db, t.table)
+      // _row_id is persisted (the `_tidb_rowid` analog) so a sink-side
+      // re-scan can recompute the identical checksum triple (A3).
+      val res = theSink.write(finalDf, t.db, t.table)
       val cs = KvEncode.checksumReport(finalDf, table,
-        tableId = math.abs(Crc64.checksum(s"${t.db}.${t.table}".getBytes)) % 100000,
+        tableId = ImportPipeline.tableId(t.db, t.table),
         rowIdCol = "_row_id")
         .collect().map(r => r.getString(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
@@ -131,7 +139,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     parts.result().reduce(_ unionByName _)
   }
 
-  private def readFile(path: String): String = {
+  def readFile(path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val in = fs.open(p)

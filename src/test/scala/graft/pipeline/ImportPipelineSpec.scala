@@ -24,7 +24,10 @@ class ImportPipelineSpec extends SparkSpec {
 
     // written parquet round-trips with declared schema
     val items = spark.read.parquet(s"$out/mdb/items")
-    assert(items.columns.toSeq === Seq("item_id", "sku", "qty", "price", "tag"))
+    assert(items.columns.toSeq ===
+      Seq("item_id", "sku", "qty", "price", "tag", "_row_id"))
+    assert(items.select("_row_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (1L to 5L)) // contiguous across the two shards
     val r = items.filter("item_id = 2").collect()(0)
     assert(r.getString(1) === "has'quote")
     assert(r.isNullAt(3))
