@@ -59,6 +59,8 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference supports GB18030 data files (S7) - allow JVM charsets
+      .config("spark.sql.legacy.javaCharsets", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -16,6 +16,8 @@ object Verify {
       // read as epoch-nanos long (queries expose epoch-µs, DuckDB's native
       // parquet read precision, for oracle parity).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference supports GB18030 data files (S7) - allow JVM charsets
+      .config("spark.sql.legacy.javaCharsets", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -105,16 +105,18 @@ object Dedup {
         explode(lshBandKeys(sigArr, bands, rowsPerBand)).as("_b"))
     val l = banded.select(col("_id").as("id_a"), col("_sig").as("sig_a"), col("_b"))
     val r = banded.select(col("_id").as("id_b"), col("_sig").as("sig_b"), col("_b"))
+    // estimator unrolled (codegen'd) and applied BEFORE the pair-dedup
+    // shuffle: signature arrays never leave the join stage, and the
+    // dropDuplicates only moves (id_a, id_b, est) for surviving pairs.
+    val agreement = (1 to numHashes).map(i =>
+      when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
+        .otherwise(0)).reduce(_ + _)
     l.join(r, l("_b") === r("_b") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard_est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .withColumn("jaccard_est", agreement.cast("double") / numHashes)
       .filter(col("jaccard_est") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard_est"), 6).as("jaccard_est"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash over a pre-materialized token-hash array column:
@@ -183,14 +185,25 @@ object Dedup {
     * force would be N²). */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    // L2-normalize each vector once (above the barrier), so per-pair
+    // verification is a bare dot product; unrolled to stay codegen'd on
+    // the O(candidate-pairs) hot path.
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
     val withB = df
+      .withColumn("_n", sqrt(Similarity.dotUnrolled(col(vecCol), col(vecCol), dim)))
       .withColumn("_bucket", Similarity.hyperplaneSketch(col(vecCol), planes))
-      .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("_bucket"))
-      .repartition(col("_id")) // barrier: sketch computed once per vector
-    val l = withB.select(col("_id").as("id_a"), col("_v").as("v_a"), col("_bucket"))
-    val r = withB.select(col("_id").as("id_b"), col("_v").as("v_b"), col("_bucket"))
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("_n"), col("_bucket"))
+      .repartition(col("_id")) // barrier: sketch + norm computed once
+    val l = withB.select(col("_id").as("id_a"), col("_v").as("v_a"),
+      col("_n").as("n_a"), col("_bucket"))
+    val r = withB.select(col("_id").as("id_b"), col("_v").as("v_b"),
+      col("_n").as("n_b"), col("_bucket"))
     l.join(r, l("_bucket") === r("_bucket") && col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      // cosine = dot / (|a||b|): one unrolled codegen'd dot per pair, norms
+      // are precomputed scalars — nothing interpreted on the pair path
+      .withColumn("cosine",
+        Similarity.dotUnrolled(col("v_a"), col("v_b"), dim) /
+          (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

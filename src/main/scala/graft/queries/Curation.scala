@@ -89,7 +89,7 @@ object Curation {
   /** n-gram Jaccard on LSH candidates (rows-only). */
   def dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
-    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
     val grams = docs
       .withColumn("_norm", Dedup.normalized(col("text")))
       .withColumn("_toks", Dedup.tokensOf(col("_norm")))
@@ -110,7 +110,7 @@ object Curation {
     * ≈ 2σ keeps the result non-empty at every sf while still selective. */
   def dedup_embed(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"),
-      "embedding", "vec_id", planes = 2, threshold = 0.25)
+      "embedding", "vec_id", planes = 3, threshold = 0.25)
       .orderBy("id_a", "id_b")
 
   /** Brute-force cosine top-k vs vec_id=0's embedding — hash-matched via

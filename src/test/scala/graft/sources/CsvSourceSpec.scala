@@ -21,6 +21,18 @@ class CsvSourceSpec extends SparkSpec {
     assert(r3.isNullAt(6) && r3.isNullAt(7))
   }
 
+  test("charset decoding: GB18030 data files (S7)") {
+    val tmp = java.nio.file.Files.createTempDirectory("csvcs").toFile
+    val f = new java.io.File(tmp, "d.cn.csv")
+    val content = "1,中文测试\n2,编码\n"
+    java.nio.file.Files.write(f.toPath, content.getBytes("GB18030"))
+    val df = CsvSource.read(spark, Seq(f.getAbsolutePath),
+      CsvConfig(charset = "GB18030"), ncols = 2)
+    val rows = df.collect().sortBy(_.getString(0))
+    assert(rows(0).getString(1) === "中文测试")
+    assert(rows(1).getString(1) === "编码")
+  }
+
   test("trim-last-separator drops phantom trailing column") {
     val tmp = java.nio.file.Files.createTempDirectory("csvsrc").toFile
     val f = new java.io.File(tmp, "d.t.csv")
