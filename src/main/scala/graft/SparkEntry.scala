@@ -32,6 +32,8 @@ object SparkEntry {
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("csv_roundtrip", Ingest.csv_roundtrip _, Some(Ingest.csv_roundtrip_sql)),
     ("schema_align_defaults", Ingest.schema_align_defaults _, Some(Ingest.schema_align_defaults_sql)),
+    ("sqlmode_lenient", Ingest.sqlmode_lenient _, Some(Ingest.sqlmode_lenient_sql)),
+    ("jdbc_stmts", Ingest.jdbc_stmts _, None),
     ("mydump_discover", Ingest.mydump_discover _, None),
     ("import_e2e", Ingest.import_e2e _, None),
     ("kv_checksum", Ingest.kv_checksum _, None),

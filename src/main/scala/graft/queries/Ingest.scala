@@ -181,9 +181,65 @@ object Ingest {
       filter = TableFilter(doTables = Seq(("rt", "orders_rt"))))
     val reports = new ImportPipeline(s, cfg).run()
     import s.implicits._
-    reports.map(r => (r.db, r.table, r.rows, f"${r.dataChecksum}%016x",
-      r.dataBytes, r.dataKvs))
-      .toDF("db", "table_name", "rows", "checksum_hex", "bytes", "kvs")
+    reports.map { r =>
+      // P8: post-import auto-increment rebase value (max(rowid)+1)
+      val nextId = graft.operators.RowIdAllocator.nextAutoIncrement(
+        s.read.parquet(s"$out/${r.db}/${r.table}"), "_row_id")
+      (r.db, r.table, r.rows, f"${r.dataChecksum}%016x",
+        r.dataBytes, r.dataKvs, nextId)
+    }.toDF("db", "table_name", "rows", "checksum_hex", "bytes", "kvs",
+      "next_auto_inc")
+  }
+
+  /** P3 lenient SQL_MODE: out-of-range / fractional / garbage values land
+    * via MySQL non-strict coercions (clamp / round / numeric-prefix). The
+    * oracle reproduces the clamping with plain CASE arithmetic. */
+  def sqlmode_lenient(s: SparkSession, dir: String): DataFrame = {
+    val d = scratch("sqlmode_rt")
+    val rows = Tables.load(s, dir, "part")
+      .filter(col("p_partkey") <= CustKeyCap)
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+      .collect()
+    // p_size scaled into overflow range; price with trailing junk text
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      sb ++= s"${r.getLong(0)},${r.getInt(1) * 7},${r.getDouble(2)}junk\n"
+    }
+    write(new File(d, "rt.part_rt.csv"), sb.toString)
+    val ddl =
+      """CREATE TABLE `part_rt` (
+        |  `p_partkey` bigint(20) NOT NULL,
+        |  `p_size7` tinyint(4) DEFAULT NULL,
+        |  `p_price` double DEFAULT NULL,
+        |  PRIMARY KEY (`p_partkey`)
+        |)""".stripMargin
+    val table = MysqlDdl.parseCreateTable(ddl)
+    val raw = CsvSource.read(s,
+      Seq(new File(d, "rt.part_rt.csv").getAbsolutePath), CsvConfig(), ncols = 3)
+    SchemaAlign.fromColumns(raw, table.columns.map(_.name), table, SqlMode.Lenient)
+      .select(col("p_partkey"), col("p_size7").cast("int").as("p_size7"),
+        col("p_price"))
+  }
+
+  val sqlmode_lenient_sql: String =
+    s"""SELECT p_partkey,
+       | CAST(least(greatest(p_size * 7, -128), 127) AS INT) AS p_size7,
+       | p_retailprice AS p_price
+       |FROM part WHERE p_partkey <= $CustKeyCap""".stripMargin
+
+  /** P6/K3: bounded multi-row REPLACE statement building (rows-only —
+    * statement text, not a relational result). */
+  def jdbc_stmts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "supplier")
+      .orderBy("s_suppkey").limit(50).collect().iterator
+    val schema = Tables.load(s, dir, "supplier").schema
+    val stmts = JdbcSink.buildStatements("REPLACE INTO", "g", "supplier",
+      schema, rows, maxBytes = 512).toList
+    stmts.zipWithIndex
+      .map { case ((sql, n), i) => (i, n, sql.length, sql.take(60)) }
+      .toDF("stmt_idx", "rows_in_stmt", "stmt_bytes", "stmt_prefix")
   }
 
   /** A1+A2: KV checksum over lineitem with a natural row handle
