@@ -44,7 +44,14 @@ object KvEncode {
   }
 
   /** A1+A2: one row per KV class with (checksum, total_bytes, total_kvs) —
-    * the triple `ADMIN CHECKSUM TABLE` compares (restore.go:1429-1503). */
+    * the triple `ADMIN CHECKSUM TABLE` compares (restore.go:1429-1503).
+    *
+    * Fully codegen'd: per-KV crc64 via the native `Crc64Expr`, combined
+    * with the built-in `bit_xor`/`sum`/`count` aggregates (XOR and sums
+    * are distributive ⇒ map-side partial aggregation; one tiny row per
+    * class reaches the driver). The `KvChecksum` Aggregator remains as the
+    * typed-API alternative; this path keeps the whole-stage-codegen span
+    * unbroken. */
   def checksumReport(df: DataFrame, table: MysqlTable, tableId: Long,
                      rowIdCol: String): DataFrame = {
     val cols = table.columns.map(_.name)
@@ -56,9 +63,13 @@ object KvEncode {
           .select(lit("index").as("kv_class"), col("_kv_key").as("k"), col("_kv_val").as("v")))
       else Nil
     val all = indexes.foldLeft(data)(_ unionByName _)
+      .withColumn("crc",
+        graft.functions.Crc64Expr.crc64(concat(col("k"), col("v"))))
     all.groupBy(col("kv_class"))
-      .agg(KvChecksum(col("k"), col("v")).as("cs"))
-      .select(col("kv_class"), col("cs.checksum").as("checksum"),
-        col("cs.total_bytes").as("total_bytes"), col("cs.total_kvs").as("total_kvs"))
+      .agg(
+        expr("bit_xor(crc)").as("checksum"),
+        sum(length(col("k")) + length(col("v"))).as("total_bytes"),
+        count(lit(1)).as("total_kvs"))
+      .select(col("kv_class"), col("checksum"), col("total_bytes"), col("total_kvs"))
   }
 }

@@ -33,7 +33,10 @@ final case class ImportConfig(
     filter: TableFilter = TableFilter(),
     routes: Seq[RouteRule] = Nil,
     checkpointEnabled: Boolean = true,
-    jobTsMicros: Long = 0L)
+    jobTsMicros: Long = 0L,
+    // S9: byte-range chunking threshold for large .sql files (the
+    // reference's MinRegionSize, const.go:23)
+    minChunkBytes: Long = 256L * 1024 * 1024)
 
 final case class TableReport(db: String, table: String, rows: Long,
     dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean)
@@ -106,7 +109,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     val csvFiles = t.dataFiles.filter(_.kind == FileKind.CsvData).map(_.path)
     val parts = Seq.newBuilder[DataFrame]
     if (sqlFiles.nonEmpty) {
-      val raw = SqlDumpSource.read(spark, sqlFiles)
+      val raw = SqlDumpSource.readChunked(spark, sqlFiles, cfg.minChunkBytes)
       // statement column lists are per-row; the common cases are "all rows
       // use the table order" or "all rows share one explicit list" — pick
       // the first row's list as the file-wide permutation (mydumper emits

@@ -67,11 +67,94 @@ object SqlDumpSource {
   def parseString(content: String, file: String = "<mem>"): Iterator[Row] =
     parseReader(file, new BufferedReader(new java.io.StringReader(content)))
 
+  // ------------------------------------------------- splittable chunk path
+
+  /** One byte-range chunk of a dump file, aligned to statement boundaries,
+    * with its pre-allocated row-index base (reference: Chunk{Offset,
+    * EndOffset, PrevRowIDMax, RowIDMax} — parser.go:77-83; split planning
+    * ReadChunks — parser.go:504-535, MinRegionSize 256 MiB const.go:23). */
+  final case class DumpChunk(path: String, start: Long, end: Long, baseRow: Long)
+
+  /** Plan chunks for one file: a single skim pass records the byte offset
+    * after each `;` statement terminator and the cumulative row count, then
+    * cuts at the first boundary past every `minChunkBytes`. The skim is the
+    * same price the reference pays (it too parses once to find safe split
+    * points); the parallel re-read afterwards is what scales. */
+  def planChunks(path: String, conf: Configuration,
+      minChunkBytes: Long): Seq[DumpChunk] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    if (fileLen <= minChunkBytes) return Seq(DumpChunk(path, 0L, fileLen, 0L))
+    val in = new BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), StandardCharsets.UTF_8), 64 * 1024)
+    lastBoundary.set(null) // clear any stale boundary from a prior skim
+    val it = parseReader(path, in, trackBoundaries = true)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[DumpChunk]
+    var chunkStart = 0L
+    var chunkBaseRow = 0L
+    var rows = 0L
+    try {
+      while (it.hasNext) { it.next(); rows += 1
+        val b = lastBoundary.get()
+        if (b != null && b.bytePos - chunkStart >= minChunkBytes &&
+            b.rowsBefore > chunkBaseRow) {
+          chunks += DumpChunk(path, chunkStart, b.bytePos, chunkBaseRow)
+          chunkStart = b.bytePos
+          chunkBaseRow = b.rowsBefore
+          lastBoundary.set(null)
+        }
+      }
+    } finally in.close()
+    chunks += DumpChunk(path, chunkStart, fileLen, chunkBaseRow)
+    chunks.toSeq
+  }
+
+  /** Parse `paths` with byte-range parallelism: skim each file once (in
+    * parallel) for statement-aligned split points, then one task per
+    * chunk. Row indexes stay globally contiguous per file. */
+  def readChunked(spark: SparkSession, paths: Seq[String],
+      minChunkBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    val sorted = paths.sorted
+    val confEntries = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toSeq)
+    def mkConf(): Configuration = {
+      val c = new Configuration(false)
+      confEntries.value.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    val chunks = spark.sparkContext
+      .parallelize(sorted, math.max(1, sorted.size))
+      .flatMap(path => planChunks(path, mkConf(), minChunkBytes))
+      .collect().toSeq
+    val rdd = spark.sparkContext
+      .parallelize(chunks, math.max(1, chunks.size))
+      .flatMap { ch =>
+        val p = new Path(ch.path)
+        val fs = p.getFileSystem(mkConf())
+        val stream = fs.open(p)
+        stream.seek(ch.start)
+        val in = new BufferedReader(
+          new java.io.InputStreamReader(stream, StandardCharsets.UTF_8), 64 * 1024)
+        parseReader(ch.path, in, stopAfterByte = ch.end - ch.start)
+          .map(r => Row(r.get(0), ch.baseRow + r.getLong(1), r.get(2), r.get(3), r.get(4)))
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Statement-boundary bookkeeping for the skim pass (thread-local: the
+    * iterator callback has no other channel). */
+  private final class Boundary(val bytePos: Long, val rowsBefore: Long)
+  private val lastBoundary = new ThreadLocal[Boundary]
+
   // ---------------------------------------------------------------- scanner
 
   private val EOF = -1
 
-  private def parseReader(file: String, in: BufferedReader): Iterator[Row] =
+  private def parseReader(file: String, in: BufferedReader,
+      trackBoundaries: Boolean = false,
+      stopAfterByte: Long = Long.MaxValue): Iterator[Row] =
     new Iterator[Row] {
       // two-char lookahead: `--`/`/*` comment detection must not consume a
       // lone '-' (sign of a negative number) or '/'
@@ -82,12 +165,29 @@ object SqlDumpSource {
       private var inValues = false
       private var nextRow: Row = _
       private var done = false
+      // byte position of the consumed prefix (UTF-8 lengths; statement
+      // boundaries are ASCII `;` so chunk offsets are exact byte offsets)
+      private var bytePos = 0L
+
+      private def utf8Len(c: Int): Int =
+        if (c < 0x80) 1
+        else if (c < 0x800) 2
+        else if (c >= 0xD800 && c <= 0xDBFF) 4 // high surrogate: whole pair
+        else if (c >= 0xDC00 && c <= 0xDFFF) 0 // low surrogate: counted above
+        else 3
 
       private def advance(): Int = {
         val c = look
+        if (c != EOF) bytePos += utf8Len(c)
         look = look2
         look2 = if (look == EOF) EOF else in.read()
         c
+      }
+
+      /** Called right after consuming a `;`. */
+      private def statementEnd(): Unit = {
+        if (trackBoundaries) lastBoundary.set(new Boundary(bytePos, rowIdx))
+        if (bytePos >= stopAfterByte) { done = true; in.close() }
       }
 
       private def skipWs(): Unit = {
@@ -246,8 +346,9 @@ object SqlDumpSource {
               nextRow = Row(file, rowIdx, curCols, vals.toSeq, kinds.toSeq)
               rowIdx += 1
             } else if (c == ','.toInt) advance()
-            else if (c == ';'.toInt) { advance(); inValues = false; curCols = null }
-            else advance() // lax
+            else if (c == ';'.toInt) {
+              advance(); inValues = false; curCols = null; statementEnd()
+            } else advance() // lax
           } else {
             if (c == '('.toInt) { advance(); curCols = readIdentList() }
             else if (c == '`'.toInt) {
@@ -256,7 +357,7 @@ object SqlDumpSource {
               if (look == '`'.toInt) advance()
             } else if (c == '\''.toInt || c == '"'.toInt) {
               val q = advance(); readQuoted(q)
-            } else if (c == ';'.toInt) { advance(); curCols = null }
+            } else if (c == ';'.toInt) { advance(); curCols = null; statementEnd() }
             else if (Character.isLetter(c)) {
               val w = readWord()
               if (w.equalsIgnoreCase("VALUES") || w.equalsIgnoreCase("VALUE"))

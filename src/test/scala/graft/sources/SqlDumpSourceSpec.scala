@@ -56,6 +56,29 @@ class SqlDumpSourceSpec extends SparkSpec {
     assert(rs.map(r => vals(r)(1)) === List("a,b)c", "d(e"))
   }
 
+  test("chunked read: statement-aligned splits, contiguous row indexes") {
+    // build a dump with many statements incl. multi-byte chars, split small
+    val tmp = java.nio.file.Files.createTempDirectory("sqlchunk").toFile
+    val f = new java.io.File(tmp, "d.big.sql")
+    val sb = new StringBuilder
+    (0 until 200).foreach { i =>
+      sb ++= s"INSERT INTO t VALUES ($i,'héllo–$i'),(${i + 1000},'中文$i');\n"
+    }
+    java.nio.file.Files.writeString(f.toPath, sb.toString)
+    val whole = SqlDumpSource.read(spark, Seq(f.getAbsolutePath))
+      .collect().map(r => (r.getLong(1), r.getSeq[String](3).toList)).sortBy(_._1)
+    val chunked = SqlDumpSource.readChunked(spark, Seq(f.getAbsolutePath),
+      minChunkBytes = 1000)
+      .collect().map(r => (r.getLong(1), r.getSeq[String](3).toList)).sortBy(_._1)
+    assert(chunked.length === 400)
+    assert(chunked.toSeq === whole.toSeq)
+    // and the plan really did split
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val chunks = SqlDumpSource.planChunks(f.getAbsolutePath, conf, 1000)
+    assert(chunks.size > 3)
+    assert(chunks.map(_.baseRow) === chunks.map(_.baseRow).sorted)
+  }
+
   test("distributed read over fixture shards") {
     val paths = Seq(fixture("mydump/mdb.items.1.sql"), fixture("mydump/mdb.items.2.sql"))
     val df = SqlDumpSource.read(spark, paths)
