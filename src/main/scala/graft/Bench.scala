@@ -1,11 +1,16 @@
 package graft
 
+import java.io.File
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ImportConfig, ImportPipeline}
+import graft.sources.TableFilter
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line with per-query seconds. A small warmup action
-  * first absorbs session/codegen initialization so the first measured
-  * query isn't charged for JVM warmup. */
+  * prints ONE JSON line with per-query seconds, plus an ingest-throughput
+  * measurement (MiB/s through the full dump→parquet pipeline) against the
+  * reference's 28 MiB/s ≈ 100 GiB/h anchor (BASELINE.md,
+  * lightning/restore/restore.go:491). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,7 +21,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // reference supports GB18030 data files (S7) - allow JVM charsets
       .config("spark.sql.legacy.javaCharsets", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,10 +34,85 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (ingestMib, ingestSec) = ingestThroughput(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_mib":$ingestMib,"ingest_sec":$ingestSec,""" +
+      s""""ingest_mib_per_sec":${if (ingestSec > 0) ingestMib / ingestSec else 0},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Generate (once, cached) a mydumper-style dump of the sf's lineitem as
+    * single-row INSERT statements, then time the full ImportPipeline over
+    * it: discovery → chunked parse → align/cast → row-id → checksum →
+    * parquet. Returns (dump MiB, seconds). */
+  private def ingestThroughput(spark: SparkSession, sfDir: String): (Double, Double) = {
+    val root = new File("target", s"bench_dump_v2_${math.abs(sfDir.hashCode)}")
+    val dumpDir = new File(root, "dump")
+    if (!new File(dumpDir, "bench.lineitem_bench-schema.sql").exists()) {
+      deleteRec(root); dumpDir.mkdirs()
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val stmt = concat(
+        lit("INSERT INTO `lineitem_bench` VALUES ("),
+        col("l_orderkey"), lit(","), col("l_partkey"), lit(","),
+        col("l_suppkey"), lit(","), col("l_linenumber"), lit(","),
+        col("l_quantity"), lit(","), col("l_extendedprice"), lit(","),
+        col("l_discount"), lit(","), col("l_tax"), lit(",'"),
+        col("l_returnflag"), lit("','"), col("l_linestatus"), lit("','"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"), lit("');"))
+      val txtDir = new File(root, "txt")
+      li.repartition(32).select(stmt.as("s"))
+        .write.mode("overwrite").text(txtDir.getAbsolutePath)
+      val parts = txtDir.listFiles().filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          new File(dumpDir, f"bench.lineitem_bench.$i%04d.sql").toPath)
+      }
+      java.nio.file.Files.writeString(
+        new File(dumpDir, "bench.lineitem_bench-schema.sql").toPath,
+        """CREATE TABLE `lineitem_bench` (
+          |  `l_orderkey` bigint(20) NOT NULL,
+          |  `l_partkey` bigint(20) NOT NULL,
+          |  `l_suppkey` bigint(20) NOT NULL,
+          |  `l_linenumber` int(11) NOT NULL,
+          |  `l_quantity` double NOT NULL,
+          |  `l_extendedprice` double NOT NULL,
+          |  `l_discount` double NOT NULL,
+          |  `l_tax` double NOT NULL,
+          |  `l_returnflag` varchar(1) NOT NULL,
+          |  `l_linestatus` varchar(1) NOT NULL,
+          |  `l_shipdate` datetime NOT NULL,
+          |  PRIMARY KEY (`l_orderkey`,`l_linenumber`)
+          |)""".stripMargin)
+    }
+    val bytes = dumpDir.listFiles().filter(_.getName.endsWith(".sql"))
+      .map(_.length()).sum
+    val out = new File(root, "out")
+    deleteRec(out)
+    val cfg = ImportConfig(
+      sourceDir = dumpDir.getAbsolutePath,
+      outDir = out.getAbsolutePath,
+      filter = TableFilter(doTables = Seq(("bench", "lineitem_bench"))),
+      checkpointEnabled = false,
+      minChunkBytes = 8L * 1024 * 1024)
+    // two runs: the first warms codegen/AQE plans, the second measures
+    // steady-state pipeline throughput
+    val secs = (1 to 2).map { _ =>
+      deleteRec(out)
+      val t0 = System.nanoTime()
+      val reports = new ImportPipeline(spark, cfg).run()
+      require(reports.nonEmpty && reports.head.rows > 0)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    (bytes / 1048576.0, secs)
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
   }
 }

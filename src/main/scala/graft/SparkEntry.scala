@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, Events, Ingest}
+import graft.queries.{Analytics, Analytics2, Curation, Events, Ingest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,13 @@ object SparkEntry {
     ("q_setops", Analytics.q_setops _, Some(Analytics.q_setops_sql)),
     ("q_rollup", Analytics.q_rollup _, Some(Analytics.q_rollup_sql)),
     ("q_events_agg", Analytics.q_events_agg _, Some(Analytics.q_events_agg_sql)),
+    ("q_scalar_subq", Analytics2.q_scalar_subq _, Some(Analytics2.q_scalar_subq_sql)),
+    ("q_correlated", Analytics2.q_correlated _, Some(Analytics2.q_correlated_sql)),
+    ("q_outer_dist", Analytics2.q_outer_dist _, Some(Analytics2.q_outer_dist_sql)),
+    ("q_pivot", Analytics2.q_pivot _, Some(Analytics2.q_pivot_sql)),
+    ("q_lag_lead", Analytics2.q_lag_lead _, Some(Analytics2.q_lag_lead_sql)),
+    ("q_notin", Analytics2.q_notin _, Some(Analytics2.q_notin_sql)),
+    ("q_distinct_stats", Analytics2.q_distinct_stats _, Some(Analytics2.q_distinct_stats_sql)),
     // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("csv_roundtrip", Ingest.csv_roundtrip _, Some(Ingest.csv_roundtrip_sql)),

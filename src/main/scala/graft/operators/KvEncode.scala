@@ -24,11 +24,16 @@ import graft.sources.MysqlTable
   */
 object KvEncode {
 
-  /** Data-KV columns (`_kv_key`, `_kv_val`) appended to `df`. */
+  /** Data-KV columns (`_kv_key`, `_kv_val`) appended to `df`.
+    * Value = canonical field-separated serialization (declared column
+    * order,  separators, N for NULL) — deterministic and ~5×
+    * cheaper than JSON on the per-row hot path; self-consistency is all
+    * the checksum requires (SURVEY §7 risk register). */
   def dataKv(df: DataFrame, tableId: Long, rowIdCol: String,
              valueCols: Seq[String]): DataFrame = {
     val key = concat(lit(s"t${tableId}_r"), col(rowIdCol).cast("string"))
-    val value = to_json(struct(valueCols.map(col): _*))
+    val value = concat_ws("",
+      valueCols.map(c => coalesce(col(c).cast("string"), lit("N"))): _*)
     df.withColumn("_kv_key", encode(key, "UTF-8"))
       .withColumn("_kv_val", encode(value, "UTF-8"))
   }

@@ -38,6 +38,38 @@ object RowIdAllocator {
       .drop(fileCol + "__f", "__base")
   }
 
+  /** S8-style estimated allocation: disjoint, increasing per-file ranges
+    * computed from file *sizes* (driver-side, no counting pass) — the
+    * reference's RowIDMax estimate (region.go:135-176). Row-ids may have
+    * gaps between files (TiDB semantics allow gaps; the final value is set
+    * by the post-import rebase, P8); within a file they are exact.
+    * `capacityFor` must upper-bound rows-per-byte (default: 1 row per 4
+    * bytes — `(x),` is the smallest possible tuple). */
+  /** Scheme/encoding-insensitive path form: `file:///a`, `file:/a` and
+    * `/a` all compare equal (input_file_name() and Hadoop listings render
+    * the same file differently). */
+  private def normPath(p: String): String = {
+    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+    decoded.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+  }
+
+  def fromFileSizes(df: DataFrame, fileCol: String, idxCol: String,
+      fileSizes: Seq[(String, Long)],
+      rowIdCol: String = "_row_id",
+      capacityFor: Long => Long = sz => sz / 4 + 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bases = fileSizes.map { case (f, sz) => (normPath(f), sz) }.sortBy(_._1)
+      .scanLeft(("", 0L)) { case ((_, acc), (f, sz)) => (f, acc + capacityFor(sz)) }
+      .sliding(2).collect { case Seq((_, base), (f, _)) => (f, base) }.toSeq
+    val baseDf = bases.toDF(fileCol + "__f", "__base")
+    val normCol = regexp_replace(
+      url_decode(col(fileCol)), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    df.join(broadcast(baseDf), normCol === col(fileCol + "__f"))
+      .withColumn(rowIdCol, col("__base") + col(idxCol) + 1)
+      .drop(fileCol + "__f", "__base")
+  }
+
   /** Same, but for sources with no per-file row index (CSV): row_number()
     * within the file partition ordered by a stable in-file column. */
   def fromOrdering(df: DataFrame, fileCol: Column, orderCol: Column,

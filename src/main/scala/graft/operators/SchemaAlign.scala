@@ -109,7 +109,8 @@ object SchemaAlign {
     case StringType => lit("")
     case BinaryType => lit(Array.empty[Byte])
     case DateType => lit("1970-01-01").cast(DateType)
-    case TimestampType | TimestampNTZType => lit(0L).cast(mc.sparkType)
+    case TimestampType | TimestampNTZType =>
+      lit("1970-01-01 00:00:00").cast(mc.sparkType)
     case _ => lit(0).cast(mc.sparkType)
   }
 

@@ -36,7 +36,10 @@ final case class ImportConfig(
     jobTsMicros: Long = 0L,
     // S9: byte-range chunking threshold for large .sql files (the
     // reference's MinRegionSize, const.go:23)
-    minChunkBytes: Long = 256L * 1024 * 1024)
+    minChunkBytes: Long = 256L * 1024 * 1024,
+    // P4: exact row-ids need a counting pass; the default mirrors the
+    // reference's size-estimated disjoint ranges (gaps allowed, S8)
+    exactRowIds: Boolean = false)
 
 final case class TableReport(db: String, table: String, rows: Long,
     dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean)
@@ -80,26 +83,38 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       case Some(sf) => MysqlDdl.parseCreateTable(readFile(sf))
       case None => sys.error(s"no schema for ${t.db}.${t.table} (no-schema mode needs a catalog)")
     }
+    // Exactly two data passes: (1) parse→align→row-id→sink write;
+    // (2) checksum over the *written* output (columnar scan, and also
+    // doubles as the sink-side integrity check the reference gets from
+    // ADMIN CHECKSUM). Row-id bases come from file sizes (driver-side, S8
+    // estimate — disjoint, gaps allowed) unless exactRowIds adds the
+    // counting pass.
     val aligned = loadAligned(t, table)
-    val withId = RowIdAllocator.fromFileIndex(aligned, "_src_file", "_row_idx")
+    val withId =
+      if (cfg.exactRowIds)
+        RowIdAllocator.fromFileIndex(aligned, "_src_file", "_row_idx")
+      else
+        RowIdAllocator.fromFileSizes(aligned, "_src_file", "_row_idx",
+          t.dataFiles.map(f => (f.path, f.size)))
     val finalDf = withId.select(
       (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
-      .cache()
-    try {
-      // _row_id is persisted (the `_tidb_rowid` analog) so a sink-side
-      // re-scan can recompute the identical checksum triple (A3).
-      val res = theSink.write(finalDf, t.db, t.table)
-      val cs = KvEncode.checksumReport(finalDf, table,
-        tableId = ImportPipeline.tableId(t.db, t.table),
-        rowIdCol = "_row_id")
-        .collect().map(r => r.getString(0) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-      val (dcs, dbytes, dkvs) = cs.getOrElse("data", (0L, 0L, 0L))
-      if (cfg.checkpointEnabled)
-        log.write(TableState(t.db, t.table, "imported", res.rows, dcs, dbytes,
-          dkvs, fp, cfg.jobTsMicros))
-      TableReport(t.db, t.table, res.rows, dcs, dbytes, dkvs, resumedSkip = false)
-    } finally finalDf.unpersist()
+    // _row_id is persisted (the `_tidb_rowid` analog) so a sink-side
+    // re-scan can recompute the identical checksum triple (A3).
+    val res = theSink.write(finalDf, t.db, t.table)
+    val checksumInput = res.outputPath match {
+      case Some(path) => spark.read.parquet(path) // columnar re-scan
+      case None => finalDf
+    }
+    val cs = KvEncode.checksumReport(checksumInput, table,
+      tableId = ImportPipeline.tableId(t.db, t.table),
+      rowIdCol = "_row_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (dcs, dbytes, dkvs) = cs.getOrElse("data", (0L, 0L, 0L))
+    if (cfg.checkpointEnabled)
+      log.write(TableState(t.db, t.table, "imported", res.rows, dcs, dbytes,
+        dkvs, fp, cfg.jobTsMicros))
+    TableReport(t.db, t.table, res.rows, dcs, dbytes, dkvs, resumedSkip = false)
   }
 
   /** Parse + align one table's data files (CSV and SQL shards may mix when

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Second tranche of verification queries: correlated and scalar
+  * subqueries, outer-join distributions, conditional aggregation / pivot,
+  * and quantiles — the remaining classic shapes a user of the target DB
+  * runs to validate an import (SURVEY §2.3's probe-query surface,
+  * generalized). Same DuckDB-parity rules as Analytics.
+  */
+object Analytics2 {
+
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(30,8)")).cast("double")
+
+  /** Scalar subquery: parts priced above the global average. */
+  def q_scalar_subq(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    val avgPrice = part.agg(
+      (sum(col("p_retailprice").cast("decimal(30,8)")) / count(lit(1)))
+        .cast("double")).collect()(0).getDouble(0)
+    part.filter(col("p_retailprice") > avgPrice)
+      .select("p_partkey", "p_name", "p_retailprice")
+  }
+
+  val q_scalar_subq_sql: String =
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |WHERE p_retailprice >
+      | (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(30,8))) AS DOUBLE)
+      |    / COUNT(*) FROM part)""".stripMargin
+
+  /** Correlated aggregate (TPC-H Q17 shape): lineitems under 20% of the
+    * part's average quantity. The correlation decorrelates into one
+    * broadcast-joined per-part aggregate — no per-row subquery execution. */
+  def q_correlated(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(((sum(col("l_quantity").cast("decimal(30,8)")).cast("double") /
+        count(lit(1))) * 0.2).as("qty_cut"))
+    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .groupBy()
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  val q_correlated_sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0
+      |   AS avg_yearly
+      |FROM lineitem l1
+      |WHERE l_quantity < (
+      |  SELECT (CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+      |     / COUNT(*)) * 0.2
+      |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  /** Outer-join distribution (TPC-H Q13 shape): customers by order count,
+    * including zero-order customers via left join. */
+  def q_outer_dist(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer").select("c_custkey")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q_outer_dist_sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count""".stripMargin
+
+  /** Conditional aggregation / pivot: per-user event-type value matrix. */
+  def q_pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.map(t =>
+      dsumWhen(col("event_type") === t, col("value")).as(s"v_$t"))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def dsumWhen(cond: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(sum(when(cond, v.cast("decimal(30,8)")).otherwise(lit(null))),
+      lit(0).cast("decimal(30,8)")).cast("double")
+
+  val q_pivot_sql: String =
+    """SELECT user_id,
+      | CAST(coalesce(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(30,8)) END), 0) AS DOUBLE) AS v_click,
+      | CAST(coalesce(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(30,8)) END), 0) AS DOUBLE) AS v_view,
+      | CAST(coalesce(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(30,8)) END), 0) AS DOUBLE) AS v_purchase,
+      | CAST(coalesce(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(30,8)) END), 0) AS DOUBLE) AS v_signup,
+      | CAST(coalesce(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(30,8)) END), 0) AS DOUBLE) AS v_error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Lag/lead analytics: day-over-day order revenue deltas. */
+  def q_lag_lead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy(col("d"))
+    daily
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .withColumn("delta", round(col("rev") - coalesce(col("prev_rev"), lit(0.0)), 4))
+      .filter(col("d") < lit("1995-03-01").cast("date"))
+      .select(col("d"), col("rev"), col("delta"))
+  }
+
+  val q_lag_lead_sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT d, rev,
+      |  round(rev - coalesce(lag(rev, 1) OVER (ORDER BY d), 0.0), 4) AS delta
+      |FROM daily WHERE d < DATE '1995-03-01'""".stripMargin
+
+  /** NOT IN with null-safe semantics: parts never ordered by any BUILDING-
+    * segment customer (anti join through two hops). */
+  def q_notin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_partkey", "l_orderkey")
+    val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val orderedByBuilding = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("l_partkey")).distinct()
+    Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+      .join(orderedByBuilding, col("p_partkey") === col("l_partkey"), "left_anti")
+  }
+
+  val q_notin_sql: String =
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT l_partkey FROM lineitem, orders, customer
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_mktsegment = 'BUILDING')""".stripMargin
+
+  /** Exact distinct counts + HLL sketch side-by-side (sketch column is
+    * engine-specific → compare only the exact ones; approx shown in the
+    * rows-only variant of this concept via dedup queries). */
+  def q_distinct_stats(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"),
+        count(lit(1)).as("rows_n"))
+  }
+
+  val q_distinct_stats_sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS parts,
+      | COUNT(DISTINCT l_suppkey) AS supps, COUNT(*) AS rows_n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+}

@@ -13,7 +13,8 @@ class ImportPipelineSpec extends SparkSpec {
     val cfg = ImportConfig(
       sourceDir = fixture("mydump"),
       outDir = out,
-      filter = TableFilter(doTables = Seq(("mdb", "*"))))
+      filter = TableFilter(doTables = Seq(("mdb", "*"))),
+      exactRowIds = true)
     val reports = new ImportPipeline(spark, cfg).run()
     val byTable = reports.map(r => r.table -> r).toMap
     assert(byTable.keySet === Set("people", "items"))
@@ -39,6 +40,24 @@ class ImportPipelineSpec extends SparkSpec {
     assert(again.forall(_.resumedSkip))
     assert(again.map(r => r.table -> r.dataChecksum).toMap ===
       reports.map(r => r.table -> r.dataChecksum).toMap)
+  }
+
+  test("estimated row-ids (default): disjoint increasing ranges, gaps ok") {
+    val out = freshOut()
+    val cfg = ImportConfig(
+      sourceDir = fixture("mydump"),
+      outDir = out,
+      filter = TableFilter(doTables = Seq(("mdb", "items"))))
+    new ImportPipeline(spark, cfg).run()
+    val ids = spark.read.parquet(s"$out/mdb/items")
+      .select("item_id", "_row_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // file 1 holds items 1-3, file 2 holds 4-5; within-file contiguous,
+    // cross-file disjoint and increasing (the S8 estimate semantics)
+    assert(ids.take(3).map(_._2).toSeq === Seq(ids(0)._2, ids(0)._2 + 1, ids(0)._2 + 2))
+    assert(ids(3)._2 > ids(2)._2)
+    assert(ids(4)._2 === ids(3)._2 + 1)
+    assert(ids.map(_._2).distinct.length === 5)
   }
 
   test("routing merges shards into one target table") {
