@@ -61,6 +61,8 @@ object SchemaAlign {
       case SqlMode.Strict => src.cast(t)
       case SqlMode.Lenient => t match {
         case it @ (ByteType | ShortType | IntegerType | LongType) =>
+          // fast path: clean in-range values try_cast directly (no regex);
+          // dirty/overflowing values take the clamp/round/prefix slow path
           val dec = when(numericPrefix === "" || src.isNull, lit(0))
             .otherwise(numericPrefix.cast(DecimalType(38, 10)))
           val rounded = round(dec, 0)
@@ -70,16 +72,20 @@ object SchemaAlign {
                 lit(hi.toString).cast(DecimalType(38, 10)))
             case None => rounded
           }
-          when(src.isNull, lit(null).cast(it)).otherwise(clamped.cast(it))
+          val slow = clamped.cast(it)
+          when(src.isNull, lit(null).cast(it))
+            .otherwise(coalesce(src.try_cast(it), slow))
         case FloatType | DoubleType =>
           when(src.isNull, lit(null).cast(t))
-            .otherwise(when(numericPrefix === "", lit(0).cast(t))
-              .otherwise(numericPrefix.cast(t)))
+            .otherwise(coalesce(src.try_cast(t),
+              when(numericPrefix === "", lit(0).cast(t))
+                .otherwise(numericPrefix.cast(t))))
         case d: DecimalType =>
           // try_cast: out-of-precision decimals → NULL → 0 (MySQL clamps to
           // the max; 0 keeps the pipeline total; pinned deviation)
           when(src.isNull, lit(null).cast(d))
-            .otherwise(coalesce(numericPrefix.try_cast(d), lit(0).cast(d)))
+            .otherwise(coalesce(src.try_cast(d),
+              numericPrefix.try_cast(d), lit(0).cast(d)))
         case _ =>
           // strings/binary/temporal: best-effort; bad temporal → null
           src.try_cast(t)
