@@ -89,28 +89,41 @@ object Dedup {
     // The groupBy gives map-side partial mins, so the shuffle moves one
     // (id, 32×8B) row per doc; the repartition below it keeps Catalyst from
     // re-inlining the normalization into per-shingle lambdas (its project
-    // collapse would turn the scan quadratic).
+    // collapse would turn the scan quadratic). Shingles slice a
+    // pre-split char array — UTF8String.substr is O(position) (variable-
+    // length encoding), so substr-based shingling would be quadratic in
+    // doc length; array slices are O(k). No array_distinct: min() is
+    // multiset-invariant.
     val normed = df
-      .select(col(idCol).as("_id"), normalized(col(textCol)).as("_norm"))
+      .select(col(idCol).as("_id"),
+        split(normalized(col(textCol)), "").as("_chars"))
       .repartition(col("_id"))
     val exploded = normed
-      .select(col("_id"), explode(shinglesOf(col("_norm"), k)).as("_s"))
+      .select(col("_id"), explode(
+        transform(sequence(lit(0), greatest(size(col("_chars")) - k, lit(0))),
+          i => array_join(slice(col("_chars"), i + lit(1), lit(k)), ""))).as("_s"))
     val minCols = (0 until numHashes).map(j =>
       min(xxhash64(col("_s"), lit(j))).as(s"_h$j"))
     val sigs = exploded.groupBy(col("_id"))
       .agg(minCols.head, minCols.tail: _*)
-    val sigArr = array((0 until numHashes).map(j => col(s"_h$j")): _*)
-    val banded = sigs
-      .select(col("_id"), sigArr.as("_sig"),
-        explode(lshBandKeys(sigArr, bands, rowsPerBand)).as("_b"))
-    val l = banded.select(col("_id").as("id_a"), col("_sig").as("sig_a"), col("_b"))
-    val r = banded.select(col("_id").as("id_b"), col("_sig").as("sig_b"), col("_b"))
-    // estimator unrolled (codegen'd) and applied BEFORE the pair-dedup
-    // shuffle: signature arrays never leave the join stage, and the
-    // dropDuplicates only moves (id_a, id_b, est) for surviving pairs.
-    val agreement = (1 to numHashes).map(i =>
-      when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
-        .otherwise(0)).reduce(_ + _)
+    // signatures stay FLAT columns end-to-end: band keys, the join payload
+    // and the agreement estimator all operate on 32 plain long columns —
+    // array packing + element_at here falls out of whole-stage codegen and
+    // is ~4× slower on the candidate-pair hot path. The estimator runs
+    // before the pair-dedup shuffle so only (id_a, id_b, est) survivors
+    // move.
+    def bandKey(b: Int) = xxhash64(
+      (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"_h$j")): _*)
+    val banded = sigs.select(
+      col("_id") +: (0 until numHashes).map(j => col(s"_h$j")) :+
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("_b"): _*)
+    val l = banded.select(col("_id").as("id_a") +:
+      (0 until numHashes).map(j => col(s"_h$j").as(s"ha_$j")) :+ col("_b"): _*)
+    val r = banded.select(col("_id").as("id_b") +:
+      (0 until numHashes).map(j => col(s"_h$j").as(s"hb_$j")) :+ col("_b"): _*)
+    val agreement = (0 until numHashes).map(i =>
+      when(col(s"ha_$i") === col(s"hb_$i"), 1).otherwise(0)).reduce(_ + _)
     l.join(r, l("_b") === r("_b") && col("id_a") < col("id_b"))
       .withColumn("jaccard_est", agreement.cast("double") / numHashes)
       .filter(col("jaccard_est") >= threshold)
