@@ -60,6 +60,7 @@ object SparkEntry {
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),
     ("q_sessionize", Events.q_sessionize _, Some(Events.q_sessionize_sql)),
+    ("q_json", Events.q_json _, Some(Events.q_json_sql)),
   )
 
   def queries: Map[String, Q] =

@@ -67,6 +67,27 @@ object Events {
       |    AS total_value
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** JSON column surface (reference type table §1.2: JSON → StringType +
+    * from_json/get_json_object): extract, validate, aggregate. */
+  def q_json(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_valid"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+  }
+
+  val q_json_sql: String =
+    """SELECT event_type,
+      | COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_valid,
+      | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      | MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+      | MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY event_type""".stripMargin
+
   private def deleteRec(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete()

@@ -42,6 +42,30 @@ class ImportPipelineSpec extends SparkSpec {
       reports.map(r => r.table -> r.dataChecksum).toMap)
   }
 
+  test("resume invalidation: changed inputs re-import instead of skipping") {
+    // copy the fixture so we can mutate a data file
+    val src = java.nio.file.Files.createTempDirectory("graft-src").toFile
+    new java.io.File(fixture("mydump")).listFiles()
+      .filter(_.getName.startsWith("mdb."))
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(src, f.getName).toPath))
+    val out = freshOut()
+    val cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+      filter = TableFilter(doTables = Seq(("mdb", "items"))))
+    val first = new ImportPipeline(spark, cfg).run()
+    assert(!first.head.resumedSkip && first.head.rows === 5)
+    // same inputs → skip
+    assert(new ImportPipeline(spark, cfg).run().head.resumedSkip)
+    // grow a data file → fingerprint changes → full re-import
+    val shard = new java.io.File(src, "mdb.items.2.sql")
+    java.nio.file.Files.writeString(shard.toPath,
+      java.nio.file.Files.readString(shard.toPath) +
+        "\nINSERT INTO `items` VALUES (6,'new',1,1.0,NULL);\n")
+    val third = new ImportPipeline(spark, cfg).run()
+    assert(!third.head.resumedSkip)
+    assert(third.head.rows === 6)
+  }
+
   test("estimated row-ids (default): disjoint increasing ranges, gaps ok") {
     val out = freshOut()
     val cfg = ImportConfig(
