@@ -202,21 +202,25 @@ object Dedup {
     // verification is a bare dot product; unrolled to stay codegen'd on
     // the O(candidate-pairs) hot path.
     val dim = df.select(size(col(vecCol))).first().getInt(0)
+    // vectors become `dim` FLAT pre-normalized double columns through the
+    // bucket join (array element_at chains drop out of whole-stage codegen
+    // — same lesson as minhashPairs); cosine is then one unrolled
+    // multiply-add chain over flat columns per candidate pair.
     val withB = df
       .withColumn("_n", sqrt(Similarity.dotUnrolled(col(vecCol), col(vecCol), dim)))
       .withColumn("_bucket", Similarity.hyperplaneSketch(col(vecCol), planes))
-      .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("_n"), col("_bucket"))
+      .select(col(idCol).as("_id") +: col("_bucket") +:
+        (0 until dim).map(i =>
+          (element_at(col(vecCol), i + 1).cast("double") / col("_n")).as(s"_e$i")): _*)
       .repartition(col("_id")) // barrier: sketch + norm computed once
-    val l = withB.select(col("_id").as("id_a"), col("_v").as("v_a"),
-      col("_n").as("n_a"), col("_bucket"))
-    val r = withB.select(col("_id").as("id_b"), col("_v").as("v_b"),
-      col("_n").as("n_b"), col("_bucket"))
+    val l = withB.select(col("_id").as("id_a") +: col("_bucket") +:
+      (0 until dim).map(i => col(s"_e$i").as(s"ea_$i")): _*)
+    val r = withB.select(col("_id").as("id_b") +: col("_bucket") +:
+      (0 until dim).map(i => col(s"_e$i").as(s"eb_$i")): _*)
+    val cosine = (0 until dim).map(i => col(s"ea_$i") * col(s"eb_$i"))
+      .reduce(_ + _)
     l.join(r, l("_bucket") === r("_bucket") && col("id_a") < col("id_b"))
-      // cosine = dot / (|a||b|): one unrolled codegen'd dot per pair, norms
-      // are precomputed scalars — nothing interpreted on the pair path
-      .withColumn("cosine",
-        Similarity.dotUnrolled(col("v_a"), col("v_b"), dim) /
-          (col("n_a") * col("n_b")))
+      .withColumn("cosine", cosine)
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
