@@ -39,7 +39,10 @@ final case class ImportConfig(
     minChunkBytes: Long = 256L * 1024 * 1024,
     // P4: exact row-ids need a counting pass; the default mirrors the
     // reference's size-estimated disjoint ranges (gaps allowed, S8)
-    exactRowIds: Boolean = false)
+    exactRowIds: Boolean = false,
+    // K5: replay schemas into the session catalog (CREATE DATABASE/TABLE
+    // IF NOT EXISTS over the written location)
+    registerInCatalog: Boolean = false)
 
 final case class TableReport(db: String, table: String, rows: Long,
     dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean)
@@ -114,6 +117,10 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     if (cfg.checkpointEnabled)
       log.write(TableState(t.db, t.table, "imported", res.rows, dcs, dbytes,
         dkvs, fp, cfg.jobTsMicros))
+    if (cfg.registerInCatalog) res.outputPath.foreach { path =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
+      spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table), path))
+    }
     TableReport(t.db, t.table, res.rows, dcs, dbytes, dkvs, resumedSkip = false)
   }
 

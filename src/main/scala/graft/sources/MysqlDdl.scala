@@ -75,6 +75,19 @@ object MysqlDdl {
     }
   }
 
+  /** K5: re-render a parsed MySQL table as Spark SQL DDL over the written
+    * parquet location (`CREATE TABLE IF NOT EXISTS` with normalized name —
+    * the role of the reference's createTableIfNotExistsStmt,
+    * lightning/restore/tidb.go:85-152). */
+  def toSparkDdl(db: String, table: MysqlTable, location: String): String = {
+    val cols = (table.columns.map(c =>
+      s"  `${c.name}` ${c.sparkType.sql}${if (c.nullable) "" else " NOT NULL"}") :+
+      "  `_row_id` BIGINT NOT NULL").mkString(",\n")
+    s"""CREATE TABLE IF NOT EXISTS `$db`.`${table.name}` (
+       |$cols
+       |) USING parquet LOCATION '$location'""".stripMargin
+  }
+
   private val ColLine =
     """^\s*`([^`]+)`\s+([a-zA-Z]+(?:\([^)]*\))?(?:\s+unsigned)?(?:\s+zerofill)?)(.*)$""".r
   private val PkLine = """(?i)^\s*PRIMARY\s+KEY\s*\(([^)]*)\).*$""".r

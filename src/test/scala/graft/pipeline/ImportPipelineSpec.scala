@@ -42,6 +42,20 @@ class ImportPipelineSpec extends SparkSpec {
       reports.map(r => r.table -> r.dataChecksum).toMap)
   }
 
+  test("catalog registration: imported tables queryable via spark.sql") {
+    val out = freshOut()
+    val cfg = ImportConfig(
+      sourceDir = fixture("mydump"), outDir = out,
+      filter = TableFilter(doTables = Seq(("mdb", "items"))),
+      registerInCatalog = true)
+    new ImportPipeline(spark, cfg).run()
+    val n = spark.sql("SELECT COUNT(*) FROM `mdb`.`items` WHERE qty > 0")
+      .collect()(0).getLong(0)
+    assert(n === 4)
+    spark.sql("DROP TABLE `mdb`.`items`")
+    spark.sql("DROP DATABASE `mdb`")
+  }
+
   test("resume invalidation: changed inputs re-import instead of skipping") {
     // copy the fixture so we can mutate a data file
     val src = java.nio.file.Files.createTempDirectory("graft-src").toFile
