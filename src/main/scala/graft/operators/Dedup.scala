@@ -193,6 +193,30 @@ object Dedup {
     size(array_intersect(ga, gb)).cast("double") /
       size(array_union(ga, gb)).cast("double")
 
+  /** Exact Jaccard for a candidate-pair set, as codegen'd join+aggregate
+    * instead of per-pair interpreted array_intersect: explode grams once,
+    * count matching grams per pair, |union| = n_a + n_b − |inter|. Scales
+    * as O(pairs × grams-per-doc) through hash joins — the shape that
+    * survives when candidate sets stop fitting per-pair array ops.
+    * `pairs`: (id_a, id_b); `grams`: (doc_id, gram-array col `_grams`). */
+  def exactJaccardPairs(pairs: DataFrame, grams: DataFrame): DataFrame = {
+    val sizes = grams.select(col("doc_id"), size(col("_grams")).as("n"))
+    val gx = grams.select(col("doc_id"), explode(col("_grams")).as("g"))
+    val inter = pairs
+      .join(gx.select(col("doc_id").as("id_a"), col("g")), "id_a")
+      .join(gx.select(col("doc_id").as("__idb"), col("g").as("g2")),
+        col("id_b") === col("__idb") && col("g") === col("g2"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Embedding near-dup: all pairs with cosine ≥ threshold, bucketed by
     * random-hyperplane LSH so the join is bucket-local (scale path; brute
     * force would be N²). */

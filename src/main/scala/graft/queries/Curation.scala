@@ -86,7 +86,10 @@ object Curation {
       maxHamming = 12)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** n-gram Jaccard on LSH candidates (rows-only). */
+  /** n-gram Jaccard on LSH candidates (rows-only). Verification uses
+    * per-pair array_intersect over broadcast gram sets — fastest at this
+    * candidate volume; `Dedup.exactJaccardPairs` is the join-aggregate
+    * shape to switch to when candidates outgrow per-pair array ops. */
   def dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)

@@ -101,6 +101,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(again === feats)
   }
 
+  test("exactJaccardPairs (join-aggregate shape) agrees with array path") {
+    val grams = docs.filter(length(col("text")) > 0)
+      .withColumn("_norm", Dedup.normalized(col("text")))
+      .withColumn("_toks", Dedup.tokensOf(col("_norm")))
+      .withColumn("_grams", Dedup.gramsOf(col("_toks"), 2))
+      .select(col("doc_id"), col("_grams"))
+    val ids = grams.select("doc_id").collect().map(_.getLong(0)).sorted
+    val pairs = ids.combinations(2).map(x => (x(0), x(1))).toSeq
+      .toDF("id_a", "id_b")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> math.rint(r.getDouble(2) * 1e9)
+    val viaJoin = Dedup.exactJaccardPairs(pairs, grams).collect().map(key).toMap
+    val a = grams.select(col("doc_id").as("id_a"), col("_grams").as("g_a"))
+    val b = grams.select(col("doc_id").as("id_b"), col("_grams").as("g_b"))
+    val viaArr = pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("g_a"), col("g_b")).as("j"))
+      .collect().map(key).toMap
+    assert(viaJoin === viaArr)
+  }
+
   test("rolling fingerprint: equal content ⇒ equal fp; stable under punct") {
     val fps = docs.withColumn("_norm", Dedup.normalized(col("text")))
       .select(col("doc_id"), TextAnalysis.rollingFingerprintOf(col("_norm")).as("fp"))
