@@ -42,7 +42,10 @@ final case class ImportConfig(
     exactRowIds: Boolean = false,
     // K5: replay schemas into the session catalog (CREATE DATABASE/TABLE
     // IF NOT EXISTS over the written location)
-    registerInCatalog: Boolean = false)
+    registerInCatalog: Boolean = false,
+    // no-schema mode (reference loader.go:65, tests/no_schema/): tables
+    // without a *-schema.sql take their declared shape from this catalog
+    schemaCatalog: Map[(String, String), MysqlTable] = Map.empty)
 
 final case class TableReport(db: String, table: String, rows: Long,
     dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean)
@@ -84,7 +87,9 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     }
     val table = t.schemaFile match {
       case Some(sf) => MysqlDdl.parseCreateTable(readFile(sf))
-      case None => sys.error(s"no schema for ${t.db}.${t.table} (no-schema mode needs a catalog)")
+      case None => cfg.schemaCatalog.getOrElse((t.db, t.table),
+        sys.error(s"no schema for ${t.db}.${t.table}: provide a *-schema.sql " +
+          "or a schemaCatalog entry (no-schema mode)"))
     }
     // Exactly two data passes: (1) parse→align→row-id→sink write;
     // (2) checksum over the *written* output (columnar scan, and also

@@ -42,6 +42,23 @@ class ImportPipelineSpec extends SparkSpec {
       reports.map(r => r.table -> r.dataChecksum).toMap)
   }
 
+  test("no-schema mode: schemaless data files use the provided catalog") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ns").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(src, "ns.bare.sql").toPath,
+      "INSERT INTO `bare` VALUES (1,'a'),(2,'b');\n")
+    val table = graft.sources.MysqlDdl.parseCreateTable(
+      "CREATE TABLE `bare` (`id` int(11) NOT NULL, `v` varchar(8), PRIMARY KEY (`id`))")
+    val out = freshOut()
+    val cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+      schemaCatalog = Map(("ns", "bare") -> table))
+    val reports = new ImportPipeline(spark, cfg).run()
+    assert(reports.head.rows === 2)
+    val got = spark.read.parquet(s"$out/ns/bare")
+    assert(got.columns.take(2).toSeq === Seq("id", "v"))
+    assert(got.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+  }
+
   test("catalog registration: imported tables queryable via spark.sql") {
     val out = freshOut()
     val cfg = ImportConfig(
