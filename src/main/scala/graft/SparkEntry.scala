@@ -38,6 +38,7 @@ object SparkEntry {
     // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("csv_roundtrip", Ingest.csv_roundtrip _, Some(Ingest.csv_roundtrip_sql)),
+    ("binary_roundtrip", Ingest.binary_roundtrip _, Some(Ingest.binary_roundtrip_sql)),
     ("schema_align_defaults", Ingest.schema_align_defaults _, Some(Ingest.schema_align_defaults_sql)),
     ("sqlmode_lenient", Ingest.sqlmode_lenient _, Some(Ingest.sqlmode_lenient_sql)),
     ("jdbc_stmts", Ingest.jdbc_stmts _, None),

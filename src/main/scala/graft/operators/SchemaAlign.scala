@@ -144,19 +144,58 @@ object SchemaAlign {
     df.select(keep ++ projected: _*)
   }
 
+  /** Decode a hex-literal string (`0x4142` / `x'4142'` body, no prefix) to
+    * `mc`'s type: bytes for binary/string targets (MySQL: a hex literal in
+    * string context IS the byte string), numeric reading for numeric targets
+    * (`0x10` = 16, reference ParseHexStr — parser.go:474-486). Odd-length
+    * `0xABC` gets a leading 0 like MySQL. */
+  private def hexDecode(src: Column, mc: MysqlColumn, mode: SqlMode): Column = {
+    val even = when(length(src) % 2 === 1, concat(lit("0"), src)).otherwise(src)
+    mc.sparkType match {
+      case BinaryType => unhex(even)
+      case StringType => unhex(even).cast(StringType)
+      case _ => castTo(conv(src, 16, 10), mc, mode)
+    }
+  }
+
+  /** Decode a bit-literal string (`b'0101'` body / `0b0101` tail) likewise
+    * (reference ParseBitStr). */
+  private def bitDecode(src: Column, mc: MysqlColumn, mode: SqlMode): Column = {
+    val nonEmpty = when(src === "", lit("0")).otherwise(src)
+    mc.sparkType match {
+      case BinaryType | StringType =>
+        val hexStr = conv(nonEmpty, 2, 16)
+        val even = when(length(hexStr) % 2 === 1, concat(lit("0"), hexStr))
+          .otherwise(hexStr)
+        if (mc.sparkType == BinaryType) unhex(even)
+        else unhex(even).cast(StringType)
+      case _ => castTo(conv(nonEmpty, 2, 10), mc, mode)
+    }
+  }
+
   /** P1+P2+P3 over the SQL-dump array representation: `valsCol` is an
     * array<string> in statement order; `stmtCols` (when the INSERT carried a
-    * column list) overrides positional order. */
+    * column list) overrides positional order. `kindsCol` (the parser's
+    * per-value kind tags) enables hex/bit literal decoding — without it a
+    * BINARY column fed `0x4142` would store the text "4142". */
   def fromArray(df: DataFrame, valsCol: Column, stmtCols: Option[Seq[String]],
                 table: MysqlTable, mode: SqlMode, jobTsMicros: Long = 0L,
-                keep: Seq[Column] = Nil): DataFrame = {
+                keep: Seq[Column] = Nil,
+                kindsCol: Option[Column] = None): DataFrame = {
+    import graft.sources.SqlDumpSource.Kind
     val order = stmtCols.getOrElse(table.columns.map(_.name))
     val srcIdx = order.map(_.toLowerCase).zipWithIndex.toMap
     val projected = table.columns.map { mc =>
       srcIdx.get(mc.name.toLowerCase) match {
         case Some(i) =>
           val src = valsCol.getItem(i)
-          val casted = castTo(src, mc, mode)
+          val casted = kindsCol match {
+            case Some(kc) =>
+              when(kc.getItem(i) === Kind.Hex, hexDecode(src, mc, mode))
+                .when(kc.getItem(i) === Kind.Bit, bitDecode(src, mc, mode))
+                .otherwise(castTo(src, mc, mode))
+            case None => castTo(src, mc, mode)
+          }
           val withNullFix =
             if (!mc.nullable && mode == SqlMode.Lenient)
               coalesce(casted, defaultExpr(mc, jobTsMicros))

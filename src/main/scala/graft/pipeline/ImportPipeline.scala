@@ -145,7 +145,8 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         .headOption.flatMap(r => Option(r.getSeq[String](0)))
       parts += SchemaAlign.fromArray(raw, col("vals"), firstCols, table,
         cfg.sqlMode, cfg.jobTsMicros,
-        keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")))
+        keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")),
+        kindsCol = Some(col("kinds")))
     }
     if (csvFiles.nonEmpty) {
       val ncols = table.columns.size

@@ -123,6 +123,51 @@ object Ingest {
     s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
        |FROM customer WHERE c_custkey <= $CustKeyCap""".stripMargin
 
+  /** S5 hex/bit literals: BINARY/VARBINARY columns fed 0x…/x'…' hex
+    * literals and an INT column fed b'…' bit / 0x… hex literals decode to
+    * bytes / numeric values (reference ParseHexStr/ParseBitStr,
+    * parser.go:474-486; fixture tests/various_types/data/vt.binary). */
+  def binary_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = scratch("binary_rt")
+    val rows = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= CustKeyCap)
+      .select(col("c_custkey"), md5(col("c_name")).as("h"), col("c_nationkey"))
+      .orderBy("c_custkey")
+      .collect()
+    val sb = new StringBuilder
+    sb ++= "INSERT INTO `bin_rt` VALUES\n"
+    sb ++= rows.map { r =>
+      val key = r.getLong(0); val h = r.getString(1); val nk = r.getInt(2)
+      s"($key,0x$h,x'${h.substring(0, 16)}',b'${java.lang.Integer.toBinaryString(nk)}'," +
+        s"0x${java.lang.Long.toHexString(nk.toLong)})"
+    }.mkString(",\n")
+    sb ++= ";\n"
+    write(new File(d, "rt.bin_rt.0001.sql"), sb.toString)
+    val ddl =
+      """CREATE TABLE `bin_rt` (
+        |  `id` bigint(20) NOT NULL,
+        |  `bin16` binary(16) DEFAULT NULL,
+        |  `vbin` varbinary(8) DEFAULT NULL,
+        |  `flags` int(11) DEFAULT NULL,
+        |  `n_hex` bigint(20) DEFAULT NULL,
+        |  PRIMARY KEY (`id`)
+        |)""".stripMargin
+    val table = MysqlDdl.parseCreateTable(ddl)
+    val raw = SqlDumpSource.read(s,
+      Seq(new File(d, "rt.bin_rt.0001.sql").getAbsolutePath))
+    SchemaAlign.fromArray(raw, col("vals"), None, table, SqlMode.Lenient,
+      kindsCol = Some(col("kinds")))
+      .select("id", "bin16", "vbin", "flags", "n_hex")
+  }
+
+  val binary_roundtrip_sql: String =
+    s"""SELECT c_custkey AS id,
+       | unhex(md5(c_name)) AS bin16,
+       | unhex(substr(md5(c_name), 1, 16)) AS vbin,
+       | c_nationkey AS flags,
+       | CAST(c_nationkey AS BIGINT) AS n_hex
+       |FROM customer WHERE c_custkey <= $CustKeyCap""".stripMargin
+
   /** P1+P2: file misses a column and permutes the rest — defaults fill,
     * projection realigns. */
   def schema_align_defaults(s: SparkSession, dir: String): DataFrame = {

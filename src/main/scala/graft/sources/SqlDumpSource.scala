@@ -313,7 +313,17 @@ object SqlDumpSource {
               advance()
               vals += readQuoted('\''.toInt); kinds += Kind.Hex
             } else {
-              classifyWord("x" + readWord(), vals, kinds)
+              classifyWord(c.toChar + readWord(), vals, kinds)
+            }
+          } else if (c == 'b'.toInt || c == 'B'.toInt) {
+            // b'0101' bit-string form (reference parser.rl bin token); must
+            // consume the quoted body as ONE value or the row misaligns
+            advance()
+            if (look == '\''.toInt) {
+              advance()
+              vals += readQuoted('\''.toInt); kinds += Kind.Bit
+            } else {
+              classifyWord(c.toChar + readWord(), vals, kinds)
             }
           } else if (Character.isLetter(c) || c == '_'.toInt) {
             classifyWord(readWord(), vals, kinds)

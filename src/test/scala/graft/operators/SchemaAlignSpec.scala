@@ -63,4 +63,43 @@ class SchemaAlignSpec extends SparkSpec {
     assert(r.getByte(0) === 5.toByte) // a came second
     assert(r.getInt(1) === 9)         // b came first
   }
+
+  test("hex/bit literal kinds decode to bytes / numeric values") {
+    import spark.implicits._
+    import graft.sources.SqlDumpSource.Kind
+    val binTable = MysqlDdl.parseCreateTable(
+      """CREATE TABLE `bt` (
+        |  `raw` varbinary(16) DEFAULT NULL,
+        |  `txt` varchar(16) DEFAULT NULL,
+        |  `n` int(11) DEFAULT NULL,
+        |  `bits` bigint(20) DEFAULT NULL
+        |)""".stripMargin)
+    // 0x4142='AB', odd-length 0xABC → 0x0ABC, 0x10=16 numeric, b'101'=5
+    val df = Seq(
+      (Seq("4142", "414243", "10", "101"),
+        Seq(Kind.Hex, Kind.Hex, Kind.Hex, Kind.Bit)),
+      (Seq("abc", "4f4b", "7", "0"),
+        Seq(Kind.Hex, Kind.Hex, Kind.Number, Kind.Bit)))
+      .toDF("vals", "kinds")
+    val out = SchemaAlign.fromArray(df, col("vals"), None, binTable,
+      SqlMode.Lenient, kindsCol = Some(col("kinds"))).collect()
+    assert(out(0).getAs[Array[Byte]](0).toSeq === Seq[Byte](0x41, 0x42))
+    assert(out(0).getString(1) === "ABC")
+    assert(out(0).getInt(2) === 16)
+    assert(out(0).getLong(3) === 5L)
+    assert(out(1).getAs[Array[Byte]](0).toSeq === Seq[Byte](0x0a, 0xbc.toByte))
+    assert(out(1).getString(1) === "OK")
+    assert(out(1).getInt(2) === 7)   // plain number untouched by kinds
+    assert(out(1).getLong(3) === 0L)
+  }
+
+  test("without kinds a hex value stays the raw digit text (legacy path)") {
+    import spark.implicits._
+    val binTable = MysqlDdl.parseCreateTable(
+      "CREATE TABLE `b2` (`txt` varchar(8) DEFAULT NULL)")
+    val df = Seq(Seq("4142")).toDF("vals")
+    val out = SchemaAlign.fromArray(df, col("vals"), None, binTable,
+      SqlMode.Lenient).collect()
+    assert(out(0).getString(0) === "4142")
+  }
 }

@@ -37,6 +37,17 @@ class SqlDumpSourceSpec extends SparkSpec {
       SqlDumpSource.Kind.Hex))
   }
 
+  test("b'0101' bit-string form is one value, no row misalignment") {
+    val rs = rows("INSERT INTO t VALUES (1,b'0101',2),(3,B'11',4);")
+    assert(vals(rs.head) === Seq("1", "0101", "2"))
+    assert(kinds(rs.head)(1) === SqlDumpSource.Kind.Bit)
+    assert(vals(rs(1)) === Seq("3", "11", "4"))
+    assert(kinds(rs(1))(1) === SqlDumpSource.Kind.Bit)
+    // a bare word starting with b is still a lax word value
+    val w = rows("INSERT INTO t VALUES (banana);")
+    assert(vals(w.head) === Seq("banana"))
+  }
+
   test("comments and multiple statements; rows numbered per file") {
     val rs = rows(
       """-- comment
