@@ -39,6 +39,7 @@ object SparkEntry {
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("csv_roundtrip", Ingest.csv_roundtrip _, Some(Ingest.csv_roundtrip_sql)),
     ("binary_roundtrip", Ingest.binary_roundtrip _, Some(Ingest.binary_roundtrip_sql)),
+    ("charset_roundtrip", Ingest.charset_roundtrip _, Some(Ingest.charset_roundtrip_sql)),
     ("schema_align_defaults", Ingest.schema_align_defaults _, Some(Ingest.schema_align_defaults_sql)),
     ("sqlmode_lenient", Ingest.sqlmode_lenient _, Some(Ingest.sqlmode_lenient_sql)),
     ("jdbc_stmts", Ingest.jdbc_stmts _, None),

@@ -120,19 +120,35 @@ object SchemaAlign {
     case _ => lit(0).cast(mc.sparkType)
   }
 
+  /** True when `cs` means "values are raw bytes carried as Latin-1 chars"
+    * (the binary-charset passthrough): a BINARY target must then take
+    * `encode(src, ISO-8859-1)` — a plain cast would re-encode as UTF-8 and
+    * corrupt bytes ≥ 0x80. */
+  private def latin1Bytes(cs: String): Boolean = {
+    val c = cs.toLowerCase
+    c == "binary" || c == "iso-8859-1" || c == "latin1"
+  }
+
+  private def strCast(src: Column, mc: MysqlColumn, mode: SqlMode,
+      valueCharset: String): Column =
+    if (latin1Bytes(valueCharset) && mc.sparkType == BinaryType)
+      encode(src, "ISO-8859-1")
+    else castTo(src, mc, mode)
+
   /** P1+P2+P3 over *named* string columns (CSV path).
     * `fileCols` is the file's column order; names matched case-insensitively
     * against the table schema. Missing table columns get defaults. */
   def fromColumns(df: DataFrame, srcCols: Seq[String], table: MysqlTable,
                   mode: SqlMode, jobTsMicros: Long = 0L,
-                  keep: Seq[Column] = Nil): DataFrame = {
+                  keep: Seq[Column] = Nil,
+                  valueCharset: String = "UTF-8"): DataFrame = {
     val srcIdx = srcCols.map(_.toLowerCase).zipWithIndex.toMap
     val dfCols = df.columns
     val projected = table.columns.map { mc =>
       srcIdx.get(mc.name.toLowerCase) match {
         case Some(i) =>
           val src = col(dfCols(i))
-          val casted = castTo(src, mc, mode)
+          val casted = strCast(src, mc, mode, valueCharset)
           val withNullFix =
             if (!mc.nullable && mode == SqlMode.Lenient)
               coalesce(casted, defaultExpr(mc, jobTsMicros))
@@ -181,7 +197,8 @@ object SchemaAlign {
   def fromArray(df: DataFrame, valsCol: Column, stmtCols: Option[Seq[String]],
                 table: MysqlTable, mode: SqlMode, jobTsMicros: Long = 0L,
                 keep: Seq[Column] = Nil,
-                kindsCol: Option[Column] = None): DataFrame = {
+                kindsCol: Option[Column] = None,
+                valueCharset: String = "UTF-8"): DataFrame = {
     import graft.sources.SqlDumpSource.Kind
     val order = stmtCols.getOrElse(table.columns.map(_.name))
     val srcIdx = order.map(_.toLowerCase).zipWithIndex.toMap
@@ -193,8 +210,8 @@ object SchemaAlign {
             case Some(kc) =>
               when(kc.getItem(i) === Kind.Hex, hexDecode(src, mc, mode))
                 .when(kc.getItem(i) === Kind.Bit, bitDecode(src, mc, mode))
-                .otherwise(castTo(src, mc, mode))
-            case None => castTo(src, mc, mode)
+                .otherwise(strCast(src, mc, mode, valueCharset))
+            case None => strCast(src, mc, mode, valueCharset)
           }
           val withNullFix =
             if (!mc.nullable && mode == SqlMode.Lenient)

@@ -29,6 +29,10 @@ final case class ImportConfig(
     sourceDir: String,
     outDir: String,
     csv: CsvConfig = CsvConfig(),
+    // S7: charset of .sql dump + schema files — UTF-8 | GB18030 | binary |
+    // auto (per-file UTF-8-validity probe, reference reader.go:35-65).
+    // CSV files keep their own `csv.charset` knob.
+    charset: String = "UTF-8",
     sqlMode: SqlMode = SqlMode.Lenient,
     filter: TableFilter = TableFilter(),
     routes: Seq[RouteRule] = Nil,
@@ -136,7 +140,8 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     val csvFiles = t.dataFiles.filter(_.kind == FileKind.CsvData).map(_.path)
     val parts = Seq.newBuilder[DataFrame]
     if (sqlFiles.nonEmpty) {
-      val raw = SqlDumpSource.readChunked(spark, sqlFiles, cfg.minChunkBytes)
+      val raw = SqlDumpSource.readChunked(spark, sqlFiles, cfg.minChunkBytes,
+        cfg.charset)
       // statement column lists are per-row; the common cases are "all rows
       // use the table order" or "all rows share one explicit list" — pick
       // the first row's list as the file-wide permutation (mydumper emits
@@ -146,7 +151,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       parts += SchemaAlign.fromArray(raw, col("vals"), firstCols, table,
         cfg.sqlMode, cfg.jobTsMicros,
         keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")),
-        kindsCol = Some(col("kinds")))
+        kindsCol = Some(col("kinds")), valueCharset = cfg.charset)
     }
     if (csvFiles.nonEmpty) {
       val ncols = table.columns.size
@@ -165,7 +170,8 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
             .orderBy(monotonically_increasing_id())).cast("long") - 1)
       parts += SchemaAlign.fromColumns(withMeta, fileCols, table,
         cfg.sqlMode, cfg.jobTsMicros,
-        keep = Seq(col("_src_file"), col("_row_idx")))
+        keep = Seq(col("_src_file"), col("_row_idx")),
+        valueCharset = cfg.csv.charset)
     }
     parts.result().reduce(_ unionByName _)
   }
@@ -174,7 +180,12 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val in = fs.open(p)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
+    val bytes = try in.readAllBytes() finally in.close()
+    val cs = cfg.charset match {
+      case a if a.equalsIgnoreCase("auto") => SqlDumpSource.detectCharset(bytes)
+      case b if b.equalsIgnoreCase("binary") => "ISO-8859-1"
+      case other => other
+    }
+    new String(bytes, java.nio.charset.Charset.forName(cs))
   }
 }

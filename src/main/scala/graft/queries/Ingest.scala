@@ -168,6 +168,46 @@ object Ingest {
        | CAST(c_nationkey AS BIGINT) AS n_hex
        |FROM customer WHERE c_custkey <= $CustKeyCap""".stripMargin
 
+  /** S7 charset: a GB18030-encoded dump file (Chinese text around each
+    * customer name) parsed with charset=auto — the per-file probe must
+    * detect non-UTF-8 bytes and fall back to GB18030 (reference
+    * reader.go:35-65; fixture tests/character_sets/). Oracle rebuilds the
+    * same UTF-8 strings with string concat. */
+  def charset_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = scratch("charset_rt")
+    val rows = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= CustKeyCap)
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+      .collect()
+    val sb = new StringBuilder
+    sb ++= "INSERT INTO `cn_rt` VALUES\n"
+    sb ++= rows.map { r =>
+      s"(${r.getLong(0)},'客户：${r.getString(1)}。')"
+    }.mkString(",\n")
+    sb ++= ";\n"
+    val f = new File(d, "rt.cn_rt.0001.sql")
+    val out = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(f), "GB18030")
+    try out.write(sb.toString) finally out.close()
+    val ddl =
+      """CREATE TABLE `cn_rt` (
+        |  `id` bigint(20) NOT NULL,
+        |  `label` varchar(64) DEFAULT NULL,
+        |  PRIMARY KEY (`id`)
+        |)""".stripMargin
+    val table = MysqlDdl.parseCreateTable(ddl)
+    val raw = SqlDumpSource.read(s, Seq(f.getAbsolutePath), charset = "auto")
+    SchemaAlign.fromArray(raw, col("vals"), None, table, SqlMode.Lenient,
+      kindsCol = Some(col("kinds")))
+      .select("id", "label")
+  }
+
+  val charset_roundtrip_sql: String =
+    s"""SELECT c_custkey AS id,
+       | '客户：' || c_name || '。' AS label
+       |FROM customer WHERE c_custkey <= $CustKeyCap""".stripMargin
+
   /** P1+P2: file misses a column and permutes the rest — defaults fill,
     * projection realigns. */
   def schema_align_defaults(s: SparkSession, dir: String): DataFrame = {

@@ -40,8 +40,64 @@ object SqlDumpSource {
     StructField("vals", ArrayType(StringType, containsNull = true), nullable = false),
     StructField("kinds", ArrayType(IntegerType, containsNull = false), nullable = false)))
 
-  /** Parse `paths` in parallel (one task per file). */
-  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  // ------------------------------------------------------- charset handling
+
+  /** Charsets parsed byte-transparently (ISO-8859-1 chars = raw bytes, so
+    * byte offsets are exact and binary string content round-trips). UTF-8
+    * is safe in this mode: its multi-byte sequences never contain ASCII
+    * bytes, so quotes/escapes/`;` can't be shadowed — values are re-decoded
+    * to UTF-8 only at emit time (reference parses raw []byte the same way,
+    * parser.go; charset conversion reader.go:35-65). GB18030 trail bytes CAN
+    * be ASCII (incl. 0x5C `\`), so that charset decodes the whole stream
+    * instead and gives up byte-split parallelism (one chunk per file). */
+  private def byteTransparent(cs: String): Boolean = {
+    val c = cs.toLowerCase
+    c == "utf-8" || c == "utf8" || c == "binary" || c == "iso-8859-1" || c == "latin1"
+  }
+
+  /** Resolve "auto": probe the first 64 KiB — valid UTF-8 → utf8, else
+    * GB18030 (the reference's fallback order, reader.go:35-65). */
+  def detectCharset(probe: Array[Byte]): String = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      // ignore a possibly-truncated final multibyte sequence (up to 3 bytes)
+      val buf = java.nio.ByteBuffer.wrap(probe)
+      val out = java.nio.CharBuffer.allocate(probe.length)
+      val res = dec.decode(buf, out, false)
+      if (res.isError) "GB18030" else "UTF-8"
+    } catch { case _: Exception => "GB18030" }
+  }
+
+  private def resolveCharset(path: Path, fs: org.apache.hadoop.fs.FileSystem,
+      charset: String): String =
+    if (!charset.equalsIgnoreCase("auto")) charset
+    else {
+      val in = fs.open(path)
+      try {
+        val probe = new Array[Byte](64 * 1024)
+        var off = 0; var n = 0
+        while (off < probe.length && { n = in.read(probe, off, probe.length - off); n > 0 })
+          off += n
+        detectCharset(java.util.Arrays.copyOf(probe, off))
+      } finally in.close()
+    }
+
+  /** Re-decode a byte-transparent (ISO-8859-1-char) string as UTF-8; ASCII
+    * fast path allocation-free. */
+  private def utf8Recode(s: String): String = {
+    var i = 0; var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) s
+    else new String(s.getBytes(StandardCharsets.ISO_8859_1), StandardCharsets.UTF_8)
+  }
+
+  /** Parse `paths` in parallel (one task per file). `charset`: UTF-8
+    * (default), GB18030, binary (byte passthrough), or auto (per-file
+    * probe). */
+  def read(spark: SparkSession, paths: Seq[String],
+      charset: String = "UTF-8"): DataFrame = {
     val sorted = paths.sorted
     val confEntries = spark.sparkContext.broadcast(
       spark.sparkContext.hadoopConfiguration.iterator().asScala
@@ -51,17 +107,29 @@ object SqlDumpSource {
       .flatMap { path =>
         val conf = new Configuration(false)
         confEntries.value.foreach { case (k, v) => conf.set(k, v) }
-        parseFile(path, conf)
+        parseFile(path, conf, charset)
       }
     spark.createDataFrame(rdd, schema)
   }
 
-  def parseFile(path: String, conf: Configuration): Iterator[Row] = {
+  def parseFile(path: String, conf: Configuration,
+      charset: String = "UTF-8"): Iterator[Row] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val in = new BufferedReader(
-      new java.io.InputStreamReader(fs.open(p), StandardCharsets.UTF_8), 64 * 1024)
-    parseReader(path, in)
+    val cs = resolveCharset(p, fs, charset)
+    if (byteTransparent(cs)) {
+      val in = new BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), StandardCharsets.ISO_8859_1),
+        64 * 1024)
+      val recode: String => String =
+        if (cs.toLowerCase.startsWith("utf")) utf8Recode else identity
+      parseReader(path, in, recode = recode)
+    } else {
+      val in = new BufferedReader(
+        new java.io.InputStreamReader(fs.open(p),
+          java.nio.charset.Charset.forName(cs)), 64 * 1024)
+      parseReader(path, in)
+    }
   }
 
   def parseString(content: String, file: String = "<mem>"): Iterator[Row] =
@@ -86,8 +154,11 @@ object SqlDumpSource {
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
     if (fileLen <= minChunkBytes) return Seq(DumpChunk(path, 0L, fileLen, 0L))
+    // byte-transparent skim: 1 char = 1 byte, so recorded `;` boundaries are
+    // exact byte offsets regardless of the value charset
     val in = new BufferedReader(
-      new java.io.InputStreamReader(fs.open(p), StandardCharsets.UTF_8), 64 * 1024)
+      new java.io.InputStreamReader(fs.open(p), StandardCharsets.ISO_8859_1),
+      64 * 1024)
     lastBoundary.set(null) // clear any stale boundary from a prior skim
     val it = parseReader(path, in, trackBoundaries = true)
     val chunks = scala.collection.mutable.ArrayBuffer.empty[DumpChunk]
@@ -112,9 +183,13 @@ object SqlDumpSource {
 
   /** Parse `paths` with byte-range parallelism: skim each file once (in
     * parallel) for statement-aligned split points, then one task per
-    * chunk. Row indexes stay globally contiguous per file. */
+    * chunk. Row indexes stay globally contiguous per file. Non-byte-
+    * transparent charsets (GB18030) fall back to one chunk per file —
+    * char positions there aren't byte positions, so mid-file seeks can't
+    * land on statement boundaries. */
   def readChunked(spark: SparkSession, paths: Seq[String],
-      minChunkBytes: Long = 256L * 1024 * 1024): DataFrame = {
+      minChunkBytes: Long = 256L * 1024 * 1024,
+      charset: String = "UTF-8"): DataFrame = {
     val sorted = paths.sorted
     val confEntries = spark.sparkContext.broadcast(
       spark.sparkContext.hadoopConfiguration.iterator().asScala
@@ -126,19 +201,35 @@ object SqlDumpSource {
     }
     val chunks = spark.sparkContext
       .parallelize(sorted, math.max(1, sorted.size))
-      .flatMap(path => planChunks(path, mkConf(), minChunkBytes))
+      .flatMap { path =>
+        val conf = mkConf()
+        val p = new Path(path)
+        val cs = resolveCharset(p, p.getFileSystem(conf), charset)
+        if (byteTransparent(cs)) planChunks(path, conf, minChunkBytes)
+        else Seq(DumpChunk(path, 0L, Long.MaxValue, 0L)) // stream-decoded
+      }
       .collect().toSeq
     val rdd = spark.sparkContext
       .parallelize(chunks, math.max(1, chunks.size))
       .flatMap { ch =>
+        val conf = mkConf()
         val p = new Path(ch.path)
-        val fs = p.getFileSystem(mkConf())
-        val stream = fs.open(p)
-        stream.seek(ch.start)
-        val in = new BufferedReader(
-          new java.io.InputStreamReader(stream, StandardCharsets.UTF_8), 64 * 1024)
-        parseReader(ch.path, in, stopAfterByte = ch.end - ch.start)
-          .map(r => Row(r.get(0), ch.baseRow + r.getLong(1), r.get(2), r.get(3), r.get(4)))
+        val fs = p.getFileSystem(conf)
+        val cs = resolveCharset(p, fs, charset)
+        if (byteTransparent(cs)) {
+          val stream = fs.open(p)
+          stream.seek(ch.start)
+          val in = new BufferedReader(
+            new java.io.InputStreamReader(stream, StandardCharsets.ISO_8859_1),
+            64 * 1024)
+          val recode: String => String =
+            if (cs.toLowerCase.startsWith("utf")) utf8Recode else identity
+          parseReader(ch.path, in, stopAfterByte = ch.end - ch.start,
+            recode = recode)
+            .map(r => Row(r.get(0), ch.baseRow + r.getLong(1), r.get(2), r.get(3), r.get(4)))
+        } else {
+          parseFile(ch.path, conf, cs)
+        }
       }
     spark.createDataFrame(rdd, schema)
   }
@@ -154,7 +245,8 @@ object SqlDumpSource {
 
   private def parseReader(file: String, in: BufferedReader,
       trackBoundaries: Boolean = false,
-      stopAfterByte: Long = Long.MaxValue): Iterator[Row] =
+      stopAfterByte: Long = Long.MaxValue,
+      recode: String => String = identity): Iterator[Row] =
     new Iterator[Row] {
       // two-char lookahead: `--`/`/*` comment detection must not consume a
       // lone '-' (sign of a negative number) or '/'
@@ -165,20 +257,15 @@ object SqlDumpSource {
       private var inValues = false
       private var nextRow: Row = _
       private var done = false
-      // byte position of the consumed prefix (UTF-8 lengths; statement
-      // boundaries are ASCII `;` so chunk offsets are exact byte offsets)
+      // position of the consumed prefix. Byte-transparent readers
+      // (ISO-8859-1) make 1 char = 1 byte, so statement boundaries are
+      // exact byte offsets; charset-decoded readers only use this as a
+      // char count (never for splitting).
       private var bytePos = 0L
-
-      private def utf8Len(c: Int): Int =
-        if (c < 0x80) 1
-        else if (c < 0x800) 2
-        else if (c >= 0xD800 && c <= 0xDBFF) 4 // high surrogate: whole pair
-        else if (c >= 0xDC00 && c <= 0xDFFF) 0 // low surrogate: counted above
-        else 3
 
       private def advance(): Int = {
         val c = look
-        if (c != EOF) bytePos += utf8Len(c)
+        if (c != EOF) bytePos += 1
         look = look2
         look2 = if (look == EOF) EOF else in.read()
         c
@@ -255,11 +342,11 @@ object SqlDumpSource {
             val sb = new StringBuilder
             while (look != EOF && look != '`'.toInt) sb += advance().toChar
             if (look == '`'.toInt) advance()
-            out += sb.toString
+            out += recode(sb.toString)
           } else if (look == ','.toInt) advance()
           else {
             val w = readWord()
-            if (w.nonEmpty) out += w else advance()
+            if (w.nonEmpty) out += recode(w) else advance()
           }
         }
         out.toSeq
@@ -291,7 +378,7 @@ object SqlDumpSource {
           else if (c == ','.toInt) advance()
           else if (c == '\''.toInt || c == '"'.toInt) {
             val q = advance()
-            vals += readQuoted(q); kinds += Kind.Str
+            vals += recode(readQuoted(q)); kinds += Kind.Str
           } else if (c == '0'.toInt) {
             advance()
             if (look == 'x'.toInt || look == 'X'.toInt) {
@@ -339,7 +426,7 @@ object SqlDumpSource {
           case "NULL" => vals += null; kinds += Kind.Null
           case "TRUE" => vals += "1"; kinds += Kind.Bool
           case "FALSE" => vals += "0"; kinds += Kind.Bool
-          case _ => vals += w; kinds += Kind.Str // lax: keep word as string
+          case _ => vals += recode(w); kinds += Kind.Str // lax: keep word
         }
 
       /** Advance the statement machine until the next tuple or EOF. */

@@ -90,6 +90,50 @@ class SqlDumpSourceSpec extends SparkSpec {
     assert(chunks.map(_.baseRow) === chunks.map(_.baseRow).sorted)
   }
 
+  test("GB18030 dump file with charset=auto decodes Chinese text") {
+    val tmp = java.nio.file.Files.createTempDirectory("sqlgbk").toFile
+    val f = new java.io.File(tmp, "d.cn.sql")
+    val content = "INSERT INTO t VALUES (1,'客户：张三'),(2,'中文测试');\n"
+    java.nio.file.Files.write(f.toPath, content.getBytes("GB18030"))
+    val got = SqlDumpSource.read(spark, Seq(f.getAbsolutePath), charset = "auto")
+      .collect().sortBy(_.getLong(1))
+    assert(got.map(_.getSeq[String](3)(1)).toSeq === Seq("客户：张三", "中文测试"))
+    // explicit GB18030 gives the same result
+    val exp = SqlDumpSource.read(spark, Seq(f.getAbsolutePath), charset = "GB18030")
+      .collect().sortBy(_.getLong(1))
+    assert(exp.map(_.getSeq[String](3)(1)).toSeq === Seq("客户：张三", "中文测试"))
+    // UTF-8 content probes as UTF-8
+    assert(SqlDumpSource.detectCharset(content.getBytes("UTF-8")) === "UTF-8")
+    assert(SqlDumpSource.detectCharset(content.getBytes("GB18030")) === "GB18030")
+  }
+
+  test("binary charset: invalid-UTF-8 bytes round-trip; chunk offsets exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("sqlbin").toFile
+    val f = new java.io.File(tmp, "d.bin.sql")
+    // raw 0xFF 0x80 0xFE bytes inside a string literal (mydumper without
+    // --hex-blob); invalid as UTF-8, must survive byte-for-byte
+    val bos = new java.io.ByteArrayOutputStream()
+    (0 until 50).foreach { i =>
+      bos.write(s"INSERT INTO t VALUES ($i,'".getBytes("UTF-8"))
+      bos.write(Array[Byte](0xFF.toByte, 0x80.toByte, 0xFE.toByte))
+      bos.write(s"$i');\n".getBytes("UTF-8"))
+    }
+    java.nio.file.Files.write(f.toPath, bos.toByteArray)
+    val whole = SqlDumpSource.read(spark, Seq(f.getAbsolutePath), charset = "binary")
+      .collect().sortBy(_.getLong(1))
+    assert(whole.length === 50)
+    val v0 = whole(0).getSeq[String](3)(1)
+    assert(Seq(v0.charAt(0).toInt, v0.charAt(1).toInt, v0.charAt(2).toInt) ===
+      Seq(0xFF, 0x80, 0xFE))
+    // chunked parse over the same bytes: identical rows (offset drift from
+    // U+FFFD replacement would break this)
+    val chunked = SqlDumpSource.readChunked(spark, Seq(f.getAbsolutePath),
+      minChunkBytes = 300, charset = "binary")
+      .collect().sortBy(_.getLong(1))
+    assert(chunked.map(r => (r.getLong(1), r.getSeq[String](3).toList)).toSeq ===
+      whole.map(r => (r.getLong(1), r.getSeq[String](3).toList)).toSeq)
+  }
+
   test("distributed read over fixture shards") {
     val paths = Seq(fixture("mydump/mdb.items.1.sql"), fixture("mydump/mdb.items.2.sql"))
     val df = SqlDumpSource.read(spark, paths)
