@@ -223,4 +223,50 @@ object SchemaAlign {
     }
     df.select(keep ++ projected: _*)
   }
+
+  /** Like `fromArray`, but resolves the column permutation *per row* from
+    * the carried statement column list (reference realigns per statement,
+    * restore.go:1356-1406) — a dump whose INSERTs carry different column
+    * lists (shard-merged tables, mixed explicit/implicit INSERTs) aligns
+    * correctly instead of inheriting one file's permutation.
+    *
+    * Cost model: rows with no column list, or one equal to table order
+    * (the mydumper default), take a positional fast path — pure
+    * `element_at(vals, const)`, same plan as `fromArray`. Only rows with a
+    * genuinely permuted list pay the O(ncols) `array_position` probe per
+    * column. Columns absent from a row's list get the declared default. */
+  def fromArrayPerStatement(df: DataFrame, valsCol: Column, stmtColsCol: Column,
+                table: MysqlTable, mode: SqlMode, jobTsMicros: Long = 0L,
+                keep: Seq[Column] = Nil,
+                kindsCol: Option[Column] = None,
+                valueCharset: String = "UTF-8"): DataFrame = {
+    import graft.sources.SqlDumpSource.Kind
+    val tableOrderLower = array(table.columns.map(c => lit(c.name.toLowerCase)): _*)
+    val colsLower = transform(stmtColsCol, c => lower(c))
+    val positional = stmtColsCol.isNull || (colsLower === tableOrderLower)
+    val projected = table.columns.zipWithIndex.map { case (mc, ti) =>
+      val pos = when(positional, lit((ti + 1).toLong))
+        .otherwise(array_position(colsLower, lit(mc.name.toLowerCase)))
+      val idx = pos.cast(IntegerType)
+      val src = when(pos > 0, try_element_at(valsCol, idx))
+        .otherwise(lit(null).cast(StringType))
+      val casted = kindsCol match {
+        case Some(kc) =>
+          val kind = when(pos > 0, try_element_at(kc, idx)).otherwise(lit(Kind.Null))
+          when(kind === Kind.Hex, hexDecode(src, mc, mode))
+            .when(kind === Kind.Bit, bitDecode(src, mc, mode))
+            .otherwise(strCast(src, mc, mode, valueCharset))
+        case None => strCast(src, mc, mode, valueCharset)
+      }
+      val withNullFix =
+        if (!mc.nullable && mode == SqlMode.Lenient)
+          coalesce(casted, defaultExpr(mc, jobTsMicros))
+        else casted
+      // column absent from this statement's list → declared default
+      when(pos > 0, withNullFix)
+        .otherwise(defaultExpr(mc, jobTsMicros))
+        .as(mc.name)
+    }
+    df.select(keep ++ projected: _*)
+  }
 }

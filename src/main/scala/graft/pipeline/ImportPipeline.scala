@@ -102,12 +102,17 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     // estimate — disjoint, gaps allowed) unless exactRowIds adds the
     // counting pass.
     val aligned = loadAligned(t, table)
+    // _row_idx is a deterministic, per-file-increasing handle: dense row
+    // index for SQL dumps, line byte offset for CSV. Estimated mode needs
+    // capacity ≥ any handle value → size+1 covers both (gaps allowed, S8);
+    // exact mode densifies via an ordering window (counting pass implied).
     val withId =
       if (cfg.exactRowIds)
-        RowIdAllocator.fromFileIndex(aligned, "_src_file", "_row_idx")
+        RowIdAllocator.fromOrdering(aligned, col("_src_file"), col("_row_idx"))
       else
         RowIdAllocator.fromFileSizes(aligned, "_src_file", "_row_idx",
-          t.dataFiles.map(f => (f.path, f.size)))
+          t.dataFiles.map(f => (f.path, f.size)),
+          capacityFor = sz => sz + 1)
     val finalDf = withId.select(
       (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
     // _row_id is persisted (the `_tidb_rowid` analog) so a sink-side
@@ -142,36 +147,48 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     if (sqlFiles.nonEmpty) {
       val raw = SqlDumpSource.readChunked(spark, sqlFiles, cfg.minChunkBytes,
         cfg.charset)
-      // statement column lists are per-row; the common cases are "all rows
-      // use the table order" or "all rows share one explicit list" — pick
-      // the first row's list as the file-wide permutation (mydumper emits
-      // one INSERT shape per file).
-      val firstCols = raw.select("stmt_cols").limit(1).collect()
-        .headOption.flatMap(r => Option(r.getSeq[String](0)))
-      parts += SchemaAlign.fromArray(raw, col("vals"), firstCols, table,
-        cfg.sqlMode, cfg.jobTsMicros,
+      // per-row statement-column alignment: mixed INSERT shapes (explicit
+      // vs implicit lists, shard merges with different column orders) land
+      // correctly; the common all-positional case stays a constant-index
+      // projection.
+      parts += SchemaAlign.fromArrayPerStatement(raw, col("vals"),
+        col("stmt_cols"), table, cfg.sqlMode, cfg.jobTsMicros,
         keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")),
         kindsCol = Some(col("kinds")), valueCharset = cfg.charset)
     }
     if (csvFiles.nonEmpty) {
       val ncols = table.columns.size
-      val names =
-        if (cfg.csv.header) table.columns.map(_.name)
-        else (0 until ncols).map(i => s"c$i")
-      val raw = CsvSource.read(spark, csvFiles, cfg.csv, ncols)
-      val fileCols =
-        if (cfg.csv.header) raw.columns.toSeq // header names the columns
-        else table.columns.map(_.name) // positional = declared order
-      val withMeta = raw
-        .withColumn("_src_file", input_file_name())
-        .withColumn("_row_idx",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(input_file_name())
-            .orderBy(monotonically_increasing_id())).cast("long") - 1)
-      parts += SchemaAlign.fromColumns(withMeta, fileCols, table,
-        cfg.sqlMode, cfg.jobTsMicros,
-        keep = Seq(col("_src_file"), col("_row_idx")),
-        valueCharset = cfg.csv.charset)
+      if (cfg.csv.multiLine) {
+        // quoted-newline quirk: univocity whole-file parse (non-splittable,
+        // so one task per file and in-task order IS file order)
+        val raw = CsvSource.read(spark, csvFiles, cfg.csv, ncols)
+        val fileCols =
+          if (cfg.csv.header) raw.columns.toSeq // header names the columns
+          else table.columns.map(_.name) // positional = declared order
+        val withMeta = raw
+          .withColumn("_src_file", input_file_name())
+          .withColumn("_row_idx",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(input_file_name())
+              .orderBy(monotonically_increasing_id())).cast("long") - 1)
+        parts += SchemaAlign.fromColumns(withMeta, fileCols, table,
+          cfg.sqlMode, cfg.jobTsMicros,
+          keep = Seq(col("_src_file"), col("_row_idx")),
+          valueCharset = cfg.csv.charset)
+      } else {
+        // default: splittable line-based read; the per-row handle is the
+        // line's byte offset — deterministic under any split plan
+        val raw = CsvSource.readIndexed(spark, csvFiles, cfg.csv, ncols)
+        val fileCols =
+          if (cfg.csv.header)
+            CsvSource.headerNames(spark, csvFiles.min, cfg.csv, ncols)
+          else table.columns.map(_.name)
+        parts += SchemaAlign.fromColumns(raw, fileCols, table,
+          cfg.sqlMode, cfg.jobTsMicros,
+          keep = Seq(col("src_file").as("_src_file"),
+            col("row_off").as("_row_idx")),
+          valueCharset = cfg.csv.charset)
+      }
     }
     parts.result().reduce(_ unionByName _)
   }

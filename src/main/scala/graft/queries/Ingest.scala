@@ -114,7 +114,10 @@ object Ingest {
         |  PRIMARY KEY (`c_custkey`)
         |)""".stripMargin
     val table = MysqlDdl.parseCreateTable(ddl)
-    val raw = CsvSource.read(s, Seq(new File(d, "rt.customer_rt.csv").getAbsolutePath),
+    // splittable line-based path (the pipeline default): fields via
+    // from_csv, deterministic (src_file, row_off) row handles
+    val raw = CsvSource.readIndexed(s,
+      Seq(new File(d, "rt.customer_rt.csv").getAbsolutePath),
       CsvConfig(), ncols = 5)
     SchemaAlign.fromColumns(raw, table.columns.map(_.name), table, SqlMode.Lenient)
   }

@@ -93,6 +93,25 @@ class SchemaAlignSpec extends SparkSpec {
     assert(out(1).getLong(3) === 0L)
   }
 
+  test("per-statement alignment: mixed column lists in one frame") {
+    import spark.implicits._
+    // row 1: permuted explicit list (b,a); row 2: no list (table order);
+    // row 3: partial list (a only) → b/s take defaults, d → null
+    val df = Seq(
+      (Seq("9", "5"), Some(Seq("b", "a"))),
+      (Seq("1", "2", "xx", "3.50"), None),
+      (Seq("4"), Some(Seq("a"))))
+      .toDF("vals", "stmt_cols")
+    val out = SchemaAlign.fromArrayPerStatement(df, col("vals"),
+      col("stmt_cols"), table, SqlMode.Lenient).collect()
+    assert(out(0).getByte(0) === 5.toByte && out(0).getInt(1) === 9)
+    assert(out(1).getByte(0) === 1.toByte && out(1).getInt(1) === 2 &&
+      out(1).getString(2) === "xx" &&
+      out(1).getDecimal(3) === new java.math.BigDecimal("3.50"))
+    assert(out(2).getByte(0) === 4.toByte && out(2).getInt(1) === 7 &&
+      out(2).getString(2) === "dflt" && out(2).isNullAt(3))
+  }
+
   test("without kinds a hex value stays the raw digit text (legacy path)") {
     import spark.implicits._
     val binTable = MysqlDdl.parseCreateTable(

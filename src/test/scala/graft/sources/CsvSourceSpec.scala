@@ -33,6 +33,43 @@ class CsvSourceSpec extends SparkSpec {
     assert(rows(1).getString(1) === "编码")
   }
 
+  test("readIndexed: quirks parse per line; row_off is the line's byte offset") {
+    val tmp = java.nio.file.Files.createTempDirectory("csvix").toFile
+    val f = new java.io.File(tmp, "d.ix.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "1,\"a \\\"q\\\" b\",x\n2,\\N,y\n3,\"\",z\n")
+    val df = CsvSource.readIndexed(spark, Seq(f.getAbsolutePath),
+      CsvConfig(), ncols = 3)
+    val rows = df.collect().sortBy(_.getLong(4))
+    assert(rows.length === 3)
+    assert(rows(0).getString(1) === "a \"q\" b")
+    assert(rows(1).isNullAt(1)) // unquoted \N
+    assert(rows(2).getString(1) === "") // quoted empty ≠ NULL
+    assert(rows(0).getLong(4) === 0L)
+    assert(rows(1).getLong(4) === "1,\"a \\\"q\\\" b\",x\n".getBytes.length.toLong)
+  }
+
+  test("readIndexed: (src_file,row_off) stable across split configurations") {
+    val tmp = java.nio.file.Files.createTempDirectory("csvsplit").toFile
+    val f = new java.io.File(tmp, "d.big.csv")
+    val sb = new StringBuilder
+    (0 until 500).foreach(i => sb ++= s"$i,name_$i,seg${i % 7}\n")
+    java.nio.file.Files.writeString(f.toPath, sb.toString)
+    def readAll() = CsvSource.readIndexed(spark, Seq(f.getAbsolutePath),
+      CsvConfig(), ncols = 3)
+      .collect().map(r => (r.getLong(4), r.getString(0))).sorted.toSeq
+    val whole = readAll()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    try {
+      hc.set(key, "512") // force many splits over the ~7 KiB file
+      val split = readAll()
+      assert(split === whole)
+      assert(whole.length === 500)
+      assert(whole.map(_._1).distinct.length === 500)
+    } finally hc.unset(key)
+  }
+
   test("trim-last-separator drops phantom trailing column") {
     val tmp = java.nio.file.Files.createTempDirectory("csvsrc").toFile
     val f = new java.io.File(tmp, "d.t.csv")
