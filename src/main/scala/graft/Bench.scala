@@ -27,6 +27,11 @@ object Bench {
     // warmup: touch the big tables + exercise codegen/shuffle machinery once
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    if (args.contains("ingest-only")) { // dev loop: just the throughput probe
+      val (mib, sec) = ingestThroughput(spark, sfDir)
+      println(f"""{"metric":"ingest_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f}""")
+      spark.stop(); return
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val t0 = System.nanoTime()
@@ -98,10 +103,11 @@ object Bench {
       outDir = out.getAbsolutePath,
       filter = TableFilter(doTables = Seq(("bench", "lineitem_bench"))),
       checkpointEnabled = false,
-      minChunkBytes = 8L * 1024 * 1024)
-    // two runs: the first warms codegen/AQE plans, the second measures
-    // steady-state pipeline throughput
-    val secs = (1 to 2).map { _ =>
+      minChunkBytes = 8L * 1024 * 1024,
+      observeChecksum = sys.env.get("SPARK_GRAFT_OBSERVE").forall(_ != "0"))
+    // min of three runs: the first warms codegen/AQE plans; the min damps
+    // single-JVM noise (GC, JIT recompiles) that otherwise swings ±25%
+    val secs = (1 to 3).map { _ =>
       deleteRec(out)
       val t0 = System.nanoTime()
       val reports = new ImportPipeline(spark, cfg).run()

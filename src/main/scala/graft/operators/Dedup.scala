@@ -118,13 +118,18 @@ object Dedup {
       col("_id") +: (0 until numHashes).map(j => col(s"_h$j")) :+
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("_b"): _*)
+    // explicit aliases on both sides: same-lineage `l("_b") === r("_b")`
+    // would lean on Spark's self-join disambiguation heuristic (and logs a
+    // trivially-true-predicate warning); alias-qualified names are exact
     val l = banded.select(col("_id").as("id_a") +:
       (0 until numHashes).map(j => col(s"_h$j").as(s"ha_$j")) :+ col("_b"): _*)
+      .alias("l")
     val r = banded.select(col("_id").as("id_b") +:
       (0 until numHashes).map(j => col(s"_h$j").as(s"hb_$j")) :+ col("_b"): _*)
+      .alias("r")
     val agreement = (0 until numHashes).map(i =>
       when(col(s"ha_$i") === col(s"hb_$i"), 1).otherwise(0)).reduce(_ + _)
-    l.join(r, l("_b") === r("_b") && col("id_a") < col("id_b"))
+    l.join(r, col("l._b") === col("r._b") && col("id_a") < col("id_b"))
       .withColumn("jaccard_est", agreement.cast("double") / numHashes)
       .filter(col("jaccard_est") >= threshold)
       .select(col("id_a"), col("id_b"),
@@ -174,8 +179,10 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftrightunsigned(col("_h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("_b"))
     val l = banded.select(col("_id").as("id_a"), col("_h").as("h_a"), col("_b"))
+      .alias("l")
     val r = banded.select(col("_id").as("id_b"), col("_h").as("h_b"), col("_b"))
-    l.join(r, l("_b") === r("_b") && col("id_a") < col("id_b"))
+      .alias("r")
+    l.join(r, col("l._b") === col("r._b") && col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
@@ -197,15 +204,20 @@ object Dedup {
     * instead of per-pair interpreted array_intersect: explode grams once,
     * count matching grams per pair, |union| = n_a + n_b − |inter|. Scales
     * as O(pairs × grams-per-doc) through hash joins — the shape that
-    * survives when candidate sets stop fitting per-pair array ops.
+    * survives when candidate sets stop fitting per-pair array ops (the
+    * pair table is left to AQE: small → runtime broadcast, big → shuffled
+    * hash join; nothing here assumes it fits on one node).
+    * Grams travel as xxhash64 LONGS, not strings — the equi-join and
+    * shuffle move 8 B keys (64-bit collisions are noise at corpus scale).
     * `pairs`: (id_a, id_b); `grams`: (doc_id, gram-array col `_grams`). */
   def exactJaccardPairs(pairs: DataFrame, grams: DataFrame): DataFrame = {
     val sizes = grams.select(col("doc_id"), size(col("_grams")).as("n"))
     val gx = grams.select(col("doc_id"), explode(col("_grams")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
     val inter = pairs
-      .join(gx.select(col("doc_id").as("id_a"), col("g")), "id_a")
-      .join(gx.select(col("doc_id").as("__idb"), col("g").as("g2")),
-        col("id_b") === col("__idb") && col("g") === col("g2"))
+      .join(gx.select(col("doc_id").as("id_a"), col("gh")), "id_a")
+      .join(gx.select(col("doc_id").as("__idb"), col("gh").as("gh2")),
+        col("id_b") === col("__idb") && col("gh") === col("gh2"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     pairs
       .join(inter, Seq("id_a", "id_b"), "left")
@@ -239,11 +251,13 @@ object Dedup {
       .repartition(col("_id")) // barrier: sketch + norm computed once
     val l = withB.select(col("_id").as("id_a") +: col("_bucket") +:
       (0 until dim).map(i => col(s"_e$i").as(s"ea_$i")): _*)
+      .alias("l")
     val r = withB.select(col("_id").as("id_b") +: col("_bucket") +:
       (0 until dim).map(i => col(s"_e$i").as(s"eb_$i")): _*)
+      .alias("r")
     val cosine = (0 until dim).map(i => col(s"ea_$i") * col(s"eb_$i"))
       .reduce(_ + _)
-    l.join(r, l("_bucket") === r("_bucket") && col("id_a") < col("id_b"))
+    l.join(r, col("l._bucket") === col("r._bucket") && col("id_a") < col("id_b"))
       .withColumn("cosine", cosine)
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

@@ -48,6 +48,37 @@ object KvEncode {
       encode(col(rowIdCol).cast("string"), "UTF-8").as("_kv_val"))
   }
 
+  /** Observation metrics computing the checksum triple + row count in the
+    * SAME pass as the sink write (`df.observe`) — replaces the former
+    * write → re-read-count → re-read-checksum triple-scan (the reference
+    * tracks its running checksum inline during delivery the same way,
+    * restore.go:491). Names: rows, data_checksum/_bytes/_kvs and, when a
+    * primary key exists, index_checksum/_bytes/_kvs. */
+  def observeMetrics(table: MysqlTable, tableId: Long,
+                     rowIdCol: String): Seq[Column] = {
+    val cols = table.columns.map(_.name)
+    val dk = encode(concat(lit(s"t${tableId}_r"), col(rowIdCol).cast("string")), "UTF-8")
+    val dv = encode(concat_ws("",
+      cols.map(c => coalesce(col(c).cast("string"), lit("N"))): _*), "UTF-8")
+    val dcrc = graft.functions.Crc64Expr.crc64(concat(dk, dv))
+    val data = Seq(
+      count(lit(1)).as("rows"),
+      coalesce(call_function("bit_xor", dcrc), lit(0L)).as("data_checksum"),
+      coalesce(sum(length(dk) + length(dv)), lit(0L)).as("data_bytes"),
+      count(lit(1)).as("data_kvs"))
+    if (table.primaryKey.isEmpty) data
+    else {
+      val ik = encode(concat(lit(s"t${tableId}_i0_"),
+        concat_ws("", table.primaryKey.map(c => col(c).cast("string")): _*)), "UTF-8")
+      val iv = encode(col(rowIdCol).cast("string"), "UTF-8")
+      val icrc = graft.functions.Crc64Expr.crc64(concat(ik, iv))
+      data ++ Seq(
+        coalesce(call_function("bit_xor", icrc), lit(0L)).as("index_checksum"),
+        coalesce(sum(length(ik) + length(iv)), lit(0L)).as("index_bytes"),
+        count(lit(1)).as("index_kvs"))
+    }
+  }
+
   /** A1+A2: one row per KV class with (checksum, total_bytes, total_kvs) —
     * the triple `ADMIN CHECKSUM TABLE` compares (restore.go:1429-1503).
     *

@@ -170,7 +170,10 @@ object SchemaAlign {
     mc.sparkType match {
       case BinaryType => unhex(even)
       case StringType => unhex(even).cast(StringType)
-      case _ => castTo(conv(src, 16, 10), mc, mode)
+      // parser-tagged hex bodies are clean [0-9a-f]+ — a direct try_cast of
+      // the base-10 reading keeps this branch small (the full lenient
+      // castTo tree here would triple every column's codegen size)
+      case t => conv(src, 16, 10).try_cast(t)
     }
   }
 
@@ -185,7 +188,7 @@ object SchemaAlign {
           .otherwise(hexStr)
         if (mc.sparkType == BinaryType) unhex(even)
         else unhex(even).cast(StringType)
-      case _ => castTo(conv(nonEmpty, 2, 10), mc, mode)
+      case t => conv(nonEmpty, 2, 10).try_cast(t) // clean [01]+ body
     }
   }
 

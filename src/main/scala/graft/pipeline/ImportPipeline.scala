@@ -49,7 +49,13 @@ final case class ImportConfig(
     registerInCatalog: Boolean = false,
     // no-schema mode (reference loader.go:65, tests/no_schema/): tables
     // without a *-schema.sql take their declared shape from this catalog
-    schemaCatalog: Map[(String, String), MysqlTable] = Map.empty)
+    schemaCatalog: Map[(String, String), MysqlTable] = Map.empty,
+    // checksum strategy: true = same-pass df.observe metrics (zero extra
+    // I/O, but CollectMetricsExec splits the codegen span and evaluates
+    // interpreted); false = count-only observe + columnar re-scan of the
+    // written parquet for the checksum (extra read, but both passes stay
+    // fully codegen'd). Measured fastest wins per deployment.
+    observeChecksum: Boolean = true)
 
 final case class TableReport(db: String, table: String, rows: Long,
     dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean)
@@ -95,12 +101,11 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         sys.error(s"no schema for ${t.db}.${t.table}: provide a *-schema.sql " +
           "or a schemaCatalog entry (no-schema mode)"))
     }
-    // Exactly two data passes: (1) parse→align→row-id→sink write;
-    // (2) checksum over the *written* output (columnar scan, and also
-    // doubles as the sink-side integrity check the reference gets from
-    // ADMIN CHECKSUM). Row-id bases come from file sizes (driver-side, S8
-    // estimate — disjoint, gaps allowed) unless exactRowIds adds the
-    // counting pass.
+    // ONE data pass: parse→align→row-id→sink write, with row count +
+    // checksum triple riding along as df.observe metrics (accumulator
+    // aggregates — no extra scan, the reference likewise checksums inline
+    // during delivery, restore.go:491). The independent sink-side re-scan
+    // lives in the `verify` CLI (A3), whose job is exactly that.
     val aligned = loadAligned(t, table)
     // _row_idx is a deterministic, per-file-increasing handle: dense row
     // index for SQL dumps, line byte offset for CSV. Estimated mode needs
@@ -117,25 +122,44 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
     // _row_id is persisted (the `_tidb_rowid` analog) so a sink-side
     // re-scan can recompute the identical checksum triple (A3).
-    val res = theSink.write(finalDf, t.db, t.table)
-    val checksumInput = res.outputPath match {
-      case Some(path) => spark.read.parquet(path) // columnar re-scan
-      case None => finalDf
+    val obs = org.apache.spark.sql.Observation()
+    val metrics =
+      if (cfg.observeChecksum)
+        KvEncode.observeMetrics(table,
+          ImportPipeline.tableId(t.db, t.table), rowIdCol = "_row_id")
+      else Seq(count(lit(1)).as("rows"))
+    val observed = finalDf.observe(obs, metrics.head, metrics.tail: _*)
+    val res = theSink.write(observed, t.db, t.table)
+    val m = obs.get
+    def metric(k: String): Long = m.get(k) match {
+      case Some(l: java.lang.Long) => l.longValue
+      case Some(i: java.lang.Integer) => i.longValue
+      case _ => 0L
     }
-    val cs = KvEncode.checksumReport(checksumInput, table,
-      tableId = ImportPipeline.tableId(t.db, t.table),
-      rowIdCol = "_row_id")
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val (dcs, dbytes, dkvs) = cs.getOrElse("data", (0L, 0L, 0L))
+    val rows = if (res.rows >= 0) res.rows else metric("rows")
+    val (dcs, dbytes, dkvs) =
+      if (cfg.observeChecksum)
+        (metric("data_checksum"), metric("data_bytes"), metric("data_kvs"))
+      else {
+        // columnar re-scan of the written output (codegen'd end-to-end)
+        val checksumInput = res.outputPath match {
+          case Some(path) => spark.read.parquet(path)
+          case None => finalDf
+        }
+        val cs = KvEncode.checksumReport(checksumInput, table,
+          tableId = ImportPipeline.tableId(t.db, t.table), rowIdCol = "_row_id")
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        cs.getOrElse("data", (0L, 0L, 0L))
+      }
     if (cfg.checkpointEnabled)
-      log.write(TableState(t.db, t.table, "imported", res.rows, dcs, dbytes,
+      log.write(TableState(t.db, t.table, "imported", rows, dcs, dbytes,
         dkvs, fp, cfg.jobTsMicros))
     if (cfg.registerInCatalog) res.outputPath.foreach { path =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
       spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table), path))
     }
-    TableReport(t.db, t.table, res.rows, dcs, dbytes, dkvs, resumedSkip = false)
+    TableReport(t.db, t.table, rows, dcs, dbytes, dkvs, resumedSkip = false)
   }
 
   /** Parse + align one table's data files (CSV and SQL shards may mix when

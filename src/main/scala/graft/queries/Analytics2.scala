@@ -15,13 +15,16 @@ object Analytics2 {
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(30,8)")).cast("double")
 
-  /** Scalar subquery: parts priced above the global average. */
+  /** Scalar subquery: parts priced above the global average. The 1-row
+    * aggregate stays IN the plan (broadcast cross join) — one job, no
+    * driver round-trip, exactly how Catalyst executes the SQL form. */
   def q_scalar_subq(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.load(s, dir, "part")
-    val avgPrice = part.agg(
+    val avgDf = part.agg(
       (sum(col("p_retailprice").cast("decimal(30,8)")) / count(lit(1)))
-        .cast("double")).collect()(0).getDouble(0)
-    part.filter(col("p_retailprice") > avgPrice)
+        .cast("double").as("_gavg"))
+    part.crossJoin(broadcast(avgDf))
+      .filter(col("p_retailprice") > col("_gavg"))
       .select("p_partkey", "p_name", "p_retailprice")
   }
 

@@ -86,23 +86,24 @@ object Curation {
       maxHamming = 12)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** n-gram Jaccard on LSH candidates (rows-only). Verification uses
-    * per-pair array_intersect over broadcast gram sets — fastest at this
-    * candidate volume; `Dedup.exactJaccardPairs` is the join-aggregate
-    * shape to switch to when candidates outgrow per-pair array ops. */
+  /** n-gram Jaccard on LSH candidates (rows-only), through the
+    * join-aggregate `exactJaccardPairs` — the shape that survives when the
+    * corpus outgrows driver memory (gram tables are never broadcast or
+    * materialized per pair; grams travel as hashed longs). The per-pair
+    * `Dedup.jaccard(array_intersect)` variant remains available for
+    * corpora small enough to broadcast, but the gate exercises the scale
+    * path. */
   def dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
+      .select("id_a", "id_b")
     val grams = docs
       .withColumn("_norm", Dedup.normalized(col("text")))
       .withColumn("_toks", Dedup.tokensOf(col("_norm")))
       .withColumn("_grams", Dedup.gramsOf(col("_toks"), 2))
       .select(col("doc_id"), col("_grams"))
-    val a = grams.select(col("doc_id").as("id_a"), col("_grams").as("g_a"))
-    val b = grams.select(col("doc_id").as("id_b"), col("_grams").as("g_b"))
-    pairs.join(broadcast(a), "id_a").join(broadcast(b), "id_b")
-      .withColumn("bigram_jaccard",
-        round(Dedup.jaccard(col("g_a"), col("g_b")), 6))
+    Dedup.exactJaccardPairs(pairs, grams)
+      .withColumn("bigram_jaccard", round(col("jaccard"), 6))
       .filter(col("bigram_jaccard") >= 0.2)
       .select("id_a", "id_b", "bigram_jaccard")
       .orderBy("id_a", "id_b")

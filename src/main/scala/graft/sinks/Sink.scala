@@ -21,15 +21,22 @@ trait Sink {
 /** Parquet (lakehouse) sink — the local/test default and the natural
   * "bulk files" analog of the importer backend's sorted SSTs.
   * Scale: `maxRecordsPerFile` bounds output file size the way the
-  * reference's engine batcher bounds engines (region.go:64-133). */
+  * reference's engine batcher bounds engines (region.go:64-133).
+  *
+  * Reports rows = -1 ("not counted"): the pipeline observes the row count
+  * during the write itself (df.observe), so a count re-scan here would be
+  * a pure extra pass. Set `recountRows` for a standalone use that wants
+  * the sink to verify the written count. */
 final class ParquetSink(rootDir: String,
-    maxRecordsPerFile: Long = 5000000L) extends Sink {
+    maxRecordsPerFile: Long = 5000000L,
+    recountRows: Boolean = false) extends Sink {
   override def write(df: DataFrame, db: String, table: String): WriteResult = {
     val path = s"$rootDir/$db/$table"
     df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
-    val rows = df.sparkSession.read.parquet(path).count()
+    val rows =
+      if (recountRows) df.sparkSession.read.parquet(path).count() else -1L
     WriteResult(s"$db.$table", rows, Some(path))
   }
 }

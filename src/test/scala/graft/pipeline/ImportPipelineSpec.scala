@@ -37,6 +37,19 @@ class ImportPipelineSpec extends SparkSpec {
     val sci = items.filter("item_id = 4").collect()(0)
     assert(sci.getAs[java.math.BigDecimal]("price").doubleValue() === 250.0)
 
+    // A3: the observe-time (pipeline) checksum triple must equal an
+    // independent sink-side re-scan (what the verify CLI compares)
+    val itemsTable = graft.sources.MysqlDdl.parseCreateTable(
+      java.nio.file.Files.readString(
+        new java.io.File(fixture("mydump"), "mdb.items-schema.sql").toPath))
+    val cs = graft.operators.KvEncode.checksumReport(items, itemsTable,
+      ImportPipeline.tableId("mdb", "items"), "_row_id")
+      .filter(org.apache.spark.sql.functions.col("kv_class") === "data")
+      .collect()(0)
+    assert(cs.getLong(1) === byTable("items").dataChecksum)
+    assert(cs.getLong(2) === byTable("items").dataBytes)
+    assert(cs.getLong(3) === byTable("items").dataKvs)
+
     // resume: second run skips everything, checksums identical
     val again = new ImportPipeline(spark, cfg).run()
     assert(again.forall(_.resumedSkip))
