@@ -49,15 +49,18 @@ object SparkEntry {
     // LLM-data-pipeline operators (BASELINE.json north star)
     ("dedup_exact", Curation.dedup_exact _, Some(Curation.dedup_exact_sql)),
     ("dedup_minhash", Curation.dedup_minhash _, None),
+    ("dedup_minhash_verify", Curation.dedup_minhash_verify _, Some(Curation.dedup_minhash_verify_sql)),
     ("dedup_simhash", Curation.dedup_simhash _, None),
     ("dedup_ngram", Curation.dedup_ngram _, None),
     ("dedup_embed", Curation.dedup_embed _, None),
+    ("dedup_embed_verify", Curation.dedup_embed_verify _, Some(Curation.dedup_embed_verify_sql)),
     ("ann_topk", Curation.ann_topk _, Some(Curation.ann_topk_sql)),
     ("ann_lsh", Curation.ann_lsh _, None),
+    ("ann_lsh_verify", Curation.ann_lsh_verify _, Some(Curation.ann_lsh_verify_sql)),
     ("txt_tokens", Curation.txt_tokens _, Some(Curation.txt_tokens_sql)),
     ("txt_langid", Curation.txt_langid _, Some(Curation.txt_langid_sql)),
     ("txt_quality", Curation.txt_quality _, Some(Curation.txt_quality_sql)),
-    ("txt_fingerprint", Curation.txt_fingerprint _, None),
+    ("txt_fingerprint", Curation.txt_fingerprint _, Some(Curation.txt_fingerprint_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, None),
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),

