@@ -42,6 +42,8 @@ object SparkEntry {
     ("charset_roundtrip", Ingest.charset_roundtrip _, Some(Ingest.charset_roundtrip_sql)),
     ("schema_align_defaults", Ingest.schema_align_defaults _, Some(Ingest.schema_align_defaults_sql)),
     ("sqlmode_lenient", Ingest.sqlmode_lenient _, Some(Ingest.sqlmode_lenient_sql)),
+    ("sqlmode_strict", Ingest.sqlmode_strict _, Some(Ingest.sqlmode_strict_sql)),
+    ("sqlmode_enumset", Ingest.sqlmode_enumset _, Some(Ingest.sqlmode_enumset_sql)),
     ("jdbc_stmts", Ingest.jdbc_stmts _, None),
     ("mydump_discover", Ingest.mydump_discover _, None),
     ("import_e2e", Ingest.import_e2e _, None),

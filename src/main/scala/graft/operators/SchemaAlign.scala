@@ -48,11 +48,50 @@ object SchemaAlign {
     }
   }
 
+  /** ENUM/SET domain check (SURVEY §1.2). ENUM: invalid member → '' in
+    * lenient mode (MySQL non-strict coercion), raise in strict. SET:
+    * invalid members are dropped in lenient mode (keeping the valid
+    * subset), any invalid member raises in strict (reference sqlmode
+    * matrix, tests/sqlmode/). */
+  private def domainCheck(src: Column, mc: MysqlColumn, vals: Seq[String],
+      mode: SqlMode): Column =
+    if (mc.isSet) {
+      val members = filter(split(src, ","), m => m =!= "")
+      val valid = filter(members,
+        m => vals.map(v => m === lit(v)).reduce(_ || _))
+      mode match {
+        case SqlMode.Lenient =>
+          when(src.isNull, lit(null).cast(StringType))
+            .otherwise(array_join(valid, ","))
+        case SqlMode.Strict =>
+          when(src.isNull, lit(null).cast(StringType))
+            .when(size(valid) === size(members), src)
+            .otherwise(raise_error(concat(
+              lit(s"SET value out of domain for `${mc.name}`: "), src)))
+      }
+    } else {
+      mode match {
+        case SqlMode.Lenient =>
+          when(src.isNull, lit(null).cast(StringType))
+            .when(src.isin(vals: _*), src)
+            .otherwise(lit("")) // MySQL non-strict: invalid enum → ''
+        case SqlMode.Strict =>
+          when(src.isNull, lit(null).cast(StringType))
+            .when(src.isin(vals: _*), src)
+            .otherwise(raise_error(concat(
+              lit(s"ENUM value out of domain for `${mc.name}`: "), src)))
+      }
+    }
+
   /** Cast a string column to `mc`'s Spark type under `mode`.
     * Lenient numeric path: extract leading numeric prefix (MySQL truncation
     * semantics), round half-away-from-zero for integers, clamp to range. */
   def castTo(src: Column, mc: MysqlColumn, mode: SqlMode): Column = {
     val t = mc.sparkType
+    mc.enumValues match {
+      case Some(vals) if vals.nonEmpty => return domainCheck(src, mc, vals, mode)
+      case _ => ()
+    }
     def numericPrefix: Column =
       regexp_extract(src, "^\\s*([+-]?\\d*\\.?\\d+(?:[eE][+-]?\\d+)?)", 1)
     mode match {
@@ -62,9 +101,17 @@ object SchemaAlign {
       case SqlMode.Lenient => t match {
         case it @ (ByteType | ShortType | IntegerType | LongType) =>
           // fast path: clean in-range values try_cast directly (no regex);
-          // dirty/overflowing values take the clamp/round/prefix slow path
+          // dirty/overflowing values take the clamp/round/prefix slow path.
+          // try_cast, NOT cast: a prefix with >28 integer digits overflows
+          // DECIMAL(38,10) and a plain cast would raise under ANSI — the
+          // lenient contract is clamp, never error; such values are beyond
+          // every integer range, so substitute ±Long extremes pre-clamp.
+          val overflowSub =
+            when(numericPrefix.startsWith("-"), lit(Long.MinValue))
+              .otherwise(lit(Long.MaxValue)).cast(DecimalType(38, 10))
           val dec = when(numericPrefix === "" || src.isNull, lit(0))
-            .otherwise(numericPrefix.cast(DecimalType(38, 10)))
+            .otherwise(coalesce(
+              numericPrefix.try_cast(DecimalType(38, 10)), overflowSub))
           val rounded = round(dec, 0)
           val clamped = intRange(mc) match {
             case Some((lo, hi)) =>

@@ -316,6 +316,101 @@ object Ingest {
        | p_retailprice AS p_price
        |FROM part WHERE p_partkey <= $CustKeyCap""".stripMargin
 
+  /** P3 strict SQL_MODE: the same dirty file the lenient query coerces
+    * must make a strict import RAISE (ANSI CAST_INVALID_INPUT — the
+    * reference aborts under sqlmode=on, tests/sqlmode/); the returned
+    * result is the strict import of the clean subset, which the oracle
+    * reproduces by filtering. The query FAILS if strict mode silently
+    * accepts the dirty rows. */
+  def sqlmode_strict(s: SparkSession, dir: String): DataFrame = {
+    val d = scratch("sqlmode_strict_rt")
+    val rows = Tables.load(s, dir, "part")
+      .filter(col("p_partkey") <= CustKeyCap)
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+      .collect()
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val junk = if (r.getLong(0) % 5 == 0) "junk" else ""
+      sb ++= s"${r.getLong(0)},${r.getInt(1)},${r.getDouble(2)}$junk\n"
+    }
+    write(new File(d, "rt.part_strict.csv"), sb.toString)
+    val ddl =
+      """CREATE TABLE `part_strict` (
+        |  `p_partkey` bigint(20) NOT NULL,
+        |  `p_size` int(11) DEFAULT NULL,
+        |  `p_price` double DEFAULT NULL,
+        |  PRIMARY KEY (`p_partkey`)
+        |)""".stripMargin
+    val table = MysqlDdl.parseCreateTable(ddl)
+    val raw = CsvSource.readIndexed(s,
+      Seq(new File(d, "rt.part_strict.csv").getAbsolutePath), CsvConfig(), ncols = 3)
+    val strictAll = SchemaAlign.fromColumns(raw, table.columns.map(_.name),
+      table, SqlMode.Strict)
+    val rejected =
+      // collect, not count: count() would prune the cast projection away
+      // and the strict casts would never evaluate
+      try { strictAll.collect(); false }
+      catch { case e: Throwable =>
+        def chain(t: Throwable): List[Throwable] =
+          if (t == null) Nil else t :: chain(t.getCause)
+        chain(e).exists(t => Option(t.getMessage)
+          .exists(_.contains("CAST_INVALID_INPUT")))
+      }
+    require(rejected, "strict mode accepted malformed numeric input")
+    val clean = raw.filter(pmod(col("c0").cast("long"), lit(5)) =!= 0)
+    SchemaAlign.fromColumns(clean, table.columns.map(_.name), table, SqlMode.Strict)
+  }
+
+  val sqlmode_strict_sql: String =
+    s"""SELECT p_partkey, p_size, p_retailprice AS p_price
+       |FROM part WHERE p_partkey <= $CustKeyCap AND p_partkey % 5 != 0""".stripMargin
+
+  /** P3 ENUM/SET domain checks: invalid ENUM members coerce to '' and
+    * invalid SET members are dropped under lenient mode (MySQL non-strict;
+    * reference tests/sqlmode fixtures); the oracle reproduces both
+    * coercions with CASE/string logic. */
+  def sqlmode_enumset(s: SparkSession, dir: String): DataFrame = {
+    val d = scratch("enumset_rt")
+    val rows = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= CustKeyCap)
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+      .collect()
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      val seg = if (key % 7 == 0) r.getString(1) + "X" else r.getString(1)
+      val members = Seq(
+        if (key % 2 == 0) Some("red") else None,
+        if (key % 3 == 0) Some("green") else None,
+        if (key % 5 == 0) Some("bad") else None).flatten.mkString(",")
+      // quote the SET field: it embeds commas, and an unquoted empty
+      // trailing field would parse as NULL instead of ''
+      sb ++= s"""$key,$seg,"$members"""" + "\n"
+    }
+    write(new File(d, "rt.cust_enum.csv"), sb.toString)
+    val ddl =
+      """CREATE TABLE `cust_enum` (
+        |  `c_custkey` bigint(20) NOT NULL,
+        |  `seg` enum('BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD','FURNITURE') DEFAULT NULL,
+        |  `tags` set('red','green','blue') DEFAULT NULL,
+        |  PRIMARY KEY (`c_custkey`)
+        |)""".stripMargin
+    val table = MysqlDdl.parseCreateTable(ddl)
+    val raw = CsvSource.readIndexed(s,
+      Seq(new File(d, "rt.cust_enum.csv").getAbsolutePath), CsvConfig(), ncols = 3)
+    SchemaAlign.fromColumns(raw, table.columns.map(_.name), table, SqlMode.Lenient)
+  }
+
+  val sqlmode_enumset_sql: String =
+    s"""SELECT c_custkey,
+       | CASE WHEN c_custkey % 7 = 0 THEN '' ELSE c_mktsegment END AS seg,
+       | concat_ws(',',
+       |   CASE WHEN c_custkey % 2 = 0 THEN 'red' END,
+       |   CASE WHEN c_custkey % 3 = 0 THEN 'green' END) AS tags
+       |FROM customer WHERE c_custkey <= $CustKeyCap""".stripMargin
+
   /** P6/K3: bounded multi-row REPLACE statement building (rows-only —
     * statement text, not a relational result). */
   def jdbc_stmts(s: SparkSession, dir: String): DataFrame = {

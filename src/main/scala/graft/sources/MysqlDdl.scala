@@ -22,7 +22,12 @@ final case class MysqlColumn(
     default: Option[String],     // raw default literal (None = no default)
     autoIncrement: Boolean,
     unsigned: Boolean,
-    rawType: String)
+    rawType: String,
+    // ENUM/SET member domain (SURVEY §1.2: StringType + domain check);
+    // None for every other type
+    enumValues: Option[Seq[String]] = None) {
+  def isSet: Boolean = rawType.trim.toLowerCase.startsWith("set")
+}
 
 final case class MysqlTable(
     name: String,
@@ -88,6 +93,20 @@ object MysqlDdl {
        |) USING parquet LOCATION '$location'""".stripMargin
   }
 
+  /** ENUM('a','b') / SET('x','y') member list (doubled-quote unescape);
+    * None for non-enum types. */
+  def enumMembers(typeSpec: String): Option[Seq[String]] = {
+    val t = typeSpec.trim
+    val base = t.toLowerCase.takeWhile(_.isLetter)
+    if (base != "enum" && base != "set") None
+    else {
+      val i = t.indexOf('('); val j = t.lastIndexOf(')')
+      if (i < 0 || j <= i) None
+      else Some("""'((?:[^']|'')*)'""".r.findAllMatchIn(t.substring(i + 1, j))
+        .map(_.group(1).replace("''", "'")).toSeq)
+    }
+  }
+
   private val ColLine =
     """^\s*`([^`]+)`\s+([a-zA-Z]+(?:\([^)]*\))?(?:\s+unsigned)?(?:\s+zerofill)?)(.*)$""".r
   private val PkLine = """(?i)^\s*PRIMARY\s+KEY\s*\(([^)]*)\).*$""".r
@@ -148,7 +167,8 @@ object MysqlDdl {
           Some(MysqlColumn(name, mapType(typeSpec), nullable = !notNull,
             default = default, autoIncrement = autoInc,
             unsigned = typeSpec.toLowerCase.contains("unsigned"),
-            rawType = typeSpec.trim))
+            rawType = typeSpec.trim,
+            enumValues = enumMembers(typeSpec)))
         case _ => None
       }
     }

@@ -112,6 +112,38 @@ class SchemaAlignSpec extends SparkSpec {
       out(2).getString(2) === "dflt" && out(2).isNullAt(3))
   }
 
+  test("lenient: >28-digit numeric prefix clamps instead of ANSI-raising") {
+    val r = one(("9" * 40, "1", "x", "2"), SqlMode.Lenient)
+    assert(r.getByte(0) === 127.toByte) // clamped to tinyint max
+    val neg = one(("-" + "9" * 40, "1", "x", "2"), SqlMode.Lenient)
+    assert(neg.getByte(0) === -128.toByte)
+  }
+
+  test("enum/set domain checks per SQL_MODE") {
+    import spark.implicits._
+    val t = MysqlDdl.parseCreateTable(
+      """CREATE TABLE `e` (
+        |  `seg` enum('A','B') DEFAULT NULL,
+        |  `tags` set('x','y') DEFAULT NULL
+        |)""".stripMargin)
+    assert(t.column("seg").get.enumValues === Some(Seq("A", "B")))
+    assert(t.column("tags").get.enumValues === Some(Seq("x", "y")))
+    def run(seg: String, tags: String, mode: SqlMode) =
+      SchemaAlign.fromColumns(Seq((seg, tags)).toDF("seg", "tags"),
+        Seq("seg", "tags"), t, mode).collect()(0)
+    val ok = run("A", "x,y", SqlMode.Lenient)
+    assert(ok.getString(0) === "A" && ok.getString(1) === "x,y")
+    val bad = run("C", "x,z", SqlMode.Lenient)
+    assert(bad.getString(0) === "") // invalid enum → '' (MySQL non-strict)
+    assert(bad.getString(1) === "x") // invalid set member dropped
+    val e1 = intercept[Throwable] { run("C", "x", SqlMode.Strict) }
+    assert(e1.toString.contains("ENUM") || Option(e1.getCause).exists(_.getMessage.contains("ENUM")) ||
+      e1.getMessage.contains("ENUM"))
+    val e2 = intercept[Throwable] { run("A", "x,z", SqlMode.Strict) }
+    assert(e2.toString.contains("SET") || Option(e2.getCause).exists(_.getMessage.contains("SET")) ||
+      e2.getMessage.contains("SET"))
+  }
+
   test("without kinds a hex value stays the raw digit text (legacy path)") {
     import spark.implicits._
     val binTable = MysqlDdl.parseCreateTable(
