@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Crc64
 import graft.operators.{KvEncode, RowIdAllocator, SchemaAlign, SqlMode}
-import graft.sinks.{CommitLog, ParquetSink, Sink, TableState}
+import graft.sinks.{ChunkState, CommitLog, ParquetSink, Sink, TableState}
 import graft.sources._
 
 /** The end-to-end import pipeline: the Spark restatement of the reference's
@@ -55,7 +55,16 @@ final case class ImportConfig(
     // interpreted); false = count-only observe + columnar re-scan of the
     // written parquet for the checksum (extra read, but both passes stay
     // fully codegen'd). Measured fastest wins per deployment.
-    observeChecksum: Boolean = true)
+    observeChecksum: Boolean = true,
+    // K6 chunk granularity: commit one state per data-file group so a
+    // crashed table resumes from the last finished chunk (reference
+    // checkpoints.go:92-171). Applies to the parquet sink in estimated
+    // row-id mode; exact mode needs a global ordering pass and falls back
+    // to table-level commits.
+    chunkCheckpoints: Boolean = true,
+    // target input bytes per chunk-commit group (the reference's region
+    // size, const.go:23); small tables collapse to one group = one job
+    chunkCommitBytes: Long = 256L * 1024 * 1024)
 
 final case class TableReport(db: String, table: String, rows: Long,
     dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean)
@@ -101,6 +110,9 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         sys.error(s"no schema for ${t.db}.${t.table}: provide a *-schema.sql " +
           "or a schemaCatalog entry (no-schema mode)"))
     }
+    if (cfg.chunkCheckpoints && !cfg.exactRowIds &&
+        theSink.isInstanceOf[ParquetSink])
+      return restoreByChunks(t, table, fp)
     // ONE data pass: parse→align→row-id→sink write, with row count +
     // checksum triple riding along as df.observe metrics (accumulator
     // aggregates — no extra scan, the reference likewise checksums inline
@@ -162,11 +174,91 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     TableReport(t.db, t.table, rows, dcs, dbytes, dkvs, resumedSkip = false)
   }
 
+  /** K6 chunk-granular restore: data files are grouped into ~chunkCommit
+    * Bytes units; each group runs as its own parse→align→row-id→append
+    * job and commits a ChunkState (rows + checksum triple) on success. A
+    * rerun after a crash skips every committed group — chunk reuse is
+    * gated on the whole table's input fingerprint. The table checksum is
+    * the XOR/sum fold of the chunk triples (crc XOR is associative), so
+    * the final TableState equals what a single-shot import would record
+    * and the verify CLI re-scan still matches. */
+  private def restoreByChunks(t: TablePlan, table: MysqlTable,
+      fp: String): TableReport = {
+    val psink = theSink.asInstanceOf[ParquetSink]
+    val done = if (cfg.checkpointEnabled)
+      log.readChunks(t.db, t.table).filter(_._2.tableFp == fp)
+    else Map.empty[String, ChunkState]
+    val outPath = new org.apache.hadoop.fs.Path(psink.tablePath(t.db, t.table))
+    val ofs = outPath.getFileSystem(hconf)
+    if (done.isEmpty) { // fresh import: clear stale output + chunk states
+      if (cfg.checkpointEnabled) log.clearChunks(t.db, t.table)
+      if (ofs.exists(outPath)) ofs.delete(outPath, true)
+    }
+    // group sorted files up to the commit-granularity byte target
+    val groups = {
+      val gs = scala.collection.mutable.ArrayBuffer.empty[Seq[SourceFile]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[SourceFile]
+      var bytes = 0L
+      t.dataFiles.sortBy(_.path).foreach { f =>
+        if (cur.nonEmpty && bytes + f.size > cfg.chunkCommitBytes) {
+          gs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+          bytes = 0L
+        }
+        cur += f; bytes += f.size
+      }
+      if (cur.nonEmpty) gs += cur.toSeq
+      gs.toSeq
+    }
+    val allSizes = t.dataFiles.map(f => (f.path, f.size))
+    val states = groups.map { files =>
+      val chunkId = s"${files.head.path}+${files.size}"
+      done.getOrElse(chunkId, {
+        val aligned = loadAlignedFiles(files, table)
+        val withId = RowIdAllocator.fromFileSizes(aligned, "_src_file",
+          "_row_idx", allSizes, capacityFor = sz => sz + 1)
+        val finalDf = withId.select(
+          (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
+        val obs = org.apache.spark.sql.Observation()
+        val metrics = KvEncode.observeMetrics(table,
+          ImportPipeline.tableId(t.db, t.table), rowIdCol = "_row_id")
+        val observed = finalDf.observe(obs, metrics.head, metrics.tail: _*)
+        psink.writeAppend(observed, t.db, t.table)
+        val m = obs.get
+        def metric(k: String): Long = m.get(k) match {
+          case Some(l: java.lang.Long) => l.longValue
+          case Some(i: java.lang.Integer) => i.longValue
+          case _ => 0L
+        }
+        val cs = ChunkState(t.db, t.table, chunkId, fp, metric("rows"),
+          metric("data_checksum"), metric("data_bytes"), metric("data_kvs"))
+        if (cfg.checkpointEnabled) log.writeChunk(cs)
+        cs
+      })
+    }
+    val rows = states.map(_.rows).sum
+    val dcs = states.map(_.checksum).foldLeft(0L)(_ ^ _)
+    val dbytes = states.map(_.totalBytes).sum
+    val dkvs = states.map(_.totalKvs).sum
+    if (cfg.checkpointEnabled)
+      log.write(TableState(t.db, t.table, "imported", rows, dcs, dbytes,
+        dkvs, fp, cfg.jobTsMicros))
+    if (cfg.registerInCatalog) {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
+      spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table),
+        psink.tablePath(t.db, t.table)))
+    }
+    TableReport(t.db, t.table, rows, dcs, dbytes, dkvs, resumedSkip = false)
+  }
+
   /** Parse + align one table's data files (CSV and SQL shards may mix when
     * routing merges source tables — both land in the declared schema). */
-  private def loadAligned(t: TablePlan, table: MysqlTable): DataFrame = {
-    val sqlFiles = t.dataFiles.filter(_.kind == FileKind.SqlData).map(_.path)
-    val csvFiles = t.dataFiles.filter(_.kind == FileKind.CsvData).map(_.path)
+  private def loadAligned(t: TablePlan, table: MysqlTable): DataFrame =
+    loadAlignedFiles(t.dataFiles, table)
+
+  private def loadAlignedFiles(dataFiles: Seq[SourceFile],
+      table: MysqlTable): DataFrame = {
+    val sqlFiles = dataFiles.filter(_.kind == FileKind.SqlData).map(_.path)
+    val csvFiles = dataFiles.filter(_.kind == FileKind.CsvData).map(_.path)
     val parts = Seq.newBuilder[DataFrame]
     if (sqlFiles.nonEmpty) {
       val raw = SqlDumpSource.readChunked(spark, sqlFiles, cfg.minChunkBytes,

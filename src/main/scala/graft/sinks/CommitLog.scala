@@ -27,12 +27,84 @@ final case class TableState(
     planFingerprint: String,
     jobTsMicros: Long)
 
+/** K6 chunk granularity: one state per data-file chunk, so a table that
+  * dies at 99% resumes from the last committed chunk instead of zero
+  * (reference checkpoints per chunk: (path, offset, rowid, checksum) —
+  * checkpoints.go:92-171, tests/checkpoint_chunks/). `tableFp` pins the
+  * whole table's input fingerprint: chunk reuse is only valid while the
+  * full input set is unchanged. */
+final case class ChunkState(
+    db: String, table: String,
+    chunkId: String, // source data-file path
+    tableFp: String,
+    rows: Long, checksum: Long, totalBytes: Long, totalKvs: Long)
+
 final class CommitLog(outDir: String, conf: Configuration) {
   private val stateDir = new Path(outDir, "_state")
   private def fs: FileSystem = stateDir.getFileSystem(conf)
 
   private def pathFor(db: String, table: String) =
     new Path(stateDir, s"$db.$table.json")
+
+  // one file per chunk: atomic rename per chunk commit, no read-modify-write
+  private def chunkPath(db: String, table: String, chunkId: String) = {
+    val h = f"${graft.functions.Crc64.checksum(chunkId.getBytes("UTF-8"))}%016x"
+    new Path(stateDir, s"$db.$table.chunk.$h.json")
+  }
+
+  def writeChunk(cs: ChunkState): Unit = {
+    fs.mkdirs(stateDir)
+    val dst = chunkPath(cs.db, cs.table, cs.chunkId)
+    val tmp = new Path(stateDir, s".${dst.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(chunkToJson(cs).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  def readChunks(db: String, table: String): Map[String, ChunkState] = {
+    if (!fs.exists(stateDir)) return Map.empty
+    val prefix = s"$db.$table.chunk."
+    fs.listStatus(stateDir).toSeq
+      .filter(st => st.getPath.getName.startsWith(prefix) &&
+        st.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val j = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+        chunkFromJson(j)
+      }
+      .map(cs => cs.chunkId -> cs).toMap
+  }
+
+  def clearChunks(db: String, table: String): Unit = {
+    if (!fs.exists(stateDir)) return
+    val prefix = s"$db.$table.chunk."
+    fs.listStatus(stateDir).toSeq
+      .filter(_.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  private def chunkToJson(s: ChunkState): String = {
+    def q(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"db":${q(s.db)},"table":${q(s.table)},"chunkId":${q(s.chunkId)},""" +
+      s""""tableFp":${q(s.tableFp)},"rows":${s.rows},"checksum":${s.checksum},""" +
+      s""""totalBytes":${s.totalBytes},"totalKvs":${s.totalKvs}}"""
+  }
+
+  private def chunkFromJson(j: String): Option[ChunkState] = {
+    def str(k: String) =
+      (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(j)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    def num(k: String) =
+      (s""""$k":(-?\\d+)""").r.findFirstMatchIn(j).map(_.group(1).toLong)
+    for {
+      db <- str("db"); table <- str("table"); id <- str("chunkId")
+      fp <- str("tableFp"); rows <- num("rows"); cs <- num("checksum")
+      tb <- num("totalBytes"); kvs <- num("totalKvs")
+    } yield ChunkState(db, table, id, fp, rows, cs, tb, kvs)
+  }
 
   def write(st: TableState): Unit = {
     fs.mkdirs(stateDir)

@@ -39,4 +39,17 @@ final class ParquetSink(rootDir: String,
       if (recountRows) df.sparkSession.read.parquet(path).count() else -1L
     WriteResult(s"$db.$table", rows, Some(path))
   }
+
+  /** Chunk-granular write: append into the table directory (part-file
+    * names are job-unique, so chunks never collide). Caller owns clearing
+    * the directory on a fresh import. */
+  def writeAppend(df: DataFrame, db: String, table: String): WriteResult = {
+    val path = s"$rootDir/$db/$table"
+    df.write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+    WriteResult(s"$db.$table", -1L, Some(path))
+  }
+
+  def tablePath(db: String, table: String): String = s"$rootDir/$db/$table"
 }

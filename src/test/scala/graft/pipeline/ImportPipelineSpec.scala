@@ -135,6 +135,55 @@ class ImportPipelineSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, "a", 5), (2, "b", 5), (3, "c", 9), (4, "dv", 5)))
   }
 
+  test("chunk-level resume: crashed table resumes from last committed chunk") {
+    import graft.operators.SqlMode
+    val src = java.nio.file.Files.createTempDirectory("graft-chunk").toFile
+    def writeCsv(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(new java.io.File(src, name).toPath, body)
+    writeCsv("ck.t.0001.csv", (1 to 50).map(i => s"$i,$i.5").mkString("", "\n", "\n"))
+    // second chunk carries a strict-cast poison row → the run dies AFTER
+    // chunk 1 committed
+    writeCsv("ck.t.0002.csv", (51 to 99).map(i => s"$i,$i.5").mkString("", "\n", "") +
+      "\n100,junk\n")
+    val table = graft.sources.MysqlDdl.parseCreateTable(
+      "CREATE TABLE `t` (`id` int(11) NOT NULL, `v` double, PRIMARY KEY (`id`))")
+    val out = freshOut()
+    def cfg(mode: SqlMode) = ImportConfig(sourceDir = src.getAbsolutePath,
+      outDir = out, sqlMode = mode,
+      schemaCatalog = Map(("ck", "t") -> table),
+      chunkCommitBytes = 64) // force one group per file
+    intercept[Throwable] { new ImportPipeline(spark, cfg(SqlMode.Strict)).run() }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val log = new graft.sinks.CommitLog(out, hconf)
+    val committed = log.readChunks("ck", "t")
+    assert(committed.size === 1) // chunk 1 survived the crash
+    val chunk1Files = new java.io.File(s"$out/ck/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(chunk1Files.nonEmpty)
+    // repair the poison row with SAME byte length (fingerprint is
+    // size-based, so chunk 1 stays valid) and rerun
+    writeCsv("ck.t.0002.csv", (51 to 99).map(i => s"$i,$i.5").mkString("", "\n", "") +
+      "\n100,99.5\n")
+    val report = new ImportPipeline(spark, cfg(SqlMode.Strict)).run().head
+    assert(report.rows === 100)
+    // chunk 1's output files were not rewritten
+    val after = new java.io.File(s"$out/ck/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    chunk1Files.foreach { case (name, mtime) =>
+      assert(after.contains(name) && after(name) === mtime,
+        s"chunk-1 file $name was rewritten on resume")
+    }
+    // checksum triple equals a from-scratch import of the repaired inputs
+    val fresh = freshOut()
+    val freshReport = new ImportPipeline(spark,
+      cfg(SqlMode.Strict).copy(outDir = fresh)).run().head
+    assert(report.dataChecksum === freshReport.dataChecksum)
+    assert(report.dataBytes === freshReport.dataBytes)
+    assert(report.dataKvs === freshReport.dataKvs)
+    // and the written rows are complete and distinct
+    assert(spark.read.parquet(s"$out/ck/t").select("id").distinct().count() === 100)
+  }
+
   test("line-based CSV: row ids stable across input split configurations") {
     val src = java.nio.file.Files.createTempDirectory("graft-lx").toFile
     val sb = new StringBuilder
