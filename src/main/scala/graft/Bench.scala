@@ -32,6 +32,21 @@ object Bench {
       println(f"""{"metric":"ingest_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f}""")
       spark.stop(); return
     }
+    if (args.contains("parse-only")) { // dev loop: raw dump-parse throughput
+      val (mib, _) = ingestThroughput(spark, sfDir) // ensures dump exists
+      val root = new File("target", s"bench_dump_v2_${math.abs(sfDir.hashCode)}")
+      val files = new File(root, "dump").listFiles()
+        .filter(f => f.getName.endsWith(".sql") && !f.getName.contains("schema"))
+        .map(_.getAbsolutePath).toSeq
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.sources.SqlDumpSource.readChunked(spark, files,
+          8L * 1024 * 1024).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"metric":"parse_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f}""")
+      spark.stop(); return
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val t0 = System.nanoTime()

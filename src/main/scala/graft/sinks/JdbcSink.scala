@@ -29,7 +29,9 @@ object OnDuplicate {
   */
 final class JdbcSink(url: String, props: java.util.Properties,
     onDup: OnDuplicate = OnDuplicate.Replace,
-    maxStatementBytes: Int = 1 << 20) extends Sink {
+    maxStatementBytes: Int = 1 << 20,
+    maxRetries: Int = 3,
+    backoffMs: Long = 200L) extends Sink {
 
   override def write(df: DataFrame, db: String, table: String): WriteResult = {
     val schema = df.schema
@@ -37,14 +39,13 @@ final class JdbcSink(url: String, props: java.util.Properties,
     val maxBytes = maxStatementBytes
     val jdbcUrl = url
     val p = props
+    val (retries, backoff) = (maxRetries, backoffMs)
     val counted = df.sparkSession.sparkContext.longAccumulator("rows_written")
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val conn = DriverManager.getConnection(jdbcUrl, p)
-        try {
-          JdbcSink.writePartition(conn, verb, db, table, schema, rows, maxBytes,
-            n => counted.add(n))
-        } finally conn.close()
+        JdbcSink.writePartition(() => DriverManager.getConnection(jdbcUrl, p),
+          verb, db, table, schema, rows, maxBytes,
+          n => counted.add(n), retries, backoff)
       }
     }
     WriteResult(s"$db.$table", counted.value, None)
@@ -131,14 +132,68 @@ object JdbcSink {
     }
   }
 
-  private[sinks] def writePartition(conn: Connection, verb: String, db: String,
-      table: String, schema: StructType, rows: Iterator[Row], maxBytes: Int,
-      onRows: Long => Unit): Unit = {
-    val st = conn.createStatement()
+  /** K4: retryable-error taxonomy (reference common/util.go:186-218).
+    * Transient server/connection states retry with backoff; semantic
+    * failures (syntax, constraint, duplicate under OnDuplicate.Error) fail
+    * the statement — retrying those would never converge. */
+  private val RetryableMysqlCodes = Set(
+    1040, // ER_CON_COUNT_ERROR: too many connections
+    1205, // ER_LOCK_WAIT_TIMEOUT
+    1213, // ER_LOCK_DEADLOCK
+    2003, // CR_CONN_HOST_ERROR: can't connect
+    2006, // CR_SERVER_GONE_ERROR
+    2013) // CR_SERVER_LOST: lost connection during query
+  def isRetryable(e: Throwable): Boolean = e match {
+    case _: java.sql.SQLTransientException => true
+    case _: java.sql.SQLRecoverableException => true
+    case _: java.sql.SQLNonTransientException => false
+    case s: java.sql.SQLException =>
+      RetryableMysqlCodes.contains(s.getErrorCode) ||
+        Option(s.getCause).exists(isRetryable)
+    case _: java.net.SocketException => true
+    case _: java.net.SocketTimeoutException => true
+    case _: java.io.EOFException => true
+    case _ => false
+  }
+
+  /** Execute every packed statement, retrying retryable failures up to
+    * `maxRetries` times with exponential backoff and a FRESH connection
+    * (a dead connection is the dominant retryable cause). Statement-level
+    * granularity: an import doesn't lose its partition to one deadlock —
+    * and under REPLACE/IGNORE a replayed statement is idempotent, so
+    * retries never duplicate (OnDuplicate.Error documents the reference's
+    * own caveat: non-idempotent by construction). */
+  private[sinks] def writePartition(connFactory: () => Connection,
+      verb: String, db: String, table: String, schema: StructType,
+      rows: Iterator[Row], maxBytes: Int, onRows: Long => Unit,
+      maxRetries: Int = 3, backoffMs: Long = 200L): Unit = {
+    var conn = connFactory()
+    var st = conn.createStatement()
+    def reconnect(): Unit = {
+      try st.close() catch { case _: Throwable => () }
+      try conn.close() catch { case _: Throwable => () }
+      conn = connFactory()
+      st = conn.createStatement()
+    }
     try {
       buildStatements(verb, db, table, schema, rows, maxBytes).foreach {
-        case (sql, n) => st.execute(sql); onRows(n)
+        case (sql, n) =>
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try { st.execute(sql); done = true }
+            catch {
+              case e: Throwable if isRetryable(e) && attempt < maxRetries =>
+                attempt += 1
+                Thread.sleep(backoffMs * (1L << (attempt - 1)))
+                try reconnect() catch { case _: Throwable => () }
+            }
+          }
+          onRows(n)
       }
-    } finally st.close()
+    } finally {
+      try st.close() catch { case _: Throwable => () }
+      conn.close()
+    }
   }
 }

@@ -38,4 +38,80 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(stmts.size > 10)
     assert(stmts.forall(_._1.length <= 360)) // header + ≥1 tuple may overhang
   }
+
+  test("retryable-error taxonomy (K4)") {
+    def mysqlErr(code: Int) = new java.sql.SQLException("x", "HY000", code)
+    assert(JdbcSink.isRetryable(mysqlErr(1213))) // deadlock
+    assert(JdbcSink.isRetryable(mysqlErr(1205))) // lock wait timeout
+    assert(JdbcSink.isRetryable(mysqlErr(2013))) // lost connection
+    assert(JdbcSink.isRetryable(new java.sql.SQLTransientConnectionException("t")))
+    assert(JdbcSink.isRetryable(new java.net.SocketException("reset")))
+    assert(!JdbcSink.isRetryable(mysqlErr(1062))) // duplicate key: semantic
+    assert(!JdbcSink.isRetryable(mysqlErr(1064))) // syntax error
+    assert(!JdbcSink.isRetryable(new java.sql.SQLSyntaxErrorException("s")))
+  }
+
+  test("statement retry survives transient failures, fails hard errors") {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    // a Connection/Statement pair that fails the first N executes
+    var failures = 2
+    var executed = List.empty[String]
+    def statement(): java.sql.Statement = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "execute" =>
+              if (failures > 0) { failures -= 1
+                throw new java.sql.SQLException("deadlock", "40001", 1213) }
+              executed ::= args(0).asInstanceOf[String]
+              java.lang.Boolean.TRUE
+            case "close" => null
+            case _ => null
+          }
+      }).asInstanceOf[java.sql.Statement]
+    def connection(): java.sql.Connection = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "createStatement" => statement()
+            case "close" => null
+            case _ => null
+          }
+      }).asInstanceOf[java.sql.Connection]
+    val rows = Iterator(Row(1L, "a", 1.0, null))
+    var n = 0L
+    JdbcSink.writePartition(() => connection(), "REPLACE INTO", "db", "t",
+      schema, rows, 1 << 20, c => n += c, maxRetries = 3, backoffMs = 1L)
+    assert(n === 1L && executed.size === 1) // succeeded on 3rd attempt
+    // hard (semantic) error propagates without retry
+    failures = 0
+    var hardCalls = 0
+    def hardStatement(): java.sql.Statement = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "execute" => hardCalls += 1
+              throw new java.sql.SQLException("dup", "23000", 1062)
+            case _ => null
+          }
+      }).asInstanceOf[java.sql.Statement]
+    def hardConnection(): java.sql.Connection = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "createStatement" => hardStatement()
+            case _ => null
+          }
+      }).asInstanceOf[java.sql.Connection]
+    val e = intercept[java.sql.SQLException] {
+      JdbcSink.writePartition(() => hardConnection(), "INSERT INTO", "db", "t",
+        schema, Iterator(Row(2L, "b", 1.0, null)), 1 << 20, _ => (),
+        maxRetries = 3, backoffMs = 1L)
+    }
+    assert(e.getErrorCode === 1062 && hardCalls === 1)
+  }
 }
