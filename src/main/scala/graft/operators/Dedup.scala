@@ -49,12 +49,16 @@ object Dedup {
       .drop("_rn")
   }
 
-  /** Character k-shingles (distinct) of a pre-materialized normalized
-    * column. `norm` MUST be an attribute (see PERF INVARIANT above). */
-  def shinglesOf(norm: Column, k: Int = 5): Column =
+  /** Character k-shingles (distinct) of a PRE-MATERIALIZED char-array
+    * column (`split(norm, "")` behind an exchange barrier). `chars` MUST
+    * be an attribute: an expression here would sit inside the transform
+    * lambda and re-evaluate once per shingle — the quadratic trap the
+    * PERF INVARIANT above describes. Array slices are O(k) where
+    * `UTF8String.substr` is O(position). */
+  def shinglesOfChars(chars: Column, k: Int = 5): Column =
     array_distinct(
-      transform(sequence(lit(0), greatest(length(norm) - k, lit(0))),
-        i => norm.substr(i + 1, lit(k))))
+      transform(sequence(lit(0), greatest(size(chars) - k, lit(0))),
+        i => array_join(slice(chars, i + lit(1), lit(k)), "")))
 
   /** MinHash signature: for each of `numHashes` hash functions h_j, the
     * minimum over shingles of xxhash64(shingle, j). One narrow pass. */

