@@ -105,8 +105,11 @@ object Curation {
     * path. */
   def dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    // persisted: exactJaccardPairs reads `pairs` from two branches and
+    // `grams` from three — without the cache each branch re-runs the whole
+    // SimHash / tokenization lineage
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").persist()
     // token array materialized behind an exchange barrier: withColumn is
     // NOT a barrier, and an inlined tokensOf would re-run its splits once
     // per bigram inside the gramsOf lambda
@@ -115,6 +118,7 @@ object Curation {
         Dedup.tokensOf(Dedup.normalized(col("text"))).as("_toks"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), Dedup.gramsOf(col("_toks"), 2).as("_grams"))
+      .persist()
     Dedup.exactJaccardPairs(pairs, grams)
       .withColumn("bigram_jaccard", round(col("jaccard"), 6))
       .filter(col("bigram_jaccard") >= 0.2)
