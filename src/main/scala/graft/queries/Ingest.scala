@@ -70,7 +70,8 @@ object Ingest {
     val table = MysqlDdl.parseCreateTable(ddl)
     val files = d.listFiles().filter(_.getName.matches("rt\\.orders_rt\\.\\d+\\.sql"))
       .map(_.getAbsolutePath).toSeq.sorted
-    val raw = SqlDumpSource.read(s, files)
+    // through the DataSource V2 seam — same frame as SqlDumpSource.read
+    val raw = s.read.format("sqldump").load(files: _*)
     val aligned = SchemaAlign.fromArray(raw, col("vals"),
       Some(table.columns.map(_.name)), table, SqlMode.Lenient,
       keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")))

@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** §2.8: the INSERT-dump parser as a first-class DataSource V2 format —
+  * `spark.read.format("sqldump").load(dir or files…)` yields the same
+  * (src_file, row_idx, stmt_cols, vals, kinds) frame as
+  * `SqlDumpSource.readChunked`, with one input partition per
+  * statement-aligned byte chunk. Options: `charset` (UTF-8 | GB18030 |
+  * binary | auto, default UTF-8), `minChunkBytes` (split threshold,
+  * default 256 MiB).
+  *
+  * Chunk planning (the skim for `;` boundaries) runs driver-side on a
+  * small thread pool — the same planning I/O `readChunked` does in a
+  * Spark job; the parallel re-read afterwards is the part that scales
+  * (reference split planning: parser.go:504-535).
+  */
+final class SqlDumpDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sqldump"
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SqlDumpSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SqlDumpTable(new CaseInsensitiveStringMap(properties))
+}
+
+private final class SqlDumpTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "sqldump"
+  override def schema(): StructType = SqlDumpSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(o.asCaseSensitiveMap())
+    new SqlDumpScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private final class SqlDumpScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = SqlDumpSource.schema
+  override def toBatch: Batch = this
+
+  private def paths: Seq[String] = {
+    val fromPaths = Option(options.get("paths")).map { js =>
+      // DataFrameReader.load(paths: _*) passes a JSON string array
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(js)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }.getOrElse(Nil)
+    val fromPath = Option(options.get("path")).toSeq
+    val roots = (fromPaths ++ fromPath).distinct
+    require(roots.nonEmpty, "sqldump: no path given")
+    // expand directories to their .sql files
+    val conf = new Configuration()
+    roots.flatMap { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      val fs = p.getFileSystem(conf)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .map(_.getPath.toString).filter(_.endsWith(".sql")).sorted
+      else Seq(r)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val charset = Option(options.get("charset")).getOrElse("UTF-8")
+    val minChunk = Option(options.get("minChunkBytes")).map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+    val sorted = paths
+    // skim files for split points on a bounded driver-side pool
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, sorted.size)))
+    try {
+      val futures = sorted.map { path =>
+        pool.submit(new java.util.concurrent.Callable[Seq[SqlDumpSource.DumpChunk]] {
+          override def call(): Seq[SqlDumpSource.DumpChunk] =
+            SqlDumpSource.planChunksForCharset(path, new Configuration(),
+              minChunk, charset)
+        })
+      }
+      futures.flatMap(_.get()).map(ch =>
+        SqlDumpInputPartition(ch.path, ch.start, ch.end, ch.baseRow, charset)
+          : InputPartition).toArray
+    } finally pool.shutdown()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SqlDumpReaderFactory
+}
+
+private final case class SqlDumpInputPartition(path: String, start: Long,
+    end: Long, baseRow: Long, charset: String) extends InputPartition
+
+private final class SqlDumpReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SqlDumpInputPartition]
+    new SqlDumpPartitionReader(p)
+  }
+}
+
+private final class SqlDumpPartitionReader(p: SqlDumpInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val rows = SqlDumpSource.parseChunk(
+    SqlDumpSource.DumpChunk(p.path, p.start, p.end, p.baseRow),
+    new Configuration(), p.charset)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) {
+      val r = rows.next()
+      current = InternalRow(
+        UTF8String.fromString(r.getString(0)),
+        r.getLong(1),
+        Option(r.get(2)).map(_ => new GenericArrayData(
+          r.getSeq[String](2).map(UTF8String.fromString).toArray[Any])).orNull,
+        new GenericArrayData(r.getSeq[String](3)
+          .map(s => if (s == null) null else UTF8String.fromString(s)).toArray[Any]),
+        new GenericArrayData(r.getSeq[Int](4).toArray[Any]))
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

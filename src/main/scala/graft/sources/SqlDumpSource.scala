@@ -201,37 +201,46 @@ object SqlDumpSource {
     }
     val chunks = spark.sparkContext
       .parallelize(sorted, math.max(1, sorted.size))
-      .flatMap { path =>
-        val conf = mkConf()
-        val p = new Path(path)
-        val cs = resolveCharset(p, p.getFileSystem(conf), charset)
-        if (byteTransparent(cs)) planChunks(path, conf, minChunkBytes)
-        else Seq(DumpChunk(path, 0L, Long.MaxValue, 0L)) // stream-decoded
-      }
+      .flatMap(path => planChunksForCharset(path, mkConf(), minChunkBytes, charset))
       .collect().toSeq
     val rdd = spark.sparkContext
       .parallelize(chunks, math.max(1, chunks.size))
-      .flatMap { ch =>
-        val conf = mkConf()
-        val p = new Path(ch.path)
-        val fs = p.getFileSystem(conf)
-        val cs = resolveCharset(p, fs, charset)
-        if (byteTransparent(cs)) {
-          val stream = fs.open(p)
-          stream.seek(ch.start)
-          val in = new BufferedReader(
-            new java.io.InputStreamReader(stream, StandardCharsets.ISO_8859_1),
-            64 * 1024)
-          val recode: String => String =
-            if (cs.toLowerCase.startsWith("utf")) utf8Recode else identity
-          parseReader(ch.path, in, stopAfterByte = ch.end - ch.start,
-            recode = recode)
-            .map(r => Row(r.get(0), ch.baseRow + r.getLong(1), r.get(2), r.get(3), r.get(4)))
-        } else {
-          parseFile(ch.path, conf, cs)
-        }
-      }
+      .flatMap(ch => parseChunk(ch, mkConf(), charset))
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Charset-aware chunk planning: byte-transparent charsets split on
+    * statement boundaries, stream-decoded ones (GB18030) get one chunk
+    * per file. */
+  def planChunksForCharset(path: String, conf: Configuration,
+      minChunkBytes: Long, charset: String): Seq[DumpChunk] = {
+    val p = new Path(path)
+    val cs = resolveCharset(p, p.getFileSystem(conf), charset)
+    if (byteTransparent(cs)) planChunks(path, conf, minChunkBytes)
+    else Seq(DumpChunk(path, 0L, Long.MaxValue, 0L)) // stream-decoded
+  }
+
+  /** Parse one planned chunk (byte-exact seek for transparent charsets,
+    * whole-file decode otherwise). Row indexes carry the chunk's base. */
+  def parseChunk(ch: DumpChunk, conf: Configuration,
+      charset: String): Iterator[Row] = {
+    val p = new Path(ch.path)
+    val fs = p.getFileSystem(conf)
+    val cs = resolveCharset(p, fs, charset)
+    if (byteTransparent(cs)) {
+      val stream = fs.open(p)
+      stream.seek(ch.start)
+      val in = new BufferedReader(
+        new java.io.InputStreamReader(stream, StandardCharsets.ISO_8859_1),
+        64 * 1024)
+      val recode: String => String =
+        if (cs.toLowerCase.startsWith("utf")) utf8Recode else identity
+      parseReader(ch.path, in, stopAfterByte = ch.end - ch.start,
+        recode = recode)
+        .map(r => Row(r.get(0), ch.baseRow + r.getLong(1), r.get(2), r.get(3), r.get(4)))
+    } else {
+      parseFile(ch.path, conf, cs)
+    }
   }
 
   /** Statement-boundary bookkeeping for the skim pass (thread-local: the

@@ -134,6 +134,30 @@ class SqlDumpSourceSpec extends SparkSpec {
       whole.map(r => (r.getLong(1), r.getSeq[String](3).toList)).toSeq)
   }
 
+  test("DataSource V2: spark.read.format(\"sqldump\") matches readChunked") {
+    val tmp = java.nio.file.Files.createTempDirectory("sqldsv2").toFile
+    val f = new java.io.File(tmp, "d.v2.sql")
+    val sb = new StringBuilder
+    (0 until 100).foreach { i =>
+      sb ++= s"INSERT INTO t VALUES ($i,'v$i'),(${i + 1000},'中文$i');\n"
+    }
+    java.nio.file.Files.writeString(f.toPath, sb.toString)
+    val viaFormat = spark.read.format("sqldump")
+      .option("minChunkBytes", "800")
+      .load(f.getAbsolutePath)
+    assert(viaFormat.schema === SqlDumpSource.schema)
+    assert(viaFormat.rdd.getNumPartitions > 1) // chunk-split partitions
+    val got = viaFormat.collect()
+      .map(r => (r.getLong(1), r.getSeq[String](3).toList)).sortBy(_._1)
+    val exp = SqlDumpSource.readChunked(spark, Seq(f.getAbsolutePath),
+      minChunkBytes = 800).collect()
+      .map(r => (r.getLong(1), r.getSeq[String](3).toList)).sortBy(_._1)
+    assert(got.toSeq === exp.toSeq)
+    // directory load expands to .sql files
+    val viaDir = spark.read.format("sqldump").load(tmp.getAbsolutePath)
+    assert(viaDir.count() === 200)
+  }
+
   test("distributed read over fixture shards") {
     val paths = Seq(fixture("mydump/mdb.items.1.sql"), fixture("mydump/mdb.items.2.sql"))
     val df = SqlDumpSource.read(spark, paths)
