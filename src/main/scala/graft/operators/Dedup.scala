@@ -243,9 +243,12 @@ object Dedup {
 
   /** Embedding near-dup: all pairs with cosine ≥ threshold, bucketed by
     * random-hyperplane LSH so the join is bucket-local (scale path; brute
-    * force would be N²). */
+    * force would be N²). `tables` independent plane families OR-amplify
+    * recall (1−(1−p)^T at ~T× candidate cost) — the standard knob when a
+    * single bucketing misses near-boundary pairs. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-      planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+      planes: Int = 8, threshold: Double = 0.95,
+      tables: Int = 1): DataFrame = {
     // L2-normalize each vector once (above the barrier), so per-pair
     // verification is a bare dot product; unrolled to stay codegen'd on
     // the O(candidate-pairs) hot path.
@@ -253,14 +256,24 @@ object Dedup {
     // vectors become `dim` FLAT pre-normalized double columns through the
     // bucket join (array element_at chains drop out of whole-stage codegen
     // — same lesson as minhashPairs); cosine is then one unrolled
-    // multiply-add chain over flat columns per candidate pair.
-    val withB = df
+    // multiply-add chain over flat columns per candidate pair. Each plane
+    // family's bucket is table*2^planes + sketch — one PLAIN long join key.
+    // The bucket array is computed BELOW the exchange barrier and exploded
+    // ABOVE it: fusing Generate with the sketch+division projections made
+    // janino's local-variable maps blow the heap (codegen class too large).
+    val flat = df
       .withColumn("_n", sqrt(Similarity.dotUnrolled(col(vecCol), col(vecCol), dim)))
-      .withColumn("_bucket", Similarity.hyperplaneSketch(col(vecCol), planes))
-      .select(col(idCol).as("_id") +: col("_bucket") +:
+      .select(col(idCol).as("_id") +:
+        array((0 until tables).map(t =>
+          lit(t.toLong << planes) +
+            Similarity.hyperplaneSketch(col(vecCol), planes, t)): _*)
+          .as("_buckets") +:
         (0 until dim).map(i =>
           (element_at(col(vecCol), i + 1).cast("double") / col("_n")).as(s"_e$i")): _*)
-      .repartition(col("_id")) // barrier: sketch + norm computed once
+      .repartition(col("_id")) // barrier: sketches + norm computed once
+    val withB = flat.select(
+      col("_id") +: explode(col("_buckets")).as("_bucket") +:
+        (0 until dim).map(i => col(s"_e$i")): _*)
     val l = withB.select(col("_id").as("id_a") +: col("_bucket") +:
       (0 until dim).map(i => col(s"_e$i").as(s"ea_$i")): _*)
       .alias("l")
@@ -273,5 +286,6 @@ object Dedup {
       .withColumn("cosine", cosine)
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
   }
 }

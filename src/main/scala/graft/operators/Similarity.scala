@@ -44,14 +44,16 @@ object Similarity {
   /** Random-hyperplane sketch: `planes` sign bits packed into a long.
     * Hyperplane p's component for dimension i is a deterministic pseudo-
     * random ±1 derived from xxhash64(p, i) — reproducible on any cluster,
-    * no broadcast of plane matrices needed. */
-  def hyperplaneSketch(vec: Column, planes: Int = 8): Column =
+    * no broadcast of plane matrices needed. `seed` selects an independent
+    * plane family (for OR-amplified multi-table LSH). */
+  def hyperplaneSketch(vec: Column, planes: Int = 8, seed: Int = 0): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
         val proj = aggregate(
           zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
             x.cast("double") *
-              when(pmod(xxhash64(p, i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+              when(pmod(xxhash64(p + lit(seed * planes), i), lit(2)) === 0,
+                lit(1.0)).otherwise(lit(-1.0))),
           lit(0.0), (acc, v) => acc + v)
         when(proj >= 0, lit(1L)).otherwise(lit(0L))
       }),

@@ -198,7 +198,7 @@ object Curation {
     * Before returning, the LSH miner runs on the same slice and the query
     * FAILS unless (a) every LSH pair is in the brute-force set — LSH only
     * prunes, never invents — and (b) recall ≥ 0.05, the pinned floor for
-    * 3-plane single-probe bucketing (expected ≈ (1−θ/π)³ ≈ 0.2 at the
+    * 3-plane 2-table bucketing (expected ≈ 1−(1−(1−θ/π)³)² ≈ 0.36 at the
     * 0.25 threshold). */
   def dedup_embed_verify(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
@@ -221,7 +221,7 @@ object Curation {
       .persist()
     val brute = allPairs.filter(col("cosine") >= 0.25)
     val lsh = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
-      planes = 3, threshold = 0.25).select("id_a", "id_b")
+      planes = 3, threshold = 0.25, tables = 2).select("id_a", "id_b")
       .persist()
     // materialize the two cached frames through their OWN small plans
     // first: the anti-join then compiles against InMemoryRelation scans
@@ -245,10 +245,11 @@ object Curation {
 
   /** Embedding cosine near-dup pairs via hyperplane LSH (rows-only).
     * Threshold sized for random synthetic vectors (cos ~ N(0, 1/8)): 0.25
-    * ≈ 2σ keeps the result non-empty at every sf while still selective. */
+    * ≈ 2σ keeps the result non-empty at every sf while still selective.
+    * Two OR-amplified tables ≈ doubles recall at ~2× candidate cost. */
   def dedup_embed(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"),
-      "embedding", "vec_id", planes = 3, threshold = 0.25)
+      "embedding", "vec_id", planes = 3, threshold = 0.25, tables = 2)
       .orderBy("id_a", "id_b")
 
   /** Brute-force cosine top-k vs vec_id=0's embedding — hash-matched via
