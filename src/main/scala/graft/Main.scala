@@ -29,12 +29,24 @@ object Main {
       case "checkpoint-dump" => checkpointDump(opts)
       case "checkpoint-remove" => checkpointRemove(opts)
       case "verify" => doVerify(opts)
+      case "serve" => doServe(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
   }
 
+  /** Server mode (reference lightning.go:149-167): long-running HTTP task
+    * queue — POST /tasks enqueues imports, one worker drains them. */
+  private def doServe(o: Map[String, List[String]]): Unit = {
+    val port = o("port").headOption.map(_.toInt).getOrElse(8289)
+    val spark = session()
+    val srv = new graft.pipeline.TaskServer(spark, port)
+    val bound = srv.start()
+    println(s"graft task server listening on :$bound (POST /tasks, GET /tasks)")
+    Thread.currentThread().join() // serve until killed
+  }
+
   private def usage(): Unit =
-    System.err.println("usage: graft.Main import|checkpoint-dump|checkpoint-remove|verify --source DIR --out DIR [opts]")
+    System.err.println("usage: graft.Main import|checkpoint-dump|checkpoint-remove|verify|serve --source DIR --out DIR [opts]")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
