@@ -275,21 +275,18 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     if (csvFiles.nonEmpty) {
       val ncols = table.columns.size
       if (cfg.csv.multiLine) {
-        // quoted-newline quirk: univocity whole-file parse (non-splittable,
-        // so one task per file and in-task order IS file order)
-        val raw = CsvSource.read(spark, csvFiles, cfg.csv, ncols)
+        // quoted-newline quirk: whole-file univocity parse, one task per
+        // file, with a dense deterministic (src_file, row_idx) from the
+        // parser itself — no window, no monotonically_increasing_id
+        val raw = CsvSource.readWholeFileIndexed(spark, csvFiles, cfg.csv, ncols)
         val fileCols =
-          if (cfg.csv.header) raw.columns.toSeq // header names the columns
+          if (cfg.csv.header)
+            CsvSource.headerNames(spark, csvFiles.min, cfg.csv, ncols)
           else table.columns.map(_.name) // positional = declared order
-        val withMeta = raw
-          .withColumn("_src_file", input_file_name())
-          .withColumn("_row_idx",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy(input_file_name())
-              .orderBy(monotonically_increasing_id())).cast("long") - 1)
-        parts += SchemaAlign.fromColumns(withMeta, fileCols, table,
+        parts += SchemaAlign.fromColumns(raw, fileCols, table,
           cfg.sqlMode, cfg.jobTsMicros,
-          keep = Seq(col("_src_file"), col("_row_idx")),
+          keep = Seq(col("src_file").as("_src_file"),
+            col("row_idx").as("_row_idx")),
           valueCharset = cfg.csv.charset)
       } else {
         // default: splittable line-based read; the per-row handle is the

@@ -70,6 +70,23 @@ class CsvSourceSpec extends SparkSpec {
     } finally hc.unset(key)
   }
 
+  test("readWholeFileIndexed: multiline quirks + dense deterministic index") {
+    val df = CsvSource.readWholeFileIndexed(spark,
+      Seq(fixture("mydump/mdb.people.csv")), CsvConfig(multiLine = true), ncols = 8)
+    val rows = df.collect().sortBy(_.getLong(9))
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(9)).toSeq === Seq(0L, 1L, 2L)) // dense per file
+    val r1 = rows(0)
+    assert(r1.getString(1) === "Alice")
+    assert(r1.getString(7) === "hello, \"world\"")
+    val r2 = rows(1)
+    assert(r2.getString(1) === "Bob \"the builder\"")
+    assert(r2.isNullAt(2)) // \N
+    assert(r2.getString(7) === "line1\nline2") // quoted newline
+    val r3 = rows(2)
+    assert(r3.getString(1) === "") // quoted empty ≠ NULL
+  }
+
   test("trim-last-separator drops phantom trailing column") {
     val tmp = java.nio.file.Files.createTempDirectory("csvsrc").toFile
     val f = new java.io.File(tmp, "d.t.csv")
