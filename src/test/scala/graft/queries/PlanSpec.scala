@@ -56,6 +56,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables co-locate the fact join: no exchange on either side") {
+    import graft.util.Tables
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("planspec-wh")
+    spark.sql("CREATE DATABASE IF NOT EXISTS plan_bkt")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // tiny test tables would broadcast; disable so the plan shows the
+    // bucket-co-location SMJ a 100 TB fact-fact join would use
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the 100 TB pattern: persist both fact tables bucketed by the join
+      // key; the join then needs no shuffle at all (only a local sort)
+      Tables.load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li_b").mode("overwrite")
+        .saveAsTable("plan_bkt.li_b")
+      Tables.load(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord_b").mode("overwrite")
+        .saveAsTable("plan_bkt.ord_b")
+      val joined = spark.table("plan_bkt.li_b")
+        .join(spark.table("plan_bkt.ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("l_quantity").as("qty"))
+      val p = joined.queryExecution.executedPlan.toString
+      // SortMergeJoin directly over the bucketed scans — zero Exchange
+      // below the join (the single exchange allowed is the final groupBy)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+      val belowJoin = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!belowJoin.contains("Exchange"),
+        s"bucketed join still shuffles:\n$belowJoin")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS plan_bkt.li_b")
+      spark.sql("DROP TABLE IF EXISTS plan_bkt.ord_b")
+      spark.sql("DROP DATABASE IF EXISTS plan_bkt")
+    }
+  }
+
   test("import pipeline scan: dump parse fuses into one codegen stage") {
     // the aligned projection (permute+cast+row-id) must be a narrow chain:
     // no Exchange between the parse RDD scan and the final projection
