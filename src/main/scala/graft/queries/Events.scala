@@ -30,6 +30,21 @@ object Events {
       | CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Streaming dedup: planted duplicate events collapse via watermarked
+    * dropDuplicates; the aggregate of the deduped stream equals the batch
+    * aggregate of the raw table. */
+  def q_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream", s"cp_dedup_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    EventStream.dedupedCounts(s, s"$dir/events.parquet", cp.getAbsolutePath)
+      .orderBy("event_type")
+  }
+
+  val q_stream_dedup_sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Gap-based sessionization (flatMapGroupsWithState). Values are summed
     * as integer millis so accumulation order cannot matter. */
   def q_sessionize(s: SparkSession, dir: String): DataFrame = {

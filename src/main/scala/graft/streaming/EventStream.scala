@@ -70,6 +70,39 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` on the event key
+    * — the streaming half of the dedup family. Duplicates are PLANTED
+    * (every event_id % 10 == 0 row appears twice in the source dir) and
+    * must collapse back to the original set, which the batch oracle
+    * reproduces by aggregating the raw table. State is bounded by the
+    * watermark (at scale: RocksDB state store + eviction); AvailableNow +
+    * Append drain the whole directory deterministically. */
+  def dedupedCounts(spark: SparkSession, srcParquet: String,
+      checkpointDir: String): DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+    val queryName = s"graft_dedup_${math.abs(srcParquet.hashCode)}"
+    val dupDir = new File(new File(checkpointDir).getParentFile,
+      s"dup_${math.abs(srcParquet.hashCode)}")
+    base.union(base.filter(pmod(col("event_id"), lit(10)) === 0))
+      .coalesce(4).write.mode("overwrite").parquet(dupDir.getAbsolutePath)
+    val deduped = spark.readStream.schema(base.schema)
+      .parquet(dupDir.getAbsolutePath)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 minute")
+      .dropDuplicates("event_id")
+    val q = deduped.select("event_id", "event_type", "value").writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,8)")).cast("double").as("total_value"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
   final case class SessionAcc(count: Int, start: Long, last: Long, value: Double)
   final case class SessionOut(user_id: Long, session_start_us: Long,
