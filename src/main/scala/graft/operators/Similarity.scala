@@ -59,6 +59,42 @@ object Similarity {
       }),
       lit(0L), (acc, bit) => acc * 2 + bit)
 
+  /** IVF (inverted-file) ANN: k-means cells instead of hyperplane buckets —
+    * the other classic scale path. The corpus is clustered once (nlist
+    * cells, fixed seed), each probe scans only the `nprobe` cells whose
+    * centroids are nearest the query: 1000 executors scan nprobe/nlist of
+    * 100 TB. Returns (cell assignment model cost O(n·nlist·dim), probe
+    * cost O(n·nprobe/nlist·dim)). Data-adaptive where hyperplane LSH is
+    * oblivious — higher recall on clustered corpora at the price of the
+    * training pass. */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("_fv",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("_fv").setPredictionCol("_cell")
+      .fit(feat)
+    val assigned = model.transform(feat)
+    // nearest nprobe centroids to the query (driver-side: nlist × dim)
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        val d = query.indices.map(j => {
+          val diff = arr(j) - query(j); diff * diff
+        }).sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("_cell").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 9).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against a literal query vector. */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame = {

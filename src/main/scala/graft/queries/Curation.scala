@@ -282,6 +282,33 @@ object Curation {
       "embedding", "vec_id", q, k = 10, planes = 4)
   }
 
+  /** IVF-bucketed ANN (rows-only): k-means cells, nprobe-of-nlist probe.
+    * Internally FAILS unless the query's own vector (left in the corpus)
+    * is retrieved at rank 1 with score 1.0 — its cell is by definition
+    * probed — and recall@10 vs brute force ≥ 0.3 (nearest-4-of-16-cells
+    * typically captures most true neighbors even on unclustered random
+    * vectors). */
+  def ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).map(_.toDouble)
+    val self = Similarity.ivfTopK(emb, "embedding", "vec_id", q,
+      k = 1, nlist = 16, nprobe = 4).collect()(0)
+    require(self.getAs[Number](0).longValue == 0L &&
+      self.getDouble(1) >= 1.0 - 1e-9, s"IVF self-retrieval failed: $self")
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val brute10 = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 10)
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    val ivf10 = Similarity.ivfTopK(rest, "embedding", "vec_id", q, 10,
+      nlist = 16, nprobe = 4)
+    val hits = ivf10.collect()
+    val recall = brute10.intersect(
+      hits.map(_.getAs[Number](0).longValue).toSet).size / 10.0
+    require(recall >= 0.3, f"IVF recall@10 $recall%.2f below pinned 0.3 floor")
+    ivf10
+  }
+
   /** ANN-LSH verification (hash-matched on its deterministic invariants):
     * with the query vector's own row left in the corpus, multi-probe LSH
     * must retrieve it at rank 1 with score 1.0 — an identical vector
