@@ -22,25 +22,31 @@ object Analytics {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(30,8)")).cast("double")
 
+  /** Exact decimal sum kept AS DECIMAL: converting an 18-significant-digit
+    * decimal sum to double is where engines diverge (DuckDB's int128 →
+    * double conversion double-rounds, 1 ulp off at ≥1e9 magnitudes — seen
+    * at sf0.1). The decimal itself is bit-exact cross-engine. */
+  private def dsumDec(c: Column): Column = sum(c.cast("decimal(30,8)"))
+
   def q1_agg(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        dsumDec(col("l_quantity")).as("sum_qty"),
+        dsumDec(col("l_extendedprice")).as("sum_base_price"),
+        dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
   }
 
   val q1_sql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
-      | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+      | SUM(CAST(l_quantity AS DECIMAL(30,8))) AS sum_qty,
+      | SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS sum_base_price,
+      | SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS sum_disc_price,
+      | SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))) AS sum_charge,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS avg_qty,
       | COUNT(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
