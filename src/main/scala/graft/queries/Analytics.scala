@@ -103,12 +103,14 @@ object Analytics {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      // DECIMAL kept: per-nation revenue reaches the 2^53-unscaled-digits
+      // boundary at sf0.1 where decimal→double conversion diverges by 1 ulp
+      .agg(dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
   val q5_sql: String =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+      | SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
