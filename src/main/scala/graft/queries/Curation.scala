@@ -119,11 +119,14 @@ object Curation {
       .repartition(col("doc_id"))
       .select(col("doc_id"), Dedup.gramsOf(col("_toks"), 2).as("_grams"))
       .persist()
-    Dedup.exactJaccardPairs(pairs, grams)
+    val result = Dedup.exactJaccardPairs(pairs, grams)
       .withColumn("bigram_jaccard", round(col("jaccard"), 6))
       .filter(col("bigram_jaccard") >= 0.2)
       .select("id_a", "id_b", "bigram_jaccard")
       .orderBy("id_a", "id_b")
+    val local = s.createDataFrame(result.collectAsList(), result.schema)
+    pairs.unpersist(); grams.unpersist()
+    local
   }
 
   /** MinHash estimator verification (hash-matched): exact char-5-shingle
@@ -173,8 +176,14 @@ object Curation {
       .collect()(0)
     require(err.getDouble(0) <= 0.45 && err.getDouble(1) <= 0.15,
       f"minhash estimator out of band: max=${err.getDouble(0)}%.3f avg=${err.getDouble(1)}%.3f")
-    exact.select(col("id_a"), col("id_b"),
+    val result = exact.select(col("id_a"), col("id_b"),
       round(col("jaccard"), 6).as("shingle_jaccard"))
+    // localize the small result and release the caches: the gate writes
+    // the returned frame AFTER this function, and an evicted cache would
+    // silently re-run the whole shingle join
+    val local = s.createDataFrame(result.collectAsList(), result.schema)
+    exact.unpersist(); grams.unpersist()
+    local
   }
 
   val dedup_minhash_verify_sql: String =
@@ -231,7 +240,11 @@ object Curation {
     require(nViol == 0, s"LSH produced $nViol pairs missing from brute force")
     require(nBrute == 0 || nLsh.toDouble / nBrute >= 0.05,
       f"LSH recall ${nLsh.toDouble / nBrute}%.3f below pinned 0.05 floor")
-    brute
+    // localize + release: an evicted cache would re-run the N² join when
+    // the gate writes the result
+    val local = s.createDataFrame(brute.collectAsList(), brute.schema)
+    allPairs.unpersist(); lsh.unpersist()
+    local
   }
 
   val dedup_embed_verify_sql: String =
