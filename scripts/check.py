@@ -4,6 +4,15 @@
 over the same sf parquet tables, compare row count / schema / values
 (rows sorted, columns sorted by name). Usage:
   python3 scripts/check.py <sfDir> <outDir>
+
+CAVEAT: this is an UNDER-approximation of the driver's gate. The driver
+converts both sides to pandas floats and hashes those; this script compares
+canonical strings. A decimal/oversized-double column can pass here (string
+equal) yet hash-FAIL in the driver (decimal->float64 diverges by 1 ulp past
+2^53 unscaled — DuckDB int128->double double-rounds, pyarrow rounds
+correctly). Rule: never emit DECIMAL columns or doubles with >=16
+significant digits; round(sum,2)::DOUBLE on both sides. Binary columns
+crash the driver's pandas sort (bytearray unhashable) — emit hex() strings.
 """
 import sys, os, json, math
 import duckdb

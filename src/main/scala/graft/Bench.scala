@@ -48,20 +48,31 @@ object Bench {
       spark.stop(); return
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // a crashed query must be visible in the JSON line, not silently folded
+    // into a plausible-looking time — failures land in an "errors" object
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (ingestMib, ingestSec) = ingestThroughput(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"n_errors":${errors.size},""" +
       s""""ingest_mib":$ingestMib,"ingest_sec":$ingestSec,""" +
       s""""ingest_mib_per_sec":${if (ingestSec > 0) ingestMib / ingestSec else 0},""" +
       s""""sf":"$sfDir"}""")
+    if (errors.nonEmpty) System.err.println(
+      s"BENCH: ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 

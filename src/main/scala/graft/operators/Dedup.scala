@@ -165,12 +165,10 @@ object Dedup {
         .bitwiseOR(when(c > 0, lit(1L)).otherwise(lit(0L))))
   }
 
-  /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
-    * 16-bit keys; verify by Hamming distance ≤ maxHamming. */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 8): DataFrame = {
-    // explode tokens → 64 codegen'd signed-bit-count sums (map-side
-    // combined) → bit-pack. Same shape (and rationale) as minhashPairs.
+  /** 64-bit SimHash sketches as (_id, _h) — one row per doc: explode
+    * tokens → 64 codegen'd signed-bit-count sums (map-side combined) →
+    * bit-pack. Shared by the pair miner and the verification gate. */
+  def simhashSketches(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("_id"), normalized(col(textCol)).as("_norm"))
       .repartition(col("_id"))
@@ -179,13 +177,19 @@ object Dedup {
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftrightunsigned(col("_th"), i).bitwiseAND(lit(1L)) === 1L,
         lit(1L)).otherwise(lit(-1L))).as(s"_b$i"))
-    val packed = exploded.groupBy(col("_id"))
+    exploded.groupBy(col("_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("_id"),
         (0 until 64).map(i =>
           when(col(s"_b$i") > 0, lit(1L << (63 - i)))
             .otherwise(lit(0L))).reduce((a, b) => a.bitwiseOR(b)).as("_h"))
-    val withH = packed
+  }
+
+  /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
+    * 16-bit keys; verify by Hamming distance ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val withH = simhashSketches(df, textCol, idCol)
     val banded = withH.select(col("_id"), col("_h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -48,36 +48,47 @@ object SchemaAlign {
     }
   }
 
-  /** ENUM/SET domain check (SURVEY §1.2). ENUM: invalid member → '' in
-    * lenient mode (MySQL non-strict coercion), raise in strict. SET:
-    * invalid members are dropped in lenient mode (keeping the valid
-    * subset), any invalid member raises in strict (reference sqlmode
-    * matrix, tests/sqlmode/). */
+  /** ENUM/SET domain check (SURVEY §1.2). Matching is CASE-INSENSITIVE and
+    * the stored value is the *declared-case* member, like MySQL. ENUM:
+    * invalid member → '' in lenient mode (MySQL non-strict coercion), raise
+    * in strict. SET: output is rebuilt by filtering the declared member
+    * order — which normalizes case, dedups, and orders by definition, the
+    * MySQL storage form; invalid members are dropped in lenient mode, any
+    * invalid member raises in strict (reference sqlmode matrix,
+    * tests/sqlmode/). */
   private def domainCheck(src: Column, mc: MysqlColumn, vals: Seq[String],
       mode: SqlMode): Column =
     if (mc.isSet) {
-      val members = filter(split(src, ","), m => m =!= "")
-      val valid = filter(members,
-        m => vals.map(v => m === lit(v)).reduce(_ || _))
+      val inLower = filter(transform(split(src, ","), m => lower(m)),
+        m => m =!= "")
+      // declared order filtered by membership: normalized-case, deduped,
+      // definition-ordered — MySQL's canonical SET representation
+      val rebuilt = filter(array(vals.map(lit): _*),
+        v => array_contains(inLower, lower(v)))
+      val declaredLower = array(vals.map(v => lit(v.toLowerCase)): _*)
+      val invalid = array_except(array_distinct(inLower), declaredLower)
       mode match {
         case SqlMode.Lenient =>
           when(src.isNull, lit(null).cast(StringType))
-            .otherwise(array_join(valid, ","))
+            .otherwise(array_join(rebuilt, ","))
         case SqlMode.Strict =>
           when(src.isNull, lit(null).cast(StringType))
-            .when(size(valid) === size(members), src)
+            .when(size(invalid) === 0, array_join(rebuilt, ","))
             .otherwise(raise_error(concat(
               lit(s"SET value out of domain for `${mc.name}`: "), src)))
       }
     } else {
+      // lower(member) → declared-case member lookup; absent key → null
+      val lookup = element_at(
+        map(vals.flatMap(v => Seq(lit(v.toLowerCase), lit(v))): _*),
+        lower(src))
       mode match {
         case SqlMode.Lenient =>
           when(src.isNull, lit(null).cast(StringType))
-            .when(src.isin(vals: _*), src)
-            .otherwise(lit("")) // MySQL non-strict: invalid enum → ''
+            .otherwise(coalesce(lookup, lit(""))) // invalid enum → ''
         case SqlMode.Strict =>
           when(src.isNull, lit(null).cast(StringType))
-            .when(src.isin(vals: _*), src)
+            .when(lookup.isNotNull, lookup)
             .otherwise(raise_error(concat(
               lit(s"ENUM value out of domain for `${mc.name}`: "), src)))
       }

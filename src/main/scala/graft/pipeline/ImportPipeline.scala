@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Crc64
 import graft.operators.{KvEncode, RowIdAllocator, SchemaAlign, SqlMode}
-import graft.sinks.{ChunkState, CommitLog, ParquetSink, Sink, TableState}
+import graft.sinks.{ChunkState, CommitLog, JdbcSink, ParquetSink, Sink, TableState}
 import graft.sources._
 
 /** The end-to-end import pipeline: the Spark restatement of the reference's
@@ -58,9 +58,11 @@ final case class ImportConfig(
     observeChecksum: Boolean = true,
     // K6 chunk granularity: commit one state per data-file group so a
     // crashed table resumes from the last finished chunk (reference
-    // checkpoints.go:92-171). Applies to the parquet sink in estimated
-    // row-id mode; exact mode needs a global ordering pass and falls back
-    // to table-level commits.
+    // checkpoints.go:92-171). Applies in estimated row-id mode to the
+    // parquet sink (staged writes + file reconcile) and to the JDBC sink
+    // under REPLACE/IGNORE (chunk replay is idempotent); exact row-id mode
+    // needs a global ordering pass and INSERT-mode JDBC is non-idempotent —
+    // both fall back to table-level commits.
     chunkCheckpoints: Boolean = true,
     // target input bytes per chunk-commit group (the reference's region
     // size, const.go:23); small tables collapse to one group = one job
@@ -76,7 +78,8 @@ object ImportPipeline {
 }
 
 final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
-    sink: Option[Sink] = None) {
+    sink: Option[Sink] = None,
+    pauser: Option[Pauser] = None) {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private val log = new CommitLog(cfg.outDir, hconf)
@@ -85,7 +88,10 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
   /** Step 2-3: restore all tables; returns one report per table. */
   def run(): Seq[TableReport] = {
     val plan = MydumpDiscovery.plan(cfg.sourceDir, cfg.filter, cfg.routes, hconf)
-    plan.tables.filter(_.dataFiles.nonEmpty).map(restoreTable)
+    plan.tables.filter(_.dataFiles.nonEmpty).map { t =>
+      pauser.foreach(_.waitIfPaused())
+      restoreTable(t)
+    }
   }
 
   private def fingerprint(t: TablePlan): String = {
@@ -110,8 +116,12 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         sys.error(s"no schema for ${t.db}.${t.table}: provide a *-schema.sql " +
           "or a schemaCatalog entry (no-schema mode)"))
     }
-    if (cfg.chunkCheckpoints && !cfg.exactRowIds &&
-        theSink.isInstanceOf[ParquetSink])
+    val chunkable = theSink match {
+      case _: ParquetSink => true
+      case j: JdbcSink => j.idempotentReplay // REPLACE/IGNORE replay-safe
+      case _ => false
+    }
+    if (cfg.chunkCheckpoints && !cfg.exactRowIds && chunkable)
       return restoreByChunks(t, table, fp)
     // ONE data pass: parse→align→row-id→sink write, with row count +
     // checksum triple riding along as df.observe metrics (accumulator
@@ -184,15 +194,39 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     * and the verify CLI re-scan still matches. */
   private def restoreByChunks(t: TablePlan, table: MysqlTable,
       fp: String): TableReport = {
-    val psink = theSink.asInstanceOf[ParquetSink]
+    // chunk reuse is gated on input fingerprint AND group layout: a changed
+    // chunkCommitBytes re-derives every chunkId, so it must invalidate the
+    // committed states (else `done` stays nonEmpty, the output dir is kept,
+    // and every re-derived chunk would append duplicates)
+    val chunkFp = s"$fp+cb=${cfg.chunkCommitBytes}"
+    val psinkOpt = theSink match {
+      case p: ParquetSink => Some(p)
+      case _ => None
+    }
     val done = if (cfg.checkpointEnabled)
-      log.readChunks(t.db, t.table).filter(_._2.tableFp == fp)
+      log.readChunks(t.db, t.table).filter(_._2.tableFp == chunkFp)
     else Map.empty[String, ChunkState]
-    val outPath = new org.apache.hadoop.fs.Path(psink.tablePath(t.db, t.table))
-    val ofs = outPath.getFileSystem(hconf)
-    if (done.isEmpty) { // fresh import: clear stale output + chunk states
-      if (cfg.checkpointEnabled) log.clearChunks(t.db, t.table)
-      if (ofs.exists(outPath)) ofs.delete(outPath, true)
+    psinkOpt.foreach { psink =>
+      val outPath = new org.apache.hadoop.fs.Path(psink.tablePath(t.db, t.table))
+      val ofs = outPath.getFileSystem(hconf)
+      if (done.isEmpty) { // fresh import: clear stale output + chunk states
+        if (cfg.checkpointEnabled) log.clearChunks(t.db, t.table)
+        if (ofs.exists(outPath)) ofs.delete(outPath, true)
+      } else if (ofs.exists(outPath)) {
+        // resume reconciliation: any table-dir file not referenced by a
+        // committed chunk state is output from a chunk that crashed between
+        // its append job and its state write — delete it before re-running
+        // that chunk, or the rows would be duplicated. Stale hidden staging
+        // dirs are crashed attempts too.
+        val referenced = done.values.flatMap(_.files).toSet
+        ofs.listStatus(outPath).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("_staging_"))
+            ofs.delete(st.getPath, true)
+          else if (st.isFile && n.startsWith("part-") && !referenced.contains(n))
+            ofs.delete(st.getPath, false)
+        }
+      }
     }
     // group sorted files up to the commit-granularity byte target
     val groups = {
@@ -213,6 +247,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     val states = groups.map { files =>
       val chunkId = s"${files.head.path}+${files.size}"
       done.getOrElse(chunkId, {
+        pauser.foreach(_.waitIfPaused())
         val aligned = loadAlignedFiles(files, table)
         val withId = RowIdAllocator.fromFileSizes(aligned, "_src_file",
           "_row_idx", allSizes, capacityFor = sz => sz + 1)
@@ -222,15 +257,27 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         val metrics = KvEncode.observeMetrics(table,
           ImportPipeline.tableId(t.db, t.table), rowIdCol = "_row_id")
         val observed = finalDf.observe(obs, metrics.head, metrics.tail: _*)
-        psink.writeAppend(observed, t.db, t.table)
+        val outFiles = psinkOpt match {
+          case Some(psink) =>
+            // staged write: the moved part-file names go into the state so
+            // resume can reconcile orphans (crash-consistent, no dup rows)
+            val tag = f"${graft.functions.Crc64.checksum(chunkId.getBytes("UTF-8"))}%016x"
+            psink.writeChunkStaged(observed, t.db, t.table, tag)
+          case None =>
+            // JDBC path: rows land in the target DB; replay of this one
+            // chunk after a crash is idempotent under REPLACE/IGNORE
+            theSink.write(observed, t.db, t.table)
+            Nil
+        }
         val m = obs.get
         def metric(k: String): Long = m.get(k) match {
           case Some(l: java.lang.Long) => l.longValue
           case Some(i: java.lang.Integer) => i.longValue
           case _ => 0L
         }
-        val cs = ChunkState(t.db, t.table, chunkId, fp, metric("rows"),
-          metric("data_checksum"), metric("data_bytes"), metric("data_kvs"))
+        val cs = ChunkState(t.db, t.table, chunkId, chunkFp, metric("rows"),
+          metric("data_checksum"), metric("data_bytes"), metric("data_kvs"),
+          outFiles)
         if (cfg.checkpointEnabled) log.writeChunk(cs)
         cs
       })
@@ -242,7 +289,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     if (cfg.checkpointEnabled)
       log.write(TableState(t.db, t.table, "imported", rows, dcs, dbytes,
         dkvs, fp, cfg.jobTsMicros))
-    if (cfg.registerInCatalog) {
+    if (cfg.registerInCatalog) psinkOpt.foreach { psink =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
       spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table),
         psink.tablePath(t.db, t.table)))

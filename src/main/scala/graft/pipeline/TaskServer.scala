@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.LinkedBlockingQueue
+import java.util.concurrent.LinkedBlockingDeque
 import java.util.concurrent.atomic.AtomicLong
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.SparkSession
@@ -15,45 +15,81 @@ import graft.sources.TableFilter
   * serializes tasks the same way, since each import saturates the
   * cluster's ingest bandwidth.
   *
-  *   POST /tasks   {"source":"/dump","out":"/warehouse"[,"strict":true]}
-  *                 → {"id":N}
-  *   GET  /tasks   → [{"id":N,"status":"queued|running|imported|failed",…}]
-  *   GET  /tasks/N → one task document
+  *   POST   /tasks          {"source":"/dump","out":"/wh"[,"strict":true]}
+  *                          → {"id":N}
+  *   GET    /tasks          → [{"id":N,"status":"queued|running|imported|
+  *                              failed|canceled",…}]
+  *   GET    /tasks/N        → one task document
+  *   DELETE /tasks/N        → cancel: dequeues a queued task; aborts a
+  *                            running one by cancelling its Spark job group
+  *                            (reference handleDeleteOneTask,
+  *                            lightning.go:376-410)
+  *   PATCH  /tasks/N/front  → move a queued task to the queue head
+  *   PATCH  /tasks/N/back   → move it to the tail (lightning.go:412-441)
+  *   GET    /pause          → {"paused":bool}
+  *   PUT    /pause          → pause the dataflow: the running import stops
+  *                            before its next chunk/table job and the
+  *                            worker takes no new task (reference
+  *                            DeliverPauser, lightning.go:483-517 +
+  *                            common/pause.go)
+  *   PUT    /resume         → release the gate
   *
-  * Built on the JDK's HttpServer — zero new dependencies; Spark jobs run
-  * on the session the server owns, so queue order = job order.
+  * Binds 127.0.0.1 by default — POST /tasks can overwrite the caller-given
+  * output directory as the service user, so exposure must be an explicit
+  * choice (`bindAddress`), mirroring the reference's configurable status
+  * address. Built on the JDK's HttpServer — zero new dependencies; Spark
+  * jobs run on the session the server owns, so queue order = job order.
   */
-final class TaskServer(spark: SparkSession, port: Int = 8289) {
+final class TaskServer(spark: SparkSession, port: Int = 8289,
+    bindAddress: String = "127.0.0.1") {
 
   final class Task(val id: Long, val source: String, val out: String,
       val strict: Boolean) {
     @volatile var status: String = "queued"
     @volatile var detail: String = ""
+    @volatile var cancelRequested: Boolean = false
   }
 
   private val ids = new AtomicLong(0)
-  private val queue = new LinkedBlockingQueue[Task]()
+  private val queue = new LinkedBlockingDeque[Task]()
   private val tasks = new java.util.concurrent.ConcurrentHashMap[Long, Task]()
+  private val pauser = new Pauser
   private var server: HttpServer = _
   @volatile private var running = true
+  @volatile private var current: Task = _
+
+  private def jobGroup(t: Task): String = s"graft-task-${t.id}"
 
   private val worker = new Thread(() => {
     while (running) {
+      pauser.waitIfPaused()
       val t = queue.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
-      if (t != null) {
+      if (t != null && t.status == "queued") {
         t.status = "running"
+        current = t
+        // the task's jobs run under a cancellable group: DELETE /tasks/N
+        // cancels the group and every Spark job it owns aborts
+        spark.sparkContext.setJobGroup(jobGroup(t),
+          s"graft import ${t.source} -> ${t.out}", interruptOnCancel = true)
         try {
           val cfg = ImportConfig(sourceDir = t.source, outDir = t.out,
             sqlMode = if (t.strict) SqlMode.Strict else SqlMode.Lenient,
             filter = TableFilter())
-          val reports = new ImportPipeline(spark, cfg).run()
+          val reports =
+            new ImportPipeline(spark, cfg, pauser = Some(pauser)).run()
           t.detail = reports.map(r =>
             s"${r.db}.${r.table}:${r.rows}").mkString(",")
           t.status = "imported"
         } catch {
+          case e: Throwable if t.cancelRequested =>
+            t.status = "canceled"
+            t.detail = String.valueOf(e.getMessage).take(200)
           case e: Throwable =>
             t.status = "failed"
             t.detail = String.valueOf(e.getMessage).take(500)
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          current = null
         }
       }
     }
@@ -77,9 +113,34 @@ final class TaskServer(spark: SparkSession, port: Int = 8289) {
     (s""""$key"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(json)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
 
+  /** Cancel semantics (reference handleDeleteOneTask): a running task's
+    * job group is cancelled (its current Spark job aborts, the worker marks
+    * it `canceled`); a queued task is dequeued in place. */
+  private def cancel(id: Long): Boolean = Option(tasks.get(id)).exists { t =>
+    val c = current
+    if ((c ne null) && c.id == id) {
+      t.cancelRequested = true
+      spark.sparkContext.cancelJobGroup(jobGroup(t))
+      true
+    } else if (t.status == "queued") {
+      t.status = "canceled"
+      queue.remove(t)
+      true
+    } else false
+  }
+
+  /** Queue surgery for queued tasks (reference MoveToFront/MoveToBack). */
+  private def move(id: Long, front: Boolean): Boolean =
+    Option(tasks.get(id)).exists { t =>
+      if (t.status == "queued" && queue.remove(t)) {
+        if (front) queue.addFirst(t) else queue.addLast(t)
+        true
+      } else false
+    }
+
   /** Start; returns the bound port (pass port 0 for an ephemeral one). */
   def start(): Int = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
     server.createContext("/tasks", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
         val path = ex.getRequestURI.getPath.stripSuffix("/")
@@ -108,11 +169,37 @@ final class TaskServer(spark: SparkSession, port: Int = 8289) {
               case Some(t) => respond(ex, 200, taskJson(t))
               case None => respond(ex, 404, """{"error":"no such task"}""")
             }
+          case ("DELETE", p) if p.startsWith("/tasks/") =>
+            p.drop("/tasks/".length).toLongOption match {
+              case Some(id) if cancel(id) => respond(ex, 200, "{}")
+              case _ => respond(ex, 404, """{"error":"task ID not found"}""")
+            }
+          case ("PATCH", p) if p.startsWith("/tasks/") &&
+              (p.endsWith("/front") || p.endsWith("/back")) =>
+            val front = p.endsWith("/front")
+            val idPart = p.drop("/tasks/".length).takeWhile(_ != '/')
+            idPart.toLongOption match {
+              case Some(id) if move(id, front) => respond(ex, 200, "{}")
+              case _ => respond(ex, 404, """{"error":"task ID not found"}""")
+            }
           case _ => respond(ex, 405, """{"error":"method not allowed"}""")
         }
       } catch {
         case e: Throwable =>
           respond(ex, 500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
+      }
+    })
+    server.createContext("/pause", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = ex.getRequestMethod match {
+        case "GET" => respond(ex, 200, s"""{"paused":${pauser.isPaused}}""")
+        case "PUT" => pauser.pause(); respond(ex, 200, "{}")
+        case _ => respond(ex, 405, """{"error":"only GET and PUT allowed"}""")
+      }
+    })
+    server.createContext("/resume", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = ex.getRequestMethod match {
+        case "PUT" => pauser.resume(); respond(ex, 200, "{}")
+        case _ => respond(ex, 405, """{"error":"only PUT allowed"}""")
       }
     })
     server.start()
@@ -123,6 +210,7 @@ final class TaskServer(spark: SparkSession, port: Int = 8289) {
 
   def stop(): Unit = {
     running = false
+    pauser.resume() // release a paused worker so it can observe shutdown
     if (server != null) server.stop(0)
   }
 }

@@ -22,39 +22,46 @@ object Analytics {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(30,8)")).cast("double")
 
-  /** Exact decimal sum kept AS DECIMAL: converting an 18-significant-digit
-    * decimal sum to double is where engines diverge (DuckDB's int128 →
-    * double conversion double-rounds, 1 ulp off at ≥1e9 magnitudes — seen
-    * at sf0.1). The decimal itself is bit-exact cross-engine. */
-  private def dsumDec(c: Column): Column = sum(c.cast("decimal(30,8)"))
+  /** Exact decimal sum, rounded to 2 dp and cast to DOUBLE. The decimal sum
+    * itself is order-free and bit-exact cross-engine, but a raw
+    * decimal(38,8)→double conversion diverges by 1 ulp once the unscaled
+    * value crosses 2^53 (DuckDB's int128→double double-rounds). Rounding to
+    * 2 dp first keeps the unscaled value < 2^53 up to ~7×10¹³, where
+    * decimal→double is exact in every engine — so the doubles are
+    * bit-identical no matter which engine did the conversion. */
+  private def dsum2(c: Column): Column =
+    round(sum(c.cast("decimal(30,8)")), 2).cast("double")
 
   def q1_agg(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsumDec(col("l_quantity")).as("sum_qty"),
-        dsumDec(col("l_extendedprice")).as("sum_base_price"),
-        dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        dsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
   }
 
   val q1_sql: String =
     """SELECT l_returnflag, l_linestatus,
-      | SUM(CAST(l_quantity AS DECIMAL(30,8))) AS sum_qty,
-      | SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS sum_base_price,
-      | SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS sum_disc_price,
-      | SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))) AS sum_charge,
+      | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_base_price,
+      | CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
+      | CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_charge,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS avg_qty,
       | COUNT(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-like: top-10 unshipped orders by revenue.
-    * The customer filter side is small → broadcast; top-k via orderBy+limit
-    * compiles to TakeOrderedAndProject (no global sort materialization). */
+    * No broadcast hints: customer/orders grow with the data, so a hard-coded
+    * broadcast becomes a driver OOM at 100× scale — AQE broadcasts at small
+    * SFs on its own and falls back to shuffle joins when the side is big.
+    * Top-k via orderBy+limit compiles to TakeOrderedAndProject (no global
+    * sort materialization). */
   def q3_topk(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
@@ -65,7 +72,7 @@ object Analytics {
     val li = Tables.load(s, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -84,9 +91,10 @@ object Analytics {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
-  /** TPC-H Q5-like: revenue per nation via a 6-table join. All dimension
-    * tables broadcast; only lineitem⋈orders shuffles (on the join key both
-    * sides already share). */
+  /** TPC-H Q5-like: revenue per nation via a 6-table join. Only the
+    * fixed-cardinality dimensions (nation=25 rows, region=5) carry broadcast
+    * hints; customer/supplier scale with the data, so their join strategy is
+    * left to AQE (broadcast at small SF, shuffle at 100×). */
   def q5_join(s: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
     val nation = Tables.load(s, dir, "nation")
@@ -97,20 +105,18 @@ object Analytics {
               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val li = Tables.load(s, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
-                            col("c_nationkey") === col("s_nationkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+                 col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      // DECIMAL kept: per-nation revenue reaches the 2^53-unscaled-digits
-      // boundary at sf0.1 where decimal→double conversion diverges by 1 ulp
-      .agg(dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(dsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
   val q5_sql: String =
     """SELECT n_name,
-      | SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS revenue
+      | CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

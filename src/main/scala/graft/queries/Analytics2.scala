@@ -36,13 +36,15 @@ object Analytics2 {
 
   /** Correlated aggregate (TPC-H Q17 shape): lineitems under 20% of the
     * part's average quantity. The correlation decorrelates into one
-    * broadcast-joined per-part aggregate — no per-row subquery execution. */
+    * per-part aggregate joined back — no per-row subquery execution. The
+    * aggregate has one row per part (sf-proportional), so no broadcast
+    * hint: AQE broadcasts it at small SFs and shuffle-joins at 100×. */
   def q_correlated(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(((sum(col("l_quantity").cast("decimal(30,8)")).cast("double") /
         count(lit(1))) * 0.2).as("qty_cut"))
-    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+    li.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("qty_cut"))
       .groupBy()
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
@@ -133,9 +135,10 @@ object Analytics2 {
     val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
     val cust = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    // cust is a filtered slice of customer (sf-proportional) — no hint.
     val orderedByBuilding = li
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("l_partkey")).distinct()
     Tables.load(s, dir, "part").select("p_partkey", "p_brand")
       .join(orderedByBuilding, col("p_partkey") === col("l_partkey"), "left_anti")

@@ -31,13 +31,18 @@ final case class TableState(
   * dies at 99% resumes from the last committed chunk instead of zero
   * (reference checkpoints per chunk: (path, offset, rowid, checksum) —
   * checkpoints.go:92-171, tests/checkpoint_chunks/). `tableFp` pins the
-  * whole table's input fingerprint: chunk reuse is only valid while the
-  * full input set is unchanged. */
+  * whole table's input fingerprint AND the chunk-group layout (commit byte
+  * target): chunk reuse is only valid while both are unchanged. `files`
+  * records the output part-file names this chunk committed (file sinks) —
+  * resume deletes any table-dir file not referenced by a committed state,
+  * so a crash between the append job and the state write cannot leave
+  * duplicate rows behind. */
 final case class ChunkState(
     db: String, table: String,
     chunkId: String, // source data-file path
     tableFp: String,
-    rows: Long, checksum: Long, totalBytes: Long, totalKvs: Long)
+    rows: Long, checksum: Long, totalBytes: Long, totalKvs: Long,
+    files: Seq[String] = Nil)
 
 final class CommitLog(outDir: String, conf: Configuration) {
   private val stateDir = new Path(outDir, "_state")
@@ -90,7 +95,8 @@ final class CommitLog(outDir: String, conf: Configuration) {
     def q(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     s"""{"db":${q(s.db)},"table":${q(s.table)},"chunkId":${q(s.chunkId)},""" +
       s""""tableFp":${q(s.tableFp)},"rows":${s.rows},"checksum":${s.checksum},""" +
-      s""""totalBytes":${s.totalBytes},"totalKvs":${s.totalKvs}}"""
+      s""""totalBytes":${s.totalBytes},"totalKvs":${s.totalKvs},""" +
+      s""""files":${s.files.map(q).mkString("[", ",", "]")}}"""
   }
 
   private def chunkFromJson(j: String): Option[ChunkState] = {
@@ -99,11 +105,16 @@ final class CommitLog(outDir: String, conf: Configuration) {
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     def num(k: String) =
       (s""""$k":(-?\\d+)""").r.findFirstMatchIn(j).map(_.group(1).toLong)
+    val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(j)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(body => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+      .getOrElse(Nil)
     for {
       db <- str("db"); table <- str("table"); id <- str("chunkId")
       fp <- str("tableFp"); rows <- num("rows"); cs <- num("checksum")
       tb <- num("totalBytes"); kvs <- num("totalKvs")
-    } yield ChunkState(db, table, id, fp, rows, cs, tb, kvs)
+    } yield ChunkState(db, table, id, fp, rows, cs, tb, kvs, files)
   }
 
   def write(st: TableState): Unit = {

@@ -33,6 +33,12 @@ final class JdbcSink(url: String, props: java.util.Properties,
     maxRetries: Int = 3,
     backoffMs: Long = 200L) extends Sink {
 
+  /** Replaying the same rows is a no-op under REPLACE/IGNORE — the property
+    * chunk-level resume needs (a crash between a chunk's write and its
+    * state commit re-replays that one chunk). INSERT (OnDuplicate.Error)
+    * is non-idempotent by construction, so chunked resume refuses it. */
+  def idempotentReplay: Boolean = onDup != OnDuplicate.Error
+
   override def write(df: DataFrame, db: String, table: String): WriteResult = {
     val schema = df.schema
     val verb = onDup.verb
@@ -167,11 +173,18 @@ object JdbcSink {
       verb: String, db: String, table: String, schema: StructType,
       rows: Iterator[Row], maxBytes: Int, onRows: Long => Unit,
       maxRetries: Int = 3, backoffMs: Long = 200L): Unit = {
-    var conn = connFactory()
-    var st = conn.createStatement()
-    def reconnect(): Unit = {
-      try st.close() catch { case _: Throwable => () }
-      try conn.close() catch { case _: Throwable => () }
+    // Connection state is lazy: re-establishment is PART of the retried
+    // attempt, so a still-down server consumes the retry budget with
+    // backoff instead of leaking a closed Statement into the next attempt
+    // (which would fail with a non-retryable 'statement closed' error).
+    var conn: Connection = null
+    var st: java.sql.Statement = null
+    def closeQuietly(): Unit = {
+      if (st != null) { try st.close() catch { case _: Throwable => () } }
+      if (conn != null) { try conn.close() catch { case _: Throwable => () } }
+      st = null; conn = null
+    }
+    def ensureConnected(): Unit = if (st == null) {
       conn = connFactory()
       st = conn.createStatement()
     }
@@ -181,19 +194,16 @@ object JdbcSink {
           var attempt = 0
           var done = false
           while (!done) {
-            try { st.execute(sql); done = true }
+            try { ensureConnected(); st.execute(sql); done = true }
             catch {
               case e: Throwable if isRetryable(e) && attempt < maxRetries =>
                 attempt += 1
+                closeQuietly() // next attempt reconnects from scratch
                 Thread.sleep(backoffMs * (1L << (attempt - 1)))
-                try reconnect() catch { case _: Throwable => () }
             }
           }
           onRows(n)
       }
-    } finally {
-      try st.close() catch { case _: Throwable => () }
-      conn.close()
-    }
+    } finally closeQuietly()
   }
 }

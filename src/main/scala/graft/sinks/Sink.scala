@@ -51,5 +51,35 @@ final class ParquetSink(rootDir: String,
     WriteResult(s"$db.$table", -1L, Some(path))
   }
 
+  /** Staged chunk write for crash-consistent resume: the chunk's job writes
+    * into a hidden `_staging_<tag>` subdir (invisible to parquet readers),
+    * then the driver moves each part file into the table dir and returns
+    * the moved names — the caller records them in the chunk's commit state.
+    * A crash anywhere in between leaves either a hidden staging dir or
+    * table-dir files referenced by no committed state; both are deleted by
+    * the caller's resume reconciliation, so re-running the chunk cannot
+    * duplicate rows. Moves are same-FS renames (metadata ops). */
+  def writeChunkStaged(df: DataFrame, db: String, table: String,
+      tag: String): Seq[String] = {
+    val tableDir = new org.apache.hadoop.fs.Path(tablePath(db, table))
+    val staging = new org.apache.hadoop.fs.Path(tableDir, s"_staging_$tag")
+    val fs = tableDir.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) fs.delete(staging, true) // stale crashed attempt
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(staging.toString)
+    val parts = fs.listStatus(staging).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+    fs.mkdirs(tableDir)
+    val moved = parts.map { p =>
+      fs.rename(p, new org.apache.hadoop.fs.Path(tableDir, p.getName))
+      p.getName
+    }
+    fs.delete(staging, true)
+    moved
+  }
+
   def tablePath(db: String, table: String): String = s"$rootDir/$db/$table"
 }

@@ -57,6 +57,13 @@ private final class SqlDumpScanBuilder(options: CaseInsensitiveStringMap)
   override def readSchema(): StructType = SqlDumpSource.schema
   override def toBatch: Batch = this
 
+  // the SESSION's Hadoop conf, not a bare `new Configuration()`: session-
+  // level FS settings (s3a credentials/endpoints, custom schemes) must
+  // reach path expansion, chunk planning, and the partition readers
+  private val hadoopConf =
+    new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   private def paths: Seq[String] = {
     val fromPaths = Option(options.get("paths")).map { js =>
       // DataFrameReader.load(paths: _*) passes a JSON string array
@@ -67,7 +74,7 @@ private final class SqlDumpScanBuilder(options: CaseInsensitiveStringMap)
     val roots = (fromPaths ++ fromPath).distinct
     require(roots.nonEmpty, "sqldump: no path given")
     // expand directories to their .sql files
-    val conf = new Configuration()
+    val conf = hadoopConf.value
     roots.flatMap { r =>
       val p = new org.apache.hadoop.fs.Path(r)
       val fs = p.getFileSystem(conf)
@@ -90,7 +97,7 @@ private final class SqlDumpScanBuilder(options: CaseInsensitiveStringMap)
       val futures = sorted.map { path =>
         pool.submit(new java.util.concurrent.Callable[Seq[SqlDumpSource.DumpChunk]] {
           override def call(): Seq[SqlDumpSource.DumpChunk] =
-            SqlDumpSource.planChunksForCharset(path, new Configuration(),
+            SqlDumpSource.planChunksForCharset(path, hadoopConf.value,
               minChunk, charset)
         })
       }
@@ -101,24 +108,27 @@ private final class SqlDumpScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SqlDumpReaderFactory
+    new SqlDumpReaderFactory(hadoopConf)
 }
 
 private final case class SqlDumpInputPartition(path: String, start: Long,
     end: Long, baseRow: Long, charset: String) extends InputPartition
 
-private final class SqlDumpReaderFactory extends PartitionReaderFactory {
+private final class SqlDumpReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SqlDumpInputPartition]
-    new SqlDumpPartitionReader(p)
+    new SqlDumpPartitionReader(p, conf)
   }
 }
 
-private final class SqlDumpPartitionReader(p: SqlDumpInputPartition)
+private final class SqlDumpPartitionReader(p: SqlDumpInputPartition,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val rows = SqlDumpSource.parseChunk(
     SqlDumpSource.DumpChunk(p.path, p.start, p.end, p.baseRow),
-    new Configuration(), p.charset)
+    conf.value, p.charset)
   private var current: InternalRow = _
 
   override def next(): Boolean =

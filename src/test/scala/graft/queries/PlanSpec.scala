@@ -31,10 +31,34 @@ class PlanSpec extends SparkSpec {
       s"column pruning failed: $readSchema")
   }
 
-  test("q5_join: small dimensions broadcast, no shuffle for them") {
-    val p = plan(Analytics.q5_join(spark, sf))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"missing broadcasts:\n$p")
-    assert(!p.contains("CartesianProduct"))
+  test("q5_join: fixed dims broadcast; no sf-proportional side is broadcast") {
+    // With autoBroadcastJoinThreshold=-1 the only BroadcastExchanges left are
+    // the explicit hints — which must be exactly the fixed-cardinality dims
+    // (nation=25 rows, region=5). customer/supplier grow with the data: a
+    // hard-coded broadcast there is a driver OOM at 100×.
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(Analytics.q5_join(spark, sf))
+      assert("BroadcastExchange".r.findAllIn(p).size == 2,
+        s"expected exactly the nation+region broadcast hints:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q3_topk/q_correlated: no broadcast hints on sf-proportional sides") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      for (df <- Seq(Analytics.q3_topk(spark, sf),
+                     Analytics2.q_correlated(spark, sf))) {
+        val p = plan(df)
+        assert(!p.contains("BroadcastExchange"),
+          s"sf-proportional side is hint-broadcast:\n$p")
+      }
+    }
+  }
+
+  private def withConf(kv: (String, String))(body: => Unit): Unit = {
+    val prev = spark.conf.get(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try body finally spark.conf.set(kv._1, prev)
   }
 
   test("q3_topk: top-k via TakeOrderedAndProject, not a global sort") {
