@@ -35,6 +35,7 @@ object SparkEntry {
     ("q_lag_lead", Analytics2.q_lag_lead _, Some(Analytics2.q_lag_lead_sql)),
     ("q_notin", Analytics2.q_notin _, Some(Analytics2.q_notin_sql)),
     ("q_distinct_stats", Analytics2.q_distinct_stats _, Some(Analytics2.q_distinct_stats_sql)),
+    ("q_skew_join", Analytics2.q_skew_join _, Some(Analytics2.q_skew_join_sql)),
     // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("csv_roundtrip", Ingest.csv_roundtrip _, Some(Ingest.csv_roundtrip_sql)),
@@ -53,6 +54,7 @@ object SparkEntry {
     ("dedup_minhash", Curation.dedup_minhash _, None),
     ("dedup_minhash_verify", Curation.dedup_minhash_verify _, Some(Curation.dedup_minhash_verify_sql)),
     ("dedup_simhash", Curation.dedup_simhash _, None),
+    ("dedup_simhash_verify", Curation.dedup_simhash_verify _, Some(Curation.dedup_simhash_verify_sql)),
     ("dedup_ngram", Curation.dedup_ngram _, None),
     ("dedup_embed", Curation.dedup_embed _, None),
     ("dedup_embed_verify", Curation.dedup_embed_verify _, Some(Curation.dedup_embed_verify_sql)),

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Packed-vector kernel for the embedding operators.
+  *
+  * Rationale (measured, round 2→3): carrying a 64-dim vector as 64 flat
+  * DOUBLE columns keeps the per-pair cosine inside whole-stage codegen,
+  * but the ~130-column join plans cost seconds of janino COMPILE each and
+  * dominated the bench (dedup_embed_verify alone = 51% of total). Packing
+  * the vector into one BinaryType column (8 bytes per dimension,
+  * little-endian via Platform) shrinks every plan to ~3 columns; the dot
+  * product is a single static-call expression — codegen'd like Crc64Expr,
+  * and equally fast interpreted (one tight primitive loop, no per-element
+  * boxing), so it is safe even inside a nested-loop join condition.
+  * Summation is left-to-right, identical to the unrolled flat-column form,
+  * so results are bit-equal to the previous implementation. */
+object VecOps {
+
+  /** array<double> (ArrayData) → packed 8-byte-per-element binary. */
+  def pack(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n * 8)
+    var i = 0
+    while (i < n) {
+      org.apache.spark.unsafe.Platform.putLong(out,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8L * i,
+        java.lang.Double.doubleToLongBits(arr.getDouble(i)))
+      i += 1
+    }
+    out
+  }
+
+  /** Dot product of two packed vectors (left-to-right accumulation). */
+  def dot(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length) / 8
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8L * i
+      s += java.lang.Double.longBitsToDouble(
+        org.apache.spark.unsafe.Platform.getLong(a, off)) *
+        java.lang.Double.longBitsToDouble(
+          org.apache.spark.unsafe.Platform.getLong(b, off))
+      i += 1
+    }
+    s
+  }
+}
+
+/** `pack_vec(array<double>) -> binary` — see VecOps. */
+case class PackVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pack_vec requires ARRAY<DOUBLE>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    VecOps.pack(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.pack($c)")
+  override protected def withNewChildInternal(newChild: Expression): PackVec =
+    copy(child = newChild)
+  override def prettyName: String = "pack_vec"
+}
+
+/** `packed_dot(binary, binary) -> double` — see VecOps. */
+case class PackedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"packed_dot requires (BINARY, BINARY), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PackedDot = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "packed_dot"
+}
+
+object VecExpressions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Pack an array<double> column (cast float arrays first). */
+  def packVec(c: Column): Column = column(PackVec(expression(c)))
+
+  /** Dot product of two packed-binary vector columns. */
+  def packedDot(a: Column, b: Column): Column =
+    column(PackedDot(expression(a), expression(b)))
+}

@@ -253,41 +253,37 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       planes: Int = 8, threshold: Double = 0.95,
       tables: Int = 1): DataFrame = {
-    // L2-normalize each vector once (above the barrier), so per-pair
-    // verification is a bare dot product; unrolled to stay codegen'd on
-    // the O(candidate-pairs) hot path.
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
-    // vectors become `dim` FLAT pre-normalized double columns through the
-    // bucket join (array element_at chains drop out of whole-stage codegen
-    // — same lesson as minhashPairs); cosine is then one unrolled
-    // multiply-add chain over flat columns per candidate pair. Each plane
-    // family's bucket is table*2^planes + sketch — one PLAIN long join key.
-    // The bucket array is computed BELOW the exchange barrier and exploded
-    // ABOVE it: fusing Generate with the sketch+division projections made
-    // janino's local-variable maps blow the heap (codegen class too large).
+    import graft.functions.VecExpressions.{packVec, packedDot}
+    // The vector travels through the bucket join as ONE packed BinaryType
+    // column (8 B/dim) + its precomputed norm; the per-pair cosine is a
+    // single static-call expression (graft.functions.VecOps.dot). This
+    // replaced `dim` flat double columns: identical math and summation
+    // order, but plans shrink from ~130 columns to ~4, which removes the
+    // multi-second janino compile each distinct plan was paying (the flat
+    // form's cost was compile time, not row time). Each plane family's
+    // bucket is table*2^planes + sketch — one PLAIN long join key. Buckets
+    // are computed BELOW the exchange barrier and exploded ABOVE it
+    // (Generate fused with the sketch projections blew up janino).
     val flat = df
-      .withColumn("_n", sqrt(Similarity.dotUnrolled(col(vecCol), col(vecCol), dim)))
-      .select(col(idCol).as("_id") +:
+      .select(col(idCol).as("_id"),
         array((0 until tables).map(t =>
           lit(t.toLong << planes) +
             Similarity.hyperplaneSketch(col(vecCol), planes, t)): _*)
-          .as("_buckets") +:
-        (0 until dim).map(i =>
-          (element_at(col(vecCol), i + 1).cast("double") / col("_n")).as(s"_e$i")): _*)
-      .repartition(col("_id")) // barrier: sketches + norm computed once
-    val withB = flat.select(
-      col("_id") +: explode(col("_buckets")).as("_bucket") +:
-        (0 until dim).map(i => col(s"_e$i")): _*)
-    val l = withB.select(col("_id").as("id_a") +: col("_bucket") +:
-      (0 until dim).map(i => col(s"_e$i").as(s"ea_$i")): _*)
-      .alias("l")
-    val r = withB.select(col("_id").as("id_b") +: col("_bucket") +:
-      (0 until dim).map(i => col(s"_e$i").as(s"eb_$i")): _*)
-      .alias("r")
-    val cosine = (0 until dim).map(i => col(s"ea_$i") * col(s"eb_$i"))
-      .reduce(_ + _)
+          .as("_buckets"),
+        packVec(col(vecCol).cast("array<double>")).as("_p"))
+      .repartition(col("_id")) // barrier: sketches + pack computed once
+      // norm above the barrier: _p is an attribute here, so the pack isn't
+      // re-inlined by project collapse
+      .withColumn("_n", sqrt(packedDot(col("_p"), col("_p"))))
+    val withB = flat.select(col("_id"),
+      explode(col("_buckets")).as("_bucket"), col("_p"), col("_n"))
+    val l = withB.select(col("_id").as("id_a"), col("_bucket"),
+      col("_p").as("_pa"), col("_n").as("_na")).alias("l")
+    val r = withB.select(col("_id").as("id_b"), col("_bucket"),
+      col("_p").as("_pb"), col("_n").as("_nb")).alias("r")
     l.join(r, col("l._bucket") === col("r._bucket") && col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine)
+      .withColumn("cosine",
+        packedDot(col("_pa"), col("_pb")) / (col("_na") * col("_nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables

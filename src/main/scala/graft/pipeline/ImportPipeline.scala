@@ -79,17 +79,29 @@ object ImportPipeline {
 
 final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     sink: Option[Sink] = None,
-    pauser: Option[Pauser] = None) {
+    pauser: Option[Pauser] = None,
+    cancelled: () => Boolean = () => false) {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private val log = new CommitLog(cfg.outDir, hconf)
   private val theSink = sink.getOrElse(new ParquetSink(cfg.outDir))
 
+  /** Pause/cancel gate, checked between job submissions (chunk/table
+    * granularity): a cancelJobGroup only aborts jobs already RUNNING, so
+    * a cancel landing between two jobs needs this driver-side check to
+    * stop the import promptly. Committed chunk states survive — a
+    * canceled import resumes exactly like a crashed one. */
+  private def gate(): Unit = {
+    pauser.foreach(_.waitIfPaused())
+    if (cancelled())
+      throw new InterruptedException("import canceled")
+  }
+
   /** Step 2-3: restore all tables; returns one report per table. */
   def run(): Seq[TableReport] = {
     val plan = MydumpDiscovery.plan(cfg.sourceDir, cfg.filter, cfg.routes, hconf)
     plan.tables.filter(_.dataFiles.nonEmpty).map { t =>
-      pauser.foreach(_.waitIfPaused())
+      gate()
       restoreTable(t)
     }
   }
@@ -247,7 +259,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     val states = groups.map { files =>
       val chunkId = s"${files.head.path}+${files.size}"
       done.getOrElse(chunkId, {
-        pauser.foreach(_.waitIfPaused())
+        gate()
         val aligned = loadAlignedFiles(files, table)
         val withId = RowIdAllocator.fromFileSizes(aligned, "_src_file",
           "_row_idx", allSizes, capacityFor = sz => sz + 1)

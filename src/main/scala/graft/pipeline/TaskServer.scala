@@ -64,7 +64,11 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
     while (running) {
       pauser.waitIfPaused()
       val t = queue.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
-      if (t != null && t.status == "queued") {
+      if (t != null && pauser.isPaused) {
+        // pause landed while we were blocked in poll(): hand the task back
+        // (front — its turn is preserved) and re-enter the gate
+        queue.addFirst(t)
+      } else if (t != null && t.status == "queued") {
         t.status = "running"
         current = t
         // the task's jobs run under a cancellable group: DELETE /tasks/N
@@ -75,8 +79,9 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
           val cfg = ImportConfig(sourceDir = t.source, outDir = t.out,
             sqlMode = if (t.strict) SqlMode.Strict else SqlMode.Lenient,
             filter = TableFilter())
-          val reports =
-            new ImportPipeline(spark, cfg, pauser = Some(pauser)).run()
+          val reports = new ImportPipeline(spark, cfg,
+            pauser = Some(pauser),
+            cancelled = () => t.cancelRequested).run()
           t.detail = reports.map(r =>
             s"${r.db}.${r.table}:${r.rows}").mkString(",")
           t.status = "imported"

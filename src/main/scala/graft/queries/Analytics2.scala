@@ -151,6 +151,35 @@ object Analytics2 {
       |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
       |    AND c_mktsegment = 'BUILDING')""".stripMargin
 
+  /** Salted skew join (operators.Skew wired into the gate): the fact key
+    * is made deliberately Zipfian — ~70% of lineitem rows collapse onto
+    * supplier key 1 — which at scale puts one reducer hours behind. The
+    * salted join shards the hot key over 16 sub-keys structurally (not
+    * post-hoc like AQE's skew split) and must produce EXACTLY the rows of
+    * the unsalted join, which the oracle runs. */
+  def q_skew_join(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(s, dir, "lineitem")
+      .withColumn("sk",
+        when(pmod(col("l_orderkey"), lit(10)) < 7, lit(1L))
+          .otherwise(col("l_suppkey")))
+    val dim = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").as("sk"), col("s_nationkey"))
+    graft.operators.Skew.saltedJoin(fact, dim, "sk",
+        saltFrom = col("l_orderkey") * 8 + col("l_linenumber"), salts = 16)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(30,8)")), 2)
+          .cast("double").as("qty"))
+  }
+
+  val q_skew_join_sql: String =
+    """SELECT s_nationkey, COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS qty
+      |FROM (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_suppkey END
+      |        AS sk, l_quantity FROM lineitem) f
+      |JOIN supplier ON sk = s_suppkey
+      |GROUP BY s_nationkey""".stripMargin
+
   /** Exact distinct counts + HLL sketch side-by-side (sketch column is
     * engine-specific → compare only the exact ones; approx shown in the
     * rows-only variant of this concept via dedup queries). */

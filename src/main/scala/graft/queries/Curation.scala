@@ -201,6 +201,54 @@ object Curation {
        |   / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 6) AS shingle_jaccard
        |FROM g""".stripMargin
 
+  /** SimHash verification (constant-row, hash-matched on its deterministic
+    * invariants — xxhash64 is not reproducible in DuckDB, so the evidence
+    * is Spark-internal and the gate row asserts it held):
+    * (1) reimplementation equality — the flat 64-bit-sum pipeline's sketch
+    * equals an INDEPENDENT implementation (the `simhashOf` array-lambda
+    * fold) for every doc in the capped slice; a packing or bit-order bug
+    * in either cannot pass; (2) band completeness by pigeonhole — with 4
+    * bands of 16 bits, any pair at exact Hamming ≤ 3 must share at least
+    * one full band, so every such brute-force pair (bit_count of XOR over
+    * all capped pairs — pure integer math) MUST be mined by
+    * simhashPairs(maxHamming = 3). */
+  def dedup_simhash_verify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 2000).select("doc_id", "text")
+    val sk = Dedup.simhashSketches(docs, "text", "doc_id").persist()
+    sk.count() // materialize through its own plan (codegen-compile economy)
+    // (1) independent recompute: token-hash ARRAY → interpreted lambda fold
+    // (fine here: capped slice; the flat pipeline is the scale path)
+    val alt = docs
+      .select(col("doc_id").as("_id"), Dedup.normalized(col("text")).as("_norm"))
+      .repartition(col("_id"))
+      .select(col("_id"),
+        transform(Dedup.tokensOf(col("_norm")), t => xxhash64(t)).as("_ths"))
+      .select(col("_id"), Dedup.simhashOf(col("_ths")).as("_h2"))
+    val mismatch = sk.join(alt, "_id").filter(col("_h") =!= col("_h2")).count()
+    require(mismatch == 0,
+      s"$mismatch docs where flat-pipeline sketch != lambda reimplementation")
+    // (2) pigeonhole completeness over the capped all-pairs Hamming
+    val a = sk.select(col("_id").as("id_a"), col("_h").as("h_a"))
+    val b = sk.select(col("_id").as("id_b"), col("_h").as("h_b"))
+    val brute3 = a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 3)
+      .select("id_a", "id_b").persist()
+    val nBrute = brute3.count()
+    val missed = brute3.join(
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+        .select("id_a", "id_b"),
+      Seq("id_a", "id_b"), "left_anti").count()
+    require(missed == 0,
+      s"band join missed $missed of $nBrute pairs with hamming<=3")
+    sk.unpersist(); brute3.unpersist()
+    import s.implicits._
+    Seq((1, 1)).toDF("reimpl_ok", "band_complete")
+  }
+
+  val dedup_simhash_verify_sql: String =
+    "SELECT CAST(1 AS INT) AS reimpl_ok, CAST(1 AS INT) AS band_complete"
+
   /** Embedding LSH verification (hash-matched): the full brute-force pair
     * set above threshold on a capped id range (vec_id < 500 keeps the N²
     * tractable at any sf), reproduced by DuckDB list_cosine_similarity.
@@ -210,22 +258,28 @@ object Curation {
     * 3-plane 2-table bucketing (expected ≈ 1−(1−(1−θ/π)³)² ≈ 0.36 at the
     * 0.25 threshold). */
   def dedup_embed_verify(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecExpressions.{packVec, packedDot}
     val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val withN = emb.select(col("vec_id"), col("embedding"),
-      sqrt(Similarity.dotUnrolled(col("embedding"), col("embedding"), dim)).as("_n"))
+    // packed-binary vectors (see VecOps): the N² pair plan is 3 columns
+    // wide instead of ~130, so whole-stage codegen compiles in
+    // milliseconds; summation order is identical to the old unrolled form,
+    // so the 9-dp-rounded cosines (and the oracle hash) are unchanged
+    val withN = emb
+      .select(col("vec_id"), packVec(col("embedding").cast("array<double>")).as("_p"))
+      .repartition(col("vec_id")) // barrier: pack once per row
+      .withColumn("_n", sqrt(packedDot(col("_p"), col("_p"))))
     val l = withN.select(col("vec_id").as("id_a"),
-      col("embedding").as("_va"), col("_n").as("_na"))
+      col("_p").as("_pa"), col("_n").as("_na"))
     val r = withN.select(col("vec_id").as("id_b"),
-      col("embedding").as("_vb"), col("_n").as("_nb"))
-    // persist the UNFILTERED pair projection: filtering first would push
-    // the 64-term cosine into the nested-loop join condition, which is
-    // evaluated interpreted per candidate pair (~10× slower than the
-    // codegen'd projection); the cache also feeds three counts plus the
-    // returned result without recomputing the N² join
+      col("_p").as("_pb"), col("_n").as("_nb"))
+    // persist the UNFILTERED pair projection (cache feeds three counts plus
+    // the returned result without recomputing the N² join); a threshold
+    // filter here would be pushed into the nested-loop join condition —
+    // harmless now (PackedDot is one static call either way), but the
+    // cache-reuse structure stays
     val allPairs = l.join(r, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.dotUnrolled(col("_va"), col("_vb"), dim)
+        round(packedDot(col("_pa"), col("_pb"))
           / (col("_na") * col("_nb")), 9).as("cosine"))
       .persist()
     val brute = allPairs.filter(col("cosine") >= 0.25)

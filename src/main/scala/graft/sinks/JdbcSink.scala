@@ -31,7 +31,9 @@ final class JdbcSink(url: String, props: java.util.Properties,
     onDup: OnDuplicate = OnDuplicate.Replace,
     maxStatementBytes: Int = 1 << 20,
     maxRetries: Int = 3,
-    backoffMs: Long = 200L) extends Sink {
+    backoffMs: Long = 200L,
+    // test/injection seam: a serializable factory overriding DriverManager
+    connFactory: Option[() => Connection] = None) extends Sink {
 
   /** Replaying the same rows is a no-op under REPLACE/IGNORE — the property
     * chunk-level resume needs (a crash between a chunk's write and its
@@ -46,10 +48,12 @@ final class JdbcSink(url: String, props: java.util.Properties,
     val jdbcUrl = url
     val p = props
     val (retries, backoff) = (maxRetries, backoffMs)
+    val factory = connFactory
     val counted = df.sparkSession.sparkContext.longAccumulator("rows_written")
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        JdbcSink.writePartition(() => DriverManager.getConnection(jdbcUrl, p),
+        JdbcSink.writePartition(
+          factory.getOrElse(() => DriverManager.getConnection(jdbcUrl, p)),
           verb, db, table, schema, rows, maxBytes,
           n => counted.add(n), retries, backoff)
       }

@@ -142,6 +142,13 @@ class SchemaAlignSpec extends SparkSpec {
     val e2 = intercept[Throwable] { run("A", "x,z", SqlMode.Strict) }
     assert(e2.toString.contains("SET") || Option(e2.getCause).exists(_.getMessage.contains("SET")) ||
       e2.getMessage.contains("SET"))
+    // MySQL matches enum/set members case-insensitively and stores the
+    // DECLARED case; SET output is deduped + definition-ordered
+    val ci = run("a", "Y,X,y", SqlMode.Lenient)
+    assert(ci.getString(0) === "A") // declared case restored
+    assert(ci.getString(1) === "x,y") // lowered input, deduped, decl order
+    val ciStrict = run("b", "Y,x", SqlMode.Strict)
+    assert(ciStrict.getString(0) === "B" && ciStrict.getString(1) === "x,y")
   }
 
   test("without kinds a hex value stays the raw digit text (legacy path)") {

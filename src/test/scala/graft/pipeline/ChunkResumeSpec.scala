@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import java.io.File
+import graft.SparkSpec
+import graft.operators.SqlMode
+import graft.sinks.{JdbcSink, OnDuplicate}
+
+/** In-JVM fake DB for the JDBC chunk-resume test: records every executed
+  * statement (local-mode executors share the JVM). `failOnIds` poisons
+  * execution when a statement mentions one of the ids — the "server dies
+  * mid-import" crash. */
+object FakeDb {
+  import java.lang.reflect.{InvocationHandler, Method, Proxy}
+  val executed = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  @volatile var failOnMarker: Option[String] = None
+
+  def connection(): java.sql.Connection = Proxy.newProxyInstance(
+    getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+    new InvocationHandler {
+      def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+        m.getName match {
+          case "createStatement" => statement()
+          case _ => null
+        }
+    }).asInstanceOf[java.sql.Connection]
+
+  private def statement(): java.sql.Statement = Proxy.newProxyInstance(
+    getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+    new InvocationHandler {
+      def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+        m.getName match {
+          case "execute" =>
+            val sql = args(0).asInstanceOf[String]
+            failOnMarker.filter(sql.contains).foreach { _ =>
+              // non-retryable so the write aborts immediately
+              throw new java.sql.SQLSyntaxErrorException("server lost (fake)")
+            }
+            executed.add(sql)
+            java.lang.Boolean.TRUE
+          case _ => null
+        }
+    }).asInstanceOf[java.sql.Statement]
+}
+
+class ChunkResumeSpec extends SparkSpec {
+
+  private def freshOut(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckr").toString
+
+  private def writeCsv(dir: File, name: String, lo: Int, hi: Int): Unit =
+    java.nio.file.Files.writeString(new File(dir, name).toPath,
+      (lo to hi).map(i => s"$i,$i.5").mkString("", "\n", "\n"))
+
+  private val table = graft.sources.MysqlDdl.parseCreateTable(
+    "CREATE TABLE `t` (`id` int(11) NOT NULL, `v` double, PRIMARY KEY (`id`))")
+
+  private def cfgFor(src: File, out: String, cb: Long = 64) = ImportConfig(
+    sourceDir = src.getAbsolutePath, outDir = out,
+    schemaCatalog = Map(("cr", "t") -> table),
+    chunkCommitBytes = cb) // 64 B → one chunk group per file
+
+  test("resume reconciles orphan output from a crash between append and commit") {
+    val src = java.nio.file.Files.createTempDirectory("graft-cr1").toFile
+    writeCsv(src, "cr.t.0001.csv", 1, 50)
+    writeCsv(src, "cr.t.0002.csv", 51, 100)
+    val out = freshOut()
+    assert(new ImportPipeline(spark, cfgFor(src, out)).run().head.rows === 100)
+    // simulate the ADVICE crash: chunk 2's parquet append committed but its
+    // state write did not — delete the state file, keep the output files
+    val stateDir = new File(out, "_state")
+    val chunk2State = stateDir.listFiles()
+      .filter(_.getName.contains(".chunk."))
+      .find(f => java.nio.file.Files.readString(f.toPath).contains("0002.csv"))
+      .getOrElse(fail("no chunk state for file 2"))
+    chunk2State.delete()
+    val report = new ImportPipeline(spark, cfgFor(src, out)).run().head
+    assert(report.rows === 100)
+    // without reconciliation this would be 150 (chunk 2 appended twice)
+    assert(spark.read.parquet(s"$out/cr/t").count() === 100)
+    assert(spark.read.parquet(s"$out/cr/t")
+      .select("id").distinct().count() === 100)
+  }
+
+  test("changing chunkCommitBytes between runs re-imports instead of duplicating") {
+    val src = java.nio.file.Files.createTempDirectory("graft-cr2").toFile
+    writeCsv(src, "cr.t.0001.csv", 1, 50)
+    writeCsv(src, "cr.t.0002.csv", 51, 100)
+    val out = freshOut()
+    assert(new ImportPipeline(spark, cfgFor(src, out, cb = 64))
+      .run().head.rows === 100)
+    // new group layout → every chunkId differs; the layout is part of the
+    // reuse fingerprint, so the old states are invalid and output is reset.
+    // NOTE: checkpointEnabled table-level skip would kick in first on a
+    // truly unchanged import; poke the table state away to force the
+    // chunk path to run again (the crashed-mid-table scenario).
+    new graft.sinks.CommitLog(out, spark.sparkContext.hadoopConfiguration)
+      .remove("cr", "t")
+    val report = new ImportPipeline(spark, cfgFor(src, out, cb = 1 << 20))
+      .run().head
+    assert(report.rows === 100)
+    assert(spark.read.parquet(s"$out/cr/t").count() === 100)
+  }
+
+  test("JDBC sink: killed import resumes from last committed chunk, no replay of done chunks") {
+    val src = java.nio.file.Files.createTempDirectory("graft-cr3").toFile
+    writeCsv(src, "cr.t.0001.csv", 1, 50)
+    writeCsv(src, "cr.t.0002.csv", 51, 100)
+    val out = freshOut()
+    FakeDb.executed.clear()
+    FakeDb.failOnMarker = Some("(100,") // poison the last row of chunk 2
+    val sink = new JdbcSink("jdbc:fake", new java.util.Properties(),
+      OnDuplicate.Replace, maxRetries = 0,
+      connFactory = Some(() => FakeDb.connection()))
+    intercept[Throwable] {
+      new ImportPipeline(spark, cfgFor(src, out), sink = Some(sink)).run()
+    }
+    assert(FakeDb.executed.toArray.exists(_.toString.contains("(50,")),
+      "chunk 1 statements missing before the crash")
+    // server "recovers"; rerun — chunk 1 is committed and must NOT replay
+    FakeDb.failOnMarker = None
+    val report = new ImportPipeline(spark, cfgFor(src, out),
+      sink = Some(sink)).run().head
+    assert(report.rows === 100)
+    val sqls = FakeDb.executed.toArray.map(_.toString)
+    def countRow(id: Int) = sqls.count(_.contains(s"($id,"))
+    assert(countRow(1) === 1, "chunk 1 was replayed on resume")
+    assert(countRow(100) === 1, "chunk 2 row missing after resume")
+  }
+
+  test("non-idempotent JDBC (INSERT) refuses chunk checkpoints") {
+    val sink = new JdbcSink("jdbc:fake", new java.util.Properties(),
+      OnDuplicate.Error, connFactory = Some(() => FakeDb.connection()))
+    assert(!sink.idempotentReplay)
+  }
+}

@@ -1,24 +1,26 @@
 package graft.pipeline
 
-import java.net.{HttpURLConnection, URI}
+import java.net.URI
 import java.nio.charset.StandardCharsets
 import graft.SparkSpec
 
 class TaskServerSpec extends SparkSpec {
 
+  // java.net.http.HttpClient: HttpURLConnection cannot send PATCH
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
   private def http(method: String, url: String,
       body: Option[String] = None): (Int, String) = {
-    val conn = URI.create(url).toURL.openConnection()
-      .asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod(method)
-    body.foreach { b =>
-      conn.setDoOutput(true)
-      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    val pub = body match {
+      case Some(b) => java.net.http.HttpRequest.BodyPublishers
+        .ofString(b, StandardCharsets.UTF_8)
+      case None => java.net.http.HttpRequest.BodyPublishers.noBody()
     }
-    val code = conn.getResponseCode
-    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val text = new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    (code, text)
+    val req = java.net.http.HttpRequest.newBuilder(URI.create(url))
+      .method(method, pub).build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
   }
 
   test("serve: POST /tasks queues an import; worker completes it") {
@@ -48,6 +50,100 @@ class TaskServerSpec extends SparkSpec {
       assert(http("GET", s"http://127.0.0.1:$port/tasks/99")._1 === 404)
       assert(http("POST", s"http://127.0.0.1:$port/tasks",
         Some("""{"nope":1}"""))._1 === 400)
+    } finally srv.stop()
+  }
+
+  private def status(port: Int, id: Long): String = {
+    val (_, t) = http("GET", s"http://127.0.0.1:$port/tasks/$id")
+    """"status":"([a-z]+)"""".r.findFirstMatchIn(t).map(_.group(1)).getOrElse("")
+  }
+
+  private def awaitStatus(port: Int, id: Long, want: Set[String],
+      timeoutSec: Int = 120): String = {
+    val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
+    var s = status(port, id)
+    while (!want.contains(s) && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      s = status(port, id)
+    }
+    s
+  }
+
+  /** A scratch source dir with `n` small single-file tables — a multi-job
+    * import with a wide window for mid-import cancellation. */
+  private def multiTableSource(n: Int): String = {
+    val src = java.nio.file.Files.createTempDirectory("graft-cancel").toFile
+    (1 to n).foreach { i =>
+      java.nio.file.Files.writeString(
+        new java.io.File(src, f"cdb.t$i%02d.csv").toPath,
+        (1 to 500).map(r => s"$r,name_$r").mkString("", "\n", "\n"))
+      java.nio.file.Files.writeString(
+        new java.io.File(src, f"cdb.t$i%02d-schema.sql").toPath,
+        s"CREATE TABLE `t$i` (`id` int(11) NOT NULL, `v` varchar(16))")
+    }
+    src.getAbsolutePath
+  }
+
+  test("pause gates the worker; cancel dequeues a queued task; reorder works") {
+    val srv = new TaskServer(spark, port = 0)
+    val port = srv.start()
+    try {
+      assert(http("PUT", s"http://127.0.0.1:$port/pause")._1 === 200)
+      assert(http("GET", s"http://127.0.0.1:$port/pause")._2
+        .contains("\"paused\":true"))
+      val out = java.nio.file.Files.createTempDirectory("graft-p").toString
+      def post(tag: String): Long = {
+        val (_, resp) = http("POST", s"http://127.0.0.1:$port/tasks",
+          Some(s"""{"source":"${fixture("mydump")}","out":"$out/$tag"}"""))
+        """"id":(\d+)""".r.findFirstMatchIn(resp).get.group(1).toLong
+      }
+      val a = post("a"); val b = post("b"); val c = post("c")
+      Thread.sleep(400) // worker must NOT pick anything up while paused
+      assert(Seq(a, b, c).forall(status(port, _) == "queued"))
+      // cancel the queued middle task
+      assert(http("DELETE", s"http://127.0.0.1:$port/tasks/$b")._1 === 200)
+      assert(status(port, b) === "canceled")
+      // move c in front of a, then release the gate
+      assert(http("PATCH", s"http://127.0.0.1:$port/tasks/$c/front")._1 === 200)
+      assert(http("PUT", s"http://127.0.0.1:$port/resume")._1 === 200)
+      // c must leave the queue before a does (it was moved to the front)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var cLeft = false
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        val (sa, sc) = (status(port, a), status(port, c))
+        if (sc != "queued") cLeft = true
+        if (sa != "queued") { ok = true; assert(cLeft, "a started before c") }
+        Thread.sleep(20)
+      }
+      assert(awaitStatus(port, a, Set("imported", "failed")) === "imported")
+      assert(awaitStatus(port, c, Set("imported", "failed")) === "imported")
+      assert(status(port, b) === "canceled") // stayed canceled
+      // PATCH on a finished task → 404
+      assert(http("PATCH", s"http://127.0.0.1:$port/tasks/$a/back")._1 === 404)
+    } finally srv.stop()
+  }
+
+  test("DELETE cancels a RUNNING import mid-flight") {
+    val srv = new TaskServer(spark, port = 0)
+    val port = srv.start()
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft-c").toString
+      val (_, resp) = http("POST", s"http://127.0.0.1:$port/tasks",
+        Some(s"""{"source":"${multiTableSource(25)}","out":"$out"}"""))
+      val id = """"id":(\d+)""".r.findFirstMatchIn(resp).get.group(1).toLong
+      assert(awaitStatus(port, id, Set("running")) === "running")
+      assert(http("DELETE", s"http://127.0.0.1:$port/tasks/$id")._1 === 200)
+      val fin = awaitStatus(port, id, Set("canceled", "imported", "failed"))
+      // 25 sequential table restores give a wide window — the cancel gate
+      // between jobs makes this deterministic unless the whole import beat
+      // the DELETE round-trip
+      assert(fin === "canceled", s"expected canceled, got $fin")
+      // the session must stay usable for the next task
+      val (_, r2) = http("POST", s"http://127.0.0.1:$port/tasks",
+        Some(s"""{"source":"${fixture("mydump")}","out":"$out-next"}"""))
+      val id2 = """"id":(\d+)""".r.findFirstMatchIn(r2).get.group(1).toLong
+      assert(awaitStatus(port, id2, Set("imported", "failed")) === "imported")
     } finally srv.stop()
   }
 }

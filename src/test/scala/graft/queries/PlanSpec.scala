@@ -55,6 +55,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_skew_join: the salt is part of the shuffle/join key") {
+    // the whole point of salting: the hot key's rows spread over `salts`
+    // reducers, so _salt must appear in the join's equi-key expressions
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(Analytics2.q_skew_join(spark, sf))
+      val joinLine = p.linesIterator.find(_.contains("SortMergeJoin"))
+        .orElse(p.linesIterator.find(_.contains("ShuffledHashJoin")))
+      assert(joinLine.exists(_.contains("_salt")),
+        s"salt not in the join key:\n${joinLine.getOrElse(p.take(1500))}")
+    }
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val prev = spark.conf.get(kv._1)
     spark.conf.set(kv._1, kv._2)

@@ -114,4 +114,51 @@ class JdbcSinkSpec extends AnyFunSuite {
     }
     assert(e.getErrorCode === 1062 && hardCalls === 1)
   }
+
+  test("reconnect failure consumes the retry budget instead of aborting") {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    // the server is down for the first 2 connection attempts, then back up:
+    // the write must retry the CONNECTION with backoff and still succeed
+    var connAttempts = 0
+    var executed = 0
+    def statement(): java.sql.Statement = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "execute" => executed += 1; java.lang.Boolean.TRUE
+            case _ => null
+          }
+      }).asInstanceOf[java.sql.Statement]
+    def connection(): java.sql.Connection = {
+      connAttempts += 1
+      if (connAttempts <= 2)
+        throw new java.net.SocketException("connection refused")
+      Proxy.newProxyInstance(
+        getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+        new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+            m.getName match {
+              case "createStatement" => statement()
+              case _ => null
+            }
+        }).asInstanceOf[java.sql.Connection]
+    }
+    var n = 0L
+    JdbcSink.writePartition(() => connection(), "REPLACE INTO", "db", "t",
+      schema, Iterator(Row(1L, "a", 1.0, null)), 1 << 20, c => n += c,
+      maxRetries = 3, backoffMs = 1L)
+    assert(connAttempts === 3 && executed === 1 && n === 1L)
+    // a server that never comes back exhausts the budget and raises the
+    // ORIGINAL retryable error, not a misleading 'statement closed'
+    connAttempts = 0
+    def deadConn(): java.sql.Connection =
+      throw new java.net.SocketException("still down")
+    val e2 = intercept[java.net.SocketException] {
+      JdbcSink.writePartition(() => deadConn(), "REPLACE INTO", "db", "t",
+        schema, Iterator(Row(1L, "a", 1.0, null)), 1 << 20, _ => (),
+        maxRetries = 2, backoffMs = 1L)
+    }
+    assert(e2.getMessage === "still down")
+  }
 }
