@@ -66,10 +66,16 @@ final case class ImportConfig(
     chunkCheckpoints: Boolean = true,
     // target input bytes per chunk-commit group (the reference's region
     // size, const.go:23); small tables collapse to one group = one job
-    chunkCommitBytes: Long = 256L * 1024 * 1024)
+    chunkCommitBytes: Long = 256L * 1024 * 1024,
+    // error policy (reference errorSummaries, restore.go:89-129): false =
+    // raise on first table failure; true = record the failure, keep
+    // importing the remaining tables, and emit a per-table error summary
+    // at the end (committed chunks of the failed table still resume)
+    continueOnError: Boolean = false)
 
 final case class TableReport(db: String, table: String, rows: Long,
-    dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean)
+    dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean,
+    error: Option[String] = None)
 
 object ImportPipeline {
   /** Stable numeric table id (role of TiDB's table ID in record keys). */
@@ -100,10 +106,26 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
   /** Step 2-3: restore all tables; returns one report per table. */
   def run(): Seq[TableReport] = {
     val plan = MydumpDiscovery.plan(cfg.sourceDir, cfg.filter, cfg.routes, hconf)
-    plan.tables.filter(_.dataFiles.nonEmpty).map { t =>
+    val reports = plan.tables.filter(_.dataFiles.nonEmpty).map { t =>
       gate()
-      restoreTable(t)
+      if (!cfg.continueOnError) restoreTable(t)
+      else try restoreTable(t) catch {
+        case e: InterruptedException => throw e // cancellation is not an error
+        case e: Throwable =>
+          if (cfg.checkpointEnabled)
+            log.write(TableState(t.db, t.table, "failed", 0, 0, 0, 0,
+              fingerprint(t), cfg.jobTsMicros))
+          TableReport(t.db, t.table, 0, 0, 0, 0, resumedSkip = false,
+            error = Some(String.valueOf(e.getMessage).take(500)))
+      }
     }
+    val failed = reports.filter(_.error.nonEmpty)
+    if (failed.nonEmpty) { // reference errorSummaries.emitLog
+      System.err.println(s"[graft] ${failed.size} tables failed to import:")
+      failed.foreach(r =>
+        System.err.println(s"[graft] - ${r.db}.${r.table}: ${r.error.get}"))
+    }
+    reports
   }
 
   private def fingerprint(t: TablePlan): String = {

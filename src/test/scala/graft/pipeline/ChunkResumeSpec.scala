@@ -69,10 +69,12 @@ class ChunkResumeSpec extends SparkSpec {
     // state write did not — delete the state file, keep the output files
     val stateDir = new File(out, "_state")
     val chunk2State = stateDir.listFiles()
-      .filter(_.getName.contains(".chunk."))
+      .filter(f => f.getName.contains(".chunk.") && f.getName.endsWith(".json"))
       .find(f => java.nio.file.Files.readString(f.toPath).contains("0002.csv"))
       .getOrElse(fail("no chunk state for file 2"))
     chunk2State.delete()
+    // the local FS also keeps a .crc sidecar; stale CRC would fail reads
+    new File(stateDir, s".${chunk2State.getName}.crc").delete()
     val report = new ImportPipeline(spark, cfgFor(src, out)).run().head
     assert(report.rows === 100)
     // without reconciliation this would be 150 (chunk 2 appended twice)
@@ -125,6 +127,33 @@ class ChunkResumeSpec extends SparkSpec {
     def countRow(id: Int) = sqls.count(_.contains(s"($id,"))
     assert(countRow(1) === 1, "chunk 1 was replayed on resume")
     assert(countRow(100) === 1, "chunk 2 row missing after resume")
+  }
+
+  test("continueOnError: failed table is summarized, the rest import; rerun heals") {
+    import graft.operators.SqlMode
+    val src = java.nio.file.Files.createTempDirectory("graft-coe").toFile
+    java.nio.file.Files.writeString(new File(src, "eo.good.csv").toPath,
+      (1 to 20).map(i => s"$i,$i.5").mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(new File(src, "eo.bad.csv").toPath,
+      "1,1.5\n2,junk\n")
+    val t = graft.sources.MysqlDdl.parseCreateTable(
+      "CREATE TABLE `x` (`id` int(11) NOT NULL, `v` double)")
+    val out = freshOut()
+    def cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+      sqlMode = SqlMode.Strict, continueOnError = true,
+      schemaCatalog = Map(("eo", "good") -> t, ("eo", "bad") -> t))
+    val reports = new ImportPipeline(spark, cfg).run()
+    val byTable = reports.map(r => r.table -> r).toMap
+    assert(byTable("bad").error.nonEmpty)
+    assert(byTable("good").error.isEmpty && byTable("good").rows === 20)
+    // the failure did not poison the commit log: repair + rerun imports
+    // only the failed table (good resumes by skip)
+    java.nio.file.Files.writeString(new File(src, "eo.bad.csv").toPath,
+      "1,1.5\n2,2.5\n")
+    val again = new ImportPipeline(spark, cfg).run()
+    val byTable2 = again.map(r => r.table -> r).toMap
+    assert(byTable2("good").resumedSkip)
+    assert(byTable2("bad").error.isEmpty && byTable2("bad").rows === 2)
   }
 
   test("non-idempotent JDBC (INSERT) refuses chunk checkpoints") {
