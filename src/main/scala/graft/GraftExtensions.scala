@@ -2,21 +2,54 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.Crc64Expr
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{Crc64Expr, PackVec, PackedDot}
 
-/** SparkSessionExtensions entry point: registers the engine's native
-  * expressions for SQL use (`SELECT crc64(binary_col) …`).
+/** §2.8 extension seam: graft's native Catalyst expressions as SQL
+  * functions. Two entry points:
   *
-  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.GraftExtensions`.
+  *  - session startup: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (the standard SparkSessionExtensions route);
+  *  - an already-running session: `GraftExtensions.register(spark)`.
+  *
+  * After either, plain SQL can use the operators:
+  * {{{
+  *   SELECT crc64(encode(col, 'UTF-8')) FROM t
+  *   SELECT packed_dot(pack_vec(CAST(a AS ARRAY<DOUBLE>)),
+  *                     pack_vec(CAST(b AS ARRAY<DOUBLE>)))
+  * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("crc64"),
-      new ExpressionInfo(classOf[Crc64Expr].getName, "crc64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Crc64Expr(children.head)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** (identifier, doc, builder) for every exposed function. */
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("crc64"),
+      info("crc64", "crc64(binary) - CRC64 (ECMA-182, reflected) of the bytes"),
+      (args: Seq[Expression]) => Crc64Expr(args.head)),
+    (FunctionIdentifier("pack_vec"),
+      info("pack_vec", "pack_vec(array<double>) - pack into an 8-byte-per-" +
+        "element binary vector for packed_dot"),
+      (args: Seq[Expression]) => PackVec(args.head)),
+    (FunctionIdentifier("packed_dot"),
+      info("packed_dot", "packed_dot(binary, binary) - dot product of two " +
+        "pack_vec vectors"),
+      (args: Seq[Expression]) => PackedDot(args(0), args(1))))
+
+  /** Register into an already-running session's function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    definitions.foreach { case (ident, inf, builder) =>
+      org.apache.spark.sql.GraftFunctionBridge
+        .register(spark, ident, inf, builder)
+    }
 }

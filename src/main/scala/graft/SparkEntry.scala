@@ -38,6 +38,7 @@ object SparkEntry {
     ("q_skew_join", Analytics2.q_skew_join _, Some(Analytics2.q_skew_join_sql)),
     // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
+    ("q_stream_ingest", Ingest.q_stream_ingest _, Some(Ingest.q_stream_ingest_sql)),
     ("csv_roundtrip", Ingest.csv_roundtrip _, Some(Ingest.csv_roundtrip_sql)),
     ("binary_roundtrip", Ingest.binary_roundtrip _, Some(Ingest.binary_roundtrip_sql)),
     ("charset_roundtrip", Ingest.charset_roundtrip _, Some(Ingest.charset_roundtrip_sql)),

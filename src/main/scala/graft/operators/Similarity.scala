@@ -59,6 +59,21 @@ object Similarity {
       }),
       lit(0L), (acc, bit) => acc * 2 + bit)
 
+  /** Corpus-scan cosine against a literal query vector, on the packed
+    * kernel (graft.functions.VecOps): one codegen'd static call per row
+    * instead of an interpreted per-element aggregate — the difference
+    * between a scan-bound and an interpreter-bound probe at corpus scale.
+    * Accumulation order matches `cosine` (left-to-right), so scores are
+    * bit-identical to the interpreted form and the DuckDB oracle. */
+  private def packedScore(vecCol: Column, query: Seq[Double]): Column = {
+    import graft.functions.VecExpressions.{packVec, packedDot}
+    val qb = lit(graft.functions.VecOps.pack(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(query.toArray)))
+    val qn = math.sqrt(query.foldLeft(0.0)((s, x) => s + x * x))
+    val p = packVec(vecCol.cast("array<double>"))
+    round(packedDot(p, qb) / (sqrt(packedDot(p, p)) * lit(qn)), 9)
+  }
+
   /** IVF (inverted-file) ANN: k-means cells instead of hyperplane buckets —
     * the other classic scale path. The corpus is clustered once (nlist
     * cells, fixed seed), each probe scans only the `nprobe` cells whose
@@ -88,19 +103,17 @@ object Similarity {
         (i, d)
       }
       .sortBy(_._2).take(nprobe).map(_._1)
-    val q = array(query.map(lit): _*)
     assigned.filter(col("_cell").isin(probes: _*))
-      .select(col(idCol), round(cosine(col(vecCol), q), 9).as("score"))
+      .select(col(idCol), packedScore(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 
-  /** Brute-force cosine top-k against a literal query vector. */
+  /** Brute-force cosine top-k against a literal query vector (packed
+    * kernel scan + TakeOrderedAndProject — no shuffle of vectors). */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
-    df.select(col(idCol),
-        round(cosine(col(vecCol), q), 9).as("score"))
+    df.select(col(idCol), packedScore(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -124,7 +137,7 @@ object Similarity {
     val probes = (0L until (1L << planes))
       .filter(b => java.lang.Long.bitCount(b ^ queryBucket) <= probeHamming)
     withBucket.filter(col("_bucket").isin(probes: _*))
-      .select(col(idCol), round(cosine(col(vecCol), q), 9).as("score"))
+      .select(col(idCol), packedScore(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

@@ -86,6 +86,47 @@ object Ingest {
        | ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
        |FROM orders WHERE o_orderkey <= $OrdersKeyCap""".stripMargin
 
+  /** §2.7×§2.8 continuous import: the same 4-shard dump ingested through
+    * the STREAMING face of the sqldump DSv2 source — readStream →
+    * per-statement align → parquet append under an AvailableNow trigger —
+    * then read back with deterministic row-ids. The oracle is identical to
+    * the batch roundtrip: streaming and batch ingest must agree row-for-row. */
+  def q_stream_ingest(s: SparkSession, dir: String): DataFrame = {
+    sqldump_roundtrip(s, dir).count() // materialize shard files + DDL
+    val src = scratch("sqldump_rt")
+    val streamDir = scratch("stream_ingest_src")
+    deleteRec(streamDir); streamDir.mkdirs()
+    src.listFiles().filter(_.getName.matches("rt\\.orders_rt\\.\\d+\\.sql"))
+      .foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new File(streamDir, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    val base = scratch("stream_ingest")
+    val out = new File(base, "out"); val ck = new File(base, "ck")
+    deleteRec(out); deleteRec(ck)
+    val table = MysqlDdl.parseCreateTable(
+      java.nio.file.Files.readString(
+        new File(src, "rt.orders_rt-schema.sql").toPath))
+    val raw = s.readStream.format("sqldump").load(streamDir.getAbsolutePath)
+    val aligned = SchemaAlign.fromArrayPerStatement(raw, col("vals"),
+      col("stmt_cols"), table, SqlMode.Lenient,
+      keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")),
+      kindsCol = Some(col("kinds")))
+    val q = aligned.writeStream.format("parquet")
+      .option("checkpointLocation", ck.getAbsolutePath)
+      .option("path", out.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val back = s.read.parquet(out.getAbsolutePath)
+    RowIdAllocator.fromFileIndex(back, "_src_file", "_row_idx", "row_id")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("row_id"))
+  }
+
+  val q_stream_ingest_sql: String = sqldump_roundtrip_sql
+
   private val CustKeyCap = 500
 
   /** S6+S7+P5: customer sample → quirky CSV (quoted strings, backslash

@@ -43,7 +43,8 @@ private final class SqlDumpTable(options: CaseInsensitiveStringMap)
   override def name(): String = "sqldump"
   override def schema(): StructType = SqlDumpSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(o.asCaseSensitiveMap())
@@ -109,6 +110,72 @@ private final class SqlDumpScanBuilder(options: CaseInsensitiveStringMap)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SqlDumpReaderFactory(hadoopConf)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SqlDumpMicroBatchStream(() => paths, options, hadoopConf)
+}
+
+/** Offset = count of discovered dump files (files are immutable once
+  * written — the mydumper contract — so "how many files have been taken"
+  * fully describes progress). */
+private final case class SqlDumpOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = n.toString
+}
+
+/** §2.7×§2.8: the dump parser as a STREAMING source — continuous import.
+  * `spark.readStream.format("sqldump").load(dir)` turns a growing dump
+  * directory into micro-batches of parsed rows; align + writeStream append
+  * makes the import pipeline incremental (AvailableNow = catch-up runs).
+  *
+  * Each micro-batch takes the files that appeared since the last offset;
+  * within a batch, large files still split into statement-aligned chunks,
+  * so one huge shard parallelizes exactly like the batch path. Restart
+  * note: the discovery log orders files by name within each refresh, so
+  * offsets are reproducible across restarts when files appear in
+  * name-sorted order (the mydumper `db.table.NNNN.sql` convention). */
+private final class SqlDumpMicroBatchStream(listFiles: () => Seq[String],
+    options: CaseInsensitiveStringMap,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val charset = Option(options.get("charset")).getOrElse("UTF-8")
+  private val minChunk = Option(options.get("minChunkBytes")).map(_.toLong)
+    .getOrElse(256L * 1024 * 1024)
+
+  // ordered discovery log: index position = offset unit; files are only
+  // ever appended (name-sorted within each refresh)
+  private val discovered = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+
+  private def refresh(): Unit = synchronized {
+    listFiles().sorted.foreach { f =>
+      if (!seen.contains(f)) { seen += f; discovered += f }
+    }
+  }
+
+  override def initialOffset(): Offset = SqlDumpOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    SqlDumpOffset(json.trim.toLong)
+  override def latestOffset(): Offset = { refresh(); SqlDumpOffset(discovered.size) }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    refresh() // restart path: rebuild the log before slicing
+    val s = start.asInstanceOf[SqlDumpOffset].n.toInt
+    val e = end.asInstanceOf[SqlDumpOffset].n.toInt
+    discovered.slice(s, e).flatMap { path =>
+      SqlDumpSource.planChunksForCharset(path, conf.value, minChunk, charset)
+        .map(ch => SqlDumpInputPartition(ch.path, ch.start, ch.end,
+          ch.baseRow, charset): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SqlDumpReaderFactory(conf)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private final case class SqlDumpInputPartition(path: String, start: Long,

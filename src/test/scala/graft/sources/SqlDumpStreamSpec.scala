@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.io.File
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming (continuous-import) face of the sqldump DSv2 source: new dump
+  * files appearing in the directory become micro-batches; AvailableNow
+  * catch-up runs resume from the checkpointed file offset and process only
+  * the files added since. */
+class SqlDumpStreamSpec extends SparkSpec {
+
+  private def writeShard(dir: File, name: String, rows: Range): Unit =
+    java.nio.file.Files.writeString(new File(dir, name).toPath,
+      rows.map(i => s"INSERT INTO `t` VALUES ($i,'v$i');").mkString("", "\n", "\n"))
+
+  test("readStream over a dump dir: incremental files, checkpointed resume") {
+    val src = java.nio.file.Files.createTempDirectory("sds-src").toFile
+    val out = java.nio.file.Files.createTempDirectory("sds-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sds-ck").toString
+    writeShard(src, "s.t.0001.sql", 1 to 40)
+    writeShard(src, "s.t.0002.sql", 41 to 60)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format("sqldump")
+        .load(src.getAbsolutePath)
+        .selectExpr("src_file", "row_idx", "vals[0] AS id", "vals[1] AS v")
+      val q = stream.writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+
+    runOnce()
+    val first = spark.read.parquet(out)
+    assert(first.count() === 60)
+    assert(first.select("id").collect().map(_.getString(0).toInt).sorted.toSeq
+      === (1 to 60))
+
+    // a new shard appears; the catch-up run must process ONLY that file
+    writeShard(src, "s.t.0003.sql", 61 to 75)
+    runOnce()
+    val second = spark.read.parquet(out)
+    assert(second.count() === 75) // 60 + 15, no re-ingest of old shards
+    assert(second.select("id").collect().map(_.getString(0).toInt).sorted.toSeq
+      === (1 to 75))
+
+    // no new files → a further run appends nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 75)
+  }
+}
