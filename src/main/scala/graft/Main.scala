@@ -13,6 +13,7 @@ import graft.sources.{MydumpDiscovery, MysqlDdl, RouteRule, TableFilter}
   *
   * Subcommands:
   *   import          --source DIR --out DIR [--strict] [--no-checkpoint]
+  *                   [--continue-on-error]
   *                   [--filter db.tbl ...] [--route src.tbl=dst.tbl ...]
   *   checkpoint-dump --source DIR --out DIR            (CSV to stdout)
   *   checkpoint-remove --out DIR --table db.tbl
@@ -35,13 +36,18 @@ object Main {
   }
 
   /** Server mode (reference lightning.go:149-167): long-running HTTP task
-    * queue — POST /tasks enqueues imports, one worker drains them. */
+    * queue — POST /tasks enqueues imports, one worker drains them;
+    * DELETE/PATCH manage the queue, /pause + /resume gate the dataflow.
+    * Loopback-only unless --bind says otherwise (the API can overwrite
+    * output directories, so exposure is an explicit choice). */
   private def doServe(o: Map[String, List[String]]): Unit = {
     val port = o("port").headOption.map(_.toInt).getOrElse(8289)
+    val bind = o("bind").headOption.getOrElse("127.0.0.1")
     val spark = session()
-    val srv = new graft.pipeline.TaskServer(spark, port)
+    val srv = new graft.pipeline.TaskServer(spark, port, bind)
     val bound = srv.start()
-    println(s"graft task server listening on :$bound (POST /tasks, GET /tasks)")
+    println(s"graft task server listening on $bind:$bound " +
+      "(POST/GET/DELETE /tasks, PATCH /tasks/N/front|back, /pause, /resume)")
     Thread.currentThread().join() // serve until killed
   }
 
@@ -95,7 +101,8 @@ object Main {
       sqlMode = if (o("strict").nonEmpty) SqlMode.Strict else SqlMode.Lenient,
       filter = if (filters.isEmpty) TableFilter() else TableFilter(doTables = filters),
       routes = routes,
-      checkpointEnabled = o("no-checkpoint").isEmpty)
+      checkpointEnabled = o("no-checkpoint").isEmpty,
+      continueOnError = o("continue-on-error").nonEmpty)
   }
 
   private def doImport(o: Map[String, List[String]]): Unit = {
@@ -105,12 +112,18 @@ object Main {
     val cfg = buildConfig(o)
     val reports = new ImportPipeline(spark, cfg).run()
     reports.foreach { r =>
-      val skip = if (r.resumedSkip) " (resumed: skipped)" else ""
-      println(f"imported ${r.db}.${r.table}: rows=${r.rows} " +
-        f"checksum=${r.dataChecksum}%016x bytes=${r.dataBytes} kvs=${r.dataKvs}$skip")
+      r.error match {
+        case Some(err) =>
+          println(s"FAILED ${r.db}.${r.table}: $err")
+        case None =>
+          val skip = if (r.resumedSkip) " (resumed: skipped)" else ""
+          println(f"imported ${r.db}.${r.table}: rows=${r.rows} " +
+            f"checksum=${r.dataChecksum}%016x bytes=${r.dataBytes} kvs=${r.dataKvs}$skip")
+      }
     }
     println(s"progress: ${listener.summary()}")
     spark.stop()
+    if (reports.exists(_.error.nonEmpty)) sys.exit(1)
   }
 
   private def checkpointDump(o: Map[String, List[String]]): Unit = {
