@@ -47,6 +47,12 @@ object Bench {
       println(f"""{"metric":"parse_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f}""")
       spark.stop(); return
     }
+    // ingest throughput FIRST: after the 51-query gauntlet the shared JVM
+    // carries enough heap/GC debris to halve the measured MiB/s (observed
+    // 30 → 14.6 for identical code); the probe already min-of-3s away its
+    // own warm-up, so running it on a quiet heap measures the pipeline,
+    // not the allocator's history
+    val (ingestMib, ingestSec) = ingestThroughput(spark, sfDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // a crashed query must be visible in the JSON line, not silently folded
     // into a plausible-looking time — failures land in an "errors" object
@@ -60,7 +66,6 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (ingestMib, ingestSec) = ingestThroughput(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

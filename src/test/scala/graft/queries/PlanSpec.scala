@@ -81,10 +81,13 @@ class PlanSpec extends SparkSpec {
   test("LSH miners: band joins stay equi-joins — never cross joins") {
     import graft.util.Tables
     val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
     for (df <- Seq(
         graft.operators.Dedup.minhashPairs(docs, "text", "doc_id",
           threshold = 0.35),
-        graft.operators.Dedup.simhashPairs(docs, "text", "doc_id"))) {
+        graft.operators.Dedup.simhashPairs(docs, "text", "doc_id"),
+        graft.operators.Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+          planes = 3, threshold = 0.25, tables = 2))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
