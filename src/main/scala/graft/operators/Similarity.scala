@@ -82,9 +82,15 @@ object Similarity {
     * cost O(n·nprobe/nlist·dim)). Data-adaptive where hyperplane LSH is
     * oblivious — higher recall on clustered corpora at the price of the
     * training pass. */
-  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Double], k: Int, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+  /** A trained IVF index: k-means centroids + the cell-assigned corpus.
+    * Train ONCE, probe many times — at 100 TB the training pass dominates
+    * a single probe, so callers keep the index (and `.persist()` the
+    * assigned frame) across queries rather than retraining per lookup. */
+  final case class IvfIndex(centroids: Array[Array[Double]],
+      assigned: DataFrame)
+
+  /** One k-means training pass (fixed seed → deterministic cells). */
+  def ivfIndex(df: DataFrame, vecCol: String, nlist: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = df.withColumn("_fv",
@@ -92,22 +98,32 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("_fv").setPredictionCol("_cell")
       .fit(feat)
-    val assigned = model.transform(feat)
-    // nearest nprobe centroids to the query (driver-side: nlist × dim)
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
+    IvfIndex(model.clusterCenters.map(_.toArray),
+      model.transform(feat).drop("_fv"))
+  }
+
+  /** Probe an IvfIndex: scan only the `nprobe` cells whose centroids are
+    * nearest the query (driver-side centroid distance: nlist × dim). */
+  def ivfProbe(idx: IvfIndex, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame = {
+    val probes = idx.centroids.zipWithIndex
+      .map { case (arr, i) =>
         val d = query.indices.map(j => {
           val diff = arr(j) - query(j); diff * diff
         }).sum
         (i, d)
       }
       .sortBy(_._2).take(nprobe).map(_._1)
-    assigned.filter(col("_cell").isin(probes: _*))
+    idx.assigned.filter(col("_cell").isin(probes: _*))
       .select(col(idCol), packedScore(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    ivfProbe(ivfIndex(df, vecCol, nlist), vecCol, idCol, query, k, nprobe)
 
   /** Brute-force cosine top-k against a literal query vector (packed
     * kernel scan + TakeOrderedAndProject — no shuffle of vectors). */

@@ -94,7 +94,10 @@ object Ingest {
   def q_stream_ingest(s: SparkSession, dir: String): DataFrame = {
     sqldump_roundtrip(s, dir).count() // materialize shard files + DDL
     val src = scratch("sqldump_rt")
-    val streamDir = scratch("stream_ingest_src")
+    // scratch space OUTSIDE target/qtmp: mydump_discover and import_e2e
+    // plan over qtmp, and leaked stream copies would change their row sets
+    val base = new File("target", "qtmp_stream_ingest")
+    val streamDir = new File(base, "src")
     deleteRec(streamDir); streamDir.mkdirs()
     src.listFiles().filter(_.getName.matches("rt\\.orders_rt\\.\\d+\\.sql"))
       .foreach { f =>
@@ -102,7 +105,6 @@ object Ingest {
           new File(streamDir, f.getName).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-    val base = scratch("stream_ingest")
     val out = new File(base, "out"); val ck = new File(base, "ck")
     deleteRec(out); deleteRec(ck)
     val table = MysqlDdl.parseCreateTable(
@@ -292,13 +294,22 @@ object Ingest {
        |FROM customer WHERE c_custkey <= $CustKeyCap""".stripMargin
 
   /** S1-S3: discovery + filter + routing over a generated dump dir
-    * (rows-only check — file classification is not SQL-expressible). */
+    * (rows-only check — file classification is not SQL-expressible).
+    * Discovery runs over a DEDICATED root holding exactly the two
+    * roundtrips' files: target/qtmp accumulates scratch from whichever
+    * gate queries ran earlier, which would make this row set depend on
+    * execution order. */
   def mydump_discover(s: SparkSession, dir: String): DataFrame = {
     sqldump_roundtrip(s, dir).count() // ensure shard files exist
     csv_roundtrip(s, dir).count()
     import s.implicits._
-    val root = new File("target", "qtmp").getAbsolutePath
-    val plan = MydumpDiscovery.plan(root,
+    val root = new File("target", "qtmp_discover")
+    deleteRec(root); root.mkdirs()
+    for (src <- Seq(scratch("sqldump_rt"), scratch("csv_rt"));
+         f <- src.listFiles() if f.isFile)
+      java.nio.file.Files.copy(f.toPath, new File(root, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val plan = MydumpDiscovery.plan(root.getAbsolutePath,
       routes = Seq(RouteRule("rt", "orders_rt", "rt", "orders_routed")))
     plan.tables.flatMap(t => t.dataFiles.map(f =>
       (t.db, t.table, f.kind.toString, f.part.getOrElse(-1), t.dataFiles.size)))
