@@ -188,8 +188,15 @@ object Dedup {
   /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
     * 16-bit keys; verify by Hamming distance ≤ maxHamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 8): DataFrame = {
-    val withH = simhashSketches(df, textCol, idCol)
+      maxHamming: Int = 8): DataFrame =
+    simhashPairsFromSketches(simhashSketches(df, textCol, idCol), maxHamming)
+
+  /** Pair mining over a PRECOMPUTED (_id, _h) sketch frame — the sketch
+    * pass is the expensive part, so callers running several analyses over
+    * one corpus compute (and persist) the sketches once. */
+  def simhashPairsFromSketches(sketches: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val withH = sketches
     val banded = withH.select(col("_id"), col("_h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -90,10 +90,23 @@ object Curation {
       k = 5, numHashes = 32, bands = 8, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Per-directory SimHash sketch cache (same rationale as the IVF index:
+    * the sketch pass is the expensive part; mining at several Hamming
+    * radii and the verification gate all reuse one persisted frame). */
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def simhashSketchesFor(s: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate(dir, {
+      val sk = Dedup.simhashSketches(
+        Tables.load(s, dir, "documents"), "text", "doc_id").persist()
+      sk.count() // materialize once through its own plan
+      sk
+    })
+
   /** SimHash near-dup pairs (rows-only). */
   def dedup_simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-      maxHamming = 12)
+    Dedup.simhashPairsFromSketches(simhashSketchesFor(s, dir), maxHamming = 12)
       .orderBy(col("id_a"), col("id_b"))
 
   /** n-gram Jaccard on LSH candidates (rows-only), through the
@@ -107,8 +120,9 @@ object Curation {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
     // persisted: exactJaccardPairs reads `pairs` from two branches and
     // `grams` from three — without the cache each branch re-runs the whole
-    // SimHash / tokenization lineage
-    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
+    // SimHash / tokenization lineage (sketches come from the shared cache)
+    val pairs = Dedup.simhashPairsFromSketches(
+        simhashSketchesFor(s, dir), maxHamming = 10)
       .select("id_a", "id_b").persist()
     // token array materialized behind an exchange barrier: withColumn is
     // NOT a barrier, and an inlined tokensOf would re-run its splits once
@@ -218,7 +232,9 @@ object Curation {
     // on the slice as on the corpus
     val docs = Tables.load(s, dir, "documents")
       .filter(col("doc_id") < 800).select("doc_id", "text")
-    val sk = Dedup.simhashSketches(docs, "text", "doc_id").persist()
+    // sketches are per-doc independent: slicing the shared cached frame is
+    // identical to sketching the sliced corpus
+    val sk = simhashSketchesFor(s, dir).filter(col("_id") < 800).persist()
     sk.count() // materialize through its own plan (codegen-compile economy)
     // (1) independent recompute: token-hash ARRAY → interpreted lambda fold
     // (fine here: capped slice; the flat pipeline is the scale path)
@@ -239,7 +255,7 @@ object Curation {
       .select("id_a", "id_b").persist()
     val nBrute = brute3.count()
     val missed = brute3.join(
-      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      Dedup.simhashPairsFromSketches(sk, maxHamming = 3)
         .select("id_a", "id_b"),
       Seq("id_a", "id_b"), "left_anti").count()
     require(missed == 0,
