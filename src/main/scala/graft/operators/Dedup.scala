@@ -115,9 +115,17 @@ object Dedup {
 
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    minhashPairsFromSignatures(
+      minhashSignatures(df, textCol, idCol, k, numHashes),
+      numHashes, bands, threshold)
+
+  /** Pair mining over a PRECOMPUTED flat signature frame (_id, _h0…) —
+    * the shingle+min-aggregate pass dominates, so multi-analysis callers
+    * compute (and persist) signatures once. */
+  def minhashPairsFromSignatures(sigs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, textCol, idCol, k, numHashes)
     // signatures stay FLAT columns end-to-end: band keys, the join payload
     // and the agreement estimator all operate on 32 plain long columns —
     // array packing + element_at here falls out of whole-stage codegen and

@@ -84,10 +84,24 @@ object Curation {
        | md5($NormSql) AS md5_fp
        |FROM documents""".stripMargin
 
+  /** Per-directory MinHash signature cache (train-once/reuse pattern —
+    * same as the SimHash and IVF caches below). */
+  private val minhashSigCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def minhashSignaturesFor(s: SparkSession, dir: String): DataFrame =
+    minhashSigCache.getOrElseUpdate(dir, {
+      val sigs = Dedup.minhashSignatures(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        k = 5, numHashes = 32).persist()
+      sigs.count()
+      sigs
+    })
+
   /** MinHash+LSH near-dup pairs (rows-only). */
   def dedup_minhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-      k = 5, numHashes = 32, bands = 8, threshold = 0.35)
+    Dedup.minhashPairsFromSignatures(minhashSignaturesFor(s, dir),
+      numHashes = 32, bands = 8, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Per-directory SimHash sketch cache (same rationale as the IVF index:
@@ -173,8 +187,8 @@ object Curation {
     // both the estimator-error aggregate and the returned result — without
     // it each action would recompute the whole join
     val exact = Dedup.exactJaccardPairs(pairs, grams).persist()
-    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id",
-      k = 5, numHashes = 32)
+    // signatures are per-doc independent: slice the shared cached frame
+    val sigs = minhashSignaturesFor(s, dir).filter(col("_id") < 2000)
     val sl = sigs.select(col("_id").as("id_a") +:
       (0 until 32).map(j => col(s"_h$j").as(s"ha_$j")): _*)
     val sr = sigs.select(col("_id").as("id_b") +:
