@@ -36,6 +36,8 @@ object SparkEntry {
     ("q_notin", Analytics2.q_notin _, Some(Analytics2.q_notin_sql)),
     ("q_distinct_stats", Analytics2.q_distinct_stats _, Some(Analytics2.q_distinct_stats_sql)),
     ("q_skew_join", Analytics2.q_skew_join _, Some(Analytics2.q_skew_join_sql)),
+    ("q_cube", Analytics2.q_cube _, Some(Analytics2.q_cube_sql)),
+    ("q_quantiles", Analytics2.q_quantiles _, Some(Analytics2.q_quantiles_sql)),
     // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("q_stream_ingest", Ingest.q_stream_ingest _, Some(Ingest.q_stream_ingest_sql)),

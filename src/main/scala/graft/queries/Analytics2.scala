@@ -151,6 +151,37 @@ object Analytics2 {
       |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
       |    AND c_mktsegment = 'BUILDING')""".stripMargin
 
+  /** CUBE: counts over every grouping-set combination of two dims (the
+    * grouping-sets surface beyond q_rollup; integer outputs → exact). */
+  def q_cube(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q_cube_sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Exact interpolated quantiles per group: Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition; rounding to
+    * 6 dp absorbs the one-ulp interpolation arithmetic differences. */
+  def q_quantiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+  }
+
+  val q_quantiles_sql: String =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Salted skew join (operators.Skew wired into the gate): the fact key
     * is made deliberately Zipfian — ~70% of lineitem rows collapse onto
     * supplier key 1 — which at scale puts one reducer hours behind. The
