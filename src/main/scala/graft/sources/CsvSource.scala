@@ -53,10 +53,13 @@ object CsvSource {
       .option("encoding", cfg.charset)
       .option("mode", "PERMISSIVE")
       .option("enforceSchema", "true")
-      // unquoted `\N` = NULL; empty field stays "" (reference csv_parser.go:
-      // 78-89 + tests/csv/data empty_strings). Known deviation: a *quoted*
-      // `"\N"` is also treated as NULL (univocity can't see quoting).
-      .option("nullValue", if (cfg.notNull) "\u0001never\u0001" else cfg.nullRepr)
+      // null handling happens POST-parse (nullFix): Spark's CSV reader maps
+      // a missing/unquoted-empty field to NULL, but the reference keeps it
+      // as '' unless the configured null token is itself '' (csv_parser.go:
+      // 50-61 appendEmptyValues + tests/csv/data empty_strings) — so the
+      // reader runs with an unmatchable nullValue and the token compare
+      // runs as a column expression afterwards.
+      .option("nullValue", "\u0001never\u0001")
       .option("emptyValue", "")
     val widthAdd = if (cfg.trimLastSep) 1 else 0
     val schema = StructType((0 until ncols + widthAdd)
@@ -64,11 +67,25 @@ object CsvSource {
     val df0 =
       if (cfg.header) base.option("inferSchema", "false").csv(paths: _*)
       else base.schema(schema).csv(paths: _*)
-    if (cfg.trimLastSep && !cfg.header) {
-      // mydumper wrote `v1,v2,` — drop the phantom trailing column
-      df0.drop(s"c$ncols")
-    } else df0
+    val df1 =
+      if (cfg.trimLastSep && !cfg.header) {
+        // mydumper wrote `v1,v2,` — drop the phantom trailing column
+        df0.drop(s"c$ncols")
+      } else df0
+    df1.select(df1.columns.map(n => nullFix(col(n), cfg).as(n)): _*)
   }
+
+  /** Reference null semantics as a post-parse expression: the null token
+    * (`\N` by default) → NULL; a missing/empty field → '' (NULL only when
+    * the configured token IS '' — reference appendEmptyValues,
+    * csv_parser.go:50-61 + tests/csv/data empty_strings). Known deviation:
+    * a *quoted* `"\N"` is also treated as NULL (univocity can't see
+    * quoting at this point). */
+  private def nullFix(c: org.apache.spark.sql.Column,
+      cfg: CsvConfig): org.apache.spark.sql.Column =
+    if (cfg.notNull) coalesce(c, lit(""))
+    else when(coalesce(c, lit("")) === cfg.nullRepr,
+      lit(null).cast(StringType)).otherwise(coalesce(c, lit("")))
 
   /** Header names of one CSV file (driver-side peek via the univocity
     * reader — only the first record is materialized). */
@@ -198,12 +215,13 @@ object CsvSource {
       "sep" -> cfg.separator,
       "quote" -> (if (cfg.delimiter.isEmpty) "\u0000" else cfg.delimiter),
       "escape" -> (if (cfg.backslashEscape) "\\" else "\u0000"),
-      "nullValue" -> (if (cfg.notNull) "\u0001never\u0001" else cfg.nullRepr),
+      "nullValue" -> "\u0001never\u0001", // null token handled by nullFix
       "emptyValue" -> "",
       "mode" -> "PERMISSIVE")
     val parsed = (if (cfg.header) lines.filter(col("row_off") > 0) else lines)
       .withColumn("_p", from_csv(col("_line"), fschema, opts))
-    parsed.select((0 until ncols).map(i => col(s"_p.c$i").as(s"c$i")) ++
+    parsed.select((0 until ncols).map(i =>
+        nullFix(col(s"_p.c$i"), cfg).as(s"c$i")) ++
       Seq(col("src_file"), col("row_off")): _*)
   }
 }

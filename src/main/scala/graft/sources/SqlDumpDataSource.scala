@@ -112,38 +112,47 @@ private final class SqlDumpScanBuilder(options: CaseInsensitiveStringMap)
     new SqlDumpReaderFactory(hadoopConf)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SqlDumpMicroBatchStream(() => paths, options, hadoopConf)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val charset = Option(options.get("charset")).getOrElse("UTF-8")
+    val minChunk = Option(options.get("minChunkBytes")).map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+    val conf = hadoopConf
+    new FileDiscoveryMicroBatchStream(() => paths,
+      path => SqlDumpSource.planChunksForCharset(path, conf.value, minChunk,
+          charset)
+        .map(ch => SqlDumpInputPartition(ch.path, ch.start, ch.end,
+          ch.baseRow, charset): InputPartition),
+      new SqlDumpReaderFactory(conf))
+  }
 }
 
-/** Offset = count of discovered dump files (files are immutable once
+/** Offset = count of discovered files (dump files are immutable once
   * written — the mydumper contract — so "how many files have been taken"
   * fully describes progress). */
-private final case class SqlDumpOffset(n: Long)
+private[sources] final case class FileCountOffset(n: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json: String = n.toString
 }
 
-/** §2.7×§2.8: the dump parser as a STREAMING source — continuous import.
-  * `spark.readStream.format("sqldump").load(dir)` turns a growing dump
-  * directory into micro-batches of parsed rows; align + writeStream append
-  * makes the import pipeline incremental (AvailableNow = catch-up runs).
+/** §2.7×§2.8: a dump DIRECTORY as a streaming source — continuous import.
+  * `spark.readStream.format(…).load(dir)` turns a growing directory into
+  * micro-batches of parsed rows; align + writeStream append makes the
+  * import pipeline incremental (AvailableNow = catch-up runs). Shared by
+  * the `sqldump` and `graftcsv` formats.
   *
   * Each micro-batch takes the files that appeared since the last offset;
-  * within a batch, large files still split into statement-aligned chunks,
-  * so one huge shard parallelizes exactly like the batch path. Restart
-  * note: the discovery log orders files by name within each refresh, so
-  * offsets are reproducible across restarts when files appear in
-  * name-sorted order (the mydumper `db.table.NNNN.sql` convention). */
-private final class SqlDumpMicroBatchStream(listFiles: () => Seq[String],
-    options: CaseInsensitiveStringMap,
-    conf: org.apache.spark.util.SerializableConfiguration)
+  * within a batch, a large file still splits via `planFile` (statement-
+  * aligned chunks / byte ranges), so one huge shard parallelizes exactly
+  * like the batch path. Restart note: the discovery log orders files by
+  * name within each refresh, so offsets are reproducible across restarts
+  * when files appear in name-sorted order (the mydumper `db.table.NNNN`
+  * convention). */
+private[sources] final class FileDiscoveryMicroBatchStream(
+    listFiles: () => Seq[String],
+    planFile: String => Seq[InputPartition],
+    readerFactory: PartitionReaderFactory)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
-
-  private val charset = Option(options.get("charset")).getOrElse("UTF-8")
-  private val minChunk = Option(options.get("minChunkBytes")).map(_.toLong)
-    .getOrElse(256L * 1024 * 1024)
 
   // ordered discovery log: index position = offset unit; files are only
   // ever appended (name-sorted within each refresh)
@@ -156,24 +165,19 @@ private final class SqlDumpMicroBatchStream(listFiles: () => Seq[String],
     }
   }
 
-  override def initialOffset(): Offset = SqlDumpOffset(0)
+  override def initialOffset(): Offset = FileCountOffset(0)
   override def deserializeOffset(json: String): Offset =
-    SqlDumpOffset(json.trim.toLong)
-  override def latestOffset(): Offset = { refresh(); SqlDumpOffset(discovered.size) }
+    FileCountOffset(json.trim.toLong)
+  override def latestOffset(): Offset = { refresh(); FileCountOffset(discovered.size) }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     refresh() // restart path: rebuild the log before slicing
-    val s = start.asInstanceOf[SqlDumpOffset].n.toInt
-    val e = end.asInstanceOf[SqlDumpOffset].n.toInt
-    discovered.slice(s, e).flatMap { path =>
-      SqlDumpSource.planChunksForCharset(path, conf.value, minChunk, charset)
-        .map(ch => SqlDumpInputPartition(ch.path, ch.start, ch.end,
-          ch.baseRow, charset): InputPartition)
-    }.toArray
+    val s = start.asInstanceOf[FileCountOffset].n.toInt
+    val e = end.asInstanceOf[FileCountOffset].n.toInt
+    discovered.slice(s, e).flatMap(planFile).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new SqlDumpReaderFactory(conf)
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -96,4 +96,30 @@ class CsvSourceSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("c0", "c1"))
     assert(df.collect().map(_.getString(1)).sorted.toSeq === Seq("a", "b"))
   }
+
+  test("empty fields are '' not NULL; the null token alone is NULL") {
+    // reference semantics (appendEmptyValues, csv_parser.go:50-61; fixture
+    // tests/csv/data/csv.empty_strings.csv): with null=\N, both unquoted
+    // and quoted empty fields load as the empty STRING; an empty field is
+    // NULL only when the configured null token is itself ''
+    val d = java.nio.file.Files.createTempDirectory("csv-empty").toFile
+    val f = new java.io.File(d, "e.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "1,,\"\"\n2,\\N,x\n3,\"\\N\",y\n")
+    val rows = CsvSource.readIndexed(spark, Seq(f.getAbsolutePath),
+      CsvConfig(), ncols = 3)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(rows(0) === (("1", "", "")))     // unquoted + quoted empty -> ''
+    assert(rows(1) === (("2", null, "x")))  // \N token -> NULL
+    // quoted "\N": pinned deviation — also NULL (parser can't see quoting)
+    assert(rows(2) === (("3", null, "y")))
+    // notNull=true: nothing is NULL, the token stays literal
+    val nn = CsvSource.readIndexed(spark, Seq(f.getAbsolutePath),
+      CsvConfig(notNull = true), ncols = 3)
+      .collect().map(r => r.getString(1)).sorted.toSeq
+    assert(nn === Seq("", "\\N", "\\N"))
+  }
 }
