@@ -158,11 +158,10 @@ object Ingest {
         |  PRIMARY KEY (`c_custkey`)
         |)""".stripMargin
     val table = MysqlDdl.parseCreateTable(ddl)
-    // splittable line-based path (the pipeline default): fields via
-    // from_csv, deterministic (src_file, row_off) row handles
-    val raw = CsvSource.readIndexed(s,
-      Seq(new File(d, "rt.customer_rt.csv").getAbsolutePath),
-      CsvConfig(), ncols = 5)
+    // through the DataSource V2 seam — same contract as
+    // CsvSource.readIndexed (positional c0…cN + src_file/row_off handles)
+    val raw = s.read.format("graftcsv").option("ncols", 5)
+      .load(new File(d, "rt.customer_rt.csv").getAbsolutePath)
     SchemaAlign.fromColumns(raw, table.columns.map(_.name), table, SqlMode.Lenient)
   }
 
