@@ -48,6 +48,36 @@ object Multimodal {
         when(col("media_type") === "image", "png")
           .when(col("media_type") === "audio", "wav").otherwise("mp4"))
 
+  /** Partition-batched STUB resize: aspect-preserving fit into a
+    * (maxW, maxH) box — `out_width`/`out_height` carry the scaled
+    * dimensions, and the payload is decimated by the same factor (every
+    * k-th byte) as the stand-in for pixel resampling. This runs through
+    * the mapPartitions batch seam because that is where a real resize
+    * (libvips/ImageIO/JNI) plugs in with one context per partition;
+    * payloads stay partition-local — no shuffle. */
+  def resizeStub(df: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("out_width", IntegerType, nullable = false),
+      StructField("out_height", IntegerType, nullable = false),
+      StructField("resized", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (pIdx, wIdx, hIdx) = (df.schema.fieldIndex("payload"),
+      df.schema.fieldIndex("width"), df.schema.fieldIndex("height"))
+    df.mapPartitions { rows =>
+      // per-partition "image library" init happens here (stubbed)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val ow = math.max(1, math.floor(w * scale).toInt)
+        val oh = math.max(1, math.floor(h * scale).toInt)
+        val step = math.max(1, math.floor(1.0 / scale).toInt)
+        val resized = Array.range(0, payload.length, step).map(payload(_))
+        Row.fromSeq(r.toSeq ++ Seq(ow, oh, resized))
+      }
+    }(enc)
+  }
+
   /** STUB frame-sample: one "frame" (byte slice) every `stride` bytes —
     * the array shape a real video sampler would emit. */
   def frameSample(df: DataFrame, stride: Int = 64, frameBytes: Int = 16): DataFrame =

@@ -474,18 +474,21 @@ object Curation {
     "SELECT CAST(1 AS INT) AS self_rank, CAST(1.0 AS DOUBLE) AS self_score"
 
   /** Multimodal plumbing e2e (rows-only): payloads → decode stub →
-    * frame sample → partition-batched features → per-type stats. */
+    * resize → frame sample → partition-batched features → per-type stats. */
   def multimodal_pipe(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticPayload(
       Tables.load(s, dir, "documents"), "doc_id", "text")
     val decoded = Multimodal.decodeStub(media)
-    val framed = Multimodal.frameSample(decoded)
+    val resized = Multimodal.resizeStub(decoded)
+    val framed = Multimodal.frameSample(resized)
     val feats = Multimodal.extractFeatures(framed)
     feats.groupBy(col("media_type"), col("format"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("byte_len")).as("total_bytes"),
         min(col("width")).as("min_w"), max(col("height")).as("max_h"),
+        max(col("out_width")).as("max_out_w"),
+        max(col("out_height")).as("max_out_h"),
         sum(size(col("frames"))).as("total_frames"),
         round(sum(aggregate(col("features"), lit(0.0), (a, v) => a + v)), 6)
           .as("feature_mass"))

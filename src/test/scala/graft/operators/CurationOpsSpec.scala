@@ -84,19 +84,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(empty.getInt(0) === 0 && empty.getString(1) === "und")
   }
 
-  test("multimodal plumbing: payload → decode stub → frames → features") {
+  test("multimodal plumbing: payload → decode → resize → frames → features") {
     val media = Multimodal.syntheticPayload(docs.filter(length(col("text")) > 0),
       "doc_id", "text")
-    val out = Multimodal.extractFeatures(
-      Multimodal.frameSample(Multimodal.decodeStub(media)))
+    def pipeline() = Multimodal.extractFeatures(Multimodal.frameSample(
+      Multimodal.resizeStub(Multimodal.decodeStub(media), maxW = 100, maxH = 100)))
+    val out = pipeline()
     val r = out.collect()
     assert(r.length === 4)
     assert(out.columns.contains("features") && out.columns.contains("frames"))
     val feats = r.head.getAs[scala.collection.Seq[Double]]("features").toSeq
     assert(feats.size === 8 && feats.forall(v => v >= 0.0 && v <= 1.0))
+    // resize: fits the box, preserves aspect ratio, decimates the payload
+    r.foreach { row =>
+      val (w, h) = (row.getAs[Int]("width"), row.getAs[Int]("height"))
+      val (ow, oh) = (row.getAs[Int]("out_width"), row.getAs[Int]("out_height"))
+      assert(ow <= 100 && oh <= 100 && ow >= 1 && oh >= 1)
+      assert(ow <= w && oh <= h)
+      if (w > 100 || h > 100) { // scaled: ratio preserved within floor error
+        val scale = math.min(100.0 / w, 100.0 / h)
+        assert(ow === math.max(1, math.floor(w * scale).toInt))
+        assert(oh === math.max(1, math.floor(h * scale).toInt))
+        assert(row.getAs[Array[Byte]]("resized").length <=
+          row.getAs[Array[Byte]]("payload").length)
+      } else { // fits already: untouched
+        assert(ow === w && oh === h)
+        assert(row.getAs[Array[Byte]]("resized").toSeq ===
+          row.getAs[Array[Byte]]("payload").toSeq)
+      }
+    }
     // deterministic across runs
-    val again = Multimodal.extractFeatures(
-      Multimodal.frameSample(Multimodal.decodeStub(media)))
+    val again = pipeline()
       .collect().head.getAs[scala.collection.Seq[Double]]("features").toSeq
     assert(again === feats)
   }
