@@ -128,6 +128,11 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
       spark.sparkContext.cancelJobGroup(jobGroup(t))
       true
     } else if (t.status == "queued") {
+      // also raise the flag: if the worker polled this task but hasn't set
+      // status="running"/current yet, the status write below loses the race
+      // and the import would run anyway — the pipeline's gate() checks the
+      // flag between chunk jobs and aborts promptly either way
+      t.cancelRequested = true
       t.status = "canceled"
       queue.remove(t)
       true

@@ -151,10 +151,17 @@ object Curation {
       .withColumn("bigram_jaccard", round(col("jaccard"), 6))
       .filter(col("bigram_jaccard") >= 0.2)
       .select("id_a", "id_b", "bigram_jaccard")
-      .orderBy("id_a", "id_b")
-    val local = s.createDataFrame(result.collectAsList(), result.schema)
+    // scratch-parquet round-trip, NOT a driver collect: unlike the capped
+    // `_verify` queries this mines the whole corpus, so the pair set is
+    // unbounded — localizing it is a driver OOM at 100 TB. Writing and
+    // re-reading gives the same cache-release effect (the gate's later
+    // write scans parquet, not the evicted persisted lineage) with the
+    // result distributed end-to-end.
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"ngram_pairs_${math.abs(dir.hashCode)}")
+    result.write.mode("overwrite").parquet(out.getAbsolutePath)
     pairs.unpersist(); grams.unpersist()
-    local
+    s.read.parquet(out.getAbsolutePath).orderBy("id_a", "id_b")
   }
 
   /** MinHash estimator verification (hash-matched): exact char-5-shingle

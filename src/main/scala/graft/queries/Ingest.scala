@@ -120,7 +120,11 @@ object Ingest {
       .option("path", out.getAbsolutePath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    val finished = q.awaitTermination(120000)
+    // a timed-out (still-active) stream would leave partial output and a
+    // nondeterministic gate mismatch — fail loudly instead
+    require(finished && !q.isActive,
+      "streaming ingest did not terminate within 120s")
     val back = s.read.parquet(out.getAbsolutePath)
     RowIdAllocator.fromFileIndex(back, "_src_file", "_row_idx", "row_id")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),

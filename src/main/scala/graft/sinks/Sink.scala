@@ -74,7 +74,12 @@ final class ParquetSink(rootDir: String,
       .map(_.getPath)
     fs.mkdirs(tableDir)
     val moved = parts.map { p =>
-      fs.rename(p, new org.apache.hadoop.fs.Path(tableDir, p.getName))
+      val dst = new org.apache.hadoop.fs.Path(tableDir, p.getName)
+      // rename reports failure via its return value (existing destination,
+      // cross-FS move) — committing the chunk state over a missing file
+      // would silently lose rows AND skip the chunk on resume
+      if (!fs.rename(p, dst))
+        throw new java.io.IOException(s"staged-chunk rename failed: $p -> $dst")
       p.getName
     }
     fs.delete(staging, true)

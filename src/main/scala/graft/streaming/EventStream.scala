@@ -83,8 +83,12 @@ object EventStream {
     val queryName = s"graft_dedup_${math.abs(srcParquet.hashCode)}"
     val dupDir = new File(new File(checkpointDir).getParentFile,
       s"dup_${math.abs(srcParquet.hashCode)}")
-    base.union(base.filter(pmod(col("event_id"), lit(10)) === 0))
-      .coalesce(4).write.mode("overwrite").parquet(dupDir.getAbsolutePath)
+    // fixture cached across invocations (like the bench dump): the query
+    // should time the streaming dedup, not a parquet rewrite of the source
+    if (!new File(dupDir, "_SUCCESS").exists()) {
+      base.union(base.filter(pmod(col("event_id"), lit(10)) === 0))
+        .coalesce(4).write.mode("overwrite").parquet(dupDir.getAbsolutePath)
+    }
     val deduped = spark.readStream.schema(base.schema)
       .parquet(dupDir.getAbsolutePath)
       .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
