@@ -57,17 +57,36 @@ object RowIdAllocator {
       fileSizes: Seq[(String, Long)],
       rowIdCol: String = "_row_id",
       capacityFor: Long => Long = sz => sz / 4 + 1): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bases = fileSizes.map { case (f, sz) => (normPath(f), sz) }.sortBy(_._1)
-      .scanLeft(("", 0L)) { case ((_, acc), (f, sz)) => (f, acc + capacityFor(sz)) }
-      .sliding(2).collect { case Seq((_, base), (f, _)) => (f, base) }.toSeq
-    val baseDf = bases.toDF(fileCol + "__f", "__base")
+    val bases = fileSizes.map { case (f, sz) => (f, normPath(f), sz) }
+      .sortBy(_._2)
+      .scanLeft(("", "", 0L)) { case ((_, _, acc), (f, n, sz)) =>
+        (f, n, acc + capacityFor(sz)) }
+      .sliding(2).collect { case Seq((_, _, base), (f, n, _)) => (f, n, base) }
+      .toSeq
+    // literal-map lookup instead of a broadcast join + per-row regex: the
+    // fast map carries every rendering a source might emit for the path
+    // (as-given, normalized, file:-URI forms), so the common case is one
+    // string-hash probe inside the codegen span; only a row whose rendering
+    // misses pays the url_decode+regex normalization, and a total miss
+    // raises instead of silently dropping the row (the old inner join
+    // discarded unmatched rows).
+    val fastEntries = bases.flatMap { case (raw, n, base) =>
+      val tail = n.stripPrefix("/")
+      Seq(raw, n, s"file:$n", s"file://$n", s"file:///$tail")
+        .distinct.map(k => (k, base))
+    }.distinct
+    val fastMap = map(fastEntries.flatMap { case (k, b) =>
+      Seq(lit(k), lit(b)) }: _*)
+    val normMap = map(bases.flatMap { case (_, n, b) =>
+      Seq(lit(n), lit(b)) }: _*)
     val normCol = regexp_replace(
       url_decode(col(fileCol)), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-    df.join(broadcast(baseDf), normCol === col(fileCol + "__f"))
-      .withColumn(rowIdCol, col("__base") + col(idxCol) + 1)
-      .drop(fileCol + "__f", "__base")
+    val base = coalesce(
+      element_at(fastMap, col(fileCol)),
+      element_at(normMap, normCol),
+      raise_error(concat(lit("row-id base for unknown source file: "),
+        col(fileCol))).cast("long"))
+    df.withColumn(rowIdCol, base + col(idxCol) + 1)
   }
 
   /** Same, but for sources with no per-file row index (CSV): row_number()

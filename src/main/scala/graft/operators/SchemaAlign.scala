@@ -308,12 +308,18 @@ object SchemaAlign {
     val projected = table.columns.zipWithIndex.map { case (mc, ti) =>
       val pos = when(positional, lit((ti + 1).toLong))
         .otherwise(array_position(colsLower, lit(mc.name.toLowerCase)))
-      val idx = pos.cast(IntegerType)
-      val src = when(pos > 0, try_element_at(valsCol, idx))
-        .otherwise(lit(null).cast(StringType))
+      // null index (not a when-wrapper around the lookup) for absent
+      // columns: try_element_at(_, null) is null, so `src` stays ONE
+      // unconditional expression — the lenient cast tree references it
+      // ~6 times, and conditional branches are excluded from codegen
+      // subexpression elimination, so a when-wrapped src re-evaluated the
+      // whole position probe per reference (measured 2× on the align
+      // stage of the ingest bench)
+      val idx = when(pos > 0, pos).cast(IntegerType)
+      val src = try_element_at(valsCol, idx)
       val casted = kindsCol match {
         case Some(kc) =>
-          val kind = when(pos > 0, try_element_at(kc, idx)).otherwise(lit(Kind.Null))
+          val kind = coalesce(try_element_at(kc, idx), lit(Kind.Null))
           when(kind === Kind.Hex, hexDecode(src, mc, mode))
             .when(kind === Kind.Bit, bitDecode(src, mc, mode))
             .otherwise(strCast(src, mc, mode, valueCharset))

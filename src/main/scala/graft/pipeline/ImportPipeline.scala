@@ -105,7 +105,10 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
 
   /** Step 2-3: restore all tables; returns one report per table. */
   def run(): Seq[TableReport] = {
+    val td0 = System.nanoTime()
     val plan = MydumpDiscovery.plan(cfg.sourceDir, cfg.filter, cfg.routes, hconf)
+    if (sys.env.contains("GRAFT_TIMING")) System.err.println(
+      f"[graft-timing] discover ${(System.nanoTime() - td0) / 1e9}%.3f s")
     val reports = plan.tables.filter(_.dataFiles.nonEmpty).map { t =>
       gate()
       if (!cfg.continueOnError) restoreTable(t)
@@ -179,12 +182,17 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     // _row_id is persisted (the `_tidb_rowid` analog) so a sink-side
     // re-scan can recompute the identical checksum triple (A3).
     val obs = org.apache.spark.sql.Observation()
-    val metrics =
-      if (cfg.observeChecksum)
-        KvEncode.observeMetrics(table,
-          ImportPipeline.tableId(t.db, t.table), rowIdCol = "_row_id")
-      else Seq(count(lit(1)).as("rows"))
-    val observed = finalDf.observe(obs, metrics.head, metrics.tail: _*)
+    // per-row crc/len helpers ride a codegen'd projection; the observe
+    // aggregates (evaluated interpreted by CollectMetricsExec) fold only
+    // precomputed longs, then the helpers are dropped before the sink
+    val observed =
+      if (cfg.observeChecksum) {
+        val tid = ImportPipeline.tableId(t.db, t.table)
+        val withKv = KvEncode.withObserveCols(finalDf, table, tid, "_row_id")
+        val metrics = KvEncode.observeMetrics(table, tid, rowIdCol = "_row_id")
+        withKv.observe(obs, metrics.head, metrics.tail: _*)
+          .drop(KvEncode.observeHelperCols(table): _*)
+      } else finalDf.observe(obs, count(lit(1)).as("rows"))
     val res = theSink.write(observed, t.db, t.table)
     val m = obs.get
     def metric(k: String): Long = m.get(k) match {
@@ -278,19 +286,29 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       gs.toSeq
     }
     val allSizes = t.dataFiles.map(f => (f.path, f.size))
+    val timing = sys.env.contains("GRAFT_TIMING")
+    def tmark(tag: String, t0: Long): Long = {
+      if (timing) System.err.println(
+        f"[graft-timing] $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      System.nanoTime()
+    }
     val states = groups.map { files =>
       val chunkId = s"${files.head.path}+${files.size}"
       done.getOrElse(chunkId, {
         gate()
+        val tp0 = System.nanoTime()
         val aligned = loadAlignedFiles(files, table)
         val withId = RowIdAllocator.fromFileSizes(aligned, "_src_file",
           "_row_idx", allSizes, capacityFor = sz => sz + 1)
         val finalDf = withId.select(
           (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
         val obs = org.apache.spark.sql.Observation()
-        val metrics = KvEncode.observeMetrics(table,
-          ImportPipeline.tableId(t.db, t.table), rowIdCol = "_row_id")
-        val observed = finalDf.observe(obs, metrics.head, metrics.tail: _*)
+        val tid = ImportPipeline.tableId(t.db, t.table)
+        val withKv = KvEncode.withObserveCols(finalDf, table, tid, "_row_id")
+        val metrics = KvEncode.observeMetrics(table, tid, rowIdCol = "_row_id")
+        val observed = withKv.observe(obs, metrics.head, metrics.tail: _*)
+          .drop(KvEncode.observeHelperCols(table): _*)
+        val tp1 = tmark("plan", tp0)
         val outFiles = psinkOpt match {
           case Some(psink) =>
             // staged write: the moved part-file names go into the state so
@@ -303,7 +321,9 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
             theSink.write(observed, t.db, t.table)
             Nil
         }
+        val tp2 = tmark("write", tp1)
         val m = obs.get
+        tmark("obs_get", tp2)
         def metric(k: String): Long = m.get(k) match {
           case Some(l: java.lang.Long) => l.longValue
           case Some(i: java.lang.Integer) => i.longValue

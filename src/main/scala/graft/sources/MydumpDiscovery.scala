@@ -88,12 +88,31 @@ object MydumpDiscovery {
   def listFiles(dir: String, conf: Configuration = new Configuration()): Seq[SourceFile] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    val it = fs.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[SourceFile]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile)
-        buf += classify(st.getPath.getName, st.getPath.toString, st.getLen)
+    if (fs.getScheme == "file") {
+      // local scheme: java.nio walk. Hadoop's RawLocalFileSystem FileStatus
+      // shells out `ls -ld` PER FILE for permission info — a forked process
+      // per entry (~4 ms each) that turns a large dump listing into the
+      // dominant cost (measured 0.55 s for 130 files; hours at millions).
+      val root = java.nio.file.Paths.get(
+        Option(p.toUri.getPath).filter(_.nonEmpty).getOrElse(dir))
+      val it = java.nio.file.Files.walk(root)
+      try {
+        it.forEach { q =>
+          val a = java.nio.file.Files.readAttributes(q,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          if (a.isRegularFile)
+            buf += classify(q.getFileName.toString, q.toAbsolutePath.toString,
+              a.size())
+        }
+      } finally it.close()
+    } else {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile)
+          buf += classify(st.getPath.getName, st.getPath.toString, st.getLen)
+      }
     }
     buf.toSeq.sortBy(_.path) // lexicographic, like the reference walk
   }

@@ -55,6 +55,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_correlated: AQE broadcasts the per-part aggregate at small SF") {
+    // the design that replaced the hard-coded broadcast hint (r2): the
+    // aggregate is sf-proportional, so the STATIC plan must not broadcast
+    // it (asserted above), but AQE must still pick a broadcast join at
+    // runtime when the aggregate turns out small — correct at both scales
+    // must not mean slow at both
+    val df = Analytics2.q_correlated(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), s"AQE plan not finalized:\n${p.take(500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE did not re-plan the per-part aggregate join as broadcast:\n${p.take(2000)}")
+  }
+
+  test("dedup_exact: one shuffle, keyed by the content digest") {
+    val df = Curation.dedup_exact(spark, sf)
+    val p = plan(df)
+    // digest-keyed window dedup: exactly one exchange, partitioned on the
+    // fingerprint — shuffling anything wider (the document text) or adding
+    // a second exchange is the 100×-scale regression this locks out
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.size == 1, s"expected one shuffle:\n${p.take(2000)}")
+    assert(exchanges.head.contains("fp"),
+      s"shuffle not keyed by the digest: ${exchanges.head}")
+  }
+
   test("q_skew_join: the salt is part of the shuffle/join key") {
     // the whole point of salting: the hot key's rows spread over `salts`
     // reducers, so _salt must appear in the join's equi-key expressions
