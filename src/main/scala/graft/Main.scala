@@ -17,6 +17,8 @@ import graft.sources.{MydumpDiscovery, MysqlDdl, RouteRule, TableFilter}
   *                   [--filter db.tbl ...] [--route src.tbl=dst.tbl ...]
   *   checkpoint-dump --source DIR --out DIR            (CSV to stdout)
   *   checkpoint-remove --out DIR --table db.tbl
+  *   checkpoint-destroy --out DIR [--table db.tbl ...] (failed tables:
+  *                   drop checkpoint AND partial sink output)
   *   verify          --source DIR --out DIR            (A3: re-scan compare)
   */
 object Main {
@@ -29,6 +31,7 @@ object Main {
       case "import" => doImport(opts)
       case "checkpoint-dump" => checkpointDump(opts)
       case "checkpoint-remove" => checkpointRemove(opts)
+      case "checkpoint-destroy" => checkpointDestroy(opts)
       case "verify" => doVerify(opts)
       case "serve" => doServe(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
@@ -150,6 +153,29 @@ object Main {
       val Array(db, tbl) = t.split("\\.", 2)
       log.remove(db, tbl)
       println(s"removed checkpoint $db.$tbl")
+    }
+    spark.stop()
+  }
+
+  /** ctl error-destroy (reference cmd/tidb-lightning-ctl/main.go:166-215):
+    * with `--table db.tbl`, destroy those tables; without, destroy every
+    * table whose checkpoint is in `failed` state (the post-`import
+    * --continue-on-error` cleanup). Destroy = checkpoint states + partial
+    * sink output, so the next import starts clean. */
+  private def checkpointDestroy(o: Map[String, List[String]]): Unit = {
+    val spark = session()
+    val out = o("out").headOption.getOrElse(sys.error("--out required"))
+    val log = new CommitLog(out, spark.sparkContext.hadoopConfiguration)
+    val targets =
+      if (o("table").nonEmpty) o("table").map { t =>
+        val Array(db, tbl) = t.split("\\.", 2); (db, tbl)
+      }
+      else log.listTables().filter(_.status == "failed")
+        .map(s => (s.db, s.table))
+    if (targets.isEmpty) println("nothing to destroy (no failed tables)")
+    targets.foreach { case (db, tbl) =>
+      log.destroy(db, tbl)
+      println(s"destroyed $db.$tbl (checkpoint + partial sink output)")
     }
     spark.stop()
   }

@@ -51,7 +51,7 @@ object SparkEntry {
     ("jdbc_stmts", Ingest.jdbc_stmts _, None),
     ("mydump_discover", Ingest.mydump_discover _, None),
     ("import_e2e", Ingest.import_e2e _, None),
-    ("kv_checksum", Ingest.kv_checksum _, None),
+    ("kv_checksum", Ingest.kv_checksum _, Some(Ingest.kv_checksum_sql)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     ("dedup_exact", Curation.dedup_exact _, Some(Curation.dedup_exact_sql)),
     ("dedup_minhash", Curation.dedup_minhash _, None),
@@ -70,7 +70,7 @@ object SparkEntry {
     ("txt_langid", Curation.txt_langid _, Some(Curation.txt_langid_sql)),
     ("txt_quality", Curation.txt_quality _, Some(Curation.txt_quality_sql)),
     ("txt_fingerprint", Curation.txt_fingerprint _, Some(Curation.txt_fingerprint_sql)),
-    ("multimodal_pipe", Curation.multimodal_pipe _, None),
+    ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),
     ("q_stream_dedup", Events.q_stream_dedup _, Some(Events.q_stream_dedup_sql)),

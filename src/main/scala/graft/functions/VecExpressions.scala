@@ -51,6 +51,51 @@ object VecOps {
     }
     s
   }
+
+  /** Driver-side pack of a plain double array (query vectors). */
+  def packDoubles(arr: Array[Double]): Array[Byte] = {
+    val out = new Array[Byte](arr.length * 8)
+    var i = 0
+    while (i < arr.length) {
+      org.apache.spark.unsafe.Platform.putLong(out,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8L * i,
+        java.lang.Double.doubleToLongBits(arr(i)))
+      i += 1
+    }
+    out
+  }
+
+  /** Random-hyperplane sketch over a packed vector — the static-call twin
+    * of Similarity.hyperplaneSketch's interpreted aggregate/zip_with form
+    * (the last interpreted per-row kernel on the embedding hot path).
+    * BIT-IDENTICAL by construction: plane p's component for dimension i is
+    * ±1 from the same xxhash64 the Column form evaluates — Spark's
+    * XxHash64 over two INT inputs folds XXH64.hashInt(i, hashInt(p +
+    * seed*planes, 42)) with the default seed 42, and pmod(h,2)==0 is
+    * exactly (h & 1) == 0 — with the same ascending-i summation order and
+    * the same acc*2+bit packing (plane 0 = MSB), so buckets are equal and
+    * the recall floors asserted by the verify gates carry over unchanged. */
+  def hyperplaneSketch(v: Array[Byte], planes: Int, seed: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = v.length / 8
+    var acc = 0L
+    var p = 0
+    while (p < planes) {
+      val planeSeed = XXH64.hashInt(p + seed * planes, 42L)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = java.lang.Double.longBitsToDouble(
+          org.apache.spark.unsafe.Platform.getLong(v,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8L * i))
+        s += (if ((XXH64.hashInt(i, planeSeed) & 1L) == 0L) x else -x)
+        i += 1
+      }
+      acc = acc * 2 + (if (s >= 0) 1L else 0L)
+      p += 1
+    }
+    acc
+  }
 }
 
 /** `pack_vec(array<double>) -> binary` — see VecOps. */
@@ -89,6 +134,25 @@ case class PackedDot(left: Expression, right: Expression)
   override def prettyName: String = "packed_dot"
 }
 
+/** `packed_sketch(binary) -> bigint` — see VecOps.hyperplaneSketch. */
+case class PackedSketch(child: Expression, planes: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"packed_sketch requires BINARY, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    VecOps.hyperplaneSketch(input.asInstanceOf[Array[Byte]], planes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOps.hyperplaneSketch($c, $planes, $seed)")
+  override protected def withNewChildInternal(newChild: Expression): PackedSketch =
+    copy(child = newChild)
+  override def prettyName: String = "packed_sketch"
+}
+
 object VecExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -98,4 +162,8 @@ object VecExpressions {
   /** Dot product of two packed-binary vector columns. */
   def packedDot(a: Column, b: Column): Column =
     column(PackedDot(expression(a), expression(b)))
+
+  /** Hyperplane sketch of a packed-binary vector column. */
+  def packedSketch(c: Column, planes: Int, seed: Int = 0): Column =
+    column(PackedSketch(expression(c), planes, seed))
 }

@@ -268,7 +268,7 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       planes: Int = 8, threshold: Double = 0.95,
       tables: Int = 1): DataFrame = {
-    import graft.functions.VecExpressions.{packVec, packedDot}
+    import graft.functions.VecExpressions.{packVec, packedDot, packedSketch}
     // The vector travels through the bucket join as ONE packed BinaryType
     // column (8 B/dim) + its precomputed norm; the per-pair cosine is a
     // single static-call expression (graft.functions.VecOps.dot). This
@@ -276,19 +276,20 @@ object Dedup {
     // order, but plans shrink from ~130 columns to ~4, which removes the
     // multi-second janino compile each distinct plan was paying (the flat
     // form's cost was compile time, not row time). Each plane family's
-    // bucket is table*2^planes + sketch — one PLAIN long join key. Buckets
-    // are computed BELOW the exchange barrier and exploded ABOVE it
-    // (Generate fused with the sketch projections blew up janino).
+    // bucket is table*2^planes + sketch — one PLAIN long join key. The
+    // sketches are packed-kernel static calls over the packed vector
+    // (bit-identical to the interpreted aggregate/zip_with form — see
+    // VecOps.hyperplaneSketch), computed above the barrier from the `_p`
+    // attribute so the pack runs once per row.
     val flat = df
       .select(col(idCol).as("_id"),
+        packVec(col(vecCol).cast("array<double>")).as("_p"))
+      .repartition(col("_id")) // barrier: pack computed once
+      .select(col("_id"),
         array((0 until tables).map(t =>
           lit(t.toLong << planes) +
-            Similarity.hyperplaneSketch(col(vecCol), planes, t)): _*)
-          .as("_buckets"),
-        packVec(col(vecCol).cast("array<double>")).as("_p"))
-      .repartition(col("_id")) // barrier: sketches + pack computed once
-      // norm above the barrier: _p is an attribute here, so the pack isn't
-      // re-inlined by project collapse
+            packedSketch(col("_p"), planes, t)): _*).as("_buckets"),
+        col("_p"))
       .withColumn("_n", sqrt(packedDot(col("_p"), col("_p"))))
     val withB = flat.select(col("_id"),
       explode(col("_buckets")).as("_bucket"), col("_p"), col("_n"))

@@ -193,13 +193,23 @@ object SchemaAlign {
       encode(src, "ISO-8859-1")
     else castTo(src, mc, mode)
 
+  /** The reference's `_tidb_rowid` pseudo-column (restore.go:1363-1406,
+    * tests/tidb_rowid/): a dump exported with explicit row handles names it
+    * in the file's column list; align routes it to the row handle instead
+    * of treating it as an unknown column. */
+  val TidbRowId = "_tidb_rowid"
+
   /** P1+P2+P3 over *named* string columns (CSV path).
     * `fileCols` is the file's column order; names matched case-insensitively
-    * against the table schema. Missing table columns get defaults. */
+    * against the table schema. Missing table columns get defaults.
+    * `emitExplicitRowId`: append `_explicit_rowid` (LongType, null when the
+    * file does not carry `_tidb_rowid`) — the pipeline coalesces it over
+    * the synthesized allocation, mirroring the reference's rowid routing. */
   def fromColumns(df: DataFrame, srcCols: Seq[String], table: MysqlTable,
                   mode: SqlMode, jobTsMicros: Long = 0L,
                   keep: Seq[Column] = Nil,
-                  valueCharset: String = "UTF-8"): DataFrame = {
+                  valueCharset: String = "UTF-8",
+                  emitExplicitRowId: Boolean = false): DataFrame = {
     val srcIdx = srcCols.map(_.toLowerCase).zipWithIndex.toMap
     val dfCols = df.columns
     val projected = table.columns.map { mc =>
@@ -215,7 +225,13 @@ object SchemaAlign {
         case None => defaultExpr(mc, jobTsMicros).as(mc.name)
       }
     }
-    df.select(keep ++ projected: _*)
+    val rowIdCol =
+      if (!emitExplicitRowId) Nil
+      else Seq((srcIdx.get(TidbRowId) match {
+        case Some(i) => col(dfCols(i)).cast(LongType)
+        case None => lit(null).cast(LongType)
+      }).as("_explicit_rowid"))
+    df.select(keep ++ projected ++ rowIdCol: _*)
   }
 
   /** Decode a hex-literal string (`0x4142` / `x'4142'` body, no prefix) to
@@ -300,7 +316,8 @@ object SchemaAlign {
                 table: MysqlTable, mode: SqlMode, jobTsMicros: Long = 0L,
                 keep: Seq[Column] = Nil,
                 kindsCol: Option[Column] = None,
-                valueCharset: String = "UTF-8"): DataFrame = {
+                valueCharset: String = "UTF-8",
+                emitExplicitRowId: Boolean = false): DataFrame = {
     import graft.sources.SqlDumpSource.Kind
     val tableOrderLower = array(table.columns.map(c => lit(c.name.toLowerCase)): _*)
     val colsLower = transform(stmtColsCol, c => lower(c))
@@ -334,6 +351,17 @@ object SchemaAlign {
         .otherwise(defaultExpr(mc, jobTsMicros))
         .as(mc.name)
     }
-    df.select(keep ++ projected: _*)
+    val rowIdCol =
+      if (!emitExplicitRowId) Nil
+      else {
+        // only an EXPLICIT statement column list can carry _tidb_rowid
+        // (the positional default order never includes the pseudo-column);
+        // array_position → 0 when absent → null index → null rowid
+        val rpos = when(stmtColsCol.isNull, lit(0L))
+          .otherwise(array_position(colsLower, lit(TidbRowId)))
+        Seq(try_element_at(valsCol, when(rpos > 0, rpos).cast(IntegerType))
+          .cast(LongType).as("_explicit_rowid"))
+      }
+    df.select(keep ++ projected ++ rowIdCol: _*)
   }
 }

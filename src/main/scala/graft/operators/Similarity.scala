@@ -144,12 +144,15 @@ object Similarity {
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, planes: Int = 6,
       probeHamming: Int = 1): DataFrame = {
-    val q = array(query.map(lit): _*)
+    import graft.functions.VecExpressions.{packVec, packedSketch}
+    // packed-kernel sketch (bit-identical to the interpreted form — see
+    // VecOps.hyperplaneSketch): the corpus scan's per-row bucket is one
+    // static call over the packed vector; the query's bucket is the SAME
+    // static function evaluated directly on the driver — no 1-row job
     val withBucket = df.withColumn("_bucket",
-      hyperplaneSketch(col(vecCol), planes))
-    val queryBucket = withBucket.sparkSession.range(1)
-      .select(hyperplaneSketch(q, planes).as("_qb"))
-      .collect()(0).getLong(0)
+      packedSketch(packVec(col(vecCol).cast("array<double>")), planes))
+    val queryBucket = graft.functions.VecOps.hyperplaneSketch(
+      graft.functions.VecOps.packDoubles(query.toArray), planes, 0)
     val probes = (0L until (1L << planes))
       .filter(b => java.lang.Long.bitCount(b ^ queryBucket) <= probeHamming)
     withBucket.filter(col("_bucket").isin(probes: _*))

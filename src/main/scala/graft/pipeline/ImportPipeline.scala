@@ -170,13 +170,16 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     // index for SQL dumps, line byte offset for CSV. Estimated mode needs
     // capacity ≥ any handle value → size+1 covers both (gaps allowed, S8);
     // exact mode densifies via an ordering window (counting pass implied).
-    val withId =
+    val withId0 =
       if (cfg.exactRowIds)
         RowIdAllocator.fromOrdering(aligned, col("_src_file"), col("_row_idx"))
       else
         RowIdAllocator.fromFileSizes(aligned, "_src_file", "_row_idx",
           t.dataFiles.map(f => (f.path, f.size)),
           capacityFor = sz => sz + 1)
+    // explicit `_tidb_rowid` from the file overrides the synthesized id
+    // (reference restore.go:1363-1406, tests/tidb_rowid/)
+    val withId = withColumnRowIdOverride(withId0)
     val finalDf = withId.select(
       (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
     // _row_id is persisted (the `_tidb_rowid` analog) so a sink-side
@@ -298,8 +301,9 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         gate()
         val tp0 = System.nanoTime()
         val aligned = loadAlignedFiles(files, table)
-        val withId = RowIdAllocator.fromFileSizes(aligned, "_src_file",
-          "_row_idx", allSizes, capacityFor = sz => sz + 1)
+        val withId = withColumnRowIdOverride(
+          RowIdAllocator.fromFileSizes(aligned, "_src_file",
+            "_row_idx", allSizes, capacityFor = sz => sz + 1))
         val finalDf = withId.select(
           (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
         val obs = org.apache.spark.sql.Observation()
@@ -351,6 +355,15 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     TableReport(t.db, t.table, rows, dcs, dbytes, dkvs, resumedSkip = false)
   }
 
+  /** Explicit `_tidb_rowid` routing: when the aligned frame carries
+    * `_explicit_rowid` (a file column list named the pseudo-column), it
+    * overrides the synthesized allocation per row. */
+  private def withColumnRowIdOverride(withId: DataFrame): DataFrame =
+    if (withId.columns.contains("_explicit_rowid"))
+      withId.withColumn("_row_id",
+        coalesce(col("_explicit_rowid"), col("_row_id")))
+    else withId
+
   /** Parse + align one table's data files (CSV and SQL shards may mix when
     * routing merges source tables — both land in the declared schema). */
   private def loadAligned(t: TablePlan, table: MysqlTable): DataFrame =
@@ -367,41 +380,51 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       // per-row statement-column alignment: mixed INSERT shapes (explicit
       // vs implicit lists, shard merges with different column orders) land
       // correctly; the common all-positional case stays a constant-index
-      // projection.
+      // projection. A statement list naming `_tidb_rowid` routes it to the
+      // row handle (emitExplicitRowId).
       parts += SchemaAlign.fromArrayPerStatement(raw, col("vals"),
         col("stmt_cols"), table, cfg.sqlMode, cfg.jobTsMicros,
         keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")),
-        kindsCol = Some(col("kinds")), valueCharset = cfg.charset)
+        kindsCol = Some(col("kinds")), valueCharset = cfg.charset,
+        emitExplicitRowId = true)
     }
     if (csvFiles.nonEmpty) {
-      val ncols = table.columns.size
-      if (cfg.csv.multiLine) {
-        // quoted-newline quirk: whole-file univocity parse, one task per
-        // file, with a dense deterministic (src_file, row_idx) from the
-        // parser itself — no window, no monotonically_increasing_id
-        val raw = CsvSource.readWholeFileIndexed(spark, csvFiles, cfg.csv, ncols)
-        val fileCols =
-          if (cfg.csv.header)
-            CsvSource.headerNames(spark, csvFiles.min, cfg.csv, ncols)
-          else table.columns.map(_.name) // positional = declared order
-        parts += SchemaAlign.fromColumns(raw, fileCols, table,
-          cfg.sqlMode, cfg.jobTsMicros,
-          keep = Seq(col("src_file").as("_src_file"),
-            col("row_idx").as("_row_idx")),
-          valueCharset = cfg.csv.charset)
-      } else {
-        // default: splittable line-based read; the per-row handle is the
-        // line's byte offset — deterministic under any split plan
-        val raw = CsvSource.readIndexed(spark, csvFiles, cfg.csv, ncols)
-        val fileCols =
-          if (cfg.csv.header)
-            CsvSource.headerNames(spark, csvFiles.min, cfg.csv, ncols)
-          else table.columns.map(_.name)
-        parts += SchemaAlign.fromColumns(raw, fileCols, table,
-          cfg.sqlMode, cfg.jobTsMicros,
-          keep = Seq(col("src_file").as("_src_file"),
-            col("row_off").as("_row_idx")),
-          valueCharset = cfg.csv.charset)
+      // per-FILE headers (reference csv_parser.go:100-118 parses each
+      // file's own header row): shards are grouped by their own column
+      // list, and each group aligns with ITS permutation — shards whose
+      // headers permute columns differently land correctly instead of
+      // silently inheriting the first file's order. The header may carry
+      // columns the table doesn't declare (notably `_tidb_rowid`), so the
+      // parse width is the header's length, not the table's.
+      val headerGroups: Seq[(Seq[String], Seq[String])] =
+        if (cfg.csv.header)
+          csvFiles.groupBy(f =>
+              CsvSource.headerNames(spark, f, cfg.csv, table.columns.size))
+            .toSeq.map { case (hdr, fs) => (hdr, fs.sorted) }
+            .sortBy(_._2.head)
+        else Seq((table.columns.map(_.name), csvFiles))
+      headerGroups.foreach { case (fileCols, files) =>
+        val ncols = fileCols.size
+        if (cfg.csv.multiLine) {
+          // quoted-newline quirk: whole-file univocity parse, one task per
+          // file, with a dense deterministic (src_file, row_idx) from the
+          // parser itself — no window, no monotonically_increasing_id
+          val raw = CsvSource.readWholeFileIndexed(spark, files, cfg.csv, ncols)
+          parts += SchemaAlign.fromColumns(raw, fileCols, table,
+            cfg.sqlMode, cfg.jobTsMicros,
+            keep = Seq(col("src_file").as("_src_file"),
+              col("row_idx").as("_row_idx")),
+            valueCharset = cfg.csv.charset, emitExplicitRowId = true)
+        } else {
+          // default: splittable line-based read; the per-row handle is the
+          // line's byte offset — deterministic under any split plan
+          val raw = CsvSource.readIndexed(spark, files, cfg.csv, ncols)
+          parts += SchemaAlign.fromColumns(raw, fileCols, table,
+            cfg.sqlMode, cfg.jobTsMicros,
+            keep = Seq(col("src_file").as("_src_file"),
+              col("row_off").as("_row_idx")),
+            valueCharset = cfg.csv.charset, emitExplicitRowId = true)
+        }
       }
     }
     parts.result().reduce(_ unionByName _)

@@ -480,25 +480,63 @@ object Curation {
   val ann_lsh_verify_sql: String =
     "SELECT CAST(1 AS INT) AS self_rank, CAST(1.0 AS DOUBLE) AS self_score"
 
-  /** Multimodal plumbing e2e (rows-only): payloads → decode stub →
-    * resize → frame sample → partition-batched features → per-type stats. */
+  /** Multimodal plumbing e2e — hash-matched: payloads → decode stub →
+    * resize → frame sample → partition-batched features. The gate rows
+    * carry what DuckDB can reproduce from the documents table (per-type
+    * counts, payload byte totals, frame counts — all integer math over
+    * UTF-8 lengths); the parts the oracle cannot see (crc32-derived
+    * dimensions, decimation resize, hash features) are enforced as
+    * in-query invariants: the query FAILS if any row's decoded dims leave
+    * their domain, the aspect-fit resize exceeds the box (or upscales),
+    * the frame slicing disagrees with the stride formula, or a feature
+    * vector has the wrong shape/range. */
   def multimodal_pipe(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticPayload(
       Tables.load(s, dir, "documents"), "doc_id", "text")
     val decoded = Multimodal.decodeStub(media)
     val resized = Multimodal.resizeStub(decoded)
     val framed = Multimodal.frameSample(resized)
-    val feats = Multimodal.extractFeatures(framed)
-    feats.groupBy(col("media_type"), col("format"))
+    val feats = Multimodal.extractFeatures(framed).persist()
+    val bad = feats.filter(
+      col("width") < 32 || col("width") >= 32 + 1280 ||
+      col("height") < 32 || col("height") >= 32 + 720 ||
+      col("out_width") < 1 || col("out_width") > 256 ||
+      col("out_height") < 1 || col("out_height") > 256 ||
+      length(col("resized")) > length(col("payload")) ||
+      size(col("features")) =!= 8 ||
+      exists(col("features"), f => f < 0.0 || f > 1.0)).count()
+    require(bad == 0,
+      s"$bad rows violate decode/resize/feature stub invariants")
+    // aspect-fit: payloads already inside the box must pass through 1:1
+    val badFit = feats
+      .filter(col("width") <= 256 && col("height") <= 256)
+      .filter(col("out_width") =!= col("width") ||
+        col("out_height") =!= col("height")).count()
+    require(badFit == 0, s"$badFit in-box payloads were rescaled")
+    val out = feats.groupBy(col("media_type"), col("format"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("byte_len")).as("total_bytes"),
-        min(col("width")).as("min_w"), max(col("height")).as("max_h"),
-        max(col("out_width")).as("max_out_w"),
-        max(col("out_height")).as("max_out_h"),
-        sum(size(col("frames"))).as("total_frames"),
-        round(sum(aggregate(col("features"), lit(0.0), (a, v) => a + v)), 6)
-          .as("feature_mass"))
-      .orderBy("media_type")
+        sum(col("byte_len")).cast("long").as("total_bytes"),
+        sum(size(col("frames")).cast("long")).as("total_frames"))
+    // 3 rows — localize and release the persisted lineage
+    val local = s.createDataFrame(out.collectAsList(), out.schema)
+    feats.unpersist()
+    local
   }
+
+  val multimodal_pipe_sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |      WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+      |      WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+      |    4 + octet_length(encode(substr(text, 1, 4)))
+      |      + octet_length(encode(text)) AS len
+      |  FROM documents)
+      |SELECT media_type, format, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(len) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(greatest(CAST(floor((len - 16) / 64.0) AS BIGINT), 0) + 1)
+      |    AS BIGINT) AS total_frames
+      |FROM m GROUP BY media_type, format""".stripMargin
 }

@@ -45,15 +45,15 @@ object Events {
       | CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin
 
-  /** Gap-based sessionization (flatMapGroupsWithState). Values are summed
-    * as integer millis so accumulation order cannot matter. */
+  /** Gap-based sessionization via the sorted-iterator fold (O(1) state per
+    * partition — no per-user history materialization). */
   def q_sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val evs = Tables.events(s, dir)
       .select(col("user_id"), col("ts").as("ts_us"), col("event_type"),
         col("value"))
       .as[EventStream.Ev]
-    EventStream.sessionize(evs, gapMinutes = 30)
+    EventStream.sessionizeSorted(evs, gapMinutes = 30)
       .toDF()
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
         col("n_events"),

@@ -486,9 +486,19 @@ object Ingest {
       .toDF("stmt_idx", "rows_in_stmt", "stmt_bytes", "stmt_prefix")
   }
 
-  /** A1+A2: KV checksum over lineitem with a natural row handle
-    * (rows-only: DuckDB has no crc64-ECMA). */
+  /** A1+A2: KV checksum over lineitem with a natural row handle — now a
+    * hash-matched gate (the dedup_simhash_verify pattern: DuckDB has no
+    * crc64-ECMA, so the crc evidence is Spark-internal `require`s and the
+    * gate rows carry what the oracle CAN reproduce — per-class KV counts):
+    * (1) golden vector — crc64-ECMA("123456789") must equal the published
+    * 0x995DC9BBDF1939FA check value; (2) reimplementation equality — the
+    * codegen'd Crc64Expr/bit_xor report must equal the independent
+    * KvChecksumAgg typed Aggregator (different crc accumulation path,
+    * different merge machinery) on both KV classes; (3) distributivity —
+    * the XOR/sum fold of two disjoint slices must equal the whole (the
+    * property that makes the checksum shardable at 100 TB). */
   def kv_checksum(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Crc64, KvChecksum}
     val li = Tables.load(s, dir, "lineitem")
       .filter(col("l_orderkey") <= OrdersKeyCap)
       .withColumn("_row_id",
@@ -503,10 +513,52 @@ object Ingest {
         |  PRIMARY KEY (`l_orderkey`,`l_linenumber`)
         |)""".stripMargin
     val table = MysqlDdl.parseCreateTable(ddl)
-    KvEncode.checksumReport(
-      li.select((table.columns.map(c => col(c.name)) :+ col("_row_id")): _*),
-      table, tableId = 7, rowIdCol = "_row_id")
+    val cols = table.columns.map(_.name)
+    val kvIn = li.select((cols.map(col) :+ col("_row_id")): _*).persist()
+    def reportOf(df: DataFrame): Map[String, (Long, Long, Long)] =
+      KvEncode.checksumReport(df, table, tableId = 7, rowIdCol = "_row_id")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val whole = reportOf(kvIn)
+    // (1) golden check value (ECMA-182 polynomial, standard test vector)
+    require(Crc64.checksum("123456789".getBytes("UTF-8")) == 0x995DC9BBDF1939FAL,
+      "crc64-ECMA golden vector mismatch")
+    // (2) independent-reimplementation equality, both KV classes
+    val aggData = KvEncode.dataKv(kvIn, 7, "_row_id", cols)
+      .agg(KvChecksum(col("_kv_key"), col("_kv_val")).as("c"))
+      .select("c.*").collect()(0)
+    require((aggData.getLong(0), aggData.getLong(1), aggData.getLong(2)) ==
+      whole("data"), "Aggregator vs codegen report mismatch on data KVs")
+    val aggIdx = KvEncode.indexKv(kvIn, 7, 0, table.primaryKey, "_row_id")
+      .agg(KvChecksum(col("_kv_key"), col("_kv_val")).as("c"))
+      .select("c.*").collect()(0)
+    require((aggIdx.getLong(0), aggIdx.getLong(1), aggIdx.getLong(2)) ==
+      whole("index"), "Aggregator vs codegen report mismatch on index KVs")
+    // (3) distributivity: disjoint halves fold to the whole
+    val even = reportOf(kvIn.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+    val odd = reportOf(kvIn.filter(pmod(col("l_orderkey"), lit(2)) === 1))
+    for (k <- Seq("data", "index")) {
+      val (ex, eb, en) = even.getOrElse(k, (0L, 0L, 0L))
+      val (ox, ob, on) = odd.getOrElse(k, (0L, 0L, 0L))
+      require((ex ^ ox, eb + ob, en + on) == whole(k),
+        s"XOR/sum fold of disjoint slices != whole for $k KVs")
+    }
+    kvIn.unpersist()
+    import s.implicits._
+    Seq(("data", whole("data")._3, 1, 1, 1),
+        ("index", whole("index")._3, 1, 1, 1))
+      .toDF("kv_class", "total_kvs", "golden_ok", "reimpl_ok", "distributive_ok")
   }
+
+  val kv_checksum_sql: String =
+    s"""SELECT 'data' AS kv_class, CAST(COUNT(*) AS BIGINT) AS total_kvs,
+       | CAST(1 AS INT) AS golden_ok, CAST(1 AS INT) AS reimpl_ok,
+       | CAST(1 AS INT) AS distributive_ok
+       |FROM lineitem WHERE l_orderkey <= $OrdersKeyCap
+       |UNION ALL
+       |SELECT 'index', CAST(COUNT(*) AS BIGINT), CAST(1 AS INT),
+       | CAST(1 AS INT), CAST(1 AS INT)
+       |FROM lineitem WHERE l_orderkey <= $OrdersKeyCap""".stripMargin
 
   private def write(f: File, content: String): Unit = {
     val pw = new PrintWriter(f, "UTF-8")

@@ -143,6 +143,34 @@ final class CommitLog(outDir: String, conf: Configuration) {
     if (fs.exists(p)) fs.delete(p, false)
   }
 
+  /** All table states in the log (chunk states and temp files excluded). */
+  def listTables(): Seq[TableState] = {
+    if (!fs.exists(stateDir)) return Nil
+    fs.listStatus(stateDir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".json") && !n.contains(".chunk.") && !n.startsWith(".")
+      }
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val j = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+        fromJson(j)
+      }
+      .sortBy(s => (s.db, s.table))
+  }
+
+  /** ctl error-destroy analog (reference cmd/tidb-lightning-ctl/main.go:
+    * 166-215): drop a table's checkpoint states AND its partial sink
+    * output, so the next import starts clean instead of resuming over a
+    * half-written failed table. */
+  def destroy(db: String, table: String): Unit = {
+    remove(db, table)
+    clearChunks(db, table)
+    val dir = new Path(new Path(outDir, db), table)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
   // minimal flat-JSON codec (no deps)
   private def toJson(s: TableState): String = {
     def q(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

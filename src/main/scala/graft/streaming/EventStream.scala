@@ -112,14 +112,57 @@ object EventStream {
   final case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Int, total_value: Double)
 
+  /** Batch sessionization as sort-within-partitions + an O(1) iterator
+    * fold: one shuffle on user_id, a partition-local sort (spillable —
+    * Spark's external sorter, not an in-memory buffer), then a single
+    * forward pass holding ONE open-session accumulator. Unlike the
+    * flatMapGroupsWithState form below, no user's event history is ever
+    * materialized — a power user with 10^8 events at 100× scale streams
+    * through in constant memory. Emission logic matches `sessionize`
+    * exactly (same sort key, same gap rule), so gate hashes are unchanged. */
+  def sessionizeSorted(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_type"))
+      .mapPartitions { it =>
+        var curUser = 0L
+        var acc: SessionAcc = null
+        def flush(): Option[SessionOut] =
+          if (acc == null) None
+          else {
+            val o = SessionOut(curUser, acc.start, acc.last, acc.count, acc.value)
+            acc = null
+            Some(o)
+          }
+        val folded = it.flatMap { e =>
+          val closed =
+            if (acc != null && (e.user_id != curUser || e.ts_us - acc.last > gapUs))
+              flush()
+            else None
+          if (acc == null) {
+            curUser = e.user_id
+            acc = SessionAcc(1, e.ts_us, e.ts_us, e.value)
+          } else {
+            acc = SessionAcc(acc.count + 1, acc.start, e.ts_us, acc.value + e.value)
+          }
+          closed
+        }
+        folded ++ flush() // ++ is by-name: the tail flush runs post-exhaustion
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
     * API (KeyValueGroupedDataset) the reference's bounded-channel pipeline
-    * maps onto. Works identically over a batch Dataset (used by the
-    * correctness gate: DuckDB reproduces it with gaps-and-islands SQL) and
-    * a stream (with GroupStateTimeout.EventTimeTimeout).
+    * maps onto. Works identically over a batch Dataset (the gate uses
+    * `sessionizeSorted` above; DuckDB reproduces both with gaps-and-islands
+    * SQL) and a stream (with GroupStateTimeout.EventTimeTimeout).
     *
     * Scale: one shuffle on user_id; per-group state is O(1) (running
-    * session accumulator), the sort is per-group. */
+    * session accumulator) — but batch mode materializes each user's events
+    * to sort them, which `sessionizeSorted` avoids. */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L

@@ -45,6 +45,32 @@ class VecExpressionsSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(v === want(k), s"pair $k differs") }
   }
 
+  test("packed hyperplane sketch equals the interpreted Column form bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.VecExpressions.packedSketch
+    // float vectors, like the embeddings corpus — the cast-to-double must
+    // happen before packing for the sketch sums to match exactly
+    val vecs = Seq(
+      (1L, Seq(1.0f, -2.0f, 3.5f, 0.25f, -0.125f, 7.0f, -1e-3f, 2.5f)),
+      (2L, Seq(-1.0f, 0.5f, 3.25f, 0.0f, 1.0f, -4.0f, 0.75f, -0.5f)),
+      (3L, (1 to 8).map(i => (i * 0.37f - 1.3f)))).toDF("id", "v")
+    for (seed <- 0 to 2; planes <- Seq(3, 4, 6)) {
+      val got = vecs.select(col("id"),
+        packedSketch(packVec(col("v").cast("array<double>")), planes, seed).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = vecs.select(col("id"),
+        graft.operators.Similarity.hyperplaneSketch(col("v"), planes, seed).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"sketch mismatch at planes=$planes seed=$seed")
+      // driver-side static call agrees too (lshTopK's query-bucket path)
+      val local = vecs.collect().map(r => r.getLong(0) ->
+        VecOps.hyperplaneSketch(
+          VecOps.packDoubles(r.getSeq[Float](1).map(_.toDouble).toArray),
+          planes, seed)).toMap
+      assert(local === want, s"driver-side sketch mismatch at planes=$planes seed=$seed")
+    }
+  }
+
   test("null inputs propagate, empty vectors dot to 0") {
     import spark.implicits._
     val df = Seq((1L, Some(Seq(1.0, 2.0))), (2L, None)).toDF("id", "v")

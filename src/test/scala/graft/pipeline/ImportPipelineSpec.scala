@@ -240,6 +240,96 @@ class ImportPipelineSpec extends SparkSpec {
     assert(u.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("checkpoint-destroy: failed table's state and partial output removed, re-import clean") {
+    import graft.operators.SqlMode
+    val src = java.nio.file.Files.createTempDirectory("graft-destroy").toFile
+    def writeCsv(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(new java.io.File(src, name).toPath, body)
+    // good table + a table whose second chunk poisons a strict import
+    writeCsv("dz.good.csv", (1 to 10).map(i => s"$i,$i.5").mkString("", "\n", "\n"))
+    writeCsv("dz.bad.0001.csv", (1 to 50).map(i => s"$i,$i.5").mkString("", "\n", "\n"))
+    writeCsv("dz.bad.0002.csv", "51,junk\n")
+    val table = graft.sources.MysqlDdl.parseCreateTable(
+      "CREATE TABLE `t` (`id` int(11) NOT NULL, `v` double, PRIMARY KEY (`id`))")
+    val out = freshOut()
+    def cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+      sqlMode = SqlMode.Strict, continueOnError = true,
+      schemaCatalog = Map(("dz", "good") -> table, ("dz", "bad") -> table),
+      chunkCommitBytes = 64)
+    val first = new ImportPipeline(spark, cfg).run()
+    assert(first.exists(r => r.table == "bad" && r.error.nonEmpty))
+    assert(first.exists(r => r.table == "good" && r.error.isEmpty))
+    val log = new graft.sinks.CommitLog(out, spark.sparkContext.hadoopConfiguration)
+    // failed state recorded; partial output of chunk 1 is on disk
+    assert(log.listTables().exists(s => s.table == "bad" && s.status == "failed"))
+    assert(new java.io.File(s"$out/dz/bad").exists())
+    // destroy every failed table (the ctl error-destroy semantics)
+    log.listTables().filter(_.status == "failed")
+      .foreach(s => log.destroy(s.db, s.table))
+    assert(!new java.io.File(s"$out/dz/bad").exists())
+    assert(log.read("dz", "bad").isEmpty && log.readChunks("dz", "bad").isEmpty)
+    assert(log.read("dz", "good").nonEmpty) // untouched
+    // repair the poison row and re-import: bad lands clean, good resumes
+    writeCsv("dz.bad.0002.csv", "51,51.5\n")
+    val second = new ImportPipeline(spark, cfg).run()
+    assert(second.find(_.table == "bad").get.rows === 51)
+    assert(second.find(_.table == "good").get.resumedSkip)
+    assert(spark.read.parquet(s"$out/dz/bad").select("id").distinct().count() === 51)
+  }
+
+  test("per-file CSV headers: shards with permuted headers both land correctly") {
+    val src = java.nio.file.Files.createTempDirectory("graft-hdr").toFile
+    // shard 1: (id, v) order; shard 2: (v, id) — the reference parses each
+    // file's own header (csv_parser.go:100-118); inheriting shard 1's order
+    // would land shard 2's values swapped
+    java.nio.file.Files.writeString(
+      new java.io.File(src, "hd.t.0001.csv").toPath,
+      "id,v\n1,one\n2,two\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(src, "hd.t.0002.csv").toPath,
+      "v,id\nthree,3\nfour,4\n")
+    val table = graft.sources.MysqlDdl.parseCreateTable(
+      "CREATE TABLE `t` (`id` int(11) NOT NULL, `v` varchar(8), PRIMARY KEY (`id`))")
+    val out = freshOut()
+    val cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+      schemaCatalog = Map(("hd", "t") -> table),
+      csv = graft.sources.CsvConfig(header = true))
+    assert(new ImportPipeline(spark, cfg).run().head.rows === 4)
+    val got = spark.read.parquet(s"$out/hd/t").select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((1, "one"), (2, "two"), (3, "three"), (4, "four")))
+  }
+
+  test("explicit _tidb_rowid in file column lists routes to the row handle") {
+    val src = java.nio.file.Files.createTempDirectory("graft-rowid").toFile
+    // SQL shard: INSERT column list names _tidb_rowid (a dump exported
+    // with -r); CSV shard: header names it. Both must take row ids FROM
+    // the file (reference restore.go:1363-1406, tests/tidb_rowid/)
+    java.nio.file.Files.writeString(
+      new java.io.File(src, "rid.t.0001.sql").toPath,
+      "INSERT INTO `t` (`id`,`v`,`_tidb_rowid`) VALUES " +
+        "(1,'a',1001),(2,'b',1002);\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(src, "rid.t.0002.csv").toPath,
+      "id,_tidb_rowid,v\n3,2001,c\n4,2002,d\n")
+    val table = graft.sources.MysqlDdl.parseCreateTable(
+      "CREATE TABLE `t` (`id` int(11) NOT NULL, `v` varchar(8), PRIMARY KEY (`id`))")
+    val out = freshOut()
+    val cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+      schemaCatalog = Map(("rid", "t") -> table),
+      csv = graft.sources.CsvConfig(header = true))
+    val report = new ImportPipeline(spark, cfg).run().head
+    assert(report.rows === 4)
+    val got = spark.read.parquet(s"$out/rid/t")
+      .select("id", "_row_id", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1, 1001L, "a"), (2, 1002L, "b"),
+      (3, 2001L, "c"), (4, 2002L, "d")))
+    // P8: the rebase value reflects the explicit handles
+    assert(graft.operators.RowIdAllocator.nextAutoIncrement(
+      spark.read.parquet(s"$out/rid/t"), "_row_id") === 2003L)
+  }
+
   test("csv table lands with lenient casts applied") {
     val out = freshOut()
     val cfg = ImportConfig(

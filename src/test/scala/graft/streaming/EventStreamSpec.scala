@@ -22,6 +22,20 @@ class EventStreamSpec extends SparkSpec {
     assert(out(2).user_id === 2L)
   }
 
+  test("sessionizeSorted equals the flatMapGroupsWithState form") {
+    val us = 1000000L
+    // spans sessions, users, ties and partition boundaries
+    val evs = (for (u <- 1L to 7L; i <- 0 until 40) yield
+      EventStream.Ev(u, (i * 67 + (if (i % 9 == 0) 4000 else 0)) * us,
+        s"t${i % 3}", (u * 100 + i) / 7.0)).toDS()
+    def key(s: EventStream.SessionOut) =
+      (s.user_id, s.session_start_us, s.session_end_us, s.n_events,
+        math.round(s.total_value * 10000))
+    val a = EventStream.sessionize(evs, 30).collect().map(key).sorted.toSeq
+    val b = EventStream.sessionizeSorted(evs, 30).collect().map(key).sorted.toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("windowed streaming drains AvailableNow and is replay-stable") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
     val src = new java.io.File(tmp, "events.parquet").getAbsolutePath
