@@ -155,7 +155,12 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     }
     val chunkable = theSink match {
       case _: ParquetSink => true
-      case j: JdbcSink => j.idempotentReplay // REPLACE/IGNORE replay-safe
+      // REPLACE/IGNORE replay is only idempotent when the table has a
+      // PRIMARY or UNIQUE key to collide on — a keyless table would
+      // duplicate every row of a chunk that crashed between its write and
+      // its state commit, exactly the window chunk resume exists for.
+      // Keyless → table-level commits instead.
+      case j: JdbcSink => j.idempotentReplay && table.hasReplayKey
       case _ => false
     }
     if (cfg.chunkCheckpoints && !cfg.exactRowIds && chunkable)

@@ -144,7 +144,9 @@ private final class GraftCsvScanBuilder(options: CaseInsensitiveStringMap)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new FileDiscoveryMicroBatchStream(() => paths, planFile,
-      new GraftCsvReaderFactory(hadoopConf))
+      new GraftCsvReaderFactory(hadoopConf),
+      checkpointLocation = Some(checkpointLocation),
+      hadoopConf = Some(hadoopConf.value))
 }
 
 private final case class GraftCsvInputPartition(path: String, start: Long,

@@ -32,11 +32,16 @@ final case class MysqlColumn(
 final case class MysqlTable(
     name: String,
     columns: Seq[MysqlColumn],
-    primaryKey: Seq[String]) {
+    primaryKey: Seq[String],
+    // declared UNIQUE keys (column lists) — REPLACE/IGNORE replay is only
+    // idempotent when the target has a PRIMARY or UNIQUE key to collide on
+    uniqueKeys: Seq[Seq[String]] = Nil) {
   def schema: StructType =
     StructType(columns.map(c => StructField(c.name, c.sparkType, c.nullable)))
   def column(n: String): Option[MysqlColumn] =
     columns.find(_.name.equalsIgnoreCase(n))
+  /** True when REPLACE/IGNORE statements can actually deduplicate replays. */
+  def hasReplayKey: Boolean = primaryKey.nonEmpty || uniqueKeys.nonEmpty
 }
 
 object MysqlDdl {
@@ -110,6 +115,8 @@ object MysqlDdl {
   private val ColLine =
     """^\s*`([^`]+)`\s+([a-zA-Z]+(?:\([^)]*\))?(?:\s+unsigned)?(?:\s+zerofill)?)(.*)$""".r
   private val PkLine = """(?i)^\s*PRIMARY\s+KEY\s*\(([^)]*)\).*$""".r
+  private val UniqueLine =
+    """(?i)^\s*UNIQUE(?:\s+KEY|\s+INDEX)?(?:\s+`[^`]+`|\s+[a-zA-Z0-9_]+)?\s*\((.*)\).*$""".r
 
   /** Parse one CREATE TABLE statement. Comment stripping mirrors the
     * reference's schema reader (lightning/mydump/reader.go:67-114). */
@@ -145,10 +152,16 @@ object MysqlDdl {
     if (cur.nonEmpty) parts += cur.toString
 
     var pk = Seq.empty[String]
+    val uniq = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     val cols = parts.toSeq.flatMap { p =>
       p.trim match {
         case PkLine(keys) =>
           pk = keys.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+          None
+        case UniqueLine(keys) =>
+          // strip quoting and index prefix lengths: `col`(10) -> col
+          uniq += keys.split(',').toSeq.map(
+            _.trim.takeWhile(_ != '(').trim.stripPrefix("`").stripSuffix("`"))
           None
         case l if l.toUpperCase.startsWith("UNIQUE") ||
                   l.toUpperCase.startsWith("KEY") ||
@@ -172,6 +185,6 @@ object MysqlDdl {
         case _ => None
       }
     }
-    MysqlTable(tableName, cols, pk)
+    MysqlTable(tableName, cols, pk, uniq.toSeq)
   }
 }

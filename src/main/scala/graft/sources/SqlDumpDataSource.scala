@@ -122,7 +122,9 @@ private final class SqlDumpScanBuilder(options: CaseInsensitiveStringMap)
           charset)
         .map(ch => SqlDumpInputPartition(ch.path, ch.start, ch.end,
           ch.baseRow, charset): InputPartition),
-      new SqlDumpReaderFactory(conf))
+      new SqlDumpReaderFactory(conf),
+      checkpointLocation = Some(checkpointLocation),
+      hadoopConf = Some(conf.value))
   }
 }
 
@@ -143,26 +145,68 @@ private[sources] final case class FileCountOffset(n: Long)
   * Each micro-batch takes the files that appeared since the last offset;
   * within a batch, a large file still splits via `planFile` (statement-
   * aligned chunks / byte ranges), so one huge shard parallelizes exactly
-  * like the batch path. Restart note: the discovery log orders files by
-  * name within each refresh, so offsets are reproducible across restarts
-  * when files appear in name-sorted order (the mydumper `db.table.NNNN`
-  * convention). */
+  * like the batch path.
+  *
+  * Restart safety: the ordered discovery log is PERSISTED under the
+  * stream's checkpointLocation (atomic temp+rename rewrite whenever new
+  * files are appended, BEFORE the offset referencing them can be
+  * committed to the WAL). A committed offset is a position in that
+  * persisted log — not in a listing rebuilt at restart — so a new file
+  * that sorts before already-committed files can neither shift committed
+  * positions (duplicates) nor be skipped: it appends at the log's tail
+  * and ships in the next batch. An offset beyond the persisted log (log
+  * deleted / foreign checkpoint) fails loudly instead of re-ingesting. */
 private[sources] final class FileDiscoveryMicroBatchStream(
     listFiles: () => Seq[String],
     planFile: String => Seq[InputPartition],
-    readerFactory: PartitionReaderFactory)
+    readerFactory: PartitionReaderFactory,
+    checkpointLocation: Option[String] = None,
+    hadoopConf: Option[Configuration] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.hadoop.fs.Path
 
   // ordered discovery log: index position = offset unit; files are only
   // ever appended (name-sorted within each refresh)
   private val discovered = scala.collection.mutable.ArrayBuffer.empty[String]
   private val seen = scala.collection.mutable.HashSet.empty[String]
 
-  private def refresh(): Unit = synchronized {
-    listFiles().sorted.foreach { f =>
-      if (!seen.contains(f)) { seen += f; discovered += f }
+  private def logPath: Option[Path] =
+    checkpointLocation.map(c => new Path(c, "graft_file_log"))
+
+  private def logFs(p: Path) =
+    p.getFileSystem(hadoopConf.getOrElse(new Configuration()))
+
+  // restart path: the persisted log IS the offset space — load it first
+  logPath.foreach { p =>
+    val fs = logFs(p)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      body.linesIterator.filter(_.nonEmpty).foreach { f =>
+        if (!seen.contains(f)) { seen += f; discovered += f }
+      }
     }
+  }
+
+  private def persistLog(): Unit = logPath.foreach { p =>
+    val fs = logFs(p)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(discovered.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"cannot persist file discovery log $p")
+  }
+
+  private def refresh(): Unit = synchronized {
+    var added = false
+    listFiles().sorted.foreach { f =>
+      if (!seen.contains(f)) { seen += f; discovered += f; added = true }
+    }
+    if (added) persistLog()
   }
 
   override def initialOffset(): Offset = FileCountOffset(0)
@@ -171,9 +215,13 @@ private[sources] final class FileDiscoveryMicroBatchStream(
   override def latestOffset(): Offset = { refresh(); FileCountOffset(discovered.size) }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    refresh() // restart path: rebuild the log before slicing
+    refresh()
     val s = start.asInstanceOf[FileCountOffset].n.toInt
     val e = end.asInstanceOf[FileCountOffset].n.toInt
+    if (e > discovered.size) throw new IllegalStateException(
+      s"committed offset $e exceeds the persisted discovery log " +
+        s"(${discovered.size} files) — the checkpoint's WAL and the file " +
+        "log disagree; refusing to re-ingest from a rebuilt listing")
     discovered.slice(s, e).flatMap(planFile).toArray
   }
 

@@ -37,6 +37,21 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(t.column("b").get.sparkType === LongType)
   }
 
+  test("unique keys parsed; hasReplayKey gates keyless tables") {
+    val t = MysqlDdl.parseCreateTable(
+      """CREATE TABLE `u` (`a` int(11) NOT NULL, `b` varchar(8), `c` int(11),
+        | UNIQUE KEY `uk_ab` (`a`,`b`(4)), UNIQUE (`c`))""".stripMargin)
+    assert(t.primaryKey === Nil)
+    assert(t.uniqueKeys === Seq(Seq("a", "b"), Seq("c")))
+    assert(t.hasReplayKey)
+    val keyless = MysqlDdl.parseCreateTable(
+      "CREATE TABLE `n` (`a` int(11), `b` varchar(8), KEY `i` (`a`))")
+    assert(!keyless.hasReplayKey) // REPLACE replay would duplicate rows
+    val pk = MysqlDdl.parseCreateTable(
+      "CREATE TABLE `p` (`a` int(11) NOT NULL, PRIMARY KEY (`a`))")
+    assert(pk.hasReplayKey && pk.uniqueKeys.isEmpty)
+  }
+
   test("inline primary key and key lines skipped") {
     val t = MysqlDdl.parseCreateTable(
       "CREATE TABLE `k` (`pk` char(36) PRIMARY KEY, `v` json, KEY `i` (`v`(10)))")

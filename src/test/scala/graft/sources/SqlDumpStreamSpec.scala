@@ -52,5 +52,15 @@ class SqlDumpStreamSpec extends SparkSpec {
     // no new files → a further run appends nothing
     runOnce()
     assert(spark.read.parquet(out).count() === 75)
+
+    // a file that sorts BEFORE the committed ones appears: the persisted
+    // discovery log pins committed positions, so the restart must ingest
+    // exactly the new file — no duplicates of old shards, no skip
+    writeShard(src, "s.t.0000.sql", 76 to 80)
+    runOnce()
+    val fourth = spark.read.parquet(out)
+    assert(fourth.count() === 80)
+    assert(fourth.select("id").collect().map(_.getString(0).toInt).sorted.toSeq
+      === (1 to 80))
   }
 }
