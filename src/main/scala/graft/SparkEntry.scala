@@ -49,8 +49,8 @@ object SparkEntry {
     ("sqlmode_strict", Ingest.sqlmode_strict _, Some(Ingest.sqlmode_strict_sql)),
     ("sqlmode_enumset", Ingest.sqlmode_enumset _, Some(Ingest.sqlmode_enumset_sql)),
     ("jdbc_stmts", Ingest.jdbc_stmts _, None),
-    ("mydump_discover", Ingest.mydump_discover _, None),
-    ("import_e2e", Ingest.import_e2e _, None),
+    ("mydump_discover", Ingest.mydump_discover _, Some(Ingest.mydump_discover_sql)),
+    ("import_e2e", Ingest.import_e2e _, Some(Ingest.import_e2e_sql)),
     ("kv_checksum", Ingest.kv_checksum _, Some(Ingest.kv_checksum_sql)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     ("dedup_exact", Curation.dedup_exact _, Some(Curation.dedup_exact_sql)),

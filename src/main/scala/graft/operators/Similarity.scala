@@ -89,17 +89,26 @@ object Similarity {
   final case class IvfIndex(centroids: Array[Array[Double]],
       assigned: DataFrame)
 
-  /** One k-means training pass (fixed seed → deterministic cells). */
+  /** One k-means training pass (fixed seed → deterministic cells).
+    * Seeded RANDOM init, not k-means||: the parallel init alone costs
+    * ~2×nSteps extra Spark jobs to pick starting points — for IVF cells
+    * the Lloyd iterations wash out the init quality difference, and at
+    * corpus scale the init passes are pure overhead. The training input is
+    * cached for the iterations and released after the centroids exist. */
   def ivfIndex(df: DataFrame, vecCol: String, nlist: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = df.withColumn("_fv",
       array_to_vector(col(vecCol).cast("array<double>")))
+    val cached = feat.persist()
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setInitMode("random")
       .setFeaturesCol("_fv").setPredictionCol("_cell")
-      .fit(feat)
-    IvfIndex(model.clusterCenters.map(_.toArray),
+      .fit(cached)
+    val idx = IvfIndex(model.clusterCenters.map(_.toArray),
       model.transform(feat).drop("_fv"))
+    cached.unpersist()
+    idx
   }
 
   /** Probe an IvfIndex: scan only the `nprobe` cells whose centroids are

@@ -319,8 +319,27 @@ object Ingest {
       .toDF("db", "table_name", "kind", "part", "n_files")
   }
 
-  /** Full pipeline e2e over the generated dump dir (rows-only): discover →
-    * parse → align → row-id → parquet sink + commit log + checksum. */
+  /** The discovery output over the fixed two-roundtrip fixture is fully
+    * deterministic (classification grammar + the routing rule), so the
+    * oracle pins it as a literal table — a silent change in the walker,
+    * classifier, or router breaks the hash. */
+  val mydump_discover_sql: String =
+    """SELECT * FROM (VALUES
+      |  ('rt', 'customer_rt', 'CsvData', CAST(-1 AS INT), CAST(1 AS INT)),
+      |  ('rt', 'orders_routed', 'SqlData', CAST(0 AS INT), CAST(4 AS INT)),
+      |  ('rt', 'orders_routed', 'SqlData', CAST(1 AS INT), CAST(4 AS INT)),
+      |  ('rt', 'orders_routed', 'SqlData', CAST(2 AS INT), CAST(4 AS INT)),
+      |  ('rt', 'orders_routed', 'SqlData', CAST(3 AS INT), CAST(4 AS INT))
+      |) t(db, table_name, kind, part, n_files)""".stripMargin
+
+  /** Full pipeline e2e over the generated dump dir — hash-matched:
+    * discover → parse → align → row-id → parquet sink + commit log +
+    * checksum, then the A3 verification runs IN-QUERY: the sink-side
+    * re-scan (independent columnar pass over the written parquet) must
+    * reproduce the pipeline's observe-time checksum triple exactly, and
+    * the P8 rebase value must clear every written row id. The oracle pins
+    * the row count (what DuckDB can see) — the crc evidence is the
+    * in-query requires, per the kv_checksum pattern. */
   def import_e2e(s: SparkSession, dir: String): DataFrame = {
     sqldump_roundtrip(s, dir).count() // materialize inputs
     val root = new File("target", "qtmp").getAbsolutePath
@@ -329,16 +348,32 @@ object Ingest {
     val cfg = ImportConfig(sourceDir = root, outDir = out,
       filter = TableFilter(doTables = Seq(("rt", "orders_rt"))))
     val reports = new ImportPipeline(s, cfg).run()
+    val ddl = java.nio.file.Files.readString(
+      new File(scratch("sqldump_rt"), "rt.orders_rt-schema.sql").toPath)
+    val table = MysqlDdl.parseCreateTable(ddl)
     import s.implicits._
     reports.map { r =>
-      // P8: post-import auto-increment rebase value (max(rowid)+1)
+      val written = s.read.parquet(s"$out/${r.db}/${r.table}")
+      // A3: ADMIN CHECKSUM TABLE analog — sink-side re-scan vs pipeline
+      val cs = KvEncode.checksumReport(written, table,
+          ImportPipeline.tableId(r.db, r.table), "_row_id")
+        .filter(col("kv_class") === "data").collect()(0)
+      require(cs.getLong(1) == r.dataChecksum && cs.getLong(2) == r.dataBytes &&
+        cs.getLong(3) == r.dataKvs,
+        s"A3 mismatch for ${r.db}.${r.table}: sink re-scan != pipeline triple")
+      // P8: the rebase value must exceed every written row id
       val nextId = graft.operators.RowIdAllocator.nextAutoIncrement(
-        s.read.parquet(s"$out/${r.db}/${r.table}"), "_row_id")
-      (r.db, r.table, r.rows, f"${r.dataChecksum}%016x",
-        r.dataBytes, r.dataKvs, nextId)
-    }.toDF("db", "table_name", "rows", "checksum_hex", "bytes", "kvs",
-      "next_auto_inc")
+        written, "_row_id")
+      val maxId = written.agg(max(col("_row_id"))).collect()(0).getLong(0)
+      require(nextId == maxId + 1, s"rebase $nextId != max(_row_id)+1")
+      (r.db, r.table, r.rows, 1)
+    }.toDF("db", "table_name", "rows", "a3_ok")
   }
+
+  val import_e2e_sql: String =
+    s"""SELECT 'rt' AS db, 'orders_rt' AS table_name,
+       | CAST(COUNT(*) AS BIGINT) AS rows, CAST(1 AS INT) AS a3_ok
+       |FROM orders WHERE o_orderkey <= $OrdersKeyCap""".stripMargin
 
   /** P3 lenient SQL_MODE: out-of-range / fractional / garbage values land
     * via MySQL non-strict coercions (clamp / round / numeric-prefix). The
