@@ -87,11 +87,33 @@ object CsvSource {
     else when(coalesce(c, lit("")) === cfg.nullRepr,
       lit(null).cast(StringType)).otherwise(coalesce(c, lit("")))
 
-  /** Header names of one CSV file (driver-side peek via the univocity
-    * reader — only the first record is materialized). */
+  /** Header names of one CSV file: a direct driver-side read of the first
+    * line (charset-resolved), parsed with the same univocity format. NOT a
+    * `spark.read.csv` — that constructs a DataFrame (schema inference job)
+    * per file, which at a 10k-shard dump turns header discovery into 10k
+    * driver jobs; this is one small FS open per file. */
   def headerNames(spark: SparkSession, path: String, cfg: CsvConfig,
-      ncols: Int): Seq[String] =
-    read(spark, Seq(path), cfg.copy(header = true), ncols).columns.toSeq
+      ncols: Int): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cs = resolveCharset(path, conf, cfg.charset)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      p.getFileSystem(conf).open(p), java.nio.charset.Charset.forName(cs)))
+    try {
+      val line = in.readLine()
+      require(line != null, s"empty CSV file with header=true: $path")
+      val settings = new com.univocity.parsers.csv.CsvParserSettings
+      settings.getFormat.setDelimiter(cfg.separator.charAt(0))
+      settings.getFormat.setQuote(
+        if (cfg.delimiter.isEmpty) 0.toChar else cfg.delimiter.charAt(0))
+      settings.getFormat.setQuoteEscape(
+        if (cfg.backslashEscape) '\\' else 0.toChar)
+      settings.setMaxCharsPerColumn(-1)
+      val parser = new com.univocity.parsers.csv.CsvParser(settings)
+      Option(parser.parseLine(line)).getOrElse(Array.empty[String])
+        .toSeq.map(v => if (v == null) "" else v)
+    } finally in.close()
+  }
 
   private[sources] def resolveCharset(path: String,
       conf: org.apache.hadoop.conf.Configuration, cs: String): String =

@@ -15,6 +15,38 @@ class MydumpDiscoverySpec extends AnyFunSuite {
     assert(MydumpDiscovery.classify("README.md", "p", 1).kind === FileKind.Ignored)
   }
 
+  test("exotic filenames: unicode and quote/backtick table names classify and import") {
+    // reference tests/exotic_filenames/: 中文庫.中文表.sql and
+    // x`f"n.exotic`table``name.sql must classify into their db/table names
+    val cn = MydumpDiscovery.classify("中文庫.中文表.sql", "p", 1)
+    assert(cn.kind === FileKind.SqlData && cn.db === "中文庫" && cn.table === "中文表")
+    val xf = MydumpDiscovery.classify("x`f\"n.exotic`table``name.sql", "p", 1)
+    assert(xf.kind === FileKind.SqlData && xf.db === "x`f\"n" &&
+      xf.table === "exotic`table``name")
+    assert(MydumpDiscovery.classify("中文庫-schema-create.sql", "p", 1).kind
+      === FileKind.SchemaCreate)
+    assert(MydumpDiscovery.classify("中文庫.中文表-schema.sql", "p", 1).kind
+      === FileKind.TableSchema)
+    // end-to-end with the quote/backtick name (this container's JVM fs
+    // encoding cannot create unicode filenames — sun.jnu.encoding — so the
+    // unicode case is covered by the classification asserts above)
+    val src = java.nio.file.Files.createTempDirectory("graft-exotic").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(src, "x`f\"n.exotic`table``name.sql").toPath,
+      "INSERT INTO `t` VALUES (1,'one'),(2,'two');\n")
+    val table = MysqlDdl.parseCreateTable(
+      "CREATE TABLE `t` (`id` int(11) NOT NULL, `v` varchar(8), PRIMARY KEY (`id`))")
+    val out = java.nio.file.Files.createTempDirectory("graft-exotic-out").toString
+    val spark = graft.SparkSpec.session
+    val cfg = graft.pipeline.ImportConfig(sourceDir = src.getAbsolutePath,
+      outDir = out,
+      schemaCatalog = Map(("x`f\"n", "exotic`table``name") -> table))
+    val reports = new graft.pipeline.ImportPipeline(spark, cfg).run()
+    assert(reports.head.rows === 2)
+    assert(spark.read.parquet(s"$out/x`f\"n/exotic`table``name")
+      .select("v").collect().map(_.getString(0)).sorted.toSeq === Seq("one", "two"))
+  }
+
   test("plan groups data files per table, small tables first") {
     val plan = MydumpDiscovery.plan(dir)
     val names = plan.tables.map(t => s"${t.db}.${t.table}")
