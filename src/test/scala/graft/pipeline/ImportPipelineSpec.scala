@@ -330,6 +330,31 @@ class ImportPipelineSpec extends SparkSpec {
       spark.read.parquet(s"$out/rid/t"), "_row_id") === 2003L)
   }
 
+  test("concurrent table restore equals sequential (reference concurrent-restore)") {
+    val src = java.nio.file.Files.createTempDirectory("graft-conc").toFile
+    for (t <- 1 to 6) {
+      java.nio.file.Files.writeString(
+        new java.io.File(src, s"cc.t$t.sql").toPath,
+        (1 to 40).map(i => s"INSERT INTO `t$t` VALUES ($i,'v${t}_$i');")
+          .mkString("", "\n", "\n"))
+    }
+    val table = graft.sources.MysqlDdl.parseCreateTable(
+      "CREATE TABLE `t` (`id` int(11) NOT NULL, `v` varchar(16), PRIMARY KEY (`id`))")
+    val catalog = (1 to 6).map(t => ("cc", s"t$t") -> table).toMap
+    def runWith(conc: Int): (Seq[(String, Long, Long)], String) = {
+      val out = freshOut()
+      val cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+        schemaCatalog = catalog, tableConcurrency = conc)
+      val reports = new ImportPipeline(spark, cfg).run()
+      (reports.map(r => (r.table, r.rows, r.dataChecksum)), out)
+    }
+    val (seq, _) = runWith(1)
+    val (par, out) = runWith(4)
+    assert(par === seq) // same tables, same order, same checksums
+    assert(par.forall(_._2 === 40))
+    assert(spark.read.parquet(s"$out/cc/t3").count() === 40)
+  }
+
   test("csv table lands with lenient casts applied") {
     val out = freshOut()
     val cfg = ImportConfig(
