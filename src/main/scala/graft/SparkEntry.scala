@@ -48,7 +48,7 @@ object SparkEntry {
     ("sqlmode_lenient", Ingest.sqlmode_lenient _, Some(Ingest.sqlmode_lenient_sql)),
     ("sqlmode_strict", Ingest.sqlmode_strict _, Some(Ingest.sqlmode_strict_sql)),
     ("sqlmode_enumset", Ingest.sqlmode_enumset _, Some(Ingest.sqlmode_enumset_sql)),
-    ("jdbc_stmts", Ingest.jdbc_stmts _, None),
+    ("jdbc_stmts", Ingest.jdbc_stmts _, Some(Ingest.jdbc_stmts_sql)),
     ("mydump_discover", Ingest.mydump_discover _, Some(Ingest.mydump_discover_sql)),
     ("import_e2e", Ingest.import_e2e _, Some(Ingest.import_e2e_sql)),
     ("kv_checksum", Ingest.kv_checksum _, Some(Ingest.kv_checksum_sql)),
@@ -59,6 +59,7 @@ object SparkEntry {
     ("dedup_simhash", Curation.dedup_simhash _, None),
     ("dedup_simhash_verify", Curation.dedup_simhash_verify _, Some(Curation.dedup_simhash_verify_sql)),
     ("dedup_ngram", Curation.dedup_ngram _, None),
+    ("dedup_ngram_verify", Curation.dedup_ngram_verify _, Some(Curation.dedup_ngram_verify_sql)),
     ("dedup_embed", Curation.dedup_embed _, None),
     ("dedup_embed_verify", Curation.dedup_embed_verify _, Some(Curation.dedup_embed_verify_sql)),
     ("ann_topk", Curation.ann_topk _, Some(Curation.ann_topk_sql)),

@@ -164,6 +164,52 @@ object Curation {
     s.read.parquet(out.getAbsolutePath).orderBy("id_a", "id_b")
   }
 
+  /** n-gram engine verification (hash-matched): exact word-BIGRAM Jaccard
+    * over the deterministic consecutive-doc pair set, reproduced
+    * independently by DuckDB's list machinery — the same `tokensOf` →
+    * `gramsOf` → `exactJaccardPairs` stack `dedup_ngram` mines with, so
+    * the one remaining rows-only dedup family gets direct oracle coverage
+    * of its gram pipeline (dedup_minhash_verify covers the char-shingle
+    * variant; this covers the word-gram variant). */
+  def dedup_ngram_verify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 2000).select("doc_id", "text")
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id_a"))
+      .join(ids.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+    // token array behind an exchange barrier (PERF INVARIANT: lambdas only
+    // reference attributes), persisted for exactJaccardPairs' three reads
+    val grams = docs
+      .select(col("doc_id"),
+        Dedup.tokensOf(Dedup.normalized(col("text"))).as("_toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), Dedup.gramsOf(col("_toks"), 2).as("_grams"))
+      .persist()
+    val result = Dedup.exactJaccardPairs(pairs, grams)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("bigram_jaccard"))
+    val local = s.createDataFrame(result.collectAsList(), result.schema)
+    grams.unpersist()
+    local
+  }
+
+  val dedup_ngram_verify_sql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents WHERE doc_id < 2000),
+       |t AS (SELECT doc_id,
+       |  list_filter(string_split(s, ' '), x -> x != '') AS w FROM n),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.w AS wa, b.w AS wb
+       |      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+       |g AS (SELECT id_a, id_b,
+       |  list_distinct(list_transform(range(1, greatest(len(wa)-1, 1)+1),
+       |    i -> array_to_string(list_slice(wa, CAST(i AS INT), CAST(i+1 AS INT)), ' '))) AS ga,
+       |  list_distinct(list_transform(range(1, greatest(len(wb)-1, 1)+1),
+       |    i -> array_to_string(list_slice(wb, CAST(i AS INT), CAST(i+1 AS INT)), ' '))) AS gb
+       |  FROM p)
+       |SELECT id_a, id_b,
+       | round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+       |   / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 6) AS bigram_jaccard
+       |FROM g""".stripMargin
+
   /** MinHash estimator verification (hash-matched): exact char-5-shingle
     * Jaccard over the deterministic consecutive-doc pair set, reproduced
     * independently by DuckDB's list machinery. Before returning, the

@@ -507,19 +507,68 @@ object Ingest {
        |   CASE WHEN c_custkey % 3 = 0 THEN 'green' END) AS tags
        |FROM customer WHERE c_custkey <= $CustKeyCap""".stripMargin
 
-  /** P6/K3: bounded multi-row REPLACE statement building (rows-only —
-    * statement text, not a relational result). */
+  /** P6/K3 — hash-matched: bounded multi-row REPLACE statement building,
+    * verified by the P6→S5 SYMMETRY the reference gets from MySQL itself —
+    * the emitted literal text must parse back through the dump parser into
+    * exactly the source rows (every column compared), every statement must
+    * respect the byte cap (single oversized tuples excepted, tidb.go
+    * behavior), and the packed row total must equal the input. The oracle
+    * pins the row count; the statement text evidence is the in-query
+    * requires. */
   def jdbc_stmts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.load(s, dir, "supplier")
-      .orderBy("s_suppkey").limit(50).collect().iterator
-    val schema = Tables.load(s, dir, "supplier").schema
+    val src = Tables.load(s, dir, "supplier").orderBy("s_suppkey").limit(50)
+    val rows = src.collect()
+    val schema = src.schema
     val stmts = JdbcSink.buildStatements("REPLACE INTO", "g", "supplier",
-      schema, rows, maxBytes = 512).toList
-    stmts.zipWithIndex
-      .map { case ((sql, n), i) => (i, n, sql.length, sql.take(60)) }
-      .toDF("stmt_idx", "rows_in_stmt", "stmt_bytes", "stmt_prefix")
+      schema, rows.iterator, maxBytes = 512).toList
+    require(stmts.map(_._2).sum == rows.length,
+      s"packed ${stmts.map(_._2).sum} rows != input ${rows.length}")
+    require(stmts.forall { case (sql, n) => sql.length <= 512 || n == 1 },
+      "multi-row statement exceeds the byte cap")
+    require(stmts.forall(_._1.startsWith("REPLACE INTO `g`.`supplier` (")),
+      "unexpected statement header")
+    // P6 -> S5 roundtrip: write the statements as a dump shard, parse with
+    // the real dump parser, align, and compare every column value
+    val d = scratch("jdbc_rt")
+    write(new File(d, "g.supplier_rt.0001.sql"),
+      stmts.map(_._1).mkString("", ";\n", ";\n"))
+    // DDL derived from the live parquet schema so the declared shape always
+    // matches what the statements carry
+    val ddlCols = schema.fields.map { f =>
+      val mysqlType = f.dataType match {
+        case org.apache.spark.sql.types.LongType => "bigint(20)"
+        case org.apache.spark.sql.types.IntegerType => "int(11)"
+        case org.apache.spark.sql.types.DoubleType => "double"
+        case _ => "varchar(128)"
+      }
+      s"`${f.name}` $mysqlType DEFAULT NULL"
+    }
+    val table = MysqlDdl.parseCreateTable(
+      s"CREATE TABLE `supplier_rt` (${ddlCols.mkString(", ")})")
+    val raw = SqlDumpSource.read(s,
+      Seq(new File(d, "g.supplier_rt.0001.sql").getAbsolutePath))
+    val back = SchemaAlign.fromArray(raw, col("vals"),
+        Some(schema.fieldNames.toSeq), table, SqlMode.Lenient,
+        kindsCol = Some(col("kinds")))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      .orderBy("s_suppkey").collect()
+    require(back.length == rows.length,
+      s"parse-back got ${back.length} rows, wrote ${rows.length}")
+    rows.zip(back).foreach { case (a, b) =>
+      schema.fieldNames.indices.foreach { i =>
+        require(a.get(i) == b.get(i),
+          s"roundtrip mismatch at ${schema.fieldNames(i)}: ${a.get(i)} != ${b.get(i)}")
+      }
+    }
+    Seq((rows.length.toLong, 1, 1))
+      .toDF("total_rows", "bounded_ok", "roundtrip_ok")
   }
+
+  val jdbc_stmts_sql: String =
+    """SELECT CAST(LEAST(COUNT(*), 50) AS BIGINT) AS total_rows,
+      | CAST(1 AS INT) AS bounded_ok, CAST(1 AS INT) AS roundtrip_ok
+      |FROM supplier""".stripMargin
 
   /** A1+A2: KV checksum over lineitem with a natural row handle — now a
     * hash-matched gate (the dedup_simhash_verify pattern: DuckDB has no
