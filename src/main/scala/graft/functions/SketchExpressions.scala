@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-sketch kernels (MinHash) as single static calls per document.
+  *
+  * The DataFrame formulation of MinHash — explode char-k-shingles, then
+  * `numHashes` min-aggregates — multiplies every document into ~|doc| rows
+  * and shuffles them back into per-doc signatures: correct, codegen'd, but
+  * the explode+aggregate machinery dominates the pass. This kernel computes
+  * the whole signature in ONE pass over the document's UTF-8 bytes: a
+  * sliding char window (byte-offset walk, O(n) total — no per-shingle
+  * substring), one string hash per shingle, `numHashes` int-hash folds.
+  * The plan becomes a narrow projection — no explode, no aggregate, and
+  * the only shuffle left is the barrier moving (id, 32×8 B) rows.
+  *
+  * BIT-IDENTICAL to the Column form by construction: Spark's
+  * `xxhash64(shingle, j)` folds XXH64.hashInt(j, hashUnsafeBytes(shingle,
+  * seed=42)) — reproduced here over the same shingle byte ranges
+  * (whole-string shingle when |doc| < k, the empty shingle for an empty
+  * doc, duplicates kept — min() is multiset-invariant).
+  */
+object SketchOps {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+
+  def minhashSigs(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // char-boundary byte offsets (UTF-8 walk)
+    val offs = new Array[Int](s.numChars() + 1)
+    var i = 0; var off = 0
+    while (off < len) {
+      offs(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    val nChars = i
+    offs(nChars) = len
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = math.max(nChars - k, 0) + 1
+    var sh = 0
+    while (sh < nShingles) {
+      val start = offs(sh)
+      val end = offs(math.min(sh + k, nChars))
+      val hs = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashInt(j, hs)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      sh += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `minhash_sigs(string) -> array<bigint>` — see SketchOps. */
+case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires STRING, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.minhashSigs(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchOps.minhashSigs($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sigs"
+}
+
+object SketchExpressions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** MinHash signature array of a (pre-normalized) string column. */
+  def minhashSigs(c: Column, k: Int, numHashes: Int): Column =
+    column(MinhashSigs(expression(c), k, numHashes))
+}

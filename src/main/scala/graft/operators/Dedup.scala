@@ -89,28 +89,23 @@ object Dedup {
     * doc. Shared by the LSH pair miner and the estimator-verification
     * queries.
     *
-    * Shape: normalize → barrier → explode shingles → n codegen'd
-    * min-aggregates. The groupBy gives map-side partial mins, so the
-    * shuffle moves one (id, n×8B) row per doc; the repartition keeps
-    * Catalyst from re-inlining the normalization into per-shingle lambdas
-    * (its project collapse would turn the scan quadratic). Shingles slice
-    * a pre-split char array — UTF8String.substr is O(position) (variable-
-    * length encoding), so substr-based shingling would be quadratic in
-    * doc length; array slices are O(k). No array_distinct: min() is
-    * multiset-invariant. */
+    * One static-call kernel per document (SketchOps.minhashSigs): the
+    * whole signature computes in a single byte-walk pass — no shingle
+    * explode (which multiplied every doc into ~|doc| rows), no
+    * min-aggregate shuffle of shingle hashes. The only exchange left is
+    * the barrier moving (id, n×8 B) rows, which doubles as the project-
+    * collapse fence so the n flat extractions below read an attribute
+    * instead of re-running the kernel n times. Bit-identical to the old
+    * explode/aggregate formulation (same xxhash64 folding, same shingle
+    * ranges — pinned by CurationOpsSpec). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, numHashes: Int = 32): DataFrame = {
-    val normed = df
-      .select(col(idCol).as("_id"),
-        split(normalized(col(textCol)), "").as("_chars"))
+    import graft.functions.SketchExpressions.minhashSigs
+    df.select(col(idCol).as("_id"),
+        minhashSigs(normalized(col(textCol)), k, numHashes).as("_sig"))
       .repartition(col("_id"))
-    val exploded = normed
-      .select(col("_id"), explode(
-        transform(sequence(lit(0), greatest(size(col("_chars")) - k, lit(0))),
-          i => array_join(slice(col("_chars"), i + lit(1), lit(k)), ""))).as("_s"))
-    val minCols = (0 until numHashes).map(j =>
-      min(xxhash64(col("_s"), lit(j))).as(s"_h$j"))
-    exploded.groupBy(col("_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("_id") +: (0 until numHashes).map(j =>
+        element_at(col("_sig"), j + 1).as(s"_h$j")): _*)
   }
 
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,

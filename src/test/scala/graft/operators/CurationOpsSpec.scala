@@ -31,6 +31,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash kernel signatures equal the explode/min-aggregate formulation") {
+    // multibyte text exercises the UTF-8 byte-offset walk; "" the empty
+    // shingle; short docs the whole-string shingle
+    val corpus = docs.union(Seq(
+      (6L, "中文 文本 去重 測試 中文 文本"),
+      (7L, "ab"),
+      (8L, "héllo wörld héllo")).toDF("doc_id", "text"))
+    for (k <- Seq(3, 5)) {
+      val kernel = Dedup.minhashSignatures(corpus, "text", "doc_id",
+        k = k, numHashes = 8)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 8).map(j => r.getLong(j)).toSeq).toMap
+      // the former formulation, verbatim: explode char shingles, min-agg
+      val normed = corpus
+        .select(col("doc_id").as("_id"),
+          split(Dedup.normalized(col("text")), "").as("_chars"))
+        .repartition(col("_id"))
+      val exploded = normed
+        .select(col("_id"), explode(
+          transform(sequence(lit(0), greatest(size(col("_chars")) - k, lit(0))),
+            i => array_join(slice(col("_chars"), i + lit(1), lit(k)), ""))).as("_s"))
+      val minCols = (0 until 8).map(j =>
+        min(xxhash64(col("_s"), lit(j))).as(s"_h$j"))
+      val reference = exploded.groupBy(col("_id")).agg(minCols.head, minCols.tail: _*)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 8).map(j => r.getLong(j)).toSeq).toMap
+      assert(kernel === reference, s"signature mismatch at k=$k")
+    }
+  }
+
   test("simhash: identical docs distance 0, related docs close") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
