@@ -61,6 +61,44 @@ object SketchOps {
     }
     new GenericArrayData(mins)
   }
+
+  /** 64-bit SimHash of a pre-normalized string (single-space tokens):
+    * one pass — split at 0x20 (never part of a UTF-8 multibyte sequence),
+    * hash each token with Spark's string xxhash64 (seed 42), fold signed
+    * bit counts, pack (bit i of the token hash votes bit 63-i of the
+    * sketch — the same order as the Column form's shiftleft fold).
+    * Callers must drop empty-normalized docs first: the explode-based
+    * formulation emits no row for a tokenless doc, and this kernel's
+    * all-zero-counts sketch would otherwise invent one. */
+  def simhash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val counts = new Array[Int](64)
+    var start = 0
+    var off = 0
+    while (off <= len) {
+      if (off == len || bytes(off) == 0x20) {
+        if (off > start) {
+          val h = XXH64.hashUnsafeBytes(bytes,
+            Platform.BYTE_ARRAY_OFFSET + start, off - start, 42L)
+          var i = 0
+          while (i < 64) {
+            counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+            i += 1
+          }
+        }
+        start = off + 1
+      }
+      off += 1
+    }
+    var acc = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) acc |= (1L << (63 - i))
+      i += 1
+    }
+    acc
+  }
 }
 
 /** `minhash_sigs(string) -> array<bigint>` — see SketchOps. */
@@ -82,10 +120,30 @@ case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
   override def prettyName: String = "minhash_sigs"
 }
 
+/** `simhash64(string) -> bigint` — see SketchOps.simhash. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires STRING, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   /** MinHash signature array of a (pre-normalized) string column. */
   def minhashSigs(c: Column, k: Int, numHashes: Int): Column =
     column(MinhashSigs(expression(c), k, numHashes))
+
+  /** 64-bit SimHash of a (pre-normalized) string column. */
+  def simhash64(c: Column): Column = column(Simhash64(expression(c)))
 }

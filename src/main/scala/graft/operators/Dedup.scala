@@ -168,24 +168,20 @@ object Dedup {
         .bitwiseOR(when(c > 0, lit(1L)).otherwise(lit(0L))))
   }
 
-  /** 64-bit SimHash sketches as (_id, _h) — one row per doc: explode
-    * tokens → 64 codegen'd signed-bit-count sums (map-side combined) →
-    * bit-pack. Shared by the pair miner and the verification gate. */
+  /** 64-bit SimHash sketches as (_id, _h) — one row per doc, via the
+    * single-pass SketchOps.simhash kernel: no token explode (which
+    * multiplied every doc into ~|tokens| rows), no 64-column bit-sum
+    * aggregate shuffle — a narrow projection plus the (id, 8 B) barrier.
+    * Bit-identical to the explode/aggregate form (pinned by
+    * CurationOpsSpec); tokenless docs are filtered to match the explode
+    * form's row set, and dedup_simhash_verify's INDEPENDENT `simhashOf`
+    * lambda reimplementation now also cross-checks this kernel. */
   def simhashSketches(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("_id"), normalized(col(textCol)).as("_norm"))
-      .repartition(col("_id"))
-      .select(col("_id"), explode(tokensOf(col("_norm"))).as("_t"))
-      .select(col("_id"), xxhash64(col("_t")).as("_th"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("_th"), i).bitwiseAND(lit(1L)) === 1L,
-        lit(1L)).otherwise(lit(-1L))).as(s"_b$i"))
-    exploded.groupBy(col("_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("_id"),
-        (0 until 64).map(i =>
-          when(col(s"_b$i") > 0, lit(1L << (63 - i)))
-            .otherwise(lit(0L))).reduce((a, b) => a.bitwiseOR(b)).as("_h"))
+    import graft.functions.SketchExpressions.simhash64
+    df.select(col(idCol).as("_id"), normalized(col(textCol)).as("_norm"))
+      .filter(col("_norm") =!= "") // explode form emits no row for these
+      .select(col("_id"), simhash64(col("_norm")).as("_h"))
+      .repartition(col("_id")) // barrier: band exprs read an attribute
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit sketch into four

@@ -61,6 +61,33 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash kernel sketches equal the explode/bit-sum formulation") {
+    val corpus = docs.union(Seq(
+      (6L, "中文 文本 去重 測試 中文 文本"),
+      (7L, "single"),
+      (8L, "héllo wörld héllo")).toDF("doc_id", "text"))
+    val kernel = Dedup.simhashSketches(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the former formulation, verbatim
+    val exploded = corpus
+      .select(col("doc_id").as("_id"), Dedup.normalized(col("text")).as("_norm"))
+      .repartition(col("_id"))
+      .select(col("_id"), explode(Dedup.tokensOf(col("_norm"))).as("_t"))
+      .select(col("_id"), xxhash64(col("_t")).as("_th"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("_th"), i).bitwiseAND(lit(1L)) === 1L,
+        lit(1L)).otherwise(lit(-1L))).as(s"_b$i"))
+    val reference = exploded.groupBy(col("_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id"),
+        (0 until 64).map(i =>
+          when(col(s"_b$i") > 0, lit(1L << (63 - i)))
+            .otherwise(lit(0L))).reduce((a, b) => a.bitwiseOR(b)).as("_h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === reference) // same sketches AND same row set (doc 5 dropped)
+    assert(!kernel.contains(5L))
+  }
+
   test("simhash: identical docs distance 0, related docs close") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
