@@ -62,6 +62,49 @@ object SketchOps {
     new GenericArrayData(mins)
   }
 
+  /** Distinct word-n-gram hashes of a pre-normalized string: because
+    * normalization collapses whitespace to single spaces and `gramsOf`
+    * joins with a single space, every n-gram's text is a CONTIGUOUS byte
+    * range of the input — so the gram hash (Spark's string xxhash64,
+    * seed 42, the same value `exactJaccardPairs` derives from the gram
+    * string) computes straight off the token-boundary offsets, with no
+    * gram strings ever materialized. Matches gramsOf's edge semantics:
+    * < n tokens → one gram of whatever remains; zero tokens → the single
+    * empty gram. Distinct-by-hash ≡ distinct-by-string for the join
+    * counts (64-bit collisions are noise, and the DuckDB gate would
+    * catch one loudly). */
+  def gramHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token [start, end) offsets
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var start = 0
+    var off = 0
+    while (off <= len) {
+      if (off == len || bytes(off) == 0x20) {
+        if (off > start) { starts += start; ends += off }
+        start = off + 1
+      }
+      off += 1
+    }
+    val nTok = starts.length
+    val nGrams = math.max(nTok - n, 0) + 1
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < nGrams) {
+      val (gs, ge) =
+        if (nTok == 0) (0, 0) // the single empty gram
+        else (starts(i), ends(math.min(i + n, nTok) - 1))
+      val h = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + gs, ge - gs, 42L)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** 64-bit SimHash of a pre-normalized string (single-space tokens):
     * one pass — split at 0x20 (never part of a UTF-8 multibyte sequence),
     * hash each token with Spark's string xxhash64 (seed 42), fold signed
@@ -120,6 +163,23 @@ case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
   override def prettyName: String = "minhash_sigs"
 }
 
+/** `gram_hashes(string) -> array<bigint>` — see SketchOps.gramHashes. */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires STRING, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.gramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.gramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "gram_hashes"
+}
+
 /** `simhash64(string) -> bigint` — see SketchOps.simhash. */
 case class Simhash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -146,4 +206,8 @@ object SketchExpressions {
 
   /** 64-bit SimHash of a (pre-normalized) string column. */
   def simhash64(c: Column): Column = column(Simhash64(expression(c)))
+
+  /** Distinct word-n-gram hash array of a (pre-normalized) string column. */
+  def gramHashes(c: Column, n: Int): Column =
+    column(GramHashes(expression(c), n))
 }

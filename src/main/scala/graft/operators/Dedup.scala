@@ -232,10 +232,17 @@ object Dedup {
     * Grams travel as xxhash64 LONGS, not strings — the equi-join and
     * shuffle move 8 B keys (64-bit collisions are noise at corpus scale).
     * `pairs`: (id_a, id_b); `grams`: (doc_id, gram-array col `_grams`). */
-  def exactJaccardPairs(pairs: DataFrame, grams: DataFrame): DataFrame = {
-    val sizes = grams.select(col("doc_id"), size(col("_grams")).as("n"))
-    val gx = grams.select(col("doc_id"), explode(col("_grams")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+  def exactJaccardPairs(pairs: DataFrame, grams: DataFrame): DataFrame =
+    exactJaccardPairsHashed(pairs,
+      grams.select(col("doc_id"),
+        transform(col("_grams"), g => xxhash64(g)).as("_ghashes")))
+
+  /** Same join-aggregate, over PRE-HASHED gram arrays (doc_id, `_ghashes`
+    * array<long>) — the form the `gramHashes` kernel feeds directly, so
+    * gram strings never materialize and the explode moves 8 B longs. */
+  def exactJaccardPairsHashed(pairs: DataFrame, grams: DataFrame): DataFrame = {
+    val sizes = grams.select(col("doc_id"), size(col("_ghashes")).as("n"))
+    val gx = grams.select(col("doc_id"), explode(col("_ghashes")).as("gh"))
     val inter = pairs
       .join(gx.select(col("doc_id").as("id_a"), col("gh")), "id_a")
       .join(gx.select(col("doc_id").as("__idb"), col("gh").as("gh2")),

@@ -138,16 +138,16 @@ object Curation {
     val pairs = Dedup.simhashPairsFromSketches(
         simhashSketchesFor(s, dir), maxHamming = 10)
       .select("id_a", "id_b").persist()
-    // token array materialized behind an exchange barrier: withColumn is
-    // NOT a barrier, and an inlined tokensOf would re-run its splits once
-    // per bigram inside the gramsOf lambda
+    // gram hashes from the single-pass kernel: no token arrays, no gram
+    // strings — one narrow projection per doc (the dedup_ngram_verify gate
+    // pins the whole hashed path against DuckDB's string-level Jaccard)
     val grams = docs
       .select(col("doc_id"),
-        Dedup.tokensOf(Dedup.normalized(col("text"))).as("_toks"))
+        graft.functions.SketchExpressions.gramHashes(
+          Dedup.normalized(col("text")), 2).as("_ghashes"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), Dedup.gramsOf(col("_toks"), 2).as("_grams"))
       .persist()
-    val result = Dedup.exactJaccardPairs(pairs, grams)
+    val result = Dedup.exactJaccardPairsHashed(pairs, grams)
       .withColumn("bigram_jaccard", round(col("jaccard"), 6))
       .filter(col("bigram_jaccard") >= 0.2)
       .select("id_a", "id_b", "bigram_jaccard")
@@ -177,15 +177,15 @@ object Curation {
     val ids = docs.select(col("doc_id"))
     val pairs = ids.select(col("doc_id").as("id_a"))
       .join(ids.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
-    // token array behind an exchange barrier (PERF INVARIANT: lambdas only
-    // reference attributes), persisted for exactJaccardPairs' three reads
+    // kernel-hashed grams (same path dedup_ngram mines with — this gate is
+    // what proves the hashed kernel against DuckDB's string-level Jaccard)
     val grams = docs
       .select(col("doc_id"),
-        Dedup.tokensOf(Dedup.normalized(col("text"))).as("_toks"))
+        graft.functions.SketchExpressions.gramHashes(
+          Dedup.normalized(col("text")), 2).as("_ghashes"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), Dedup.gramsOf(col("_toks"), 2).as("_grams"))
       .persist()
-    val result = Dedup.exactJaccardPairs(pairs, grams)
+    val result = Dedup.exactJaccardPairsHashed(pairs, grams)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("bigram_jaccard"))
     val local = s.createDataFrame(result.collectAsList(), result.schema)

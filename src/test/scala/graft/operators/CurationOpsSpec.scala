@@ -95,6 +95,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(exact.isDefined && exact.get._3 === 0)
   }
 
+  test("gramHashes kernel equals hashes of the gramsOf string bigrams") {
+    val corpus = docs.union(Seq(
+      (6L, "中文 文本 去重 測試 中文 文本"),
+      (7L, "single"),
+      (8L, "a b a b a")).toDF("doc_id", "text"))
+    for (n <- Seq(2, 3)) {
+      val kernel = corpus.select(col("doc_id"),
+          graft.functions.SketchExpressions.gramHashes(
+            Dedup.normalized(col("text")), n).as("_g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val reference = corpus
+        .select(col("doc_id"),
+          Dedup.tokensOf(Dedup.normalized(col("text"))).as("_toks"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          transform(Dedup.gramsOf(col("_toks"), n), g => xxhash64(g)).as("_g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(kernel === reference, s"gram hash mismatch at n=$n")
+    }
+  }
+
   test("ngram jaccard of identical token arrays is 1") {
     val g = docs.withColumn("_norm", Dedup.normalized(col("text")))
       .withColumn("_toks", Dedup.tokensOf(col("_norm")))
