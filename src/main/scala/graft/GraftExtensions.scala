@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Crc64Expr, PackVec, PackedDot}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{Crc64Expr, GramHashes, MinhashSigs, PackVec, PackedDot, PackedSketch, Simhash64}
 
 /** §2.8 extension seam: graft's native Catalyst expressions as SQL
   * functions. Two entry points:
@@ -44,7 +45,31 @@ object GraftExtensions {
     (FunctionIdentifier("packed_dot"),
       info("packed_dot", "packed_dot(binary, binary) - dot product of two " +
         "pack_vec vectors"),
-      (args: Seq[Expression]) => PackedDot(args(0), args(1))))
+      (args: Seq[Expression]) => PackedDot(args(0), args(1))),
+    (FunctionIdentifier("packed_sketch"),
+      info("packed_sketch", "packed_sketch(binary, planes, seed) - random-" +
+        "hyperplane LSH sketch of a pack_vec vector"),
+      (args: Seq[Expression]) => PackedSketch(args.head,
+        litInt(args(1), "planes"), litInt(args(2), "seed"))),
+    (FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", "minhash_sigs(string, k, n) - n-hash MinHash " +
+        "signature over char-k-shingles of a normalized string"),
+      (args: Seq[Expression]) => MinhashSigs(args.head,
+        litInt(args(1), "k"), litInt(args(2), "n"))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(string) - 64-bit SimHash of a " +
+        "normalized (single-space-tokenized) string"),
+      (args: Seq[Expression]) => Simhash64(args.head)),
+    (FunctionIdentifier("gram_hashes"),
+      info("gram_hashes", "gram_hashes(string, n) - distinct word-n-gram " +
+        "hashes of a normalized string"),
+      (args: Seq[Expression]) => GramHashes(args.head, litInt(args(1), "n"))))
+
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
 
   /** Register into an already-running session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

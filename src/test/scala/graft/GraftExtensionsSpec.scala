@@ -18,4 +18,29 @@ class GraftExtensionsSpec extends SparkSpec {
     // the startup-route class wires the same definitions without throwing
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("registered SQL sketch kernels: minhash_sigs, simhash64, gram_hashes, packed_sketch") {
+    GraftExtensions.register(spark)
+    // SQL results equal the Column-API kernels on the same inputs
+    val sig = spark.sql(
+      "SELECT minhash_sigs('abcde fghij', 5, 4) AS s").collect()(0)
+      .getSeq[Long](0)
+    val sigCol = graft.functions.SketchOps.minhashSigs(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcde fghij"), 5, 4)
+      .toLongArray.toSeq
+    assert(sig === sigCol && sig.length === 4)
+    val sh = spark.sql("SELECT simhash64('hello world') AS h")
+      .collect()(0).getLong(0)
+    assert(sh === graft.functions.SketchOps.simhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    val gh = spark.sql("SELECT gram_hashes('a b c', 2) AS g").collect()(0)
+      .getSeq[Long](0)
+    assert(gh.length === 2) // "a b", "b c"
+    val sk = spark.sql(
+      """SELECT packed_sketch(pack_vec(CAST(array(1.0, -2.0, 3.0, 0.5)
+        |  AS ARRAY<DOUBLE>)), 4, 1) AS s""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(sk === graft.functions.VecOps.hyperplaneSketch(
+      graft.functions.VecOps.packDoubles(Array(1.0, -2.0, 3.0, 0.5)), 4, 1))
+  }
 }
