@@ -62,6 +62,37 @@ object SketchOps {
     new GenericArrayData(mins)
   }
 
+  /** Distinct char-k-shingle hashes of a pre-normalized string — the same
+    * sliding-window byte walk as `minhashSigs`, collecting the distinct
+    * shingle hashes instead of folding mins (for exact-Jaccard joins over
+    * shingles; hash values equal Spark's `xxhash64(shingle)`). */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val offs = new Array[Int](s.numChars() + 1)
+    var i = 0; var off = 0
+    while (off < len) {
+      offs(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    val nChars = i
+    offs(nChars) = len
+    val nShingles = math.max(nChars - k, 0) + 1
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var sh = 0
+    while (sh < nShingles) {
+      val start = offs(sh)
+      val end = offs(math.min(sh + k, nChars))
+      val h = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
+      if (seen.add(h)) out += h
+      sh += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct word-n-gram hashes of a pre-normalized string: because
     * normalization collapses whitespace to single spaces and `gramsOf`
     * joins with a single space, every n-gram's text is a CONTIGUOUS byte
@@ -180,6 +211,23 @@ case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "gram_hashes"
 }
 
+/** `shingle_hashes(string) -> array<bigint>` — see SketchOps.shingleHashes. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires STRING, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.shingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
 /** `simhash64(string) -> bigint` — see SketchOps.simhash. */
 case class Simhash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -210,4 +258,8 @@ object SketchExpressions {
   /** Distinct word-n-gram hash array of a (pre-normalized) string column. */
   def gramHashes(c: Column, n: Int): Column =
     column(GramHashes(expression(c), n))
+
+  /** Distinct char-k-shingle hash array of a (pre-normalized) string column. */
+  def shingleHashes(c: Column, k: Int): Column =
+    column(ShingleHashes(expression(c), k))
 }

@@ -226,20 +226,19 @@ object Curation {
     val ids = docs.select(col("doc_id"))
     val pairs = ids.select(col("doc_id").as("id_a"))
       .join(ids.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
-    // chars materialized behind an exchange barrier so the shingle lambda
-    // references an attribute, not the normalization expression (which
-    // project-collapse would otherwise re-run once per shingle); persisted
-    // because exactJaccardPairs reads it from three join branches
+    // kernel-hashed char shingles (one byte-walk per doc — no char arrays,
+    // no shingle strings); persisted because exactJaccardPairsHashed reads
+    // it from three join branches
     val grams = docs
       .select(col("doc_id"),
-        split(Dedup.normalized(col("text")), "").as("_chars"))
+        graft.functions.SketchExpressions.shingleHashes(
+          Dedup.normalized(col("text")), 5).as("_ghashes"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), Dedup.shinglesOfChars(col("_chars"), 5).as("_grams"))
       .persist()
     // persist: the exact-Jaccard lineage (explode + two hash joins) feeds
     // both the estimator-error aggregate and the returned result — without
     // it each action would recompute the whole join
-    val exact = Dedup.exactJaccardPairs(pairs, grams).persist()
+    val exact = Dedup.exactJaccardPairsHashed(pairs, grams).persist()
     // signatures are per-doc independent: slice the shared cached frame
     val sigs = minhashSignaturesFor(s, dir).filter(col("_id") < 2000)
     val sl = sigs.select(col("_id").as("id_a") +:
