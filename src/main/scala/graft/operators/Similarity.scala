@@ -95,12 +95,17 @@ object Similarity {
     * the Lloyd iterations wash out the init quality difference, and at
     * corpus scale the init passes are pure overhead. The training input is
     * cached for the iterations and released after the centroids exist. */
-  def ivfIndex(df: DataFrame, vecCol: String, nlist: Int = 16): IvfIndex = {
+  def ivfIndex(df: DataFrame, vecCol: String, nlist: Int = 16,
+      trainOn: Option[DataFrame] = None): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.withColumn("_fv",
+    def featurize(d: DataFrame) = d.withColumn("_fv",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val cached = feat.persist()
+    val feat = featurize(df)
+    // trainOn: the 100 TB pattern — k-means never sees the corpus, only a
+    // (deterministic) sample; the assignment pass scans everything once.
+    // The ann_ivf_verify recall floor guards sample quality.
+    val cached = trainOn.map(featurize).getOrElse(feat).persist()
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setInitMode("random")
       .setFeaturesCol("_fv").setPredictionCol("_cell")

@@ -444,8 +444,11 @@ object Curation {
 
   private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
     ivfCache.getOrElseUpdate(dir, {
-      val idx = Similarity.ivfIndex(
-        Tables.load(s, dir, "embeddings"), "embedding", nlist = 16)
+      val emb = Tables.load(s, dir, "embeddings")
+      // train on a deterministic half, assign everything (train-on-sample:
+      // the recall floor in ann_ivf_verify pins the quality)
+      val idx = Similarity.ivfIndex(emb, "embedding", nlist = 16,
+        trainOn = Some(emb.filter(pmod(col("vec_id"), lit(2)) === 0)))
       idx.assigned.persist().count() // materialize once, probes reuse
       idx
     })
