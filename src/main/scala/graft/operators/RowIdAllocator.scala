@@ -47,46 +47,101 @@ object RowIdAllocator {
     * bytes — `(x),` is the smallest possible tuple). */
   /** Scheme/encoding-insensitive path form: `file:///a`, `file:/a` and
     * `/a` all compare equal (input_file_name() and Hadoop listings render
-    * the same file differently). */
+    * the same file differently). Decode failures (a literal `%` not
+    * introducing a valid escape, e.g. `/data/100%done.sql`) keep the
+    * original path — such a name was never percent-encoded to begin with. */
   private def normPath(p: String): String = {
-    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+    val decoded =
+      try java.net.URLDecoder.decode(p, "UTF-8")
+      catch { case _: IllegalArgumentException => p }
     decoded.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
   }
 
+  /** Above this many files the per-chunk lookup switches from a
+    * serialized-with-the-task hash table to a Spark-managed broadcast join
+    * (torrent-broadcast once per executor, AQE-visible, spillable). */
+  val BroadcastFallbackFiles = 10000
+
+  /** @param fileSizes  every file of the TABLE — bases are global so
+    *                   per-file ranges stay disjoint across chunk groups
+    * @param restrictTo when this DataFrame only carries rows from a subset
+    *                   of the table's files (a chunk-commit group), the
+    *                   subset's paths — the lookup then holds only those
+    *                   entries, bounded by `chunkCommitBytes` no matter how
+    *                   large the table is (a 100 TB table is ~400k shards;
+    *                   its groups are ~dozens of files each) */
   def fromFileSizes(df: DataFrame, fileCol: String, idxCol: String,
       fileSizes: Seq[(String, Long)],
       rowIdCol: String = "_row_id",
-      capacityFor: Long => Long = sz => sz / 4 + 1): DataFrame = {
-    val bases = fileSizes.map { case (f, sz) => (f, normPath(f), sz) }
+      capacityFor: Long => Long = sz => sz / 4 + 1,
+      restrictTo: Option[Seq[String]] = None,
+      maxMapFiles: Int = BroadcastFallbackFiles): DataFrame = {
+    val allBases = fileSizes.map { case (f, sz) => (f, normPath(f), sz) }
       .sortBy(_._2)
       .scanLeft(("", "", 0L)) { case ((_, _, acc), (f, n, sz)) =>
         (f, n, acc + capacityFor(sz)) }
       .sliding(2).collect { case Seq((_, _, base), (f, n, _)) => (f, n, base) }
       .toSeq
-    // literal-map lookup instead of a broadcast join + per-row regex: the
-    // fast map carries every rendering a source might emit for the path
-    // (as-given, normalized, file:-URI forms), so the common case is one
-    // string-hash probe inside the codegen span; only a row whose rendering
-    // misses pays the url_decode+regex normalization, and a total miss
-    // raises instead of silently dropping the row (the old inner join
-    // discarded unmatched rows).
-    val fastEntries = bases.flatMap { case (raw, n, base) =>
-      val tail = n.stripPrefix("/")
-      Seq(raw, n, s"file:$n", s"file://$n", s"file:///$tail")
-        .distinct.map(k => (k, base))
-    }.distinct
-    val fastMap = map(fastEntries.flatMap { case (k, b) =>
-      Seq(lit(k), lit(b)) }: _*)
-    val normMap = map(bases.flatMap { case (_, n, b) =>
-      Seq(lit(n), lit(b)) }: _*)
+    val bases = restrictTo match {
+      case Some(paths) =>
+        val wanted = paths.map(normPath).toSet
+        allBases.filter { case (_, n, _) => wanted(n) }
+      case None => allBases
+    }
+    // try_url_decode: a malformed rendering yields null (probes below are
+    // null-safe → falls through to raise_error), where ANSI url_decode
+    // would abort the whole import with CANNOT_DECODE_URL
     val normCol = regexp_replace(
-      url_decode(col(fileCol)), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-    val base = coalesce(
-      element_at(fastMap, col(fileCol)),
-      element_at(normMap, normCol),
-      raise_error(concat(lit("row-id base for unknown source file: "),
-        col(fileCol))).cast("long"))
-    df.withColumn(rowIdCol, base + col(idxCol) + 1)
+      try_url_decode(col(fileCol)), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    if (bases.size <= maxMapFiles) {
+      // hash-probe lookup (StringMapLookup — one HashMap.get per row, one
+      // plan node total): the fast table carries every rendering a source
+      // might emit for the path (as-given, normalized, file:-URI forms), so
+      // the common case is a single probe inside the codegen span; a row
+      // whose rendering misses pays the url_decode+regex normalization and
+      // probes the normalized table; a total miss raises instead of
+      // silently dropping the row (the old inner join discarded unmatched
+      // rows). Both probes return null on miss — NOT ANSI element_at,
+      // which throws MAP_KEY_DOES_NOT_EXIST and would make the fallbacks
+      // unreachable. A rendering claimed by two files with different bases
+      // is ambiguous → dropped from the fast table (its rows resolve via
+      // the normalized probe, or raise).
+      val fastEntries = bases.flatMap { case (raw, n, base) =>
+        val tail = n.stripPrefix("/")
+        Seq(raw, n, s"file:$n", s"file://$n", s"file:///$tail")
+          .distinct.map(k => (k, base))
+      }.groupBy(_._1).collect {
+        case (k, vs) if vs.map(_._2).distinct.size == 1 => (k, vs.head._2)
+      }.toSeq
+      val normEntries = bases.map { case (_, n, b) => (n, b) }
+        .groupBy(_._1).collect {
+          case (k, vs) if vs.map(_._2).distinct.size == 1 => (k, vs.head._2)
+        }.toSeq
+      import graft.functions.LookupExpressions.stringMapLookup
+      val base = coalesce(
+        stringMapLookup(col(fileCol), fastEntries),
+        stringMapLookup(normCol, normEntries),
+        raise_error(concat(lit("row-id base for unknown source file: "),
+          col(fileCol))).cast("long"))
+      df.withColumn(rowIdCol, base + col(idxCol) + 1)
+    } else {
+      // beyond the threshold a task-serialized table would ship megabytes
+      // with every stage — hand the lookup to Spark as a broadcast join on
+      // the normalized rendering; LEFT join + explicit raise keeps the
+      // raise-on-miss contract (an inner join would silently drop rows)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val baseDf = bases.map { case (_, n, b) => (n, b) }
+        .toDF("__rid_key", "__rid_base")
+      df.join(broadcast(baseDf), normCol === col("__rid_key"), "left")
+        .withColumn(rowIdCol,
+          when(col("__rid_base").isNotNull,
+            col("__rid_base") + col(idxCol) + 1)
+          .otherwise(raise_error(concat(
+            lit("row-id base for unknown source file: "),
+            col(fileCol))).cast("long")))
+        .drop("__rid_key", "__rid_base")
+    }
   }
 
   /** Same, but for sources with no per-file row index (CSV): row_number()

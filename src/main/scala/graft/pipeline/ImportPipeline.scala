@@ -339,7 +339,12 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         val aligned = loadAlignedFiles(files, table)
         val withId = withColumnRowIdOverride(
           RowIdAllocator.fromFileSizes(aligned, "_src_file",
-            "_row_idx", allSizes, capacityFor = sz => sz + 1))
+            "_row_idx", allSizes, capacityFor = sz => sz + 1,
+            // bases stay global (disjoint across groups) but this group's
+            // rows only reference its own files — the lookup shipped with
+            // the tasks holds just those entries, so plan/task size is
+            // bounded by chunkCommitBytes even at ~400k-shard tables
+            restrictTo = Some(files.map(_.path))))
         val finalDf = withId.select(
           (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
         val obs = org.apache.spark.sql.Observation()
