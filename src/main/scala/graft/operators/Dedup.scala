@@ -101,7 +101,13 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, numHashes: Int = 32): DataFrame = {
     import graft.functions.SketchExpressions.minhashSigs
-    df.select(col(idCol).as("_id"),
+    // NULL text: the explode/aggregate form emitted no row at all, but the
+    // kernel's null propagation would emit (_id, NULL sig) — and since
+    // lshBandKeys' xxhash64 skips null inputs, every null-text doc would
+    // band identically and mine spurious est=1.0 pairs. Filter to match
+    // the old semantics (mirrors simhashSketches' empty-norm filter).
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
         minhashSigs(normalized(col(textCol)), k, numHashes).as("_sig"))
       .repartition(col("_id"))
       .select(col("_id") +: (0 until numHashes).map(j =>

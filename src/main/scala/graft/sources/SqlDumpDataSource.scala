@@ -171,34 +171,64 @@ private[sources] final class FileDiscoveryMicroBatchStream(
   private val discovered = scala.collection.mutable.ArrayBuffer.empty[String]
   private val seen = scala.collection.mutable.HashSet.empty[String]
 
-  private def logPath: Option[Path] =
-    checkpointLocation.map(c => new Path(c, "graft_file_log"))
+  private val LogPrefix = "graft_file_log"
+
+  private def logDir: Option[Path] = checkpointLocation.map(new Path(_))
 
   private def logFs(p: Path) =
     p.getFileSystem(hadoopConf.getOrElse(new Configuration()))
 
-  // restart path: the persisted log IS the offset space — load it first
-  logPath.foreach { p =>
-    val fs = logFs(p)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
+  /** (version, name) of every complete persisted log generation; -1 is the
+    * legacy unversioned name. Sidecars (`.crc`) and temps never match. */
+  private def logGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      d: Path): Seq[(Long, String)] =
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName).flatMap { n =>
+      if (n == LogPrefix) Some((-1L, n))
+      else if (n.startsWith(LogPrefix + "."))
+        n.stripPrefix(LogPrefix + ".").toLongOption.map(v => (v, n))
+      else None
+    }.sortBy(_._1)
+
+  // next generation to write; bumped past whatever restart loaded
+  private var logVersion: Long = 0L
+
+  // restart path: the persisted log IS the offset space — load the highest
+  // complete generation first (versioned files are only ever created by a
+  // temp+rename-to-NEW-name swap, so every generation on disk is complete;
+  // the old delete-then-rename of a single name had a window where a crash
+  // left NO log and a restart silently rebuilt the offset space from a
+  // fresh listing — the reordering duplicate/skip case the log prevents)
+  logDir.foreach { d =>
+    val fs = logFs(d)
+    logGenerations(fs, d).lastOption.foreach { case (v, n) =>
+      val in = fs.open(new Path(d, n))
       val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       body.linesIterator.filter(_.nonEmpty).foreach { f =>
         if (!seen.contains(f)) { seen += f; discovered += f }
       }
+      logVersion = v + 1
     }
   }
 
-  private def persistLog(): Unit = logPath.foreach { p =>
-    val fs = logFs(p)
-    fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+  private def persistLog(): Unit = logDir.foreach { d =>
+    val fs = logFs(d)
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".$LogPrefix.tmp")
     val out = fs.create(tmp, true)
     try out.write(discovered.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"cannot persist file discovery log $p")
+    val target = new Path(d, s"$LogPrefix.$logVersion")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"cannot persist file discovery log $target")
+    // best-effort prune of superseded generations (never the one just
+    // written) — a crash here merely leaves an extra old file behind
+    logGenerations(fs, d).foreach { case (v, n) =>
+      if (v < logVersion)
+        try fs.delete(new Path(d, n), false)
+        catch { case _: java.io.IOException => () }
+    }
+    logVersion += 1
   }
 
   private def refresh(): Unit = synchronized {

@@ -31,20 +31,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("null-text docs emit no signature row and never pair with each other") {
+    val withNulls = docs.union(
+      Seq((10L, null: String), (11L, null: String)).toDF("doc_id", "text"))
+    val sigs = Dedup.minhashSignatures(withNulls, "text", "doc_id",
+      k = 3, numHashes = 8)
+    assert(!sigs.select("_id").collect().map(_.getLong(0)).toSet
+      .exists(id => id == 10L || id == 11L))
+    // before the filter, both NULL docs banded identically (xxhash64 skips
+    // null inputs) and mined a spurious est=1.0 pair
+    val pairs = Dedup.minhashPairs(withNulls, "text", "doc_id",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L))
+  }
+
   test("minhash kernel signatures equal the explode/min-aggregate formulation") {
     // multibyte text exercises the UTF-8 byte-offset walk; "" the empty
     // shingle; short docs the whole-string shingle
     val corpus = docs.union(Seq(
       (6L, "中文 文本 去重 測試 中文 文本"),
       (7L, "ab"),
-      (8L, "héllo wörld héllo")).toDF("doc_id", "text"))
+      (8L, "héllo wörld héllo"),
+      (9L, null)).toDF("doc_id", "text")) // NULL text: excluded by policy
     for (k <- Seq(3, 5)) {
       val kernel = Dedup.minhashSignatures(corpus, "text", "doc_id",
         k = k, numHashes = 8)
         .collect().map(r => r.getLong(0) ->
           (1 to 8).map(j => r.getLong(j)).toSeq).toMap
-      // the former formulation, verbatim: explode char shingles, min-agg
-      val normed = corpus
+      // the former formulation (explode char shingles, min-agg) over the
+      // same null-filtered corpus: un-filtered it emitted a [null]-shingle
+      // row for null text whose min-agg was the per-seed constant hash —
+      // every null doc identical, the exact spurious-pair shape the
+      // isNotNull policy in minhashSignatures exists to prevent
+      val normed = corpus.filter(col("text").isNotNull)
         .select(col("doc_id").as("_id"),
           split(Dedup.normalized(col("text")), "").as("_chars"))
         .repartition(col("_id"))

@@ -62,5 +62,25 @@ class SqlDumpStreamSpec extends SparkSpec {
     assert(fourth.count() === 80)
     assert(fourth.select("id").collect().map(_.getString(0).toInt).sorted.toSeq
       === (1 to 80))
+
+    // the log is written as versioned generations (temp + rename to a NEW
+    // name — no delete-then-rename window that could leave no log at all);
+    // superseded generations are pruned, so exactly one remains
+    // (the DSv2 stream gets a per-source subdir of the checkpoint)
+    import scala.jdk.CollectionConverters._
+    def logFiles(): Seq[File] = java.nio.file.Files.walk(new File(ckpt).toPath)
+      .iterator().asScala.map(_.toFile)
+      .filter(_.getName.startsWith("graft_file_log")).toSeq
+    val logs = logFiles()
+    assert(logs.size === 1, s"expected one log generation, got $logs")
+    assert(logs.head.getName.matches("graft_file_log\\.\\d+"))
+
+    // a stray temp from a crashed swap must be ignored on restart: the
+    // stream still resumes from the committed generation, no re-ingest
+    java.nio.file.Files.writeString(
+      new File(logs.head.getParentFile, ".graft_file_log.tmp").toPath, "bogus\n")
+    writeShard(src, "s.t.0004.sql", 81 to 85)
+    runOnce()
+    assert(spark.read.parquet(out).count() === 85)
   }
 }
