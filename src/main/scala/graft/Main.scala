@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.{KvEncode, SqlMode}
 import graft.pipeline.{ImportConfig, ImportPipeline, ProgressListener}
-import graft.sinks.CommitLog
+import graft.sinks.{CheckpointStore, CommitLog, JdbcCheckpointStore}
 import graft.sources.{MydumpDiscovery, MysqlDdl, RouteRule, TableFilter}
 
 /** Admin CLI — the role of `tidb-lightning` + `tidb-lightning-ctl`
@@ -13,7 +13,7 @@ import graft.sources.{MydumpDiscovery, MysqlDdl, RouteRule, TableFilter}
   *
   * Subcommands:
   *   import          --source DIR --out DIR [--strict] [--no-checkpoint]
-  *                   [--continue-on-error]
+  *                   [--continue-on-error] [--checkpoint-url JDBC_URL]
   *                   [--filter db.tbl ...] [--route src.tbl=dst.tbl ...]
   *   checkpoint-dump --source DIR --out DIR            (CSV to stdout)
   *   checkpoint-remove --out DIR --table db.tbl
@@ -27,6 +27,12 @@ object Main {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val cmd = args.head
     val opts = parseOpts(args.tail)
+    // unused-key warning (reference tests/unused_config_keys/): a typo'd
+    // option must not silently become the default
+    val unknown = opts.keySet -- KnownOpts
+    if (unknown.nonEmpty)
+      System.err.println("[graft] WARNING: ignoring unknown options: " +
+        unknown.toSeq.sorted.map("--" + _).mkString(", "))
     cmd match {
       case "import" => doImport(opts)
       case "checkpoint-dump" => checkpointDump(opts)
@@ -56,6 +62,10 @@ object Main {
 
   private def usage(): Unit =
     System.err.println("usage: graft.Main import|checkpoint-dump|checkpoint-remove|verify|serve --source DIR --out DIR [opts]")
+
+  private val KnownOpts = Set("source", "out", "strict", "no-checkpoint",
+    "continue-on-error", "filter", "route", "table", "port", "bind",
+    "checkpoint-url")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
@@ -105,8 +115,19 @@ object Main {
       filter = if (filters.isEmpty) TableFilter() else TableFilter(doTables = filters),
       routes = routes,
       checkpointEnabled = o("no-checkpoint").isEmpty,
+      checkpointUrl = one("checkpoint-url"),
       continueOnError = o("continue-on-error").nonEmpty)
   }
+
+  /** ctl commands honour the same --checkpoint-url driver selection as
+    * the import itself (file driver by default, JDBC store when given). */
+  private def storeFor(o: Map[String, List[String]], out: String,
+      conf: org.apache.hadoop.conf.Configuration): CheckpointStore =
+    o("checkpoint-url").headOption match {
+      case Some(url) =>
+        new JdbcCheckpointStore(url, new java.util.Properties(), out, conf)
+      case None => new CommitLog(out, conf)
+    }
 
   private def doImport(o: Map[String, List[String]]): Unit = {
     val spark = session()
@@ -132,7 +153,7 @@ object Main {
   private def checkpointDump(o: Map[String, List[String]]): Unit = {
     val spark = session()
     val cfg = buildConfig(o)
-    val log = new CommitLog(cfg.outDir, spark.sparkContext.hadoopConfiguration)
+    val log = storeFor(o, cfg.outDir, spark.sparkContext.hadoopConfiguration)
     val plan = MydumpDiscovery.plan(cfg.sourceDir, cfg.filter, cfg.routes,
       spark.sparkContext.hadoopConfiguration)
     println("db,table,status,rows,checksum,total_bytes,total_kvs,plan_fingerprint")
@@ -148,7 +169,7 @@ object Main {
   private def checkpointRemove(o: Map[String, List[String]]): Unit = {
     val spark = session()
     val out = o("out").headOption.getOrElse(sys.error("--out required"))
-    val log = new CommitLog(out, spark.sparkContext.hadoopConfiguration)
+    val log = storeFor(o, out, spark.sparkContext.hadoopConfiguration)
     o("table").foreach { t =>
       val Array(db, tbl) = t.split("\\.", 2)
       log.remove(db, tbl)
@@ -165,7 +186,7 @@ object Main {
   private def checkpointDestroy(o: Map[String, List[String]]): Unit = {
     val spark = session()
     val out = o("out").headOption.getOrElse(sys.error("--out required"))
-    val log = new CommitLog(out, spark.sparkContext.hadoopConfiguration)
+    val log = storeFor(o, out, spark.sparkContext.hadoopConfiguration)
     val targets =
       if (o("table").nonEmpty) o("table").map { t =>
         val Array(db, tbl) = t.split("\\.", 2); (db, tbl)
@@ -187,7 +208,7 @@ object Main {
     val spark = session()
     val cfg = buildConfig(o)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val log = new CommitLog(cfg.outDir, hconf)
+    val log = storeFor(o, cfg.outDir, hconf)
     val plan = MydumpDiscovery.plan(cfg.sourceDir, cfg.filter, cfg.routes, hconf)
     var failed = 0
     plan.tables.filter(_.dataFiles.nonEmpty).foreach { t =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Crc64
 import graft.operators.{KvEncode, RowIdAllocator, SchemaAlign, SqlMode}
-import graft.sinks.{ChunkState, CommitLog, JdbcSink, ParquetSink, Sink, TableState}
+import graft.sinks.{CheckpointStore, ChunkState, CommitLog, JdbcSink, ParquetSink, Sink, TableState}
 import graft.sources._
 
 /** The end-to-end import pipeline: the Spark restatement of the reference's
@@ -37,6 +37,13 @@ final case class ImportConfig(
     filter: TableFilter = TableFilter(),
     routes: Seq[RouteRule] = Nil,
     checkpointEnabled: Boolean = true,
+    // K6 driver selection (reference checkpoint.driver = file | mysql,
+    // checkpoints.go:321-451): None = one JSON doc per state under
+    // <outDir>/_state (the file driver); Some(jdbcUrl) = states in a
+    // shared database (graft_table_state/graft_chunk_state), so a fleet
+    // of importers coordinates resume through the target DB. The null
+    // driver is checkpointEnabled = false.
+    checkpointUrl: Option[String] = None,
     jobTsMicros: Long = 0L,
     // S9: byte-range chunking threshold for large .sql files (the
     // reference's MinRegionSize, const.go:23)
@@ -67,6 +74,13 @@ final case class ImportConfig(
     // target input bytes per chunk-commit group (the reference's region
     // size, const.go:23); small tables collapse to one group = one job
     chunkCommitBytes: Long = 256L * 1024 * 1024,
+    // post-import ANALYZE (reference postProcess step 5, restore.go:
+    // 1039-1051 + PostRestore.Analyze): refresh optimizer statistics over
+    // each imported table so downstream planning doesn't start stats-blind.
+    // Catalog-registered parquet tables get Spark's ANALYZE TABLE (row
+    // count + size feed CBO join planning); the JDBC sink issues the
+    // target database's own ANALYZE.
+    postAnalyze: Boolean = true,
     // error policy (reference errorSummaries, restore.go:89-129): false =
     // raise on first table failure; true = record the failure, keep
     // importing the remaining tables, and emit a per-table error summary
@@ -77,7 +91,44 @@ final case class ImportConfig(
     // import on a driver-side pool so one small table's driver phases
     // (planning, commit-log writes) overlap another's executor work —
     // Spark's scheduler interleaves the jobs. 1 = sequential.
-    tableConcurrency: Int = 4)
+    tableConcurrency: Int = 4) {
+
+  /** Reference config.Adjust's reject rules (lightning/config/config.go:
+    * 347-509, tests/cmdline_override + unused_config_keys): a problematic
+    * combination fails HERE with a named message instead of surfacing as a
+    * confusing parse/runtime error mid-import. Returns `this` so callers
+    * can chain; the pipeline constructor validates unconditionally. */
+  def validated(): ImportConfig = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"invalid config: $msg")
+    if (csv.separator.length != 1)
+      fail("`csv.separator` must be exactly one character long")
+    if (csv.delimiter.length > 1)
+      fail("`csv.delimiter` must be one character long or empty")
+    if (csv.separator == csv.delimiter)
+      fail("cannot use the same character for both CSV delimiter and separator")
+    if (csv.backslashEscape && csv.separator == "\\")
+      fail("cannot use '\\' as CSV separator when backslashEscape is true")
+    if (csv.backslashEscape && csv.delimiter == "\\")
+      fail("cannot use '\\' as CSV delimiter when backslashEscape is true")
+    val charsets = Set("utf-8", "gb18030", "binary", "auto")
+    if (!charsets(charset.toLowerCase))
+      fail(s"unsupported `charset` ($charset)")
+    if (!charsets(csv.charset.toLowerCase))
+      fail(s"unsupported `csv.charset` (${csv.charset})")
+    if (minChunkBytes <= 0) fail("`minChunkBytes` must be positive")
+    if (chunkCommitBytes <= 0) fail("`chunkCommitBytes` must be positive")
+    if (tableConcurrency < 1) fail("`tableConcurrency` must be >= 1")
+    checkpointUrl.foreach(u => if (!u.startsWith("jdbc:"))
+      fail(s"`checkpointUrl` must be a jdbc: URL (got: $u)"))
+    routes.foreach { r =>
+      if (Seq(r.schemaPattern, r.tablePattern, r.targetSchema,
+          r.targetTable).exists(_.isEmpty))
+        fail(s"route rule needs all of schema/table pattern and target: $r")
+    }
+    this
+  }
+}
 
 final case class TableReport(db: String, table: String, rows: Long,
     dataChecksum: Long, dataBytes: Long, dataKvs: Long, resumedSkip: Boolean,
@@ -92,10 +143,17 @@ object ImportPipeline {
 final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     sink: Option[Sink] = None,
     pauser: Option[Pauser] = None,
-    cancelled: () => Boolean = () => false) {
+    cancelled: () => Boolean = () => false,
+    progress: Option[ProgressRegistry] = None) {
+
+  cfg.validated() // fail fast on a rejectable combination (config.Adjust)
 
   private val hconf = spark.sparkContext.hadoopConfiguration
-  private val log = new CommitLog(cfg.outDir, hconf)
+  private val log: CheckpointStore = cfg.checkpointUrl match {
+    case Some(url) => new graft.sinks.JdbcCheckpointStore(url,
+      new java.util.Properties(), cfg.outDir, hconf)
+    case None => new CommitLog(cfg.outDir, hconf)
+  }
   private val theSink = sink.getOrElse(new ParquetSink(cfg.outDir))
 
   /** Pause/cancel gate, checked between job submissions (chunk/table
@@ -117,12 +175,26 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     if (sys.env.contains("GRAFT_TIMING")) System.err.println(
       f"[graft-timing] discover ${(System.nanoTime() - td0) / 1e9}%.3f s")
     val tables = plan.tables.filter(_.dataFiles.nonEmpty)
+    progress.foreach(_.initTables(tables.map(t =>
+      (t.db, t.table, t.dataFiles.map(_.size).sum))))
     def one(t: TablePlan): TableReport = {
       gate()
-      if (!cfg.continueOnError) restoreTable(t)
-      else try restoreTable(t) catch {
-        case e: InterruptedException => throw e // cancellation is not an error
+      progress.foreach(_.startTable(t.db, t.table))
+      def ok(r: TableReport): TableReport = {
+        progress.foreach(_.finishTable(t.db, t.table)); r
+      }
+      if (!cfg.continueOnError)
+        try ok(restoreTable(t)) catch { case e: Throwable =>
+          progress.foreach(_.failTable(t.db, t.table,
+            String.valueOf(e.getMessage))); throw e
+        }
+      else try ok(restoreTable(t)) catch {
+        case e: InterruptedException =>
+          progress.foreach(_.failTable(t.db, t.table, "canceled"))
+          throw e // cancellation is not an error
         case e: Throwable =>
+          progress.foreach(_.failTable(t.db, t.table,
+            String.valueOf(e.getMessage)))
           if (cfg.checkpointEnabled)
             log.write(TableState(t.db, t.table, "failed", 0, 0, 0, 0,
               fingerprint(t), cfg.jobTsMicros))
@@ -262,8 +334,21 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
       spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table), path))
     }
+    postAnalyze(t)
     TableReport(t.db, t.table, rows, dcs, dbytes, dkvs, resumedSkip = false)
   }
+
+  /** Reference postProcess ordering: rebase → checksum → ANALYZE (restore
+    * .go:998-1053). The import's own numbers (rows, checksum) ride the
+    * write; this last step refreshes the TARGET's optimizer stats. */
+  private def postAnalyze(t: TablePlan): Unit =
+    if (cfg.postAnalyze) theSink match {
+      case j: JdbcSink => j.analyze(t.db, t.table)
+      case _: ParquetSink if cfg.registerInCatalog =>
+        spark.sql(s"ANALYZE TABLE `${t.db}`.`${t.table}` COMPUTE STATISTICS")
+      case _ => () // no catalog entry to attach stats to (backend opts out,
+                   // reference ShouldPostProcess==false path)
+    }
 
   /** K6 chunk-granular restore: data files are grouped into ~chunkCommit
     * Bytes units; each group runs as its own parse→align→row-id→append
@@ -333,8 +418,10 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     }
     val states = groups.map { files =>
       val chunkId = s"${files.head.path}+${files.size}"
-      done.getOrElse(chunkId, {
+      val groupBytes = files.map(_.size).sum
+      val state = done.getOrElse(chunkId, {
         gate()
+        progress.foreach(_.startChunk(t.db, t.table, chunkId, groupBytes))
         val tp0 = System.nanoTime()
         val aligned = loadAlignedFiles(files, table)
         val withId = withColumnRowIdOverride(
@@ -380,6 +467,11 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         if (cfg.checkpointEnabled) log.writeChunk(cs)
         cs
       })
+      // report committed AND resume-skipped groups — the bar must not
+      // restart from zero when an import resumes
+      progress.foreach(_.finishChunk(t.db, t.table, chunkId, groupBytes,
+        state.rows))
+      state
     }
     val rows = states.map(_.rows).sum
     val dcs = states.map(_.checksum).foldLeft(0L)(_ ^ _)
@@ -393,6 +485,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table),
         psink.tablePath(t.db, t.table)))
     }
+    postAnalyze(t)
     TableReport(t.db, t.table, rows, dcs, dbytes, dkvs, resumedSkip = false)
   }
 

@@ -26,6 +26,11 @@ import graft.sources.TableFilter
   *                            lightning.go:376-410)
   *   PATCH  /tasks/N/front  → move a queued task to the queue head
   *   PATCH  /tasks/N/back   → move it to the tail (lightning.go:412-441)
+  *   GET    /progress/task  → current task's per-table progress
+  *                            {"t":{"db.tbl":{"w":done,"z":total,"s":0|1|2}},
+  *                             "s":…,"metrics":{…}} (lightning.go:456-464)
+  *   GET    /progress/table?t=db.tbl → per-chunk detail for one table
+  *                            (lightning.go:467-481)
   *   GET    /pause          → {"paused":bool}
   *   PUT    /pause          → pause the dataflow: the running import stops
   *                            before its next chunk/table job and the
@@ -54,6 +59,12 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
   private val queue = new LinkedBlockingDeque[Task]()
   private val tasks = new java.util.concurrent.ConcurrentHashMap[Long, Task]()
   private val pauser = new Pauser
+  // /progress surface (reference lightning.go:102-103 + web/progress.go):
+  // the registry tracks the CURRENT task's per-table/per-chunk state (the
+  // reference likewise broadcasts one current-task progress map); the
+  // listener folds Spark's own task IO counters for a live speed readout
+  private val registry = new ProgressRegistry
+  private val listener = new ProgressListener
   private var server: HttpServer = _
   @volatile private var running = true
   @volatile private var current: Task = _
@@ -75,23 +86,28 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
         // cancels the group and every Spark job it owns aborts
         spark.sparkContext.setJobGroup(jobGroup(t),
           s"graft import ${t.source} -> ${t.out}", interruptOnCancel = true)
+        registry.startTask()
         try {
           val cfg = ImportConfig(sourceDir = t.source, outDir = t.out,
             sqlMode = if (t.strict) SqlMode.Strict else SqlMode.Lenient,
             filter = TableFilter())
           val reports = new ImportPipeline(spark, cfg,
             pauser = Some(pauser),
-            cancelled = () => t.cancelRequested).run()
+            cancelled = () => t.cancelRequested,
+            progress = Some(registry)).run()
           t.detail = reports.map(r =>
             s"${r.db}.${r.table}:${r.rows}").mkString(",")
           t.status = "imported"
+          registry.endTask()
         } catch {
           case e: Throwable if t.cancelRequested =>
             t.status = "canceled"
             t.detail = String.valueOf(e.getMessage).take(200)
+            registry.endTask(Some("canceled"))
           case e: Throwable =>
             t.status = "failed"
             t.detail = String.valueOf(e.getMessage).take(500)
+            registry.endTask(Some(String.valueOf(e.getMessage).take(500)))
         } finally {
           spark.sparkContext.clearJobGroup()
           current = null
@@ -212,6 +228,40 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
         case _ => respond(ex, 405, """{"error":"only PUT allowed"}""")
       }
     })
+    // GET /progress/task  → current task's per-table {w,z,s,m} map
+    // GET /progress/table?t=db.tbl → that table's per-chunk detail
+    // (reference handleProgressTask/-Table, lightning.go:456-481); the
+    // extra "metrics" object is the listener's live IO counters — the ETA
+    // numerator (bytes/s) the reference gets from Prometheus
+    server.createContext("/progress/task", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = ex.getRequestMethod match {
+        case "GET" =>
+          val body = registry.taskJson
+          val m = s""","metrics":{"bytes_read":${listener.bytesRead.get()},""" +
+            s""""rows_read":${listener.recordsRead.get()},""" +
+            s""""bytes_written":${listener.bytesWritten.get()},""" +
+            s""""rows_written":${listener.recordsWritten.get()}}"""
+          respond(ex, 200, body.patch(body.length - 1, m + "}", 1))
+        case _ => respond(ex, 405, """{"error":"only GET allowed"}""")
+      }
+    })
+    server.createContext("/progress/table", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = ex.getRequestMethod match {
+        case "GET" =>
+          val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          val name = query.split("&").collectFirst {
+            case kv if kv.startsWith("t=") => java.net.URLDecoder.decode(
+              kv.drop(2), "UTF-8")
+          }.getOrElse("")
+          registry.tableJson(name) match {
+            case Some(json) => respond(ex, 200, json)
+            case None => respond(ex, 404,
+              s"""{"error":${q(s"no such table: $name")}}""")
+          }
+        case _ => respond(ex, 405, """{"error":"only GET allowed"}""")
+      }
+    })
+    spark.sparkContext.addSparkListener(listener)
     server.start()
     worker.setDaemon(true)
     worker.start()
@@ -221,6 +271,7 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
   def stop(): Unit = {
     running = false
     pauser.resume() // release a paused worker so it can observe shutdown
+    spark.sparkContext.removeSparkListener(listener)
     if (server != null) server.stop(0)
   }
 }

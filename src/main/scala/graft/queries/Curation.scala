@@ -84,10 +84,15 @@ object Curation {
        | md5($NormSql) AS md5_fp
        |FROM documents""".stripMargin
 
+  import graft.util.DirCache
+  /** ≤ 4 source dirs' artifacts each; a dir re-touched after eviction just
+    * retrains (correctness never depends on the cache). */
+  private val CachedDirs = 4
+
   /** Per-directory MinHash signature cache (train-once/reuse pattern —
     * same as the SimHash and IVF caches below). */
   private val minhashSigCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    new DirCache[DataFrame](CachedDirs, _.unpersist())
 
   private def minhashSignaturesFor(s: SparkSession, dir: String): DataFrame =
     minhashSigCache.getOrElseUpdate(dir, {
@@ -108,7 +113,7 @@ object Curation {
     * the sketch pass is the expensive part; mining at several Hamming
     * radii and the verification gate all reuse one persisted frame). */
   private val simhashCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    new DirCache[DataFrame](CachedDirs, _.unpersist())
 
   private def simhashSketchesFor(s: SparkSession, dir: String): DataFrame =
     simhashCache.getOrElseUpdate(dir, {
@@ -440,7 +445,7 @@ object Curation {
     * retraining per query (one session per JVM in every runtime surface,
     * so the cached frame's session is always current). */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+    new DirCache[Similarity.IvfIndex](CachedDirs, _.assigned.unpersist())
 
   private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
     ivfCache.getOrElseUpdate(dir, {

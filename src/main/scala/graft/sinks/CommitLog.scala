@@ -44,9 +44,44 @@ final case class ChunkState(
     rows: Long, checksum: Long, totalBytes: Long, totalKvs: Long,
     files: Seq[String] = Nil)
 
-final class CommitLog(outDir: String, conf: Configuration) {
+/** The checkpoint-driver contract (reference checkpoints.go:321-451 ships
+  * interchangeable MySQL-table / file / null drivers behind CheckpointsDB).
+  * Implementations: [[CommitLog]] (one JSON doc per state file — the file
+  * driver) and [[JdbcCheckpointStore]] (states in a shared database — the
+  * MySQL driver's role, so a fleet of importers can coordinate resume
+  * state through the target DB). The null driver is `checkpointEnabled =
+  * false`. */
+trait CheckpointStore {
+  def write(st: TableState): Unit
+  def read(db: String, table: String): Option[TableState]
+  def remove(db: String, table: String): Unit
+  def listTables(): Seq[TableState]
+  def writeChunk(cs: ChunkState): Unit
+  def readChunks(db: String, table: String): Map[String, ChunkState]
+  def clearChunks(db: String, table: String): Unit
+
+  /** Sink output root + FS conf, for destroy's partial-output cleanup. */
+  protected def sinkOut: (String, Configuration)
+
+  /** ctl error-destroy analog (reference cmd/tidb-lightning-ctl/main.go:
+    * 166-215): drop a table's checkpoint states AND its partial sink
+    * output, so the next import starts clean instead of resuming over a
+    * half-written failed table. */
+  def destroy(db: String, table: String): Unit = {
+    remove(db, table)
+    clearChunks(db, table)
+    val (outDir, conf) = sinkOut
+    val dir = new Path(new Path(outDir, db), table)
+    val dfs = dir.getFileSystem(conf)
+    if (dfs.exists(dir)) dfs.delete(dir, true)
+  }
+}
+
+final class CommitLog(outDir: String, conf: Configuration)
+    extends CheckpointStore {
   private val stateDir = new Path(outDir, "_state")
   private def fs: FileSystem = stateDir.getFileSystem(conf)
+  override protected def sinkOut: (String, Configuration) = (outDir, conf)
 
   private def pathFor(db: String, table: String) =
     new Path(stateDir, s"$db.$table.json")
@@ -158,17 +193,6 @@ final class CommitLog(outDir: String, conf: Configuration) {
         fromJson(j)
       }
       .sortBy(s => (s.db, s.table))
-  }
-
-  /** ctl error-destroy analog (reference cmd/tidb-lightning-ctl/main.go:
-    * 166-215): drop a table's checkpoint states AND its partial sink
-    * output, so the next import starts clean instead of resuming over a
-    * half-written failed table. */
-  def destroy(db: String, table: String): Unit = {
-    remove(db, table)
-    clearChunks(db, table)
-    val dir = new Path(new Path(outDir, db), table)
-    if (fs.exists(dir)) fs.delete(dir, true)
   }
 
   // minimal flat-JSON codec (no deps)

@@ -41,6 +41,19 @@ final class JdbcSink(url: String, props: java.util.Properties,
     * is non-idempotent by construction, so chunked resume refuses it. */
   def idempotentReplay: Boolean = onDup != OnDuplicate.Error
 
+  /** Post-import ANALYZE (reference analyzeTable, restore.go step 5 of
+    * postProcess): one statement on the target so its optimizer sees the
+    * bulk-loaded rows. Driver-side, single connection — stats refresh is
+    * not data-parallel work. */
+  def analyze(db: String, table: String): Unit = {
+    val conn = connFactory.getOrElse(
+      () => DriverManager.getConnection(url, props))()
+    try {
+      val st = conn.createStatement()
+      try st.execute(s"ANALYZE TABLE `$db`.`$table`") finally st.close()
+    } finally conn.close()
+  }
+
   override def write(df: DataFrame, db: String, table: String): WriteResult = {
     val schema = df.schema
     val verb = onDup.verb

@@ -84,8 +84,33 @@ class ImportPipelineSpec extends SparkSpec {
     val n = spark.sql("SELECT COUNT(*) FROM `mdb`.`items` WHERE qty > 0")
       .collect()(0).getLong(0)
     assert(n === 4)
+    // postAnalyze (reference postProcess step 5): the catalog entry must
+    // carry statistics — downstream CBO planning starts with a row count
+    val statsRow = spark.sql("DESCRIBE TABLE EXTENDED `mdb`.`items`")
+      .filter("col_name = 'Statistics'").collect()
+    assert(statsRow.nonEmpty, "no Statistics row in DESCRIBE EXTENDED")
+    assert(statsRow.head.getString(1).contains("5 rows"),
+      s"expected analyzed '5 rows', got ${statsRow.head.getString(1)}")
     spark.sql("DROP TABLE `mdb`.`items`")
     spark.sql("DROP DATABASE `mdb`")
+  }
+
+  test("JDBC checkpoint driver: import commits state to the DB, rerun skips") {
+    val out = freshOut()
+    val cfg = ImportConfig(
+      sourceDir = fixture("mydump"), outDir = out,
+      filter = TableFilter(doTables = Seq(("mdb", "items"))),
+      checkpointUrl = Some("jdbc:derby:memory:ckpt_e2e;create=true"))
+    val first = new ImportPipeline(spark, cfg).run()
+    assert(first.size === 1 && first.head.rows === 5 &&
+      !first.head.resumedSkip)
+    // no file-driver state on disk — the state went to the database
+    assert(!new java.io.File(s"$out/_state").exists())
+    // a second run (same inputs) resumes off the DB state and skips
+    val second = new ImportPipeline(spark, cfg).run()
+    assert(second.head.resumedSkip, "rerun should skip via JDBC checkpoint")
+    assert(second.head.rows === 5 &&
+      second.head.dataChecksum === first.head.dataChecksum)
   }
 
   test("resume invalidation: changed inputs re-import instead of skipping") {

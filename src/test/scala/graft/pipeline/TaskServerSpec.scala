@@ -46,6 +46,26 @@ class TaskServerSpec extends SparkSpec {
       assert(list.contains("mdb.items:5"))
       // the import really landed
       assert(spark.read.parquet(s"$out/mdb/items").count() === 5)
+      // /progress/task: the finished task reports every table done (s:2)
+      // with written == total, task-level s:2, and live IO metrics
+      val (pc, prog) = http("GET", s"http://127.0.0.1:$port/progress/task")
+      assert(pc === 200, prog)
+      assert(prog.contains("\"mdb.items\":"), prog)
+      val (w, z) = (""""mdb.items":\{"w":(\d+),"z":(\d+),"s":2""".r
+        .findFirstMatchIn(prog).map(m => (m.group(1).toLong, m.group(2).toLong)))
+        .getOrElse(fail(s"no finished mdb.items entry in $prog"))
+      assert(w === z && z > 0, prog)
+      assert(prog.matches(""".*"s":2,"metrics":\{.*"""), prog)
+      assert("""\"bytes_read\":(\d+)""".r.findFirstMatchIn(prog)
+        .exists(_.group(1).toLong > 0), prog)
+      // /progress/table: per-chunk detail; unknown table → 404
+      val (tc, tbl) = http("GET",
+        s"http://127.0.0.1:$port/progress/table?t=mdb.items")
+      assert(tc === 200 && tbl.contains("\"chunks\":["), tbl)
+      assert(""""rows":(\d+),"s":2""".r.findFirstMatchIn(tbl)
+        .exists(_.group(1).toLong == 5), tbl)
+      assert(http("GET",
+        s"http://127.0.0.1:$port/progress/table?t=no.such")._1 === 404)
       // 404 for unknown task, 400 for bad body
       assert(http("GET", s"http://127.0.0.1:$port/tasks/99")._1 === 404)
       assert(http("POST", s"http://127.0.0.1:$port/tasks",

@@ -51,6 +51,38 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(!JdbcSink.isRetryable(new java.sql.SQLSyntaxErrorException("s")))
   }
 
+  test("analyze issues ANALYZE TABLE on the target (postProcess step 5)") {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    var executed = List.empty[String]
+    var closed = 0
+    def statement(): java.sql.Statement = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "execute" =>
+              executed ::= args(0).asInstanceOf[String]; java.lang.Boolean.TRUE
+            case "close" => closed += 1; null
+            case _ => null
+          }
+      }).asInstanceOf[java.sql.Statement]
+    def connection(): java.sql.Connection = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "createStatement" => statement()
+            case "close" => closed += 1; null
+            case _ => null
+          }
+      }).asInstanceOf[java.sql.Connection]
+    val sink = new JdbcSink("jdbc:unused", new java.util.Properties(),
+      connFactory = Some(() => connection()))
+    sink.analyze("mdb", "items")
+    assert(executed === List("ANALYZE TABLE `mdb`.`items`"))
+    assert(closed === 2) // statement + connection both released
+  }
+
   test("statement retry survives transient failures, fails hard errors") {
     import java.lang.reflect.{InvocationHandler, Method, Proxy}
     // a Connection/Statement pair that fails the first N executes
