@@ -55,8 +55,10 @@ object SparkEntry {
     // LLM-data-pipeline operators (BASELINE.json north star)
     ("dedup_exact", Curation.dedup_exact _, Some(Curation.dedup_exact_sql)),
     ("dedup_minhash", Curation.dedup_minhash _, None),
+    ("dedup_minhash_md5", Curation.dedup_minhash_md5 _, Some(Curation.dedup_minhash_md5_sql)),
     ("dedup_minhash_verify", Curation.dedup_minhash_verify _, Some(Curation.dedup_minhash_verify_sql)),
     ("dedup_simhash", Curation.dedup_simhash _, None),
+    ("dedup_simhash_md5", Curation.dedup_simhash_md5 _, Some(Curation.dedup_simhash_md5_sql)),
     ("dedup_simhash_verify", Curation.dedup_simhash_verify _, Some(Curation.dedup_simhash_verify_sql)),
     ("dedup_ngram", Curation.dedup_ngram _, None),
     ("dedup_ngram_verify", Curation.dedup_ngram_verify _, Some(Curation.dedup_ngram_verify_sql)),

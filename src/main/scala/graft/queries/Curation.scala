@@ -109,6 +109,137 @@ object Curation {
       numHashes = 32, bands = 8, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** MinHash+LSH miner, HASH-MATCHED end-to-end against DuckDB: the whole
+    * sketch→band→candidate→estimator pipeline re-expressed over hash
+    * functions BOTH engines share. The production miner's xxhash64 kernel
+    * has no DuckDB twin, so its gate is the estimator-band `_verify`; this
+    * query instead derives 8 hash functions as 8-hex-char slices of
+    * md5(shingle) ‖ md5('x'‖shingle) (md5 text and lexicographic MIN are
+    * engine-portable), banding 4×2 slices, so the oracle reproduces the
+    * ENTIRE candidate-pair set and per-pair agreement count independently
+    * — a full-pipeline cross-engine proof, not just an invariant check.
+    * Integer/string ops only → bit-exact. Capped to doc_id < 1200 to keep
+    * the oracle's SQL explode affordable. */
+  def dedup_minhash_md5(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 1200 && col("text").isNotNull)
+    val norm = docs.select(col("doc_id"),
+      Dedup.normalized(col("text")).as("s"))
+    val sh = norm.select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(1), greatest(length(col("s")) - 4, lit(1))),
+        i => col("s").substr(i, lit(5))))).as("sh"))
+    val hashed = sh.select(col("doc_id"),
+      concat(md5(col("sh")), md5(concat(lit("x"), col("sh")))).as("h"))
+    val aggs = (0 until 8).map(j =>
+      min(substring(col("h"), j * 8 + 1, 8)).as(s"sig_$j"))
+    // repartition: exchange barrier so the banded self-join below reads
+    // signature attributes instead of re-inlining the shingle pipeline
+    val sigs = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .repartition(col("doc_id"))
+    // band join as an EQUI-join on an exploded (band, key) row per band —
+    // the same linear-ish banded shape as the production miner. (An
+    // OR-of-band-equalities condition would be a nested-loop join: fine at
+    // this cap, quadratic death at corpus scale. The oracle CAN use the OR
+    // form — DuckDB over 500 capped docs — because only the Spark side has
+    // a 100 TB design point.)
+    val banded = sigs.select(col("doc_id") +:
+      (0 until 8).map(j => col(s"sig_$j")) :+
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("bkey"))): _*))
+        .as("_b"): _*)
+    val l = banded.select(col("doc_id").as("id_a") +:
+      (0 until 8).map(j => col(s"sig_$j").as(s"sa_$j")) :+ col("_b"): _*)
+    val r = banded.select(col("doc_id").as("id_b") +:
+      (0 until 8).map(j => col(s"sig_$j").as(s"sb_$j")) :+
+      col("_b").as("_b2"): _*)
+    val nAgree = (0 until 8).map(j =>
+      when(col(s"sa_$j") === col(s"sb_$j"), 1).otherwise(0)).reduce(_ + _)
+    l.join(r, col("_b") === col("_b2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), nAgree.cast("long").as("n_agree"))
+      .distinct() // a pair sharing several bands arrives once per band
+      .filter(col("n_agree") >= 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedup_minhash_md5_sql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents
+       |           WHERE doc_id < 1200 AND text IS NOT NULL),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(1, greatest(len(s)-4, 1)+1),
+       |        i -> substr(s, CAST(i AS INT), 5)))) AS sh FROM n),
+       |h AS (SELECT doc_id, md5(sh) || md5('x' || sh) AS h FROM g),
+       |sig AS (SELECT doc_id,
+       |  min(substr(h,  1, 8)) AS sig_0, min(substr(h,  9, 8)) AS sig_1,
+       |  min(substr(h, 17, 8)) AS sig_2, min(substr(h, 25, 8)) AS sig_3,
+       |  min(substr(h, 33, 8)) AS sig_4, min(substr(h, 41, 8)) AS sig_5,
+       |  min(substr(h, 49, 8)) AS sig_6, min(substr(h, 57, 8)) AS sig_7
+       |  FROM h GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST((CASE WHEN a.sig_0=b.sig_0 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_1=b.sig_1 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_2=b.sig_2 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_3=b.sig_3 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_4=b.sig_4 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_5=b.sig_5 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_6=b.sig_6 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_7=b.sig_7 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       |       (a.sig_0=b.sig_0 AND a.sig_1=b.sig_1)
+       |    OR (a.sig_2=b.sig_2 AND a.sig_3=b.sig_3)
+       |    OR (a.sig_4=b.sig_4 AND a.sig_5=b.sig_5)
+       |    OR (a.sig_6=b.sig_6 AND a.sig_7=b.sig_7)))
+       |SELECT id_a, id_b, n_agree FROM cand WHERE n_agree >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash sketch, HASH-MATCHED end-to-end against DuckDB — the
+    * cross-engine twin of the xxhash64 `Simhash64` kernel (whose gate is
+    * reimplementation-equality in `_verify`): a 32-bit simhash over
+    * whitespace tokens where each token's 32 bits come from the first 8
+    * hex nibbles of md5(token). Each engine extracts nibble values with
+    * its own machinery (Spark `conv`, DuckDB `strpos` into a hex
+    * alphabet); the summed bit weights and the packed sketch integer must
+    * then agree bit-exactly, proving tokenize→hash→bit-vote→pack parity.
+    * Ties (weight 0) vote 1 on both sides. Integer output → bit-exact. */
+  def dedup_simhash_md5(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 1200 && col("text").isNotNull)
+    val toks = docs.select(col("doc_id"),
+      explode(Dedup.tokensOf(Dedup.normalized(col("text")))).as("t"))
+    val nibbled = toks.select(col("doc_id") +: (0 until 8).map(i =>
+      conv(substring(md5(col("t")), i + 1, 1), 16, 10).cast("int")
+        .as(s"n$i")): _*)
+    // weight_b = Σ tokens (2·bit_b − 1); bit b lives in nibble b/4 at
+    // shift 3 − b%4 (hex digit = 4 bits, MSB first)
+    val weights = (0 until 32).map { b =>
+      val bit = shiftright(col(s"n${b / 4}"), 3 - b % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"w$b")
+    }
+    val sketch = (0 until 32).map(b =>
+      when(col(s"w$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    nibbled.groupBy(col("doc_id")).agg(weights.head, weights.tail: _*)
+      .select(col("doc_id"), sketch.cast("long").as("sketch"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedup_simhash_md5_sql: String = {
+    val nibbles = (0 until 8).map(i =>
+      s"strpos('0123456789abcdef', substr(h8, ${i + 1}, 1))-1 AS n$i")
+      .mkString(", ")
+    val weights = (0 until 32).map(b =>
+      s"SUM(2*((n${b / 4} >> ${3 - b % 4}) & 1)-1) AS w$b").mkString(", ")
+    val sketch = (0 until 32).map(b =>
+      s"(CASE WHEN w$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents
+       |           WHERE doc_id < 1200 AND text IS NOT NULL),
+       |t AS (SELECT doc_id, unnest(list_filter(string_split(s, ' '),
+       |        x -> x != '')) AS tok FROM n),
+       |h AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM t),
+       |nb AS (SELECT doc_id, $nibbles FROM h),
+       |w AS (SELECT doc_id, $weights FROM nb GROUP BY doc_id)
+       |SELECT doc_id, CAST($sketch AS BIGINT) AS sketch FROM w
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-directory SimHash sketch cache (same rationale as the IVF index:
     * the sketch pass is the expensive part; mining at several Hamming
     * radii and the verification gate all reuse one persisted frame). */

@@ -82,6 +82,20 @@ class PlanSpec extends SparkSpec {
       s"shuffle not keyed by the digest: ${exchanges.head}")
   }
 
+  test("dedup_minhash_md5: banded equi-join, never a nested-loop pair scan") {
+    // the cross-engine miner must keep the production miner's banded
+    // shape: an OR-of-band-equalities condition would silently plan as
+    // BroadcastNestedLoopJoin — O(N²) pair evaluation at corpus scale
+    val p = plan(Curation.dedup_minhash_md5(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"banded join fell back to a pair scan:\n${p.take(2000)}")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joinLine.exists(_.contains("_b")),
+      s"join not keyed on the band struct:\n${joinLine.getOrElse(p.take(1500))}")
+  }
+
   test("q_skew_join: the salt is part of the shuffle/join key") {
     // the whole point of salting: the hot key's rows spread over `salts`
     // reducers, so _salt must appear in the join's equi-key expressions
