@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Analytics2, Curation, Events, Ingest}
+import graft.queries.{Analytics, Analytics2, Curation, Events, Ingest, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,8 @@ object SparkEntry {
     ("q_skew_join", Analytics2.q_skew_join _, Some(Analytics2.q_skew_join_sql)),
     ("q_cube", Analytics2.q_cube _, Some(Analytics2.q_cube_sql)),
     ("q_quantiles", Analytics2.q_quantiles _, Some(Analytics2.q_quantiles_sql)),
+    ("q_asof_join", Temporal.q_asof_join _, Some(Temporal.q_asof_join_sql)),
+    ("q_range_join", Temporal.q_range_join _, Some(Temporal.q_range_join_sql)),
     // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("q_stream_ingest", Ingest.q_stream_ingest _, Some(Ingest.q_stream_ingest_sql)),

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoin
+import graft.util.Tables
+
+/** Temporal-join gate queries over the events table (hash-matched: all
+  * outputs are BIGINT ids/epoch-µs — integer-exact cross-engine).
+  * Durations derive from `event_id % k` (pure integer arithmetic), never
+  * from DOUBLE columns: Spark truncates double→long casts while DuckDB
+  * rounds, so a float-derived bound would flake by one µs. */
+object Temporal {
+
+  /** As-of join: each purchase event attaches the latest view event of
+    * the same user at-or-before it (classic attribution shape). */
+  def q_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(s, dir)
+    val purchases = evs.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+    TemporalJoin.asofJoin(purchases, views, key = "user_id",
+        leftTime = "p_ts", rightTime = "v_ts", tieCol = "v_id")
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        col("asof_v_id").as("v_id"), col("asof_v_ts").as("v_ts"))
+      .orderBy(col("p_id"))
+  }
+
+  val q_asof_join_sql: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS p_ts, event_id AS p_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS v_ts, event_id AS v_id
+      |      FROM events WHERE event_type = 'view'),
+      |m AS (SELECT p.p_id, p.user_id, p.p_ts,
+      |        (SELECT max(v_ts) FROM v
+      |         WHERE v.user_id = p.user_id AND v.v_ts <= p.p_ts) AS v_ts
+      |      FROM p)
+      |SELECT m.p_id, m.user_id, m.p_ts,
+      |  (SELECT max(v_id) FROM v
+      |   WHERE v.user_id = m.user_id AND v.v_ts = m.v_ts) AS v_id,
+      |  m.v_ts
+      |FROM m ORDER BY p_id""".stripMargin
+
+  /** Range join: clicks landing inside same-user view windows
+    * [v_ts, v_ts + (v_id % 30 + 1) minutes] — one row per click with its
+    * covering-window count (point-in-interval at banded-equi-join cost). */
+  def q_range_join(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(s, dir)
+    val clicks = evs.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        (col("ts") + (col("event_id") % 30 + 1) * 60000000L).as("v_end"))
+    TemporalJoin.rangeJoin(clicks, views, key = "user_id",
+        pointCol = "c_ts", startCol = "v_ts", endCol = "v_end",
+        bucketUs = 1800000000L) // 30 min ≥ the longest window
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("c_id"))
+  }
+
+  val q_range_join_sql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS c_ts, event_id AS c_id
+      |           FROM events WHERE event_type = 'click'),
+      |v AS (SELECT user_id, epoch_us(ts) AS v_ts,
+      |        epoch_us(ts) + (event_id % 30 + 1) * 60000000 AS v_end
+      |      FROM events WHERE event_type = 'view')
+      |SELECT c_id, CAST(count(*) AS BIGINT) AS n_windows
+      |FROM c JOIN v ON c.user_id = v.user_id
+      |            AND c.c_ts BETWEEN v.v_ts AND v.v_end
+      |GROUP BY c_id ORDER BY c_id""".stripMargin
+}

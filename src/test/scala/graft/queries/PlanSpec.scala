@@ -96,6 +96,22 @@ class PlanSpec extends SparkSpec {
       s"join not keyed on the band struct:\n${joinLine.getOrElse(p.take(1500))}")
   }
 
+  test("q_range_join: interval containment via banded equi-join, no pair scan") {
+    val p = plan(Temporal.q_range_join(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"range join planned as a pair scan:\n${p.take(2000)}")
+  }
+
+  test("q_asof_join: one key shuffle, no join at all") {
+    // the union-window as-of: the only exchanges are the key partition for
+    // the window (+AQE coalesce) — a Join/BNLJ in the plan means the
+    // quadratic formulation crept back
+    val p = plan(Temporal.q_asof_join(spark, sf))
+    assert(!p.contains("Join"), s"as-of should be window-only:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size >= 1,
+      s"window not keyed by user:\n${p.take(1500)}")
+  }
+
   test("q_skew_join: the salt is part of the shuffle/join key") {
     // the whole point of salting: the hot key's rows spread over `salts`
     // reducers, so _salt must appear in the join's equi-key expressions
