@@ -62,6 +62,54 @@ object SketchOps {
     new GenericArrayData(mins)
   }
 
+  /** `minhashSigs` writing straight into a packed binary (8 B per hash,
+    * little-endian via Platform — the VecOps layout): ONE BinaryType
+    * column instead of `numHashes` flat longs. Wide flat-column band-join
+    * plans cost seconds of janino COMPILE each (the round-3 lesson from
+    * embedding vectors); the packed form compiles in milliseconds and
+    * carries the identical values (lane j == sigs[j] — pinned by test). */
+  def minhashSigsPacked(s: UTF8String, k: Int, numHashes: Int): Array[Byte] = {
+    val arr = minhashSigs(s, k, numHashes)
+    val out = new Array[Byte](numHashes * 8)
+    var j = 0
+    while (j < numHashes) {
+      Platform.putLong(out, Platform.BYTE_ARRAY_OFFSET + 8L * j,
+        arr.getLong(j))
+      j += 1
+    }
+    out
+  }
+
+  /** XXH64 fold over `count` 8-byte lanes of a packed signature starting
+    * at lane `start` — BIT-IDENTICAL to Spark's `xxhash64(h_start, …,
+    * h_{start+count-1})` over the flat columns (seed 42, each value
+    * hashed with the running hash as seed), so packed band keys equal the
+    * flat formulation's. */
+  def lanesXxHash(bin: Array[Byte], start: Int, count: Int): Long = {
+    var acc = 42L
+    var i = 0
+    while (i < count) {
+      acc = XXH64.hashLong(Platform.getLong(bin,
+        Platform.BYTE_ARRAY_OFFSET + 8L * (start + i)), acc)
+      i += 1
+    }
+    acc
+  }
+
+  /** Number of equal 8-byte lanes between two packed signatures — the
+    * MinHash agreement count (estimator numerator). */
+  def laneAgreement(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length) / 8
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val off = Platform.BYTE_ARRAY_OFFSET + 8L * i
+      if (Platform.getLong(a, off) == Platform.getLong(b, off)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Distinct char-k-shingle hashes of a pre-normalized string — the same
     * sliding-window byte walk as `minhashSigs`, collecting the distinct
     * shingle hashes instead of folding mins (for exact-Jaccard joins over
@@ -228,6 +276,66 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 }
 
+/** `minhash_sigs_packed(string) -> binary` — see SketchOps. */
+case class MinhashSigsPacked(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs_packed requires STRING, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.minhashSigsPacked(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchOps.minhashSigsPacked($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigsPacked =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sigs_packed"
+}
+
+/** `lanes_xxhash(binary) -> bigint` — see SketchOps.lanesXxHash. */
+case class LanesXxHash(child: Expression, start: Int, count: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lanes_xxhash requires BINARY, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.lanesXxHash(input.asInstanceOf[Array[Byte]], start, count)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchOps.lanesXxHash($c, $start, $count)")
+  override protected def withNewChildInternal(newChild: Expression): LanesXxHash =
+    copy(child = newChild)
+  override def prettyName: String = "lanes_xxhash"
+}
+
+/** `lane_agreement(binary, binary) -> int` — see SketchOps.laneAgreement. */
+case class LaneAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lane_agreement requires (BINARY, BINARY), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.laneAgreement(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchOps.laneAgreement($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LaneAgreement =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "lane_agreement"
+}
+
 /** `simhash64(string) -> bigint` — see SketchOps.simhash. */
 case class Simhash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -251,6 +359,19 @@ object SketchExpressions {
   /** MinHash signature array of a (pre-normalized) string column. */
   def minhashSigs(c: Column, k: Int, numHashes: Int): Column =
     column(MinhashSigs(expression(c), k, numHashes))
+
+  /** MinHash signature as ONE packed binary column (8 B per hash). */
+  def minhashSigsPacked(c: Column, k: Int, numHashes: Int): Column =
+    column(MinhashSigsPacked(expression(c), k, numHashes))
+
+  /** xxhash64 fold over lanes [start, start+count) of a packed signature
+    * — equals `xxhash64(h_start, …)` over the flat columns. */
+  def lanesXxHash(c: Column, start: Int, count: Int): Column =
+    column(LanesXxHash(expression(c), start, count))
+
+  /** Count of equal 8-byte lanes between two packed signatures. */
+  def laneAgreement(a: Column, b: Column): Column =
+    column(LaneAgreement(expression(a), expression(b)))
 
   /** 64-bit SimHash of a (pre-normalized) string column. */
   def simhash64(c: Column): Column = column(Simhash64(expression(c)))

@@ -121,6 +121,47 @@ object Dedup {
       minhashSignatures(df, textCol, idCol, k, numHashes),
       numHashes, bands, threshold)
 
+  /** PACKED signature frame (_id, _sig binary) — one 8·numHashes-byte
+    * column instead of numHashes flat longs. Lane values equal the flat
+    * `_h$j` columns (same kernel); the payoff is plan width: the flat
+    * band-join plan carries ~2·numHashes columns and costs seconds of
+    * janino compile PER PLAN, the packed one compiles in milliseconds.
+    * Same null policy as `minhashSignatures`. */
+  def minhashSignaturesPacked(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, numHashes: Int = 32): DataFrame = {
+    import graft.functions.SketchExpressions.minhashSigsPacked
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        minhashSigsPacked(normalized(col(textCol)), k, numHashes).as("_sig"))
+      .repartition(col("_id"))
+  }
+
+  /** Pair mining over a PACKED signature frame — identical pairs and
+    * estimates to `minhashPairsFromSignatures` (band keys are the same
+    * xxhash64 fold, agreement the same lane count — pinned by
+    * CurationOpsSpec), at a fraction of the plan-compile cost. */
+  def minhashPairsFromPackedSignatures(sigs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+    import graft.functions.SketchExpressions.{lanesXxHash, laneAgreement}
+    val rowsPerBand = numHashes / bands
+    val banded = sigs.select(col("_id"), col("_sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          lanesXxHash(col("_sig"), b * rowsPerBand, rowsPerBand)
+            .as("bkey"))): _*)).as("_b"))
+    val l = banded.select(col("_id").as("id_a"), col("_sig").as("_siga"),
+      col("_b")).alias("l")
+    val r = banded.select(col("_id").as("id_b"), col("_sig").as("_sigb"),
+      col("_b")).alias("r")
+    l.join(r, col("l._b") === col("r._b") && col("id_a") < col("id_b"))
+      .withColumn("jaccard_est",
+        laneAgreement(col("_siga"), col("_sigb")).cast("double") / numHashes)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard_est"), 6).as("jaccard_est"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Pair mining over a PRECOMPUTED flat signature frame (_id, _h0…) —
     * the shingle+min-aggregate pass dominates, so multi-analysis callers
     * compute (and persist) signatures once. */

@@ -90,13 +90,16 @@ object Curation {
   private val CachedDirs = 4
 
   /** Per-directory MinHash signature cache (train-once/reuse pattern —
-    * same as the SimHash and IVF caches below). */
+    * same as the SimHash and IVF caches below). PACKED binary signatures:
+    * identical lane values to the flat form, but the downstream band-join
+    * plans are ~4 columns wide instead of ~70 — the flat form paid ~4 s
+    * of janino compile per first-touch plan. */
   private val minhashSigCache =
     new DirCache[DataFrame](CachedDirs, _.unpersist())
 
   private def minhashSignaturesFor(s: SparkSession, dir: String): DataFrame =
     minhashSigCache.getOrElseUpdate(dir, {
-      val sigs = Dedup.minhashSignatures(
+      val sigs = Dedup.minhashSignaturesPacked(
         Tables.load(s, dir, "documents"), "text", "doc_id",
         k = 5, numHashes = 32).persist()
       sigs.count()
@@ -105,7 +108,7 @@ object Curation {
 
   /** MinHash+LSH near-dup pairs (rows-only). */
   def dedup_minhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairsFromSignatures(minhashSignaturesFor(s, dir),
+    Dedup.minhashPairsFromPackedSignatures(minhashSignaturesFor(s, dir),
       numHashes = 32, bands = 8, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -377,15 +380,12 @@ object Curation {
     val exact = Dedup.exactJaccardPairsHashed(pairs, grams).persist()
     // signatures are per-doc independent: slice the shared cached frame
     val sigs = minhashSignaturesFor(s, dir).filter(col("_id") < 2000)
-    val sl = sigs.select(col("_id").as("id_a") +:
-      (0 until 32).map(j => col(s"_h$j").as(s"ha_$j")): _*)
-    val sr = sigs.select(col("_id").as("id_b") +:
-      (0 until 32).map(j => col(s"_h$j").as(s"hb_$j")): _*)
-    val agreement = (0 until 32).map(i =>
-      when(col(s"ha_$i") === col(s"hb_$i"), 1).otherwise(0)).reduce(_ + _)
+    val sl = sigs.select(col("_id").as("id_a"), col("_sig").as("_siga"))
+    val sr = sigs.select(col("_id").as("id_b"), col("_sig").as("_sigb"))
     val est = pairs.join(sl, "id_a").join(sr, "id_b")
       .select(col("id_a"), col("id_b"),
-        (agreement.cast("double") / 32).as("est"))
+        (graft.functions.SketchExpressions.laneAgreement(
+          col("_siga"), col("_sigb")).cast("double") / 32).as("est"))
     val err = exact.join(est, Seq("id_a", "id_b"))
       .agg(max(abs(col("est") - col("jaccard"))).as("mx"),
         avg(abs(col("est") - col("jaccard"))).as("av"))

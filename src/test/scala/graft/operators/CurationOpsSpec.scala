@@ -81,6 +81,38 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("packed minhash pipeline equals the flat formulation end-to-end") {
+    val corpus = docs.union(Seq(
+      (6L, "中文 文本 去重 測試 中文 文本"),
+      (7L, "ab"),
+      (8L, "héllo wörld héllo"),
+      (9L, null)).toDF("doc_id", "text"))
+    // lanes of the packed signature == the flat _h columns
+    val flat = Dedup.minhashSignatures(corpus, "text", "doc_id",
+        k = 3, numHashes = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val packed = Dedup.minhashSignaturesPacked(corpus, "text", "doc_id",
+        k = 3, numHashes = 8).collect()
+      .map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        r.getLong(0) -> (0 until 8).map(j =>
+          org.apache.spark.unsafe.Platform.getLong(b,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8L * j)).toSeq
+      }.toMap
+    assert(packed === flat)
+    // mined pairs + estimates equal too (band keys are the same xxhash
+    // fold; agreement the same lane count)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val flatPairs = pairSet(Dedup.minhashPairsFromSignatures(
+      Dedup.minhashSignatures(corpus, "text", "doc_id", 3, 32),
+      numHashes = 32, bands = 8, threshold = 0.3))
+    val packedPairs = pairSet(Dedup.minhashPairsFromPackedSignatures(
+      Dedup.minhashSignaturesPacked(corpus, "text", "doc_id", 3, 32),
+      numHashes = 32, bands = 8, threshold = 0.3))
+    assert(packedPairs === flatPairs && flatPairs.nonEmpty)
+  }
+
   test("simhash kernel sketches equal the explode/bit-sum formulation") {
     val corpus = docs.union(Seq(
       (6L, "中文 文本 去重 測試 中文 文本"),
