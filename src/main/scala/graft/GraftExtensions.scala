@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{Crc64Expr, GramHashes, MinhashSigs, PackVec, PackedDot, PackedSketch, Simhash64}
+import graft.functions.{Crc64Expr, GramHashes, LaneAgreement, LanesXxHash, MinhashSigs, MinhashSigsPacked, PackVec, PackedDot, PackedSketch, Simhash64}
 
 /** §2.8 extension seam: graft's native Catalyst expressions as SQL
   * functions. Two entry points:
@@ -63,7 +63,23 @@ object GraftExtensions {
     (FunctionIdentifier("gram_hashes"),
       info("gram_hashes", "gram_hashes(string, n) - distinct word-n-gram " +
         "hashes of a normalized string"),
-      (args: Seq[Expression]) => GramHashes(args.head, litInt(args(1), "n"))))
+      (args: Seq[Expression]) => GramHashes(args.head, litInt(args(1), "n"))),
+    (FunctionIdentifier("minhash_sigs_packed"),
+      info("minhash_sigs_packed", "minhash_sigs_packed(string, k, n) - " +
+        "MinHash signature as one 8-bytes-per-hash binary (lane j equals " +
+        "minhash_sigs(...)[j])"),
+      (args: Seq[Expression]) => MinhashSigsPacked(args.head,
+        litInt(args(1), "k"), litInt(args(2), "n"))),
+    (FunctionIdentifier("lanes_xxhash"),
+      info("lanes_xxhash", "lanes_xxhash(binary, start, count) - xxhash64 " +
+        "fold over 8-byte lanes [start, start+count) of a packed signature " +
+        "(equals xxhash64(h_start, ...) over the flat values)"),
+      (args: Seq[Expression]) => LanesXxHash(args.head,
+        litInt(args(1), "start"), litInt(args(2), "count"))),
+    (FunctionIdentifier("lane_agreement"),
+      info("lane_agreement", "lane_agreement(binary, binary) - count of " +
+        "equal 8-byte lanes between two packed signatures"),
+      (args: Seq[Expression]) => LaneAgreement(args(0), args(1))))
 
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -134,6 +134,17 @@ object Main {
     val listener = new ProgressListener
     spark.sparkContext.addSparkListener(listener)
     val cfg = buildConfig(o)
+    // periodic progress line (reference [cron] log-progress, 5 min default
+    // — config.go:232-235): a long import is observable without the server
+    val periodSec = sys.env.getOrElse("GRAFT_PROGRESS_LOG_SEC", "300").toInt
+    val progressLogger = new Thread(() => {
+      while (true) {
+        Thread.sleep(periodSec * 1000L)
+        System.err.println(s"[graft] progress: ${listener.summary()}")
+      }
+    }, "graft-progress-log")
+    progressLogger.setDaemon(true)
+    progressLogger.start()
     val reports = new ImportPipeline(spark, cfg).run()
     reports.foreach { r =>
       r.error match {

@@ -43,4 +43,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sk === graft.functions.VecOps.hyperplaneSketch(
       graft.functions.VecOps.packDoubles(Array(1.0, -2.0, 3.0, 0.5)), 4, 1))
   }
+
+  test("packed-signature SQL kernels agree with the flat minhash_sigs") {
+    GraftExtensions.register(spark)
+    // lane j of the packed form == minhash_sigs[j]; band keys equal
+    // xxhash64 over the flat lanes; agreement counts equal lanes
+    val row = spark.sql(
+      """WITH s AS (SELECT minhash_sigs('abcde fghij', 5, 4) AS flat,
+        |                  minhash_sigs_packed('abcde fghij', 5, 4) AS bin,
+        |                  minhash_sigs_packed('abcde fghix', 5, 4) AS bin2)
+        |SELECT lanes_xxhash(bin, 0, 2) AS bk,
+        |       xxhash64(flat[0], flat[1]) AS bk_flat,
+        |       lane_agreement(bin, bin) AS self_agree,
+        |       lane_agreement(bin, bin2) AS cross_agree
+        |FROM s""".stripMargin).collect()(0)
+    assert(row.getLong(0) === row.getLong(1))
+    assert(row.getInt(2) === 4)
+    assert(row.getInt(3) >= 0 && row.getInt(3) < 4)
+  }
 }
