@@ -40,6 +40,7 @@ object SparkEntry {
     ("q_quantiles", Analytics2.q_quantiles _, Some(Analytics2.q_quantiles_sql)),
     ("q_asof_join", Temporal.q_asof_join _, Some(Temporal.q_asof_join_sql)),
     ("q_range_join", Temporal.q_range_join _, Some(Temporal.q_range_join_sql)),
+    ("q_sample_stratified", Temporal.q_sample_stratified _, Some(Temporal.q_sample_stratified_sql)),
     // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("q_stream_ingest", Ingest.q_stream_ingest _, Some(Ingest.q_stream_ingest_sql)),

@@ -70,4 +70,36 @@ object Temporal {
       |FROM c JOIN v ON c.user_id = v.user_id
       |            AND c.c_ts BETWEEN v.v_ts AND v.v_end
       |GROUP BY c_id ORDER BY c_id""".stripMargin
+
+  /** Deterministic stratified sample (content-addressed md5-prefix keys,
+    * reproducible by any engine — `operators/Sampling`): 30% of clicks,
+    * 10% of views, 50% of errors; other types drop. Integer aggregates
+    * per class prove the exact same rows were selected. */
+  def q_sample_stratified(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val evs = Tables.events(s, dir)
+    Sampling.stratifiedSample(evs, col("event_id"), col("event_type"),
+        Map("click" -> 0.30, "view" -> 0.10, "error" -> 0.50))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("event_id")).as("id_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val q_sample_stratified_sql: String = {
+    def thr(rate: Double) = f"${math.ceil(rate * 65536).toLong}%04x"
+    s"""WITH k AS (SELECT event_type, event_id,
+       |  substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS hk
+       |  FROM events WHERE event_type IN ('click', 'view', 'error')),
+       |s AS (SELECT * FROM k WHERE
+       |     (event_type = 'click' AND hk < '${thr(0.30)}')
+       |  OR (event_type = 'view'  AND hk < '${thr(0.10)}')
+       |  OR (event_type = 'error' AND hk < '${thr(0.50)}'))
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       |  min(event_id) AS min_id, max(event_id) AS max_id,
+       |  CAST(sum(event_id) AS BIGINT) AS id_sum
+       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("sampleByHash: deterministic, rate-proportional, id-keyed") {
+    import spark.implicits._
+    val df = (1L to 10000L).toDF("id")
+    val a = Sampling.sampleByHash(df, col("id"), 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByHash(df.repartition(13), col("id"), 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample must not depend on partitioning")
+    assert(math.abs(a.size - 2000) < 200, s"~20% expected, got ${a.size}")
+    // rate monotonicity: a smaller rate is a subset of a larger one
+    val small = Sampling.sampleByHash(df, col("id"), 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a) && small.nonEmpty)
+  }
+
+  test("threshold edge rates: 0 keeps nothing, 1 keeps everything") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    assert(Sampling.sampleByHash(df, col("id"), 0.0).count() === 0)
+    assert(Sampling.sampleByHash(df, col("id"), 1.0).count() === 500)
+  }
+
+  test("stratifiedSample: per-class rates, unlisted classes drop") {
+    import spark.implicits._
+    val df = (1L to 6000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "cls")
+    val out = Sampling.stratifiedSample(df, col("id"), col("cls"),
+        Map("a" -> 0.5, "b" -> 0.1))
+      .groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("c"))
+    assert(math.abs(out("a") - 1000) < 150, s"~50% of 2000: ${out("a")}")
+    assert(math.abs(out("b") - 200) < 80, s"~10% of 2000: ${out("b")}")
+    // the kept 'a' rows are exactly the uniform 0.5 sample of class a
+    val uniformA = Sampling.sampleByHash(df.filter(col("cls") === "a"),
+      col("id"), 0.5).collect().map(_.getLong(0)).toSet
+    val stratA = Sampling.stratifiedSample(df, col("id"), col("cls"),
+        Map("a" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(stratA === uniformA)
+  }
+}
