@@ -32,6 +32,11 @@ object Bench {
       println(f"""{"metric":"ingest_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f}""")
       spark.stop(); return
     }
+    if (args.contains("ingest-xl-only")) { // dev loop: just the 1 GiB probe
+      val (mib, sec) = ingestXl(spark, sfDir)
+      println(f"""{"metric":"ingest_xl_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f}""")
+      spark.stop(); return
+    }
     if (args.contains("align-only")) { // dev loop: stage-by-stage ingest cost
       val (mib, _) = ingestThroughput(spark, sfDir) // ensures dump exists
       val root = new File("target", s"bench_dump_v3_${math.abs(sfDir.hashCode)}")
@@ -108,6 +113,12 @@ object Bench {
       if (m2 / s2 > ingestMib / ingestSec) { ingestMib = m2; ingestSec = s2 }
     }
     val ingestBelowBaseline = ingestMib / ingestSec < IngestFloorMibPerSec
+    // one cluster-shaped data point (r4 verdict #9): a 16× corpus (~1 GiB)
+    // run ONCE — against the min-of-3 252 MiB probe it separates driver-side
+    // fixed cost (planning, discovery) from executor-side throughput; at
+    // 100 TB only the latter matters. No floor applies: single-shot numbers
+    // carry environmental variance the min-of-3 damps.
+    val (xlMib, xlSec) = ingestXl(spark, sfDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // a crashed query must be visible in the JSON line, not silently folded
     // into a plausible-looking time — failures land in an "errors" object
@@ -149,6 +160,8 @@ object Bench {
       s""""ingest_mib_per_sec":${if (ingestSec > 0) ingestMib / ingestSec else 0},""" +
       s""""ingest_below_baseline":$ingestBelowBaseline,""" +
       s""""ingest_retried":$ingestRetried,""" +
+      s""""ingest_xl_mib":$xlMib,"ingest_xl_sec":$xlSec,""" +
+      s""""ingest_xl_mib_per_sec":${if (xlSec > 0) xlMib / xlSec else 0},""" +
       s""""sf":"$sfDir"}""")
     if (errors.nonEmpty) System.err.println(
       s"BENCH: ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
@@ -172,6 +185,38 @@ object Bench {
     * parquet. Returns (dump MiB, seconds). */
   private def ingestThroughput(spark: SparkSession, sfDir: String): (Double, Double) = {
     val root = new File("target", s"bench_dump_v3_${math.abs(sfDir.hashCode)}")
+    val dumpDir = ensureDump(spark, sfDir, root)
+    val bytes = dumpDir.listFiles().filter(_.getName.endsWith(".sql"))
+      .map(_.length()).sum
+    val out = new File(root, "out")
+    deleteRec(out)
+    val cfg = ImportConfig(
+      sourceDir = dumpDir.getAbsolutePath,
+      outDir = out.getAbsolutePath,
+      filter = TableFilter(doTables = Seq(("bench", "lineitem_bench"))),
+      checkpointEnabled = false,
+      minChunkBytes = 8L * 1024 * 1024,
+      observeChecksum = sys.env.get("SPARK_GRAFT_OBSERVE").forall(_ != "0"),
+      chunkCheckpoints = sys.env.get("SPARK_GRAFT_CHUNKS").forall(_ != "0"))
+    // min of three runs: the first warms codegen/AQE plans; the min damps
+    // single-JVM noise (GC, JIT recompiles) that otherwise swings ±25%
+    val secs = (1 to 3).map { _ =>
+      deleteRec(out)
+      val t0 = System.nanoTime()
+      val reports = new ImportPipeline(spark, cfg).run()
+      require(reports.nonEmpty && reports.head.rows > 0)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val mib = bytes / 1048576.0
+    // no floor check here: the caller compares against IngestFloorMibPerSec
+    // AFTER printing the JSON line (a pre-print require() here erased the
+    // whole round-4 artifact on one environmental dip)
+    (mib, secs)
+  }
+
+  /** Generate (once, cached under `root`) the mydumper-style base corpus:
+    * the sf's lineitem as single-row INSERT shards, 4× via hardlinks. */
+  private def ensureDump(spark: SparkSession, sfDir: String, root: File): File = {
     val dumpDir = new File(root, "dump")
     if (!new File(dumpDir, "bench.lineitem_bench-schema.sql").exists()) {
       deleteRec(root); dumpDir.mkdirs()
@@ -222,32 +267,50 @@ object Bench {
           |  PRIMARY KEY (`l_orderkey`,`l_linenumber`)
           |)""".stripMargin)
     }
-    val bytes = dumpDir.listFiles().filter(_.getName.endsWith(".sql"))
+    dumpDir
+  }
+
+  /** The cluster-shaped probe: 4× the base corpus again (16× the raw
+    * lineitem text, ~1 GiB at sf0.1) via hardlinks, imported ONCE. Where
+    * the 252 MiB min-of-3 probe measures the steady-state pipeline on a
+    * quiet heap, this one holds enough data that per-table fixed costs
+    * (discovery, DDL parse, Catalyst analysis of the align trees, commit
+    * bookkeeping) are amortized below the noise floor — the regime a
+    * 100 TB table actually runs in. Returns (dump MiB, seconds). */
+  private def ingestXl(spark: SparkSession, sfDir: String): (Double, Double) = {
+    val root = new File("target", s"bench_dump_v3_${math.abs(sfDir.hashCode)}")
+    val dumpDir = ensureDump(spark, sfDir, root)
+    val xlDir = new File(root, "dump_xl")
+    if (!new File(xlDir, "bench.lineitem_bench-schema.sql").exists()) {
+      deleteRec(xlDir); xlDir.mkdirs()
+      val shards = dumpDir.listFiles()
+        .filter(f => f.getName.endsWith(".sql") && !f.getName.contains("schema"))
+        .sortBy(_.getName)
+      for ((src, i) <- Iterator.continually(shards).flatten.take(4 * shards.length).zipWithIndex)
+        java.nio.file.Files.createLink(
+          new File(xlDir, f"bench.lineitem_bench.$i%05d.sql").toPath, src.toPath)
+      java.nio.file.Files.createLink(
+        new File(xlDir, "bench.lineitem_bench-schema.sql").toPath,
+        new File(dumpDir, "bench.lineitem_bench-schema.sql").toPath)
+    }
+    val bytes = xlDir.listFiles().filter(_.getName.endsWith(".sql"))
       .map(_.length()).sum
-    val out = new File(root, "out")
+    val out = new File(root, "out_xl")
     deleteRec(out)
     val cfg = ImportConfig(
-      sourceDir = dumpDir.getAbsolutePath,
+      sourceDir = xlDir.getAbsolutePath,
       outDir = out.getAbsolutePath,
       filter = TableFilter(doTables = Seq(("bench", "lineitem_bench"))),
       checkpointEnabled = false,
       minChunkBytes = 8L * 1024 * 1024,
       observeChecksum = sys.env.get("SPARK_GRAFT_OBSERVE").forall(_ != "0"),
       chunkCheckpoints = sys.env.get("SPARK_GRAFT_CHUNKS").forall(_ != "0"))
-    // min of three runs: the first warms codegen/AQE plans; the min damps
-    // single-JVM noise (GC, JIT recompiles) that otherwise swings ±25%
-    val secs = (1 to 3).map { _ =>
-      deleteRec(out)
-      val t0 = System.nanoTime()
-      val reports = new ImportPipeline(spark, cfg).run()
-      require(reports.nonEmpty && reports.head.rows > 0)
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    val mib = bytes / 1048576.0
-    // no floor check here: the caller compares against IngestFloorMibPerSec
-    // AFTER printing the JSON line (a pre-print require() here erased the
-    // whole round-4 artifact on one environmental dip)
-    (mib, secs)
+    val t0 = System.nanoTime()
+    val reports = new ImportPipeline(spark, cfg).run()
+    require(reports.nonEmpty && reports.head.rows > 0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    deleteRec(out) // ~4 GiB of parquet; don't leave it on disk between rounds
+    (bytes / 1048576.0, secs)
   }
 
   private def deleteRec(f: File): Unit = {
