@@ -77,6 +77,7 @@ object SparkEntry {
     ("txt_quality", Curation.txt_quality _, Some(Curation.txt_quality_sql)),
     ("txt_fingerprint", Curation.txt_fingerprint _, Some(Curation.txt_fingerprint_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
+    ("decontam_overlap", Curation.decontam_overlap _, Some(Curation.decontam_overlap_sql)),
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),
     ("q_stream_dedup", Events.q_stream_dedup _, Some(Events.q_stream_dedup_sql)),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.util.Tables
 
 /** LLM-data-pipeline queries over `documents` / `embeddings`: dedup family,
@@ -597,15 +597,17 @@ object Curation {
   /** IVF-bucketed ANN (rows-only): nprobe-of-nlist probe of the shared
     * index; invariant checks live in `ann_ivf_verify`. */
   def ann_ivf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val q = queryVec(s, dir)
     // top-11 with the query row included: rank 1 is the query itself
-    // (checked by the verify gate), ranks 2..11 are the reported top-10
+    // (pinned by the verify gate), ranks 2..11 are the reported top-10.
+    // The query row is dropped in-plan — the probe stays distributed end
+    // to end instead of bouncing k rows through the driver
     Similarity.ivfProbe(ivfIndexFor(s, dir), "embedding", "vec_id", q,
         k = 11, nprobe = 4)
-      .collect().drop(1)
-      .map(r => (r.getAs[Number](0).longValue, r.getDouble(1)))
-      .toSeq.toDF("vec_id", "score")
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id").cast("long").as("vec_id"), col("score"))
   }
 
   /** IVF verification (constant-row, hash-matched on its invariants): the
@@ -723,4 +725,42 @@ object Curation {
       |  CAST(SUM(greatest(CAST(floor((len - 16) / 64.0) AS BIGINT), 0) + 1)
       |    AS BIGINT) AS total_frames
       |FROM m GROUP BY media_type, format""".stripMargin
+
+  /** Benchmark decontamination (hash-matched): every training doc sharing
+    * ≥1 word-trigram with the deterministic "eval slice" (doc_id % 97 = 0,
+    * ~1% of the corpus standing in for a held-out benchmark), with its
+    * shared/total distinct-gram counts. The Spark side runs entirely in
+    * hash space (gram_hashes kernel + broadcast of the eval gram
+    * universe); DuckDB recomputes the same counts from gram STRINGS — so
+    * the gate simultaneously pins the overlap logic and the kernel's
+    * hash-set semantics. n=3 because this synthetic corpus draws from a
+    * tiny vocabulary; real pipelines use 8-13 (the operator takes n). */
+  def decontam_overlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    Decontam.overlap(
+      train = docs.filter(col("doc_id") % 97 =!= 0),
+      evalCorpus = docs.filter(col("doc_id") % 97 === 0),
+      textCol = "text", idCol = "doc_id", n = 3)
+      .orderBy("doc_id")
+  }
+
+  val decontam_overlap_sql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, $NormSql AS s FROM documents WHERE text IS NOT NULL),
+       |toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(s, ' '), t -> t != '') AS w
+       |  FROM norm),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) = 0 THEN ['']
+       |    ELSE list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+       |           i -> array_to_string(w[i:least(i + 2, len(w))], ' ')) END) AS g
+       |  FROM toks),
+       |ev AS (SELECT DISTINCT unnest(g) AS gr FROM grams WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gr
+       |       FROM grams WHERE doc_id % 97 != 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+       |  CAST(n_grams AS BIGINT) AS n_grams
+       |FROM tr JOIN ev USING (gr)
+       |GROUP BY doc_id, n_grams""".stripMargin
 }
