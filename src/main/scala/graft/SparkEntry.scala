@@ -76,6 +76,8 @@ object SparkEntry {
     ("txt_langid", Curation.txt_langid _, Some(Curation.txt_langid_sql)),
     ("txt_quality", Curation.txt_quality _, Some(Curation.txt_quality_sql)),
     ("txt_fingerprint", Curation.txt_fingerprint _, Some(Curation.txt_fingerprint_sql)),
+    ("txt_collapse", Curation.txt_collapse _, Some(Curation.txt_collapse_sql)),
+    ("txt_paradedup", Curation.txt_paradedup _, Some(Curation.txt_paradedup_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
     ("decontam_overlap", Curation.decontam_overlap _, Some(Curation.decontam_overlap_sql)),
     // streaming surface (SURVEY §2.7)

@@ -108,6 +108,41 @@ object TextAnalysis {
        |            > length($t) THEN 20 ELSE 0 END),
        | 100), 0)""".stripMargin
 
+  /** Intra-document repetition removal, kernel 1: collapse immediate
+    * token repetitions — token i is dropped when it equals token i-1
+    * ("the the", stuttered boilerplate), keeping the first of each run.
+    * A per-row narrow transform: no shuffle, applies to 100 TB as a plain
+    * projection. The paired unit count lets callers filter on the removal
+    * rate (heavy stutter correlates with extraction junk). */
+  def collapseRepeatTokens(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    // element_at is 1-based, the lambda index 0-based, so element_at(toks,
+    // i) IS the previous token; the when-guard keeps index 0 out of ANSI
+    // element_at (If evaluates only the taken branch)
+    array_join(
+      filter(toks, (t, i) =>
+        when(i === 0, lit(true)).otherwise(t =!= element_at(toks, i))),
+      " ")
+  }
+
+  /** Intra-document repetition removal, kernel 2: first-occurrence unit
+    * dedup — split on a unit separator (default: blank-line paragraphs),
+    * drop any unit that already occurred earlier in the SAME document
+    * (navigation chrome, repeated footers, duplicated paragraphs), keep
+    * original order, re-join. Exact-match at unit granularity; near-dup
+    * paragraph removal is the MinHash family's job at corpus scale.
+    * Per-row O(units²) string compares — units per doc is tens, not
+    * thousands, so the transform stays narrow and codegen-friendly. */
+  def dedupeUnits(text: Column, sepRegex: String = "\\n{2,}",
+      joiner: String = "\n\n"): Column = {
+    val units = filter(split(text, sepRegex), u => trim(u) =!= "")
+    // array_position = 1-based FIRST index of the value → keeps exactly
+    // the first occurrence of each distinct unit, in document order
+    array_join(
+      filter(units, (u, i) => array_position(units, u) === i + 1),
+      joiner)
+  }
+
   /** Rolling-hash document fingerprint: polynomial base-31 over the chars
     * of the normalized text, mod the largest prime < 2^57 (so `acc*31 + c`
     * never exceeds a signed long under ANSI overflow checking) —

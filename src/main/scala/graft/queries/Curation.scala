@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Decontam, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.util.Tables
@@ -725,6 +725,74 @@ object Curation {
       |  CAST(SUM(greatest(CAST(floor((len - 16) / 64.0) AS BIGINT), 0) + 1)
       |    AS BIGINT) AS total_frames
       |FROM m GROUP BY media_type, format""".stripMargin
+
+  /** Repetition removal, token level (hash-matched): collapse immediate
+    * token repetitions per document; output before/after token counts and
+    * the md5 of the cleaned text so the oracle pins the exact output
+    * string, not just the counts. */
+  def txt_collapse(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("_clean", TextAnalysis.collapseRepeatTokens(col("text")))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.tokenCount(col("_clean")).cast("long").as("n_kept"),
+        md5(col("_clean")).as("clean_fp"))
+
+  val txt_collapse_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    list_filter(w, (x, i) -> i = 1 OR x != w[i-1]) AS cw
+      |  FROM t)
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(cw) AS BIGINT) AS n_kept,
+      |  md5(array_to_string(cw, ' ')) AS clean_fp
+      |FROM c""".stripMargin
+
+  /** Repetition removal, paragraph level (hash-matched): the corpus has no
+    * paragraph structure, so BOTH engines synthesize the same paragraphed
+    * document (slice1 ‖ slice2 ‖ slice1-again) and the gate pins
+    * `dedupeUnits` dropping the repeated slice — plus the blank-unit edge
+    * (docs shorter than 80 chars make slice2 empty). */
+  def txt_paradedup(s: SparkSession, dir: String): DataFrame = {
+    val para = lit("\n\n")
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("_p", concat(
+        substring(col("text"), 1, 80), para,
+        substring(col("text"), 81, 80), para,
+        substring(col("text"), 1, 80)))
+      .withColumn("_clean", TextAnalysis.dedupeUnits(col("_p")))
+    def nUnits(c: Column) =
+      size(filter(split(c, "\\n{2,}"), u => trim(u) =!= "")).cast("long")
+    docs.select(col("doc_id"),
+      nUnits(col("_p")).as("n_units"),
+      nUnits(col("_clean")).as("n_kept"),
+      md5(col("_clean")).as("clean_fp"))
+  }
+
+  val txt_paradedup_sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 80) || chr(10) || chr(10) ||
+      |    substr(text, 81, 80) || chr(10) || chr(10) ||
+      |    substr(text, 1, 80) AS para
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(para, '\n{2,}'),
+      |      x -> trim(x) != '') AS units
+      |  FROM p),
+      |c AS (
+      |  SELECT doc_id, units,
+      |    list_filter(units, (x, i) -> list_position(units, x) = i) AS kept
+      |  FROM u)
+      |SELECT doc_id, CAST(len(units) AS BIGINT) AS n_units,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  md5(array_to_string(kept, chr(10) || chr(10))) AS clean_fp
+      |FROM c""".stripMargin
 
   /** Benchmark decontamination (hash-matched): every training doc sharing
     * ≥1 word-trigram with the deterministic "eval slice" (doc_id % 97 = 0,

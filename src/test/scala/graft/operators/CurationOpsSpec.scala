@@ -277,4 +277,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(4L))
   }
+
+  test("collapseRepeatTokens drops immediate repeats, keeps distant ones") {
+    val rows = Seq(
+      (1L, "the the quick quick quick fox"),
+      (2L, "a b a b"),            // alternation is NOT a repeat run
+      (3L, "  spaced   out  out "),
+      (4L, "solo"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.collapseRepeatTokens(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "the quick fox")
+    assert(rows(2L) === "a b a b")
+    assert(rows(3L) === "spaced out")
+    assert(rows(4L) === "solo")
+    assert(rows(5L) === "")
+  }
+
+  test("dedupeUnits keeps the first occurrence of each paragraph, in order") {
+    val doc = "intro text\n\nbody A\n\nintro text\n\nbody B\n\n\n\nbody A"
+    val out = Seq((1L, doc)).toDF("doc_id", "text")
+      .select(TextAnalysis.dedupeUnits(col("text")).as("c"))
+      .collect()(0).getString(0)
+    assert(out === "intro text\n\nbody A\n\nbody B")
+  }
 }
