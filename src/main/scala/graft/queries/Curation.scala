@@ -794,6 +794,55 @@ object Curation {
       |  md5(array_to_string(kept, chr(10) || chr(10))) AS clean_fp
       |FROM c""".stripMargin
 
+  /** Sequence packing (hash-matched): the corpus packed into ≤256-token
+    * training sequences across 8 md5-derived buckets in md5-shuffle order
+    * — every engine-portable ingredient (bucket, order, token count) is
+    * derived from md5(doc_id) / the txt_tokens formula, so DuckDB replays
+    * the EXACT greedy next-fit walk with a recursive CTE and the oracle
+    * pins every (doc → bucket, seq, pos) assignment, not just aggregates.
+    * The production overload uses xxhash64 for both hash roles; the walk
+    * logic under test is identical. */
+  def pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Packing.packSequences(docs, "doc_id", "n_tokens",
+        bucketCol = ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 8,
+        ordCol = md5(col("doc_id").cast("string")),
+        budget = 256L)
+      .toDF().orderBy("doc_id")
+  }
+
+  val pack_sequences_sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> t != '')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord,
+      |    CAST(unicode(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 8 AS INT)
+      |      AS bucket
+      |  FROM documents WHERE text IS NOT NULL),
+      |ordered AS (
+      |  SELECT doc_id, n_tokens, bucket,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ord, doc_id) AS rn
+      |  FROM toks),
+      |walk AS (
+      |  SELECT doc_id, bucket, rn, CAST(0 AS BIGINT) AS seq,
+      |    CAST(0 AS BIGINT) AS pos, n_tokens, n_tokens AS fill
+      |  FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.doc_id, o.bucket, o.rn,
+      |    CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 256
+      |         THEN w.seq + 1 ELSE w.seq END,
+      |    CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 256
+      |         THEN CAST(0 AS BIGINT) ELSE w.pos + 1 END,
+      |    o.n_tokens,
+      |    CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 256
+      |         THEN o.n_tokens ELSE w.fill + o.n_tokens END
+      |  FROM walk w JOIN ordered o
+      |    ON o.bucket = w.bucket AND o.rn = w.rn + 1)
+      |SELECT doc_id, bucket, seq, pos, n_tokens FROM walk""".stripMargin
+
   /** Benchmark decontamination (hash-matched): every training doc sharing
     * ≥1 word-trigram with the deterministic "eval slice" (doc_id % 97 = 0,
     * ~1% of the corpus standing in for a held-out benchmark), with its
