@@ -81,6 +81,7 @@ object SparkEntry {
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
     ("decontam_overlap", Curation.decontam_overlap _, Some(Curation.decontam_overlap_sql)),
     ("pack_sequences", Curation.pack_sequences _, Some(Curation.pack_sequences_sql)),
+    ("curation_pipeline", Curation.curation_pipeline _, Some(Curation.curation_pipeline_sql)),
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),
     ("q_stream_dedup", Events.q_stream_dedup _, Some(Events.q_stream_dedup_sql)),

@@ -843,6 +843,123 @@ object Curation {
       |    ON o.bucket = w.bucket AND o.rn = w.rn + 1)
       |SELECT doc_id, bucket, seq, pos, n_tokens FROM walk""".stripMargin
 
+  /** The flagship composition (hash-matched end-to-end): one pass of the
+    * full curation stack a pre-training corpus goes through —
+    *
+    *   repetition cleanup → language + quality filter → exact dedup →
+    *   benchmark decontamination → deterministic shuffle + sequence packing
+    *
+    * — every stage one of this library's operators, every stage already
+    * individually oracle-pinned, and the composed output (each surviving
+    * doc's bucket/sequence/position assignment) replayed bit-for-bit by
+    * one DuckDB query. This is the "a user could run their whole pipeline
+    * on it" proof: stages chain as DataFrames with no materialization
+    * between them, so Catalyst fuses the narrow stages and the only
+    * shuffles are the dedup window, the decontam count, and the packing
+    * bucket exchange. */
+  def curation_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    // 1. repetition cleanup (quality judges the RAW doc; cleanup feeds
+    //    everything downstream)
+    val cleaned = docs.select(col("doc_id"), col("lang"), col("text"),
+      TextAnalysis.collapseRepeatTokens(col("text")).as("ctext"))
+    // 2. keep labeled-English docs of quality ≥ 80
+    val kept = cleaned
+      .filter(col("lang") === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 80)
+      .select(col("doc_id"), col("ctext"))
+    // 3. exact dedup on the cleaned content fingerprint (keep lowest id)
+    val deduped = Dedup.exact(
+        kept.withColumn("fp", Dedup.fingerprint(col("ctext"))),
+        col("fp"), col("doc_id"))
+      .select(col("doc_id"), col("ctext"))
+    // 4. decontamination: the corpus' own doc_id % 97 slice stands in for
+    //    the benchmark; any-hit policy (≥1 shared trigram drops the doc)
+    val evalSlice = deduped.filter(col("doc_id") % 97 === 0)
+    val train = deduped.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = Decontam.overlap(train, evalSlice, "ctext", "doc_id", n = 3)
+      .select("doc_id")
+    val survivors = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. token counts on the normalized cleaned text, then packed into
+    //    ≤256-token sequences in md5-shuffle order (engine-portable hash
+    //    roles, same as the pack_sequences gate)
+    val counted = survivors.select(col("doc_id"),
+      TextAnalysis.tokenCount(Dedup.normalized(col("ctext")))
+        .cast("long").as("n_tokens"))
+    graft.operators.Packing.packSequences(counted, "doc_id", "n_tokens",
+        bucketCol = ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 8,
+        ordCol = md5(col("doc_id").cast("string")),
+        budget = 256L)
+      .toDF().orderBy("doc_id")
+  }
+
+  val curation_pipeline_sql: String = {
+    val quality = TextAnalysis.qualityScoreSql("c.text")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, lang, text,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |cleaned AS (
+       |  SELECT doc_id, lang, text,
+       |    array_to_string(list_filter(w, (x, i) -> i = 1 OR x != w[i-1]), ' ') AS ctext
+       |  FROM base),
+       |kept AS (
+       |  SELECT doc_id, ctext FROM cleaned c
+       |  WHERE c.lang = 'en' AND $quality >= 80),
+       |norm AS (
+       |  SELECT doc_id, ctext,
+       |    trim(regexp_replace(regexp_replace(lower(ctext),
+       |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS s
+       |  FROM kept),
+       |deduped AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT doc_id, s,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(s) ORDER BY doc_id) AS rn
+       |    FROM norm) WHERE rn = 1),
+       |toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(s, ' '), t -> t != '') AS tk
+       |  FROM deduped),
+       |grams AS (
+       |  SELECT doc_id, len(tk) AS n_tokens, list_distinct(
+       |    CASE WHEN len(tk) = 0 THEN ['']
+       |    ELSE list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+       |           i -> array_to_string(tk[i:least(i + 2, len(tk))], ' ')) END) AS g
+       |  FROM toks),
+       |ev AS (SELECT DISTINCT unnest(g) AS gr FROM grams WHERE doc_id % 97 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM
+       |    (SELECT doc_id, unnest(g) AS gr FROM grams WHERE doc_id % 97 != 0) t
+       |    JOIN ev USING (gr)),
+       |train AS (
+       |  SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       |    md5(CAST(g.doc_id AS VARCHAR)) AS ord,
+       |    CAST(unicode(substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1)) % 8 AS INT)
+       |      AS bucket
+       |  FROM grams g
+       |  WHERE g.doc_id % 97 != 0
+       |    AND g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |ordered AS (
+       |  SELECT doc_id, n_tokens, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ord, doc_id) AS rn
+       |  FROM train),
+       |walk AS (
+       |  SELECT doc_id, bucket, rn, CAST(0 AS BIGINT) AS seq,
+       |    CAST(0 AS BIGINT) AS pos, n_tokens, n_tokens AS fill
+       |  FROM ordered WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.doc_id, o.bucket, o.rn,
+       |    CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 256
+       |         THEN w.seq + 1 ELSE w.seq END,
+       |    CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 256
+       |         THEN CAST(0 AS BIGINT) ELSE w.pos + 1 END,
+       |    o.n_tokens,
+       |    CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 256
+       |         THEN o.n_tokens ELSE w.fill + o.n_tokens END
+       |  FROM walk w JOIN ordered o
+       |    ON o.bucket = w.bucket AND o.rn = w.rn + 1)
+       |SELECT doc_id, bucket, seq, pos, n_tokens FROM walk""".stripMargin
+  }
+
   /** Benchmark decontamination (hash-matched): every training doc sharing
     * ≥1 word-trigram with the deterministic "eval slice" (doc_id % 97 = 0,
     * ~1% of the corpus standing in for a held-out benchmark), with its
