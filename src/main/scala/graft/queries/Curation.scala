@@ -856,7 +856,12 @@ object Curation {
     * on it" proof: stages chain as DataFrames with no materialization
     * between them, so Catalyst fuses the narrow stages and the only
     * shuffles are the dedup window, the decontam count, and the packing
-    * bucket exchange. */
+    * bucket exchange. (Plan note: the deduped lineage feeds both the
+    * survivors branch and the contaminated-id subquery — the dedup
+    * window appears twice in the static plan; exchange reuse collapses
+    * it at runtime when canonical forms match, and a 100 TB run would
+    * scratch-checkpoint `deduped` between the stages exactly as
+    * `dedup_ngram` does its pair set.) */
   def curation_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
     // 1. repetition cleanup (quality judges the RAW doc; cleanup feeds
