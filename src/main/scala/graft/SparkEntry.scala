@@ -77,6 +77,7 @@ object SparkEntry {
     ("txt_quality", Curation.txt_quality _, Some(Curation.txt_quality_sql)),
     ("txt_fingerprint", Curation.txt_fingerprint _, Some(Curation.txt_fingerprint_sql)),
     ("txt_collapse", Curation.txt_collapse _, Some(Curation.txt_collapse_sql)),
+    ("txt_rarity", Curation.txt_rarity _, Some(Curation.txt_rarity_sql)),
     ("txt_paradedup", Curation.txt_paradedup _, Some(Curation.txt_paradedup_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
     ("decontam_overlap", Curation.decontam_overlap _, Some(Curation.decontam_overlap_sql)),

@@ -843,6 +843,36 @@ object Curation {
       |    ON o.bucket = w.bucket AND o.rn = w.rn + 1)
       |SELECT doc_id, bucket, seq, pos, n_tokens FROM walk""".stripMargin
 
+  /** Corpus-frequency rarity profile (hash-matched): per-doc distinct
+    * trigram count, hapax count (grams unique to the doc corpus-wide),
+    * total and minimum corpus document-frequency — the whole-corpus
+    * quality signal (integer-only, so DuckDB recomputes it exactly from
+    * gram strings while Spark runs in kernel-hash space). */
+  def txt_rarity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.gramRarity(
+        Tables.load(s, dir, "documents"), "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+
+  val txt_rarity_sql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, $NormSql AS s FROM documents WHERE text IS NOT NULL),
+       |toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(s, ' '), t -> t != '') AS tk
+       |  FROM norm),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(tk) = 0 THEN ['']
+       |    ELSE list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+       |           i -> array_to_string(tk[i:least(i + 2, len(tk))], ' ')) END)) AS gr
+       |  FROM toks),
+       |freq AS (SELECT gr, count(*) AS f FROM grams GROUP BY gr)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  CAST(sum(f) AS BIGINT) AS freq_sum,
+       |  CAST(min(f) AS BIGINT) AS min_freq
+       |FROM grams JOIN freq USING (gr)
+       |GROUP BY doc_id""".stripMargin
+
   /** The flagship composition (hash-matched end-to-end): one pass of the
     * full curation stack a pre-training corpus goes through —
     *

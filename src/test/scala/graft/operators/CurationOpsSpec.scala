@@ -296,6 +296,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows(5L) === "")
   }
 
+  test("gramRarity counts hapax and corpus frequencies per doc") {
+    val corpus = Seq(
+      (1L, "a b c"),        // gram "a b c" appears in docs 1 and 2
+      (2L, "a b c"),
+      (3L, "x y z"),        // hapax gram
+      (4L, null: String)    // excluded
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.gramRarity(corpus, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((1L, 0L, 2L, 2L))) // 1 gram, 0 hapax, freq 2
+    assert(out(2L) === ((1L, 0L, 2L, 2L)))
+    assert(out(3L) === ((1L, 1L, 1L, 1L))) // its gram is corpus-unique
+    assert(!out.contains(4L))
+  }
+
   test("dedupeUnits keeps the first occurrence of each paragraph, in order") {
     val doc = "intro text\n\nbody A\n\nintro text\n\nbody B\n\n\n\nbody A"
     val out = Seq((1L, doc)).toDF("doc_id", "text")
