@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{Crc64Expr, GramHashes, LaneAgreement, LanesXxHash, MinhashSigs, MinhashSigsPacked, PackVec, PackedDot, PackedSketch, Simhash64}
+import graft.functions.{Crc64Expr, GramHashes, LaneAgreement, LanesXxHash, MinhashSigs, MinhashSigsPacked, PackVec, PackedDot, PackedSketch, PqAdc, PqEncode, Simhash64}
 
 /** §2.8 extension seam: graft's native Catalyst expressions as SQL
   * functions. Two entry points:
@@ -79,7 +79,18 @@ object GraftExtensions {
     (FunctionIdentifier("lane_agreement"),
       info("lane_agreement", "lane_agreement(binary, binary) - count of " +
         "equal 8-byte lanes between two packed signatures"),
-      (args: Seq[Expression]) => LaneAgreement(args(0), args(1))))
+      (args: Seq[Expression]) => LaneAgreement(args(0), args(1))),
+    (FunctionIdentifier("pq_encode"),
+      info("pq_encode", "pq_encode(packed_vec, codebook, m, k) - product-" +
+        "quantization codes (m bytes) of a packed vector against a packed " +
+        "m*k*(dim/m)-double codebook"),
+      (args: Seq[Expression]) => PqEncode(args(0), args(1),
+        litInt(args(2), "m"), litInt(args(3), "k"))),
+    (FunctionIdentifier("pq_adc"),
+      info("pq_adc", "pq_adc(codes, table, k) - asymmetric-distance score: " +
+        "sum of the query's precomputed per-subspace dots selected by each " +
+        "code byte"),
+      (args: Seq[Expression]) => PqAdc(args(0), args(1), litInt(args(2), "k"))))
 
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

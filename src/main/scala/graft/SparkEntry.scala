@@ -71,6 +71,8 @@ object SparkEntry {
     ("ann_lsh", Curation.ann_lsh _, None),
     ("ann_ivf", Curation.ann_ivf _, None),
     ("ann_ivf_verify", Curation.ann_ivf_verify _, Some(Curation.ann_ivf_verify_sql)),
+    ("ann_pq", Curation.ann_pq _, None),
+    ("ann_pq_verify", Curation.ann_pq_verify _, Some(Curation.ann_pq_verify_sql)),
     ("ann_lsh_verify", Curation.ann_lsh_verify _, Some(Curation.ann_lsh_verify_sql)),
     ("txt_tokens", Curation.txt_tokens _, Some(Curation.txt_tokens_sql)),
     ("txt_langid", Curation.txt_langid _, Some(Curation.txt_langid_sql)),

@@ -61,4 +61,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getInt(2) === 4)
     assert(row.getInt(3) >= 0 && row.getInt(3) < 4)
   }
+
+  test("registered SQL PQ kernels: pq_encode, pq_adc") {
+    GraftExtensions.register(spark)
+    val cb = graft.functions.VecOps.packDoubles(
+      Array(0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 5.0, 5.0))
+    val q = Array(0.3, -0.7, 1.1, 0.2)
+    val table = graft.functions.PqOps.adcTable(q, cb, 2, 2)
+    spark.createDataFrame(Seq(Tuple1(Array(0.9, 1.1, 2.4, 1.9))))
+      .toDF("v").createOrReplaceTempView("pq_in")
+    val row = spark.sql(
+      """SELECT pq_encode(pack_vec(v), cb, 2, 2) AS codes,
+        |       pq_adc(pq_encode(pack_vec(v), cb, 2, 2), t, 2) AS score
+        |FROM pq_in CROSS JOIN (SELECT CAST(null AS BINARY) AS ignore)
+        |""".stripMargin.replace("cb,", "X'" +
+          cb.map("%02x".format(_)).mkString + "',")
+        .replace("t,", "X'" + table.map("%02x".format(_)).mkString + "',"))
+      .collect()(0)
+    val codes = row.getAs[Array[Byte]](0)
+    assert(codes.toSeq === Seq(1.toByte, 0.toByte))
+    assert(math.abs(row.getDouble(1) -
+      graft.functions.PqOps.adc(codes, table, 2)) < 1e-12)
+  }
 }
