@@ -171,33 +171,36 @@ object Similarity {
     transform(v, x => x / n)
   }
 
+  /** Train the codebooks on a driver-side sample (the faiss shape: PQ
+    * training input is CAPPED by construction — `trainSampleCap` vectors,
+    * picked deterministically by id-hash order, cover the distribution as
+    * well as the corpus does for 16-dim subspace cells — while the encode
+    * pass over the full corpus stays a distributed kernel projection).
+    * All m subspace k-means runs are plain seeded Lloyd loops over ≤ a
+    * few MB of floats: microseconds of driver CPU versus m full Spark
+    * KMeans jobs, and byte-for-byte reproducible. */
   def pqIndex(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
-      k: Int = 16, trainOn: Option[DataFrame] = None): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      k: Int = 16, trainOn: Option[DataFrame] = None,
+      trainSampleCap: Int = 4096): PqIndex = {
     import graft.functions.{PqExpressions, VecExpressions, VecOps}
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     require(k <= 256, s"one-byte codes cap k at 256, got $k")
     val sub = dim / m
-    val train = trainOn.getOrElse(df)
-      .select(normalizedVec(col(vecCol)).as("_v"))
+    val sample = trainOn.getOrElse(df)
+      .select(col(idCol), normalizedVec(col(vecCol)).as("_v"))
       .filter(!exists(col("_v"), x => isnan(x)))
-      .persist()
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(trainSampleCap)
+      .select("_v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
     val centroids = new Array[Double](m * k * sub)
     for (j <- 0 until m) {
-      val model = new KMeans().setK(k).setSeed(42L + j).setMaxIter(10)
-        .setInitMode("random").setFeaturesCol("_fv").setPredictionCol("_cell")
-        .fit(train.select(
-          array_to_vector(slice(col("_v"), j * sub + 1, sub)).as("_fv")))
-      val cs = model.clusterCenters
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      val cs = lloyd(pts, k, iters = 10, seed = 42L + j)
       for (c <- 0 until k; i <- 0 until sub)
-        // k-means can return < k centers on degenerate data; padding with
-        // center 0 keeps the code domain dense (argmin then prefers the
-        // lower index, so padded slots are simply never emitted)
-        centroids((j * k + c) * sub + i) = cs(math.min(c, cs.length - 1))(i)
+        centroids((j * k + c) * sub + i) = cs(c)(i)
     }
-    train.unpersist()
     val cb = VecOps.packDoubles(centroids)
     val encoded = df
       .select(col(idCol), VecExpressions.packVec(normalizedVec(col(vecCol)))
@@ -205,6 +208,50 @@ object Similarity {
       .select(col(idCol),
         PqExpressions.pqEncode(col("_pv"), lit(cb), m, k).as("_codes"))
     PqIndex(cb, m, k, encoded)
+  }
+
+  /** Seeded Lloyd k-means over a driver-local point set: deterministic
+    * shuffled-init (distinct points first), empty cells re-seeded from
+    * the farthest point of the largest cell. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(pts.indices.toList).take(k)
+    val centers = Array.tabulate(math.min(k, pts.length))(c => pts(init(c)).clone)
+      .padTo(k, pts(0).clone)
+    val assign = new Array[Int](pts.length)
+    for (_ <- 0 until iters) {
+      var p = 0
+      while (p < pts.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < pts(p).length) {
+            val x = pts(p)(i) - centers(c)(i); d += x * x; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](pts(0).length))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < pts.length) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < pts(p).length) { sums(c)(i) += pts(p)(i); i += 1 }
+        p += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until sums(c).length)
+        centers(c)(i) = sums(c)(i) / counts(c)
+      // empty cell: steal a deterministic point so the code domain stays live
+      for (c <- 0 until k if counts(c) == 0)
+        centers(c) = pts(rnd.nextInt(pts.length)).clone
+    }
+    centers
   }
 
   /** ADC scan of a PqIndex: one m×k literal table, m byte-lookups per
