@@ -15,6 +15,7 @@ import graft.sources.{MydumpDiscovery, MysqlDdl, RouteRule, TableFilter}
   *   import          --source DIR --out DIR [--strict] [--no-checkpoint]
   *                   [--continue-on-error] [--checkpoint-url JDBC_URL]
   *                   [--filter db.tbl ...] [--route src.tbl=dst.tbl ...]
+  *                   [--bucket-by N:col1,col2]
   *   checkpoint-dump --source DIR --out DIR            (CSV to stdout)
   *   checkpoint-remove --out DIR --table db.tbl
   *   checkpoint-destroy --out DIR [--table db.tbl ...] (failed tables:
@@ -65,7 +66,7 @@ object Main {
 
   private val KnownOpts = Set("source", "out", "strict", "no-checkpoint",
     "continue-on-error", "filter", "route", "table", "port", "bind",
-    "checkpoint-url")
+    "checkpoint-url", "bucket-by")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
@@ -116,7 +117,17 @@ object Main {
       routes = routes,
       checkpointEnabled = o("no-checkpoint").isEmpty,
       checkpointUrl = one("checkpoint-url"),
-      continueOnError = o("continue-on-error").nonEmpty)
+      continueOnError = o("continue-on-error").nonEmpty,
+      // --bucket-by N:col1,col2 → bucketed+sorted parquet output (see
+      // ImportConfig.bucketBy); malformed specs fail loudly, not silently
+      bucketBy = one("bucket-by").map { spec =>
+        spec.split(":", 2) match {
+          case Array(n, cols) if n.matches("\\d+") && cols.nonEmpty =>
+            (n.toInt, cols.split(",").toSeq)
+          case _ => sys.error(
+            s"--bucket-by expects N:col1[,col2...], got '$spec'")
+        }
+      })
   }
 
   /** ctl commands honour the same --checkpoint-url driver selection as

@@ -81,6 +81,15 @@ final case class ImportConfig(
     // count + size feed CBO join planning); the JDBC sink issues the
     // target database's own ANALYZE.
     postAnalyze: Boolean = true,
+    // bucketed parquet output (Some(numBuckets, bucketCols)): the table is
+    // written via saveAsTable with Spark bucketing + per-bucket sort on
+    // the same columns, so every downstream join/aggregate keyed on them
+    // is EXCHANGE-FREE — the 100 TB co-located-join shape (pre-shuffle
+    // once at import, never again). Bucketing implies catalog
+    // registration (bucket metadata lives in the catalog) and table-level
+    // commits (bucket files are one transactional write; chunk-staged
+    // appends cannot preserve the bucket layout).
+    bucketBy: Option[(Int, Seq[String])] = None,
     // error policy (reference errorSummaries, restore.go:89-129): false =
     // raise on first table failure; true = record the failure, keep
     // importing the remaining tables, and emit a per-table error summary
@@ -266,7 +275,8 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       case j: JdbcSink => j.idempotentReplay && table.hasReplayKey
       case _ => false
     }
-    if (cfg.chunkCheckpoints && !cfg.exactRowIds && chunkable)
+    if (cfg.chunkCheckpoints && !cfg.exactRowIds && chunkable &&
+        cfg.bucketBy.isEmpty)
       return restoreByChunks(t, table, fp)
     // ONE data pass: parse→align→row-id→sink write, with row count +
     // checksum triple riding along as df.observe metrics (accumulator
@@ -304,7 +314,13 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         withKv.observe(obs, metrics.head, metrics.tail: _*)
           .drop(KvEncode.observeHelperCols(table): _*)
       } else finalDf.observe(obs, count(lit(1)).as("rows"))
-    val res = theSink.write(observed, t.db, t.table)
+    val res = (cfg.bucketBy, theSink) match {
+      case (Some((n, bcols)), p: ParquetSink) =>
+        p.writeBucketed(observed, t.db, t.table, n, bcols)
+      case (Some(_), other) => sys.error(
+        s"bucketBy requires the parquet sink, got ${other.getClass.getSimpleName}")
+      case _ => theSink.write(observed, t.db, t.table)
+    }
     val m = obs.get
     def metric(k: String): Long = m.get(k) match {
       case Some(l: java.lang.Long) => l.longValue
@@ -330,10 +346,14 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     if (cfg.checkpointEnabled)
       log.write(TableState(t.db, t.table, "imported", rows, dcs, dbytes,
         dkvs, fp, cfg.jobTsMicros))
-    if (cfg.registerInCatalog) res.outputPath.foreach { path =>
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
-      spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table), path))
-    }
+    // bucketed writes registered themselves via saveAsTable (the bucket
+    // metadata only exists as a catalog property); replaying the DDL here
+    // would strip it
+    if (cfg.registerInCatalog && cfg.bucketBy.isEmpty)
+      res.outputPath.foreach { path =>
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
+        spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table), path))
+      }
     postAnalyze(t)
     TableReport(t.db, t.table, rows, dcs, dbytes, dkvs, resumedSkip = false)
   }
@@ -344,7 +364,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
   private def postAnalyze(t: TablePlan): Unit =
     if (cfg.postAnalyze) theSink match {
       case j: JdbcSink => j.analyze(t.db, t.table)
-      case _: ParquetSink if cfg.registerInCatalog =>
+      case _: ParquetSink if cfg.registerInCatalog || cfg.bucketBy.nonEmpty =>
         spark.sql(s"ANALYZE TABLE `${t.db}`.`${t.table}` COMPUTE STATISTICS")
       case _ => () // no catalog entry to attach stats to (backend opts out,
                    // reference ShouldPostProcess==false path)

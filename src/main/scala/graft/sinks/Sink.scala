@@ -40,6 +40,29 @@ final class ParquetSink(rootDir: String,
     WriteResult(s"$db.$table", rows, Some(path))
   }
 
+  /** Bucketed write (the co-located-join output shape): Spark bucketing +
+    * per-bucket sort on `bucketCols` via saveAsTable — every downstream
+    * join/aggregate keyed on those columns reads the bucket layout from
+    * the catalog and plans with NO exchange and NO sort. The price: one
+    * transactional write per table (no chunk-staged appends — enforced by
+    * the pipeline), and the table must live in the session catalog, since
+    * plain `spark.read.parquet` cannot see bucket metadata. */
+  def writeBucketed(df: DataFrame, db: String, table: String,
+      buckets: Int, bucketCols: Seq[String]): WriteResult = {
+    require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    val path = s"$rootDir/$db/$table"
+    val spark = df.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(s"`$db`.`$table`")
+    WriteResult(s"$db.$table", -1L, Some(path))
+  }
+
   /** Chunk-granular write: append into the table directory (part-file
     * names are job-unique, so chunks never collide). Caller owns clearing
     * the directory on a fresh import. */

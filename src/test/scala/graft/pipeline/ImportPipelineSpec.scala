@@ -57,6 +57,31 @@ class ImportPipelineSpec extends SparkSpec {
       reports.map(r => r.table -> r.dataChecksum).toMap)
   }
 
+  test("bucketed output: joins on the bucket key plan with no exchange") {
+    val out = freshOut()
+    val cfg = ImportConfig(
+      sourceDir = fixture("mydump"),
+      outDir = out,
+      filter = TableFilter(doTables = Seq(("mdb", "items"))),
+      bucketBy = Some((4, Seq("item_id"))))
+    val reports = new ImportPipeline(spark, cfg).run()
+    assert(reports.map(_.rows) === Seq(5))
+    // bucket layout is catalog metadata: spark.table sees it
+    val t = spark.table("mdb.items")
+    assert(t.count() === 5)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = t.as("a").join(t.as("b"), "item_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed self-join must not shuffle:\n$plan")
+      assert(joined.count() === 5)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS mdb.items")
+  }
+
   test("no-schema mode: schemaless data files use the provided catalog") {
     val src = java.nio.file.Files.createTempDirectory("graft-ns").toFile
     java.nio.file.Files.writeString(
