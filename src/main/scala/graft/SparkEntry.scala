@@ -87,6 +87,7 @@ object SparkEntry {
     ("curation_pipeline", Curation.curation_pipeline _, Some(Curation.curation_pipeline_sql)),
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),
+    ("q_stream_decontam", Curation.q_stream_decontam _, Some(Curation.q_stream_decontam_sql)),
     ("q_stream_dedup", Events.q_stream_dedup _, Some(Events.q_stream_dedup_sql)),
     ("q_sessionize", Events.q_sessionize _, Some(Events.q_sessionize_sql)),
     ("q_json", Events.q_json _, Some(Events.q_json_sql)),

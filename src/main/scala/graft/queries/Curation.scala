@@ -962,6 +962,54 @@ object Curation {
        |FROM grams JOIN freq USING (gr)
        |GROUP BY doc_id""".stripMargin
 
+  /** Streaming decontamination (hash-matched): the documents table
+    * replayed as a file stream, every arriving doc flagged against the
+    * eval slice's gram universe — the continuous-curation twin of
+    * `decontam_overlap` (same grams, same any-hit policy), stateless in
+    * the stream (no watermark, no store, no shuffle). The oracle is the
+    * batch semantics, which the drained stream must reproduce exactly. */
+  def q_stream_decontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val docs = Tables.load(s, dir, "documents")
+    val evalGrams = docs
+      .filter(col("doc_id") % 97 === 0 && col("text").isNotNull)
+      .select(explode(graft.functions.SketchExpressions.gramHashes(
+        Dedup.normalized(col("text")), 3)).as("_g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val root = new java.io.File("target", "qtmp_stream")
+    val fixture = DocStream.ensureStreamFixture(s,
+      s"$dir/documents.parquet", root)
+    val cp = new java.io.File(root, s"cp_decontam_${math.abs(dir.hashCode)}")
+    val out = new java.io.File(root, s"out_decontam_${math.abs(dir.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(cp); deleteRec(out)
+    DocStream.decontamFlags(s, fixture.getAbsolutePath, out.getAbsolutePath,
+        cp.getAbsolutePath, evalGrams, n = 3)
+      .orderBy("doc_id")
+  }
+
+  val q_stream_decontam_sql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, $NormSql AS s FROM documents WHERE text IS NOT NULL),
+       |toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(s, ' '), t -> t != '') AS tk
+       |  FROM norm),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(tk) = 0 THEN ['']
+       |    ELSE list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+       |           i -> array_to_string(tk[i:least(i + 2, len(tk))], ' ')) END) AS g
+       |  FROM toks),
+       |ev AS (SELECT DISTINCT unnest(g) AS gr FROM grams WHERE doc_id % 97 = 0)
+       |SELECT g.doc_id,
+       |  CAST(CASE WHEN EXISTS (
+       |    SELECT 1 FROM ev WHERE list_contains(g.g, ev.gr)) THEN 1 ELSE 0 END
+       |    AS INT) AS contaminated
+       |FROM grams g""".stripMargin
+
   /** The flagship composition (hash-matched end-to-end): one pass of the
     * full curation stack a pre-training corpus goes through —
     *
