@@ -156,7 +156,13 @@ object SchemaAlign {
     * determinism (reference pins SessionOptions.Timestamp,
     * restore.go:1323,1759). */
   def defaultExpr(mc: MysqlColumn, jobTsMicros: Long): Column =
-    mc.default match {
+    // an AUTO_INCREMENT column's "default" IS the allocator: align leaves
+    // it NULL and the pipeline coalesces the allocated row-id over it
+    // (reference restore.go:1363-1406 initializeColumns + AllocateAutoID,
+    // tests/default-columns: `u(xx INT UNIQUE AUTO_INCREMENT)` loaded from
+    // INSERT statements that only carry `yy`)
+    if (mc.autoIncrement) lit(null).cast(mc.sparkType)
+    else mc.default match {
       case Some(d) if d.equalsIgnoreCase("CURRENT_TIMESTAMP") ||
                       d.equalsIgnoreCase("NOW()") =>
         timestamp_micros(lit(jobTsMicros)).cast(mc.sparkType)

@@ -297,7 +297,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
           capacityFor = sz => sz + 1)
     // explicit `_tidb_rowid` from the file overrides the synthesized id
     // (reference restore.go:1363-1406, tests/tidb_rowid/)
-    val withId = withColumnRowIdOverride(withId0)
+    val withId = withAutoIncFill(withColumnRowIdOverride(withId0), table)
     val finalDf = withId.select(
       (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
     // _row_id is persisted (the `_tidb_rowid` analog) so a sink-side
@@ -444,14 +444,14 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         progress.foreach(_.startChunk(t.db, t.table, chunkId, groupBytes))
         val tp0 = System.nanoTime()
         val aligned = loadAlignedFiles(files, table)
-        val withId = withColumnRowIdOverride(
+        val withId = withAutoIncFill(withColumnRowIdOverride(
           RowIdAllocator.fromFileSizes(aligned, "_src_file",
             "_row_idx", allSizes, capacityFor = sz => sz + 1,
             // bases stay global (disjoint across groups) but this group's
             // rows only reference its own files — the lookup shipped with
             // the tasks holds just those entries, so plan/task size is
             // bounded by chunkCommitBytes even at ~400k-shard tables
-            restrictTo = Some(files.map(_.path))))
+            restrictTo = Some(files.map(_.path)))), table)
         val finalDf = withId.select(
           (table.columns.map(c => col(c.name)) :+ col("_row_id")): _*)
         val obs = org.apache.spark.sql.Observation()
@@ -517,6 +517,17 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       withId.withColumn("_row_id",
         coalesce(col("_explicit_rowid"), col("_row_id")))
     else withId
+
+  /** P4 second half: AUTO_INCREMENT columns the source did not carry (or
+    * carried as NULL — MySQL's "allocate for me") take the allocated row
+    * id, the reference's AllocateAutoID routing (restore.go:1363-1406;
+    * observable fixture tests/default-columns). Values present in the dump
+    * win via the coalesce. */
+  private def withAutoIncFill(withId: DataFrame, table: MysqlTable): DataFrame =
+    table.columns.filter(_.autoIncrement).foldLeft(withId) { (d, mc) =>
+      d.withColumn(mc.name,
+        coalesce(col(mc.name), col("_row_id").cast(mc.sparkType)))
+    }
 
   /** Parse + align one table's data files (CSV and SQL shards may mix when
     * routing merges source tables — both land in the declared schema). */

@@ -112,8 +112,12 @@ object MysqlDdl {
     }
   }
 
+  // names may be backticked (mydumper style) or bare (hand-written DDL in
+  // the reference's own fixtures, e.g. tests/tool_135: `create table
+  // bar1(a int auto_increment primary key)`) — keyword-led lines (KEY,
+  // UNIQUE, …) are filtered before this pattern is tried
   private val ColLine =
-    """^\s*`([^`]+)`\s+([a-zA-Z]+(?:\([^)]*\))?(?:\s+unsigned)?(?:\s+zerofill)?)(.*)$""".r
+    """^\s*(?:`([^`]+)`|([a-zA-Z_][a-zA-Z0-9_$]*))\s+([a-zA-Z]+(?:\([^)]*\))?(?:\s+unsigned)?(?:\s+zerofill)?)(.*)$""".r
   private val PkLine = """(?i)^\s*PRIMARY\s+KEY\s*\(([^)]*)\).*$""".r
   private val UniqueLine =
     """(?i)^\s*UNIQUE(?:\s+KEY|\s+INDEX)?(?:\s+`[^`]+`|\s+[a-zA-Z0-9_]+)?\s*\((.*)\).*$""".r
@@ -130,9 +134,26 @@ object MysqlDdl {
     val tableName = nameR.findFirstMatchIn(noComments)
       .map(_.group(1)).getOrElse(sys.error(s"not a CREATE TABLE: ${ddl.take(80)}"))
     val body = {
+      // the MATCHING close paren of the first open — lastIndexOf would
+      // swallow trailing table options like `partition by hash(a)
+      // partitions 5` (tests/partitioned-table), which are layout hints
+      // for the target, not part of the column list
       val start = noComments.indexOf('(')
-      val end = noComments.lastIndexOf(')')
-      require(start >= 0 && end > start, s"malformed DDL for $tableName")
+      require(start >= 0, s"malformed DDL for $tableName")
+      var depth = 0; var i = start; var end = -1
+      var inS = false; var q = ' '
+      while (i < noComments.length && end < 0) {
+        val ch = noComments.charAt(i)
+        if (inS) { if (ch == q) inS = false }
+        else ch match {
+          case '\'' | '"' => inS = true; q = ch
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(end > start, s"malformed DDL for $tableName")
       noComments.substring(start + 1, end)
     }
     // split body on top-level commas (respect parens + quoted strings)
@@ -168,7 +189,8 @@ object MysqlDdl {
                   l.toUpperCase.startsWith("INDEX") ||
                   l.toUpperCase.startsWith("CONSTRAINT") ||
                   l.toUpperCase.startsWith("FOREIGN") => None
-        case ColLine(name, typeSpec, rest) =>
+        case ColLine(quoted, bare, typeSpec, rest) =>
+          val name = Option(quoted).getOrElse(bare)
           val restU = rest.toUpperCase
           val notNull = restU.contains("NOT NULL")
           val autoInc = restU.contains("AUTO_INCREMENT")
