@@ -57,7 +57,15 @@ object SchemaAlign {
     * invalid member raises in strict (reference sqlmode matrix,
     * tests/sqlmode/). */
   private def domainCheck(src: Column, mc: MysqlColumn, vals: Seq[String],
-      mode: SqlMode): Column =
+      mode: SqlMode): Column = {
+    // MySQL's NUMERIC forms (reference fixture tests/various_types:
+    // `INSERT INTO enum-set VALUES (154, 11937444798263156608)`): an
+    // unquoted integer is an ENUM 1-based index / SET u64 bitmask. Only a
+    // digits-only value can mean this — declared members here are textual,
+    // so the check is unambiguous (a SET whose MEMBERS are digit strings
+    // would need the parser's quoted/bare kind, a corner MySQL itself
+    // documents as "don't do that").
+    val isNum = src.rlike("^[0-9]+$")
     if (mc.isSet) {
       val inLower = filter(transform(split(src, ","), m => lower(m)),
         m => m =!= "")
@@ -67,13 +75,26 @@ object SchemaAlign {
         v => array_contains(inLower, lower(v)))
       val declaredLower = array(vals.map(v => lit(v.toLowerCase)): _*)
       val invalid = array_except(array_distinct(inLower), declaredLower)
+      // bitmask path: conv to binary, zero-pad to 64; member i (declared
+      // order) is bit i, i.e. 1-based string position 64 - i
+      val padded = lpad(conv(src, 10, 2), 64, "0")
+      val numRebuilt = filter(
+        array(vals.zipWithIndex.map { case (v, i) =>
+          when(substring(padded, 64 - i, 1) === "1", lit(v))
+        }: _*), x => x.isNotNull)
+      val numJoined = array_join(numRebuilt, ",")
+      val overflowBits =
+        if (vals.size >= 64) lit(false)
+        else isNum && substring(padded, 1, 64 - vals.size).contains("1")
       mode match {
         case SqlMode.Lenient =>
           when(src.isNull, lit(null).cast(StringType))
+            .when(isNum, numJoined)
             .otherwise(array_join(rebuilt, ","))
         case SqlMode.Strict =>
           when(src.isNull, lit(null).cast(StringType))
-            .when(size(invalid) === 0, array_join(rebuilt, ","))
+            .when(isNum && !overflowBits, numJoined)
+            .when(!isNum && size(invalid) === 0, array_join(rebuilt, ","))
             .otherwise(raise_error(concat(
               lit(s"SET value out of domain for `${mc.name}`: "), src)))
       }
@@ -82,17 +103,24 @@ object SchemaAlign {
       val lookup = element_at(
         map(vals.flatMap(v => Seq(lit(v.toLowerCase), lit(v))): _*),
         lower(src))
+      // index path: 1-based into the declared members; 0 / out-of-range /
+      // non-int-sized → null (→ '' lenient, raise strict)
+      val numMember = try_element_at(array(vals.map(lit): _*),
+        src.try_cast(IntegerType))
       mode match {
         case SqlMode.Lenient =>
           when(src.isNull, lit(null).cast(StringType))
+            .when(isNum, coalesce(numMember, lit("")))
             .otherwise(coalesce(lookup, lit(""))) // invalid enum → ''
         case SqlMode.Strict =>
           when(src.isNull, lit(null).cast(StringType))
-            .when(lookup.isNotNull, lookup)
+            .when(isNum && numMember.isNotNull, numMember)
+            .when(!isNum && lookup.isNotNull, lookup)
             .otherwise(raise_error(concat(
               lit(s"ENUM value out of domain for `${mc.name}`: "), src)))
       }
     }
+  }
 
   /** Cast a string column to `mc`'s Spark type under `mode`.
     * Lenient numeric path: extract leading numeric prefix (MySQL truncation

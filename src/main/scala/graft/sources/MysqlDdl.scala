@@ -117,7 +117,7 @@ object MysqlDdl {
   // bar1(a int auto_increment primary key)`) — keyword-led lines (KEY,
   // UNIQUE, …) are filtered before this pattern is tried
   private val ColLine =
-    """^\s*(?:`([^`]+)`|([a-zA-Z_][a-zA-Z0-9_$]*))\s+([a-zA-Z]+(?:\([^)]*\))?(?:\s+unsigned)?(?:\s+zerofill)?)(.*)$""".r
+    """^\s*(?:`([^`]+)`|([a-zA-Z_][a-zA-Z0-9_$]*))\s+([a-zA-Z]+(?:\([^)]*\))?(?:\s+(?i:unsigned))?(?:\s+(?i:zerofill))?)(.*)$""".r
   private val PkLine = """(?i)^\s*PRIMARY\s+KEY\s*\(([^)]*)\).*$""".r
   private val UniqueLine =
     """(?i)^\s*UNIQUE(?:\s+KEY|\s+INDEX)?(?:\s+`[^`]+`|\s+[a-zA-Z0-9_]+)?\s*\((.*)\).*$""".r

@@ -422,7 +422,18 @@ object SqlDumpSource {
               classifyWord(c.toChar + readWord(), vals, kinds)
             }
           } else if (Character.isLetter(c) || c == '_'.toInt) {
-            classifyWord(readWord(), vals, kinds)
+            val w = readWord()
+            // mydumper wraps JSON as CONVERT("…" USING UTF8MB4); the
+            // reference's grammar treats `convert(` and `using utf8mb4)`
+            // as ignorable tokens (parser.rl:43-54) — same transparency
+            // here: the inner literal parses as the value, the wrapper
+            // contributes nothing
+            if (w.equalsIgnoreCase("CONVERT") && look == '('.toInt) {
+              advance()
+            } else if (w.equalsIgnoreCase("USING")) {
+              skipWs(); readWord() // charset name
+              skipWs(); if (look == ')'.toInt) advance()
+            } else classifyWord(w, vals, kinds)
           } else advance() // lax
         }
         (vals.toArray, kinds.toArray)

@@ -99,6 +99,94 @@ class ReferenceGauntletSpec extends SparkSpec {
     assert(u.toSeq === Seq((1, 40), (2, 60)))
   }
 
+  test("various_types: the reference's exotic-PK round-trip matrix") {
+    assume(refTests.isDirectory)
+    val out = imported("various_types", "vt")
+    // bit: BIT(2) → LongType 0..3
+    val bit = tbl(out, "vt", "bit")
+    assert(bit.count() === 16L)
+    val bitR = bit.agg(min(col("pk")), max(col("pk"))).collect()(0)
+    assert((bitR.getLong(0), bitR.getLong(1)) === ((0L, 3L)))
+    assert(bit.filter(col("pk") === 2).agg(sum(col("ref"))).collect()(0)
+      .getLong(0) === 82L)
+    // decimal: DECIMAL(6,4)-ish pk
+    val dec = tbl(out, "vt", "decimal")
+    val decR = dec.agg(count(col("pk")), min(col("pk")).cast("string"),
+      max(col("pk")).cast("string"), sum(col("pk")).cast("string")).collect()(0)
+    assert(decR.getLong(0) === 50L)
+    assert(decR.getString(1) === "-99.9990")
+    assert(decR.getString(2) === "99.9912")
+    assert(decR.getString(3) === "-9.9123")
+    assert(dec.filter(col("pk").between(-1.0, 0.0)).select("ref")
+      .collect().map(_.getInt(0)).toSeq === Seq(22))
+    // double: full-range doubles as keys
+    val dbl = tbl(out, "vt", "double")
+    val dblR = dbl.agg(count(col("pk")), min(col("pk")), max(col("pk"))).collect()(0)
+    assert(dblR.getLong(0) === 41L)
+    assert(dblR.getDouble(1) === 9.85967654375977e-305)
+    assert(dblR.getDouble(2) === 1.0142320547350045e304)
+    assert(dbl.filter(col("pk").between(1e100, 1e120)).select("ref")
+      .collect().map(_.getInt(0)).toSeq === Seq(245))
+    // datetime: DATETIME(6) spans years 1026..9889 (NTZ — no tz ambiguity)
+    val dt = tbl(out, "vt", "datetime")
+    val dtR = dt.agg(count(col("pk")), min(col("pk")).cast("string"),
+      max(col("pk")).cast("string"), countDistinct(col("uk"))).collect()(0)
+    assert(dtR.getLong(0) === 70L)
+    assert(dtR.getString(1) === "1026-09-21 15:15:54.335745")
+    assert(dtR.getString(2) === "9889-01-08 08:51:03.389832")
+    assert(dtR.getLong(3) === 70L) // unique key stays unique
+    assert(dt.filter(col("pk").between("2882-01-01", "2882-12-31"))
+      .select("ref").collect().map(_.getInt(0)).toSeq === Seq(7))
+    // char + binary: uuid keys, text and bytes
+    val ch = tbl(out, "vt", "char")
+    val chR = ch.agg(count(col("pk")), min(col("pk")), max(col("pk"))).collect()(0)
+    assert(chR.getLong(0) === 50L)
+    assert(chR.getString(1) === "090abbb2-f22e-4f97-a4fe-a52eb1a80a0b")
+    assert(chR.getString(2) === "fde1328c-409c-43a8-b1b0-8c35c8000f92")
+    assert(ch.filter(col("pk") === "55dc0343-db6a-4208-9872-9096305b8c07")
+      .select("ref").collect().map(_.getInt(0)).toSeq === Seq(41))
+    val bin = tbl(out, "vt", "binary")
+    assert(bin.count() === 50L)
+    assert(bin.agg(min(hex(col("pk"))), max(hex(col("pk")))).collect()(0)
+      .toSeq === Seq("090ABBB2F22E4F97A4FEA52EB1A80A0B",
+        "FDE1328C409C43A8B1B08C35C8000F92"))
+    // json: stored as string, values distinct, structure preserved
+    val js = tbl(out, "vt", "json")
+    val jsR = js.agg(count(col("pk")), countDistinct(col("js"))).collect()(0)
+    assert((jsR.getLong(0), jsR.getLong(1)) === ((92L, 92L)))
+    assert(js.filter(col("js") === "[1, 2, 3]").select("pk")
+      .collect().map(_.getInt(0)).toSeq === Seq(1089))
+    val js2000 = js.filter(col("pk") === 2000).collect()(0).getString(1)
+    assert(js2000.startsWith("{") && js2000.contains("\"52\": 1") &&
+      js2000.contains("\"126\": 1"))
+    // enum-set: 256-member ENUM + 64-member SET, stored in declared order
+    val es = tbl(out, "vt", "enum-set")
+    assert(es.count() === 26L)
+    assert(es.filter(array_contains(split(col("set"), ","), "x50"))
+      .count() === 10L)
+    assert(es.filter(col("enum") === "gcc").select("set").collect()(0)
+      .getString(0) ===
+      "x00,x06,x07,x09,x17,x20,x23,x24,x27,x37,x44,x46,x49,x54,x55,x58,x61,x62")
+    assert(es.filter(col("enum") === "g99").select("set").collect()(0)
+      .getString(0) ===
+      "x07,x08,x09,x10,x11,x12,x14,x16,x17,x18,x19,x22,x25,x26,x28,x29,x30," +
+      "x31,x32,x33,x35,x38,x39,x41,x44,x46,x49,x51,x53,x55,x56,x58,x61,x63")
+    // empty_strings: the quote-unescape matrix ('' "" \" \' 0x22 0x27)
+    val emp = tbl(out, "vt", "empty_strings")
+    assert(emp.count() === 6L)
+    def pkSum(cond: org.apache.spark.sql.Column) =
+      emp.filter(cond).agg(sum(col("pk"))).collect()(0).getLong(0)
+    assert(pkSum(col("a") === "") === 5L)
+    assert(pkSum(col("a") === "\"") === 18L)
+    assert(pkSum(col("a") === "'") === 40L)
+    // precise_types: u64 max-ish, i64 min-ish, DECIMAL(21,1), DOUBLE
+    val pt = tbl(out, "vt", "precise_types").collect()(0)
+    assert(pt.getDecimal(0).toString === "18446744073709551614")
+    assert(pt.getLong(1) === -9223372036854775806L)
+    assert(pt.getDecimal(2).toString === "99999999999999999999.0")
+    assert(pt.getDouble(3) === math.pow(2, 64))
+  }
+
   test("row-format-v2: 150-column wide rows with null tails") {
     assume(refTests.isDirectory)
     val out = imported("row-format-v2", "rowformatv2")
