@@ -187,6 +187,54 @@ class ReferenceGauntletSpec extends SparkSpec {
     assert(pt.getDouble(3) === math.pow(2, 64))
   }
 
+  test("character_sets: gb18030/utf8mb4/mixed dumps under auto, named, and binary charsets") {
+    assume(refTests.isDirectory)
+    def run(sub: String, charset: String, tag: String): String = {
+      val out = new File(s"target/test_refgauntlet/charsets_$tag").getAbsolutePath
+      val cfg = ImportConfig(
+        sourceDir = new File(refTests, s"character_sets/$sub").getAbsolutePath,
+        outDir = out, charset = charset,
+        filter = TableFilter(doTables = Seq(("charsets", "*"))),
+        checkpointEnabled = false)
+      new ImportPipeline(spark, cfg).run()
+      out
+    }
+    def sumFirst(out: String, table: String): Long = {
+      val df = spark.read.parquet(s"$out/charsets/$table")
+      df.agg(sum(col(df.columns.head))).collect()(0).getLong(0)
+    }
+    // gb18030 dump: auto-detect and explicit gb18030 both decode 主键
+    val gAuto = run("gb18030", "auto", "g_auto")
+    assert(spark.read.parquet(s"$gAuto/charsets/gb18030").columns.head === "主键")
+    assert(sumFirst(gAuto, "gb18030") === 267L)
+    assert(sumFirst(run("gb18030", "GB18030", "g_named"), "gb18030") === 267L)
+    // binary passthrough: bytes kept as-is → latin1-mojibake column name,
+    // values still sum (run.sh asserts sum(`Ö÷¼ü`) = 267)
+    val gBin = run("gb18030", "binary", "g_bin")
+    assert(spark.read.parquet(s"$gBin/charsets/gb18030").columns.head === "Ö÷¼ü")
+    assert(sumFirst(gBin, "gb18030") === 267L)
+    // utf8mb4 dump under auto
+    assert(sumFirst(run("utf8mb4", "auto", "u_auto"), "utf8mb4") === 1119L)
+    // mixed-charset dump: only binary passthrough imports it
+    assert(sumFirst(run("mixed", "binary", "m_bin"), "mixed") === 5291L)
+  }
+
+  test("black-white-list: db and table filter matrices") {
+    assume(refTests.isDirectory)
+    def run(tag: String, filter: TableFilter): Set[String] = {
+      val out = new File(s"target/test_refgauntlet/bwl_$tag").getAbsolutePath
+      val cfg = ImportConfig(
+        sourceDir = new File(refTests, "black-white-list/data").getAbsolutePath,
+        outDir = out, filter = filter, checkpointEnabled = false)
+      new ImportPipeline(spark, cfg).run().map(r => s"${r.db}.${r.table}").toSet
+    }
+    assert(run("firstdb", TableFilter(doTables = Seq(("firstdb", "*")))) ===
+      Set("firstdb.first", "firstdb.second"))
+    assert(run("even", TableFilter(doTables =
+      Seq(("firstdb", "second"), ("seconddb", "fourth")))) ===
+      Set("firstdb.second", "seconddb.fourth"))
+  }
+
   test("row-format-v2: 150-column wide rows with null tails") {
     assume(refTests.isDirectory)
     val out = imported("row-format-v2", "rowformatv2")
