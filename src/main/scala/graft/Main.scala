@@ -15,7 +15,7 @@ import graft.sources.{MydumpDiscovery, MysqlDdl, RouteRule, TableFilter}
   *   import          --source DIR --out DIR [--strict] [--no-checkpoint]
   *                   [--continue-on-error] [--checkpoint-url JDBC_URL]
   *                   [--filter db.tbl ...] [--route src.tbl=dst.tbl ...]
-  *                   [--bucket-by N:col1,col2]
+  *                   [--bucket-by N:col1,col2] [--compact-bytes N]
   *   checkpoint-dump --source DIR --out DIR            (CSV to stdout)
   *   checkpoint-remove --out DIR --table db.tbl
   *   checkpoint-destroy --out DIR [--table db.tbl ...] (failed tables:
@@ -66,7 +66,7 @@ object Main {
 
   private val KnownOpts = Set("source", "out", "strict", "no-checkpoint",
     "continue-on-error", "filter", "route", "table", "port", "bind",
-    "checkpoint-url", "bucket-by")
+    "checkpoint-url", "bucket-by", "compact-bytes")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
@@ -120,6 +120,11 @@ object Main {
       continueOnError = o("continue-on-error").nonEmpty,
       // --bucket-by N:col1,col2 → bucketed+sorted parquet output (see
       // ImportConfig.bucketBy); malformed specs fail loudly, not silently
+      // --compact-bytes N → post-import small-file compaction target
+      compactTargetBytes = one("compact-bytes").map { v =>
+        require(v.matches("\\d+"), s"--compact-bytes expects bytes, got '$v'")
+        v.toLong
+      },
       bucketBy = one("bucket-by").map { spec =>
         spec.split(":", 2) match {
           case Array(n, cols) if n.matches("\\d+") && cols.nonEmpty =>

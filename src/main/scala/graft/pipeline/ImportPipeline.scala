@@ -90,6 +90,12 @@ final case class ImportConfig(
     // commits (bucket files are one transactional write; chunk-staged
     // appends cannot preserve the bucket layout).
     bucketBy: Option[(Int, Seq[String])] = None,
+    // post-import compaction target (reference PostRestore compact,
+    // restore.go:257/:984-991): Some(bytes) rewrites each imported
+    // parquet table into ≈bytes-sized files after checksum+ANALYZE —
+    // chunk-granular appends otherwise leave one small file per chunk
+    // task. None = keep the write layout.
+    compactTargetBytes: Option[Long] = None,
     // error policy (reference errorSummaries, restore.go:89-129): false =
     // raise on first table failure; true = record the failure, keep
     // importing the remaining tables, and emit a per-table error summary
@@ -354,9 +360,23 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
         spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table), path))
       }
+    postCompact(t)
     postAnalyze(t)
     TableReport(t.db, t.table, rows, dcs, dbytes, dkvs, resumedSkip = false)
   }
+
+  /** Reference postProcess compact analog (restore.go:257/:984-991):
+    * rewrite small chunk-append files into ≈target-sized ones. Before
+    * ANALYZE so the stats see the final layout; skipped for bucketed
+    * output (the bucket file layout IS the contract) and non-file sinks. */
+  private def postCompact(t: TablePlan): Unit =
+    cfg.compactTargetBytes.foreach { target =>
+      theSink match {
+        case p: ParquetSink if cfg.bucketBy.isEmpty =>
+          p.compact(spark, t.db, t.table, target)
+        case _ => ()
+      }
+    }
 
   /** Reference postProcess ordering: rebase → checksum → ANALYZE (restore
     * .go:998-1053). The import's own numbers (rows, checksum) ride the
@@ -505,6 +525,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table),
         psink.tablePath(t.db, t.table)))
     }
+    postCompact(t)
     postAnalyze(t)
     TableReport(t.db, t.table, rows, dcs, dbytes, dkvs, resumedSkip = false)
   }

@@ -40,6 +40,46 @@ final class ParquetSink(rootDir: String,
     WriteResult(s"$db.$table", rows, Some(path))
   }
 
+  /** Post-import compaction — the parquet analog of the reference's
+    * PostRestore compact step (restore.go:257 fullCompact / :984-991
+    * level-1 compact; TiKV compacts SST levels, a parquet sink compacts
+    * SMALL FILES: chunk-granular appends leave roughly one file per chunk
+    * task, and at 100 TB a million 4 MiB files poison every downstream
+    * scan's split planning). Rewrites the table directory into
+    * ≈`targetBytes` files with coalesce — no shuffle, each output task
+    * concatenates adjacent inputs. Row content is untouched, so the A3
+    * re-scan checksum is unchanged; only layout. Swap is rename-based:
+    * a crash can leave `_precompact_<table>` behind, and the next compact
+    * (or a fresh import's overwrite) heals it — the data dir itself is
+    * never half-written because the rewrite lands in a temp dir first.
+    * Returns the resulting file count (0 = nothing to do). */
+  def compact(spark: org.apache.spark.sql.SparkSession, db: String,
+      table: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(tablePath(db, table))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir.getParent, s"_precompact_${dir.getName}")
+    // heal a crashed previous swap: data dir gone, backup present
+    if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
+    if (!fs.exists(dir)) return 0
+    val parts = fs.listStatus(dir).filter(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
+    val bytes = parts.map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (parts.length <= n) return parts.length // already compact enough
+    val tmp = new Path(dir.getParent, s"_compacting_${dir.getName}")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir.toString).coalesce(n)
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
+      throw new java.io.IOException(s"compact swap failed for $dir")
+    fs.delete(old, true)
+    fs.listStatus(dir).count(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
+  }
+
   /** Bucketed write (the co-located-join output shape): Spark bucketing +
     * per-bucket sort on `bucketCols` via saveAsTable — every downstream
     * join/aggregate keyed on those columns reads the bucket layout from

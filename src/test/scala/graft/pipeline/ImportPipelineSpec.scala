@@ -82,6 +82,30 @@ class ImportPipelineSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS mdb.items")
   }
 
+  test("post-import compaction: chunk-append small files rewritten, content unchanged") {
+    val out = freshOut()
+    def cfg(compact: Option[Long]) = ImportConfig(
+      sourceDir = fixture("mydump"),
+      outDir = out,
+      filter = TableFilter(doTables = Seq(("mdb", "items"))),
+      checkpointEnabled = false,
+      // tiny chunk groups → one parquet file per shard before compaction
+      minChunkBytes = 1L, chunkCommitBytes = 1L,
+      compactTargetBytes = compact)
+    def partFiles = new java.io.File(s"$out/mdb/items").listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    val before = new ImportPipeline(spark, cfg(None)).run()
+    assert(partFiles > 1, "fixture should produce multiple chunk files")
+    val uncompacted = spark.read.parquet(s"$out/mdb/items")
+      .orderBy("_row_id").collect().toSeq
+    val after = new ImportPipeline(spark, cfg(Some(128L * 1024 * 1024))).run()
+    assert(partFiles === 1, "compaction should leave one ~128 MiB-target file")
+    val compacted = spark.read.parquet(s"$out/mdb/items")
+      .orderBy("_row_id").collect().toSeq
+    assert(compacted === uncompacted)
+    assert(after.map(_.dataChecksum) === before.map(_.dataChecksum))
+  }
+
   test("no-schema mode: schemaless data files use the provided catalog") {
     val src = java.nio.file.Files.createTempDirectory("graft-ns").toFile
     java.nio.file.Files.writeString(

@@ -195,6 +195,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: exactly one data shuffle (the bucket exchange)") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, (i % 40 + 1).toLong))
+      .toDF("doc_id", "n_tokens")
+    val p = plan(graft.operators.Packing
+      .packSequences(docs, "doc_id", "n_tokens", buckets = 4, budget = 64L)
+      .toDF())
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly the bucket exchange:\n$p")
+    assert(p.contains("MapGroups"), s"expected the streaming group walk:\n$p")
+  }
+
   test("import pipeline scan: dump parse fuses into one codegen stage") {
     // the aligned projection (permute+cast+row-id) must be a narrow chain:
     // no Exchange between the parse RDD scan and the final projection
