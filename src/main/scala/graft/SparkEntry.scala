@@ -58,6 +58,8 @@ object SparkEntry {
     // LLM-data-pipeline operators (BASELINE.json north star)
     ("dedup_exact", Curation.dedup_exact _, Some(Curation.dedup_exact_sql)),
     ("dedup_minhash", Curation.dedup_minhash _, None),
+    ("dedup_cross", Curation.dedup_cross _, None),
+    ("dedup_cross_verify", Curation.dedup_cross_verify _, Some(Curation.dedup_cross_verify_sql)),
     ("dedup_minhash_md5", Curation.dedup_minhash_md5 _, Some(Curation.dedup_minhash_md5_sql)),
     ("dedup_minhash_verify", Curation.dedup_minhash_verify _, Some(Curation.dedup_minhash_verify_sql)),
     ("dedup_simhash", Curation.dedup_simhash _, None),

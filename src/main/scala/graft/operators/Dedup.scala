@@ -162,6 +162,37 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Cross-corpus near-dup: every NEW-corpus document whose signature
+    * collides with any BASE-corpus document in ≥1 LSH band and clears the
+    * agreement estimator — "dedup the fresh crawl against what we already
+    * have", the incremental twin of the self-join miner. Shape note: the
+    * base corpus at 100 TB CANNOT broadcast (unlike decontamination's
+    * eval set), so this is the honest big-big join — both sides reduce to
+    * (id, 32×8 B signature, 8 B band key) rows, shuffled on the band key,
+    * co-partitioned by construction. Returns
+    * (id_new, id_base, jaccard_est), est ≥ threshold. */
+  def crossMinhashPairsFromPackedSignatures(newSigs: DataFrame,
+      baseSigs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    import graft.functions.SketchExpressions.{lanesXxHash, laneAgreement}
+    val rowsPerBand = numHashes / bands
+    def banded(sigs: DataFrame, idAs: String, sigAs: String) =
+      sigs.select(col("_id").as(idAs), col("_sig").as(sigAs),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            lanesXxHash(col("_sig"), b * rowsPerBand, rowsPerBand)
+              .as("bkey"))): _*)).as("_b"))
+    val l = banded(newSigs, "id_new", "_signew").alias("l")
+    val r = banded(baseSigs, "id_base", "_sigbase").alias("r")
+    l.join(r, col("l._b") === col("r._b"))
+      .withColumn("jaccard_est",
+        laneAgreement(col("_signew"), col("_sigbase")).cast("double") / numHashes)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id_new"), col("id_base"),
+        round(col("jaccard_est"), 6).as("jaccard_est"))
+      .dropDuplicates("id_new", "id_base")
+  }
+
   /** Pair mining over a PRECOMPUTED flat signature frame (_id, _h0…) —
     * the shingle+min-aggregate pass dominates, so multi-analysis callers
     * compute (and persist) signatures once. */

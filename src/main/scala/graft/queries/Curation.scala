@@ -112,6 +112,81 @@ object Curation {
       numHashes = 32, bands = 8, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Cross-corpus near-dup (rows-only miner): the doc_id % 3 == 0 slice
+    * stands in for the EXISTING corpus, the rest for the fresh crawl —
+    * every new doc colliding with a base doc in ≥1 band at est ≥ 0.35.
+    * Signatures come from the shared per-dir cache (per-doc independent,
+    * so slicing ≡ re-sketching the slice). Quality gated by
+    * `dedup_cross_verify`. */
+  def dedup_cross(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignaturesFor(s, dir)
+    Dedup.crossMinhashPairsFromPackedSignatures(
+        newSigs = sigs.filter(col("_id") % 3 =!= 0),
+        baseSigs = sigs.filter(col("_id") % 3 === 0),
+        numHashes = 32, bands = 8, threshold = 0.35)
+      .orderBy(col("id_new"), col("id_base"))
+  }
+
+  /** Cross-corpus verification (hash-matched): exact char-5-shingle
+    * Jaccard for a deterministic set of cross-slice pairs (id, id+2 with
+    * id ≡ 1 mod 3 → the partner is ≡ 0, i.e. in the base slice),
+    * reproduced by DuckDB at string level — plus an in-query gate that
+    * every miner hit on the capped slice stays inside the estimator's
+    * Hoeffding band of its exact Jaccard (same ±0.45/avg bounds the
+    * self-join verify pins). */
+  def dedup_cross_verify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 1500).select("doc_id", "text")
+    val grams = docs
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.shingleHashes(
+          Dedup.normalized(col("text")), 5).as("_ghashes"))
+      .repartition(col("doc_id"))
+      .persist()
+    // (1) miner hits on the capped slice vs their exact Jaccard
+    val sigs = minhashSignaturesFor(s, dir).filter(col("_id") < 1500)
+    val hits = Dedup.crossMinhashPairsFromPackedSignatures(
+        sigs.filter(col("_id") % 3 =!= 0), sigs.filter(col("_id") % 3 === 0),
+        numHashes = 32, bands = 8, threshold = 0.35)
+      .select(col("id_new").as("id_a"), col("id_base").as("id_b"),
+        col("jaccard_est"))
+    val offBand = Dedup.exactJaccardPairsHashed(
+        hits.select("id_a", "id_b"), grams)
+      .join(hits, Seq("id_a", "id_b"))
+      .filter(abs(col("jaccard_est") - col("jaccard")) > 0.45)
+      .count()
+    require(offBand == 0,
+      s"$offBand cross-corpus hits outside the estimator band")
+    // (2) the hash-matched payload: exact Jaccard of the deterministic
+    // cross-slice pair set, mirrored in DuckDB from shingle STRINGS
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id_a"))
+      .filter(col("id_a") % 3 === 1)
+      .join(ids.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 2)
+    val result = Dedup.exactJaccardPairsHashed(pairs, grams)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("shingle_jaccard"))
+    val local = s.createDataFrame(result.collectAsList(), result.schema)
+    grams.unpersist()
+    local
+  }
+
+  val dedup_cross_verify_sql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents WHERE doc_id < 1500),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+       |      FROM n a JOIN n b ON b.doc_id = a.doc_id + 2
+       |      WHERE a.doc_id % 3 = 1),
+       |g AS (SELECT id_a, id_b,
+       |  list_distinct(list_transform(range(1, greatest(len(sa)-4, 1)+1),
+       |    i -> substr(sa, CAST(i AS INT), 5))) AS ga,
+       |  list_distinct(list_transform(range(1, greatest(len(sb)-4, 1)+1),
+       |    i -> substr(sb, CAST(i AS INT), 5))) AS gb
+       |  FROM p)
+       |SELECT id_a, id_b,
+       | round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+       |   / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 6) AS shingle_jaccard
+       |FROM g""".stripMargin
+
   /** MinHash+LSH miner, HASH-MATCHED end-to-end against DuckDB: the whole
     * sketch→band→candidate→estimator pipeline re-expressed over hash
     * functions BOTH engines share. The production miner's xxhash64 kernel

@@ -296,6 +296,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows(5L) === "")
   }
 
+  test("cross-corpus minhash: new-vs-base hits only, both directions excluded") {
+    val corpus = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),   // base
+      (2L, "The quick brown fox jumps over the lazy dog"),   // new: dup of 1
+      (3L, "Completely different content about spark"),      // base
+      (4L, "Entirely unrelated words in this one here"),     // new: clean
+      (5L, "Entirely unrelated words in this one here")      // new: dup of 4 (same slice!)
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesPacked(corpus, "text", "doc_id",
+      k = 3, numHashes = 32)
+    val hits = Dedup.crossMinhashPairsFromPackedSignatures(
+        newSigs = sigs.filter(col("_id").isin(2L, 4L, 5L)),
+        baseSigs = sigs.filter(col("_id").isin(1L, 3L)),
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq === Seq((2L, 1L))) // 4↔5 are both NEW: not reported
+  }
+
   test("gramRarity counts hapax and corpus frequencies per doc") {
     val corpus = Seq(
       (1L, "a b c"),        // gram "a b c" appears in docs 1 and 2
