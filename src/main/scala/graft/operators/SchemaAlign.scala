@@ -104,9 +104,13 @@ object SchemaAlign {
         map(vals.flatMap(v => Seq(lit(v.toLowerCase), lit(v))): _*),
         lower(src))
       // index path: 1-based into the declared members; 0 / out-of-range /
-      // non-int-sized → null (→ '' lenient, raise strict)
-      val numMember = try_element_at(array(vals.map(lit): _*),
-        src.try_cast(IntegerType))
+      // non-int-sized → null (→ '' lenient, raise strict). The when-guard
+      // matters: element_at (try_ included) THROWS on index 0 — MySQL's
+      // invalid-ENUM placeholder — rather than returning null, and If
+      // evaluates only the taken branch.
+      val idx = src.try_cast(IntegerType)
+      val numMember = when(idx.isNotNull && idx >= 1,
+        try_element_at(array(vals.map(lit): _*), idx))
       mode match {
         case SqlMode.Lenient =>
           when(src.isNull, lit(null).cast(StringType))

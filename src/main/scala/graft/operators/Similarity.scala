@@ -163,13 +163,19 @@ object Similarity {
   final case class PqIndex(codebook: Array[Byte], m: Int, k: Int,
       encoded: DataFrame)
 
-  /** Normalized array<double> view of a float-vector column (zero-norm
-    * rows are dropped: they have no direction to quantize). */
-  private def normalizedVec(vecCol: Column): Column = {
-    val v = vecCol.cast("array<double>")
-    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
-    transform(v, x => x / n)
-  }
+  /** (idCol, _nv): L2-normalized array<double> vectors with zero/NaN-norm
+    * rows DROPPED before the division (ANSI divide raises on 0, and a
+    * direction-less vector has no nearest neighbor anyway). The norm is
+    * materialized as an attribute between two projections so the divide
+    * lambda references a scalar attribute, not the aggregate tree (the
+    * lambda-inlining trap the PERF INVARIANT in Dedup.scala describes). */
+  private def normalizedFrame(df: DataFrame, vecCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("_v0"))
+      .withColumn("_n",
+        sqrt(aggregate(transform(col("_v0"), x => x * x), lit(0.0), _ + _)))
+      .filter(col("_n") > 0 && !isnan(col("_n")))
+      .select(col(idCol), transform(col("_v0"), x => x / col("_n")).as("_nv"))
 
   /** Train the codebooks on a driver-side sample (the faiss shape: PQ
     * training input is CAPPED by construction — `trainSampleCap` vectors,
@@ -187,12 +193,10 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     require(k <= 256, s"one-byte codes cap k at 256, got $k")
     val sub = dim / m
-    val sample = trainOn.getOrElse(df)
-      .select(col(idCol), normalizedVec(col(vecCol)).as("_v"))
-      .filter(!exists(col("_v"), x => isnan(x)))
+    val sample = normalizedFrame(trainOn.getOrElse(df), vecCol, idCol)
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(trainSampleCap)
-      .select("_v").collect().map(_.getSeq[Double](0).toArray)
+      .select("_nv").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "PQ training sample is empty")
     val centroids = new Array[Double](m * k * sub)
     for (j <- 0 until m) {
@@ -202,11 +206,10 @@ object Similarity {
         centroids((j * k + c) * sub + i) = cs(c)(i)
     }
     val cb = VecOps.packDoubles(centroids)
-    val encoded = df
-      .select(col(idCol), VecExpressions.packVec(normalizedVec(col(vecCol)))
-        .as("_pv"))
+    val encoded = normalizedFrame(df, vecCol, idCol)
       .select(col(idCol),
-        PqExpressions.pqEncode(col("_pv"), lit(cb), m, k).as("_codes"))
+        PqExpressions.pqEncode(VecExpressions.packVec(col("_nv")), lit(cb), m, k)
+          .as("_codes"))
     PqIndex(cb, m, k, encoded)
   }
 

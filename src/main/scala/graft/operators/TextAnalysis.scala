@@ -115,13 +115,18 @@ object TextAnalysis {
     * projection. The paired unit count lets callers filter on the removal
     * rate (heavy stutter correlates with extraction junk). */
   def collapseRepeatTokens(text: Column): Column = {
+    // PERF INVARIANT (see Dedup.scala): no lambda may re-reference the
+    // token-array expression — Catalyst inlines it per element, turning
+    // the pass quadratic. zip_with against a null-prefixed shift of the
+    // SAME array evaluates each tree once per row: position i pairs
+    // (token_i, token_{i-1}); an immediate repeat maps to null, and
+    // array_join drops nulls.
     val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
-    // element_at is 1-based, the lambda index 0-based, so element_at(toks,
-    // i) IS the previous token; the when-guard keeps index 0 out of ANSI
-    // element_at (If evaluates only the taken branch)
+    val shifted = concat(array(lit(null).cast("string")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
     array_join(
-      filter(toks, (t, i) =>
-        when(i === 0, lit(true)).otherwise(t =!= element_at(toks, i))),
+      zip_with(toks, shifted, (cur, prev) =>
+        when(cur.isNotNull && (prev.isNull || cur =!= prev), cur)),
       " ")
   }
 
@@ -136,10 +141,14 @@ object TextAnalysis {
   def dedupeUnits(text: Column, sepRegex: String = "\\n{2,}",
       joiner: String = "\n\n"): Column = {
     val units = filter(split(text, sepRegex), u => trim(u) =!= "")
-    // array_position = 1-based FIRST index of the value → keeps exactly
-    // the first occurrence of each distinct unit, in document order
+    // first-occurrence keep via an aggregate fold: the accumulator (the
+    // kept-units array) grows inside the lambda, so no lambda ever
+    // re-references the `units` tree (the quadratic-inlining trap) —
+    // compares run against the small accumulated array instead
     array_join(
-      filter(units, (u, i) => array_position(units, u) === i + 1),
+      aggregate(units, array().cast("array<string>"),
+        (acc, u) => when(array_contains(acc, u), acc)
+          .otherwise(concat(acc, array(u)))),
       joiner)
   }
 

@@ -61,6 +61,10 @@ final class ParquetSink(rootDir: String,
     val old = new Path(dir.getParent, s"_precompact_${dir.getName}")
     // heal a crashed previous swap: data dir gone, backup present
     if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
+    // a crash AFTER a completed swap but before backup cleanup leaves a
+    // full-size stale copy; clear it before any early return below, or it
+    // would survive every subsequent (already-compact) run
+    else if (fs.exists(old)) fs.delete(old, true)
     if (!fs.exists(dir)) return 0
     val parts = fs.listStatus(dir).filter(st =>
       st.isFile && st.getPath.getName.startsWith("part-"))

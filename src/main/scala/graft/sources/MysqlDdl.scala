@@ -144,8 +144,12 @@ object MysqlDdl {
       var inS = false; var q = ' '
       while (i < noComments.length && end < 0) {
         val ch = noComments.charAt(i)
-        if (inS) { if (ch == q) inS = false }
-        else ch match {
+        if (inS) {
+          // MySQL string literals use backslash escapes by default — a
+          // default like 'it\'s )' must not end the string (or the body)
+          if (ch == '\\') i += 1
+          else if (ch == q) inS = false
+        } else ch match {
           case '\'' | '"' => inS = true; q = ch
           case '(' => depth += 1
           case ')' => depth -= 1; if (depth == 0) end = i
@@ -158,11 +162,15 @@ object MysqlDdl {
     }
     // split body on top-level commas (respect parens + quoted strings)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inStr = false; var quote = ' '
+    var depth = 0; var inStr = false; var quote = ' '; var esc = false
     val cur = new StringBuilder
     body.foreach { ch =>
-      if (inStr) { cur += ch; if (ch == quote) inStr = false }
-      else ch match {
+      if (inStr) {
+        cur += ch
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == quote) inStr = false
+      } else ch match {
         case '\'' | '"' => inStr = true; quote = ch; cur += ch
         case '(' => depth += 1; cur += ch
         case ')' => depth -= 1; cur += ch
@@ -188,7 +196,14 @@ object MysqlDdl {
                   l.toUpperCase.startsWith("KEY") ||
                   l.toUpperCase.startsWith("INDEX") ||
                   l.toUpperCase.startsWith("CONSTRAINT") ||
-                  l.toUpperCase.startsWith("FOREIGN") => None
+                  l.toUpperCase.startsWith("FOREIGN") ||
+                  // with bare identifiers allowed below, index-kind
+                  // keywords would otherwise parse as phantom columns
+                  // (`FULLTEXT KEY ft (body)` → column "FULLTEXT")
+                  l.toUpperCase.startsWith("FULLTEXT") ||
+                  l.toUpperCase.startsWith("SPATIAL") ||
+                  l.toUpperCase.startsWith("PRIMARY") ||
+                  l.toUpperCase.startsWith("CHECK") => None
         case ColLine(quoted, bare, typeSpec, rest) =>
           val name = Option(quoted).getOrElse(bare)
           val restU = rest.toUpperCase

@@ -51,6 +51,17 @@ class PqSpec extends SparkSpec {
     assert(top.forall(_.getDouble(1) >= 1.0 - 1e-9))
   }
 
+  test("zero-norm vectors are dropped from the encoded corpus") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))) :+
+      (99L, Seq.fill(8)(0f)) // direction-less: must not be encoded
+    val idx = Similarity.pqIndex(rows.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", m = 4, k = 4)
+    val ids = idx.encoded.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(99L) && ids.size === 40)
+  }
+
   test("codes are m bytes regardless of dimension") {
     val df = (0L until 50L)
       .map(i => (i, Seq.fill(16)((i % 7).toFloat + 1f)))

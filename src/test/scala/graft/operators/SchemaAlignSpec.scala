@@ -149,6 +149,19 @@ class SchemaAlignSpec extends SparkSpec {
     assert(ci.getString(1) === "x,y") // lowered input, deduped, decl order
     val ciStrict = run("b", "Y,x", SqlMode.Strict)
     assert(ciStrict.getString(0) === "B" && ciStrict.getString(1) === "x,y")
+    // numeric forms (reference tests/various_types): enum 1-based index,
+    // set u64 bitmask; index 0 is MySQL's invalid placeholder — '' in
+    // lenient, raise in strict, never an element_at crash
+    val num = run("2", "3", SqlMode.Lenient)
+    assert(num.getString(0) === "B")
+    assert(num.getString(1) === "x,y") // bits 0+1
+    val zero = run("0", "0", SqlMode.Lenient)
+    assert(zero.getString(0) === "")
+    assert(zero.getString(1) === "")
+    val e3 = intercept[Throwable] { run("0", "1", SqlMode.Strict) }
+    assert(e3.toString.contains("ENUM") || e3.getMessage.contains("ENUM"))
+    val e4 = intercept[Throwable] { run("1", "4", SqlMode.Strict) } // bit 2 > 2 members
+    assert(e4.toString.contains("SET") || e4.getMessage.contains("SET"))
   }
 
   test("without kinds a hex value stays the raw digit text (legacy path)") {

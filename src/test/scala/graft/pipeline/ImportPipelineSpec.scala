@@ -104,6 +104,16 @@ class ImportPipelineSpec extends SparkSpec {
       .orderBy("_row_id").collect().toSeq
     assert(compacted === uncompacted)
     assert(after.map(_.dataChecksum) === before.map(_.dataChecksum))
+    // a stale _precompact_ backup (crash after swap, before cleanup) must
+    // be cleared by the next compact even when the table is already
+    // compact — otherwise a full-size copy survives forever
+    val stale = new java.io.File(s"$out/mdb/_precompact_items")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stale, "part-stale").toPath, "x")
+    new graft.sinks.ParquetSink(out)
+      .compact(spark, "mdb", "items", 128L * 1024 * 1024)
+    assert(!stale.exists(), "stale pre-compact backup must be deleted")
   }
 
   test("no-schema mode: schemaless data files use the provided catalog") {

@@ -59,4 +59,36 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(t.columns.map(_.name) === Seq("pk", "v"))
     assert(t.column("v").get.sparkType === StringType)
   }
+
+  test("bare identifiers parse; FULLTEXT/SPATIAL/CHECK never become columns") {
+    val t = MysqlDdl.parseCreateTable(
+      """CREATE TABLE articles (
+        |  id int auto_increment primary key,
+        |  body text NOT NULL,
+        |  geo point,
+        |  FULLTEXT KEY ft (body),
+        |  SPATIAL INDEX sp (geo),
+        |  CHECK (id > 0)
+        |)""".stripMargin)
+    assert(t.columns.map(_.name) === Seq("id", "body", "geo"))
+    assert(t.primaryKey === Seq("id"))
+    assert(t.column("id").get.autoIncrement)
+  }
+
+  test("backslash-escaped quotes in defaults don't truncate the column list") {
+    val t = MysqlDdl.parseCreateTable(
+      """CREATE TABLE q (
+        |  `c1` varchar(20) NOT NULL DEFAULT 'it\'s )',
+        |  `c2` varchar(20) NOT NULL DEFAULT 'a,b\\',
+        |  `c3` int NOT NULL
+        |)""".stripMargin)
+    assert(t.columns.map(_.name) === Seq("c1", "c2", "c3"))
+    assert(t.column("c1").get.default === Some("'it\\'s )'"))
+  }
+
+  test("PARTITION BY table options after the body are ignored") {
+    val t = MysqlDdl.parseCreateTable(
+      "create table a (a int) partition by hash(a) partitions 5;")
+    assert(t.columns.map(_.name) === Seq("a"))
+  }
 }
