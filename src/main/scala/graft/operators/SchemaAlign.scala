@@ -200,11 +200,36 @@ object SchemaAlign {
         timestamp_micros(lit(jobTsMicros)).cast(mc.sparkType)
       case Some(d) if d.equalsIgnoreCase("NULL") => lit(null).cast(mc.sparkType)
       case Some(d) =>
-        val lit0 = if (d.startsWith("'")) d.substring(1, d.length - 1) else d
+        val lit0 =
+          if (d.startsWith("'")) unescapeSqlString(d.substring(1, d.length - 1))
+          else d
         lit(lit0).cast(mc.sparkType)
       case None if mc.nullable => lit(null).cast(mc.sparkType)
       case None => zeroValue(mc) // NOT NULL, no default → type zero value
     }
+
+  /** MySQL string-literal unescape for DEFAULT values: backslash escapes
+    * (\' \" \\ \n \t \r \0 \b \Z, unknown \x → x) and SQL doubled quotes
+    * ('' → ') — `DEFAULT 'it\'s'` must fill `it's`, not `it\'s`. */
+  private def unescapeSqlString(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        i += 1
+        sb += (s.charAt(i) match {
+          case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+          case '0' => '\u0000'; case 'b' => '\b'; case 'Z' => '\u001a'
+          case other => other
+        })
+      } else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        sb += '\''; i += 1
+      } else sb += c
+      i += 1
+    }
+    sb.toString
+  }
 
   /** MySQL "zero value" per type (lenient HandleBadNull target). */
   def zeroValue(mc: MysqlColumn): Column = mc.sparkType match {

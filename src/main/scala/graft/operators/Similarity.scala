@@ -174,7 +174,11 @@ object Similarity {
     df.select(col(idCol), col(vecCol).cast("array<double>").as("_v0"))
       .withColumn("_n",
         sqrt(aggregate(transform(col("_v0"), x => x * x), lit(0.0), _ + _)))
-      .filter(col("_n") > 0 && !isnan(col("_n")))
+      // finite positive norm only: NaN elements → NaN norm; an Inf
+      // element → Inf norm, whose division would yield NaN components
+      // (Inf/Inf) that poison the codebook and sort first under desc
+      .filter(col("_n") > 0 && !isnan(col("_n")) &&
+        col("_n") < Double.PositiveInfinity)
       .select(col(idCol), transform(col("_v0"), x => x / col("_n")).as("_nv"))
 
   /** Train the codebooks on a driver-side sample (the faiss shape: PQ

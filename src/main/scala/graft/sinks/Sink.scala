@@ -59,12 +59,20 @@ final class ParquetSink(rootDir: String,
     val dir = new Path(tablePath(db, table))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(dir.getParent, s"_precompact_${dir.getName}")
-    // heal a crashed previous swap: data dir gone, backup present
-    if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
+    // heal a crashed previous swap: data dir gone, backup present — a
+    // silent rename failure here would report "0 files" over intact data
+    if (!fs.exists(dir) && fs.exists(old)) {
+      if (!fs.rename(old, dir))
+        throw new java.io.IOException(s"compact heal rename failed: $old -> $dir")
+    }
     // a crash AFTER a completed swap but before backup cleanup leaves a
     // full-size stale copy; clear it before any early return below, or it
-    // would survive every subsequent (already-compact) run
-    else if (fs.exists(old)) fs.delete(old, true)
+    // would survive every subsequent (already-compact) run. Deleted ONLY
+    // when the data dir shows a completed write (_SUCCESS) — on an
+    // object store whose rename is non-atomic, a half-moved data dir must
+    // not cost the one complete copy.
+    else if (fs.exists(old) &&
+        fs.exists(new Path(dir, "_SUCCESS"))) fs.delete(old, true)
     if (!fs.exists(dir)) return 0
     val parts = fs.listStatus(dir).filter(st =>
       st.isFile && st.getPath.getName.startsWith("part-"))

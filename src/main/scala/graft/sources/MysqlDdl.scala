@@ -122,6 +122,15 @@ object MysqlDdl {
   private val UniqueLine =
     """(?i)^\s*UNIQUE(?:\s+KEY|\s+INDEX)?(?:\s+`[^`]+`|\s+[a-zA-Z0-9_]+)?\s*\((.*)\).*$""".r
 
+  private val IndexKeywords = Set("UNIQUE", "KEY", "INDEX", "CONSTRAINT",
+    "FOREIGN", "FULLTEXT", "SPATIAL", "PRIMARY", "CHECK")
+
+  /** The full first identifier-ish word of a body line, uppercased —
+    * "PRIMARY KEY (a)" → "PRIMARY", but "primary_contact int" →
+    * "PRIMARY_CONTACT" (underscores keep the word going). */
+  private def leadingWord(l: String): String =
+    l.takeWhile(c => c.isLetterOrDigit || c == '_' || c == '$').toUpperCase
+
   /** Parse one CREATE TABLE statement. Comment stripping mirrors the
     * reference's schema reader (lightning/mydump/reader.go:67-114). */
   def parseCreateTable(ddl: String): MysqlTable = {
@@ -192,25 +201,21 @@ object MysqlDdl {
           uniq += keys.split(',').toSeq.map(
             _.trim.takeWhile(_ != '(').trim.stripPrefix("`").stripSuffix("`"))
           None
-        case l if l.toUpperCase.startsWith("UNIQUE") ||
-                  l.toUpperCase.startsWith("KEY") ||
-                  l.toUpperCase.startsWith("INDEX") ||
-                  l.toUpperCase.startsWith("CONSTRAINT") ||
-                  l.toUpperCase.startsWith("FOREIGN") ||
-                  // with bare identifiers allowed below, index-kind
-                  // keywords would otherwise parse as phantom columns
-                  // (`FULLTEXT KEY ft (body)` → column "FULLTEXT")
-                  l.toUpperCase.startsWith("FULLTEXT") ||
-                  l.toUpperCase.startsWith("SPATIAL") ||
-                  l.toUpperCase.startsWith("PRIMARY") ||
-                  l.toUpperCase.startsWith("CHECK") => None
+        // with bare identifiers allowed below, index-kind keywords would
+        // otherwise parse as phantom columns (`FULLTEXT KEY ft (body)` →
+        // column "FULLTEXT"). Matched on the WHOLE leading word, never a
+        // prefix — a bare column named `checksum` or `primary_contact` is
+        // a column, not a CHECK/PRIMARY clause.
+        case l if IndexKeywords(leadingWord(l)) => None
         case ColLine(quoted, bare, typeSpec, rest) =>
           val name = Option(quoted).getOrElse(bare)
           val restU = rest.toUpperCase
           val notNull = restU.contains("NOT NULL")
           val autoInc = restU.contains("AUTO_INCREMENT")
           val default = {
-            val m = """(?i)DEFAULT\s+('(?:[^'\\]|\\.)*'|[^\s,]+)""".r.findFirstMatchIn(rest)
+            // quoted alternative admits doubled '' quotes AND backslash
+            // escapes — 'a''b\\c' is one literal, not 'a' + junk
+            val m = """(?i)DEFAULT\s+('(?:''|\\.|[^'\\])*'|[^\s,]+)""".r.findFirstMatchIn(rest)
             m.map(_.group(1))
           }
           if (restU.contains("PRIMARY KEY") && pk.isEmpty) pk = Seq(name)

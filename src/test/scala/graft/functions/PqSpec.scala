@@ -62,6 +62,24 @@ class PqSpec extends SparkSpec {
     assert(!ids.contains(99L) && ids.size === 40)
   }
 
+  test("Inf-element vectors are dropped too (Inf norm → NaN components)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))) :+
+      (98L, Seq.fill(7)(1f) :+ Float.PositiveInfinity)
+    val idx = Similarity.pqIndex(rows.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", m = 4, k = 4)
+    assert(!idx.encoded.select("vec_id").collect().map(_.getLong(0))
+      .contains(98L))
+    // and the codebook itself stays finite
+    assert((0 until idx.codebook.length / 8).forall { i =>
+      val d = java.lang.Double.longBitsToDouble(
+        org.apache.spark.unsafe.Platform.getLong(idx.codebook,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8L * i))
+      !d.isNaN && !d.isInfinite
+    })
+  }
+
   test("codes are m bytes regardless of dimension") {
     val df = (0L until 50L)
       .map(i => (i, Seq.fill(16)((i % 7).toFloat + 1f)))

@@ -164,6 +164,22 @@ class SchemaAlignSpec extends SparkSpec {
     assert(e4.toString.contains("SET") || e4.getMessage.contains("SET"))
   }
 
+  test("escaped DEFAULT literals fill unescaped values") {
+    import spark.implicits._
+    val t = MysqlDdl.parseCreateTable(
+      """CREATE TABLE d (
+        |  `id` int NOT NULL,
+        |  `c1` varchar(20) NOT NULL DEFAULT 'it\'s )',
+        |  `c2` varchar(20) NOT NULL DEFAULT 'a''b\\c'
+        |)""".stripMargin)
+    // rows carry only `id`: both defaults fill, backslash/doubled-quote
+    // escapes resolved to the characters MySQL stores
+    val row = SchemaAlign.fromColumns(Seq(Tuple1("7")).toDF("id"),
+      Seq("id"), t, SqlMode.Lenient).collect()(0)
+    assert(row.getString(1) === "it's )")
+    assert(row.getString(2) === "a'b\\c")
+  }
+
   test("without kinds a hex value stays the raw digit text (legacy path)") {
     import spark.implicits._
     val binTable = MysqlDdl.parseCreateTable(

@@ -86,6 +86,21 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(t.column("c1").get.default === Some("'it\\'s )'"))
   }
 
+  test("bare columns NAMED like index keywords stay columns") {
+    val t = MysqlDdl.parseCreateTable(
+      """CREATE TABLE t (
+        |  id int,
+        |  checksum bigint NOT NULL,
+        |  primary_contact varchar(20),
+        |  fulltext_score float,
+        |  spatial_ref int,
+        |  key_name varchar(10)
+        |)""".stripMargin)
+    assert(t.columns.map(_.name) ===
+      Seq("id", "checksum", "primary_contact", "fulltext_score",
+        "spatial_ref", "key_name"))
+  }
+
   test("PARTITION BY table options after the body are ignored") {
     val t = MysqlDdl.parseCreateTable(
       "create table a (a int) partition by hash(a) partitions 5;")
