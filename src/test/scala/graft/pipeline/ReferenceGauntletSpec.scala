@@ -235,6 +235,53 @@ class ReferenceGauntletSpec extends SparkSpec {
       Set("firstdb.second", "seconddb.fourth"))
   }
 
+  test("csv: the reference's escape/null/binary CSV matrix") {
+    assume(refTests.isDirectory)
+    val out = new File("target/test_refgauntlet/csv").getAbsolutePath
+    val cfg = ImportConfig(
+      sourceDir = new File(refTests, "csv/data").getAbsolutePath,
+      outDir = out,
+      // the scenario's config.toml: ',' separator, '"' quote, no header,
+      // \N nulls, backslash-escape; binary charset keeps the escapes
+      // table's raw 0xFF bytes byte-transparent; multiLine for the
+      // quoted-CRLF field in escapes row 2
+      csv = graft.sources.CsvConfig(backslashEscape = true,
+        charset = "binary", multiLine = true),
+      charset = "binary",
+      filter = TableFilter(doTables = Seq(("csv", "*"))),
+      checkpointEnabled = false)
+    new ImportPipeline(spark, cfg).run()
+    val threads = tbl(out, "csv", "threads")
+    val r = threads.agg(count(lit(1)),
+      sum(col("PROCESSLIST_TIME")).cast("long"),
+      sum(col("THREAD_OS_ID")).cast("long"),
+      count(col("PROCESSLIST_STATE"))).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((43L, 322253L, 303775702L, 3L)))
+    assert(threads.filter(col("PROCESSLIST_TIME").isNotNull).count() === 12L)
+    val esc = tbl(out, "csv", "escapes").collect()
+      .map(row => row.getInt(0) -> row).toMap
+    def hexOf(row: org.apache.spark.sql.Row, i: Int): String =
+      row.getAs[Array[Byte]](i).map("%02X".format(_)).mkString
+    assert(esc(1).getString(1) === "\\")
+    assert(esc(1).getString(2) === "{\"?\": []}")
+    assert(hexOf(esc(1), 3) === "FFFFFFFF")
+    assert(esc(2).getString(1) === "\"")
+    assert(esc(2).getString(2) === "\"\\n\\n\\n\"")
+    // PINNED DEVIATION (README "Known deviations"): Lightning drops the
+    // backslash of UNKNOWN escapes (`\<LF>` → LF); univocity — required
+    // for quoted embedded newlines — passes `\x` through untouched for
+    // x outside {quote, escape}. The reference expects 0D0A0D0A / LF.
+    assert(hexOf(esc(2), 3) === "0D5C0A0D5C0A")
+    assert(esc(3).getString(1) === "\\\n")
+    assert(esc(3).getString(2) === "[\",,,\"]")
+    assert(hexOf(esc(3), 3) === "5C2C5C2C")
+    // empty_strings: b is '' for every row (quoted-empty, bare-empty,
+    // trailing-empty forms all agree)
+    assert(tbl(out, "csv", "empty_strings")
+      .filter(col("b") =!= "").count() === 0L)
+  }
+
   test("row-format-v2: 150-column wide rows with null tails") {
     assume(refTests.isDirectory)
     val out = imported("row-format-v2", "rowformatv2")
