@@ -37,6 +37,11 @@ object Bench {
       println(f"""{"metric":"ingest_xl_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f}""")
       spark.stop(); return
     }
+    if (args.contains("ingest-many-only")) { // dev loop: 64-tiny-tables probe
+      val (mib, sec) = ingestMany(spark, sfDir)
+      println(f"""{"metric":"ingest_many_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f,"tables":$ManyTables}""")
+      spark.stop(); return
+    }
     if (args.contains("align-only")) { // dev loop: stage-by-stage ingest cost
       val (mib, _) = ingestThroughput(spark, sfDir) // ensures dump exists
       val root = new File("target", s"bench_dump_v3_${math.abs(sfDir.hashCode)}")
@@ -119,6 +124,12 @@ object Bench {
     // 100 TB only the latter matters. No floor applies: single-shot numbers
     // carry environmental variance the min-of-3 damps.
     val (xlMib, xlSec) = ingestXl(spark, sfDir)
+    // the reference's OTHER ingest regime: thousands of small tables
+    // (loader.go:213-220 schedules smallest-first; tableConcurrency pools
+    // them). One big table amortizes per-table fixed cost; 64 tiny tables
+    // measure it — discovery, DDL parse, per-table plan analysis, commit
+    // bookkeeping — the term that dominates a many-table 100 TB migration.
+    val (manyMib, manySec) = ingestMany(spark, sfDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // a crashed query must be visible in the JSON line, not silently folded
     // into a plausible-looking time — failures land in an "errors" object
@@ -152,17 +163,49 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Output order matters for the EVIDENCE CHAIN, not just humans: the
+    // driver keeps a bounded tail of stdout, and in rounds 4 AND 5 the
+    // official per-query numbers were lost — r4 to a pre-print require, r5
+    // because the single ~6 KB detail line overflowed the tail window and
+    // was truncated mid-line (BENCH_r05.json parsed:null). So: (1) the big
+    // detail line prints FIRST, (2) a ≤300 B headline line prints LAST —
+    // whatever tail window the driver keeps always ends with a complete,
+    // parseable JSON summary — and (3) the full document is also written to
+    // target/bench_last.json as a durable artifact.
+    val ingestRate = if (ingestSec > 0) ingestMib / ingestSec else 0.0
+    val xlRate = if (xlSec > 0) xlMib / xlSec else 0.0
+    val manyRate = if (manySec > 0) manyMib / manySec else 0.0
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"n_errors":${errors.size},""" +
       s""""gc_ms":$gq,"gc_ms_total":${gcs.values.sum},""" +
       s""""process_cpu_sec":${osBean.getProcessCpuTime / 1e9},""" +
       s""""ingest_mib":$ingestMib,"ingest_sec":$ingestSec,""" +
-      s""""ingest_mib_per_sec":${if (ingestSec > 0) ingestMib / ingestSec else 0},""" +
+      s""""ingest_mib_per_sec":$ingestRate,""" +
       s""""ingest_below_baseline":$ingestBelowBaseline,""" +
       s""""ingest_retried":$ingestRetried,""" +
       s""""ingest_xl_mib":$xlMib,"ingest_xl_sec":$xlSec,""" +
-      s""""ingest_xl_mib_per_sec":${if (xlSec > 0) xlMib / xlSec else 0},""" +
-      s""""sf":"$sfDir"}""")
+      s""""ingest_xl_mib_per_sec":$xlRate,""" +
+      s""""ingest_many_mib":$manyMib,"ingest_many_sec":$manySec,""" +
+      s""""ingest_many_mib_per_sec":$manyRate,""" +
+      s""""ingest_many_tables":$ManyTables,""" +
+      s""""sf":"$sfDir"}"""
+    // headline "queries" carries only the 5 slowest — keeps the line well
+    // under any plausible tail window while still naming the hot spots
+    val top5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val headline = f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+      f""""n_queries":${names.size},"n_errors":${errors.size},""" +
+      f""""ingest_mib_per_sec":$ingestRate%.1f,""" +
+      f""""ingest_xl_mib_per_sec":$xlRate%.1f,""" +
+      f""""ingest_many_mib_per_sec":$manyRate%.1f,""" +
+      f""""queries":$top5,"sf":"$sfDir"}"""
+    println(detail)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("target", "bench_last.json"), detail + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"BENCH: bench_last.json write failed: $e") }
+    println(headline) // LAST line: always inside any bounded tail capture
     if (errors.nonEmpty) System.err.println(
       s"BENCH: ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
@@ -178,6 +221,70 @@ object Bench {
   /** The reference's single-node restore anchor: ~100 GiB/h ≈ 28 MiB/s
     * (BASELINE.md, lightning/restore/restore.go:491). */
   private val IngestFloorMibPerSec = 28.0
+
+  /** Table count for the many-small-tables probe. */
+  private val ManyTables = 64
+
+  /** The reference's OTHER ingest regime: many small tables
+    * (lightning/mydump/loader.go:213-220 sorts tables smallest-first;
+    * `table-concurrency` pools them). 64 tiny tables — schema file + one
+    * single-row-INSERT data file each — imported in ONE pipeline run,
+    * single-shot. The big-table probes amortize per-table fixed cost
+    * (discovery, DDL parse, Catalyst analysis of the align trees, commit
+    * bookkeeping); this one is ~all fixed cost, so sec/64 IS the per-table
+    * driver overhead a thousand-table migration pays. No MiB/s floor
+    * applies — the corpus is deliberately tiny. Returns (dump MiB, secs). */
+  private def ingestMany(spark: SparkSession, sfDir: String): (Double, Double) = {
+    val root = new File("target", s"bench_dump_v3_${math.abs(sfDir.hashCode)}")
+    val manyDir = new File(root, "dump_many")
+    if (!new File(manyDir, "benchmany.t00-schema.sql").exists()) {
+      deleteRec(manyDir); manyDir.mkdirs()
+      // fixture generation only (not operator code): 15k customer rows fit
+      // the driver trivially, and plain-IO writes beat 64 tiny Spark jobs
+      val rows = spark.read.parquet(s"$sfDir/customer.parquet")
+        .selectExpr("c_custkey", "c_name", "c_acctbal")
+        .collect()
+      val byTable = rows.groupBy(r => (r.getLong(0) % ManyTables).toInt)
+      for (i <- 0 until ManyTables) {
+        val t = f"t$i%02d"
+        java.nio.file.Files.writeString(
+          new File(manyDir, s"benchmany.$t-schema.sql").toPath,
+          s"""CREATE TABLE `$t` (
+             |  `c_custkey` bigint(20) NOT NULL,
+             |  `c_name` varchar(25) NOT NULL,
+             |  `c_acctbal` double NOT NULL,
+             |  PRIMARY KEY (`c_custkey`)
+             |)""".stripMargin)
+        val sb = new StringBuilder
+        for (r <- byTable.getOrElse(i, Array.empty))
+          sb.append(s"INSERT INTO `$t` VALUES (${r.getLong(0)},'" +
+            r.getString(1).replace("\\", "\\\\").replace("'", "\\'") +
+            s"',${r.getDouble(2)});\n")
+        java.nio.file.Files.writeString(
+          new File(manyDir, s"benchmany.$t.0000.sql").toPath, sb.toString)
+      }
+    }
+    val bytes = manyDir.listFiles().filter(_.getName.endsWith(".sql"))
+      .map(_.length()).sum
+    val out = new File(root, "out_many")
+    deleteRec(out)
+    val cfg = ImportConfig(
+      sourceDir = manyDir.getAbsolutePath,
+      outDir = out.getAbsolutePath,
+      filter = TableFilter(), // dir holds only benchmany.* tables
+      checkpointEnabled = false,
+      minChunkBytes = 8L * 1024 * 1024,
+      observeChecksum = sys.env.get("SPARK_GRAFT_OBSERVE").forall(_ != "0"),
+      chunkCheckpoints = sys.env.get("SPARK_GRAFT_CHUNKS").forall(_ != "0"))
+    val t0 = System.nanoTime()
+    val reports = new ImportPipeline(spark, cfg).run()
+    require(reports.size == ManyTables && reports.forall(_.rows > 0),
+      s"ingest-many expected $ManyTables non-empty tables, " +
+        s"got ${reports.size}")
+    val secs = (System.nanoTime() - t0) / 1e9
+    deleteRec(out)
+    (bytes / 1048576.0, secs)
+  }
 
   /** Generate (once, cached) a mydumper-style dump of the sf's lineitem as
     * single-row INSERT statements, then time the full ImportPipeline over

@@ -26,9 +26,17 @@ object PqOps {
     java.lang.Double.longBitsToDouble(org.apache.spark.unsafe.Platform.getLong(
       a, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8L * i))
 
-  /** Nearest-centroid code per subspace (L2 within the subspace). */
+  /** Nearest-centroid code per subspace (L2 within the subspace).
+    * Validates sizes before the unchecked Platform reads: pq_encode is
+    * registered as a SQL function, so arbitrary binaries can reach it, and
+    * getD has no JVM bounds check — undersized inputs would read adjacent
+    * heap instead of throwing. */
   def encode(vec: Array[Byte], codebook: Array[Byte], m: Int, k: Int): Array[Byte] = {
     val dim = vec.length / 8
+    require(vec.length % 8 == 0 && dim % m == 0,
+      s"pq_encode: packed vector length ${vec.length} not 8*dim with dim divisible by m=$m")
+    require(codebook.length == m.toLong * k * (dim / m) * 8,
+      s"pq_encode: codebook length ${codebook.length} != m*k*sub*8 = ${m.toLong * k * (dim / m) * 8}")
     val sub = dim / m
     val out = new Array[Byte](m)
     var j = 0
@@ -57,10 +65,17 @@ object PqOps {
     * per-subspace dots with each code's centroid. */
   def adc(codes: Array[Byte], table: Array[Byte], k: Int): Double = {
     val m = codes.length
+    // same rationale as encode: SQL-reachable + unchecked reads — a table
+    // shorter than m*k doubles or a code byte >= k must fail loudly, not
+    // read past the array
+    require(table.length == m.toLong * k * 8,
+      s"pq_adc: ADC table length ${table.length} != m*k*8 = ${m.toLong * k * 8}")
     var s = 0.0
     var j = 0
     while (j < m) {
-      s += getD(table, j * k + (codes(j) & 0xFF))
+      val c = codes(j) & 0xFF
+      require(c < k, s"pq_adc: code $c at subspace $j out of range (k=$k)")
+      s += getD(table, j * k + c)
       j += 1
     }
     s
@@ -76,6 +91,10 @@ object PqOps {
     * executors as a literal. */
   def adcTable(query: Array[Double], codebook: Array[Byte], m: Int,
       k: Int): Array[Byte] = {
+    require(query.length % m == 0,
+      s"pq adcTable: query dim ${query.length} not divisible by m=$m")
+    require(codebook.length == m.toLong * k * (query.length / m) * 8,
+      s"pq adcTable: codebook length ${codebook.length} != m*k*sub*8 = ${m.toLong * k * (query.length / m) * 8}")
     val sub = query.length / m
     val out = new Array[Byte](m * k * 8)
     var j = 0
@@ -100,11 +119,14 @@ object PqOps {
     * verification uses it to pin adc() == dot(query, decode()). */
   def decode(codes: Array[Byte], codebook: Array[Byte], k: Int): Array[Byte] = {
     val m = codes.length
+    require(codebook.length % (8L * m * k) == 0 && codebook.length > 0,
+      s"pq_decode: codebook length ${codebook.length} not a multiple of m*k*8 = ${8L * m * k}")
     val sub = codebook.length / 8 / (m * k)
     val out = new Array[Byte](m * sub * 8)
     var j = 0
     while (j < m) {
       val c = codes(j) & 0xFF
+      require(c < k, s"pq_decode: code $c at subspace $j out of range (k=$k)")
       System.arraycopy(codebook, ((j * k + c) * sub) * 8, out, (j * sub) * 8,
         sub * 8)
       j += 1

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * the row level only via REPLACE INTO — lightning/backend/tidb.go:45-63).
   *
   * Scale design notes (100 TB):
-  *  - exact dedup: one hash-shuffle on the dedup key; with a pre-computed
-  *    digest column the shuffle moves 16-byte digests, not documents.
+  *  - exact dedup: two shapes — a one-exchange window (payloads cross the
+  *    shuffle once) and a payload-light loser anti-join (digests+keys only
+  *    shuffle; documents never do). See the two method docs for when each
+  *    wins.
   *  - MinHash LSH: the only shuffle is the band-bucket join; candidate
   *    verification happens only within buckets (output ≪ N²). Signatures
   *    are computed in one narrow pass of array expressions, no UDFs.
@@ -40,13 +42,41 @@ object Dedup {
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** Exact dedup: keep the lowest-key row per identical value of `on`.
-    * Window over the digest — the shuffle key is the digest, so payload
-    * movement is bounded by the digest size at 100 TB. */
+    * Window over the digest: ONE exchange, but it moves the ENTIRE row —
+    * the shuffle is *keyed* by the digest, payload bytes still cross it.
+    * Right when the input lineage is expensive to recompute (this form
+    * evaluates it once) or the payload is already narrow; for wide
+    * payloads straight off a scan, use [[exactPayloadLight]]. */
   def exact(df: DataFrame, on: Column, key: Column): DataFrame = {
     val w = Window.partitionBy(on).orderBy(key)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
+  }
+
+  /** Exact dedup without shuffling payloads: mine the LOSER keys on a
+    * narrow (digest, key) projection — column pruning means that pass
+    * reads only what the digest needs — then anti-join them out of the
+    * original frame. At corpus scale with low duplicate rates the loser
+    * set is ≪ the corpus, so AQE plans the anti-join as a broadcast and
+    * document bytes never enter ANY exchange: the cost is a second
+    * (pruned) scan of the input instead of a 100 TB shuffle write+read.
+    * No hard-coded broadcast hint — if losers turn out huge, AQE falls
+    * back to a shuffled anti-join, which is the window plan's cost.
+    *
+    * `key` must uniquely identify rows (it is the anti-join key); with
+    * duplicate keys prefer [[exact]], whose window breaks ties
+    * arbitrarily instead of dropping both rows' twins. Same keep-lowest
+    * semantics as [[exact]] for unique keys (pinned by CurationOpsSpec).
+    * Because the input is referenced twice, persist/checkpoint expensive
+    * lineages first — or use [[exact]]. */
+  def exactPayloadLight(df: DataFrame, on: Column, key: Column): DataFrame = {
+    val w = Window.partitionBy(col("_graft_dg")).orderBy(col("_graft_k"))
+    val losers = df.select(on.as("_graft_dg"), key.as("_graft_k"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .select(col("_graft_k"))
+    df.join(losers, key === col("_graft_k"), "left_anti")
   }
 
   /** Character k-shingles (distinct) of a PRE-MATERIALIZED char-array

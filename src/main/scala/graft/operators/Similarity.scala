@@ -70,6 +70,11 @@ object Similarity {
     val qb = lit(graft.functions.VecOps.pack(
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(query.toArray)))
     val qn = math.sqrt(query.foldLeft(0.0)((s, x) => s + x * x))
+    // mirror normalizedFrame's corpus-side filter: a zero/NaN/Inf-norm
+    // query would silently score every row NaN and return a meaningless
+    // ranking instead of failing here with a cause
+    require(qn > 0 && java.lang.Double.isFinite(qn),
+      s"query vector must have a finite positive norm (got $qn)")
     val p = packVec(vecCol.cast("array<double>"))
     round(packedDot(p, qb) / (sqrt(packedDot(p, p)) * lit(qn)), 9)
   }
@@ -254,9 +259,32 @@ object Similarity {
       }
       for (c <- 0 until k if counts(c) > 0; i <- 0 until sums(c).length)
         centers(c)(i) = sums(c)(i) / counts(c)
-      // empty cell: steal a deterministic point so the code domain stays live
-      for (c <- 0 until k if counts(c) == 0)
-        centers(c) = pts(rnd.nextInt(pts.length)).clone
+      // empty cell: re-seed from the farthest point of the (currently)
+      // largest cell — a random steal can duplicate an existing center,
+      // leaving the cell empty again next iteration; splitting the biggest
+      // cell both fills the code domain and reduces its distortion.
+      // Deterministic (no rnd), and counts/assign are updated so a later
+      // empty cell in the same pass picks the NEXT largest donor.
+      for (c <- 0 until k if counts(c) == 0) {
+        var big = 0
+        for (c2 <- 1 until k) if (counts(c2) > counts(big)) big = c2
+        var far = -1; var farD = -1.0
+        var p2 = 0
+        while (p2 < pts.length) {
+          if (assign(p2) == big) {
+            var d = 0.0; var i = 0
+            while (i < pts(p2).length) {
+              val x = pts(p2)(i) - centers(big)(i); d += x * x; i += 1
+            }
+            if (d > farD) { farD = d; far = p2 }
+          }
+          p2 += 1
+        }
+        if (far >= 0) {
+          centers(c) = pts(far).clone
+          assign(far) = c; counts(c) += 1; counts(big) -= 1
+        }
+      }
     }
     centers
   }
@@ -267,6 +295,8 @@ object Similarity {
       topK: Int): DataFrame = {
     import graft.functions.{PqExpressions, PqOps, VecOps}
     val qn = math.sqrt(query.foldLeft(0.0)((s, x) => s + x * x))
+    require(qn > 0 && java.lang.Double.isFinite(qn),
+      s"query vector must have a finite positive norm (got $qn)")
     val q = query.map(_ / qn).toArray
     val table = PqOps.adcTable(q, idx.codebook, idx.m, idx.k)
     idx.encoded.select(col(idCol),

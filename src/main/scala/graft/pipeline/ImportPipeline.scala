@@ -150,9 +150,12 @@ final case class TableReport(db: String, table: String, rows: Long,
     error: Option[String] = None)
 
 object ImportPipeline {
-  /** Stable numeric table id (role of TiDB's table ID in record keys). */
+  /** Stable numeric table id (role of TiDB's table ID in record keys).
+    * Full 64-bit crc64 — an earlier `% 100000` gave distinct tables a
+    * ~1e-5 pairwise collision chance on the KV key prefix; the id only
+    * ever appears stringified inside keys, so nothing needs it small. */
   def tableId(db: String, table: String): Long =
-    math.abs(Crc64.checksum(s"$db.$table".getBytes("UTF-8"))) % 100000
+    Crc64.checksum(s"$db.$table".getBytes("UTF-8"))
 }
 
 final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,

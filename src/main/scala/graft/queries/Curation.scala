@@ -15,11 +15,14 @@ object Curation {
   private val NormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
-  /** Exact dedup on normalized-content fingerprint. */
+  /** Exact dedup on normalized-content fingerprint. Payload-light shape:
+    * the input is a raw scan (cheap to read twice, column-pruned), so the
+    * loser anti-join keeps document bytes out of every exchange — at
+    * 100 TB the window form would shuffle the whole corpus once. */
   def dedup_exact(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .withColumn("fp", Dedup.fingerprint(col("text")))
-    Dedup.exact(docs, col("fp"), col("doc_id"))
+    Dedup.exactPayloadLight(docs, col("fp"), col("doc_id"))
       .select("doc_id", "fp")
   }
 

@@ -22,6 +22,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L, 4L, 5L)) // 2 deduped into 1
   }
 
+  test("payload-light exact dedup matches the window form (incl. schema)") {
+    val fp = docs.withColumn("fp", Dedup.fingerprint(col("text")))
+    val win = Dedup.exact(fp, col("fp"), col("doc_id"))
+    val light = Dedup.exactPayloadLight(fp, col("fp"), col("doc_id"))
+    assert(light.schema.fieldNames.toSeq === win.schema.fieldNames.toSeq)
+    val k = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id", "text", "fp").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(k(light) === k(win))
+  }
+
   test("minhash LSH finds the near-dup pair, not the distinct one") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
       k = 3, numHashes = 32, bands = 8, threshold = 0.5)

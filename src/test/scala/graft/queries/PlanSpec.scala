@@ -69,17 +69,37 @@ class PlanSpec extends SparkSpec {
       s"AQE did not re-plan the per-part aggregate join as broadcast:\n${p.take(2000)}")
   }
 
-  test("dedup_exact: one shuffle, keyed by the content digest") {
-    val df = Curation.dedup_exact(spark, sf)
-    val p = plan(df)
-    // digest-keyed window dedup: exactly one exchange, partitioned on the
-    // fingerprint — shuffling anything wider (the document text) or adding
-    // a second exchange is the 100×-scale regression this locks out
-    val exchanges = "Exchange hashpartitioning\\(([^)]*)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(exchanges.size == 1, s"expected one shuffle:\n${p.take(2000)}")
-    assert(exchanges.head.contains("fp"),
-      s"shuffle not keyed by the digest: ${exchanges.head}")
+  test("dedup_exact: digest-keyed loser mining; text crosses no shuffle") {
+    // payload-light exact dedup: the loser-mining window shuffles only
+    // (digest, key); the anti-join side is AQE-broadcast. Run on a frame
+    // that KEEPS the document column so the assertion is about the
+    // operator, not about downstream column pruning.
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("fp", Dedup.fingerprint(col("text")))
+    val df = Dedup.exactPayloadLight(docs, col("fp"), col("doc_id"))
+    df.collect() // finalize the adaptive plan
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted explain lists each node's Input: no Exchange node may
+    // carry the text column — that's the 100×-scale regression this locks
+    val nodes = fmt.split("\n\n")
+    val exchanges = nodes.filter(_.linesIterator.toSeq.headOption
+      .exists(h => h.matches("""\(\d+\) Exchange.*""")))
+    assert(exchanges.nonEmpty, s"no Exchange nodes found in:\n${fmt.take(2000)}")
+    for (e <- exchanges) {
+      val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"),
+        s"document bytes cross a shuffle exchange:\n$e")
+      assert(input.contains("fp#") || input.contains("_graft_dg#"),
+        s"exchange not over the digest projection:\n$e")
+    }
+    // AQE must pick a broadcast anti-join at small SF (the loser set is
+    // tiny); the static plan carries no hard-coded hint, so at 100× a
+    // huge loser set degrades to a shuffled anti-join instead of OOMing
+    assert(fmt.contains("BroadcastHashJoin") && fmt.contains("LeftAnti"),
+      s"anti-join not broadcast at small SF:\n${fmt.take(2000)}")
   }
 
   test("dedup_minhash_md5: banded equi-join, never a nested-loop pair scan") {
