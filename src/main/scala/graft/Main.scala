@@ -12,14 +12,19 @@ import graft.sources.{MydumpDiscovery, MysqlDdl, RouteRule, TableFilter}
   * 42-307: one-shot import, checkpoint dump/removal, verification).
   *
   * Subcommands:
-  *   import          --source DIR --out DIR [--strict] [--no-checkpoint]
+  *   import          --source DIR --out DIR [--config lightning.toml]
+  *                   [--strict] [--no-checkpoint]
   *                   [--continue-on-error] [--checkpoint-url JDBC_URL]
   *                   [--filter db.tbl ...] [--route src.tbl=dst.tbl ...]
   *                   [--bucket-by N:col1,col2] [--compact-bytes N]
+  *                   (--config loads a tidb-lightning.toml task config;
+  *                   flags override it)
   *   checkpoint-dump --source DIR --out DIR            (CSV to stdout)
   *   checkpoint-remove --out DIR --table db.tbl
   *   checkpoint-destroy --out DIR [--table db.tbl ...] (failed tables:
   *                   drop checkpoint AND partial sink output)
+  *   checkpoint-error-ignore --out DIR [--table db.tbl ...] (clear failed
+  *                   status, keep data; next import resumes from chunks)
   *   verify          --source DIR --out DIR            (A3: re-scan compare)
   */
 object Main {
@@ -39,6 +44,7 @@ object Main {
       case "checkpoint-dump" => checkpointDump(opts)
       case "checkpoint-remove" => checkpointRemove(opts)
       case "checkpoint-destroy" => checkpointDestroy(opts)
+      case "checkpoint-error-ignore" => checkpointErrorIgnore(opts)
       case "verify" => doVerify(opts)
       case "serve" => doServe(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
@@ -62,11 +68,11 @@ object Main {
   }
 
   private def usage(): Unit =
-    System.err.println("usage: graft.Main import|checkpoint-dump|checkpoint-remove|verify|serve --source DIR --out DIR [opts]")
+    System.err.println("usage: graft.Main import|checkpoint-dump|checkpoint-remove|checkpoint-destroy|checkpoint-error-ignore|verify|serve --source DIR --out DIR [opts]")
 
   private val KnownOpts = Set("source", "out", "strict", "no-checkpoint",
     "continue-on-error", "filter", "route", "table", "port", "bind",
-    "checkpoint-url", "bucket-by", "compact-bytes")
+    "checkpoint-url", "bucket-by", "compact-bytes", "config")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
@@ -108,6 +114,31 @@ object Main {
       val Array(sdb, stbl) = src.split("\\.", 2)
       val Array(ddb, dtbl) = dst.split("\\.", 2)
       RouteRule(sdb, stbl, ddb, dtbl)
+    }
+    // --config file.toml: a tidb-lightning.toml task config is the base;
+    // command-line flags override it (the reference's cmdline_override
+    // contract — global.go LoadGlobalConfig flag precedence)
+    one("config").foreach { p =>
+      val loaded = graft.config.TomlImportConfig.load(
+        java.nio.file.Files.readString(java.nio.file.Path.of(p)))
+      loaded.warnings.foreach(w => System.err.println(s"[graft] WARNING: $w"))
+      val b = loaded.config
+      val src = one("source").orElse(Option(b.sourceDir).filter(_.nonEmpty))
+        .getOrElse(sys.error("--source or mydumper.data-source-dir required"))
+      val out = one("out").orElse(Option(b.outDir).filter(_.nonEmpty))
+        .getOrElse(sys.error("--out or [graft] out-dir required"))
+      return b.copy(
+        sourceDir = src,
+        outDir = out,
+        sqlMode = if (o("strict").nonEmpty) SqlMode.Strict else b.sqlMode,
+        filter = if (filters.isEmpty) b.filter
+                 else TableFilter(doTables = filters),
+        routes = if (routes.isEmpty) b.routes else routes,
+        checkpointEnabled =
+          if (o("no-checkpoint").nonEmpty) false else b.checkpointEnabled,
+        checkpointUrl = one("checkpoint-url").orElse(b.checkpointUrl),
+        continueOnError =
+          b.continueOnError || o("continue-on-error").nonEmpty)
     }
     ImportConfig(
       sourceDir = one("source").getOrElse(sys.error("--source required")),
@@ -224,6 +255,30 @@ object Main {
     targets.foreach { case (db, tbl) =>
       log.destroy(db, tbl)
       println(s"destroyed $db.$tbl (checkpoint + partial sink output)")
+    }
+    spark.stop()
+  }
+
+  /** ctl error-ignore (reference cmd/tidb-lightning-ctl/main.go:166-215,
+    * --checkpoint-error-ignore): clear `failed` status without deleting
+    * output — the next import resumes from committed chunks. With
+    * `--table db.tbl` only those tables; without, every failed table. */
+  private def checkpointErrorIgnore(o: Map[String, List[String]]): Unit = {
+    val spark = session()
+    val out = o("out").headOption.getOrElse(sys.error("--out required"))
+    val log = storeFor(o, out, spark.sparkContext.hadoopConfiguration)
+    val targets =
+      if (o("table").nonEmpty) o("table").map { t =>
+        val Array(db, tbl) = t.split("\\.", 2); (db, tbl)
+      }
+      else log.listTables().filter(_.status == "failed")
+        .map(s => (s.db, s.table))
+    if (targets.isEmpty) println("nothing to ignore (no failed tables)")
+    targets.foreach { case (db, tbl) =>
+      if (log.errorIgnore(db, tbl))
+        println(s"cleared failed status for $db.$tbl (data kept; next " +
+          "import resumes from committed chunks)")
+      else println(s"$db.$tbl is not in failed state; unchanged")
     }
     spark.stop()
   }

@@ -99,7 +99,10 @@ final case class ImportConfig(
     // error policy (reference errorSummaries, restore.go:89-129): false =
     // raise on first table failure; true = record the failure, keep
     // importing the remaining tables, and emit a per-table error summary
-    // at the end (committed chunks of the failed table still resume)
+    // at the end. A failed table blocks later runs over the SAME inputs
+    // until checkpoint-error-ignore (keep data, resume committed chunks)
+    // or checkpoint-destroy clears it — the reference's ctl contract;
+    // repaired inputs (different plan fingerprint) import fresh.
     continueOnError: Boolean = false,
     // reference table-level concurrency (worker pools restore.go:197-200;
     // defaults config.go:371-389: importer table=6, tidb=NumCPU): tables
@@ -265,6 +268,17 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
           // resume: already imported with the same inputs — skip (K6)
           return TableReport(t.db, t.table, st.rows, st.checksum,
             st.totalBytes, st.totalKvs, resumedSkip = true)
+        case Some(st) if st.status == "failed" && st.planFingerprint == fp =>
+          // the reference refuses to run over a failed checkpoint until the
+          // operator decides (restore.go errorSummaries → ctl): silently
+          // re-running can double-apply a non-idempotent sink. Changed
+          // inputs (new fingerprint) mean a repaired source — those import
+          // fresh below.
+          throw new IllegalStateException(
+            s"table ${t.db}.${t.table} failed in a previous run; clear it " +
+              "with checkpoint-error-ignore (keep data, resume from " +
+              "committed chunks) or checkpoint-destroy (drop partial " +
+              "output and restart)")
         case _ => ()
       }
     }

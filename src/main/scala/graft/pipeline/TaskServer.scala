@@ -49,7 +49,10 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
     bindAddress: String = "127.0.0.1") {
 
   final class Task(val id: Long, val source: String, val out: String,
-      val strict: Boolean) {
+      val strict: Boolean,
+      // full config for TOML-submitted tasks; (source, out, strict) above
+      // remain the display/JSON surface
+      val cfg: Option[ImportConfig] = None) {
     @volatile var status: String = "queued"
     @volatile var detail: String = ""
     @volatile var cancelRequested: Boolean = false
@@ -88,9 +91,10 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
           s"graft import ${t.source} -> ${t.out}", interruptOnCancel = true)
         registry.startTask()
         try {
-          val cfg = ImportConfig(sourceDir = t.source, outDir = t.out,
+          val cfg = t.cfg.getOrElse(ImportConfig(
+            sourceDir = t.source, outDir = t.out,
             sqlMode = if (t.strict) SqlMode.Strict else SqlMode.Lenient,
-            filter = TableFilter())
+            filter = TableFilter()))
           val reports = new ImportPipeline(spark, cfg,
             pauser = Some(pauser),
             cancelled = () => t.cancelRequested,
@@ -174,7 +178,31 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
           case ("POST", "/tasks") =>
             val body = new String(ex.getRequestBody.readAllBytes(),
               StandardCharsets.UTF_8)
-            (strField(body, "source"), strField(body, "out")) match {
+            // content negotiation mirrors the reference's handlePostTask
+            // (lightning.go:336-374): the body is a task CONFIG — there a
+            // TOML document, here TOML or the legacy JSON shape. A body
+            // that doesn't open with '{' is parsed as tidb-lightning.toml
+            // (unknown keys rejected with the reference's message).
+            if (!body.trim.startsWith("{")) {
+              try {
+                val loaded = graft.config.TomlImportConfig.load(body)
+                val cfg = loaded.config
+                if (cfg.sourceDir.isEmpty || cfg.outDir.isEmpty)
+                  respond(ex, 400, """{"error":"mydumper.data-source-dir and [graft] out-dir required"}""")
+                else {
+                  cfg.validated()
+                  val t = new Task(ids.incrementAndGet(), cfg.sourceDir,
+                    cfg.outDir, cfg.sqlMode == SqlMode.Strict, Some(cfg))
+                  tasks.put(t.id, t)
+                  queue.put(t)
+                  respond(ex, 200, s"""{"id":${t.id}}""")
+                }
+              } catch {
+                case e: IllegalArgumentException =>
+                  respond(ex, 400, s"""{"error":"cannot parse task (must be TOML): ${
+                    String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ").take(300)}"}""")
+              }
+            } else (strField(body, "source"), strField(body, "out")) match {
               case (Some(src), Some(out)) =>
                 val t = new Task(ids.incrementAndGet(), src, out,
                   body.contains("\"strict\":true"))

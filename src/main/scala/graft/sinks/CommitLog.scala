@@ -63,6 +63,19 @@ trait CheckpointStore {
   /** Sink output root + FS conf, for destroy's partial-output cleanup. */
   protected def sinkOut: (String, Configuration)
 
+  /** ctl error-ignore analog (reference cmd/tidb-lightning-ctl/main.go:
+    * 166-215, --checkpoint-error-ignore): clear a table's `failed` status
+    * WITHOUT touching its data or chunk states — the next import proceeds
+    * and resumes from the committed chunks. The reference likewise resets
+    * the status stage in place and keeps everything else. Returns true if
+    * a failed state was cleared. */
+  def errorIgnore(db: String, table: String): Boolean =
+    read(db, table) match {
+      case Some(st) if st.status == "failed" =>
+        write(st.copy(status = "loaded")); true
+      case _ => false
+    }
+
   /** ctl error-destroy analog (reference cmd/tidb-lightning-ctl/main.go:
     * 166-215): drop a table's checkpoint states AND its partial sink
     * output, so the next import starts clean instead of resuming over a

@@ -52,7 +52,12 @@ final case class RouteRule(schemaPattern: String, tablePattern: String,
 
 final case class TableFilter(
     doTables: Seq[(String, String)] = Nil,   // whitelist (empty = all)
-    ignoreTables: Seq[(String, String)] = Nil) {
+    ignoreTables: Seq[(String, String)] = Nil,
+    // db-level lists ([black-white-list] do-dbs / ignore-dbs, tidb-tools
+    // filter semantics: schema-level rules apply before table-level ones,
+    // and a non-empty do-list shadows the ignore-list at its level)
+    doDbs: Seq[String] = Nil,
+    ignoreDbs: Seq[String] = Nil) {
   // System schemas always skipped (reference: config.go:427-432).
   private val systemDbs = Set("mysql", "information_schema",
     "performance_schema", "sys")
@@ -60,6 +65,8 @@ final case class TableFilter(
     pat.equalsIgnoreCase(v)
   def keep(db: String, table: String): Boolean = {
     if (systemDbs.contains(db.toLowerCase(Locale.ROOT))) false
+    else if (doDbs.nonEmpty && !doDbs.exists(m(_, db))) false
+    else if (doDbs.isEmpty && ignoreDbs.exists(m(_, db))) false
     else if (ignoreTables.exists { case (d, t) => m(d, db) && m(t, table) }) false
     else doTables.isEmpty || doTables.exists { case (d, t) => m(d, db) && m(t, table) }
   }

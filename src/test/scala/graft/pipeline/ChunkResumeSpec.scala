@@ -156,6 +156,38 @@ class ChunkResumeSpec extends SparkSpec {
     assert(byTable2("bad").error.isEmpty && byTable2("bad").rows === 2)
   }
 
+  test("failed checkpoint blocks same-input rerun until error-ignore clears it") {
+    import graft.operators.SqlMode
+    val src = java.nio.file.Files.createTempDirectory("graft-ei").toFile
+    java.nio.file.Files.writeString(new File(src, "ei.t.csv").toPath,
+      "1,1.5\n2,junk\n")
+    val t = graft.sources.MysqlDdl.parseCreateTable(
+      "CREATE TABLE `t` (`id` int(11) NOT NULL, `v` double)")
+    val out = freshOut()
+    def cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+      sqlMode = SqlMode.Strict, continueOnError = true,
+      schemaCatalog = Map(("ei", "t") -> t))
+    val r1 = new ImportPipeline(spark, cfg).run()
+    assert(r1.head.error.nonEmpty)
+    // same inputs, failed checkpoint → the rerun must REFUSE with the ctl
+    // guidance (reference: lightning exits until error-ignore/-destroy)
+    val r2 = new ImportPipeline(spark, cfg).run()
+    assert(r2.head.error.exists(_.contains("checkpoint-error-ignore")), r2.head.error)
+    // repair the data, error-ignore (status cleared, data kept), resume
+    java.nio.file.Files.writeString(new File(src, "ei.t.csv").toPath,
+      "1,1.5\n2,junk\n") // same bytes: fingerprint unchanged — ignore is
+                         // what unblocks, not a repaired source
+    val log = new graft.sinks.CommitLog(out,
+      spark.sparkContext.hadoopConfiguration)
+    assert(log.errorIgnore("ei", "t"))
+    assert(!log.errorIgnore("ei", "t")) // second call: nothing failed now
+    // strict junk still fails, so relax to lenient for the healing run —
+    // the point is the gate opens after ignore
+    val r3 = new ImportPipeline(spark,
+      cfg.copy(sqlMode = SqlMode.Lenient)).run()
+    assert(r3.head.error.isEmpty && r3.head.rows === 2, r3.head)
+  }
+
   test("non-idempotent JDBC (INSERT) refuses chunk checkpoints") {
     val sink = new JdbcSink("jdbc:fake", new java.util.Properties(),
       OnDuplicate.Error, connFactory = Some(() => FakeDb.connection()))

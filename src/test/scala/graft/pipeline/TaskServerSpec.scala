@@ -73,6 +73,42 @@ class TaskServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /tasks accepts a tidb-lightning.toml body (reference lightning.go:336-374)") {
+    val srv = new TaskServer(spark, port = 0)
+    val port = srv.start()
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft-toml").toString
+      val toml =
+        s"""[lightning]
+           |table-concurrency = 2
+           |
+           |[tidb]
+           |sql-mode = 'ALLOW_INVALID_DATES'
+           |
+           |[checkpoint]
+           |enable = false
+           |
+           |[mydumper]
+           |data-source-dir = "${fixture("mydump")}"
+           |
+           |[graft]
+           |out-dir = "$out"
+           |""".stripMargin
+      val (code, resp) = http("POST", s"http://127.0.0.1:$port/tasks", Some(toml))
+      assert(code === 200, resp)
+      val id = """"id":(\d+)""".r.findFirstMatchIn(resp).get.group(1).toLong
+      assert(awaitStatus(port, id, Set("imported", "failed")) === "imported")
+      assert(spark.read.parquet(s"$out/mdb/items").count() === 5)
+      // unknown keys → the reference's rejection, as a 400
+      val (bad, msg) = http("POST", s"http://127.0.0.1:$port/tasks",
+        Some("[mydumper]\ndata-source-dir = '/x'\ntypo-key = 1\n"))
+      assert(bad === 400 && msg.contains("unknown configuration options"), msg)
+      // missing out-dir → 400
+      assert(http("POST", s"http://127.0.0.1:$port/tasks",
+        Some("[mydumper]\ndata-source-dir = '/x'\n"))._1 === 400)
+    } finally srv.stop()
+  }
+
   private def status(port: Int, id: Long): String = {
     val (_, t) = http("GET", s"http://127.0.0.1:$port/tasks/$id")
     """"status":"([a-z]+)"""".r.findFirstMatchIn(t).map(_.group(1)).getOrElse("")
