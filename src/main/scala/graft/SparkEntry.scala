@@ -60,6 +60,7 @@ object SparkEntry {
     ("dedup_minhash", Curation.dedup_minhash _, None),
     ("dedup_cross", Curation.dedup_cross _, None),
     ("dedup_cross_verify", Curation.dedup_cross_verify _, Some(Curation.dedup_cross_verify_sql)),
+    ("dedup_cross_md5", Curation.dedup_cross_md5 _, Some(Curation.dedup_cross_md5_sql)),
     ("dedup_minhash_md5", Curation.dedup_minhash_md5 _, Some(Curation.dedup_minhash_md5_sql)),
     ("dedup_minhash_verify", Curation.dedup_minhash_verify _, Some(Curation.dedup_minhash_verify_sql)),
     ("dedup_simhash", Curation.dedup_simhash _, None),
@@ -71,6 +72,7 @@ object SparkEntry {
     ("dedup_embed_verify", Curation.dedup_embed_verify _, Some(Curation.dedup_embed_verify_sql)),
     ("ann_topk", Curation.ann_topk _, Some(Curation.ann_topk_sql)),
     ("ann_lsh", Curation.ann_lsh _, None),
+    ("ann_lsh_md5", Curation.ann_lsh_md5 _, Some(Curation.ann_lsh_md5_sql)),
     ("ann_ivf", Curation.ann_ivf _, None),
     ("ann_ivf_verify", Curation.ann_ivf_verify _, Some(Curation.ann_ivf_verify_sql)),
     ("ann_pq", Curation.ann_pq _, None),

@@ -202,6 +202,20 @@ object Curation {
     * Integer/string ops only → bit-exact. Capped to doc_id < 1200 to keep
     * the oracle's SQL explode affordable. */
   def dedup_minhash_md5(s: SparkSession, dir: String): DataFrame = {
+    val (l, r, nAgree) = md5BandedSides(s, dir)
+    l.join(r, col("_b") === col("_b2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), nAgree.cast("long").as("n_agree"))
+      .distinct() // a pair sharing several bands arrives once per band
+      .filter(col("n_agree") >= 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The md5 signature + banding pipeline shared by `dedup_minhash_md5`
+    * and `dedup_cross_md5`: returns the two join sides (each one exploded
+    * (band, key) row per band per doc, signature columns renamed sa_j/
+    * sb_j) plus the per-pair agreement-count expression. */
+  private def md5BandedSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Column) = {
     val docs = Tables.load(s, dir, "documents")
       .filter(col("doc_id") < 1200 && col("text").isNotNull)
     val norm = docs.select(col("doc_id"),
@@ -213,7 +227,7 @@ object Curation {
       concat(md5(col("sh")), md5(concat(lit("x"), col("sh")))).as("h"))
     val aggs = (0 until 8).map(j =>
       min(substring(col("h"), j * 8 + 1, 8)).as(s"sig_$j"))
-    // repartition: exchange barrier so the banded self-join below reads
+    // repartition: exchange barrier so the banded join below reads
     // signature attributes instead of re-inlining the shingle pipeline
     val sigs = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .repartition(col("doc_id"))
@@ -235,11 +249,26 @@ object Curation {
       col("_b").as("_b2"): _*)
     val nAgree = (0 until 8).map(j =>
       when(col(s"sa_$j") === col(s"sb_$j"), 1).otherwise(0)).reduce(_ + _)
-    l.join(r, col("_b") === col("_b2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), nAgree.cast("long").as("n_agree"))
-      .distinct() // a pair sharing several bands arrives once per band
+    (l, r, nAgree)
+  }
+
+  /** Cross-corpus MinHash+LSH, HASH-MATCHED end-to-end against DuckDB —
+    * the cross-engine twin of the xxhash64 `dedup_cross` miner (gated by
+    * `dedup_cross_verify`'s estimator band): the same md5-derived
+    * signatures as `dedup_minhash_md5`, but the band join crosses the
+    * corpus split — new docs (doc_id % 3 ≠ 0) against the base slice
+    * (doc_id % 3 = 0), both directions excluded by slice disjointness —
+    * so the oracle reproduces the full cross-corpus candidate set and
+    * agreement counts independently. */
+  def dedup_cross_md5(s: SparkSession, dir: String): DataFrame = {
+    val (l, r, nAgree) = md5BandedSides(s, dir)
+    l.filter(col("id_a") % 3 =!= 0).withColumnRenamed("id_a", "id_new")
+      .join(r.filter(col("id_b") % 3 === 0).withColumnRenamed("id_b", "id_base"),
+        col("_b") === col("_b2"))
+      .select(col("id_new"), col("id_base"), nAgree.cast("long").as("n_agree"))
+      .distinct()
       .filter(col("n_agree") >= 2)
-      .orderBy(col("id_a"), col("id_b"))
+      .orderBy(col("id_new"), col("id_base"))
   }
 
   val dedup_minhash_md5_sql: String =
@@ -271,6 +300,37 @@ object Curation {
        |    OR (a.sig_6=b.sig_6 AND a.sig_7=b.sig_7)))
        |SELECT id_a, id_b, n_agree FROM cand WHERE n_agree >= 2
        |ORDER BY id_a, id_b""".stripMargin
+
+  val dedup_cross_md5_sql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents
+       |           WHERE doc_id < 1200 AND text IS NOT NULL),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(1, greatest(len(s)-4, 1)+1),
+       |        i -> substr(s, CAST(i AS INT), 5)))) AS sh FROM n),
+       |h AS (SELECT doc_id, md5(sh) || md5('x' || sh) AS h FROM g),
+       |sig AS (SELECT doc_id,
+       |  min(substr(h,  1, 8)) AS sig_0, min(substr(h,  9, 8)) AS sig_1,
+       |  min(substr(h, 17, 8)) AS sig_2, min(substr(h, 25, 8)) AS sig_3,
+       |  min(substr(h, 33, 8)) AS sig_4, min(substr(h, 41, 8)) AS sig_5,
+       |  min(substr(h, 49, 8)) AS sig_6, min(substr(h, 57, 8)) AS sig_7
+       |  FROM h GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS id_new, b.doc_id AS id_base,
+       |  CAST((CASE WHEN a.sig_0=b.sig_0 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_1=b.sig_1 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_2=b.sig_2 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_3=b.sig_3 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_4=b.sig_4 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_5=b.sig_5 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_6=b.sig_6 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN a.sig_7=b.sig_7 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id % 3 != 0 AND b.doc_id % 3 = 0 AND (
+       |       (a.sig_0=b.sig_0 AND a.sig_1=b.sig_1)
+       |    OR (a.sig_2=b.sig_2 AND a.sig_3=b.sig_3)
+       |    OR (a.sig_4=b.sig_4 AND a.sig_5=b.sig_5)
+       |    OR (a.sig_6=b.sig_6 AND a.sig_7=b.sig_7)))
+       |SELECT id_new, id_base, n_agree FROM cand WHERE n_agree >= 2
+       |ORDER BY id_new, id_base""".stripMargin
 
   /** SimHash sketch, HASH-MATCHED end-to-end against DuckDB — the
     * cross-engine twin of the xxhash64 `Simhash64` kernel (whose gate is
@@ -646,6 +706,71 @@ object Curation {
       .getSeq[Float](0).map(_.toDouble)
     Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
       "embedding", "vec_id", q, k = 10, planes = 4)
+  }
+
+  /** Hyperplane-LSH bucket probe, HASH-MATCHED end-to-end against DuckDB
+    * — the cross-engine twin of the packed xxhash64 sketch kernel behind
+    * `ann_lsh` (whose quality gate stays `ann_lsh_verify`'s recall
+    * floor): hyperplane p's component for dimension d is ±1 from the
+    * parity of md5("p_d")'s first hex digit, and projections run in
+    * INTEGER arithmetic over floor(v_d·1000)-quantized components —
+    * order-independent and exact, so both engines derive bit-identical
+    * bucket ids with their own machinery (Spark `conv`/`zip_with`, DuckDB
+    * `strpos`/`list_transform` with its 1-based lambda index). The probe
+    * scans the query's exact bucket (hamming-0, deterministic) and ranks
+    * by cosine rounded to 9 dp — the portability ann_topk already pins.
+    * This proves the whole quantize→hash→sign→bucket→scan→rank pipeline
+    * cross-engine, not just an invariant of it. */
+  def ann_lsh_md5(s: SparkSession, dir: String): DataFrame = {
+    val planes = 4
+    val emb = Tables.load(s, dir, "embeddings")
+    // _q materialized as an attribute before the projection lambdas (the
+    // PERF INVARIANT in Dedup.scala: a lambda over an inline tree would
+    // re-run the quantization once per element per plane)
+    val withQ = emb.select(col("vec_id"), col("embedding"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000).cast("long")).as("_q"))
+    def sgn(p: Int)(i: Column): Column =
+      when(conv(substring(md5(concat(lit(s"${p}_"), i.cast("string"))), 1, 1),
+        16, 10).cast("int") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val projs = (0 until planes).map { p =>
+      aggregate(zip_with(col("_q"), sequence(lit(0), size(col("_q")) - 1),
+        (x, i) => x * sgn(p)(i)), lit(0L), _ + _).as(s"_proj$p")
+    }
+    val bucketed = withQ
+      .select(col("vec_id") +: col("embedding") +: projs: _*)
+      .withColumn("_bucket", (0 until planes).map(p =>
+        when(col(s"_proj$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    val qRow = bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("_bucket")).collect()(0)
+    val q = qRow.getSeq[Float](0).map(_.toDouble)
+    val cands = bucketed
+      .filter(col("vec_id") =!= 0 && col("_bucket") === qRow.getLong(1))
+    Similarity.bruteForceTopK(cands, "embedding", "vec_id", q, k = 10)
+  }
+
+  val ann_lsh_md5_sql: String = {
+    def sgn(p: Int) =
+      s"(CASE WHEN (strpos('0123456789abcdef', substr(md5('${p}_' || " +
+        "CAST(i-1 AS VARCHAR)), 1, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END)"
+    val projs = (0 until 4).map(p =>
+      s"list_sum(list_transform(range(1, len(qz)+1), i -> qz[i] * ${sgn(p)})) AS p$p")
+      .mkString(",\n       |  ")
+    val bucket = (0 until 4).map(p =>
+      s"${1L << p}*(CASE WHEN p$p >= 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qz AS (SELECT vec_id, v,
+       |  list_transform(v, x -> CAST(floor(x*1000) AS BIGINT)) AS qz FROM e),
+       |pr AS (SELECT vec_id, v,
+       |  $projs
+       |  FROM qz),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM pr)
+       |SELECT vec_id, round(list_cosine_similarity(v,
+       |    (SELECT v FROM b WHERE vec_id = 0)), 9) AS score
+       |FROM b WHERE vec_id != 0
+       |  AND bucket = (SELECT bucket FROM b WHERE vec_id = 0)
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
   /** Per-directory IVF index cache: k-means training is the expensive
