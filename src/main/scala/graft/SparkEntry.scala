@@ -86,6 +86,7 @@ object SparkEntry {
     ("txt_rarity", Curation.txt_rarity _, Some(Curation.txt_rarity_sql)),
     ("txt_paradedup", Curation.txt_paradedup _, Some(Curation.txt_paradedup_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
+    ("multimodal_decode", Curation.multimodal_decode _, Some(Curation.multimodal_decode_sql)),
     ("decontam_overlap", Curation.decontam_overlap _, Some(Curation.decontam_overlap_sql)),
     ("pack_sequences", Curation.pack_sequences _, Some(Curation.pack_sequences_sql)),
     ("curation_pipeline", Curation.curation_pipeline _, Some(Curation.curation_pipeline_sql)),

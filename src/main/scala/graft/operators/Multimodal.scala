@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
   * as opaque `binary` payloads + typed metadata; decode / feature-extract /
   * resize / frame-sample run as partition-batched transforms.
   *
-  * The actual codec step is STUBBED (this environment has no image/audio
-  * libraries): `decodeStub` derives deterministic fake (width, height,
-  * format) metadata from the payload header bytes, and `featureStub`
+  * IMAGES decode for real: `pngPayload` / `decodeImage` / `resizeImage`
+  * run the JDK's javax.imageio (PNG/GIF/BMP/JPEG — no external codec) in
+  * the partition-batched seam. AUDIO/VIDEO codecs are STUBBED (no JDK
+  * codec exists and this environment has no media libraries):
+  * `decodeStub` derives deterministic fake (width, height, format)
+  * metadata from the payload header bytes, and `extractFeatures`
   * derives a fixed-length feature vector from payload content hashes. The
   * Spark-side contract — schema, batch shape, partition-local buffering,
   * no driver materialization — is real and what matters at 100 TB: payloads
@@ -37,6 +40,126 @@ object Multimodal {
       when(pmod(col(idCol), lit(3)) === 0, "image")
         .when(pmod(col(idCol), lit(3)) === 1, "audio")
         .otherwise("video").as("media_type"))
+
+  /** Deterministic REAL-PNG fixture payloads — the encode side of the
+    * real-decode proof: each id becomes a solid-color RGB PNG of
+    * (16 + id%32) × (8 + id%16) pixels, generated with the JDK's
+    * javax.imageio inside the same partition-batched seam the decoders
+    * use (distributed, payloads born executor-side — never on the
+    * driver). An oracle can predict the dimensions arithmetically; only
+    * a real decoder can read them back out of the bytes. */
+  def pngPayload(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("media_type", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val src = df.select(col(idCol).cast("long").as("media_id"))
+    src.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per task
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 32).toInt
+        val h = 8 + (id % 16).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = ((id * 2654435761L) & 0xFFFFFF).toInt
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row(id, baos.toByteArray, "image")
+      }
+    }(enc)
+  }
+
+  /** REAL image decode — javax.imageio (PNG/GIF/BMP/JPEG readers ship
+    * with the JDK; no external codec needed). Reads ONLY the header
+    * (ImageReader.getWidth/getHeight never decode pixel data), so the
+    * per-payload cost is a few hundred bytes of parsing regardless of
+    * image size — the right scan shape for a 100 TB media column.
+    * Runs in the mapPartitions codec seam with per-partition init;
+    * undecodable payloads yield (null, null, null, ok=false) instead of
+    * failing the task (a poison payload must not kill a 100 TB job).
+    * Audio/video stay stubbed (`decodeStub`) — no JDK codec exists. */
+  def decodeImage(df: DataFrame, payloadCol: String = "payload",
+      prefix: String = "img_"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(prefix + "width", IntegerType, nullable = true),
+      StructField(prefix + "height", IntegerType, nullable = true),
+      StructField(prefix + "format", StringType, nullable = true),
+      StructField(prefix + "ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        val extra: Seq[Any] =
+          if (!readers.hasNext) { iis.close(); Seq(null, null, null, false) }
+          else {
+            val rd = readers.next()
+            try {
+              rd.setInput(iis, true, true)
+              Seq(rd.getWidth(0), rd.getHeight(0),
+                rd.getFormatName.toLowerCase(java.util.Locale.ROOT), true)
+            } catch { case _: Exception => Seq(null, null, null, false) }
+            finally { rd.dispose(); iis.close() }
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
+  /** REAL aspect-fit resize for decodable images (BufferedImage +
+    * Graphics2D + PNG re-encode — all JDK): scale = min(1, maxW/w,
+    * maxH/h); in-box images pass through byte-identical (no pointless
+    * re-encode), others are bilinear-drawn into the scaled box and
+    * re-encoded as PNG. Same mapPartitions seam; payloads stay
+    * partition-local. Undecodable payloads yield null outputs. */
+  def resizeImage(df: DataFrame, payloadCol: String = "payload",
+      maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("out_width", IntegerType, nullable = true),
+      StructField("out_height", IntegerType, nullable = true),
+      StructField("resized", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        val extra: Seq[Any] =
+          if (img == null) Seq(null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / w, maxH.toDouble / h))
+            if (scale >= 1.0) Seq(w, h, payload)
+            else {
+              val ow = math.max(1, math.floor(w * scale).toInt)
+              val oh = math.max(1, math.floor(h * scale).toInt)
+              val out = new java.awt.image.BufferedImage(ow, oh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, ow, oh, null)
+              g.dispose()
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              Seq(ow, oh, baos.toByteArray)
+            }
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
 
   /** STUB decode: metadata from header bytes — deterministic stand-in for
     * a real `decode(payload) -> (w, h, fmt)`. Narrow codegen'd projection. */

@@ -1018,6 +1018,54 @@ object Curation {
       |    AS BIGINT) AS total_frames
       |FROM m GROUP BY media_type, format""".stripMargin
 
+  /** REAL image decode e2e — hash-matched: deterministic real PNGs are
+    * generated executor-side (16+id%32 × 8+id%16 solid-color,
+    * `Multimodal.pngPayload`), decoded with javax.imageio in the codec
+    * seam, aspect-fit into a 24×24 box with a REAL bilinear resize +
+    * PNG re-encode, and the resized bytes are decoded AGAIN. The oracle
+    * predicts every dimension arithmetically; only a real encoder/decoder
+    * round-trip can make the bytes agree. In-query requires pin what SQL
+    * can't see: every payload decodes (ok), the format reads back as
+    * png, and the re-decoded resized dimensions equal the computed
+    * (out_width, out_height). */
+  def multimodal_decode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+    val png = Multimodal.pngPayload(docs, "doc_id")
+    val dec = Multimodal.decodeImage(png)
+    val rs = Multimodal.resizeImage(dec, maxW = 24, maxH = 24)
+    val rdec = Multimodal.decodeImage(rs, payloadCol = "resized",
+      prefix = "r_").persist()
+    val bad = rdec.filter(!col("img_ok") || !col("r_ok") ||
+      col("img_format") =!= "png" || col("r_format") =!= "png" ||
+      col("r_width") =!= col("out_width") ||
+      col("r_height") =!= col("out_height")).count()
+    require(bad == 0, s"$bad PNGs failed the decode/resize/re-decode loop")
+    val out = rdec.select(col("media_id").as("doc_id"),
+      col("img_width"), col("img_height"),
+      col("out_width"), col("out_height"))
+      .orderBy(col("doc_id"))
+    val local = s.createDataFrame(out.collectAsList(), out.schema)
+    rdec.unpersist()
+    local
+  }
+
+  val multimodal_decode_sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(16 + doc_id % 32 AS INT) AS img_width,
+      |    CAST(8 + doc_id % 16 AS INT) AS img_height
+      |  FROM documents WHERE doc_id < 300),
+      |s AS (SELECT doc_id, img_width, img_height,
+      |    least(1.0, least(24.0 / img_width, 24.0 / img_height)) AS sc
+      |  FROM d)
+      |SELECT doc_id, img_width, img_height,
+      |  CAST(CASE WHEN sc >= 1.0 THEN img_width
+      |    ELSE greatest(1, CAST(floor(img_width * sc) AS INT)) END AS INT)
+      |    AS out_width,
+      |  CAST(CASE WHEN sc >= 1.0 THEN img_height
+      |    ELSE greatest(1, CAST(floor(img_height * sc) AS INT)) END AS INT)
+      |    AS out_height
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Repetition removal, token level (hash-matched): collapse immediate
     * token repetitions per document; output before/after token counts and
     * the md5 of the cleaned text so the oracle pins the exact output

@@ -260,6 +260,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(again === feats)
   }
 
+  test("real PNG loop: generate → decode header → resize → re-decode") {
+    val ids = Seq(0L, 7L, 31L, 40L, 299L).toDF("doc_id")
+    val png = Multimodal.pngPayload(ids, "doc_id")
+    val dec = Multimodal.decodeImage(png)
+    val rows = dec.collect().map(r => r.getLong(0) ->
+      (r.getAs[Int]("img_width"), r.getAs[Int]("img_height"),
+        r.getAs[String]("img_format"), r.getAs[Boolean]("img_ok"))).toMap
+    for ((id, (w, h, fmt, ok)) <- rows) {
+      assert(ok && fmt == "png", s"id $id")
+      assert(w == 16 + (id % 32) && h == 8 + (id % 16), s"id $id: ${w}x$h")
+    }
+    // resize into 10×10 and re-decode: dimensions must read back scaled
+    val rs = Multimodal.resizeImage(dec, maxW = 10, maxH = 10)
+    val rdec = Multimodal.decodeImage(rs, payloadCol = "resized", prefix = "r_")
+    for (r <- rdec.collect()) {
+      val (w, h) = (r.getAs[Int]("img_width"), r.getAs[Int]("img_height"))
+      val sc = math.min(1.0, math.min(10.0 / w, 10.0 / h))
+      assert(r.getAs[Boolean]("r_ok"))
+      assert(r.getAs[Int]("r_width") ==
+        math.max(1, math.floor(w * sc).toInt))
+      assert(r.getAs[Int]("r_height") ==
+        math.max(1, math.floor(h * sc).toInt))
+    }
+    // garbage bytes don't kill the task — they report ok=false
+    val junk = Seq((1L, Array[Byte](1, 2, 3), "image"))
+      .toDF("media_id", "payload", "media_type")
+    val jr = Multimodal.decodeImage(junk).collect()(0)
+    assert(!jr.getAs[Boolean]("img_ok") && jr.get(jr.fieldIndex("img_width")) == null)
+  }
+
   test("exactJaccardPairs (join-aggregate shape) agrees with array path") {
     val grams = docs.filter(length(col("text")) > 0)
       .withColumn("_norm", Dedup.normalized(col("text")))
