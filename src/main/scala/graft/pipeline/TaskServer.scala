@@ -38,6 +38,8 @@ import graft.sources.TableFilter
   *                            DeliverPauser, lightning.go:483-517 +
   *                            common/pause.go)
   *   PUT    /resume         → release the gate
+  *   GET    /web            → browsable progress page over the JSON above
+  *                            (reference web/ frontend, lightning.go:120-132)
   *
   * Binds 127.0.0.1 by default — POST /tasks can overwrite the caller-given
   * output directory as the service user, so exposure must be an explicit
@@ -289,6 +291,20 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
         case _ => respond(ex, 405, """{"error":"only GET allowed"}""")
       }
     })
+    // browsable progress frontend (reference web/ served at /web —
+    // lightning.go:120-132): one static page polling the JSON surface
+    // above; zero dependencies, so it ships inside the jar as a string
+    server.createContext("/web", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = ex.getRequestMethod match {
+        case "GET" =>
+          val bytes = WebPage.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        case _ => respond(ex, 405, """{"error":"only GET allowed"}""")
+      }
+    })
     spark.sparkContext.addSparkListener(listener)
     server.start()
     worker.setDaemon(true)
@@ -302,4 +318,69 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
     spark.sparkContext.removeSparkListener(listener)
     if (server != null) server.stop(0)
   }
+
+  /** The /web frontend: task queue + live per-table progress bars +
+    * pause/resume, polling the same /tasks and /progress JSON the API
+    * serves. Plain HTML/JS — the role of the reference's `web/` React
+    * bundle without shipping a build toolchain. */
+  private val WebPage: String =
+    """<!doctype html><html><head><meta charset="utf-8">
+      |<title>graft import progress</title>
+      |<style>
+      | body{font-family:system-ui,sans-serif;margin:2rem;max-width:60rem}
+      | h1{font-size:1.2rem} h2{font-size:1rem;margin-top:1.5rem}
+      | table{border-collapse:collapse;width:100%}
+      | td,th{border:1px solid #ccc;padding:.3rem .5rem;font-size:.85rem;text-align:left}
+      | .bar{background:#eee;height:.8rem;width:12rem;display:inline-block}
+      | .bar>div{background:#4a8;height:100%}
+      | .failed .bar>div{background:#c55}
+      | button{margin-right:.5rem}
+      | #err{color:#c55}
+      |</style></head><body>
+      |<h1>graft import progress</h1>
+      |<div>
+      | <button onclick="fetch('/pause',{method:'PUT'}).then(poll)">pause</button>
+      | <button onclick="fetch('/resume',{method:'PUT'}).then(poll)">resume</button>
+      | <span id="paused"></span> <span id="err"></span>
+      |</div>
+      |<h2>task queue</h2><table id="tasks"><tr><th>id</th><th>source</th>
+      |<th>out</th><th>status</th><th>detail</th></tr></table>
+      |<h2>current task tables</h2><table id="tables"><tr><th>table</th>
+      |<th>progress</th><th>bytes</th><th>state</th></tr></table>
+      |<div id="metrics"></div>
+      |<script>
+      |const S = {0:'pending',1:'running',2:'done'};
+      |function esc(s){const d=document.createElement('span');
+      |  d.textContent=String(s);return d.innerHTML}
+      |async function poll(){
+      |  try{
+      |    const [ts, pg, pa] = await Promise.all([
+      |      fetch('/tasks').then(r=>r.json()),
+      |      fetch('/progress/task').then(r=>r.json()),
+      |      fetch('/pause').then(r=>r.json())]);
+      |    document.getElementById('paused').textContent =
+      |      pa.paused ? 'PAUSED' : 'running';
+      |    let h='<tr><th>id</th><th>source</th><th>out</th><th>status</th><th>detail</th></tr>';
+      |    for(const t of ts) h+=`<tr><td>${t.id}</td><td>${esc(t.source)}</td>
+      |      <td>${esc(t.out)}</td><td>${esc(t.status)}</td><td>${esc(t.detail||'')}</td></tr>`;
+      |    document.getElementById('tasks').innerHTML=h;
+      |    let g='<tr><th>table</th><th>progress</th><th>bytes</th><th>state</th></tr>';
+      |    for(const [name,v] of Object.entries(pg.t||{})){
+      |      const pct = v.z>0 ? Math.min(100, 100*v.w/v.z) : 0;
+      |      g+=`<tr class="${v.m?'failed':''}"><td>${esc(name)}</td>
+      |        <td><span class="bar"><div style="width:${pct}%"></div></span>
+      |        ${pct.toFixed(0)}%</td><td>${v.w}/${v.z}</td>
+      |        <td>${v.m?('failed: '+esc(v.m)):(S[v.s]||v.s)}</td></tr>`;
+      |    }
+      |    document.getElementById('tables').innerHTML=g;
+      |    const m=pg.metrics||{};
+      |    document.getElementById('metrics').textContent =
+      |      `read ${m.bytes_read||0} B / ${m.rows_read||0} rows; ` +
+      |      `written ${m.bytes_written||0} B / ${m.rows_written||0} rows`;
+      |    document.getElementById('err').textContent='';
+      |  }catch(e){document.getElementById('err').textContent=' '+e}
+      |}
+      |poll(); setInterval(poll, 1000);
+      |</script></body></html>
+      |""".stripMargin
 }

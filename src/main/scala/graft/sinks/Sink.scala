@@ -52,6 +52,14 @@ final class ParquetSink(rootDir: String,
     * a crash can leave `_precompact_<table>` behind, and the next compact
     * (or a fresh import's overwrite) heals it — the data dir itself is
     * never half-written because the rewrite lands in a temp dir first.
+    *
+    * NOT safe under concurrent readers: the swap is two renames (dir →
+    * backup, temp → dir), and between them the table directory does not
+    * exist — a query planned in that window fails or sees an empty
+    * table. Run compact only in the post-import step, before the table
+    * is published to readers (the pipeline does exactly that); a
+    * concurrent-reader-safe swap needs a filesystem with atomic
+    * directory replace or a catalog-level pointer flip.
     * Returns the resulting file count (0 = nothing to do). */
   def compact(spark: org.apache.spark.sql.SparkSession, db: String,
       table: String, targetBytes: Long = 128L * 1024 * 1024): Int = {

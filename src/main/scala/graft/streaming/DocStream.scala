@@ -42,10 +42,24 @@ object DocStream {
   }
 
   /** Build (once, cached) a multi-file streaming fixture from a single
-    * parquet table — the file-stream source consumes a directory. */
+    * parquet table — the file-stream source consumes a directory. The
+    * cache key is a CONTENT fingerprint of the source (paths + sizes +
+    * mtimes), not just the path: a regenerated source parquet at the
+    * same path gets a fresh fixture dir instead of silently replaying
+    * the stale one (which would diverge from the batch oracle). */
   def ensureStreamFixture(spark: SparkSession, srcParquet: String,
       root: File): File = {
-    val dir = new File(root, s"docs_${math.abs(srcParquet.hashCode)}")
+    val src = new File(srcParquet)
+    val parts: Seq[File] =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty[File])
+          .filter(f => f.isFile && !f.getName.startsWith(".")).toSeq
+          .sortBy(_.getName)
+      else Seq(src)
+    val fp = graft.functions.Crc64.checksum(parts
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").getBytes("UTF-8"))
+    val dir = new File(root, f"docs_${math.abs(srcParquet.hashCode)}_$fp%016x")
     if (!new File(dir, "_SUCCESS").exists()) {
       spark.read.parquet(srcParquet).coalesce(4)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)

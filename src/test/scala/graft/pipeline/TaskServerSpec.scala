@@ -106,6 +106,10 @@ class TaskServerSpec extends SparkSpec {
       // missing out-dir → 400
       assert(http("POST", s"http://127.0.0.1:$port/tasks",
         Some("[mydumper]\ndata-source-dir = '/x'\n"))._1 === 400)
+      // the /web frontend serves over the same data surface
+      val (wc, page) = http("GET", s"http://127.0.0.1:$port/web")
+      assert(wc === 200 && page.contains("graft import progress") &&
+        page.contains("/progress/task"), page.take(200))
     } finally srv.stop()
   }
 
