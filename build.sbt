@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-Dfile.encoding=UTF-8",
 )
+// mydumper dumps may carry non-ASCII db/table FILENAMES (the reference's
+// tests/exotic_filenames). sun.jnu.encoding is captured natively from the
+// locale at JVM startup (a -D override does not reach path encoding), so
+// the forked JVMs need a UTF-8 locale to even express those paths.
+Test / envVars += "LC_ALL" -> "C.UTF-8"
+run / envVars += "LC_ALL" -> "C.UTF-8"

@@ -137,6 +137,15 @@ class TomlConfigSpec extends AnyFunSuite {
     assert(ab("dotted.key") === true)
   }
 
+  test("tidb_duplicate_data tomls: backend tidb with the three on-duplicate modes") {
+    val t1 = TomlImportConfig.load(fixture("tidb_duplicate_data/replace.toml"))
+    assert(t1.backend === "tidb" && t1.onDuplicate === "replace") // default
+    val t2 = TomlImportConfig.load(fixture("tidb_duplicate_data/ignore.toml"))
+    assert(t2.backend === "tidb" && t2.onDuplicate === "ignore")
+    val t3 = TomlImportConfig.load(fixture("tidb_duplicate_data/error.toml"))
+    assert(t3.backend === "tidb" && t3.onDuplicate === "error")
+  }
+
   test("every reference config.toml fixture loads or rejects as designed") {
     // the whole fixture corpus: everything must either load cleanly or be
     // the one deliberately-broken fixture (unused_config_keys)

@@ -219,6 +219,50 @@ class ReferenceGauntletSpec extends SparkSpec {
     assert(sumFirst(run("mixed", "binary", "m_bin"), "mixed") === 5291L)
   }
 
+  test("exotic_filenames: backticked/CJK names, explicit _tidb_rowid, rebase") {
+    assume(refTests.isDirectory)
+    // the reference's run.sh builds the dump at runtime by renaming the
+    // fixtures to their exotic spellings (git can't hold them portably) —
+    // do the same under target/
+    val src = new File(refTests, "exotic_filenames/data")
+    val dump = new File("target/test_refgauntlet/exotic_dump")
+    dump.mkdirs()
+    val renames = Seq(
+      "zwk-schema-create.sql" -> "中文庫-schema-create.sql",
+      "zwk.zwb-schema.sql" -> "中文庫.中文表-schema.sql",
+      "zwk.zwb.sql" -> "中文庫.中文表.sql",
+      "xfn-schema-create.sql" -> "x`f\"n-schema-create.sql",
+      "xfn.etn-schema.sql" -> "x`f\"n.exotic`table``name-schema.sql",
+      "xfn.etn.sql" -> "x`f\"n.exotic`table``name.sql")
+    for ((from, to) <- renames)
+      java.nio.file.Files.copy(new File(src, from).toPath,
+        new File(dump, to).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val out = new File("target/test_refgauntlet/exotic_out").getAbsolutePath
+    val cfg = ImportConfig(sourceDir = dump.getAbsolutePath, outDir = out,
+      checkpointEnabled = false)
+    val reports = new ImportPipeline(spark, cfg).run()
+    assert(reports.size === 2, reports.map(r => s"${r.db}.${r.table}"))
+    // x`f"n.exotic`table``name: lowercase `insert` without INTO, doubled
+    // backticks in the DDL name, explicit _tidb_rowid column values, and
+    // AUTO_INCREMENT=80000 (run.sh: 5 rows; new allocations land >= 80000)
+    val et = tbl(out, "x`f\"n", "exotic`table``name")
+    assert(et.count() === 5L)
+    assert(et.select("a").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("aaaaaa", "bbbbbb", "cccccc", "dddddd", "eeeeee"))
+    assert(et.agg(sum(col("b"))).collect()(0).getLong(0) === 165L)
+    // explicit rowids are preserved verbatim (P4 routing)
+    assert(et.select("_row_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(79995L, 79996L, 79997L, 79998L, 79999L))
+    // P8 rebase: the next allocation clears every imported rowid (run.sh
+    // inserts two rows post-import and asserts both land above 80000)
+    assert(graft.operators.RowIdAllocator.nextAutoIncrement(et, "_row_id")
+      >= 80000L)
+    // 中文庫.中文表: bare CJK identifier, no space before the column list
+    val zw = tbl(out, "中文庫", "中文表")
+    assert(zw.select("a").collect().map(_.getInt(0)).toSeq === Seq(2345))
+  }
+
   test("black-white-list: db and table filter matrices") {
     assume(refTests.isDirectory)
     def run(tag: String, filter: TableFilter): Set[String] = {
