@@ -263,6 +263,79 @@ class ReferenceGauntletSpec extends SparkSpec {
     assert(zw.select("a").collect().map(_.getInt(0)).toSeq === Seq(2345))
   }
 
+  test("examples: the 10k-row mocker_test dump across the read-block-size sweep") {
+    assume(refTests.isDirectory)
+    val srcDir = new File("/root/reference/lightning/mydump/examples")
+    assume(srcDir.isDirectory)
+    // run.sh renames mocker_test.i → mocker_test.ı at runtime (the schema
+    // inside declares `ı`; JENKINS-45544 keeps the checked-in name ASCII)
+    val dump = new File("target/test_refgauntlet/examples_dump")
+    dump.mkdirs()
+    // the mydumper `metadata` file is copied too — discovery must classify
+    // it as non-data, not trip over it
+    for (f <- srcDir.listFiles()) {
+      val to = f.getName.replace("mocker_test.i-schema", "mocker_test.ı-schema")
+        .replace("mocker_test.i.sql", "mocker_test.ı.sql")
+      java.nio.file.Files.copy(f.toPath, new File(dump, to).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // the three read-block-size tomls (1 B / 512 B / 128 KiB), loaded
+    // VERBATIM through the TOML adapter — results must be chunking-
+    // invariant (the reference runs the same sweep)
+    for (tomlName <- Seq("512", "1", "131072")) {
+      val loaded = graft.config.TomlImportConfig.load(
+        java.nio.file.Files.readString(
+          new File(refTests, s"examples/$tomlName.toml").toPath))
+      assert(loaded.config.minChunkBytes === tomlName.toLong)
+      assert(loaded.warnings.exists(_.contains("lightning.level")))
+      val out = new File(
+        s"target/test_refgauntlet/examples_out_$tomlName").getAbsolutePath
+      val cfg = loaded.config.copy(sourceDir = dump.getAbsolutePath,
+        outDir = out, checkpointEnabled = false)
+      val reports = new ImportPipeline(spark, cfg).run()
+      assert(reports.size === 4, reports.map(r => r.table))
+      val auto = tbl(out, "mocker_test", "tbl_autoid")
+      val a = auto.agg(count(lit(1)), countDistinct(col("id")),
+        sum(col("id")).cast("long"), max(col("name")), min(col("name")),
+        sum(crc32(col("name"))).cast("long")).collect()(0)
+      assert((a.getLong(0), a.getLong(1), a.getLong(2)) ===
+        ((10000L, 10000L, 50005000L)))
+      assert((a.getString(3), a.getString(4)) === (("4-9-9", "0-0-0")))
+      assert(a.getLong(5) === 21388950023608L) // sum(crc32(name)), run.sh
+      if (tomlName == "512") { // full matrix once; sweep pins invariance
+        // AUTO_INCREMENT: the next id allocation must clear 10000
+        assert(graft.operators.RowIdAllocator.nextAutoIncrement(
+          auto, "_row_id") > 10000L)
+        val multi = tbl(out, "mocker_test", "tbl_multi_index")
+        val m = multi.agg(count(lit(1)), avg(col("age")),
+          max(col("name")), min(col("name")),
+          sum(crc32(col("name"))).cast("long")).collect()(0)
+        assert(m.getLong(0) === 10000L)
+        assert(math.abs(m.getDouble(1) - 477.75) < 1e-9)
+        assert((m.getString(2), m.getString(3)) === (("4+9+9", "0+0+0")))
+        assert(m.getLong(4) === 21433704622808L)
+        assert(multi.filter(col("name") === "1+2+3")
+          .select(col("age").cast("long"))
+          .collect().map(_.getLong(0)).toSeq === Seq(6L))
+        assert(multi.filter(col("age") === 6).count() === 20L)
+        // the unicode table: ı declares column ſ holding 🤪 (the dump's
+        // ToUpper-index trap); and the single-row report table
+        val i = tbl(out, "mocker_test", "ı")
+        assert(i.schema.fieldNames.contains("ſ"))
+        assert(i.select(col("ſ")).collect().map(_.getString(0)).toSeq ===
+          Seq("🤪"))
+        val rep = tbl(out, "mocker_test", "report_case_high_risk")
+          .selectExpr("CAST(id AS BIGINT)", "CAST(total_case AS BIGINT)",
+            "CAST(today_new_case AS BIGINT)", "report_data", "caseType")
+          .collect()
+        assert(rep.length === 1)
+        assert((rep(0).getLong(0), rep(0).getLong(1), rep(0).getLong(2),
+          rep(0).getString(3), rep(0).getString(4)) ===
+          ((2L, 8L, 10L, "4", "6")))
+      }
+    }
+  }
+
   test("black-white-list: db and table filter matrices") {
     assume(refTests.isDirectory)
     def run(tag: String, filter: TableFilter): Set[String] = {
