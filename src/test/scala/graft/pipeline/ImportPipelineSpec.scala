@@ -8,6 +8,45 @@ class ImportPipelineSpec extends SparkSpec {
   private def freshOut(): String =
     java.nio.file.Files.createTempDirectory("graft-import").toString
 
+  test("concurrent pipelines: two importers share one out dir + commit log") {
+    // the fleet shape (reference tests/concurrent-restore: several
+    // importers on one target; graft's per-table/per-chunk state files
+    // under _state/ make cross-table coordination lock-free): two
+    // ImportPipeline INSTANCES with disjoint table filters run on two
+    // threads against the SAME outDir with checkpoints on — everything
+    // imports, states are intact, and a third full run resumes by skip
+    val src = java.nio.file.Files.createTempDirectory("graft-conc").toFile
+    val n = 8
+    (1 to n).foreach { i =>
+      java.nio.file.Files.writeString(
+        new java.io.File(src, f"rc.tbl$i-schema.sql").toPath,
+        s"CREATE TABLE `tbl$i` (`i` tinyint(4))")
+      java.nio.file.Files.writeString(
+        new java.io.File(src, f"rc.tbl$i.sql").toPath,
+        s"INSERT INTO `tbl$i` VALUES (1);\n")
+    }
+    val out = freshOut()
+    def cfgFor(tables: Seq[Int]) = ImportConfig(
+      sourceDir = src.getAbsolutePath, outDir = out,
+      filter = TableFilter(doTables = tables.map(i => ("rc", s"tbl$i"))))
+    val odd = (1 to n).filter(_ % 2 == 1)
+    val even = (1 to n).filter(_ % 2 == 0)
+    @volatile var r1: Seq[TableReport] = Nil
+    @volatile var r2: Seq[TableReport] = Nil
+    val t1 = new Thread(() => r1 = new ImportPipeline(spark, cfgFor(odd)).run())
+    val t2 = new Thread(() => r2 = new ImportPipeline(spark, cfgFor(even)).run())
+    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    assert((r1 ++ r2).size === n)
+    assert((r1 ++ r2).forall(r => r.error.isEmpty && r.rows == 1L))
+    for (i <- 1 to n)
+      assert(spark.read.parquet(s"$out/rc/tbl$i")
+        .agg(org.apache.spark.sql.functions.sum("i")).collect()(0)
+        .getLong(0) === 1L)
+    // a third run over ALL tables sees every state and skips by resume
+    val again = new ImportPipeline(spark, cfgFor(1 to n)).run()
+    assert(again.size === n && again.forall(_.resumedSkip), again)
+  }
+
   test("end-to-end: fixture dump dir → parquet + checksums + commit log") {
     val out = freshOut()
     val cfg = ImportConfig(
