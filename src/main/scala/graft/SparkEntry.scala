@@ -63,6 +63,8 @@ object SparkEntry {
     ("dedup_cross_md5", Curation.dedup_cross_md5 _, Some(Curation.dedup_cross_md5_sql)),
     ("dedup_minhash_md5", Curation.dedup_minhash_md5 _, Some(Curation.dedup_minhash_md5_sql)),
     ("dedup_minhash_verify", Curation.dedup_minhash_verify _, Some(Curation.dedup_minhash_verify_sql)),
+    ("dedup_cluster", Curation.dedup_cluster _, Some(Curation.dedup_cluster_sql)),
+    ("dedup_cluster_keep", Curation.dedup_cluster_keep _, Some(Curation.dedup_cluster_keep_sql)),
     ("dedup_simhash", Curation.dedup_simhash _, None),
     ("dedup_simhash_md5", Curation.dedup_simhash_md5 _, Some(Curation.dedup_simhash_md5_sql)),
     ("dedup_simhash_verify", Curation.dedup_simhash_verify _, Some(Curation.dedup_simhash_verify_sql)),
@@ -75,6 +77,7 @@ object SparkEntry {
     ("ann_lsh_md5", Curation.ann_lsh_md5 _, Some(Curation.ann_lsh_md5_sql)),
     ("ann_ivf", Curation.ann_ivf _, None),
     ("ann_ivf_verify", Curation.ann_ivf_verify _, Some(Curation.ann_ivf_verify_sql)),
+    ("emb_cluster", Curation.emb_cluster _, Some(Curation.emb_cluster_sql)),
     ("ann_pq", Curation.ann_pq _, None),
     ("ann_pq_verify", Curation.ann_pq_verify _, Some(Curation.ann_pq_verify_sql)),
     ("ann_lsh_verify", Curation.ann_lsh_verify _, Some(Curation.ann_lsh_verify_sql)),
@@ -85,6 +88,7 @@ object SparkEntry {
     ("txt_collapse", Curation.txt_collapse _, Some(Curation.txt_collapse_sql)),
     ("txt_rarity", Curation.txt_rarity _, Some(Curation.txt_rarity_sql)),
     ("txt_paradedup", Curation.txt_paradedup _, Some(Curation.txt_paradedup_sql)),
+    ("txt_redact", Curation.txt_redact _, Some(Curation.txt_redact_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
     ("multimodal_decode", Curation.multimodal_decode _, Some(Curation.multimodal_decode_sql)),
     ("decontam_overlap", Curation.decontam_overlap _, Some(Curation.decontam_overlap_sql)),

@@ -410,4 +410,103 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
   }
+
+  /** Distributed connected components over an undirected edge list, via
+    * alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). This is the
+    * missing last stage of every near-dup miner above: LSH emits candidate
+    * PAIRS, but keep-one-per-group semantics need the transitive closure —
+    * doc A~B and B~C must land in ONE group even when A~C was never mined.
+    *
+    * Scale shape (100 TB): each round is two key-partitioned hash
+    * aggregations/joins on (long, long) edges — no payloads, no Cartesian
+    * anything — and the edge set only ever SHRINKS toward one (node →
+    * component-min) star per component. Convergence is O(log n) rounds on
+    * pathological chains and 1-2 rounds on the dense blob-shaped clusters
+    * real near-dup mining produces. Each round ends in an EAGER
+    * localCheckpoint: plans stay O(1) deep instead of O(rounds), which is
+    * the difference between flat 8 B-row shuffles and a janino blowup (on
+    * a real cluster swap in reliable checkpointing for executor-loss
+    * tolerance; the algorithm is unchanged).
+    *
+    * Input: two LONG id columns of `edges` (self-loops ignored). Output:
+    * (`id`, `component`) for every vertex incident to an edge, where
+    * `component` is the smallest vertex id in its connected component.
+    * Vertices absent from `edges` (singletons) are the caller's to union
+    * in — [[clusterKeepOne]] does exactly that.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, aCol, bCol, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of star rounds it took —
+    * exposed so specs can pin the O(log n) convergence bound. */
+  private[graft] def connectedComponentsWithRounds(edges: DataFrame,
+      aCol: String, bCol: String, maxRounds: Int): (DataFrame, Int) = {
+    // Canonical working set: distinct (hi → lo) arcs, self-loops dropped.
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("_u"), col("_v")).as("_u"),
+          least(col("_u"), col("_v")).as("_v"))
+        .filter(col("_u") =!= col("_v")).distinct()
+
+    // LARGE-STAR: every node points its LARGER neighbors at the minimum of
+    // its closed neighborhood. Two shuffles, both keyed on _u (symmetrize →
+    // groupBy; the min then travels back over the same key, so AQE plans a
+    // co-partitioned or broadcast join of the per-key mins).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("_v").as("_u"), col("_u").as("_v")))
+      val mins = sym.groupBy("_u")
+        .agg(least(min(col("_v")), col("_u")).as("_m"))
+      canon(sym.join(mins, "_u")
+        .filter(col("_v") > col("_u"))
+        .select(col("_v").as("_u"), col("_m").as("_v")))
+    }
+
+    // SMALL-STAR: on the (hi → lo)-oriented arcs, every node points its
+    // smaller neighbors (and itself) at the minimum it can see.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("_u").agg(min(col("_v")).as("_m"))
+      canon(e.join(mins, "_u")
+        .select(col("_v").as("_u"), col("_m").as("_v"))
+        .union(mins.select(col("_u"), col("_m").as("_v"))))
+    }
+
+    var cur = canon(edges.select(col(aCol).cast("long").as("_u"),
+      col(bCol).cast("long").as("_v"))).localCheckpoint(true)
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      rounds += 1
+      // Fixpoint test: both sets are canonical+distinct, so equal counts +
+      // an empty one-sided difference ⇔ set equality.
+      converged = next.count() == cur.count() &&
+        next.exceptAll(cur).isEmpty
+      cur = next
+    }
+    require(converged, s"connectedComponents: no fixpoint in $maxRounds rounds")
+    // Fixpoint ⇒ every arc is (member → component-min); the mins label
+    // themselves.
+    val labels = cur.select(col("_u").as("id"), col("_v").as("component"))
+      .union(cur.select(col("_v").as("id"), col("_v").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+    (labels, rounds)
+  }
+
+  /** Keep-one-per-cluster over a mined pair set: every vertex of `docs`
+    * absent from `pairs` survives as its own singleton; each connected
+    * component of `pairs` survives once, as its smallest id. Returns
+    * (`id`, `component`, `n_merged`) for the kept rows only — `n_merged`
+    * counts the docs the kept row now represents (1 for singletons).
+    * The docs side joins on ids only; payloads never enter a shuffle. */
+  def clusterKeepOne(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    val labeled = ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    labeled.groupBy("component")
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n_merged"))
+      .select(col("id"), col("component"), col("n_merged"))
+  }
 }

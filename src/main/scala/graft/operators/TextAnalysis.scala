@@ -162,4 +162,53 @@ object TextAnalysis {
       transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1)))),
       lit(0L),
       (acc, c) => pmod(acc * 31 + c.cast("long"), lit(144115188075855859L)))
+
+  // ---- PII redaction -------------------------------------------------
+  //
+  // Patterns are deliberately restricted to the regex subset Java's
+  // Pattern and RE2 (DuckDB) interpret IDENTICALLY: explicit ASCII
+  // classes (no \d — Java's is ASCII by default but explicit [0-9] leaves
+  // nothing to trust), no lookaround, no backreferences, greedy
+  // leftmost-first quantifiers (both engines' default). That restriction
+  // is what makes the redactor oracle-checkable — and incidentally keeps
+  // it linear-time-safe under RE2's automaton.
+
+  /** (name, pattern, replacement) in APPLICATION ORDER: emails first
+    * (they contain digits but nothing IP/phone-shaped), then IPv4 (dots
+    * exclude them from phone matches), then phones. Each replacement
+    * token contains no digits, so later patterns can't re-match inside
+    * an earlier redaction. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "(\\+[0-9][0-9 -]{6,13}[0-9]|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b)",
+      "<PHONE>"))
+
+  /** Replace every email / IPv4 / phone match with a typed token. Pure
+    * codegen'd per-row transform: at 100 TB this is a narrow map with no
+    * shuffle, and the regexes are RE2-linear. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+
+  /** Per-pattern match count on the ORIGINAL text (counts are mutually
+    * independent: the three patterns cannot overlap — see piiPatterns). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, re, _) =>
+      name -> regexp_count(text, lit(re)).cast("long")
+    }
+
+  /** DuckDB text of the same redaction chain ('g' = replace-all, Spark's
+    * default). */
+  def redactPiiSql(t: String): String =
+    piiPatterns.foldLeft(t) { case (e, (_, re, tok)) =>
+      s"regexp_replace($e, '$re', '$tok', 'g')"
+    }
+
+  /** DuckDB per-pattern count expressions. */
+  def piiCountsSql(t: String): Seq[(String, String)] =
+    piiPatterns.map { case (name, re, _) =>
+      name -> s"CAST(len(regexp_extract_all($t, '$re')) AS BIGINT)"
+    }
 }

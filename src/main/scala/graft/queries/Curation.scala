@@ -87,6 +87,40 @@ object Curation {
        | md5($NormSql) AS md5_fp
        |FROM documents""".stripMargin
 
+  /** PII redaction, hash-matched: every doc is deterministically augmented
+    * with one synthetic email + IPv4 + phone (so the scrubber is exercised
+    * on EVERY row, not just rows that happen to contain PII), then both
+    * engines run the identical RE2-safe redaction chain
+    * ([[TextAnalysis.redactPii]]) and pin counts + the md5 of the redacted
+    * text. Narrow per-row codegen'd map — the 100 TB shape is a scan. */
+  def txt_redact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val aug = docs.withColumn("_aug", concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com via 10.0."),
+      (col("doc_id") % 250).cast("string"), lit(".7 or +1 555 01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+    val counts = TextAnalysis.piiCounts(col("_aug"))
+      .map { case (n, c) => c.as(s"n_$n") }
+    aug.select(col("doc_id") +: counts :+
+      md5(TextAnalysis.redactPii(col("_aug"))).as("red_fp"): _*)
+  }
+
+  val txt_redact_sql: String = {
+    val augSql = "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+      " || '@example.com via 10.0.' || CAST(doc_id % 250 AS VARCHAR)" +
+      " || '.7 or +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    val counts = TextAnalysis.piiCountsSql("aug")
+      .map { case (n, e) => s"$e AS n_$n" }.mkString(",\n  ")
+    s"""WITH a AS (SELECT doc_id, $augSql AS aug
+       |           FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id,
+       |  $counts,
+       |  md5(${TextAnalysis.redactPiiSql("aug")}) AS red_fp
+       |FROM a""".stripMargin
+  }
+
   import graft.util.DirCache
   /** ≤ 4 source dirs' artifacts each; a dir re-touched after eviction just
     * retrains (correctness never depends on the cache). */
@@ -271,8 +305,11 @@ object Curation {
       .orderBy(col("id_new"), col("id_base"))
   }
 
-  val dedup_minhash_md5_sql: String =
-    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents
+  /** The md5 signature→band→candidate CTE chain shared by every
+    * `dedup_*_md5` oracle and the cluster oracles below (the DuckDB twin
+    * of [[md5BandedSides]]). */
+  private val Md5CandCtes: String =
+    s"""n AS (SELECT doc_id, $NormSql AS s FROM documents
        |           WHERE doc_id < 1200 AND text IS NOT NULL),
        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |        range(1, greatest(len(s)-4, 1)+1),
@@ -297,7 +334,10 @@ object Curation {
        |       (a.sig_0=b.sig_0 AND a.sig_1=b.sig_1)
        |    OR (a.sig_2=b.sig_2 AND a.sig_3=b.sig_3)
        |    OR (a.sig_4=b.sig_4 AND a.sig_5=b.sig_5)
-       |    OR (a.sig_6=b.sig_6 AND a.sig_7=b.sig_7)))
+       |    OR (a.sig_6=b.sig_6 AND a.sig_7=b.sig_7)))""".stripMargin
+
+  val dedup_minhash_md5_sql: String =
+    s"""WITH $Md5CandCtes
        |SELECT id_a, id_b, n_agree FROM cand WHERE n_agree >= 2
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -331,6 +371,62 @@ object Curation {
        |    OR (a.sig_6=b.sig_6 AND a.sig_7=b.sig_7)))
        |SELECT id_new, id_base, n_agree FROM cand WHERE n_agree >= 2
        |ORDER BY id_new, id_base""".stripMargin
+
+  /** Connected components over the engine-reproducible md5 candidate
+    * pairs, HASH-MATCHED end-to-end: Spark runs the distributed
+    * large-star/small-star rounds ([[Dedup.connectedComponents]]); DuckDB
+    * independently computes the transitive closure with a recursive CTE
+    * over the SAME pair set. Matching labels prove the star rounds
+    * converge to the true closure — the strongest possible cross-engine
+    * check for an iterative graph algorithm (the oracle's O(Σ|C|²) walk
+    * is affordable only because the gate caps the corpus; the Spark side
+    * is the 100 TB path). */
+  def dedup_cluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedup_minhash_md5(s, dir).select("id_a", "id_b")
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Recursive-closure tail shared by the two cluster oracles: symmetric
+    * edges from the md5 candidate pairs, min-reachable-label walk. */
+  private val ClusterWalkCtes: String =
+    """p AS (SELECT id_a, id_b FROM cand WHERE n_agree >= 2),
+      |e AS (SELECT id_a AS u, id_b AS v FROM p
+      |      UNION SELECT id_b AS u, id_a AS v FROM p),
+      |walk(u, v) AS (SELECT u, v FROM e
+      |      UNION SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+      |lab AS (SELECT u AS id, least(u, min(v)) AS component
+      |        FROM walk GROUP BY u)""".stripMargin
+
+  val dedup_cluster_sql: String =
+    s"""WITH RECURSIVE $Md5CandCtes,
+       |$ClusterWalkCtes
+       |SELECT id AS doc_id, component FROM lab ORDER BY doc_id""".stripMargin
+
+  /** Keep-one-per-cluster over the same mined pairs: singletons survive
+    * as themselves, each component survives once as its smallest id, with
+    * the count of docs it now represents. The end-to-end near-dup DEDUP
+    * semantics (mine → cluster → keep-one), hash-matched. */
+  def dedup_cluster_keep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 1200 && col("text").isNotNull)
+    val pairs = dedup_minhash_md5(s, dir).select("id_a", "id_b")
+    Dedup.clusterKeepOne(docs, "doc_id", pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"), col("n_merged"))
+      .orderBy("doc_id")
+  }
+
+  val dedup_cluster_keep_sql: String =
+    s"""WITH RECURSIVE $Md5CandCtes,
+       |$ClusterWalkCtes,
+       |labeled AS (
+       |  SELECT d.doc_id AS id, coalesce(l.component, d.doc_id) AS component
+       |  FROM (SELECT doc_id FROM documents
+       |        WHERE doc_id < 1200 AND text IS NOT NULL) d
+       |  LEFT JOIN lab l ON d.doc_id = l.id)
+       |SELECT min(id) AS doc_id, component, count(*) AS n_merged
+       |FROM labeled GROUP BY component ORDER BY doc_id""".stripMargin
 
   /** SimHash sketch, HASH-MATCHED end-to-end against DuckDB — the
     * cross-engine twin of the xxhash64 `Simhash64` kernel (whose gate is
@@ -927,6 +1023,74 @@ object Curation {
 
   val ann_ivf_verify_sql: String =
     "SELECT CAST(1 AS INT) AS self_rank, CAST(1.0 AS DOUBLE) AS self_score"
+
+  /** Corpus clustering for curation (domain balancing / mixture control:
+    * cluster the corpus by embedding, then sample per cluster). Reuses the
+    * shared IVF index — train-once, assign-everything. Hash-matched via a
+    * one-row contract: `n_assigned` is genuinely cross-checked (DuckDB
+    * counts the same embeddings table); the k-means-dependent facts the
+    * oracle cannot recompute are enforced IN-PLAN and emitted as the
+    * constants they must equal —
+    *  - `argmin_violations`: every row's assigned cell re-derived as the
+    *    argmin over all 16 centroid distances by a codegen'd packed-kernel
+    *    fold (dist² = |p|² − 2p·c + |c|², centroids as literals); any
+    *    disagreement with Spark ML's assignment makes the sum ≠ 0 and the
+    *    hash mismatch.
+    *  - `n_cells_used`: distinct cells actually populated (16 on every
+    *    tested sf — empty cells would signal a degenerate training pass).
+    *  - `var_reduced`: mean within-cell dist² < corpus variance
+    *    (E|p|² − |mean p|², the no-clustering baseline) — clustering must
+    *    actually explain variance, not just relabel.
+    * The 100 TB shape: assignment is a narrow scan (16 dot products per
+    * row); both aggregates are map-side-combined single-pass reductions. */
+  def emb_cluster(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecExpressions.{packVec, packedDot}
+    import graft.functions.VecOps
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val idx = ivfIndexFor(s, dir)
+    val centers = idx.centroids
+    val cLits = centers.map(c =>
+      lit(VecOps.pack(ArrayData.toArrayData(c))))
+    val cNorm2 = centers.map(c => c.foldLeft(0.0)((a, x) => a + x * x))
+    val p = packVec(col("embedding").cast("array<double>"))
+    val withP = idx.assigned.select(col("vec_id"), col("_cell"), p.as("_p"))
+      .withColumn("_pp", packedDot(col("_p"), col("_p")))
+    // dist² to each centroid; fold to (best cell, best dist)
+    val dists = cLits.zip(cNorm2).map { case (cl, n2) =>
+      col("_pp") - lit(2.0) * packedDot(col("_p"), cl) + lit(n2)
+    }
+    val bestDist = dists.reduce(least(_, _))
+    val ownDist = dists.zipWithIndex.map { case (d, i) =>
+      when(col("_cell") === i, d)
+    }.reduce(coalesce(_, _))
+    val agg = withP.agg(
+      count(lit(1)).as("n_assigned"),
+      countDistinct(col("_cell")).as("n_cells_used"),
+      // 1e-6 absolute slack: ML's fastSquaredDistance is itself only
+      // accurate to ~1e-7 relative; real misassignments are far larger
+      sum(when(ownDist > bestDist + lit(1e-6), 1L).otherwise(0L))
+        .as("argmin_violations"),
+      avg(ownDist).as("_within"),
+      avg(col("_pp")).as("_epp"))
+    // corpus variance baseline needs |mean p|²: per-dim mean via one
+    // map-side-combined posexplode agg (64 rows out)
+    val meanNorm2 = idx.assigned
+      .select(posexplode(col("embedding").cast("array<double>")))
+      .groupBy("pos").agg(avg("col").as("m"))
+      .agg(sum(col("m") * col("m"))).collect()(0).getDouble(0)
+    agg.select(col("n_assigned"),
+      col("n_cells_used").cast("long").as("n_cells_used"),
+      col("argmin_violations"),
+      (col("_within") < col("_epp") - lit(meanNorm2)).cast("int")
+        .as("var_reduced"))
+  }
+
+  val emb_cluster_sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+      |  CAST(16 AS BIGINT) AS n_cells_used,
+      |  CAST(0 AS BIGINT) AS argmin_violations,
+      |  CAST(1 AS INT) AS var_reduced
+      |FROM embeddings""".stripMargin
 
   /** ANN-LSH verification (hash-matched on its deterministic invariants):
     * with the query vector's own row left in the corpus, multi-probe LSH

@@ -378,4 +378,74 @@ class CurationOpsSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(out === "intro text\n\nbody A\n\nbody B")
   }
+
+  test("connectedComponents labels chains, stars, and ignores self-loops") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), // chain 1-2-3-4-5
+      (11L, 10L), (10L, 11L),                 // pair, both orientations
+      (7L, 7L)                                // self-loop: ignored
+    ).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges in O(log n) rounds on a 64-chain") {
+    // Worst case for naive min-propagation (O(n) rounds); the star rounds
+    // must collapse it logarithmically.
+    val edges = scala.util.Random.shuffle(
+        (0L until 63L).map(i => (i, i + 1L)))
+      .toDF("a", "b")
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(edges, "a", "b", maxRounds = 50)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 63L).map(_ -> 0L).toMap)
+    assert(rounds <= 12, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
+  test("connectedComponents on an empty edge set returns no labels") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(edges, "a", "b").count() === 0L)
+  }
+
+  test("redactPii replaces emails, IPs, and phones with typed tokens") {
+    val cases = Seq(
+      (1L, "mail bob.smith+tag@sub.example.org now",
+        "mail <EMAIL> now"),
+      (2L, "server at 192.168.0.1 responded", "server at <IP> responded"),
+      (3L, "call +44 20 7946 0958 today", "call <PHONE> today"),
+      (4L, "or 555-867-5309 works", "or <PHONE> works"),
+      (5L, "no pii here at all", "no pii here at all"),
+      // version strings: 1.2.3 is NOT an IP (needs 4 octets)
+      (6L, "spark 3.5.1 released", "spark 3.5.1 released"),
+      (7L, "a@b.co and 10.0.0.7 and +1 555 0100",
+        "<EMAIL> and <IP> and <PHONE>")
+    ).toDF("id", "text", "expect")
+    val out = cases.select(col("id"), col("expect"),
+        TextAnalysis.redactPii(col("text")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(2) === r.getString(1),
+      s"case ${r.getLong(0)}"))
+  }
+
+  test("piiCounts counts each pattern independently on the original text") {
+    val df = Seq(Tuple1("x@y.io mail z@w.dev at 1.2.3.4 call 555-123-4567 done"))
+      .toDF("text")
+    val counts = TextAnalysis.piiCounts(col("text"))
+    val row = df.select(counts.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(row.getLong(0) === 2L) // emails
+    assert(row.getLong(1) === 1L) // ips
+    assert(row.getLong(2) === 1L) // phones
+  }
+
+  test("clusterKeepOne keeps singletons and one representative per cluster") {
+    val ids = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.clusterKeepOne(ids, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(kept === Seq((1L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 2L),
+      (7L, 7L, 1L), (8L, 8L, 1L)))
+  }
 }
