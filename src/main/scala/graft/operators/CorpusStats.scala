@@ -41,4 +41,57 @@ object CorpusStats {
         sum(col("_freq")).as("freq_sum"),
         min(col("_freq")).as("min_freq"))
   }
+
+  /** BM25 relevance of every document against a small query term set —
+    * keyword retrieval over the corpus (Robertson/Spärck Jones; k1/b are
+    * the classic defaults 1.2/0.75).
+    *
+    * Scale shape: the corpus statistics BM25 needs (N, avgdl, per-term
+    * document frequencies) reduce to ONE map-side-combined aggregation
+    * row — integer counts, so the reduction is order-exact — which then
+    * rides a broadcast cross-join onto the scoring scan. No per-term
+    * shuffle, no inverted index materialization: at 100 TB this is one
+    * stats pass + one narrow codegen'd scoring pass. The term set is
+    * bounded (a query, not a corpus), which is what makes the
+    * broadcast-stats shape honest.
+    *
+    * `lnIdf = true` (default) is textbook BM25:
+    *   idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    * `lnIdf = false` swaps the ln for the raw odds ratio
+    *   (N − df + 0.5)/(df + 0.5) — the same per-term monotonicity (ln is
+    * monotone), chosen for cross-engine gates: every operation is then
+    * +,×,÷ over integer-derived doubles in a fixed evaluation order, so
+    * Spark and a SQL oracle agree BIT-EXACTLY where two libm `log`s are
+    * only 1-ulp-close. Rankings per term agree; only the inter-term
+    * weighting differs (documented deviation, not an accident). */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      lnIdf: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df.filter(col(textCol).isNotNull)
+      .withColumn("_norm", Dedup.normalized(col(textCol)))
+      .withColumn("_toks", Dedup.tokensOf(col("_norm")))
+      .withColumn("_dl", size(col("_toks")).cast("double"))
+    val withTf = terms.indices.foldLeft(base) { (d, i) =>
+      d.withColumn(s"_tf_$i",
+        size(filter(col("_toks"), t => t === lit(terms(i)))).cast("double"))
+    }
+    val statsAggs =
+      count(lit(1)).cast("double").as("_n") +:
+      sum(col("_dl")).as("_sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"_tf_$i") > 0, 1.0).otherwise(0.0)).as(s"_df_$i"))
+    val stats = withTf.agg(statsAggs.head, statsAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("_sumdl") / col("_n"))
+    val score = terms.indices.map { i =>
+      val odds = (col("_n") - col(s"_df_$i") + lit(0.5)) /
+        (col(s"_df_$i") + lit(0.5))
+      val idf = if (lnIdf) log(lit(1.0) + odds) else odds
+      idf * (col(s"_tf_$i") * lit(k1 + 1.0)) /
+        (col(s"_tf_$i") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    }.reduce(_ + _)
+    scored.select(col(idCol), round(score, 6).as("bm25"))
+  }
 }

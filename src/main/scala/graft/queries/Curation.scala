@@ -121,6 +121,46 @@ object Curation {
        |FROM a""".stripMargin
   }
 
+  /** BM25 keyword scoring over the corpus, hash-matched. Uses the
+    * rational-idf variant ([[graft.operators.CorpusStats.bm25]]
+    * `lnIdf = false`): every arithmetic step is then +,×,÷ over
+    * integer-derived doubles in a fixed order, so DuckDB reproduces the
+    * scores bit-exactly (two engines' libm `ln`s are only 1-ulp-close —
+    * a documented precision deviation, not a semantic one; ln-idf is the
+    * operator's default for real use). Stats (N, Σdl, per-term df) are
+    * one agg row broadcast onto the scoring scan. */
+  def txt_bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.bm25(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        terms = Bm25Terms, lnIdf = false)
+      .select(col("doc_id"), col("bm25"))
+
+  private val Bm25Terms = Seq("spark", "customer", "window")
+
+  val txt_bm25_sql: String = {
+    val tfs = Bm25Terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${Bm25Terms(i)}')) AS DOUBLE) AS tf_$i")
+      .mkString(",\n        ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i")
+      .mkString(", ")
+    val score = Bm25Terms.indices.map(i =>
+      s"((n - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * 2.2)" +
+        s" / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
+      .mkString("\n  + ")
+    s"""WITH d AS (SELECT doc_id,
+       |        list_filter(str_split($NormSql, ' '), t -> t != '') AS toks
+       |      FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |        $tfs
+       |      FROM d),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+       |        $dfs FROM t)
+       |SELECT doc_id, round(
+       |  $score, 6) AS bm25
+       |FROM t, s""".stripMargin
+  }
+
   import graft.util.DirCache
   /** ≤ 4 source dirs' artifacts each; a dir re-touched after eviction just
     * retrains (correctness never depends on the cache). */

@@ -439,6 +439,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(row.getLong(2) === 1L) // phones
   }
 
+  test("bm25 matches a hand-computed score and ranks term-bearing docs first") {
+    val corpus = Seq(
+      (1L, "spark spark engine"),   // tf(spark)=2, dl=3
+      (2L, "spark only here"),      // tf=1, dl=3
+      (3L, "nothing relevant at all"), // tf=0, dl=4
+      (4L, null: String)
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bm25(corpus, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, df=2, avgdl=10/3; idf=ln(1+(3-2+0.5)/(2+0.5))=ln(1.6)
+    val idf = math.log(1.6)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (10.0 / 3.0)))
+    assert(math.abs(out(1L) - s(2, 3)) < 1e-6)
+    assert(math.abs(out(2L) - s(1, 3)) < 1e-6)
+    assert(out(3L) === 0.0)
+    assert(!out.contains(4L))
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+  }
+
   test("clusterKeepOne keeps singletons and one representative per cluster") {
     val ids = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
