@@ -171,6 +171,7 @@ object TomlImportConfig {
       minChunkBytes = math.max(1L,
         long(mydumper, "read-block-size", 256L * 1024 * 1024)),
       postAnalyze = bool(post, "analyze", true),
+      noSchema = bool(mydumper, "no-schema", false),
       compactTargetBytes =
         if (bool(post, "compact", false) || bool(post, "level-1-compact", false))
           Some(256L * 1024 * 1024)

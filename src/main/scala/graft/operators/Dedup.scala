@@ -500,8 +500,14 @@ object Dedup {
     * counts the docs the kept row now represents (1 for singletons).
     * The docs side joins on ids only; payloads never enter a shuffle. */
   def clusterKeepOne(docs: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val labels = connectedComponents(pairs, aCol, bCol)
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    keepOneFromLabels(docs, idCol, connectedComponents(pairs, aCol, bCol))
+
+  /** [[clusterKeepOne]] over PRE-COMPUTED component labels (`id`,
+    * `component`) — the reuse path when one mining pass feeds several
+    * downstream consumers. */
+  def keepOneFromLabels(docs: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame = {
     val ids = docs.select(col(idCol).cast("long").as("id"))
     val labeled = ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

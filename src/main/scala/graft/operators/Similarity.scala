@@ -95,30 +95,44 @@ object Similarity {
       assigned: DataFrame)
 
   /** One k-means training pass (fixed seed → deterministic cells).
-    * Seeded RANDOM init, not k-means||: the parallel init alone costs
-    * ~2×nSteps extra Spark jobs to pick starting points — for IVF cells
-    * the Lloyd iterations wash out the init quality difference, and at
-    * corpus scale the init passes are pure overhead. The training input is
-    * cached for the iterations and released after the centroids exist. */
+    * Trained DRIVER-SIDE on a capped deterministic sample (the same faiss
+    * shape as [[pqIndex]]): IVF cell quality saturates on a few thousand
+    * points, so the 10 Lloyd iterations are microseconds of driver CPU —
+    * versus 10+ distributed ML jobs whose per-job latency dominated the
+    * whole ann_ivf gate (6.6 s → sub-second at sf0.1; at corpus scale you
+    * would never Lloyd over 100 TB either). The ASSIGNMENT pass is the
+    * distributed one — one narrow scan computing an argmin over nlist
+    * packed-kernel dot products, inside whole-stage codegen — and
+    * `trainSampleCap` + the ann_ivf_verify recall floor guard the sample
+    * quality. Seeded shuffled init, deterministic everywhere. */
   def ivfIndex(df: DataFrame, vecCol: String, nlist: Int = 16,
-      trainOn: Option[DataFrame] = None): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    def featurize(d: DataFrame) = d.withColumn("_fv",
-      array_to_vector(col(vecCol).cast("array<double>")))
-    val feat = featurize(df)
-    // trainOn: the 100 TB pattern — k-means never sees the corpus, only a
-    // (deterministic) sample; the assignment pass scans everything once.
-    // The ann_ivf_verify recall floor guards sample quality.
-    val cached = trainOn.map(featurize).getOrElse(feat).persist()
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setInitMode("random")
-      .setFeaturesCol("_fv").setPredictionCol("_cell")
-      .fit(cached)
-    val idx = IvfIndex(model.clusterCenters.map(_.toArray),
-      model.transform(feat).drop("_fv"))
-    cached.unpersist()
-    idx
+      trainOn: Option[DataFrame] = None,
+      trainSampleCap: Int = 8192): IvfIndex = {
+    import graft.functions.{VecExpressions, VecOps}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val sample = trainOn.getOrElse(df)
+      .select(col(vecCol).cast("array<double>").as("_v"),
+        xxhash64(to_json(struct(col(vecCol)))).as("_h"))
+      .orderBy(col("_h")).limit(trainSampleCap)
+      .select("_v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "IVF training sample is empty")
+    val centers = lloyd(sample, nlist, iters = 10, seed = 42L)
+    // assignment: dist²(p, c_j) = |p|² − 2p·c_j + |c_j|²; the |p|² term is
+    // constant across j, so the argmin needs only the nlist dot products.
+    // least() over (score, j) structs is ONE expression node — a when()
+    // fold would duplicate the accumulator subtree exponentially.
+    val cLits = centers.map(c => lit(VecOps.pack(ArrayData.toArrayData(c))))
+    val cNorm2 = centers.map(c => c.foldLeft(0.0)((a, x) => a + x * x))
+    val packed = df
+      .withColumn("_p", VecExpressions.packVec(col(vecCol).cast("array<double>")))
+    val candidates = cLits.zip(cNorm2).zipWithIndex.map { case ((cl, n2), j) =>
+      struct((lit(n2) - lit(2.0) * VecExpressions.packedDot(col("_p"), cl))
+        .as("d"), lit(j).as("j"))
+    }
+    val assigned = packed
+      .withColumn("_cell", least(candidates: _*).getField("j"))
+      .drop("_p")
+    IvfIndex(centers, assigned)
   }
 
   /** Probe an IvfIndex: scan only the `nprobe` cells whose centroids are

@@ -57,6 +57,11 @@ final case class ImportConfig(
     // no-schema mode (reference loader.go:65, tests/no_schema/): tables
     // without a *-schema.sql take their declared shape from this catalog
     schemaCatalog: Map[(String, String), MysqlTable] = Map.empty,
+    // reference --no-schema / mydumper.no-schema: the target's tables
+    // pre-exist, so *-schema.sql files are IGNORED even when present and
+    // every table must resolve from schemaCatalog — prevents a stale dump
+    // DDL from drifting away from the real target shape
+    noSchema: Boolean = false,
     // checksum strategy: true = same-pass df.observe metrics (zero extra
     // I/O, but CollectMetricsExec splits the codegen span and evaluates
     // interpreted); false = count-only observe + columnar re-scan of the
@@ -282,7 +287,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         case _ => ()
       }
     }
-    val table = t.schemaFile match {
+    val table = t.schemaFile.filterNot(_ => cfg.noSchema) match {
       case Some(sf) => MysqlDdl.parseCreateTable(readFile(sf))
       case None => cfg.schemaCatalog.getOrElse((t.db, t.table),
         sys.error(s"no schema for ${t.db}.${t.table}: provide a *-schema.sql " +
@@ -342,6 +347,12 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         p.writeBucketed(observed, t.db, t.table, n, bcols)
       case (Some(_), other) => sys.error(
         s"bucketBy requires the parquet sink, got ${other.getClass.getSimpleName}")
+      // a SQL target's column list must match the real table: `_row_id` is
+      // graft's internal `_tidb_rowid` analog (persisted in parquet for
+      // sink-side checksum re-scans) — the reference's tidb backend
+      // likewise sends only the dump's own columns and lets the target
+      // allocate row ids (lightning/backend/tidb.go:45-63)
+      case (_, j: JdbcSink) => j.write(observed.drop("_row_id"), t.db, t.table)
       case _ => theSink.write(observed, t.db, t.table)
     }
     val m = obs.get
@@ -506,8 +517,10 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
             psink.writeChunkStaged(observed, t.db, t.table, tag)
           case None =>
             // JDBC path: rows land in the target DB; replay of this one
-            // chunk after a crash is idempotent under REPLACE/IGNORE
-            theSink.write(observed, t.db, t.table)
+            // chunk after a crash is idempotent under REPLACE/IGNORE.
+            // `_row_id` stays out of the statements — the target's real
+            // column list doesn't have it (see the table-level write)
+            theSink.write(observed.drop("_row_id"), t.db, t.table)
             Nil
         }
         val tp2 = tmark("write", tp1)

@@ -421,12 +421,24 @@ object Curation {
     * check for an iterative graph algorithm (the oracle's O(Σ|C|²) walk
     * is affordable only because the gate caps the corpus; the Spark side
     * is the 100 TB path). */
-  def dedup_cluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedup_minhash_md5(s, dir).select("id_a", "id_b")
-    Dedup.connectedComponents(pairs, "id_a", "id_b")
+  def dedup_cluster(s: SparkSession, dir: String): DataFrame =
+    clusterLabelsFor(s, dir)
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
-  }
+
+  /** Per-directory component-label cache: the md5 pair mining + iterative
+    * star rounds run once, both cluster gates read the persisted labels
+    * (train-once/reuse — same pattern as the signature and index caches). */
+  private val clusterLabelCache =
+    new DirCache[DataFrame](CachedDirs, _.unpersist())
+
+  private def clusterLabelsFor(s: SparkSession, dir: String): DataFrame =
+    clusterLabelCache.getOrElseUpdate(dir, {
+      val pairs = dedup_minhash_md5(s, dir).select("id_a", "id_b")
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b").persist()
+      labels.count() // materialize once; both gates reuse
+      labels
+    })
 
   /** Recursive-closure tail shared by the two cluster oracles: symmetric
     * edges from the md5 candidate pairs, min-reachable-label walk. */
@@ -451,8 +463,7 @@ object Curation {
   def dedup_cluster_keep(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .filter(col("doc_id") < 1200 && col("text").isNotNull)
-    val pairs = dedup_minhash_md5(s, dir).select("id_a", "id_b")
-    Dedup.clusterKeepOne(docs, "doc_id", pairs, "id_a", "id_b")
+    Dedup.keepOneFromLabels(docs, "doc_id", clusterLabelsFor(s, dir))
       .select(col("id").as("doc_id"), col("component"), col("n_merged"))
       .orderBy("doc_id")
   }

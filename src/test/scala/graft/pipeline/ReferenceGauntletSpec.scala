@@ -408,4 +408,130 @@ class ReferenceGauntletSpec extends SparkSpec {
       .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet
     assert(col14.contains(None) && col14.contains(Some(39)))
   }
+
+  test("no_schema: schema-only dir imports nothing; data lands in the pre-declared table") {
+    assume(refTests.isDirectory)
+    // phase 1 (run.sh:19-21): --no-schema over a dir holding ONLY schema
+    // files — nothing may be imported, the `noschema` db must not appear
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-noschema").toString
+    val cfg1 = ImportConfig(
+      sourceDir = new File(refTests, "no_schema/schema-data").getAbsolutePath,
+      outDir = out, noSchema = true,
+      filter = TableFilter(doTables = Seq(("noschema", "*"))),
+      checkpointEnabled = false)
+    assert(new ImportPipeline(spark, cfg1).run().isEmpty)
+    assert(!new File(out, "noschema").exists(), "no-schema run created the db")
+    // phase 2 (run.sh:23-30): the operator pre-creates noschema.t, then the
+    // dump's data files import into it — graft's no-schema catalog stands
+    // in for the pre-created target table
+    val cfg2 = cfg1.copy(
+      sourceDir = new File(refTests, "no_schema/data").getAbsolutePath,
+      schemaCatalog = Map(("noschema", "t") ->
+        graft.sources.MysqlDdl.parseCreateTable(
+          "create table `t` (`x` int primary key)")))
+    assert(new ImportPipeline(spark, cfg2).run().head.rows === 15L)
+    val total = tbl(out, "noschema", "t").agg(sum(col("x")).cast("long"))
+      .collect()(0).getLong(0)
+    assert(total === 120L, "run.sh asserts sum(x)=120 over 1..15")
+  }
+
+  test("tidb_duplicate_data: on-duplicate replace/ignore/error over a half-imported target") {
+    assume(refTests.isDirectory)
+    import graft.sinks.{JdbcSink, OnDuplicate}
+    val fixture = new File(refTests, "tidb_duplicate_data/data")
+    for ((mode, wantPk1, wantPk2) <- Seq(
+        (OnDuplicate.Replace, "new", "new"),   // run.sh replace branch
+        (OnDuplicate.Ignore, "old", "new"),    // run.sh ignore branch
+        (OnDuplicate.Error, null, null))) {    // run.sh error branch
+      // the reference's failpoint kills the first run after SOME rows
+      // imported; model that end state directly: pk=1 landed as 'old'
+      DupTargetDb.rows.clear()
+      DupTargetDb.rows.put(1L, "old")
+      // run.sh then seds the data to 'new' and re-runs the same config
+      val src = java.nio.file.Files.createTempDirectory("graft-dup").toFile
+      for (f <- fixture.listFiles()) {
+        val content = java.nio.file.Files.readString(f.toPath)
+          .replace("'old'", "'new'")
+        java.nio.file.Files.writeString(
+          new File(src, f.getName).toPath, content)
+      }
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-dup-out").toString
+      val sink = new JdbcSink("jdbc:fake", new java.util.Properties(), mode,
+        maxRetries = 0, connFactory = Some(() => DupTargetDb.connection()))
+      val cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+        filter = TableFilter(doTables = Seq(("dup", "*"))),
+        checkpointEnabled = false)
+      if (mode == OnDuplicate.Error) {
+        // plain INSERT collides on the leftover pk=1 → Duplicate entry,
+        // import fails (run.sh asserts ERRORCODE != 0 + the message)
+        val e = intercept[Throwable] {
+          new ImportPipeline(spark, cfg, sink = Some(sink)).run()
+        }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        assert(messages(e).exists(_.contains("Duplicate entry")),
+          s"expected Duplicate entry, got: ${messages(e).mkString(" | ")}")
+      } else {
+        new ImportPipeline(spark, cfg, sink = Some(sink)).run()
+        assert(DupTargetDb.rows.size() === 2,
+          s"rows=${DupTargetDb.rows} stmts=${DupTargetDb.statements}")
+        assert(DupTargetDb.rows.get(1L) === wantPk1, s"$mode pk=1")
+        assert(DupTargetDb.rows.get(2L) === wantPk2, s"$mode pk=2")
+      }
+    }
+  }
+}
+
+/** In-JVM stateful fake target for the duplicate-data gauntlet: applies
+  * REPLACE / INSERT IGNORE / INSERT semantics tuple-by-tuple to a pk→value
+  * map, raising MySQL's Duplicate entry on a plain-INSERT collision
+  * (non-retryable SQLIntegrityConstraintViolation, error 1062). */
+object DupTargetDb {
+  import java.lang.reflect.{InvocationHandler, Method, Proxy}
+  val rows = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+  val statements = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  private val Tuple = """\((\d+),'([^']*)'\)""".r
+
+  def connection(): java.sql.Connection = Proxy.newProxyInstance(
+    getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+    new InvocationHandler {
+      def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+        m.getName match {
+          case "createStatement" => statement()
+          case _ => null
+        }
+    }).asInstanceOf[java.sql.Connection]
+
+  private def statement(): java.sql.Statement = Proxy.newProxyInstance(
+    getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+    new InvocationHandler {
+      def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+        m.getName match {
+          case "execute" =>
+            apply(args(0).asInstanceOf[String])
+            java.lang.Boolean.TRUE
+          case _ => null
+        }
+    }).asInstanceOf[java.sql.Statement]
+
+  private def apply(sql: String): Unit = {
+    statements.add(sql.take(200))
+    if (sql.startsWith("ANALYZE")) return
+    val tuples = Tuple.findAllMatchIn(sql)
+      .map(m => (m.group(1).toLong, m.group(2))).toSeq
+    if (sql.startsWith("REPLACE INTO")) tuples.foreach {
+      case (pk, d) => rows.put(pk, d)
+    } else if (sql.startsWith("INSERT IGNORE INTO")) tuples.foreach {
+      case (pk, d) => rows.putIfAbsent(pk, d)
+    } else if (sql.startsWith("INSERT INTO")) tuples.foreach {
+      case (pk, d) =>
+        if (rows.containsKey(pk))
+          throw new java.sql.SQLIntegrityConstraintViolationException(
+            s"Duplicate entry '$pk' for key 'PRIMARY'", "23000", 1062)
+        rows.put(pk, d)
+    } else sys.error(s"unexpected statement: ${sql.take(80)}")
+  }
 }
