@@ -98,6 +98,7 @@ object SparkEntry {
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),
     ("q_stream_decontam", Curation.q_stream_decontam _, Some(Curation.q_stream_decontam_sql)),
+    ("q_stream_neardup", Curation.q_stream_neardup _, Some(Curation.q_stream_neardup_sql)),
     ("q_stream_dedup", Events.q_stream_dedup _, Some(Events.q_stream_dedup_sql)),
     ("q_sessionize", Events.q_sessionize _, Some(Events.q_sessionize_sql)),
     ("q_json", Events.q_json _, Some(Events.q_json_sql)),

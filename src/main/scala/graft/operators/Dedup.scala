@@ -411,6 +411,42 @@ object Dedup {
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
   }
 
+  /** Engine-portable MinHash signatures (the `_md5` gate family's kernel,
+    * extracted so batch gates and the streaming near-dup miner share ONE
+    * definition): 8 lanes, lane j = the per-doc MIN of the j-th 8-hex-char
+    * slice of md5(shingle) ‖ md5('x' ‖ shingle) over distinct 5-char
+    * shingles of the normalized text. md5 text and lexicographic MIN are
+    * portable to any SQL engine — a DuckDB oracle reproduces every lane
+    * bit-for-bit (unlike the xxhash64 production kernel, whose gates are
+    * estimator-band verifies). Returns (`_id`, sig_0..sig_7). */
+  def md5Signatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = df.select(col(idCol).as("_id"),
+      normalized(col(textCol)).as("s"))
+    val sh = norm.select(col("_id"), explode(array_distinct(
+      transform(sequence(lit(1), greatest(length(col("s")) - 4, lit(1))),
+        i => col("s").substr(i, lit(5))))).as("sh"))
+    val hashed = sh.select(col("_id"),
+      concat(md5(col("sh")), md5(concat(lit("x"), col("sh")))).as("h"))
+    val aggs = (0 until 8).map(j =>
+      min(substring(col("h"), j * 8 + 1, 8)).as(s"sig_$j"))
+    hashed.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding of [[md5Signatures]] output: one exploded (band, bkey)
+    * struct row per band per doc — 4 bands × 2 lanes, the equi-join shape
+    * (signature columns ride along for the agreement count). */
+  def md5BandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("_id") +:
+      (0 until 8).map(j => col(s"sig_$j")) :+
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("bkey"))): _*))
+        .as("_b"): _*)
+
+  /** Signature-agreement count between `sa_j`/`sb_j` column families. */
+  def md5AgreementCount: Column =
+    (0 until 8).map(j =>
+      when(col(s"sa_$j") === col(s"sb_$j"), 1).otherwise(0)).reduce(_ + _)
+
   /** Distributed connected components over an undirected edge list, via
     * alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14). This is the

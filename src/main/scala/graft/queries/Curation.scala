@@ -288,23 +288,28 @@ object Curation {
     * and `dedup_cross_md5`: returns the two join sides (each one exploded
     * (band, key) row per band per doc, signature columns renamed sa_j/
     * sb_j) plus the per-pair agreement-count expression. */
+  /** Per-directory cache of the capped md5 signature frame (the kernel
+    * behind dedup_minhash_md5 / dedup_cross_md5 / the cluster gates / the
+    * streaming near-dup base side — one shingle+hash pass instead of
+    * four). */
+  private val md5SigCache =
+    new DirCache[DataFrame](CachedDirs, _.unpersist())
+
+  private def md5SigsFor(s: SparkSession, dir: String): DataFrame =
+    md5SigCache.getOrElseUpdate(dir, {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 1200 && col("text").isNotNull)
+      val sigs = Dedup.md5Signatures(docs, "text", "doc_id")
+        .withColumnRenamed("_id", "doc_id").persist()
+      sigs.count()
+      sigs
+    })
+
   private def md5BandedSides(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Column) = {
-    val docs = Tables.load(s, dir, "documents")
-      .filter(col("doc_id") < 1200 && col("text").isNotNull)
-    val norm = docs.select(col("doc_id"),
-      Dedup.normalized(col("text")).as("s"))
-    val sh = norm.select(col("doc_id"), explode(array_distinct(
-      transform(sequence(lit(1), greatest(length(col("s")) - 4, lit(1))),
-        i => col("s").substr(i, lit(5))))).as("sh"))
-    val hashed = sh.select(col("doc_id"),
-      concat(md5(col("sh")), md5(concat(lit("x"), col("sh")))).as("h"))
-    val aggs = (0 until 8).map(j =>
-      min(substring(col("h"), j * 8 + 1, 8)).as(s"sig_$j"))
-    // repartition: exchange barrier so the banded join below reads
-    // signature attributes instead of re-inlining the shingle pipeline
-    val sigs = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .repartition(col("doc_id"))
+    // the persisted signature frame is the exchange barrier: the banded
+    // join below reads signature attributes, never the shingle pipeline
+    val sigs = md5SigsFor(s, dir)
     // band join as an EQUI-join on an exploded (band, key) row per band —
     // the same linear-ish banded shape as the production miner. (An
     // OR-of-band-equalities condition would be a nested-loop join: fine at
@@ -1475,6 +1480,43 @@ object Curation {
        |    SELECT 1 FROM ev WHERE list_contains(g.g, ev.gr)) THEN 1 ELSE 0 END
        |    AS INT) AS contaminated
        |FROM grams g""".stripMargin
+
+  /** Streaming near-dup vs a fixed base corpus, HASH-MATCHED end-to-end:
+    * the incremental-crawl shape (stream today's docs, flag any that
+    * near-duplicate the immutable owned corpus). Spark runs the per-batch
+    * banded join over the shared md5 signature kernel
+    * ([[graft.streaming.DocStream.nearDupVsBase]]); DuckDB reproduces the
+    * full flag column from the same candidate CTEs — every micro-batch
+    * boundary must therefore be invisible in the final answer. */
+  def q_stream_neardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val base = md5SigsFor(s, dir).filter(col("doc_id") % 3 === 0)
+      .withColumnRenamed("doc_id", "_id")
+    val root = new java.io.File("target", "qtmp_stream")
+    val fixture = DocStream.ensureStreamFixture(s,
+      s"$dir/documents.parquet", root)
+    val cp = new java.io.File(root, s"cp_neardup_${math.abs(dir.hashCode)}")
+    val out = new java.io.File(root, s"out_neardup_${math.abs(dir.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(cp); deleteRec(out)
+    DocStream.nearDupVsBase(s, fixture.getAbsolutePath, base,
+        col("doc_id") < 1200 && col("doc_id") % 3 =!= 0 &&
+          col("text").isNotNull,
+        out.getAbsolutePath, cp.getAbsolutePath)
+      .orderBy("doc_id")
+  }
+
+  val q_stream_neardup_sql: String =
+    s"""WITH $Md5CandCtes
+       |SELECT n.doc_id, CAST(CASE WHEN EXISTS (
+       |  SELECT 1 FROM cand c WHERE c.n_agree >= 2 AND
+       |    ((c.id_a = n.doc_id AND c.id_b % 3 = 0) OR
+       |     (c.id_b = n.doc_id AND c.id_a % 3 = 0))) THEN 1 ELSE 0 END
+       |  AS INT) AS dup
+       |FROM n WHERE n.doc_id % 3 != 0 ORDER BY n.doc_id""".stripMargin
 
   /** The flagship composition (hash-matched end-to-end): one pass of the
     * full curation stack a pre-training corpus goes through —

@@ -41,6 +41,61 @@ object DocStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming near-dup against a FIXED base corpus — the incremental-
+    * crawl shape: yesterday's corpus is immutable, today's crawl streams
+    * in, and every arriving document is flagged if it near-duplicates
+    * anything already owned. The base IS the state and never changes
+    * mid-run, so no state store is needed; each micro-batch runs the same
+    * banded equi-join the batch cross-corpus miner uses (foreachBatch —
+    * the band explode + per-doc any-collision aggregate want full batch
+    * semantics, and the per-batch output directory write is idempotent
+    * under batch replay). At 100 TB the base side's banded frame is a
+    * persisted co-partitioned table; the per-batch join shuffles only the
+    * batch.
+    *
+    * `baseSigs`: (`_id`, sig_0..sig_7) from [[Dedup.md5Signatures]] (or
+    * any frame with that shape). Output rows: (doc_id, dup 0|1) for every
+    * streamed doc passing `streamFilter`. */
+  def nearDupVsBase(spark: SparkSession, docsDir: String,
+      baseSigs: DataFrame, streamFilter: org.apache.spark.sql.Column,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val baseBands = Dedup.md5BandRows(baseSigs)
+      .select(col("_id").as("id_base") +:
+        (0 until 8).map(j => col(s"sig_$j").as(s"sb_$j")) :+
+        col("_b").as("_b2"): _*)
+    val schema = spark.read.parquet(docsDir).schema
+    val reader = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val stream = reader.parquet(docsDir).filter(streamFilter)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = Dedup.md5Signatures(batch, "text", "doc_id")
+        val lBands = Dedup.md5BandRows(sigs)
+          .select(col("_id").as("doc_id") +:
+            (0 until 8).map(j => col(s"sig_$j").as(s"sa_$j")) :+
+            col("_b"): _*)
+        val dupIds = lBands
+          .join(baseBands, col("_b") === col("_b2"))
+          .filter(Dedup.md5AgreementCount >= 2)
+          .select(col("doc_id")).distinct()
+        val flagged = sigs.select(col("_id").as("doc_id"))
+          .join(dupIds.withColumn("dup", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("dup"), lit(0)).as("dup"))
+        // per-batch dir + overwrite → replaying a batch after a crash
+        // rewrites the same rows instead of duplicating them
+        flagged.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outDir/b*")
+  }
+
   /** Build (once, cached) a multi-file streaming fixture from a single
     * parquet table — the file-stream source consumes a directory. The
     * cache key is a CONTENT fingerprint of the source (paths + sizes +

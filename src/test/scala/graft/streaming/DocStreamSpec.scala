@@ -44,4 +44,30 @@ class DocStreamSpec extends SparkSpec {
       Map(1L -> 1, 2L -> 0, 4L -> 1))
     deleteRec(root)
   }
+
+  test("streaming near-dup flags only base collisions, across micro-batches") {
+    import graft.operators.Dedup
+    val root = new File("target/test_docstream_nd")
+    deleteRec(root)
+    val docsDir = new File(root, "docs"); docsDir.mkdirs()
+    val baseText = "the quick brown fox jumps over the lazy dog tonight"
+    val base = Dedup.md5Signatures(
+      Seq((100L, baseText)).toDF("doc_id", "text"), "text", "doc_id")
+    // one file per doc → with maxFilesPerTrigger=1 each doc is its own
+    // micro-batch, so batch boundaries must not change the flags
+    val streamDocs = Seq(
+      (1L, baseText),                                       // exact dup of base
+      (2L, "the quick brown fox jumps over the lazy dog today"), // near dup
+      (3L, "completely different content about spark plans"),    // clean
+      (4L, "the quick brown fox jumps over the lazy dog tonight")) // dup again
+    for ((id, t) <- streamDocs)
+      Seq((id, t)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(docsDir.getAbsolutePath)
+    val out = DocStream.nearDupVsBase(spark, docsDir.getAbsolutePath, base,
+        lit(true), new File(root, "out").getAbsolutePath,
+        new File(root, "cp").getAbsolutePath, maxFilesPerTrigger = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 1))
+    deleteRec(root)
+  }
 }
