@@ -436,6 +436,33 @@ class ReferenceGauntletSpec extends SparkSpec {
     assert(total === 120L, "run.sh asserts sum(x)=120 over 1..15")
   }
 
+  test("error_summary: two failing tables summarized with names, the good one lands") {
+    assume(refTests.isDirectory)
+    import graft.sinks.{JdbcSink, OnDuplicate}
+    // run.sh induces per-table failure at the target (conflicting
+    // prepopulated rows → checksum mismatch); the fake target's poison
+    // seam plays the same role: writes to a and c fail non-retryably
+    FakeSqlTarget.reset(
+      poison = Set("error_summary.a", "error_summary.c"))
+    val out = java.nio.file.Files.createTempDirectory("graft-esum").toString
+    val cfg = ImportConfig(
+      sourceDir = new File(refTests, "error_summary/data").getAbsolutePath,
+      outDir = out,
+      filter = TableFilter(doTables = Seq(("error_summary", "*"))),
+      continueOnError = true, checkpointEnabled = false)
+    val sink = new JdbcSink("jdbc:fake", new java.util.Properties(),
+      OnDuplicate.Replace, maxRetries = 0,
+      connFactory = Some(() => FakeSqlTarget.connection()))
+    val reports = new ImportPipeline(spark, cfg, sink = Some(sink)).run()
+    // run.sh: '["tables failed to be imported"] [count=2]' naming a and c
+    val failed = reports.filter(_.error.nonEmpty).map(_.table).toSet
+    assert(failed === Set("a", "c"), s"summary: $reports")
+    // run.sh: b imported — sum(id)=28, sum(k)=32
+    val b = FakeSqlTarget.rowsOf("error_summary.b")
+    assert(b.keys.sum === 28L)
+    assert(b.values.map(_.toLong).sum === 32L)
+  }
+
   test("tidb_duplicate_data: on-duplicate replace/ignore/error over a half-imported target") {
     assume(refTests.isDirectory)
     import graft.sinks.{JdbcSink, OnDuplicate}
@@ -446,8 +473,8 @@ class ReferenceGauntletSpec extends SparkSpec {
         (OnDuplicate.Error, null, null))) {    // run.sh error branch
       // the reference's failpoint kills the first run after SOME rows
       // imported; model that end state directly: pk=1 landed as 'old'
-      DupTargetDb.rows.clear()
-      DupTargetDb.rows.put(1L, "old")
+      FakeSqlTarget.reset()
+      FakeSqlTarget.seed("dup.dup", 1L, "'old'")
       // run.sh then seds the data to 'new' and re-runs the same config
       val src = java.nio.file.Files.createTempDirectory("graft-dup").toFile
       for (f <- fixture.listFiles()) {
@@ -459,7 +486,7 @@ class ReferenceGauntletSpec extends SparkSpec {
       val out = java.nio.file.Files
         .createTempDirectory(s"graft-dup-out").toString
       val sink = new JdbcSink("jdbc:fake", new java.util.Properties(), mode,
-        maxRetries = 0, connFactory = Some(() => DupTargetDb.connection()))
+        maxRetries = 0, connFactory = Some(() => FakeSqlTarget.connection()))
       val cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
         filter = TableFilter(doTables = Seq(("dup", "*"))),
         checkpointEnabled = false)
@@ -476,24 +503,40 @@ class ReferenceGauntletSpec extends SparkSpec {
           s"expected Duplicate entry, got: ${messages(e).mkString(" | ")}")
       } else {
         new ImportPipeline(spark, cfg, sink = Some(sink)).run()
-        assert(DupTargetDb.rows.size() === 2,
-          s"rows=${DupTargetDb.rows} stmts=${DupTargetDb.statements}")
-        assert(DupTargetDb.rows.get(1L) === wantPk1, s"$mode pk=1")
-        assert(DupTargetDb.rows.get(2L) === wantPk2, s"$mode pk=2")
+        val rows = FakeSqlTarget.rowsOf("dup.dup")
+        assert(rows.size === 2,
+          s"rows=$rows stmts=${FakeSqlTarget.statements}")
+        assert(rows(1L) === s"'$wantPk1'", s"$mode pk=1")
+        assert(rows(2L) === s"'$wantPk2'", s"$mode pk=2")
       }
     }
   }
 }
 
-/** In-JVM stateful fake target for the duplicate-data gauntlet: applies
-  * REPLACE / INSERT IGNORE / INSERT semantics tuple-by-tuple to a pk→value
-  * map, raising MySQL's Duplicate entry on a plain-INSERT collision
-  * (non-retryable SQLIntegrityConstraintViolation, error 1062). */
-object DupTargetDb {
+/** In-JVM stateful fake SQL target for the gauntlet's JDBC scenarios:
+  * applies REPLACE / INSERT IGNORE / INSERT semantics tuple-by-tuple to a
+  * per-table pk→values map, raises MySQL's Duplicate entry on a
+  * plain-INSERT collision (non-retryable, error 1062), and can poison
+  * whole tables (non-retryable write failure — the "this table's target
+  * is broken" seam the error_summary scenario needs). */
+object FakeSqlTarget {
   import java.lang.reflect.{InvocationHandler, Method, Proxy}
-  val rows = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+  import java.util.concurrent.ConcurrentHashMap
+  val tables = new ConcurrentHashMap[String, ConcurrentHashMap[Long, String]]()
   val statements = new java.util.concurrent.CopyOnWriteArrayList[String]()
-  private val Tuple = """\((\d+),'([^']*)'\)""".r
+  @volatile var failTables: Set[String] = Set.empty
+
+  def reset(poison: Set[String] = Set.empty): Unit = {
+    tables.clear(); statements.clear(); failTables = poison
+  }
+
+  def rowsOf(dbTable: String): Map[Long, String] = {
+    import scala.jdk.CollectionConverters._
+    Option(tables.get(dbTable)).map(_.asScala.toMap).getOrElse(Map.empty)
+  }
+
+  def seed(dbTable: String, pk: Long, rest: String): Unit =
+    tables.computeIfAbsent(dbTable, _ => new ConcurrentHashMap()).put(pk, rest)
 
   def connection(): java.sql.Connection = Proxy.newProxyInstance(
     getClass.getClassLoader, Array(classOf[java.sql.Connection]),
@@ -517,21 +560,35 @@ object DupTargetDb {
         }
     }).asInstanceOf[java.sql.Statement]
 
+  private val Header = """^(REPLACE INTO|INSERT IGNORE INTO|INSERT INTO) `([^`]+)`\.`([^`]+)`""".r
+
   private def apply(sql: String): Unit = {
     statements.add(sql.take(200))
     if (sql.startsWith("ANALYZE")) return
-    val tuples = Tuple.findAllMatchIn(sql)
-      .map(m => (m.group(1).toLong, m.group(2))).toSeq
-    if (sql.startsWith("REPLACE INTO")) tuples.foreach {
-      case (pk, d) => rows.put(pk, d)
-    } else if (sql.startsWith("INSERT IGNORE INTO")) tuples.foreach {
-      case (pk, d) => rows.putIfAbsent(pk, d)
-    } else if (sql.startsWith("INSERT INTO")) tuples.foreach {
-      case (pk, d) =>
+    val h = Header.findFirstMatchIn(sql)
+      .getOrElse(sys.error(s"unexpected statement: ${sql.take(80)}"))
+    val dbTable = s"${h.group(2)}.${h.group(3)}"
+    if (failTables.contains(dbTable))
+      throw new java.sql.SQLSyntaxErrorException(
+        s"table $dbTable is unavailable (fake)")
+    val rows = tables.computeIfAbsent(dbTable, _ => new ConcurrentHashMap())
+    val values = sql.substring(sql.indexOf(" VALUES ") + 8)
+    val tuples = values.stripPrefix("(").stripSuffix(")").split("\\),\\(")
+      .toSeq.filter(_.nonEmpty).map { t =>
+        val cut = t.indexOf(',')
+        if (cut < 0) (t.toLong, "")
+        else (t.take(cut).toLong, t.drop(cut + 1))
+      }
+    h.group(1) match {
+      case "REPLACE INTO" => tuples.foreach { case (pk, d) => rows.put(pk, d) }
+      case "INSERT IGNORE INTO" =>
+        tuples.foreach { case (pk, d) => rows.putIfAbsent(pk, d) }
+      case "INSERT INTO" => tuples.foreach { case (pk, d) =>
         if (rows.containsKey(pk))
           throw new java.sql.SQLIntegrityConstraintViolationException(
             s"Duplicate entry '$pk' for key 'PRIMARY'", "23000", 1062)
         rows.put(pk, d)
-    } else sys.error(s"unexpected statement: ${sql.take(80)}")
+      }
+    }
   }
 }

@@ -245,4 +245,50 @@ class PlanSpec extends SparkSpec {
     val p = plan(aligned)
     assert(!p.contains("Exchange"), s"unexpected shuffle in align chain:\n$p")
   }
+
+  test("txt_redact: pure scan — no exchange, regexes inside one codegen stage") {
+    val p = plan(Curation.txt_redact(spark, sf))
+    assert(!p.contains("Exchange"), s"redaction must be a narrow map:\n$p")
+    // `*(n)` node prefixes are the WholeStageCodegen markers in toString
+    assert(p.contains("*(1)"), s"redaction fell out of codegen:\n$p")
+  }
+
+  test("txt_bm25: stats ride ONE broadcast; no per-term shuffle") {
+    val p = plan(Curation.txt_bm25(spark, sf))
+    assert("BroadcastExchange".r.findAllIn(p).size === 1,
+      s"expected exactly the one-row stats broadcast:\n$p")
+    // scoring side: scan → project; the only ShuffleExchanges allowed are
+    // the single-row stats aggregation's own partial/final pair
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1 &&
+      !p.contains("Exchange hashpartitioning"),
+      s"unexpected per-term/doc shuffle:\n$p")
+  }
+
+  test("connectedComponents rounds: hash-keyed exchanges only, no cartesian") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = (0L until 32L).map(i => (i, i + 1L)).toDF("a", "b")
+    // one large-star round, planned: the join of per-key mins back onto the
+    // symmetrized edges must never degenerate into a nested-loop/cartesian
+    val sym = edges.select(col("a").as("_u"), col("b").as("_v"))
+      .union(edges.select(col("b").as("_u"), col("a").as("_v")))
+    val mins = sym.groupBy("_u").agg(least(min(col("_v")), col("_u")).as("_m"))
+    val p = plan(sym.join(mins, "_u").filter(col("_v") > col("_u"))
+      .select(col("_v").as("_u"), col("_m").as("_v")).distinct())
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"star round degenerated:\n$p")
+  }
+
+  test("emb_cluster assignment: vectors never shuffle; only agg partials do") {
+    val p = plan(Curation.emb_cluster(spark, sf))
+    // the per-row 16-distance argmin is a narrow projection feeding the
+    // one-row aggregate. The ONLY hash exchange allowed is countDistinct's
+    // partial-row shuffle keyed on _cell (≤16 rows per partition) — the
+    // packed vectors (_p) must never enter any exchange.
+    val exchanges = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("_cell")),
+      s"unexpected non-_cell hash exchange:\n$p")
+    assert(!exchanges.exists(_.contains("_p")),
+      s"packed vectors entered a shuffle:\n$p")
+  }
 }
