@@ -138,7 +138,12 @@ object Main {
           if (o("no-checkpoint").nonEmpty) false else b.checkpointEnabled,
         checkpointUrl = one("checkpoint-url").orElse(b.checkpointUrl),
         continueOnError =
-          b.continueOnError || o("continue-on-error").nonEmpty)
+          b.continueOnError || o("continue-on-error").nonEmpty,
+        // every documented flag must override its TOML value — omitting
+        // one here silently drops it for --config runs
+        compactTargetBytes =
+          parseCompactBytes(one("compact-bytes")).orElse(b.compactTargetBytes),
+        bucketBy = parseBucketBy(one("bucket-by")).orElse(b.bucketBy))
     }
     ImportConfig(
       sourceDir = one("source").getOrElse(sys.error("--source required")),
@@ -152,19 +157,25 @@ object Main {
       // --bucket-by N:col1,col2 → bucketed+sorted parquet output (see
       // ImportConfig.bucketBy); malformed specs fail loudly, not silently
       // --compact-bytes N → post-import small-file compaction target
-      compactTargetBytes = one("compact-bytes").map { v =>
-        require(v.matches("\\d+"), s"--compact-bytes expects bytes, got '$v'")
-        v.toLong
-      },
-      bucketBy = one("bucket-by").map { spec =>
-        spec.split(":", 2) match {
-          case Array(n, cols) if n.matches("\\d+") && cols.nonEmpty =>
-            (n.toInt, cols.split(",").toSeq)
-          case _ => sys.error(
-            s"--bucket-by expects N:col1[,col2...], got '$spec'")
-        }
-      })
+      compactTargetBytes = parseCompactBytes(one("compact-bytes")),
+      bucketBy = parseBucketBy(one("bucket-by")))
   }
+
+  private def parseCompactBytes(v: Option[String]): Option[Long] =
+    v.map { s =>
+      require(s.matches("\\d+"), s"--compact-bytes expects bytes, got '$s'")
+      s.toLong
+    }
+
+  private def parseBucketBy(v: Option[String]): Option[(Int, Seq[String])] =
+    v.map { spec =>
+      spec.split(":", 2) match {
+        case Array(n, cols) if n.matches("\\d+") && cols.nonEmpty =>
+          (n.toInt, cols.split(",").toSeq)
+        case _ => sys.error(
+          s"--bucket-by expects N:col1[,col2...], got '$spec'")
+      }
+    }
 
   /** ctl commands honour the same --checkpoint-url driver selection as
     * the import itself (file driver by default, JDBC store when given). */
@@ -181,6 +192,13 @@ object Main {
     val listener = new ProgressListener
     spark.sparkContext.addSparkListener(listener)
     val cfg = buildConfig(o)
+    // --config with backend = "tidb": the declared [tidb] target must
+    // actually RECEIVE the rows — an accepted-but-unwired backend key
+    // would import to parquet while the operator believes TiDB got them
+    val sink = o("config").headOption.flatMap { p =>
+      graft.config.TomlImportConfig.sinkFor(graft.config.TomlImportConfig
+        .load(java.nio.file.Files.readString(java.nio.file.Path.of(p))))
+    }
     // periodic progress line (reference [cron] log-progress, 5 min default
     // — config.go:232-235): a long import is observable without the server
     val periodSec = sys.env.getOrElse("GRAFT_PROGRESS_LOG_SEC", "300").toInt
@@ -192,7 +210,7 @@ object Main {
     }, "graft-progress-log")
     progressLogger.setDaemon(true)
     progressLogger.start()
-    val reports = new ImportPipeline(spark, cfg).run()
+    val reports = new ImportPipeline(spark, cfg, sink = sink).run()
     reports.foreach { r =>
       r.error match {
         case Some(err) =>
@@ -297,8 +315,18 @@ object Main {
       log.read(t.db, t.table) match {
         case None => println(s"SKIP ${t.db}.${t.table}: no checkpoint")
         case Some(st) =>
-          val table = MysqlDdl.parseCreateTable(
-            new ImportPipeline(spark, cfg).readFile(t.schemaFile.get))
+          // same resolution order as the pipeline: *-schema.sql unless
+          // no-schema mode, else the declared catalog (no-schema tables
+          // must stay verifiable — they imported through the same path)
+          val table = t.schemaFile.filterNot(_ => cfg.noSchema) match {
+            case Some(sf) => MysqlDdl.parseCreateTable(
+              new ImportPipeline(spark, cfg).readFile(sf))
+            case None => cfg.schemaCatalog.getOrElse((t.db, t.table), {
+              println(s"SKIP ${t.db}.${t.table}: no schema source to verify against")
+              null
+            })
+          }
+          if (table == null) () else {
           val df = spark.read.parquet(s"${cfg.outDir}/${t.db}/${t.table}")
           val cs = KvEncode.checksumReport(df, table,
             ImportPipeline.tableId(t.db, t.table), "_row_id")
@@ -309,6 +337,7 @@ object Main {
           println(s"${if (ok) "OK  " else "FAIL"} ${t.db}.${t.table}: " +
             f"sink=${cs.getLong(1)}%016x/${cs.getLong(2)}/${cs.getLong(3)} " +
             f"pipeline=${st.checksum}%016x/${st.totalBytes}/${st.totalKvs}")
+          }
       }
     }
     spark.stop()

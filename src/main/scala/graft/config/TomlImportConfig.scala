@@ -231,6 +231,11 @@ object TomlImportConfig {
     "black-white-list.do-tables.db-name", "black-white-list.do-tables.table-name",
     "black-white-list.ignore-tables.db-name",
     "black-white-list.ignore-tables.table-name",
+    // bare pair-list paths: an EMPTY [[...]] entry reports itself as its
+    // prefix (leafPaths) and is a legal match-all rule (pairList defaults
+    // db/table to "*"), not an unknown option
+    "black-white-list.do-tables", "black-white-list.ignore-tables",
+    "black-white-list.do-dbs", "black-white-list.ignore-dbs",
     "tikv-importer.addr", "tikv-importer.backend", "tikv-importer.on-duplicate",
     "post-restore.level-1-compact", "post-restore.compact",
     "post-restore.checksum", "post-restore.analyze",
@@ -252,4 +257,33 @@ object TomlImportConfig {
     "tidb.log-level")
 
   private def globalOnly(path: String): Boolean = globalOnlyExact(path)
+
+  /** The sink a loaded task's `tikv-importer.backend` declares.
+    * `tidb` → a [[graft.sinks.JdbcSink]] on the MySQL-protocol target
+    * from `[tidb]`, with the declared `on-duplicate` verb (reference
+    * backend/tidb.go). `importer`/`local` are the scoped-out TiKV-native
+    * backends whose analog HERE is the parquet sink → None (the
+    * pipeline's default). Invalid combinations fail with the reference's
+    * named-message style instead of silently importing to parquet. */
+  def sinkFor(task: LoadedTask): Option[graft.sinks.Sink] =
+    task.backend match {
+      case "tidb" =>
+        import graft.sinks.{JdbcSink, OnDuplicate}
+        val t = task.tidb.getOrElse(throw new IllegalArgumentException(
+          "invalid config: backend = \"tidb\" needs a [tidb] host/port target"))
+        val onDup = task.onDuplicate match {
+          case "replace" => OnDuplicate.Replace
+          case "ignore"  => OnDuplicate.Ignore
+          case "error"   => OnDuplicate.Error
+          case other => throw new IllegalArgumentException(
+            s"invalid config: unsupported `on-duplicate` (`$other`)")
+        }
+        val props = new java.util.Properties()
+        props.setProperty("user", t.user)
+        props.setProperty("password", t.password)
+        Some(new JdbcSink(s"jdbc:mysql://${t.host}:${t.port}/", props, onDup))
+      case "importer" | "local" => None // parquet sink is their analog
+      case other => throw new IllegalArgumentException(
+        s"invalid config: unsupported `backend` (`$other`)")
+    }
 }

@@ -94,6 +94,9 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
+        if (payload == null) // nullable binary: metadata-only rows are
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null, false)) // not poison
+        else {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -109,6 +112,7 @@ object Multimodal {
             finally { rd.dispose(); iis.close() }
           }
         Row.fromSeq(r.toSeq ++ extra)
+        }
       }
     }(enc)
   }
@@ -131,8 +135,9 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
+        val img = if (payload == null) null // null payload ≡ undecodable
+          else javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
         val extra: Seq[Any] =
           if (img == null) Seq(null, null, null)
           else {

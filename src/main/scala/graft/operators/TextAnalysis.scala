@@ -192,12 +192,20 @@ object TextAnalysis {
       regexp_replace(c, re, tok)
     }
 
-  /** Per-pattern match count on the ORIGINAL text (counts are mutually
-    * independent: the three patterns cannot overlap — see piiPatterns). */
-  def piiCounts(text: Column): Seq[(String, Column)] =
-    piiPatterns.map { case (name, re, _) =>
-      name -> regexp_count(text, lit(re)).cast("long")
+  /** Per-pattern match counts, PROGRESSIVE: pattern i is counted on the
+    * text with patterns 0..i-1 already redacted — exactly what
+    * [[redactPii]] removes. Counting every pattern on the raw text would
+    * double-count nested matches (an email like `123-456-7890@x.com`
+    * contains a phone-shaped substring the redactor never touches,
+    * because the email replacement runs first). */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val afterPrior = piiPatterns.scanLeft(text) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
     }
+    piiPatterns.zip(afterPrior).map { case ((name, re, _), base) =>
+      name -> regexp_count(base, lit(re)).cast("long")
+    }
+  }
 
   /** DuckDB text of the same redaction chain ('g' = replace-all, Spark's
     * default). */
@@ -206,9 +214,13 @@ object TextAnalysis {
       s"regexp_replace($e, '$re', '$tok', 'g')"
     }
 
-  /** DuckDB per-pattern count expressions. */
-  def piiCountsSql(t: String): Seq[(String, String)] =
-    piiPatterns.map { case (name, re, _) =>
-      name -> s"CAST(len(regexp_extract_all($t, '$re')) AS BIGINT)"
+  /** DuckDB twins of [[piiCounts]] — same progressive base texts. */
+  def piiCountsSql(t: String): Seq[(String, String)] = {
+    val afterPrior = piiPatterns.scanLeft(t) { case (e, (_, re, tok)) =>
+      s"regexp_replace($e, '$re', '$tok', 'g')"
     }
+    piiPatterns.zip(afterPrior).map { case ((name, re, _), base) =>
+      name -> s"CAST(len(regexp_extract_all($base, '$re')) AS BIGINT)"
+    }
+  }
 }

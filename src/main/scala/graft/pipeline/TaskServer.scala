@@ -54,7 +54,9 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
       val strict: Boolean,
       // full config for TOML-submitted tasks; (source, out, strict) above
       // remain the display/JSON surface
-      val cfg: Option[ImportConfig] = None) {
+      val cfg: Option[ImportConfig] = None,
+      // backend-declared sink (TOML `backend = "tidb"` → JdbcSink)
+      val sink: Option[graft.sinks.Sink] = None) {
     @volatile var status: String = "queued"
     @volatile var detail: String = ""
     @volatile var cancelRequested: Boolean = false
@@ -98,6 +100,7 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
             sqlMode = if (t.strict) SqlMode.Strict else SqlMode.Lenient,
             filter = TableFilter()))
           val reports = new ImportPipeline(spark, cfg,
+            sink = t.sink,
             pauser = Some(pauser),
             cancelled = () => t.cancelRequested,
             progress = Some(registry)).run()
@@ -194,7 +197,8 @@ final class TaskServer(spark: SparkSession, port: Int = 8289,
                 else {
                   cfg.validated()
                   val t = new Task(ids.incrementAndGet(), cfg.sourceDir,
-                    cfg.outDir, cfg.sqlMode == SqlMode.Strict, Some(cfg))
+                    cfg.outDir, cfg.sqlMode == SqlMode.Strict, Some(cfg),
+                    sink = graft.config.TomlImportConfig.sinkFor(loaded))
                   tasks.put(t.id, t)
                   queue.put(t)
                   respond(ex, 200, s"""{"id":${t.id}}""")

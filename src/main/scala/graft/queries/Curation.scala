@@ -350,10 +350,11 @@ object Curation {
       .orderBy(col("id_new"), col("id_base"))
   }
 
-  /** The md5 signature→band→candidate CTE chain shared by every
-    * `dedup_*_md5` oracle and the cluster oracles below (the DuckDB twin
-    * of [[md5BandedSides]]). */
-  private val Md5CandCtes: String =
+  /** The md5 signature CTE chain (n→g→h→sig) shared by every `_md5`
+    * oracle, the cluster oracles, and the streaming near-dup oracle —
+    * ONE DuckDB twin of [[Dedup.md5Signatures]]; each oracle adds its own
+    * candidate join on top. */
+  private val Md5SigCtes: String =
     s"""n AS (SELECT doc_id, $NormSql AS s FROM documents
        |           WHERE doc_id < 1200 AND text IS NOT NULL),
        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -365,21 +366,25 @@ object Curation {
        |  min(substr(h, 17, 8)) AS sig_2, min(substr(h, 25, 8)) AS sig_3,
        |  min(substr(h, 33, 8)) AS sig_4, min(substr(h, 41, 8)) AS sig_5,
        |  min(substr(h, 49, 8)) AS sig_6, min(substr(h, 57, 8)) AS sig_7
-       |  FROM h GROUP BY doc_id),
+       |  FROM h GROUP BY doc_id)""".stripMargin
+
+  /** Per-pair signature-agreement sum over `a`/`b` sig aliases. */
+  private val Md5AgreeSql: String = (0 until 8)
+    .map(j => s"(CASE WHEN a.sig_$j=b.sig_$j THEN 1 ELSE 0 END)")
+    .mkString("CAST(", "\n     + ", " AS BIGINT)")
+
+  /** The 4×2 band-collision disjunction (the LSH candidate condition). */
+  private val Md5BandOrSql: String = (0 until 4)
+    .map(b => s"(a.sig_${2 * b}=b.sig_${2 * b} AND a.sig_${2 * b + 1}=b.sig_${2 * b + 1})")
+    .mkString("(", "\n    OR ", ")")
+
+  /** Signature chain + the same-corpus candidate join (id_a < id_b). */
+  private val Md5CandCtes: String =
+    s"""$Md5SigCtes,
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST((CASE WHEN a.sig_0=b.sig_0 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_1=b.sig_1 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_2=b.sig_2 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_3=b.sig_3 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_4=b.sig_4 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_5=b.sig_5 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_6=b.sig_6 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_7=b.sig_7 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-       |       (a.sig_0=b.sig_0 AND a.sig_1=b.sig_1)
-       |    OR (a.sig_2=b.sig_2 AND a.sig_3=b.sig_3)
-       |    OR (a.sig_4=b.sig_4 AND a.sig_5=b.sig_5)
-       |    OR (a.sig_6=b.sig_6 AND a.sig_7=b.sig_7)))""".stripMargin
+       |  $Md5AgreeSql AS n_agree
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
+       |    $Md5BandOrSql)""".stripMargin
 
   val dedup_minhash_md5_sql: String =
     s"""WITH $Md5CandCtes
@@ -387,33 +392,12 @@ object Curation {
        |ORDER BY id_a, id_b""".stripMargin
 
   val dedup_cross_md5_sql: String =
-    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents
-       |           WHERE doc_id < 1200 AND text IS NOT NULL),
-       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-       |        range(1, greatest(len(s)-4, 1)+1),
-       |        i -> substr(s, CAST(i AS INT), 5)))) AS sh FROM n),
-       |h AS (SELECT doc_id, md5(sh) || md5('x' || sh) AS h FROM g),
-       |sig AS (SELECT doc_id,
-       |  min(substr(h,  1, 8)) AS sig_0, min(substr(h,  9, 8)) AS sig_1,
-       |  min(substr(h, 17, 8)) AS sig_2, min(substr(h, 25, 8)) AS sig_3,
-       |  min(substr(h, 33, 8)) AS sig_4, min(substr(h, 41, 8)) AS sig_5,
-       |  min(substr(h, 49, 8)) AS sig_6, min(substr(h, 57, 8)) AS sig_7
-       |  FROM h GROUP BY doc_id),
+    s"""WITH $Md5SigCtes,
        |cand AS (SELECT a.doc_id AS id_new, b.doc_id AS id_base,
-       |  CAST((CASE WHEN a.sig_0=b.sig_0 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_1=b.sig_1 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_2=b.sig_2 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_3=b.sig_3 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_4=b.sig_4 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_5=b.sig_5 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_6=b.sig_6 THEN 1 ELSE 0 END)
-       |     + (CASE WHEN a.sig_7=b.sig_7 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  $Md5AgreeSql AS n_agree
        |  FROM sig a JOIN sig b
-       |    ON a.doc_id % 3 != 0 AND b.doc_id % 3 = 0 AND (
-       |       (a.sig_0=b.sig_0 AND a.sig_1=b.sig_1)
-       |    OR (a.sig_2=b.sig_2 AND a.sig_3=b.sig_3)
-       |    OR (a.sig_4=b.sig_4 AND a.sig_5=b.sig_5)
-       |    OR (a.sig_6=b.sig_6 AND a.sig_7=b.sig_7)))
+       |    ON a.doc_id % 3 != 0 AND b.doc_id % 3 = 0 AND
+       |    $Md5BandOrSql)
        |SELECT id_new, id_base, n_agree FROM cand WHERE n_agree >= 2
        |ORDER BY id_new, id_base""".stripMargin
 

@@ -146,6 +146,52 @@ class TomlConfigSpec extends AnyFunSuite {
     assert(t3.backend === "tidb" && t3.onDuplicate === "error")
   }
 
+  test("sinkFor: tidb backend builds a JdbcSink with the declared verb; importer stays parquet") {
+    import graft.sinks.{JdbcSink, OnDuplicate}
+    val t = TomlImportConfig.load(
+      """[mydumper]
+        |data-source-dir = "/src"
+        |[tikv-importer]
+        |backend = "tidb"
+        |on-duplicate = "ignore"
+        |[tidb]
+        |host = "10.0.0.9"
+        |port = 4000
+        |user = "root"
+        |""".stripMargin, outDir = "/out")
+    val sink = TomlImportConfig.sinkFor(t)
+    assert(sink.exists(_.isInstanceOf[JdbcSink]))
+    // the verb is private state; idempotentReplay distinguishes error mode
+    assert(sink.exists(_.asInstanceOf[JdbcSink].idempotentReplay))
+    // importer/local backends: the parquet sink is the analog -> None
+    assert(TomlImportConfig.sinkFor(t.copy(backend = "importer")).isEmpty)
+    assert(TomlImportConfig.sinkFor(t.copy(backend = "local")).isEmpty)
+    // named rejects: missing [tidb] target, unknown backend, bad verb
+    intercept[IllegalArgumentException] {
+      TomlImportConfig.sinkFor(t.copy(tidb = None))
+    }
+    intercept[IllegalArgumentException] {
+      TomlImportConfig.sinkFor(t.copy(backend = "tikv"))
+    }
+    intercept[IllegalArgumentException] {
+      TomlImportConfig.sinkFor(t.copy(onDuplicate = "merge"))
+    }
+  }
+
+  test("empty [[black-white-list.do-tables]] is a legal match-all rule, not unknown") {
+    val t = TomlImportConfig.load(
+      """[mydumper]
+        |data-source-dir = "/src"
+        |[[black-white-list.do-tables]]
+        |""".stripMargin, outDir = "/out")
+    assert(t.config.filter.doTables === Seq(("*", "*")))
+  }
+
+  test("escaped backslash before a closing quote does not swallow the comment") {
+    val t = Toml.parse("""k = "a\\" # trailing comment""")
+    assert(t("k") === "a\\")
+  }
+
   test("every reference config.toml fixture loads or rejects as designed") {
     // the whole fixture corpus: everything must either load cleanly or be
     // the one deliberately-broken fixture (unused_config_keys)

@@ -429,7 +429,7 @@ class CurationOpsSpec extends SparkSpec {
       s"case ${r.getLong(0)}"))
   }
 
-  test("piiCounts counts each pattern independently on the original text") {
+  test("piiCounts counts what redaction removes — nested matches once") {
     val df = Seq(Tuple1("x@y.io mail z@w.dev at 1.2.3.4 call 555-123-4567 done"))
       .toDF("text")
     val counts = TextAnalysis.piiCounts(col("text"))
@@ -437,6 +437,13 @@ class CurationOpsSpec extends SparkSpec {
     assert(row.getLong(0) === 2L) // emails
     assert(row.getLong(1) === 1L) // ips
     assert(row.getLong(2) === 1L) // phones
+    // a phone-shaped substring INSIDE an email counts as the email only:
+    // the counts must agree with what redactPii actually replaces
+    val nested = Seq(Tuple1("reach 123-456-7890@example.com now")).toDF("text")
+    val r2 = nested.select(
+      TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((1L, 0L, 0L)))
   }
 
   test("bm25 matches a hand-computed score and ranks term-bearing docs first") {
