@@ -42,6 +42,60 @@ object CorpusStats {
         min(col("_freq")).as("min_freq"))
   }
 
+  /** Vocabulary builder (tokenizer-training step 0): the corpus' top-`k`
+    * whitespace tokens by frequency, deterministic ties (freq desc, then
+    * token). Scale shape: explode → ONE map-side-combined count shuffle →
+    * TakeOrdered top-k (no global sort); the rank window runs over the k
+    * surviving rows only. */
+  def vocabTopK(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.filter(col(textCol).isNotNull)
+      .withColumn("_norm", Dedup.normalized(col(textCol)))
+      .select(explode(Dedup.tokensOf(col("_norm"))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+  }
+
+  /** Bigram association strength (the BPE merge-candidate signal): for
+    * the top-`k` adjacent-token bigrams by count, the LIFT
+    * n_tokens · c(xy) / (c(x) · c(y)) — PMI without the log (same
+    * ranking, and integer-derived ÷/× only, so a SQL oracle reproduces
+    * it bit-exactly; ln would be 1-ulp engine-dependent). Scale: one
+    * bigram count shuffle + two token-keyed joins back to the unigram
+    * counts (AQE broadcasts the small side; both stay equi-joins). */
+  def bigramLift(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .withColumn("_norm", Dedup.normalized(col(textCol)))
+      .withColumn("_toks", Dedup.tokensOf(col("_norm")))
+    val uni = base.select(explode(col("_toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val totals = base.select(
+      sum(size(col("_toks"))).cast("double").as("n_tokens"))
+    // adjacent pairs without a descending-sequence trap: zip the array
+    // against itself shifted by one (slice handles len<2 as empty)
+    val bigrams = base.select(explode(
+        zip_with(
+          slice(col("_toks"), lit(1), greatest(size(col("_toks")) - 1, lit(0))),
+          slice(col("_toks"), lit(2), greatest(size(col("_toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bigram")).limit(k)
+    val x = split(col("bigram"), " ").getItem(0)
+    val y = split(col("bigram"), " ").getItem(1)
+    bigrams
+      .join(uni.select(col("token").as("_x"), col("c1").as("cx")), x === col("_x"))
+      .join(uni.select(col("token").as("_y"), col("c1").as("cy")), y === col("_y"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c2"),
+        round(col("n_tokens") * col("c2").cast("double") /
+          (col("cx").cast("double") * col("cy").cast("double")), 6).as("lift"))
+      .orderBy(col("c2").desc, col("bigram"))
+  }
+
   /** BM25 relevance of every document against a small query term set —
     * keyword retrieval over the corpus (Robertson/Spärck Jones; k1/b are
     * the classic defaults 1.2/0.75).

@@ -161,6 +161,47 @@ object Curation {
        |FROM t, s""".stripMargin
   }
 
+  /** Vocabulary builder over the corpus (tokenizer-training step 0),
+    * hash-matched: top-200 tokens with deterministic tie order. */
+  def txt_vocab(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.vocabTopK(
+      Tables.load(s, dir, "documents"), "text", "doc_id", k = 200)
+
+  val txt_vocab_sql: String =
+    s"""WITH nn AS (SELECT $NormSql AS s FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT unnest(list_filter(str_split(s, ' '), x -> x != '')) AS token
+       |      FROM nn),
+       |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM t
+       |      GROUP BY token ORDER BY freq DESC, token LIMIT 200)
+       |SELECT token, freq,
+       |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank
+       |FROM c ORDER BY rank""".stripMargin
+
+  /** Bigram association lift (the BPE merge-candidate signal),
+    * hash-matched bit-exactly — rational PMI, no transcendentals. */
+  def txt_bigram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.bigramLift(
+      Tables.load(s, dir, "documents"), "text", "doc_id", k = 100)
+
+  val txt_bigram_sql: String =
+    s"""WITH nn AS (SELECT $NormSql AS s FROM documents WHERE text IS NOT NULL),
+       |tk AS (SELECT list_filter(str_split(s, ' '), x -> x != '') AS tk FROM nn),
+       |uni AS (SELECT unnest(tk) AS token FROM tk),
+       |c1 AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY token),
+       |tot AS (SELECT CAST(sum(len(tk)) AS DOUBLE) AS n_tokens FROM tk),
+       |bg AS (SELECT unnest(CASE WHEN len(tk) >= 2
+       |         THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+       |         ELSE [] END) AS bigram FROM tk),
+       |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM bg
+       |       GROUP BY bigram ORDER BY c2 DESC, bigram LIMIT 100)
+       |SELECT bc.bigram, bc.c2,
+       |  round(tot.n_tokens * CAST(bc.c2 AS DOUBLE)
+       |    / (CAST(ux.c1 AS DOUBLE) * CAST(uy.c1 AS DOUBLE)), 6) AS lift
+       |FROM bc, tot
+       |JOIN c1 ux ON ux.token = str_split(bc.bigram, ' ')[1]
+       |JOIN c1 uy ON uy.token = str_split(bc.bigram, ' ')[2]
+       |ORDER BY bc.c2 DESC, bc.bigram""".stripMargin
+
   import graft.util.DirCache
   /** ≤ 4 source dirs' artifacts each; a dir re-touched after eviction just
     * retrains (correctness never depends on the cache). */

@@ -466,6 +466,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1L) > out(2L) && out(2L) > out(3L))
   }
 
+  test("vocabTopK ranks by frequency with deterministic ties") {
+    val corpus = Seq(
+      (1L, "b b b a a c"), (2L, "a c d")).toDF("doc_id", "text")
+    val v = CorpusStats.vocabTopK(corpus, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // a:3, b:3 (tie → a first), c:2
+    assert(v.toSeq === Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+  }
+
+  test("bigramLift scores adjacent pairs; single-token docs contribute none") {
+    val corpus = Seq(
+      (1L, "new york"), (2L, "new york"), (3L, "new jersey"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = CorpusStats.bigramLift(corpus, "text", "doc_id", k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // n_tokens=7; c(new york)=2, c(new)=3, c(york)=2 → 7*2/(3*2)
+    assert(out("new york")._1 === 2L)
+    assert(out("new york")._2 === 2.333333) // 7*2/(3*2), rounded to 6dp
+    assert(out("new jersey")._1 === 1L)
+    assert(out.size === 2) // "solo" yields no bigram
+  }
+
   test("clusterKeepOne keeps singletons and one representative per cluster") {
     val ids = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
