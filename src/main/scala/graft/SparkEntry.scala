@@ -91,6 +91,7 @@ object SparkEntry {
     ("txt_redact", Curation.txt_redact _, Some(Curation.txt_redact_sql)),
     ("txt_bm25", Curation.txt_bm25 _, Some(Curation.txt_bm25_sql)),
     ("txt_vocab", Curation.txt_vocab _, Some(Curation.txt_vocab_sql)),
+    ("txt_quantile_filter", Curation.txt_quantile_filter _, Some(Curation.txt_quantile_filter_sql)),
     ("txt_bigram", Curation.txt_bigram _, Some(Curation.txt_bigram_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
     ("multimodal_decode", Curation.multimodal_decode _, Some(Curation.multimodal_decode_sql)),

@@ -163,6 +163,28 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => pmod(acc * 31 + c.cast("long"), lit(144115188075855859L)))
 
+  /** Quantile-band filter over a numeric score column: keep rows between
+    * the corpus' `lo` and `hi` quantiles — the trim-both-tails curation
+    * step (drop garbage AND boilerplate-perfect outliers). The bounds ride
+    * one broadcast single-row aggregate onto the filter scan.
+    *
+    * `exact = false` (default) uses `approx_percentile` — the 100 TB path
+    * (t-digest-style mergeable sketch, bounded state); `exact = true`
+    * buffers every value in the aggregate and is for bounded corpora and
+    * cross-engine gates (linear interpolation matches SQL
+    * `quantile_cont`). */
+  def quantileBandFilter(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+      lo: Double, hi: Double, exact: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val bounds = df.agg(
+      expr(s"$fn($scoreCol, array($lo, $hi))").as("_qb"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(scoreCol) >= element_at(col("_qb"), 1) &&
+        col(scoreCol) <= element_at(col("_qb"), 2))
+      .drop("_qb")
+  }
+
   // ---- PII redaction -------------------------------------------------
   //
   // Patterns are deliberately restricted to the regex subset Java's

@@ -161,6 +161,29 @@ object Curation {
        |FROM t, s""".stripMargin
   }
 
+  /** Quantile-band quality filter, hash-matched: keep docs between the
+    * corpus' p10 and p90 quality scores (trim garbage AND suspiciously
+    * perfect boilerplate). Gate uses the EXACT percentile so DuckDB's
+    * quantile_cont reproduces the bounds; the operator's default is the
+    * approx sketch (see [[TextAnalysis.quantileBandFilter]]). */
+  def txt_quantile_filter(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    TextAnalysis.quantileBandFilter(scored, "quality", 0.1, 0.9,
+        exact = true)
+      .orderBy("doc_id")
+  }
+
+  val txt_quantile_filter_sql: String =
+    s"""WITH q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality
+       |           FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT quantile_cont(quality, 0.1) AS lo,
+       |             quantile_cont(quality, 0.9) AS hi FROM q)
+       |SELECT doc_id, quality FROM q, b
+       |WHERE quality >= lo AND quality <= hi ORDER BY doc_id""".stripMargin
+
   /** Vocabulary builder over the corpus (tokenizer-training step 0),
     * hash-matched: top-200 tokens with deterministic tie order. */
   def txt_vocab(s: SparkSession, dir: String): DataFrame =

@@ -466,6 +466,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1L) > out(2L) && out(2L) > out(3L))
   }
 
+  test("quantileBandFilter trims both tails; approx and exact agree here") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val exact = TextAnalysis.quantileBandFilter(df, "score", 0.1, 0.9,
+      exact = true).select("id").collect().map(_.getLong(0)).sorted
+    // p10 of 1..100 (linear interp) = 10.9, p90 = 90.1 → keep 11..90
+    assert(exact.head === 11L && exact.last === 90L && exact.length === 80)
+    val approx = TextAnalysis.quantileBandFilter(df, "score", 0.1, 0.9)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(approx.nonEmpty && approx.length <= 82 && approx.length >= 78)
+  }
+
   test("vocabTopK ranks by frequency with deterministic ties") {
     val corpus = Seq(
       (1L, "b b b a a c"), (2L, "a c d")).toDF("doc_id", "text")
