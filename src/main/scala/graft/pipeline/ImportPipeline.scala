@@ -287,6 +287,24 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         case _ => ()
       }
     }
+    // Pinned job timestamp SURVIVES resume (reference
+    // tests/checkpoint_timestamp: COUNT(DISTINCT ts) must stay 1 across
+    // crash/retry attempts): a crashed import's remaining chunks must not
+    // fill CURRENT_TIMESTAMP defaults with a different value than the
+    // chunks already committed. A "loaded" marker written before any data
+    // records this run's ts; a resume (crash, or failed → error-ignore,
+    // which resets the state to "loaded" keeping its ts) reuses it.
+    val effectiveTs: Long =
+      if (!cfg.checkpointEnabled) cfg.jobTsMicros
+      else log.read(t.db, t.table) match {
+        case Some(st) if st.planFingerprint == fp && st.jobTsMicros != 0L =>
+          st.jobTsMicros
+        case _ =>
+          if (cfg.jobTsMicros != 0L)
+            log.write(TableState(t.db, t.table, "loaded", 0, 0, 0, 0, fp,
+              cfg.jobTsMicros))
+          cfg.jobTsMicros
+      }
     val table = t.schemaFile.filterNot(_ => cfg.noSchema) match {
       case Some(sf) => MysqlDdl.parseCreateTable(readFile(sf))
       case None => cfg.schemaCatalog.getOrElse((t.db, t.table),
@@ -305,13 +323,13 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     }
     if (cfg.chunkCheckpoints && !cfg.exactRowIds && chunkable &&
         cfg.bucketBy.isEmpty)
-      return restoreByChunks(t, table, fp)
+      return restoreByChunks(t, table, fp, effectiveTs)
     // ONE data pass: parse→align→row-id→sink write, with row count +
     // checksum triple riding along as df.observe metrics (accumulator
     // aggregates — no extra scan, the reference likewise checksums inline
     // during delivery, restore.go:491). The independent sink-side re-scan
     // lives in the `verify` CLI (A3), whose job is exactly that.
-    val aligned = loadAligned(t, table)
+    val aligned = loadAligned(t, table, effectiveTs)
     // _row_idx is a deterministic, per-file-increasing handle: dense row
     // index for SQL dumps, line byte offset for CSV. Estimated mode needs
     // capacity ≥ any handle value → size+1 covers both (gaps allowed, S8);
@@ -379,7 +397,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       }
     if (cfg.checkpointEnabled)
       log.write(TableState(t.db, t.table, "imported", rows, dcs, dbytes,
-        dkvs, fp, cfg.jobTsMicros))
+        dkvs, fp, effectiveTs))
     // bucketed writes registered themselves via saveAsTable (the bucket
     // metadata only exists as a catalog property); replaying the DDL here
     // would strip it
@@ -427,7 +445,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     * the final TableState equals what a single-shot import would record
     * and the verify CLI re-scan still matches. */
   private def restoreByChunks(t: TablePlan, table: MysqlTable,
-      fp: String): TableReport = {
+      fp: String, jobTs: Long): TableReport = {
     // chunk reuse is gated on input fingerprint AND group layout: a changed
     // chunkCommitBytes re-derives every chunkId, so it must invalidate the
     // committed states (else `done` stays nonEmpty, the output dir is kept,
@@ -491,7 +509,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         gate()
         progress.foreach(_.startChunk(t.db, t.table, chunkId, groupBytes))
         val tp0 = System.nanoTime()
-        val aligned = loadAlignedFiles(files, table)
+        val aligned = loadAlignedFiles(files, table, jobTs)
         val withId = withAutoIncFill(withColumnRowIdOverride(
           RowIdAllocator.fromFileSizes(aligned, "_src_file",
             "_row_idx", allSizes, capacityFor = sz => sz + 1,
@@ -582,11 +600,12 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
 
   /** Parse + align one table's data files (CSV and SQL shards may mix when
     * routing merges source tables — both land in the declared schema). */
-  private def loadAligned(t: TablePlan, table: MysqlTable): DataFrame =
-    loadAlignedFiles(t.dataFiles, table)
+  private def loadAligned(t: TablePlan, table: MysqlTable,
+      jobTs: Long): DataFrame =
+    loadAlignedFiles(t.dataFiles, table, jobTs)
 
   private def loadAlignedFiles(dataFiles: Seq[SourceFile],
-      table: MysqlTable): DataFrame = {
+      table: MysqlTable, jobTs: Long): DataFrame = {
     val sqlFiles = dataFiles.filter(_.kind == FileKind.SqlData).map(_.path)
     val csvFiles = dataFiles.filter(_.kind == FileKind.CsvData).map(_.path)
     val parts = Seq.newBuilder[DataFrame]
@@ -599,7 +618,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       // projection. A statement list naming `_tidb_rowid` routes it to the
       // row handle (emitExplicitRowId).
       parts += SchemaAlign.fromArrayPerStatement(raw, col("vals"),
-        col("stmt_cols"), table, cfg.sqlMode, cfg.jobTsMicros,
+        col("stmt_cols"), table, cfg.sqlMode, jobTs,
         keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")),
         kindsCol = Some(col("kinds")), valueCharset = cfg.charset,
         emitExplicitRowId = true)
@@ -627,7 +646,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
           // parser itself — no window, no monotonically_increasing_id
           val raw = CsvSource.readWholeFileIndexed(spark, files, cfg.csv, ncols)
           parts += SchemaAlign.fromColumns(raw, fileCols, table,
-            cfg.sqlMode, cfg.jobTsMicros,
+            cfg.sqlMode, jobTs,
             keep = Seq(col("src_file").as("_src_file"),
               col("row_idx").as("_row_idx")),
             valueCharset = cfg.csv.charset, emitExplicitRowId = true)
@@ -636,7 +655,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
           // line's byte offset — deterministic under any split plan
           val raw = CsvSource.readIndexed(spark, files, cfg.csv, ncols)
           parts += SchemaAlign.fromColumns(raw, fileCols, table,
-            cfg.sqlMode, cfg.jobTsMicros,
+            cfg.sqlMode, jobTs,
             keep = Seq(col("src_file").as("_src_file"),
               col("row_off").as("_row_idx")),
             valueCharset = cfg.csv.charset, emitExplicitRowId = true)

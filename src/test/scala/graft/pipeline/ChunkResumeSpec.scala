@@ -193,4 +193,46 @@ class ChunkResumeSpec extends SparkSpec {
       OnDuplicate.Error, connFactory = Some(() => FakeDb.connection()))
     assert(!sink.idempotentReplay)
   }
+
+  test("pinned job ts survives crash/resume with a DIFFERENT resume ts " +
+      "(reference checkpoint_timestamp: COUNT(DISTINCT ts) = 1)") {
+    val src = java.nio.file.Files.createTempDirectory("graft-cts").toFile
+    // two single-statement files → two chunk groups at 64 B granularity;
+    // the column list omits `ts`, so the CURRENT_TIMESTAMP default fills
+    java.nio.file.Files.writeString(new File(src, "cpts.t.0001.sql").toPath,
+      "INSERT INTO `t` (`id`) VALUES (1),(2),(3);\n")
+    java.nio.file.Files.writeString(new File(src, "cpts.t.0002.sql").toPath,
+      "INSERT INTO `t` (`id`) VALUES (4),(5),(6);\n")
+    val tsTable = graft.sources.MysqlDdl.parseCreateTable(
+      "CREATE TABLE `t` (`id` int(11) NOT NULL, " +
+        "`ts` timestamp NOT NULL DEFAULT CURRENT_TIMESTAMP, " +
+        "PRIMARY KEY (`id`))")
+    val out = freshOut()
+    def cfgTs(ts: Long) = ImportConfig(sourceDir = src.getAbsolutePath,
+      outDir = out, schemaCatalog = Map(("cpts", "t") -> tsTable),
+      chunkCommitBytes = 64, jobTsMicros = ts)
+    FakeDb.executed.clear()
+    FakeDb.failOnMarker = Some("(6,") // kill the run inside chunk 2
+    val sink = new JdbcSink("jdbc:fake", new java.util.Properties(),
+      OnDuplicate.Replace, maxRetries = 0,
+      connFactory = Some(() => FakeDb.connection()))
+    val t1 = 1234567890000000L
+    intercept[Throwable] {
+      new ImportPipeline(spark, cfgTs(t1), sink = Some(sink)).run()
+    }
+    // the operator retries later: the NEW run's config pins a new ts, but
+    // the resumed chunks must reuse the ORIGINAL run's ts — otherwise the
+    // table ends up with two distinct CURRENT_TIMESTAMP values
+    FakeDb.failOnMarker = None
+    val report = new ImportPipeline(spark, cfgTs(t1 + 999999000000L),
+      sink = Some(sink)).run().head
+    assert(report.rows === 6)
+    val stamps = FakeDb.executed.toArray.map(_.toString)
+      .filter(_.contains("INTO `cpts`.`t`"))
+      .flatMap("'([0-9]{4}-[0-9]{2}-[0-9]{2}[^']*)'".r.findAllMatchIn(_)
+        .map(_.group(1)))
+    assert(stamps.nonEmpty, "no timestamp literals reached the sink")
+    assert(stamps.distinct.length === 1,
+      s"resume minted a second job timestamp: ${stamps.distinct.toSeq}")
+  }
 }
