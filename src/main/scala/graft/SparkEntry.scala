@@ -41,6 +41,7 @@ object SparkEntry {
     ("q_asof_join", Temporal.q_asof_join _, Some(Temporal.q_asof_join_sql)),
     ("q_range_join", Temporal.q_range_join _, Some(Temporal.q_range_join_sql)),
     ("q_sample_stratified", Temporal.q_sample_stratified _, Some(Temporal.q_sample_stratified_sql)),
+    ("q_mix_rebalance", Temporal.q_mix_rebalance _, Some(Temporal.q_mix_rebalance_sql)),
     // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("q_stream_ingest", Ingest.q_stream_ingest _, Some(Ingest.q_stream_ingest_sql)),
@@ -95,6 +96,7 @@ object SparkEntry {
     ("txt_bigram", Curation.txt_bigram _, Some(Curation.txt_bigram_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
     ("multimodal_decode", Curation.multimodal_decode _, Some(Curation.multimodal_decode_sql)),
+    ("multimodal_audio", Curation.multimodal_audio _, Some(Curation.multimodal_audio_sql)),
     ("decontam_overlap", Curation.decontam_overlap _, Some(Curation.decontam_overlap_sql)),
     ("pack_sequences", Curation.pack_sequences _, Some(Curation.pack_sequences_sql)),
     ("curation_pipeline", Curation.curation_pipeline _, Some(Curation.curation_pipeline_sql)),

@@ -72,6 +72,84 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic REAL-WAV fixture payloads — the audio twin of
+    * [[pngPayload]]: each id becomes a little-endian 16-bit PCM WAV
+    * (javax.sound.sampled, pure JDK) with arithmetically-predictable
+    * parameters — 8 kHz, 1 + id%2 channels, 100 + id%400 frames, sample
+    * values a fixed function of (id, position). Ids where `id % 97 == 0`
+    * emit a deliberately-undecodable payload (poison-row coverage). */
+  def wavPayload(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("media_type", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 97 == 0)
+          Row(id, s"not really audio $id".getBytes("UTF-8"), "audio")
+        else {
+          val channels = 1 + (id % 2).toInt
+          val frames = 100 + (id % 400).toInt
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, channels, true, false)
+          val data = new Array[Byte](frames * channels * 2)
+          var i = 0
+          while (i < data.length / 2) {
+            val s = (((id * 31 + i * 7) % 251) - 125).toShort
+            data(2 * i) = (s & 0xFF).toByte
+            data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          Row(id, baos.toByteArray, "audio")
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode — javax.sound.sampled reads WAV/AIFF/AU headers
+    * with no external codec (compressed formats — mp3/flac/ogg — have no
+    * JDK reader and land as ok=false like any undecodable payload). Reads
+    * ONLY the header, same scan-shape argument as [[decodeImage]]; runs
+    * in the partition-batched codec seam; poison/null payloads yield
+    * ok=false instead of failing the task. */
+  def decodeAudio(df: DataFrame, payloadCol: String = "payload",
+      prefix: String = "aud_"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(prefix + "sample_rate", IntegerType, nullable = true),
+      StructField(prefix + "channels", IntegerType, nullable = true),
+      StructField(prefix + "frames", LongType, nullable = true),
+      StructField(prefix + "duration_us", LongType, nullable = true),
+      StructField(prefix + "ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val extra: Seq[Any] =
+          if (payload == null) Seq(null, null, null, null, false)
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = ais.getFormat
+              val rate = fmt.getSampleRate.toInt
+              val frames = ais.getFrameLength
+              Seq(rate, fmt.getChannels, frames,
+                frames * 1000000L / rate, true)
+            } finally ais.close()
+          } catch { case _: Exception => Seq(null, null, null, null, false) }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
   /** REAL image decode — javax.imageio (PNG/GIF/BMP/JPEG readers ship
     * with the JDK; no external codec needed). Reads ONLY the header
     * (ImageReader.getWidth/getHeight never decode pixel data), so the

@@ -50,4 +50,29 @@ object Sampling {
     }
     df.filter(hashKey(idCol) < thr) // null threshold (unlisted class) drops
   }
+
+  /** Mixture rebalancing by CAPS, not rates — the training-mix control:
+    * keep AT MOST `caps(class)` rows per class, chosen deterministically
+    * (md5-of-id rank within the class, so reruns and engines agree), and
+    * every row of unlisted classes. Unlike rate sampling this pins exact
+    * per-domain counts — "2 parts web, 1 part code, all of wiki" stays
+    * true no matter how the crawl grew.
+    *
+    * Scale shape: one window shuffle keyed on the class column (the rank
+    * needs per-class ordering); rows carry only (id, class, rank) through
+    * the exchange when callers project first — the payload-light pattern
+    * (mine ids, semi-join payloads back) composes exactly like
+    * [[Dedup.exactPayloadLight]]. */
+  def rebalanceByCaps(df: DataFrame, idCol: Column, classCol: Column,
+      caps: Map[String, Long]): DataFrame = {
+    require(caps.nonEmpty, "rebalanceByCaps needs at least one class cap")
+    import org.apache.spark.sql.expressions.Window
+    val cap = caps.foldLeft(lit(null).cast("long")) { case (acc, (cls, c)) =>
+      when(classCol === cls, lit(c)).otherwise(acc)
+    }
+    val w = Window.partitionBy(classCol).orderBy(hashKey(idCol), idCol)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(cap.isNull || col("_rk") <= cap) // null = uncapped class
+      .drop("_rk")
+  }
 }

@@ -1296,6 +1296,37 @@ object Curation {
     * can't see: every payload decodes (ok), the format reads back as
     * png, and the re-decoded resized dimensions equal the computed
     * (out_width, out_height). */
+  /** REAL audio decode, hash-matched: arithmetically-parameterized PCM
+    * WAVs are generated executor-side ([[Multimodal.wavPayload]] — 8 kHz,
+    * 1 + id%2 channels, 100 + id%400 frames, id%97 poison rows), then
+    * decoded back by the JDK's real WAV reader; DuckDB predicts every
+    * field from the arithmetic. Only a genuine header parse can recover
+    * the numbers from the bytes — and poison payloads must land as
+    * ok=0 rows, not task failures. */
+  def multimodal_audio(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 600)
+    val dec = Multimodal.decodeAudio(Multimodal.wavPayload(docs, "doc_id"))
+    dec.select(col("media_id"),
+        col("aud_sample_rate").as("sample_rate"),
+        col("aud_channels").as("channels"),
+        col("aud_frames").as("n_frames"),
+        col("aud_duration_us").as("duration_us"),
+        col("aud_ok").cast("int").as("ok"))
+      .orderBy("media_id")
+  }
+
+  val multimodal_audio_sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 97 = 0 THEN NULL ELSE 8000 END AS sample_rate,
+      |  CASE WHEN doc_id % 97 = 0 THEN NULL
+      |       ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+      |  CASE WHEN doc_id % 97 = 0 THEN NULL
+      |       ELSE CAST(100 + doc_id % 400 AS BIGINT) END AS n_frames,
+      |  CASE WHEN doc_id % 97 = 0 THEN NULL
+      |       ELSE CAST((100 + doc_id % 400) * 125 AS BIGINT) END AS duration_us,
+      |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS INT) AS ok
+      |FROM documents WHERE doc_id < 600 ORDER BY media_id""".stripMargin
+
   def multimodal_decode(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
     val png = Multimodal.pngPayload(docs, "doc_id")

@@ -102,4 +102,27 @@ object Temporal {
        |  CAST(sum(event_id) AS BIGINT) AS id_sum
        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
   }
+
+  /** Mixture rebalancing by exact per-class CAPS, hash-matched: cap the
+    * `en` and `de` slices of the corpus at fixed document counts, keep
+    * every other language whole — deterministic md5-rank selection, so
+    * DuckDB reproduces the exact kept set. */
+  def q_mix_rebalance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    Sampling.rebalanceByCaps(docs, col("doc_id"), col("lang"),
+        Map("en" -> 120L, "de" -> 50L))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q_mix_rebalance_sql: String =
+    """WITH r AS (SELECT doc_id, lang,
+      |  row_number() OVER (PARTITION BY lang
+      |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, lang FROM r
+      |WHERE (lang = 'en' AND rk <= 120) OR (lang = 'de' AND rk <= 50)
+      |   OR lang NOT IN ('en', 'de')
+      |ORDER BY doc_id""".stripMargin
 }

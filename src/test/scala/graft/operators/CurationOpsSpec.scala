@@ -477,6 +477,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(approx.nonEmpty && approx.length <= 82 && approx.length >= 78)
   }
 
+  test("wavPayload/decodeAudio: real WAV roundtrip; poison rows land ok=false") {
+    val ids = Seq(5L, 6L, 97L * 2).toDF("doc_id") // 194 % 97 == 0 → poison
+    val dec = Multimodal.decodeAudio(Multimodal.wavPayload(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)), r.getBoolean(7))).toMap
+    // id 5: 2 channels... 1 + 5%2 = 2; frames 100+5%400=105
+    assert(dec(5L) === ((Some(8000), Some(2), Some(105L),
+      Some(105L * 125), true)))
+    assert(dec(6L) === ((Some(8000), Some(1), Some(106L),
+      Some(106L * 125), true)))
+    assert(dec(194L) === ((None, None, None, None, false)))
+  }
+
   test("vocabTopK ranks by frequency with deterministic ties") {
     val corpus = Seq(
       (1L, "b b b a a c"), (2L, "a c d")).toDF("doc_id", "text")

@@ -46,4 +46,22 @@ class SamplingSpec extends SparkSpec {
         Map("a" -> 0.5)).collect().map(_.getLong(0)).toSet
     assert(stratA === uniformA)
   }
+
+  test("rebalanceByCaps pins exact per-class counts, keeps unlisted classes whole") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, "en")) ++
+      (101L to 130L).map(i => (i, "de")) ++
+      (131L to 140L).map(i => (i, "fr"))).toSeq.toDF("id", "cls")
+    val out = Sampling.rebalanceByCaps(df, col("id"), col("cls"),
+      Map("en" -> 10L, "de" -> 50L))
+    val byCls = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCls === Map("en" -> 10L, "de" -> 30L, "fr" -> 10L))
+    // deterministic: a rerun keeps the SAME ids
+    val ids1 = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.rebalanceByCaps(df, col("id"), col("cls"),
+      Map("en" -> 10L, "de" -> 50L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 === ids2)
+  }
 }
