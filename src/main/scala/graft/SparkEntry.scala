@@ -98,6 +98,7 @@ object SparkEntry {
     ("multimodal_decode", Curation.multimodal_decode _, Some(Curation.multimodal_decode_sql)),
     ("multimodal_audio", Curation.multimodal_audio _, Some(Curation.multimodal_audio_sql)),
     ("decontam_overlap", Curation.decontam_overlap _, Some(Curation.decontam_overlap_sql)),
+    ("decontam_semantic", Curation.decontam_semantic _, Some(Curation.decontam_semantic_sql)),
     ("pack_sequences", Curation.pack_sequences _, Some(Curation.pack_sequences_sql)),
     ("curation_pipeline", Curation.curation_pipeline _, Some(Curation.curation_pipeline_sql)),
     // streaming surface (SURVEY §2.7)

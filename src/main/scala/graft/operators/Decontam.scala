@@ -54,4 +54,45 @@ object Decontam {
       .agg(count(lit(1)).as("n_shared"))
       .select(col(idCol), col("n_shared"), col("n_grams"))
   }
+
+  /** SEMANTIC decontamination: flag training docs whose embedding is
+    * near-identical to any eval-set embedding — catches paraphrased or
+    * reformatted benchmark leakage that n-gram overlap misses entirely.
+    *
+    * Scale shape: eval sets are small by nature, so their (normalized,
+    * packed) vectors ship as LITERALS and the whole operator is ONE
+    * codegen'd scan — a fold of packed-kernel dot products per train row,
+    * no join, no shuffle (the emb_cluster assignment pattern). An eval set
+    * too big for literals becomes a broadcast join of the same kernel;
+    * the corpus side never moves either way. Returns
+    * (`idCol`, max_cosine, contaminated) for every train row with a
+    * finite-norm vector; `threshold` flags ≥. */
+  def semanticOverlap(train: DataFrame, evalVecs: Seq[(Long, Array[Double])],
+      vecCol: String, idCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VecExpressions.{packVec, packedDot}
+    import graft.functions.VecOps
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    require(evalVecs.nonEmpty, "semanticOverlap needs eval vectors")
+    // raw vectors + a norm literal each: cos = dot/(|p|·|e|), the same
+    // accumulation shape the ann gates already proved agrees with SQL
+    // cosine to well below the rounding cut
+    val evalLits = evalVecs.map { case (_, v) =>
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      require(n > 0 && java.lang.Double.isFinite(n),
+        "eval vector must have a finite positive norm")
+      (lit(VecOps.pack(ArrayData.toArrayData(v))), n)
+    }
+    val withP = train
+      .select(col(idCol),
+        packVec(col(vecCol).cast("array<double>")).as("_p"))
+      .withColumn("_n", sqrt(packedDot(col("_p"), col("_p"))))
+      .filter(col("_n") > 0 && !isnan(col("_n")) &&
+        col("_n") < Double.PositiveInfinity)
+    val maxCos = evalLits.map { case (e, en) =>
+      packedDot(col("_p"), e) / (col("_n") * lit(en))
+    }.reduce(greatest(_, _))
+    withP.select(col(idCol),
+      round(maxCos, 6).as("max_cosine"),
+      (round(maxCos, 6) >= threshold).cast("int").as("contaminated"))
+  }
 }

@@ -1296,6 +1296,37 @@ object Curation {
     * can't see: every payload decodes (ok), the format reads back as
     * png, and the re-decoded resized dimensions equal the computed
     * (out_width, out_height). */
+  /** SEMANTIC decontamination, hash-matched: flag training embeddings
+    * near-identical to any eval-slice embedding (paraphrase leakage that
+    * n-gram `decontam_overlap` cannot see). The eval slice (small by
+    * nature) collects to packed literals, so the Spark side is one
+    * codegen'd scan — max of 12 dot products per row, no join; DuckDB
+    * reproduces every max-cosine with list_cosine_similarity. */
+  def decontam_semantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val evalVecs = emb.filter(col("vec_id") % 101 === 0)
+      .orderBy("vec_id").limit(12)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    Decontam.semanticOverlap(emb.filter(col("vec_id") % 101 =!= 0),
+        evalVecs, "embedding", "vec_id", threshold = 0.25)
+      .orderBy("vec_id")
+  }
+
+  val decontam_semantic_sql: String =
+    """WITH ev AS (SELECT vec_id, embedding FROM embeddings
+      |            WHERE vec_id % 101 = 0 ORDER BY vec_id LIMIT 12),
+      |t AS (SELECT e.vec_id,
+      |        max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                   CAST(v.embedding AS DOUBLE[]))) AS mc
+      |      FROM embeddings e, ev v
+      |      WHERE e.vec_id % 101 != 0 GROUP BY e.vec_id)
+      |SELECT vec_id, round(mc, 6) AS max_cosine,
+      |  CAST(CASE WHEN round(mc, 6) >= 0.25 THEN 1 ELSE 0 END AS INT)
+      |    AS contaminated
+      |FROM t ORDER BY vec_id""".stripMargin
+
   /** REAL audio decode, hash-matched: arithmetically-parameterized PCM
     * WAVs are generated executor-side ([[Multimodal.wavPayload]] — 8 kHz,
     * 1 + id%2 channels, 100 + id%400 frames, id%97 poison rows), then

@@ -477,6 +477,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(approx.nonEmpty && approx.length <= 82 && approx.length >= 78)
   }
 
+  test("semanticOverlap flags the near-identical vector, not the orthogonal one") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.02f, 0.0f)), // ~parallel to eval → contaminated
+      (2L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal → clean
+      (3L, Seq(0.0f, 0.0f, 0.0f))   // zero norm → dropped
+    ).toDF("vec_id", "embedding")
+    val out = Decontam.semanticOverlap(train,
+        Seq(10L -> Array(1.0, 0.0, 0.0)), "embedding", "vec_id",
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(out(1L)._2 === 1 && out(1L)._1 > 0.99)
+    assert(out(2L) === ((0.0, 0)))
+    assert(!out.contains(3L))
+  }
+
   test("wavPayload/decodeAudio: real WAV roundtrip; poison rows land ok=false") {
     val ids = Seq(5L, 6L, 97L * 2).toDF("doc_id") // 194 % 97 == 0 → poison
     val dec = Multimodal.decodeAudio(Multimodal.wavPayload(ids, "doc_id"))
