@@ -104,7 +104,20 @@ object Main {
     s
   }
 
-  private def buildConfig(o: Map[String, List[String]]): ImportConfig = {
+  /** Parse --config's TOML once per invocation (warnings print here);
+    * buildConfig and the sink derivation share the result instead of
+    * re-reading the file (a second read could even see different bytes). */
+  private def loadTomlTask(o: Map[String, List[String]])
+      : Option[graft.config.LoadedTask] =
+    o("config").headOption.map { p =>
+      val loaded = graft.config.TomlImportConfig.load(
+        java.nio.file.Files.readString(java.nio.file.Path.of(p)))
+      loaded.warnings.foreach(w => System.err.println(s"[graft] WARNING: $w"))
+      loaded
+    }
+
+  private def buildConfig(o: Map[String, List[String]],
+      preloaded: Option[graft.config.LoadedTask] = None): ImportConfig = {
     def one(k: String): Option[String] = o(k).headOption
     val filters = o("filter").map { f =>
       val Array(db, tbl) = f.split("\\.", 2); (db, tbl)
@@ -118,10 +131,7 @@ object Main {
     // --config file.toml: a tidb-lightning.toml task config is the base;
     // command-line flags override it (the reference's cmdline_override
     // contract — global.go LoadGlobalConfig flag precedence)
-    one("config").foreach { p =>
-      val loaded = graft.config.TomlImportConfig.load(
-        java.nio.file.Files.readString(java.nio.file.Path.of(p)))
-      loaded.warnings.foreach(w => System.err.println(s"[graft] WARNING: $w"))
+    preloaded.orElse(loadTomlTask(o)).foreach { loaded =>
       val b = loaded.config
       val src = one("source").orElse(Option(b.sourceDir).filter(_.nonEmpty))
         .getOrElse(sys.error("--source or mydumper.data-source-dir required"))
@@ -191,14 +201,12 @@ object Main {
     val spark = session()
     val listener = new ProgressListener
     spark.sparkContext.addSparkListener(listener)
-    val cfg = buildConfig(o)
+    val loaded = loadTomlTask(o)
+    val cfg = buildConfig(o, preloaded = loaded)
     // --config with backend = "tidb": the declared [tidb] target must
     // actually RECEIVE the rows — an accepted-but-unwired backend key
     // would import to parquet while the operator believes TiDB got them
-    val sink = o("config").headOption.flatMap { p =>
-      graft.config.TomlImportConfig.sinkFor(graft.config.TomlImportConfig
-        .load(java.nio.file.Files.readString(java.nio.file.Path.of(p))))
-    }
+    val sink = loaded.flatMap(graft.config.TomlImportConfig.sinkFor)
     // periodic progress line (reference [cron] log-progress, 5 min default
     // — config.go:232-235): a long import is observable without the server
     val periodSec = sys.env.getOrElse("GRAFT_PROGRESS_LOG_SEC", "300").toInt
@@ -314,6 +322,12 @@ object Main {
     plan.tables.filter(_.dataFiles.nonEmpty).foreach { t =>
       log.read(t.db, t.table) match {
         case None => println(s"SKIP ${t.db}.${t.table}: no checkpoint")
+        case Some(st) if st.status != "imported" =>
+          // pre-data "loaded" markers and failed states have no (complete)
+          // output to verify — report instead of crashing on a missing
+          // parquet path or failing against an all-zero checksum triple
+          println(s"SKIP ${t.db}.${t.table}: status=${st.status}, " +
+            "nothing verifiable")
         case Some(st) =>
           // same resolution order as the pipeline: *-schema.sql unless
           // no-schema mode, else the declared catalog (no-schema tables

@@ -114,11 +114,16 @@ object TomlImportConfig {
         case other => throw new IllegalArgumentException(
           s"expected a table with db-name/table-name, got $other")
       }
-      case _ => Nil
+      // a scalar here is a misconfiguration, not an empty filter — an
+      // empty filter silently imports EVERY table
+      case other => throw new IllegalArgumentException(
+        "invalid config: black-white-list do-tables/ignore-tables must " +
+          s"be an array of tables, got $other")
     }
     def strList(v: Any): Seq[String] = v match {
       case xs: List[Any @unchecked] => xs.map(_.toString)
-      case _ => Nil
+      case other => throw new IllegalArgumentException(
+        s"invalid config: expected a string array, got $other")
     }
     val filter = TableFilter(
       doTables = bw.get("do-tables").map(pairList).getOrElse(Nil),
@@ -233,9 +238,9 @@ object TomlImportConfig {
     "black-white-list.ignore-tables.table-name",
     // bare pair-list paths: an EMPTY [[...]] entry reports itself as its
     // prefix (leafPaths) and is a legal match-all rule (pairList defaults
-    // db/table to "*"), not an unknown option
+    // db/table to "*"), not an unknown option — a WRONG-TYPED value at
+    // the same path still fails loudly in pairList itself
     "black-white-list.do-tables", "black-white-list.ignore-tables",
-    "black-white-list.do-dbs", "black-white-list.ignore-dbs",
     "tikv-importer.addr", "tikv-importer.backend", "tikv-importer.on-duplicate",
     "post-restore.level-1-compact", "post-restore.compact",
     "post-restore.checksum", "post-restore.analyze",

@@ -47,8 +47,7 @@ object CorpusStats {
     * token). Scale shape: explode → ONE map-side-combined count shuffle →
     * TakeOrdered top-k (no global sort); the rank window runs over the k
     * surviving rows only. */
-  def vocabTopK(df: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.filter(col(textCol).isNotNull)
       .withColumn("_norm", Dedup.normalized(col(textCol)))
@@ -66,8 +65,7 @@ object CorpusStats {
     * it bit-exactly; ln would be 1-ulp engine-dependent). Scale: one
     * bigram count shuffle + two token-keyed joins back to the unigram
     * counts (AQE broadcasts the small side; both stay equi-joins). */
-  def bigramLift(df: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
+  def bigramLift(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val base = df.filter(col(textCol).isNotNull)
       .withColumn("_norm", Dedup.normalized(col(textCol)))
       .withColumn("_toks", Dedup.tokensOf(col("_norm")))

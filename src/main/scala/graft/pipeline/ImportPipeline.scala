@@ -221,9 +221,18 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         case e: Throwable =>
           progress.foreach(_.failTable(t.db, t.table,
             String.valueOf(e.getMessage)))
-          if (cfg.checkpointEnabled)
+          if (cfg.checkpointEnabled) {
+            // preserve the PINNED ts: the rows already committed carry the
+            // original run's timestamp, and error-ignore keeps this state's
+            // ts for the next resume — stamping the RETRY run's cfg ts here
+            // would defeat the checkpoint_timestamp contract
+            val pinnedTs = log.read(t.db, t.table)
+              .collect { case st if st.planFingerprint == fingerprint(t) &&
+                st.jobTsMicros != 0L => st.jobTsMicros }
+              .getOrElse(cfg.jobTsMicros)
             log.write(TableState(t.db, t.table, "failed", 0, 0, 0, 0,
-              fingerprint(t), cfg.jobTsMicros))
+              fingerprint(t), pinnedTs))
+          }
           TableReport(t.db, t.table, 0, 0, 0, 0, resumedSkip = false,
             error = Some(String.valueOf(e.getMessage).take(500)))
       }
@@ -299,11 +308,20 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
       else log.read(t.db, t.table) match {
         case Some(st) if st.planFingerprint == fp && st.jobTsMicros != 0L =>
           st.jobTsMicros
-        case _ =>
-          if (cfg.jobTsMicros != 0L)
-            log.write(TableState(t.db, t.table, "loaded", 0, 0, 0, 0, fp,
-              cfg.jobTsMicros))
-          cfg.jobTsMicros
+        case prior if cfg.jobTsMicros != 0L =>
+          // create-exclusive, not read-then-write: two concurrent
+          // importer instances sharing one commit log must agree on ONE
+          // pinned ts — whoever loses the atomic create adopts the
+          // winner's state. A stale state (changed fingerprint = repaired
+          // input) is removed first; the CAS then arbitrates the rewrite.
+          prior.filter(_.planFingerprint != fp)
+            .foreach(_ => log.remove(t.db, t.table))
+          val winner = log.writeIfAbsent(TableState(t.db, t.table,
+            "loaded", 0, 0, 0, 0, fp, cfg.jobTsMicros))
+          if (winner.planFingerprint == fp && winner.jobTsMicros != 0L)
+            winner.jobTsMicros
+          else cfg.jobTsMicros
+        case _ => cfg.jobTsMicros
       }
     val table = t.schemaFile.filterNot(_ => cfg.noSchema) match {
       case Some(sf) => MysqlDdl.parseCreateTable(readFile(sf))
@@ -567,7 +585,7 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
     val dkvs = states.map(_.totalKvs).sum
     if (cfg.checkpointEnabled)
       log.write(TableState(t.db, t.table, "imported", rows, dcs, dbytes,
-        dkvs, fp, cfg.jobTsMicros))
+        dkvs, fp, jobTs)) // the PINNED ts — the rows carry it, not cfg's
     if (cfg.registerInCatalog) psinkOpt.foreach { psink =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
       spark.sql(MysqlDdl.toSparkDdl(t.db, table.copy(name = t.table),

@@ -188,7 +188,7 @@ object Curation {
     * hash-matched: top-200 tokens with deterministic tie order. */
   def txt_vocab(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusStats.vocabTopK(
-      Tables.load(s, dir, "documents"), "text", "doc_id", k = 200)
+      Tables.load(s, dir, "documents"), "text", k = 200)
 
   val txt_vocab_sql: String =
     s"""WITH nn AS (SELECT $NormSql AS s FROM documents WHERE text IS NOT NULL),
@@ -204,7 +204,7 @@ object Curation {
     * hash-matched bit-exactly — rational PMI, no transcendentals. */
   def txt_bigram(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusStats.bigramLift(
-      Tables.load(s, dir, "documents"), "text", "doc_id", k = 100)
+      Tables.load(s, dir, "documents"), "text", k = 100)
 
   val txt_bigram_sql: String =
     s"""WITH nn AS (SELECT $NormSql AS s FROM documents WHERE text IS NOT NULL),
@@ -1321,7 +1321,12 @@ object Curation {
       |        max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
       |                                   CAST(v.embedding AS DOUBLE[]))) AS mc
       |      FROM embeddings e, ev v
-      |      WHERE e.vec_id % 101 != 0 GROUP BY e.vec_id)
+      |      WHERE e.vec_id % 101 != 0
+      |        AND isfinite(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+      |                                        CAST(e.embedding AS DOUBLE[])))
+      |        AND list_inner_product(CAST(e.embedding AS DOUBLE[]),
+      |                               CAST(e.embedding AS DOUBLE[])) > 0
+      |      GROUP BY e.vec_id)
       |SELECT vec_id, round(mc, 6) AS max_cosine,
       |  CAST(CASE WHEN round(mc, 6) >= 0.25 THEN 1 ELSE 0 END AS INT)
       |    AS contaminated

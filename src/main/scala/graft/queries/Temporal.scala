@@ -123,6 +123,6 @@ object Temporal {
       |  FROM documents WHERE text IS NOT NULL)
       |SELECT doc_id, lang FROM r
       |WHERE (lang = 'en' AND rk <= 120) OR (lang = 'de' AND rk <= 50)
-      |   OR lang NOT IN ('en', 'de')
+      |   OR lang NOT IN ('en', 'de') OR lang IS NULL
       |ORDER BY doc_id""".stripMargin
 }

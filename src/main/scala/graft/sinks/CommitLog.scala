@@ -53,6 +53,12 @@ final case class ChunkState(
   * false`. */
 trait CheckpointStore {
   def write(st: TableState): Unit
+  /** Record `st` ONLY if no state exists for its (db, table) — the
+    * create-exclusive primitive concurrent importers need to agree on a
+    * single pinned job timestamp. Returns the state that is authoritative
+    * AFTER the call: `st` when this writer won, the existing state when
+    * another instance got there first. */
+  def writeIfAbsent(st: TableState): TableState
   def read(db: String, table: String): Option[TableState]
   def remove(db: String, table: String): Unit
   def listTables(): Seq[TableState]
@@ -174,6 +180,19 @@ final class CommitLog(outDir: String, conf: Configuration)
     val dst = pathFor(st.db, st.table)
     if (fs.exists(dst)) fs.delete(dst, false)
     fs.rename(tmp, dst)
+  }
+
+  def writeIfAbsent(st: TableState): TableState = {
+    fs.mkdirs(stateDir)
+    val dst = pathFor(st.db, st.table)
+    try {
+      val out = fs.create(dst, false) // overwrite=false: the loser throws
+      try out.write(toJson(st).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      st
+    } catch { case _: java.io.IOException =>
+      read(st.db, st.table).getOrElse(st)
+    }
   }
 
   def read(db: String, table: String): Option[TableState] = {

@@ -113,6 +113,43 @@ final class JdbcCheckpointStore(connFactory: () => Connection,
       })
   }
 
+  override def writeIfAbsent(st: TableState): TableState = withConn { c =>
+    // plain INSERT: the PRIMARY KEY (db_name, tbl) makes the loser's
+    // attempt fail atomically — the DB is the arbiter, no read-then-write
+    try {
+      val ins = c.prepareStatement(
+        "INSERT INTO graft_table_state VALUES (?,?,?,?,?,?,?,?,?)")
+      try {
+        ins.setString(1, st.db); ins.setString(2, st.table)
+        ins.setString(3, st.status); ins.setLong(4, st.rows)
+        ins.setLong(5, st.checksum); ins.setLong(6, st.totalBytes)
+        ins.setLong(7, st.totalKvs); ins.setString(8, st.planFingerprint)
+        ins.setLong(9, st.jobTsMicros)
+        ins.executeUpdate()
+      } finally ins.close()
+      st
+    } catch { case e: java.sql.SQLException if isDuplicateKey(e) =>
+      readIn(c, st.db, st.table).getOrElse(st)
+    }
+  }
+
+  /** Derby: 23505; MySQL: 1062 ER_DUP_ENTRY; ANSI state 23xxx. */
+  private def isDuplicateKey(e: java.sql.SQLException): Boolean =
+    e.getErrorCode == 1062 ||
+      Option(e.getSQLState).exists(s => s == "23505" || s.startsWith("23"))
+
+  private def readIn(c: Connection, db: String,
+      table: String): Option[TableState] = {
+    val q = c.prepareStatement(
+      "SELECT * FROM graft_table_state WHERE db_name = ? AND tbl = ?")
+    try {
+      q.setString(1, db); q.setString(2, table)
+      val rs = q.executeQuery()
+      try { if (rs.next()) Some(rowToState(rs)) else None }
+      finally rs.close()
+    } finally q.close()
+  }
+
   private def rowToState(rs: java.sql.ResultSet): TableState =
     TableState(rs.getString(1), rs.getString(2), rs.getString(3),
       rs.getLong(4), rs.getLong(5), rs.getLong(6), rs.getLong(7),

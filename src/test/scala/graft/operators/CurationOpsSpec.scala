@@ -509,7 +509,7 @@ class CurationOpsSpec extends SparkSpec {
   test("vocabTopK ranks by frequency with deterministic ties") {
     val corpus = Seq(
       (1L, "b b b a a c"), (2L, "a c d")).toDF("doc_id", "text")
-    val v = CorpusStats.vocabTopK(corpus, "text", "doc_id", k = 3)
+    val v = CorpusStats.vocabTopK(corpus, "text", k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     // a:3, b:3 (tie → a first), c:2
     assert(v.toSeq === Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
@@ -519,7 +519,7 @@ class CurationOpsSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "new york"), (2L, "new york"), (3L, "new jersey"),
       (4L, "solo")).toDF("doc_id", "text")
-    val out = CorpusStats.bigramLift(corpus, "text", "doc_id", k = 10)
+    val out = CorpusStats.bigramLift(corpus, "text", k = 10)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
     // n_tokens=7; c(new york)=2, c(new)=3, c(york)=2 → 7*2/(3*2)

@@ -194,6 +194,17 @@ class ChunkResumeSpec extends SparkSpec {
     assert(!sink.idempotentReplay)
   }
 
+  test("file-driver writeIfAbsent: create-exclusive, the loser adopts the winner") {
+    val out = freshOut()
+    val log = new graft.sinks.CommitLog(out,
+      spark.sparkContext.hadoopConfiguration)
+    val a = graft.sinks.TableState("d", "t", "loaded", 0, 0, 0, 0, "fp", 111L)
+    val b = a.copy(jobTsMicros = 222L)
+    assert(log.writeIfAbsent(a).jobTsMicros === 111L)
+    assert(log.writeIfAbsent(b).jobTsMicros === 111L)
+    assert(log.read("d", "t").map(_.jobTsMicros) === Some(111L))
+  }
+
   test("pinned job ts survives crash/resume with a DIFFERENT resume ts " +
       "(reference checkpoint_timestamp: COUNT(DISTINCT ts) = 1)") {
     val src = java.nio.file.Files.createTempDirectory("graft-cts").toFile

@@ -61,4 +61,15 @@ class JdbcCheckpointStoreSpec extends AnyFunSuite {
       new Configuration())
     assert(b.read("db", "t").map(_.rows) === Some(5L))
   }
+
+  test("writeIfAbsent: the primary key arbitrates, the loser adopts the winner") {
+    val store = freshStore("cas")
+    val a = TableState("d", "t", "loaded", 0, 0, 0, 0, "fp", 111L)
+    val b = TableState("d", "t", "loaded", 0, 0, 0, 0, "fp", 222L)
+    assert(store.writeIfAbsent(a).jobTsMicros === 111L)
+    // second writer (another importer instance) must NOT overwrite: the
+    // pinned job ts stays the first writer's
+    assert(store.writeIfAbsent(b).jobTsMicros === 111L)
+    assert(store.read("d", "t").map(_.jobTsMicros) === Some(111L))
+  }
 }
