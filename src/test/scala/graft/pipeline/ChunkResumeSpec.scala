@@ -194,6 +194,44 @@ class ChunkResumeSpec extends SparkSpec {
     assert(!sink.idempotentReplay)
   }
 
+  test("checkpoint_chunks: killed after every chunk, the import converges; " +
+      "the final rerun is a pure no-op") {
+    // the reference's crash gauntlet (tests/checkpoint_chunks): a run that
+    // dies after each chunk must still converge to exactly-once delivery,
+    // and a rerun over the finished import must send NOTHING
+    val src = java.nio.file.Files.createTempDirectory("graft-cpch").toFile
+    val files = 5
+    for (i <- 1 to files)
+      writeCsv(src, f"cr.t.000$i%d.csv", (i - 1) * 10 + 1, i * 10)
+    val out = freshOut()
+    FakeDb.executed.clear()
+    val sink = new JdbcSink("jdbc:fake", new java.util.Properties(),
+      OnDuplicate.Replace, maxRetries = 0,
+      connFactory = Some(() => FakeDb.connection()))
+    // kill runs 1..4 at the first row of the NEXT uncommitted chunk
+    for (k <- 1 until files) {
+      FakeDb.failOnMarker = Some(s"(${k * 10 + 1},")
+      intercept[Throwable] {
+        new ImportPipeline(spark, cfgFor(src, out), sink = Some(sink)).run()
+      }
+    }
+    FakeDb.failOnMarker = None
+    val report = new ImportPipeline(spark, cfgFor(src, out),
+      sink = Some(sink)).run().head
+    assert(report.rows === 50)
+    val sqls = FakeDb.executed.toArray.map(_.toString)
+    def hits(id: Int) = sqls.count(_.contains(s"($id,"))
+    for (id <- 1 to 50)
+      assert(hits(id) === 1, s"row $id delivered ${hits(id)} times")
+    // checkpoint no-op: the rerun must not touch the target at all
+    val before = FakeDb.executed.size()
+    val again = new ImportPipeline(spark, cfgFor(src, out),
+      sink = Some(sink)).run().head
+    assert(again.resumedSkip && again.rows === 50)
+    assert(FakeDb.executed.size() === before,
+      "no-op rerun sent statements to the target")
+  }
+
   test("file-driver writeIfAbsent: create-exclusive, the loser adopts the winner") {
     val out = freshOut()
     val log = new graft.sinks.CommitLog(out,
