@@ -1296,6 +1296,33 @@ object Curation {
     * can't see: every payload decodes (ok), the format reads back as
     * png, and the re-decoded resized dimensions equal the computed
     * (out_width, out_height). */
+  /** Training-shard export, hash-matched END TO END THROUGH DISK: curated
+    * docs are written as 8 content-addressed parquet shards and the gate
+    * rows are the manifest computed from the files READ BACK — DuckDB
+    * reproduces every shard's (count, id-sum, min, max) from the same
+    * md5-nibble assignment, so a wrong shard routing, a lost row, or a
+    * double-write all surface as a hash mismatch. */
+  def q_export_shards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"))
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"export_shards_${math.abs(dir.hashCode)}")
+    graft.operators.Export.writeShards(s, docs, "doc_id", nShards = 8,
+        out.getAbsolutePath)
+      .orderBy("shard")
+  }
+
+  val q_export_shards_sql: String =
+    """SELECT CAST(unicode(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 8
+      |         AS INT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(min(doc_id) AS BIGINT) AS id_min,
+      |  CAST(max(doc_id) AS BIGINT) AS id_max
+      |FROM documents WHERE text IS NOT NULL
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** SEMANTIC decontamination, hash-matched: flag training embeddings
     * near-identical to any eval-slice embedding (paraphrase leakage that
     * n-gram `decontam_overlap` cannot see). The eval slice (small by

@@ -477,6 +477,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(approx.nonEmpty && approx.length <= 82 && approx.length >= 78)
   }
 
+  test("writeShards: manifest certifies the written files, assignment deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (1L to 200L).toDF("doc_id")
+    val m1 = Export.writeShards(spark, df, "doc_id", nShards = 4, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m1.keys.forall(s => s >= 0 && s < 4))
+    assert(m1.values.map(_._1).sum === 200L)
+    assert(m1.values.map(_._2).sum === (1L to 200L).sum)
+    // deterministic: a rewrite lands every row in the same shard
+    val m2 = Export.writeShards(spark, df, "doc_id", nShards = 4, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m1 === m2)
+  }
+
   test("semanticOverlap flags the near-identical vector, not the orthogonal one") {
     val train = Seq(
       (1L, Seq(1.0f, 0.02f, 0.0f)), // ~parallel to eval → contaminated
