@@ -279,6 +279,14 @@ class PlanSpec extends SparkSpec {
       s"star round degenerated:\n$p")
   }
 
+  test("txt_vocab: top-k via TakeOrdered after one count shuffle, no global sort") {
+    val p = plan(Curation.txt_vocab(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-k fell back to a global sort:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly the token-count shuffle:\n$p")
+  }
+
   test("emb_cluster assignment: vectors never shuffle; only agg partials do") {
     val p = plan(Curation.emb_cluster(spark, sf))
     // the per-row 16-distance argmin is a narrow projection feeding the
