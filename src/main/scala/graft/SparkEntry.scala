@@ -89,6 +89,7 @@ object SparkEntry {
     ("txt_collapse", Curation.txt_collapse _, Some(Curation.txt_collapse_sql)),
     ("txt_rarity", Curation.txt_rarity _, Some(Curation.txt_rarity_sql)),
     ("txt_paradedup", Curation.txt_paradedup _, Some(Curation.txt_paradedup_sql)),
+    ("txt_boilerplate", Curation.txt_boilerplate _, Some(Curation.txt_boilerplate_sql)),
     ("txt_redact", Curation.txt_redact _, Some(Curation.txt_redact_sql)),
     ("txt_bm25", Curation.txt_bm25 _, Some(Curation.txt_bm25_sql)),
     ("txt_vocab", Curation.txt_vocab _, Some(Curation.txt_vocab_sql)),

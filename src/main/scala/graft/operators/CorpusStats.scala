@@ -42,6 +42,45 @@ object CorpusStats {
         min(col("_freq")).as("min_freq"))
   }
 
+  /** CCNet-style CROSS-CORPUS boilerplate removal: a line occurring in
+    * ≥ `minDocs` distinct documents is boilerplate (cookie banners,
+    * nav menus, license footers) and is stripped from every document,
+    * preserving the order of what remains. The intra-document
+    * twin is [[TextAnalysis.dedupeUnits]]; this one needs the corpus.
+    *
+    * Scale shape: posexplode lines (narrow) → distinct (doc, line) →
+    * line-count shuffle → anti-join kept lines → per-doc reassembly
+    * (sort by original position). Line strings must cross the exchanges
+    * (reassembly needs the text), but each line travels once and the
+    * boilerplate side of the anti-join is tiny — AQE broadcasts it.
+    * Returns (`idCol`, `cleaned`, `n_removed`) for every non-null doc,
+    * including docs whose every line was boilerplate. */
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+      minDocs: Long): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("_t"))
+    val lines = base.select(col(idCol),
+      posexplode(split(col("_t"), "\n", -1)).as(Seq("_pos", "_line")))
+    val bp = lines.filter(col("_line") =!= "")
+      .select(col(idCol), col("_line")).distinct()
+      .groupBy("_line").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_line").as("_bpl"))
+    val kept = lines
+      .join(bp, col("_line") === col("_bpl"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("_pos"), col("_line")))),
+          x => x.getField("_line")), "\n").as("cleaned"),
+        count(lit(1)).as("_kept"))
+    base.select(col(idCol),
+        size(split(col("_t"), "\n", -1)).cast("long").as("_total"))
+      .join(kept, Seq(idCol.stripPrefix("`").stripSuffix("`")), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (col("_total") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Vocabulary builder (tokenizer-training step 0): the corpus' top-`k`
     * whitespace tokens by frequency, deterministic ties (freq desc, then
     * token). Scale shape: explode → ONE map-side-combined count shuffle →

@@ -184,6 +184,47 @@ object Curation {
        |SELECT doc_id, quality FROM q, b
        |WHERE quality >= lo AND quality <= hi ORDER BY doc_id""".stripMargin
 
+  /** Cross-corpus boilerplate-line removal, hash-matched: every doc is
+    * deterministically wrapped with a shared header plus a footer that is
+    * boilerplate for 1-in-4 docs and unique for the rest (the fixture's
+    * docs are single-line, so the wrapper is what makes the corpus-wide
+    * line statistics non-trivial — same device as txt_redact). Both
+    * engines compute the ≥3-docs boilerplate set and the stripped text;
+    * exact-duplicate fixture docs make their own text line boilerplate
+    * too, which both engines must agree on. */
+  def txt_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val aug = docs.select(col("doc_id"), concat(
+      lit("COMMON HEADER\n"), col("text"), lit("\n"),
+      when(col("doc_id") % 4 === 0, lit("PROMO FOOTER"))
+        .otherwise(concat(lit("unique-"), col("doc_id").cast("string"))))
+      .as("aug"))
+    graft.operators.CorpusStats.stripBoilerplate(aug, "aug", "doc_id",
+        minDocs = 3L)
+      .select(col("doc_id"), md5(col("cleaned")).as("clean_fp"),
+        col("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val txt_boilerplate_sql: String =
+    """WITH a AS (SELECT doc_id,
+      |    'COMMON HEADER' || chr(10) || text || chr(10) ||
+      |    CASE WHEN doc_id % 4 = 0 THEN 'PROMO FOOTER'
+      |         ELSE 'unique-' || CAST(doc_id AS VARCHAR) END AS aug
+      |  FROM documents WHERE text IS NOT NULL),
+      |l AS (SELECT doc_id, unnest(list_distinct(str_split(aug, chr(10)))) AS line
+      |      FROM a),
+      |bp AS (SELECT line FROM l WHERE line != ''
+      |       GROUP BY line HAVING count(*) >= 3),
+      |bpl AS (SELECT coalesce(list(line), []) AS bl FROM bp)
+      |SELECT doc_id,
+      |  md5(array_to_string(list_filter(str_split(aug, chr(10)),
+      |    x -> NOT list_contains(bl, x)), chr(10))) AS clean_fp,
+      |  CAST(len(str_split(aug, chr(10)))
+      |    - len(list_filter(str_split(aug, chr(10)),
+      |        x -> NOT list_contains(bl, x))) AS BIGINT) AS n_removed
+      |FROM a, bpl ORDER BY doc_id""".stripMargin
+
   /** Vocabulary builder over the corpus (tokenizer-training step 0),
     * hash-matched: top-200 tokens with deterministic tie order. */
   def txt_vocab(s: SparkSession, dir: String): DataFrame =

@@ -477,6 +477,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(approx.nonEmpty && approx.length <= 82 && approx.length >= 78)
   }
 
+  test("stripBoilerplate removes corpus-wide lines, keeps order and empties") {
+    val corpus = Seq(
+      (1L, "HEADER\nalpha\nFOOTER"),
+      (2L, "HEADER\nbeta\n\ngamma\nFOOTER"),
+      (3L, "HEADER\ndelta\nFOOTER"),
+      (4L, "HEADER\nHEADER\nepsilon"), // repeated boilerplate inside one doc
+      (5L, "HEADER\nFOOTER")           // nothing survives
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.stripBoilerplate(corpus, "text", "doc_id", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (("alpha", 2L)))
+    assert(out(2L) === (("beta\n\ngamma", 2L))) // empty line kept
+    assert(out(4L) === (("epsilon", 2L)))       // both HEADER copies removed
+    assert(out(5L) === (("", 2L)))              // fully-boilerplate doc remains, empty
+  }
+
   test("writeShards: manifest certifies the written files, assignment deterministic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val df = (1L to 200L).toDF("doc_id")
