@@ -72,6 +72,7 @@ object SparkEntry {
     ("dedup_ngram", Curation.dedup_ngram _, None),
     ("dedup_ngram_verify", Curation.dedup_ngram_verify _, Some(Curation.dedup_ngram_verify_sql)),
     ("dedup_embed", Curation.dedup_embed _, None),
+    ("dedup_embed_md5", Curation.dedup_embed_md5 _, Some(Curation.dedup_embed_md5_sql)),
     ("dedup_embed_verify", Curation.dedup_embed_verify _, Some(Curation.dedup_embed_verify_sql)),
     ("ann_topk", Curation.ann_topk _, Some(Curation.ann_topk_sql)),
     ("ann_lsh", Curation.ann_lsh _, None),
@@ -95,6 +96,8 @@ object SparkEntry {
     ("txt_vocab", Curation.txt_vocab _, Some(Curation.txt_vocab_sql)),
     ("txt_quantile_filter", Curation.txt_quantile_filter _, Some(Curation.txt_quantile_filter_sql)),
     ("txt_bigram", Curation.txt_bigram _, Some(Curation.txt_bigram_sql)),
+    ("txt_spandedup", Curation.txt_spandedup _, Some(Curation.txt_spandedup_sql)),
+    ("txt_lmscore", Curation.txt_lmscore _, Some(Curation.txt_lmscore_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
     ("multimodal_decode", Curation.multimodal_decode _, Some(Curation.multimodal_decode_sql)),
     ("multimodal_audio", Curation.multimodal_audio _, Some(Curation.multimodal_audio_sql)),

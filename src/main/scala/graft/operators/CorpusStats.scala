@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.SketchExpressions
 
@@ -131,6 +131,82 @@ object CorpusStats {
         round(col("n_tokens") * col("c2").cast("double") /
           (col("cx").cast("double") * col("cy").cast("double")), 6).as("lift"))
       .orderBy(col("c2").desc, col("bigram"))
+  }
+
+  /** Bigram language-model naturalness score — the CCNet device (rank
+    * documents by fluency under a cheap LM trained on a reference slice;
+    * CCNet uses KenLM perplexity, arXiv:1911.00359) in an engine-exact
+    * integer form. Training (`train` rows only) is just counting:
+    * unigram occurrences c1, adjacent-pair occurrences c2, total token
+    * count — stupid backoff (Brants et al. 2007, "Large Language Models
+    * in Machine Translation") deliberately skips normalization, which is
+    * what keeps the "training" a pair of map-side-combined count
+    * shuffles. Every document (train or not) is then scored over its
+    * adjacent token pairs (x, y):
+    *
+    *   p = c2(x,y)/c1(x)          bigram seen in training
+    *     | α · c1(y)/total        unseen bigram, seen unigram
+    *     | α · 1/total            out-of-vocabulary y
+    *
+    * accumulated per document in FIXED POINT: floor(p·1e9) summed as
+    * BIGINT. Each float step is one correctly-rounded IEEE divide or
+    * multiply of integer-derived doubles, so any engine reproduces
+    * score_fp bit-exactly — ln-based perplexity would be 1-ulp
+    * engine-dependent (same device as bm25's lnIdf=false / bigramLift).
+    * Higher score = more fluent; rank or threshold downstream.
+    *
+    * Scale shape: two count shuffles over the train slice + three
+    * equi-joins of the exploded scoring pairs against the count tables.
+    * The count tables are vocab²-bounded (≪ corpus; AQE broadcasts them
+    * when they fit, falls back to co-partitioned shuffle joins when a
+    * 100 TB corpus's bigram table outgrows memory). Only (token, count)
+    * pairs cross any exchange — documents never move.
+    *
+    * Returns (idCol, n_pairs, score_fp, n_oov) for every non-null text;
+    * docs with <2 tokens score (0, 0, 0). */
+  def lmScore(df: DataFrame, textCol: String, idCol: String,
+      train: Column, alpha: Double = 0.4): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .withColumn("_norm", Dedup.normalized(col(textCol)))
+      .withColumn("_toks", Dedup.tokensOf(col("_norm")))
+    val trainBase = base.filter(train)
+    val uni = trainBase.select(explode(col("_toks")).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c1"))
+    val totals = trainBase.select(explode(col("_toks")).as("_w"))
+      .agg(count(lit(1)).as("_tot"))
+    // adjacent pairs as "x y" strings (tokens are whitespace-free, so the
+    // join/split is lossless — same device as bigramLift)
+    def pairsOf(d: DataFrame): DataFrame = d.select(col(idCol), explode(
+        zip_with(
+          slice(col("_toks"), lit(1), greatest(size(col("_toks")) - 1, lit(0))),
+          slice(col("_toks"), lit(2), greatest(size(col("_toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("_bg"))
+      .withColumn("_x", split(col("_bg"), " ").getItem(0))
+      .withColumn("_y", split(col("_bg"), " ").getItem(1))
+    val bi = pairsOf(trainBase)
+      .groupBy("_x", "_y").agg(count(lit(1)).as("_c2"))
+    val scored = pairsOf(base)
+      .join(bi, Seq("_x", "_y"), "left")
+      .join(uni.select(col("_w").as("_x"), col("_c1").as("_cx")), Seq("_x"), "left")
+      .join(uni.select(col("_w").as("_y"), col("_c1").as("_cy")), Seq("_y"), "left")
+      .crossJoin(broadcast(totals))
+      // _c2 non-null implies _cx non-null (training saw the pair ⇒ saw x)
+      .withColumn("_p",
+        when(col("_c2").isNotNull,
+          col("_c2").cast("double") / col("_cx").cast("double"))
+        .when(col("_cy").isNotNull,
+          lit(alpha) * (col("_cy").cast("double") / col("_tot").cast("double")))
+        .otherwise(lit(alpha) * (lit(1.0) / col("_tot").cast("double"))))
+      .withColumn("_fp", floor(col("_p") * lit(1e9)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_fp")).as("score_fp"),
+        sum(when(col("_cy").isNull, 1L).otherwise(0L)).as("n_oov"))
+    base.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
   }
 
   /** BM25 relevance of every document against a small query term set —

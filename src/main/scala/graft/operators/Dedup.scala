@@ -79,6 +79,74 @@ object Dedup {
     df.join(losers, key === col("_graft_k"), "left_anti")
   }
 
+  /** Exact-substring span dedup — the chunk-granular form of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): text is cut into non-overlapping `window`-char
+    * chunks, and a chunk whose exact content occurs ≥2 times corpus-wide
+    * (counting every position of every document, so within-document
+    * repetition counts too) is removed everywhere except its single
+    * global first occurrence — the lexicographically lowest (key, pos).
+    * Returns (idCol, cleaned, n_chunks, n_dup) for every non-null text.
+    *
+    * Chunking is the Spark-honest shape of the paper's suffix array: a
+    * suffix array is a global sequential structure (the paper shards it
+    * on one machine), while fixed-width chunks turn duplicate mining
+    * into a hash aggregate — one count shuffle keyed by a 128-bit chunk
+    * digest with map-side combining, plus a join back that AQE
+    * broadcasts (the ≥2-occurrence digest set is ≪ the corpus at real
+    * duplication rates), plus the per-doc reassembly shuffle. The price
+    * is boundary sensitivity: a duplicated span straddling chunk
+    * boundaries at different offsets is missed — the same trade CCNet
+    * makes with lines ([[CorpusStats.stripBoilerplate]]); callers wanting
+    * offset-robust matching should pre-segment on sentence boundaries.
+    *
+    * The input lineage is evaluated twice (digest mining + join-back);
+    * persist expensive lineages first — raw scans are fine (pruned). */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+      window: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("_t"))
+    // chunks via char-array slices (O(window) each) rather than
+    // substring(_t, i*w+1, w) inside the lambda — UTF8String.substr is
+    // O(position), which would make long documents quadratic (the PERF
+    // INVARIANT above). _chars/_nc are attributes before the transform.
+    val ch = base
+      .withColumn("_chars", split(col("_t"), ""))
+      .withColumn("_nc",
+        ceil(length(col("_t")).cast("double") / window).cast("int"))
+      .withColumn("_chunks",
+        when(col("_nc") > 0,
+          transform(sequence(lit(0), col("_nc") - 1),
+            i => array_join(slice(col("_chars"), i * window + 1, lit(window)), "")))
+        .otherwise(array().cast("array<string>")))
+      .select(col(idCol), posexplode(col("_chunks")).as(Seq("_pos", "_chunk")))
+    // duplicate mining on a narrow (digest, key, pos) projection: the
+    // shuffled row is 16 B digest + key + int, never the chunk text
+    val dups = ch
+      .select(md5(col("_chunk")).as("_dg"), col(idCol), col("_pos"))
+      .groupBy("_dg")
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col(idCol), col("_pos"))).as("_win"))
+      .filter(col("_cnt") >= 2)
+    val marked = ch.join(dups, md5(col("_chunk")) === col("_dg"), "left")
+      .withColumn("_keep", col("_dg").isNull ||
+        (col("_win").getField(idCol) === col(idCol) &&
+         col("_win").getField("_pos") === col("_pos")))
+    val out = marked.groupBy(col(idCol))
+      .agg(
+        array_join(transform(sort_array(collect_list(
+            when(col("_keep"), struct(col("_pos"), col("_chunk"))))),
+          x => x.getField("_chunk")), "").as("cleaned"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dup"))
+    base.select(col(idCol)).join(out, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
   /** Character k-shingles (distinct) of a PRE-MATERIALIZED char-array
     * column (`split(norm, "")` behind an exchange barrier). `chars` MUST
     * be an attribute: an expression here would sit inside the transform

@@ -225,6 +225,122 @@ object Curation {
       |        x -> NOT list_contains(bl, x))) AS BIGINT) AS n_removed
       |FROM a, bpl ORDER BY doc_id""".stripMargin
 
+  /** 64-char chunk grid constants for the span-dedup gate: each is
+    * exactly 64 chars so fixture chunks land on the chunk boundary. */
+  private val SpanHeader =
+    "COMMON-HEADER-BLOCK" + "." * 45
+  private val SpanPromo =
+    "PROMO-SPAN" + "-" * 54
+
+  /** Exact-substring span dedup (Lee et al. 2021, chunk-granular),
+    * hash-matched: every doc gets a 64-char common header (an every-doc
+    * duplicate chunk — only the globally first doc keeps it), the text is
+    * padded to the 64-char chunk grid, and 1-in-5 docs append the same
+    * 64-char promo chunk TWICE (within-doc AND cross-doc duplication in
+    * one device). Both engines mine ≥2-occurrence chunks, keep only the
+    * global first (doc, pos), and reassemble the survivors in order. */
+  def txt_spandedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val aug = docs.select(col("doc_id"), expr(
+      s"concat('$SpanHeader', text, repeat(' ', (64 - length(text) % 64) % 64), " +
+      s"CASE WHEN doc_id % 5 = 0 THEN '$SpanPromo$SpanPromo' ELSE '' END)")
+      .as("aug"))
+    graft.operators.Dedup.spanDedup(aug, "aug", "doc_id", window = 64)
+      .select(col("doc_id"), md5(col("cleaned")).as("clean_fp"),
+        col("n_chunks"), col("n_dup"))
+      .orderBy("doc_id")
+  }
+
+  val txt_spandedup_sql: String = {
+    val hdr = "COMMON-HEADER-BLOCK" + "." * 45
+    val promo = "PROMO-SPAN" + "-" * 54
+    s"""WITH a AS (SELECT doc_id,
+       |    '$hdr' || text || repeat(' ', (64 - length(text) % 64) % 64) ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '$promo$promo' ELSE '' END AS aug
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, unnest(
+       |    list_transform(range(0, CAST(ceil(length(aug) / 64.0) AS INT)),
+       |      i -> struct_pack(pos := i, chunk := substr(aug, i * 64 + 1, 64))))
+       |    AS pc FROM a),
+       |ch AS (SELECT doc_id, pc.pos AS pos, pc.chunk AS chunk FROM c),
+       |rk AS (SELECT doc_id, pos, chunk,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn,
+       |    count(*) OVER (PARTITION BY chunk) AS cnt FROM ch)
+       |SELECT doc_id,
+       |  md5(coalesce(string_agg(chunk, '' ORDER BY pos)
+       |    FILTER (WHERE cnt = 1 OR rn = 1), '')) AS clean_fp,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN cnt >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup
+       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Bigram-LM naturalness score (CCNet's perplexity filter, engine-exact
+    * stupid-backoff form), hash-matched bit-exactly: trained on the
+    * doc_id%5≠0 slice, scored over every doc — held-out docs exercise
+    * the unseen-bigram and OOV backoff branches, train docs the bigram
+    * branch. Fixed-point floor(p·1e9) sums make the doubles engine-proof
+    * (every float op is one correctly-rounded IEEE divide/multiply). */
+  def txt_lmscore(s: SparkSession, dir: String): DataFrame = {
+    // held-out docs get " zz<id>qx the" appended: the corpus vocabulary
+    // otherwise fully overlaps the train slice, leaving the OOV and
+    // unseen-bigram branches almost dead. The unique zz<id>qx token makes
+    // (last, zz<id>qx) an OOV-y pair (branch 3) and (zz<id>qx, the) an
+    // unseen-bigram/seen-y pair (branch 2) in every held-out doc.
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" zz"), col("doc_id").cast("string"),
+            lit("qx the")))
+        .otherwise(col("text")).as("aug"))
+    graft.operators.CorpusStats.lmScore(docs, "aug", "doc_id",
+        train = col("doc_id") % 5 =!= 0)
+      .orderBy("doc_id")
+  }
+
+  val txt_lmscore_sql: String =
+    s"""WITH aug AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN text || ' zz' || CAST(doc_id AS VARCHAR) || 'qx the'
+       |      ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |nn AS (SELECT doc_id, $NormSql AS s FROM aug),
+       |tk AS (SELECT doc_id, list_filter(str_split(s, ' '), x -> x != '') AS tk
+       |       FROM nn),
+       |tr AS (SELECT * FROM tk WHERE doc_id % 5 != 0),
+       |uni AS (SELECT unnest(tk) AS w FROM tr),
+       |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+       |bgl AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+       |    THEN list_transform(range(1, len(tk)),
+       |           i -> struct_pack(x := tk[i], y := tk[i + 1]))
+       |    ELSE [] END) AS p FROM tk),
+       |bg AS (SELECT doc_id, p.x AS x, p.y AS y FROM bgl),
+       |c2 AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM bg
+       |       WHERE doc_id % 5 != 0 GROUP BY x, y),
+       |sc AS (SELECT bg.doc_id,
+       |    CASE WHEN c2.c IS NOT NULL
+       |           THEN CAST(c2.c AS DOUBLE) / CAST(cx.c AS DOUBLE)
+       |         WHEN cy.c IS NOT NULL
+       |           THEN CAST(0.4 AS DOUBLE) *
+       |                (CAST(cy.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |         ELSE CAST(0.4 AS DOUBLE) *
+       |              (CAST(1.0 AS DOUBLE) / CAST(t.n AS DOUBLE)) END AS p,
+       |    CASE WHEN cy.c IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bg
+       |  LEFT JOIN c2 USING (x, y)
+       |  LEFT JOIN c1 cx ON bg.x = cx.w
+       |  LEFT JOIN c1 cy ON bg.y = cy.w, tot t),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CAST(floor(p * 1000000000.0) AS BIGINT)) AS BIGINT)
+       |      AS score_fp,
+       |    CAST(sum(oov) AS BIGINT) AS n_oov FROM sc GROUP BY doc_id)
+       |SELECT nn.doc_id,
+       |  coalesce(n_pairs, 0) AS n_pairs,
+       |  coalesce(score_fp, 0) AS score_fp,
+       |  coalesce(n_oov, 0) AS n_oov
+       |FROM nn LEFT JOIN agg USING (doc_id) ORDER BY nn.doc_id""".stripMargin
+
   /** Vocabulary builder over the corpus (tokenizer-training step 0),
     * hash-matched: top-200 tokens with deterministic tie order. */
   def txt_vocab(s: SparkSession, dir: String): DataFrame =
@@ -918,6 +1034,88 @@ object Curation {
     Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"),
       "embedding", "vec_id", planes = 3, threshold = 0.25, tables = 2)
       .orderBy("id_a", "id_b")
+
+  /** Cross-engine embedding near-dup miner (hash-matched bit-for-bit):
+    * the SAME banding scheme as [[dedup_embed]] (3 hyperplanes × 2
+    * OR-amplified tables) re-expressed over INTEGER-quantized vectors —
+    * floor(x·1000) per dimension, md5-derived ±1 plane signs, integer
+    * projection sums, and an integer quantized-dot threshold
+    * (qdot ≥ 250 000 ≈ cosine 0.25 at the fixture's unit-ish norms) in
+    * place of the float cosine. Zero float ops anywhere, so DuckDB
+    * independently recomputes quantize→project→bucket→collide→dot and
+    * the outputs hash-match exactly — the same device as ann_lsh_md5,
+    * extended from one probe to the full pair miner. Output: (id_a,
+    * id_b, n_tables collided in, qdot). */
+  def dedup_embed_md5(s: SparkSession, dir: String): DataFrame = {
+    val planes = 3; val tables = 2
+    val emb = Tables.load(s, dir, "embeddings")
+    // _q materialized as an attribute before the projection lambdas (the
+    // PERF INVARIANT in Dedup.scala — an inline tree would re-quantize
+    // once per element per plane per table)
+    val withQ = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000).cast("long")).as("_q"))
+    def sgn(t: Int, p: Int)(i: Column): Column =
+      when(conv(substring(md5(concat(lit(s"${t}_${p}_"), i.cast("string"))),
+        1, 1), 16, 10).cast("int") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val buckets = (0 until tables).map { t =>
+      (0 until planes).map { p =>
+        when(aggregate(zip_with(col("_q"),
+            sequence(lit(0), size(col("_q")) - 1),
+            (x, i) => x * sgn(t, p)(i)), lit(0L), _ + _) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"_b$t")
+    }
+    val bk = withQ.select(col("vec_id") +: buckets: _*)
+    // per-table band equi-joins on a (id, bucket) projection — quantized
+    // vectors rejoin only for the surviving pairs' dot products
+    val collided = (0 until tables).map { t =>
+      bk.select(col("vec_id").as("id_a"), col(s"_b$t").as("_k"))
+        .join(bk.select(col("vec_id").as("id_b"), col(s"_b$t").as("_k")),
+          Seq("_k"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }.reduce(_ union _)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_tables"))
+    collided
+      .join(withQ.select(col("vec_id").as("id_a"), col("_q").as("_qa")), Seq("id_a"))
+      .join(withQ.select(col("vec_id").as("id_b"), col("_q").as("_qb")), Seq("id_b"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("_qa"), col("_qb"), (a, b) => a * b),
+          lit(0L), _ + _))
+      .filter(col("qdot") >= 250000L)
+      .select("id_a", "id_b", "n_tables", "qdot")
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedup_embed_md5_sql: String = {
+    def sgn(t: Int, p: Int) =
+      s"(CASE WHEN (strpos('0123456789abcdef', substr(md5('${t}_${p}_' || " +
+        "CAST(i-1 AS VARCHAR)), 1, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END)"
+    def proj(t: Int, p: Int) =
+      s"list_sum(list_transform(range(1, len(qz)+1), i -> qz[i] * ${sgn(t, p)}))"
+    def bucket(t: Int) = (0 until 3).map(p =>
+      s"${1L << p}*(CASE WHEN ${proj(t, p)} >= 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x*1000) AS BIGINT)) AS qz FROM embeddings),
+       |b AS (SELECT vec_id, qz, ${bucket(0)} AS b0, ${bucket(1)} AS b1 FROM e),
+       |c AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+       |      FROM b a JOIN b b2 ON a.b0 = b2.b0 AND a.vec_id < b2.vec_id
+       |      UNION ALL
+       |      SELECT a.vec_id, b2.vec_id
+       |      FROM b a JOIN b b2 ON a.b1 = b2.b1 AND a.vec_id < b2.vec_id),
+       |g AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_tables
+       |      FROM c GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, n_tables,
+       |  CAST(list_sum(list_transform(range(1, len(ea.qz)+1),
+       |    i -> ea.qz[i] * eb.qz[i])) AS BIGINT) AS qdot
+       |FROM g JOIN e ea ON g.id_a = ea.vec_id JOIN e eb ON g.id_b = eb.vec_id
+       |WHERE CAST(list_sum(list_transform(range(1, len(ea.qz)+1),
+       |    i -> ea.qz[i] * eb.qz[i])) AS BIGINT) >= 250000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Brute-force cosine top-k vs vec_id=0's embedding — hash-matched via
     * DuckDB's double-precision list_cosine_similarity (scores rounded to

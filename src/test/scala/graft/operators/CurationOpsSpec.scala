@@ -559,6 +559,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.size === 2) // "solo" yields no bigram
   }
 
+  test("spanDedup removes repeated chunks except the global first occurrence") {
+    val corpus = Seq(
+      (1L, "AAAABBBBCCCC"),  // unique chunks except AAAA (global first here)
+      (2L, "AAAAXXXXAAAA"),  // loses both AAAA copies (cross- and within-doc)
+      (3L, "ZZ"),            // short tail chunk, unique
+      (4L, ""),              // empty text → zero chunks
+      (5L, null: String))    // null text → no output row
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "text", "doc_id", window = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === (("AAAABBBBCCCC", 3L, 0L)))
+    assert(out(2L) === (("XXXX", 3L, 2L)))
+    assert(out(3L) === (("ZZ", 1L, 0L)))
+    assert(out(4L) === (("", 0L, 0L)))
+    assert(out.size === 4)
+  }
+
+  test("lmScore: all three stupid-backoff branches, fixed-point exact") {
+    val corpus = Seq(
+      (1L, "a b"), (2L, "a b a"),   // train: c1(a)=3 c1(b)=2 tot=5;
+                                    // c2(a b)=2, c2(b a)=1
+      (3L, "a b c a"),              // held out: seen pair + OOV-y + unseen-x
+      (4L, "solo"))                 // single token → no pairs
+      .toDF("doc_id", "text")
+    val out = CorpusStats.lmScore(corpus, "text", "doc_id",
+        train = col("doc_id") <= 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def fp(p: Double) = math.floor(p * 1e9).toLong
+    val pab = fp(2.0 / 3.0)             // branch 1: c2/c1(x)
+    assert(out(1L) === ((1L, pab, 0L)))
+    assert(out(2L) === ((2L, pab + fp(1.0 / 2.0), 0L)))
+    val pbc = fp(0.4 * (1.0 / 5.0))     // branch 3: y=c OOV
+    val pca = fp(0.4 * (3.0 / 5.0))     // branch 2: unseen bigram, seen y=a
+    assert(out(3L) === ((3L, pab + pbc + pca, 1L)))
+    assert(out(4L) === ((0L, 0L, 0L)))
+  }
+
   test("clusterKeepOne keeps singletons and one representative per cluster") {
     val ids = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -264,6 +264,46 @@ class PlanSpec extends SparkSpec {
       s"unexpected per-term/doc shuffle:\n$p")
   }
 
+  test("txt_spandedup: whole documents never shuffle; dup join-back broadcasts") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = Dedup.spanDedup(docs, "text", "doc_id", window = 64)
+    df.collect() // finalize the adaptive plan
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // chunks cross exchanges (mining is digest-keyed, reassembly moves each
+    // chunk once); the FULL document column must never enter any exchange —
+    // that's the difference between shuffling the corpus once-as-chunks and
+    // twice (whole docs + chunks) at 100 TB
+    val nodes = fmt.split("\n\n")
+    val exchanges = nodes.filter(_.linesIterator.toSeq.headOption
+      .exists(h => h.matches("""\(\d+\) Exchange.*""")))
+    assert(exchanges.nonEmpty, s"no Exchange nodes in:\n${fmt.take(2000)}")
+    for (e <- exchanges) {
+      val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("_t#") && !input.contains("text#"),
+        s"whole-document bytes cross a shuffle exchange:\n$e")
+    }
+    // the ≥2-occurrence digest set is tiny at real dup rates: AQE must pick
+    // a broadcast join for the join-back (no hard-coded hint — a pathological
+    // all-duplicates corpus degrades to a shuffled join instead of OOMing)
+    assert(fmt.contains("BroadcastHashJoin"),
+      s"dup join-back not broadcast at small SF:\n${fmt.take(2000)}")
+    assert(!fmt.contains("CartesianProduct"), s"cartesian in:\n${fmt.take(2000)}")
+  }
+
+  test("txt_lmscore: count-table joins stay equi; only the 1-row totals cross-joins") {
+    val p = plan(Curation.txt_lmscore(spark, sf))
+    // the unigram/bigram count joins must plan as hash equi-joins (broadcast
+    // or shuffled — AQE's call); the ONLY nested-loop allowed is the
+    // broadcast of the single-row totals aggregate
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"more than the one-row totals cross-join:\n$p")
+    assert(p.contains("HashJoin"), s"count joins not hash joins:\n$p")
+  }
+
   test("connectedComponents rounds: hash-keyed exchanges only, no cartesian") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
