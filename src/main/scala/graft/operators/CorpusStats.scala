@@ -209,6 +209,75 @@ object CorpusStats {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"))
   }
 
+  /** BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909 §3.2) —
+    * tokenizer training's core loop, over the corpus WORD-COUNT DICT (the
+    * paper's device: after one word-count pass, every further iteration
+    * touches only distinct words — dict cardinality, not corpus
+    * cardinality). Input: (word, cnt) rows. Each round counts adjacent
+    * symbol pairs weighted by word count (one small shuffle over the
+    * dict), picks the global argmax (count desc, then pair lexicographic
+    * — a deterministic tie-break both engines share), and applies the
+    * merge to every word.
+    *
+    * The merge application is the part that usually needs imperative
+    * code; here it is ONE literal string replace via a double-separator
+    * encoding: a word's symbols are joined as ``␁␁s1␁␁s2␁␁`` (␁ =
+    * U+0001, which normalized tokens cannot contain), and merging (a,b)
+    * replaces ``␁a␁␁b␁`` with ``␁ab␁``. Each occurrence's boundary
+    * separators split evenly between neighbors, so plain replace-all —
+    * left-to-right, non-overlapping, identical semantics in Spark and
+    * DuckDB — IS greedy BPE merging ("aaa" under merge (a,a) →
+    * "(aa)a"), with zero regex and zero UDFs.
+    *
+    * Scale shape: per round, one map-side-combined pair-count shuffle
+    * over the dict + a 1-row argmax collect; the dict is persisted and
+    * rotated each round so round k never re-applies merges 1..k-1
+    * (lineage stays O(1), the Lloyd-iteration pattern). Returns the merge
+    * table (round, left, right, pair_count) — integer counts and strings
+    * only, engine-exact. */
+  def bpeMerges(words: DataFrame, wordCol: String, cntCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val S = ""
+    var dict = words.select(
+      concat(lit(S + S),
+        array_join(split(col(wordCol), ""), S + S), lit(S + S)).as("_sym"),
+      col(cntCol).cast("long").as("_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = filter(split(col("_sym"), S + S), x => x =!= "")
+      val top = dict
+        .select(col("_cnt"), explode(zip_with(
+          slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+          slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("_p"))
+        .groupBy(col("_p.x").as("_x"), col("_p.y").as("_y"))
+        .agg(sum(col("_cnt")).as("_c"))
+        .orderBy(col("_c").desc, col("_x"), col("_y"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, x, y, c))
+        val next = dict.withColumn("_sym",
+          replace(col("_sym"), lit(S + x + S + S + y + S), lit(S + x + y + S)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        dict.unpersist(blocking = false)
+        dict = next
+        r += 1
+      }
+    }
+    dict.unpersist(blocking = false)
+    merges.result().toDF("round", "left", "right", "pair_count")
+  }
+
   /** BM25 relevance of every document against a small query term set —
     * keyword retrieval over the corpus (Robertson/Spärck Jones; k1/b are
     * the classic defaults 1.2/0.75).

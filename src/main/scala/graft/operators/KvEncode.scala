@@ -102,6 +102,52 @@ object KvEncode {
       count(lit(1)).as("index_kvs"))
   }
 
+  /** Batched-import checksum: one aggregate job computing EVERY table's
+    * checksum triple + row count + max row-id when a batch of same-schema
+    * small tables was written as one partitioned job. `tidCol` supplies
+    * each row's table id as a column (vs the literal in
+    * [[withObserveCols]]) — the key strings are byte-identical to the
+    * single-table forms (`t{tid}_r{rowId}` / `t{tid}_i0_…`), so the
+    * per-table `verify` CLI re-scan reproduces the same triples. Returns
+    * one row per `groupCol` value: (_g_grp, rows, data_checksum,
+    * data_bytes, data_kvs[, index_checksum, index_bytes, index_kvs],
+    * max_row_id). */
+  def groupedChecksum(df: DataFrame, table: MysqlTable, tidCol: Column,
+      rowIdCol: String, groupCol: Column): DataFrame = {
+    val cols = table.columns.map(_.name)
+    val dk = encode(concat(lit("t"), tidCol.cast("string"), lit("_r"),
+      col(rowIdCol).cast("string")), "UTF-8")
+    // "" separator = the literal control char the single-table
+    // forms above use (easy to lose in a copy — it renders invisibly)
+    val dv = encode(concat_ws("",
+      cols.map(c => coalesce(col(c).cast("string"), lit("N"))): _*), "UTF-8")
+    val base = df
+      .withColumn("_g_dcrc", graft.functions.Crc64Expr.crc64(concat(dk, dv)))
+      .withColumn("_g_dlen", (length(dk) + length(dv)).cast("long"))
+    val helped =
+      if (table.primaryKey.isEmpty) base
+      else {
+        val ik = encode(concat(lit("t"), tidCol.cast("string"), lit("_i0_"),
+          concat_ws("",
+            table.primaryKey.map(c => col(c).cast("string")): _*)), "UTF-8")
+        val iv = encode(col(rowIdCol).cast("string"), "UTF-8")
+        base
+          .withColumn("_g_icrc", graft.functions.Crc64Expr.crc64(concat(ik, iv)))
+          .withColumn("_g_ilen", (length(ik) + length(iv)).cast("long"))
+      }
+    val aggs = Seq(
+      count(lit(1)).as("rows"),
+      coalesce(call_function("bit_xor", col("_g_dcrc")), lit(0L)).as("data_checksum"),
+      coalesce(sum(col("_g_dlen")), lit(0L)).as("data_bytes"),
+      count(lit(1)).as("data_kvs")) ++
+      (if (table.primaryKey.isEmpty) Nil else Seq(
+        coalesce(call_function("bit_xor", col("_g_icrc")), lit(0L)).as("index_checksum"),
+        coalesce(sum(col("_g_ilen")), lit(0L)).as("index_bytes"),
+        count(lit(1)).as("index_kvs"))) :+
+      max(col(rowIdCol).cast("long")).as("max_row_id")
+    helped.groupBy(groupCol.as("_g_grp")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** A1+A2: one row per KV class with (checksum, total_bytes, total_kvs) —
     * the triple `ADMIN CHECKSUM TABLE` compares (restore.go:1429-1503).
     *

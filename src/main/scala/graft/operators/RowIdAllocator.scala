@@ -70,24 +70,48 @@ object RowIdAllocator {
     *                   entries, bounded by `chunkCommitBytes` no matter how
     *                   large the table is (a 100 TB table is ~400k shards;
     *                   its groups are ~dozens of files each) */
+  /** The (path → range base) assignment `fromFileSizes` uses, exposed so a
+    * batched import can compute bases PER TABLE (each table's ids restart
+    * independently, exactly as a standalone import would allocate) and then
+    * resolve them all through one shared [[pathValue]] probe. */
+  def fileBases(fileSizes: Seq[(String, Long)],
+      capacityFor: Long => Long = sz => sz / 4 + 1): Seq[(String, Long)] =
+    fileSizes.map { case (f, sz) => (f, normPath(f), sz) }
+      .sortBy(_._2)
+      .scanLeft(("", "", 0L)) { case ((_, _, acc), (f, n, sz)) =>
+        (f, n, acc + capacityFor(sz)) }
+      .sliding(2).collect { case Seq((_, _, base), (f, _, _)) => (f, base) }
+      .toSeq
+
   def fromFileSizes(df: DataFrame, fileCol: String, idxCol: String,
       fileSizes: Seq[(String, Long)],
       rowIdCol: String = "_row_id",
       capacityFor: Long => Long = sz => sz / 4 + 1,
       restrictTo: Option[Seq[String]] = None,
       maxMapFiles: Int = BroadcastFallbackFiles): DataFrame = {
-    val allBases = fileSizes.map { case (f, sz) => (f, normPath(f), sz) }
-      .sortBy(_._2)
-      .scanLeft(("", "", 0L)) { case ((_, _, acc), (f, n, sz)) =>
-        (f, n, acc + capacityFor(sz)) }
-      .sliding(2).collect { case Seq((_, _, base), (f, n, _)) => (f, n, base) }
-      .toSeq
+    val allBases = fileBases(fileSizes, capacityFor)
+      .map { case (f, b) => (f, normPath(f), b) }
     val bases = restrictTo match {
       case Some(paths) =>
         val wanted = paths.map(normPath).toSet
         allBases.filter { case (_, n, _) => wanted(n) }
       case None => allBases
     }
+    pathValue(df, fileCol, bases.map { case (f, _, b) => (f, b) },
+        "__rid_base", maxMapFiles)
+      .withColumn(rowIdCol, col("__rid_base") + col(idxCol) + 1)
+      .drop("__rid_base")
+  }
+
+  /** Attach `outCol` = the Long value mapped from the row's source-file
+    * path — the multi-rendering hash-probe (≤ `maxMapFiles` entries) /
+    * broadcast-join (beyond) machinery documented below, factored out so
+    * any per-file driver-computed value (row-id base, batch table ordinal)
+    * rides the same O(1) probe. Unknown paths raise instead of silently
+    * dropping rows. */
+  def pathValue(df: DataFrame, fileCol: String, entries: Seq[(String, Long)],
+      outCol: String, maxMapFiles: Int = BroadcastFallbackFiles): DataFrame = {
+    val bases = entries.map { case (f, v) => (f, normPath(f), v) }
     // try_url_decode: a malformed rendering yields null (probes below are
     // null-safe → falls through to raise_error), where ANSI url_decode
     // would abort the whole import with CANNOT_DECODE_URL
@@ -118,12 +142,11 @@ object RowIdAllocator {
           case (k, vs) if vs.map(_._2).distinct.size == 1 => (k, vs.head._2)
         }.toSeq
       import graft.functions.LookupExpressions.stringMapLookup
-      val base = coalesce(
+      df.withColumn(outCol, coalesce(
         stringMapLookup(col(fileCol), fastEntries),
         stringMapLookup(normCol, normEntries),
         raise_error(concat(lit("row-id base for unknown source file: "),
-          col(fileCol))).cast("long"))
-      df.withColumn(rowIdCol, base + col(idxCol) + 1)
+          col(fileCol))).cast("long")))
     } else {
       // beyond the threshold a task-serialized table would ship megabytes
       // with every stage — hand the lookup to Spark as a broadcast join on
@@ -132,15 +155,14 @@ object RowIdAllocator {
       val spark = df.sparkSession
       import spark.implicits._
       val baseDf = bases.map { case (_, n, b) => (n, b) }
-        .toDF("__rid_key", "__rid_base")
-      df.join(broadcast(baseDf), normCol === col("__rid_key"), "left")
-        .withColumn(rowIdCol,
-          when(col("__rid_base").isNotNull,
-            col("__rid_base") + col(idxCol) + 1)
+        .toDF("__pv_key", "__pv_val")
+      df.join(broadcast(baseDf), normCol === col("__pv_key"), "left")
+        .withColumn(outCol,
+          when(col("__pv_val").isNotNull, col("__pv_val"))
           .otherwise(raise_error(concat(
             lit("row-id base for unknown source file: "),
             col(fileCol))).cast("long")))
-        .drop("__rid_key", "__rid_base")
+        .drop("__pv_key", "__pv_val")
     }
   }
 

@@ -51,6 +51,58 @@ object Sampling {
     df.filter(hashKey(idCol) < thr) // null threshold (unlisted class) drops
   }
 
+  /** Deterministic global training-order shuffle. Feeding a corpus to a
+    * trainer in storage order biases every batch (one crawl, one domain);
+    * the fix is a reproducible global permutation: order by md5(seed‖id).
+    * A literal global sort would funnel everything through one range
+    * exchange; the scalable equivalent is (shard, pos): shard = the key's
+    * first `shardHexDigits` hex chars (16^d shards, each ~uniform), pos =
+    * rank WITHIN the shard (a window partitioned by shard — embarrassingly
+    * parallel). Reading shards in name order, rows in pos order IS the
+    * md5-ordered permutation, because the shard prefix is the key's own
+    * most significant digits. Different `seed` → an independent epoch
+    * permutation; every engine, run, and retry agrees (md5, no rand()).
+    * Returns the input plus (shard string, pos long). */
+  def orderShuffle(df: DataFrame, idCol: Column, seed: Long,
+      shardHexDigits: Int = 2): DataFrame = {
+    require(shardHexDigits >= 1 && shardHexDigits <= 8,
+      s"shardHexDigits must be in [1,8]: $shardHexDigits")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(seed.toString), lit("|"), idCol.cast("string")))
+    val w = Window.partitionBy(col("_g_shard")).orderBy(col("_g_key"))
+    df.withColumn("_g_key", key)
+      .withColumn("_g_shard", substring(col("_g_key"), 1, shardHexDigits))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("shard", col("_g_shard"))
+      .drop("_g_key", "_g_shard")
+  }
+
+  /** Temperature-based mixture sampling — the multilingual-LM domain
+    * rebalance (sample class c ∝ n_c^α, α<1 upsamples rare domains;
+    * arXiv:1901.07291 §3.1, arXiv:1911.02116 §3): a corpus whose classes
+    * are counted once (one map-side-combined count shuffle), per-class
+    * keep-rates computed DRIVER-side as
+    *
+    *   r_c = min(1, budget · (n_c^α / Σ n_d^α) / n_c)
+    *
+    * and applied as deterministic hash thresholds ([[threshold]] quantizes
+    * to 1/65536, so a ≤1-ulp pow() disagreement between engines cannot
+    * flip a row except exactly AT a quantization boundary). The selection
+    * itself is md5-keyed — reruns and engines agree row-for-row. */
+  def temperatureMixture(df: DataFrame, idCol: Column, classCol: Column,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(budget > 0, s"budget must be positive: $budget")
+    val counts = df.groupBy(classCol.as("_g_cls"))
+      .agg(count(lit(1)).as("_g_n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val z = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val rates = counts.map { case (c, n) =>
+      c -> math.min(1.0, budget * (math.pow(n.toDouble, alpha) / z) / n)
+    }
+    stratifiedSample(df, idCol, classCol.cast("string"), rates)
+  }
+
   /** Mixture rebalancing by CAPS, not rates — the training-mix control:
     * keep AT MOST `caps(class)` rows per class, chosen deterministically
     * (md5-of-id rank within the class, so reruns and engines agree), and

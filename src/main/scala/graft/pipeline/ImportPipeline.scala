@@ -114,7 +114,16 @@ final case class ImportConfig(
     // import on a driver-side pool so one small table's driver phases
     // (planning, commit-log writes) overlap another's executor work —
     // Spark's scheduler interleaves the jobs. 1 = sequential.
-    tableConcurrency: Int = 4) {
+    tableConcurrency: Int = 4,
+    // small-table batching threshold (the reference's thousands-of-tiny-
+    // tables regime, loader.go:213-220): same-schema tables at or below
+    // this many source bytes import as ONE partitioned Spark job + ONE
+    // grouped checksum job instead of ~3 jobs each — per-table fixed cost
+    // (Catalyst analysis, job launch, commit bookkeeping) dominates tiny
+    // tables, and a thousand-table migration pays it a thousand times.
+    // Applies only in fail-fast mode with the parquet sink, estimated
+    // row-ids, and no bucketing (see planBatches). 0 disables.
+    smallTableBytes: Long = 4L * 1024 * 1024) {
 
   /** Reference config.Adjust's reject rules (lightning/config/config.go:
     * 347-509, tests/cmdline_override + unused_config_keys): a problematic
@@ -142,6 +151,7 @@ final case class ImportConfig(
     if (minChunkBytes <= 0) fail("`minChunkBytes` must be positive")
     if (chunkCommitBytes <= 0) fail("`chunkCommitBytes` must be positive")
     if (tableConcurrency < 1) fail("`tableConcurrency` must be >= 1")
+    if (smallTableBytes < 0) fail("`smallTableBytes` must be >= 0 (0 disables)")
     checkpointUrl.foreach(u => if (!u.startsWith("jdbc:"))
       fail(s"`checkpointUrl` must be a jdbc: URL (got: $u)"))
     routes.foreach { r =>
@@ -237,21 +247,33 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
             error = Some(String.valueOf(e.getMessage).take(500)))
       }
     }
-    val reports =
-      if (cfg.tableConcurrency <= 1 || tables.size <= 1) tables.map(one)
+    // small same-schema tables group into one-job batches; everything else
+    // (and any table a batch defers back — prior checkpoint state, zero
+    // parsed rows) runs the single-table path via `one`
+    val (batches, singles) = planBatches(tables)
+    def oneBatch(schema: MysqlTable, batch: Seq[TablePlan]): Seq[TableReport] = {
+      gate()
+      val (done, deferred) = restoreBatch(schema, batch)
+      done ++ deferred.map(one)
+    }
+    val work: Seq[() => Seq[TableReport]] =
+      singles.map(t => () => Seq(one(t))) ++
+        batches.map { case (sch, b) => () => oneBatch(sch, b) }
+    val unordered =
+      if (cfg.tableConcurrency <= 1 || work.size <= 1) work.flatMap(_())
       else {
         // driver-side table pool (reference tableWorkers): the pool threads
         // are created HERE, on the calling thread, so Spark's inheritable
         // job-group/local properties (TaskServer cancellation) propagate
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(cfg.tableConcurrency, tables.size))
+          math.min(cfg.tableConcurrency, work.size))
         try {
-          val futures = tables.map { t =>
-            pool.submit(new java.util.concurrent.Callable[TableReport] {
-              override def call(): TableReport = one(t)
+          val futures = work.map { w =>
+            pool.submit(new java.util.concurrent.Callable[Seq[TableReport]] {
+              override def call(): Seq[TableReport] = w()
             })
           }
-          futures.map { f =>
+          futures.flatMap { f =>
             try f.get()
             catch { // unwrap so callers see the original failure
               case e: java.util.concurrent.ExecutionException =>
@@ -260,6 +282,9 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
           }
         } finally pool.shutdownNow()
       }
+    // reports in plan order regardless of batching/concurrency
+    val byKey = unordered.map(r => (r.db, r.table) -> r).toMap
+    val reports = tables.map(t => byKey((t.db, t.table)))
     val failed = reports.filter(_.error.nonEmpty)
     if (failed.nonEmpty) { // reference errorSummaries.emitLog
       System.err.println(s"[graft] ${failed.size} tables failed to import:")
@@ -272,6 +297,230 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
   private def fingerprint(t: TablePlan): String = {
     val s = t.dataFiles.map(f => s"${f.path}:${f.size}").mkString("|")
     f"${Crc64.checksum(s.getBytes("UTF-8"))}%016x"
+  }
+
+  /** Caps one batch's width so the per-file lookup tables and the staging
+    * write's partition count stay bounded (256 tables × ≤4 MiB default
+    * threshold = ≤1 GiB per batch job). */
+  private val MaxBatchTables = 256
+
+  /** Small-table batching plan (the reference's thousands-of-tiny-tables
+    * regime — small-first scheduling + tableConcurrency pool,
+    * loader.go:213-220): a tiny table's import cost is ~all per-table
+    * fixed cost (Catalyst analysis of the align trees, job launch, commit
+    * bookkeeping — the ingest-many bench measures it), so same-schema
+    * tables below `smallTableBytes` group into batches that import as ONE
+    * partitioned write job + ONE grouped checksum job.
+    *
+    * Batching trades per-table error isolation for job amortization, so it
+    * applies only in fail-fast mode: one bad row aborts the whole run
+    * either way there, while continue-on-error PROMISES per-table
+    * isolation a shared job cannot give. Also requires the parquet sink
+    * (partitioned staging + rename publish), estimated row-ids (exact mode
+    * wants a dense per-table ordering pass), and no bucketing (bucket
+    * layout is a per-table saveAsTable transaction). A schema that fails
+    * to parse routes to the single path so the error carries its
+    * table-named message. */
+  private def planBatches(tables: Seq[TablePlan])
+      : (Seq[(MysqlTable, Seq[TablePlan])], Seq[TablePlan]) = {
+    val eligible = cfg.smallTableBytes > 0 && !cfg.continueOnError &&
+      !cfg.exactRowIds && cfg.bucketBy.isEmpty &&
+      theSink.isInstanceOf[ParquetSink]
+    if (!eligible) return (Nil, tables)
+    val groups = scala.collection.mutable.LinkedHashMap[
+      (Seq[MysqlColumn], Seq[String], Seq[Seq[String]]),
+      scala.collection.mutable.Buffer[(TablePlan, MysqlTable)]]()
+    val singles = scala.collection.mutable.Buffer[TablePlan]()
+    for (t <- tables) {
+      val sz = t.dataFiles.map(_.size).sum
+      val parsed: Option[MysqlTable] =
+        if (sz <= 0 || sz > cfg.smallTableBytes) None
+        else try {
+          t.schemaFile.filterNot(_ => cfg.noSchema) match {
+            case Some(sf) => Some(MysqlDdl.parseCreateTable(readFile(sf)))
+            case None => cfg.schemaCatalog.get((t.db, t.table))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed match {
+        case Some(tb) =>
+          groups.getOrElseUpdate((tb.columns, tb.primaryKey, tb.uniqueKeys),
+            scala.collection.mutable.Buffer()) += ((t, tb))
+        case None => singles += t
+      }
+    }
+    // a group of one gains nothing from a batch job
+    val (multi, lone) = groups.values.toSeq.partition(_.size >= 2)
+    val batches = multi.flatMap(_.grouped(MaxBatchTables)
+      .map(g => (g.head._2, g.map(_._1).toSeq)))
+    val batched = batches.flatMap(_._2).map(t => (t.db, t.table)).toSet
+    (batches, tables.filterNot(t => batched((t.db, t.table))))
+  }
+
+  /** One-job import of a batch of same-schema small tables:
+    *
+    *   1. per-table checkpoint gate (resume skips; any other prior state
+    *      defers to the single path, which owns those contracts); fresh
+    *      tables pin their job ts via the same create-exclusive CAS
+    *   2. ONE write job: all tables' files parse through one shared align
+    *      tree, each row picks up its table ordinal `_gk` and its
+    *      PER-TABLE row-id base (each table's ids restart exactly as a
+    *      standalone import would allocate) through the same O(1) path
+    *      probe row-ids already use, and the staging write partitions by
+    *      `_gk`
+    *   3. ONE checksum job: a grouped aggregate over the staging readback
+    *      computes every table's `t{tid}_…` checksum triple (byte-
+    *      identical keys to the single path — the verify CLI re-scan
+    *      still matches)
+    *   4. driver-side publish: rename each `_gk=i` dir to the table's
+    *      final location, then per-table commit-log/catalog/post steps
+    *
+    * Crash behavior: the staging dir name is deterministic for the table
+    * set (a retry overwrites a crashed staging write); a crash mid-publish
+    * leaves renamed tables "imported" (resume skips them) and the rest
+    * "loaded" (deferred to the single path next run). Returns (reports,
+    * deferred-to-single-path). */
+  private def restoreBatch(schema: MysqlTable, batchAll: Seq[TablePlan])
+      : (Seq[TableReport], Seq[TablePlan]) = {
+    val p = theSink.asInstanceOf[ParquetSink]
+    val results = scala.collection.mutable.Map[(String, String), TableReport]()
+    val deferred = scala.collection.mutable.Buffer[TablePlan]()
+    val run = scala.collection.mutable.Buffer[TablePlan]()
+    for (t <- batchAll) {
+      if (!cfg.checkpointEnabled) run += t
+      else {
+        val fp = fingerprint(t)
+        log.read(t.db, t.table) match {
+          case Some(st) if st.status == "imported" && st.planFingerprint == fp =>
+            progress.foreach { pr =>
+              pr.startTable(t.db, t.table); pr.finishTable(t.db, t.table)
+            }
+            results((t.db, t.table)) = TableReport(t.db, t.table, st.rows,
+              st.checksum, st.totalBytes, st.totalKvs, resumedSkip = true)
+          case Some(_) => deferred += t // failed / partial / stale state:
+            // the single path owns those contracts (error-ignore gate,
+            // pinned-ts adoption, fingerprint-change refresh)
+          case None =>
+            val winner = log.writeIfAbsent(TableState(t.db, t.table,
+              "loaded", 0, 0, 0, 0, fp, cfg.jobTsMicros))
+            if (winner.planFingerprint == fp &&
+                winner.jobTsMicros == cfg.jobTsMicros) run += t
+            else deferred += t // a concurrent instance owns the ts pin
+        }
+      }
+    }
+    if (run.nonEmpty) {
+      run.foreach(t => progress.foreach(_.startTable(t.db, t.table)))
+      val timing = sys.env.contains("GRAFT_TIMING")
+      var tmk = System.nanoTime()
+      def tmark(tag: String): Unit = {
+        if (timing) System.err.println(
+          f"[graft-timing] batch-$tag ${(System.nanoTime() - tmk) / 1e9}%.3f s")
+        tmk = System.nanoTime()
+      }
+      try {
+        val ordinals = run.toSeq.zipWithIndex
+        // per-table bases: capacityFor sz+1 matches the single path, so
+        // synthesized row-ids / auto-inc values are identical either way
+        val baseEntries = ordinals.flatMap { case (t, _) =>
+          RowIdAllocator.fileBases(
+            t.dataFiles.map(f => (f.path, f.size)), sz => sz + 1)
+        }
+        val ordEntries = ordinals.flatMap { case (t, i) =>
+          t.dataFiles.map(f => (f.path, i.toLong))
+        }
+        val aligned = loadAlignedFiles(run.toSeq.flatMap(_.dataFiles),
+          schema, cfg.jobTsMicros)
+        val withVals = RowIdAllocator.pathValue(
+          RowIdAllocator.pathValue(aligned, "_src_file", baseEntries,
+            "_g_rid_base"),
+          "_src_file", ordEntries, "_gk")
+        val withId0 = withVals
+          .withColumn("_row_id", col("_g_rid_base") + col("_row_idx") + 1)
+        val withId = withAutoIncFill(withColumnRowIdOverride(withId0), schema)
+        val finalDf = withId.select(
+          (schema.columns.map(c => col(c.name)) :+ col("_row_id") :+
+            col("_gk").cast("int").as("_gk")): _*)
+        val batchName = f"_graft_batch_${Crc64.checksum(
+          run.map(t => s"${t.db}.${t.table}").mkString("|")
+            .getBytes("UTF-8"))}%016x"
+        gate() // cancellation points: before the write job and before
+               // publish; a cancel DURING a job aborts via job-group cancel
+        tmark("plan")
+        // one file per task, exactly like the single path's write — a
+        // forced repartition measured SLOWER (the shuffle + one task
+        // serializing 64 parquet-writer inits beats nothing). Persisted so
+        // the checksum job below folds the cached rows instead of
+        // re-running the parse; bounded by MaxBatchTables × smallTableBytes
+        // (≤1 GiB at defaults), spills if an executor is tight.
+        finalDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stagingDir = p.writeBatch(finalDf, batchName, "_gk")
+        tmark("write")
+        val fs = new org.apache.hadoop.fs.Path(stagingDir)
+          .getFileSystem(hconf)
+        // per-table checksums in one grouped aggregate over the SAME
+        // pre-write lineage the write job ran (the observeChecksum=true
+        // strategy, grouped): re-running the tiny parse beats re-opening
+        // every per-table parquet file the write just closed — the
+        // independent sink-side re-scan remains the verify CLI's job (A3)
+        import spark.implicits._
+        val tidDf = broadcast(ordinals.map { case (t, i) =>
+          (i, ImportPipeline.tableId(t.db, t.table))
+        }.toDF("_gk", "_g_tid"))
+        val rep = KvEncode.groupedChecksum(finalDf.join(tidDf, "_gk"),
+            schema, col("_g_tid"), "_row_id", col("_gk"))
+          .collect().map { r =>
+            r.getInt(r.fieldIndex("_g_grp")) ->
+              ((r.getLong(r.fieldIndex("rows")),
+                r.getLong(r.fieldIndex("data_checksum")),
+                r.getLong(r.fieldIndex("data_bytes")),
+                r.getLong(r.fieldIndex("data_kvs"))))
+          }.toMap
+        finalDf.unpersist(blocking = false)
+        tmark("checksum")
+        gate()
+        for ((t, i) <- ordinals) {
+          val part = new org.apache.hadoop.fs.Path(stagingDir, s"_gk=$i")
+          rep.get(i) match {
+            case Some((rows, dcs, dbytes, dkvs)) if fs.exists(part) =>
+              val dest = new org.apache.hadoop.fs.Path(
+                p.tablePath(t.db, t.table))
+              fs.delete(dest, true)
+              fs.mkdirs(dest.getParent)
+              if (!fs.rename(part, dest))
+                throw new java.io.IOException(
+                  s"batch publish rename failed: $part -> $dest")
+              if (cfg.checkpointEnabled)
+                log.write(TableState(t.db, t.table, "imported", rows, dcs,
+                  dbytes, dkvs, fingerprint(t), cfg.jobTsMicros))
+              if (cfg.registerInCatalog && cfg.bucketBy.isEmpty) {
+                spark.sql(s"CREATE DATABASE IF NOT EXISTS `${t.db}`")
+                spark.sql(MysqlDdl.toSparkDdl(t.db,
+                  schema.copy(name = t.table), dest.toString))
+              }
+              postCompact(t)
+              postAnalyze(t)
+              progress.foreach(_.finishTable(t.db, t.table))
+              results((t.db, t.table)) = TableReport(t.db, t.table, rows,
+                dcs, dbytes, dkvs, resumedSkip = false)
+            case _ =>
+              // zero parsed rows leaves no partition dir — the single path
+              // owns the empty-table layout; clear the loaded marker so it
+              // starts fresh there
+              if (cfg.checkpointEnabled) log.remove(t.db, t.table)
+              deferred += t
+          }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+        tmark("publish")
+      } catch {
+        case e: Throwable =>
+          run.foreach(t => progress.foreach(_.failTable(t.db, t.table,
+            if (e.isInstanceOf[InterruptedException]) "canceled"
+            else String.valueOf(e.getMessage))))
+          throw e // batching only runs in fail-fast mode — propagate
+      }
+    }
+    (batchAll.flatMap(t => results.get((t.db, t.table))), deferred.toSeq)
   }
 
   def restoreTable(t: TablePlan): TableReport = {

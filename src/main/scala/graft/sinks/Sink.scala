@@ -100,6 +100,21 @@ final class ParquetSink(rootDir: String,
       st.isFile && st.getPath.getName.startsWith("part-"))
   }
 
+  /** One-job staging write for a BATCH of small same-schema tables,
+    * partitioned by an integer table-ordinal column (int values → no
+    * partition-path escaping concerns). Returns the staging dir; the
+    * caller renames each `<dir>/<partCol>=<i>` into its table's final
+    * location. `batchName` should be deterministic for the table set so a
+    * crashed staging dir is simply overwritten by the retry. */
+  def writeBatch(df: DataFrame, batchName: String, partCol: String): String = {
+    val path = s"$rootDir/$batchName"
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCol)
+      .parquet(path)
+    path
+  }
+
   /** Bucketed write (the co-located-join output shape): Spark bucketing +
     * per-bucket sort on `bucketCols` via saveAsTable — every downstream
     * join/aggregate keyed on those columns reads the bucket layout from

@@ -139,7 +139,10 @@ class TaskServerSpec extends SparkSpec {
         (1 to 500).map(r => s"$r,name_$r").mkString("", "\n", "\n"))
       java.nio.file.Files.writeString(
         new java.io.File(src, f"cdb.t$i%02d-schema.sql").toPath,
-        s"CREATE TABLE `t$i` (`id` int(11) NOT NULL, `v` varchar(16))")
+        // per-table varchar width: schemas must DIFFER so small-table
+        // batching doesn't collapse the run into one job — this suite
+        // exercises the sequential path's between-tables cancel gate
+        s"CREATE TABLE `t$i` (`id` int(11) NOT NULL, `v` varchar(${16 + i}))")
     }
     src.getAbsolutePath
   }
