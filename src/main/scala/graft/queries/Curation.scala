@@ -382,6 +382,57 @@ object Curation {
        |JOIN c1 uy ON uy.token = str_split(bc.bigram, ' ')[2]
        |ORDER BY bc.c2 DESC, bc.bigram""".stripMargin
 
+  /** BPE merge learning over the corpus word-count dict (6 rounds),
+    * hash-matched bit-for-bit: both engines count weighted adjacent
+    * symbol pairs, argmax with the same (count desc, pair asc) tie-break,
+    * and apply each merge with the same double-separator literal replace
+    * — so the learned merge tables are identical, greedy-overlap
+    * semantics included. `left`/`right` are renamed (`merge_left`/
+    * `merge_right`) only because they are SQL keywords. */
+  def txt_bpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val words = docs.select(explode(graft.operators.Dedup.tokensOf(
+        graft.operators.Dedup.normalized(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    graft.operators.CorpusStats.bpeMerges(words, "w", "cnt", rounds = 6)
+      .select(col("round"), col("left").as("merge_left"),
+        col("right").as("merge_right"), col("pair_count"))
+      .orderBy(col("round"))
+  }
+
+  val txt_bpe_sql: String = {
+    val S2 = "chr(1)||chr(1)"
+    def pairs(d: String) =
+      s"""(SELECT p.x AS x, p.y AS y, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |  SELECT cnt, unnest(CASE WHEN len(sy) >= 2
+         |      THEN list_transform(range(1, len(sy)),
+         |             i -> struct_pack(x := sy[i], y := sy[i+1]))
+         |      ELSE [] END) AS p
+         |  FROM (SELECT list_filter(str_split(sym, $S2), z -> z != '') AS sy,
+         |               cnt FROM $d))
+         |GROUP BY p.x, p.y)""".stripMargin
+    val rounds = (1 to 6).map { r =>
+      s"""p$r AS ${pairs(s"d${r - 1}")},
+         |m$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
+         |d$r AS (SELECT replace(sym, chr(1)||m.x||$S2||m.y||chr(1),
+         |          chr(1)||m.x||m.y||chr(1)) AS sym, cnt FROM d${r - 1}, m$r m)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to 6).map(r =>
+      s"SELECT $r AS round, x AS merge_left, y AS merge_right, " +
+        s"c AS pair_count FROM m$r").mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_filter(str_split($NormSql, ' '),
+       |      x -> x != '')) AS w
+       |    FROM documents WHERE text IS NOT NULL) GROUP BY w),
+       |d0 AS (SELECT $S2 || array_to_string(str_split(w, ''), $S2) || $S2
+       |         AS sym, cnt FROM wc),
+       |$rounds
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   import graft.util.DirCache
   /** ≤ 4 source dirs' artifacts each; a dir re-touched after eviction just
     * retrains (correctness never depends on the cache). */

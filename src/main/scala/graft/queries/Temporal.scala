@@ -125,4 +125,57 @@ object Temporal {
       |WHERE (lang = 'en' AND rk <= 120) OR (lang = 'de' AND rk <= 50)
       |   OR lang NOT IN ('en', 'de') OR lang IS NULL
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic global training-order shuffle, hash-matched: every doc
+    * gets its epoch-42 position as (shard, pos) — reading shards in name
+    * order and rows in pos order IS the md5(seed|id) global permutation,
+    * without a single-partition global sort (PlanSpec locks that). */
+  def q_order_shuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    Sampling.orderShuffle(docs, col("doc_id"), seed = 42L, shardHexDigits = 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val q_order_shuffle_sql: String =
+    """WITH k AS (SELECT doc_id,
+      |  md5('42|' || CAST(doc_id AS VARCHAR)) AS ky FROM documents)
+      |SELECT doc_id, substr(ky, 1, 1) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY substr(ky, 1, 1)
+      |    ORDER BY ky) AS BIGINT) AS pos
+      |FROM k ORDER BY shard, pos""".stripMargin
+
+  /** Temperature-based mixture sampling (n^α domain rebalance, α = 0.5,
+    * budget 400 over the 500-doc corpus), hash-matched: both engines
+    * count classes, compute rates min(1, budget·(n^α/Σn^α)/n), quantize
+    * to the 1/65536 md5-threshold grid, and keep the identical rows —
+    * `fr` lands above rate 1.0, exercising the keep-everything branch.
+    * Integer per-class aggregates prove row-identical selection. */
+  def q_temperature_mix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = Tables.load(s, dir, "documents")
+    Sampling.temperatureMixture(docs, col("doc_id"), col("lang"),
+        alpha = 0.5, budget = 400L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val q_temperature_mix_sql: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY lang),
+      |z AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM c),
+      |t AS (SELECT lang,
+      |    CAST(ceil(LEAST(1.0, 400 * (pow(CAST(n AS DOUBLE), 0.5) / z.z) / n)
+      |      * 65536) AS BIGINT) AS q
+      |  FROM c, z),
+      |k AS (SELECT d.doc_id, d.lang,
+      |    substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS hk, t.q
+      |  FROM documents d JOIN t USING (lang)),
+      |s AS (SELECT * FROM k
+      |      WHERE q >= 65536 OR hk < lower(lpad(to_hex(q), 4, '0')))
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -609,4 +609,57 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept === Seq((1L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 2L),
       (7L, 7L, 1L), (8L, 8L, 1L)))
   }
+
+  test("orderShuffle: dense per-shard positions, seed-reproducible, " +
+      "seed-sensitive") {
+    val ids = (1L to 200L).toDF("id")
+    def run(seed: Long) = Sampling.orderShuffle(ids, col("id"), seed,
+        shardHexDigits = 1)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val a = run(7)
+    assert(a.length === 200)
+    for ((_, rows) <- a.groupBy(_._2)) {
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps === (1L to ps.length).toSeq, "positions not dense per shard")
+    }
+    assert(run(7).toSet === a.toSet, "same seed must reproduce")
+    val b = run(8)
+    assert(a.map(r => (r._1, r._2)).toSeq !== b.map(r => (r._1, r._2)).toSeq,
+      "different seed must permute differently")
+  }
+
+  test("temperatureMixture: rare class kept whole above rate 1, head " +
+      "downsampled near its target") {
+    // z = 900^0.5 + 100^0.5 = 40; r_a = 500·(30/40)/900 ≈ 0.4167,
+    // r_b = 500·(10/40)/100 = 1.25 → capped at 1 (keep all of b)
+    val df = ((1 to 900).map(i => (i.toLong, "a")) ++
+      (1001 to 1100).map(i => (i.toLong, "b"))).toDF("id", "cls")
+    val n = Sampling.temperatureMixture(df, col("id"), col("cls"),
+        alpha = 0.5, budget = 500L)
+      .groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("b") === 100L)
+    assert(n("a") > 300L && n("a") < 450L, s"got ${n("a")}, expected ≈375")
+    // α = 1 is plain proportional sampling: every class at budget/total
+    val u = Sampling.temperatureMixture(df, col("id"), col("cls"),
+        alpha = 1.0, budget = 500L)
+      .groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(u("b") < 100L, "α=1 must NOT keep the rare class whole")
+  }
+
+  test("bpeMerges: dominant pair first, greedy overlap, deterministic " +
+      "tie-break") {
+    // "aaa"×10: greedy left-to-right gives TWO (a,a) pairs per word but
+    // merging produces (aa)(a); "ab"×5 contributes (a,b)
+    val words = Seq(("aaa", 10L), ("ab", 5L)).toDF("w", "cnt")
+    val m = CorpusStats.bpeMerges(words, "w", "cnt", rounds = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m === Seq(
+      (1, "a", "a", 20L),   // 2 per "aaa" × 10
+      (2, "aa", "a", 10L),  // the merged symbol pairs with the tail a
+      (3, "a", "b", 5L)))   // rounds stop early when no pairs remain
+  }
 }

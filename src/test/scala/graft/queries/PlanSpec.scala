@@ -304,6 +304,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin"), s"count joins not hash joins:\n$p")
   }
 
+  test("q_order_shuffle: global order comes from sharded windows, never a " +
+      "single-partition sort") {
+    val p = plan(Temporal.q_order_shuffle(spark, sf))
+    // the whole point of (shard, pos): the epoch permutation must come
+    // from 16 parallel per-shard windows — a SinglePartition exchange
+    // before the window would funnel 100 TB through one task. (The final
+    // presentation orderBy plans a rangepartitioning sort; that one is
+    // the gate's output ordering, not the permutation machinery.)
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0, s"no window in:\n$p")
+    val beforeWindow = p.substring(windowIdx)
+    assert(!beforeWindow.contains("Exchange SinglePartition"),
+      s"single-partition exchange feeds the permutation window:\n$p")
+    assert(beforeWindow.contains("hashpartitioning"),
+      s"window not fed by a hash exchange on the shard:\n$p")
+  }
+
   test("connectedComponents rounds: hash-keyed exchanges only, no cartesian") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
