@@ -44,6 +44,7 @@ object SparkEntry {
     ("q_mix_rebalance", Temporal.q_mix_rebalance _, Some(Temporal.q_mix_rebalance_sql)),
     ("q_order_shuffle", Temporal.q_order_shuffle _, Some(Temporal.q_order_shuffle_sql)),
     ("q_temperature_mix", Temporal.q_temperature_mix _, Some(Temporal.q_temperature_mix_sql)),
+    ("q_best_per_class", Temporal.q_best_per_class _, Some(Temporal.q_best_per_class_sql)),
     // ingest operators (SURVEY §2.1-2.3) — roundtrip through real dump files
     ("sqldump_roundtrip", Ingest.sqldump_roundtrip _, Some(Ingest.sqldump_roundtrip_sql)),
     ("q_stream_ingest", Ingest.q_stream_ingest _, Some(Ingest.q_stream_ingest_sql)),
@@ -99,6 +100,7 @@ object SparkEntry {
     ("txt_quantile_filter", Curation.txt_quantile_filter _, Some(Curation.txt_quantile_filter_sql)),
     ("txt_bigram", Curation.txt_bigram _, Some(Curation.txt_bigram_sql)),
     ("txt_bpe", Curation.txt_bpe _, Some(Curation.txt_bpe_sql)),
+    ("txt_bpe_apply", Curation.txt_bpe_apply _, Some(Curation.txt_bpe_apply_sql)),
     ("txt_spandedup", Curation.txt_spandedup _, Some(Curation.txt_spandedup_sql)),
     ("txt_lmscore", Curation.txt_lmscore _, Some(Curation.txt_lmscore_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),

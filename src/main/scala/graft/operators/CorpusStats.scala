@@ -278,6 +278,38 @@ object CorpusStats {
     merges.result().toDF("round", "left", "right", "pair_count")
   }
 
+  /** Apply a learned BPE merge table to the corpus — the tokenizer's
+    * APPLICATION half ([[bpeMerges]] is the training half). The merges
+    * are applied to the DISTINCT-WORD dict (same double-separator
+    * replace, chained in merge order inside one projection), and the
+    * corpus joins back to the dict by word — so the per-word merge work
+    * is dict-cardinality, the corpus-side cost is one explode + one
+    * equi-join + one per-doc aggregate, and AQE broadcasts the dict when
+    * it fits. Returns (idCol, n_words, n_syms): total words and total
+    * post-merge symbols per document (null/empty docs → 0,0). */
+  def bpeSegment(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val S = ""
+    val base = df.filter(col(textCol).isNotNull)
+      .withColumn("_toks", Dedup.tokensOf(Dedup.normalized(col(textCol))))
+    val words = base.select(col(idCol), explode(col("_toks")).as("_w"))
+    val sym0 = concat(lit(S + S),
+      array_join(split(col("_w"), ""), S + S), lit(S + S))
+    val symN = merges.foldLeft(sym0) { case (acc, (x, y)) =>
+      replace(acc, lit(S + x + S + S + y + S), lit(S + x + y + S))
+    }
+    val dict = words.select(col("_w")).distinct()
+      .withColumn("_nsym",
+        size(filter(split(symN, S + S), z => z =!= "")).cast("long"))
+    val perDoc = words.join(dict, "_w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_nsym")).as("n_syms"))
+    base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_syms"), lit(0L)).as("n_syms"))
+  }
+
   /** BM25 relevance of every document against a small query term set —
     * keyword retrieval over the corpus (Robertson/Spärck Jones; k1/b are
     * the classic defaults 1.2/0.75).

@@ -577,16 +577,30 @@ object Dedup {
 
     var cur = canon(edges.select(col(aCol).cast("long").as("_u"),
       col(bCol).cast("long").as("_v"))).localCheckpoint(true)
+    // Fixpoint test: both sets are canonical+distinct, so set equality ⇔
+    // equal (count, XOR of xxhash64(_u,_v)) — ONE narrow aggregate over
+    // the already-checkpointed arcs, where the previous count+exceptAll
+    // pair cost two jobs and a two-sided shuffle per round. XOR (not sum)
+    // because ANSI mode makes an overflowing sum throw, and each distinct
+    // arc appears exactly once so XOR is a clean set fingerprint. A false
+    // "converged" needs a hash collision between distinct same-size sets
+    // (~2^-64); the cluster gates would catch it as a label mismatch.
+    def fingerprintArcs(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(call_function("bit_xor", xxhash64(col("_u"), col("_v"))),
+          lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var curFp = fingerprintArcs(cur)
     var rounds = 0
-    var converged = cur.isEmpty
+    var converged = curFp._1 == 0L
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       rounds += 1
-      // Fixpoint test: both sets are canonical+distinct, so equal counts +
-      // an empty one-sided difference ⇔ set equality.
-      converged = next.count() == cur.count() &&
-        next.exceptAll(cur).isEmpty
+      val nextFp = fingerprintArcs(next)
+      converged = nextFp == curFp
       cur = next
+      curFp = nextFp
     }
     require(converged, s"connectedComponents: no fixpoint in $maxRounds rounds")
     // Fixpoint ⇒ every arc is (member → component-min); the mins label

@@ -103,6 +103,21 @@ object Sampling {
     stratifiedSample(df, idCol, classCol.cast("string"), rates)
   }
 
+  /** Best-of-domain selection: keep the top `k` rows per class by a
+    * score column (quality-ranked mixture construction — "the best N web
+    * pages, the best N code files"), deterministic ties via `idCol`. One
+    * window shuffle keyed on the class; project before calling if the
+    * payload is wide (the payload-light pattern). */
+  def topKPerClass(df: DataFrame, classCol: Column, scoreCol: Column,
+      idCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(classCol).orderBy(scoreCol.desc, idCol)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Mixture rebalancing by CAPS, not rates — the training-mix control:
     * keep AT MOST `caps(class)` rows per class, chosen deterministically
     * (md5-of-id rank within the class, so reruns and engines agree), and

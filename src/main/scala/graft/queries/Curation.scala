@@ -400,7 +400,11 @@ object Curation {
       .orderBy(col("round"))
   }
 
-  val txt_bpe_sql: String = {
+  /** Shared DuckDB CTE chain for the BPE gates: word counts → sym-encoded
+    * dict d0 (the word `w` rides along) → 6 unrolled rounds of
+    * pair-count / argmax mR / merged dict dR. */
+  private val BpeRounds = 6
+  private val BpeCtes: String = {
     val S2 = "chr(1)||chr(1)"
     def pairs(d: String) =
       s"""(SELECT p.x AS x, p.y AS y, CAST(sum(cnt) AS BIGINT) AS c FROM (
@@ -411,26 +415,68 @@ object Curation {
          |  FROM (SELECT list_filter(str_split(sym, $S2), z -> z != '') AS sy,
          |               cnt FROM $d))
          |GROUP BY p.x, p.y)""".stripMargin
-    val rounds = (1 to 6).map { r =>
+    val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS ${pairs(s"d${r - 1}")},
          |m$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
-         |d$r AS (SELECT replace(sym, chr(1)||m.x||$S2||m.y||chr(1),
+         |d$r AS (SELECT w, replace(sym, chr(1)||m.x||$S2||m.y||chr(1),
          |          chr(1)||m.x||m.y||chr(1)) AS sym, cnt FROM d${r - 1}, m$r m)"""
         .stripMargin
     }.mkString(",\n")
-    val union = (1 to 6).map(r =>
-      s"SELECT $r AS round, x AS merge_left, y AS merge_right, " +
-        s"c AS pair_count FROM m$r").mkString("\nUNION ALL\n")
-    s"""WITH wc AS (
+    s"""wc AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(list_filter(str_split($NormSql, ' '),
        |      x -> x != '')) AS w
        |    FROM documents WHERE text IS NOT NULL) GROUP BY w),
-       |d0 AS (SELECT $S2 || array_to_string(str_split(w, ''), $S2) || $S2
+       |d0 AS (SELECT w,
+       |         $S2 || array_to_string(str_split(w, ''), $S2) || $S2
        |         AS sym, cnt FROM wc),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val txt_bpe_sql: String = {
+    val union = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS round, x AS merge_left, y AS merge_right, " +
+        s"c AS pair_count FROM m$r").mkString("\nUNION ALL\n")
+    s"""WITH $BpeCtes
        |$union
        |ORDER BY round""".stripMargin
+  }
+
+  /** The tokenizer's application half, hash-matched: learn the 6 merges,
+    * apply them to the distinct-word dict, join the corpus back by word,
+    * and report per-doc (n_words, n_syms). DuckDB replays training AND
+    * application from the same unrolled CTE chain — d6 IS the final
+    * word→symbols dict on both sides. */
+  def txt_bpe_apply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val words = docs.select(explode(graft.operators.Dedup.tokensOf(
+        graft.operators.Dedup.normalized(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val merges = graft.operators.CorpusStats
+      .bpeMerges(words, "w", "cnt", rounds = BpeRounds)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.CorpusStats.bpeSegment(docs, "text", "doc_id", merges)
+      .orderBy("doc_id")
+  }
+
+  val txt_bpe_apply_sql: String = {
+    val S2 = "chr(1)||chr(1)"
+    s"""WITH $BpeCtes,
+       |dw AS (SELECT doc_id, unnest(list_filter(str_split($NormSql, ' '),
+       |         x -> x != '')) AS w
+       |       FROM documents WHERE text IS NOT NULL),
+       |ns AS (SELECT w,
+       |         CAST(len(list_filter(str_split(sym, $S2), z -> z != ''))
+       |           AS BIGINT) AS nsym FROM d$BpeRounds),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(nsym) AS BIGINT) AS n_syms
+       |        FROM dw JOIN ns USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_words, 0) AS n_words,
+       |  coalesce(n_syms, 0) AS n_syms
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
   import graft.util.DirCache

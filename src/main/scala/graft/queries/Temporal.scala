@@ -162,6 +162,27 @@ object Temporal {
       .orderBy(col("lang"))
   }
 
+  /** Best-of-domain selection, hash-matched: the top 25 longest docs per
+    * language (deterministic doc_id tie-break) — the quality-ranked
+    * mixture construction device, one window shuffle keyed on the
+    * class. */
+  def q_best_per_class(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    Sampling.topKPerClass(docs, col("lang"), col("n_chars"), col("doc_id"),
+        k = 25)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q_best_per_class_sql: String =
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |  row_number() OVER (PARTITION BY lang
+      |    ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 25
+      |ORDER BY doc_id""".stripMargin
+
   val q_temperature_mix_sql: String =
     """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
       |           FROM documents GROUP BY lang),

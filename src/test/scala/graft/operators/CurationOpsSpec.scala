@@ -649,6 +649,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(u("b") < 100L, "α=1 must NOT keep the rare class whole")
   }
 
+  test("bpeSegment applies merges greedily; unmerged words count chars") {
+    // merges (a,a) then (aa,a): "aaa"→1 symbol, "aab"→2 (aa,b), "ba"→2
+    val docs = Seq((1L, "aaa aab"), (2L, "ba"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bpeSegment(docs, "text", "doc_id",
+        Seq(("a", "a"), ("aa", "a")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === ((2L, 3L))) // aaa=1 sym + aab=2 syms
+    assert(out(2L) === ((1L, 2L)))
+    assert(out.size === 2) // null text drops entirely
+  }
+
+  test("topKPerClass keeps the k best per class with deterministic ties") {
+    val df = Seq((1L, "x", 10), (2L, "x", 30), (3L, "x", 30), (4L, "x", 5),
+      (5L, "y", 1)).toDF("id", "cls", "score")
+    val kept = Sampling.topKPerClass(df, col("cls"), col("score"),
+        col("id"), k = 2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(2L, 3L, 5L)) // ties broken by id; y has only one
+  }
+
   test("bpeMerges: dominant pair first, greedy overlap, deterministic " +
       "tie-break") {
     // "aaa"×10: greedy left-to-right gives TWO (a,a) pairs per word but
