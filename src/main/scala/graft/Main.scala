@@ -41,6 +41,7 @@ object Main {
         unknown.toSeq.sorted.map("--" + _).mkString(", "))
     cmd match {
       case "import" => doImport(opts)
+      case "check" => doCheck(opts)
       case "checkpoint-dump" => checkpointDump(opts)
       case "checkpoint-remove" => checkpointRemove(opts)
       case "checkpoint-destroy" => checkpointDestroy(opts)
@@ -67,8 +68,21 @@ object Main {
     Thread.currentThread().join() // serve until killed
   }
 
+  /** Pre-flight (reference checkRequirements, restore.go:254 — the 6-step
+    * plan's step 1, run here as an explicit subcommand): validate config,
+    * discovery, every schema, output writability, disk headroom and JDBC
+    * targets WITHOUT moving data. Driver-side only — no Spark session.
+    * Exit 1 when any ERROR finding exists. */
+  private def doCheck(o: Map[String, List[String]]): Unit = {
+    val cfg = buildConfig(o, preloaded = loadTomlTask(o))
+    val findings = graft.pipeline.Preflight.run(cfg,
+      new org.apache.hadoop.conf.Configuration())
+    findings.foreach(println)
+    if (findings.exists(_.level == "ERROR")) sys.exit(1)
+  }
+
   private def usage(): Unit =
-    System.err.println("usage: graft.Main import|checkpoint-dump|checkpoint-remove|checkpoint-destroy|checkpoint-error-ignore|verify|serve --source DIR --out DIR [opts]")
+    System.err.println("usage: graft.Main import|check|checkpoint-dump|checkpoint-remove|checkpoint-destroy|checkpoint-error-ignore|verify|serve --source DIR --out DIR [opts]")
 
   private val KnownOpts = Set("source", "out", "strict", "no-checkpoint",
     "continue-on-error", "filter", "route", "table", "port", "bind",
