@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{Crc64Expr, GramHashes, LaneAgreement, LanesXxHash, MinhashSigs, MinhashSigsPacked, PackVec, PackedDot, PackedSketch, PqAdc, PqEncode, Simhash64}
+import graft.functions.{Crc64Expr, GramHashes, LaneAgreement, LanesXxHash, MinhashSigs, MinhashSigsPacked, NfcNormalize, PackVec, PackedDot, PackedSketch, PqAdc, PqEncode, Simhash64}
 
 /** §2.8 extension seam: graft's native Catalyst expressions as SQL
   * functions. Two entry points:
@@ -90,7 +90,11 @@ object GraftExtensions {
       info("pq_adc", "pq_adc(codes, table, k) - asymmetric-distance score: " +
         "sum of the query's precomputed per-subspace dots selected by each " +
         "code byte"),
-      (args: Seq[Expression]) => PqAdc(args(0), args(1), litInt(args(2), "k"))))
+      (args: Seq[Expression]) => PqAdc(args(0), args(1), litInt(args(2), "k"))),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(string) - Unicode NFC " +
+        "composition (no-op fast path for already-normalized text)"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
 
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

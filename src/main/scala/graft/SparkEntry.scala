@@ -85,6 +85,8 @@ object SparkEntry {
     ("emb_cluster", Curation.emb_cluster _, Some(Curation.emb_cluster_sql)),
     ("ann_pq", Curation.ann_pq _, None),
     ("ann_pq_verify", Curation.ann_pq_verify _, Some(Curation.ann_pq_verify_sql)),
+    ("ann_ivfpq", Curation.ann_ivfpq _, None),
+    ("ann_ivfpq_verify", Curation.ann_ivfpq_verify _, Some(Curation.ann_ivfpq_verify_sql)),
     ("ann_lsh_verify", Curation.ann_lsh_verify _, Some(Curation.ann_lsh_verify_sql)),
     ("txt_tokens", Curation.txt_tokens _, Some(Curation.txt_tokens_sql)),
     ("txt_langid", Curation.txt_langid _, Some(Curation.txt_langid_sql)),
@@ -95,6 +97,8 @@ object SparkEntry {
     ("txt_paradedup", Curation.txt_paradedup _, Some(Curation.txt_paradedup_sql)),
     ("txt_boilerplate", Curation.txt_boilerplate _, Some(Curation.txt_boilerplate_sql)),
     ("txt_redact", Curation.txt_redact _, Some(Curation.txt_redact_sql)),
+    ("txt_repetition", Curation.txt_repetition _, Some(Curation.txt_repetition_sql)),
+    ("txt_normalize", Curation.txt_normalize _, Some(Curation.txt_normalize_sql)),
     ("txt_bm25", Curation.txt_bm25 _, Some(Curation.txt_bm25_sql)),
     ("txt_vocab", Curation.txt_vocab _, Some(Curation.txt_vocab_sql)),
     ("txt_quantile_filter", Curation.txt_quantile_filter _, Some(Curation.txt_quantile_filter_sql)),

@@ -331,6 +331,92 @@ object Similarity {
     bruteForceTopK(df.join(ids, idCol), vecCol, idCol, query, k)
   }
 
+  /** IVF-PQ — the composed index (faiss `IndexIVFPQ`, the standard
+    * billion-scale deployment): a coarse k-means quantizer prunes the scan
+    * to `nprobe`-of-`nlist` cells, PQ codes score the survivors at m bytes
+    * each, and an exact re-rank fixes the shortlist. At 100 TB the probe
+    * touches (nprobe/nlist) × (m/8dim) of the corpus bytes — cell pruning
+    * and code compression MULTIPLY. This is the direct-encoding variant
+    * (codes quantize the normalized vector, not the residual to its cell
+    * centroid): one shared codebook instead of per-cell tables keeps the
+    * ADC literal small, and the exact re-rank stage restores the recall a
+    * residual encoder would have bought. */
+  final case class IvfPqIndex(centroids: Array[Array[Double]],
+      codebook: Array[Byte], m: Int, k: Int, coded: DataFrame)
+
+  /** Train both quantizers on ONE deterministic driver-side sample (the
+    * faiss `train()` shape — see [[ivfIndex]]/[[pqIndex]] for why driver
+    * Lloyd beats m distributed KMeans jobs here), then assign cells and
+    * emit codes in a SINGLE distributed corpus scan: one packed projection
+    * feeds both the cell argmin and the encoder kernel. */
+  def ivfPqIndex(df: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 16, m: Int = 8, k: Int = 16,
+      trainOn: Option[DataFrame] = None,
+      trainSampleCap: Int = 4096): IvfPqIndex = {
+    import graft.functions.{PqExpressions, VecExpressions, VecOps}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(k <= 256, s"one-byte codes cap k at 256, got $k")
+    val sub = dim / m
+    val sample = normalizedFrame(trainOn.getOrElse(df), vecCol, idCol)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(trainSampleCap)
+      .select("_nv").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "IVF-PQ training sample is empty")
+    val coarse = lloyd(sample, nlist, iters = 10, seed = 7L)
+    val centroids = new Array[Double](m * k * sub)
+    for (j <- 0 until m) {
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      val cs = lloyd(pts, k, iters = 10, seed = 42L + j)
+      for (c <- 0 until k; i <- 0 until sub)
+        centroids((j * k + c) * sub + i) = cs(c)(i)
+    }
+    val cb = VecOps.packDoubles(centroids)
+    val cLits = coarse.map(c => lit(VecOps.pack(ArrayData.toArrayData(c))))
+    val cNorm2 = coarse.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val packed = normalizedFrame(df, vecCol, idCol)
+      .withColumn("_p", VecExpressions.packVec(col("_nv")))
+    // argmin over nlist struct candidates — least() is one expression node
+    // (a when() fold would duplicate the accumulator subtree; see ivfIndex)
+    val candidates = cLits.zip(cNorm2).zipWithIndex.map { case ((cl, n2), j) =>
+      struct((lit(n2) - lit(2.0) * VecExpressions.packedDot(col("_p"), cl))
+        .as("d"), lit(j).as("j"))
+    }
+    val coded = packed.select(col(idCol),
+      least(candidates: _*).getField("j").as("_cell"),
+      PqExpressions.pqEncode(col("_p"), lit(cb), m, k).as("_codes"))
+    IvfPqIndex(coarse, cb, m, k, coded)
+  }
+
+  /** Probe an IvfPqIndex: nprobe nearest cells (driver-side centroid
+    * distances, nlist × dim flops) → ADC shortlist over the codes in those
+    * cells only → exact cosine re-rank of the shortlist against the raw
+    * vectors. */
+  def ivfPqTopK(idx: IvfPqIndex, df: DataFrame, vecCol: String,
+      idCol: String, query: Seq[Double], k: Int, nprobe: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    import graft.functions.{PqExpressions, PqOps}
+    val qn = math.sqrt(query.foldLeft(0.0)((s, x) => s + x * x))
+    require(qn > 0 && java.lang.Double.isFinite(qn),
+      s"query vector must have a finite positive norm (got $qn)")
+    val q = query.map(_ / qn).toArray
+    val probes = idx.centroids.zipWithIndex.map { case (c, i) =>
+      (i, q.indices.foldLeft(0.0) { (s, j) =>
+        val d = c(j) - q(j); s + d * d
+      })
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    val table = PqOps.adcTable(q, idx.codebook, idx.m, idx.k)
+    val ids = idx.coded.filter(col("_cell").isin(probes: _*))
+      .select(col(idCol),
+        PqExpressions.pqAdc(col("_codes"), lit(table), idx.k).as("_adc"))
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    bruteForceTopK(df.join(ids, idCol), vecCol, idCol, query, k)
+  }
+
   /** LSH-bucketed ANN with multi-probe: scan the query's bucket plus every
     * bucket within `probeHamming` sign-bit flips (a near-miss on one
     * hyperplane is the dominant recall loss, so hamming-1 probing roughly

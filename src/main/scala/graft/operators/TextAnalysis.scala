@@ -245,4 +245,114 @@ object TextAnalysis {
       name -> s"CAST(len(regexp_extract_all($base, '$re')) AS BIGINT)"
     }
   }
+
+  // ---- Repetition quality signals (Gopher-style) ---------------------
+  //
+  // Rae et al. 2021 ("Scaling Language Models: ... Gopher", arXiv:
+  // 2112.11446, table A1) filter web documents on intra-document
+  // repetition fractions rather than removing the repeats: the fraction
+  // of duplicate LINES, the fraction of CHARACTERS sitting in duplicated
+  // lines, and the fraction of characters covered by the single most
+  // frequent word bigram. All three are per-row narrow projections here
+  // (no shuffle, no explode): at 100 TB these are free signals computed
+  // in the same codegen stage as the scan.
+
+  /** Non-empty trimmed lines of a document. */
+  def lineArray(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  /** (frac_dup_lines, frac_dup_line_chars): fraction of lines that are
+    * repeats of an earlier identical line, and fraction of line-chars in
+    * lines whose content occurs more than once. Duplicate-group flags
+    * come from equal-adjacent probes on the SORTED line array — O(n log n)
+    * per document instead of the O(n²) membership scan, which matters for
+    * the thousand-line documents a web crawl actually contains. */
+  def lineRepetitionStats(text: Column): Seq[(String, Column)] = {
+    val lines = lineArray(text)
+    val sorted = array_sort(lines)
+    val n = size(sorted)
+    val m1 = greatest(n - 1, lit(0))
+    // neighbors in sort order: a line is part of a duplicate group iff it
+    // equals its predecessor or successor (any total order clusters equal
+    // values, so engine-specific sort-order differences cannot change the
+    // flags)
+    val prevArr = concat(array(lit(null).cast("string")),
+      slice(sorted, lit(1), m1))
+    val nextArr = concat(slice(sorted, lit(2), m1),
+      array(lit(null).cast("string")))
+    val eqPrev = zip_with(sorted, prevArr,
+      (c, p) => coalesce(c === p, lit(false)))
+    val eqNext = zip_with(sorted, nextArr,
+      (c, nx) => coalesce(c === nx, lit(false)))
+    val dupFlag = zip_with(eqPrev, eqNext, (a, b) => a || b)
+    val dupChars = aggregate(
+      zip_with(sorted, dupFlag,
+        (l, d) => when(d, length(l).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val totChars = aggregate(sorted, lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    val nDup = n - size(array_distinct(sorted))
+    Seq(
+      "frac_dup_lines" -> round(
+        when(n > 0, nDup.cast("double") / n).otherwise(lit(0.0)), 6),
+      "frac_dup_line_chars" -> round(
+        when(totChars > 0, dupChars.cast("double") / totChars)
+          .otherwise(lit(0.0)), 6))
+  }
+
+  /** Fraction of normalized-text characters covered by the most frequent
+    * word bigram: count(top bigram) * len(top bigram) / len(norm).
+    * Computed as a single fold over the SORTED bigram array — the running
+    * run-length × gram-length maximum peaks exactly at each run's end, so
+    * no per-gram counting pass is needed. `norm` must be a normalized
+    * (single-spaced) text column. */
+  def topBigramCharFrac(norm: Column): Column = {
+    val words = filter(split(norm, " "), t => t =!= "")
+    val m1 = greatest(size(words) - 1, lit(0))
+    val grams = array_sort(zip_with(
+      slice(words, lit(1), m1), slice(words, lit(2), m1),
+      (a, b) => concat(a, lit(" "), b)))
+    val best = aggregate(grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run2 = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run2.as("run"),
+          greatest(acc.getField("best"),
+            run2 * length(g).cast("long")).as("best"))
+      },
+      acc => acc.getField("best"))
+    round(when(length(norm) > 0, best.cast("double") / length(norm))
+      .otherwise(lit(0.0)), 6)
+  }
+
+  /** DuckDB twins of [[lineRepetitionStats]]: same flags via the O(n²)
+    * membership form (oracle-side cost only). `t` = raw text expr. */
+  def lineRepetitionStatsSql(t: String): Seq[(String, String)] = {
+    val lines = s"list_filter(list_transform(string_split($t, chr(10)), " +
+      "l -> trim(l)), l -> l != '')"
+    val dup = s"list_filter($lines, l -> len(list_filter($lines, " +
+      "x -> x = l)) > 1)"
+    val dupChars = s"coalesce(list_sum(list_transform($dup, l -> length(l))), 0)"
+    val totChars =
+      s"coalesce(list_sum(list_transform($lines, l -> length(l))), 0)"
+    Seq(
+      "frac_dup_lines" -> (s"round(CASE WHEN len($lines) > 0 THEN " +
+        s"CAST(len($lines) - len(list_distinct($lines)) AS DOUBLE) / " +
+        s"len($lines) ELSE 0.0 END, 6)"),
+      "frac_dup_line_chars" -> (s"round(CASE WHEN $totChars > 0 THEN " +
+        s"CAST($dupChars AS DOUBLE) / $totChars ELSE 0.0 END, 6)"))
+  }
+
+  /** DuckDB twin of [[topBigramCharFrac]] (`norm` = normalized text expr,
+    * single-spaced). */
+  def topBigramCharFracSql(norm: String): String = {
+    val words = s"list_filter(string_split($norm, ' '), x -> x != '')"
+    val grams = s"list_transform(range(1, greatest(len($words) - 1, 0) + 1), " +
+      s"i -> ($words)[i] || ' ' || ($words)[i + 1])"
+    val best = s"coalesce(list_max(list_transform(list_distinct($grams), " +
+      s"g -> len(list_filter($grams, x -> x = g)) * length(g))), 0)"
+    s"round(CASE WHEN length($norm) > 0 THEN CAST($best AS DOUBLE) / " +
+      s"length($norm) ELSE 0.0 END, 6)"
+  }
 }

@@ -121,6 +121,63 @@ object Curation {
        |FROM a""".stripMargin
   }
 
+  /** Gopher-style repetition quality signals (arXiv:2112.11446 table A1),
+    * hash-matched: duplicate-line fraction, duplicate-line character
+    * fraction, and most-frequent-bigram character coverage. All three are
+    * narrow per-row projections (sorted-array adjacency + one fold — no
+    * explode, no shuffle); the DuckDB oracle recomputes them via the
+    * O(n²) list-membership form, so the two engines arrive at the same
+    * numbers through structurally different algorithms. */
+  def txt_repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val lineStats = TextAnalysis.lineRepetitionStats(col("text"))
+      .map { case (n, c) => c.as(n) }
+    docs.select(col("doc_id") +: lineStats :+
+      TextAnalysis.topBigramCharFrac(Dedup.normalized(col("text")))
+        .as("top_bigram_char_frac"): _*)
+  }
+
+  val txt_repetition_sql: String = {
+    val lineStats = TextAnalysis.lineRepetitionStatsSql("text")
+      .map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $lineStats,
+       |  ${TextAnalysis.topBigramCharFracSql("nrm")} AS top_bigram_char_frac
+       |FROM (SELECT doc_id, text, $NormSql AS nrm
+       |      FROM documents WHERE text IS NOT NULL)""".stripMargin
+  }
+
+  /** Unicode NFC canonicalization (native codegen expression), hash-
+    * matched against DuckDB's `nfc_normalize`. Every document gets a
+    * decomposed `e`+U+0301 suffix appended in-query, so the gate fails
+    * unless both engines actually COMPOSE (the suffix must become the
+    * single precomposed é before hashing): md5 pins the exact bytes,
+    * the length column pins the composed code-unit count, and the
+    * cleaned surface (control-strip + whitespace-collapse after NFC)
+    * pins the full normalization chain a curation pipeline runs. */
+  def txt_normalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfcNormalize
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val aug = docs.withColumn("_nfc",
+      nfcNormalize(concat(col("text"), lit(" caf'é'"))))
+    val clean = trim(regexp_replace(
+      regexp_replace(col("_nfc"), "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+    aug.select(col("doc_id"),
+      md5(col("_nfc")).as("nfc_md5"),
+      length(col("_nfc")).cast("long").as("nfc_len"),
+      md5(clean).as("clean_md5"))
+  }
+
+  val txt_normalize_sql: String =
+    s"""SELECT doc_id,
+       |  md5(nfc) AS nfc_md5,
+       |  CAST(length(nfc) AS BIGINT) AS nfc_len,
+       |  md5(trim(regexp_replace(regexp_replace(nfc,
+       |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_md5
+       |FROM (SELECT doc_id,
+       |        nfc_normalize(text || ' caf''e' || chr(769) || '''') AS nfc
+       |      FROM documents WHERE text IS NOT NULL)""".stripMargin
+
   /** BM25 keyword scoring over the corpus, hash-matched. Uses the
     * rational-idf variant ([[graft.operators.CorpusStats.bm25]]
     * `lnIdf = false`): every arithmetic step is then +,×,÷ over
@@ -1344,6 +1401,22 @@ object Curation {
       idx
     })
 
+  /** Per-directory IVF-PQ index cache (train-once/probe-many): 16 coarse
+    * cells × (16 subspaces × 16 centroids) over the same normalized
+    * vectors — cell id + 16-byte codes per row, built in one scan. */
+  private val ivfPqCache =
+    new DirCache[Similarity.IvfPqIndex](CachedDirs, _.coded.unpersist())
+
+  private def ivfPqIndexFor(s: SparkSession, dir: String): Similarity.IvfPqIndex =
+    ivfPqCache.getOrElseUpdate(dir, {
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndex(emb, "embedding", "vec_id",
+        nlist = 16, m = 16, k = 16,
+        trainOn = Some(emb.filter(pmod(col("vec_id"), lit(2)) === 0)))
+      idx.coded.persist().count()
+      idx
+    })
+
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding")).collect()(0)
@@ -1437,6 +1510,64 @@ object Curation {
 
   val ann_pq_verify_sql: String =
     "SELECT CAST(1 AS INT) AS self_rank_ok, CAST(1 AS INT) AS adc_consistent"
+
+  /** IVF-PQ ANN (rows-only: lossy codes, no SQL twin): the composed
+    * faiss-IndexIVFPQ probe — nprobe-of-nlist cell pruning × 16-byte ADC
+    * scoring × exact re-rank. Quality and scan economy are pinned by
+    * `ann_ivfpq_verify`. */
+  def ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = queryVec(s, dir)
+    Similarity.ivfPqTopK(ivfPqIndexFor(s, dir),
+        emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q,
+        k = 10, nprobe = 4, shortlist = 101)
+      .select(col("vec_id").cast("long").as("vec_id"), col("score"))
+  }
+
+  /** IVF-PQ verification (constant-row, hash-matched on its invariants):
+    * (1) self-retrieval — the query row lands in a probed cell (its cell
+    * is the nearest centroid by construction) and survives the ADC
+    * shortlist to exact-re-rank rank 1 with score 1; (2) scan economy —
+    * the 4-of-16 probed cells must hold < 60% of the corpus (balanced
+    * cells would hold 25%; the bound catches a degenerate clustering
+    * collapsing the pruning); (3) recall@10 vs brute-force cosine clears
+    * a 0.3 floor (cell pruning × code loss; measured 0.6-1.0 with the
+    * 101-row re-rank). */
+  def ann_ivfpq_verify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val idx = ivfPqIndexFor(s, dir)
+    val q = queryVec(s, dir)
+    val hits = Similarity.ivfPqTopK(idx, emb, "embedding", "vec_id", q,
+      k = 11, nprobe = 4, shortlist = 102).collect()
+    require(hits.nonEmpty && hits.head.getAs[Number](0).longValue == 0L &&
+      hits.head.getDouble(1) >= 1.0 - 1e-9,
+      s"IVF-PQ self-retrieval failed: ${hits.headOption}")
+    val qn = {
+      val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+      q.map(_ / n)
+    }
+    val probed = idx.centroids.zipWithIndex.map { case (c, i) =>
+      (i, qn.indices.foldLeft(0.0) { (s2, j) =>
+        val d = c(j) - qn(j); s2 + d * d
+      })
+    }.sortBy(_._2).take(4).map(_._1).toSeq
+    val Seq(scanned, total) = idx.coded
+      .agg(sum(when(col("_cell").isin(probed: _*), 1L).otherwise(0L)),
+        count(lit(1))).collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+    require(scanned.toDouble / total < 0.6,
+      s"IVF-PQ pruning degenerate: $scanned of $total rows in 4/16 cells")
+    val ivfpq10 = hits.drop(1).map(_.getAs[Number](0).longValue).toSet
+    val brute10 = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10)
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    val recall = brute10.intersect(ivfpq10).size / 10.0
+    require(recall >= 0.3, f"IVF-PQ recall@10 $recall%.2f below 0.3 floor")
+    Seq((1, 1.0)).toDF("self_rank", "self_score")
+  }
+
+  val ann_ivfpq_verify_sql: String =
+    "SELECT CAST(1 AS INT) AS self_rank, CAST(1.0 AS DOUBLE) AS self_score"
 
   /** IVF verification (constant-row, hash-matched on its invariants): the
     * query's own vector must come back at rank 1 with score 1.0 — its

@@ -80,6 +80,32 @@ class PqSpec extends SparkSpec {
     })
   }
 
+  test("ivf-pq: exact duplicate lands in the probed cell and ranks first") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = (rows.dropRight(1) :+ (299L, rows.head._2))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.ivfPqIndex(df, "embedding", "vec_id",
+      nlist = 8, m = 8, k = 8)
+    // every row got a cell in [0, nlist) and m-byte codes
+    val cells = idx.coded.select("_cell").distinct()
+      .collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(idx.coded.select(length(col("_codes"))).distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(8))
+    // probing with row 0's vector finds both exact copies at the top:
+    // identical vectors share a cell (same nearest centroid), so cell
+    // pruning cannot separate them from the query
+    val q = rows.head._2.map(_.toDouble)
+    val top = Similarity.ivfPqTopK(idx, df, "embedding", "vec_id", q,
+      k = 2, nprobe = 2, shortlist = 50).collect()
+    assert(top.map(_.getLong(0)).toSet === Set(0L, 299L),
+      s"expected the exact duplicates at the top, got ${top.toSeq}")
+    assert(top.forall(_.getDouble(1) >= 1.0 - 1e-9))
+  }
+
   test("codes are m bytes regardless of dimension") {
     val df = (0L until 50L)
       .map(i => (i, Seq.fill(16)((i % 7).toFloat + 1f)))
