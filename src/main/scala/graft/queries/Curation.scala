@@ -998,6 +998,61 @@ object Curation {
        |   / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 6) AS bigram_jaccard
        |FROM g""".stripMargin
 
+  /** n-gram MINER cross-engine gate (hash-matched): the all-pairs
+    * gram-join mining shape itself — explode distinct word bigrams, self-
+    * join on the gram key, count intersections per pair, Jaccard from the
+    * inclusion-exclusion sizes — replicated in DuckDB with md5 gram keys
+    * (the production miner hashes grams with xxhash64, which DuckDB lacks;
+    * md5 swaps the hash, not the algorithm). Unlike `dedup_ngram_verify`'s
+    * fixed consecutive-pair set, this gate lets BOTH engines discover the
+    * pair set by mining, so the join-aggregate path that finds candidates
+    * at 100 TB is what's being pinned. Capped corpus + 0.4 threshold
+    * bound the oracle's quadratic pair blowup. */
+  def dedup_ngram_md5(s: SparkSession, dir: String): DataFrame = {
+    val norm = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 1200 && col("text").isNotNull)
+      .select(col("doc_id"), Dedup.normalized(col("text")).as("s"))
+    val toks = norm.select(col("doc_id"), Dedup.tokensOf(col("s")).as("w"))
+    val m1 = greatest(size(col("w")) - 1, lit(0))
+    val g = toks.select(col("doc_id"), explode(array_distinct(zip_with(
+        slice(col("w"), lit(1), m1), slice(col("w"), lit(2), m1),
+        (a, b) => concat(a, lit(" "), b)))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = g.as("a")
+      .join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedup_ngram_md5_sql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents
+       |           WHERE doc_id < 1200 AND text IS NOT NULL),
+       |w AS (SELECT doc_id, list_filter(string_split(s, ' '), x -> x != '') AS w
+       |      FROM n),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |        list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+       |          i -> md5(w[i] || ' ' || w[i + 1])))) AS g FROM w),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b, round(CAST(inter AS DOUBLE)
+       |    / (sa.n + sb.n - inter), 6) AS jaccard
+       |  FROM p JOIN sz sa ON sa.doc_id = id_a
+       |         JOIN sz sb ON sb.doc_id = id_b)
+       |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash estimator verification (hash-matched): exact char-5-shingle
     * Jaccard over the deterministic consecutive-doc pair set, reproduced
     * independently by DuckDB's list machinery. Before returning, the
@@ -1520,7 +1575,7 @@ object Curation {
     val q = queryVec(s, dir)
     Similarity.ivfPqTopK(ivfPqIndexFor(s, dir),
         emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q,
-        k = 10, nprobe = 4, shortlist = 101)
+        k = 10, nprobe = 6, shortlist = 301)
       .select(col("vec_id").cast("long").as("vec_id"), col("score"))
   }
 
@@ -1528,18 +1583,21 @@ object Curation {
     * (1) self-retrieval — the query row lands in a probed cell (its cell
     * is the nearest centroid by construction) and survives the ADC
     * shortlist to exact-re-rank rank 1 with score 1; (2) scan economy —
-    * the 4-of-16 probed cells must hold < 60% of the corpus (balanced
-    * cells would hold 25%; the bound catches a degenerate clustering
+    * the 6-of-16 probed cells must hold < 70% of the corpus (balanced
+    * cells would hold 37.5%; the bound catches a degenerate clustering
     * collapsing the pruning); (3) recall@10 vs brute-force cosine clears
-    * a 0.3 floor (cell pruning × code loss; measured 0.6-1.0 with the
-    * 101-row re-rank). */
+    * a 0.3 floor. The embeddings fixture is near-uniform on the sphere —
+    * the hardest case for cell pruning (true neighbors scatter across
+    * cells; measured recall 0.2 at nprobe=4/shortlist=101, 0.4-0.8 at
+    * nprobe=6/shortlist=301); clustered real corpora recall far higher
+    * at the same settings. */
   def ann_ivfpq_verify(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val idx = ivfPqIndexFor(s, dir)
     val q = queryVec(s, dir)
     val hits = Similarity.ivfPqTopK(idx, emb, "embedding", "vec_id", q,
-      k = 11, nprobe = 4, shortlist = 102).collect()
+      k = 11, nprobe = 6, shortlist = 302).collect()
     require(hits.nonEmpty && hits.head.getAs[Number](0).longValue == 0L &&
       hits.head.getDouble(1) >= 1.0 - 1e-9,
       s"IVF-PQ self-retrieval failed: ${hits.headOption}")
@@ -1551,12 +1609,12 @@ object Curation {
       (i, qn.indices.foldLeft(0.0) { (s2, j) =>
         val d = c(j) - qn(j); s2 + d * d
       })
-    }.sortBy(_._2).take(4).map(_._1).toSeq
+    }.sortBy(_._2).take(6).map(_._1).toSeq
     val Seq(scanned, total) = idx.coded
       .agg(sum(when(col("_cell").isin(probed: _*), 1L).otherwise(0L)),
         count(lit(1))).collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
-    require(scanned.toDouble / total < 0.6,
-      s"IVF-PQ pruning degenerate: $scanned of $total rows in 4/16 cells")
+    require(scanned.toDouble / total < 0.7,
+      s"IVF-PQ pruning degenerate: $scanned of $total rows in 6/16 cells")
     val ivfpq10 = hits.drop(1).map(_.getAs[Number](0).longValue).toSet
     val brute10 = Similarity.bruteForceTopK(
       emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10)
