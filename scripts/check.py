@@ -43,6 +43,9 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            # filtered Verify run (3rd arg): only dumped queries are checked
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()

@@ -75,6 +75,8 @@ object SparkEntry {
     ("dedup_ngram", Curation.dedup_ngram _, None),
     ("dedup_ngram_verify", Curation.dedup_ngram_verify _, Some(Curation.dedup_ngram_verify_sql)),
     ("dedup_ngram_md5", Curation.dedup_ngram_md5 _, Some(Curation.dedup_ngram_md5_sql)),
+    ("dedup_semantic", Curation.dedup_semantic _, None),
+    ("dedup_semantic_verify", Curation.dedup_semantic_verify _, Some(Curation.dedup_semantic_verify_sql)),
     ("dedup_embed", Curation.dedup_embed _, None),
     ("dedup_embed_md5", Curation.dedup_embed_md5 _, Some(Curation.dedup_embed_md5_sql)),
     ("dedup_embed_verify", Curation.dedup_embed_verify _, Some(Curation.dedup_embed_verify_sql)),

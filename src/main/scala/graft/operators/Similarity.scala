@@ -110,9 +110,14 @@ object Similarity {
       trainSampleCap: Int = 8192): IvfIndex = {
     import graft.functions.{VecExpressions, VecOps}
     import org.apache.spark.sql.catalyst.util.ArrayData
+    // deterministic sample keyed by xxhash64 of the PACKED vector bytes —
+    // content-addressed like the old to_json hash, but the pack kernel is
+    // a single byte-copy per row where to_json rendered every float to
+    // text (the former top cost of the whole ann_ivf gate)
     val sample = trainOn.getOrElse(df)
-      .select(col(vecCol).cast("array<double>").as("_v"),
-        xxhash64(to_json(struct(col(vecCol)))).as("_h"))
+      .select(col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_h", xxhash64(
+        graft.functions.VecExpressions.packVec(col("_v"))))
       .orderBy(col("_h")).limit(trainSampleCap)
       .select("_v").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "IVF training sample is empty")
@@ -415,6 +420,53 @@ object Similarity {
       .limit(shortlist)
       .select(col(idCol))
     bruteForceTopK(df.join(ids, idCol), vecCol, idCol, query, k)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    * semantic deduplication — k-means partitions the embedding space, and
+    * only WITHIN-cluster pairs are compared, so the quadratic pair work
+    * shrinks from n² to Σ|cell|² ≈ n²/nlist. That is the paper's exact
+    * cost model and the reason it runs at billion-document scale: nlist
+    * grows with the corpus (they use tens of thousands of cells) so the
+    * per-cell candidate set stays bounded, and cells compare in parallel
+    * with no cross-cell traffic. Returns the semantic-duplicate pairs
+    * (id_a < id_b, cosine ≥ tau) with their cosine; callers feed them to
+    * [[Dedup.clusterKeepOne]] for the keep-one-per-group step.
+    *
+    * Boundary caveat (the paper's too): a true near-pair split across two
+    * cells is missed — the recall price of the n²/nlist bound. The
+    * verify gate measures exactly that against the LSH miner's pairs. */
+  def semDedupPairs(df: DataFrame, vecCol: String, idCol: String,
+      tau: Double, nlist: Int = 16,
+      trainSampleCap: Int = 8192): DataFrame = {
+    import graft.functions.{VecExpressions, VecOps}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val nv = normalizedFrame(df, vecCol, idCol)
+    val sample = nv.orderBy(xxhash64(VecExpressions.packVec(col("_nv"))))
+      .limit(trainSampleCap)
+      .select("_nv").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "SemDeDup training sample is empty")
+    val coarse = lloyd(sample, nlist, iters = 10, seed = 11L)
+    val cLits = coarse.map(c => lit(VecOps.pack(ArrayData.toArrayData(c))))
+    val cNorm2 = coarse.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val packed = nv.withColumn("_p", VecExpressions.packVec(col("_nv")))
+    val candidates = cLits.zip(cNorm2).zipWithIndex.map { case ((cl, n2), j) =>
+      struct((lit(n2) - lit(2.0) * VecExpressions.packedDot(col("_p"), cl))
+        .as("d"), lit(j).as("j"))
+    }
+    val assigned = packed.select(col(idCol),
+      least(candidates: _*).getField("j").as("_cell"), col("_p"))
+    // within-cell pairs: equi-join on the cell id — normalized vectors
+    // make the packed dot the cosine directly
+    val a = assigned.select(col(idCol).as("id_a"), col("_cell"),
+      col("_p").as("_pa"))
+    val b = assigned.select(col(idCol).as("id_b"), col("_cell"),
+      col("_p").as("_pb"))
+    a.join(b, Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VecExpressions.packedDot(col("_pa"), col("_pb")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
   /** LSH-bucketed ANN with multi-probe: scan the query's bucket plus every

@@ -1627,6 +1627,82 @@ object Curation {
   val ann_ivfpq_verify_sql: String =
     "SELECT CAST(1 AS INT) AS self_rank, CAST(1.0 AS DOUBLE) AS self_score"
 
+  /** SemDeDup kept-set (rows-only): cluster-scoped semantic dedup
+    * (arXiv:2303.09540) — k-means cells bound the pairwise work to
+    * Σ|cell|² ≈ n²/nlist, within-cell cosine ≥ τ edges feed the same
+    * connected-components keep-one machinery the MinHash family uses.
+    * Output: (id, component, n_merged) for the kept rows. Invariants are
+    * pinned by `dedup_semantic_verify`. */
+  def dedup_semantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    Dedup.clusterKeepOne(emb, "vec_id", semPairsFor(s, dir), "id_a", "id_b")
+      .orderBy("id")
+  }
+
+  private val SemDedupTau = 0.4
+
+  /** Per-directory semantic-pair cache (same train-once/probe-many
+    * pattern as the index caches: the verify gate re-checks the SAME
+    * mined edge set the kept-set gate used, so mining runs once). */
+  private val semPairsCache =
+    new DirCache[DataFrame](CachedDirs, _.unpersist())
+
+  private def semPairsFor(s: SparkSession, dir: String): DataFrame =
+    semPairsCache.getOrElseUpdate(dir, {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val p = Similarity.semDedupPairs(emb, "embedding", "vec_id",
+        tau = SemDedupTau, nlist = 64).persist()
+      p.count()
+      p
+    })
+
+  /** SemDeDup verification (constant-row, hash-matched on its graph
+    * invariants, all required in-query):
+    * (1) conservation — Σ n_merged over kept rows equals the corpus size
+    * (every doc is represented exactly once);
+    * (2) independence — no mined ≥τ edge joins two KEPT docs (keep-one
+    * per component makes kept sets edge-free by construction; this
+    * re-checks it through the actual output);
+    * (3) coverage — every dropped doc is an endpoint of at least one
+    * mined edge (nothing vanishes without a recorded duplicate);
+    * (4) effectiveness — the fixture's near-dup corpus yields a nonzero
+    * drop count. */
+  def dedup_semantic_verify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val nDocs = emb.count()
+    val pairs = semPairsFor(s, dir)
+    val kept = Dedup.clusterKeepOne(emb, "vec_id", pairs, "id_a", "id_b")
+      .persist()
+    val merged = kept.agg(sum("n_merged")).head().getLong(0)
+    require(merged == nDocs,
+      s"SemDeDup conservation broken: $merged represented of $nDocs docs")
+    val keptIds = kept.select(col("id"))
+    val keptKeptEdges = pairs
+      .join(keptIds.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(keptIds.withColumnRenamed("id", "id_b"), Seq("id_b"))
+      .count()
+    require(keptKeptEdges == 0,
+      s"SemDeDup independence broken: $keptKeptEdges kept-kept edges")
+    val dropped = emb.select(col("vec_id").cast("long").as("id"))
+      .join(keptIds, Seq("id"), "left_anti")
+    val nDropped = dropped.count()
+    val uncovered = dropped.join(
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct(),
+      Seq("id"), "left_anti").count()
+    require(uncovered == 0,
+      s"SemDeDup coverage broken: $uncovered dropped docs have no edge")
+    require(nDropped > 0, "SemDeDup dropped nothing on the near-dup fixture")
+    kept.unpersist()
+    Seq((1, 1, 1, 1)).toDF("conservation", "independence", "coverage",
+      "effective")
+  }
+
+  val dedup_semantic_verify_sql: String =
+    "SELECT CAST(1 AS INT) AS conservation, CAST(1 AS INT) AS independence, " +
+      "CAST(1 AS INT) AS coverage, CAST(1 AS INT) AS effective"
+
   /** IVF verification (constant-row, hash-matched on its invariants): the
     * query's own vector must come back at rank 1 with score 1.0 — its
     * cell is by definition among the probed ones — and recall@10 vs brute

@@ -116,6 +116,23 @@ class PlanSpec extends SparkSpec {
       s"join not keyed on the band struct:\n${joinLine.getOrElse(p.take(1500))}")
   }
 
+  test("dedup_semantic: within-cell pairing is a cell-keyed equi-join") {
+    // SemDeDup's scale contract is that pair work is bounded by the cell
+    // partition — a plan regression to a cross join is the O(n²) failure
+    // the clustering exists to prevent
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+    val p = plan(graft.operators.Similarity.semDedupPairs(
+      emb, "embedding", "vec_id", tau = 0.4, nlist = 8))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"semantic pairing fell back to a pair scan:\n${p.take(2000)}")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joinLine.exists(_.contains("_cell")),
+      s"pairing not keyed on the cell id:\n${joinLine.getOrElse(p.take(1500))}")
+  }
+
   test("q_range_join: interval containment via banded equi-join, no pair scan") {
     val p = plan(Temporal.q_range_join(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
