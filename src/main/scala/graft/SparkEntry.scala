@@ -102,6 +102,8 @@ object SparkEntry {
     ("txt_redact", Curation.txt_redact _, Some(Curation.txt_redact_sql)),
     ("txt_repetition", Curation.txt_repetition _, Some(Curation.txt_repetition_sql)),
     ("txt_normalize", Curation.txt_normalize _, Some(Curation.txt_normalize_sql)),
+    ("q_split", Curation.q_split _, Some(Curation.q_split_sql)),
+    ("corpus_profile", Curation.corpus_profile _, Some(Curation.corpus_profile_sql)),
     ("txt_bm25", Curation.txt_bm25 _, Some(Curation.txt_bm25_sql)),
     ("txt_vocab", Curation.txt_vocab _, Some(Curation.txt_vocab_sql)),
     ("txt_quantile_filter", Curation.txt_quantile_filter _, Some(Curation.txt_quantile_filter_sql)),

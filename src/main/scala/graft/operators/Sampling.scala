@@ -51,6 +51,29 @@ object Sampling {
     df.filter(hashKey(idCol) < thr) // null threshold (unlisted class) drops
   }
 
+  /** Deterministic train/val/test split: the md5 key of (seed ‖ id) maps
+    * every row to ONE stable split — no `rand()`, so assignment survives
+    * reruns, task retries, repartitioning, and engine changes (the leak
+    * that random splits cause: a retried task re-rolls and a val doc
+    * silently lands in train). Fractions quantize to the 1/65536
+    * hex-prefix grid like [[sampleByHash]]; val takes [0, valThr), test
+    * takes [valThr, valThr+testThr), train the rest. Adds `split`. */
+  def hashSplit(df: DataFrame, idCol: Column, valFrac: Double,
+      testFrac: Double, seed: Long = 0L): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1.0,
+      s"val+test fractions must fit in [0,1]: $valFrac + $testFrac")
+    val hk = substring(
+      md5(concat(lit(seed.toString), lit("|"), idCol.cast("string"))), 1, 4)
+    val vq = math.ceil(valFrac * 65536).toLong
+    val tq = math.ceil(testFrac * 65536).toLong
+    val vThr = f"$vq%04x"
+    val tThr = if (vq + tq >= 65536L) "g" else f"${vq + tq}%04x"
+    df.withColumn("split",
+      when(hk < lit(vThr), lit("val"))
+        .when(hk < lit(tThr), lit("test"))
+        .otherwise(lit("train")))
+  }
+
   /** Deterministic global training-order shuffle. Feeding a corpus to a
     * trainer in storage order biases every batch (one crawl, one domain);
     * the fix is a reproducible global permutation: order by md5(seed‖id).

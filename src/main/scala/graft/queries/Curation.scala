@@ -178,6 +178,59 @@ object Curation {
        |        nfc_normalize(text || ' caf''e' || chr(769) || '''') AS nfc
        |      FROM documents WHERE text IS NOT NULL)""".stripMargin
 
+  /** Deterministic train/val/test split (hash-matched): md5(seed‖id)
+    * assigns every document to one stable split — the no-rand() property
+    * that keeps a retried task from silently leaking a val doc into
+    * train. The gate checks the per-split census (count, id sum, id
+    * bounds) so a single reassigned doc flips the hash. */
+  def q_split(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(
+        Tables.load(s, dir, "documents"), col("doc_id"),
+        valFrac = 0.1, testFrac = 0.1, seed = 42L)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+
+  val q_split_sql: String = {
+    def thr(q: Long) = f"$q%04x"
+    val vq = math.ceil(0.1 * 65536).toLong
+    s"""WITH k AS (SELECT doc_id,
+       |  substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+       |  FROM documents),
+       |a AS (SELECT doc_id, CASE
+       |  WHEN hk < '${thr(vq)}' THEN 'val'
+       |  WHEN hk < '${thr(2 * vq)}' THEN 'test'
+       |  ELSE 'train' END AS split FROM k)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM a GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  /** Corpus profile report (hash-matched): the per-language census a
+    * curation run opens with — doc counts, char volume, quality mass,
+    * distinct sources. One partial-aggregated groupBy over a narrow
+    * projection; integer sums only, so both engines agree bit-exactly. */
+  def corpus_profile(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"),
+        sum(TextAnalysis.qualityScore(col("text"))).as("quality_sum"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  val corpus_profile_sql: String =
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       |  CAST(sum(${TextAnalysis.qualityScoreSql("text")}) AS BIGINT)
+       |    AS quality_sum,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** BM25 keyword scoring over the corpus, hash-matched. Uses the
     * rational-idf variant ([[graft.operators.CorpusStats.bm25]]
     * `lnIdf = false`): every arithmetic step is then +,×,÷ over
@@ -1650,8 +1703,14 @@ object Curation {
   private def semPairsFor(s: SparkSession, dir: String): DataFrame =
     semPairsCache.getOrElseUpdate(dir, {
       val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      // nlist scales with the corpus (the paper uses tens of thousands of
+      // cells at billion scale); on the ≤2k-vector fixtures 16 cells keep
+      // the pair work trivial while the codegen'd 16-candidate argmin tree
+      // (one 512 B centroid literal per candidate) compiles 4× faster
+      // than a 64-candidate one — at this size Janino, not the data, is
+      // the cost
       val p = Similarity.semDedupPairs(emb, "embedding", "vec_id",
-        tau = SemDedupTau, nlist = 64).persist()
+        tau = SemDedupTau, nlist = 16).persist()
       p.count()
       p
     })

@@ -47,6 +47,28 @@ class SamplingSpec extends SparkSpec {
     assert(stratA === uniformA)
   }
 
+  test("hashSplit: exhaustive, disjoint, deterministic, ~right sizes") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("id")
+    val out = Sampling.hashSplit(df, col("id"), valFrac = 0.1,
+      testFrac = 0.2, seed = 7L)
+    val byS = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands in exactly one split (adds a column, drops nothing)
+    assert(byS.values.sum === 5000L)
+    assert(math.abs(byS("val") - 500) < 120, s"~10%: ${byS("val")}")
+    assert(math.abs(byS("test") - 1000) < 160, s"~20%: ${byS("test")}")
+    // a rerun assigns every id identically (the no-rand() contract)
+    val a1 = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = Sampling.hashSplit(df, col("id"), 0.1, 0.2, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 === a2)
+    // a different seed reassigns (the split is seed-keyed, not id-fixed)
+    val a3 = Sampling.hashSplit(df, col("id"), 0.1, 0.2, seed = 8L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 !== a3)
+  }
+
   test("rebalanceByCaps pins exact per-class counts, keeps unlisted classes whole") {
     import spark.implicits._
     val df = ((1L to 100L).map(i => (i, "en")) ++
