@@ -52,6 +52,28 @@ object VecOps {
     s
   }
 
+  /** Element-wise difference of two packed vectors (a − b). Lengths must
+    * match exactly: a silent min-length walk would return a residual of
+    * the wrong dimension and poison a PQ codebook downstream. */
+  def sub(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length && a.length % 8 == 0,
+      s"packed_sub: lengths ${a.length} / ${b.length} must match (8-byte elems)")
+    val n = a.length / 8
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < n) {
+      val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8L * i
+      org.apache.spark.unsafe.Platform.putLong(out, off,
+        java.lang.Double.doubleToLongBits(
+          java.lang.Double.longBitsToDouble(
+            org.apache.spark.unsafe.Platform.getLong(a, off)) -
+          java.lang.Double.longBitsToDouble(
+            org.apache.spark.unsafe.Platform.getLong(b, off))))
+      i += 1
+    }
+    out
+  }
+
   /** Driver-side pack of a plain double array (query vectors). */
   def packDoubles(arr: Array[Double]): Array[Byte] = {
     val out = new Array[Byte](arr.length * 8)
@@ -134,6 +156,26 @@ case class PackedDot(left: Expression, right: Expression)
   override def prettyName: String = "packed_dot"
 }
 
+/** `packed_sub(binary, binary) -> binary` — element-wise a − b over packed
+  * doubles; the residual kernel for IVF-PQ (v − centroid(cell)). */
+case class PackedSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"packed_sub requires (BINARY, BINARY), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.sub(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.sub($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PackedSub = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "packed_sub"
+}
+
 /** `packed_sketch(binary) -> bigint` — see VecOps.hyperplaneSketch. */
 case class PackedSketch(child: Expression, planes: Int, seed: Int)
     extends UnaryExpression {
@@ -162,6 +204,10 @@ object VecExpressions {
   /** Dot product of two packed-binary vector columns. */
   def packedDot(a: Column, b: Column): Column =
     column(PackedDot(expression(a), expression(b)))
+
+  /** Element-wise difference (a − b) of two packed-binary vector columns. */
+  def packedSub(a: Column, b: Column): Column =
+    column(PackedSub(expression(a), expression(b)))
 
   /** Hyperplane sketch of a packed-binary vector column. */
   def packedSketch(c: Column, planes: Int, seed: Int = 0): Column =

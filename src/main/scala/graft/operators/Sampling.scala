@@ -66,7 +66,7 @@ object Sampling {
       md5(concat(lit(seed.toString), lit("|"), idCol.cast("string"))), 1, 4)
     val vq = math.ceil(valFrac * 65536).toLong
     val tq = math.ceil(testFrac * 65536).toLong
-    val vThr = f"$vq%04x"
+    val vThr = if (vq >= 65536L) "g" else f"$vq%04x"
     val tThr = if (vq + tq >= 65536L) "g" else f"${vq + tq}%04x"
     df.withColumn("split",
       when(hk < lit(vThr), lit("val"))

@@ -144,14 +144,7 @@ object Similarity {
     * nearest the query (driver-side centroid distance: nlist × dim). */
   def ivfProbe(idx: IvfIndex, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame = {
-    val probes = idx.centroids.zipWithIndex
-      .map { case (arr, i) =>
-        val d = query.indices.map(j => {
-          val diff = arr(j) - query(j); diff * diff
-        }).sum
-        (i, d)
-      }
-      .sortBy(_._2).take(nprobe).map(_._1)
+    val probes = probedCells(idx.centroids, query, nprobe)
     idx.assigned.filter(col("_cell").isin(probes: _*))
       .select(col(idCol), packedScore(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
@@ -341,13 +334,41 @@ object Similarity {
     * to `nprobe`-of-`nlist` cells, PQ codes score the survivors at m bytes
     * each, and an exact re-rank fixes the shortlist. At 100 TB the probe
     * touches (nprobe/nlist) × (m/8dim) of the corpus bytes — cell pruning
-    * and code compression MULTIPLY. This is the direct-encoding variant
-    * (codes quantize the normalized vector, not the residual to its cell
-    * centroid): one shared codebook instead of per-cell tables keeps the
-    * ADC literal small, and the exact re-rank stage restores the recall a
-    * residual encoder would have bought. */
+    * and code compression MULTIPLY. Codes quantize the RESIDUAL to the
+    * assigned cell centroid (v − c), the faiss default: within a cell the
+    * residual distribution is tight around zero, so one shared codebook
+    * over residuals has far less variance to cover than one over raw
+    * vectors — smaller quantization error, better ADC shortlists. The ADC
+    * table stays a single m×k literal (built from the query, independent
+    * of the cell); only a per-cell scalar dot(q, c) is added back at probe
+    * time so scores estimate the true inner product dot(q, v). */
   final case class IvfPqIndex(centroids: Array[Array[Double]],
       codebook: Array[Byte], m: Int, k: Int, coded: DataFrame)
+
+  /** The `nprobe` cells a query scans: squared-L2 distance to every
+    * coarse centroid, ascending, ties broken by cell id (stable sort).
+    * SHARED by the probe paths and the verify gates, so a scan-economy
+    * check always measures exactly the cell set the probe touched — a
+    * private reimplementation could silently diverge on probe order or
+    * tie-breaks. Pass the query in the same space the centroids were
+    * trained in (normalized for IVF-PQ, raw for IVF). */
+  def probedCells(centroids: Array[Array[Double]], query: Seq[Double],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      (i, query.indices.foldLeft(0.0) { (s, j) =>
+        val d = c(j) - query(j); s + d * d
+      })
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+
+  /** [[probedCells]] for an IvfPqIndex: normalizes the raw query exactly
+    * like [[ivfPqTopK]] before ranking centroids. */
+  def probedCells(idx: IvfPqIndex, query: Seq[Double],
+      nprobe: Int): Seq[Int] = {
+    val qn = math.sqrt(query.foldLeft(0.0)((s, x) => s + x * x))
+    require(qn > 0 && java.lang.Double.isFinite(qn),
+      s"query vector must have a finite positive norm (got $qn)")
+    probedCells(idx.centroids, query.map(_ / qn), nprobe)
+  }
 
   /** Train both quantizers on ONE deterministic driver-side sample (the
     * faiss `train()` shape — see [[ivfIndex]]/[[pqIndex]] for why driver
@@ -370,35 +391,61 @@ object Similarity {
       .select("_nv").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "IVF-PQ training sample is empty")
     val coarse = lloyd(sample, nlist, iters = 10, seed = 7L)
+    // residuals to the assigned coarse cell (driver-side argmin over the
+    // SAME sample): the PQ codebook is trained on what it will encode
+    val resid = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - coarse(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val r = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - coarse(best)(i); i += 1 }
+      r
+    }
     val centroids = new Array[Double](m * k * sub)
     for (j <- 0 until m) {
-      val pts = sample.map(v =>
+      val pts = resid.map(v =>
         java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
       val cs = lloyd(pts, k, iters = 10, seed = 42L + j)
       for (c <- 0 until k; i <- 0 until sub)
         centroids((j * k + c) * sub + i) = cs(c)(i)
     }
     val cb = VecOps.packDoubles(centroids)
-    val cLits = coarse.map(c => lit(VecOps.pack(ArrayData.toArrayData(c))))
+    val centBins = coarse.map(c => lit(VecOps.pack(ArrayData.toArrayData(c))))
     val cNorm2 = coarse.map(_.foldLeft(0.0)((a, x) => a + x * x))
     val packed = normalizedFrame(df, vecCol, idCol)
       .withColumn("_p", VecExpressions.packVec(col("_nv")))
     // argmin over nlist struct candidates — least() is one expression node
     // (a when() fold would duplicate the accumulator subtree; see ivfIndex)
-    val candidates = cLits.zip(cNorm2).zipWithIndex.map { case ((cl, n2), j) =>
+    val candidates = centBins.zip(cNorm2).zipWithIndex.map { case ((cl, n2), j) =>
       struct((lit(n2) - lit(2.0) * VecExpressions.packedDot(col("_p"), cl))
         .as("d"), lit(j).as("j"))
     }
-    val coded = packed.select(col(idCol),
-      least(candidates: _*).getField("j").as("_cell"),
-      PqExpressions.pqEncode(col("_p"), lit(cb), m, k).as("_codes"))
+    // _cell lands in its own projection so the encode expression references
+    // the attribute, not a duplicated argmin subtree; the residual subtract
+    // and the encode are one codegen'd kernel chain per row — still a
+    // SINGLE distributed scan assigning cells AND emitting codes
+    val coded = packed
+      .withColumn("_cell", least(candidates: _*).getField("j"))
+      .select(col(idCol), col("_cell"),
+        PqExpressions.pqEncode(
+          VecExpressions.packedSub(col("_p"),
+            element_at(array(centBins: _*), col("_cell") + 1)),
+          lit(cb), m, k).as("_codes"))
     IvfPqIndex(coarse, cb, m, k, coded)
   }
 
   /** Probe an IvfPqIndex: nprobe nearest cells (driver-side centroid
     * distances, nlist × dim flops) → ADC shortlist over the codes in those
     * cells only → exact cosine re-rank of the shortlist against the raw
-    * vectors. */
+    * vectors. Residual scoring: codes approximate r̂ ≈ v − c, so
+    * dot(q, v) ≈ dot(q, c) + ADC(codes) — the per-cell constant dot(q, c)
+    * is added back so shortlist scores stay comparable ACROSS cells. */
   def ivfPqTopK(idx: IvfPqIndex, df: DataFrame, vecCol: String,
       idCol: String, query: Seq[Double], k: Int, nprobe: Int = 4,
       shortlist: Int = 100): DataFrame = {
@@ -407,15 +454,15 @@ object Similarity {
     require(qn > 0 && java.lang.Double.isFinite(qn),
       s"query vector must have a finite positive norm (got $qn)")
     val q = query.map(_ / qn).toArray
-    val probes = idx.centroids.zipWithIndex.map { case (c, i) =>
-      (i, q.indices.foldLeft(0.0) { (s, j) =>
-        val d = c(j) - q(j); s + d * d
-      })
-    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    val probes = probedCells(idx.centroids, q.toSeq, nprobe)
     val table = PqOps.adcTable(q, idx.codebook, idx.m, idx.k)
+    val qDotC = idx.centroids.map(c =>
+      c.indices.foldLeft(0.0)((s, j) => s + q(j) * c(j)))
+    val cellConst = element_at(array(qDotC.map(lit(_)): _*), col("_cell") + 1)
     val ids = idx.coded.filter(col("_cell").isin(probes: _*))
       .select(col(idCol),
-        PqExpressions.pqAdc(col("_codes"), lit(table), idx.k).as("_adc"))
+        (PqExpressions.pqAdc(col("_codes"), lit(table), idx.k) + cellConst)
+          .as("_adc"))
       .orderBy(col("_adc").desc, col(idCol))
       .limit(shortlist)
       .select(col(idCol))

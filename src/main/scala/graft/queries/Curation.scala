@@ -158,8 +158,11 @@ object Curation {
   def txt_normalize(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.NfcNormalize.nfcNormalize
     val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    // \u0301 = COMBINING ACUTE: kept as an explicit escape so an
+    // editor/tool that NFC-normalizes source files cannot silently turn
+    // the suffix into precomposed bytes and defeat the gate.
     val aug = docs.withColumn("_nfc",
-      nfcNormalize(concat(col("text"), lit(" caf'é'"))))
+      nfcNormalize(concat(col("text"), lit(" caf'e\u0301'"))))
     val clean = trim(regexp_replace(
       regexp_replace(col("_nfc"), "[\\x00-\\x1f\\x7f]", " "), " +", " "))
     aug.select(col("doc_id"),
@@ -1654,15 +1657,10 @@ object Curation {
     require(hits.nonEmpty && hits.head.getAs[Number](0).longValue == 0L &&
       hits.head.getDouble(1) >= 1.0 - 1e-9,
       s"IVF-PQ self-retrieval failed: ${hits.headOption}")
-    val qn = {
-      val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
-      q.map(_ / n)
-    }
-    val probed = idx.centroids.zipWithIndex.map { case (c, i) =>
-      (i, qn.indices.foldLeft(0.0) { (s2, j) =>
-        val d = c(j) - qn(j); s2 + d * d
-      })
-    }.sortBy(_._2).take(6).map(_._1).toSeq
+    // SHARED probe-selection (Similarity.probedCells): the scan-economy
+    // check below must measure exactly the cell set ivfPqTopK scanned —
+    // a local reimplementation could silently diverge on order/tie-breaks
+    val probed = Similarity.probedCells(idx, q, 6)
     val Seq(scanned, total) = idx.coded
       .agg(sum(when(col("_cell").isin(probed: _*), 1L).otherwise(0L)),
         count(lit(1))).collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
