@@ -15,6 +15,39 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // CONTENTION GATE (r6 task #1, r7 task #2): four consecutive rounds the
+    // official bench artifact carried 2-5× slower numbers than a quiet-box
+    // rerun of the identical tree, because something else (the driver's own
+    // verify/test activity) was burning the CPUs during the run. Refuse to
+    // start while the 1-min load average is high: retry up to 6×20 s, then
+    // proceed but self-identify as contended in the JSON. The artifact also
+    // stamps system-vs-process CPU (from /proc/stat) so a contended run is
+    // provable from the artifact alone, not by a judge rerun.
+    val osBean0 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0").toDouble
+    var waitAttempts = 0
+    while (osBean0.getSystemLoadAverage > loadGate && waitAttempts < 6) {
+      System.err.println(f"BENCH: load ${osBean0.getSystemLoadAverage}%.1f > " +
+        f"$loadGate%.1f — waiting 20 s for a quiet box (${waitAttempts + 1}/6)")
+      Thread.sleep(20000)
+      waitAttempts += 1
+    }
+    val loadAvgStart = osBean0.getSystemLoadAverage
+    val contendedStart = loadAvgStart > loadGate
+    // total system CPU jiffies (all cores, user+nice+sys+irq+...; excludes
+    // idle+iowait) — delta/USER_HZ over the run minus our own process CPU
+    // is the external CPU burn that explains any slow reading
+    def systemCpuJiffies: Long =
+      try {
+        val l = java.nio.file.Files.readAllLines(
+          java.nio.file.Path.of("/proc/stat")).get(0)
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        f.sum - f(3) - (if (f.length > 4) f(4) else 0L) // minus idle, iowait
+      } catch { case _: Exception => -1L }
+    val sysJiffies0 = systemCpuJiffies
+    val procCpu0 = osBean0.asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime
+    val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -184,10 +217,25 @@ object Bench {
     val ingestRate = if (ingestSec > 0) ingestMib / ingestSec else 0.0
     val xlRate = if (xlSec > 0) xlMib / xlSec else 0.0
     val manyRate = if (manySec > 0) manyMib / manySec else 0.0
+    // contention self-report: wall seconds, our CPU seconds, everyone's CPU
+    // seconds — external_cpu_sec >> 0 means the box was NOT quiet and the
+    // timings are suspect without needing a rerun to prove it
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val procCpuSec = (osBean.getProcessCpuTime - procCpu0) / 1e9
+    val sysJiffies1 = systemCpuJiffies
+    val sysCpuSec =
+      if (sysJiffies0 < 0 || sysJiffies1 < 0) -1.0
+      else (sysJiffies1 - sysJiffies0) / 100.0 // USER_HZ=100
+    val extCpuSec = if (sysCpuSec < 0) -1.0 else sysCpuSec - procCpuSec
+    val loadAvgEnd = osBean.getSystemLoadAverage
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"n_errors":${errors.size},""" +
       s""""gc_ms":$gq,"gc_ms_total":${gcs.values.sum},""" +
+      s""""wall_sec":$wallSec,""" +
+      s""""system_cpu_sec":$sysCpuSec,"external_cpu_sec":$extCpuSec,""" +
+      s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,""" +
+      s""""contended_start":$contendedStart,"load_wait_attempts":$waitAttempts,""" +
       s""""process_cpu_sec":${osBean.getProcessCpuTime / 1e9},""" +
       s""""ingest_mib":$ingestMib,"ingest_sec":$ingestSec,""" +
       s""""ingest_mib_per_sec":$ingestRate,""" +
@@ -208,12 +256,24 @@ object Bench {
       f""""ingest_mib_per_sec":$ingestRate%.1f,""" +
       f""""ingest_xl_mib_per_sec":$xlRate%.1f,""" +
       f""""ingest_many_mib_per_sec":$manyRate%.1f,""" +
+      f""""external_cpu_sec":$extCpuSec%.0f,"contended_start":$contendedStart,""" +
       f""""queries":$top5,"sf":"$sfDir"}"""
     println(detail)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("target", "bench_last.json"), detail + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"BENCH: bench_last.json write failed: $e") }
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of("target", "bench_last.json"), detail + "\n")
+      // never-clobbered per-run archive: the official round artifact has
+      // twice been overwritten by a later rerun of bench_last.json — every
+      // run now ALSO lands in target/bench_history/ keyed by UTC time
+      val hist = java.nio.file.Path.of("target", "bench_history")
+      java.nio.file.Files.createDirectories(hist)
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss")
+        .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+      java.nio.file.Files.writeString(
+        hist.resolve(s"bench-$stamp.json"), detail + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"BENCH: bench archive write failed: $e") }
     println(headline) // LAST line: always inside any bounded tail capture
     if (errors.nonEmpty) System.err.println(
       s"BENCH: ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -52,7 +52,8 @@ object EventStream {
       }
     }
     val events = spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ts",
+        timestamp_micros(graft.util.Tables.tsMicros(schema("ts").dataType)))
     val agg = events
       .withWatermark("ts_ts", "1 minute")
       .groupBy(window(col("ts_ts"), s"$windowMinutes minutes"), col("event_type"))
@@ -91,7 +92,8 @@ object EventStream {
     }
     val deduped = spark.readStream.schema(base.schema)
       .parquet(dupDir.getAbsolutePath)
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ts",
+        timestamp_micros(graft.util.Tables.tsMicros(base.schema("ts").dataType)))
       .withWatermark("ts_ts", "1 minute")
       .dropDuplicates("event_id")
     val q = deduped.select("event_id", "event_type", "value").writeStream
