@@ -2335,7 +2335,11 @@ object Curation {
     * between dedup and decontamination — both downstream branches read
     * them, and the stage boundary is where a 100 TB run would
     * materialize regardless. */
-  def curation_pipeline(s: SparkSession, dir: String): DataFrame = {
+  /** Stages 1-3 of [[curation_pipeline]] as one un-materialized plan —
+    * split out so PlanSpec can assert the no-payload-in-exchange property
+    * of the ACTUAL composed plan (the pipeline checkpoints it, which hides
+    * the stage from the final query's explain). */
+  private[graft] def curationDedupedPlan(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
     // 1. repetition cleanup (quality judges the RAW doc; cleanup feeds
     //    everything downstream)
@@ -2347,16 +2351,26 @@ object Curation {
         TextAnalysis.qualityScore(col("text")) >= 80)
       .select(col("doc_id"), col("ctext"))
     // 3. exact dedup on the cleaned content fingerprint (keep lowest id).
-    // Scratch-checkpoint the survivors (same idiom as dedup_ngram): the
-    // lineage up to here carries the expensive quality/lang expressions,
-    // and BOTH the decontam subquery and the survivors branch consume it —
-    // without the barrier the whole stack runs twice (measured 7.2 s →
-    // 3.6 s at sf0.1). At 100 TB this is the stage boundary you would
-    // materialize anyway.
-    val dedupedPlan = Dedup.exact(
+    // Payload-light: loser doc_ids are mined on a narrow (fp, doc_id)
+    // projection and anti-joined out, so ctext never crosses an exchange
+    // (doc_id is unique — same keep-lowest semantics; PlanSpec pins the
+    // no-text-in-exchange property). The price is a second evaluation of
+    // the cleanup/quality lineage for the narrow pass — cheap codegen —
+    // versus shuffling every surviving document's bytes, the term that
+    // dominates at 100 TB.
+    Dedup.exactPayloadLight(
         kept.withColumn("fp", Dedup.fingerprint(col("ctext"))),
         col("fp"), col("doc_id"))
       .select(col("doc_id"), col("ctext"))
+  }
+
+  def curation_pipeline(s: SparkSession, dir: String): DataFrame = {
+    // Scratch-checkpoint the dedup survivors (same idiom as dedup_ngram):
+    // BOTH the decontam subquery and the survivors branch consume them —
+    // without the barrier the whole upstream stack runs twice per branch
+    // (measured 7.2 s → 3.6 s at sf0.1). At 100 TB this is the stage
+    // boundary you would materialize regardless.
+    val dedupedPlan = curationDedupedPlan(s, dir)
     val scratch = new java.io.File(new java.io.File("target", "qtmp"),
       s"curation_dedup_${math.abs(dir.hashCode)}")
     dedupedPlan.write.mode("overwrite").parquet(scratch.getAbsolutePath)

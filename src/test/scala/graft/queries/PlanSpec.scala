@@ -102,6 +102,26 @@ class PlanSpec extends SparkSpec {
       s"anti-join not broadcast at small SF:\n${fmt.take(2000)}")
   }
 
+  test("curation_pipeline dedup stage: no text column crosses an exchange") {
+    // the composed cleanup→filter→payload-light-dedup plan (the part the
+    // pipeline scratch-checkpoints): loser mining shuffles only the
+    // (fp, doc_id) projection — neither raw text nor cleaned ctext may
+    // appear in ANY Exchange input, or a 100 TB run shuffles the corpus
+    val df = graft.queries.Curation.curationDedupedPlan(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val nodes = fmt.split("\n\n")
+    val exchanges = nodes.filter(_.linesIterator.toSeq.headOption
+      .exists(h => h.matches("""\(\d+\) Exchange.*""")))
+    assert(exchanges.nonEmpty, s"no Exchange nodes found in:\n${fmt.take(2000)}")
+    for (e <- exchanges) {
+      val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#") && !input.contains("ctext#"),
+        s"document bytes cross a shuffle exchange:\n$e")
+    }
+  }
+
   test("dedup_minhash_md5: banded equi-join, never a nested-loop pair scan") {
     // the cross-engine miner must keep the production miner's banded
     // shape: an OR-of-band-equalities condition would silently plan as
