@@ -77,6 +77,7 @@ object SparkEntry {
     ("dedup_ngram_md5", Curation.dedup_ngram_md5 _, Some(Curation.dedup_ngram_md5_sql)),
     ("dedup_semantic", Curation.dedup_semantic _, None),
     ("dedup_semantic_verify", Curation.dedup_semantic_verify _, Some(Curation.dedup_semantic_verify_sql)),
+    ("dedup_semantic_md5", Curation.dedup_semantic_md5 _, Some(Curation.dedup_semantic_md5_sql)),
     ("dedup_embed", Curation.dedup_embed _, None),
     ("dedup_embed_md5", Curation.dedup_embed_md5 _, Some(Curation.dedup_embed_md5_sql)),
     ("dedup_embed_verify", Curation.dedup_embed_verify _, Some(Curation.dedup_embed_verify_sql)),
@@ -85,6 +86,7 @@ object SparkEntry {
     ("ann_lsh_md5", Curation.ann_lsh_md5 _, Some(Curation.ann_lsh_md5_sql)),
     ("ann_ivf", Curation.ann_ivf _, None),
     ("ann_ivf_verify", Curation.ann_ivf_verify _, Some(Curation.ann_ivf_verify_sql)),
+    ("ann_ivf_md5", Curation.ann_ivf_md5 _, Some(Curation.ann_ivf_md5_sql)),
     ("emb_cluster", Curation.emb_cluster _, Some(Curation.emb_cluster_sql)),
     ("ann_pq", Curation.ann_pq _, None),
     ("ann_pq_verify", Curation.ann_pq_verify _, Some(Curation.ann_pq_verify_sql)),

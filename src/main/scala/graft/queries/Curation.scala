@@ -1786,6 +1786,144 @@ object Curation {
   val ann_ivf_verify_sql: String =
     "SELECT CAST(1 AS INT) AS self_rank, CAST(1.0 AS DOUBLE) AS self_score"
 
+  /** Quantized centroid literals of the shared trained IVF index —
+    * floor(c·1000) per component, the same integer quantization the other
+    * md5 twins use for vectors. Set when an exporting gate runs; read by
+    * the data-dependent oracle SQL defs below. Verify dumps oracle_sql.json
+    * AFTER running every query, so by dump time the literals match the
+    * index the gates actually probed (k-means is deterministic: fixed
+    * seed, content-addressed sample). */
+  @volatile private var ivfCentroidsZ: Option[Seq[Seq[Long]]] = None
+
+  private def ivfCentroidsZFor(s: SparkSession, dir: String): Seq[Seq[Long]] = {
+    val cz = ivfIndexFor(s, dir).centroids
+      .map(_.map(x => math.floor(x * 1000).toLong).toSeq).toSeq
+    ivfCentroidsZ = Some(cz)
+    cz
+  }
+
+  /** Exact quantized cell assignment against exported centroid literals:
+    * `_q` = floor(v·1000) per component (long), cell = argmin_j of the
+    * integer L2 distance Σ(q_d − cz_jd)², ties to the lowest j — pure
+    * integer arithmetic, order-independent, so DuckDB derives bit-equal
+    * cells from the same literals. least() over (dist, j) structs keeps
+    * the argmin ONE expression node. */
+  private def quantizedCells(emb: DataFrame, cz: Seq[Seq[Long]]): DataFrame = {
+    val withQ = emb.select(col("vec_id"), col("embedding"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000).cast("long")).as("_q"))
+    val candidates = cz.zipWithIndex.map { case (c, j) =>
+      struct(aggregate(zip_with(col("_q"), typedlit(c),
+          (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
+        lit(j).as("j"))
+    }
+    withQ.withColumn("_cell", least(candidates: _*).getField("j"))
+  }
+
+  /** DuckDB CTEs shared by the two centroid-literal twins: cent(cell, cz)
+    * from a VALUES list of the exported literals; per-row quantization and
+    * the same integer argmin via a ROW_NUMBER over (dist, cell). */
+  private def centroidSqlCtes(cz: Seq[Seq[Long]]): String = {
+    val values = cz.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.mkString("[", ",", "]")})" }
+      .mkString(",\n       ")
+    s"""cent AS (SELECT * FROM (VALUES
+       $values) t(cell, cz)),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       qz AS (SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x*1000) AS BIGINT)) AS q FROM e),
+       d AS (SELECT vec_id, v, q, cell, CAST(list_sum(
+           list_transform(range(1, len(q)+1),
+             i -> (q[i]-cz[i])*(q[i]-cz[i]))) AS BIGINT) AS dist
+         FROM qz CROSS JOIN cent),
+       a AS (SELECT vec_id, v, q, cell, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+         FROM d)"""
+  }
+
+  /** IVF probe, HASH-MATCHED end-to-end against DuckDB — the cross-engine
+    * twin of `ann_ivf` (whose quality gate stays `ann_ivf_verify`'s recall
+    * floor). The REAL trained centroids are exported as quantized literals
+    * into the oracle SQL (the `dedup_ngram_md5` trick), so both engines
+    * run the full IVF probe shape with their own machinery: quantize →
+    * integer-argmin cell assignment → probe the 4 cells nearest the query
+    * by the same integer metric → cosine-rank the candidate cells' rows
+    * (rounded 9 dp, the portability `ann_topk` pins). Proves the
+    * assign→prune→scan→rank pipeline cross-engine, not just an invariant
+    * of it. */
+  def ann_ivf_md5(s: SparkSession, dir: String): DataFrame = {
+    val cz = ivfCentroidsZFor(s, dir)
+    val cells = quantizedCells(Tables.load(s, dir, "embeddings"), cz)
+    // probed cells: integer centroid distance of the query's quantized
+    // vector — driver-side (nlist×dim flops), bit-equal to the oracle's
+    // rk<=4 because the arithmetic is exact
+    val qz = queryVec(s, dir).map(x => math.floor(x * 1000).toLong)
+    val probed = cz.zipWithIndex.map { case (c, j) =>
+      (c.zip(qz).foldLeft(0L) { case (acc, (a, b)) =>
+        acc + (a - b) * (a - b) }, j)
+    }.sorted.take(4).map(_._2)
+    val cands = cells.filter(col("vec_id") =!= 0 &&
+      col("_cell").isin(probed: _*))
+    Similarity.bruteForceTopK(cands, "embedding", "vec_id",
+      queryVec(s, dir), k = 10)
+  }
+
+  def ann_ivf_md5_sql: String = ivfCentroidsZ match {
+    case None => // only reachable if the gate never ran before the dump
+      "SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    case Some(cz) =>
+      s"""WITH ${centroidSqlCtes(cz)},
+         |probed AS (SELECT cell FROM a WHERE vec_id = 0 AND rk <= 4),
+         |cand AS (SELECT vec_id, v FROM a WHERE rk = 1 AND vec_id != 0
+         |         AND cell IN (SELECT cell FROM probed))
+         |SELECT vec_id, round(list_cosine_similarity(v,
+         |    (SELECT v FROM e WHERE vec_id = 0)), 9) AS score
+         |FROM cand ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Cluster-scoped semantic pair mining, HASH-MATCHED end-to-end against
+    * DuckDB — the cross-engine twin of `dedup_semantic`'s miner (whose
+    * graph invariants stay `dedup_semantic_verify`): cell assignment by
+    * the exported-centroid integer argmin, pair candidates ONLY within a
+    * cell (the SemDeDup n²/nlist bound — an equi-join on the cell id, and
+    * the oracle's join mirrors it), similarity as the exact quantized dot
+    * Σ floor(a·1000)·floor(b·1000) ≥ 400000 (τ≈0.4 on unit vectors, same
+    * integer-similarity idiom as `dedup_embed_md5`). */
+  def dedup_semantic_md5(s: SparkSession, dir: String): DataFrame = {
+    val cz = ivfCentroidsZFor(s, dir)
+    val cells = quantizedCells(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0), cz)
+      .select(col("vec_id"), col("_q"), col("_cell"))
+    cells.select(col("vec_id").as("id_a"), col("_q").as("_qa"), col("_cell"))
+      .join(cells.select(col("vec_id").as("id_b"), col("_q").as("_qb"),
+        col("_cell")), Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("_qa"), col("_qb"), (a, b) => a * b),
+          lit(0L), _ + _))
+      .filter(col("qdot") >= 400000L)
+      .select(col("id_a"), col("id_b"), col("_cell").cast("int").as("cell"),
+        col("qdot"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def dedup_semantic_md5_sql: String = ivfCentroidsZ match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, " +
+        "CAST(NULL AS INT) AS cell, CAST(NULL AS BIGINT) AS qdot WHERE 1=0"
+    case Some(cz) =>
+      s"""WITH ${centroidSqlCtes(cz)},
+         |c AS (SELECT vec_id, q, cell FROM a WHERE rk = 1 AND vec_id != 0)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  CAST(x.cell AS INT) AS cell,
+         |  CAST(list_sum(list_transform(range(1, len(x.q)+1),
+         |    i -> x.q[i] * y.q[i])) AS BIGINT) AS qdot
+         |FROM c x JOIN c y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |WHERE CAST(list_sum(list_transform(range(1, len(x.q)+1),
+         |    i -> x.q[i] * y.q[i])) AS BIGINT) >= 400000
+         |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Corpus clustering for curation (domain balancing / mixture control:
     * cluster the corpus by embedding, then sample per cluster). Reuses the
     * shared IVF index — train-once, assign-everything. Hash-matched via a
