@@ -185,4 +185,12 @@ object RowIdAllocator {
       case r if r.isNullAt(0) => 1L
       case r => r.getLong(0) + 1L
     }
+
+  /** P8 with the DDL floor: `CREATE TABLE ... AUTO_INCREMENT=N` pins the
+    * rebase at N even when every imported id is below it (reference
+    * tests/tidb_rowid pre_rebase: 1 row with rowid 1, next allocation must
+    * land >= 70000 — tidb.go:241-257 takes the max of both). */
+  def nextAutoIncrement(df: DataFrame, idCol: String,
+      table: graft.sources.MysqlTable): Long =
+    math.max(nextAutoIncrement(df, idCol), table.autoIncrementStart.getOrElse(1L))
 }

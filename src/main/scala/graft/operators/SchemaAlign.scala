@@ -135,6 +135,28 @@ object SchemaAlign {
       case Some(vals) if vals.nonEmpty => return domainCheck(src, mc, vals, mode)
       case _ => ()
     }
+    // MySQL TIMESTAMP (unlike DATETIME) is range-bound to
+    // ['1970-01-01 00:00:01', '2038-01-19 03:14:07'] UTC — strict mode
+    // rejects values outside it (the failure tests/checkpoint_error_destroy
+    // drives: '1111-11-11 11:11:11' parses but cannot be stored), lenient
+    // substitutes the zero value. Comparisons run under the pinned UTC
+    // session TZ, so the literals mean the same instants as MySQL's range.
+    if (mc.rawType.trim.toLowerCase.startsWith("timestamp") &&
+        (t == TimestampType || t == TimestampNTZType)) {
+      val base = if (mode == SqlMode.Strict) src.cast(t) else src.try_cast(t)
+      val inRange = base >= lit("1970-01-01 00:00:01").cast(t) &&
+        base <= lit("2038-01-19 03:14:07").cast(t)
+      return mode match {
+        case SqlMode.Strict =>
+          when(base.isNull, base).when(inRange, base)
+            .otherwise(raise_error(concat(
+              lit(s"TIMESTAMP value out of range for `${mc.name}`: "), src)))
+        case SqlMode.Lenient =>
+          // only a SUCCESSFULLY parsed but out-of-range value zeroes;
+          // malformed input stays null (the existing lenient contract)
+          when(base.isNull, base).when(inRange, base).otherwise(zeroValue(mc))
+      }
+    }
     def numericPrefix: Column =
       regexp_extract(src, "^\\s*([+-]?\\d*\\.?\\d+(?:[eE][+-]?\\d+)?)", 1)
     mode match {

@@ -35,7 +35,12 @@ final case class MysqlTable(
     primaryKey: Seq[String],
     // declared UNIQUE keys (column lists) — REPLACE/IGNORE replay is only
     // idempotent when the target has a PRIMARY or UNIQUE key to collide on
-    uniqueKeys: Seq[Seq[String]] = Nil) {
+    uniqueKeys: Seq[Seq[String]] = Nil,
+    // table-level AUTO_INCREMENT=N option (tests/tidb_rowid pre_rebase:
+    // `create table t (...) auto_increment=70000` — the post-import rebase
+    // must start allocations at N even when the imported ids are all
+    // below it; reference lightning/restore/tidb.go:241-257)
+    autoIncrementStart: Option[Long] = None) {
   def schema: StructType =
     StructType(columns.map(c => StructField(c.name, c.sparkType, c.nullable)))
   def column(n: String): Option[MysqlColumn] =
@@ -142,7 +147,7 @@ object MysqlDdl {
     val nameR = """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`"]?([^`"\s(]+)[`"]?""".r
     val tableName = nameR.findFirstMatchIn(noComments)
       .map(_.group(1)).getOrElse(sys.error(s"not a CREATE TABLE: ${ddl.take(80)}"))
-    val body = {
+    val (body, tableOptions) = {
       // the MATCHING close paren of the first open — lastIndexOf would
       // swallow trailing table options like `partition by hash(a)
       // partitions 5` (tests/partitioned-table), which are layout hints
@@ -167,8 +172,10 @@ object MysqlDdl {
         i += 1
       }
       require(end > start, s"malformed DDL for $tableName")
-      noComments.substring(start + 1, end)
+      (noComments.substring(start + 1, end), noComments.substring(end + 1))
     }
+    val autoIncStart = """(?i)AUTO_INCREMENT\s*=\s*(\d+)""".r
+      .findFirstMatchIn(tableOptions).map(_.group(1).toLong)
     // split body on top-level commas (respect parens + quoted strings)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; var quote = ' '; var esc = false
@@ -227,6 +234,6 @@ object MysqlDdl {
         case _ => None
       }
     }
-    MysqlTable(tableName, cols, pk, uniq.toSeq)
+    MysqlTable(tableName, cols, pk, uniq.toSeq, autoIncStart)
   }
 }

@@ -463,6 +463,155 @@ class ReferenceGauntletSpec extends SparkSpec {
     assert(b.values.map(_.toLong).sum === 32L)
   }
 
+  test("checkpoint_engines: killed at every chunk boundary, converges " +
+      "exactly-once; final rerun is a no-op") {
+    // reference run.sh kills the import once per engine (6 engines over
+    // cpeng.a/b, via failpoints at engine status transitions) and asserts
+    // convergence + a checkpoint no-op rerun. The Spark analog of engine
+    // granularity is the chunk group (one per data file at
+    // chunkCommitBytes=16), and the kill is the pipeline's pause/cancel
+    // gate, which fires between job submissions — a canceled import
+    // resumes exactly like a crashed one, from committed chunk states.
+    // cpeng.a is KEYLESS, so the JDBC/REPLACE sink would refuse chunk
+    // checkpoints (replay not idempotent); the parquet sink's staged
+    // append + reconcile gives exactly-once regardless.
+    assume(refTests.isDirectory)
+    val out = java.nio.file.Files.createTempDirectory("graft-cpeng").toString
+    def cfg = ImportConfig(
+      sourceDir = new File(refTests, "checkpoint_engines/data").getAbsolutePath,
+      outDir = out,
+      filter = TableFilter(doTables = Seq(("cpeng", "*"))),
+      chunkCommitBytes = 16,
+      tableConcurrency = 1) // deterministic kill points, like the reference
+    var kills = 0
+    var sawChunkState = false
+    for (killAfter <- 1 to 5) {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      try new ImportPipeline(spark, cfg,
+        cancelled = () => n.incrementAndGet() > killAfter).run()
+      catch { case _: Throwable =>
+        kills += 1
+        val st = new File(out, "_state").listFiles()
+        if (st != null && st.exists(_.getName.contains(".chunk.")))
+          sawChunkState = true
+      }
+    }
+    assert(kills >= 3, s"the cancel gate killed only $kills of 5 runs")
+    assert(sawChunkState, "no chunk state survived a killed run")
+    val reports = new ImportPipeline(spark, cfg).run()
+    assert(reports.map(_.rows).sum === 8)
+    // run.sh probes: count 4 / sum 10 for a, count 4 / sum 46 for b — and
+    // chunk-granular resume must land every row exactly ONCE in the sink
+    def landed(table: String): Seq[Int] =
+      spark.read.parquet(s"$out/cpeng/$table")
+        .select("c").collect().map(_.getInt(0)).sorted.toSeq
+    assert(landed("a") === Seq(1, 2, 3, 4))
+    assert(landed("a").sum === 10)
+    assert(landed("b") === Seq(10, 11, 12, 13))
+    assert(landed("b").sum === 46)
+    // "Verify checkpoint no-op": the rerun re-imports nothing
+    val again = new ImportPipeline(spark, cfg).run()
+    assert(again.forall(_.resumedSkip))
+  }
+
+  test("checkpoint_error_destroy: failed strict imports destroyed clean " +
+      "each round, then good data lands (file + jdbc checkpoint drivers)") {
+    // reference run.sh: 8× (import bad-data [timestamp '1111-11-11' is
+    // outside the TIMESTAMP range → fails] then ctl
+    // -checkpoint-error-destroy=all), then good-data imports and
+    // SELECT shows x: 1999-09-09 09:09:09 — on both checkpoint drivers
+    assume(refTests.isDirectory)
+    import graft.operators.SqlMode
+    import graft.sinks.{CheckpointStore, CommitLog, JdbcCheckpointStore}
+    for ((tag, url) <- Seq(
+        ("file", None),
+        ("mysql", Some("jdbc:derby:memory:cped_ctl;create=true")))) {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-cped-$tag").toString
+      def cfg(data: String) = ImportConfig(
+        sourceDir = new File(refTests,
+          s"checkpoint_error_destroy/$data").getAbsolutePath,
+        outDir = out,
+        filter = TableFilter(doTables = Seq(("cped", "*"))),
+        sqlMode = SqlMode.Strict,
+        continueOnError = true,
+        checkpointUrl = url)
+      val log: CheckpointStore = url match {
+        case Some(u) => new JdbcCheckpointStore(u, new java.util.Properties(),
+          out, spark.sparkContext.hadoopConfiguration)
+        case None => new CommitLog(out, spark.sparkContext.hadoopConfiguration)
+      }
+      // 8 rounds on the file driver (the reference's loop — proves destroy
+      // never exhausts anything); 2 on jdbc (driver parity, not endurance)
+      val iters = if (tag == "file") 8 else 2
+      for (i <- 1 to iters) {
+        val r = new ImportPipeline(spark, cfg("bad-data")).run()
+        assert(r.head.error.nonEmpty, s"[$tag #$i] bad data must fail")
+        val failed = log.listTables().filter(_.status == "failed")
+        assert(failed.map(s => (s.db, s.table)) === Seq(("cped", "t")))
+        failed.foreach(s => log.destroy(s.db, s.table))
+        assert(log.read("cped", "t").isEmpty, s"[$tag #$i] checkpoint kept")
+        assert(!new File(s"$out/cped/t").exists(),
+          s"[$tag #$i] partial output kept")
+      }
+      val good = new ImportPipeline(spark, cfg("good-data")).run().head
+      assert(good.error.isEmpty && good.rows === 1L, s"[$tag] $good")
+      val x = tbl(out, "cped", "t")
+        .select(date_format(col("x"), "yyyy-MM-dd HH:mm:ss")).collect()
+        .map(_.getString(0)).toSeq
+      assert(x === Seq("1999-09-09 09:09:09"), s"[$tag]")
+    }
+  }
+
+  test("tidb_rowid: the reference's four-case rowid matrix") {
+    assume(refTests.isDirectory)
+    val srcDir = new File(refTests, "tidb_rowid/data")
+    val out = imported("tidb_rowid", "rowid")
+    def ddl(name: String) = graft.sources.MysqlDdl.parseCreateTable(
+      java.nio.file.Files.readString(
+        new File(srcDir, s"rowid.$name-schema.sql").toPath))
+    import graft.operators.RowIdAllocator.nextAutoIncrement
+    // non_pk_auto_inc: string PK → hidden rowid synthesized 1..22 in file
+    // order; the auto-inc `id` column's explicit values land verbatim.
+    // run.sh: count 22, max(id) 37, rowid [1,22]; post-import inserts get
+    // id > 37 and rowid > 22
+    val npai = tbl(out, "rowid", "non_pk_auto_inc")
+    val r1 = npai.agg(count(lit(1)), max(col("id")).cast("long"),
+      min(col("_row_id")), max(col("_row_id"))).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ===
+      ((22L, 37L, 1L, 22L)))
+    assert(nextAutoIncrement(npai, "id", ddl("non_pk_auto_inc")) > 37L)
+    assert(nextAutoIncrement(npai, "_row_id", ddl("non_pk_auto_inc")) > 22L)
+    // non_pk (synthesized in statement order) and explicit_tidb_rowid (the
+    // dump carries _tidb_rowid): identical observable state — run.sh loops
+    // the same probes over both. 'five' is the 5th value either way.
+    for (t <- Seq("non_pk", "explicit_tidb_rowid")) {
+      val df = tbl(out, "rowid", t)
+      val r = df.agg(count(lit(1)), min(col("_row_id")),
+        max(col("_row_id"))).collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((10L, 1L, 10L)), t)
+      assert(df.filter(col("pk") === "five").select("_row_id")
+        .collect().map(_.getLong(0)).toSeq === Seq(5L), t)
+      assert(nextAutoIncrement(df, "_row_id", ddl(t)) > 10L, t)
+    }
+    // pre_rebase: 1 row with rowid 1, but CREATE TABLE ... AUTO_INCREMENT=
+    // 70000 pins the rebase — the next allocation must clear 70000
+    val pre = tbl(out, "rowid", "pre_rebase")
+    val r2 = pre.agg(count(lit(1)), min(col("_row_id")),
+      max(col("_row_id"))).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((1L, 1L, 1L)))
+    assert(nextAutoIncrement(pre, "_row_id", ddl("pre_rebase")) >= 70000L)
+    // specific_auto_inc: explicit rowids 79995..79999 preserved verbatim;
+    // both the rowid and the auto-inc `b` column rebase past 80000
+    val sai = tbl(out, "rowid", "specific_auto_inc")
+    assert(sai.count() === 5L)
+    assert(sai.select("_row_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (79995L to 79999L))
+    assert(sai.agg(sum(col("b"))).collect()(0).getLong(0) === 165L)
+    assert(nextAutoIncrement(sai, "_row_id", ddl("specific_auto_inc")) >= 80000L)
+    assert(nextAutoIncrement(sai, "b", ddl("specific_auto_inc")) >= 80000L)
+  }
+
   test("tidb_duplicate_data: on-duplicate replace/ignore/error over a half-imported target") {
     assume(refTests.isDirectory)
     import graft.sinks.{JdbcSink, OnDuplicate}
