@@ -113,6 +113,101 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic REAL animated-GIF fixture payloads — the multi-frame
+    * twin of [[pngPayload]] (the available JDK stand-in for video:
+    * javax.imageio's gif writer does frame sequences; real video codecs
+    * don't exist in the JDK). Each id becomes an animated GIF of
+    * 1 + id%5 solid-color frames at (8 + id%16) × (4 + id%8) pixels,
+    * written executor-side via prepareWriteSequence/writeToSequence.
+    * Ids where `id % 89 == 0` emit an undecodable payload (poison-row
+    * coverage). An oracle predicts frame count and dimensions
+    * arithmetically; only a real per-frame header parse recovers them. */
+  def gifPayload(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("media_type", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 89 == 0)
+          Row(id, s"not really video $id".getBytes("UTF-8"), "video")
+        else {
+          val frames = 1 + (id % 5).toInt
+          val w = 8 + (id % 16).toInt
+          val h = 4 + (id % 8).toInt
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            for (f <- 0 until frames) {
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (((id * 31 + f) * 2654435761L) & 0xFFFFFF).toInt
+              for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          Row(id, baos.toByteArray, "video")
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling — the de-stubbed video-ish leg: javax.imageio's
+    * gif reader counts frames (`getNumImages(true)` walks every frame
+    * header) and reads the header of every `every`-th frame
+    * (`getWidth(i)`/`getHeight(i)` parse that frame's descriptor without
+    * decoding pixels — the cheap scan shape for a 100 TB media column).
+    * Runs in the partition-batched codec seam; undecodable payloads yield
+    * (null, …, ok=false) instead of failing the task. */
+  def sampleFrames(df: DataFrame, payloadCol: String = "payload",
+      every: Int = 2, prefix: String = "frm_"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(prefix + "count", IntegerType, nullable = true),
+      StructField(prefix + "sampled", ArrayType(IntegerType), nullable = true),
+      StructField(prefix + "width", IntegerType, nullable = true),
+      StructField(prefix + "height", IntegerType, nullable = true),
+      StructField(prefix + "ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val extra: Seq[Any] =
+          if (payload == null) Seq(null, null, null, null, false)
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); Seq(null, null, null, null, false) }
+            else {
+              val rd = readers.next()
+              try {
+                rd.setInput(iis, false, true) // seekable: frame i re-readable
+                val n = rd.getNumImages(true)
+                val sampled = (0 until n by every).toSeq
+                // per-frame header reads — every sampled frame's descriptor
+                // is actually parsed, not just frame 0's
+                val dims = sampled.map(i => (rd.getWidth(i), rd.getHeight(i)))
+                Seq(n, sampled, dims.head._1, dims.head._2, true)
+              } catch { case _: Exception => Seq(null, null, null, null, false) }
+              finally { rd.dispose(); iis.close() }
+            }
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
   /** REAL audio decode — javax.sound.sampled reads WAV/AIFF/AU headers
     * with no external codec (compressed formats — mp3/flac/ogg — have no
     * JDK reader and land as ok=false like any undecodable payload). Reads

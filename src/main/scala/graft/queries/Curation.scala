@@ -2224,6 +2224,47 @@ object Curation {
       |    AS out_height
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over animated GIFs (hash-matched): deterministic
+    * multi-frame fixtures (1 + id%5 frames at (8+id%16)×(4+id%8), id%89
+    * poison rows) sampled every 2nd frame by the REAL javax.imageio gif
+    * reader — frame count, the sampled index set, and frame-0 dimensions
+    * all recovered from the bytes; DuckDB predicts every field from the
+    * arithmetic. `sampled_sum` pins the exact sampled index set (Σ of
+    * 0,2,4,… below the frame count), not just its size. */
+  def multimodal_frames(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 500)
+    val dec = Multimodal.sampleFrames(
+      Multimodal.gifPayload(docs, "doc_id"), every = 2)
+    dec.select(col("media_id"),
+        col("frm_count").as("n_frames"),
+        when(col("frm_ok"), size(col("frm_sampled"))).as("n_sampled"),
+        aggregate(col("frm_sampled"), lit(0),
+          (acc, x) => acc + x).as("sampled_sum"),
+        col("frm_width").as("width"),
+        col("frm_height").as("height"),
+        col("frm_ok").cast("int").as("ok"))
+      .orderBy("media_id")
+  }
+
+  val multimodal_frames_sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(1 + doc_id % 5 AS INT) AS frames,
+      |    doc_id % 89 = 0 AS poison
+      |  FROM documents WHERE doc_id < 500),
+      |k AS (SELECT doc_id, frames, poison,
+      |    CAST((frames - 1) // 2 + 1 AS INT) AS ns FROM d)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN poison THEN NULL ELSE frames END AS n_frames,
+      |  CASE WHEN poison THEN NULL ELSE ns END AS n_sampled,
+      |  CASE WHEN poison THEN NULL ELSE CAST(ns * (ns - 1) AS INT) END
+      |    AS sampled_sum,
+      |  CASE WHEN poison THEN NULL
+      |       ELSE CAST(8 + doc_id % 16 AS INT) END AS width,
+      |  CASE WHEN poison THEN NULL
+      |       ELSE CAST(4 + doc_id % 8 AS INT) END AS height,
+      |  CAST(CASE WHEN poison THEN 0 ELSE 1 END AS INT) AS ok
+      |FROM k ORDER BY media_id""".stripMargin
+
   /** Repetition removal, token level (hash-matched): collapse immediate
     * token repetitions per document; output before/after token counts and
     * the md5 of the cleaned text so the oracle pins the exact output

@@ -141,4 +141,34 @@ class SmallBatchSpec extends SparkSpec {
       .filter(_.getName.startsWith("_graft_batch_"))
     assert(leftovers.isEmpty, leftovers.mkString(", "))
   }
+
+  test("per-table progress: every batched table reaches completed with " +
+      "full bytes; a resumed batch re-reports the skips") {
+    // one batched run must still drive the per-table progress the web
+    // dashboard reads — N rows in /progress/task, each ending s=2 with
+    // w=z — even though the data path ran as a single grouped job
+    val src = writeDump(7)
+    val out = freshOut()
+    val reg = new ProgressRegistry
+    new ImportPipeline(spark, cfgFor(src, out), progress = Some(reg)).run()
+    val json = reg.taskJson
+    for (i <- 0 until 7) {
+      val t = f"bd.t$i%02d"
+      val entry = (s"\"$t\"" + """:\{"w":(\d+),"z":(\d+),"s":(\d+)\}""").r
+      entry.findFirstMatchIn(json) match {
+        case None => fail(s"$t missing from /progress/task: $json")
+        case Some(m) =>
+          assert(m.group(3) === "2", s"$t not completed: $json")
+          assert(m.group(1) === m.group(2) && m.group(1).toLong > 0,
+            s"$t bytes not fully reported: $json")
+      }
+    }
+    // resumed (checkpoint-skip) batch: same terminal states, new registry
+    val reg2 = new ProgressRegistry
+    val again = new ImportPipeline(spark, cfgFor(src, out),
+      progress = Some(reg2)).run()
+    assert(again.forall(_.resumedSkip))
+    val json2 = reg2.taskJson
+    assert(""""s":2""".r.findAllIn(json2).size >= 7, json2)
+  }
 }
