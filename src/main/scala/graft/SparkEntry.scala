@@ -89,6 +89,7 @@ object SparkEntry {
     ("ann_ivf_md5", Curation.ann_ivf_md5 _, Some(Curation.ann_ivf_md5_sql)),
     ("emb_cluster", Curation.emb_cluster _, Some(Curation.emb_cluster_sql)),
     ("ann_pq", Curation.ann_pq _, None),
+    ("ann_pq_md5", Curation.ann_pq_md5 _, Some(Curation.ann_pq_md5_sql)),
     ("ann_pq_verify", Curation.ann_pq_verify _, Some(Curation.ann_pq_verify_sql)),
     ("ann_ivfpq", Curation.ann_ivfpq _, None),
     ("ann_ivfpq_verify", Curation.ann_ivfpq_verify _, Some(Curation.ann_ivfpq_verify_sql)),

@@ -25,6 +25,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // staleness watermark for scripts/check.py: any result dir OLDER than
+    // this stamp predates the current run (leftover from an earlier dump);
+    // written FIRST so same-run dirs can never be flagged
+    Files.writeString(Paths.get(s"$outDir/_fresh_stamp"),
+      java.time.Instant.now().toString)
     // A failed query must stay VISIBLE in the driver's gate: r7 had 9
     // queries throw at analysis time, Verify logged them to stderr and
     // wrote nothing, and CORRECTNESS silently shrank 105→96 "all pass".
@@ -62,6 +67,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // NOTE: dumped AFTER the queries run — the data-dependent oracle defs
+    // (ann_ivf_md5 / dedup_semantic_md5 centroid literals) resolve from
+    // state the exporting gates set. scripts/check.py's staleness probe
+    // compares against _fresh_stamp (written below), not this file.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

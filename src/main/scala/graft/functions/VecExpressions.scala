@@ -74,6 +74,21 @@ object VecOps {
     out
   }
 
+  /** Driver-side unpack of a packed binary back to doubles (codebook
+    * export for the cross-engine gates). */
+  def unpackDoubles(packed: Array[Byte]): Array[Double] = {
+    require(packed.length % 8 == 0, s"not a packed vector: ${packed.length} B")
+    val out = new Array[Double](packed.length / 8)
+    var i = 0
+    while (i < out.length) {
+      out(i) = java.lang.Double.longBitsToDouble(
+        org.apache.spark.unsafe.Platform.getLong(packed,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8L * i))
+      i += 1
+    }
+    out
+  }
+
   /** Driver-side pack of a plain double array (query vectors). */
   def packDoubles(arr: Array[Double]): Array[Byte] = {
     val out = new Array[Byte](arr.length * 8)

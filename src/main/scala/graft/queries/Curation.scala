@@ -1881,6 +1881,88 @@ object Curation {
          |FROM cand ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Quantized PQ codebook of the shared trained index (same export
+    * mechanism as [[ivfCentroidsZ]]): cbz(m)(j) = the 4 quantized
+    * components of subspace m's j-th centroid. */
+  @volatile private var pqCodebookZ: Option[Seq[Seq[Seq[Long]]]] = None
+
+  /** PQ encode + ADC scan, HASH-MATCHED end-to-end against DuckDB — the
+    * cross-engine twin of `ann_pq` (whose quality gate stays
+    * `ann_pq_verify`'s kernel≡reconstruction + recall floors). The REAL
+    * trained codebook (m=16 subspaces × k=16 centroids × 4 components) is
+    * exported as quantized integer literals; both engines then run the
+    * full PQ pipeline in exact arithmetic: quantize vectors to
+    * floor(x·1000), encode each subspace as the integer-L2 argmin over
+    * its 16 centroid literals, and ADC-score candidates as
+    * Σ_m dot(query_sub_m, centroid[code_m]) — Spark via one literal
+    * 16-entry table per subspace (the production ADC idiom), DuckDB via
+    * a codebook join. Proves quantize→encode→table-lookup→rank
+    * cross-engine, not just an invariant of it. */
+  def ann_pq_md5(s: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndexFor(s, dir)
+    val (m, k) = (idx.m, idx.k)
+    val flat = graft.functions.VecOps.unpackDoubles(idx.codebook)
+    val sub = flat.length / (m * k)
+    val cbz: Seq[Seq[Seq[Long]]] = (0 until m).map(m0 => (0 until k).map(j =>
+      (0 until sub).map(i =>
+        math.floor(flat((m0 * k + j) * sub + i) * 1000).toLong).toSeq).toSeq)
+    pqCodebookZ = Some(cbz)
+    val emb = Tables.load(s, dir, "embeddings")
+    val withQ = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000).cast("long")).as("_q"))
+    val codeCols = (0 until m).map { m0 =>
+      val cands = (0 until k).map { j =>
+        struct(aggregate(zip_with(slice(col("_q"), m0 * sub + 1, sub),
+            typedlit(cbz(m0)(j)), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("d"), lit(j).as("j"))
+      }
+      least(cands: _*).getField("j").as(s"_c$m0")
+    }
+    val coded = withQ.select(col("vec_id") +: codeCols: _*)
+    val qz = queryVec(s, dir).map(x => math.floor(x * 1000).toLong)
+    // per-subspace ADC tables from the QUERY's quantized subvectors —
+    // 16 Long literals each, the m×k-literal production idiom
+    val adc: Seq[Seq[Long]] = (0 until m).map(m0 => (0 until k).map(j =>
+      (0 until sub).map(i => qz(m0 * sub + i) * cbz(m0)(j)(i)).sum))
+    val score = (0 until m).map(m0 =>
+      element_at(typedlit(adc(m0)), col(s"_c$m0") + 1)).reduce(_ + _)
+    coded.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), score.as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def ann_pq_md5_sql: String = pqCodebookZ match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS score WHERE 1=0"
+    case Some(cbz) =>
+      val sub = cbz.head.head.length
+      val values = (for (m0 <- cbz.indices; j <- cbz(m0).indices) yield
+        s"($m0, $j, ${cbz(m0)(j).mkString("[", ",", "]")})").mkString(",\n       ")
+      s"""WITH cb AS (SELECT * FROM (VALUES
+         |       $values) t(m, j, cz)),
+         |e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |        x -> CAST(floor(x*1000) AS BIGINT)) AS q FROM embeddings),
+         |d AS (SELECT e.vec_id, cb.m, cb.j, CAST(list_sum(
+         |        list_transform(range(1, $sub + 1),
+         |          i -> (e.q[cb.m*$sub+i]-cb.cz[i])*(e.q[cb.m*$sub+i]-cb.cz[i])))
+         |        AS BIGINT) AS dist
+         |      FROM e CROSS JOIN cb),
+         |c AS (SELECT vec_id, m, j FROM (
+         |        SELECT vec_id, m, j,
+         |          row_number() OVER (PARTITION BY vec_id, m
+         |                             ORDER BY dist, j) AS rk FROM d)
+         |      WHERE rk = 1),
+         |qq AS (SELECT q FROM e WHERE vec_id = 0),
+         |s AS (SELECT c.vec_id, CAST(SUM(CAST(list_sum(
+         |        list_transform(range(1, $sub + 1),
+         |          i -> qq.q[c.m*$sub+i]*cb.cz[i])) AS BIGINT)) AS BIGINT) AS score
+         |      FROM c JOIN cb ON c.m = cb.m AND c.j = cb.j CROSS JOIN qq
+         |      WHERE c.vec_id != 0 GROUP BY c.vec_id)
+         |SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Cluster-scoped semantic pair mining, HASH-MATCHED end-to-end against
     * DuckDB — the cross-engine twin of `dedup_semantic`'s miner (whose
     * graph invariants stay `dedup_semantic_verify`): cell assignment by

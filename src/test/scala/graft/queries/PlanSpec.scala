@@ -153,6 +153,28 @@ class PlanSpec extends SparkSpec {
       s"pairing not keyed on the cell id:\n${joinLine.getOrElse(p.take(1500))}")
   }
 
+  test("dedup_semantic_md5: within-cell pairing stays a cell-keyed equi-join") {
+    // the cross-engine twin must keep the SemDeDup scale shape: pair work
+    // bounded by the cell equi-join, never a nested-loop pair scan
+    val p = plan(Curation.dedup_semantic_md5(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"semantic md5 twin fell back to a pair scan:\n${p.take(2000)}")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joinLine.exists(_.contains("_cell")),
+      s"pairing not keyed on the cell id:\n${joinLine.getOrElse(p.take(1500))}")
+  }
+
+  test("ann_ivf_md5: probed-cell filter prunes before the top-k; no join at all") {
+    // the IVF twin is a filter+scan+TakeOrdered — any Join in the plan
+    // means the centroid lookup degenerated into a distributed join
+    val p = plan(Curation.ann_ivf_md5(spark, sf))
+    assert(!p.contains("Join"), s"IVF twin should be join-free:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not a TakeOrdered:\n${p.take(1500)}")
+  }
+
   test("q_range_join: interval containment via banded equi-join, no pair scan") {
     val p = plan(Temporal.q_range_join(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
