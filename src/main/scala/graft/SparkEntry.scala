@@ -92,6 +92,7 @@ object SparkEntry {
     ("ann_pq_md5", Curation.ann_pq_md5 _, Some(Curation.ann_pq_md5_sql)),
     ("ann_pq_verify", Curation.ann_pq_verify _, Some(Curation.ann_pq_verify_sql)),
     ("ann_ivfpq", Curation.ann_ivfpq _, None),
+    ("ann_ivfpq_md5", Curation.ann_ivfpq_md5 _, Some(Curation.ann_ivfpq_md5_sql)),
     ("ann_ivfpq_verify", Curation.ann_ivfpq_verify _, Some(Curation.ann_ivfpq_verify_sql)),
     ("ann_lsh_verify", Curation.ann_lsh_verify _, Some(Curation.ann_lsh_verify_sql)),
     ("txt_tokens", Curation.txt_tokens _, Some(Curation.txt_tokens_sql)),

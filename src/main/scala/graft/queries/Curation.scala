@@ -1963,6 +1963,122 @@ object Curation {
          |SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Export state of [[ann_ivfpq_md5]]: (quantized coarse centroids,
+    * quantized residual codebook). */
+  @volatile private var ivfPqExportZ:
+    Option[(Seq[Seq[Long]], Seq[Seq[Seq[Long]]])] = None
+
+  /** Composed residual IVF-PQ, HASH-MATCHED end-to-end against DuckDB —
+    * the cross-engine twin of `ann_ivfpq` (quality stays
+    * `ann_ivfpq_verify`): BOTH trained artifacts (coarse centroids and
+    * the residual codebook) are exported as quantized integer literals,
+    * and both engines run the full composition in exact arithmetic —
+    * integer-argmin cell assignment, integer residual v−c(cell), residual
+    * PQ encode, then score = dot(q, c(cell)) + Σ_m adc_residual — the
+    * same per-cell-constant-plus-ADC decomposition the production probe
+    * uses. Spark's lookup side is the production idiom (a slot per probed
+    * cell via one when-chain, then literal-table element_at); DuckDB
+    * recomputes the same sums through codebook joins. */
+  def ann_ivfpq_md5(s: SparkSession, dir: String): DataFrame = {
+    val idx = ivfPqIndexFor(s, dir)
+    val (m, k) = (idx.m, idx.k)
+    val czs: Seq[Seq[Long]] = idx.centroids
+      .map(_.map(x => math.floor(x * 1000).toLong).toSeq).toSeq
+    val flat = graft.functions.VecOps.unpackDoubles(idx.codebook)
+    val sub = flat.length / (m * k)
+    val cbz: Seq[Seq[Seq[Long]]] = (0 until m).map(m0 => (0 until k).map(j =>
+      (0 until sub).map(i =>
+        math.floor(flat((m0 * k + j) * sub + i) * 1000).toLong).toSeq).toSeq)
+    ivfPqExportZ = Some((czs, cbz))
+    val nprobe = 6
+    val cells = quantizedCells(Tables.load(s, dir, "embeddings"), czs)
+    val qz = queryVec(s, dir).map(x => math.floor(x * 1000).toLong)
+    val probed = czs.zipWithIndex.map { case (c, j) =>
+      (c.zip(qz).foldLeft(0L) { case (acc, (a, b)) =>
+        acc + (a - b) * (a - b) }, j)
+    }.sorted.take(nprobe).map(_._2)
+    // slot = index within the probed set (one when-chain), then every
+    // lookup below is a literal-table element_at on (slot, subspace, code)
+    val slot = probed.zipWithIndex
+      .map { case (cell, i) => when(col("_cell") === cell, lit(i)) }
+      .reduceRight((a, b) => a.otherwise(b)) // right-assoc: one otherwise per when
+    // cell centroid for the residual, as an array-valued when-chain
+    val czCol = probed.map(cell => when(col("_cell") === cell,
+      typedlit(czs(cell)))).reduceRight((a, b) => a.otherwise(b))
+    val cand = cells.filter(col("vec_id") =!= 0 &&
+        col("_cell").isin(probed: _*))
+      .withColumn("_slot", slot)
+      .withColumn("_r", zip_with(col("_q"), czCol, (a, b) => a - b))
+    val codeCols = (0 until m).map { m0 =>
+      val cands = (0 until k).map { j =>
+        struct(aggregate(zip_with(slice(col("_r"), m0 * sub + 1, sub),
+            typedlit(cbz(m0)(j)), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("d"), lit(j).as("j"))
+      }
+      least(cands: _*).getField("j").as(s"_c$m0")
+    }
+    val coded = cand.select(
+      col("vec_id") +: col("_slot") +: codeCols: _*)
+    // driver-side literal tables: per-slot base dot(q, c) and the
+    // per-slot residual ADC (query residual differs per probed cell)
+    val base: Seq[Long] = probed.map(cell =>
+      qz.zip(czs(cell)).foldLeft(0L) { case (acc, (a, b)) => acc + a * b })
+    val adcFlat: Seq[Long] = probed.flatMap { cell =>
+      val rq = qz.zip(czs(cell)).map { case (a, b) => a - b }
+      (0 until m).flatMap(m0 => (0 until k).map(j =>
+        (0 until sub).foldLeft(0L)((acc, i) =>
+          acc + rq(m0 * sub + i) * cbz(m0)(j)(i))))
+    }
+    val score = element_at(typedlit(base), col("_slot") + 1) +
+      (0 until m).map(m0 => element_at(typedlit(adcFlat),
+        col("_slot") * (m * k) + m0 * k + col(s"_c$m0") + 1)).reduce(_ + _)
+    coded.select(col("vec_id"), score.as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def ann_ivfpq_md5_sql: String = ivfPqExportZ match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS score WHERE 1=0"
+    case Some((czs, cbz)) =>
+      val sub = cbz.head.head.length
+      val cbValues = (for (m0 <- cbz.indices; j <- cbz(m0).indices) yield
+        s"($m0, $j, ${cbz(m0)(j).mkString("[", ",", "]")})").mkString(",\n       ")
+      s"""WITH ${centroidSqlCtes(czs)},
+         |cb AS (SELECT * FROM (VALUES
+         |       $cbValues) t(m, j, cz)),
+         |probed AS (SELECT cell FROM a WHERE vec_id = 0 AND rk <= 6),
+         |cand AS (SELECT vec_id, q, cell FROM a WHERE rk = 1 AND vec_id != 0
+         |         AND cell IN (SELECT cell FROM probed)),
+         |r AS (SELECT cand.vec_id, cand.cell, list_transform(
+         |        range(1, len(cand.q)+1), i -> cand.q[i] - cent.cz[i]) AS r
+         |      FROM cand JOIN cent ON cand.cell = cent.cell),
+         |dc AS (SELECT r.vec_id, r.cell, cb.m, cb.j, CAST(list_sum(
+         |        list_transform(range(1, $sub + 1),
+         |          i -> (r.r[cb.m*$sub+i]-cb.cz[i])*(r.r[cb.m*$sub+i]-cb.cz[i])))
+         |        AS BIGINT) AS dist
+         |      FROM r CROSS JOIN cb),
+         |c AS (SELECT vec_id, cell, m, j FROM (
+         |        SELECT vec_id, cell, m, j,
+         |          row_number() OVER (PARTITION BY vec_id, m
+         |                             ORDER BY dist, j) AS rk FROM dc)
+         |      WHERE rk = 1),
+         |q0 AS (SELECT q FROM qz WHERE vec_id = 0),
+         |base AS (SELECT cand.vec_id, CAST(list_sum(list_transform(
+         |        range(1, len(q0.q)+1), i -> q0.q[i]*cent.cz[i])) AS BIGINT) AS b
+         |      FROM cand JOIN cent ON cand.cell = cent.cell CROSS JOIN q0),
+         |adc AS (SELECT c.vec_id, CAST(SUM(CAST(list_sum(list_transform(
+         |        range(1, $sub + 1),
+         |        i -> (q0.q[c.m*$sub+i]-cent.cz[c.m*$sub+i])*cb.cz[i]))
+         |        AS BIGINT)) AS BIGINT) AS s
+         |      FROM c JOIN cb ON c.m = cb.m AND c.j = cb.j
+         |           JOIN cent ON c.cell = cent.cell CROSS JOIN q0
+         |      GROUP BY c.vec_id)
+         |SELECT base.vec_id AS vec_id, base.b + adc.s AS score
+         |FROM base JOIN adc ON base.vec_id = adc.vec_id
+         |ORDER BY score DESC, base.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Cluster-scoped semantic pair mining, HASH-MATCHED end-to-end against
     * DuckDB — the cross-engine twin of `dedup_semantic`'s miner (whose
     * graph invariants stay `dedup_semantic_verify`): cell assignment by
