@@ -514,6 +514,65 @@ class ReferenceGauntletSpec extends SparkSpec {
     assert(again.forall(_.resumedSkip))
   }
 
+  test("checkpoint: nine index-shape tables, killed after each table " +
+      "import, converge exactly-once; no-op rerun") {
+    // reference tests/checkpoint/run.sh: 9 tables (each with a different
+    // index clause) x 50 two-row INSERT files, a failpoint kills lightning
+    // as soon as ONE table is imported — "if checkpoint does work, this
+    // should only kill 9 instances" — then a final run is a no-op and the
+    // global sum probe matches. The kill analog: a cancel gate that fires
+    // once the commit log records one MORE imported table than the run
+    // started with (the kill-after-one-import semantics, driven from the
+    // same state the reference's failpoint guards).
+    val tableCount = 9
+    val chunkCount = 50
+    val src = java.nio.file.Files.createTempDirectory("graft-cppk").toFile
+    java.nio.file.Files.writeString(
+      new File(src, "cppk_tsr-schema-create.sql").toPath,
+      "CREATE DATABASE cppk_tsr;")
+    val indices = Map(1 -> "PRIMARY KEY", 2 -> "UNIQUE", 3 -> ", INDEX(j)",
+      4 -> ", PRIMARY KEY(i, j)", 5 -> ", UNIQUE KEY(j)",
+      6 -> ", PRIMARY KEY(j)").withDefaultValue("")
+    for (i <- 1 to tableCount) {
+      java.nio.file.Files.writeString(
+        new File(src, s"cppk_tsr.tbl$i-schema.sql").toPath,
+        s"CREATE TABLE tbl$i(i TINYINT, j INT ${indices(i)});")
+      for (j <- 1 to chunkCount)
+        java.nio.file.Files.writeString(
+          new File(src, s"cppk_tsr.tbl$i.$j.sql").toPath,
+          s"INSERT INTO tbl$i VALUES ($i,${j}000),($i,${j}001);")
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-cppk-out").toString
+    val log = new graft.sinks.CommitLog(out,
+      spark.sparkContext.hadoopConfiguration)
+    def cfg = ImportConfig(sourceDir = src.getAbsolutePath, outDir = out,
+      filter = TableFilter(doTables = Seq(("cppk_tsr", "*"))),
+      smallTableBytes = 0, // per-table granularity, like the reference
+      tableConcurrency = 1)
+    def importedCount = log.listTables().count(_.status == "imported")
+    for (step <- 1 to tableCount) {
+      val before = importedCount
+      try {
+        new ImportPipeline(spark, cfg,
+          cancelled = () => importedCount > before).run()
+        fail(s"step $step: the kill gate never fired")
+      } catch { case _: Throwable => () }
+      assert(importedCount === before + 1,
+        s"step $step: expected exactly one new imported table")
+    }
+    // "Verify checkpoint no-op": everything already imported
+    val fin = new ImportPipeline(spark, cfg).run()
+    assert(fin.size === tableCount && fin.forall(_.resumedSkip))
+    // the run.sh sum probe: SELECT sum(j) over all 9 tables
+    val total = (1 to tableCount).map { i =>
+      tbl(out, "cppk_tsr", s"tbl$i")
+        .agg(sum(col("j"))).collect()(0).getLong(0)
+    }.sum
+    assert(total === (1000L * chunkCount + 1001L) * chunkCount * tableCount)
+    for (i <- 1 to tableCount)
+      assert(tbl(out, "cppk_tsr", s"tbl$i").count() === 2L * chunkCount, s"tbl$i")
+  }
+
   test("checkpoint_error_destroy: failed strict imports destroyed clean " +
       "each round, then good data lands (file + jdbc checkpoint drivers)") {
     // reference run.sh: 8× (import bad-data [timestamp '1111-11-11' is
