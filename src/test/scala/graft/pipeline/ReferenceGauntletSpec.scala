@@ -514,6 +514,33 @@ class ReferenceGauntletSpec extends SparkSpec {
     assert(again.forall(_.resumedSkip))
   }
 
+  test("routes: wildcard shard-merge routing end-to-end (run.sh sums)") {
+    // reference tests/routes: routes_a*.t* all merge into routes_b.u
+    // (4 rows summing 259 across two schemas and three tables); s1 does
+    // NOT match the table pattern and stays put; nothing may be left
+    // under the matched-away names
+    assume(refTests.isDirectory)
+    val out = new File("target/test_refgauntlet/routes_out").getAbsolutePath
+    val cfg = ImportConfig(
+      sourceDir = new File(refTests, "routes/data").getAbsolutePath,
+      outDir = out,
+      routes = Seq(graft.sources.RouteRule("routes_a*", "t*",
+        "routes_b", "u")),
+      checkpointEnabled = false)
+    val reports = new ImportPipeline(spark, cfg).run()
+    val u = tbl(out, "routes_b", "u")
+    val r = u.agg(count(lit(1)), sum(col("x")).cast("long")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 259L)))
+    val s1 = tbl(out, "routes_a1", "s1")
+      .agg(count(lit(1)), sum(col("x")).cast("long")).collect()(0)
+    assert((s1.getLong(0), s1.getLong(1)) === ((1L, 1296L)))
+    // SHOW TABLES IN routes_a1 must not contain t2; routes_a0 is empty
+    assert(!new File(s"$out/routes_a1/t2").exists())
+    assert(!new File(s"$out/routes_a0").exists())
+    assert(reports.map(t => s"${t.db}.${t.table}").toSet ===
+      Set("routes_b.u", "routes_a1.s1"))
+  }
+
   test("checkpoint: nine index-shape tables, killed after each table " +
       "import, converge exactly-once; no-op rerun") {
     // reference tests/checkpoint/run.sh: 9 tables (each with a different
