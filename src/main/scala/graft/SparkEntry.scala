@@ -115,6 +115,7 @@ object SparkEntry {
     ("txt_bpe", Curation.txt_bpe _, Some(Curation.txt_bpe_sql)),
     ("txt_bpe_apply", Curation.txt_bpe_apply _, Some(Curation.txt_bpe_apply_sql)),
     ("txt_spandedup", Curation.txt_spandedup _, Some(Curation.txt_spandedup_sql)),
+    ("txt_chunk", Curation.txt_chunk _, Some(Curation.txt_chunk_sql)),
     ("txt_lmscore", Curation.txt_lmscore _, Some(Curation.txt_lmscore_sql)),
     ("multimodal_pipe", Curation.multimodal_pipe _, Some(Curation.multimodal_pipe_sql)),
     ("multimodal_decode", Curation.multimodal_decode _, Some(Curation.multimodal_decode_sql)),

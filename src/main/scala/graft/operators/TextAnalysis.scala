@@ -14,6 +14,41 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(filter(split(trim(text), "\\s+"), t => t =!= ""))
 
+  /** Context-window chunking — the training-window prep step: split each
+    * document's whitespace tokens into `window`-token chunks starting
+    * every `stride` tokens (stride < window ⇒ overlapping windows, the
+    * standard LM pretraining shape). Documents at or under `window`
+    * yield exactly one chunk; otherwise ceil((n−window)/stride)+1, so
+    * the last chunk always reaches the document's end. Emits one row per
+    * (doc, chunk): (idCol, chunk_idx, n_tokens, chunk_fp) — the md5
+    * fingerprint pins the exact chunk CONTENT cross-engine without
+    * shipping window-sized strings through the compare.
+    *
+    * Scale shape: one narrow projection + a posexplode — per-doc work is
+    * linear in tokens, no shuffle at all (chunk rows inherit the scan's
+    * partitioning; a downstream pack/shuffle is the caller's choice). */
+  def chunkWindows(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, window: Int = 64, stride: Int = 48)
+      : org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    // integer-exact chunk count (no float ceil): (n−W + S−1) div S + 1
+    val n = size(col("_t"))
+    val nc = when(n <= window, lit(1))
+      .otherwise(((n - lit(window) + lit(stride - 1)) / lit(stride))
+        .cast("int") + 1)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("_t"))
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(0), nc - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        size(slice(col("_t"), col("chunk_idx") * stride + 1, lit(window)))
+          .as("n_tokens"),
+        md5(array_join(slice(col("_t"), col("chunk_idx") * stride + 1,
+          lit(window)), " ")).as("chunk_fp"))
+  }
+
   /** BPE-ish subword-unit estimate: words + extra units for long words
     * (a word of length L costs ceil(L/4) units) + digit/punct runs. */
   def subwordCount(text: Column): Column =

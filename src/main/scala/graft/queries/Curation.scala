@@ -2463,6 +2463,32 @@ object Curation {
       |  CAST(CASE WHEN poison THEN 0 ELSE 1 END AS INT) AS ok
       |FROM k ORDER BY media_id""".stripMargin
 
+  /** Context-window chunking (hash-matched): every document split into
+    * 64-token windows starting every 48 tokens (16-token overlap — the LM
+    * pretraining shape); DuckDB replays the token walk and the md5 of
+    * every chunk's exact content. */
+  def txt_chunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWindows(Tables.load(s, dir, "documents"),
+        "text", "doc_id", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  val txt_chunk_sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> x != '') AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT doc_id, w,
+      |    CASE WHEN len(w) <= 64 THEN 1
+      |         ELSE CAST((len(w) - 64 + 47) // 48 AS INT) + 1 END AS nc
+      |  FROM t),
+      |c AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_idx FROM n)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(len(list_slice(w, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS INT)
+      |    AS n_tokens,
+      |  md5(array_to_string(list_slice(w, chunk_idx*48 + 1, chunk_idx*48 + 64),
+      |    ' ')) AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Repetition removal, token level (hash-matched): collapse immediate
     * token repetitions per document; output before/after token counts and
     * the md5 of the cleaned text so the oracle pins the exact output
