@@ -71,7 +71,31 @@ object Verify {
     // (ann_ivf_md5 / dedup_semantic_md5 centroid literals) resolve from
     // state the exporting gates set. scripts/check.py's staleness probe
     // compares against _fresh_stamp (written below), not this file.
-    val json = SparkEntry.oracleSql
+    // On a FILTERED run (3rd arg), merge with the on-disk oracle file:
+    // un-run queries keep their last-full-dump SQL, so the data-dependent
+    // defs that fall back to a WHERE 1=0 placeholder when their exporting
+    // gate didn't run can't clobber the valid literals paired with the
+    // surviving full-run result dirs.
+    val fresh = SparkEntry.oracleSql
+    val merged: Map[String, String] = only match {
+      case Some(names) =>
+        val path = Paths.get(s"$outDir/oracle_sql.json")
+        val onDisk: Map[String, String] =
+          if (Files.exists(path)) {
+            import scala.jdk.CollectionConverters._
+            try new com.fasterxml.jackson.databind.ObjectMapper()
+              .readValue(Files.readString(path),
+                classOf[java.util.Map[String, String]]).asScala.toMap
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] oracle_sql.json unreadable, " +
+                s"rewriting from scratch: $e")
+              Map.empty
+            }
+          } else Map.empty
+        onDisk ++ fresh.filter { case (k, _) => names.contains(k) }
+      case None => fresh
+    }
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors

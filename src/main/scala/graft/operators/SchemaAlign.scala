@@ -144,8 +144,10 @@ object SchemaAlign {
     if (mc.rawType.trim.toLowerCase.startsWith("timestamp") &&
         (t == TimestampType || t == TimestampNTZType)) {
       val base = if (mode == SqlMode.Strict) src.cast(t) else src.try_cast(t)
+      // upper bound includes the fractional tail: MySQL stores TIMESTAMP(6)
+      // values up to '2038-01-19 03:14:07.999999'
       val inRange = base >= lit("1970-01-01 00:00:01").cast(t) &&
-        base <= lit("2038-01-19 03:14:07").cast(t)
+        base <= lit("2038-01-19 03:14:07.999999").cast(t)
       return mode match {
         case SqlMode.Strict =>
           when(base.isNull, base).when(inRange, base)

@@ -174,8 +174,14 @@ object MysqlDdl {
       require(end > start, s"malformed DDL for $tableName")
       (noComments.substring(start + 1, end), noComments.substring(end + 1))
     }
-    val autoIncStart = """(?i)AUTO_INCREMENT\s*=\s*(\d+)""".r
-      .findFirstMatchIn(tableOptions).map(_.group(1).toLong)
+    // MySQL grammar makes the '=' in table options optional
+    // (`AUTO_INCREMENT 70000` is valid DDL); unsigned 64-bit values above
+    // Long.MaxValue clamp rather than throw in the parser.
+    val autoIncStart = """(?i)AUTO_INCREMENT(?:\s*=\s*|\s+)(\d+)""".r
+      .findFirstMatchIn(tableOptions).map { m =>
+        val v = BigInt(m.group(1))
+        if (v > Long.MaxValue) Long.MaxValue else v.toLong
+      }
     // split body on top-level commas (respect parens + quoted strings)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; var quote = ' '; var esc = false

@@ -189,4 +189,21 @@ class SchemaAlignSpec extends SparkSpec {
       SqlMode.Lenient).collect()
     assert(out(0).getString(0) === "4142")
   }
+
+  test("TIMESTAMP(6) fractional tail of the 2038 epochalypse second stores") {
+    import spark.implicits._
+    val tsTable = MysqlDdl.parseCreateTable(
+      "CREATE TABLE `ts6` (`t` timestamp(6) NULL DEFAULT NULL)")
+    // MySQL accepts fractional TIMESTAMP values through
+    // '2038-01-19 03:14:07.999999'; strict mode must not raise on them
+    val ok = Seq(Seq("2038-01-19 03:14:07.499999")).toDF("vals")
+    val r = SchemaAlign.fromArray(ok, col("vals"), Some(Seq("t")), tsTable,
+      SqlMode.Strict).collect()
+    assert(!r(0).isNullAt(0))
+    // one microsecond past the bound still rejects (lenient → zero value)
+    val over = Seq(Seq("2038-01-19 03:14:08.000001")).toDF("vals")
+    val z = SchemaAlign.fromArray(over, col("vals"), Some(Seq("t")), tsTable,
+      SqlMode.Lenient).collect()
+    assert(z(0).isNullAt(0) || z(0).getTimestamp(0).toString.startsWith("1970"))
+  }
 }

@@ -106,4 +106,21 @@ class MysqlDdlSpec extends AnyFunSuite {
       "create table a (a int) partition by hash(a) partitions 5;")
     assert(t.columns.map(_.name) === Seq("a"))
   }
+
+  test("table-level AUTO_INCREMENT: '=' optional, >Long.MaxValue clamps") {
+    val eq = MysqlDdl.parseCreateTable(
+      "CREATE TABLE t (id bigint NOT NULL AUTO_INCREMENT) " +
+        "ENGINE=InnoDB AUTO_INCREMENT=70000 DEFAULT CHARSET=utf8;")
+    assert(eq.autoIncrementStart === Some(70000L))
+    // MySQL grammar: table_option value needs no '='
+    val bare = MysqlDdl.parseCreateTable(
+      "CREATE TABLE t (id bigint NOT NULL AUTO_INCREMENT) " +
+        "ENGINE InnoDB AUTO_INCREMENT 70000;")
+    assert(bare.autoIncrementStart === Some(70000L))
+    // unsigned 64-bit option value past Long.MaxValue must not throw
+    val big = MysqlDdl.parseCreateTable(
+      "CREATE TABLE t (id bigint unsigned NOT NULL AUTO_INCREMENT) " +
+        "AUTO_INCREMENT=18446744073709551615;")
+    assert(big.autoIncrementStart === Some(Long.MaxValue))
+  }
 }
