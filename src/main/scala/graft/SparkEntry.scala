@@ -67,6 +67,7 @@ object SparkEntry {
     ("dedup_cross_md5", Curation.dedup_cross_md5 _, Some(Curation.dedup_cross_md5_sql)),
     ("dedup_minhash_md5", Curation.dedup_minhash_md5 _, Some(Curation.dedup_minhash_md5_sql)),
     ("dedup_minhash_verify", Curation.dedup_minhash_verify _, Some(Curation.dedup_minhash_verify_sql)),
+    ("dedup_skew_guard", Curation.dedup_skew_guard _, Some(Curation.dedup_skew_guard_sql)),
     ("dedup_cluster", Curation.dedup_cluster _, Some(Curation.dedup_cluster_sql)),
     ("dedup_cluster_keep", Curation.dedup_cluster_keep _, Some(Curation.dedup_cluster_keep_sql)),
     ("dedup_simhash", Curation.dedup_simhash _, None),

@@ -219,6 +219,100 @@ object Dedup {
       minhashSignatures(df, textCol, idCol, k, numHashes),
       numHashes, bands, threshold)
 
+  /** Default per-bucket cardinality cap for every band/bucket pair miner:
+    * a bucket holding B docs emits B² candidate pairs from its self-join,
+    * so ONE degenerate band key (empty-ish docs, boilerplate that survives
+    * exact dedup, adversarial corpora) with a million members is 10¹²
+    * pairs and a stage that never finishes. 10⁴ keeps the worst bucket at
+    * ≤ ~cap·B pair work while leaving every sane bucket untouched. */
+  val DefaultBucketCap: Int = 10000
+
+  /** Hot-bucket guard — the salt-split scale fuse shared by every banded
+    * pair miner. Counts rows per bucket key; buckets within `cap` get
+    * `_salt = 0` (the join is EXACTLY the unguarded join — the guard is a
+    * provable no-op on sane corpora), oversized buckets are split into
+    * `ceil(count/cap)` deterministic sub-buckets by an id-hash salt that
+    * both join sides compute identically, and the join key gains
+    * `_salt` equality. Per-bucket join work drops from B² to ≤ ~B·cap.
+    *
+    * STITCH rows keep the cluster connected: the salt is a pure function
+    * of the id, so a degenerate blob splits IDENTICALLY in every band and
+    * cross-split edges would never be mined anywhere — keep-one dedup
+    * would keep one doc per split instead of one per blob. So each hot
+    * bucket re-emits one representative per split (its min id) into a
+    * dedicated stitch sub-bucket (`_salt = -1`): the representatives pair
+    * with each other (splits·(splits−1)/2 extra candidates per hot
+    * bucket), the verifier scores them like any candidate, and the
+    * connected-components closure reconnects the blob through them.
+    * Stitch work is ≤ (B/cap)² per bucket — for it to itself blow up a
+    * single bucket needs > cap² members (10⁸ at the default), at which
+    * point per-split sizes exceed cap but total work stays ≤ ~cap²·cap,
+    * still bounded (BucketGuardSpec pins boundedness + connectivity).
+    *
+    * Recall contract (documented, bounded): a hot-bucket pair survives iff
+    * both ids hash to the same split (~1/splits of that bucket's pairs) or
+    * rides a representative edge; buckets ≤ cap lose nothing. Pair-level
+    * recall in hot buckets trades against the stage finishing at all;
+    * cluster-level semantics are preserved via the stitch.
+    *
+    * Cost shape: one map-side-combinable count aggregate on the SAME key
+    * the join shuffles on, and a join against the hot-key list, which is
+    * ≤ N/cap rows — AQE plans it as a broadcast at any realistic scale. */
+  private def withBucketSalt(banded: DataFrame, bucket: Column, id: Column,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"bucketCap must be positive, got $cap")
+    val hot = banded.groupBy(bucket.as("_hb"))
+      .agg(count(lit(1)).as("_hcnt"))
+      .filter(col("_hcnt") > cap)
+    val salted = banded.join(hot, bucket === col("_hb"), "left")
+      .withColumn("_salt",
+        when(col("_hcnt").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(id, lit(0x5417L)),
+            ceil(col("_hcnt").cast("double") / cap).cast("long"))))
+      .drop("_hb")
+    val outCols = banded.columns.map(col) :+ col("_salt")
+    // per-(hot bucket, split) representative rows, re-keyed to the stitch
+    // sub-bucket; only hot-bucket rows (non-null _hcnt) participate
+    val reps = salted.filter(col("_hcnt").isNotNull)
+      .groupBy(bucket.as("_rb"), col("_salt").as("_rs"))
+      .agg(min(id).as("_rid"))
+    val stitch = salted.join(reps,
+        bucket === col("_rb") && col("_salt") === col("_rs") &&
+          id === col("_rid"))
+      .withColumn("_salt", lit(-1L))
+      .select(outCols: _*)
+    salted.select(outCols: _*).union(stitch)
+  }
+
+  /** Cross-corpus flavor of [[withBucketSalt]]: the blowup is the PRODUCT
+    * |L_bucket|·|R_bucket|, so a bucket is hot when that product exceeds
+    * cap², and both sides split by `ceil(max(|L|,|R|)/cap)` with the same
+    * id-hash salt — per-bucket join work drops to ≤ ~min(|L|,|R|)·cap.
+    * Buckets present on only one side mine no pairs and need no salt.
+    * No stitch rows here: cross-corpus mining flags NEW docs that
+    * duplicate the base, and every new doc's split still holds
+    * ~|R_bucket|/splits ≥ ~cap/2 base members, so per-DOC flag recall is
+    * preserved even though per-PAIR recall drops (BucketGuardSpec). */
+  private def withCrossBucketSalt(lb: DataFrame, rb: DataFrame,
+      bucket: Column, lId: Column, rId: Column, cap: Int)
+      : (DataFrame, DataFrame) = {
+    require(cap > 0, s"bucketCap must be positive, got $cap")
+    val cl = lb.groupBy(bucket.as("_hb")).agg(count(lit(1)).as("_cl"))
+    val cr = rb.groupBy(bucket.as("_hb")).agg(count(lit(1)).as("_cr"))
+    val hot = cl.join(cr, "_hb")
+      .filter(col("_cl") * col("_cr") > cap.toLong * cap)
+      .select(col("_hb"),
+        ceil(greatest(col("_cl"), col("_cr")).cast("double") / cap)
+          .cast("long").as("_splits"))
+    def salted(side: DataFrame, id: Column) =
+      side.join(hot, bucket === col("_hb"), "left")
+        .withColumn("_salt",
+          when(col("_splits").isNull, lit(0L))
+            .otherwise(pmod(xxhash64(id, lit(0x5417L)), col("_splits"))))
+        .drop("_hb", "_splits")
+    (salted(lb, lId), salted(rb, rId))
+  }
+
   /** PACKED signature frame (_id, _sig binary) — one 8·numHashes-byte
     * column instead of numHashes flat longs. Lane values equal the flat
     * `_h$j` columns (same kernel); the payoff is plan width: the flat
@@ -239,19 +333,22 @@ object Dedup {
     * xxhash64 fold, agreement the same lane count — pinned by
     * CurationOpsSpec), at a fraction of the plan-compile cost. */
   def minhashPairsFromPackedSignatures(sigs: DataFrame, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+      bands: Int = 8, threshold: Double = 0.6,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     import graft.functions.SketchExpressions.{lanesXxHash, laneAgreement}
     val rowsPerBand = numHashes / bands
-    val banded = sigs.select(col("_id"), col("_sig"),
+    val banded = withBucketSalt(sigs.select(col("_id"), col("_sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           lanesXxHash(col("_sig"), b * rowsPerBand, rowsPerBand)
-            .as("bkey"))): _*)).as("_b"))
+            .as("bkey"))): _*)).as("_b")),
+      col("_b"), col("_id"), bucketCap)
     val l = banded.select(col("_id").as("id_a"), col("_sig").as("_siga"),
-      col("_b")).alias("l")
+      col("_b"), col("_salt")).alias("l")
     val r = banded.select(col("_id").as("id_b"), col("_sig").as("_sigb"),
-      col("_b")).alias("r")
-    l.join(r, col("l._b") === col("r._b") && col("id_a") < col("id_b"))
+      col("_b"), col("_salt")).alias("r")
+    l.join(r, col("l._b") === col("r._b") &&
+        col("l._salt") === col("r._salt") && col("id_a") < col("id_b"))
       .withColumn("jaccard_est",
         laneAgreement(col("_siga"), col("_sigb")).cast("double") / numHashes)
       .filter(col("jaccard_est") >= threshold)
@@ -271,7 +368,8 @@ object Dedup {
     * (id_new, id_base, jaccard_est), est ≥ threshold. */
   def crossMinhashPairsFromPackedSignatures(newSigs: DataFrame,
       baseSigs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     import graft.functions.SketchExpressions.{lanesXxHash, laneAgreement}
     val rowsPerBand = numHashes / bands
     def banded(sigs: DataFrame, idAs: String, sigAs: String) =
@@ -280,9 +378,14 @@ object Dedup {
           struct(lit(b).as("band"),
             lanesXxHash(col("_sig"), b * rowsPerBand, rowsPerBand)
               .as("bkey"))): _*)).as("_b"))
-    val l = banded(newSigs, "id_new", "_signew").alias("l")
-    val r = banded(baseSigs, "id_base", "_sigbase").alias("r")
-    l.join(r, col("l._b") === col("r._b"))
+    val (lg, rg) = withCrossBucketSalt(
+      banded(newSigs, "id_new", "_signew"),
+      banded(baseSigs, "id_base", "_sigbase"),
+      col("_b"), col("id_new"), col("id_base"), bucketCap)
+    val l = lg.alias("l")
+    val r = rg.alias("r")
+    l.join(r, col("l._b") === col("r._b") &&
+        col("l._salt") === col("r._salt"))
       .withColumn("jaccard_est",
         laneAgreement(col("_signew"), col("_sigbase")).cast("double") / numHashes)
       .filter(col("jaccard_est") >= threshold)
@@ -295,7 +398,8 @@ object Dedup {
     * the shingle+min-aggregate pass dominates, so multi-analysis callers
     * compute (and persist) signatures once. */
   def minhashPairsFromSignatures(sigs: DataFrame, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+      bands: Int = 8, threshold: Double = 0.6,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val rowsPerBand = numHashes / bands
     // signatures stay FLAT columns end-to-end: band keys, the join payload
     // and the agreement estimator all operate on 32 plain long columns —
@@ -305,22 +409,26 @@ object Dedup {
     // move.
     def bandKey(b: Int) = xxhash64(
       (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"_h$j")): _*)
-    val banded = sigs.select(
+    val banded = withBucketSalt(sigs.select(
       col("_id") +: (0 until numHashes).map(j => col(s"_h$j")) :+
         explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("_b"): _*)
+          struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("_b"): _*),
+      col("_b"), col("_id"), bucketCap)
     // explicit aliases on both sides: same-lineage `l("_b") === r("_b")`
     // would lean on Spark's self-join disambiguation heuristic (and logs a
     // trivially-true-predicate warning); alias-qualified names are exact
     val l = banded.select(col("_id").as("id_a") +:
-      (0 until numHashes).map(j => col(s"_h$j").as(s"ha_$j")) :+ col("_b"): _*)
+      (0 until numHashes).map(j => col(s"_h$j").as(s"ha_$j")) :+
+      col("_b") :+ col("_salt"): _*)
       .alias("l")
     val r = banded.select(col("_id").as("id_b") +:
-      (0 until numHashes).map(j => col(s"_h$j").as(s"hb_$j")) :+ col("_b"): _*)
+      (0 until numHashes).map(j => col(s"_h$j").as(s"hb_$j")) :+
+      col("_b") :+ col("_salt"): _*)
       .alias("r")
     val agreement = (0 until numHashes).map(i =>
       when(col(s"ha_$i") === col(s"hb_$i"), 1).otherwise(0)).reduce(_ + _)
-    l.join(r, col("l._b") === col("r._b") && col("id_a") < col("id_b"))
+    l.join(r, col("l._b") === col("r._b") &&
+        col("l._salt") === col("r._salt") && col("id_a") < col("id_b"))
       .withColumn("jaccard_est", agreement.cast("double") / numHashes)
       .filter(col("jaccard_est") >= threshold)
       .select(col("id_a"), col("id_b"),
@@ -370,17 +478,19 @@ object Dedup {
     * pass is the expensive part, so callers running several analyses over
     * one corpus compute (and persist) the sketches once. */
   def simhashPairsFromSketches(sketches: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val withH = sketches
-    val banded = withH.select(col("_id"), col("_h"),
+    val banded = withBucketSalt(withH.select(col("_id"), col("_h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("_h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("_b"))
-    val l = banded.select(col("_id").as("id_a"), col("_h").as("h_a"), col("_b"))
-      .alias("l")
-    val r = banded.select(col("_id").as("id_b"), col("_h").as("h_b"), col("_b"))
-      .alias("r")
-    l.join(r, col("l._b") === col("r._b") && col("id_a") < col("id_b"))
+          shiftrightunsigned(col("_h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("_b")),
+      col("_b"), col("_id"), bucketCap)
+    val l = banded.select(col("_id").as("id_a"), col("_h").as("h_a"),
+      col("_b"), col("_salt")).alias("l")
+    val r = banded.select(col("_id").as("id_b"), col("_h").as("h_b"),
+      col("_b"), col("_salt")).alias("r")
+    l.join(r, col("l._b") === col("r._b") &&
+        col("l._salt") === col("r._salt") && col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
@@ -441,7 +551,7 @@ object Dedup {
     * single bucketing misses near-boundary pairs. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       planes: Int = 8, threshold: Double = 0.95,
-      tables: Int = 1): DataFrame = {
+      tables: Int = 1, bucketCap: Int = DefaultBucketCap): DataFrame = {
     import graft.functions.VecExpressions.{packVec, packedDot, packedSketch}
     // The vector travels through the bucket join as ONE packed BinaryType
     // column (8 B/dim) + its precomputed norm; the per-pair cosine is a
@@ -465,13 +575,15 @@ object Dedup {
             packedSketch(col("_p"), planes, t)): _*).as("_buckets"),
         col("_p"))
       .withColumn("_n", sqrt(packedDot(col("_p"), col("_p"))))
-    val withB = flat.select(col("_id"),
-      explode(col("_buckets")).as("_bucket"), col("_p"), col("_n"))
+    val withB = withBucketSalt(flat.select(col("_id"),
+      explode(col("_buckets")).as("_bucket"), col("_p"), col("_n")),
+      col("_bucket"), col("_id"), bucketCap)
     val l = withB.select(col("_id").as("id_a"), col("_bucket"),
-      col("_p").as("_pa"), col("_n").as("_na")).alias("l")
+      col("_p").as("_pa"), col("_n").as("_na"), col("_salt")).alias("l")
     val r = withB.select(col("_id").as("id_b"), col("_bucket"),
-      col("_p").as("_pb"), col("_n").as("_nb")).alias("r")
-    l.join(r, col("l._bucket") === col("r._bucket") && col("id_a") < col("id_b"))
+      col("_p").as("_pb"), col("_n").as("_nb"), col("_salt")).alias("r")
+    l.join(r, col("l._bucket") === col("r._bucket") &&
+      col("l._salt") === col("r._salt") && col("id_a") < col("id_b"))
       .withColumn("cosine",
         packedDot(col("_pa"), col("_pb")) / (col("_na") * col("_nb")))
       .filter(col("cosine") >= threshold)

@@ -832,6 +832,122 @@ object Curation {
        |SELECT id_new, id_base, n_agree FROM cand WHERE n_agree >= 2
        |ORDER BY id_new, id_base""".stripMargin
 
+  /** Number of planted hot docs / per-bucket cap for the skew-guard gate —
+    * shared by the Spark query and its oracle-SQL replay. */
+  private val SkewHotN = 400
+  private val SkewCap = 64
+  private val SkewHotText =
+    "the same boilerplate block repeated across every mirror of the crawl"
+
+  /** Hot-bucket guard mechanics, HASH-MATCHED end-to-end: plants [[SkewHotN]]
+    * identical docs into the capped corpus (one degenerate bucket in every
+    * band), then runs the full guard pipeline — per-(band,key) count →
+    * salt-split oversized buckets into ceil(count/cap) sub-buckets →
+    * stitch representatives (`salt = -1`) → salted candidate equi-join —
+    * in BOTH engines over the portable md5 signature kernel, with a
+    * portable `doc_id % splits` salt standing in for the production
+    * xxhash64 salt (same mechanics, engine-reproducible; the xxhash64
+    * flavor + boundedness + cluster connectivity are pinned by
+    * BucketGuardSpec, the plan shape by PlanSpec). Output is per-segment
+    * pair statistics: the 'hot' row's n_pairs is the salted candidate
+    * count both engines must derive identically — ~1/splits of the
+    * unguarded C(400,2) blowup plus the stitch clique. */
+  def dedup_skew_guard(s: SparkSession, dir: String): DataFrame = {
+    val real = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 1200 && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val synth = s.range(SkewHotN).select((col("id") + 100000L).as("doc_id"),
+      lit(SkewHotText).as("text"))
+    val sigs = Dedup.md5Signatures(real.unionAll(synth), "text", "doc_id")
+      .withColumnRenamed("_id", "doc_id")
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+        concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("bkey"))): _*))
+        .as("_k"))
+      .select(col("doc_id"), col("_k.b").as("b"), col("_k.bkey").as("bkey"))
+    val cnt = bands.groupBy("b", "bkey").agg(count(lit(1)).as("c"))
+    val salted = bands.join(cnt, Seq("b", "bkey"))
+      .withColumn("salt", when(col("c") > SkewCap,
+        pmod(col("doc_id"),
+          ceil(col("c") / lit(SkewCap.toDouble)).cast("long")))
+        .otherwise(lit(0L)))
+    val reps = salted.filter(col("c") > SkewCap)
+      .groupBy(col("b").as("rb"), col("bkey").as("rbkey"),
+        col("salt").as("rs"))
+      .agg(min(col("doc_id")).as("rid"))
+    val stitch = salted.join(reps,
+        col("b") === col("rb") && col("bkey") === col("rbkey") &&
+          col("salt") === col("rs") && col("doc_id") === col("rid"))
+      .select(col("doc_id"), col("b"), col("bkey"), lit(-1L).as("salt"))
+    val allRows = salted.select(col("doc_id"), col("b"), col("bkey"),
+      col("salt")).unionAll(stitch)
+    val l = allRows.select(col("doc_id").as("id_a"), col("b"), col("bkey"),
+      col("salt")).alias("l")
+    val r = allRows.select(col("doc_id").as("id_b"), col("b"), col("bkey"),
+      col("salt")).alias("r")
+    val cand = l.join(r, col("l.b") === col("r.b") &&
+        col("l.bkey") === col("r.bkey") && col("l.salt") === col("r.salt") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand.select(
+        when(col("id_a") >= 100000L && col("id_b") >= 100000L, "hot")
+          .when(col("id_a") < 100000L && col("id_b") < 100000L, "base")
+          .otherwise("mixed").as("seg"),
+        col("id_a"), col("id_b"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("id_a")).as("n_src"),
+        count_distinct(col("id_b")).as("n_dst"),
+        min(col("id_a")).as("min_a"), max(col("id_b")).as("max_b"))
+      .orderBy("seg")
+  }
+
+  val dedup_skew_guard_sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |    WHERE doc_id < 1200 AND text IS NOT NULL
+       |  UNION ALL
+       |  SELECT 100000 + i AS doc_id, '$SkewHotText' AS text
+       |    FROM range($SkewHotN) t(i)),
+       |n AS (SELECT doc_id, $NormSql AS s FROM corpus),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(1, greatest(len(s)-4, 1)+1),
+       |        i -> substr(s, CAST(i AS INT), 5)))) AS sh FROM n),
+       |h AS (SELECT doc_id, md5(sh) || md5('x' || sh) AS h FROM g),
+       |sig AS (SELECT doc_id,
+       |  min(substr(h,  1, 8)) AS sig_0, min(substr(h,  9, 8)) AS sig_1,
+       |  min(substr(h, 17, 8)) AS sig_2, min(substr(h, 25, 8)) AS sig_3,
+       |  min(substr(h, 33, 8)) AS sig_4, min(substr(h, 41, 8)) AS sig_5,
+       |  min(substr(h, 49, 8)) AS sig_6, min(substr(h, 57, 8)) AS sig_7
+       |  FROM h GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b,
+       |    CASE b WHEN 0 THEN sig_0||sig_1 WHEN 1 THEN sig_2||sig_3
+       |           WHEN 2 THEN sig_4||sig_5 ELSE sig_6||sig_7 END AS bkey
+       |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+       |cnt AS (SELECT b, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
+       |salted AS (SELECT bands.doc_id, bands.b, bands.bkey,
+       |    CASE WHEN c > $SkewCap THEN bands.doc_id %
+       |      CAST(ceil(c / $SkewCap.0) AS BIGINT) ELSE 0 END AS salt, c
+       |  FROM bands JOIN cnt USING (b, bkey)),
+       |reps AS (SELECT b, bkey, salt, min(doc_id) AS rid FROM salted
+       |  WHERE c > $SkewCap GROUP BY 1, 2, 3),
+       |allrows AS (SELECT doc_id, b, bkey, salt FROM salted
+       |  UNION ALL
+       |  SELECT s.doc_id, s.b, s.bkey, CAST(-1 AS BIGINT) AS salt
+       |    FROM salted s JOIN reps r ON s.b = r.b AND s.bkey = r.bkey
+       |      AND s.salt = r.salt AND s.doc_id = r.rid),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM allrows a JOIN allrows b2 ON a.b = b2.b AND a.bkey = b2.bkey
+       |    AND a.salt = b2.salt AND a.doc_id < b2.doc_id)
+       |SELECT CASE WHEN id_a >= 100000 AND id_b >= 100000 THEN 'hot'
+       |            WHEN id_a < 100000 AND id_b < 100000 THEN 'base'
+       |            ELSE 'mixed' END AS seg,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT id_a) AS BIGINT) AS n_src,
+       |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_dst,
+       |  min(id_a) AS min_a, max(id_b) AS max_b
+       |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Connected components over the engine-reproducible md5 candidate
     * pairs, HASH-MATCHED end-to-end: Spark runs the distributed
     * large-star/small-star rounds ([[Dedup.connectedComponents]]); DuckDB

@@ -231,6 +231,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("LSH miners: hot-bucket salt guard is welded into the join key") {
+    // The salt-split guard (Dedup.withBucketSalt) only bounds a degenerate
+    // bucket if the join condition actually includes `_salt` equality and
+    // the per-bucket count aggregate feeding it survives optimization. A
+    // plan that drops either (e.g. a refactor that re-derives l/r from the
+    // unsalted frame) silently reverts to the B² blowup.
+    import graft.util.Tables
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
+    val sigs = graft.operators.Dedup.minhashSignaturesPacked(
+      docs, "text", "doc_id")
+    for (df <- Seq(
+        graft.operators.Dedup.minhashPairsFromPackedSignatures(sigs),
+        graft.operators.Dedup.crossMinhashPairsFromPackedSignatures(
+          sigs, sigs),
+        graft.operators.Dedup.simhashPairs(docs, "text", "doc_id"),
+        graft.operators.Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+          planes = 3, threshold = 0.25, tables = 2))) {
+      val p = plan(df)
+      assert(p.contains("_salt"),
+        s"hot-bucket salt missing from the physical plan:\n${p.take(2000)}")
+      assert("HashAggregate".r.findAllIn(p).nonEmpty,
+        "per-bucket count aggregate optimized away")
+    }
+  }
+
   test("bucketed tables co-locate the fact join: no exchange on either side") {
     import graft.util.Tables
     import org.apache.spark.sql.functions._
