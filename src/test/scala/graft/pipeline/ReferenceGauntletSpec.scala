@@ -746,6 +746,84 @@ class ReferenceGauntletSpec extends SparkSpec {
       }
     }
   }
+
+  test("concurrent-restore: 8 tables under a 4-way pool; two pipelines " +
+      "sharing one target converge without corrupting the commit log") {
+    // reference tests/concurrent-restore/run.sh + config.toml: 8 one-row
+    // tables imported with table-concurrency = 4 (the GC-lifetime probe
+    // is TiKV-specific, scoped out per BASELINE.json); run.sh asserts
+    // sum(i) = 1 per table. Beyond the faithful port, the second half
+    // exercises the semantics the reference leaves implicit: two importer
+    // PROCESSES aimed at the same target (disjoint table sets, one shared
+    // file commit log) must both land their tables and leave 8 clean
+    // `imported` states — the fleet-of-importers deployment the JDBC
+    // checkpoint driver exists for, here over the file driver.
+    val tableCount = 8
+    def mkSource(): File = {
+      val src = java.nio.file.Files.createTempDirectory("graft-conc").toFile
+      java.nio.file.Files.writeString(
+        new File(src, "restore_conc-schema-create.sql").toPath,
+        "CREATE DATABASE restore_conc;")
+      for (i <- 1 to tableCount) {
+        java.nio.file.Files.writeString(
+          new File(src, s"restore_conc.tbl$i-schema.sql").toPath,
+          s"CREATE TABLE tbl$i(i TINYINT);")
+        java.nio.file.Files.writeString(
+          new File(src, s"restore_conc.tbl$i.sql").toPath,
+          s"INSERT INTO tbl$i VALUES (1);")
+      }
+      src
+    }
+    // faithful port: one pipeline, 4-way table pool
+    val src = mkSource()
+    val out = java.nio.file.Files.createTempDirectory("graft-conc-out").toString
+    val reports = new ImportPipeline(spark, ImportConfig(
+      sourceDir = src.getAbsolutePath, outDir = out,
+      filter = TableFilter(doTables = Seq(("restore_conc", "*"))),
+      tableConcurrency = 4)).run()
+    assert(reports.size === tableCount && reports.forall(_.error.isEmpty))
+    for (i <- 1 to tableCount) {
+      val r = tbl(out, "restore_conc", s"tbl$i")
+        .agg(sum(col("i"))).collect()(0)
+      assert(r.getLong(0) === 1L, s"tbl$i sum")
+    }
+    // two concurrent pipelines, same target + shared commit log,
+    // disjoint halves (per-table state files: no write overlap by key,
+    // but discovery/log listing and sink dirs are fully shared)
+    val src2 = mkSource()
+    val out2 = java.nio.file.Files.createTempDirectory("graft-conc2-out").toString
+    def half(lo: Int, hi: Int) = ImportConfig(
+      sourceDir = src2.getAbsolutePath, outDir = out2,
+      filter = TableFilter(doTables =
+        (lo to hi).map(i => ("restore_conc", s"tbl$i"))),
+      tableConcurrency = 2,
+      smallTableBytes = 0) // per-table commits, the multi-process shape
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(new ImportPipeline(spark, half(1, 4)).run())
+    val f2 = Future(new ImportPipeline(spark, half(5, 8)).run())
+    val (r1, r2) = (Await.result(f1, 5.minutes), Await.result(f2, 5.minutes))
+    assert(r1.size === 4 && r2.size === 4 &&
+      (r1 ++ r2).forall(_.error.isEmpty))
+    for (i <- 1 to tableCount) {
+      val r = tbl(out2, "restore_conc", s"tbl$i")
+        .agg(sum(col("i")), count(lit(1))).collect()(0)
+      assert((r.getLong(0), r.getLong(1)) === ((1L, 1L)), s"tbl$i")
+    }
+    // the shared commit log holds 8 clean imported states whose counts
+    // match the reports — concurrent writers corrupted nothing
+    val log = new graft.sinks.CommitLog(out2,
+      spark.sparkContext.hadoopConfiguration)
+    val states = log.listTables().filter(_.status == "imported")
+    assert(states.size === tableCount,
+      s"log states: ${log.listTables().map(s => (s.table, s.status))}")
+    assert(states.forall(_.rows == 1L))
+    // convergence: a rerun of either half over the shared target resumes
+    // every table as an already-imported skip
+    val again = new ImportPipeline(spark, half(1, 4)).run()
+    assert(again.size === 4 && again.forall(_.resumedSkip))
+  }
 }
 
 /** In-JVM stateful fake SQL target for the gauntlet's JDBC scenarios:
