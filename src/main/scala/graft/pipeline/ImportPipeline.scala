@@ -873,12 +873,13 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
 
   private def loadAlignedFiles(dataFiles: Seq[SourceFile],
       table: MysqlTable, jobTs: Long): DataFrame = {
-    val sqlFiles = dataFiles.filter(_.kind == FileKind.SqlData).map(_.path)
+    val sqlFiles = dataFiles.filter(_.kind == FileKind.SqlData)
+      .map(f => (f.path, f.size))
     val csvFiles = dataFiles.filter(_.kind == FileKind.CsvData).map(_.path)
     val parts = Seq.newBuilder[DataFrame]
     if (sqlFiles.nonEmpty) {
-      val raw = SqlDumpSource.readChunked(spark, sqlFiles, cfg.minChunkBytes,
-        cfg.charset)
+      val raw = SqlDumpSource.readChunkedSized(spark, sqlFiles,
+        cfg.minChunkBytes, cfg.charset)
       // per-row statement-column alignment: mixed INSERT shapes (explicit
       // vs implicit lists, shard merges with different column orders) land
       // correctly; the common all-positional case stays a constant-index

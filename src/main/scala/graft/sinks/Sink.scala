@@ -110,6 +110,13 @@ final class ParquetSink(rootDir: String,
     val path = s"$rootDir/$batchName"
     df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      // commit algorithm v2: task-side renames instead of a sequential
+      // driver-side merge of every partition dir at commitJob — the merge
+      // is per-table fixed cost here (one dir per table in the batch).
+      // v2's weaker failure atomicity is fine for a STAGING dir: the
+      // pipeline's publish step renames per-table dirs out only after the
+      // whole job succeeds, and a crashed staging dir is overwritten.
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy(partCol)
       .parquet(path)
     path

@@ -189,8 +189,18 @@ object SqlDumpSource {
     * land on statement boundaries. */
   def readChunked(spark: SparkSession, paths: Seq[String],
       minChunkBytes: Long = 256L * 1024 * 1024,
+      charset: String = "UTF-8"): DataFrame =
+    readChunkedSized(spark, paths.map(p => (p, -1L)), minChunkBytes, charset)
+
+  /** [[readChunked]] with caller-provided file sizes (from discovery, which
+    * already stat'd every file) — size -1 = unknown, stat'd here. Knowing
+    * sizes up front lets the all-small fast path skip the chunk-planning
+    * Spark job without a driver-side stat storm on remote filesystems. */
+  def readChunkedSized(spark: SparkSession, pathSizes: Seq[(String, Long)],
+      minChunkBytes: Long = 256L * 1024 * 1024,
       charset: String = "UTF-8"): DataFrame = {
-    val sorted = paths.sorted
+    val sortedSized = pathSizes.sortBy(_._1)
+    val sorted = sortedSized.map(_._1)
     val confEntries = spark.sparkContext.broadcast(
       spark.sparkContext.hadoopConfiguration.iterator().asScala
         .map(e => (e.getKey, e.getValue)).toSeq)
@@ -199,12 +209,54 @@ object SqlDumpSource {
       confEntries.value.foreach { case (k, v) => c.set(k, v) }
       c
     }
-    val chunks = spark.sparkContext
-      .parallelize(sorted, math.max(1, sorted.size))
-      .flatMap(path => planChunksForCharset(path, mkConf(), minChunkBytes, charset))
-      .collect().toSeq
+    // Chunk planning: a file over minChunkBytes needs a statement-boundary
+    // skim (a full read — parallelized as one task per file), but a small
+    // file's plan is just (0, fileLen) from metadata. The many-tiny-tables
+    // regime (thousands of shard files) would otherwise pay a whole
+    // Spark job + broadcast + collect just to stat files the driver
+    // already stat'd at discovery — per-table fixed cost, the term that
+    // dominates a many-table migration.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sizes = sortedSized.map {
+      case (path, known) if known >= 0L => path -> known
+      case (path, _) =>
+        val p = new Path(path)
+        path -> p.getFileSystem(hconf).getFileStatus(p).getLen
+    }
+    // Pack tiny chunks into fewer partitions: one task per chunk is right
+    // when chunks are ≥minChunkBytes splits of big files, but thousands of
+    // KB-sized shard files would pay a task launch each in EVERY job over
+    // this lineage (write + checksum). Slices preserve chunk order, and
+    // per-chunk row indexing is unaffected by co-residency. Packing only
+    // applies on the known-small branch — sizes are exact there.
+    val (chunks, slices) =
+      if (sizes.forall(_._2 <= minChunkBytes)) {
+        val cs = sizes.map { case (path, len) =>
+          val p = new Path(path)
+          if (byteTransparent(resolveCharset(p, p.getFileSystem(hconf), charset)))
+            DumpChunk(path, 0L, len, 0L)
+          else DumpChunk(path, 0L, Long.MaxValue, 0L)
+        }
+        // floor at ~4 files per slice: parquet-writer init (~15 ms each in
+        // the downstream partitioned write) is the real per-file cost, so
+        // full serialization into one slice re-serializes what task
+        // parallelism was buying; 4/slice keeps a 4× task-count reduction
+        // while spreading writer inits across the pool
+        val total = sizes.map(_._2).sum
+        val byBytes = math.ceil(
+          total.toDouble / math.max(1L, minChunkBytes)).toInt
+        (cs, math.max(1, math.min(cs.size,
+          math.max(byBytes, math.ceil(cs.size / 4.0).toInt))))
+      } else {
+        val cs = spark.sparkContext
+          .parallelize(sorted, math.max(1, sorted.size))
+          .flatMap(path =>
+            planChunksForCharset(path, mkConf(), minChunkBytes, charset))
+          .collect().toSeq
+        (cs, math.max(1, cs.size))
+      }
     val rdd = spark.sparkContext
-      .parallelize(chunks, math.max(1, chunks.size))
+      .parallelize(chunks, slices)
       .flatMap(ch => parseChunk(ch, mkConf(), charset))
     spark.createDataFrame(rdd, schema)
   }
