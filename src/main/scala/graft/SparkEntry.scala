@@ -122,6 +122,7 @@ object SparkEntry {
     ("multimodal_decode", Curation.multimodal_decode _, Some(Curation.multimodal_decode_sql)),
     ("multimodal_audio", Curation.multimodal_audio _, Some(Curation.multimodal_audio_sql)),
     ("multimodal_frames", Curation.multimodal_frames _, Some(Curation.multimodal_frames_sql)),
+    ("multimodal_video", Curation.multimodal_video _, Some(Curation.multimodal_video_sql)),
     ("decontam_overlap", Curation.decontam_overlap _, Some(Curation.decontam_overlap_sql)),
     ("decontam_semantic", Curation.decontam_semantic _, Some(Curation.decontam_semantic_sql)),
     ("pack_sequences", Curation.pack_sequences _, Some(Curation.pack_sequences_sql)),

@@ -2579,6 +2579,49 @@ object Curation {
       |  CAST(CASE WHEN poison THEN 0 ELSE 1 END AS INT) AS ok
       |FROM k ORDER BY media_id""".stripMargin
 
+  /** True VIDEO decode (hash-matched): MJPEG-in-AVI payloads assembled
+    * executor-side (RIFF container + per-frame javax.imageio JPEGs,
+    * [[Multimodal.aviPayload]]), then decoded by the real container walk
+    * + per-frame JPEG decode ([[Multimodal.decodeVideo]]). The oracle
+    * predicts frame count / decoded dims / fps / sampled-dimension sums
+    * arithmetically from the id; only a real parser+decoder recovers them
+    * from the bytes. Poison rows (id % 89 == 0) must surface ok=0 with
+    * null metadata. */
+  def multimodal_video(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 500)
+    val dec = Multimodal.decodeVideo(
+      Multimodal.aviPayload(docs, "doc_id"), every = 2)
+    dec.select(col("media_id"),
+        col("vid_frames").as("n_frames"),
+        col("vid_width").as("width"),
+        col("vid_height").as("height"),
+        col("vid_fps").as("fps"),
+        col("vid_sampled").as("n_sampled"),
+        col("vid_dim_sum").as("dim_sum"),
+        col("vid_ok").cast("int").as("ok"))
+      .orderBy("media_id")
+  }
+
+  val multimodal_video_sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(1 + doc_id % 4 AS INT) AS frames,
+      |    CAST(16 + doc_id % 16 AS INT) AS w,
+      |    CAST(8 + doc_id % 8 AS INT) AS h,
+      |    doc_id % 89 = 0 AS poison
+      |  FROM documents WHERE doc_id < 500),
+      |k AS (SELECT doc_id, frames, w, h, poison,
+      |    CAST((frames - 1) // 2 + 1 AS INT) AS ns FROM d)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN poison THEN NULL ELSE frames END AS n_frames,
+      |  CASE WHEN poison THEN NULL ELSE w END AS width,
+      |  CASE WHEN poison THEN NULL ELSE h END AS height,
+      |  CASE WHEN poison THEN NULL ELSE CAST(12 AS INT) END AS fps,
+      |  CASE WHEN poison THEN NULL ELSE ns END AS n_sampled,
+      |  CASE WHEN poison THEN NULL ELSE CAST(ns * (w + h) AS BIGINT) END
+      |    AS dim_sum,
+      |  CAST(CASE WHEN poison THEN 0 ELSE 1 END AS INT) AS ok
+      |FROM k ORDER BY media_id""".stripMargin
+
   /** Context-window chunking (hash-matched): every document split into
     * 64-token windows starting every 48 tokens (16-token overlap — the LM
     * pretraining shape); DuckDB replays the token walk and the md5 of

@@ -671,6 +671,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept === Seq(2L, 3L, 5L)) // ties broken by id; y has only one
   }
 
+  test("MJPEG-in-AVI: container round-trip, every=1 sampling, poison and " +
+      "truncation yield ok=false") {
+    val ids = (1L to 12L).toDF("doc_id") // 12 < 89: no natural poison
+    val avi = Multimodal.aviPayload(ids, "doc_id")
+    val dec = Multimodal.decodeVideo(avi, every = 1)
+    for (r <- dec.collect()) {
+      val id = r.getLong(r.fieldIndex("media_id"))
+      assert(r.getBoolean(r.fieldIndex("vid_ok")), s"id=$id")
+      val frames = 1 + (id % 4).toInt
+      val (w, h) = (16 + (id % 16).toInt, 8 + (id % 8).toInt)
+      assert(r.getInt(r.fieldIndex("vid_frames")) === frames, s"id=$id")
+      assert(r.getInt(r.fieldIndex("vid_width")) === w)
+      assert(r.getInt(r.fieldIndex("vid_height")) === h)
+      assert(r.getInt(r.fieldIndex("vid_fps")) === 12)
+      assert(r.getInt(r.fieldIndex("vid_sampled")) === frames) // every=1
+      assert(r.getLong(r.fieldIndex("vid_dim_sum")) === frames.toLong * (w + h))
+    }
+    // poison id (89 % 89 == 0) and a TRUNCATED valid container both land
+    // ok=false without failing the task
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val poison = Multimodal.decodeVideo(
+      Multimodal.aviPayload(Seq(89L).toDF("doc_id"), "doc_id")).collect()(0)
+    assert(!poison.getBoolean(poison.fieldIndex("vid_ok")))
+    val whole = Multimodal.aviPayload(Seq(7L).toDF("doc_id"), "doc_id")
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val truncated = spark.createDataFrame(
+      java.util.List.of(Row(1L, whole.take(whole.length / 2), "video")),
+      Multimodal.mediaSchema)
+    val t = Multimodal.decodeVideo(truncated).collect()(0)
+    assert(!t.getBoolean(t.fieldIndex("vid_ok")))
+  }
+
   test("bpeMerges: dominant pair first, greedy overlap, deterministic " +
       "tie-break") {
     // "aaa"×10: greedy left-to-right gives TWO (a,a) pairs per word but
