@@ -114,6 +114,7 @@ object SparkEntry {
     ("txt_quantile_filter", Curation.txt_quantile_filter _, Some(Curation.txt_quantile_filter_sql)),
     ("txt_bigram", Curation.txt_bigram _, Some(Curation.txt_bigram_sql)),
     ("txt_bpe", Curation.txt_bpe _, Some(Curation.txt_bpe_sql)),
+    ("txt_unigram", Curation.txt_unigram _, Some(Curation.txt_unigram_sql)),
     ("txt_bpe_apply", Curation.txt_bpe_apply _, Some(Curation.txt_bpe_apply_sql)),
     ("txt_spandedup", Curation.txt_spandedup _, Some(Curation.txt_spandedup_sql)),
     ("txt_chunk", Curation.txt_chunk _, Some(Curation.txt_chunk_sql)),

@@ -317,6 +317,114 @@ object CorpusStats {
         coalesce(col("n_syms"), lit(0L)).as("n_syms"))
   }
 
+  /** Fixed-point scale for unigram-LM log-likelihood weights:
+    * w(piece) = floor(1e6 · ln(count/total)) as a Long. The ln runs ONCE
+    * per piece, driver-side, via StrictMath (fdlibm — bit-identical on
+    * every JVM); everything downstream — the Viterbi DP, the oracle's
+    * replay — is pure integer arithmetic over these literals. */
+  val UnigramScale: Long = 1000000L
+
+  /** Weight of a single character absent from the vocabulary (can only
+    * arise on corpora disjoint from the training corpus): ln-scale −100,
+    * far below any real piece, but a defined constant both engines share. */
+  val UnigramUnk: Long = -100L * UnigramScale
+
+  /** Unigram-LM tokenizer training, SentencePiece-style (Kudo 2018,
+    * arXiv:1804.10959 §3.2) over the corpus WORD-COUNT DICT — the same
+    * dict-not-corpus device as [[bpeMerges]]: after one word-count pass,
+    * every iteration touches only distinct words.
+    *
+    * The public algorithm, re-expressed Spark-first:
+    *  1. SEED: count every ≤`maxPieceLen`-char substring occurrence of
+    *     every dict word (weighted by word count) — one explode + one
+    *     map-side-combined count shuffle, dict-cardinality. Vocabulary =
+    *     ALL single characters (never pruned — segmentation must stay
+    *     total, Kudo §3.2's character coverage) + the top `seedSize`
+    *     multi-char pieces by (count desc, piece asc).
+    *  2. EM rounds: weights = fixed-point log-likelihoods of the current
+    *     counts (driver, vocab-sized); E-step = Viterbi-segment every dict
+    *     word under those weights ([[graft.functions.UnigramSegment]], a
+    *     narrow codegen projection) and re-count piece uses weighted by
+    *     word count — one shuffle, dict-cardinality rows. Between rounds
+    *     the vocab is PRUNED to `targetSize` multi-char pieces by the new
+    *     counts (Viterbi-EM's hard prune: pieces the best segmentations
+    *     stopped using simply drop out, the paper's likelihood-loss prune
+    *     collapsed to its count form under hard-EM).
+    *  3. Returns (weights of the FINAL round, final per-piece counts
+    *     DataFrame (piece, uses, n_refs)). The weights are the trained
+    *     artifact a caller exports — and what a cross-engine oracle needs
+    *     to replay the final E-step bit-for-bit ([[UnigramScale]]).
+    *
+    * 100 TB shape: the corpus is touched ONCE (the word-count pass the
+    * caller does to build `words`); training is dict-sized shuffles plus
+    * vocab-sized driver collects (the IVF-Lloyd pattern — the collect is
+    * bounded by `seedSize`, never by data). The vocab rides into executors
+    * as a plan reference object, exactly how production tokenizers ship
+    * their piece tables. */
+  def unigramTrain(words: DataFrame, wordCol: String, cntCol: String,
+      maxPieceLen: Int = 4, seedSize: Int = 400, targetSize: Int = 150,
+      emRounds: Int = 2): (Map[String, Long], DataFrame) = {
+    require(emRounds >= 1, s"emRounds must be >= 1: $emRounds")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2: $maxPieceLen")
+    var vocab = unigramSeed(words, wordCol, cntCol, maxPieceLen, seedSize)
+    var r = 1
+    while (r < emRounds) {
+      val wts = unigramWeights(vocab)
+      val counts = unigramEStep(words, wordCol, cntCol, wts)
+        .collect().map(row => (row.getString(0), row.getLong(1)))
+      vocab = unigramPrune(counts.toSeq, targetSize)
+      r += 1
+    }
+    val finalWts = unigramWeights(vocab)
+    (finalWts, unigramEStep(words, wordCol, cntCol, finalWts))
+  }
+
+  /** Seed vocabulary: all single chars + top multi-char substrings.
+    * Occurrence-counted (a word `aaa` contributes `a` three times and
+    * `aa` twice), weighted by the word count. */
+  def unigramSeed(words: DataFrame, wordCol: String, cntCol: String,
+      maxPieceLen: Int, seedSize: Int): Seq[(String, Long)] = {
+    val w = col(wordCol)
+    val subs = words.select(col(cntCol).cast("long").as("_cnt"),
+      explode(flatten(transform(sequence(lit(1), length(w)),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(w) - i + lit(1))),
+          l => w.substr(i, l))))).as("_p"))
+    val counts = subs.groupBy("_p").agg(sum(col("_cnt")).as("_c"))
+    val singles = counts.filter(length(col("_p")) === 1).collect()
+    val multis = counts.filter(length(col("_p")) > 1)
+      .orderBy(col("_c").desc, col("_p")).limit(seedSize).collect()
+    (singles ++ multis).map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Counts → fixed-point log-likelihood weights (driver-side, exact). */
+  def unigramWeights(vocab: Seq[(String, Long)]): Map[String, Long] = {
+    val total = vocab.iterator.map(_._2).sum.toDouble
+    vocab.iterator.map { case (p, c) =>
+      p -> math.floor(UnigramScale * StrictMath.log(c / total)).toLong
+    }.toMap
+  }
+
+  /** E-step: Viterbi-segment every dict word, count piece uses.
+    * `uses` = Σ word_cnt × times-used, `n_refs` = unweighted use rows. */
+  def unigramEStep(words: DataFrame, wordCol: String, cntCol: String,
+      weights: Map[String, Long]): DataFrame =
+    words.select(col(cntCol).cast("long").as("_cnt"),
+        explode(graft.functions.UnigramOps.unigramSegment(
+          col(wordCol), weights, UnigramUnk)).as("piece"))
+      .groupBy("piece")
+      .agg(sum(col("_cnt")).as("uses"), count(lit(1)).as("n_refs"))
+
+  /** Hard-EM prune: keep every single char, and the top `targetSize`
+    * multi-char pieces by (new count desc, piece asc). Pieces with zero
+    * uses are already absent from the counts and fall away. */
+  def unigramPrune(counts: Seq[(String, Long)], targetSize: Int)
+      : Seq[(String, Long)] = {
+    val (singles, multis) = counts.partition { case (p, _) =>
+      p.codePointCount(0, p.length) == 1 }
+    singles ++ multis.sortBy { case (p, c) => (-c, p) }.take(targetSize)
+  }
+
   /** BM25 relevance of every document against a small query term set —
     * keyword retrieval over the corpus (Robertson/Spärck Jones; k1/b are
     * the classic defaults 1.2/0.75).

@@ -592,6 +592,98 @@ object Curation {
        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Export state of [[txt_unigram]]: the fixed-point log-likelihood
+    * weights the FINAL E-step ran under (same mechanism as the IVF/PQ
+    * codebook exports — trained artifact as literals, apply-step replayed
+    * independently by the oracle). */
+  @volatile private var unigramWeightsZ: Option[Seq[(String, Long)]] = None
+
+  private val UnigramSeedSize = 60
+  private val UnigramTargetSize = 25
+
+  /** Unigram-LM tokenizer trainer (SentencePiece-style Viterbi-EM, Kudo
+    * 2018), HASH-MATCHED end-to-end: substring-seed the piece vocab, one
+    * EM round of segment→count→prune, then a final E-step whose integer
+    * fixed-point weights are exported as literals. DuckDB replays the
+    * final E-step FROM THE RAW CORPUS — word dict, the full Viterbi DP as
+    * a recursive CTE over positions (carrying the last 4 dp values),
+    * smallest-length tie-break backtrace, per-piece count aggregation —
+    * so the segmentation recurrence itself is proven cross-engine, not
+    * just an invariant of it (the `ann_pq_md5` convention; earlier EM
+    * rounds are pinned by the exported weights plus UnigramSpec). */
+  def txt_unigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val words = docs.select(explode(Dedup.tokensOf(
+        Dedup.normalized(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val (wts, out) = graft.operators.CorpusStats.unigramTrain(
+      words, "w", "cnt", maxPieceLen = 4,
+      seedSize = UnigramSeedSize, targetSize = UnigramTargetSize,
+      emRounds = 2)
+    unigramWeightsZ = Some(wts.toSeq.sortBy(_._1))
+    out.orderBy(col("uses").desc, col("piece"))
+  }
+
+  def txt_unigram_sql: String = unigramWeightsZ match {
+    case None => // only reachable if the gate never ran before the dump
+      "SELECT CAST(NULL AS VARCHAR) AS piece, CAST(NULL AS BIGINT) AS uses, " +
+        "CAST(NULL AS BIGINT) AS n_refs WHERE 1=0"
+    case Some(wts) =>
+      val unk = graft.operators.CorpusStats.UnigramUnk
+      val values = wts.map { case (p, w) =>
+        s"('${p.replace("'", "''")}', CAST($w AS BIGINT))"
+      }.mkString(",\n       ")
+      // sentinel for invalid DP candidates: far below any reachable score,
+      // far above Long overflow when one weight is added
+      val sent = "CAST(-4611686018427387904 AS BIGINT)"
+      def wt(sub: String) = s"(SELECT w FROM wts WHERE p = $sub)"
+      s"""WITH RECURSIVE wts AS (SELECT * FROM (VALUES
+         |       $values) t(p, w)),
+         |wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_filter(str_split($NormSql, ' '),
+         |      x -> x != '')) AS w
+         |    FROM documents WHERE text IS NOT NULL) GROUP BY w),
+         |wd AS (SELECT word, cnt, CAST(len(word) AS INT) AS n FROM wc),
+         |dp AS (
+         |  SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS s0,
+         |    $sent AS s1, $sent AS s2, $sent AS s3
+         |  FROM wd
+         |  UNION ALL
+         |  SELECT word, n, pos + 1,
+         |    greatest(
+         |      s0 + coalesce(${wt("substr(word, pos + 1, 1)")},
+         |                    CAST($unk AS BIGINT)),
+         |      coalesce(s1 + ${wt("substr(word, pos, 2)")}, $sent),
+         |      coalesce(s2 + ${wt("substr(word, pos - 1, 3)")}, $sent),
+         |      coalesce(s3 + ${wt("substr(word, pos - 2, 4)")}, $sent)),
+         |    s0, s1, s2
+         |  FROM dp WHERE pos < n),
+         |bt AS (
+         |  SELECT word, cnt, n AS pos, CAST(NULL AS VARCHAR) AS piece FROM wd
+         |  UNION ALL
+         |  SELECT word, cnt, pos - len(pc), pc FROM (
+         |    SELECT word, cnt, pos,
+         |      (SELECT substr(bt.word, bt.pos - v.l + 1, v.l)
+         |       FROM (VALUES (1),(2),(3),(4)) v(l)
+         |       WHERE v.l <= bt.pos
+         |         AND (SELECT s0 FROM dp d
+         |              WHERE d.word = bt.word AND d.pos = bt.pos - v.l)
+         |             + (CASE WHEN v.l = 1
+         |                  THEN coalesce(
+         |                    ${wt("substr(bt.word, bt.pos, 1)")},
+         |                    CAST($unk AS BIGINT))
+         |                  ELSE ${wt("substr(bt.word, bt.pos - v.l + 1, v.l)")}
+         |                END)
+         |             = (SELECT s0 FROM dp d
+         |                WHERE d.word = bt.word AND d.pos = bt.pos)
+         |       ORDER BY v.l LIMIT 1) AS pc
+         |    FROM bt WHERE pos > 0))
+         |SELECT piece, CAST(sum(cnt) AS BIGINT) AS uses,
+         |  CAST(count(*) AS BIGINT) AS n_refs
+         |FROM bt WHERE piece IS NOT NULL
+         |GROUP BY piece ORDER BY uses DESC, piece""".stripMargin
+  }
+
   import graft.util.DirCache
   /** ≤ 4 source dirs' artifacts each; a dir re-touched after eviction just
     * retrains (correctness never depends on the cache). */
