@@ -255,15 +255,34 @@ object Dedup {
     * recall in hot buckets trades against the stage finishing at all;
     * cluster-level semantics are preserved via the stitch.
     *
-    * Cost shape: one map-side-combinable count aggregate on the SAME key
-    * the join shuffles on, and a join against the hot-key list, which is
-    * ≤ N/cap rows — AQE plans it as a broadcast at any realistic scale. */
+    * Cost shape — the PLAN-TIME HOT PROBE: one map-side-combinable count
+    * aggregate on the SAME key the join shuffles on, collected driver-side
+    * (≤ N/cap rows can exceed the cap — bounded by construction, the
+    * IVF-Lloyd collect pattern, not a data collect). On the overwhelmingly
+    * common no-hot-bucket corpus the guard then costs NOTHING downstream:
+    * the salt is a constant column, Catalyst folds the `_salt` equality
+    * away, and the join plan is the unguarded plan — versus building the
+    * conditional join/stitch/union plan lazily, which made every miner pay
+    * 4+ re-evaluations of the banded lineage and two extra aggregates per
+    * join side even with zero hot buckets (~2× miner wall at sf0.1). When
+    * the probe DOES find hot buckets, the collected list is frozen as a
+    * LocalRelation — the salt join broadcasts it with no recompute. The
+    * probe is one eager job per miner call; callers re-running a returned
+    * plan against mutated source data should re-call the miner (plans are
+    * built per-run everywhere in this engine).
+    *
+    * This is the custom-operator analog of AQE's skew-join handling: a
+    * runtime cardinality probe choosing between physical shapes. */
   private def withBucketSalt(banded: DataFrame, bucket: Column, id: Column,
       cap: Int): DataFrame = {
     require(cap > 0, s"bucketCap must be positive, got $cap")
-    val hot = banded.groupBy(bucket.as("_hb"))
+    val hotAgg = banded.groupBy(bucket.as("_hb"))
       .agg(count(lit(1)).as("_hcnt"))
       .filter(col("_hcnt") > cap)
+    val hotRows = hotAgg.collect()
+    if (hotRows.isEmpty) return banded.withColumn("_salt", lit(0L))
+    val hot = broadcast(banded.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
     val salted = banded.join(hot, bucket === col("_hb"), "left")
       .withColumn("_salt",
         when(col("_hcnt").isNull, lit(0L))
@@ -297,13 +316,22 @@ object Dedup {
       bucket: Column, lId: Column, rId: Column, cap: Int)
       : (DataFrame, DataFrame) = {
     require(cap > 0, s"bucketCap must be positive, got $cap")
+    // plan-time hot probe (see withBucketSalt): both count aggregates and
+    // the product filter run ONCE, driver-collected; the no-hot path adds
+    // only a constant salt on each side
     val cl = lb.groupBy(bucket.as("_hb")).agg(count(lit(1)).as("_cl"))
     val cr = rb.groupBy(bucket.as("_hb")).agg(count(lit(1)).as("_cr"))
-    val hot = cl.join(cr, "_hb")
+    val hotAgg = cl.join(cr, "_hb")
       .filter(col("_cl") * col("_cr") > cap.toLong * cap)
       .select(col("_hb"),
         ceil(greatest(col("_cl"), col("_cr")).cast("double") / cap)
           .cast("long").as("_splits"))
+    val hotRows = hotAgg.collect()
+    if (hotRows.isEmpty)
+      return (lb.withColumn("_salt", lit(0L)),
+        rb.withColumn("_salt", lit(0L)))
+    val hot = broadcast(lb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
     def salted(side: DataFrame, id: Column) =
       side.join(hot, bucket === col("_hb"), "left")
         .withColumn("_salt",

@@ -232,29 +232,38 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH miners: hot-bucket salt guard is welded into the join key") {
-    // The salt-split guard (Dedup.withBucketSalt) only bounds a degenerate
-    // bucket if the join condition actually includes `_salt` equality and
-    // the per-bucket count aggregate feeding it survives optimization. A
-    // plan that drops either (e.g. a refactor that re-derives l/r from the
-    // unsalted frame) silently reverts to the B² blowup.
+    // The salt-split guard (Dedup.withBucketSalt) runs a PLAN-TIME hot
+    // probe: with no bucket over the cap the salt is a constant and the
+    // plan is the unguarded plan (asserted below — the common corpus must
+    // not pay for the guard); with hot buckets the `_salt` equality must
+    // survive into the join key or the guard silently reverts to the B²
+    // blowup. bucketCap=1 makes the real corpus's duplicate buckets hot.
     import graft.util.Tables
     val docs = Tables.load(spark, sf, "documents")
     val emb = Tables.load(spark, sf, "embeddings")
     val sigs = graft.operators.Dedup.minhashSignaturesPacked(
       docs, "text", "doc_id")
     for (df <- Seq(
-        graft.operators.Dedup.minhashPairsFromPackedSignatures(sigs),
+        graft.operators.Dedup.minhashPairsFromPackedSignatures(sigs,
+          bucketCap = 1),
         graft.operators.Dedup.crossMinhashPairsFromPackedSignatures(
-          sigs, sigs),
-        graft.operators.Dedup.simhashPairs(docs, "text", "doc_id"),
+          sigs, sigs, bucketCap = 1),
+        graft.operators.Dedup.simhashPairsFromSketches(
+          graft.operators.Dedup.simhashSketches(docs, "text", "doc_id"),
+          maxHamming = 8, bucketCap = 1),
         graft.operators.Dedup.embeddingNearDup(emb, "embedding", "vec_id",
-          planes = 3, threshold = 0.25, tables = 2))) {
+          planes = 3, threshold = 0.25, tables = 2, bucketCap = 1))) {
       val p = plan(df)
       assert(p.contains("_salt"),
         s"hot-bucket salt missing from the physical plan:\n${p.take(2000)}")
-      assert("HashAggregate".r.findAllIn(p).nonEmpty,
-        "per-bucket count aggregate optimized away")
     }
+    // ...and the probe's no-hot fast path: at the default cap the sane
+    // corpus plan carries NO salt join machinery (constant folded away)
+    // and no per-bucket aggregate — the guard is free when not needed
+    val clean = plan(
+      graft.operators.Dedup.minhashPairsFromPackedSignatures(sigs))
+    assert(!clean.contains("_hb"),
+      s"no-hot path still joins the hot-bucket list:\n${clean.take(2000)}")
   }
 
   test("bucketed tables co-locate the fact join: no exchange on either side") {
