@@ -115,6 +115,7 @@ object SparkEntry {
     ("txt_bigram", Curation.txt_bigram _, Some(Curation.txt_bigram_sql)),
     ("txt_bpe", Curation.txt_bpe _, Some(Curation.txt_bpe_sql)),
     ("txt_unigram", Curation.txt_unigram _, Some(Curation.txt_unigram_sql)),
+    ("txt_unigram_apply", Curation.txt_unigram_apply _, Some(Curation.txt_unigram_apply_sql)),
     ("txt_bpe_apply", Curation.txt_bpe_apply _, Some(Curation.txt_bpe_apply_sql)),
     ("txt_spandedup", Curation.txt_spandedup _, Some(Curation.txt_spandedup_sql)),
     ("txt_chunk", Curation.txt_chunk _, Some(Curation.txt_chunk_sql)),

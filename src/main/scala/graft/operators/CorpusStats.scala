@@ -425,6 +425,31 @@ object CorpusStats {
     singles ++ multis.sortBy { case (p, c) => (-c, p) }.take(targetSize)
   }
 
+  /** The unigram tokenizer's APPLICATION half ([[unigramTrain]] is the
+    * training half — the [[bpeSegment]]/[[bpeMerges]] split): Viterbi-
+    * segment the corpus under trained weights. The DP runs once per
+    * DISTINCT word (dict-cardinality), the corpus joins back by word —
+    * corpus-side cost is one explode + one equi-join (AQE broadcasts the
+    * dict when it fits) + one per-doc aggregate. Returns
+    * (idCol, n_words, n_pieces): words and total Viterbi pieces per
+    * document (null/empty docs → 0,0). */
+  def unigramSegmentCorpus(df: DataFrame, textCol: String, idCol: String,
+      weights: Map[String, Long]): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .withColumn("_toks", Dedup.tokensOf(Dedup.normalized(col(textCol))))
+    val words = base.select(col(idCol), explode(col("_toks")).as("_w"))
+    val dict = words.select(col("_w")).distinct()
+      .withColumn("_np", size(graft.functions.UnigramOps.unigramSegment(
+        col("_w"), weights, UnigramUnk)).cast("long"))
+    val perDoc = words.join(dict, "_w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_np")).as("n_pieces"))
+    base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
   /** BM25 relevance of every document against a small query term set —
     * keyword retrieval over the corpus (Robertson/Spärck Jones; k1/b are
     * the classic defaults 1.2/0.75).

@@ -624,64 +624,114 @@ object Curation {
     out.orderBy(col("uses").desc, col("piece"))
   }
 
+  /** Shared DuckDB replay chain for the unigram gates: literal weights →
+    * word dict → full Viterbi DP (recursive CTE over positions, carrying
+    * the last 4 dp values) → smallest-length-tie-break backtrace. `bt`'s
+    * non-null `piece` rows are the corpus-wide segmentations. */
+  private def unigramDpCtes(wts: Seq[(String, Long)]): String = {
+    val unk = graft.operators.CorpusStats.UnigramUnk
+    val values = wts.map { case (p, w) =>
+      s"('${p.replace("'", "''")}', CAST($w AS BIGINT))"
+    }.mkString(",\n       ")
+    // sentinel for invalid DP candidates: far below any reachable score,
+    // far above Long overflow when one weight is added
+    val sent = "CAST(-4611686018427387904 AS BIGINT)"
+    def wt(sub: String) = s"(SELECT w FROM wts WHERE p = $sub)"
+    s"""wts AS (SELECT * FROM (VALUES
+       |       $values) t(p, w)),
+       |wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_filter(str_split($NormSql, ' '),
+       |      x -> x != '')) AS w
+       |    FROM documents WHERE text IS NOT NULL) GROUP BY w),
+       |wd AS (SELECT word, cnt, CAST(len(word) AS INT) AS n FROM wc),
+       |dp AS (
+       |  SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS s0,
+       |    $sent AS s1, $sent AS s2, $sent AS s3
+       |  FROM wd
+       |  UNION ALL
+       |  SELECT word, n, pos + 1,
+       |    greatest(
+       |      s0 + coalesce(${wt("substr(word, pos + 1, 1)")},
+       |                    CAST($unk AS BIGINT)),
+       |      coalesce(s1 + ${wt("substr(word, pos, 2)")}, $sent),
+       |      coalesce(s2 + ${wt("substr(word, pos - 1, 3)")}, $sent),
+       |      coalesce(s3 + ${wt("substr(word, pos - 2, 4)")}, $sent)),
+       |    s0, s1, s2
+       |  FROM dp WHERE pos < n),
+       |bt AS (
+       |  SELECT word, cnt, n AS pos, CAST(NULL AS VARCHAR) AS piece FROM wd
+       |  UNION ALL
+       |  SELECT word, cnt, pos - len(pc), pc FROM (
+       |    SELECT word, cnt, pos,
+       |      (SELECT substr(bt.word, bt.pos - v.l + 1, v.l)
+       |       FROM (VALUES (1),(2),(3),(4)) v(l)
+       |       WHERE v.l <= bt.pos
+       |         AND (SELECT s0 FROM dp d
+       |              WHERE d.word = bt.word AND d.pos = bt.pos - v.l)
+       |             + (CASE WHEN v.l = 1
+       |                  THEN coalesce(
+       |                    ${wt("substr(bt.word, bt.pos, 1)")},
+       |                    CAST($unk AS BIGINT))
+       |                  ELSE ${wt("substr(bt.word, bt.pos - v.l + 1, v.l)")}
+       |                END)
+       |             = (SELECT s0 FROM dp d
+       |                WHERE d.word = bt.word AND d.pos = bt.pos)
+       |       ORDER BY v.l LIMIT 1) AS pc
+       |    FROM bt WHERE pos > 0))""".stripMargin
+  }
+
   def txt_unigram_sql: String = unigramWeightsZ match {
     case None => // only reachable if the gate never ran before the dump
       "SELECT CAST(NULL AS VARCHAR) AS piece, CAST(NULL AS BIGINT) AS uses, " +
         "CAST(NULL AS BIGINT) AS n_refs WHERE 1=0"
     case Some(wts) =>
-      val unk = graft.operators.CorpusStats.UnigramUnk
-      val values = wts.map { case (p, w) =>
-        s"('${p.replace("'", "''")}', CAST($w AS BIGINT))"
-      }.mkString(",\n       ")
-      // sentinel for invalid DP candidates: far below any reachable score,
-      // far above Long overflow when one weight is added
-      val sent = "CAST(-4611686018427387904 AS BIGINT)"
-      def wt(sub: String) = s"(SELECT w FROM wts WHERE p = $sub)"
-      s"""WITH RECURSIVE wts AS (SELECT * FROM (VALUES
-         |       $values) t(p, w)),
-         |wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(list_filter(str_split($NormSql, ' '),
-         |      x -> x != '')) AS w
-         |    FROM documents WHERE text IS NOT NULL) GROUP BY w),
-         |wd AS (SELECT word, cnt, CAST(len(word) AS INT) AS n FROM wc),
-         |dp AS (
-         |  SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS s0,
-         |    $sent AS s1, $sent AS s2, $sent AS s3
-         |  FROM wd
-         |  UNION ALL
-         |  SELECT word, n, pos + 1,
-         |    greatest(
-         |      s0 + coalesce(${wt("substr(word, pos + 1, 1)")},
-         |                    CAST($unk AS BIGINT)),
-         |      coalesce(s1 + ${wt("substr(word, pos, 2)")}, $sent),
-         |      coalesce(s2 + ${wt("substr(word, pos - 1, 3)")}, $sent),
-         |      coalesce(s3 + ${wt("substr(word, pos - 2, 4)")}, $sent)),
-         |    s0, s1, s2
-         |  FROM dp WHERE pos < n),
-         |bt AS (
-         |  SELECT word, cnt, n AS pos, CAST(NULL AS VARCHAR) AS piece FROM wd
-         |  UNION ALL
-         |  SELECT word, cnt, pos - len(pc), pc FROM (
-         |    SELECT word, cnt, pos,
-         |      (SELECT substr(bt.word, bt.pos - v.l + 1, v.l)
-         |       FROM (VALUES (1),(2),(3),(4)) v(l)
-         |       WHERE v.l <= bt.pos
-         |         AND (SELECT s0 FROM dp d
-         |              WHERE d.word = bt.word AND d.pos = bt.pos - v.l)
-         |             + (CASE WHEN v.l = 1
-         |                  THEN coalesce(
-         |                    ${wt("substr(bt.word, bt.pos, 1)")},
-         |                    CAST($unk AS BIGINT))
-         |                  ELSE ${wt("substr(bt.word, bt.pos - v.l + 1, v.l)")}
-         |                END)
-         |             = (SELECT s0 FROM dp d
-         |                WHERE d.word = bt.word AND d.pos = bt.pos)
-         |       ORDER BY v.l LIMIT 1) AS pc
-         |    FROM bt WHERE pos > 0))
+      s"""WITH RECURSIVE ${unigramDpCtes(wts)}
          |SELECT piece, CAST(sum(cnt) AS BIGINT) AS uses,
          |  CAST(count(*) AS BIGINT) AS n_refs
          |FROM bt WHERE piece IS NOT NULL
          |GROUP BY piece ORDER BY uses DESC, piece""".stripMargin
+  }
+
+  /** The unigram tokenizer's application half, hash-matched: train (same
+    * deterministic artifacts as `txt_unigram` — it sets the same export
+    * state), Viterbi-segment the distinct-word dict, join the corpus back
+    * by word, report per-doc (n_words, n_pieces). DuckDB re-derives every
+    * word's piece count from the SAME recursive-CTE replay and aggregates
+    * per document — the `txt_bpe_apply` convention. */
+  def txt_unigram_apply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val words = docs.select(explode(Dedup.tokensOf(
+        Dedup.normalized(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val (wts, _) = graft.operators.CorpusStats.unigramTrain(
+      words, "w", "cnt", maxPieceLen = 4,
+      seedSize = UnigramSeedSize, targetSize = UnigramTargetSize,
+      emRounds = 2)
+    unigramWeightsZ = Some(wts.toSeq.sortBy(_._1))
+    graft.operators.CorpusStats.unigramSegmentCorpus(
+        docs, "text", "doc_id", wts)
+      .orderBy("doc_id")
+  }
+
+  def txt_unigram_apply_sql: String = unigramWeightsZ match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words, " +
+        "CAST(NULL AS BIGINT) AS n_pieces WHERE 1=0"
+    case Some(wts) =>
+      s"""WITH RECURSIVE ${unigramDpCtes(wts)},
+         |ns AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM bt
+         |       WHERE piece IS NOT NULL GROUP BY word),
+         |dw AS (SELECT doc_id, unnest(list_filter(str_split($NormSql, ' '),
+         |         x -> x != '')) AS word
+         |       FROM documents WHERE text IS NOT NULL),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |          CAST(sum(np) AS BIGINT) AS n_pieces
+         |        FROM dw JOIN ns USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_words, 0) AS n_words,
+         |  coalesce(n_pieces, 0) AS n_pieces
+         |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
   import graft.util.DirCache

@@ -65,6 +65,20 @@ class UnigramSpec extends SparkSpec {
     assert(pruned.toMap.keySet === Set("a", "b", "xy"))
   }
 
+  test("segmentCorpus: per-doc word and piece counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab"), (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    // 'ab' is a piece; 'c'/'d' segment as singles
+    val wts = Map("a" -> -5L, "b" -> -5L, "c" -> -5L, "d" -> -5L,
+      "ab" -> -6L)
+    val out = CorpusStats.unigramSegmentCorpus(docs, "text", "doc_id", wts)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: words [ab, ab, cd] → pieces [ab][ab][c,d] = 4
+    assert(out.toSeq === Seq((1L, 3L, 4L), (2L, 1L, 1L), (4L, 0L, 0L)))
+  }
+
   test("trainer: conservation, piece emergence, determinism") {
     import spark.implicits._
     // 'data' dominates — EM should surface it (or its ≤4-char substrings)
