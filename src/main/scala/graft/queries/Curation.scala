@@ -611,17 +611,37 @@ object Curation {
     * so the segmentation recurrence itself is proven cross-engine, not
     * just an invariant of it (the `ann_pq_md5` convention; earlier EM
     * rounds are pinned by the exported weights plus UnigramSpec). */
+  /** Train-once/reuse cache for the unigram artifacts (the signature-cache
+    * pattern): both unigram gates need the same deterministic weights, and
+    * training is a seed + EM job chain worth paying once per dir. */
+  private val unigramCache =
+    new graft.util.DirCache[Map[String, Long]](CachedDirs, _ => ())
+
+  private def unigramWeightsFor(s: SparkSession, dir: String)
+      : Map[String, Long] = {
+    val wts = unigramCache.getOrElseUpdate(dir, {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val words = docs.select(explode(Dedup.tokensOf(
+          Dedup.normalized(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      graft.operators.CorpusStats.unigramTrain(
+        words, "w", "cnt", maxPieceLen = 4,
+        seedSize = UnigramSeedSize, targetSize = UnigramTargetSize,
+        emRounds = 2)._1
+    })
+    unigramWeightsZ = Some(wts.toSeq.sortBy(_._1))
+    wts
+  }
+
   def txt_unigram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
     val words = docs.select(explode(Dedup.tokensOf(
         Dedup.normalized(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val (wts, out) = graft.operators.CorpusStats.unigramTrain(
-      words, "w", "cnt", maxPieceLen = 4,
-      seedSize = UnigramSeedSize, targetSize = UnigramTargetSize,
-      emRounds = 2)
-    unigramWeightsZ = Some(wts.toSeq.sortBy(_._1))
-    out.orderBy(col("uses").desc, col("piece"))
+    val wts = unigramWeightsFor(s, dir)
+    graft.operators.CorpusStats.unigramEStep(words, "w", "cnt", wts)
+      .orderBy(col("uses").desc, col("piece"))
   }
 
   /** Shared DuckDB replay chain for the unigram gates: literal weights →
@@ -700,14 +720,7 @@ object Curation {
     * per document — the `txt_bpe_apply` convention. */
   def txt_unigram_apply(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
-    val words = docs.select(explode(Dedup.tokensOf(
-        Dedup.normalized(col("text")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val (wts, _) = graft.operators.CorpusStats.unigramTrain(
-      words, "w", "cnt", maxPieceLen = 4,
-      seedSize = UnigramSeedSize, targetSize = UnigramTargetSize,
-      emRounds = 2)
-    unigramWeightsZ = Some(wts.toSeq.sortBy(_._1))
+    val wts = unigramWeightsFor(s, dir)
     graft.operators.CorpusStats.unigramSegmentCorpus(
         docs, "text", "doc_id", wts)
       .orderBy("doc_id")

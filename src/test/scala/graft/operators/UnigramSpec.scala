@@ -65,6 +65,57 @@ class UnigramSpec extends SparkSpec {
     assert(pruned.toMap.keySet === Set("a", "b", "xy"))
   }
 
+  test("viterbi ≡ exhaustive search over random words and vocabularies") {
+    // brute force: enumerate EVERY segmentation of the word into known
+    // pieces (unknown single chars at UNK), score, pick max with the
+    // lexicographically-smallest piece-length vector as the tie-break —
+    // which is exactly what ascending-L strict-> DP backtrace yields
+    val unk = CorpusStats.UnigramUnk
+    def brute(word: String, wts: Map[String, Long]): (Long, Seq[String]) = {
+      if (word.isEmpty) return (0L, Seq.empty)
+      (1 to math.min(4, word.length)).flatMap { l =>
+        val piece = word.substring(0, l)
+        val w = wts.get(piece) match {
+          case Some(x) => Some(x)
+          case None if l == 1 => Some(unk)
+          case None => None
+        }
+        w.map { x =>
+          val (rs, rp) = brute(word.substring(l), wts)
+          (x + rs, piece +: rp)
+        }
+      }.maxBy { case (score, pieces) =>
+        // max score; among ties prefer the segmentation the DP picks:
+        // smallest piece length at every backtrace step (last piece
+        // first). Encode reversed lengths so smaller length sorts HIGHER
+        // ('9'-len); equal-sum length vectors can't be prefix-ties.
+        (score, pieces.reverse.map(p => ('9' - p.length).toChar).mkString)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val alpha = "abc"
+      val word = (0 until 1 + rnd.nextInt(8))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      // random vocab: all single chars sometimes missing one, random
+      // multi-char substrings with random negative weights
+      val singles = alpha.filter(_ => rnd.nextDouble() > 0.2)
+        .map(c => c.toString -> -(1L + rnd.nextInt(50))).toMap
+      val multis = (0 until 6).map { _ =>
+        val s = (0 until 2 + rnd.nextInt(3))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        s -> -(1L + rnd.nextInt(80)).toLong
+      }.toMap
+      val wts = singles ++ multis
+      val got = seg(word, wts)
+      val (bs, bp) = brute(word, wts)
+      val gotScore = got.map(p => wts.getOrElse(p,
+        if (p.length == 1) unk else fail(s"unknown multi piece $p"))).sum
+      assert(got.mkString("|") === bp.mkString("|") && gotScore === bs,
+        s"word=$word wts=$wts dp=$got brute=$bp")
+    }
+  }
+
   test("segmentCorpus: per-doc word and piece counts") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab cd"), (2L, "ab"), (3L, null.asInstanceOf[String]),
