@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType, MapType}
 import graft.functions.{Crc64Expr, GramHashes, LaneAgreement, LanesXxHash, MinhashSigs, MinhashSigsPacked, NfcNormalize, PackVec, PackedDot, PackedSketch, PqAdc, PqEncode, Simhash64}
 
 /** §2.8 extension seam: graft's native Catalyst expressions as SQL
@@ -94,12 +94,49 @@ object GraftExtensions {
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(string) - Unicode NFC " +
         "composition (no-op fast path for already-normalized text)"),
-      (args: Seq[Expression]) => NfcNormalize(args.head)))
+      (args: Seq[Expression]) => NfcNormalize(args.head)),
+    (FunctionIdentifier("unigram_segment"),
+      info("unigram_segment", "unigram_segment(word, map('piece', weight, " +
+        "...), unk_weight) - Viterbi unigram-LM segmentation of a word " +
+        "into vocabulary pieces under foldable fixed-point log-likelihood " +
+        "weights (smallest-length tie-break; unknown single chars score " +
+        "unk_weight)"),
+      (args: Seq[Expression]) =>
+        graft.functions.UnigramSegment(args.head, litWeightMap(args(1)),
+          litLong(args(2), "unk_weight"))))
 
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
+  }
+
+  private def litLong(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  /** Foldable map expression (e.g. `map('ab', -5, 'a', -9)`) → the weight
+    * table a [[graft.functions.UnigramSegment]] needs at plan-build time. */
+  private def litWeightMap(e: Expression): Map[String, Long] = {
+    require(e.foldable && e.dataType.isInstanceOf[MapType],
+      s"weights must be a foldable map<string,bigint> literal, got $e")
+    val m = e.eval(null).asInstanceOf[
+      org.apache.spark.sql.catalyst.util.MapData]
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    val valueType = e.dataType.asInstanceOf[MapType].valueType
+    (0 until m.numElements()).map { i =>
+      val v = valueType match {
+        case LongType => vals.getLong(i)
+        case IntegerType => vals.getInt(i).toLong
+        case other => throw new IllegalArgumentException(
+          s"weight values must be integral, got $other")
+      }
+      keys.getUTF8String(i).toString -> v
+    }.toMap
   }
 
   /** Register into an already-running session's function registry. */

@@ -44,6 +44,20 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.VecOps.packDoubles(Array(1.0, -2.0, 3.0, 0.5)), 4, 1))
   }
 
+  test("unigram_segment from SQL: foldable map weights drive the Viterbi DP") {
+    GraftExtensions.register(spark)
+    val pieces = spark.sql(
+      """SELECT unigram_segment('abcab',
+        |  map('a', -50L, 'b', -60L, 'c', -55L, 'ab', -10L), -100000000L)
+        |  AS p""".stripMargin).collect()(0).getSeq[String](0)
+    assert(pieces === Seq("ab", "c", "ab"))
+    // unknown char takes the UNK path
+    val unk = spark.sql(
+      "SELECT unigram_segment('axb', map('a', -5L, 'b', -5L), -9L) AS p")
+      .collect()(0).getSeq[String](0)
+    assert(unk === Seq("a", "x", "b"))
+  }
+
   test("packed-signature SQL kernels agree with the flat minhash_sigs") {
     GraftExtensions.register(spark)
     // lane j of the packed form == minhash_sigs[j]; band keys equal
