@@ -274,13 +274,22 @@ object Dedup {
     * This is the custom-operator analog of AQE's skew-join handling: a
     * runtime cardinality probe choosing between physical shapes. */
   private def withBucketSalt(banded: DataFrame, bucket: Column, id: Column,
-      cap: Int): DataFrame = {
+      cap: Int): DataFrame =
+    withBucketSaltProbed(banded, bucket, id, cap)._1
+
+  /** [[withBucketSalt]] plus the probe's verdict — callers whose
+    * deduplication step is only needed when stitch rows exist (e.g.
+    * [[Similarity.semDedupPairs]], whose cells are disjoint so duplicate
+    * pairs can ONLY come from the stitch clique) skip that shuffle on the
+    * no-hot path. */
+  private[graft] def withBucketSaltProbed(banded: DataFrame, bucket: Column,
+      id: Column, cap: Int): (DataFrame, Boolean) = {
     require(cap > 0, s"bucketCap must be positive, got $cap")
     val hotAgg = banded.groupBy(bucket.as("_hb"))
       .agg(count(lit(1)).as("_hcnt"))
       .filter(col("_hcnt") > cap)
     val hotRows = hotAgg.collect()
-    if (hotRows.isEmpty) return banded.withColumn("_salt", lit(0L))
+    if (hotRows.isEmpty) return (banded.withColumn("_salt", lit(0L)), false)
     val hot = broadcast(banded.sparkSession.createDataFrame(
       java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
     val salted = banded.join(hot, bucket === col("_hb"), "left")
@@ -300,7 +309,7 @@ object Dedup {
           id === col("_rid"))
       .withColumn("_salt", lit(-1L))
       .select(outCols: _*)
-    salted.select(outCols: _*).union(stitch)
+    (salted.select(outCols: _*).union(stitch), true)
   }
 
   /** Cross-corpus flavor of [[withBucketSalt]]: the blowup is the PRODUCT

@@ -482,10 +482,22 @@ object Similarity {
     *
     * Boundary caveat (the paper's too): a true near-pair split across two
     * cells is missed — the recall price of the n²/nlist bound. The
-    * verify gate measures exactly that against the LSH miner's pairs. */
+    * verify gate measures exactly that against the LSH miner's pairs.
+    *
+    * HOT-CELL guard: k-means cells are NOT balanced — a dominant
+    * semantic-duplicate blob (the very thing this operator exists to
+    * find) can pull one cell to a huge fraction of the corpus, and that
+    * cell's self-join is the same B² blowup the banded miners guard
+    * against. Cells over `bucketCap` are salt-split with stitch
+    * representatives via [[Dedup.withBucketSaltProbed]] (plan-time probe:
+    * the no-hot corpus pays nothing); cross-split recall loss is bounded
+    * and cluster connectivity is preserved through the stitch clique —
+    * the pairs feed [[Dedup.clusterKeepOne]], which only needs the
+    * component connected. */
   def semDedupPairs(df: DataFrame, vecCol: String, idCol: String,
       tau: Double, nlist: Int = 16,
-      trainSampleCap: Int = 8192): DataFrame = {
+      trainSampleCap: Int = 8192,
+      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
     import graft.functions.{VecExpressions, VecOps}
     import org.apache.spark.sql.catalyst.util.ArrayData
     val nv = normalizedFrame(df, vecCol, idCol)
@@ -503,17 +515,23 @@ object Similarity {
     }
     val assigned = packed.select(col(idCol),
       least(candidates: _*).getField("j").as("_cell"), col("_p"))
-    // within-cell pairs: equi-join on the cell id — normalized vectors
-    // make the packed dot the cosine directly
-    val a = assigned.select(col(idCol).as("id_a"), col("_cell"),
-      col("_p").as("_pa"))
-    val b = assigned.select(col(idCol).as("id_b"), col("_cell"),
-      col("_p").as("_pb"))
-    a.join(b, Seq("_cell"))
+    val (salted, anyHot) = Dedup.withBucketSaltProbed(assigned,
+      col("_cell"), col(idCol), bucketCap)
+    // within-cell pairs: equi-join on the cell id (+ the salt, constant
+    // and folded away when no cell is hot) — normalized vectors make the
+    // packed dot the cosine directly
+    val a = salted.select(col(idCol).as("id_a"), col("_cell"),
+      col("_salt"), col("_p").as("_pa"))
+    val b = salted.select(col(idCol).as("id_b"), col("_cell"),
+      col("_salt"), col("_p").as("_pb"))
+    val pairs = a.join(b, Seq("_cell", "_salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", VecExpressions.packedDot(col("_pa"), col("_pb")))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    // cells are disjoint, so duplicate pairs can only come from the
+    // stitch clique — the dedup shuffle is skipped when nothing was hot
+    if (anyHot) pairs.dropDuplicates("id_a", "id_b") else pairs
   }
 
   /** LSH-bucketed ANN with multi-probe: scan the query's bucket plus every

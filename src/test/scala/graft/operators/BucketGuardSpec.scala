@@ -125,6 +125,36 @@ class BucketGuardSpec extends SparkSpec {
     } finally { bs.unpersist(); fs.unpersist() }
   }
 
+  test("semDedup: hot k-means cell bounded without losing the cluster") {
+    // a degenerate semantic blob: hotN identical embeddings all land in
+    // ONE k-means cell; the within-cell join must salt-split, and the
+    // stitch clique must keep the blob one component for keep-one
+    val blob = (0 until hotN).map(i =>
+      (4000L + i, Array(0.8f, -0.4f, 0.2f, 0.1f)))
+    val spread = (0 until 40).map(i =>
+      (1L + i, Array(i * 0.1f - 2f, 1f, i * 0.05f, -0.3f)))
+    val df = (blob ++ spread).toDF("vec_id", "embedding")
+    val guarded = Similarity.semDedupPairs(df, "embedding", "vec_id",
+      tau = 0.99, nlist = 4, bucketCap = cap)
+    val n = guarded.count()
+    assert(n > 0)
+    // splits = ceil(300/20) = 15; bounded like the banded miners
+    assert(n <= 4 * 15 * (cap * (cap - 1) / 2),
+      s"semantic pair count $n not bounded — cell guard inactive?")
+    assert(guarded.count() ===
+      guarded.dropDuplicates("id_a", "id_b").count(),
+      "stitch clique produced duplicate pairs")
+    val labels = Dedup.connectedComponents(
+      guarded.select("id_a", "id_b"), "id_a", "id_b")
+    assert(labels.filter(col("id") >= 4000L)
+      .select("component").distinct().count() === 1L,
+      "salt split disconnected the semantic blob")
+    // sane corpus at the default cap: identical pair set, no salt applied
+    val open = Similarity.semDedupPairs(df, "embedding", "vec_id",
+      tau = 0.99, nlist = 4)
+    assert(pairSet(guarded).subsetOf(pairSet(open)))
+  }
+
   test("embedding: hot LSH bucket bounded without losing the cluster") {
     // identical vectors land in one hyperplane bucket per table
     val vecs = (0 until hotN).map(i => (3000L + i, Array(1.0f, 0.5f, -0.25f, 0.125f))) :+
