@@ -55,44 +55,54 @@ object DocStream {
     *
     * `baseSigs`: (`_id`, sig_0..sig_7) from [[Dedup.md5Signatures]] (or
     * any frame with that shape). Output rows: (doc_id, dup 0|1) for every
-    * streamed doc passing `streamFilter`. */
+    * streamed doc passing `streamFilter`.
+    *
+    * EXACT base-side collapse (the scale move): the flag's agreement
+    * threshold (≥2 of 8 lanes) is IMPLIED by any band collision — a band
+    * key is the concatenation of two fixed-width lanes, so key equality
+    * ⇔ both lanes equal ⇔ agreement ≥ 2 already. Flagging therefore only
+    * needs base-bucket EXISTENCE, and the base side of the per-batch join
+    * collapses to the DISTINCT bucket keys, persisted once: every batch
+    * row meets at most ONE base row per band. The degenerate-bucket
+    * blowup (a boilerplate blob in the base exploding every matching
+    * batch doc into |blob| join rows) is eliminated by construction — no
+    * salt guard needed — and flags are bit-identical (DocStreamSpec pins
+    * them against the batch oracle). */
   def nearDupVsBase(spark: SparkSession, docsDir: String,
       baseSigs: DataFrame, streamFilter: org.apache.spark.sql.Column,
       outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    val baseBands = Dedup.md5BandRows(baseSigs)
-      .select(col("_id").as("id_base") +:
-        (0 until 8).map(j => col(s"sig_$j").as(s"sb_$j")) :+
-        col("_b").as("_b2"): _*)
-    val schema = spark.read.parquet(docsDir).schema
-    val reader = spark.readStream.schema(schema)
-    if (maxFilesPerTrigger > 0)
-      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-    val stream = reader.parquet(docsDir).filter(streamFilter)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sigs = Dedup.md5Signatures(batch, "text", "doc_id")
-        val lBands = Dedup.md5BandRows(sigs)
-          .select(col("_id").as("doc_id") +:
-            (0 until 8).map(j => col(s"sig_$j").as(s"sa_$j")) :+
-            col("_b"): _*)
-        val dupIds = lBands
-          .join(baseBands, col("_b") === col("_b2"))
-          .filter(Dedup.md5AgreementCount >= 2)
-          .select(col("doc_id")).distinct()
-        val flagged = sigs.select(col("_id").as("doc_id"))
-          .join(dupIds.withColumn("dup", lit(1)), Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("dup"), lit(0)).as("dup"))
-        // per-batch dir + overwrite → replaying a batch after a crash
-        // rewrites the same rows instead of duplicating them
-        flagged.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    val baseBuckets = Dedup.md5BandRows(baseSigs)
+      .select(col("_b").as("_b2")).distinct()
+      .persist()
+    try {
+      val schema = spark.read.parquet(docsDir).schema
+      val reader = spark.readStream.schema(schema)
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      val stream = reader.parquet(docsDir).filter(streamFilter)
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sigs = Dedup.md5Signatures(batch, "text", "doc_id")
+          val lBands = Dedup.md5BandRows(sigs)
+            .select(col("_id").as("doc_id"), col("_b"))
+          val dupIds = lBands
+            .join(baseBuckets, col("_b") === col("_b2"))
+            .select(col("doc_id")).distinct()
+          val flagged = sigs.select(col("_id").as("doc_id"))
+            .join(dupIds.withColumn("dup", lit(1)), Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("dup"), lit(0)).as("dup"))
+          // per-batch dir + overwrite → replaying a batch after a crash
+          // rewrites the same rows instead of duplicating them
+          flagged.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally baseBuckets.unpersist(blocking = false)
     spark.read.parquet(s"$outDir/b*")
   }
 
