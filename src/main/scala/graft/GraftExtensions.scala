@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType, MapType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, MapType}
 import graft.functions.{Crc64Expr, GramHashes, LaneAgreement, LanesXxHash, MinhashSigs, MinhashSigsPacked, NfcNormalize, PackVec, PackedDot, PackedSketch, PqAdc, PqEncode, Simhash64}
 
 /** §2.8 extension seam: graft's native Catalyst expressions as SQL
@@ -95,6 +95,12 @@ object GraftExtensions {
       info("nfc_normalize", "nfc_normalize(string) - Unicode NFC " +
         "composition (no-op fast path for already-normalized text)"),
       (args: Seq[Expression]) => NfcNormalize(args.head)),
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "bloom_might_contain(key_bigint, " +
+        "filter_binary) - membership probe of a 64-bit key against a " +
+        "serialized Bloom filter (foldable binary, e.g. from unhex)"),
+      (args: Seq[Expression]) =>
+        graft.functions.BloomMightContain(args.head, litBinary(args(1)))),
     (FunctionIdentifier("unigram_segment"),
       info("unigram_segment", "unigram_segment(word, map('piece', weight, " +
         "...), unk_weight) - Viterbi unigram-LM segmentation of a word " +
@@ -116,6 +122,13 @@ object GraftExtensions {
     case Literal(v: Int, IntegerType) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
+  }
+
+  /** Foldable binary expression → its bytes at plan-build time. */
+  private def litBinary(e: Expression): Array[Byte] = {
+    require(e.foldable && e.dataType == BinaryType,
+      s"filter must be a foldable binary literal, got $e")
+    e.eval(null).asInstanceOf[Array[Byte]]
   }
 
   /** Foldable map expression (e.g. `map('ab', -5, 'a', -9)`) → the weight

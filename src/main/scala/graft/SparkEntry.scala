@@ -64,6 +64,7 @@ object SparkEntry {
     ("dedup_minhash", Curation.dedup_minhash _, None),
     ("dedup_cross", Curation.dedup_cross _, None),
     ("dedup_cross_verify", Curation.dedup_cross_verify _, Some(Curation.dedup_cross_verify_sql)),
+    ("dedup_cross_exact", Curation.dedup_cross_exact _, Some(Curation.dedup_cross_exact_sql)),
     ("dedup_cross_md5", Curation.dedup_cross_md5 _, Some(Curation.dedup_cross_md5_sql)),
     ("dedup_minhash_md5", Curation.dedup_minhash_md5 _, Some(Curation.dedup_minhash_md5_sql)),
     ("dedup_minhash_verify", Curation.dedup_minhash_verify _, Some(Curation.dedup_minhash_verify_sql)),

@@ -628,6 +628,61 @@ object Dedup {
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
   }
 
+  /** EXACT cross-corpus dedup with Bloom pruning — "which of today's crawl
+    * did we already own, byte-for-byte (post-normalization)": flags every
+    * NEW-corpus document whose content fingerprint exists in the BASE
+    * corpus. The naive shape is a big-big join of two fingerprint tables;
+    * this one is the classic two-phase accelerator:
+    *
+    *  1. BUILD: a Bloom filter over the base's 64-bit fingerprints —
+    *     Spark's distributed `stat.bloomFilter` (treeAggregate; one pruned
+    *     scan of the base, no shuffle), sized by `expectedBase`/`fpp`.
+    *  2. PRUNE: the filter rides into the new-corpus scan as a codegen'd
+    *     membership probe ([[graft.functions.BloomMightContain]]) — rows
+    *     failing it are dropped INSIDE the scan stage, before any
+    *     exchange. At real duplication rates this removes ~(1 − dup −
+    *     fpp) of the corpus from the join.
+    *  3. VERIFY: the survivors semi-join the base fingerprints, which
+    *     removes the Bloom's false positives — so the OUTPUT is exactly
+    *     the plain semi-join's (the Bloom is an accelerator, never a
+    *     semantics change; CrossExactSpec pins equality).
+    *
+    * The bloom keys on the cheap 64-bit xxhash64 of the normalized text;
+    * the verify join keys on the 128-bit md5 [[fingerprint]] — so a
+    * 64-bit collision can only ADD a pruned-in candidate (removed by the
+    * verify join), never flip a flag, and the output semantics are the
+    * engine-portable md5 equality every exact-dedup gate already uses.
+    *
+    * Sizing at 100 TB: 10⁹ base docs at fpp 0.03 ≈ 0.9 GiB of bits —
+    * broadcast-able on real executors; beyond that, shard the base and
+    * union flags (the filter is mergeable). The driver holds the filter
+    * once (stat.bloomFilter's contract), the same bounded-artifact shape
+    * as the IVF codebooks. Returns (idCol, dup 0|1) for every non-null
+    * new-corpus doc. */
+  def crossExactFlags(newDf: DataFrame, baseDf: DataFrame, textCol: String,
+      idCol: String, expectedBase: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    import graft.functions.BloomOps
+    val baseNorm = baseDf.filter(col(textCol).isNotNull)
+      .select(normalized(col(textCol)).as("_n"))
+    val bloom = BloomOps.serialize(
+      baseNorm.select(xxhash64(col("_n")).as("_bh"))
+        .stat.bloomFilter(col("_bh"), expectedBase, fpp))
+    val newFps = newDf.filter(col(textCol).isNotNull)
+      .select(col(idCol), normalized(col(textCol)).as("_n"))
+      .select(col(idCol), xxhash64(col("_n")).as("_h"),
+        md5(col("_n")).as("_fp"))
+    val candidates = newFps
+      .filter(BloomOps.mightContain(col("_h"), bloom))
+    val confirmed = candidates
+      .join(baseNorm.select(md5(col("_n")).as("_fp")).distinct(),
+        Seq("_fp"), "left_semi")
+      .select(col(idCol), lit(1).as("dup"))
+    newFps.select(col(idCol))
+      .join(confirmed, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("dup"), lit(0)).as("dup"))
+  }
+
   /** Engine-portable MinHash signatures (the `_md5` gate family's kernel,
     * extracted so batch gates and the streaming near-dup miner share ONE
     * definition): 8 lanes, lane j = the per-doc MIN of the j-th 8-hex-char

@@ -987,6 +987,31 @@ object Curation {
        |SELECT id_new, id_base, n_agree FROM cand WHERE n_agree >= 2
        |ORDER BY id_new, id_base""".stripMargin
 
+  /** EXACT cross-corpus dedup (Bloom-pruned), hash-matched: the base
+    * slice is doc_id ≡ 0 (mod 3), every other doc is "today's crawl", and
+    * a crawl doc is flagged iff its md5 content fingerprint exists in the
+    * base. The Bloom filter is a pure accelerator (false positives die in
+    * the verify semi-join — CrossExactSpec pins output ≡ the plain
+    * semi-join), so DuckDB replays the SEMANTICS with a plain EXISTS. */
+  def dedup_cross_exact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val fresh = docs.filter(col("doc_id") % 3 =!= 0)
+    Dedup.crossExactFlags(fresh, base, "text", "doc_id",
+        expectedBase = 100000L, fpp = 0.03)
+      .orderBy("doc_id")
+  }
+
+  val dedup_cross_exact_sql: String =
+    s"""WITH n AS (SELECT doc_id, md5($NormSql) AS fp FROM documents
+       |           WHERE text IS NOT NULL),
+       |base AS (SELECT DISTINCT fp FROM n WHERE doc_id % 3 = 0)
+       |SELECT n.doc_id,
+       |  CAST(CASE WHEN base.fp IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+       |    AS dup
+       |FROM n LEFT JOIN base ON n.fp = base.fp
+       |WHERE n.doc_id % 3 != 0 ORDER BY n.doc_id""".stripMargin
+
   /** Number of planted hot docs / per-bucket cap for the skew-guard gate —
     * shared by the Spark query and its oracle-SQL replay. */
   private val SkewHotN = 400
