@@ -131,6 +131,8 @@ object SparkEntry {
     ("pack_sequences", Curation.pack_sequences _, Some(Curation.pack_sequences_sql)),
     ("curation_pipeline", Curation.curation_pipeline _, Some(Curation.curation_pipeline_sql)),
     ("q_export_shards", Curation.q_export_shards _, Some(Curation.q_export_shards_sql)),
+    ("q_export_zonemap", Curation.q_export_zonemap _, Some(Curation.q_export_zonemap_sql)),
+    ("q_export_bucketed", Curation.q_export_bucketed _, Some(Curation.q_export_bucketed_sql)),
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),
     ("q_stream_decontam", Curation.q_stream_decontam _, Some(Curation.q_stream_decontam_sql)),

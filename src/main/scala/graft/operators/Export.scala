@@ -49,4 +49,80 @@ object Export {
       .select(col("shard").cast("int").as("shard"), col("n_rows"),
         col("id_sum"), col("id_min"), col("id_max"))
   }
+
+  // ---------------------------------------------------------------- zone map
+
+  /** Range-clustered layout + zone-map manifest: the data-layout half of
+    * partition pruning. Rows are range-partitioned on `keyCol` (each
+    * output file owns a contiguous, sorted key interval) and the returned
+    * manifest records one `(file, key_min, key_max, n_rows)` row per
+    * written file — the same file-level min/max metadata Iceberg/Delta
+    * keep, computed here from the bytes READ BACK so it certifies what a
+    * consumer will actually scan.
+    *
+    * 100 TB shape: one range exchange (sampled split points, no
+    * hot-spotting on skewed keys beyond what range partitioning already
+    * handles), sort within partitions is local. The manifest is file-level
+    * metadata — ~400k rows for 100 TB of 256 MiB files — which is
+    * driver-holdable by design; that is exactly the scale at which table
+    * formats hold their manifests on the planning side. */
+  def writeRangeLayout(spark: SparkSession, df: DataFrame, keyCol: String,
+      nFiles: Int, outDir: String): DataFrame = {
+    df.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(keyCol)).cast("long").as("key_min"),
+        max(col(keyCol)).cast("long").as("key_max"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Manifest-driven pruned scan of a [[writeRangeLayout]] directory:
+    * plan only the files whose `[key_min, key_max]` zone overlaps
+    * `[lo, hi]`, then apply the exact predicate (pushed to the parquet
+    * scan, so surviving files still skip non-matching row groups).
+    * The zone map is an OPTIMIZATION, not a correctness gate: an
+    * over-wide manifest reads extra files but never changes the result;
+    * a manifest that lost a file loses rows — which is why the gate
+    * hash-checks the query result against a full-scan oracle.
+    *
+    * The manifest collect is file-level metadata only (see
+    * [[writeRangeLayout]]) — the planning-side work every lake format
+    * does; row data never touches the driver. */
+  def prunedRead(spark: SparkSession, manifest: DataFrame, keyCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val files = manifest
+      .filter(col("key_max") >= lo && col("key_min") <= hi)
+      .select("file").collect().map(_.getString(0)).sorted
+    // empty overlap: scan one file so the schema survives; the exact
+    // predicate below then yields the correct empty result
+    val chosen =
+      if (files.nonEmpty) files
+      else manifest.select("file").orderBy("file").limit(1)
+        .collect().map(_.getString(0))
+    spark.read.parquet(chosen.toIndexedSeq: _*)
+      .filter(col(keyCol).between(lo, hi))
+  }
+
+  // --------------------------------------------------------------- bucketing
+
+  /** Bucketed export: lay a table out pre-hashed on its join key
+    * (`bucketBy` + in-bucket sort) so every FUTURE equi-join or
+    * aggregation on that key compiles with zero Exchange below the join —
+    * the answer to "we join these two corpora every day; why are we
+    * re-shuffling 100 TB every day?". Registered through the session
+    * catalog because bucket metadata lives there, with an explicit
+    * `path` so the files are plain parquet any engine can read (the
+    * bucketing is an optimization contract, not a format change).
+    * Returns the catalog-backed frame whose scans carry the bucket
+    * spec. */
+  def writeBucketed(spark: SparkSession, df: DataFrame, keyCol: String,
+      nBuckets: Int, db: String, table: String, path: String): DataFrame = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    df.write.bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .option("path", path).mode("overwrite")
+      .saveAsTable(s"$db.$table")
+    spark.table(s"$db.$table")
+  }
 }

@@ -3241,4 +3241,72 @@ object Curation {
        |  CAST(n_grams AS BIGINT) AS n_grams
        |FROM tr JOIN ev USING (gr)
        |GROUP BY doc_id, n_grams""".stripMargin
+
+  /** Zone-map layout export, hash-matched END TO END THROUGH DISK: docs
+    * are range-clustered on doc_id into 8 sorted files
+    * ([[graft.operators.Export.writeRangeLayout]]), the per-file min/max
+    * manifest is computed from the read-back bytes, and the gate answers
+    * a range query by scanning ONLY the manifest-overlapping files
+    * ([[graft.operators.Export.prunedRead]]). DuckDB answers the same
+    * range query with a full scan of the source table — so a manifest
+    * that lost a file, a mis-clustered write, or an off-by-one in the
+    * overlap test all surface as a hash mismatch. `ExportLayoutSpec`
+    * separately asserts the scan really did skip files. */
+  def q_export_zonemap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"export_zonemap_${math.abs(dir.hashCode)}")
+    val manifest = graft.operators.Export.writeRangeLayout(
+      s, docs, "doc_id", nFiles = 8, out.getAbsolutePath)
+    graft.operators.Export.prunedRead(s, manifest, "doc_id", 97L, 203L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q_export_zonemap_sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id BETWEEN 97 AND 203
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Bucketed-layout export, hash-matched: two projections of the corpus
+    * are written pre-hashed on the join key
+    * ([[graft.operators.Export.writeBucketed]]) and the gate re-joins
+    * them THROUGH the catalog tables — the "we join these corpora every
+    * run" layout where the join compiles with zero Exchange below it
+    * (PlanSpec-locked at `autoBroadcastJoinThreshold=-1`; at this SF the
+    * optimizer may rightly broadcast instead — both plans shuffle
+    * nothing sf-proportional). DuckDB reproduces the join result from
+    * the source table, so dropped buckets or key corruption surface as
+    * a hash mismatch. */
+  def q_export_bucketed(s: SparkSession, dir: String): DataFrame = {
+    val h = math.abs(dir.hashCode)
+    val docs = Tables.load(s, dir, "documents")
+    val base = new java.io.File(new java.io.File("target", "qtmp"),
+      s"export_bucketed_$h")
+    val meta = graft.operators.Export.writeBucketed(s,
+      docs.select(col("doc_id"), col("lang")), "doc_id", nBuckets = 8,
+      db = "graft_exp", table = s"doc_meta_$h",
+      path = new java.io.File(base, "doc_meta").getAbsolutePath)
+    val size = graft.operators.Export.writeBucketed(s,
+      docs.select(col("doc_id").as("size_doc_id"), col("n_chars")),
+      "size_doc_id", nBuckets = 8,
+      db = "graft_exp", table = s"doc_size_$h",
+      path = new java.io.File(base, "doc_size").getAbsolutePath)
+    meta.join(size, col("doc_id") === col("size_doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q_export_bucketed_sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

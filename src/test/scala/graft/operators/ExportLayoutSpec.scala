@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Data-layout export operators: range-clustered zone-map layout with
+  * manifest-driven file pruning, and bucketed layout for shuffle-free
+  * repeat joins. The Verify gates (`q_export_zonemap`,
+  * `q_export_bucketed`) hash-match the query RESULTS against DuckDB;
+  * these specs pin the layout properties the gates cannot see — that the
+  * pruned scan really skips files, that zones are disjoint and sorted,
+  * and that the bucketed join compiles with zero Exchange. */
+class ExportLayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(name: String): String =
+    new java.io.File(new java.io.File("target", "qtmp"),
+      s"layoutspec_$name").getAbsolutePath
+
+  private def docs = graft.util.Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  test("writeRangeLayout: 8 files, disjoint sorted zones, no lost rows") {
+    val out = tmp("zones")
+    val manifest = Export.writeRangeLayout(spark, docs, "doc_id", 8, out)
+      .collect().sortBy(_.getAs[Long]("key_min"))
+    assert(manifest.length === 8, "expected one manifest row per file")
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum === docs.count())
+    // zones are internally ordered and pairwise disjoint (range layout:
+    // each file owns a contiguous key interval)
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("key_min") <= r.getAs[Long]("key_max"))
+    }
+    manifest.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("key_max") < b.getAs[Long]("key_min"),
+          s"overlapping zones: $a / $b")
+      case _ =>
+    }
+  }
+
+  test("prunedRead: skips non-overlapping files, result equals full scan") {
+    val out = tmp("prune")
+    val manifest = Export.writeRangeLayout(spark, docs, "doc_id", 8, out)
+    val pruned = Export.prunedRead(spark, manifest, "doc_id", 97L, 203L)
+    val total = spark.read.parquet(out).inputFiles.length
+    assert(pruned.inputFiles.length < total,
+      s"zone map pruned nothing: ${pruned.inputFiles.length} of $total files")
+    // and the surviving files' scan still pushes the exact predicate down
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(doc_id"),
+      s"range predicate not pushed to the parquet scan:\n$plan")
+    val expected = docs.filter(col("doc_id").between(97, 203))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = pruned.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("prunedRead: empty-overlap range returns 0 rows with the schema") {
+    val out = tmp("empty")
+    val manifest = Export.writeRangeLayout(spark, docs, "doc_id", 4, out)
+    val none = Export.prunedRead(spark, manifest, "doc_id", -500L, -1L)
+    assert(none.columns.toSeq === Seq("doc_id", "lang", "n_chars"))
+    assert(none.count() === 0)
+  }
+
+  test("bucketed layout: repeat join compiles with zero Exchange below it") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = Export.writeBucketed(spark,
+        docs.select(col("doc_id"), col("lang")), "doc_id", 4,
+        "graft_exp", "spec_meta", tmp("bkt_meta"))
+      val b = Export.writeBucketed(spark,
+        docs.select(col("doc_id").as("size_doc_id"), col("n_chars")),
+        "size_doc_id", 4, "graft_exp", "spec_size", tmp("bkt_size"))
+      val joined = a.join(b, col("doc_id") === col("size_doc_id"))
+        .groupBy("lang").agg(sum("n_chars").as("chars"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+      val belowJoin = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!belowJoin.contains("Exchange"),
+        s"bucketed join still shuffles:\n$belowJoin")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_exp.spec_meta")
+      spark.sql("DROP TABLE IF EXISTS graft_exp.spec_size")
+    }
+  }
+}
