@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Analytics2, Curation, Events, Ingest, Temporal}
+import graft.queries.{Analytics, Analytics2, Census, Curation, Events, Ingest, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -132,6 +132,10 @@ object SparkEntry {
     ("curation_pipeline", Curation.curation_pipeline _, Some(Curation.curation_pipeline_sql)),
     ("q_export_shards", Curation.q_export_shards _, Some(Curation.q_export_shards_sql)),
     ("q_export_zonemap", Curation.q_export_zonemap _, Some(Curation.q_export_zonemap_sql)),
+    ("q_export_zorder", Census.q_export_zorder _, Some(Census.q_export_zorder_sql)),
+    ("q_hll_census", Census.q_hll_census _, Some(Census.q_hll_census_sql)),
+    ("txt_cms_topk", Census.txt_cms_topk _, Some(Census.txt_cms_topk_sql)),
+    ("q_hist_quantile", Census.q_hist_quantile _, Some(Census.q_hist_quantile_sql)),
     ("q_export_bucketed", Curation.q_export_bucketed _, Some(Curation.q_export_bucketed_sql)),
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data export: the last mile of the curation pipeline. Curated
@@ -103,6 +103,77 @@ object Export {
         .collect().map(_.getString(0))
     spark.read.parquet(chosen.toIndexedSeq: _*)
       .filter(col(keyCol).between(lo, hi))
+  }
+
+  // ----------------------------------------------------------------- z-order
+
+  /** Spread the low 16 bits of `x` so bit i lands at position 2i —
+    * the classic Morton magic-number cascade, expressed as codegen'd
+    * Column bit ops (no UDF). */
+  private def spread16(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+    v = v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+    v
+  }
+
+  /** 32-bit Morton interleave of two 16-bit keys: bit i of `a` at 2i, of
+    * `b` at 2i+1. Locality in EITHER key survives in the code, which is
+    * what makes a Z-curve sort prune on both dimensions at once. */
+  def morton(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Z-order layout + two-dimensional zone map: rows are range-clustered
+    * on the Morton interleave of (`colA`, `colB`) — the Delta/Iceberg
+    * `ZORDER BY (a, b)` shape — and the manifest records per-file min/max
+    * of BOTH keys, read back from the written bytes. A 1-D range layout
+    * ([[writeRangeLayout]]) prunes perfectly on its sort key and not at
+    * all on any other; the Z-curve trades a little of each: files own
+    * compact boxes in (a, b) space, so a selective box query skips files
+    * on both predicates. Keys must fit 16 bits (pre-scale wider domains
+    * to rank/bucket space first — the curve needs relative order, not raw
+    * values).
+    *
+    * 100 TB shape: identical to [[writeRangeLayout]] — one range exchange
+    * on the Morton code (sampled split points), local sorts, file-level
+    * manifest (~400k rows for 100 TB of 256 MiB files, planning-side by
+    * design). */
+  def writeZorderLayout(spark: SparkSession, df: DataFrame, colA: String,
+      colB: String, nFiles: Int, outDir: String): DataFrame = {
+    df.withColumn("_z", morton(col(colA).cast("long"), col(colB).cast("long")))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(colA)).cast("long").as("a_min"),
+        max(col(colA)).cast("long").as("a_max"),
+        min(col(colB)).cast("long").as("b_min"),
+        max(col(colB)).cast("long").as("b_max"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Manifest-driven box query over a [[writeZorderLayout]] directory:
+    * plan only files whose (a, b) zone intersects the query box, then
+    * apply the exact predicates (pushed to the scan). Same contract as
+    * [[prunedRead]]: the manifest is an accelerator — over-wide zones
+    * cost reads, never rows. */
+  def prunedRead2D(spark: SparkSession, manifest: DataFrame,
+      colA: String, colB: String, aLo: Long, aHi: Long,
+      bLo: Long, bHi: Long): DataFrame = {
+    val files = manifest
+      .filter(col("a_max") >= aLo && col("a_min") <= aHi &&
+        col("b_max") >= bLo && col("b_min") <= bHi)
+      .select("file").collect().map(_.getString(0)).sorted
+    val chosen =
+      if (files.nonEmpty) files
+      else manifest.select("file").orderBy("file").limit(1)
+        .collect().map(_.getString(0))
+    spark.read.parquet(chosen.toIndexedSeq: _*)
+      .filter(col(colA).between(aLo, aHi) && col(colB).between(bLo, bHi))
   }
 
   // --------------------------------------------------------------- bucketing

@@ -65,6 +65,48 @@ class ExportLayoutSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("morton: interleave is monotone in each key and round-trip exact") {
+    // spot-check the bit cascade against a reference bit-by-bit interleave
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1))
+      }
+    val rows = spark.range(200).selectExpr(
+        "CAST(id * 37 % 65536 AS BIGINT) AS a", "CAST(id * 101 % 65536 AS BIGINT) AS b")
+      .withColumn("z", Export.morton(col("a"), col("b")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("z") ===
+        ref(r.getAs[Long]("a"), r.getAs[Long]("b")), s"morton mismatch at $r")
+    }
+  }
+
+  test("z-order layout: box query prunes files on BOTH dimensions") {
+    val out = tmp("zorder")
+    val manifest = Export.writeZorderLayout(
+      spark, docs, "doc_id", "n_chars", 16, out)
+    val total = spark.read.parquet(out).inputFiles.length
+    assert(manifest.count() === total.toLong)
+    assert(manifest.agg(sum("n_rows")).collect().head.getLong(0) === docs.count())
+    // selective in both dims: most files skipped
+    val box = Export.prunedRead2D(spark, manifest, "doc_id", "n_chars",
+      100L, 220L, 100L, 220L)
+    assert(box.inputFiles.length < total,
+      s"2-D box pruned nothing: ${box.inputFiles.length} of $total")
+    // selective ONLY in the second key: a 1-D layout on doc_id could not
+    // prune here; the Z-curve must
+    val bOnly = Export.prunedRead2D(spark, manifest, "doc_id", "n_chars",
+      Long.MinValue / 4, Long.MaxValue / 4, 48L, 120L)
+    assert(bOnly.inputFiles.length < total,
+      s"b-only box pruned nothing: ${bOnly.inputFiles.length} of $total")
+    // and correctness: pruned scan == full-scan filter
+    val expected = docs
+      .filter(col("doc_id").between(100, 220) && col("n_chars").between(100, 220))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = box.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("bucketed layout: repeat join compiles with zero Exchange below it") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

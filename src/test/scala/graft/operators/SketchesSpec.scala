@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch laws the Verify gates cannot see in isolation: the
+  * merge identities (sharded build ≡ single-pass build, EXACTLY — max for
+  * HLL, sum for CMS/histogram), the one-sided CMS error, and estimator
+  * accuracy against exact answers on real tables. The gates
+  * (`q_hll_census`, `txt_cms_topk`, `q_hist_quantile`) hash-match the
+  * same kernels against a DuckDB single-pass replay, which certifies the
+  * arithmetic cross-engine; these specs certify the statistics. */
+class SketchesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def lineitem = graft.util.Tables.load(spark, sf, "lineitem")
+    .select(col("l_returnflag"), col("l_orderkey"))
+
+  private def tokens = graft.util.Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    .filter(col("tok") =!= "")
+
+  private def regSet(df: org.apache.spark.sql.DataFrame): Set[(String, Int, Int)] =
+    df.collect().map(r => (r.getAs[String]("l_returnflag"),
+      r.getAs[Int]("bucket"), r.getAs[Int]("r"))).toSet
+
+  test("HLL: merge of disjoint shards equals the single-pass registers") {
+    val single = Sketches.hllRegisters(lineitem, Seq("l_returnflag"),
+      col("l_orderkey"), 64)
+    val sharded = Sketches.hllMerge(
+      (0 until 4).map(k => Sketches.hllRegisters(
+        lineitem.filter(col("l_orderkey") % 4 === k),
+        Seq("l_returnflag"), col("l_orderkey"), 64)),
+      Seq("l_returnflag"))
+    assert(regSet(sharded) === regSet(single))
+  }
+
+  test("HLL: raw estimate within 3 sigma of exact distinct per group") {
+    // sigma ~ 1.04/sqrt(64) ~ 13%; exact distincts here are ~1100/group
+    val regs = Sketches.hllRegisters(lineitem, Seq("l_returnflag"),
+      col("l_orderkey"), 64)
+    val summary = Sketches.hllSummary(regs, Seq("l_returnflag"), 64)
+    val exact = lineitem.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("n_exact"))
+    summary.join(exact, "l_returnflag").collect().foreach { r =>
+      val est = r.getAs[Long]("est_raw").toDouble
+      val ex = r.getAs[Long]("n_exact").toDouble
+      assert(math.abs(est - ex) / ex <= 0.39,
+        s"${r.getAs[String]("l_returnflag")}: est=$est exact=$ex")
+    }
+  }
+
+  test("HLL: linear-counting correction kicks in and lands close on a tiny set") {
+    // 30 distinct values out of m=64 registers: v_zero > 0, raw <= 2.5m
+    val tiny = spark.range(30).selectExpr("'g' AS g", "id")
+    val regs = Sketches.hllRegisters(tiny, Seq("g"), col("id"), 64)
+    val est = Sketches.hllEstimate(
+      Sketches.hllSummary(regs, Seq("g"), 64), 64).collect().head
+    val e = est.getAs[Double]("estimate")
+    assert(math.abs(e - 30.0) <= 8.0, s"LC estimate $e too far from 30")
+  }
+
+  test("HLL: rejects non-power-of-two or out-of-range m") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(lineitem, Nil, col("l_orderkey"), 48)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(lineitem, Nil, col("l_orderkey"), 1024)
+    }
+  }
+
+  test("CMS: shard-merge equals single-pass and estimates never undercount") {
+    val single = Sketches.cmsCounts(tokens, "tok", 4, 256)
+    val merged = Sketches.cmsMerge((0 until 4).map(k =>
+      Sketches.cmsCounts(tokens.filter(col("doc_id") % 4 === k), "tok", 4, 256)))
+    val s1 = single.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val s2 = merged.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(s2 === s1)
+    val cands = tokens.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val under = Sketches.cmsEstimate(cands, merged, "tok", 4, 256)
+      .join(cands, "tok").filter(col("est") < col("n_exact"))
+    assert(under.count() === 0, "CMS undercounted a token")
+  }
+
+  test("histogram: shard-merge equals single pass; p50 bin holds the true median") {
+    val docs = graft.util.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+    val single = Sketches.logHistogram(docs, col("v"))
+    val merged = Sketches.histMerge((0 until 4).map(k =>
+      Sketches.logHistogram(docs.filter(col("doc_id") % 4 === k), col("v"))))
+    val h1 = single.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val h2 = merged.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(h2 === h1)
+    val q = Sketches.histQuantiles(spark, merged, Seq(50)).collect().head
+    val median = docs.stat.approxQuantile("v", Array(0.5), 0.0).head.toLong
+    assert(median >= q.getAs[Long]("bin_lo") && median <= q.getAs[Long]("bin_hi"),
+      s"true median $median outside p50 bin [${q.getAs[Long]("bin_lo")}, " +
+        s"${q.getAs[Long]("bin_hi")}]")
+    assert(q.getAs[Long]("cum") * 100 >= 50 * q.getAs[Long]("n_total"))
+  }
+}
