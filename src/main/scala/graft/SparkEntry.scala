@@ -134,8 +134,10 @@ object SparkEntry {
     ("q_export_zonemap", Curation.q_export_zonemap _, Some(Curation.q_export_zonemap_sql)),
     ("q_export_zorder", Census.q_export_zorder _, Some(Census.q_export_zorder_sql)),
     ("q_hll_census", Census.q_hll_census _, Some(Census.q_hll_census_sql)),
+    ("q_stream_hll", Census.q_stream_hll _, Some(Census.q_stream_hll_sql)),
     ("txt_cms_topk", Census.txt_cms_topk _, Some(Census.txt_cms_topk_sql)),
     ("q_hist_quantile", Census.q_hist_quantile _, Some(Census.q_hist_quantile_sql)),
+    ("txt_lrfit", Census.txt_lrfit _, Some(Census.txt_lrfit_sql)),
     ("q_export_bucketed", Curation.q_export_bucketed _, Some(Curation.q_export_bucketed_sql)),
     // streaming surface (SURVEY §2.7)
     ("q_stream_window", Events.q_stream_window _, Some(Events.q_stream_window_sql)),

@@ -502,4 +502,68 @@ object CorpusStats {
     }.reduce(_ + _)
     scored.select(col(idCol), round(score, 6).as("bm25"))
   }
+
+  // ------------------------------------------------------- learned scoring
+
+  /** One-pass EXACT least-squares fit of integer features → integer label
+    * (the quality-classifier-distillation shape: fit a cheap linear model
+    * on the slice an expensive scorer labeled, then score the whole
+    * corpus with codegen'd arithmetic). The distributed work is ONE
+    * map-side-combined aggregate producing the normal-equation sums
+    * Σxᵢxⱼ / Σxᵢy (p(p+3)/2 Longs — bytes to the driver regardless of
+    * corpus size); the solve is driver-side BigInt Cramer, so the
+    * coefficients are exact rationals quantized once to
+    * floor(βⱼ·2^shiftBits) — deterministic across engines, partitionings
+    * and retries. Features must be integer-valued (cast to Long) and
+    * count ≤ 4; a singular normal matrix (collinear features) is
+    * rejected rather than pseudo-inverted. */
+  def linearFitFP(df: DataFrame, features: Seq[Column], label: Column,
+      shiftBits: Int = 20): Seq[Long] = {
+    val p = features.size
+    require(p >= 1 && p <= 4, s"1..4 features, got $p")
+    require(shiftBits >= 0 && shiftBits <= 30, s"bad shiftBits $shiftBits")
+    val xs = features.map(_.cast("long"))
+    val y = label.cast("long")
+    val aggs =
+      (for (i <- 0 until p; j <- i until p)
+        yield sum(xs(i) * xs(j)).as(s"_xx_${i}_$j")) ++
+      (0 until p).map(i => sum(xs(i) * y).as(s"_xy_$i"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def g(n: String): BigInt = BigInt(row.getAs[Long](n))
+    val a = Array.tabulate(p, p)((i, j) =>
+      if (i <= j) g(s"_xx_${i}_$j") else g(s"_xx_${j}_$i"))
+    val b = Array.tabulate(p)(i => g(s"_xy_$i"))
+    def det(m: Array[Array[BigInt]]): BigInt = m.length match {
+      case 1 => m(0)(0)
+      case n =>
+        (0 until n).map { c =>
+          val minor = m.tail.map(r =>
+            r.zipWithIndex.collect { case (v, i) if i != c => v })
+          val s = if (c % 2 == 0) BigInt(1) else BigInt(-1)
+          s * m(0)(c) * det(minor)
+        }.sum
+    }
+    val d = det(a)
+    require(d != 0, "singular normal matrix: features are collinear")
+    def floorDiv(n: BigInt, den: BigInt): BigInt = {
+      val q = n / den
+      if (n % den != 0 && (n.signum != den.signum)) q - 1 else q
+    }
+    (0 until p).map { j =>
+      val aj = Array.tabulate(p, p)((r, c) => if (c == j) b(r) else a(r)(c))
+      val v = floorDiv(det(aj) * BigInt(2).pow(shiftBits), d)
+      require(v.isValidLong, s"coefficient $j overflows Long at 2^$shiftBits")
+      v.toLong
+    }
+  }
+
+  /** Apply fixed-point coefficients: score = Σ βⱼ_fp · xⱼ — pure Long
+    * codegen arithmetic, the scoring pass any engine replays bit-for-bit
+    * from the coefficient literals. (The score carries the 2^shiftBits
+    * scale; comparisons and thresholds work unchanged.) */
+  def linearScoreFP(features: Seq[Column], coeffs: Seq[Long]): Column = {
+    require(features.size == coeffs.size, "feature/coefficient arity mismatch")
+    features.zip(coeffs).map { case (f, c) => f.cast("long") * lit(c) }
+      .reduce(_ + _)
+  }
 }

@@ -73,6 +73,58 @@ object Census {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Streaming HLL census: distinct users per event_type with the
+    * registers maintained as streaming state
+    * ([[graft.streaming.EventStream.streamingHllRegisters]] — four
+    * micro-batches, Complete-mode max aggregation). The merge-by-MAX law
+    * makes the settled state EXACTLY the batch registers, so DuckDB's
+    * single-pass replay hash-matches — the stream ≡ batch identity
+    * certified cross-engine. */
+  def q_stream_hll(s: SparkSession, dir: String): DataFrame = {
+    val cp = new java.io.File("target/qtmp_stream",
+      s"cp_hll_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    val regs = graft.streaming.EventStream.streamingHllRegisters(
+      s, s"$dir/events.parquet", cp.getAbsolutePath,
+      groupCol = "event_type", valueCol = "user_id", m = 64)
+    val summary = Sketches.hllSummary(regs, Seq("event_type"), m = 64)
+    val exact = Tables.load(s, dir, "events").groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    summary.join(exact, "event_type").orderBy("event_type")
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
+  val q_stream_hll_sql: String = {
+    val h = hex8("h8")
+    s"""WITH h AS (
+       |  SELECT event_type, substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h8
+       |  FROM events),
+       |hb AS (SELECT event_type, $h AS hv FROM h),
+       |rr AS (SELECT event_type, hv % 64 AS bucket,
+       |  CASE WHEN hv // 64 = 0 THEN 27
+       |       ELSE 27 - length(bin(hv // 64)) END AS rho FROM hb),
+       |regs AS (SELECT event_type, bucket, max(rho) AS r
+       |  FROM rr GROUP BY 1, 2),
+       |agg AS (SELECT event_type, count(*) AS nz,
+       |  sum(CAST(1 AS BIGINT) << (26 - r)) AS sp FROM regs GROUP BY 1),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |  FROM events GROUP BY 1)
+       |SELECT agg.event_type, 64 AS m,
+       |  CAST(nz AS BIGINT) AS n_nonzero,
+       |  CAST(64 - nz AS BIGINT) AS v_zero,
+       |  CAST(sp + (64 - nz) * CAST(67108864 AS BIGINT) AS BIGINT) AS s_scaled,
+       |  CAST((CAST(709 AS BIGINT) * 4096 * 67108864)
+       |    // (CAST(1000 AS BIGINT) * (sp + (64 - nz) * CAST(67108864 AS BIGINT)))
+       |    AS BIGINT) AS est_raw,
+       |  CAST(n_exact AS BIGINT) AS n_exact
+       |FROM agg JOIN ex USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ------------------------------------------------------------- count-min
 
   /** Count-min heavy hitters over the token stream, d=4 × w=256: sketches
@@ -117,6 +169,56 @@ object Census {
        |  CAST(n_exact AS BIGINT) AS n_exact
        |FROM est JOIN cands ON cands.tok = est.tok
        |ORDER BY est DESC, est.tok LIMIT 20""".stripMargin
+  }
+
+  // ------------------------------------------------------- learned scoring
+
+  /** Fixed-point coefficients of the fitted linear scorer — exported by
+    * the gate (Verify dumps oracle_sql.json AFTER queries run, so the
+    * literals always match the fit the gate used; same convention as the
+    * ANN centroid exports). */
+  @volatile private var lrCoeffsZ: Option[Seq[Long]] = None
+
+  /** Learned linear quality scorer, hash-matched end-to-end: fit
+    * token-count ~ (1, chars, distinct-tokens) by EXACT one-pass least
+    * squares on the doc_id%10 "labeled" slice
+    * ([[graft.operators.CorpusStats.linearFitFP]] — normal-equation sums
+    * in one map-combined aggregate, BigInt Cramer on the driver), then
+    * score EVERY doc with the quantized coefficients. The
+    * quality-classifier-distillation shape: the expensive scorer labels a
+    * slice, the cheap linear model scores the corpus. DuckDB recomputes
+    * the same integer features and replays the scoring dot against the
+    * exported coefficient literals bit-for-bit. */
+  def txt_lrfit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    def toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val feats = Seq(lit(1L), length(col("text")).cast("long"),
+      size(array_distinct(toks)).cast("long"))
+    val y = size(toks).cast("long")
+    val coeffs = graft.operators.CorpusStats.linearFitFP(
+      docs.filter(col("doc_id") % 10 === 0), feats, y, shiftBits = 20)
+    lrCoeffsZ = Some(coeffs)
+    docs.select(col("doc_id"), y.as("n_tokens"),
+      graft.operators.CorpusStats.linearScoreFP(feats, coeffs).as("score_fp"))
+  }
+
+  def txt_lrfit_sql: String = lrCoeffsZ match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens, " +
+        "CAST(NULL AS BIGINT) AS score_fp WHERE 1=0"
+    case Some(cs) =>
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> x != '') AS toks,
+         |    CAST(len(text) AS BIGINT) AS f1
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(${cs(0)} AS BIGINT)
+         |    + CAST(${cs(1)} AS BIGINT) * f1
+         |    + CAST(${cs(2)} AS BIGINT) * len(list_distinct(toks))
+         |    AS BIGINT) AS score_fp
+         |FROM t""".stripMargin
   }
 
   // ------------------------------------------------------------- histogram

@@ -1980,11 +1980,8 @@ object Curation {
     * connected-components keep-one machinery the MinHash family uses.
     * Output: (id, component, n_merged) for the kept rows. Invariants are
     * pinned by `dedup_semantic_verify`. */
-  def dedup_semantic(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0)
-    Dedup.clusterKeepOne(emb, "vec_id", semPairsFor(s, dir), "id_a", "id_b")
-      .orderBy("id")
-  }
+  def dedup_semantic(s: SparkSession, dir: String): DataFrame =
+    semKeptFor(s, dir).orderBy("id")
 
   private val SemDedupTau = 0.4
 
@@ -2009,6 +2006,22 @@ object Curation {
       p
     })
 
+  /** Per-directory kept-set cache: the CC keep-one loop over the mined
+    * edges is iterative (the expensive half after mining) and both the
+    * kept-set gate and the verify gate need the SAME output — run it
+    * once per dir like the pair mining above. */
+  private val semKeptCache =
+    new DirCache[DataFrame](CachedDirs, _.unpersist())
+
+  private def semKeptFor(s: SparkSession, dir: String): DataFrame =
+    semKeptCache.getOrElseUpdate(dir, {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val kept = Dedup.clusterKeepOne(emb, "vec_id", semPairsFor(s, dir),
+        "id_a", "id_b").persist()
+      kept.count()
+      kept
+    })
+
   /** SemDeDup verification (constant-row, hash-matched on its graph
     * invariants, all required in-query):
     * (1) conservation — Σ n_merged over kept rows equals the corpus size
@@ -2025,8 +2038,7 @@ object Curation {
     val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0)
     val nDocs = emb.count()
     val pairs = semPairsFor(s, dir)
-    val kept = Dedup.clusterKeepOne(emb, "vec_id", pairs, "id_a", "id_b")
-      .persist()
+    val kept = semKeptFor(s, dir)
     val merged = kept.agg(sum("n_merged")).head().getLong(0)
     require(merged == nDocs,
       s"SemDeDup conservation broken: $merged represented of $nDocs docs")
@@ -2047,7 +2059,6 @@ object Curation {
     require(uncovered == 0,
       s"SemDeDup coverage broken: $uncovered dropped docs have no edge")
     require(nDropped > 0, "SemDeDup dropped nothing on the near-dup fixture")
-    kept.unpersist()
     Seq((1, 1, 1, 1)).toDF("conservation", "independence", "coverage",
       "effective")
   }

@@ -109,6 +109,46 @@ object EventStream {
         sum(col("value").cast("decimal(30,8)")).cast("double").as("total_value"))
   }
 
+  /** Streaming HLL census: the distinct-count sketch maintained AS
+    * STREAMING STATE. The source is drained as four single-file
+    * micro-batches (`maxFilesPerTrigger=1` over a 4-file scratch copy),
+    * so the unwatermarked `groupBy(group, bucket).max(rho)` aggregation
+    * really updates registers incrementally across batches in Complete
+    * mode. Because HLL registers merge by MAX, the settled streaming
+    * state is EXACTLY the batch registers — the same merge law the
+    * sharded `q_hll_census` gate pins, here certified through the
+    * streaming engine's incremental-state path. At scale the memory sink
+    * becomes any Complete-mode sink and the sketch is a continuously
+    * fresh cardinality census that never re-reads history. */
+  def streamingHllRegisters(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, groupCol: String, valueCol: String,
+      m: Int): DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+    val queryName = s"graft_hll_${math.abs(srcParquet.hashCode)}"
+    val splitDir = new File(new File(checkpointDir).getParentFile,
+      s"hllsrc_${math.abs(srcParquet.hashCode)}")
+    // fixture cached across invocations (same rationale as dedupedCounts):
+    // time the streaming sketch, not a rewrite of the source
+    if (!new File(splitDir, "_SUCCESS").exists()) {
+      base.select(groupCol, valueCol).repartition(4)
+        .write.mode("overwrite").parquet(splitDir.getAbsolutePath)
+    }
+    val stream = spark.readStream
+      .schema(base.select(groupCol, valueCol).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir.getAbsolutePath)
+    val regs = graft.operators.Sketches.hllRegisters(
+      stream, Seq(groupCol), col(valueCol), m)
+    val q = regs.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
   final case class SessionAcc(count: Int, start: Long, last: Long, value: Double)
   final case class SessionOut(user_id: Long, session_start_us: Long,

@@ -450,4 +450,33 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("_p")),
       s"packed vectors entered a shuffle:\n$p")
   }
+
+  test("HLL registers: one partial+final hash-agg pair, one exchange, no rows leak") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.util.Tables.load(spark, sf, "lineitem")
+    val p = plan(graft.operators.Sketches.hllRegisters(
+      li, Seq("l_returnflag"), col("l_orderkey"), 64))
+    // the map side must combine to ≤ m register rows per (group, task)
+    // BEFORE the exchange — at 100 TB the shuffle carries sketch cells,
+    // not the distinct universe
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in HLL build:\n$p")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"HLL build should shuffle exactly once:\n$p")
+    assert(!p.contains("Sort "), s"unexpected sort in HLL build:\n$p")
+  }
+
+  test("CMS sketch: partial-combined agg; exchange carries (row,col) cells only") {
+    import org.apache.spark.sql.functions.{col, explode, split, trim}
+    val toks = graft.util.Tables.load(spark, sf, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val p = plan(graft.operators.Sketches.cmsCounts(toks, "tok", 4, 256))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in CMS build:\n$p")
+    val exchanges = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchanges.size === 1 && exchanges.head.contains("row") &&
+      exchanges.head.contains("col") && !exchanges.head.contains("tok"),
+      s"CMS exchange must be keyed on sketch cells, not tokens:\n$p")
+  }
 }

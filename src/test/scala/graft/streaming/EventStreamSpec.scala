@@ -50,4 +50,27 @@ class EventStreamSpec extends SparkSpec {
     assert(r1.nonEmpty)
     assert(r1.toSeq === r2.toSeq)
   }
+
+  test("streaming HLL state settles to exactly the batch registers, incrementally") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cp = new java.io.File("target/qtmp_stream", "cp_hll_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(cp)
+    val streamed = EventStream.streamingHllRegisters(spark,
+        s"$sf/events.parquet", cp.getAbsolutePath, "event_type", "user_id", 64)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val batch = graft.operators.Sketches.hllRegisters(
+        spark.read.parquet(s"$sf/events.parquet"),
+        Seq("event_type"), col("user_id"), 64)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(streamed === batch)
+    // the state really accumulated across micro-batches: one committed
+    // offset per drained file (4-file scratch source), not one big batch
+    val commits = new java.io.File(cp, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 4, s"expected >=4 micro-batches, saw $commits commits")
+  }
 }
