@@ -77,6 +77,7 @@ object SparkEntry {
     ("dedup_ngram", Curation.dedup_ngram _, None),
     ("dedup_ngram_verify", Curation.dedup_ngram_verify _, Some(Curation.dedup_ngram_verify_sql)),
     ("dedup_ngram_md5", Curation.dedup_ngram_md5 _, Some(Curation.dedup_ngram_md5_sql)),
+    ("dedup_allpairs", Curation.dedup_allpairs _, Some(Curation.dedup_allpairs_sql)),
     ("dedup_semantic", Curation.dedup_semantic _, None),
     ("dedup_semantic_verify", Curation.dedup_semantic_verify _, Some(Curation.dedup_semantic_verify_sql)),
     ("dedup_semantic_md5", Curation.dedup_semantic_md5 _, Some(Curation.dedup_semantic_md5_sql)),
@@ -135,6 +136,8 @@ object SparkEntry {
     ("q_export_zorder", Census.q_export_zorder _, Some(Census.q_export_zorder_sql)),
     ("q_hll_census", Census.q_hll_census _, Some(Census.q_hll_census_sql)),
     ("q_stream_hll", Census.q_stream_hll _, Some(Census.q_stream_hll_sql)),
+    ("q_stream_cms", Census.q_stream_cms _, Some(Census.q_stream_cms_sql)),
+    ("q_stream_hist", Census.q_stream_hist _, Some(Census.q_stream_hist_sql)),
     ("txt_cms_topk", Census.txt_cms_topk _, Some(Census.txt_cms_topk_sql)),
     ("q_hist_quantile", Census.q_hist_quantile _, Some(Census.q_hist_quantile_sql)),
     ("txt_lrfit", Census.txt_lrfit _, Some(Census.txt_lrfit_sql)),

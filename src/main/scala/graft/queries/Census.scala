@@ -171,6 +171,80 @@ object Census {
        |ORDER BY est DESC, est.tok LIMIT 20""".stripMargin
   }
 
+  /** Streaming count-min census: heavy-hitter USERS of the event stream,
+    * with the d×w cell grid maintained as Complete-mode streaming state
+    * ([[graft.streaming.EventStream.streamingCmsCells]]). SUM-merge makes
+    * the settled cells EXACTLY the batch sketch, so point estimates read
+    * off the streamed state hash-match DuckDB's single-pass replay — the
+    * stream ≡ batch identity for the second sketch family. */
+  def q_stream_cms(s: SparkSession, dir: String): DataFrame = {
+    val cp = new java.io.File("target/qtmp_stream",
+      s"cp_cms_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    val cells = graft.streaming.EventStream.streamingCmsCells(
+      s, s"$dir/events.parquet", cp.getAbsolutePath,
+      valueCol = "user_id", d = 4, w = 256)
+    val ev = s.read.parquet(s"$dir/events.parquet").select("user_id")
+    val cands = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    Sketches.cmsEstimate(cands, cells, "user_id", d = 4, w = 256)
+      .join(cands, "user_id")
+      .orderBy(col("est").desc, col("user_id"))
+      .limit(20)
+      .select(col("user_id"), col("est").cast("long").as("est"),
+        col("n_exact").cast("long").as("n_exact"))
+  }
+
+  val q_stream_cms_sql: String = {
+    val h = hex8("substr(md5(CAST(i AS VARCHAR) || '_' || CAST(user_id AS VARCHAR)), 1, 8)")
+    s"""WITH hh AS (SELECT user_id, i, $h % 256 AS c
+       |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)),
+       |counts AS (SELECT i, c, count(*) AS cnt FROM hh GROUP BY 1, 2),
+       |cands AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+       |ch AS (SELECT user_id, i, $h % 256 AS c
+       |  FROM cands CROSS JOIN (SELECT unnest(range(4)) AS i)),
+       |est AS (SELECT ch.user_id, min(counts.cnt) AS est
+       |  FROM ch JOIN counts ON counts.i = ch.i AND counts.c = ch.c
+       |  GROUP BY 1)
+       |SELECT est.user_id, CAST(est AS BIGINT) AS est,
+       |  CAST(n_exact AS BIGINT) AS n_exact
+       |FROM est JOIN cands ON cands.user_id = est.user_id
+       |ORDER BY est DESC, est.user_id LIMIT 20""".stripMargin
+  }
+
+  /** Streaming log2-histogram census: event-value quantiles read off a
+    * histogram maintained as Complete-mode streaming state
+    * ([[graft.streaming.EventStream.streamingLogHistogram]]) — the third
+    * sketch family's stream ≡ batch identity (SUM merge), certified by
+    * hash-matching the quantile read-off against DuckDB's single-pass
+    * replay. Values are integer cents (`floor(value·100)`): IEEE double
+    * multiply + floor is bit-identical in both engines. */
+  def q_stream_hist(s: SparkSession, dir: String): DataFrame = {
+    val cp = new java.io.File("target/qtmp_stream",
+      s"cp_hist_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    val hist = graft.streaming.EventStream.streamingLogHistogram(
+      s, s"$dir/events.parquet", cp.getAbsolutePath,
+      "CAST(floor(value * 100) AS BIGINT)")
+    Sketches.histQuantiles(s, hist, Seq(50, 75, 95, 99)).orderBy("p")
+  }
+
+  val q_stream_hist_sql: String =
+    """WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+      |h AS (SELECT CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bin,
+      |  count(*) AS cnt FROM v GROUP BY 1),
+      |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+      |  sum(cnt) OVER () AS n FROM h),
+      |p AS (SELECT unnest([50, 75, 95, 99]) AS p),
+      |hit AS (SELECT p.p, c.bin, c.cum, c.n,
+      |  ROW_NUMBER() OVER (PARTITION BY p.p ORDER BY c.bin) AS rn
+      |  FROM p JOIN c ON c.cum * 100 >= p.p * c.n)
+      |SELECT CAST(p AS INT) AS p, CAST(bin AS INT) AS bin,
+      |  CAST(CASE WHEN bin = 0 THEN 0
+      |    ELSE CAST(1 AS BIGINT) << (bin - 1) END AS BIGINT) AS bin_lo,
+      |  CAST((CAST(1 AS BIGINT) << bin) - 1 AS BIGINT) AS bin_hi,
+      |  CAST(cum AS BIGINT) AS cum, CAST(n AS BIGINT) AS n_total
+      |FROM hit WHERE rn = 1 ORDER BY p""".stripMargin
+
   // ------------------------------------------------------- learned scoring
 
   /** Fixed-point coefficients of the fitted linear scorer — exported by

@@ -1405,6 +1405,70 @@ object Curation {
        |         JOIN sz sb ON sb.doc_id = id_b)
        |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** Exact all-pairs TF-IDF cosine at 0.7 with prefix filtering (Bayardo
+    * 2007 — [[graft.operators.Dedup.sparseAllPairs]]), hash-matched: the
+    * weights are all-integer (tf · bit-length idf), the prefix bound and
+    * the acceptance test are integer inequalities, so DuckDB replays the
+    * ENTIRE pipeline — postings, window suffix-norm prefix selection,
+    * index self-join, exact dot verification — bit-for-bit. Unlike the
+    * LSH families this miner is exact-by-construction (no banding recall
+    * curve), so it gets a full oracle, not a rows-only twin. 0.9 keeps the
+    * mined set at true near-dup granularity on this heavily templated
+    * corpus (0.7 admits 3.2M template-cousin pairs at sf0.1; 0.9 admits
+    * ~1.6k). Corpus capped at 1000 docs (the dedup_ngram_md5 convention):
+    * pervasive sub-threshold similarity makes candidate volume scale with
+    * corpus self-similarity (11M candidates for 1.6k true pairs at sf0.1
+    * full — see the sparseAllPairs scaladoc), so the gate pins the exact
+    * pipeline on a bounded slice and leaves full-corpus mining at low
+    * precision to the banded LSH families. */
+  def dedup_allpairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 1000 && col("text").isNotNull)
+      .select("doc_id", "text")
+    val p = Dedup.tfidfPostings(docs, "doc_id", "text")
+      .repartition(col("id")).persist()
+    p.count()
+    val result = Dedup.sparseAllPairs(p, 9, 10)
+    // scratch round-trip, not a collect: the pair set is corpus-sized
+    // (same rationale as dedup_ngram)
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"allpairs_${math.abs(dir.hashCode)}")
+    result.write.mode("overwrite").parquet(out.getAbsolutePath)
+    p.unpersist()
+    s.read.parquet(out.getAbsolutePath).orderBy("id_a", "id_b")
+  }
+
+  val dedup_allpairs_sql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS s FROM documents
+       |           WHERE doc_id < 1000 AND text IS NOT NULL),
+       |t AS (SELECT doc_id, unnest(list_filter(string_split(s, ' '),
+       |        x -> x != '')) AS tok FROM n),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |p AS (SELECT doc_id, tok, df, tf * length(bin(n_docs // df)) AS w
+       |      FROM tf JOIN (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+       |        USING (tok) CROSS JOIN nd),
+       |s AS (SELECT doc_id, tok, w,
+       |        sum(w*w) OVER (PARTITION BY doc_id) AS s2,
+       |        sum(w*w) OVER (PARTITION BY doc_id ORDER BY df, tok
+       |          ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM p),
+       |idx AS (SELECT doc_id, tok FROM s WHERE 100*(s2 - cum + w*w) >= 81*s2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM idx a JOIN idx b ON a.tok = b.tok
+       |           AND a.doc_id < b.doc_id),
+       |d AS (SELECT id_a, id_b, sum(pa.w * pb.w) AS dot
+       |      FROM cand JOIN p pa ON pa.doc_id = id_a
+       |                JOIN p pb ON pb.doc_id = id_b AND pb.tok = pa.tok
+       |      GROUP BY 1, 2),
+       |nm AS (SELECT doc_id, sum(w*w) AS s2 FROM p GROUP BY 1)
+       |SELECT id_a, id_b,
+       |  round(dot / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))),
+       |    6) AS cos_sim
+       |FROM d JOIN nm na ON na.doc_id = id_a JOIN nm nb ON nb.doc_id = id_b
+       |WHERE CAST(dot AS HUGEINT) * dot * 100 >= 81 * CAST(na.s2 AS HUGEINT) * nb.s2
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash estimator verification (hash-matched): exact char-5-shingle
     * Jaccard over the deterministic consecutive-doc pair set, reproduced
     * independently by DuckDB's list machinery. Before returning, the

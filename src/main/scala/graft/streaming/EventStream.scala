@@ -149,6 +149,75 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming count-min census: the heavy-hitter sketch maintained AS
+    * STREAMING STATE — the SUM-merge twin of [[streamingHllRegisters]].
+    * Same drain shape (4-file scratch copy, `maxFilesPerTrigger=1`,
+    * Complete-mode aggregation): the unwatermarked
+    * `groupBy(row, col).count()` updates cells incrementally across
+    * micro-batches, and because count-min merges by SUM the settled state
+    * is EXACTLY the batch sketch — a continuously fresh frequency census
+    * whose point estimates only ever overcount, never re-reading history.
+    * At scale the memory sink becomes any Complete-mode sink; the state
+    * is d·w cells per stream regardless of cardinality. */
+  def streamingCmsCells(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, valueCol: String, d: Int, w: Int): DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+    val queryName = s"graft_cms_${math.abs(srcParquet.hashCode)}"
+    val splitDir = new File(new File(checkpointDir).getParentFile,
+      s"cmssrc_${math.abs(srcParquet.hashCode)}")
+    if (!new File(splitDir, "_SUCCESS").exists()) {
+      base.select(valueCol).repartition(4)
+        .write.mode("overwrite").parquet(splitDir.getAbsolutePath)
+    }
+    val stream = spark.readStream
+      .schema(base.select(valueCol).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir.getAbsolutePath)
+    val cells = graft.operators.Sketches.cmsCounts(stream, valueCol, d, w)
+    val q = cells.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Streaming log2-histogram census — the third sketch family as
+    * streaming state (SUM merge, like the count-min cells): per-bin counts
+    * maintained through a Complete-mode aggregation settle to EXACTLY the
+    * batch histogram, so quantile read-offs from the streamed state carry
+    * the same bin-bounded guarantee continuously. `valueExprSql` derives
+    * the non-negative Long being binned (applied while staging the 4-file
+    * scratch copy; the binning itself — bit-length via `bin()` — runs
+    * inside the streaming aggregation). State is ≤ 65 bins per stream. */
+  def streamingLogHistogram(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, valueExprSql: String): DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+    val queryName = s"graft_hist_${math.abs(srcParquet.hashCode)}"
+    val splitDir = new File(new File(checkpointDir).getParentFile,
+      s"histsrc_${math.abs(srcParquet.hashCode)}")
+    val src = base.selectExpr(s"$valueExprSql AS v")
+    if (!new File(splitDir, "_SUCCESS").exists()) {
+      src.repartition(4)
+        .write.mode("overwrite").parquet(splitDir.getAbsolutePath)
+    }
+    val stream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir.getAbsolutePath)
+    val hist = graft.operators.Sketches.logHistogram(stream, col("v"))
+    val q = hist.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
   final case class SessionAcc(count: Int, start: Long, last: Long, value: Double)
   final case class SessionOut(user_id: Long, session_start_us: Long,

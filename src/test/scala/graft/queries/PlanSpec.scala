@@ -466,6 +466,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"unexpected sort in HLL build:\n$p")
   }
 
+  test("APSS: no text in any exchange; candidate join is a token equi-join") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text")
+    val postings = graft.operators.Dedup.tfidfPostings(docs, "doc_id", "text")
+    val p = plan(graft.operators.Dedup.sparseAllPairs(postings, 9, 10))
+    // document payloads must never cross a shuffle: every exchange carries
+    // postings-shaped columns (id/tok/df/w and derived), never `text`
+    val exchanges = "Exchange [^\n]+".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text entered an exchange:\n$p")
+    // the candidate self-join and the verify join must be token equi-joins
+    // — never a cartesian. (BroadcastNestedLoopJoin appears exactly once
+    // per postings branch: the 1-row corpus-count broadcast in
+    // tfidfPostings, the BM25 stats idiom — a 1-row build side is not an
+    // all-pairs scan.)
+    assert(!p.contains("CartesianProduct"),
+      s"APSS degenerated into an all-pairs join:\n$p")
+    assert("Join [^\n]*tok".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\([^)]*tok".r.findFirstIn(p).isDefined,
+      s"no token equi-join found in APSS plan:\n$p")
+  }
+
   test("CMS sketch: partial-combined agg; exchange carries (row,col) cells only") {
     import org.apache.spark.sql.functions.{col, explode, split, trim}
     val toks = graft.util.Tables.load(spark, sf, "documents")

@@ -73,4 +73,48 @@ class EventStreamSpec extends SparkSpec {
       .count(f => f.getName.forall(_.isDigit))
     assert(commits >= 4, s"expected >=4 micro-batches, saw $commits commits")
   }
+
+  test("streaming CMS state settles to exactly the batch cells, incrementally") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cp = new java.io.File("target/qtmp_stream", "cp_cms_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(cp)
+    val streamed = EventStream.streamingCmsCells(spark,
+        s"$sf/events.parquet", cp.getAbsolutePath, "user_id", 4, 256)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = graft.operators.Sketches.cmsCounts(
+        spark.read.parquet(s"$sf/events.parquet").select("user_id"),
+        "user_id", 4, 256)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    val commits = new java.io.File(cp, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 4, s"expected >=4 micro-batches, saw $commits commits")
+  }
+
+  test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cp = new java.io.File("target/qtmp_stream", "cp_hist_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(cp)
+    val streamed = EventStream.streamingLogHistogram(spark,
+        s"$sf/events.parquet", cp.getAbsolutePath,
+        "CAST(floor(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val batch = graft.operators.Sketches.logHistogram(
+        spark.read.parquet(s"$sf/events.parquet")
+          .selectExpr("CAST(floor(value * 100) AS BIGINT) AS v"),
+        col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    val commits = new java.io.File(cp, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 4, s"expected >=4 micro-batches, saw $commits commits")
+  }
 }
