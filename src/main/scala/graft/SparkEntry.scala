@@ -85,6 +85,7 @@ object SparkEntry {
     ("dedup_embed_md5", Curation.dedup_embed_md5 _, Some(Curation.dedup_embed_md5_sql)),
     ("dedup_embed_verify", Curation.dedup_embed_verify _, Some(Curation.dedup_embed_verify_sql)),
     ("ann_topk", Curation.ann_topk _, Some(Curation.ann_topk_sql)),
+    ("ann_rrf", Curation.ann_rrf _, Some(Curation.ann_rrf_sql)),
     ("ann_lsh", Curation.ann_lsh _, None),
     ("ann_lsh_md5", Curation.ann_lsh_md5 _, Some(Curation.ann_lsh_md5_sql)),
     ("ann_ivf", Curation.ann_ivf _, None),
@@ -148,6 +149,9 @@ object SparkEntry {
     ("q_stream_neardup", Curation.q_stream_neardup _, Some(Curation.q_stream_neardup_sql)),
     ("q_stream_dedup", Events.q_stream_dedup _, Some(Events.q_stream_dedup_sql)),
     ("q_sessionize", Events.q_sessionize _, Some(Events.q_sessionize_sql)),
+    ("q_funnel", Events.q_funnel _, Some(Events.q_funnel_sql)),
+    ("q_retention", Events.q_retention _, Some(Events.q_retention_sql)),
+    ("q_transitions", Events.q_transitions _, Some(Events.q_transitions_sql)),
     ("q_json", Events.q_json _, Some(Events.q_json_sql)),
   )
 

@@ -242,6 +242,87 @@ object Curation {
     * a documented precision deviation, not a semantic one; ln-idf is the
     * operator's default for real use). Stats (N, Σdl, per-term df) are
     * one agg row broadcast onto the scoring scan. */
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    * the lexical ranker (BM25 over the fixed term set) and the dense
+    * ranker (brute-force cosine against query vector 0 — vec_id aligns
+    * with doc_id in the fixture) each produce a top-20; RRF fuses them by
+    * `Σ 1/(60 + rank)` over a full-outer join of the two rank lists.
+    * Scale shape: both rankers end in TakeOrdered (no global sort); the
+    * rank windows run over the ALREADY-truncated 20-row lists (bounded by
+    * k, not corpus size), and the fusion join is k×k at most. Ranks are
+    * integers and the RRF sum is two IEEE divisions — DuckDB replays the
+    * whole fusion bit-for-bit. */
+  def ann_rrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = graft.operators.CorpusStats.bm25(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        terms = Bm25Terms, lnIdf = false)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("r_bm25", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_bm25"))
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).map(_.toDouble)
+    val vec = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, k = 20)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    bm.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)),
+          9).as("rrf"),
+        coalesce(col("r_bm25"), lit(0)).cast("int").as("r_bm25"),
+        coalesce(col("r_vec"), lit(0)).cast("int").as("r_vec"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
+  // lazy: references Bm25Terms, declared later in this object
+  lazy val ann_rrf_sql: String = {
+    val tfs = Bm25Terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${Bm25Terms(i)}')) AS DOUBLE) AS tf_$i")
+      .mkString(",\n        ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i")
+      .mkString(", ")
+    val score = Bm25Terms.indices.map(i =>
+      s"((n - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * 2.2)" +
+        s" / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
+      .mkString("\n  + ")
+    s"""WITH d AS (SELECT doc_id,
+       |        list_filter(str_split($NormSql, ' '), t -> t != '') AS toks
+       |      FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |        $tfs
+       |      FROM d),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+       |        $dfs FROM t),
+       |bm AS (SELECT doc_id, round($score, 6) AS score FROM t, s),
+       |bmr AS (SELECT doc_id, row_number()
+       |          OVER (ORDER BY score DESC, doc_id) AS r_bm25
+       |        FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+       |vs AS (SELECT vec_id AS doc_id, round(list_cosine_similarity(
+       |          CAST(embedding AS DOUBLE[]),
+       |          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+       |           WHERE vec_id = 0)), 9) AS score
+       |        FROM embeddings WHERE vec_id != 0),
+       |vr AS (SELECT doc_id, row_number()
+       |          OVER (ORDER BY score DESC, doc_id) AS r_vec
+       |        FROM vs ORDER BY score DESC, doc_id LIMIT 20),
+       |f AS (SELECT coalesce(bmr.doc_id, vr.doc_id) AS doc_id, r_bm25, r_vec
+       |      FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id)
+       |SELECT doc_id,
+       |  round(coalesce(1.0 / (60 + r_bm25), 0)
+       |      + coalesce(1.0 / (60 + r_vec), 0), 9) AS rrf,
+       |  CAST(coalesce(r_bm25, 0) AS INT) AS r_bm25,
+       |  CAST(coalesce(r_vec, 0) AS INT) AS r_vec
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   def txt_bm25(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusStats.bm25(
         Tables.load(s, dir, "documents"), "text", "doc_id",

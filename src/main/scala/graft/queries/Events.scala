@@ -82,6 +82,114 @@ object Events {
       |    AS total_value
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** Funnel analysis (earliest-completion, strict order, bounded window):
+    * of the users who ever `view`ed, how many went on to `click` and then
+    * `purchase` within 7 days of the first view — the product-analytics
+    * staple missing between sessionize and the window gates. Formulated
+    * as three user-keyed min-aggregates chained by equi-joins (step k's
+    * earliest qualifying timestamp feeds step k+1's lower bound): fully
+    * declarative, three user-keyed shuffles, no per-user event-history
+    * materialization, no UDF — the shape that survives a 100× user count.
+    * DuckDB replays the same chain. */
+  def q_funnel(s: SparkSession, dir: String): DataFrame = {
+    val wUs = 7L * 24 * 3600 * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") >= col("t1") && col("ts") <= col("t1") + wUs)
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") >= col("t2") && col("ts") <= col("t1") + wUs)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def rowOf(step: Int, name: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("event_type"),
+          col("n_users").cast("long").as("n_users"))
+    rowOf(1, "view", s1)
+      .unionByName(rowOf(2, "click", s2))
+      .unionByName(rowOf(3, "purchase", s3))
+      .orderBy("step")
+  }
+
+  val q_funnel_sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1) AS t1
+      |       FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND e.ts >= t1
+      |         AND e.ts <= t1 + 604800000000 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |       FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND e.ts >= t2
+      |         AND e.ts <= t1 + 604800000000 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS event_type,
+      |    (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+      |ORDER BY step""".stripMargin
+
+  /** Cohort retention (the funnel's sibling staple): bucket users by the
+    * week of their FIRST event (the cohort), then for each week offset
+    * count how many of that cohort were active — the retention triangle.
+    * Weeks are integer floor-divisions of epoch-µs (no calendar logic to
+    * drift between engines); the plan is one user-keyed min-aggregate,
+    * one distinct over (user, week) — both map-side combined — and one
+    * cohort-keyed count: three bounded shuffles at any scale. */
+  def q_retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 604800000000").as("wk"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    ev.distinct().join(first, "user_id")
+      .withColumn("offset", col("wk") - col("cohort"))
+      .filter(col("offset") <= 3)
+      .groupBy("cohort", "offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort", "offset")
+  }
+
+  val q_retention_sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+      |           FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT cohort, wk - cohort AS "offset",
+      |  count(DISTINCT user_id) AS n_active
+      |FROM a JOIN f USING (user_id)
+      |WHERE wk - cohort <= 3
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Event-path transitions: counts of consecutive (from → to) event pairs
+    * per user in timestamp order — the Markov-transition census behind
+    * path analysis. One user-keyed window (lead over (ts, event_type) —
+    * the event_type tie-break keeps simultaneous events deterministic)
+    * and one count aggregate; both shuffles are key-bounded at any
+    * scale. */
+  def q_transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_type"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q_transitions_sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+      |t AS (SELECT event_type AS from_type,
+      |        lead(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_type) AS to_type
+      |      FROM e)
+      |SELECT from_type, to_type, count(*) AS n
+      |FROM t WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** JSON column surface (reference type table §1.2: JSON → StringType +
     * from_json/get_json_object): extract, validate, aggregate. */
   def q_json(s: SparkSession, dir: String): DataFrame = {

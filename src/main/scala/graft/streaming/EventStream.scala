@@ -22,6 +22,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** State-store width for the drain-style queries here: a streaming
+    * aggregation creates `spark.sql.shuffle.partitions` state-store
+    * partitions — each with per-micro-batch snapshot/commit files — at
+    * query start. The states in this file are sketch- or window-sized
+    * (≤ a few thousand keys), so the session's batch-tuned width (32)
+    * buys no parallelism and pays 32 × state-file I/O per micro-batch.
+    * Queries are wrapped to start with a narrow width and restore the
+    * session conf after; results are partition-count-invariant (every
+    * gate hash-matches either way — this is purely a state-file-count
+    * knob). At production scale with keyed state in the millions, raise
+    * it back toward the cluster width. */
+  private def withStreamShuffle[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Drain `srcDir` parquet as a stream (AvailableNow) through a windowed
     * count/sum into an in-memory table; returns the settled result.
     * Real `readStream`→`writeStream` with a checkpoint dir — the
@@ -61,13 +79,15 @@ object EventStream {
         sum(col("value").cast("decimal(30,8)")).cast("double").as("total_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory").queryName(queryName)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -96,13 +116,15 @@ object EventStream {
         timestamp_micros(graft.util.Tables.tsMicros(base.schema("ts").dataType)))
       .withWatermark("ts_ts", "1 minute")
       .dropDuplicates("event_id")
-    val q = deduped.select("event_id", "event_type", "value").writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory").queryName(queryName)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = deduped.select("event_id", "event_type", "value").writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -139,13 +161,15 @@ object EventStream {
       .parquet(splitDir.getAbsolutePath)
     val regs = graft.operators.Sketches.hllRegisters(
       stream, Seq(groupCol), col(valueCol), m)
-    val q = regs.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory").queryName(queryName)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = regs.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -174,13 +198,15 @@ object EventStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(splitDir.getAbsolutePath)
     val cells = graft.operators.Sketches.cmsCounts(stream, valueCol, d, w)
-    val q = cells.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory").queryName(queryName)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = cells.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -208,13 +234,15 @@ object EventStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(splitDir.getAbsolutePath)
     val hist = graft.operators.Sketches.logHistogram(stream, col("v"))
-    val q = hist.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory").queryName(queryName)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = hist.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
