@@ -91,6 +91,7 @@ object SparkEntry {
     ("ann_ivf", Curation.ann_ivf _, None),
     ("ann_ivf_verify", Curation.ann_ivf_verify _, Some(Curation.ann_ivf_verify_sql)),
     ("ann_ivf_md5", Curation.ann_ivf_md5 _, Some(Curation.ann_ivf_md5_sql)),
+    ("q_export_ivf", Curation.q_export_ivf _, Some(Curation.q_export_ivf_sql)),
     ("emb_cluster", Curation.emb_cluster _, Some(Curation.emb_cluster_sql)),
     ("ann_pq", Curation.ann_pq _, None),
     ("ann_pq_md5", Curation.ann_pq_md5 _, Some(Curation.ann_pq_md5_sql)),

@@ -2333,6 +2333,39 @@ object Curation {
          |FROM cand ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** IVF-partitioned ANN SERVING LAYOUT: the corpus is exported with one
+    * parquet directory per IVF cell (`partitionBy(_cell)` over the
+    * quantized-literal assignment), and the probe lists ONLY the nprobe
+    * nearest cells' directories — file-level pruning by layout, the
+    * ann-index equivalent of the zone-map/Z-order exports. At 100 TB a
+    * serving fleet reads nprobe/nlist of the corpus per query straight
+    * off object storage, no index server. The probe result is
+    * definitionally `ann_ivf_md5`'s (same centroids, same probe set,
+    * same re-rank), so the SAME oracle certifies that the exported
+    * layout + directory-pruned scan lose nothing;
+    * `ExportLayoutSpec` locks the scan to exactly the probed dirs. */
+  def q_export_ivf(s: SparkSession, dir: String): DataFrame = {
+    val cz = ivfCentroidsZFor(s, dir)
+    val cells = quantizedCells(Tables.load(s, dir, "embeddings"), cz)
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"export_ivf_${math.abs(dir.hashCode)}")
+    cells.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding", "_cell")
+      .write.mode("overwrite").partitionBy("_cell")
+      .parquet(out.getAbsolutePath)
+    val qz = queryVec(s, dir).map(x => math.floor(x * 1000).toLong)
+    val probed = cz.zipWithIndex.map { case (c, j) =>
+      (c.zip(qz).foldLeft(0L) { case (acc, (a, b)) =>
+        acc + (a - b) * (a - b) }, j)
+    }.sorted.take(4).map(_._2)
+    val scan = s.read.parquet(
+      probed.map(c => s"${out.getAbsolutePath}/_cell=$c"): _*)
+    Similarity.bruteForceTopK(scan, "embedding", "vec_id",
+      queryVec(s, dir), k = 10)
+  }
+
+  def q_export_ivf_sql: String = ann_ivf_md5_sql
+
   /** Quantized PQ codebook of the shared trained index (same export
     * mechanism as [[ivfCentroidsZ]]): cbz(m)(j) = the 4 quantized
     * components of subspace m's j-th centroid. */

@@ -131,4 +131,22 @@ class ExportLayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_exp.spec_size")
     }
   }
+
+  test("IVF layout: dir-pruned probe equals the in-memory probe; layout fans out") {
+    // the two public gates share centroids (per-dir index cache), probe
+    // set, and re-rank — equality proves the partitioned export plus the
+    // directory-pruned scan lose nothing vs filtering in memory
+    val pruned = graft.queries.Curation.q_export_ivf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMem = graft.queries.Curation.ann_ivf_md5(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned === inMem)
+    assert(pruned.size === 10)
+    // the export really fans out into more cell dirs than the probe reads
+    // — i.e. the layout PRUNES (nprobe=4 of nlist=16)
+    val cellDirs = new java.io.File(new java.io.File("target", "qtmp"),
+        s"export_ivf_${math.abs(sf.hashCode)}")
+      .listFiles().count(_.getName.startsWith("_cell="))
+    assert(cellDirs > 4, s"layout fan-out too small: $cellDirs cell dirs")
+  }
 }

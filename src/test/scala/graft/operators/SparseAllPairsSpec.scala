@@ -79,4 +79,39 @@ class SparseAllPairsSpec extends SparkSpec {
       .filter(col("cos_sim") < 0.7 - 1e-6).count()
     assert(bad === 0)
   }
+
+  test("completeness holds across thresholds on an adversarial synthetic corpus") {
+    import spark.implicits._
+    // deliberately nasty: exact dups, high-overlap template variants,
+    // singleton-rare-token pairs, docs sharing ONLY frequent tokens, and
+    // repeated-token docs (tf > 1 paths)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "alpha beta gamma delta zeta"),    // 4/5 overlap
+      (4L, "alpha beta gamma eta theta"),
+      (5L, "iota kappa lambda mu nu"),        // disjoint block
+      (6L, "iota kappa lambda mu xi"),
+      (7L, "alpha alpha alpha beta beta"),    // tf>1
+      (8L, "omicron"),                        // singleton token
+      (9L, "omicron pi"),                     // shares the rare singleton
+      (10L, "alpha beta")                     // only frequent tokens
+    ).toDF("doc_id", "text")
+    val p = Dedup.tfidfPostings(docs, "doc_id", "text")
+      .repartition(col("id")).persist()
+    p.count()
+    val all = p.select(col("id"), col("tok"))
+    val bruteCand = all.as("xa").join(all.as("xb"),
+        col("xa.tok") === col("xb.tok") && col("xa.id") < col("xb.id"))
+      .select(col("xa.id").as("id_a"), col("xb.id").as("id_b")).distinct()
+    for ((tn, td) <- Seq((5, 10), (7, 10), (9, 10), (99, 100))) {
+      val fast = pairsOf(Dedup.sparseAllPairs(p, tn, td))
+      val brute = pairsOf(Dedup.scoreSparsePairs(p, bruteCand, tn, td))
+      assert(fast === brute, s"mismatch at threshold $tn/$td")
+    }
+    // the exact-dup pair must survive every threshold (cosine 1.0)
+    val top = pairsOf(Dedup.sparseAllPairs(p, 99, 100))
+    assert(top.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1.0))
+    p.unpersist()
+  }
 }
