@@ -503,6 +503,60 @@ object CorpusStats {
     scored.select(col(idCol), round(score, 6).as("bm25"))
   }
 
+  // ------------------------------------------------------------ fuzzy vocab
+
+  /** Edit-distance-1 vocabulary pairs (typo/OCR-variant mining, the
+    * entity-resolution fuzzy join in miniature) WITHOUT an all-pairs scan:
+    * candidates come from two equi-join blocks — (first char, length) and
+    * (last char, length), with the right side exploded to lengths
+    * {l−1, l, l+1} so the ±1-length band stays an equi-join key — plus
+    * one tiny all-pairs bucket for single-char tokens.
+    *
+    * Completeness (why the blocks suffice for distance ≤ 1): a
+    * substitution not at position 0 preserves the first char; one at the
+    * last position still preserves the first char; a substitution at
+    * position 0 of a token with ≥2 chars preserves the LAST char; inserts
+    * and deletes preserve the first char unless at position 0, in which
+    * case they preserve the last char. The only pairs sharing neither
+    * endpoint are the 1-char↔1-char substitutions — the dedicated bucket.
+    * Block sizes are vocab-per-(char, length) — hundreds, never the
+    * vocabulary — so candidate work stays linear-ish in vocab size at any
+    * corpus scale (the vocabulary itself grows sub-linearly in corpus
+    * bytes). Exact `levenshtein ≤ maxDist` then verifies candidates. */
+  def fuzzyVocabPairs(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val vocab = docs
+      .select(explode(Dedup.tokensOf(Dedup.normalized(col(textCol))))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("len", length(col("tok")))
+      .withColumn("c1", substring(col("tok"), 1, 1))
+      .withColumn("cL", expr("substring(tok, length(tok), 1)"))
+    def block(keyCol: String): DataFrame = {
+      val a = vocab.select(col("tok").as("tok_a"), col("n").as("n_a"),
+        col("len").as("len_a"), col(keyCol).as("k"))
+      val b = vocab.select(col("tok").as("tok_b"), col("n").as("n_b"),
+        explode(array(col("len") - 1, col("len"), col("len") + 1))
+          .as("len_a"),
+        col(keyCol).as("k"))
+      a.join(b, Seq("k", "len_a")).filter(col("tok_a") < col("tok_b"))
+        .select("tok_a", "tok_b", "n_a", "n_b")
+    }
+    val ones = {
+      val o = vocab.filter(col("len") === 1)
+      o.select(col("tok").as("tok_a"), col("n").as("n_a"))
+        .crossJoin(o.select(col("tok").as("tok_b"), col("n").as("n_b")))
+        .filter(col("tok_a") < col("tok_b"))
+    }
+    block("c1").unionByName(block("cL")).unionByName(ones)
+      .distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= 1)
+      .select(col("tok_a"), col("tok_b"), col("dist"),
+        col("n_a"), col("n_b"))
+  }
+
   // ------------------------------------------------------- learned scoring
 
   /** One-pass EXACT least-squares fit of integer features → integer label

@@ -165,6 +165,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-grouped ANN: top-k nearest PER GROUP (label, domain,
+    * language …) in one scan — the "vector search with a metadata filter"
+    * shape, answered for every filter value at once instead of one probe
+    * per value. One codegen'd scoring projection, one group-partitioned
+    * rank window (map-side partial top-k via the window's required sort —
+    * never a global single-partition sort), rows beyond k never leave
+    * their partition's sort. */
+  def groupedTopK(df: DataFrame, vecCol: String, idCol: String,
+      groupCol: String, query: Seq[Double], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("score").desc, col(idCol))
+    df.select(col(idCol), col(groupCol),
+        packedScore(col(vecCol), query).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col(groupCol), col("score"), col("rk"))
+  }
+
   /** Product quantization — the compressed-codes leg of the ANN family
     * (LSH prunes by bucket, IVF by cell; PQ shrinks every candidate to m
     * bytes so even an exhaustive scan touches 64× less data, and a real

@@ -227,4 +227,71 @@ object Analytics {
       | CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value,
       | epoch_us(MAX(ts)) AS last_ts_us
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping): bilateral supplier-nation ↔
+    * customer-nation trade volume by ship year — the 6-table multi-join
+    * with a DISJUNCTIVE cross-nation predicate, the join-reorder workout
+    * q5's star join doesn't exercise. The two single-row nation dims ride
+    * broadcasts; the disjunction stays in the join condition where
+    * Catalyst can still plan an equi-join on the keys. */
+  def q7_volume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7_volume_sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS INT) AS l_year,
+      | CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS volume
+      |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Window-rank breadth: ntile quartiles, percent_rank and cume_dist
+    * over customer balances WITHIN each nation — the rank-family windows
+    * the lag/lead and row_number gates don't touch. Partitioned by
+    * nation, so no single-partition global window at any scale; doubles
+    * come out of exact integer rank arithmetic (rank-1)/(n-1) etc.,
+    * rounded on both sides. */
+  def q_ntile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 9))
+      .withColumn("cume", round(cume_dist().over(w), 9))
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("quartile"), col("pct_rank"), col("cume"))
+      .orderBy("c_custkey")
+  }
+
+  val q_ntile_sql: String =
+    """SELECT c_custkey,
+      | CAST(ntile(4) OVER w AS INT) AS quartile,
+      | round(percent_rank() OVER w, 9) AS pct_rank,
+      | round(cume_dist() OVER w, 9) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |QUALIFY c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
 }

@@ -227,4 +227,66 @@ object Analytics2 {
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS parts,
       | COUNT(DISTINCT l_suppkey) AS supps, COUNT(*) AS rows_n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Declarative data-quality suite ([[graft.operators.DataQuality]] —
+    * the post-import validation report the reference's users run by hand
+    * against the target DB): key uniqueness, completeness, range
+    * constraints, and lineitem→orders referential integrity, all
+    * row-local checks folded into ONE conditional-aggregate scan per
+    * table. */
+  def q_dq_report(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality._
+    val ord = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val ordReport = report(ord, Seq(
+      Unique("orders.o_orderkey.unique", col("o_orderkey")),
+      Satisfies("orders.o_totalprice.non_negative",
+        col("o_totalprice") >= 0)))
+    val liReport = report(li, Seq(
+      Complete("lineitem.l_shipdate.complete", col("l_shipdate")),
+      Satisfies("lineitem.l_discount.in_range",
+        col("l_discount").between(0, 1)),
+      RefIntegrity("lineitem.l_orderkey.ref_orders", col("l_orderkey"),
+        ord, col("o_orderkey"))))
+    ordReport.unionByName(liReport).orderBy("check")
+  }
+
+  val q_dq_report_sql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders.o_orderkey.unique' AS check,
+      |    round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 9)
+      |      AS metric,
+      |    CAST(round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 9)
+      |      >= 1.0 AS INT) AS passed
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_totalprice.non_negative',
+      |    round(avg(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END), 9),
+      |    CAST(round(avg(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END), 9)
+      |      >= 1.0 AS INT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_shipdate.complete',
+      |    round(avg(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END), 9),
+      |    CAST(round(avg(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END), 9)
+      |      >= 1.0 AS INT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_discount.in_range',
+      |    round(avg(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 1.0 ELSE 0.0 END), 9),
+      |    CAST(round(avg(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 1.0 ELSE 0.0 END), 9)
+      |      >= 1.0 AS INT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey.ref_orders',
+      |    round(CAST((SELECT count(*) FROM lineitem
+      |                WHERE l_orderkey IS NOT NULL AND l_orderkey IN
+      |                  (SELECT o_orderkey FROM orders)) AS DOUBLE)
+      |      / count(*), 9),
+      |    CAST(round(CAST((SELECT count(*) FROM lineitem
+      |                WHERE l_orderkey IS NOT NULL AND l_orderkey IN
+      |                  (SELECT o_orderkey FROM orders)) AS DOUBLE)
+      |      / count(*), 9) >= 1.0 AS INT)
+      |  FROM lineitem)
+      |ORDER BY "check"""".stripMargin
 }

@@ -323,6 +323,56 @@ object Curation {
        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Edit-distance-1 vocabulary pairs
+    * ([[graft.operators.CorpusStats.fuzzyVocabPairs]] — typo/OCR-variant
+    * mining via endpoint-char blocking, never all-pairs), hash-matched:
+    * DuckDB replays the blocks, the ±1-length explode, and the exact
+    * levenshtein verification. The fixture vocabulary is 31 clean tokens
+    * with pairwise distance ≥ 2, so one deterministic typo-injection doc
+    * (the `dedup_skew_guard` synthetic-rows precedent, mirrored as a
+    * literal in the oracle) plants the ed-1 pairs the gate must find —
+    * and the clean corpus contributing ZERO pairs is itself asserted by
+    * the hash match. */
+  def txt_fuzzy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typos = Seq((1000000L, TypoDoc)).toDF("doc_id", "text")
+    graft.operators.CorpusStats.fuzzyVocabPairs(
+        Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+          .select("doc_id", "text").unionByName(typos),
+        "text")
+      .orderBy("tok_a", "tok_b")
+  }
+
+  private val TypoDoc = "sparkk fasst rrow aggg partt x y"
+
+  val txt_fuzzy_sql: String =
+    s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+       |        WHERE text IS NOT NULL
+       |      UNION ALL SELECT 1000000, '$TypoDoc'),
+       |v0 AS (SELECT unnest(list_filter(string_split($NormSql, ' '),
+       |        x -> x != '')) AS tok
+       |      FROM docs2),
+       |v AS (SELECT tok, count(*) AS n, length(tok) AS len,
+       |        substr(tok, 1, 1) AS c1, substr(tok, length(tok), 1) AS cL
+       |      FROM v0 GROUP BY 1),
+       |vx AS (SELECT tok, n, c1, cL,
+       |         unnest([len - 1, len, len + 1]) AS len_a FROM v),
+       |bl AS (
+       |  SELECT a.tok AS tok_a, b.tok AS tok_b, a.n AS n_a, b.n AS n_b
+       |  FROM v a JOIN vx b ON a.c1 = b.c1 AND a.len = b.len_a
+       |    AND a.tok < b.tok
+       |  UNION
+       |  SELECT a.tok, b.tok, a.n, b.n
+       |  FROM v a JOIN vx b ON a.cL = b.cL AND a.len = b.len_a
+       |    AND a.tok < b.tok
+       |  UNION
+       |  SELECT a.tok, b.tok, a.n, b.n
+       |  FROM v a JOIN v b ON a.len = 1 AND b.len = 1 AND a.tok < b.tok)
+       |SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist,
+       |  n_a, n_b
+       |FROM bl WHERE levenshtein(tok_a, tok_b) <= 1
+       |ORDER BY tok_a, tok_b""".stripMargin
+
   def txt_bm25(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusStats.bm25(
         Tables.load(s, dir, "documents"), "text", "doc_id",
@@ -2292,6 +2342,30 @@ object Curation {
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
          FROM d)"""
   }
+
+  /** Metadata-grouped ANN: top-5 nearest neighbors of the query PER LABEL
+    * in one scan ([[graft.operators.Similarity.groupedTopK]]) — the
+    * filtered-vector-search shape answered for every filter value at
+    * once. Hash-matched: DuckDB replays scoring + the per-label rank
+    * window. */
+  def ann_grouped(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.groupedTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", "label", queryVec(s, dir), k = 5)
+      .orderBy("label", "rk")
+  }
+
+  val ann_grouped_sql: String =
+    """WITH sc AS (SELECT vec_id, label, round(list_cosine_similarity(
+      |    CAST(embedding AS DOUBLE[]),
+      |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+      |     WHERE vec_id = 0)), 9) AS score
+      |  FROM embeddings WHERE vec_id != 0),
+      |r AS (SELECT vec_id, label, score, CAST(row_number() OVER (
+      |    PARTITION BY label ORDER BY score DESC, vec_id) AS INT) AS rk
+      |  FROM sc)
+      |SELECT vec_id, label, score, rk FROM r
+      |WHERE rk <= 5 ORDER BY label, rk""".stripMargin
 
   /** IVF probe, HASH-MATCHED end-to-end against DuckDB — the cross-engine
     * twin of `ann_ivf` (whose quality gate stays `ann_ivf_verify`'s recall

@@ -82,6 +82,42 @@ object Events {
       |    AS total_value
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** Native session-window streaming sessionization
+    * ([[graft.streaming.EventStream.sessionWindowCounts]]): Spark's
+    * built-in merging-interval session state, drained over multiple
+    * micro-batches in Complete mode — certified against the same
+    * gaps-and-islands batch SQL the sorted-fold sessionize uses (with
+    * the session_window `>=` boundary; see the operator doc). */
+  def q_stream_sessionwin(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_sesswin_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    EventStream.sessionWindowCounts(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, gapMinutes = 30)
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val q_stream_sessionwin_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+      |         OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+      |           IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(new_session)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us
+      |          ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM e)
+      |SELECT user_id,
+      |  MIN(ts_us) AS session_start_us,
+      |  MAX(ts_us) + 1800000000 AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   /** Funnel analysis (earliest-completion, strict order, bounded window):
     * of the users who ever `view`ed, how many went on to `click` and then
     * `purchase` within 7 days of the first view — the product-analytics

@@ -95,6 +95,36 @@ class EventStreamSpec extends SparkSpec {
     assert(commits >= 4, s"expected >=4 micro-batches, saw $commits commits")
   }
 
+  test("session_window streaming equals the sorted-fold sessionize, incrementally") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val cp = new java.io.File("target/qtmp_stream", "cp_sesswin_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(cp)
+    val streamed = EventStream.sessionWindowCounts(spark,
+        s"$sf/events.parquet", cp.getAbsolutePath, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the explicit-state sessionize; session_window's end = last ts + gap
+    val evs = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").as("ts_us"), col("event_type"),
+        col("value"))
+      .as[EventStream.Ev]
+    val folded = EventStream.sessionizeSorted(evs, gapMinutes = 30)
+      .collect()
+      .map(s => (s.user_id, s.session_start_us,
+        s.session_end_us + 30L * 60 * 1000000, s.n_events.toLong))
+      .toSet
+    assert(streamed === folded)
+    val commits = new java.io.File(cp, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 4, s"expected >=4 micro-batches, saw $commits commits")
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
