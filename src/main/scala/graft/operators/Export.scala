@@ -196,4 +196,85 @@ object Export {
       .saveAsTable(s"$db.$table")
     spark.table(s"$db.$table")
   }
+
+  // ------------------------------------------------- snapshot manifests
+
+  /** Append-only snapshot log — the Delta/Iceberg core mechanism in its
+    * minimal honest form: data files are IMMUTABLE (each append writes a
+    * fresh `epoch=N` directory), and a version is just a manifest listing
+    * the files visible at that version (previous manifest + the new
+    * epoch's files). Readers never list directories — they read exactly
+    * the manifest's files — so concurrent appends can't tear a read and
+    * old versions stay readable forever (time travel). Commit is one
+    * manifest write, atomic at the filesystem level the same way the
+    * import CommitLog is (write-temp + rename on real deployments).
+    * Returns the new version number. */
+  def appendSnapshot(spark: SparkSession, df: DataFrame,
+      outDir: String): Int = {
+    val root = new java.io.File(outDir)
+    root.mkdirs()
+    val prev = root.listFiles()
+      .filter(f => f.getName.matches("_v\\d+\\.manifest"))
+      .map(_.getName.stripPrefix("_v").stripSuffix(".manifest").toInt)
+      .sorted.lastOption
+    val version = prev.getOrElse(0) + 1
+    val epochDir = new java.io.File(root, s"epoch=$version")
+    df.write.mode("overwrite").parquet(epochDir.getAbsolutePath)
+    val fresh = epochDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+    val carried: Seq[String] = prev match {
+      case Some(v) => java.nio.file.Files.readAllLines(
+        new java.io.File(root, s"_v$v.manifest").toPath)
+        .toArray(Array.empty[String]).toSeq
+      case None => Nil
+    }
+    java.nio.file.Files.write(
+      new java.io.File(root, s"_v$version.manifest").toPath,
+      String.join("\n", (carried ++ fresh): _*).getBytes("UTF-8"))
+    version
+  }
+
+  /** Commit a FULL-REPLACE snapshot: like [[appendSnapshot]] the epoch's
+    * files are immutable and the commit is one manifest write, but the
+    * new manifest lists ONLY the new epoch — the previous version's rows
+    * are superseded, not extended. This is the materialized-view /
+    * upsert-sink commit: each version is a complete table state, and old
+    * versions remain time-travel-readable because their epochs are never
+    * touched. Returns the new version. */
+  def replaceSnapshot(spark: SparkSession, df: DataFrame,
+      outDir: String): Int = {
+    val root = new java.io.File(outDir)
+    root.mkdirs()
+    val prev = root.listFiles()
+      .filter(f => f.getName.matches("_v\\d+\\.manifest"))
+      .map(_.getName.stripPrefix("_v").stripSuffix(".manifest").toInt)
+      .sorted.lastOption
+    val version = prev.getOrElse(0) + 1
+    val epochDir = new java.io.File(root, s"epoch=$version")
+    df.write.mode("overwrite").parquet(epochDir.getAbsolutePath)
+    val fresh = epochDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+    java.nio.file.Files.write(
+      new java.io.File(root, s"_v$version.manifest").toPath,
+      String.join("\n", fresh: _*).getBytes("UTF-8"))
+    version
+  }
+
+  /** Latest committed snapshot version, or 0 if none. */
+  def latestSnapshotVersion(outDir: String): Int =
+    Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("_v\\d+\\.manifest"))
+      .map(_.getName.stripPrefix("_v").stripSuffix(".manifest").toInt)
+      .sorted.lastOption.getOrElse(0)
+
+  /** Read the table AS OF `version`: exactly the manifest's files. */
+  def readSnapshot(spark: SparkSession, outDir: String,
+      version: Int): DataFrame = {
+    val files = java.nio.file.Files.readAllLines(
+      new java.io.File(outDir, s"_v$version.manifest").toPath)
+      .toArray(Array.empty[String]).toIndexedSeq
+    spark.read.parquet(files: _*)
+  }
 }

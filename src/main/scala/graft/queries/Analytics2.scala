@@ -228,6 +228,83 @@ object Analytics2 {
       | COUNT(DISTINCT l_suppkey) AS supps, COUNT(*) AS rows_n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** MERGE INTO / upsert ([[graft.operators.Merge.upsert]]): a
+    * deterministic update batch (every 10th order re-priced ×2, status
+    * 'U') plus synthetic inserts lands on orders; the aggregate of the
+    * merged table hash-matches DuckDB's CASE-based replay — matched rows
+    * take update values, inserts appear, the rest pass through. */
+  def q_upsert(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val updates = ord.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderstatus", lit("U"))
+    val inserts = s.range(3).select(
+      (col("id") + 900000000L).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit(42.5).as("o_totalprice"),
+      lit("N").as("o_orderstatus"))
+    graft.operators.Merge.upsert(ord, updates.unionByName(inserts),
+        Seq("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(30,8)")), 2)
+          .cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q_upsert_sql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+      |         ELSE o_orderstatus END AS o_orderstatus
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 900000000 + i, 42.5, 'N'
+      |  FROM (SELECT unnest(range(3)) AS i))
+      |SELECT o_orderstatus, count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+      |    AS total
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Incremental aggregate maintenance
+    * ([[graft.operators.Merge.mergeAggregates]]): the pre-aggregated
+    * base (90% of lineitem) refreshed from a delta batch (the other 10%)
+    * by merging partial-aggregate rows — no base rescan. The oracle is
+    * the FULL recompute, so the hash match proves the associative-merge
+    * law for the count/sum/min/max decomposition. */
+  def q_incr_agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    def part(f: org.apache.spark.sql.Column) = li.filter(f)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(30,8)")).as("qty"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+    val base = part(col("l_orderkey") % 10 =!= 0)
+    val delta = part(col("l_orderkey") % 10 === 0)
+    graft.operators.Merge.mergeAggregates(Seq(base, delta),
+        Seq("l_returnflag"), sums = Seq("n", "qty"),
+        mins = Seq("first_ship"), maxs = Seq("last_ship"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("qty"), 2).cast("double").as("qty"),
+        unix_micros(col("first_ship").cast("timestamp"))
+          .as("first_ship_us"),
+        unix_micros(col("last_ship").cast("timestamp"))
+          .as("last_ship_us"))
+      .orderBy("l_returnflag")
+  }
+
+  val q_incr_agg_sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE)
+      |    AS qty,
+      |  epoch_us(min(l_shipdate)) AS first_ship_us,
+      |  epoch_us(max(l_shipdate)) AS last_ship_us
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Declarative data-quality suite ([[graft.operators.DataQuality]] —
     * the post-import validation report the reference's users run by hand
     * against the target DB): key uniqueness, completeness, range

@@ -3515,6 +3515,81 @@ object Curation {
     * that lost a file, a mis-clustered write, or an off-by-one in the
     * overlap test all surface as a hash mismatch. `ExportLayoutSpec`
     * separately asserts the scan really did skip files. */
+  /** Schema evolution across shard epochs — the lake-drift read path: an
+    * early batch wrote (doc_id, n_chars), a later batch added `lang`;
+    * `mergeSchema` unifies them at read (missing columns null-filled) and
+    * the aggregate treats pre-evolution rows as 'unknown'. The oracle
+    * replays the SEMANTICS from the raw table (even docs = the old-schema
+    * epoch), so the hash match certifies that widening the schema loses
+    * no rows and nulls exactly the absent column. */
+  def q_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"evolve_${math.abs(dir.hashCode)}")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(s"${out.getAbsolutePath}/epoch=0")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "n_chars", "lang")
+      .write.mode("overwrite").parquet(s"${out.getAbsolutePath}/epoch=1")
+    s.read.option("mergeSchema", "true").parquet(out.getAbsolutePath)
+      .groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  val q_schema_evolution_sql: String =
+    """SELECT CASE WHEN doc_id % 2 = 0 OR lang IS NULL
+      |         THEN 'unknown' ELSE lang END AS lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Manifest-snapshot time travel
+    * ([[graft.operators.Export.appendSnapshot]]): v1 = the even docs,
+    * v2 = v1 + the odd docs appended as a new immutable epoch. Reading
+    * v1 AFTER v2 exists must still see only the even docs — snapshot
+    * isolation through the manifest, never directory listing. The oracle
+    * replays both versions' semantics from the raw table, so the hash
+    * match certifies the old version stayed intact across the append. */
+  def q_timetravel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"timetravel_${math.abs(dir.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(out) // versions are per-run; a stale _v3 would shift numbering
+    val v1 = graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") % 2 === 0), out.getAbsolutePath)
+    val v2 = graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") % 2 === 1), out.getAbsolutePath)
+    def agg(v: Int) = graft.operators.Export
+      .readSnapshot(s, out.getAbsolutePath, v)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(lit(v).as("version"), col("n_docs"), col("id_sum"),
+        col("total_chars"))
+    agg(v1).unionByName(agg(v2)).orderBy("version")
+  }
+
+  val q_timetravel_sql: String =
+    """SELECT 1 AS version, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents
+      |ORDER BY version""".stripMargin
+
   def q_export_zonemap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))

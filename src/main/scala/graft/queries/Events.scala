@@ -118,6 +118,28 @@ object Events {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Streaming materialized view with time travel
+    * ([[graft.streaming.EventStream.streamingMaterializedAgg]]): four
+    * micro-batches fold into a per-user aggregate table through the
+    * associative merge law, each refresh committed as a full-replace
+    * snapshot version. The settled latest version hash-matches the batch
+    * aggregate — incremental ETL ≡ recompute, certified cross-engine. */
+  def q_stream_matview(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_mv_${math.abs(dir.hashCode)}")
+    val table = new File("target/qtmp_stream",
+      s"mvtable_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(table)
+    EventStream.streamingMaterializedAgg(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, table.getAbsolutePath)
+      .orderBy("user_id")
+  }
+
+  val q_stream_matview_sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  max(epoch_us(ts)) AS last_ts_us
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** Funnel analysis (earliest-completion, strict order, bounded window):
     * of the users who ever `view`ed, how many went on to `click` and then
     * `purchase` within 7 days of the first view — the product-analytics

@@ -149,4 +149,25 @@ class ExportLayoutSpec extends SparkSpec {
       .listFiles().count(_.getName.startsWith("_cell="))
     assert(cellDirs > 4, s"layout fan-out too small: $cellDirs cell dirs")
   }
+
+  test("snapshot manifests: old versions read identically after appends") {
+    val out = tmp("snap")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    val ids = docs.select("doc_id")
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(org.apache.spark.sql.functions.lit(1)),
+        sum("doc_id")).collect().head
+    val v1 = Export.appendSnapshot(spark, ids.filter(col("doc_id") % 2 === 0), out)
+    val v1Before = sums(Export.readSnapshot(spark, out, v1))
+    val v2 = Export.appendSnapshot(spark, ids.filter(col("doc_id") % 2 === 1), out)
+    assert(v2 === v1 + 1)
+    // time travel: v1 must be byte-for-byte the same read after v2 exists
+    assert(sums(Export.readSnapshot(spark, out, v1)) === v1Before)
+    // v2 sees everything exactly once
+    assert(sums(Export.readSnapshot(spark, out, v2)) === sums(ids))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the incremental-refresh primitives: upsert's three-way semantics
+  * (update wins / insert appears / base persists), null-safe key
+  * matching, schema-mismatch rejection, and the partial-aggregate merge
+  * law (merged partials ≡ full recompute). */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: update wins, insert appears, base persists, null keys match") {
+    val base = Seq((Some(1L), "a", 10), (Some(2L), "b", 20),
+      (None: Option[Long], "n", 30)).toDF("k", "name", "v")
+    val updates = Seq((Some(2L), "B", 21), (Some(9L), "ins", 99),
+      (None: Option[Long], "N", 31)).toDF("k", "name", "v")
+    val out = Merge.upsert(base, updates, Seq("k"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(out === Set(
+      (Some(1L), "a", 10),   // base persists
+      (Some(2L), "B", 21),   // update wins
+      (Some(9L), "ins", 99), // insert appears
+      (None, "N", 31)))      // null key matches null key, not duplicated
+  }
+
+  test("upsert rejects mismatched schemas") {
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val bad = Seq((1L, 2.0)).toDF("k", "other")
+    intercept[IllegalArgumentException] {
+      Merge.upsert(base, bad, Seq("k"))
+    }
+  }
+
+  test("mergeAggregates: merged partials equal the full recompute") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def part(f: org.apache.spark.sql.Column) = li.filter(f)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(30,8)")).as("qty"),
+        min("l_suppkey").as("mn"), max("l_suppkey").as("mx"))
+    // three-way split exercises >2-partial merging
+    val merged = Merge.mergeAggregates(
+        Seq(part(col("l_orderkey") % 3 === 0),
+          part(col("l_orderkey") % 3 === 1),
+          part(col("l_orderkey") % 3 === 2)),
+        Seq("l_returnflag"), sums = Seq("n", "qty"),
+        mins = Seq("mn"), maxs = Seq("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2), r.getLong(3), r.getLong(4))).toSet
+    val full = part(lit(true))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2), r.getLong(3), r.getLong(4))).toSet
+    assert(merged === full)
+  }
+}

@@ -125,6 +125,35 @@ class EventStreamSpec extends SparkSpec {
     assert(commits >= 4, s"expected >=4 micro-batches, saw $commits commits")
   }
 
+  test("streaming materialized view: latest == batch, every version time-travels") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cp = new java.io.File("target/qtmp_stream", "cp_mv_spec")
+    val table = new java.io.File("target/qtmp_stream", "mvtable_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(cp); rm(table)
+    val latest = EventStream.streamingMaterializedAgg(spark,
+        s"$sf/events.parquet", cp.getAbsolutePath, table.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.util.Tables.events(spark, sf)
+    val batch = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("last"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(latest === batch)
+    // one committed version per micro-batch, all readable, monotone rows
+    val vMax = graft.operators.Export
+      .latestSnapshotVersion(table.getAbsolutePath)
+    assert(vMax >= 4, s"expected >=4 versions, got $vMax")
+    val counts = (1 to vMax).map(v => graft.operators.Export
+      .readSnapshot(spark, table.getAbsolutePath, v)
+      .agg(sum("n_events")).head().getLong(0))
+    assert(counts.last === ev.count())
+    assert(counts === counts.sorted, s"event totals not monotone: $counts")
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
