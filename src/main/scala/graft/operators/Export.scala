@@ -269,6 +269,44 @@ object Export {
       .map(_.getName.stripPrefix("_v").stripSuffix(".manifest").toInt)
       .sorted.lastOption.getOrElse(0)
 
+  /** Retention: drop every snapshot version except the newest `keep`,
+    * then delete any epoch file no surviving manifest references. Old
+    * manifests go first, data files second — a reader holding a surviving
+    * manifest can never observe a missing file, and a crash between the
+    * two phases only leaves unreferenced files for the next vacuum (the
+    * standard lake-retention ordering). Returns (versions dropped, files
+    * deleted). */
+  def vacuumSnapshots(outDir: String, keep: Int): (Int, Int) = {
+    require(keep >= 1, s"must keep at least one version, got $keep")
+    val root = new java.io.File(outDir)
+    val versions = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("_v\\d+\\.manifest"))
+      .map(f => f.getName.stripPrefix("_v").stripSuffix(".manifest").toInt)
+      .sorted
+    val dropped = versions.dropRight(keep)
+    dropped.foreach(v =>
+      new java.io.File(root, s"_v$v.manifest").delete())
+    val live: Set[String] = versions.takeRight(keep).flatMap { v =>
+      java.nio.file.Files.readAllLines(
+        new java.io.File(root, s"_v$v.manifest").toPath)
+        .toArray(Array.empty[String]).toSeq
+    }.toSet
+    var deleted = 0
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .foreach { epoch =>
+        epoch.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+            !live(f.getAbsolutePath))
+          .foreach { f => if (f.delete()) deleted += 1 }
+        if (Option(epoch.listFiles()).exists(
+            _.forall(!_.getName.endsWith(".parquet")))) {
+          epoch.listFiles().foreach(_.delete())
+          epoch.delete()
+        }
+      }
+    (dropped.size, deleted)
+  }
+
   /** Read the table AS OF `version`: exactly the manifest's files. */
   def readSnapshot(spark: SparkSession, outDir: String,
       version: Int): DataFrame = {

@@ -150,6 +150,32 @@ class ExportLayoutSpec extends SparkSpec {
     assert(cellDirs > 4, s"layout fan-out too small: $cellDirs cell dirs")
   }
 
+  test("vacuum: kept versions intact, dropped epochs physically gone") {
+    val out = tmp("vacuum")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    val ids = docs.select("doc_id")
+    val v1 = Export.replaceSnapshot(spark, ids.filter(col("doc_id") < 100), out)
+    val v2 = Export.replaceSnapshot(spark, ids.filter(col("doc_id") < 200), out)
+    val v3 = Export.replaceSnapshot(spark, ids, out)
+    val v3Rows = Export.readSnapshot(spark, out, v3).count()
+    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1)
+    assert(droppedV === 2 && deletedF >= 2)
+    // survivors untouched
+    assert(Export.latestSnapshotVersion(out) === v3)
+    assert(Export.readSnapshot(spark, out, v3).count() === v3Rows)
+    // dropped manifests and their epochs are physically gone
+    assert(!new java.io.File(out, s"_v$v1.manifest").exists())
+    assert(!new java.io.File(out, s"_v$v2.manifest").exists())
+    assert(!new java.io.File(out, s"epoch=$v1").exists())
+    assert(!new java.io.File(out, s"epoch=$v2").exists())
+    // idempotent: nothing left to clean
+    assert(Export.vacuumSnapshots(out, keep = 1) === ((0, 0)))
+  }
+
   test("snapshot manifests: old versions read identically after appends") {
     val out = tmp("snap")
     def rm(f: java.io.File): Unit = {

@@ -490,6 +490,25 @@ class PlanSpec extends SparkSpec {
       s"no token equi-join found in APSS plan:\n$p")
   }
 
+  test("upsert: ONE full-outer equi-join on the key, nothing degenerate") {
+    val p = plan(Analytics2.q_upsert(spark, sf))
+    assert("FullOuter".r.findAllIn(p).size === 1,
+      s"expected exactly one full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"upsert degenerated into an all-pairs join:\n$p")
+  }
+
+  test("funnel: chained user-keyed equi-joins, no cartesian, partial aggs") {
+    val p = plan(Events.q_funnel(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel degenerated into an all-pairs join:\n$p")
+    // every funnel step min-aggregates map-side before its shuffle
+    assert("partial_min".r.findAllIn(p).size >= 2,
+      s"funnel steps lost map-side partial aggregation:\n$p")
+  }
+
   test("CMS sketch: partial-combined agg; exchange carries (row,col) cells only") {
     import org.apache.spark.sql.functions.{col, explode, split, trim}
     val toks = graft.util.Tables.load(spark, sf, "documents")
