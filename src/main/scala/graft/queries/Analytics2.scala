@@ -228,6 +228,59 @@ object Analytics2 {
       | COUNT(DISTINCT l_suppkey) AS supps, COUNT(*) AS rows_n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Explicit GROUPING SETS (the shape rollup/cube can't express:
+    * hand-picked combinations only) with `grouping_id` disambiguating
+    * the null-as-total rows from genuine nulls. */
+  def q_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+      .createOrReplaceTempView("_gs_orders")
+    s.sql("""SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping_id() AS INT) AS gid, count(*) AS n
+      |FROM _gs_orders
+      |GROUP BY o_orderstatus, o_orderpriority
+      |  GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |    (o_orderstatus, o_orderpriority))
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val q_grouping_sets_sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+      |    AS INT) AS gid,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |  (o_orderstatus, o_orderpriority))
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** RANGE-frame sliding window: each event's trailing-hour per-user
+    * value sum — the value-based frame (`RANGE BETWEEN x PRECEDING`) the
+    * row-based windows can't express; frames are bounded by the hour, so
+    * state per row is the in-frame slice regardless of history length. */
+  def q_range_window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("hour_sum",
+        round(sum(col("value").cast("decimal(30,8)")).over(w), 4)
+          .cast("double"))
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("ts").as("ts_us"), col("hour_sum"))
+      .orderBy("user_id", "ts_us")
+  }
+
+  val q_range_window_sql: String =
+    """SELECT user_id, ts_us,
+      |  CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER (
+      |    PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+      |    AS DOUBLE) AS hour_sum
+      |FROM (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
+      |WHERE user_id % 20 = 0
+      |ORDER BY user_id, ts_us""".stripMargin
+
   /** MERGE INTO / upsert ([[graft.operators.Merge.upsert]]): a
     * deterministic update batch (every 10th order re-priced ×2, status
     * 'U') plus synthetic inserts lands on orders; the aggregate of the

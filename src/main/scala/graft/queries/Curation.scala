@@ -2343,6 +2343,40 @@ object Curation {
          FROM d)"""
   }
 
+  /** Higher-order array-function surface (the lambda SQL the reference's
+    * target DB exposes as JSON_EXTRACT loops): transform / filter /
+    * aggregate / zip_with / slice over the embedding vectors, all inside
+    * one codegen'd projection — no UDFs, no explode. Float folds are
+    * left-to-right in both engines (the same determinism contract the
+    * cosine gates rely on), integers exact. */
+  def q_array_ops(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    emb.select(
+        col("vec_id"),
+        round(sqrt(aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)), 9).as("l2"),
+        size(filter(col("v"), x => x > 0)).as("n_pos"),
+        round(aggregate(slice(col("v"), 1, 3), lit(0.0),
+          (acc, x) => acc + x), 9).as("head3_sum"),
+        round(aggregate(zip_with(col("v"), reverse(col("v")),
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x), 9)
+          .as("palindot"))
+      .orderBy("vec_id")
+  }
+
+  val q_array_ops_sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings)
+      |SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(v, x -> x * x))), 9) AS l2,
+      |  CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+      |  round(list_sum(list_transform(range(1, least(3, len(v)) + 1),
+      |    i -> v[i])), 9) AS head3_sum,
+      |  round(list_sum(list_transform(range(1, len(v) + 1),
+      |    i -> v[i] * v[len(v) - i + 1])), 9) AS palindot
+      |FROM e ORDER BY vec_id""".stripMargin
+
   /** Metadata-grouped ANN: top-5 nearest neighbors of the query PER LABEL
     * in one scan ([[graft.operators.Similarity.groupedTopK]]) — the
     * filtered-vector-search shape answered for every filter value at

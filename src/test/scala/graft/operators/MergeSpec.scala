@@ -33,6 +33,22 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("upsert edge cases: empty updates = identity, empty base = inserts") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val none = base.filter(lit(false))
+    assert(Merge.upsert(base, none, Seq("k")).collect().toSet ===
+      base.collect().toSet)
+    assert(Merge.upsert(none, base, Seq("k")).collect().toSet ===
+      base.collect().toSet)
+  }
+
+  test("mergeAggregates: single partial is the identity") {
+    val one = Seq(("A", 3L), ("B", 5L)).toDF("g", "n")
+    val out = Merge.mergeAggregates(Seq(one), Seq("g"), sums = Seq("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("A", 3L), ("B", 5L)))
+  }
+
   test("mergeAggregates: merged partials equal the full recompute") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     def part(f: org.apache.spark.sql.Column) = li.filter(f)

@@ -80,6 +80,16 @@ class SparseAllPairsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("empty and singleton corpora yield empty pair sets, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.sparseAllPairs(
+      Dedup.tfidfPostings(empty, "doc_id", "text"), 7, 10).count() === 0)
+    val one = Seq((1L, "only document here")).toDF("doc_id", "text")
+    assert(Dedup.sparseAllPairs(
+      Dedup.tfidfPostings(one, "doc_id", "text"), 7, 10).count() === 0)
+  }
+
   test("completeness holds across thresholds on an adversarial synthetic corpus") {
     import spark.implicits._
     // deliberately nasty: exact dups, high-overlap template variants,
