@@ -3549,6 +3549,113 @@ object Curation {
     * that lost a file, a mis-clustered write, or an off-by-one in the
     * overlap test all surface as a hash mismatch. `ExportLayoutSpec`
     * separately asserts the scan really did skip files. */
+  /** JSONL round-trip — the interchange format training pipelines
+    * actually move documents in: the corpus is written as JSON Lines
+    * (Spark's line-per-record JSON writer), read back under an explicit
+    * schema, and aggregated; the oracle aggregates the raw table, so the
+    * hash match certifies the writer⇄parser pair is lossless for real
+    * text (quotes, unicode, control characters all travel through JSON
+    * string escaping). Scale shape: both legs are narrow per-partition
+    * scans, no shuffle beyond the final aggregate. */
+  def jsonl_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars", "text")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"jsonl_${math.abs(dir.hashCode)}")
+    docs.write.mode("overwrite").json(out.getAbsolutePath)
+    val back = s.read.schema(docs.schema).json(out.getAbsolutePath)
+    back.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(length(col("text"))).cast("long").as("text_len_sum"),
+        // content-exactness, not just length: md5-prefix checksum of every
+        // ROUND-TRIPPED text vs the oracle over the raw table
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("text_md5_sum"),
+        count(col("text")).as("n_text"))
+      .orderBy("lang")
+  }
+
+  val jsonl_roundtrip_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS text_len_sum,
+      |  CAST(sum((((((((CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS BIGINT)-1) * 16 + (strpos('0123456789abcdef', substr(md5(text), 2, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 3, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 4, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 5, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 6, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 7, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 8, 1))-1)) AS BIGINT) AS text_md5_sum,
+      |  count(text) AS n_text
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Distribution-drift report between two corpus slices (the data-drift
+    * monitor a continuously-fed training pipeline runs per refresh):
+    * per-language share deltas and symmetric chi-square contributions
+    * ((p−q)²/(p+q) — the rational drift divergence; PSI/JS need `ln`,
+    * which this repo deliberately avoids cross-engine). Counts are one
+    * conditional aggregate per slice; everything downstream is exact
+    * integer ratios rounded once. */
+  def q_drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val counts = docs.groupBy("lang")
+      .agg(count(when(col("doc_id") <= half, 1)).as("n_a"),
+        count(when(col("doc_id") > half, 1)).as("n_b"))
+    val totals = counts.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p", col("n_a").cast("double") / col("t_a"))
+      .withColumn("q", col("n_b").cast("double") / col("t_b"))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        round(col("p") - col("q"), 9).as("share_delta"),
+        round(when(col("p") + col("q") > 0,
+          (col("p") - col("q")) * (col("p") - col("q")) /
+            (col("p") + col("q"))).otherwise(0.0), 9).as("chi2"))
+      .orderBy("lang")
+  }
+
+  val q_drift_sql: String =
+    """WITH h AS (SELECT CAST(max(doc_id) // 2 AS BIGINT) AS half
+      |           FROM documents),
+      |c AS (SELECT lang,
+      |        count(CASE WHEN doc_id <= half THEN 1 END) AS n_a,
+      |        count(CASE WHEN doc_id > half THEN 1 END) AS n_b
+      |      FROM documents CROSS JOIN h GROUP BY 1),
+      |t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM c)
+      |SELECT lang, n_a, n_b,
+      |  round(CAST(n_a AS DOUBLE)/t_a - CAST(n_b AS DOUBLE)/t_b, 9)
+      |    AS share_delta,
+      |  round(CASE WHEN CAST(n_a AS DOUBLE)/t_a + CAST(n_b AS DOUBLE)/t_b > 0
+      |    THEN (CAST(n_a AS DOUBLE)/t_a - CAST(n_b AS DOUBLE)/t_b)
+      |       * (CAST(n_a AS DOUBLE)/t_a - CAST(n_b AS DOUBLE)/t_b)
+      |       / (CAST(n_a AS DOUBLE)/t_a + CAST(n_b AS DOUBLE)/t_b)
+      |    ELSE 0.0 END, 9) AS chi2
+      |FROM c CROSS JOIN t ORDER BY lang""".stripMargin
+
+  /** ORC round-trip — the other columnar format Spark carries natively:
+    * same lossless-writer⇄parser certification as [[jsonl_roundtrip]]
+    * (content-level md5-prefix checksum), proving the engine's format
+    * surface isn't parquet-only. */
+  def orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars", "text")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"orc_${math.abs(dir.hashCode)}")
+    docs.write.mode("overwrite").orc(out.getAbsolutePath)
+    s.read.schema(docs.schema).orc(out.getAbsolutePath)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("text_md5_sum"))
+      .orderBy("lang")
+  }
+
+  val orc_roundtrip_sql: String = {
+    val h8 = "(((((((CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS BIGINT)-1) * 16 + (strpos('0123456789abcdef', substr(md5(text), 2, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 3, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 4, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 5, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 6, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 7, 1))-1)) * 16 + (strpos('0123456789abcdef', substr(md5(text), 8, 1))-1)"
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(sum($h8) AS BIGINT) AS text_md5_sum
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Schema evolution across shard epochs — the lake-drift read path: an
     * early batch wrote (doc_id, n_chars), a later batch added `lang`;
     * `mergeSchema` unifies them at read (missing columns null-filled) and
