@@ -281,6 +281,46 @@ object TextAnalysis {
     }
   }
 
+  // ---- HTML stripping ------------------------------------------------
+  //
+  // The crawl-cleanup step upstream of every text signal: drop script/
+  // style blocks (DOTALL via inline (?s) — identical in Java and RE2),
+  // drop tags, decode the five common entities, collapse whitespace.
+  // Entity ORDER is load-bearing: `&amp;` decodes LAST, so the literal
+  // text `&amp;lt;` becomes `&lt;` (one decode) and never a strippable
+  // `<` — the classic double-decode bug, pinned by the spec. Same
+  // Java/RE2-common regex subset discipline as the PII chain.
+
+  /** (pattern, replacement) in application order. */
+  val htmlPatterns: Seq[(String, String)] = Seq(
+    ("(?s)<script[^>]*>.*?</script>", " "),
+    ("(?s)<style[^>]*>.*?</style>", " "),
+    ("<[^>]+>", " "),
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&amp;", "&"))
+
+  /** Strip HTML to text: pure codegen'd per-row transform, no shuffle,
+    * RE2-linear patterns. */
+  def stripHtml(text: Column): Column = {
+    val replaced = htmlPatterns.foldLeft(text) { case (c, (re, r)) =>
+      regexp_replace(c, re, r)
+    }
+    trim(regexp_replace(replaced, "\\s+", " "))
+  }
+
+  /** DuckDB twin of [[stripHtml]] (SQL single quotes doubled — the `'`
+    * entity's replacement is itself a quote). */
+  def stripHtmlSql(t: String): String = {
+    val replaced = htmlPatterns.foldLeft(t) { case (e, (re, r)) =>
+      s"regexp_replace($e, '$re', '${r.replace("'", "''")}', 'g')"
+    }
+    s"trim(regexp_replace($replaced, '\\s+', ' ', 'g'))"
+  }
+
   // ---- Repetition quality signals (Gopher-style) ---------------------
   //
   // Rae et al. 2021 ("Scaling Language Models: ... Gopher", arXiv:

@@ -3586,6 +3586,39 @@ object Curation {
       |  count(text) AS n_text
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** HTML stripping ([[graft.operators.TextAnalysis.stripHtml]] — the
+    * crawl-cleanup step upstream of every text signal), hash-matched:
+    * every doc is wrapped in a deterministic HTML shell (script + style
+    * blocks, attributes, the five entities, an `&amp;lt;` double-decode
+    * trap), stripped in both engines, and fingerprinted. */
+  def txt_strip_html(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val aug = docs.withColumn("_html", concat(
+      lit("<html><head><style>p{color:red}</style>" +
+        "<script>var x=1;\nif(x<2){x=2;}</script></head><body><p class=\"d\">"),
+      col("text"),
+      lit("</p><div id=\"f\">item &amp; more &lt;tag&gt; &quot;q&quot; " +
+        "&#39;s&#39;&nbsp;end &amp;lt;literal&amp;gt;</div></body></html>")))
+    aug.select(col("doc_id"),
+      md5(graft.operators.TextAnalysis.stripHtml(col("_html"))).as("clean_fp"),
+      length(graft.operators.TextAnalysis.stripHtml(col("_html")))
+        .cast("long").as("clean_len"))
+  }
+
+  val txt_strip_html_sql: String = {
+    val htmlSql = "'<html><head><style>p{color:red}</style>" +
+      "<script>var x=1;\nif(x<2){x=2;}</script></head><body><p class=\"d\">'" +
+      " || text || '</p><div id=\"f\">item &amp; more &lt;tag&gt; " +
+      "&quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;literal&amp;gt;" +
+      "</div></body></html>'"
+    val strip = graft.operators.TextAnalysis.stripHtmlSql("h")
+    s"""WITH a AS (SELECT doc_id, $htmlSql AS h
+       |           FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, md5($strip) AS clean_fp,
+       |  CAST(length($strip) AS BIGINT) AS clean_len
+       |FROM a""".stripMargin
+  }
+
   /** Distribution-drift report between two corpus slices (the data-drift
     * monitor a continuously-fed training pipeline runs per refresh):
     * per-language share deltas and symmetric chi-square contributions

@@ -717,4 +717,22 @@ class CurationOpsSpec extends SparkSpec {
       (2, "aa", "a", 10L),  // the merged symbol pairs with the tail a
       (3, "a", "b", 5L)))   // rounds stop early when no pairs remain
   }
+
+  test("stripHtml: tags/script/style gone, entities decode ONCE") {
+    import org.apache.spark.sql.functions.col
+    def strip(s: String): String = Seq(("x", s)).toDF("k", "h")
+      .select(TextAnalysis.stripHtml(col("h"))).head().getString(0)
+    assert(strip("<p class=\"x\">hello <b>world</b></p>") === "hello world")
+    assert(strip("a<script>if(x<2){}</script>b") === "a b")
+    assert(strip("a<style>p{color:red}</style>b") === "a b")
+    // single decode of each entity
+    assert(strip("x &amp; y &lt;z&gt; &quot;q&quot; &#39;s&#39;&nbsp;!") ===
+      "x & y <z> \"q\" 's' !")
+    // the double-decode trap: literal &amp;lt; is the TEXT "&lt;", never
+    // a strippable tag bracket
+    assert(strip("&amp;lt;b&amp;gt;bold&amp;lt;/b&amp;gt;") ===
+      "&lt;b&gt;bold&lt;/b&gt;")
+    // whitespace collapses across removed blocks
+    assert(strip("  a   <div>\n\n</div>   b ") === "a b")
+  }
 }
