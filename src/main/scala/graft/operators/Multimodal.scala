@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGES decode for real: `pngPayload` / `decodeImage` / `resizeImage`
   * run the JDK's javax.imageio (PNG/GIF/BMP/JPEG — no external codec) in
-  * the partition-batched seam. AUDIO/VIDEO codecs are STUBBED (no JDK
-  * codec exists and this environment has no media libraries):
-  * `decodeStub` derives deterministic fake (width, height, format)
-  * metadata from the payload header bytes, and `extractFeatures`
+  * the partition-batched seam. AUDIO decodes for real via javax.sound
+  * (WAV/AU), VIDEO via the hand-walked RIFF MJPEG-in-AVI container with
+  * per-frame imageio JPEG decode, and animated-GIF frame sampling via
+  * imageio's multi-frame reader — all pure JDK. Only codecs the JDK does
+  * not ship (e.g. H.264/AAC) remain behind the documented `decodeStub`
+  * seam, which derives deterministic fake (width, height, format)
+  * metadata from the payload header bytes; `extractFeatures`
   * derives a fixed-length feature vector from payload content hashes. The
   * Spark-side contract — schema, batch shape, partition-local buffering,
   * no driver materialization — is real and what matters at 100 TB: payloads
@@ -441,7 +444,10 @@ object Multimodal {
     * Runs in the mapPartitions codec seam with per-partition init;
     * undecodable payloads yield (null, null, null, ok=false) instead of
     * failing the task (a poison payload must not kill a 100 TB job).
-    * Audio/video stay stubbed (`decodeStub`) — no JDK codec exists. */
+    * Audio (WAV/AU via javax.sound) and video (MJPEG-in-AVI via the RIFF
+    * walk + per-frame imageio) have their own real decoders below;
+    * `decodeStub` remains only as the documented seam for codecs the JDK
+    * does not ship (e.g. H.264). */
   def decodeImage(df: DataFrame, payloadCol: String = "payload",
       prefix: String = "img_"): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
