@@ -747,10 +747,30 @@ object Dedup {
       maxRounds: Int = 50): DataFrame =
     connectedComponentsWithRounds(edges, aCol, bCol, maxRounds)._1
 
+  /** String-id variant — the SAME alternating-star algorithm with
+    * lexicographic min as the component representative (greatest / least
+    * / min are order-generic in Catalyst). For vertex sets that already
+    * have natural portable string identities (vocabulary tokens, URLs),
+    * this avoids inventing a numeric id space the verification oracle
+    * would then have to reproduce. */
+  def connectedComponentsString(edges: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 50): DataFrame =
+    connectedComponentsGeneric(edges.select(
+      col(aCol).cast("string").as("_u"),
+      col(bCol).cast("string").as("_v")), maxRounds)._1
+
   /** [[connectedComponents]] plus the number of star rounds it took —
     * exposed so specs can pin the O(log n) convergence bound. */
   private[graft] def connectedComponentsWithRounds(edges: DataFrame,
-      aCol: String, bCol: String, maxRounds: Int): (DataFrame, Int) = {
+      aCol: String, bCol: String, maxRounds: Int): (DataFrame, Int) =
+    connectedComponentsGeneric(edges.select(
+      col(aCol).cast("long").as("_u"),
+      col(bCol).cast("long").as("_v")), maxRounds)
+
+  /** Shared star-contraction kernel over a pre-projected (_u, _v) edge
+    * frame of any orderable id type. */
+  private def connectedComponentsGeneric(pre: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
     // Canonical working set: distinct (hi → lo) arcs, self-loops dropped.
     def canon(e: DataFrame): DataFrame =
       e.select(greatest(col("_u"), col("_v")).as("_u"),
@@ -779,8 +799,7 @@ object Dedup {
         .union(mins.select(col("_u"), col("_m").as("_v"))))
     }
 
-    var cur = canon(edges.select(col(aCol).cast("long").as("_u"),
-      col(bCol).cast("long").as("_v"))).localCheckpoint(true)
+    var cur = canon(pre).localCheckpoint(true)
     // Fixpoint test: both sets are canonical+distinct, so set equality ⇔
     // equal (count, XOR of xxhash64(_u,_v)) — ONE narrow aggregate over
     // the already-checkpointed arcs, where the previous count+exceptAll

@@ -281,6 +281,54 @@ object TextAnalysis {
     }
   }
 
+  // ---- C4-style heuristic filters -------------------------------------
+  //
+  // Raffel et al. 2020 (T5 / C4, arXiv:1910.10683 §2.2) clean Common
+  // Crawl with sentence-level heuristics. The per-doc signals below are
+  // the engine-portable core of that recipe: terminal-punctuation line
+  // ratio, code/boilerplate markers (curly braces, "lorem ipsum",
+  // "javascript"), and word-count / mean-word-length bounds. All narrow
+  // codegen projections — one scan, no shuffle, and every signal is
+  // integer/rational so the gate hash-matches.
+
+  /** Per-document C4 signals: (n_lines, n_terminal_lines, has_brace,
+    * has_lorem, has_js, n_words, mean_word_len_x100). `lowerText` is the
+    * pre-lowered text ATTRIBUTE (withColumn it first — the PERF INVARIANT
+    * above: three substring probes must not each re-lower the doc). */
+  def c4Signals(text: Column, lowerText: Column): Seq[(String, Column)] = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val term = filter(lines, l =>
+      trim(l).rlike("[.!?\"']$"))
+    val words = tokensOfText(text)
+    val wordLenSum = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w))
+    Seq(
+      ("n_lines", size(lines).cast("long")),
+      ("n_terminal_lines", size(term).cast("long")),
+      ("has_brace", lowerText.contains("{").cast("int")),
+      ("has_lorem", lowerText.contains("lorem ipsum").cast("int")),
+      ("has_js", lowerText.contains("javascript").cast("int")),
+      ("n_words", size(words).cast("long")),
+      ("mean_word_len_x100",
+        // floor, not cast: Spark's cast-to-long truncates but DuckDB's
+        // ROUNDS — floor() agrees everywhere for these positive ratios
+        when(size(words) > 0, floor(wordLenSum * 100 / size(words)))
+          .otherwise(0L).cast("long")))
+  }
+
+  /** Whitespace words of RAW text (C4 filters run pre-normalization). */
+  private def tokensOfText(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** The C4 keep decision from the signals (the paper's bounds: 3+
+    * sentences ≈ 3+ terminal lines here, 5..?? words relaxed to the
+    * corpus shape, no code markers, mean word length in [3, 10]). */
+  def c4Keep(): Column =
+    col("n_terminal_lines") >= 1 && col("has_brace") === 0 &&
+      col("has_lorem") === 0 && col("has_js") === 0 &&
+      col("n_words").between(5, 100000) &&
+      col("mean_word_len_x100").between(300, 1000)
+
   // ---- HTML stripping ------------------------------------------------
   //
   // The crawl-cleanup step upstream of every text signal: drop script/

@@ -345,8 +345,10 @@ object Curation {
 
   private val TypoDoc = "sparkk fasst rrow aggg partt x y"
 
-  val txt_fuzzy_sql: String =
-    s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+  /** Shared DuckDB CTE prefix: typo-augmented docs → vocab → blocked
+    * candidate pairs (used by the pair gate and the clustering gate). */
+  private val FuzzyPairCtes: String =
+    s"""docs2 AS (SELECT doc_id, text FROM documents
        |        WHERE text IS NOT NULL
        |      UNION ALL SELECT 1000000, '$TypoDoc'),
        |v0 AS (SELECT unnest(list_filter(string_split($NormSql, ' '),
@@ -367,11 +369,71 @@ object Curation {
        |    AND a.tok < b.tok
        |  UNION
        |  SELECT a.tok, b.tok, a.n, b.n
-       |  FROM v a JOIN v b ON a.len = 1 AND b.len = 1 AND a.tok < b.tok)
+       |  FROM v a JOIN v b ON a.len = 1 AND b.len = 1 AND a.tok < b.tok)"""
+      .stripMargin
+
+  val txt_fuzzy_sql: String =
+    s"""WITH $FuzzyPairCtes
        |SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist,
        |  n_a, n_b
        |FROM bl WHERE levenshtein(tok_a, tok_b) <= 1
        |ORDER BY tok_a, tok_b""".stripMargin
+
+  /** Entity resolution END TO END: the fuzzy pairs feed string-id
+    * connected components ([[graft.operators.Dedup
+    * .connectedComponentsString]] — lexicographic-min representative) and
+    * each cluster elects a CANONICAL form (highest corpus count, ties to
+    * the smaller token — the survivorship rule); output maps every
+    * variant to its canonical. DuckDB replays mining, a recursive-CTE
+    * transitive closure, and the same election. */
+  def txt_fuzzy_cluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typos = Seq((1000000L, TypoDoc)).toDF("doc_id", "text")
+    val docs2 = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").unionByName(typos)
+    val vocab = docs2
+      .select(explode(Dedup.tokensOf(Dedup.normalized(col("text"))))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val pairs = graft.operators.CorpusStats.fuzzyVocabPairs(docs2, "text")
+      .select("tok_a", "tok_b")
+    val labels = Dedup.connectedComponentsString(pairs, "tok_a", "tok_b")
+    val clustered = labels.join(vocab, col("id") === col("tok"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("component")
+      .orderBy(col("n").desc, col("tok").asc)
+    val canon = clustered.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("tok").as("canonical"))
+    clustered.join(canon, "component")
+      .filter(col("tok") =!= col("canonical"))
+      .select(col("tok").as("variant"), col("canonical"),
+        col("n").cast("long").as("n_variant"))
+      .orderBy("canonical", "variant")
+  }
+
+  val txt_fuzzy_cluster_sql: String =
+    s"""WITH RECURSIVE $FuzzyPairCtes,
+       |fp AS (SELECT tok_a, tok_b FROM bl
+       |       WHERE levenshtein(tok_a, tok_b) <= 1),
+       |e AS (SELECT tok_a AS u, tok_b AS v FROM fp
+       |      UNION SELECT tok_b, tok_a FROM fp),
+       |walk(u, v) AS (SELECT u, v FROM e
+       |      UNION SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+       |lab AS (SELECT u AS tok, least(u, min(v)) AS component
+       |        FROM walk GROUP BY u),
+       |cl AS (SELECT lab.tok, component, v.n
+       |       FROM lab JOIN v ON v.tok = lab.tok),
+       |canon AS (SELECT component, tok AS canonical FROM (
+       |  SELECT component, tok, row_number() OVER (
+       |    PARTITION BY component ORDER BY n DESC, tok) AS rk FROM cl)
+       |  WHERE rk = 1)
+       |SELECT cl.tok AS variant, canonical,
+       |  CAST(cl.n AS BIGINT) AS n_variant
+       |FROM cl JOIN canon USING (component)
+       |WHERE cl.tok != canonical
+       |ORDER BY canonical, variant""".stripMargin
 
   def txt_bm25(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusStats.bm25(
@@ -3617,6 +3679,71 @@ object Curation {
        |SELECT doc_id, md5($strip) AS clean_fp,
        |  CAST(length($strip) AS BIGINT) AS clean_len
        |FROM a""".stripMargin
+  }
+
+  /** C4-style heuristic filter report (Raffel et al. 2020 §2.2 — the
+    * T5/C4 Common Crawl cleanup recipe): per-doc terminal-punctuation
+    * line counts, code/boilerplate markers, word-count and
+    * mean-word-length bounds, plus the keep decision. One narrow codegen
+    * scan ([[graft.operators.TextAnalysis.c4Signals]]); every signal is
+    * integer so DuckDB replays bit-for-bit (mean uses floor — Spark's
+    * long cast truncates where DuckDB's rounds). */
+  def txt_c4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the fixture corpus has no terminal punctuation, so keep=0
+    // everywhere; three injected literals (mirrored in the oracle, the
+    // TypoDoc convention) make BOTH branches of the decision observable
+    val injected = C4Docs.toDF("doc_id", "text")
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").unionByName(injected)
+      .withColumn("_c4_lower", lower(col("text")))
+    val sigs = graft.operators.TextAnalysis
+      .c4Signals(col("text"), col("_c4_lower"))
+      .map { case (n, c) => c.as(n) }
+    docs.select(col("doc_id") +: sigs: _*)
+      .withColumn("keep",
+        graft.operators.TextAnalysis.c4Keep().cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val C4Docs = Seq(
+    (2000000L, "This is a clean sentence. It ends properly!\nMore good text here."),
+    (2000001L, "function f() { return 1; } with javascript inline keyword"),
+    (2000002L, "Lorem ipsum dolor sit amet consectetur adipiscing elit."))
+
+  val txt_c4_sql: String = {
+    val inject = C4Docs.map { case (id, t) =>
+      s"SELECT $id, '${t.replace("\n", "' || chr(10) || '")}'"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text, lower(text) AS lo FROM (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      |  UNION ALL $inject)),
+      |sig AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> trim(l) != '')) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> trim(l) != '' AND regexp_matches(trim(l), '[.!?"'']$$')))
+      |    AS BIGINT) AS n_terminal_lines,
+      |  CAST(contains(lo, '{') AS INT) AS has_brace,
+      |  CAST(contains(lo, 'lorem ipsum') AS INT) AS has_lorem,
+      |  CAST(contains(lo, 'javascript') AS INT) AS has_js,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+      |    w -> w != '')) AS BIGINT) AS n_words,
+      |  CAST(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
+      |      w -> w != '')) > 0
+      |    THEN floor(list_sum(list_transform(
+      |        list_filter(regexp_split_to_array(text, '\\s+'), w -> w != ''),
+      |        w -> length(w))) * 100.0
+      |      / len(list_filter(regexp_split_to_array(text, '\\s+'),
+      |          w -> w != '')))
+      |    ELSE 0 END AS BIGINT) AS mean_word_len_x100
+      |FROM d)
+      |SELECT *, CAST(n_terminal_lines >= 1 AND has_brace = 0
+      |  AND has_lorem = 0 AND has_js = 0
+      |  AND n_words BETWEEN 5 AND 100000
+      |  AND mean_word_len_x100 BETWEEN 300 AND 1000 AS INT) AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin
   }
 
   /** Distribution-drift report between two corpus slices (the data-drift

@@ -38,6 +38,15 @@ class FuzzyVocabSpec extends SparkSpec {
       assert(brute.contains(p), s"fixture lost case $p")
   }
 
+  test("string connected components label by lexicographic minimum") {
+    val edges = Seq(("b", "a"), ("c", "b"), ("y", "x"))
+      .toDF("tok_a", "tok_b")
+    val labels = Dedup.connectedComponentsString(edges, "tok_a", "tok_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(labels === Set(("a", "a"), ("b", "a"), ("c", "a"),
+      ("x", "x"), ("y", "x")))
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
