@@ -176,6 +176,29 @@ class ExportLayoutSpec extends SparkSpec {
     assert(Export.vacuumSnapshots(out, keep = 1) === ((0, 0)))
   }
 
+  test("mixed append/replace log: appends extend the LATEST state, whatever wrote it") {
+    val out = tmp("mixedlog")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    val ids = docs.select("doc_id")
+    def n(v: Int) = Export.readSnapshot(spark, out, v).count()
+    val a = ids.filter(col("doc_id") < 50)
+    val b = ids.filter(col("doc_id") >= 50 && col("doc_id") < 80)
+    val c = ids.filter(col("doc_id") >= 80 && col("doc_id") < 90)
+    val v1 = Export.appendSnapshot(spark, a, out)     // state: A
+    val v2 = Export.replaceSnapshot(spark, b, out)    // state: B (A superseded)
+    val v3 = Export.appendSnapshot(spark, c, out)     // state: B + C
+    assert((v1, v2, v3) === ((1, 2, 3)))
+    assert(n(v1) === a.count())
+    assert(n(v2) === b.count())
+    assert(n(v3) === b.count() + c.count())
+    // every intermediate state still time-travels after the whole history
+    assert(n(v1) === a.count())
+  }
+
   test("snapshot manifests: old versions read identically after appends") {
     val out = tmp("snap")
     def rm(f: java.io.File): Unit = {
