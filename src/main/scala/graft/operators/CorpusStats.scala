@@ -576,14 +576,20 @@ object CorpusStats {
     val p = features.size
     require(p >= 1 && p <= 4, s"1..4 features, got $p")
     require(shiftBits >= 0 && shiftBits <= 30, s"bad shiftBits $shiftBits")
-    val xs = features.map(_.cast("long"))
-    val y = label.cast("long")
+    // moment sums accumulate as decimal(38,0), NOT Long: in non-ANSI mode
+    // Spark wraps Long sums silently, so Σxᵢxⱼ over a wide-feature corpus
+    // (char counts × billions of rows) would return wrong coefficients
+    // with no error despite the "exact" contract. decimal(38,0) holds
+    // ~10^38 — products of two Longs times any reachable row count.
+    val xs = features.map(_.cast("long").cast("decimal(38,0)"))
+    val y = label.cast("long").cast("decimal(38,0)")
     val aggs =
       (for (i <- 0 until p; j <- i until p)
         yield sum(xs(i) * xs(j)).as(s"_xx_${i}_$j")) ++
       (0 until p).map(i => sum(xs(i) * y).as(s"_xy_$i"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    def g(n: String): BigInt = BigInt(row.getAs[Long](n))
+    def g(n: String): BigInt =
+      BigInt(row.getAs[java.math.BigDecimal](n).toBigIntegerExact)
     val a = Array.tabulate(p, p)((i, j) =>
       if (i <= j) g(s"_xx_${i}_$j") else g(s"_xx_${j}_$i"))
     val b = Array.tabulate(p)(i => g(s"_xy_$i"))

@@ -82,9 +82,14 @@ object DataQuality {
     val thresholds = checks.map(c => (c.name, c.minFraction))
     import spark.implicits._
     val tDf = broadcast(thresholds.toDF("check", "min_fraction"))
+    // pass/fail gates on the UNROUNDED metric: rounding first would let a
+    // table with up to ~5e-10 violating fraction — hundreds of bad rows
+    // at billions-of-rows scale — round up to 1.0 and "pass" an exactness
+    // (minFraction = 1.0) constraint. round(·, 9) survives only on the
+    // displayed metric column.
     all.join(tDf, "check")
       .select(col("check"), round(col("metric"), 9).as("metric"),
-        (round(col("metric"), 9) >= col("min_fraction")).cast("int")
+        (col("metric") >= col("min_fraction")).cast("int")
           .as("passed"))
   }
 }

@@ -36,9 +36,14 @@ object Merge {
         s"${updates.columns.toSeq.sorted}")
     val cond = keyCols.map(k => col(s"b.$k") <=> col(s"u.$k"))
       .reduce(_ && _)
-    base.as("b").join(updates.as("u"), cond, "full_outer")
+    // side selection keys off an explicit presence marker, NOT per-column
+    // coalesce: MERGE semantics say a matched row takes the update's value
+    // in EVERY column, including a legitimate NULL that a coalesce would
+    // silently paper over with the base's stale value
+    base.as("b").join(updates.withColumn("_m", lit(true)).as("u"),
+        cond, "full_outer")
       .select(cols.map(c =>
-        coalesce(col(s"u.$c"), col(s"b.$c")).as(c)): _*)
+        when(col("u._m"), col(s"u.$c")).otherwise(col(s"b.$c")).as(c)): _*)
   }
 
   /** Merge partial-aggregate tables (same schema: `groupCols` +

@@ -42,14 +42,16 @@ object Sketches {
 
   /** Per-group HLL registers for `valueCol`: one row per non-empty
     * (group, bucket) with the max leading-zero rank. m must be a power of
-    * two in [16, 512] (the fixed-point summary needs
-    * alpha·m²·2^wBits to fit a Long). The aggregation is ONE hash-agg —
-    * partial max on the map side means each shard contributes at most
-    * m rows per group to the exchange regardless of row count. */
+    * two in [16, 256] (the fixed-point summary needs
+    * alpha·m²·2^(wBits+1) to fit a Long — the +1 covers the saturated
+    * rank rho = wBits+1 a value hashing below m produces). The
+    * aggregation is ONE hash-agg — partial max on the map side means each
+    * shard contributes at most m rows per group to the exchange
+    * regardless of row count. */
   def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       m: Int): DataFrame = {
-    require(m >= 16 && m <= 512 && Integer.bitCount(m) == 1,
-      s"m must be a power of two in [16, 512], got $m")
+    require(m >= 16 && m <= 256 && Integer.bitCount(m) == 1,
+      s"m must be a power of two in [16, 256], got $m")
     val wBits = 32 - log2(m)
     val h = hash32(valueCol)
     val w = (h / m).cast("long") // exact: h, m nonneg
@@ -81,22 +83,29 @@ object Sketches {
 
   /** Fixed-point per-group summary from (merged) registers — all-Long
     * arithmetic so any engine reproduces it bit-for-bit:
-    * s_scaled = Σ 2^(wBits − r) over all m registers (empty ⇒ r = 0),
-    * est_raw  = ⌊alpha·m²·2^wBits / s_scaled⌋ (the raw HLL estimate
-    * scaled through the same 2^wBits numerator). */
+    * s_scaled = Σ 2^(wBits + 1 − r) over all m registers (empty ⇒ r = 0),
+    * est_raw  = ⌊alpha·m²·2^(wBits+1) / s_scaled⌋ (the raw HLL estimate
+    * scaled through the same 2^(wBits+1) numerator). The scale is
+    * 2^(wBits+1), not 2^wBits, because the rank SATURATES at
+    * r = wBits + 1 when a value's hash quotient is 0 (hash < m —
+    * probability m/2^32 per distinct value, so invisible in fixtures and
+    * near-certain at corpus scale): that register's term is
+    * 2^(wBits+1−r) = 1, still integral, where a 2^wBits scale would need
+    * a 2^-1 term (and Java's masked shiftleft by −1 would silently
+    * produce Long.MIN_VALUE instead). */
   def hllSummary(regs: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
     val wBits = 32 - log2(m)
     val (aNum, aDen) = alphaRational(m)
-    val num = aNum * m * m * (1L << wBits)
+    val num = aNum * m * m * (1L << (wBits + 1))
     require(num > 0, s"fixed-point numerator overflow for m=$m")
     regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_nonzero"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $wBits - r)")).as("s_part"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - r)")).as("s_part"))
       .select(groupCols.map(col)
         :+ lit(m).as("m")
         :+ col("n_nonzero").cast("long").as("n_nonzero")
         :+ (lit(m) - col("n_nonzero")).cast("long").as("v_zero")
-        :+ (col("s_part") + (lit(m.toLong) - col("n_nonzero")) * (1L << wBits))
+        :+ (col("s_part") + (lit(m.toLong) - col("n_nonzero")) * (1L << (wBits + 1)))
           .cast("long").as("s_scaled"): _*)
       .withColumn("est_raw",
         expr(s"CAST($num AS BIGINT) div (CAST($aDen AS BIGINT) * s_scaled)"))
@@ -138,15 +147,20 @@ object Sketches {
 
   /** Point estimates for a candidate set: min over the d rows of the
     * bucket counts — never undercounts (every occurrence landed in each
-    * probed cell). Candidates come from the caller (at corpus scale:
-    * per-partition top-k survivors, not the full vocabulary). */
+    * probed cell). The probe join is a LEFT join with absent cells
+    * counting as zero: a sparse sketch omits never-hit cells, and a
+    * candidate that was not in the sketched stream must estimate 0 (min
+    * over its d probes, at least one empty), not drop from the output or
+    * take the min of only its occupied probes. Candidates come from the
+    * caller (at corpus scale: per-partition top-k survivors, not the full
+    * vocabulary). */
   def cmsEstimate(candidates: DataFrame, sketch: DataFrame, tokCol: String,
       d: Int, w: Int): DataFrame =
     candidates.select(col(tokCol), posexplode(array(
         (0 until d).map(i => (hash32(col(tokCol), s"${i}_") % w).cast("int")): _*))
         .as(Seq("row", "col")))
-      .join(sketch, Seq("row", "col"))
-      .groupBy(tokCol).agg(min("cnt").as("est"))
+      .join(sketch, Seq("row", "col"), "left")
+      .groupBy(tokCol).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
   // ------------------------------------------------------------ histogram
 

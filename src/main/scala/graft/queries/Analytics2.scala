@@ -386,25 +386,25 @@ object Analytics2 {
       |  SELECT 'orders.o_orderkey.unique' AS check,
       |    round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 9)
       |      AS metric,
-      |    CAST(round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 9)
+      |    CAST(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*)
       |      >= 1.0 AS INT) AS passed
       |  FROM orders
       |  UNION ALL
       |  SELECT 'orders.o_totalprice.non_negative',
       |    round(avg(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END), 9),
-      |    CAST(round(avg(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END), 9)
+      |    CAST(avg(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END)
       |      >= 1.0 AS INT)
       |  FROM orders
       |  UNION ALL
       |  SELECT 'lineitem.l_shipdate.complete',
       |    round(avg(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END), 9),
-      |    CAST(round(avg(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END), 9)
+      |    CAST(avg(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END)
       |      >= 1.0 AS INT)
       |  FROM lineitem
       |  UNION ALL
       |  SELECT 'lineitem.l_discount.in_range',
       |    round(avg(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 1.0 ELSE 0.0 END), 9),
-      |    CAST(round(avg(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 1.0 ELSE 0.0 END), 9)
+      |    CAST(avg(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 1.0 ELSE 0.0 END)
       |      >= 1.0 AS INT)
       |  FROM lineitem
       |  UNION ALL
@@ -413,10 +413,10 @@ object Analytics2 {
       |                WHERE l_orderkey IS NOT NULL AND l_orderkey IN
       |                  (SELECT o_orderkey FROM orders)) AS DOUBLE)
       |      / count(*), 9),
-      |    CAST(round(CAST((SELECT count(*) FROM lineitem
+      |    CAST(CAST((SELECT count(*) FROM lineitem
       |                WHERE l_orderkey IS NOT NULL AND l_orderkey IN
       |                  (SELECT o_orderkey FROM orders)) AS DOUBLE)
-      |      / count(*), 9) >= 1.0 AS INT)
+      |      / count(*) >= 1.0 AS INT)
       |  FROM lineitem)
       |ORDER BY "check"""".stripMargin
 }

@@ -58,15 +58,15 @@ object Census {
        |regs AS (SELECT l_returnflag, bucket, max(rho) AS r
        |  FROM rr GROUP BY 1, 2),
        |agg AS (SELECT l_returnflag, count(*) AS nz,
-       |  sum(CAST(1 AS BIGINT) << (26 - r)) AS sp FROM regs GROUP BY 1),
+       |  sum(CAST(1 AS BIGINT) << (27 - r)) AS sp FROM regs GROUP BY 1),
        |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
        |  FROM lineitem GROUP BY 1)
        |SELECT agg.l_returnflag, 64 AS m,
        |  CAST(nz AS BIGINT) AS n_nonzero,
        |  CAST(64 - nz AS BIGINT) AS v_zero,
-       |  CAST(sp + (64 - nz) * CAST(67108864 AS BIGINT) AS BIGINT) AS s_scaled,
-       |  CAST((CAST(709 AS BIGINT) * 4096 * 67108864)
-       |    // (CAST(1000 AS BIGINT) * (sp + (64 - nz) * CAST(67108864 AS BIGINT)))
+       |  CAST(sp + (64 - nz) * CAST(134217728 AS BIGINT) AS BIGINT) AS s_scaled,
+       |  CAST((CAST(709 AS BIGINT) * 4096 * 134217728)
+       |    // (CAST(1000 AS BIGINT) * (sp + (64 - nz) * CAST(134217728 AS BIGINT)))
        |    AS BIGINT) AS est_raw,
        |  CAST(n_exact AS BIGINT) AS n_exact
        |FROM agg JOIN ex USING (l_returnflag)
@@ -110,15 +110,15 @@ object Census {
        |regs AS (SELECT event_type, bucket, max(rho) AS r
        |  FROM rr GROUP BY 1, 2),
        |agg AS (SELECT event_type, count(*) AS nz,
-       |  sum(CAST(1 AS BIGINT) << (26 - r)) AS sp FROM regs GROUP BY 1),
+       |  sum(CAST(1 AS BIGINT) << (27 - r)) AS sp FROM regs GROUP BY 1),
        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
        |  FROM events GROUP BY 1)
        |SELECT agg.event_type, 64 AS m,
        |  CAST(nz AS BIGINT) AS n_nonzero,
        |  CAST(64 - nz AS BIGINT) AS v_zero,
-       |  CAST(sp + (64 - nz) * CAST(67108864 AS BIGINT) AS BIGINT) AS s_scaled,
-       |  CAST((CAST(709 AS BIGINT) * 4096 * 67108864)
-       |    // (CAST(1000 AS BIGINT) * (sp + (64 - nz) * CAST(67108864 AS BIGINT)))
+       |  CAST(sp + (64 - nz) * CAST(134217728 AS BIGINT) AS BIGINT) AS s_scaled,
+       |  CAST((CAST(709 AS BIGINT) * 4096 * 134217728)
+       |    // (CAST(1000 AS BIGINT) * (sp + (64 - nz) * CAST(134217728 AS BIGINT)))
        |    AS BIGINT) AS est_raw,
        |  CAST(n_exact AS BIGINT) AS n_exact
        |FROM agg JOIN ex USING (event_type)

@@ -32,6 +32,19 @@ class DataQualitySpec extends SparkSpec {
     assert(pass("score.bounded") === ((1.0, 1)))
   }
 
+  test("pass/fail gates on the UNROUNDED metric, not the display rounding") {
+    // metric = 2/3 = 0.6666666666...; round(metric, 9) = 0.666666667.
+    // A threshold equal to the ROUNDED value must still FAIL: gating on
+    // the rounded metric is how ~5e-10 of violating rows (hundreds, at
+    // billions of rows) slip through an exactness constraint.
+    val df = Seq(1, 2, 3).toDF("v")
+    val rep = asMap(report(df, Seq(
+      Satisfies("v.two_thirds", col("v") <= 2, minFraction = 0.666666667))))
+    val (metric, passed) = rep("v.two_thirds")
+    assert(metric === 0.666666667) // displayed metric still rounded
+    assert(passed === 0, "threshold gate leaked through display rounding")
+  }
+
   test("referential integrity: null keys fail, resolved fraction exact") {
     val fact = Seq(Some(1L), Some(2L), Some(9L), None)
       .toDF("fk")

@@ -27,6 +27,19 @@ class LinearFitSpec extends SparkSpec {
     assert(cs === Seq(-(1L << 20)))
   }
 
+  test("moment sums beyond Long range stay exact (decimal accumulation, no silent wrap)") {
+    // x ~ 3.2e9 over 1000 rows: Σx² ≈ 1e22 >> Long.MAX ≈ 9.2e18, so a
+    // Long-typed sum would wrap silently in non-ANSI mode and Cramer
+    // would return garbage coefficients; the decimal(38,0) accumulator
+    // must still recover y = 2x to the bit
+    val df = (1 to 1000).map { i =>
+      val x = 3_200_000_000L + i
+      (x, 2 * x)
+    }.toDF("x1", "y")
+    val cs = CorpusStats.linearFitFP(df, Seq(col("x1")), col("y"), 20)
+    assert(cs === Seq(2L << 20))
+  }
+
   test("rejects collinear features") {
     val df = (1 to 10).map(i => (i.toLong, 2L * i, 5L * i)).toDF("x1", "x2", "y")
     intercept[IllegalArgumentException] {

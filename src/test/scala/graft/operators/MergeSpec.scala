@@ -25,6 +25,22 @@ class MergeSpec extends SparkSpec {
       (None, "N", 31)))      // null key matches null key, not duplicated
   }
 
+  test("upsert: a matched update carrying NULL in a non-key column wins with that NULL") {
+    // MERGE semantics: matched rows take the update's value in EVERY
+    // column — a per-column coalesce would silently keep the base's old
+    // value whenever the update legitimately nulls a field
+    val base = Seq((1L, Some("old"), Some(10)), (2L, Some("keep"), Some(20)))
+      .toDF("k", "name", "v")
+    val updates = Seq((1L, None: Option[String], None: Option[Int]))
+      .toDF("k", "name", "v")
+    val out = Merge.upsert(base, updates, Seq("k"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out === Set(
+      (1L, None, None),              // update's NULLs win
+      (2L, Some("keep"), Some(20)))) // untouched base row intact
+  }
+
   test("upsert rejects mismatched schemas") {
     val base = Seq((1L, "a")).toDF("k", "name")
     val bad = Seq((1L, 2.0)).toDF("k", "other")

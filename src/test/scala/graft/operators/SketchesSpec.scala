@@ -61,6 +61,31 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(e - 30.0) <= 8.0, s"LC estimate $e too far from 30")
   }
 
+  test("HLL: a value hashing below m saturates the rank without corrupting the summary") {
+    // hash32(20412333) = 39 < m = 64 (found by exhaustive search), so its
+    // hash quotient w is 0 and rho saturates at wBits + 1 = 27. Under the
+    // old 2^wBits summary scale that register's shiftleft(1, 26 - 27)
+    // shifted by -1 — Java masking turned it into Long.MIN_VALUE and the
+    // whole group's s_scaled/est_raw went negative garbage.
+    val vals = (Seq(20412333L) ++ (1L to 50L)).map(v => ("g", v))
+    import spark.implicits._
+    val df = vals.toDF("g", "v")
+    val regs = Sketches.hllRegisters(df, Seq("g"), col("v"), 64)
+    val sat = regs.filter(col("r") === 27).collect()
+    assert(sat.length === 1, "expected exactly one saturated register")
+    assert(sat.head.getAs[Int]("bucket") === 39)
+    val s = Sketches.hllSummary(regs, Seq("g"), 64).collect().head
+    val sScaled = s.getAs[Long]("s_scaled")
+    val estRaw = s.getAs[Long]("est_raw")
+    assert(sScaled > 0, s"s_scaled corrupted: $sScaled")
+    assert(estRaw > 0 && estRaw < 10000, s"est_raw corrupted: $estRaw")
+    // the saturated register contributes exactly 2^(wBits+1-27) = 1
+    val others = regs.filter(col("r") =!= 27).collect()
+      .map(r => 1L << (27 - r.getAs[Int]("r"))).sum
+    val empty = (64L - regs.count()) * (1L << 27)
+    assert(sScaled === others + 1L + empty)
+  }
+
   test("HLL: rejects non-power-of-two or out-of-range m") {
     intercept[IllegalArgumentException] {
       Sketches.hllRegisters(lineitem, Nil, col("l_orderkey"), 48)
@@ -81,6 +106,22 @@ class SketchesSpec extends SparkSpec {
     val under = Sketches.cmsEstimate(cands, merged, "tok", 4, 256)
       .join(cands, "tok").filter(col("est") < col("n_exact"))
     assert(under.count() === 0, "CMS undercounted a token")
+  }
+
+  test("CMS: a candidate absent from the sketched stream estimates 0 (or its collisions), never vanishes") {
+    import spark.implicits._
+    // tiny stream → sparse 4x256 grid: most cells are absent rows, so a
+    // foreign candidate probes at least one empty cell; with the left-join
+    // probe it must still appear, with est = min over d including zeros
+    val stream = Seq("alpha", "alpha", "beta").toDF("tok")
+    val sketch = Sketches.cmsCounts(stream, "tok", 4, 256)
+    val cands = Seq("alpha", "beta", "never_seen_token_xyz").toDF("tok")
+    val est = Sketches.cmsEstimate(cands, sketch, "tok", 4, 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === Set("alpha", "beta", "never_seen_token_xyz"))
+    assert(est("alpha") >= 2 && est("beta") >= 1)
+    assert(est("never_seen_token_xyz") === 0,
+      s"foreign candidate estimated ${est("never_seen_token_xyz")}")
   }
 
   test("histogram: shard-merge equals single pass; p50 bin holds the true median") {
