@@ -198,6 +198,91 @@ object Export {
   }
 
   // ------------------------------------------------- snapshot manifests
+  //
+  // All manifest/vacuum I/O goes through org.apache.hadoop.fs.FileSystem
+  // resolved from the table path's URI — NOT java.io.File — so the lake
+  // layer runs against whatever storage the 100 TB deployment actually
+  // uses (HDFS, S3A, ...). Manifest commits are write-temp + rename: on
+  // HDFS rename is atomic; on object stores it is the same
+  // single-visibility point every manifest-committing table format relies
+  // on. A manifest file is:
+  //     #key=value            (zero or more metadata headers)
+  //     <data file path>      (one per line, qualified URIs)
+  // Metadata headers carry commit-level facts (e.g. the streaming sink's
+  // exactly-once batch id); readers skip them.
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Hadoop conf of the active session (the one whose fs.* settings the
+    * deployment configured), falling back to a default Configuration so
+    * the version/vacuum helpers keep their session-free signatures. */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsRoot(outDir: String): (FileSystem, Path) = {
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(hadoopConf)
+    (fs, fs.makeQualified(p))
+  }
+
+  private val ManifestName = "_v(\\d+)\\.manifest".r
+
+  private def manifestVersions(fs: FileSystem, root: Path): Seq[Int] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case ManifestName(v) => v.toInt
+    }.sorted
+
+  private def manifestPath(root: Path, version: Int): Path =
+    new Path(root, s"_v$version.manifest")
+
+  private def readManifestRaw(fs: FileSystem, root: Path,
+      version: Int): Seq[String] = {
+    val in = fs.open(manifestPath(root, version))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def dataLines(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
+
+  /** Commit `_v<version>.manifest` atomically: write a temp file, then
+    * rename into place. The rename is the commit point — a reader either
+    * sees the complete manifest or no manifest; a crash before the rename
+    * leaves only a `_tmp.` file the next commit ignores. */
+  private def commitManifest(fs: FileSystem, root: Path, version: Int,
+      meta: Map[String, String], files: Seq[String]): Unit = {
+    meta.foreach { case (k, v) =>
+      require(!k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
+        s"manifest meta must be line-safe: $k=$v") }
+    val tmp = new Path(root,
+      s"_tmp._v$version.manifest.${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(
+      (meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++ files)
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, manifestPath(root, version))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit: _v$version.manifest already exists under $root")
+    }
+  }
+
+  /** Write the epoch's immutable data files and return their qualified
+    * paths (sorted) — listed ONCE at commit time; readers never list. */
+  private def writeEpoch(fs: FileSystem, root: Path, version: Int,
+      df: DataFrame): Seq[String] = {
+    val epochDir = new Path(root, s"epoch=$version")
+    df.write.mode("overwrite").parquet(epochDir.toString)
+    fs.listStatus(epochDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).sorted
+  }
 
   /** Append-only snapshot log — the Delta/Iceberg core mechanism in its
     * minimal honest form: data files are IMMUTABLE (each append writes a
@@ -206,68 +291,55 @@ object Export {
     * epoch's files). Readers never list directories — they read exactly
     * the manifest's files — so concurrent appends can't tear a read and
     * old versions stay readable forever (time travel). Commit is one
-    * manifest write, atomic at the filesystem level the same way the
-    * import CommitLog is (write-temp + rename on real deployments).
-    * Returns the new version number. */
-  def appendSnapshot(spark: SparkSession, df: DataFrame,
-      outDir: String): Int = {
-    val root = new java.io.File(outDir)
-    root.mkdirs()
-    val prev = root.listFiles()
-      .filter(f => f.getName.matches("_v\\d+\\.manifest"))
-      .map(_.getName.stripPrefix("_v").stripSuffix(".manifest").toInt)
-      .sorted.lastOption
+    * atomic manifest rename. `meta` lands as `#key=value` headers on the
+    * committed manifest ([[snapshotMeta]]). Returns the new version. */
+  def appendSnapshot(spark: SparkSession, df: DataFrame, outDir: String,
+      meta: Map[String, String] = Map.empty): Int = {
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val prev = manifestVersions(fs, root).lastOption
     val version = prev.getOrElse(0) + 1
-    val epochDir = new java.io.File(root, s"epoch=$version")
-    df.write.mode("overwrite").parquet(epochDir.getAbsolutePath)
-    val fresh = epochDir.listFiles()
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).sorted
-    val carried: Seq[String] = prev match {
-      case Some(v) => java.nio.file.Files.readAllLines(
-        new java.io.File(root, s"_v$v.manifest").toPath)
-        .toArray(Array.empty[String]).toSeq
+    val fresh = writeEpoch(fs, root, version, df)
+    val carried = prev match {
+      case Some(v) => dataLines(readManifestRaw(fs, root, v))
       case None => Nil
     }
-    java.nio.file.Files.write(
-      new java.io.File(root, s"_v$version.manifest").toPath,
-      String.join("\n", (carried ++ fresh): _*).getBytes("UTF-8"))
+    commitManifest(fs, root, version, meta, carried ++ fresh)
     version
   }
 
   /** Commit a FULL-REPLACE snapshot: like [[appendSnapshot]] the epoch's
-    * files are immutable and the commit is one manifest write, but the
-    * new manifest lists ONLY the new epoch — the previous version's rows
-    * are superseded, not extended. This is the materialized-view /
-    * upsert-sink commit: each version is a complete table state, and old
-    * versions remain time-travel-readable because their epochs are never
-    * touched. Returns the new version. */
-  def replaceSnapshot(spark: SparkSession, df: DataFrame,
-      outDir: String): Int = {
-    val root = new java.io.File(outDir)
-    root.mkdirs()
-    val prev = root.listFiles()
-      .filter(f => f.getName.matches("_v\\d+\\.manifest"))
-      .map(_.getName.stripPrefix("_v").stripSuffix(".manifest").toInt)
-      .sorted.lastOption
-    val version = prev.getOrElse(0) + 1
-    val epochDir = new java.io.File(root, s"epoch=$version")
-    df.write.mode("overwrite").parquet(epochDir.getAbsolutePath)
-    val fresh = epochDir.listFiles()
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).sorted
-    java.nio.file.Files.write(
-      new java.io.File(root, s"_v$version.manifest").toPath,
-      String.join("\n", fresh: _*).getBytes("UTF-8"))
+    * files are immutable and the commit is one atomic manifest rename,
+    * but the new manifest lists ONLY the new epoch — the previous
+    * version's rows are superseded, not extended. This is the
+    * materialized-view / upsert-sink commit: each version is a complete
+    * table state, and old versions remain time-travel-readable because
+    * their epochs are never touched. Returns the new version. */
+  def replaceSnapshot(spark: SparkSession, df: DataFrame, outDir: String,
+      meta: Map[String, String] = Map.empty): Int = {
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
+    val fresh = writeEpoch(fs, root, version, df)
+    commitManifest(fs, root, version, meta, fresh)
     version
   }
 
   /** Latest committed snapshot version, or 0 if none. */
-  def latestSnapshotVersion(outDir: String): Int =
-    Option(new java.io.File(outDir).listFiles()).toSeq.flatten
-      .filter(f => f.getName.matches("_v\\d+\\.manifest"))
-      .map(_.getName.stripPrefix("_v").stripSuffix(".manifest").toInt)
-      .sorted.lastOption.getOrElse(0)
+  def latestSnapshotVersion(outDir: String): Int = {
+    val (fs, root) = fsRoot(outDir)
+    manifestVersions(fs, root).lastOption.getOrElse(0)
+  }
+
+  /** The `#key=value` metadata headers of a committed manifest. */
+  def snapshotMeta(outDir: String, version: Int): Map[String, String] = {
+    val (fs, root) = fsRoot(outDir)
+    readManifestRaw(fs, root, version)
+      .filter(_.startsWith("#"))
+      .map(_.drop(1).split("=", 2))
+      .collect { case Array(k, v) => k -> v }
+      .toMap
+  }
 
   /** Retention: drop every snapshot version except the newest `keep`,
     * then delete any epoch file no surviving manifest references. Old
@@ -278,31 +350,27 @@ object Export {
     * deleted). */
   def vacuumSnapshots(outDir: String, keep: Int): (Int, Int) = {
     require(keep >= 1, s"must keep at least one version, got $keep")
-    val root = new java.io.File(outDir)
-    val versions = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.getName.matches("_v\\d+\\.manifest"))
-      .map(f => f.getName.stripPrefix("_v").stripSuffix(".manifest").toInt)
-      .sorted
+    val (fs, root) = fsRoot(outDir)
+    val versions = manifestVersions(fs, root)
     val dropped = versions.dropRight(keep)
-    dropped.foreach(v =>
-      new java.io.File(root, s"_v$v.manifest").delete())
+    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    // normalize through makeQualified so manifests written with any
+    // equivalent path spelling still protect their files
     val live: Set[String] = versions.takeRight(keep).flatMap { v =>
-      java.nio.file.Files.readAllLines(
-        new java.io.File(root, s"_v$v.manifest").toPath)
-        .toArray(Array.empty[String]).toSeq
+      dataLines(readManifestRaw(fs, root, v))
+        .map(l => fs.makeQualified(new Path(l)).toString)
     }.toSet
     var deleted = 0
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
       .foreach { epoch =>
-        epoch.listFiles().filter(f => f.getName.endsWith(".parquet") &&
-            !live(f.getAbsolutePath))
-          .foreach { f => if (f.delete()) deleted += 1 }
-        if (Option(epoch.listFiles()).exists(
-            _.forall(!_.getName.endsWith(".parquet")))) {
-          epoch.listFiles().foreach(_.delete())
-          epoch.delete()
-        }
+        fs.listStatus(epoch.getPath).toSeq.map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") &&
+            !live(fs.makeQualified(p).toString))
+          .foreach { p => if (fs.delete(p, false)) deleted += 1 }
+        val left = fs.listStatus(epoch.getPath).toSeq.map(_.getPath.getName)
+        if (!left.exists(_.endsWith(".parquet")))
+          fs.delete(epoch.getPath, true)
       }
     (dropped.size, deleted)
   }
@@ -310,9 +378,8 @@ object Export {
   /** Read the table AS OF `version`: exactly the manifest's files. */
   def readSnapshot(spark: SparkSession, outDir: String,
       version: Int): DataFrame = {
-    val files = java.nio.file.Files.readAllLines(
-      new java.io.File(outDir, s"_v$version.manifest").toPath)
-      .toArray(Array.empty[String]).toIndexedSeq
+    val (fs, root) = fsRoot(outDir)
+    val files = dataLines(readManifestRaw(fs, root, version)).toIndexedSeq
     spark.read.parquet(files: _*)
   }
 }
