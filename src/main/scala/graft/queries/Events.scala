@@ -140,6 +140,29 @@ object Events {
       |  max(epoch_us(ts)) AS last_ts_us
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** The materialized view KILLED between micro-batches and resumed from
+    * the Spark checkpoint
+    * ([[graft.streaming.EventStream.streamingMaterializedAggResumed]]):
+    * run 1 drains half the source files and stops; run 2 cold-restarts
+    * from the same checkpoint and drains the rest. Hash-matching the
+    * one-shot batch oracle proves the resumed stream converges to the
+    * uninterrupted result — no lost batches, no double-merged replays
+    * (the exactly-once `#batch=` manifest guard). */
+  def q_stream_matview_resume(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_mvr_${math.abs(dir.hashCode)}")
+    val table = new File("target/qtmp_stream",
+      s"mvrtable_${math.abs(dir.hashCode)}")
+    val live = new File("target/qtmp_stream",
+      s"mvlive_${math.abs((dir + "/events.parquet").hashCode)}_${math.abs(cp.getAbsolutePath.hashCode)}")
+    deleteRec(cp); deleteRec(table); deleteRec(live)
+    EventStream.streamingMaterializedAggResumed(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, table.getAbsolutePath)
+      .orderBy("user_id")
+  }
+
+  val q_stream_matview_resume_sql: String = q_stream_matview_sql
+
   /** Funnel analysis (earliest-completion, strict order, bounded window):
     * of the users who ever `view`ed, how many went on to `click` and then
     * `purchase` within 7 days of the first view — the product-analytics

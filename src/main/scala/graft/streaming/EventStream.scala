@@ -205,11 +205,30 @@ object EventStream {
       base.select("user_id", "ts").repartition(4)
         .write.mode("overwrite").parquet(splitDir.getAbsolutePath)
     }
-    val tsType = base.select("user_id", "ts").schema("ts").dataType
+    drainMatview(spark, splitDir.getAbsolutePath,
+      base.select("user_id", "ts").schema, checkpointDir, tableDir)
+    graft.operators.Export.readSnapshot(spark, tableDir,
+      graft.operators.Export.latestSnapshotVersion(tableDir))
+  }
+
+  /** One AvailableNow drain of `srcDir` into the versioned serving table.
+    * EXACTLY-ONCE under kill/replay: each snapshot commit carries its
+    * micro-batch id as manifest metadata (`#batch=N`), and the sink skips
+    * any batch id at or below the latest committed one. `foreachBatch`
+    * redelivers a batch when the engine committed the table but died
+    * before committing the checkpoint offset — without the guard that
+    * replay would double-merge the delta (the same torn-commit window the
+    * reference closes by journaling chunk offsets in its checkpoint DB;
+    * Delta closes it with txnAppId/txnVersion). The guard's read is one
+    * manifest-header fetch per batch — planning-side, no data I/O. */
+  private def drainMatview(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpointDir: String,
+      tableDir: String): Unit = {
+    val tsType = schema("ts").dataType
     val stream = spark.readStream
-      .schema(base.select("user_id", "ts").schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(splitDir.getAbsolutePath)
+      .parquet(srcDir)
     def partial(df: DataFrame): DataFrame = df
       .select(col("user_id"),
         graft.util.Tables.tsMicros(tsType).as("ts_us"))
@@ -220,22 +239,72 @@ object EventStream {
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val delta = partial(batch)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val v = graft.operators.Export.latestSnapshotVersion(tableDir)
-          val merged =
-            if (v == 0) delta
-            else graft.operators.Merge.mergeAggregates(
-              Seq(graft.operators.Export.readSnapshot(spark, tableDir, v),
-                delta),
-              Seq("user_id"), sums = Seq("n_events"),
-              maxs = Seq("last_ts_us"))
-          graft.operators.Export.replaceSnapshot(spark, merged, tableDir)
+          val applied =
+            if (v == 0) -1L
+            else graft.operators.Export.snapshotMeta(tableDir, v)
+              .get("batch").map(_.toLong).getOrElse(-1L)
+          if (batchId > applied) {
+            val delta = partial(batch)
+            val merged =
+              if (v == 0) delta
+              else graft.operators.Merge.mergeAggregates(
+                Seq(graft.operators.Export.readSnapshot(spark, tableDir, v),
+                  delta),
+                Seq("user_id"), sums = Seq("n_events"),
+                maxs = Seq("last_ts_us"))
+            graft.operators.Export.replaceSnapshot(spark, merged, tableDir,
+              meta = Map("batch" -> batchId.toString))
+          }
           ()
         }
         .start()
       q.awaitTermination()
     }
+  }
+
+  /** [[streamingMaterializedAgg]] KILLED between micro-batches and
+    * resumed — the reference's `checkpoint_chunks` discipline (kill after
+    * every chunk, restart, converge) applied to the streaming sink. The
+    * source is staged so only half the files exist for run 1; the query
+    * drains them and STOPS (AvailableNow = a clean kill point: offsets
+    * committed, process gone). The rest of the files then appear and a
+    * COLD restart from the same Spark checkpoint drains only the unseen
+    * files — no reprocessing, batch ids continue — and the settled table
+    * must equal the uninterrupted run's (the gate hash-matches it against
+    * the one-shot batch oracle), with every intermediate version still
+    * time-travel-readable. */
+  def streamingMaterializedAggResumed(spark: SparkSession,
+      srcParquet: String, checkpointDir: String, tableDir: String)
+      : DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+    val schema = base.select("user_id", "ts").schema
+    val parent = new File(checkpointDir).getParentFile
+    val stageDir = new File(parent,
+      s"mvstage_${math.abs(srcParquet.hashCode)}")
+    if (!new File(stageDir, "_SUCCESS").exists()) {
+      base.select("user_id", "ts").repartition(4)
+        .write.mode("overwrite").parquet(stageDir.getAbsolutePath)
+    }
+    val parts = stageDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val liveDir = new File(parent,
+      s"mvlive_${math.abs(srcParquet.hashCode)}_${math.abs(checkpointDir.hashCode)}")
+    liveDir.mkdirs()
+    def reveal(fs: Seq[File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new File(liveDir, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // run 1: half the source exists; drain and stop (the "kill")
+    reveal(parts.take(parts.length / 2).toSeq)
+    drainMatview(spark, liveDir.getAbsolutePath, schema, checkpointDir,
+      tableDir)
+    // run 2: the rest appears; cold restart from the same checkpoint
+    reveal(parts.drop(parts.length / 2).toSeq)
+    drainMatview(spark, liveDir.getAbsolutePath, schema, checkpointDir,
+      tableDir)
     graft.operators.Export.readSnapshot(spark, tableDir,
       graft.operators.Export.latestSnapshotVersion(tableDir))
   }

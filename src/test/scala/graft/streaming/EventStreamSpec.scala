@@ -154,6 +154,73 @@ class EventStreamSpec extends SparkSpec {
     assert(counts === counts.sorted, s"event totals not monotone: $counts")
   }
 
+  test("materialized view killed between micro-batches resumes to the uninterrupted result") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cp = new java.io.File("target/qtmp_stream", "cp_mvr_spec")
+    val table = new java.io.File("target/qtmp_stream", "mvrtable_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(cp); rm(table)
+    // the resumable drive stages under the checkpoint's parent keyed by
+    // (src, cp) hashes — wipe a stale live dir from an earlier run
+    val live = new java.io.File("target/qtmp_stream",
+      s"mvlive_${math.abs(s"$sf/events.parquet".hashCode)}_${math.abs(cp.getAbsolutePath.hashCode)}")
+    rm(live)
+    val latest = EventStream.streamingMaterializedAggResumed(spark,
+        s"$sf/events.parquet", cp.getAbsolutePath, table.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.util.Tables.events(spark, sf)
+    val batch = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("last"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(latest === batch, "resumed stream diverged from the one-shot batch result")
+    val dir = table.getAbsolutePath
+    val vMax = graft.operators.Export.latestSnapshotVersion(dir)
+    assert(vMax >= 4, s"expected >=4 versions across the two runs, got $vMax")
+    // intermediate versions (including run 1's, committed before the
+    // kill) stay time-travel-readable with monotone totals
+    val counts = (1 to vMax).map(v => graft.operators.Export
+      .readSnapshot(spark, dir, v).agg(sum("n_events")).head().getLong(0))
+    assert(counts.last === ev.count())
+    assert(counts === counts.sorted, s"event totals not monotone: $counts")
+    // batch ids continue across the restart (no reprocessing, no gaps
+    // double-applied): strictly increasing across ALL committed versions
+    val batchIds = (1 to vMax).map(v => graft.operators.Export
+      .snapshotMeta(dir, v)("batch").toLong)
+    assert(batchIds === batchIds.sorted.distinct,
+      s"batch ids not strictly increasing across the kill: $batchIds")
+  }
+
+  test("matview sink skips replayed batch ids: rerun with a FRESH checkpoint merges nothing") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cp1 = new java.io.File("target/qtmp_stream", "cp_mvg1_spec")
+    val cp2 = new java.io.File("target/qtmp_stream", "cp_mvg2_spec")
+    val table = new java.io.File("target/qtmp_stream", "mvgtable_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(cp1); rm(cp2); rm(table)
+    val first = EventStream.streamingMaterializedAgg(spark,
+        s"$sf/events.parquet", cp1.getAbsolutePath, table.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val vAfterFirst = graft.operators.Export
+      .latestSnapshotVersion(table.getAbsolutePath)
+    // the worst replay storm: a FRESH checkpoint re-delivers EVERY batch
+    // (ids restart at 0) against the already-committed table — the
+    // #batch= guard must skip them all, or counts double
+    val second = EventStream.streamingMaterializedAgg(spark,
+        s"$sf/events.parquet", cp2.getAbsolutePath, table.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(second === first, "replayed batches were double-merged")
+    assert(graft.operators.Export.latestSnapshotVersion(table.getAbsolutePath)
+      === vAfterFirst, "replay committed new versions")
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
