@@ -282,16 +282,31 @@ object Dedup {
     * [[Similarity.semDedupPairs]], whose cells are disjoint so duplicate
     * pairs can ONLY come from the stitch clique) skip that shuffle on the
     * no-hot path. */
+  /** Driver-collect ceiling for the hot-bucket probes: hot buckets are
+    * rare by construction on real corpora (that's what makes them "hot"),
+    * so the probe's collect is a handful of rows. But an ADVERSARIAL
+    * corpus can have rows/cap buckets all over the cap — collecting one
+    * row per hot bucket would then be an unbounded data collect. Past
+    * this many hot buckets the guard degrades to joining the un-collected
+    * hot aggregate (a shuffle join that re-evaluates the banded lineage —
+    * the right price exactly when the corpus is degenerate enough to
+    * need it). */
+  private[graft] val MaxHotCollect = 100000
+
   private[graft] def withBucketSaltProbed(banded: DataFrame, bucket: Column,
-      id: Column, cap: Int): (DataFrame, Boolean) = {
+      id: Column, cap: Int, maxHotCollect: Int = MaxHotCollect)
+      : (DataFrame, Boolean) = {
     require(cap > 0, s"bucketCap must be positive, got $cap")
     val hotAgg = banded.groupBy(bucket.as("_hb"))
       .agg(count(lit(1)).as("_hcnt"))
       .filter(col("_hcnt") > cap)
-    val hotRows = hotAgg.collect()
+    val hotRows = hotAgg.limit(maxHotCollect + 1).collect()
     if (hotRows.isEmpty) return (banded.withColumn("_salt", lit(0L)), false)
-    val hot = broadcast(banded.sparkSession.createDataFrame(
-      java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
+    val hot =
+      if (hotRows.length <= maxHotCollect)
+        broadcast(banded.sparkSession.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
+      else hotAgg
     val salted = banded.join(hot, bucket === col("_hb"), "left")
       .withColumn("_salt",
         when(col("_hcnt").isNull, lit(0L))
@@ -321,13 +336,15 @@ object Dedup {
     * duplicate the base, and every new doc's split still holds
     * ~|R_bucket|/splits ≥ ~cap/2 base members, so per-DOC flag recall is
     * preserved even though per-PAIR recall drops (BucketGuardSpec). */
-  private def withCrossBucketSalt(lb: DataFrame, rb: DataFrame,
-      bucket: Column, lId: Column, rId: Column, cap: Int)
-      : (DataFrame, DataFrame) = {
+  private[graft] def withCrossBucketSalt(lb: DataFrame, rb: DataFrame,
+      bucket: Column, lId: Column, rId: Column, cap: Int,
+      maxHotCollect: Int = MaxHotCollect): (DataFrame, DataFrame) = {
     require(cap > 0, s"bucketCap must be positive, got $cap")
     // plan-time hot probe (see withBucketSalt): both count aggregates and
     // the product filter run ONCE, driver-collected; the no-hot path adds
-    // only a constant salt on each side
+    // only a constant salt on each side. The collect is bounded by
+    // maxHotCollect (see [[MaxHotCollect]]) — past it, the salt joins the
+    // un-collected hot aggregate instead.
     val cl = lb.groupBy(bucket.as("_hb")).agg(count(lit(1)).as("_cl"))
     val cr = rb.groupBy(bucket.as("_hb")).agg(count(lit(1)).as("_cr"))
     val hotAgg = cl.join(cr, "_hb")
@@ -335,12 +352,15 @@ object Dedup {
       .select(col("_hb"),
         ceil(greatest(col("_cl"), col("_cr")).cast("double") / cap)
           .cast("long").as("_splits"))
-    val hotRows = hotAgg.collect()
+    val hotRows = hotAgg.limit(maxHotCollect + 1).collect()
     if (hotRows.isEmpty)
       return (lb.withColumn("_salt", lit(0L)),
         rb.withColumn("_salt", lit(0L)))
-    val hot = broadcast(lb.sparkSession.createDataFrame(
-      java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
+    val hot =
+      if (hotRows.length <= maxHotCollect)
+        broadcast(lb.sparkSession.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
+      else hotAgg
     def salted(side: DataFrame, id: Column) =
       side.join(hot, bucket === col("_hb"), "left")
         .withColumn("_salt",

@@ -176,6 +176,24 @@ object Sketches {
   def histMerge(hists: Seq[DataFrame]): DataFrame =
     hists.reduce(_.unionByName(_)).groupBy("bin").agg(sum("cnt").as("cnt"))
 
+  /** Fixed-point shim that puts FLOAT signals (quality scores, prices,
+    * cosine distances) onto the mergeable integer histogram:
+    * floor(v · 2^shiftBits). Multiplying by a power of two is an exact
+    * IEEE exponent shift and floor is bit-contracted, so the binning is
+    * engine-portable like every other kernel here — the absolute
+    * resolution is 2^-shiftBits, and the read-off bin bounds divide back
+    * to exact dyadic doubles. Domain must be non-negative (shift the
+    * signal first if it can dip below zero); values above
+    * 2^(62-shiftBits) would overflow the Long — far past any score or
+    * price domain at the default 20 bits (~4.4e12). Without this, float
+    * quantiles fall back to percentile_approx-style full reshuffles of
+    * the value column — the one census a curation pipeline reads daily
+    * that the sketch family didn't cover. */
+  def fixedPoint(e: Column, shiftBits: Int = 20): Column = {
+    require(shiftBits >= 0 && shiftBits <= 40, s"bad shiftBits $shiftBits")
+    floor(e.cast("double") * lit((1L << shiftBits).toDouble)).cast("long")
+  }
+
   /** Quantile read-off from a (merged) histogram: for each requested
     * percentile p, the lowest bin whose cumulative count covers p% of the
     * mass, with the bin's value bounds. The walk runs over BINS (≤ 65 for

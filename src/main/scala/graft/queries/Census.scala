@@ -327,6 +327,49 @@ object Census {
       |  CAST(cum AS BIGINT) AS cum, CAST(n AS BIGINT) AS n_total
       |FROM hit WHERE rn = 1 ORDER BY p""".stripMargin
 
+  /** FLOAT quantile census via the fixed-point shim
+    * ([[graft.operators.Sketches.fixedPoint]]): order totalprice (a
+    * double) scaled by 2^20 onto the mergeable log2 histogram — per-shard
+    * builds sum-merged, quantiles read off the merged bins, bounds
+    * divided back to exact dyadic doubles. This is the sketch answer for
+    * float-valued signals (quality scores, prices): without it they
+    * needed an exact/approx percentile, which at census scale reshuffles
+    * the value column. DuckDB replays scale → bin → merge → read-off
+    * bit-for-bit (power-of-two multiply and divide are exact IEEE). */
+  def q_float_quantile(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val fp = ord.select(col("o_orderkey"),
+      Sketches.fixedPoint(col("o_totalprice"), 20).as("v"))
+    val hists = (0 until 4).map(k =>
+      Sketches.logHistogram(fp.filter(col("o_orderkey") % 4 === k), col("v")))
+    val merged = Sketches.histMerge(hists)
+    Sketches.histQuantiles(s, merged, Seq(50, 75, 95, 99))
+      .select(col("p"), col("bin"),
+        (col("bin_lo").cast("double") / lit(1048576.0)).as("lo"),
+        (col("bin_hi").cast("double") / lit(1048576.0)).as("hi"),
+        col("cum"), col("n_total"))
+      .orderBy("p")
+  }
+
+  val q_float_quantile_sql: String =
+    """WITH v AS (SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v
+      |  FROM orders),
+      |h AS (SELECT CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bin,
+      |  count(*) AS cnt FROM v GROUP BY 1),
+      |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+      |  sum(cnt) OVER () AS n FROM h),
+      |p AS (SELECT unnest([50, 75, 95, 99]) AS p),
+      |hit AS (SELECT p.p, c.bin, c.cum, c.n,
+      |  ROW_NUMBER() OVER (PARTITION BY p.p ORDER BY c.bin) AS rn
+      |  FROM p JOIN c ON c.cum * 100 >= p.p * c.n)
+      |SELECT CAST(p AS INT) AS p, CAST(bin AS INT) AS bin,
+      |  CAST(CASE WHEN bin = 0 THEN 0
+      |    ELSE CAST(1 AS BIGINT) << (bin - 1) END AS DOUBLE) / 1048576.0 AS lo,
+      |  CAST((CAST(1 AS BIGINT) << bin) - 1 AS DOUBLE) / 1048576.0 AS hi,
+      |  CAST(cum AS BIGINT) AS cum, CAST(n AS BIGINT) AS n_total
+      |FROM hit WHERE rn = 1 ORDER BY p""".stripMargin
+
   // --------------------------------------------------------------- z-order
 
   /** Z-order layout export, hash-matched through disk: docs are clustered

@@ -155,6 +155,35 @@ class BucketGuardSpec extends SparkSpec {
     assert(pairSet(guarded).subsetOf(pairSet(open)))
   }
 
+  test("guard the guard: pathologically-many hot buckets degrade to the join path, same output") {
+    // an adversarial corpus can make EVERY bucket hot — one collected row
+    // per hot bucket would then be an unbounded driver collect. Past
+    // maxHotCollect the probe joins the un-collected hot aggregate; the
+    // salted output (including stitch rows) must be identical either way.
+    val banded = (0 until 40).flatMap(b =>
+      (0 until cap + 5).map(i => (b.toLong * 1000 + i, b.toLong)))
+      .toDF("_id", "_bucket")
+    def run(maxHot: Int) = {
+      val (salted, hot) = Dedup.withBucketSaltProbed(
+        banded, col("_bucket"), col("_id"), cap, maxHotCollect = maxHot)
+      assert(hot, "40 over-cap buckets must probe hot")
+      salted.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val viaBroadcast = run(100000) // all 40 hot rows collected + broadcast
+    val viaJoin = run(10)          // 40 > 10: un-collected fallback join
+    assert(viaJoin === viaBroadcast,
+      "join-fallback salt diverged from the broadcast salt")
+    // cross-corpus flavor: same degradation, same salts
+    def runCross(maxHot: Int) = {
+      val (l, r) = Dedup.withCrossBucketSalt(banded, banded,
+        col("_bucket"), col("_id"), col("_id"), cap, maxHotCollect = maxHot)
+      (l.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet,
+        r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet)
+    }
+    assert(runCross(10) === runCross(100000))
+  }
+
   test("embedding: hot LSH bucket bounded without losing the cluster") {
     // identical vectors land in one hyperplane bucket per table
     val vecs = (0 until hotN).map(i => (3000L + i, Array(1.0f, 0.5f, -0.25f, 0.125f))) :+

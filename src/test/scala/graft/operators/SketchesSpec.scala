@@ -124,6 +124,25 @@ class SketchesSpec extends SparkSpec {
       s"foreign candidate estimated ${est("never_seen_token_xyz")}")
   }
 
+  test("fixed-point float histogram: shard-merge identity; p50 bin brackets the true median") {
+    val ord = graft.util.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        Sketches.fixedPoint(col("o_totalprice"), 20).as("v"))
+    val single = Sketches.logHistogram(ord, col("v"))
+    val merged = Sketches.histMerge((0 until 4).map(k =>
+      Sketches.logHistogram(ord.filter(col("o_orderkey") % 4 === k), col("v"))))
+    val h1 = single.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val h2 = merged.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(h2 === h1)
+    val q = Sketches.histQuantiles(spark, merged, Seq(50)).collect().head
+    val median = graft.util.Tables.load(spark, sf, "orders")
+      .stat.approxQuantile("o_totalprice", Array(0.5), 0.0).head
+    val (lo, hi) = (q.getAs[Long]("bin_lo") / 1048576.0,
+      q.getAs[Long]("bin_hi") / 1048576.0)
+    assert(median >= lo && median <= hi + 1.0 / 1048576,
+      s"true median $median outside p50 bin [$lo, $hi]")
+  }
+
   test("histogram: shard-merge equals single pass; p50 bin holds the true median") {
     val docs = graft.util.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("n_chars").cast("long").as("v"))
