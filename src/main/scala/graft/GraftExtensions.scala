@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, MapType}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, EqualTo, Expression, ExpressionInfo, Literal, Subtract}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, MapType, StringType}
 import graft.functions.{Crc64Expr, GramHashes, LaneAgreement, LanesXxHash, MinhashSigs, MinhashSigsPacked, NfcNormalize, PackVec, PackedDot, PackedSketch, PqAdc, PqEncode, Simhash64}
 
 /** §2.8 extension seam: graft's native Catalyst expressions as SQL
@@ -101,6 +101,57 @@ object GraftExtensions {
         "serialized Bloom filter (foldable binary, e.g. from unhex)"),
       (args: Seq[Expression]) =>
         graft.functions.BloomMightContain(args.head, litBinary(args(1)))),
+    // census sketch kernels (§2.8 seam for the Sketches family): the
+    // same md5-portable hash / rank / bin arithmetic the DataFrame
+    // kernels use, built as catalyst trees (composition via the Column
+    // API is not available inside a function builder — its ColumnNode
+    // wrapper is Unevaluable; nested UnresolvedFunctions resolve in the
+    // analyzer's fixpoint instead). GraftExtensionsSpec pins SQL-built
+    // registers/cells/bins equal to hllRegisters/cmsCounts/logHistogram.
+    (FunctionIdentifier("hll_bucket"),
+      info("hll_bucket", "hll_bucket(value, m) - HLL register index: " +
+        "portable md5 hash32 of the value mod m (m a power-of-two " +
+        "literal in [16, 256])"),
+      (args: Seq[Expression]) => {
+        val m = litHllM(args(1))
+        castTo(fn("mod", hash32Expr(args.head), longLit(m)), IntegerType)
+      }),
+    (FunctionIdentifier("hll_rho"),
+      info("hll_rho", "hll_rho(value, m) - HLL rank: leading-zero rank " +
+        "of the hash quotient, saturating at wBits+1 when the quotient " +
+        "is 0; max-aggregate per (group, hll_bucket) to build registers"),
+      (args: Seq[Expression]) => {
+        val m = litHllM(args(1))
+        val wBits = 32 - (31 - Integer.numberOfLeadingZeros(m))
+        // div ≡ the kernel's double-divide-then-truncate: h < 2^32 is
+        // double-exact and nonnegative, so both are floor(h/m)
+        val w = fn("div", hash32Expr(args.head), longLit(m))
+        val rho = CaseWhen(
+          Seq((EqualTo(w, Literal(0L)), Literal(wBits + 1))),
+          Some(Subtract(Literal(wBits + 1), fn("length", fn("bin", w)))))
+        castTo(rho, IntegerType)
+      }),
+    (FunctionIdentifier("cms_cell"),
+      info("cms_cell", "cms_cell(value, i, w) - count-min column index " +
+        "for hash row i (literal in [0, 7]) of width w; count-aggregate " +
+        "per (i, cms_cell) to build the sketch"),
+      (args: Seq[Expression]) => {
+        val i = litInt(args(1), "i")
+        val w = litInt(args(2), "w")
+        require(i >= 0 && i <= 7 && w >= 16, s"bad cms cell shape i=$i w=$w")
+        castTo(fn("mod", hash32Expr(args.head, s"${i}_"), longLit(w)),
+          IntegerType)
+      }),
+    (FunctionIdentifier("log2_bin"),
+      info("log2_bin", "log2_bin(value) - log2-histogram bin of a " +
+        "non-negative BIGINT: bit length of the value, 0 for 0; " +
+        "count-aggregate per bin to build the mergeable histogram"),
+      (args: Seq[Expression]) => {
+        val v = castTo(args.head, LongType)
+        castTo(CaseWhen(
+          Seq((EqualTo(v, Literal(0L)), Literal(0))),
+          Some(fn("length", fn("bin", v)))), IntegerType)
+      }),
     (FunctionIdentifier("unigram_segment"),
       info("unigram_segment", "unigram_segment(word, map('piece', weight, " +
         "...), unk_weight) - Viterbi unigram-LM segmentation of a word " +
@@ -110,6 +161,38 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         graft.functions.UnigramSegment(args.head, litWeightMap(args(1)),
           litLong(args(2), "unk_weight"))))
+
+  /** Late-bound builtin call: resolved (with implicit input casts) by
+    * the analyzer's fixpoint after builder substitution. */
+  private def fn(name: String, fnArgs: Expression*): Expression =
+    org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+      Seq(name), fnArgs.toSeq, isDistinct = false)
+
+  private def castTo(e: Expression,
+      t: org.apache.spark.sql.types.DataType): Expression = Cast(e, t)
+
+  private def longLit(i: Int): Expression = Literal(i.toLong)
+
+  /** The engine-portable 32-bit hash ([[graft.operators.Sketches.hash32]])
+    * as a catalyst tree: first 8 md5 hex chars of the (salted) string
+    * form, decoded to a Long. */
+  private def hash32Expr(value: Expression, salt: String = ""): Expression = {
+    val s =
+      if (salt.isEmpty) castTo(value, StringType)
+      else fn("concat", Literal.create(salt), castTo(value, StringType))
+    castTo(fn("conv",
+      fn("substring", fn("md5", s), Literal(1), Literal(8)),
+      Literal(16), Literal(10)), LongType)
+  }
+
+  /** HLL m literal with the same domain [[graft.operators.Sketches]]
+    * enforces (power of two in [16, 256]). */
+  private def litHllM(e: Expression): Int = {
+    val m = litInt(e, "m")
+    require(m >= 16 && m <= 256 && Integer.bitCount(m) == 1,
+      s"m must be a power of two in [16, 256], got $m")
+    m
+  }
 
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

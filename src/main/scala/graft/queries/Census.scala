@@ -73,6 +73,34 @@ object Census {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** The HLL census driven through the §2.8 SQL SEAM: registers are
+    * built by a plain `spark.sql` query over the `hll_bucket`/`hll_rho`
+    * functions [[graft.GraftExtensions]] registers — the route a SQL
+    * notebook user takes — then summarized by the same fixed-point
+    * kernel. Hash-matching the single-pass DuckDB replay proves the SQL
+    * functions compute exactly the DataFrame kernel's arithmetic (same
+    * hash, same saturating rank), so the newest operator family is
+    * reachable from SQL with certified-identical results. */
+  def q_hll_sqlseam(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .createOrReplaceTempView("li_hll_seam")
+    val regs = s.sql(
+      """SELECT l_returnflag, hll_bucket(l_orderkey, 64) AS bucket,
+        |  max(hll_rho(l_orderkey, 64)) AS r
+        |FROM li_hll_seam
+        |GROUP BY l_returnflag, hll_bucket(l_orderkey, 64)""".stripMargin)
+    val summary = Sketches.hllSummary(regs, Seq("l_returnflag"), m = 64)
+    val exact = s.table("li_hll_seam").groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("n_exact"))
+    summary.join(exact, "l_returnflag").orderBy("l_returnflag")
+  }
+
+  /** Same replay as `q_hll_census`: the seam path and the DataFrame path
+    * must both match the one DuckDB single-pass truth. */
+  val q_hll_sqlseam_sql: String = q_hll_census_sql
+
   /** Streaming HLL census: distinct users per event_type with the
     * registers maintained as streaming state
     * ([[graft.streaming.EventStream.streamingHllRegisters]] — four

@@ -97,4 +97,49 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) -
       graft.functions.PqOps.adc(codes, table, 2)) < 1e-12)
   }
+
+  test("census sketch SQL seam equals the DataFrame kernels: hll_bucket/hll_rho/cms_cell/log2_bin") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_orderkey"))
+    li.createOrReplaceTempView("seam_li")
+    // HLL registers via SQL == hllRegisters (incl. the saturating rank:
+    // 20412333 hashes below m=64, so its rho is wBits+1 = 27)
+    val sat = spark.sql("SELECT hll_rho(20412333, 64) AS r, " +
+      "hll_bucket(20412333, 64) AS b").collect().head
+    assert(sat.getInt(0) === 27 && sat.getInt(1) === 39)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, hll_bucket(l_orderkey, 64) AS bucket,
+        |  max(hll_rho(l_orderkey, 64)) AS r
+        |FROM seam_li GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val viaDf = graft.operators.Sketches.hllRegisters(
+        li, Seq("l_returnflag"), col("l_orderkey"), 64)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaSql === viaDf)
+    // CMS cells via SQL == cmsCounts over the same token stream
+    val toks = spark.sql(
+      "SELECT explode(split(trim(CAST(l_orderkey AS STRING)), ' ')) AS tok FROM seam_li")
+    toks.createOrReplaceTempView("seam_toks")
+    val cellsSql = spark.sql(
+      """SELECT i AS row, cms_cell(tok, 0, 64) * CAST(i = 0 AS INT)
+        |  + cms_cell(tok, 1, 64) * CAST(i = 1 AS INT) AS col, count(*) AS cnt
+        |FROM seam_toks LATERAL VIEW explode(array(0, 1)) AS i
+        |GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val cellsDf = graft.operators.Sketches.cmsCounts(toks, "tok", d = 2, w = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(cellsSql === cellsDf)
+    // histogram bins via SQL == logHistogram
+    val binsSql = spark.sql(
+      "SELECT log2_bin(l_orderkey) AS bin, count(*) AS cnt FROM seam_li GROUP BY 1")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val binsDf = graft.operators.Sketches.logHistogram(li, col("l_orderkey"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(binsSql === binsDf)
+    // literal-domain validation mirrors the kernels'
+    intercept[Exception] { spark.sql("SELECT hll_bucket(1, 48)").collect() }
+    intercept[Exception] { spark.sql("SELECT cms_cell('x', 9, 64)").collect() }
+  }
 }
