@@ -61,13 +61,15 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     if (args.contains("ingest-only")) { // dev loop: just the throughput probe
-      val (mib, sec) = ingestThroughput(spark, sfDir)
-      println(f"""{"metric":"ingest_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f}""")
+      val (mib, runs) = ingestThroughput(spark, sfDir)
+      val sec = median(runs)
+      println(f"""{"metric":"ingest_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f,"runs_sec":${runsJson(runs)}}""")
       spark.stop(); return
     }
     if (args.contains("ingest-xl-only")) { // dev loop: just the 1 GiB probe
-      val (mib, sec) = ingestXl(spark, sfDir)
-      println(f"""{"metric":"ingest_xl_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f}""")
+      val (mib, runs) = ingestXl(spark, sfDir)
+      val sec = median(runs)
+      println(f"""{"metric":"ingest_xl_only","mib":$mib%.1f,"sec":$sec%.3f,"mib_per_sec":${mib / sec}%.2f,"runs_sec":${runsJson(runs)}}""")
       spark.stop(); return
     }
     if (args.contains("ingest-many-only")) { // dev loop: 64-tiny-tables probe
@@ -146,28 +148,37 @@ object Bench {
     // below-floor sample is indistinguishable from a regression, so the
     // probe is retried once; only a confirmed miss fails the process, and
     // only after every measurement is on stdout.
-    var (ingestMib, ingestSec) = ingestThroughput(spark, sfDir)
+    // MEDIAN-of-3 is the official number (r9 task #3): the min-of-3 probe
+    // still swung ±30% round-over-round (89.7 → 67.6 MiB/s on an idle box)
+    // because one fast outlier run could carry the headline. The probe
+    // still runs 3×; the median damps both directions, and the per-run
+    // values land in the artifact so any spread is visible without a
+    // judge rerun.
+    var (ingestMib, ingestRuns) = ingestThroughput(spark, sfDir)
+    var ingestSec = median(ingestRuns)
     var ingestRetried = false
     if (ingestMib / ingestSec < IngestFloorMibPerSec) {
       ingestRetried = true
-      val (m2, s2) = ingestThroughput(spark, sfDir)
-      if (m2 / s2 > ingestMib / ingestSec) { ingestMib = m2; ingestSec = s2 }
+      val (m2, r2) = ingestThroughput(spark, sfDir)
+      if (m2 / median(r2) > ingestMib / ingestSec) {
+        ingestMib = m2; ingestRuns = r2; ingestSec = median(r2)
+      }
     }
     val ingestBelowBaseline = ingestMib / ingestSec < IngestFloorMibPerSec
-    // one cluster-shaped data point (r4 verdict #9): a 16× corpus (~1 GiB)
-    // run ONCE — against the min-of-3 252 MiB probe it separates driver-side
-    // fixed cost (planning, discovery) from executor-side throughput; at
-    // 100 TB only the latter matters. No FLOOR FAILURE applies, but the
-    // single-shot reading gets the same one-retry treatment as the main
-    // probe: a cold-page-cache/contended sample reads 2-3× slower than the
-    // identical tree rerun quiet (observed 11 vs 29 MiB/s same commit), and
-    // one environmental dip should not become the round's official number.
-    var (xlMib, xlSec) = ingestXl(spark, sfDir)
+    // the cluster-shaped data point (r4 verdict #9): a 16× corpus (~1 GiB)
+    // that amortizes driver-side fixed cost below the noise floor — the
+    // regime a 100 TB table runs in. Also median-of-3 now (the single-shot
+    // + retry-on-dip scheme left the official number hostage to one
+    // cold-page-cache sample: observed 11 vs 29 MiB/s on the same commit).
+    var (xlMib, xlRuns) = ingestXl(spark, sfDir)
+    var xlSec = median(xlRuns)
     var xlRetried = false
     if (xlMib / xlSec < IngestFloorMibPerSec) {
       xlRetried = true
-      val (m2, s2) = ingestXl(spark, sfDir)
-      if (m2 / s2 > xlMib / xlSec) { xlMib = m2; xlSec = s2 }
+      val (m2, r2) = ingestXl(spark, sfDir)
+      if (m2 / median(r2) > xlMib / xlSec) {
+        xlMib = m2; xlRuns = r2; xlSec = median(r2)
+      }
     }
     // the reference's OTHER ingest regime: thousands of small tables
     // (loader.go:213-220 schedules smallest-first; tableConcurrency pools
@@ -242,10 +253,18 @@ object Bench {
       s""""process_cpu_sec":${osBean.getProcessCpuTime / 1e9},""" +
       s""""ingest_mib":$ingestMib,"ingest_sec":$ingestSec,""" +
       s""""ingest_mib_per_sec":$ingestRate,""" +
+      s""""ingest_mib_per_sec_median":$ingestRate,""" +
+      s""""ingest_runs_sec":${runsJson(ingestRuns)},""" +
+      s""""ingest_mib_per_sec_min":${ingestMib / ingestRuns.max},""" +
+      s""""ingest_mib_per_sec_max":${ingestMib / ingestRuns.min},""" +
       s""""ingest_below_baseline":$ingestBelowBaseline,""" +
       s""""ingest_retried":$ingestRetried,""" +
       s""""ingest_xl_mib":$xlMib,"ingest_xl_sec":$xlSec,""" +
       s""""ingest_xl_mib_per_sec":$xlRate,"ingest_xl_retried":$xlRetried,""" +
+      s""""ingest_xl_mib_per_sec_median":$xlRate,""" +
+      s""""ingest_xl_runs_sec":${runsJson(xlRuns)},""" +
+      s""""ingest_xl_mib_per_sec_min":${xlMib / xlRuns.max},""" +
+      s""""ingest_xl_mib_per_sec_max":${xlMib / xlRuns.min},""" +
       s""""ingest_many_mib":$manyMib,"ingest_many_sec":$manySec,""" +
       s""""ingest_many_mib_per_sec":$manyRate,""" +
       s""""ingest_many_tables":$ManyTables,""" +
@@ -275,6 +294,12 @@ object Bench {
         .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
       java.nio.file.Files.writeString(
         hist.resolve(s"bench-$stamp.json"), detail + "\n")
+      // repo-root copy OUTSIDE target/: the per-query detail twice went
+      // missing for round-over-round diffs because target/ got cleaned
+      // between rounds; this file survives (and gets committed with the
+      // round) while bench_history/ keeps the never-clobbered per-run trail
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
     } catch { case e: Exception =>
       System.err.println(s"BENCH: bench archive write failed: $e") }
     println(headline) // LAST line: always inside any bounded tail capture
@@ -293,6 +318,11 @@ object Bench {
   /** The reference's single-node restore anchor: ~100 GiB/h ≈ 28 MiB/s
     * (BASELINE.md, lightning/restore/restore.go:491). */
   private val IngestFloorMibPerSec = 28.0
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  private def runsJson(xs: Seq[Double]): String =
+    xs.map(s => f"$s%.3f").mkString("[", ",", "]")
 
   /** Table count for the many-small-tables probe. */
   private val ManyTables = 64
@@ -395,7 +425,8 @@ object Bench {
     * single-row INSERT statements, then time the full ImportPipeline over
     * it: discovery → chunked parse → align/cast → row-id → checksum →
     * parquet. Returns (dump MiB, seconds). */
-  private def ingestThroughput(spark: SparkSession, sfDir: String): (Double, Double) = {
+  private def ingestThroughput(spark: SparkSession, sfDir: String)
+      : (Double, Seq[Double]) = {
     val root = new File("target", s"bench_dump_v3_${math.abs(sfDir.hashCode)}")
     val dumpDir = ensureDump(spark, sfDir, root)
     val bytes = dumpDir.listFiles().filter(_.getName.endsWith(".sql"))
@@ -410,20 +441,21 @@ object Bench {
       minChunkBytes = 8L * 1024 * 1024,
       observeChecksum = sys.env.get("SPARK_GRAFT_OBSERVE").forall(_ != "0"),
       chunkCheckpoints = sys.env.get("SPARK_GRAFT_CHUNKS").forall(_ != "0"))
-    // min of three runs: the first warms codegen/AQE plans; the min damps
-    // single-JVM noise (GC, JIT recompiles) that otherwise swings ±25%
-    val secs = (1 to 3).map { _ =>
+    // three runs: the first warms codegen/AQE plans; ALL THREE times go
+    // back to the caller, whose official number is the MEDIAN (one fast
+    // outlier can no longer carry the headline the way min-of-3 let it)
+    val runs = (1 to 3).map { _ =>
       deleteRec(out)
       val t0 = System.nanoTime()
       val reports = new ImportPipeline(spark, cfg).run()
       require(reports.nonEmpty && reports.head.rows > 0)
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
     val mib = bytes / 1048576.0
     // no floor check here: the caller compares against IngestFloorMibPerSec
     // AFTER printing the JSON line (a pre-print require() here erased the
     // whole round-4 artifact on one environmental dip)
-    (mib, secs)
+    (mib, runs)
   }
 
   /** Generate (once, cached under `root`) the mydumper-style base corpus:
@@ -489,7 +521,8 @@ object Bench {
     * (discovery, DDL parse, Catalyst analysis of the align trees, commit
     * bookkeeping) are amortized below the noise floor — the regime a
     * 100 TB table actually runs in. Returns (dump MiB, seconds). */
-  private def ingestXl(spark: SparkSession, sfDir: String): (Double, Double) = {
+  private def ingestXl(spark: SparkSession, sfDir: String)
+      : (Double, Seq[Double]) = {
     val root = new File("target", s"bench_dump_v3_${math.abs(sfDir.hashCode)}")
     val dumpDir = ensureDump(spark, sfDir, root)
     val xlDir = new File(root, "dump_xl")
@@ -517,12 +550,18 @@ object Bench {
       minChunkBytes = 8L * 1024 * 1024,
       observeChecksum = sys.env.get("SPARK_GRAFT_OBSERVE").forall(_ != "0"),
       chunkCheckpoints = sys.env.get("SPARK_GRAFT_CHUNKS").forall(_ != "0"))
-    val t0 = System.nanoTime()
-    val reports = new ImportPipeline(spark, cfg).run()
-    require(reports.nonEmpty && reports.head.rows > 0)
-    val secs = (System.nanoTime() - t0) / 1e9
+    // three runs, median official (was single-shot + retry-on-dip): the
+    // first run eats the cold page cache for the 1 GiB corpus, the median
+    // absorbs it instead of a one-sample headline
+    val runs = (1 to 3).map { _ =>
+      deleteRec(out)
+      val t0 = System.nanoTime()
+      val reports = new ImportPipeline(spark, cfg).run()
+      require(reports.nonEmpty && reports.head.rows > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
     deleteRec(out) // ~4 GiB of parquet; don't leave it on disk between rounds
-    (bytes / 1048576.0, secs)
+    (bytes / 1048576.0, runs)
   }
 
   private def deleteRec(f: File): Unit = {
