@@ -382,4 +382,44 @@ object Export {
     val files = dataLines(readManifestRaw(fs, root, version)).toIndexedSeq
     spark.read.parquet(files: _*)
   }
+
+  /** Compaction (the Delta `OPTIMIZE` shape): rewrite the LATEST
+    * version's rows into `nFiles` fresh files and commit them as a new
+    * full-replace version. Pure layout surgery — the committed rows are
+    * identical (the gate hash-matches through a compacted table), but a
+    * streaming sink that commits one epoch per micro-batch accretes
+    * thousands of small files, and at 100 TB the scan-planning and
+    * per-file open cost of that layout is the classic lake pathology
+    * compaction exists to fix. Old versions keep reading their original
+    * epochs (immutability is never violated); the superseded small files
+    * become unreferenced once retention drops the pre-compaction
+    * versions, and [[vacuumSnapshots]] then reclaims them. Returns the
+    * new version. */
+  def compactSnapshot(spark: SparkSession, outDir: String,
+      nFiles: Int = 1): Int = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to compact under $outDir")
+    val rows = readSnapshot(spark, outDir, latest).coalesce(nFiles)
+    replaceSnapshot(spark, rows, outDir,
+      meta = Map("compacted_from" -> latest.toString))
+  }
+
+  /** Change-data-feed between two committed versions: every row of
+    * `vNew` not in `vOld` tagged `insert`, every row of `vOld` not in
+    * `vNew` tagged `delete` (bag semantics — a row appearing twice in
+    * the new version and once in the old yields one insert). This is the
+    * question every incremental consumer asks a versioned table — "what
+    * changed since the version I last read?" — answered from the two
+    * manifests alone, no change log maintained on the write path.
+    * 100 TB shape: two manifest-exact scans and one hash-partitioned
+    * exceptAll per direction, the same key-shuffle cost as the upsert
+    * that produced the change. */
+  def snapshotDiff(spark: SparkSession, outDir: String,
+      vOld: Int, vNew: Int): DataFrame = {
+    val o = readSnapshot(spark, outDir, vOld)
+    val n = readSnapshot(spark, outDir, vNew)
+    n.exceptAll(o).withColumn("_change", lit("insert"))
+      .unionByName(o.exceptAll(n).withColumn("_change", lit("delete")))
+  }
 }

@@ -3891,6 +3891,87 @@ object Curation {
       |FROM documents
       |ORDER BY version""".stripMargin
 
+  /** Snapshot compaction ([[graft.operators.Export.compactSnapshot]] —
+    * the Delta OPTIMIZE shape): three fragmented appends (7 + 5 + 6
+    * files), then one compaction commit rewriting the table into 2
+    * files. The gate emits the SAME aggregate for the pre-compaction
+    * latest and the compaction version — hash-matching two identical
+    * full-table rows proves compaction is pure layout surgery, zero rows
+    * moved in or out. `ExportLayoutSpec` separately asserts the file
+    * count really drops and vacuum reclaims the superseded fragments. */
+  def q_compact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"compact_${math.abs(dir.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") % 3 === 0).repartition(7), od)
+    graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") % 3 === 1).repartition(5), od)
+    val v3 = graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") % 3 === 2).repartition(6), od)
+    val vc = graft.operators.Export.compactSnapshot(s, od, nFiles = 2)
+    def agg(v: Int) = graft.operators.Export.readSnapshot(s, od, v)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(lit(v).as("version"), col("n_docs"), col("id_sum"),
+        col("total_chars"))
+    agg(v3).unionByName(agg(vc)).orderBy("version")
+  }
+
+  val q_compact_sql: String =
+    """SELECT 3 AS version, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT 4, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents
+      |ORDER BY version""".stripMargin
+
+  /** Change-data-feed between snapshot versions
+    * ([[graft.operators.Export.snapshotDiff]]): v1 = docs with
+    * doc_id % 3 != 0, v2 full-replaces with doc_id % 4 != 0; the diff
+    * must emit exactly the set-algebra rows — inserts where %4 admits
+    * and %3 excluded, deletes the other way — row-level, replayed by
+    * DuckDB from the same predicates. The answer every incremental
+    * consumer needs from a versioned table, computed from the two
+    * manifests alone with no change log on the write path. */
+  def q_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapdiff_${math.abs(dir.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(out)
+    val od = out.getAbsolutePath
+    val v1 = graft.operators.Export.replaceSnapshot(s,
+      docs.filter(col("doc_id") % 3 =!= 0), od)
+    val v2 = graft.operators.Export.replaceSnapshot(s,
+      docs.filter(col("doc_id") % 4 =!= 0), od)
+    graft.operators.Export.snapshotDiff(s, od, v1, v2)
+      .orderBy("_change", "doc_id")
+  }
+
+  val q_snapshot_diff_sql: String =
+    """SELECT doc_id, n_chars, 'insert' AS _change FROM documents
+      |WHERE doc_id % 4 != 0 AND doc_id % 3 = 0
+      |UNION ALL
+      |SELECT doc_id, n_chars, 'delete' FROM documents
+      |WHERE doc_id % 3 != 0 AND doc_id % 4 = 0
+      |ORDER BY _change, doc_id""".stripMargin
+
   def q_export_zonemap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))

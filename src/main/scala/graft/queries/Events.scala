@@ -163,6 +163,29 @@ object Events {
 
   val q_stream_matview_resume_sql: String = q_stream_matview_sql
 
+  /** Continuous append ingestion into the versioned snapshot log
+    * ([[graft.streaming.EventStream.streamingLakeIngest]]): the event
+    * stream lands epoch-per-micro-batch with the exactly-once `#batch=`
+    * guard, and the settled latest version must hold EXACTLY the source
+    * table — hash-matched row-for-row against DuckDB reading the raw
+    * parquet. The continuous corpus-ingest front door: versioned while
+    * it ingests, consumers read manifest-exact snapshots, compaction and
+    * vacuum run behind. */
+  def q_stream_lakeingest(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_lake_${math.abs(dir.hashCode)}")
+    val table = new File("target/qtmp_stream",
+      s"laketable_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(table)
+    EventStream.streamingLakeIngest(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, table.getAbsolutePath)
+      .orderBy("user_id", "ts_us", "event_type")
+  }
+
+  val q_stream_lakeingest_sql: String =
+    """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+      |FROM events ORDER BY user_id, ts_us, event_type""".stripMargin
+
   /** Funnel analysis (earliest-completion, strict order, bounded window):
     * of the users who ever `view`ed, how many went on to `click` and then
     * `purchase` within 7 days of the first view — the product-analytics

@@ -264,6 +264,60 @@ object EventStream {
     }
   }
 
+  /** Continuous APPEND ingestion into the snapshot log — the raw-table
+    * counterpart of the materialized view: each micro-batch's rows are
+    * committed as a fresh epoch via
+    * [[graft.operators.Export.appendSnapshot]] (immutable files, one
+    * atomic manifest rename), so the landing table is versioned and
+    * time-travel-readable WHILE it ingests, and downstream consumers
+    * read manifest-exact snapshots instead of racing the writer's
+    * directory. Exactly-once via the same `#batch=` manifest guard as
+    * the matview sink. The settled latest version holds exactly the
+    * source's rows (the gate hash-matches the full table against
+    * DuckDB); at scale this is the continuous corpus-ingest front door:
+    * stream in, version per commit, compact + vacuum behind. */
+  def streamingLakeIngest(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, tableDir: String): DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+      .select("user_id", "ts", "event_type", "value")
+    val splitDir = new File(new File(checkpointDir).getParentFile,
+      s"lakesrc_${math.abs(srcParquet.hashCode)}")
+    if (!new File(splitDir, "_SUCCESS").exists()) {
+      base.repartition(4)
+        .write.mode("overwrite").parquet(splitDir.getAbsolutePath)
+    }
+    val tsType = base.schema("ts").dataType
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir.getAbsolutePath)
+    withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val v = graft.operators.Export.latestSnapshotVersion(tableDir)
+          val applied =
+            if (v == 0) -1L
+            else graft.operators.Export.snapshotMeta(tableDir, v)
+              .get("batch").map(_.toLong).getOrElse(-1L)
+          if (batchId > applied) {
+            graft.operators.Export.appendSnapshot(spark,
+              batch.select(col("user_id"),
+                graft.util.Tables.tsMicros(tsType).as("ts_us"),
+                col("event_type"), col("value")),
+              tableDir, meta = Map("batch" -> batchId.toString))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.Export.readSnapshot(spark, tableDir,
+      graft.operators.Export.latestSnapshotVersion(tableDir))
+  }
+
   /** [[streamingMaterializedAgg]] KILLED between micro-batches and
     * resumed — the reference's `checkpoint_chunks` discipline (kill after
     * every chunk, restart, converge) applied to the streaming sink. The

@@ -176,6 +176,68 @@ class ExportLayoutSpec extends SparkSpec {
     assert(Export.vacuumSnapshots(out, keep = 1) === ((0, 0)))
   }
 
+  test("compaction: file count drops, rows byte-identical, old versions untouched, vacuum reclaims") {
+    val out = tmp("compact")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    val ids = docs.select("doc_id", "n_chars")
+    // three fragmented appends: 7 + 5 + 6 = 18 small files
+    Export.appendSnapshot(spark, ids.filter(col("doc_id") % 3 === 0).repartition(7), out)
+    Export.appendSnapshot(spark, ids.filter(col("doc_id") % 3 === 1).repartition(5), out)
+    val v3 = Export.appendSnapshot(spark, ids.filter(col("doc_id") % 3 === 2).repartition(6), out)
+    def manifestFiles(v: Int): Seq[String] =
+      java.nio.file.Files.readAllLines(
+        new java.io.File(out, s"_v$v.manifest").toPath)
+        .toArray(Array.empty[String]).toSeq.filterNot(_.startsWith("#"))
+    val before = manifestFiles(v3)
+    assert(before.size === 18, s"expected 18 fragments, got ${before.size}")
+    def rows(v: Int) = Export.readSnapshot(spark, out, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val rowsBefore = rows(v3)
+    val vc = Export.compactSnapshot(spark, out, nFiles = 2)
+    assert(vc === v3 + 1)
+    assert(manifestFiles(vc).size === 2, "compaction did not shrink the layout")
+    assert(rows(vc) === rowsBefore, "compaction changed the rows")
+    assert(rows(v3) === rowsBefore, "pre-compaction version no longer reads intact")
+    assert(Export.snapshotMeta(out, vc) === Map("compacted_from" -> v3.toString))
+    // retention drops the fragmented versions; vacuum reclaims their files
+    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1)
+    assert(droppedV === 3 && deletedF === 18,
+      s"expected 18 fragments reclaimed, got $deletedF")
+    assert(rows(vc) === rowsBefore, "compacted rows lost by vacuum")
+  }
+
+  test("snapshotDiff: set diff row-level, bag semantics on duplicates, empty diff on identical versions") {
+    import spark.implicits._
+    val out = tmp("snapdiff")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    // v1 holds (1,a) twice + (2,b); v2 holds (1,a) once + (3,c):
+    // bag semantics → ONE delete of (1,a), delete of (2,b), insert of (3,c)
+    val v1 = Export.replaceSnapshot(spark,
+      Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "s"), out)
+    val v2 = Export.replaceSnapshot(spark,
+      Seq((1L, "a"), (3L, "c")).toDF("k", "s"), out)
+    val d = Export.snapshotDiff(spark, out, v1, v2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(d === Seq((1L, "a", "delete"), (2L, "b", "delete"),
+      (3L, "c", "insert")))
+    assert(Export.snapshotDiff(spark, out, v2, v2).count() === 0)
+    // direction flip swaps the tags
+    val rev = Export.snapshotDiff(spark, out, v2, v1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(rev === Seq((1L, "a", "insert"), (2L, "b", "insert"),
+      (3L, "c", "delete")))
+  }
+
   test("mixed append/replace log: appends extend the LATEST state, whatever wrote it") {
     val out = tmp("mixedlog")
     def rm(f: java.io.File): Unit = {

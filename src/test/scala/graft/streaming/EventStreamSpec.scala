@@ -221,6 +221,39 @@ class EventStreamSpec extends SparkSpec {
       === vAfterFirst, "replay committed new versions")
   }
 
+  test("streaming lake ingest: settled snapshot == source rows, versioned per batch, replay-proof") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cp1 = new java.io.File("target/qtmp_stream", "cp_lake1_spec")
+    val cp2 = new java.io.File("target/qtmp_stream", "cp_lake2_spec")
+    val table = new java.io.File("target/qtmp_stream", "laketable_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(cp1); rm(cp2); rm(table)
+    val settled = EventStream.streamingLakeIngest(spark,
+      s"$sf/events.parquet", cp1.getAbsolutePath, table.getAbsolutePath)
+    val src = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").as("ts_us"), col("event_type"),
+        col("value"))
+    assert(settled.count() === src.count())
+    assert(settled.exceptAll(src).count() === 0)
+    assert(src.exceptAll(settled).count() === 0)
+    val dir = table.getAbsolutePath
+    val vMax = graft.operators.Export.latestSnapshotVersion(dir)
+    assert(vMax >= 4, s"expected one version per micro-batch, got $vMax")
+    // append log: totals grow monotonically, early versions still readable
+    val counts = (1 to vMax).map(v =>
+      graft.operators.Export.readSnapshot(spark, dir, v).count())
+    assert(counts === counts.sorted && counts.last === src.count())
+    // replay storm (fresh checkpoint, same table): #batch= guard appends nothing
+    EventStream.streamingLakeIngest(spark,
+      s"$sf/events.parquet", cp2.getAbsolutePath, dir)
+    assert(graft.operators.Export.latestSnapshotVersion(dir) === vMax,
+      "replayed batches appended duplicate epochs")
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
