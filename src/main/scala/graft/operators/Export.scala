@@ -422,4 +422,44 @@ object Export {
     n.exceptAll(o).withColumn("_change", lit("insert"))
       .unionByName(o.exceptAll(n).withColumn("_change", lit("delete")))
   }
+
+  /** KEYED change-data-feed (the Delta CDF shape): classify each key of
+    * a KEYED table (unique key per version — the upsert/matview output
+    * contract) as `insert`, `delete`, or an update emitted as BOTH
+    * `update_preimage` (old row) and `update_postimage` (new row). The
+    * whole feed is ONE full-outer equi-join on the key and one explode —
+    * the conditional row-fanout happens inside a single projection, so
+    * the join is built once, not re-executed per change class. Null-safe
+    * comparisons throughout: a null key matches a null key, and a column
+    * flipping to/from NULL is a real update. */
+  def snapshotDiffKeyed(spark: SparkSession, outDir: String,
+      vOld: Int, vNew: Int, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyed diff needs at least one key column")
+    val o = readSnapshot(spark, outDir, vOld)
+    val n = readSnapshot(spark, outDir, vNew)
+    val cols = o.columns.toSeq
+    require(n.columns.toSeq.sorted == cols.sorted,
+      s"schema mismatch between versions: ${cols.sorted} vs " +
+        s"${n.columns.toSeq.sorted}")
+    val cond = keyCols.map(k => col(s"o.$k") <=> col(s"n.$k"))
+      .reduce(_ && _)
+    val j = o.withColumn("_o", lit(true)).as("o")
+      .join(n.withColumn("_n", lit(true)).as("n"), cond, "full_outer")
+    val changed = cols.filterNot(keyCols.contains)
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .foldLeft(lit(false))(_ || _)
+    val rowO = struct(cols.map(c => col(s"o.$c").as(c)): _*)
+    val rowN = struct(cols.map(c => col(s"n.$c").as(c)): _*)
+    def e(r: Column, tag: String) =
+      struct(r.as("r"), lit(tag).as("c"))
+    val entries =
+      when(col("o._o").isNull, array(e(rowN, "insert")))
+        .when(col("n._n").isNull, array(e(rowO, "delete")))
+        .when(changed,
+          array(e(rowO, "update_preimage"), e(rowN, "update_postimage")))
+        .otherwise(array(e(rowO, "noop")))
+    j.select(explode(entries).as("x"))
+      .filter(col("x.c") =!= "noop")
+      .select(col("x.r.*"), col("x.c").as("_change"))
+  }
 }

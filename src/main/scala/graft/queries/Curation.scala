@@ -3972,6 +3972,54 @@ object Curation {
       |WHERE doc_id % 3 != 0 AND doc_id % 4 = 0
       |ORDER BY _change, doc_id""".stripMargin
 
+  /** KEYED change-data-feed ([[graft.operators.Export.snapshotDiffKeyed]]
+    * — the Delta CDF shape): v1 = docs with doc_id % 3 != 0; v2
+    * full-replaces with doc_id % 4 != 0 AND re-scores every doc_id % 5
+    * == 0 (n_chars + 7). The feed must classify every key: inserts carry
+    * new rows, deletes old rows, and changed keys emit BOTH the
+    * update_preimage and update_postimage — all from ONE full-outer
+    * key join. DuckDB replays the classification from the same
+    * predicates row-for-row. */
+  def q_snapshot_cdc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapcdc_${math.abs(dir.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(out)
+    val od = out.getAbsolutePath
+    val v1 = graft.operators.Export.replaceSnapshot(s,
+      docs.filter(col("doc_id") % 3 =!= 0), od)
+    val v2 = graft.operators.Export.replaceSnapshot(s,
+      docs.filter(col("doc_id") % 4 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 5 === 0, col("n_chars") + 7)
+            .otherwise(col("n_chars"))), od)
+    graft.operators.Export.snapshotDiffKeyed(s, od, v1, v2, Seq("doc_id"))
+      .orderBy("_change", "doc_id")
+  }
+
+  val q_snapshot_cdc_sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END
+      |    AS n_chars,
+      |  'insert' AS _change FROM documents
+      |WHERE doc_id % 4 != 0 AND doc_id % 3 = 0
+      |UNION ALL
+      |SELECT doc_id, n_chars, 'delete' FROM documents
+      |WHERE doc_id % 3 != 0 AND doc_id % 4 = 0
+      |UNION ALL
+      |SELECT doc_id, n_chars, 'update_preimage' FROM documents
+      |WHERE doc_id % 3 != 0 AND doc_id % 4 != 0 AND doc_id % 5 = 0
+      |UNION ALL
+      |SELECT doc_id, n_chars + 7 AS n_chars, 'update_postimage'
+      |FROM documents
+      |WHERE doc_id % 3 != 0 AND doc_id % 4 != 0 AND doc_id % 5 = 0
+      |ORDER BY _change, doc_id""".stripMargin
+
   def q_export_zonemap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))

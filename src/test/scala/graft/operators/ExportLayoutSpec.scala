@@ -238,6 +238,39 @@ class ExportLayoutSpec extends SparkSpec {
       (3L, "c", "delete")))
   }
 
+  test("snapshotDiffKeyed: insert/delete/update pre+post images; null keys match; null flips are updates") {
+    import spark.implicits._
+    val out = tmp("snapcdc")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    // v1: keys 1 (v=10), 2 (v=20), null (v=30), 4 (v=null)
+    // v2: keys 1 (v=10, unchanged), null (v=31, update), 4 (v=40,
+    //     null→value update), 5 (v=50, insert); key 2 deleted
+    val v1 = Export.replaceSnapshot(spark, Seq(
+      (Option(1L), Option(10L)), (Option(2L), Option(20L)),
+      (Option.empty[Long], Option(30L)), (Option(4L), Option.empty[Long])
+    ).toDF("k", "v"), out)
+    val v2 = Export.replaceSnapshot(spark, Seq(
+      (Option(1L), Option(10L)), (Option.empty[Long], Option(31L)),
+      (Option(4L), Option(40L)), (Option(5L), Option(50L))
+    ).toDF("k", "v"), out)
+    val d = Export.snapshotDiffKeyed(spark, out, v1, v2, Seq("k"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2))).toSet
+    assert(d === Set(
+      (Some(5L), Some(50L), "insert"),
+      (Some(2L), Some(20L), "delete"),
+      (None, Some(30L), "update_preimage"),     // null key matched null key
+      (None, Some(31L), "update_postimage"),
+      (Some(4L), None, "update_preimage"),      // null -> value is an update
+      (Some(4L), Some(40L), "update_postimage")))
+    // unchanged key 1 emitted nothing; self-diff is empty
+    assert(Export.snapshotDiffKeyed(spark, out, v2, v2, Seq("k")).count() === 0)
+  }
+
   test("mixed append/replace log: appends extend the LATEST state, whatever wrote it") {
     val out = tmp("mixedlog")
     def rm(f: java.io.File): Unit = {

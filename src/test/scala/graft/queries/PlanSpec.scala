@@ -466,6 +466,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"unexpected sort in HLL build:\n$p")
   }
 
+  test("SQL-seam HLL registers: same one-exchange partial+final shape as the DataFrame kernel") {
+    graft.GraftExtensions.register(spark)
+    graft.util.Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_orderkey")
+      .createOrReplaceTempView("planspec_hll_seam")
+    val p = plan(spark.sql(
+      """SELECT l_returnflag, hll_bucket(l_orderkey, 64) AS bucket,
+        |  max(hll_rho(l_orderkey, 64)) AS r
+        |FROM planspec_hll_seam
+        |GROUP BY l_returnflag, hll_bucket(l_orderkey, 64)""".stripMargin))
+    // the SQL functions expand to the same codegen'd arithmetic — the
+    // register build must keep the map-side-combine + single-exchange
+    // shape; a seam that compiled to a UDF would lose the partial agg
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in seam HLL build:\n$p")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"seam HLL build should shuffle exactly once:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"seam compiled to a UDF:\n$p")
+  }
+
+  test("keyed CDC: one full-outer key join, explode-classified — the join is not re-executed per change class") {
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      "planspec_cdc").getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    val docs = graft.util.Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars")
+    val v1 = graft.operators.Export.replaceSnapshot(spark,
+      docs.filter(col("doc_id") % 2 === 0), out)
+    val v2 = graft.operators.Export.replaceSnapshot(spark,
+      docs.filter(col("doc_id") % 3 === 0), out)
+    val p = plan(graft.operators.Export.snapshotDiffKeyed(
+      spark, out, v1, v2, Seq("doc_id")))
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins === 1,
+      s"keyed CDC must classify off ONE join, found $joins:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected explode-based fanout:\n$p")
+  }
+
   test("APSS: no text in any exchange; candidate join is a token equi-join") {
     import org.apache.spark.sql.functions.col
     val docs = graft.util.Tables.load(spark, sf, "documents")
