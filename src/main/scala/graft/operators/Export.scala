@@ -247,8 +247,23 @@ object Export {
     finally in.close()
   }
 
+  // A data line is `<path>` or `<path>\t<key_min>\t<key_max>` — the
+  // optional zone is per-file min/max of the table's cluster key, the
+  // Iceberg/Delta column-stats idea carried INSIDE the snapshot manifest
+  // so time travel and file pruning come from the same commit. Lines are
+  // carried verbatim across appends; readers that don't prune just take
+  // the path field, and a zoneless line is always read (pruning is an
+  // accelerator, never a correctness gate).
   private def dataLines(lines: Seq[String]): Seq[String] =
     lines.filterNot(_.startsWith("#"))
+
+  private def pathOf(line: String): String = line.split('\t').head
+
+  private def zoneOf(line: String): Option[(Long, Long)] =
+    line.split('\t') match {
+      case Array(_, lo, hi) => Some((lo.toLong, hi.toLong))
+      case _ => None
+    }
 
   /** Commit `_v<version>.manifest` atomically: write a temp file, then
     * rename into place. The rename is the commit point — a reader either
@@ -358,8 +373,15 @@ object Export {
     // equivalent path spelling still protect their files
     val live: Set[String] = versions.takeRight(keep).flatMap { v =>
       dataLines(readManifestRaw(fs, root, v))
-        .map(l => fs.makeQualified(new Path(l)).toString)
+        .map(l => fs.makeQualified(new Path(pathOf(l))).toString)
     }.toSet
+    // crashed commits leave `_tmp._v*` files (the rename never happened);
+    // they are garbage by definition once no commit is in flight — vacuum
+    // assumes (like the manifest-drop phase already does) that it does not
+    // race a concurrent committer
+    if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("_tmp._v"))
+      .foreach(p => fs.delete(p, false))
     var deleted = 0
     if (fs.exists(root)) fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
@@ -379,8 +401,73 @@ object Export {
   def readSnapshot(spark: SparkSession, outDir: String,
       version: Int): DataFrame = {
     val (fs, root) = fsRoot(outDir)
-    val files = dataLines(readManifestRaw(fs, root, version)).toIndexedSeq
+    val files = dataLines(readManifestRaw(fs, root, version))
+      .map(pathOf).toIndexedSeq
     spark.read.parquet(files: _*)
+  }
+
+  /** [[appendSnapshot]] with the epoch CLUSTERED on an integral key and
+    * per-file `[key_min, key_max]` zones recorded in the manifest's data
+    * lines: one range exchange + local sorts (the writeRangeLayout
+    * shape), then the read-back min/max per written file rides the same
+    * atomic commit as the file list. This is how a table format carries
+    * column stats in its manifests — [[readSnapshotPruned]] then answers
+    * a range query on ANY version scanning only overlapping files, with
+    * no separate zone-map table to keep in sync with the snapshot log. */
+  def appendSnapshotClustered(spark: SparkSession, df: DataFrame,
+      outDir: String, keyCol: String, nFiles: Int,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val prev = manifestVersions(fs, root).lastOption
+    val version = prev.getOrElse(0) + 1
+    val fresh = writeEpoch(fs, root, version,
+      df.repartitionByRange(nFiles, col(keyCol))
+        .sortWithinPartitions(keyCol))
+    val epochDir = new Path(root, s"epoch=$version")
+    val zones: Map[String, (Long, Long)] =
+      spark.read.parquet(epochDir.toString)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min(col(keyCol)).cast("long").as("lo"),
+          max(col(keyCol)).cast("long").as("hi"))
+        .collect()
+        .map(r => fs.makeQualified(new Path(r.getString(0))).toString ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    val freshLines = fresh.map { f =>
+      zones.get(fs.makeQualified(new Path(f)).toString) match {
+        case Some((lo, hi)) => s"$f	$lo	$hi"
+        case None => f // a file with zero rows carries no zone
+      }
+    }
+    val carried = prev match {
+      case Some(v) => dataLines(readManifestRaw(fs, root, v))
+      case None => Nil
+    }
+    commitManifest(fs, root, version, meta, carried ++ freshLines)
+    version
+  }
+
+  /** Zone-pruned read of a snapshot version: plan only the files whose
+    * manifest zone overlaps `[lo, hi]` (zoneless lines always read),
+    * then apply the exact predicate — pushed to the parquet scan, so
+    * surviving files still skip non-matching row groups. Same contract
+    * as the layout zone maps: over-wide zones cost reads, never rows. */
+  def readSnapshotPruned(spark: SparkSession, outDir: String,
+      version: Int, keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+    val chosen = lines.filter(l => zoneOf(l) match {
+      case Some((zlo, zhi)) => zhi >= lo && zlo <= hi
+      case None => true
+    }).map(pathOf)
+    // empty overlap: keep one file so the schema survives; the exact
+    // predicate then yields the correct empty result
+    val files =
+      if (chosen.nonEmpty) chosen
+      else lines.map(pathOf).sorted.take(1)
+    spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col(keyCol).between(lo, hi))
   }
 
   /** Compaction (the Delta `OPTIMIZE` shape): rewrite the LATEST

@@ -3972,6 +3972,48 @@ object Curation {
       |WHERE doc_id % 3 != 0 AND doc_id % 4 = 0
       |ORDER BY _change, doc_id""".stripMargin
 
+  /** Zone-pruned TIME TRAVEL
+    * ([[graft.operators.Export.appendSnapshotClustered]] +
+    * [[graft.operators.Export.readSnapshotPruned]]): two clustered
+    * epochs (evens then odds, 8 range-sorted files each) whose per-file
+    * min/max zones ride the snapshot manifests themselves — the
+    * Iceberg-manifest-column-stats idea — so a range query on the
+    * LATEST version plans only overlapping files with no separate
+    * zone-map table. Hash-matching DuckDB's full-scan replay proves
+    * pruning changed nothing; `ExportLayoutSpec` separately proves
+    * files were really skipped on both versions. */
+  def q_snapshot_pruned(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapzone_${math.abs(dir.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotClustered(s,
+      docs.filter(col("doc_id") % 2 === 0), od, "doc_id", nFiles = 8)
+    val v2 = graft.operators.Export.appendSnapshotClustered(s,
+      docs.filter(col("doc_id") % 2 === 1), od, "doc_id", nFiles = 8)
+    graft.operators.Export.readSnapshotPruned(s, od, v2, "doc_id",
+        lo = 100L, hi = 300L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q_snapshot_pruned_sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 100 AND 300
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** KEYED change-data-feed ([[graft.operators.Export.snapshotDiffKeyed]]
     * — the Delta CDF shape): v1 = docs with doc_id % 3 != 0; v2
     * full-replaces with doc_id % 4 != 0 AND re-scores every doc_id % 5

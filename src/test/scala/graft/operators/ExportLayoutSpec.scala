@@ -238,6 +238,67 @@ class ExportLayoutSpec extends SparkSpec {
       (3L, "c", "delete")))
   }
 
+  test("zone-carrying manifests: pruned time travel skips files on every version; zoneless epochs always read") {
+    import org.apache.spark.sql.functions._
+    val out = tmp("snapzone")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    val ids = docs.select("doc_id", "n_chars")
+    val v1 = Export.appendSnapshotClustered(spark,
+      ids.filter(col("doc_id") % 2 === 0), out, "doc_id", nFiles = 8)
+    val v2 = Export.appendSnapshotClustered(spark,
+      ids.filter(col("doc_id") % 2 === 1), out, "doc_id", nFiles = 8)
+    def manifestLines(v: Int) =
+      java.nio.file.Files.readAllLines(
+        new java.io.File(out, s"_v$v.manifest").toPath)
+        .toArray(Array.empty[String]).toSeq.filterNot(_.startsWith("#"))
+    // every clustered line carries a zone; zones per version cover the keys
+    assert(manifestLines(v2).forall(_.split('\t').length == 3))
+    // pruned read == full read + filter, on BOTH versions
+    def full(v: Int, lo: Long, hi: Long) =
+      Export.readSnapshot(spark, out, v)
+        .filter(col("doc_id").between(lo, hi))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def pruned(v: Int, lo: Long, hi: Long) =
+      Export.readSnapshotPruned(spark, out, v, "doc_id", lo, hi)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pruned(v1, 50, 150) === full(v1, 50, 150))
+    assert(pruned(v2, 50, 150) === full(v2, 50, 150))
+    // the plan really skips files: count input files of the pruned scan
+    val prunedFiles = Export.readSnapshotPruned(spark, out, v2, "doc_id",
+        50, 150)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(prunedFiles < manifestLines(v2).size,
+      s"pruned scan read all ${manifestLines(v2).size} files")
+    // a zoneless epoch (plain append) is ALWAYS read — never lost to pruning
+    val extra = ids.filter(col("doc_id") === 77L || col("doc_id") === 9999999L)
+    val v3 = Export.appendSnapshot(spark, extra, out)
+    assert(pruned(v3, 50, 150) === full(v3, 50, 150))
+    assert(pruned(v3, 50, 150).map(_._1).contains(77L))
+    // empty overlap keeps the schema and returns zero rows
+    assert(Export.readSnapshotPruned(spark, out, v3, "doc_id",
+      -500L, -400L).count() === 0)
+  }
+
+  test("vacuum removes crashed-commit temp manifests") {
+    val out = tmp("vactmp")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    import spark.implicits._
+    Export.replaceSnapshot(spark, Seq((1L, 2L)).toDF("k", "v"), out)
+    val orphan = new java.io.File(out, "_tmp._v9.manifest.deadbeef")
+    java.nio.file.Files.writeString(orphan.toPath, "garbage")
+    Export.vacuumSnapshots(out, keep = 1)
+    assert(!orphan.exists(), "crashed-commit temp manifest survived vacuum")
+    assert(Export.latestSnapshotVersion(out) === 1)
+  }
+
   test("snapshotDiffKeyed: insert/delete/update pre+post images; null keys match; null flips are updates") {
     import spark.implicits._
     val out = tmp("snapcdc")
