@@ -31,6 +31,30 @@ object Export {
       : org.apache.spark.sql.Column =
     ascii(substring(md5(idCol.cast("string")), 1, 1)) % nShards
 
+  /** Wide content-addressed shard id: the engine's portable 32-bit md5
+    * hash ([[Sketches.hash32]]) mod `nShards` — addresses up to 65536
+    * shards (the dataloader-fleet scale a 100 TB export actually needs;
+    * the one-nibble [[shardOf]] tops out at 16). Modulo bias is
+    * ≤ nShards/2^32 — immaterial — and the kernel is the same one every
+    * census gate already replays in DuckDB. */
+  def shardOfWide(idCol: org.apache.spark.sql.Column, nShards: Int)
+      : org.apache.spark.sql.Column = {
+    require(nShards > 0 && nShards <= 65536,
+      s"wide sharding addresses at most 65536 shards, got $nShards")
+    (Sketches.hash32(idCol) % nShards).cast("int")
+  }
+
+  private def shardManifest(spark: SparkSession, idCol: String,
+      outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(idCol)).cast("long").as("id_sum"),
+        min(col(idCol)).cast("long").as("id_min"),
+        max(col(idCol)).cast("long").as("id_max"))
+      .select(col("shard").cast("int").as("shard"), col("n_rows"),
+        col("id_sum"), col("id_min"), col("id_max"))
+
   /** Write `df` as `nShards` content-addressed shards under `outDir`,
     * return the certifying manifest: (shard, n_rows, id_sum, id_min,
     * id_max) per shard, read back from the written parquet. */
@@ -40,14 +64,16 @@ object Export {
       s"one md5 nibble addresses at most 16 shards, got $nShards")
     df.withColumn("shard", shardOf(col(idCol), nShards))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    spark.read.parquet(outDir)
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col(idCol)).cast("long").as("id_sum"),
-        min(col(idCol)).cast("long").as("id_min"),
-        max(col(idCol)).cast("long").as("id_max"))
-      .select(col("shard").cast("int").as("shard"), col("n_rows"),
-        col("id_sum"), col("id_min"), col("id_max"))
+    shardManifest(spark, idCol, outDir)
+  }
+
+  /** [[writeShards]] with the wide hash: the same one-write + read-back-
+    * certified manifest, at fleet shard counts. */
+  def writeShardsWide(spark: SparkSession, df: DataFrame, idCol: String,
+      nShards: Int, outDir: String): DataFrame = {
+    df.withColumn("shard", shardOfWide(col(idCol), nShards))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    shardManifest(spark, idCol, outDir)
   }
 
   // ---------------------------------------------------------------- zone map

@@ -2972,6 +2972,40 @@ object Curation {
       |FROM documents WHERE text IS NOT NULL
       |GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Wide content-addressed shard export
+    * ([[graft.operators.Export.writeShardsWide]]): the one-nibble
+    * [[graft.operators.Export.shardOf]] tops out at 16 shards — a
+    * 100 TB export feeds a dataloader FLEET, so the wide variant routes
+    * on the engine's portable 32-bit md5 hash (up to 65536 shards).
+    * 64 shards here; DuckDB replays the hash32 Horner walk and the
+    * read-back manifest must match shard-for-shard. */
+  def q_export_shards_wide(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"))
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"export_shards_wide_${math.abs(dir.hashCode)}")
+    graft.operators.Export.writeShardsWide(s, docs, "doc_id", nShards = 64,
+        out.getAbsolutePath)
+      .orderBy("shard")
+  }
+
+  val q_export_shards_wide_sql: String = {
+    val h = (0 until 8).map(i =>
+        "(CAST(strpos('0123456789abcdef', substr(h8, " + (i + 1) +
+          ", 1)) AS BIGINT) - 1)")
+      .reduceLeft((a, n) => s"($a * 16 + $n)")
+    s"""WITH h AS (
+       |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT CAST($h % 64 AS INT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(min(doc_id) AS BIGINT) AS id_min,
+       |  CAST(max(doc_id) AS BIGINT) AS id_max
+       |FROM h GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   /** SEMANTIC decontamination, hash-matched: flag training embeddings
     * near-identical to any eval-slice embedding (paraphrase leakage that
     * n-gram `decontam_overlap` cannot see). The eval slice (small by

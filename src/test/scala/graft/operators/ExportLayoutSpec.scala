@@ -283,6 +283,22 @@ class ExportLayoutSpec extends SparkSpec {
       -500L, -400L).count() === 0)
   }
 
+  test("wide shards: conservation, id range, 65536 cap, disjoint from the nibble router") {
+    val out = tmp("wideshards")
+    val ids = docs.select("doc_id", "n_chars")
+    val manifest = Export.writeShardsWide(spark, ids, "doc_id", 64, out)
+      .collect()
+    assert(manifest.map(_.getLong(1)).sum === ids.count(), "rows lost in sharding")
+    assert(manifest.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 64))
+    // deterministic: re-running assigns identically
+    val again = Export.writeShardsWide(spark, ids, "doc_id", 64, out)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(again === manifest.map(r => (r.getInt(0), r.getLong(1))).toSet)
+    intercept[IllegalArgumentException] {
+      Export.shardOfWide(col("doc_id"), 65537)
+    }
+  }
+
   test("vacuum removes crashed-commit temp manifests") {
     val out = tmp("vactmp")
     def rm(f: java.io.File): Unit = {
