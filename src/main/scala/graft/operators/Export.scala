@@ -448,6 +448,22 @@ object Export {
     fs.mkdirs(root)
     val prev = manifestVersions(fs, root).lastOption
     val version = prev.getOrElse(0) + 1
+    val freshLines = writeClusteredEpoch(spark, fs, root, version, df,
+      keyCol, nFiles)
+    val carried = prev match {
+      case Some(v) => dataLines(readManifestRaw(fs, root, v))
+      case None => Nil
+    }
+    commitManifest(fs, root, version, meta, carried ++ freshLines)
+    version
+  }
+
+  /** Range-sort `df` on `keyCol` into `nFiles` files under
+    * `epoch=<version>` and return one zoned manifest data line per
+    * written file (read-back min/max, so the zone certifies the bytes). */
+  private def writeClusteredEpoch(spark: SparkSession, fs: FileSystem,
+      root: Path, version: Int, df: DataFrame, keyCol: String,
+      nFiles: Int): Seq[String] = {
     val fresh = writeEpoch(fs, root, version,
       df.repartitionByRange(nFiles, col(keyCol))
         .sortWithinPartitions(keyCol))
@@ -460,18 +476,12 @@ object Export {
         .collect()
         .map(r => fs.makeQualified(new Path(r.getString(0))).toString ->
           ((r.getLong(1), r.getLong(2)))).toMap
-    val freshLines = fresh.map { f =>
+    fresh.map { f =>
       zones.get(fs.makeQualified(new Path(f)).toString) match {
-        case Some((lo, hi)) => s"$f	$lo	$hi"
+        case Some((lo, hi)) => s"$f\t$lo\t$hi"
         case None => f // a file with zero rows carries no zone
       }
     }
-    val carried = prev match {
-      case Some(v) => dataLines(readManifestRaw(fs, root, v))
-      case None => Nil
-    }
-    commitManifest(fs, root, version, meta, carried ++ freshLines)
-    version
   }
 
   /** Zone-pruned read of a snapshot version: plan only the files whose
@@ -516,6 +526,28 @@ object Export {
     val rows = readSnapshot(spark, outDir, latest).coalesce(nFiles)
     replaceSnapshot(spark, rows, outDir,
       meta = Map("compacted_from" -> latest.toString))
+  }
+
+  /** CLUSTERED compaction (`OPTIMIZE ... ORDER BY` in one commit):
+    * rewrite the latest version range-sorted on `keyCol` with per-file
+    * zones on the new manifest — one maintenance pass both fixes the
+    * small-files pathology AND (re)establishes the pruning layout that
+    * epoch-at-a-time ingestion erodes (each streamed epoch is clustered
+    * within itself; the TABLE's key ranges still overlap across epochs
+    * until a clustered compaction re-sorts them). Same immutability
+    * contract as [[compactSnapshot]]. */
+  def compactSnapshotClustered(spark: SparkSession, outDir: String,
+      keyCol: String, nFiles: Int): Int = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to compact under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val version = latest + 1
+    val lines = writeClusteredEpoch(spark, fs, root, version,
+      readSnapshot(spark, outDir, latest), keyCol, nFiles)
+    commitManifest(fs, root, version,
+      Map("compacted_from" -> latest.toString), lines)
+    version
   }
 
   /** Change-data-feed between two committed versions: every row of

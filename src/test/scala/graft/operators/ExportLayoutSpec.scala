@@ -299,6 +299,40 @@ class ExportLayoutSpec extends SparkSpec {
     }
   }
 
+  test("clustered compaction: re-sorts overlapping epochs into a pruned layout, rows intact") {
+    import org.apache.spark.sql.functions._
+    val out = tmp("compactclustered")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    val ids = docs.select("doc_id", "n_chars")
+    // epoch-at-a-time ingestion: each epoch internally clustered but the
+    // TABLE's key ranges overlap across epochs — every file spans the
+    // whole key domain as far as a range query on the union is concerned
+    val v1 = Export.appendSnapshotClustered(spark,
+      ids.filter(col("doc_id") % 2 === 0), out, "doc_id", nFiles = 4)
+    val v2 = Export.appendSnapshotClustered(spark,
+      ids.filter(col("doc_id") % 2 === 1), out, "doc_id", nFiles = 4)
+    def rows(v: Int) = Export.readSnapshot(spark, out, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val before = rows(v2)
+    val vc = Export.compactSnapshotClustered(spark, out, "doc_id", nFiles = 8)
+    assert(rows(vc) === before, "clustered compaction changed the rows")
+    assert(Export.snapshotMeta(out, vc) === Map("compacted_from" -> v2.toString))
+    // the compacted layout prunes: a narrow range touches few of the 8 files
+    val touched = Export.readSnapshotPruned(spark, out, vc, "doc_id", 50, 120)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(touched <= 3, s"compacted layout did not prune: $touched of 8 files")
+    // and matches the unpruned read
+    assert(Export.readSnapshotPruned(spark, out, vc, "doc_id", 50, 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      before.filter(t => t._1 >= 50 && t._1 <= 120))
+    // pre-compaction versions still read
+    assert(rows(v1) === before.filter(_._1 % 2 == 0))
+  }
+
   test("vacuum removes crashed-commit temp manifests") {
     val out = tmp("vactmp")
     def rm(f: java.io.File): Unit = {
