@@ -186,6 +186,36 @@ object Events {
     """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
       |FROM events ORDER BY user_id, ts_us, event_type""".stripMargin
 
+  /** Watermark + late-data discipline
+    * ([[graft.streaming.EventStream.streamingWatermarkedCounts]]): a
+    * time-ordered 4-file drain with one planted late row; Append mode +
+    * a 120-minute watermark must (a) DROP the late row (its window was
+    * finalized batches ago) and (b) emit exactly the windows whose end
+    * the final watermark passed, withholding the tail. DuckDB replays
+    * both predicates from the same synthetic `range()` input —
+    * the state-bounding contract certified cross-engine. */
+  def q_stream_watermark(s: SparkSession, dir: String): DataFrame = {
+    val stage = new File("target/qtmp_stream", "wm_stage")
+    val cp = new File("target/qtmp_stream",
+      s"cp_wm_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    EventStream.streamingWatermarkedCounts(s, stage.getAbsolutePath,
+        cp.getAbsolutePath)
+      .orderBy("win_start_min")
+  }
+
+  val q_stream_watermark_sql: String =
+    """WITH src AS (SELECT unnest(range(8000)) AS i),
+      |r AS (SELECT i, CASE WHEN i = 6000 THEN 0 ELSE i END AS ts_min
+      |  FROM src),
+      |kept AS (SELECT ts_min FROM r WHERE i != 6000),
+      |w AS (SELECT (ts_min // 60) * 60 AS win_start_min,
+      |  count(*) AS n_events FROM kept GROUP BY 1)
+      |SELECT CAST(win_start_min AS BIGINT) AS win_start_min,
+      |  CAST(n_events AS BIGINT) AS n_events
+      |FROM w WHERE win_start_min + 60 <= 7999 - 120
+      |ORDER BY win_start_min""".stripMargin
+
   /** Funnel analysis (earliest-completion, strict order, bounded window):
     * of the users who ever `view`ed, how many went on to `click` and then
     * `purchase` within 7 days of the first view — the product-analytics

@@ -264,6 +264,77 @@ object EventStream {
     }
   }
 
+  /** Watermarked append-mode windowed aggregation — the late-data
+    * discipline the other drains deliberately avoid (their 4-way file
+    * split is not time-ordered, so any finite watermark would discard
+    * valid rows; see [[sessionWindowCounts]]). Here the source is staged
+    * time-ordered ON PURPOSE — four synthetic files of monotone
+    * minute-stamped rows, drained oldest-first — with ONE planted late
+    * row (minute 0 arriving in the last file). The mechanics under test:
+    *  - the watermark advances between micro-batches (max event time
+    *    seen − 120 min), so the planted row arrives with its window
+    *    long since finalized and MUST be dropped;
+    *  - Append mode emits a window exactly once, when the watermark
+    *    passes its end — settled output = every window whose end ≤
+    *    final watermark; later windows are withheld, not partial.
+    * Deterministic end to end (synthetic input, controlled file order),
+    * so DuckDB replays drop + emission predicates row-for-row — the
+    * state-bounding contract a production stream runs under, certified
+    * cross-engine. */
+  def streamingWatermarkedCounts(spark: SparkSession, stageDir: String,
+      checkpointDir: String): DataFrame = {
+    val stage = new File(stageDir)
+    if (!new File(stage, "_STAGED").exists()) {
+      stage.mkdirs()
+      for (k <- 0 until 4) {
+        val part = spark.range(k * 2000L, (k + 1) * 2000L)
+          .selectExpr("id AS i",
+            "(CASE WHEN id = 6000 THEN CAST(0 AS BIGINT) ELSE id END)" +
+              " * 60000000 AS ts_us",
+            "id % 40 AS user_id")
+        val tmp = new File(stage, s"_tmp_$k")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new File(stage, f"f$k%02d.parquet")
+        java.nio.file.Files.move(pf.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        def rm(f: File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(tmp)
+        // distinct mod-times: the file source drains oldest-first, so
+        // arrival order is the time order the watermark math assumes
+        dest.setLastModified(1600000000000L + k * 60000L)
+      }
+      new File(stage, "_STAGED").createNewFile()
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("i", "long").add("ts_us", "long").add("user_id", "long")
+    val queryName = s"graft_wm_${math.abs(stageDir.hashCode)}"
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_ts", "120 minutes")
+    val agg = stream
+      .groupBy(window(col("ts_ts"), "60 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(expr("unix_micros(window.start) div 60000000")
+        .cast("long").as("win_start_min"), col("n_events"))
+    withStreamShuffle(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
+  }
+
   /** Continuous APPEND ingestion into the snapshot log — the raw-table
     * counterpart of the materialized view: each micro-batch's rows are
     * committed as a fresh epoch via

@@ -254,6 +254,33 @@ class EventStreamSpec extends SparkSpec {
       "replayed batches appended duplicate epochs")
   }
 
+  test("watermark: late row dropped, tail windows withheld, emitted counts conserve") {
+    val stage = new java.io.File("target/qtmp_stream", "wm_stage_spec")
+    val cp = new java.io.File("target/qtmp_stream", "cp_wm_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(stage); rm(cp)
+    val rows = EventStream.streamingWatermarkedCounts(spark,
+        stage.getAbsolutePath, cp.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // final watermark = 7999 - 120 = 7879 min: emitted windows are
+    // [0,60) .. [7800,7860) — 131 windows; [7860,7920)+ withheld
+    assert(rows.length === 131)
+    assert(rows.map(_._1).max === 7800L)
+    // conservation: rows i=0..7859 minus the planted late row (i=6000,
+    // restamped to minute 0, arriving in batch 4 with watermark at 5879)
+    assert(rows.map(_._2).sum === 7859L,
+      "late row not dropped or a window lost rows")
+    // window [0,60) holds exactly i=0..59 — the planted row did NOT
+    // sneak into the long-finalized first window
+    assert(rows.find(_._1 == 0L).map(_._2) === Some(60L))
+    val commits = new java.io.File(cp, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 4, s"expected >=4 micro-batches, saw $commits")
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
