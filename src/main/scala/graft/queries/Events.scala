@@ -186,6 +186,30 @@ object Events {
     """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
       |FROM events ORDER BY user_id, ts_us, event_type""".stripMargin
 
+  /** Stream-stream inner join
+    * ([[graft.streaming.EventStream.streamingStreamJoin]]): impressions
+    * ⋈ clicks on ad id + a 30-minute attribution window, both sides
+    * watermarked 60 minutes so join state is evictable; one planted
+    * late click must be discarded (the min-across-sources watermark
+    * passed its event time batches earlier), so its match never
+    * appears. DuckDB replays the join predicate and the drop from the
+    * same synthetic input. */
+  def q_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val stage = new File("target/qtmp_stream", "ssj_stage_v3")
+    val cp = new File("target/qtmp_stream",
+      s"cp_ssj_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    EventStream.streamingStreamJoin(s, stage.getAbsolutePath,
+        cp.getAbsolutePath)
+      .orderBy("i")
+  }
+
+  val q_stream_join_sql: String =
+    """SELECT i, i AS imp_min, i + 5 AS click_min
+      |FROM (SELECT unnest(range(4000)) AS i)
+      |WHERE i % 3 = 0
+      |ORDER BY i""".stripMargin
+
   /** Watermark + late-data discipline
     * ([[graft.streaming.EventStream.streamingWatermarkedCounts]]): a
     * time-ordered 4-file drain with one planted late row; Append mode +

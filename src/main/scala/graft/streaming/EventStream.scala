@@ -335,6 +335,98 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** STREAM-STREAM inner join with watermark-bounded state — the
+    * flagship Structured Streaming capability the rest of this file
+    * composes around but never exercised directly: two live sources
+    * (impressions, clicks) joined on key + a time-range condition, each
+    * side watermarked so the engine can evict impression state once no
+    * future click can match it. Both sources are staged time-ordered
+    * (two files each, drained oldest-first), with ONE planted late click
+    * (minute 15 arriving in the second click file, when the global
+    * watermark — the MIN across sources — is already past minute 1400):
+    * that click MUST be discarded as late input, so its would-be match
+    * never appears. Deterministic end to end; DuckDB replays the join
+    * predicate and the late-drop from the same synthetic input. */
+  def streamingStreamJoin(spark: SparkSession, stageDir: String,
+      checkpointDir: String): DataFrame = {
+    val root = new File(stageDir)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    def stageFiles(sub: String, parts: Seq[org.apache.spark.sql.DataFrame]): File = {
+      val dir = new File(root, sub)
+      if (!new File(dir, "_STAGED").exists()) {
+        dir.mkdirs()
+        parts.zipWithIndex.foreach { case (df, k) =>
+          val tmp = new File(dir, s"_tmp_$k")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dest = new File(dir, f"f$k%02d.parquet")
+          java.nio.file.Files.move(pf.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rm(tmp)
+          dest.setLastModified(1600000000000L + k * 60000L)
+        }
+        new File(dir, "_STAGED").createNewFile()
+      }
+      dir
+    }
+    // impressions: ad i shown at minute BASE + i (i < 4000), two
+    // time-ordered files. BASE = 1440 keeps minute 0 off epoch 0 — the
+    // initial watermark is epoch 0, and a row sitting exactly ON the
+    // watermark is boundary-dropped by the join's late-input filter
+    // (observed: the i = 0 match vanished with an unshifted timeline).
+    val impDir = stageFiles("imp", Seq(
+      spark.range(0L, 2000L)
+        .selectExpr("id AS i", "(id + 1440) * 60000000 AS ts_us"),
+      spark.range(2000L, 4000L)
+        .selectExpr("id AS i", "(id + 1440) * 60000000 AS ts_us")))
+    // clicks: every third ad clicked at minute i+5; a THIRD file carries
+    // only the PLANTED LATE click for ad 10 (minute 15). It must arrive
+    // two batches after the watermark passed it: state eviction runs at
+    // the END of a batch (a same-batch probe still finds not-yet-evicted
+    // state), so the ad-10 impression is provably gone only once a full
+    // high-watermark batch has closed before the late row arrives.
+    val clkDir = stageFiles("clk", Seq(
+      spark.range(0L, 1500L).filter("id % 3 = 0")
+        .selectExpr("id AS i", "(id + 1445) * 60000000 AS ts_us"),
+      spark.range(1500L, 4000L).filter("id % 3 = 0")
+        .selectExpr("id AS i", "(id + 1445) * 60000000 AS ts_us"),
+      spark.range(10L, 11L)
+        .selectExpr("id AS i", "CAST(15 + 1440 AS BIGINT) * 60000000 AS ts_us")))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("i", "long").add("ts_us", "long")
+    def src(dir: File, tsName: String, keyName: String) = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .select(col("i").as(keyName),
+        timestamp_micros(col("ts_us")).as(tsName))
+      .withWatermark(tsName, "60 minutes")
+    val imp = src(impDir, "imp_ts", "imp_i")
+    val clk = src(clkDir, "clk_ts", "clk_i")
+    val queryName = s"graft_ssj_${math.abs(stageDir.hashCode)}"
+    val joined = imp.join(clk,
+        expr("imp_i = clk_i AND clk_ts >= imp_ts AND " +
+          "clk_ts <= imp_ts + INTERVAL 30 MINUTES"))
+      .select(col("imp_i").as("i"),
+        expr("unix_micros(imp_ts) div 60000000 - 1440")
+          .cast("long").as("imp_min"),
+        expr("unix_micros(clk_ts) div 60000000 - 1440")
+          .cast("long").as("click_min"))
+    withStreamShuffle(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
+  }
+
   /** Continuous APPEND ingestion into the snapshot log — the raw-table
     * counterpart of the materialized view: each micro-batch's rows are
     * committed as a fresh epoch via

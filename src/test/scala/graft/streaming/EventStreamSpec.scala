@@ -281,6 +281,28 @@ class EventStreamSpec extends SparkSpec {
     assert(commits >= 4, s"expected >=4 micro-batches, saw $commits")
   }
 
+  test("stream-stream join: every in-window match found, late click discarded after state eviction") {
+    val stage = new java.io.File("target/qtmp_stream", "ssj_stage_spec")
+    val cp = new java.io.File("target/qtmp_stream", "cp_ssj_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(stage); rm(cp)
+    val rows = EventStream.streamingStreamJoin(spark,
+        stage.getAbsolutePath, cp.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every clicked ad (i % 3 == 0, i < 4000) matched exactly once with
+    // its own impression and the minute-5 attribution delta
+    assert(rows.length === 1334)
+    assert(rows.forall { case (i, im, cm) => im === i && cm === i + 5 })
+    assert(rows.map(_._1).distinct.length === 1334)
+    // the planted late click (ad 10, minute 15, arriving two batches
+    // after the watermark passed it) found no state and emitted nothing
+    assert(!rows.exists(_._1 == 10L),
+      "late click matched — join state was not evicted")
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
