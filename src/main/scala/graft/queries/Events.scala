@@ -186,6 +186,34 @@ object Events {
     """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
       |FROM events ORDER BY user_id, ts_us, event_type""".stripMargin
 
+  /** Update output mode
+    * ([[graft.streaming.EventStream.streamingUpdateCounts]]): per-batch
+    * emission of ONLY the changed keys, folded to (n_updates, n_final)
+    * per key — users absent from the last file must show one fewer
+    * update, and every final count must equal the batch aggregate.
+    * Completes the output-mode matrix (Complete = sketch censuses,
+    * Append = watermark/join gates). */
+  def q_stream_update(s: SparkSession, dir: String): DataFrame = {
+    val stage = new File("target/qtmp_stream", "upd_stage")
+    val cp = new File("target/qtmp_stream",
+      s"cp_upd_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    EventStream.streamingUpdateCounts(s, stage.getAbsolutePath,
+        cp.getAbsolutePath)
+      .orderBy("user_id")
+  }
+
+  val q_stream_update_sql: String =
+    """WITH src AS (SELECT unnest(range(8000)) AS i),
+      |r AS (SELECT CASE WHEN i < 6000 THEN i % 40 ELSE i % 20 END
+      |  AS user_id, i // 2000 AS batch FROM src),
+      |agg AS (SELECT user_id, count(DISTINCT batch) AS n_updates,
+      |  count(*) AS n_final FROM r GROUP BY 1)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(n_updates AS BIGINT) AS n_updates,
+      |  CAST(n_final AS BIGINT) AS n_final
+      |FROM agg ORDER BY user_id""".stripMargin
+
   /** Stream-stream inner join
     * ([[graft.streaming.EventStream.streamingStreamJoin]]): impressions
     * ⋈ clicks on ad id + a 30-minute attribution window, both sides

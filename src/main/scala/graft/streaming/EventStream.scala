@@ -335,6 +335,65 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** UPDATE output mode — the third of Spark's three output modes
+    * (Complete drives the sketch censuses, Append the watermark/join
+    * gates): each micro-batch emits ONLY the keys whose aggregate
+    * changed. The staged source makes that observable: four files of
+    * user-keyed rows where users 20-39 appear in the first three files
+    * only — so they must emit exactly 3 update rows to users 0-19's 4,
+    * and every key's LAST update must equal the full batch aggregate.
+    * The settled memory sink holds one row per (key, changed-batch);
+    * the gate folds it to (n_updates, n_final) per key and DuckDB
+    * replays both from the same `range()` input — emission discipline
+    * and final correctness certified together. (No watermark here:
+    * unbounded keyed state is Update mode's trade; bounding it is the
+    * watermark gate's subject.) */
+  def streamingUpdateCounts(spark: SparkSession, stageDir: String,
+      checkpointDir: String): DataFrame = {
+    val stage = new File(stageDir)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (!new File(stage, "_STAGED").exists()) {
+      stage.mkdirs()
+      for (k <- 0 until 4) {
+        val part = spark.range(k * 2000L, (k + 1) * 2000L)
+          .selectExpr("id AS i",
+            "CASE WHEN id < 6000 THEN id % 40 ELSE id % 20 END AS user_id")
+        val tmp = new File(stage, s"_tmp_$k")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new File(stage, f"f$k%02d.parquet")
+        java.nio.file.Files.move(pf.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        rm(tmp)
+        dest.setLastModified(1600000000000L + k * 60000L)
+      }
+      new File(stage, "_STAGED").createNewFile()
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("i", "long").add("user_id", "long")
+    val queryName = s"graft_upd_${math.abs(stageDir.hashCode)}"
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    val agg = stream.groupBy("user_id").agg(count(lit(1)).as("n"))
+    withStreamShuffle(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_updates"), max(col("n")).as("n_final"))
+  }
+
   /** STREAM-STREAM inner join with watermark-bounded state — the
     * flagship Structured Streaming capability the rest of this file
     * composes around but never exercised directly: two live sources

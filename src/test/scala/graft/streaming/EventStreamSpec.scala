@@ -303,6 +303,25 @@ class EventStreamSpec extends SparkSpec {
       "late click matched — join state was not evicted")
   }
 
+  test("update mode emits only changed keys per batch; last update equals the batch aggregate") {
+    val stage = new java.io.File("target/qtmp_stream", "upd_stage_spec")
+    val cp = new java.io.File("target/qtmp_stream", "cp_upd_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(stage); rm(cp)
+    val byUser = EventStream.streamingUpdateCounts(spark,
+        stage.getAbsolutePath, cp.getAbsolutePath)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(byUser.size === 40)
+    // users 0-19 appear in all 4 files -> 4 updates, 150*3/... = 250 rows;
+    // users 20-39 appear only in the first 3 -> 3 updates, 150 rows
+    (0L until 20L).foreach(u => assert(byUser(u) === ((4L, 250L)), s"user $u"))
+    (20L until 40L).foreach(u => assert(byUser(u) === ((3L, 150L)), s"user $u"))
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
