@@ -248,7 +248,7 @@ object Export {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
-  private def fsRoot(outDir: String): (FileSystem, Path) = {
+  private[graft] def fsRoot(outDir: String): (FileSystem, Path) = {
     val p = new Path(outDir)
     val fs = p.getFileSystem(hadoopConf)
     (fs, fs.makeQualified(p))
@@ -295,7 +295,7 @@ object Export {
     * rename into place. The rename is the commit point — a reader either
     * sees the complete manifest or no manifest; a crash before the rename
     * leaves only a `_tmp.` file the next commit ignores. */
-  private def commitManifest(fs: FileSystem, root: Path, version: Int,
+  private[graft] def commitManifest(fs: FileSystem, root: Path, version: Int,
       meta: Map[String, String], files: Seq[String]): Unit = {
     meta.foreach { case (k, v) =>
       require(!k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
@@ -307,7 +307,14 @@ object Export {
       (meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++ files)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, manifestPath(root, version))) {
+    // loser-detection is two layers: on HDFS/object stores, rename onto
+    // an existing destination FAILS (returns false) — the true atomic
+    // guard; on a POSIX local FS, File.renameTo silently OVERWRITES, so
+    // the exists() pre-check catches the race the rename can't. A local
+    // FS is a dev/test surface; the deployment stores get the atomic
+    // semantics.
+    val dest = manifestPath(root, version)
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent commit: _v$version.manifest already exists under $root")

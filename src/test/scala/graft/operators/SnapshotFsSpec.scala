@@ -49,6 +49,27 @@ class SnapshotFsSpec extends SparkSpec {
     assert(meta.isEmpty)
   }
 
+  test("concurrent commit: the losing committer fails loudly, the winner's manifest is untouched") {
+    val out = mockRoot("snap_race")
+    val v1 = Export.replaceSnapshot(spark, Seq((1L, "a")).toDF("id", "s"), out)
+    assert(v1 === 1)
+    // interleave the race at the commit point: both committers listed the
+    // log, both chose version 2, the other renamed _v2 into place first
+    val local = new java.io.File(out.stripPrefix("mockfs:"))
+    java.nio.file.Files.writeString(
+      new java.io.File(local, "_v2.manifest").toPath, "#batch=99")
+    val (fs, root) = Export.fsRoot(out)
+    intercept[IllegalStateException] {
+      Export.commitManifest(fs, root, 2, Map("batch" -> "100"),
+        Seq("mockfs:/nonexistent/loser.parquet"))
+    }
+    // the winner's manifest is untouched; the loser left no temp litter
+    assert(Export.snapshotMeta(out, 2) === Map("batch" -> "99"))
+    assert(!local.listFiles().exists(_.getName.startsWith("_tmp._v")),
+      "losing committer leaked its temp manifest")
+    assert(Export.latestSnapshotVersion(out) === 2)
+  }
+
   test("replace + meta headers + vacuum through the non-file: scheme") {
     val out = mockRoot("snap_replace")
     val v1 = Export.replaceSnapshot(spark, Seq((1L, 10L)).toDF("k", "v"),
