@@ -186,6 +186,43 @@ object Events {
     """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
       |FROM events ORDER BY user_id, ts_us, event_type""".stripMargin
 
+  /** LEFT OUTER stream-stream join
+    * ([[graft.streaming.EventStream.streamingStreamJoinOuter]]): matched
+    * ads emit with their click; unclicked ads emit null-padded only once
+    * the final watermark proves no click can come (imp_ts + 30 min
+    * beyond the watermark horizon ⇒ withheld). The emission horizon is
+    * pinned as an explicit predicate in the oracle — Spark's observed
+    * deterministic boundary, replayed row-for-row by DuckDB. */
+  def q_stream_join_outer(s: SparkSession, dir: String): DataFrame = {
+    val stage = new File("target/qtmp_stream", "ssjo_stage")
+    val cp = new File("target/qtmp_stream",
+      s"cp_ssjo_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    EventStream.streamingStreamJoinOuter(s, stage.getAbsolutePath,
+        cp.getAbsolutePath)
+      .orderBy("i")
+  }
+
+  /** The null-emission horizon replayed from first principles: final
+    * watermark = min(max imp ts, max clk ts) − 60 min; an unmatched
+    * impression emits iff imp_ts + 30 min (its last possible match
+    * time) is STRICTLY below it — observed i < 3909, 60 newest
+    * unmatched withheld. */
+  val q_stream_join_outer_sql: String =
+    """WITH src AS (SELECT unnest(range(4000)) AS i),
+      |params AS (SELECT least(3999 + 1440, 3999 + 1445) - 60 AS wm),
+      |matched AS (
+      |  SELECT i, i AS imp_min, i + 5 AS click_min
+      |  FROM src WHERE i % 3 = 0),
+      |unmatched AS (
+      |  SELECT i, i AS imp_min, CAST(NULL AS BIGINT) AS click_min
+      |  FROM src, params
+      |  WHERE i % 3 != 0 AND (i + 1440) + 30 < wm)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(imp_min AS BIGINT) AS imp_min,
+      |  CAST(click_min AS BIGINT) AS click_min
+      |FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+      |ORDER BY i""".stripMargin
+
   /** Update output mode
     * ([[graft.streaming.EventStream.streamingUpdateCounts]]): per-batch
     * emission of ONLY the changed keys, folded to (n_updates, n_final)

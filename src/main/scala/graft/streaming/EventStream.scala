@@ -335,6 +335,85 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** LEFT OUTER stream-stream join — the subtle half of streaming joins:
+    * matched rows emit as they join, but an UNMATCHED left row can only
+    * emit (null-padded) once the watermark proves no future right row
+    * can match it — and left rows still inside that horizon at stream
+    * end are WITHHELD, not emitted partial. Same staged sources as the
+    * inner-join gate minus the planted late row; the gate pins all three
+    * populations: every third ad matched with its click, older unclicked
+    * ads null-emitted after eviction, the newest unclicked ads absent.
+    * The emission horizon (which ads count as "older") is read off the
+    * observed deterministic boundary and replayed by DuckDB as an
+    * explicit predicate — pinned, not assumed. */
+  def streamingStreamJoinOuter(spark: SparkSession, stageDir: String,
+      checkpointDir: String): DataFrame = {
+    val root = new File(stageDir)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    def stageFiles(sub: String, parts: Seq[org.apache.spark.sql.DataFrame]): File = {
+      val dir = new File(root, sub)
+      if (!new File(dir, "_STAGED").exists()) {
+        dir.mkdirs()
+        parts.zipWithIndex.foreach { case (df, k) =>
+          val tmp = new File(dir, s"_tmp_$k")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dest = new File(dir, f"f$k%02d.parquet")
+          java.nio.file.Files.move(pf.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rm(tmp)
+          dest.setLastModified(1600000000000L + k * 60000L)
+        }
+        new File(dir, "_STAGED").createNewFile()
+      }
+      dir
+    }
+    val impDir = stageFiles("imp", Seq(
+      spark.range(0L, 2000L)
+        .selectExpr("id AS i", "(id + 1440) * 60000000 AS ts_us"),
+      spark.range(2000L, 4000L)
+        .selectExpr("id AS i", "(id + 1440) * 60000000 AS ts_us")))
+    val clkDir = stageFiles("clk", Seq(
+      spark.range(0L, 1500L).filter("id % 3 = 0")
+        .selectExpr("id AS i", "(id + 1445) * 60000000 AS ts_us"),
+      spark.range(1500L, 4000L).filter("id % 3 = 0")
+        .selectExpr("id AS i", "(id + 1445) * 60000000 AS ts_us")))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("i", "long").add("ts_us", "long")
+    def src(dir: File, tsName: String, keyName: String) = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .select(col("i").as(keyName),
+        timestamp_micros(col("ts_us")).as(tsName))
+      .withWatermark(tsName, "60 minutes")
+    val imp = src(impDir, "imp_ts", "imp_i")
+    val clk = src(clkDir, "clk_ts", "clk_i")
+    val queryName = s"graft_ssjo_${math.abs(stageDir.hashCode)}"
+    val joined = imp.join(clk,
+        expr("imp_i = clk_i AND clk_ts >= imp_ts AND " +
+          "clk_ts <= imp_ts + INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("imp_i").as("i"),
+        expr("unix_micros(imp_ts) div 60000000 - 1440")
+          .cast("long").as("imp_min"),
+        expr("unix_micros(clk_ts) div 60000000 - 1440")
+          .cast("long").as("click_min"))
+    withStreamShuffle(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
+  }
+
   /** UPDATE output mode — the third of Spark's three output modes
     * (Complete drives the sketch censuses, Append the watermark/join
     * gates): each micro-batch emits ONLY the keys whose aggregate

@@ -322,6 +322,34 @@ class EventStreamSpec extends SparkSpec {
     (20L until 40L).foreach(u => assert(byUser(u) === ((3L, 150L)), s"user $u"))
   }
 
+  test("left-outer stream-stream join: null rows emit only past the eviction horizon, tail withheld") {
+    val stage = new java.io.File("target/qtmp_stream", "ssjo_stage_spec")
+    val cp = new java.io.File("target/qtmp_stream", "cp_ssjo_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(stage); rm(cp)
+    val rows = EventStream.streamingStreamJoinOuter(spark,
+        stage.getAbsolutePath, cp.getAbsolutePath)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val matched = rows.filter(_._3.isDefined)
+    val nulls = rows.filter(_._3.isEmpty)
+    // every clicked ad matched exactly once, none null-emitted too
+    assert(matched.length === 1334)
+    assert(matched.forall { case (i, im, cm) => im === i && cm === Some(i + 5) })
+    assert(!nulls.exists(n => matched.exists(_._1 == n._1)),
+      "an ad emitted both matched and null-padded")
+    // unmatched ads: emitted iff imp_ts + 30min < final watermark
+    // (min(5439, 5444) - 60 = 5379 min) => i < 3909; the 60 newest
+    // unclicked ads are withheld, not emitted partial
+    val expectedNullIds = (0L until 4000L)
+      .filter(i => i % 3 != 0 && i < 3909).toSet
+    assert(nulls.map(_._1).toSet === expectedNullIds)
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
