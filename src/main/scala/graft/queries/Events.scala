@@ -186,6 +186,35 @@ object Events {
     """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
       |FROM events ORDER BY user_id, ts_us, event_type""".stripMargin
 
+  /** Bounded-state streaming dedup
+    * ([[graft.streaming.EventStream.streamingDedupBounded]] —
+    * `dropDuplicatesWithinWatermark`): in-horizon duplicates drop,
+    * and a replay of a key whose state the watermark already evicted
+    * legitimately RE-EMITS — the state-bounding trade spelled out as
+    * data. DuckDB replays the exact emission set. */
+  def q_stream_dedup_bounded(s: SparkSession, dir: String): DataFrame = {
+    val stage = new File("target/qtmp_stream", "dwb_stage_v2")
+    val cp = new File("target/qtmp_stream",
+      s"cp_dwb_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    EventStream.streamingDedupBounded(s, stage.getAbsolutePath,
+        cp.getAbsolutePath)
+      .orderBy("minute", "event_id")
+  }
+
+  val q_stream_dedup_bounded_sql: String =
+    """SELECT CAST(i AS BIGINT) AS event_id, CAST(i AS BIGINT) AS minute
+      |FROM (SELECT unnest(range(1, 101)) AS i)
+      |UNION ALL
+      |SELECT CAST(i AS BIGINT), CAST(i AS BIGINT)
+      |FROM (SELECT unnest(range(5000, 5100)) AS i)
+      |UNION ALL
+      |SELECT CAST(i AS BIGINT), CAST(i AS BIGINT)
+      |FROM (SELECT unnest(range(6000, 6010)) AS i)
+      |UNION ALL
+      |SELECT 50, 6100
+      |ORDER BY minute, event_id""".stripMargin
+
   /** LEFT OUTER stream-stream join
     * ([[graft.streaming.EventStream.streamingStreamJoinOuter]]): matched
     * ads emit with their click; unclicked ads emit null-padded only once

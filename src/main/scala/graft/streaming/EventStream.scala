@@ -335,6 +335,86 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Bounded-state streaming dedup (`dropDuplicatesWithinWatermark`) —
+    * the honest trade `q_stream_dedup`'s plain dropDuplicates hides: at
+    * 100 TB you cannot keep every key ever seen, so dedup state is
+    * evicted once the watermark passes a key's event time + delay, and a
+    * duplicate arriving AFTER that expiry legitimately RE-EMITS. The
+    * staged drain pins both sides of the contract: an in-batch duplicate
+    * and a still-within-horizon replay are dropped; a replay of a key
+    * whose state expired two batches ago re-emits. DuckDB replays the
+    * exact emission set from the same `range()` construction. */
+  def streamingDedupBounded(spark: SparkSession, stageDir: String,
+      checkpointDir: String): DataFrame = {
+    val stage = new File(stageDir)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (!new File(stage, "_STAGED").exists()) {
+      stage.mkdirs()
+      val parts = Seq(
+        // f0: ids 1..100 at minute = id, PLUS an exact in-batch dup of 7
+        spark.range(1L, 101L)
+          .selectExpr("id AS event_id", "(id + 1440) * 60000000 AS ts_us")
+          .unionAll(spark.range(7L, 8L)
+            .selectExpr("id AS event_id", "(id + 1440) * 60000000 AS ts_us")),
+        // f1: ids 5000..5099 — advances the watermark far past f0's
+        // state horizon (id 50 expires once wm > minute 50 + 60)
+        spark.range(5000L, 5100L)
+          .selectExpr("id AS event_id", "(id + 1440) * 60000000 AS ts_us"),
+        // f2: filler batch — state eviction runs at batch END with the
+        // PRE-update watermark (same one-batch lag the stream-stream
+        // join gate observed), so a full high-watermark batch must
+        // close before id 50's state is provably gone
+        spark.range(6000L, 6010L)
+          .selectExpr("id AS event_id", "(id + 1440) * 60000000 AS ts_us"),
+        // f3: replay id 50 (state EVICTED two batches ago -> re-emits,
+        // the documented trade) and replay id 6005 (state still held ->
+        // dropped)
+        spark.range(50L, 51L)
+          .selectExpr("id AS event_id",
+            "CAST(6100 + 1440 AS BIGINT) * 60000000 AS ts_us")
+          .unionAll(spark.range(6005L, 6006L)
+            .selectExpr("id AS event_id",
+              "CAST(6101 + 1440 AS BIGINT) * 60000000 AS ts_us")))
+      parts.zipWithIndex.foreach { case (df, k) =>
+        val tmp = new File(stage, s"_tmp_$k")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new File(stage, f"f$k%02d.parquet")
+        java.nio.file.Files.move(pf.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        rm(tmp)
+        dest.setLastModified(1600000000000L + k * 60000L)
+      }
+      new File(stage, "_STAGED").createNewFile()
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("ts_us", "long")
+    val queryName = s"graft_dwb_${math.abs(stageDir.hashCode)}"
+    val deduped = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_ts", "60 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"),
+        expr("unix_micros(ts_ts) div 60000000 - 1440")
+          .cast("long").as("minute"))
+    withStreamShuffle(spark) {
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
+  }
+
   /** LEFT OUTER stream-stream join — the subtle half of streaming joins:
     * matched rows emit as they join, but an UNMATCHED left row can only
     * emit (null-padded) once the watermark proves no future right row

@@ -350,6 +350,28 @@ class EventStreamSpec extends SparkSpec {
     assert(nulls.map(_._1).toSet === expectedNullIds)
   }
 
+  test("bounded-state dedup: in-horizon replays drop, expired-state replays re-emit") {
+    val stage = new java.io.File("target/qtmp_stream", "dwb_stage_spec")
+    val cp = new java.io.File("target/qtmp_stream", "cp_dwb_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(stage); rm(cp)
+    val rows = EventStream.streamingDedupBounded(spark,
+        stage.getAbsolutePath, cp.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byId = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // exact in-batch duplicate of id 7: one emission
+    assert(byId(7L) === Seq(7L))
+    // replay of id 6005 while its state is still held: one emission
+    assert(byId(6005L) === Seq(6005L))
+    // replay of id 50 AFTER the watermark evicted its state: TWO
+    // emissions — the documented trade of bounding dedup state
+    assert(byId(50L) === Seq(50L, 6100L))
+    assert(rows.length === 211)
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
