@@ -186,6 +186,32 @@ object Events {
     """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
       |FROM events ORDER BY user_id, ts_us, event_type""".stripMargin
 
+  /** Incremental sessionization with event-time timeouts
+    * ([[graft.streaming.EventStream.sessionizeTimeout]]): sessions emit
+    * exactly once via successor-gap closure OR watermark timeout, and
+    * still-open sessions are withheld — the bounded-state production
+    * sessionizer, all three paths pinned by construction. */
+  def q_stream_session_timeout(s: SparkSession, dir: String): DataFrame = {
+    val stage = new File("target/qtmp_stream", "sto_stage")
+    val cp = new File("target/qtmp_stream",
+      s"cp_sto_${math.abs(dir.hashCode)}")
+    deleteRec(cp)
+    EventStream.sessionizeTimeout(s, stage.getAbsolutePath,
+        cp.getAbsolutePath)
+      .orderBy("user_id", "start_min")
+  }
+
+  val q_stream_session_timeout_sql: String =
+    """WITH u AS (SELECT unnest(range(20)) AS u)
+      |SELECT CAST(u AS BIGINT) AS user_id, CAST(u AS BIGINT) AS start_min,
+      |  CAST(u + 10 AS BIGINT) AS end_min, CAST(3 AS BIGINT) AS n_events
+      |FROM u
+      |UNION ALL
+      |SELECT CAST(u AS BIGINT), CAST(u + 100 AS BIGINT),
+      |  CAST(u + 105 AS BIGINT), CAST(2 AS BIGINT)
+      |FROM u
+      |ORDER BY user_id, start_min""".stripMargin
+
   /** Bounded-state streaming dedup
     * ([[graft.streaming.EventStream.streamingDedupBounded]] —
     * `dropDuplicatesWithinWatermark`): in-horizon duplicates drop,

@@ -335,6 +335,120 @@ object EventStream {
     spark.table(queryName)
   }
 
+  final case class WmEv(user_id: Long, ts_min: Long, ts_ts: java.sql.Timestamp)
+  final case class TimeoutSessState(start: Long, last: Long, n: Long)
+  final case class TimeoutSessOut(user_id: Long, start_min: Long,
+    end_min: Long, n_events: Long)
+
+  /** Incremental streaming sessionization via `flatMapGroupsWithState` +
+    * EVENT-TIME TIMEOUT — the stateful-API primitive the other
+    * sessionizers sidestep (the sorted fold is batch; `session_window`
+    * drains in Complete mode, holding all state forever). Here a session
+    * emits EXACTLY ONCE, incrementally, through one of two closure
+    * paths, and the fixture makes each observable:
+    *  - successor closure: a user's next event arrives > gap later —
+    *    the open session emits in that batch (users 0-9's second
+    *    session closes this way when their third-session event lands);
+    *  - TIMEOUT closure: no successor ever comes — the watermark passes
+    *    last_event + gap and the engine calls the function with
+    *    hasTimedOut (users 10-19 have no third session, so their second
+    *    can ONLY emit via timeout — its presence proves the path fired);
+    *  - and sessions whose timeout the final watermark has NOT passed
+    *    are withheld, not flushed partial (users 0-9's third session).
+    * State per user is one (start, last, n) triple — bounded, evicted on
+    * emission: the production-shape sessionizer for unbounded streams.
+    * Deterministic (synthetic staged input), replayed by DuckDB. */
+  def sessionizeTimeout(spark: SparkSession, stageDir: String,
+      checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    val stage = new File(stageDir)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (!new File(stage, "_STAGED").exists()) {
+      stage.mkdirs()
+      // user u: session 1 at minutes u+{0,5,10}; session 2 at u+{100,105};
+      // users 0-9 only: session 3 at u+200. Gap 30, watermark delay 10.
+      val all = spark.range(0L, 20L).selectExpr("id AS user_id")
+        .selectExpr("user_id", "explode(array(0, 5, 10, 100, 105)) AS off")
+        .selectExpr("user_id", "CAST(user_id + off AS BIGINT) AS ts_min")
+        .unionAll(spark.range(0L, 10L)
+          .selectExpr("id AS user_id", "CAST(id + 200 AS BIGINT) AS ts_min"))
+      val cuts = Seq((0L, 15L), (15L, 60L), (60L, 150L), (150L, 100000L))
+      cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
+        val tmp = new File(stage, s"_tmp_$k")
+        all.filter(col("ts_min") >= lo && col("ts_min") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new File(stage, f"f$k%02d.parquet")
+        java.nio.file.Files.move(pf.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        rm(tmp)
+        dest.setLastModified(1600000000000L + k * 60000L)
+      }
+      new File(stage, "_STAGED").createNewFile()
+    }
+    val gapMin = 30L
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("ts_min", "long")
+    val queryName = s"graft_sto_${math.abs(stageDir.hashCode)}"
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts_ts",
+        timestamp_micros((col("ts_min") + 1440L) * 60000000L))
+      .withWatermark("ts_ts", "10 minutes")
+      .select(col("user_id"), col("ts_min"), col("ts_ts")).as[WmEv]
+    def fn(user: Long, events: Iterator[WmEv],
+        state: GroupState[TimeoutSessState]): Iterator[TimeoutSessOut] = {
+      def emit(s: TimeoutSessState) =
+        TimeoutSessOut(user, s.start, s.last, s.n)
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(emit(s))
+      } else {
+        val evs = events.toSeq.sortBy(_.ts_min)
+        var out = List.empty[TimeoutSessOut]
+        var st = state.getOption
+        evs.foreach { e =>
+          st = st match {
+            case Some(s) if e.ts_min - s.last > gapMin =>
+              out ::= emit(s)
+              Some(TimeoutSessState(e.ts_min, e.ts_min, 1L))
+            case Some(s) =>
+              Some(TimeoutSessState(s.start, e.ts_min, s.n + 1))
+            case None =>
+              Some(TimeoutSessState(e.ts_min, e.ts_min, 1L))
+          }
+        }
+        st.foreach { s =>
+          state.update(s)
+          // event-time timeout: fire once the WATERMARK passes
+          // last + gap (epoch millis on the shifted timeline)
+          state.setTimeoutTimestamp((s.last + gapMin + 1440L) * 60000L)
+        }
+        out.reverseIterator
+      }
+    }
+    withStreamShuffle(spark) {
+      val q = stream.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(fn)
+        .toDF()
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
+  }
+
   /** Bounded-state streaming dedup (`dropDuplicatesWithinWatermark`) —
     * the honest trade `q_stream_dedup`'s plain dropDuplicates hides: at
     * 100 TB you cannot keep every key ever seen, so dedup state is

@@ -372,6 +372,34 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.length === 211)
   }
 
+  test("timeout sessionization: successor closure, timeout closure, open sessions withheld") {
+    val stage = new java.io.File("target/qtmp_stream", "sto_stage_spec")
+    val cp = new java.io.File("target/qtmp_stream", "cp_sto_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(stage); rm(cp)
+    val rows = EventStream.sessionizeTimeout(spark,
+        stage.getAbsolutePath, cp.getAbsolutePath)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 40)
+    (0L until 20L).foreach { u =>
+      val mine = rows.filter(_._1 == u).sortBy(_._2)
+      // session 1 (always closed by session 2's arrival) and session 2
+      assert(mine.map(s => (s._2, s._3, s._4)) ===
+        Seq((u, u + 10, 3L), (u + 100, u + 105, 2L)), s"user $u")
+    }
+    // users 10-19 have NO third session: their session 2 can only have
+    // emitted via the EVENT-TIME TIMEOUT — its presence proves the path
+    assert((10L until 20L).forall(u =>
+      rows.exists(r => r._1 == u && r._2 == u + 100)))
+    // users 0-9's third session (still open at final watermark) is
+    // withheld, not flushed partial
+    assert(!rows.exists(_._2 >= 200L), "an open session was flushed")
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
