@@ -419,4 +419,82 @@ object Analytics2 {
       |      / count(*) >= 1.0 AS INT)
       |  FROM lineitem)
       |ORDER BY "check"""".stripMargin
+
+  /** RECURSIVE CTE (Spark 4 `WITH RECURSIVE` → UnionLoop execution):
+    * binary-heap ancestor walk — every orderkey under 1024 climbs
+    * node → node DIV 2 to the root, emitting depth and path sum. The
+    * canonical iterate-to-fixpoint query shape (BOM explosion, org
+    * charts, graph reachability) expressed in plain SQL on BOTH engines;
+    * DuckDB replays the identical recursion with its own recursive CTE,
+    * so the hash match certifies the loop semantics, not just one
+    * expansion. Depth is log2(1024) = 10 — far under the recursion
+    * limit; at scale each iteration is one distributed join/union over
+    * the frontier, never a driver loop. */
+  def q_recursive_cte(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_rec")
+    s.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT o_orderkey AS start, o_orderkey AS node, 0 AS depth
+        |  FROM orders_rec WHERE o_orderkey < 1024
+        |  UNION ALL
+        |  SELECT start, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        |)
+        |SELECT start, CAST(max(depth) AS INT) AS depth,
+        |  CAST(sum(node) AS BIGINT) AS path_sum,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM anc GROUP BY start ORDER BY start""".stripMargin)
+  }
+
+  val q_recursive_cte_sql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT o_orderkey AS start, o_orderkey AS node, 0 AS depth
+      |  FROM orders WHERE o_orderkey < 1024
+      |  UNION ALL
+      |  SELECT start, node // 2, depth + 1 FROM anc WHERE node > 1
+      |)
+      |SELECT start, CAST(max(depth) AS INT) AS depth,
+      |  CAST(sum(node) AS BIGINT) AS path_sum,
+      |  CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM anc GROUP BY start ORDER BY start""".stripMargin
+
+  /** VARIANT ingestion (Spark 4's semi-structured type): JSON documents
+    * parsed ONCE into variant, fields then extracted typed — the
+    * schema-on-read path for event payloads whose shape drifts, priced
+    * as binary-encoded variant access instead of per-field JSON
+    * re-parsing. The JSON is built in-query from the documents table
+    * (deterministic), round-tripped parse_json → variant_get with
+    * string, bigint, and array-element extractions plus a missing-field
+    * probe (NULL, not an error). DuckDB replays with its JSON accessors
+    * on the same constructed payloads. */
+  def q_variant(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("docs_var")
+    s.sql(
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    to_json(named_struct(
+        |      'lang', lang,
+        |      'n', n_chars,
+        |      'tags', array(doc_id % 7, doc_id % 11))) AS payload
+        |  FROM docs_var),
+        |v AS (SELECT doc_id, parse_json(payload) AS pv FROM j)
+        |SELECT doc_id,
+        |  variant_get(pv, '$.lang', 'string') AS lang_v,
+        |  variant_get(pv, '$.n', 'bigint') AS n_v,
+        |  variant_get(pv, '$.tags[1]', 'bigint') AS tag1_v,
+        |  variant_get(pv, '$.missing', 'string') AS missing_v
+        |FROM v ORDER BY doc_id""".stripMargin)
+  }
+
+  val q_variant_sql: String =
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    to_json(struct_pack(lang := lang, n := n_chars,
+      |      tags := [doc_id % 7, doc_id % 11])) AS payload
+      |  FROM documents)
+      |SELECT doc_id,
+      |  json_extract_string(payload, '$.lang') AS lang_v,
+      |  CAST(json_extract(payload, '$.n') AS BIGINT) AS n_v,
+      |  CAST(json_extract(payload, '$.tags[1]') AS BIGINT) AS tag1_v,
+      |  json_extract_string(payload, '$.missing') AS missing_v
+      |FROM j ORDER BY doc_id""".stripMargin
 }
