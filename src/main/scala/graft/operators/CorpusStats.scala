@@ -580,7 +580,10 @@ object CorpusStats {
     // Spark wraps Long sums silently, so Σxᵢxⱼ over a wide-feature corpus
     // (char counts × billions of rows) would return wrong coefficients
     // with no error despite the "exact" contract. decimal(38,0) holds
-    // ~10^38 — products of two Longs times any reachable row count.
+    // ~10^38 — a single max Long product is ~8.5e37, so ~10 such extreme
+    // rows (or any realistic corpus of bounded features) fit; past that
+    // the sum overflows to SQL NULL, which is rejected loudly below
+    // instead of NPE-ing.
     val xs = features.map(_.cast("long").cast("decimal(38,0)"))
     val y = label.cast("long").cast("decimal(38,0)")
     val aggs =
@@ -588,8 +591,13 @@ object CorpusStats {
         yield sum(xs(i) * xs(j)).as(s"_xx_${i}_$j")) ++
       (0 until p).map(i => sum(xs(i) * y).as(s"_xy_$i"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    def g(n: String): BigInt =
-      BigInt(row.getAs[java.math.BigDecimal](n).toBigIntegerExact)
+    def g(n: String): BigInt = {
+      val v = row.getAs[java.math.BigDecimal](n)
+      if (v == null) throw new ArithmeticException(
+        s"linearFitFP: moment sum $n overflowed decimal(38,0) — " +
+          "rescale the features")
+      BigInt(v.toBigIntegerExact)
+    }
     val a = Array.tabulate(p, p)((i, j) =>
       if (i <= j) g(s"_xx_${i}_$j") else g(s"_xx_${j}_$i"))
     val b = Array.tabulate(p)(i => g(s"_xy_$i"))

@@ -285,6 +285,12 @@ object Export {
 
   private def pathOf(line: String): String = line.split('\t').head
 
+  /** A column name based on `base` guaranteed absent from `cols`. */
+  private[graft] def freshName(base: String, cols: Seq[String]): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !cols.contains(n)).get
+
   private def zoneOf(line: String): Option[(Long, Long)] =
     line.split('\t') match {
       case Array(_, lo, hi) => Some((lo.toLong, hi.toLong))
@@ -321,15 +327,22 @@ object Export {
     }
   }
 
-  /** Write the epoch's immutable data files and return their qualified
-    * paths (sorted) — listed ONCE at commit time; readers never list. */
+  /** Write the epoch's immutable data files and return (dir, qualified
+    * paths sorted) — listed ONCE at commit time; readers never list.
+    * The directory name carries a RANDOM suffix so two committers racing
+    * to the same version can never write into the same directory: the
+    * loser's mode("overwrite") would otherwise DELETE the winner's
+    * already-committed files before the manifest-rename guard ever ran.
+    * A losing/crashed attempt just orphans its unreferenced dir, which
+    * the next vacuum reclaims. */
   private def writeEpoch(fs: FileSystem, root: Path, version: Int,
-      df: DataFrame): Seq[String] = {
-    val epochDir = new Path(root, s"epoch=$version")
+      df: DataFrame): (Path, Seq[String]) = {
+    val epochDir = new Path(root,
+      s"epoch=$version-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(epochDir.toString)
-    fs.listStatus(epochDir).toSeq.map(_.getPath)
+    (epochDir, fs.listStatus(epochDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
-      .map(_.toString).sorted
+      .map(_.toString).sorted)
   }
 
   /** Append-only snapshot log — the Delta/Iceberg core mechanism in its
@@ -347,12 +360,12 @@ object Export {
     fs.mkdirs(root)
     val prev = manifestVersions(fs, root).lastOption
     val version = prev.getOrElse(0) + 1
-    val fresh = writeEpoch(fs, root, version, df)
+    val (_, fresh) = writeEpoch(fs, root, version, df)
     val carried = prev match {
       case Some(v) => dataLines(readManifestRaw(fs, root, v))
       case None => Nil
     }
-    commitManifest(fs, root, version, meta, carried ++ fresh)
+    commitManifest(fs, root, version, withSchema(meta, df), carried ++ fresh)
     version
   }
 
@@ -368,8 +381,8 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
     val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
-    val fresh = writeEpoch(fs, root, version, df)
-    commitManifest(fs, root, version, meta, fresh)
+    val (_, fresh) = writeEpoch(fs, root, version, df)
+    commitManifest(fs, root, version, withSchema(meta, df), fresh)
     version
   }
 
@@ -379,14 +392,58 @@ object Export {
     manifestVersions(fs, root).lastOption.getOrElse(0)
   }
 
-  /** The `#key=value` metadata headers of a committed manifest. */
+  /** The `#key=value` metadata headers of a committed manifest — the
+    * CALLER's metadata; the engine's reserved `schema` header (written
+    * on every commit, see [[withSchema]]) is internal bookkeeping and
+    * filtered out. */
   def snapshotMeta(outDir: String, version: Int): Map[String, String] = {
     val (fs, root) = fsRoot(outDir)
+    snapshotMetaOf(fs, root, version) - "schema"
+  }
+
+  private def snapshotMetaOf(fs: FileSystem, root: Path,
+      version: Int): Map[String, String] =
     readManifestRaw(fs, root, version)
       .filter(_.startsWith("#"))
       .map(_.drop(1).split("=", 2))
       .collect { case Array(k, v) => k -> v }
       .toMap
+
+  /** Every commit records the table schema as a `#schema=` header (the
+    * single-line StructType JSON), so a version with ZERO data files —
+    * an empty DataFrame is a legal commit (e.g. an empty first
+    * micro-batch) — still reads back as an empty, correctly-typed
+    * table instead of an unreadable manifest. */
+  private def withSchema(meta: Map[String, String],
+      df: DataFrame): Map[String, String] = {
+    require(!meta.contains("schema"), "'schema' is a reserved meta key")
+    meta + ("schema" -> df.schema.json)
+  }
+
+  /** Newest `#batch=` header across ALL versions — NOT just the latest:
+    * a maintenance commit (compaction carries only `compacted_from`)
+    * interleaving with the streaming sink must not reset the
+    * exactly-once guard to -1, or a replayed micro-batch would
+    * double-apply. Batches commit in increasing order, so the newest
+    * version carrying the header holds the highest applied id. */
+  def lastAppliedBatch(outDir: String): Long = {
+    val (fs, root) = fsRoot(outDir)
+    manifestVersions(fs, root).reverseIterator
+      .map(v => snapshotMetaOf(fs, root, v).get("batch"))
+      .collectFirst { case Some(b) => b.toLong }
+      .getOrElse(-1L)
+  }
+
+  private def emptyWithCommittedSchema(spark: SparkSession,
+      fs: FileSystem, root: Path, version: Int): DataFrame = {
+    val schemaJson = snapshotMetaOf(fs, root, version).getOrElse("schema",
+      throw new IllegalStateException(
+        s"version $version under $root has no data files and no " +
+          "#schema= header (pre-schema-header commit?)"))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Retention: drop every snapshot version except the newest `keep`,
@@ -436,7 +493,8 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     val files = dataLines(readManifestRaw(fs, root, version))
       .map(pathOf).toIndexedSeq
-    spark.read.parquet(files: _*)
+    if (files.isEmpty) emptyWithCommittedSchema(spark, fs, root, version)
+    else spark.read.parquet(files: _*)
   }
 
   /** [[appendSnapshot]] with the epoch CLUSTERED on an integral key and
@@ -461,7 +519,8 @@ object Export {
       case Some(v) => dataLines(readManifestRaw(fs, root, v))
       case None => Nil
     }
-    commitManifest(fs, root, version, meta, carried ++ freshLines)
+    commitManifest(fs, root, version, withSchema(meta, df),
+      carried ++ freshLines)
     version
   }
 
@@ -471,10 +530,9 @@ object Export {
   private def writeClusteredEpoch(spark: SparkSession, fs: FileSystem,
       root: Path, version: Int, df: DataFrame, keyCol: String,
       nFiles: Int): Seq[String] = {
-    val fresh = writeEpoch(fs, root, version,
+    val (epochDir, fresh) = writeEpoch(fs, root, version,
       df.repartitionByRange(nFiles, col(keyCol))
         .sortWithinPartitions(keyCol))
-    val epochDir = new Path(root, s"epoch=$version")
     val zones: Map[String, (Long, Long)] =
       spark.read.parquet(epochDir.toString)
         .groupBy(col("_metadata.file_path").as("file"))
@@ -505,11 +563,13 @@ object Export {
       case None => true
     }).map(pathOf)
     // empty overlap: keep one file so the schema survives; the exact
-    // predicate then yields the correct empty result
+    // predicate then yields the correct empty result. A version with
+    // zero data files reads back typed-empty via its #schema= header.
     val files =
       if (chosen.nonEmpty) chosen
       else lines.map(pathOf).sorted.take(1)
-    spark.read.parquet(files.toIndexedSeq: _*)
+    (if (files.isEmpty) emptyWithCommittedSchema(spark, fs, root, version)
+     else spark.read.parquet(files.toIndexedSeq: _*))
       .filter(col(keyCol).between(lo, hi))
   }
 
@@ -550,10 +610,11 @@ object Export {
     require(latest > 0, s"nothing to compact under $outDir")
     val (fs, root) = fsRoot(outDir)
     val version = latest + 1
+    val rows = readSnapshot(spark, outDir, latest)
     val lines = writeClusteredEpoch(spark, fs, root, version,
-      readSnapshot(spark, outDir, latest), keyCol, nFiles)
+      rows, keyCol, nFiles)
     commitManifest(fs, root, version,
-      Map("compacted_from" -> latest.toString), lines)
+      withSchema(Map("compacted_from" -> latest.toString), rows), lines)
     version
   }
 
@@ -595,8 +656,12 @@ object Export {
         s"${n.columns.toSeq.sorted}")
     val cond = keyCols.map(k => col(s"o.$k") <=> col(s"n.$k"))
       .reduce(_ && _)
-    val j = o.withColumn("_o", lit(true)).as("o")
-      .join(n.withColumn("_n", lit(true)).as("n"), cond, "full_outer")
+    // presence markers must not collide with real columns — a user table
+    // legitimately named "_o"/"_n" would silently lose its values
+    val mo = freshName("_o", cols)
+    val mn = freshName("_n", cols)
+    val j = o.withColumn(mo, lit(true)).as("o")
+      .join(n.withColumn(mn, lit(true)).as("n"), cond, "full_outer")
     val changed = cols.filterNot(keyCols.contains)
       .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
       .foldLeft(lit(false))(_ || _)
@@ -605,8 +670,8 @@ object Export {
     def e(r: Column, tag: String) =
       struct(r.as("r"), lit(tag).as("c"))
     val entries =
-      when(col("o._o").isNull, array(e(rowN, "insert")))
-        .when(col("n._n").isNull, array(e(rowO, "delete")))
+      when(col(s"o.$mo").isNull, array(e(rowN, "insert")))
+        .when(col(s"n.$mn").isNull, array(e(rowO, "delete")))
         .when(changed,
           array(e(rowO, "update_preimage"), e(rowN, "update_postimage")))
         .otherwise(array(e(rowO, "noop")))

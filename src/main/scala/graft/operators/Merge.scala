@@ -39,11 +39,14 @@ object Merge {
     // side selection keys off an explicit presence marker, NOT per-column
     // coalesce: MERGE semantics say a matched row takes the update's value
     // in EVERY column, including a legitimate NULL that a coalesce would
-    // silently paper over with the base's stale value
-    base.as("b").join(updates.withColumn("_m", lit(true)).as("u"),
+    // silently paper over with the base's stale value. The marker name is
+    // derived to be absent from the schema — a user column literally
+    // named "_m" must survive, not be overwritten by the marker.
+    val m = graft.operators.Export.freshName("_m", cols)
+    base.as("b").join(updates.withColumn(m, lit(true)).as("u"),
         cond, "full_outer")
       .select(cols.map(c =>
-        when(col("u._m"), col(s"u.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+        when(col(s"u.$m"), col(s"u.$c")).otherwise(col(s"b.$c")).as(c)): _*)
   }
 
   /** Merge partial-aggregate tables (same schema: `groupCols` +

@@ -191,7 +191,17 @@ object Sketches {
     * that the sketch family didn't cover. */
   def fixedPoint(e: Column, shiftBits: Int = 20): Column = {
     require(shiftBits >= 0 && shiftBits <= 40, s"bad shiftBits $shiftBits")
-    floor(e.cast("double") * lit((1L << shiftBits).toDouble)).cast("long")
+    // LOUD domain guard: a negative value would floor to a negative
+    // Long, and the histogram's length(bin(v)) on a negative is 64 —
+    // every negative silently collapsing into one absurd bin. assert_true
+    // evaluates to NULL on success (so the `when` takes the real branch)
+    // and throws on the first violating row.
+    val ok = assert_true(e.cast("double") >= 0,
+      lit("Sketches.fixedPoint: negative input — shift the signal into " +
+        "a non-negative domain first"))
+    when(ok.isNull,
+      floor(e.cast("double") * lit((1L << shiftBits).toDouble)))
+      .cast("long")
   }
 
   /** Quantile read-off from a (merged) histogram: for each requested

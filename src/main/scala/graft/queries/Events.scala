@@ -153,8 +153,8 @@ object Events {
       s"cp_mvr_${math.abs(dir.hashCode)}")
     val table = new File("target/qtmp_stream",
       s"mvrtable_${math.abs(dir.hashCode)}")
-    val live = new File("target/qtmp_stream",
-      s"mvlive_${math.abs((dir + "/events.parquet").hashCode)}_${math.abs(cp.getAbsolutePath.hashCode)}")
+    val live = EventStream.matviewLiveDir(s"$dir/events.parquet",
+      cp.getAbsolutePath)
     deleteRec(cp); deleteRec(table); deleteRec(live)
     EventStream.streamingMaterializedAggResumed(s, s"$dir/events.parquet",
         cp.getAbsolutePath, table.getAbsolutePath)

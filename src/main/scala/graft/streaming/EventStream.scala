@@ -40,6 +40,35 @@ object EventStream {
     try f finally spark.conf.set(key, prev)
   }
 
+  private def rmRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+    f.delete()
+  }
+
+  /** Stage `parts` as one file each under `dir` (f00.parquet, f01…,
+    * with strictly increasing modification times, so the file stream
+    * source drains them oldest-first = in part order). Idempotent: a
+    * `_STAGED` marker makes re-runs reuse the fixture. ONE copy of the
+    * staging protocol — every deterministic drain in this file shares
+    * it, so a change (mod-time spacing, marker, naming) cannot silently
+    * diverge between fixtures. */
+  private def stageTimeOrdered(dir: File,
+      parts: Seq[DataFrame]): Unit = {
+    if (new File(dir, "_STAGED").exists()) return
+    dir.mkdirs()
+    parts.zipWithIndex.foreach { case (df, k) =>
+      val tmp = new File(dir, s"_tmp_$k")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new File(dir, f"f$k%02d.parquet")
+      java.nio.file.Files.move(pf.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rmRec(tmp)
+      dest.setLastModified(1600000000000L + k * 60000L)
+    }
+    new File(dir, "_STAGED").createNewFile()
+  }
+
   /** Drain `srcDir` parquet as a stream (AvailableNow) through a windowed
     * count/sum into an in-memory table; returns the settled result.
     * Real `readStream`→`writeStream` with a checkpoint dir — the
@@ -241,10 +270,10 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val v = graft.operators.Export.latestSnapshotVersion(tableDir)
-          val applied =
-            if (v == 0) -1L
-            else graft.operators.Export.snapshotMeta(tableDir, v)
-              .get("batch").map(_.toLong).getOrElse(-1L)
+          // scan back for the newest #batch= header — an interleaved
+          // maintenance commit (compaction carries only compacted_from)
+          // must not reset the guard and let a replayed batch double-merge
+          val applied = graft.operators.Export.lastAppliedBatch(tableDir)
           if (batchId > applied) {
             val delta = partial(batch)
             val merged =
@@ -283,32 +312,12 @@ object EventStream {
     * cross-engine. */
   def streamingWatermarkedCounts(spark: SparkSession, stageDir: String,
       checkpointDir: String): DataFrame = {
-    val stage = new File(stageDir)
-    if (!new File(stage, "_STAGED").exists()) {
-      stage.mkdirs()
-      for (k <- 0 until 4) {
-        val part = spark.range(k * 2000L, (k + 1) * 2000L)
-          .selectExpr("id AS i",
-            "(CASE WHEN id = 6000 THEN CAST(0 AS BIGINT) ELSE id END)" +
-              " * 60000000 AS ts_us",
-            "id % 40 AS user_id")
-        val tmp = new File(stage, s"_tmp_$k")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dest = new File(stage, f"f$k%02d.parquet")
-        java.nio.file.Files.move(pf.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        def rm(f: File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(tmp)
-        // distinct mod-times: the file source drains oldest-first, so
-        // arrival order is the time order the watermark math assumes
-        dest.setLastModified(1600000000000L + k * 60000L)
-      }
-      new File(stage, "_STAGED").createNewFile()
-    }
+    stageTimeOrdered(new File(stageDir), (0 until 4).map(k =>
+      spark.range(k * 2000L, (k + 1) * 2000L)
+        .selectExpr("id AS i",
+          "(CASE WHEN id = 6000 THEN CAST(0 AS BIGINT) ELSE id END)" +
+            " * 60000000 AS ts_us",
+          "id % 40 AS user_id")))
     val schema = new org.apache.spark.sql.types.StructType()
       .add("i", "long").add("ts_us", "long").add("user_id", "long")
     val queryName = s"graft_wm_${math.abs(stageDir.hashCode)}"
@@ -361,34 +370,17 @@ object EventStream {
   def sessionizeTimeout(spark: SparkSession, stageDir: String,
       checkpointDir: String): DataFrame = {
     import spark.implicits._
-    val stage = new File(stageDir)
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    if (!new File(stage, "_STAGED").exists()) {
-      stage.mkdirs()
-      // user u: session 1 at minutes u+{0,5,10}; session 2 at u+{100,105};
-      // users 0-9 only: session 3 at u+200. Gap 30, watermark delay 10.
-      val all = spark.range(0L, 20L).selectExpr("id AS user_id")
-        .selectExpr("user_id", "explode(array(0, 5, 10, 100, 105)) AS off")
-        .selectExpr("user_id", "CAST(user_id + off AS BIGINT) AS ts_min")
-        .unionAll(spark.range(0L, 10L)
-          .selectExpr("id AS user_id", "CAST(id + 200 AS BIGINT) AS ts_min"))
-      val cuts = Seq((0L, 15L), (15L, 60L), (60L, 150L), (150L, 100000L))
-      cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
-        val tmp = new File(stage, s"_tmp_$k")
-        all.filter(col("ts_min") >= lo && col("ts_min") < hi)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dest = new File(stage, f"f$k%02d.parquet")
-        java.nio.file.Files.move(pf.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        rm(tmp)
-        dest.setLastModified(1600000000000L + k * 60000L)
-      }
-      new File(stage, "_STAGED").createNewFile()
-    }
+    // user u: session 1 at minutes u+{0,5,10}; session 2 at u+{100,105};
+    // users 0-9 only: session 3 at u+200. Gap 30, watermark delay 10.
+    val all = spark.range(0L, 20L).selectExpr("id AS user_id")
+      .selectExpr("user_id", "explode(array(0, 5, 10, 100, 105)) AS off")
+      .selectExpr("user_id", "CAST(user_id + off AS BIGINT) AS ts_min")
+      .unionAll(spark.range(0L, 10L)
+        .selectExpr("id AS user_id", "CAST(id + 200 AS BIGINT) AS ts_min"))
+    val cuts = Seq((0L, 15L), (15L, 60L), (60L, 150L), (150L, 100000L))
+    stageTimeOrdered(new File(stageDir), cuts.map { case (lo, hi) =>
+      all.filter(col("ts_min") >= lo && col("ts_min") < hi)
+    })
     val gapMin = 30L
     val schema = new org.apache.spark.sql.types.StructType()
       .add("user_id", "long").add("ts_min", "long")
@@ -460,14 +452,7 @@ object EventStream {
     * exact emission set from the same `range()` construction. */
   def streamingDedupBounded(spark: SparkSession, stageDir: String,
       checkpointDir: String): DataFrame = {
-    val stage = new File(stageDir)
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    if (!new File(stage, "_STAGED").exists()) {
-      stage.mkdirs()
-      val parts = Seq(
+    val parts0 = Seq(
         // f0: ids 1..100 at minute = id, PLUS an exact in-batch dup of 7
         spark.range(1L, 101L)
           .selectExpr("id AS event_id", "(id + 1440) * 60000000 AS ts_us")
@@ -492,18 +477,7 @@ object EventStream {
           .unionAll(spark.range(6005L, 6006L)
             .selectExpr("id AS event_id",
               "CAST(6101 + 1440 AS BIGINT) * 60000000 AS ts_us")))
-      parts.zipWithIndex.foreach { case (df, k) =>
-        val tmp = new File(stage, s"_tmp_$k")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dest = new File(stage, f"f$k%02d.parquet")
-        java.nio.file.Files.move(pf.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        rm(tmp)
-        dest.setLastModified(1600000000000L + k * 60000L)
-      }
-      new File(stage, "_STAGED").createNewFile()
-    }
+    stageTimeOrdered(new File(stageDir), parts0)
     val schema = new org.apache.spark.sql.types.StructType()
       .add("event_id", "long").add("ts_us", "long")
     val queryName = s"graft_dwb_${math.abs(stageDir.hashCode)}"
@@ -543,26 +517,9 @@ object EventStream {
   def streamingStreamJoinOuter(spark: SparkSession, stageDir: String,
       checkpointDir: String): DataFrame = {
     val root = new File(stageDir)
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    def stageFiles(sub: String, parts: Seq[org.apache.spark.sql.DataFrame]): File = {
+    def stageFiles(sub: String, parts: Seq[DataFrame]): File = {
       val dir = new File(root, sub)
-      if (!new File(dir, "_STAGED").exists()) {
-        dir.mkdirs()
-        parts.zipWithIndex.foreach { case (df, k) =>
-          val tmp = new File(dir, s"_tmp_$k")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-          val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-          val dest = new File(dir, f"f$k%02d.parquet")
-          java.nio.file.Files.move(pf.toPath, dest.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          rm(tmp)
-          dest.setLastModified(1600000000000L + k * 60000L)
-        }
-        new File(dir, "_STAGED").createNewFile()
-      }
+      stageTimeOrdered(dir, parts)
       dir
     }
     val impDir = stageFiles("imp", Seq(
@@ -623,28 +580,10 @@ object EventStream {
     * watermark gate's subject.) */
   def streamingUpdateCounts(spark: SparkSession, stageDir: String,
       checkpointDir: String): DataFrame = {
-    val stage = new File(stageDir)
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    if (!new File(stage, "_STAGED").exists()) {
-      stage.mkdirs()
-      for (k <- 0 until 4) {
-        val part = spark.range(k * 2000L, (k + 1) * 2000L)
-          .selectExpr("id AS i",
-            "CASE WHEN id < 6000 THEN id % 40 ELSE id % 20 END AS user_id")
-        val tmp = new File(stage, s"_tmp_$k")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dest = new File(stage, f"f$k%02d.parquet")
-        java.nio.file.Files.move(pf.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        rm(tmp)
-        dest.setLastModified(1600000000000L + k * 60000L)
-      }
-      new File(stage, "_STAGED").createNewFile()
-    }
+    stageTimeOrdered(new File(stageDir), (0 until 4).map(k =>
+      spark.range(k * 2000L, (k + 1) * 2000L)
+        .selectExpr("id AS i",
+          "CASE WHEN id < 6000 THEN id % 40 ELSE id % 20 END AS user_id")))
     val schema = new org.apache.spark.sql.types.StructType()
       .add("i", "long").add("user_id", "long")
     val queryName = s"graft_upd_${math.abs(stageDir.hashCode)}"
@@ -682,26 +621,9 @@ object EventStream {
   def streamingStreamJoin(spark: SparkSession, stageDir: String,
       checkpointDir: String): DataFrame = {
     val root = new File(stageDir)
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    def stageFiles(sub: String, parts: Seq[org.apache.spark.sql.DataFrame]): File = {
+    def stageFiles(sub: String, parts: Seq[DataFrame]): File = {
       val dir = new File(root, sub)
-      if (!new File(dir, "_STAGED").exists()) {
-        dir.mkdirs()
-        parts.zipWithIndex.foreach { case (df, k) =>
-          val tmp = new File(dir, s"_tmp_$k")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-          val pf = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-          val dest = new File(dir, f"f$k%02d.parquet")
-          java.nio.file.Files.move(pf.toPath, dest.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          rm(tmp)
-          dest.setLastModified(1600000000000L + k * 60000L)
-        }
-        new File(dir, "_STAGED").createNewFile()
-      }
+      stageTimeOrdered(dir, parts)
       dir
     }
     // impressions: ad i shown at minute BASE + i (i < 4000), two
@@ -792,11 +714,8 @@ object EventStream {
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val v = graft.operators.Export.latestSnapshotVersion(tableDir)
-          val applied =
-            if (v == 0) -1L
-            else graft.operators.Export.snapshotMeta(tableDir, v)
-              .get("batch").map(_.toLong).getOrElse(-1L)
+          // scan-back guard: see drainMatview
+          val applied = graft.operators.Export.lastAppliedBatch(tableDir)
           if (batchId > applied) {
             graft.operators.Export.appendSnapshot(spark,
               batch.select(col("user_id"),
@@ -812,6 +731,14 @@ object EventStream {
     graft.operators.Export.readSnapshot(spark, tableDir,
       graft.operators.Export.latestSnapshotVersion(tableDir))
   }
+
+  /** The staged-source dir [[streamingMaterializedAggResumed]] reveals
+    * files into — exposed so callers (gates, specs) that must wipe a
+    * stale dir share ONE naming source of truth instead of re-deriving
+    * the hash formula by string duplication. */
+  def matviewLiveDir(srcParquet: String, checkpointDir: String): File =
+    new File(new File(checkpointDir).getParentFile,
+      s"mvlive_${math.abs(srcParquet.hashCode)}_${math.abs(checkpointDir.hashCode)}")
 
   /** [[streamingMaterializedAgg]] KILLED between micro-batches and
     * resumed — the reference's `checkpoint_chunks` discipline (kill after
@@ -838,8 +765,7 @@ object EventStream {
     }
     val parts = stageDir.listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val liveDir = new File(parent,
-      s"mvlive_${math.abs(srcParquet.hashCode)}_${math.abs(checkpointDir.hashCode)}")
+    val liveDir = matviewLiveDir(srcParquet, checkpointDir)
     liveDir.mkdirs()
     def reveal(fs: Seq[File]): Unit = fs.foreach { f =>
       java.nio.file.Files.copy(f.toPath,

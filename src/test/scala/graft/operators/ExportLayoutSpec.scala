@@ -167,11 +167,23 @@ class ExportLayoutSpec extends SparkSpec {
     // survivors untouched
     assert(Export.latestSnapshotVersion(out) === v3)
     assert(Export.readSnapshot(spark, out, v3).count() === v3Rows)
-    // dropped manifests and their epochs are physically gone
+    // dropped manifests and their epochs are physically gone: the only
+    // parquet bytes left on disk are exactly the surviving manifest's
+    // (epoch dirs carry random suffixes now, so count files, not names)
     assert(!new java.io.File(out, s"_v$v1.manifest").exists())
     assert(!new java.io.File(out, s"_v$v2.manifest").exists())
-    assert(!new java.io.File(out, s"epoch=$v1").exists())
-    assert(!new java.io.File(out, s"epoch=$v2").exists())
+    def parquetFilesUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap {
+        case f if f.isDirectory => parquetFilesUnder(f)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Nil
+      }
+    val survivors = java.nio.file.Files.readAllLines(
+        new java.io.File(out, s"_v$v3.manifest").toPath)
+      .toArray(Array.empty[String]).toSeq
+      .filterNot(_.startsWith("#")).map(_.split('\t').head)
+    assert(parquetFilesUnder(new java.io.File(out)).size === survivors.size,
+      "unreferenced epoch files survived the vacuum")
     // idempotent: nothing left to clean
     assert(Export.vacuumSnapshots(out, keep = 1) === ((0, 0)))
   }
@@ -331,6 +343,72 @@ class ExportLayoutSpec extends SparkSpec {
       before.filter(t => t._1 >= 50 && t._1 <= 120))
     // pre-compaction versions still read
     assert(rows(v1) === before.filter(_._1 % 2 == 0))
+  }
+
+  test("epoch dirs are uniquely suffixed: racing committers can never overwrite each other's data") {
+    val out = tmp("epochuniq")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    import spark.implicits._
+    Export.appendSnapshot(spark, Seq((1L, "a")).toDF("k", "s"), out)
+    Export.appendSnapshot(spark, Seq((2L, "b")).toDF("k", "s"), out)
+    val epochs = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName)
+    // a bare epoch=<version> name is the data-loss shape: a losing
+    // committer's mode("overwrite") into the SAME dir would delete the
+    // winner's committed files before the manifest guard ever ran
+    assert(epochs.size === 2 && epochs.distinct.size === 2)
+    assert(epochs.forall(_.matches("epoch=\\d+-[0-9a-f]{8}")),
+      s"epoch dirs not uniquely suffixed: $epochs")
+  }
+
+  test("a committed EMPTY version stays readable via its #schema= header") {
+    val out = tmp("emptysnap")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    import spark.implicits._
+    val empty = Seq((1L, "x")).toDF("k", "s").filter(col("k") < 0)
+    val v1 = Export.replaceSnapshot(spark, empty, out)
+    // an empty DataFrame is a legal commit (empty first micro-batch);
+    // readable-forever must hold: typed-empty, not a crash
+    val back = Export.readSnapshot(spark, out, v1)
+    assert(back.count() === 0)
+    assert(back.schema.map(_.name) === Seq("k", "s"))
+    assert(Export.readSnapshotPruned(spark, out, v1, "k", 0, 10).count() === 0)
+    // the log continues normally after an empty version
+    val v2 = Export.appendSnapshot(spark, Seq((5L, "y")).toDF("k", "s"), out)
+    assert(Export.readSnapshot(spark, out, v2).count() === 1)
+  }
+
+  test("snapshotDiffKeyed survives user columns named like the presence markers") {
+    val out = tmp("snapcdc_marker")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    import spark.implicits._
+    // "_o" and "_n" are real data columns here — the CDC's internal
+    // markers must not clobber them
+    val v1 = Export.replaceSnapshot(spark,
+      Seq((1L, "o1", "n1")).toDF("k", "_o", "_n"), out)
+    val v2 = Export.replaceSnapshot(spark,
+      Seq((1L, "o2", "n1"), (2L, "oX", "nX")).toDF("k", "_o", "_n"), out)
+    val d = Export.snapshotDiffKeyed(spark, out, v1, v2, Seq("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(d === Set(
+      (1L, "o1", "n1", "update_preimage"),
+      (1L, "o2", "n1", "update_postimage"),
+      (2L, "oX", "nX", "insert")))
   }
 
   test("vacuum removes crashed-commit temp manifests") {

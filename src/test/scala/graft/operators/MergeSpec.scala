@@ -41,6 +41,16 @@ class MergeSpec extends SparkSpec {
       (2L, Some("keep"), Some(20)))) // untouched base row intact
   }
 
+  test("upsert survives a user column literally named \"_m\" (marker collision)") {
+    // the internal presence marker must pick a fresh name, not overwrite
+    // the data column — otherwise every update row's "_m" becomes true
+    val base = Seq((1L, "keep"), (2L, "old")).toDF("k", "_m")
+    val updates = Seq((2L, "new")).toDF("k", "_m")
+    val out = Merge.upsert(base, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "keep"), (2L, "new")))
+  }
+
   test("upsert rejects mismatched schemas") {
     val base = Seq((1L, "a")).toDF("k", "name")
     val bad = Seq((1L, 2.0)).toDF("k", "other")

@@ -143,6 +143,24 @@ class SketchesSpec extends SparkSpec {
       s"true median $median outside p50 bin [$lo, $hi]")
   }
 
+  test("fixedPoint rejects negative inputs loudly instead of collapsing them into bin 64") {
+    import spark.implicits._
+    val df = Seq(0.5, 1.25, -0.3).toDF("v")
+    val e = intercept[Exception] {
+      df.select(Sketches.fixedPoint(col("v"), 20).as("fp")).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("fixedPoint") ||
+        Option(e.getCause).exists(c =>
+          Option(c.getMessage).exists(_.contains("fixedPoint")))),
+      s"unexpected error: $e")
+    // the guard costs nothing on the valid domain
+    val ok = Seq(0.0, 0.5, 3.75).toDF("v")
+      .select(Sketches.fixedPoint(col("v"), 20).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ok === Seq(0L, 524288L, 3932160L))
+  }
+
   test("histogram: shard-merge equals single pass; p50 bin holds the true median") {
     val docs = graft.util.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("n_chars").cast("long").as("v"))

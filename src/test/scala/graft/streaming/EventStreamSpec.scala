@@ -164,11 +164,9 @@ class EventStreamSpec extends SparkSpec {
       f.delete()
     }
     rm(cp); rm(table)
-    // the resumable drive stages under the checkpoint's parent keyed by
-    // (src, cp) hashes — wipe a stale live dir from an earlier run
-    val live = new java.io.File("target/qtmp_stream",
-      s"mvlive_${math.abs(s"$sf/events.parquet".hashCode)}_${math.abs(cp.getAbsolutePath.hashCode)}")
-    rm(live)
+    // wipe a stale live dir from an earlier run (single naming source
+    // of truth: EventStream.matviewLiveDir)
+    rm(EventStream.matviewLiveDir(s"$sf/events.parquet", cp.getAbsolutePath))
     val latest = EventStream.streamingMaterializedAggResumed(spark,
         s"$sf/events.parquet", cp.getAbsolutePath, table.getAbsolutePath)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -398,6 +396,35 @@ class EventStreamSpec extends SparkSpec {
     // users 0-9's third session (still open at final watermark) is
     // withheld, not flushed partial
     assert(!rows.exists(_._2 >= 200L), "an open session was flushed")
+  }
+
+  test("exactly-once guard survives an interleaved compaction (batch header scanned back, not latest-only)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cp1 = new java.io.File("target/qtmp_stream", "cp_mvc1_spec")
+    val cp2 = new java.io.File("target/qtmp_stream", "cp_mvc2_spec")
+    val table = new java.io.File("target/qtmp_stream", "mvctable_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(cp1); rm(cp2); rm(table)
+    val first = EventStream.streamingMaterializedAgg(spark,
+        s"$sf/events.parquet", cp1.getAbsolutePath, table.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // maintenance commit between stream runs: compaction's manifest
+    // carries only compacted_from — a latest-version-only guard would
+    // read applied = -1 and double-merge the replay storm below
+    graft.operators.Export.compactSnapshot(spark, table.getAbsolutePath)
+    val vAfterCompact = graft.operators.Export
+      .latestSnapshotVersion(table.getAbsolutePath)
+    val second = EventStream.streamingMaterializedAgg(spark,
+        s"$sf/events.parquet", cp2.getAbsolutePath, table.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(second === first,
+      "replayed batches double-merged after an interleaved compaction")
+    assert(graft.operators.Export.latestSnapshotVersion(table.getAbsolutePath)
+      === vAfterCompact, "replay committed new versions past the compaction")
   }
 
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
