@@ -332,7 +332,7 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(expr("unix_micros(window.start) div 60000000")
         .cast("long").as("win_start_min"), col("n_events"))
-    withStreamShuffle(spark) {
+    withStreamShuffle(spark, 4) {
       val q = agg.writeStream
         .outputMode(OutputMode.Append())
         .format("memory").queryName(queryName)
@@ -425,7 +425,7 @@ object EventStream {
         out.reverseIterator
       }
     }
-    withStreamShuffle(spark) {
+    withStreamShuffle(spark, 4) {
       val q = stream.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.EventTimeTimeout())(fn)
@@ -491,7 +491,7 @@ object EventStream {
       .select(col("event_id"),
         expr("unix_micros(ts_ts) div 60000000 - 1440")
           .cast("long").as("minute"))
-    withStreamShuffle(spark) {
+    withStreamShuffle(spark, 4) {
       val q = deduped.writeStream
         .outputMode(OutputMode.Append())
         .format("memory").queryName(queryName)
@@ -553,7 +553,7 @@ object EventStream {
           .cast("long").as("imp_min"),
         expr("unix_micros(clk_ts) div 60000000 - 1440")
           .cast("long").as("click_min"))
-    withStreamShuffle(spark) {
+    withStreamShuffle(spark, 4) {
       val q = joined.writeStream
         .outputMode(OutputMode.Append())
         .format("memory").queryName(queryName)
@@ -592,7 +592,7 @@ object EventStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
     val agg = stream.groupBy("user_id").agg(count(lit(1)).as("n"))
-    withStreamShuffle(spark) {
+    withStreamShuffle(spark, 4) {
       val q = agg.writeStream
         .outputMode(OutputMode.Update())
         .format("memory").queryName(queryName)
@@ -669,7 +669,7 @@ object EventStream {
           .cast("long").as("imp_min"),
         expr("unix_micros(clk_ts) div 60000000 - 1440")
           .cast("long").as("click_min"))
-    withStreamShuffle(spark) {
+    withStreamShuffle(spark, 4) {
       val q = joined.writeStream
         .outputMode(OutputMode.Append())
         .format("memory").queryName(queryName)
