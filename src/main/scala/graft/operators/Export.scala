@@ -595,6 +595,23 @@ object Export {
       meta = Map("compacted_from" -> latest.toString))
   }
 
+  /** Copy-on-write DELETE — the third leg of the lake DML triad
+    * (append = INSERT, [[Merge.upsert]] through [[replaceSnapshot]] =
+    * UPDATE): commit a new full-replace version holding every latest-
+    * version row NOT matching `cond`. Deleted rows remain time-travel-
+    * readable in prior versions until retention drops them — the
+    * GDPR-style hard purge is this followed by [[vacuumSnapshots]].
+    * One manifest-exact scan + one filtered write; no tombstone
+    * bookkeeping on the read path. Returns the new version. */
+  def deleteWhere(spark: SparkSession, outDir: String,
+      cond: Column): Int = {
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to delete under $outDir")
+    replaceSnapshot(spark,
+      readSnapshot(spark, outDir, latest).filter(!cond), outDir,
+      meta = Map("deleted_from" -> latest.toString))
+  }
+
   /** CLUSTERED compaction (`OPTIMIZE ... ORDER BY` in one commit):
     * rewrite the latest version range-sorted on `keyCol` with per-file
     * zones on the new manifest — one maintenance pass both fixes the

@@ -4048,6 +4048,46 @@ object Curation {
       |WHERE doc_id BETWEEN 100 AND 300
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Copy-on-write DELETE ([[graft.operators.Export.deleteWhere]] — the
+    * lake DML triad's third leg): v1 holds all docs, v2 deletes every
+    * doc_id % 3 == 0. The gate emits BOTH versions' aggregates — the
+    * pre-delete version must still read complete (deleted rows stay
+    * time-travel-readable until retention), the post-delete version
+    * exactly the survivors. */
+  def q_snapshot_delete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapdel_${math.abs(dir.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(out)
+    val od = out.getAbsolutePath
+    val v1 = graft.operators.Export.replaceSnapshot(s, docs, od)
+    val v2 = graft.operators.Export.deleteWhere(s, od,
+      col("doc_id") % 3 === 0)
+    def agg(v: Int) = graft.operators.Export.readSnapshot(s, od, v)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(lit(v).as("version"), col("n_docs"), col("id_sum"),
+        col("total_chars"))
+    agg(v1).unionByName(agg(v2)).orderBy("version")
+  }
+
+  val q_snapshot_delete_sql: String =
+    """SELECT 1 AS version, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE doc_id % 3 != 0
+      |ORDER BY version""".stripMargin
+
   /** KEYED change-data-feed ([[graft.operators.Export.snapshotDiffKeyed]]
     * — the Delta CDF shape): v1 = docs with doc_id % 3 != 0; v2
     * full-replaces with doc_id % 4 != 0 AND re-scores every doc_id % 5

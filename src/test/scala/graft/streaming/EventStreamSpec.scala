@@ -427,6 +427,41 @@ class EventStreamSpec extends SparkSpec {
       === vAfterCompact, "replay committed new versions past the compaction")
   }
 
+  test("RocksDB state store: the production-grade provider yields identical streaming state") {
+    // the default HDFSBackedStateStore holds keyed state in executor
+    // heap — at 100 TB streaming state the deployment runs RocksDB.
+    // Same drain, same registers, different provider (fresh checkpoint:
+    // a checkpoint records its provider and cannot be mixed).
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cpH = new java.io.File("target/qtmp_stream", "cp_hll_rocks_base")
+    val cpR = new java.io.File("target/qtmp_stream", "cp_hll_rocks")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(cpH); rm(cpR)
+    def regs(cp: java.io.File) = EventStream.streamingHllRegisters(spark,
+        s"$sf/events.parquet", cp.getAbsolutePath, "event_type", "user_id", 64)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val viaDefault = regs(cpH)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val viaRocks = regs(cpR)
+      assert(viaRocks === viaDefault,
+        "RocksDB-backed state diverged from the default provider")
+      assert(viaRocks.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming log2-histogram settles to exactly the batch bins, incrementally") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
