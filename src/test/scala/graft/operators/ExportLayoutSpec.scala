@@ -411,6 +411,41 @@ class ExportLayoutSpec extends SparkSpec {
       (2L, "oX", "nX", "insert")))
   }
 
+  test("hard purge: deleteWhere + vacuum physically removes the deleted rows' bytes") {
+    val out = tmp("hardpurge")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, s"payload_$i")).toDF("k", "s")
+    Export.replaceSnapshot(spark, rows, out)
+    val v2 = Export.deleteWhere(spark, out, col("k") <= 40)
+    assert(Export.snapshotMeta(out, v2) === Map("deleted_from" -> "1"))
+    // soft delete: prior version still reads the deleted rows
+    assert(Export.readSnapshot(spark, out, 1).count() === 100)
+    assert(Export.readSnapshot(spark, out, v2).count() === 60)
+    // hard purge = delete + retention vacuum: the deleted rows' files
+    // (version 1's entire epoch — full-replace versions share nothing)
+    // are physically reclaimed
+    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1)
+    assert(droppedV === 1 && deletedF >= 1)
+    def parquetFilesUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap {
+        case f if f.isDirectory => parquetFilesUnder(f)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Nil
+      }
+    val survivors = java.nio.file.Files.readAllLines(
+        new java.io.File(out, s"_v$v2.manifest").toPath)
+      .toArray(Array.empty[String]).toSeq
+      .filterNot(_.startsWith("#")).map(_.split('\t').head)
+    assert(parquetFilesUnder(new java.io.File(out)).size === survivors.size,
+      "deleted rows' bytes survived the purge")
+    assert(Export.readSnapshot(spark, out, v2).count() === 60)
+  }
+
   test("vacuum removes crashed-commit temp manifests") {
     val out = tmp("vactmp")
     def rm(f: java.io.File): Unit = {
