@@ -48,6 +48,11 @@ object Main {
       case "checkpoint-error-ignore" => checkpointErrorIgnore(opts)
       case "verify" => doVerify(opts)
       case "serve" => doServe(opts)
+      case "lake-versions" => lakeVersions(opts)
+      case "lake-read" => lakeRead(opts)
+      case "lake-compact" => lakeCompact(opts)
+      case "lake-vacuum" => lakeVacuum(opts)
+      case "lake-delete" => lakeDelete(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
   }
@@ -82,11 +87,96 @@ object Main {
   }
 
   private def usage(): Unit =
-    System.err.println("usage: graft.Main import|check|checkpoint-dump|checkpoint-remove|checkpoint-destroy|checkpoint-error-ignore|verify|serve --source DIR --out DIR [opts]")
+    System.err.println(
+      "usage: graft.Main import|check|checkpoint-dump|checkpoint-remove|" +
+        "checkpoint-destroy|checkpoint-error-ignore|verify|serve " +
+        "--source DIR --out DIR [opts]\n" +
+        "       graft.Main lake-versions|lake-read|lake-compact|" +
+        "lake-vacuum|lake-delete --table DIR " +
+        "[--version N] [--out DIR] [--files N] [--cluster-by COL] " +
+        "[--keep N] [--where SQL_PREDICATE]")
+
+  // ------------------------------------------------------- lake ops surface
+  //
+  // The ctl-style maintenance commands for the snapshot-log tables the
+  // engine's sinks and exports produce (the OPTIMIZE/VACUUM/DELETE verbs
+  // a lakehouse CLI ships). lake-versions is planning-side only — it
+  // reads manifests through the Hadoop FS with no Spark session.
+
+  private def reqTable(o: Map[String, List[String]]): String =
+    o("table").headOption.getOrElse {
+      System.err.println("--table DIR is required"); sys.exit(2)
+    }
+
+  private def lakeVersions(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val versions = graft.operators.Export.snapshotVersions(dir)
+    if (versions.isEmpty) { println(s"no versions under $dir"); return }
+    versions.foreach { v =>
+      val files = graft.operators.Export.snapshotFiles(dir, v)
+      val meta = graft.operators.Export.snapshotMeta(dir, v)
+      val metaStr =
+        if (meta.isEmpty) ""
+        else meta.toSeq.sortBy(_._1)
+          .map { case (k, x) => s"$k=$x" }.mkString(" [", " ", "]")
+      println(s"v$v files=${files.size}$metaStr")
+    }
+  }
+
+  private def lakeRead(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val out = o("out").headOption.getOrElse {
+      System.err.println("--out DIR is required"); sys.exit(2)
+    }
+    val spark = session()
+    val v = o("version").headOption.map(_.toInt)
+      .getOrElse(graft.operators.Export.latestSnapshotVersion(dir))
+    graft.operators.Export.readSnapshot(spark, dir, v)
+      .write.mode("overwrite").parquet(out)
+    println(s"wrote version $v of $dir to $out")
+    spark.stop()
+  }
+
+  private def lakeCompact(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val nFiles = o("files").headOption.map(_.toInt).getOrElse(1)
+    val spark = session()
+    val v = o("cluster-by").headOption match {
+      case Some(key) => graft.operators.Export
+        .compactSnapshotClustered(spark, dir, key, nFiles)
+      case None => graft.operators.Export
+        .compactSnapshot(spark, dir, nFiles)
+    }
+    println(s"compacted $dir into version $v " +
+      s"(${graft.operators.Export.snapshotFiles(dir, v).size} files)")
+    spark.stop()
+  }
+
+  private def lakeVacuum(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val keep = o("keep").headOption.map(_.toInt).getOrElse(1)
+    val (droppedV, deletedF) =
+      graft.operators.Export.vacuumSnapshots(dir, keep)
+    println(s"vacuumed $dir: dropped $droppedV versions, " +
+      s"deleted $deletedF files (kept newest $keep)")
+  }
+
+  private def lakeDelete(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val where = o("where").headOption.getOrElse {
+      System.err.println("--where SQL_PREDICATE is required"); sys.exit(2)
+    }
+    val spark = session()
+    val v = graft.operators.Export.deleteWhere(spark, dir, expr(where))
+    println(s"committed delete as version $v of $dir " +
+      s"(rows matching: $where)")
+    spark.stop()
+  }
 
   private val KnownOpts = Set("source", "out", "strict", "no-checkpoint",
     "continue-on-error", "filter", "route", "table", "port", "bind",
-    "checkpoint-url", "bucket-by", "compact-bytes", "config")
+    "checkpoint-url", "bucket-by", "compact-bytes", "config",
+    "version", "files", "cluster-by", "keep", "where")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)

@@ -392,6 +392,19 @@ object Export {
     manifestVersions(fs, root).lastOption.getOrElse(0)
   }
 
+  /** All committed versions (ascending) — vacuumed versions absent. */
+  def snapshotVersions(outDir: String): Seq[Int] = {
+    val (fs, root) = fsRoot(outDir)
+    manifestVersions(fs, root)
+  }
+
+  /** The data-file paths a version's manifest references — planning-side
+    * metadata (the ops/CLI surface reads this without a Spark session). */
+  def snapshotFiles(outDir: String, version: Int): Seq[String] = {
+    val (fs, root) = fsRoot(outDir)
+    dataLines(readManifestRaw(fs, root, version)).map(pathOf)
+  }
+
   /** The `#key=value` metadata headers of a committed manifest — the
     * CALLER's metadata; the engine's reserved `schema` header (written
     * on every commit, see [[withSchema]]) is internal bookkeeping and

@@ -1,0 +1,56 @@
+package graft
+
+import graft.SparkSpec
+import graft.operators.Export
+
+/** The ctl-style lake maintenance surface driven through the REAL CLI
+  * entry point (`Main.main`). Only the session-free commands run here —
+  * `lake-read`/`lake-compact`/`lake-delete` spin up and STOP a Spark
+  * session (correct for a CLI process, fatal to the suite's shared
+  * session), and their underlying operators are spec'd in
+  * `ExportLayoutSpec`; the CLI glue for them is the same option plumbing
+  * these two commands exercise. */
+class LakeCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def captureOut(body: => Unit): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8"))(body)
+    buf.toString("UTF-8")
+  }
+
+  test("lake-versions and lake-vacuum operate the snapshot log from the CLI") {
+    val out = new java.io.File("target/qtmp", "lakecli")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(out)
+    val dir = out.getAbsolutePath
+    Export.replaceSnapshot(spark, Seq((1L, "a")).toDF("k", "s"), dir,
+      meta = Map("batch" -> "0"))
+    Export.replaceSnapshot(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      dir)
+    // lake-versions: planning-side listing, no Spark session involved
+    val listing = captureOut {
+      Main.main(Array("lake-versions", "--table", dir))
+    }.trim.split("\n").toSeq
+    assert(listing.size === 2, s"unexpected listing: $listing")
+    assert(listing(0).startsWith("v1 files=") &&
+      listing(0).contains("batch=0"), listing(0))
+    assert(listing(1).startsWith("v2 files="), listing(1))
+    // lake-vacuum: retention through the CLI
+    val vac = captureOut {
+      Main.main(Array("lake-vacuum", "--table", dir, "--keep", "1"))
+    }
+    assert(vac.contains("dropped 1 versions"), vac)
+    assert(Export.snapshotVersions(dir) === Seq(2))
+    assert(Export.readSnapshot(spark, dir, 2).count() === 2)
+    // empty table: graceful, not a crash
+    val none = captureOut {
+      Main.main(Array("lake-versions", "--table",
+        new java.io.File(out, "missing").getAbsolutePath))
+    }
+    assert(none.contains("no versions"), none)
+  }
+}
