@@ -564,8 +564,5 @@ object Bench {
     (bytes / 1048576.0, runs)
   }
 
-  private def deleteRec(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
-  }
+  private def deleteRec(f: File): Unit = graft.util.Dirs.deleteRec(f)
 }

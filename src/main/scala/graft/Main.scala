@@ -110,16 +110,14 @@ object Main {
 
   private def lakeVersions(o: Map[String, List[String]]): Unit = {
     val dir = reqTable(o)
-    val versions = graft.operators.Export.snapshotVersions(dir)
-    if (versions.isEmpty) { println(s"no versions under $dir"); return }
-    versions.foreach { v =>
-      val files = graft.operators.Export.snapshotFiles(dir, v)
-      val meta = graft.operators.Export.snapshotMeta(dir, v)
+    val entries = graft.operators.Export.snapshotEntries(dir)
+    if (entries.isEmpty) { println(s"no versions under $dir"); return }
+    entries.foreach { case (v, nFiles, meta) =>
       val metaStr =
         if (meta.isEmpty) ""
         else meta.toSeq.sortBy(_._1)
           .map { case (k, x) => s"$k=$x" }.mkString(" [", " ", "]")
-      println(s"v$v files=${files.size}$metaStr")
+      println(s"v$v files=$nFiles$metaStr")
     }
   }
 
@@ -128,9 +126,20 @@ object Main {
     val out = o("out").headOption.getOrElse {
       System.err.println("--out DIR is required"); sys.exit(2)
     }
+    // validate BEFORE spinning up a session: an empty table or a
+    // vacuumed version should be a clean message, not a Spark stack trace
+    val versions = graft.operators.Export.snapshotVersions(dir)
+    if (versions.isEmpty) {
+      System.err.println(s"no versions under $dir"); sys.exit(2)
+    }
+    val v = o("version").headOption.map(_.toInt).getOrElse(versions.last)
+    if (!versions.contains(v)) {
+      System.err.println(
+        s"version $v not present under $dir (have: ${versions.mkString(", ")}" +
+          " — vacuumed?)")
+      sys.exit(2)
+    }
     val spark = session()
-    val v = o("version").headOption.map(_.toInt)
-      .getOrElse(graft.operators.Export.latestSnapshotVersion(dir))
     graft.operators.Export.readSnapshot(spark, dir, v)
       .write.mode("overwrite").parquet(out)
     println(s"wrote version $v of $dir to $out")

@@ -405,6 +405,22 @@ object Export {
     dataLines(readManifestRaw(fs, root, version)).map(pathOf)
   }
 
+  /** One row per committed version: (version, n_files, caller meta) —
+    * each manifest read ONCE (listing a thousand-version streaming table
+    * with per-version file+meta pairs would otherwise pay two object-
+    * store round trips per version). */
+  def snapshotEntries(outDir: String)
+      : Seq[(Int, Int, Map[String, String])] = {
+    val (fs, root) = fsRoot(outDir)
+    manifestVersions(fs, root).map { v =>
+      val lines = readManifestRaw(fs, root, v)
+      val meta = lines.filter(_.startsWith("#"))
+        .map(_.drop(1).split("=", 2))
+        .collect { case Array(k, x) => k -> x }.toMap - "schema"
+      (v, dataLines(lines).size, meta)
+    }
+  }
+
   /** The `#key=value` metadata headers of a committed manifest — the
     * CALLER's metadata; the engine's reserved `schema` header (written
     * on every commit, see [[withSchema]]) is internal bookkeeping and
@@ -478,13 +494,15 @@ object Export {
       dataLines(readManifestRaw(fs, root, v))
         .map(l => fs.makeQualified(new Path(pathOf(l))).toString)
     }.toSet
-    // crashed commits leave `_tmp._v*` files (the rename never happened);
-    // they are garbage by definition once no commit is in flight — vacuum
-    // assumes (like the manifest-drop phase already does) that it does not
-    // race a concurrent committer
-    if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("_tmp._v"))
-      .foreach(p => fs.delete(p, false))
+    // crashed commits leave `_tmp._v*` files (the rename never happened).
+    // Only STALE ones are reclaimed (older than an hour): a fresh temp
+    // file may be a commit IN FLIGHT — deleting it would make that
+    // committer's rename fail with a spurious concurrent-commit error.
+    val tmpHorizonMs = System.currentTimeMillis() - 60L * 60 * 1000
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(st => st.getPath.getName.startsWith("_tmp._v") &&
+        st.getModificationTime < tmpHorizonMs)
+      .foreach(st => fs.delete(st.getPath, false))
     var deleted = 0
     if (fs.exists(root)) fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
@@ -604,8 +622,19 @@ object Export {
     val latest = latestSnapshotVersion(outDir)
     require(latest > 0, s"nothing to compact under $outDir")
     val rows = readSnapshot(spark, outDir, latest).coalesce(nFiles)
-    replaceSnapshot(spark, rows, outDir,
-      meta = Map("compacted_from" -> latest.toString))
+    // version PINNED to latest+1, not re-derived at commit time:
+    // delegating to replaceSnapshot would re-list the log and renumber
+    // past any version committed since our read — silently dropping that
+    // version's rows from the tip instead of failing the race. With the
+    // pin, a concurrent commit makes commitManifest throw (the loser
+    // detection), which is the correct outcome for maintenance racing a
+    // live sink.
+    val (fs, root) = fsRoot(outDir)
+    val version = latest + 1
+    val (_, fresh) = writeEpoch(fs, root, version, rows)
+    commitManifest(fs, root, version,
+      withSchema(Map("compacted_from" -> latest.toString), rows), fresh)
+    version
   }
 
   /** Copy-on-write DELETE — the third leg of the lake DML triad
@@ -620,9 +649,19 @@ object Export {
       cond: Column): Int = {
     val latest = latestSnapshotVersion(outDir)
     require(latest > 0, s"nothing to delete under $outDir")
-    replaceSnapshot(spark,
-      readSnapshot(spark, outDir, latest).filter(!cond), outDir,
-      meta = Map("deleted_from" -> latest.toString))
+    // SQL DELETE semantics: remove rows where the predicate is TRUE —
+    // a NULL-evaluating predicate KEEPS the row. A plain filter(!cond)
+    // would drop NULL rows too (filter discards NULL), silently purging
+    // every row with a NULL in the predicate's columns.
+    val keep = !coalesce(cond, lit(false))
+    // version pinned for the same race-safety reason as compactSnapshot
+    val rows = readSnapshot(spark, outDir, latest).filter(keep)
+    val (fs, root) = fsRoot(outDir)
+    val version = latest + 1
+    val (_, fresh) = writeEpoch(fs, root, version, rows)
+    commitManifest(fs, root, version,
+      withSchema(Map("deleted_from" -> latest.toString), rows), fresh)
+    version
   }
 
   /** CLUSTERED compaction (`OPTIMIZE ... ORDER BY` in one commit):

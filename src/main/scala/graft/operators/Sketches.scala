@@ -195,8 +195,10 @@ object Sketches {
     // Long, and the histogram's length(bin(v)) on a negative is 64 —
     // every negative silently collapsing into one absurd bin. assert_true
     // evaluates to NULL on success (so the `when` takes the real branch)
-    // and throws on the first violating row.
-    val ok = assert_true(e.cast("double") >= 0,
+    // and throws on the first violating row. NULL inputs pass the guard
+    // and propagate as NULL (floor(null) = null) — they are absent rows,
+    // not domain violations.
+    val ok = assert_true(e.isNull || e.cast("double") >= 0,
       lit("Sketches.fixedPoint: negative input — shift the signal into " +
         "a non-negative domain first"))
     when(ok.isNull,

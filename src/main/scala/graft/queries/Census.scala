@@ -121,10 +121,8 @@ object Census {
     summary.join(exact, "event_type").orderBy("event_type")
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete()
-  }
+  private def deleteRec(f: java.io.File): Unit =
+    graft.util.Dirs.deleteRec(f)
 
   val q_stream_hll_sql: String = {
     val h = hex8("h8")

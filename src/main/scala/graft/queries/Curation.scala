@@ -3387,10 +3387,7 @@ object Curation {
       s"$dir/documents.parquet", root)
     val cp = new java.io.File(root, s"cp_decontam_${math.abs(dir.hashCode)}")
     val out = new java.io.File(root, s"out_decontam_${math.abs(dir.hashCode)}")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
+    def deleteRec(f: java.io.File): Unit = graft.util.Dirs.deleteRec(f)
     deleteRec(cp); deleteRec(out)
     DocStream.decontamFlags(s, fixture.getAbsolutePath, out.getAbsolutePath,
         cp.getAbsolutePath, evalGrams, n = 3)
@@ -3432,10 +3429,7 @@ object Curation {
       s"$dir/documents.parquet", root)
     val cp = new java.io.File(root, s"cp_neardup_${math.abs(dir.hashCode)}")
     val out = new java.io.File(root, s"out_neardup_${math.abs(dir.hashCode)}")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
+    def deleteRec(f: java.io.File): Unit = graft.util.Dirs.deleteRec(f)
     deleteRec(cp); deleteRec(out)
     DocStream.nearDupVsBase(s, fixture.getAbsolutePath, base,
         col("doc_id") < 1200 && col("doc_id") % 3 =!= 0 &&
@@ -3895,10 +3889,7 @@ object Curation {
       .select("doc_id", "n_chars")
     val out = new java.io.File(new java.io.File("target", "qtmp"),
       s"timetravel_${math.abs(dir.hashCode)}")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
+    def deleteRec(f: java.io.File): Unit = graft.util.Dirs.deleteRec(f)
     deleteRec(out) // versions are per-run; a stale _v3 would shift numbering
     val v1 = graft.operators.Export.appendSnapshot(s,
       docs.filter(col("doc_id") % 2 === 0), out.getAbsolutePath)
@@ -3938,10 +3929,7 @@ object Curation {
       .select("doc_id", "n_chars")
     val out = new java.io.File(new java.io.File("target", "qtmp"),
       s"compact_${math.abs(dir.hashCode)}")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
+    def deleteRec(f: java.io.File): Unit = graft.util.Dirs.deleteRec(f)
     deleteRec(out)
     val od = out.getAbsolutePath
     graft.operators.Export.appendSnapshot(s,
@@ -3984,10 +3972,7 @@ object Curation {
       .select("doc_id", "n_chars")
     val out = new java.io.File(new java.io.File("target", "qtmp"),
       s"snapdiff_${math.abs(dir.hashCode)}")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
+    def deleteRec(f: java.io.File): Unit = graft.util.Dirs.deleteRec(f)
     deleteRec(out)
     val od = out.getAbsolutePath
     val v1 = graft.operators.Export.replaceSnapshot(s,
@@ -4021,10 +4006,7 @@ object Curation {
       .select("doc_id", "lang", "n_chars")
     val out = new java.io.File(new java.io.File("target", "qtmp"),
       s"snapzone_${math.abs(dir.hashCode)}")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
+    def deleteRec(f: java.io.File): Unit = graft.util.Dirs.deleteRec(f)
     deleteRec(out)
     val od = out.getAbsolutePath
     graft.operators.Export.appendSnapshotClustered(s,
@@ -4059,10 +4041,7 @@ object Curation {
       .select("doc_id", "n_chars")
     val out = new java.io.File(new java.io.File("target", "qtmp"),
       s"snapdel_${math.abs(dir.hashCode)}")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
+    def deleteRec(f: java.io.File): Unit = graft.util.Dirs.deleteRec(f)
     deleteRec(out)
     val od = out.getAbsolutePath
     val v1 = graft.operators.Export.replaceSnapshot(s, docs, od)
@@ -4101,10 +4080,7 @@ object Curation {
       .select("doc_id", "n_chars")
     val out = new java.io.File(new java.io.File("target", "qtmp"),
       s"snapcdc_${math.abs(dir.hashCode)}")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
+    def deleteRec(f: java.io.File): Unit = graft.util.Dirs.deleteRec(f)
     deleteRec(out)
     val od = out.getAbsolutePath
     val v1 = graft.operators.Export.replaceSnapshot(s,

@@ -489,8 +489,5 @@ object Events {
       | MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type""".stripMargin
 
-  private def deleteRec(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
-  }
+  private def deleteRec(f: File): Unit = graft.util.Dirs.deleteRec(f)
 }

@@ -649,8 +649,5 @@ object Ingest {
     try pw.write(content) finally pw.close()
   }
 
-  private def deleteRec(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
-  }
+  private def deleteRec(f: File): Unit = graft.util.Dirs.deleteRec(f)
 }

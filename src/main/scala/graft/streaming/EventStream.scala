@@ -40,10 +40,7 @@ object EventStream {
     try f finally spark.conf.set(key, prev)
   }
 
-  private def rmRec(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
-    f.delete()
-  }
+  private def rmRec(f: File): Unit = graft.util.Dirs.deleteRec(f)
 
   /** Stage `parts` as one file each under `dir` (f00.parquet, f01…,
     * with strictly increasing modification times, so the file stream

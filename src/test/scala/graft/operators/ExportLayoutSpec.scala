@@ -411,6 +411,26 @@ class ExportLayoutSpec extends SparkSpec {
       (2L, "oX", "nX", "insert")))
   }
 
+  test("deleteWhere: a NULL-evaluating predicate KEEPS the row (SQL DELETE semantics)") {
+    val out = tmp("delnull")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    import spark.implicits._
+    // v = NULL rows must survive a `v > 10` delete: DELETE removes rows
+    // where the predicate is TRUE, and NULL is not TRUE
+    Export.replaceSnapshot(spark, Seq(
+      (1L, Option(5L)), (2L, Option(50L)), (3L, Option.empty[Long])
+    ).toDF("k", "v"), out)
+    val v2 = Export.deleteWhere(spark, out, col("v") > 10)
+    val left = Export.readSnapshot(spark, out, v2)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(left === Set((1L, Some(5L)), (3L, None)),
+      "NULL-predicate row was silently deleted")
+  }
+
   test("hard purge: deleteWhere + vacuum physically removes the deleted rows' bytes") {
     val out = tmp("hardpurge")
     def rm(f: java.io.File): Unit = {
@@ -455,11 +475,19 @@ class ExportLayoutSpec extends SparkSpec {
     rm(new java.io.File(out))
     import spark.implicits._
     Export.replaceSnapshot(spark, Seq((1L, 2L)).toDF("k", "v"), out)
+    // a STALE orphan (crashed commit hours ago) is reclaimed...
     val orphan = new java.io.File(out, "_tmp._v9.manifest.deadbeef")
     java.nio.file.Files.writeString(orphan.toPath, "garbage")
+    orphan.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    // ...but a FRESH temp file may be a commit IN FLIGHT — deleting it
+    // would fail that committer's rename with a spurious race error
+    val inflight = new java.io.File(out, "_tmp._v9.manifest.cafebabe")
+    java.nio.file.Files.writeString(inflight.toPath, "committing")
     Export.vacuumSnapshots(out, keep = 1)
-    assert(!orphan.exists(), "crashed-commit temp manifest survived vacuum")
+    assert(!orphan.exists(), "stale crashed-commit temp manifest survived vacuum")
+    assert(inflight.exists(), "vacuum killed an in-flight commit's temp file")
     assert(Export.latestSnapshotVersion(out) === 1)
+    inflight.delete()
   }
 
   test("snapshotDiffKeyed: insert/delete/update pre+post images; null keys match; null flips are updates") {

@@ -159,6 +159,11 @@ class SketchesSpec extends SparkSpec {
       .select(Sketches.fixedPoint(col("v"), 20).as("fp"))
       .collect().map(_.getLong(0)).toSeq
     assert(ok === Seq(0L, 524288L, 3932160L))
+    // NULL is an absent row, not a domain violation: propagates as NULL
+    val withNull = Seq(Option(2.0), Option.empty[Double]).toDF("v")
+      .select(Sketches.fixedPoint(col("v"), 20).as("fp"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(withNull.toSeq === Seq(Some(2097152L), None))
   }
 
   test("histogram: shard-merge equals single pass; p50 bin holds the true median") {
