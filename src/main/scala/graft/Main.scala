@@ -53,6 +53,7 @@ object Main {
       case "lake-compact" => lakeCompact(opts)
       case "lake-vacuum" => lakeVacuum(opts)
       case "lake-delete" => lakeDelete(opts)
+      case "lake-restore" => lakeRestore(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
   }
@@ -92,9 +93,10 @@ object Main {
         "checkpoint-destroy|checkpoint-error-ignore|verify|serve " +
         "--source DIR --out DIR [opts]\n" +
         "       graft.Main lake-versions|lake-read|lake-compact|" +
-        "lake-vacuum|lake-delete --table DIR " +
-        "[--version N] [--out DIR] [--files N] [--cluster-by COL] " +
-        "[--keep N] [--where SQL_PREDICATE]")
+        "lake-vacuum|lake-delete|lake-restore --table DIR " +
+        "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
+        "[--cluster-by COL] [--keep N] [--horizon-ms N] " +
+        "[--where SQL_PREDICATE] [--to-version N]")
 
   // ------------------------------------------------------- lake ops surface
   //
@@ -132,7 +134,20 @@ object Main {
     if (versions.isEmpty) {
       System.err.println(s"no versions under $dir"); sys.exit(2)
     }
-    val v = o("version").headOption.map(_.toInt).getOrElse(versions.last)
+    if (o("version").nonEmpty && o("as-of-ts").nonEmpty) {
+      System.err.println("--version and --as-of-ts are mutually exclusive")
+      sys.exit(2)
+    }
+    // TIMESTAMP AS OF: resolve epoch-millis to the newest version
+    // committed at or before it (Delta semantics); version-exact otherwise
+    val v = o("as-of-ts").headOption match {
+      case Some(ts) =>
+        try graft.operators.Export.resolveAsOfTimestamp(dir, ts.toLong)
+        catch { case e: IllegalArgumentException =>
+          System.err.println(e.getMessage); sys.exit(2)
+        }
+      case None => o("version").headOption.map(_.toInt).getOrElse(versions.last)
+    }
     if (!versions.contains(v)) {
       System.err.println(
         s"version $v not present under $dir (have: ${versions.mkString(", ")}" +
@@ -164,10 +179,35 @@ object Main {
   private def lakeVacuum(o: Map[String, List[String]]): Unit = {
     val dir = reqTable(o)
     val keep = o("keep").headOption.map(_.toInt).getOrElse(1)
+    // in-flight-commit horizon: unreferenced files younger than this are
+    // never reclaimed (a racing committer writes data first, manifest
+    // after); --horizon-ms 0 only for tables with no possible live writer
+    val horizon = o("horizon-ms").headOption.map(_.toLong)
+      .getOrElse(graft.operators.Export.DefaultVacuumHorizonMs)
     val (droppedV, deletedF) =
-      graft.operators.Export.vacuumSnapshots(dir, keep)
+      graft.operators.Export.vacuumSnapshots(dir, keep, horizon)
     println(s"vacuumed $dir: dropped $droppedV versions, " +
-      s"deleted $deletedF files (kept newest $keep)")
+      s"deleted $deletedF files (kept newest $keep, " +
+      s"horizon ${horizon}ms)")
+  }
+
+  /** RESTORE TABLE TO VERSION: roll the head back by committing a new
+    * manifest that re-points to an old version's files — zero data
+    * movement, planning-side only (no Spark session). */
+  private def lakeRestore(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val to = o("to-version").headOption.map(_.toInt).getOrElse {
+      System.err.println("--to-version N is required"); sys.exit(2)
+    }
+    val versions = graft.operators.Export.snapshotVersions(dir)
+    if (!versions.contains(to)) {
+      System.err.println(
+        s"version $to not present under $dir (have: " +
+          s"${versions.mkString(", ")} — vacuumed?)")
+      sys.exit(2)
+    }
+    val v = graft.operators.Export.restoreSnapshot(dir, to)
+    println(s"restored $dir to version $to as new version $v")
   }
 
   private def lakeDelete(o: Map[String, List[String]]): Unit = {
@@ -185,7 +225,8 @@ object Main {
   private val KnownOpts = Set("source", "out", "strict", "no-checkpoint",
     "continue-on-error", "filter", "route", "table", "port", "bind",
     "checkpoint-url", "bucket-by", "compact-bytes", "config",
-    "version", "files", "cluster-by", "keep", "where")
+    "version", "files", "cluster-by", "keep", "where", "as-of-ts",
+    "to-version", "horizon-ms")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)

@@ -273,13 +273,17 @@ object Export {
     finally in.close()
   }
 
-  // A data line is `<path>` or `<path>\t<key_min>\t<key_max>` — the
-  // optional zone is per-file min/max of the table's cluster key, the
+  // A data line is `<path>` plus optional tab-separated stat fields:
+  //   legacy positional  `<path>\t<key_min>\t<key_max>`   (cluster zone)
+  //   tagged             `z=<lo>:<hi>`                    (cluster zone)
+  //   tagged             `p=<col>=<val>/<col>=<val>`      (partition spec)
+  // The zone is per-file min/max of the table's cluster key and the
+  // partition spec is the file's hive-style partition values — the
   // Iceberg/Delta column-stats idea carried INSIDE the snapshot manifest
   // so time travel and file pruning come from the same commit. Lines are
   // carried verbatim across appends; readers that don't prune just take
-  // the path field, and a zoneless line is always read (pruning is an
-  // accelerator, never a correctness gate).
+  // the path field, and a line without a given stat is always read
+  // (pruning is an accelerator, never a correctness gate).
   private def dataLines(lines: Seq[String]): Seq[String] =
     lines.filterNot(_.startsWith("#"))
 
@@ -291,21 +295,58 @@ object Export {
       .map(i => if (i == 0) base else s"$base$i")
       .find(n => !cols.contains(n)).get
 
-  private def zoneOf(line: String): Option[(Long, Long)] =
-    line.split('\t') match {
-      case Array(_, lo, hi) => Some((lo.toLong, hi.toLong))
+  private def zoneOf(line: String): Option[(Long, Long)] = {
+    val fields = line.split('\t')
+    fields.collectFirst { case f if f.startsWith("z=") =>
+      val Array(lo, hi) = f.drop(2).split(':'); (lo.toLong, hi.toLong)
+    }.orElse(fields match {
+      // legacy positional zone (pre-tagged manifests, carried verbatim)
+      case Array(_, lo, hi) if !lo.contains('=') && !hi.contains('=') =>
+        Some((lo.toLong, hi.toLong))
       case _ => None
-    }
+    })
+  }
+
+  /** The file's partition spec, empty for an unpartitioned line (which a
+    * partition-pruned read must always plan — it can't prove exclusion). */
+  private def partitionOf(line: String): Map[String, String] =
+    line.split('\t').collectFirst { case f if f.startsWith("p=") =>
+      f.drop(2).split('/').filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** Commit `_v<version>.manifest` atomically: write a temp file, then
     * rename into place. The rename is the commit point — a reader either
     * sees the complete manifest or no manifest; a crash before the rename
-    * leaves only a `_tmp.` file the next commit ignores. */
+    * leaves only a `_tmp.` file the next commit ignores.
+    *
+    * Concurrency contract, honestly stated: on HDFS rename-without-
+    * overwrite is atomic and the loser's rename FAILS — true multi-writer
+    * safety. On a POSIX local FS the exists() pre-check catches the race
+    * rename can't (renameTo overwrites silently). On S3-style object
+    * stores rename is a non-atomic copy+delete, so two racing committers
+    * can BOTH pass the pre-check and last-writer-wins — the same reason
+    * Delta/Iceberg require a conditional-put LogStore or a catalog there.
+    * Until such a hook is plugged in ([[CommitGuard]]), run a SINGLE
+    * WRITER per table on object stores (the deployment norm for a
+    * streaming sink anyway). */
+  /** Pluggable conditional-commit hook for stores whose rename is NOT
+    * atomic (S3-style object stores): an implementation does a
+    * conditional put / lock acquisition for `(root, version)` and throws
+    * on conflict, restoring multi-writer safety where the filesystem
+    * can't. The default is a no-op — rename semantics carry the guarantee
+    * on HDFS/local (see [[commitManifest]]'s contract). */
+  trait CommitGuard { def beforeCommit(root: Path, version: Int): Unit }
+
+  @volatile var commitGuard: CommitGuard = (_: Path, _: Int) => ()
+
   private[graft] def commitManifest(fs: FileSystem, root: Path, version: Int,
       meta: Map[String, String], files: Seq[String]): Unit = {
     meta.foreach { case (k, v) =>
       require(!k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
         s"manifest meta must be line-safe: $k=$v") }
+    commitGuard.beforeCommit(root, version)
     val tmp = new Path(root,
       s"_tmp._v$version.manifest.${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
@@ -353,20 +394,20 @@ object Export {
     * the manifest's files — so concurrent appends can't tear a read and
     * old versions stay readable forever (time travel). Commit is one
     * atomic manifest rename. `meta` lands as `#key=value` headers on the
-    * committed manifest ([[snapshotMeta]]). Returns the new version. */
+    * committed manifest ([[snapshotMeta]]). Losing a commit race retries
+    * optimistically (see [[commitAppend]] — appends always commute), so
+    * two concurrent appenders both succeed with both epochs in the final
+    * manifest. Returns the committed version. */
   def appendSnapshot(spark: SparkSession, df: DataFrame, outDir: String,
       meta: Map[String, String] = Map.empty): Int = {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
-    val prev = manifestVersions(fs, root).lastOption
-    val version = prev.getOrElse(0) + 1
-    val (_, fresh) = writeEpoch(fs, root, version, df)
-    val carried = prev match {
-      case Some(v) => dataLines(readManifestRaw(fs, root, v))
-      case None => Nil
-    }
-    commitManifest(fs, root, version, withSchema(meta, df), carried ++ fresh)
-    version
+    // the epoch dir's version label is the TENTATIVE version (cosmetic —
+    // the uuid suffix is what guarantees uniqueness); a retried commit
+    // may land the same files at a later version number
+    val (_, fresh) = writeEpoch(fs, root,
+      manifestVersions(fs, root).lastOption.getOrElse(0) + 1, df)
+    commitAppend(fs, root, meta, df.schema.json, fresh)
   }
 
   /** Commit a FULL-REPLACE snapshot: like [[appendSnapshot]] the epoch's
@@ -382,7 +423,8 @@ object Export {
     fs.mkdirs(root)
     val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
     val (_, fresh) = writeEpoch(fs, root, version, df)
-    commitManifest(fs, root, version, withSchema(meta, df), fresh)
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, meta, df.schema.json), fresh)
     version
   }
 
@@ -422,12 +464,12 @@ object Export {
   }
 
   /** The `#key=value` metadata headers of a committed manifest — the
-    * CALLER's metadata; the engine's reserved `schema` header (written
-    * on every commit, see [[withSchema]]) is internal bookkeeping and
-    * filtered out. */
+    * CALLER's metadata; the engine's reserved headers (written on every
+    * commit, see [[internalMeta]]) are internal bookkeeping and filtered
+    * out ([[snapshotTimestamp]] exposes `committed_at` typed). */
   def snapshotMeta(outDir: String, version: Int): Map[String, String] = {
     val (fs, root) = fsRoot(outDir)
-    snapshotMetaOf(fs, root, version) - "schema"
+    snapshotMetaOf(fs, root, version) -- ReservedMeta
   }
 
   private def snapshotMetaOf(fs: FileSystem, root: Path,
@@ -438,15 +480,94 @@ object Export {
       .collect { case Array(k, v) => k -> v }
       .toMap
 
-  /** Every commit records the table schema as a `#schema=` header (the
-    * single-line StructType JSON), so a version with ZERO data files —
-    * an empty DataFrame is a legal commit (e.g. an empty first
-    * micro-batch) — still reads back as an empty, correctly-typed
-    * table instead of an unreadable manifest. */
-  private def withSchema(meta: Map[String, String],
-      df: DataFrame): Map[String, String] = {
-    require(!meta.contains("schema"), "'schema' is a reserved meta key")
-    meta + ("schema" -> df.schema.json)
+  /** Headers the ENGINE writes on every commit; caller meta can't use
+    * them. `schema` (single-line StructType JSON) makes a zero-data-file
+    * version — an empty DataFrame is a legal commit — read back as an
+    * empty, correctly-typed table. `committed_at` (epoch millis) is the
+    * commit wall-clock, forced monotonically increasing across versions
+    * (max(now, prev+1), the Delta commit-timestamp discipline) so
+    * `TIMESTAMP AS OF` resolution is well-defined even under clock
+    * skew between committers. */
+  private val ReservedMeta = Set("schema", "committed_at")
+
+  private def internalMeta(fs: FileSystem, root: Path,
+      meta: Map[String, String], schemaJson: String): Map[String, String] = {
+    ReservedMeta.foreach(k =>
+      require(!meta.contains(k), s"'$k' is a reserved meta key"))
+    val prevTs = manifestVersions(fs, root).lastOption
+      .flatMap(v => snapshotMetaOf(fs, root, v).get("committed_at"))
+      .map(_.toLong).getOrElse(Long.MinValue)
+    meta + ("schema" -> schemaJson) +
+      ("committed_at" ->
+        math.max(System.currentTimeMillis(), prevTs + 1).toString)
+  }
+
+  /** Commit wall-clock of a version (epoch millis) — monotone across
+    * versions by construction (see [[internalMeta]]). */
+  def snapshotTimestamp(outDir: String, version: Int): Long = {
+    val (fs, root) = fsRoot(outDir)
+    snapshotMetaOf(fs, root, version).get("committed_at").map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"version $version under $root has no #committed_at= header " +
+          "(pre-timestamp commit?)"))
+  }
+
+  /** `TIMESTAMP AS OF` resolution (the Delta semantics): the NEWEST
+    * version whose commit timestamp is <= `tsMillis`. Throws if the
+    * table has no version that old — asking for a time before the
+    * table existed is a caller error, not an empty read. */
+  def resolveAsOfTimestamp(outDir: String, tsMillis: Long): Int = {
+    val (fs, root) = fsRoot(outDir)
+    manifestVersions(fs, root).reverseIterator.find(v =>
+        snapshotMetaOf(fs, root, v).get("committed_at")
+          .exists(_.toLong <= tsMillis))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $root committed at or before $tsMillis " +
+          "(before the table's first commit, or a pre-timestamp log)"))
+  }
+
+  /** Read the table `TIMESTAMP AS OF tsMillis`: [[resolveAsOfTimestamp]]
+    * then the version-exact [[readSnapshot]]. */
+  def readSnapshotAsOf(spark: SparkSession, outDir: String,
+      tsMillis: Long): DataFrame =
+    readSnapshot(spark, outDir, resolveAsOfTimestamp(outDir, tsMillis))
+
+  /** Optimistic concurrency for APPEND commits (the Delta-protocol
+    * norm): an append's epoch files are fresh and disjoint from every
+    * other commit's, so an append commutes with any winner — re-read the
+    * new head, re-carry its lines, recommit at the next version. Bounded
+    * retries; maintenance commits (compaction/delete, whose rewrite is
+    * computed FROM a specific head) never retry — they fail cleanly for
+    * the caller to re-plan. */
+  private val MaxAppendRetries = 5
+
+  /** TEST SEAM: called before each append commit attempt with
+    * (root, attempted version) so a spec can deterministically inject a
+    * racing winner. Always None in production. */
+  @volatile private[graft] var appendRaceInjector
+      : Option[(Path, Int) => Unit] = None
+
+  private def commitAppend(fs: FileSystem, root: Path,
+      meta: Map[String, String], schemaJson: String,
+      fresh: Seq[String]): Int = {
+    var attempt = 0
+    while (attempt <= MaxAppendRetries) {
+      val prev = manifestVersions(fs, root).lastOption
+      val version = prev.getOrElse(0) + 1
+      val carried = prev
+        .map(v => dataLines(readManifestRaw(fs, root, v))).getOrElse(Nil)
+      appendRaceInjector.foreach(_(root, version))
+      try {
+        commitManifest(fs, root, version,
+          internalMeta(fs, root, meta, schemaJson), carried ++ fresh)
+        return version
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > MaxAppendRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Newest `#batch=` header across ALL versions — NOT just the latest:
@@ -463,6 +584,20 @@ object Export {
       .getOrElse(-1L)
   }
 
+  /** Carry the newest `#batch=` header forward into a MAINTENANCE
+    * commit's meta: without this, retention could drop every version
+    * carrying the exactly-once watermark (compact → vacuum keep=1 leaves
+    * only a `compacted_from` manifest), [[lastAppliedBatch]] would reset
+    * to -1, and a replayed micro-batch would double-merge. With it, the
+    * newest version always carries the watermark, so no retention policy
+    * can erase it. */
+  private def carryBatch(fs: FileSystem, root: Path,
+      meta: Map[String, String]): Map[String, String] =
+    manifestVersions(fs, root).reverseIterator
+      .map(v => snapshotMetaOf(fs, root, v).get("batch"))
+      .collectFirst { case Some(b) => b }
+      .fold(meta)(b => meta + ("batch" -> b))
+
   private def emptyWithCommittedSchema(spark: SparkSession,
       fs: FileSystem, root: Path, version: Int): DataFrame = {
     val schemaJson = snapshotMetaOf(fs, root, version).getOrElse("schema",
@@ -475,15 +610,38 @@ object Export {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** Default retention horizon for UNREFERENCED data files (and stale
+    * temp manifests): one hour, the conservative in-flight-commit bound. */
+  val DefaultVacuumHorizonMs: Long = 60L * 60 * 1000
+
   /** Retention: drop every snapshot version except the newest `keep`,
     * then delete any epoch file no surviving manifest references. Old
     * manifests go first, data files second — a reader holding a surviving
     * manifest can never observe a missing file, and a crash between the
     * two phases only leaves unreferenced files for the next vacuum (the
-    * standard lake-retention ordering). Returns (versions dropped, files
-    * deleted). */
-  def vacuumSnapshots(outDir: String, keep: Int): (Int, Int) = {
+    * standard lake-retention ordering).
+    *
+    * `horizonMs` is the in-flight-commit guard (the Delta VACUUM
+    * retention idea): a concurrent committer writes its epoch FIRST and
+    * commits the manifest AFTER, so an unreferenced-but-FRESH file may be
+    * a commit in flight — deleting it would leave the winning manifest
+    * referencing deleted files, a permanently broken version. Files (and
+    * `_tmp._v*` manifests) younger than the horizon are therefore never
+    * reclaimed; pass 0 only when no writer can possibly be live (e.g. a
+    * decommissioned table, or a test).
+    *
+    * Concurrent READERS: a reader plans from some surviving manifest's
+    * file list; since only files referenced by NO surviving manifest are
+    * deleted, a read planned before the vacuum of manifests it survives
+    * never loses a file mid-scan. A reader pinned to a version that
+    * retention DROPS races its files by design — hold `keep` at or above
+    * the reader-staleness bound, exactly as Delta's retention interval.
+    *
+    * Returns (versions dropped, files deleted). */
+  def vacuumSnapshots(outDir: String, keep: Int,
+      horizonMs: Long = DefaultVacuumHorizonMs): (Int, Int) = {
     require(keep >= 1, s"must keep at least one version, got $keep")
+    require(horizonMs >= 0, s"horizon must be non-negative, got $horizonMs")
     val (fs, root) = fsRoot(outDir)
     val versions = manifestVersions(fs, root)
     val dropped = versions.dropRight(keep)
@@ -494,25 +652,33 @@ object Export {
       dataLines(readManifestRaw(fs, root, v))
         .map(l => fs.makeQualified(new Path(pathOf(l))).toString)
     }.toSet
-    // crashed commits leave `_tmp._v*` files (the rename never happened).
-    // Only STALE ones are reclaimed (older than an hour): a fresh temp
-    // file may be a commit IN FLIGHT — deleting it would make that
-    // committer's rename fail with a spurious concurrent-commit error.
-    val tmpHorizonMs = System.currentTimeMillis() - 60L * 60 * 1000
+    val cutoffMs = System.currentTimeMillis() - horizonMs
+    // crashed commits leave `_tmp._v*` files (the rename never
+    // happened); reclaim only STALE ones — a fresh temp file may be a
+    // commit IN FLIGHT, and deleting it would fail that committer's
+    // rename with a spurious concurrent-commit error
     if (fs.exists(root)) fs.listStatus(root).toSeq
       .filter(st => st.getPath.getName.startsWith("_tmp._v") &&
-        st.getModificationTime < tmpHorizonMs)
+        st.getModificationTime <= cutoffMs)
       .foreach(st => fs.delete(st.getPath, false))
     var deleted = 0
     if (fs.exists(root)) fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
       .foreach { epoch =>
-        fs.listStatus(epoch.getPath).toSeq.map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") &&
-            !live(fs.makeQualified(p).toString))
-          .foreach { p => if (fs.delete(p, false)) deleted += 1 }
-        val left = fs.listStatus(epoch.getPath).toSeq.map(_.getPath.getName)
-        if (!left.exists(_.endsWith(".parquet")))
+        // recursive: partitioned epochs nest files under _p_<col>= dirs
+        val before = listParquetFiles(fs, epoch.getPath)
+        before
+          .filter(st => !live(fs.makeQualified(st.getPath).toString) &&
+            st.getModificationTime <= cutoffMs)
+          .foreach { st => if (fs.delete(st.getPath, false)) deleted += 1 }
+        // drop the dir once no parquet remains — either we just emptied
+        // it, or it never had any AND is older than the horizon (a write
+        // in flight holds only _temporary content until its task
+        // commits; no parquet yet != abandoned)
+        if (listParquetFiles(fs, epoch.getPath).isEmpty &&
+            (before.nonEmpty ||
+              fs.getFileStatus(epoch.getPath).getModificationTime
+                <= cutoffMs))
           fs.delete(epoch.getPath, true)
       }
     (dropped.size, deleted)
@@ -542,17 +708,10 @@ object Export {
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
-    val prev = manifestVersions(fs, root).lastOption
-    val version = prev.getOrElse(0) + 1
-    val freshLines = writeClusteredEpoch(spark, fs, root, version, df,
+    val freshLines = writeClusteredEpoch(spark, fs, root,
+      manifestVersions(fs, root).lastOption.getOrElse(0) + 1, df,
       keyCol, nFiles)
-    val carried = prev match {
-      case Some(v) => dataLines(readManifestRaw(fs, root, v))
-      case None => Nil
-    }
-    commitManifest(fs, root, version, withSchema(meta, df),
-      carried ++ freshLines)
-    version
+    commitAppend(fs, root, meta, df.schema.json, freshLines)
   }
 
   /** Range-sort `df` on `keyCol` into `nFiles` files under
@@ -578,6 +737,165 @@ object Export {
         case None => f // a file with zero rows carries no zone
       }
     }
+  }
+
+  /** Hive-style PARTITIONED append — the default shape of a production
+    * corpus table (`dt=.../tenant=...`): the epoch is laid out in
+    * partition-column directories and every manifest data line carries
+    * the file's partition spec (`p=col=val/...`), so
+    * [[readSnapshotPartitioned]] plans only matching-partition files
+    * from the manifest alone — multi-dimension partition elimination
+    * with no directory listing, composing with per-file zones on
+    * `zoneKey` for sub-partition range pruning.
+    *
+    * Layout detail: the partition columns are SHADOWED (`_p_<col>`) for
+    * the directory layout and kept as real columns in the data files —
+    * readers scan manifest-listed leaf files directly (no `basePath`
+    * reconstruction across epochs), and the duplicated column RLE-
+    * compresses to nothing since it is constant per file.
+    *
+    * 100 TB shape: one exchange (hash on the partition columns, or range
+    * on (partitions, zoneKey) when clustering), then one partitioned
+    * write; the read-back stats pass is per-file metadata aggregation.
+    * Partition values must be non-null and free of `\t`, `/`, `=`,
+    * newline — the manifest line grammar (enforced at commit). */
+  def appendSnapshotPartitioned(spark: SparkSession, df: DataFrame,
+      outDir: String, partitionCols: Seq[String], nFiles: Int = 1,
+      zoneKey: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
+    val epochDir = new Path(root,
+      s"epoch=$version-${java.util.UUID.randomUUID.toString.take(8)}")
+    val arrangeCols = (partitionCols ++ zoneKey).map(col)
+    val arranged =
+      df.repartitionByRange(nFiles, arrangeCols: _*)
+        .sortWithinPartitions(arrangeCols: _*)
+    val shadows = partitionCols.map(c =>
+      c -> freshName(s"_p_$c", df.columns.toSeq))
+    val withShadow = shadows.foldLeft(arranged) { case (d, (c, s)) =>
+      d.withColumn(s, col(c)) }
+    withShadow.write.mode("overwrite")
+      .partitionBy(shadows.map(_._2): _*).parquet(epochDir.toString)
+    val files = listParquetFiles(fs, epochDir).map(_.getPath)
+      .map(_.toString).sorted
+    val lines =
+      if (files.isEmpty) Nil
+      else {
+        // per-file stats from the bytes READ BACK (partition values are
+        // real columns in the files; each file is single-valued in them
+        // by construction of the partitioned write)
+        val aggs =
+          partitionCols.map(c =>
+            first(col(c).cast("string")).as(s"__p_$c")) ++
+          zoneKey.toSeq.flatMap(k => Seq(
+            min(col(k)).cast("long").as("__z_lo"),
+            max(col(k)).cast("long").as("__z_hi")))
+        val stats = spark.read.parquet(files: _*)
+          .groupBy(col("_metadata.file_path").as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val spec = partitionCols.map { c =>
+              val v = r.getAs[String](s"__p_$c")
+              require(v != null && !v.exists(ch =>
+                  ch == '\t' || ch == '/' || ch == '=' ||
+                    ch == '\n' || ch == '\r'),
+                s"partition value for '$c' must be non-null and " +
+                  s"line-safe, got: $v")
+              s"$c=$v"
+            }.mkString("/")
+            val zone = zoneKey.map(_ =>
+              s"\tz=${r.getAs[Long]("__z_lo")}:${r.getAs[Long]("__z_hi")}")
+              .getOrElse("")
+            fs.makeQualified(new Path(r.getAs[String]("file"))).toString ->
+              (s"\tp=$spec" + zone)
+          }.toMap
+        files.map { f =>
+          val key = fs.makeQualified(new Path(f)).toString
+          key + stats.getOrElse(key, "")
+        }
+      }
+    commitAppend(fs, root, meta, df.schema.json, lines)
+  }
+
+  // recursion over plain listStatus, NOT fs.listFiles: the latter
+  // materializes LocatedFileStatus (block locations/permissions), which
+  // some FileSystem implementations only support for their native
+  // scheme — listStatus is the lowest-common-denominator every store
+  // implements (and what the SnapshotFsSpec mock scheme certifies)
+  private def listParquetFiles(fs: FileSystem, dir: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      if (st.isDirectory) listParquetFiles(fs, st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+      else Nil
+    }
+  }
+
+  /** Partition-pruned (and optionally zone-pruned) read of a snapshot
+    * version: plan only files whose manifest partition spec matches
+    * every `partFilters` equality AND whose zone overlaps `zone`'s
+    * range; a line lacking a filtered partition column or a zone is
+    * always planned (pruning can't prove exclusion there). The exact
+    * predicates are then applied on top — pushed to the parquet scan —
+    * so pruning is an accelerator, never a correctness gate. */
+  def readSnapshotPartitioned(spark: SparkSession, outDir: String,
+      version: Int, partFilters: Map[String, String],
+      zone: Option[(String, Long, Long)] = None): DataFrame = {
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+    val chosen = lines.filter { l =>
+      val spec = partitionOf(l)
+      val partOk = partFilters.forall { case (c, v) =>
+        spec.get(c).forall(_ == v) }
+      val zoneOk = zone.forall { case (_, lo, hi) => zoneOf(l) match {
+        case Some((zlo, zhi)) => zhi >= lo && zlo <= hi
+        case None => true
+      } }
+      partOk && zoneOk
+    }.map(pathOf)
+    val files =
+      if (chosen.nonEmpty) chosen
+      else lines.map(pathOf).sorted.take(1)
+    val base =
+      if (files.isEmpty) emptyWithCommittedSchema(spark, fs, root, version)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    val exact = partFilters.map { case (c, v) =>
+        col(c).cast("string") === v }.toSeq ++
+      zone.map { case (k, lo, hi) => col(k).between(lo, hi) }
+    exact.foldLeft(base)(_ filter _)
+  }
+
+  /** RESTORE TABLE TO VERSION (the Delta `RESTORE` shape): commit a NEW
+    * version whose manifest re-points to `toVersion`'s exact data lines
+    * (zones and partition specs carried verbatim). The head rolls back
+    * with ZERO data movement; the rolled-past versions stay time-travel-
+    * readable until retention, and vacuum keeps every file the restored
+    * head references because survival is judged from surviving
+    * manifests. Planning-side only — no Spark session, no data I/O.
+    * Returns the new version. */
+  def restoreSnapshot(outDir: String, toVersion: Int): Int = {
+    val (fs, root) = fsRoot(outDir)
+    val versions = manifestVersions(fs, root)
+    require(versions.contains(toVersion),
+      s"version $toVersion not present under $root " +
+        s"(have: ${versions.mkString(", ")} — vacuumed?)")
+    val latest = versions.last
+    val lines = dataLines(readManifestRaw(fs, root, toVersion))
+    val schemaJson = snapshotMetaOf(fs, root, toVersion)
+      .getOrElse("schema", throw new IllegalStateException(
+        s"version $toVersion under $root has no #schema= header"))
+    val version = latest + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root, Map("restored_from" -> toVersion.toString)),
+        schemaJson), lines)
+    version
   }
 
   /** Zone-pruned read of a snapshot version: plan only the files whose
@@ -633,7 +951,9 @@ object Export {
     val version = latest + 1
     val (_, fresh) = writeEpoch(fs, root, version, rows)
     commitManifest(fs, root, version,
-      withSchema(Map("compacted_from" -> latest.toString), rows), fresh)
+      internalMeta(fs, root,
+        carryBatch(fs, root, Map("compacted_from" -> latest.toString)),
+        rows.schema.json), fresh)
     version
   }
 
@@ -660,7 +980,9 @@ object Export {
     val version = latest + 1
     val (_, fresh) = writeEpoch(fs, root, version, rows)
     commitManifest(fs, root, version,
-      withSchema(Map("deleted_from" -> latest.toString), rows), fresh)
+      internalMeta(fs, root,
+        carryBatch(fs, root, Map("deleted_from" -> latest.toString)),
+        rows.schema.json), fresh)
     version
   }
 
@@ -683,7 +1005,9 @@ object Export {
     val lines = writeClusteredEpoch(spark, fs, root, version,
       rows, keyCol, nFiles)
     commitManifest(fs, root, version,
-      withSchema(Map("compacted_from" -> latest.toString), rows), lines)
+      internalMeta(fs, root,
+        carryBatch(fs, root, Map("compacted_from" -> latest.toString)),
+        rows.schema.json), lines)
     version
   }
 

@@ -44,14 +44,35 @@ object EventStream {
 
   /** Stage `parts` as one file each under `dir` (f00.parquet, f01…,
     * with strictly increasing modification times, so the file stream
-    * source drains them oldest-first = in part order). Idempotent: a
-    * `_STAGED` marker makes re-runs reuse the fixture. ONE copy of the
-    * staging protocol — every deterministic drain in this file shares
-    * it, so a change (mod-time spacing, marker, naming) cannot silently
-    * diverge between fixtures. */
+    * source drains them oldest-first = in part order). Idempotent AND
+    * content-addressed: the `_STAGED` marker holds an md5 of the parts'
+    * schema + rows, so editing a fixture definition restages
+    * automatically instead of silently replaying stale data against a
+    * fresh oracle (the old name-keyed marker required manual dir-name
+    * bumps — dwb_stage_v2 / ssj_stage_v3 are its scars). Parts are
+    * gate-sized (tens of rows), so the fingerprint collect is
+    * driver-trivial; rows are sorted for the digest so partition-order
+    * variance can't force a spurious restage. ONE copy of the staging
+    * protocol — every deterministic drain in this file shares it, so a
+    * change (mod-time spacing, marker, naming) cannot silently diverge
+    * between fixtures. */
   private def stageTimeOrdered(dir: File,
       parts: Seq[DataFrame]): Unit = {
-    if (new File(dir, "_STAGED").exists()) return
+    val fingerprint = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach { df =>
+        md.update(df.schema.json.getBytes("UTF-8"))
+        df.toJSON.collect().sorted
+          .foreach(j => md.update((j + "\n").getBytes("UTF-8")))
+        md.update(Array[Byte](0)) // part boundary
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val marker = new File(dir, "_STAGED")
+    if (marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath).trim == fingerprint)
+      return
+    rmRec(dir)
     dir.mkdirs()
     parts.zipWithIndex.foreach { case (df, k) =>
       val tmp = new File(dir, s"_tmp_$k")
@@ -63,7 +84,7 @@ object EventStream {
       rmRec(tmp)
       dest.setLastModified(1600000000000L + k * 60000L)
     }
-    new File(dir, "_STAGED").createNewFile()
+    java.nio.file.Files.writeString(marker.toPath, fingerprint)
   }
 
   /** Drain `srcDir` parquet as a stream (AvailableNow) through a windowed

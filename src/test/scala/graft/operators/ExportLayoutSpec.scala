@@ -162,7 +162,10 @@ class ExportLayoutSpec extends SparkSpec {
     val v2 = Export.replaceSnapshot(spark, ids.filter(col("doc_id") < 200), out)
     val v3 = Export.replaceSnapshot(spark, ids, out)
     val v3Rows = Export.readSnapshot(spark, out, v3).count()
-    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1)
+    // horizonMs = 0: the spec's files are seconds old; production keeps
+    // the default in-flight horizon (see the vacuum-horizon spec below)
+    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1,
+      horizonMs = 0)
     assert(droppedV === 2 && deletedF >= 2)
     // survivors untouched
     assert(Export.latestSnapshotVersion(out) === v3)
@@ -185,7 +188,7 @@ class ExportLayoutSpec extends SparkSpec {
     assert(parquetFilesUnder(new java.io.File(out)).size === survivors.size,
       "unreferenced epoch files survived the vacuum")
     // idempotent: nothing left to clean
-    assert(Export.vacuumSnapshots(out, keep = 1) === ((0, 0)))
+    assert(Export.vacuumSnapshots(out, keep = 1, horizonMs = 0) === ((0, 0)))
   }
 
   test("compaction: file count drops, rows byte-identical, old versions untouched, vacuum reclaims") {
@@ -216,7 +219,8 @@ class ExportLayoutSpec extends SparkSpec {
     assert(rows(v3) === rowsBefore, "pre-compaction version no longer reads intact")
     assert(Export.snapshotMeta(out, vc) === Map("compacted_from" -> v3.toString))
     // retention drops the fragmented versions; vacuum reclaims their files
-    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1)
+    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1,
+      horizonMs = 0)
     assert(droppedV === 3 && deletedF === 18,
       s"expected 18 fragments reclaimed, got $deletedF")
     assert(rows(vc) === rowsBefore, "compacted rows lost by vacuum")
@@ -449,7 +453,8 @@ class ExportLayoutSpec extends SparkSpec {
     // hard purge = delete + retention vacuum: the deleted rows' files
     // (version 1's entire epoch — full-replace versions share nothing)
     // are physically reclaimed
-    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1)
+    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1,
+      horizonMs = 0)
     assert(droppedV === 1 && deletedF >= 1)
     def parquetFilesUnder(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).toSeq.flatten.flatMap {

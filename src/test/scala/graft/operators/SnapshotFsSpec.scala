@@ -78,7 +78,8 @@ class SnapshotFsSpec extends SparkSpec {
       out, meta = Map("batch" -> "1"))
     assert(Export.snapshotMeta(out, v1) === Map("batch" -> "0"))
     assert(Export.snapshotMeta(out, v2) === Map("batch" -> "1"))
-    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1)
+    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1,
+      horizonMs = 0)
     assert(droppedV === 1 && deletedF >= 1)
     // survivor intact and byte-identical through the mock scheme
     assert(Export.readSnapshot(spark, out, v2)
