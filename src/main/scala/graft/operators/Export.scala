@@ -424,7 +424,7 @@ object Export {
     val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
     val (_, fresh) = writeEpoch(fs, root, version, df)
     commitManifest(fs, root, version,
-      internalMeta(fs, root, meta, df.schema.json), fresh)
+      internalMeta(fs, root, meta, df.schema.json, op = "replace"), fresh)
     version
   }
 
@@ -463,6 +463,20 @@ object Export {
     }
   }
 
+  /** `DESCRIBE HISTORY` as a DataFrame: one row per committed version —
+    * (version, committed_at epoch-millis, operation, n_files, batch) —
+    * from the planning-side manifest listing (each manifest read once),
+    * for SQL/notebook consumption. `operation` is the engine-stamped
+    * commit kind (append/replace/compact/delete/restore); `committed_at`
+    * and `batch` are null for pre-header commits / non-streaming tables. */
+  def snapshotHistory(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    snapshotEntries(outDir).map { case (v, n, meta) =>
+      (v, meta.get("committed_at").map(_.toLong),
+        meta.get("op").orNull, n, meta.get("batch").map(_.toLong))
+    }.toDF("version", "committed_at", "operation", "n_files", "batch")
+  }
+
   /** The `#key=value` metadata headers of a committed manifest — the
     * CALLER's metadata; the engine's reserved headers (written on every
     * commit, see [[internalMeta]]) are internal bookkeeping and filtered
@@ -488,16 +502,17 @@ object Export {
     * (max(now, prev+1), the Delta commit-timestamp discipline) so
     * `TIMESTAMP AS OF` resolution is well-defined even under clock
     * skew between committers. */
-  private val ReservedMeta = Set("schema", "committed_at")
+  private val ReservedMeta = Set("schema", "committed_at", "op")
 
   private def internalMeta(fs: FileSystem, root: Path,
-      meta: Map[String, String], schemaJson: String): Map[String, String] = {
+      meta: Map[String, String], schemaJson: String,
+      op: String): Map[String, String] = {
     ReservedMeta.foreach(k =>
       require(!meta.contains(k), s"'$k' is a reserved meta key"))
     val prevTs = manifestVersions(fs, root).lastOption
       .flatMap(v => snapshotMetaOf(fs, root, v).get("committed_at"))
       .map(_.toLong).getOrElse(Long.MinValue)
-    meta + ("schema" -> schemaJson) +
+    meta + ("schema" -> schemaJson) + ("op" -> op) +
       ("committed_at" ->
         math.max(System.currentTimeMillis(), prevTs + 1).toString)
   }
@@ -559,7 +574,8 @@ object Export {
       appendRaceInjector.foreach(_(root, version))
       try {
         commitManifest(fs, root, version,
-          internalMeta(fs, root, meta, schemaJson), carried ++ fresh)
+          internalMeta(fs, root, meta, schemaJson, op = "append"),
+          carried ++ fresh)
         return version
       } catch {
         case e: IllegalStateException =>
@@ -894,7 +910,7 @@ object Export {
     commitManifest(fs, root, version,
       internalMeta(fs, root,
         carryBatch(fs, root, Map("restored_from" -> toVersion.toString)),
-        schemaJson), lines)
+        schemaJson, op = "restore"), lines)
     version
   }
 
@@ -953,7 +969,7 @@ object Export {
     commitManifest(fs, root, version,
       internalMeta(fs, root,
         carryBatch(fs, root, Map("compacted_from" -> latest.toString)),
-        rows.schema.json), fresh)
+        rows.schema.json, op = "compact"), fresh)
     version
   }
 
@@ -982,7 +998,7 @@ object Export {
     commitManifest(fs, root, version,
       internalMeta(fs, root,
         carryBatch(fs, root, Map("deleted_from" -> latest.toString)),
-        rows.schema.json), fresh)
+        rows.schema.json, op = "delete"), fresh)
     version
   }
 
@@ -1007,7 +1023,7 @@ object Export {
     commitManifest(fs, root, version,
       internalMeta(fs, root,
         carryBatch(fs, root, Map("compacted_from" -> latest.toString)),
-        rows.schema.json), lines)
+        rows.schema.json, op = "compact"), lines)
     version
   }
 

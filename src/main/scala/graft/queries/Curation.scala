@@ -4169,4 +4169,155 @@ object Curation {
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** TIMESTAMP-based time travel
+    * ([[graft.operators.Export.resolveAsOfTimestamp]] /
+    * [[graft.operators.Export.readSnapshotAsOf]] — Delta's
+    * `TIMESTAMP AS OF`): every commit stamps a monotone
+    * `#committed_at=` header; asking for the instant just before v2's
+    * commit must resolve to v1 (committed_at is forced ≥ prev+1, so
+    * t2−1 ≥ t1), asking AT v2's commit resolves to v2. The emitted
+    * `version` column IS the resolver's answer — a wrong resolution
+    * changes both the label and the aggregate, and the oracle replays
+    * both versions' contents from the raw table. */
+  def q_timetravel_ts(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"timetravel_ts_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") % 2 === 0), od)
+    val v2 = graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") % 2 === 1), od)
+    val t2 = graft.operators.Export.snapshotTimestamp(od, v2)
+    def asOf(ts: Long) = {
+      val v = graft.operators.Export.resolveAsOfTimestamp(od, ts)
+      graft.operators.Export.readSnapshot(s, od, v)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .select(lit(v).as("version"), col("n_docs"), col("id_sum"),
+          col("total_chars"))
+    }
+    asOf(t2 - 1).unionByName(asOf(t2)).orderBy("version")
+  }
+
+  val q_timetravel_ts_sql: String =
+    """SELECT 1 AS version, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents
+      |ORDER BY version""".stripMargin
+
+  /** RESTORE TABLE TO VERSION
+    * ([[graft.operators.Export.restoreSnapshot]] — the Delta `RESTORE`
+    * shape): v1 = all docs, v2 = CoW DELETE of doc_id % 3 == 0, v3 =
+    * restore to v1 — a new commit whose manifest re-points to v1's
+    * files with ZERO data movement. The gate emits v2 (the deleted
+    * state, still intact mid-history) and v3 (the restored head ≡ the
+    * full table again); DuckDB replays both from the raw table, so a
+    * restore that rewrote, lost, or duplicated anything hash-mismatches. */
+  def q_snapshot_restore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snaprestore_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    val v1 = graft.operators.Export.replaceSnapshot(s, docs, od)
+    val v2 = graft.operators.Export.deleteWhere(s, od,
+      col("doc_id") % 3 === 0)
+    val v3 = graft.operators.Export.restoreSnapshot(od, v1)
+    def agg(v: Int) = graft.operators.Export.readSnapshot(s, od, v)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(lit(v).as("version"), col("n_docs"), col("id_sum"),
+        col("total_chars"))
+    agg(v2).unionByName(agg(v3)).orderBy("version")
+  }
+
+  val q_snapshot_restore_sql: String =
+    """SELECT 2 AS version, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id % 3 != 0
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents
+      |ORDER BY version""".stripMargin
+
+  /** Hive-style PARTITIONED snapshot table
+    * ([[graft.operators.Export.appendSnapshotPartitioned]] +
+    * [[graft.operators.Export.readSnapshotPartitioned]]): two epochs
+    * appended partitioned by `lang`, manifest data lines carrying each
+    * file's partition spec, then a partition-filtered read of the
+    * latest version plans only `lang=en` files from the manifest alone.
+    * DuckDB replays the full-scan predicate — partition elimination
+    * must change the plan, never the rows. `ExportLayoutSpec`
+    * separately proves non-matching partitions' files are not planned. */
+  def q_snapshot_partitioned(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snappart_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotPartitioned(s,
+      docs.filter(col("doc_id") % 2 === 0), od, Seq("lang"), nFiles = 4)
+    val v2 = graft.operators.Export.appendSnapshotPartitioned(s,
+      docs.filter(col("doc_id") % 2 === 1), od, Seq("lang"), nFiles = 4)
+    graft.operators.Export.readSnapshotPartitioned(s, od, v2,
+        Map("lang" -> "en"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("source")
+  }
+
+  val q_snapshot_partitioned_sql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Partition + zone pruning COMPOSED
+    * ([[graft.operators.Export.appendSnapshotPartitioned]] with
+    * `zoneKey`): one epoch partitioned by `lang` AND range-clustered on
+    * `doc_id` within partitions, each manifest line carrying BOTH the
+    * partition spec and the file's doc_id zone — multi-dimension file
+    * elimination (partition equality × key range) from one manifest,
+    * the default production-table read path. DuckDB replays the
+    * conjunctive predicate full-scan. */
+  def q_snapshot_partzone(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snappz_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    val v1 = graft.operators.Export.appendSnapshotPartitioned(s, docs, od,
+      Seq("lang"), nFiles = 10, zoneKey = Some("doc_id"))
+    graft.operators.Export.readSnapshotPartitioned(s, od, v1,
+        Map("lang" -> "en"), zone = Some(("doc_id", 100L, 400L)))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+  }
+
+  val q_snapshot_partzone_sql: String =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE lang = 'en' AND doc_id BETWEEN 100 AND 400""".stripMargin
 }

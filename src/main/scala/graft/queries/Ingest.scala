@@ -115,16 +115,20 @@ object Ingest {
       col("stmt_cols"), table, SqlMode.Lenient,
       keep = Seq(col("src_file").as("_src_file"), col("row_idx").as("_row_idx")),
       kindsCol = Some(col("kinds")))
-    val q = aligned.writeStream.format("parquet")
-      .option("checkpointLocation", ck.getAbsolutePath)
-      .option("path", out.getAbsolutePath)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    val finished = q.awaitTermination(120000)
-    // a timed-out (still-active) stream would leave partial output and a
-    // nondeterministic gate mismatch — fail loudly instead
-    require(finished && !q.isActive,
-      "streaming ingest did not terminate within 120s")
+    // uniform narrow drain width (stateless here, but micro-batch
+    // planning/commit overhead still scales with partition count)
+    graft.streaming.EventStream.withStreamShuffle(s) {
+      val q = aligned.writeStream.format("parquet")
+        .option("checkpointLocation", ck.getAbsolutePath)
+        .option("path", out.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(120000)
+      // a timed-out (still-active) stream would leave partial output and a
+      // nondeterministic gate mismatch — fail loudly instead
+      require(finished && !q.isActive,
+        "streaming ingest did not terminate within 120s")
+    }
     val back = s.read.parquet(out.getAbsolutePath)
     RowIdAllocator.fromFileIndex(back, "_src_file", "_row_idx", "row_id")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),

@@ -31,13 +31,19 @@ object DocStream {
         arrays_overlap(
           SketchExpressions.gramHashes(Dedup.normalized(col("text")), n),
           lit(evalGrams)).cast("int").as("contaminated"))
-    val q = flagged.writeStream
-      .outputMode(OutputMode.Append())
-      .format("parquet").option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateless (no state store), but drains share the uniform narrow
+    // width: per-micro-batch planning/commit overhead scales with the
+    // partition count, and a loaded box amplifies exactly that term
+    // (r10: streaming gates degraded 10-47× vs 1.05× for batch)
+    EventStream.withStreamShuffle(spark) {
+      val q = flagged.writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 
@@ -81,27 +87,32 @@ object DocStream {
       if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       val stream = reader.parquet(docsDir).filter(streamFilter)
-      val q = stream.writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val sigs = Dedup.md5Signatures(batch, "text", "doc_id")
-          val lBands = Dedup.md5BandRows(sigs)
-            .select(col("_id").as("doc_id"), col("_b"))
-          val dupIds = lBands
-            .join(baseBuckets, col("_b") === col("_b2"))
-            .select(col("doc_id")).distinct()
-          val flagged = sigs.select(col("_id").as("doc_id"))
-            .join(dupIds.withColumn("dup", lit(1)), Seq("doc_id"), "left")
-            .select(col("doc_id"), coalesce(col("dup"), lit(0)).as("dup"))
-          // per-batch dir + overwrite → replaying a batch after a crash
-          // rewrites the same rows instead of duplicating them
-          flagged.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-          ()
-        }
-        .start()
-      q.awaitTermination()
+      // narrow drain width (uniform across all drains): the per-batch
+      // band join shuffles only a micro-batch's rows — 32 partitions of
+      // per-task overhead per batch buys nothing at that size
+      EventStream.withStreamShuffle(spark) {
+        val q = stream.writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sigs = Dedup.md5Signatures(batch, "text", "doc_id")
+            val lBands = Dedup.md5BandRows(sigs)
+              .select(col("_id").as("doc_id"), col("_b"))
+            val dupIds = lBands
+              .join(baseBuckets, col("_b") === col("_b2"))
+              .select(col("doc_id")).distinct()
+            val flagged = sigs.select(col("_id").as("doc_id"))
+              .join(dupIds.withColumn("dup", lit(1)), Seq("doc_id"), "left")
+              .select(col("doc_id"), coalesce(col("dup"), lit(0)).as("dup"))
+            // per-batch dir + overwrite → replaying a batch after a crash
+            // rewrites the same rows instead of duplicating them
+            flagged.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
     } finally baseBuckets.unpersist(blocking = false)
     spark.read.parquet(s"$outDir/b*")
   }

@@ -33,7 +33,7 @@ object EventStream {
     * gate hash-matches either way — this is purely a state-file-count
     * knob). At production scale with keyed state in the millions, raise
     * it back toward the cluster width. */
-  private def withStreamShuffle[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
+  private[graft] def withStreamShuffle[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n)

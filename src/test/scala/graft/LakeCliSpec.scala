@@ -53,4 +53,27 @@ class LakeCliSpec extends SparkSpec {
     }
     assert(none.contains("no versions"), none)
   }
+
+  test("lake-restore rolls the head back from the CLI, planning-side only") {
+    val out = new java.io.File("target/qtmp", "lakecli_restore")
+    graft.util.Dirs.deleteRec(out)
+    val dir = out.getAbsolutePath
+    Export.replaceSnapshot(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    Export.replaceSnapshot(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), dir)
+    val msg = captureOut {
+      Main.main(Array("lake-restore", "--table", dir, "--to-version", "1"))
+    }
+    assert(msg.contains("restored") && msg.contains("version 3"), msg)
+    assert(Export.latestSnapshotVersion(dir) === 3)
+    assert(Export.snapshotMeta(dir, 3) === Map("restored_from" -> "1"))
+    assert(Export.readSnapshot(spark, dir, 3).count() === 1)
+    // history shows the restore as a commit fact (committed_at included)
+    val listing = captureOut {
+      Main.main(Array("lake-versions", "--table", dir))
+    }.trim.split("\n").toSeq
+    assert(listing.size === 3)
+    assert(listing(2).contains("restored_from=1") &&
+      listing(2).contains("committed_at="), listing(2))
+  }
 }

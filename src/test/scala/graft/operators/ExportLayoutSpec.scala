@@ -571,4 +571,251 @@ class ExportLayoutSpec extends SparkSpec {
     // v2 sees everything exactly once
     assert(sums(Export.readSnapshot(spark, out, v2)) === sums(ids))
   }
+
+  private def rmDir(out: String): Unit =
+    graft.util.Dirs.deleteRec(new java.io.File(out))
+
+  test("committed_at: monotone across commits; TIMESTAMP AS OF resolves Delta-style") {
+    val out = tmp("committs")
+    rmDir(out)
+    val ids = docs.select("doc_id")
+    val v1 = Export.appendSnapshot(spark, ids.filter(col("doc_id") < 100), out)
+    val v2 = Export.appendSnapshot(spark, ids.filter(col("doc_id") >= 100), out)
+    val v3 = Export.compactSnapshot(spark, out, nFiles = 1)
+    val ts = Seq(v1, v2, v3).map(Export.snapshotTimestamp(out, _))
+    assert(ts === ts.sorted && ts.distinct === ts,
+      s"commit timestamps not strictly increasing: $ts")
+    // newest version committed at-or-before: exact hit, between, after
+    assert(Export.resolveAsOfTimestamp(out, ts(0)) === v1)
+    assert(Export.resolveAsOfTimestamp(out, ts(1) - 1) === v1)
+    assert(Export.resolveAsOfTimestamp(out, ts(1)) === v2)
+    assert(Export.resolveAsOfTimestamp(out, ts(2) + 1000000) === v3)
+    // before the table existed: a caller error, not an empty read
+    intercept[IllegalArgumentException] {
+      Export.resolveAsOfTimestamp(out, ts(0) - 1)
+    }
+    // readSnapshotAsOf ≡ version-exact read
+    assert(Export.readSnapshotAsOf(spark, out, ts(1) - 1).count() ===
+      Export.readSnapshot(spark, out, v1).count())
+  }
+
+  test("restore: head re-points with zero data movement; vacuum keeps restored files") {
+    val out = tmp("restore")
+    rmDir(out)
+    val ids = docs.select("doc_id", "n_chars")
+    val v1 = Export.replaceSnapshot(spark, ids, out)
+    val v1Files = Export.snapshotFiles(out, v1).toSet
+    val v2 = Export.deleteWhere(spark, out, col("doc_id") % 2 === 0)
+    val v3 = Export.restoreSnapshot(out, v1)
+    assert(v3 === v2 + 1)
+    assert(Export.snapshotMeta(out, v3) === Map("restored_from" -> "1"))
+    // zero data movement: the restored manifest lists v1's exact files
+    assert(Export.snapshotFiles(out, v3).toSet === v1Files)
+    assert(Export.readSnapshot(spark, out, v3).count() ===
+      Export.readSnapshot(spark, out, v1).count())
+    // retention drops v1 and v2, but the restored HEAD still references
+    // v1's files — vacuum must keep every one of them
+    val (droppedV, _) = Export.vacuumSnapshots(out, keep = 1, horizonMs = 0)
+    assert(droppedV === 2)
+    assert(Export.snapshotVersions(out) === Seq(v3))
+    assert(Export.readSnapshot(spark, out, v3).count() === ids.count(),
+      "vacuum deleted files the restored head references")
+    // restoring to a vacuumed version is a clean error
+    intercept[IllegalArgumentException] { Export.restoreSnapshot(out, v2) }
+  }
+
+  test("partitioned snapshots: manifest-only partition elimination, composes with zones") {
+    val out = tmp("partsnap")
+    rmDir(out)
+    Export.appendSnapshotPartitioned(spark,
+      docs.filter(col("doc_id") % 2 === 0), out, Seq("lang"), nFiles = 4)
+    val v2 = Export.appendSnapshotPartitioned(spark,
+      docs.filter(col("doc_id") % 2 === 1), out, Seq("lang"), nFiles = 4,
+      zoneKey = Some("doc_id"))
+    val all = Export.readSnapshot(spark, out, v2)
+    val en = Export.readSnapshotPartitioned(spark, out, v2,
+      Map("lang" -> "en"))
+    // files of non-matching partitions are never planned: every planned
+    // leaf lives in a _p_lang=en directory
+    assert(en.inputFiles.nonEmpty &&
+      en.inputFiles.forall(_.contains("_p_lang=en")),
+      s"non-en files planned: ${en.inputFiles.filterNot(_.contains("_p_lang=en")).take(3).mkString(", ")}")
+    assert(en.inputFiles.length < all.inputFiles.length)
+    // rows ≡ full-scan predicate
+    assert(en.count() === all.filter(col("lang") === "en").count())
+    // partition × zone composition plans a strict subset again (only the
+    // second epoch carries zones; its en files outside [0,50] drop)
+    val enZone = Export.readSnapshotPartitioned(spark, out, v2,
+      Map("lang" -> "en"), zone = Some(("doc_id", 0L, 50L)))
+    assert(enZone.inputFiles.length < en.inputFiles.length,
+      s"zone pruned nothing within the partition: ${enZone.inputFiles.length} of ${en.inputFiles.length}")
+    assert(enZone.count() ===
+      all.filter(col("lang") === "en" && col("doc_id").between(0, 50)).count())
+    // empty partition value: zero rows, schema intact
+    val none = Export.readSnapshotPartitioned(spark, out, v2,
+      Map("lang" -> "xx"))
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === all.columns.toSeq)
+    // vacuum recurses into partition dirs: drop v1, reclaim its files
+    val (droppedV, deletedF) = Export.vacuumSnapshots(out, keep = 1,
+      horizonMs = 0)
+    assert(droppedV === 1 && deletedF === 0,
+      "append-only log: v1's files are still referenced by v2")
+    assert(Export.readSnapshot(spark, out, v2).count() === docs.count())
+  }
+
+  test("vacuum horizon: an unreferenced-but-fresh epoch is an in-flight commit, not garbage") {
+    val out = tmp("vachorizon")
+    rmDir(out)
+    val ids = docs.select("doc_id")
+    Export.replaceSnapshot(spark, ids, out)
+    // simulate a committer mid-flight: epoch written, manifest not yet —
+    // exactly the window the advice's race names (writeEpoch → commit)
+    val orphanEpoch = new java.io.File(out, "epoch=9-deadbeef")
+    orphanEpoch.mkdirs()
+    val orphanFile = new java.io.File(orphanEpoch, "part-inflight.parquet")
+    java.nio.file.Files.writeString(orphanFile.toPath, "not yet committed")
+    // default horizon: the fresh orphan MUST survive
+    val (_, deletedFresh) = Export.vacuumSnapshots(out, keep = 1)
+    assert(orphanFile.exists(),
+      "vacuum deleted an in-flight commit's epoch file inside the horizon")
+    assert(deletedFresh === 0)
+    // age it past the horizon: now it is a crashed commit's litter
+    orphanFile.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    val (_, deletedStale) = Export.vacuumSnapshots(out, keep = 1)
+    assert(deletedStale === 1 && !orphanEpoch.exists(),
+      "aged orphan epoch not reclaimed")
+  }
+
+  test("snapshotHistory: DESCRIBE HISTORY rows — operations, monotone timestamps, batch carry") {
+    import spark.implicits._
+    val out = tmp("history")
+    rmDir(out)
+    Export.appendSnapshot(spark, Seq((1L, 10L)).toDF("k", "v"), out)
+    Export.replaceSnapshot(spark, Seq((2L, 20L)).toDF("k", "v"), out,
+      meta = Map("batch" -> "5"))
+    Export.compactSnapshot(spark, out, nFiles = 1)
+    Export.deleteWhere(spark, out, col("k") === 0L)
+    Export.restoreSnapshot(out, 2)
+    val h = Export.snapshotHistory(spark, out)
+      .orderBy("version").collect()
+    assert(h.map(_.getAs[Int]("version")).toSeq === Seq(1, 2, 3, 4, 5))
+    assert(h.map(_.getAs[String]("operation")).toSeq ===
+      Seq("append", "replace", "compact", "delete", "restore"))
+    val ts = h.map(_.getAs[Long]("committed_at")).toSeq
+    assert(ts === ts.sorted && ts.distinct === ts)
+    // batch watermark visible from v2 on (maintenance commits carry it)
+    assert(h.map(r => Option(r.get(r.fieldIndex("batch")))).toSeq ===
+      Seq(None, Some(5L), Some(5L), Some(5L), Some(5L)))
+    assert(h.forall(_.getAs[Int]("n_files") >= 0))
+  }
+
+  test("vacuum vs concurrent reader: a reader of any SURVIVING manifest never loses a file") {
+    val out = tmp("vacreader")
+    rmDir(out)
+    val ids = docs.select("doc_id")
+    Export.replaceSnapshot(spark, ids.filter(col("doc_id") < 100), out)
+    val v2 = Export.replaceSnapshot(spark,
+      ids.filter(col("doc_id").between(100, 200)), out)
+    Export.replaceSnapshot(spark, ids, out)
+    // a reader "mid-read" of v2: the plan (manifest file list + lazy
+    // DataFrame) exists BEFORE the vacuum runs
+    val planned = Export.snapshotFiles(out, v2)
+    val reader = Export.readSnapshot(spark, out, v2)
+    val expected = reader.count()
+    // retention keeps v2 and v3 — v2 survives, so vacuum must keep every
+    // file it references even though v1's epoch becomes garbage
+    Export.vacuumSnapshots(out, keep = 2, horizonMs = 0)
+    planned.foreach(f => assert(
+      new java.io.File(new java.net.URI(f)).exists(),
+      s"vacuum deleted $f, referenced by surviving manifest v$v2"))
+    assert(reader.count() === expected,
+      "mid-read plan lost rows after a concurrent vacuum")
+    // the flip side, spelled out: a reader pinned to a version retention
+    // DROPS races its files by design — hold keep ≥ reader staleness
+    assert(Export.snapshotVersions(out) === Seq(2, 3))
+  }
+
+  test("maintenance commits carry the exactly-once #batch= watermark past retention") {
+    import spark.implicits._
+    val out = tmp("batchcarry")
+    rmDir(out)
+    Export.replaceSnapshot(spark, Seq((1L, 10L)).toDF("k", "v"), out,
+      meta = Map("batch" -> "7"))
+    assert(Export.lastAppliedBatch(out) === 7L)
+    // compact (carries batch), then retention drops the only version
+    // that ORIGINALLY carried it
+    Export.compactSnapshot(spark, out, nFiles = 1)
+    Export.vacuumSnapshots(out, keep = 1, horizonMs = 0)
+    assert(Export.lastAppliedBatch(out) === 7L,
+      "compaction+vacuum erased the exactly-once watermark (replay would double-merge)")
+    // delete and restore carry it too
+    Export.deleteWhere(spark, out, col("k") === 999L)
+    Export.vacuumSnapshots(out, keep = 1, horizonMs = 0)
+    assert(Export.lastAppliedBatch(out) === 7L)
+    val head = Export.latestSnapshotVersion(out)
+    Export.restoreSnapshot(out, head)
+    Export.vacuumSnapshots(out, keep = 1, horizonMs = 0)
+    assert(Export.lastAppliedBatch(out) === 7L)
+    // a NEWER real batch still wins over the carried copy
+    Export.replaceSnapshot(spark, Seq((1L, 11L)).toDF("k", "v"), out,
+      meta = Map("batch" -> "8"))
+    assert(Export.lastAppliedBatch(out) === 8L)
+  }
+
+  test("concurrent appends: the loser retries and both epochs land; maintenance fails cleanly") {
+    import spark.implicits._
+    val out = tmp("appendrace")
+    rmDir(out)
+    val v1 = Export.appendSnapshot(spark, Seq((1L, 10L)).toDF("k", "v"), out)
+    assert(v1 === 1)
+    // deterministic race: just before the append commits v2, a winner
+    // commits v2 first — the append must retry and land at v3 carrying
+    // BOTH the winner's lines and its own epoch
+    val (fs, root) = Export.fsRoot(out)
+    var injected = false
+    Export.appendRaceInjector = Some { (_, version) =>
+      if (!injected && version == 2) {
+        injected = true
+        // winner = an independent appender landing v2 first (disarm the
+        // injector so the winner's own commit doesn't recurse)
+        Export.appendRaceInjector = None
+        Export.appendSnapshot(spark, Seq((2L, 20L)).toDF("k", "v"), out)
+      }
+    }
+    try {
+      val vLoser = Export.appendSnapshot(spark,
+        Seq((3L, 30L)).toDF("k", "v"), out)
+      assert(injected, "race injector never fired")
+      assert(vLoser === 3, s"retried append landed at $vLoser, not 3")
+    } finally Export.appendRaceInjector = None
+    // nothing lost: v3 = v1 rows + winner's + loser's
+    assert(Export.readSnapshot(spark, out, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // threaded smoke: 4 appenders race for real; all succeed, union exact
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (10L to 13L).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            Export.appendSnapshot(spark, Seq((i, i * 10)).toDF("k", "v"), out)
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val head = Export.latestSnapshotVersion(out)
+    assert(head === 7, s"4 racing appends should land 4 versions, head=$head")
+    assert(Export.readSnapshot(spark, out, head).count() === 7)
+    // a maintenance-style PINNED commit racing a live sink still FAILS
+    // (its rewrite was computed from a stale head — retrying would drop
+    // the interloper's rows): an interloper lands latest+1 first, then
+    // the pinned commit at the same version must throw, not renumber
+    val latest = Export.latestSnapshotVersion(out)
+    Export.appendSnapshot(spark, Seq((99L, 990L)).toDF("k", "v"), out)
+    intercept[IllegalStateException] {
+      Export.commitManifest(fs, root, latest + 1, Map.empty,
+        Seq("file:/nonexistent.parquet"))
+    }
+  }
 }
