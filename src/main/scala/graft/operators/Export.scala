@@ -779,11 +779,24 @@ object Export {
       outDir: String, partitionCols: Seq[String], nFiles: Int = 1,
       zoneKey: Option[String] = None,
       meta: Map[String, String] = Map.empty): Int = {
-    require(partitionCols.nonEmpty, "need at least one partition column")
-    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
     val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
+    val lines = writePartitionedEpoch(spark, fs, root, version, df,
+      partitionCols, nFiles, zoneKey)
+    commitAppend(fs, root, meta, df.schema.json, lines)
+  }
+
+  /** Write one partition-laid-out epoch and return its manifest data
+    * lines (`<path>\tp=<spec>[\tz=lo:hi]`) — the shared write half of
+    * every partitioned commit (append / overwrite / partition-scoped
+    * compaction / merge). */
+  private def writePartitionedEpoch(spark: SparkSession, fs: FileSystem,
+      root: Path, version: Int, df: DataFrame,
+      partitionCols: Seq[String], nFiles: Int,
+      zoneKey: Option[String]): Seq[String] = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val epochDir = new Path(root,
       s"epoch=$version-${java.util.UUID.randomUUID.toString.take(8)}")
     val arrangeCols = (partitionCols ++ zoneKey).map(col)

@@ -4320,4 +4320,51 @@ object Curation {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |WHERE lang = 'en' AND doc_id BETWEEN 100 AND 400""".stripMargin
+
+  /** DML on a PARTITIONED snapshot table
+    * ([[graft.operators.Export.appendSnapshotPartitioned]] +
+    * [[graft.operators.Export.deleteWhere]]): v1 = the corpus
+    * partitioned by `lang`, v2 = CoW DELETE of every `zh` doc (a
+    * partition-aligned purge — the "drop a tenant/date" request every
+    * partitioned production table gets). The delete must compose with
+    * the partitioned layout transparently: v1 still reads complete
+    * (including through a partition-filtered read), v2 holds exactly
+    * the survivors. DuckDB replays both states. */
+  def q_snapshot_partdelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snappd_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    val v1 = graft.operators.Export.appendSnapshotPartitioned(s, docs, od,
+      Seq("lang"), nFiles = 4)
+    val v2 = graft.operators.Export.deleteWhere(s, od,
+      col("lang") === "zh")
+    val zhBefore = graft.operators.Export.readSnapshotPartitioned(s, od,
+        v1, Map("lang" -> "zh"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(lit(1).as("state"), col("n_docs"), col("id_sum"),
+        col("total_chars"))
+    val after = graft.operators.Export.readSnapshot(s, od, v2)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(lit(2).as("state"), col("n_docs"), col("id_sum"),
+        col("total_chars"))
+    zhBefore.unionByName(after).orderBy("state")
+  }
+
+  val q_snapshot_partdelete_sql: String =
+    """SELECT 1 AS state, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'zh'
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE lang != 'zh'
+      |ORDER BY state""".stripMargin
 }
