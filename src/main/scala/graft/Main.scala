@@ -165,12 +165,31 @@ object Main {
     val dir = reqTable(o)
     val nFiles = o("files").headOption.map(_.toInt).getOrElse(1)
     val spark = session()
-    val v = o("cluster-by").headOption match {
-      case Some(key) => graft.operators.Export
-        .compactSnapshotClustered(spark, dir, key, nFiles)
-      case None => graft.operators.Export
-        .compactSnapshot(spark, dir, nFiles)
+    // --partition col=val (repeatable): partition-scoped OPTIMIZE —
+    // rewrite only the matching partitions' files, carry the rest
+    val partFilters = o("partition").map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case _ =>
+          System.err.println(s"--partition expects col=val, got: $kv")
+          sys.exit(2)
+      }
+    }.toMap
+    if (partFilters.nonEmpty && o("cluster-by").nonEmpty) {
+      System.err.println(
+        "--cluster-by and --partition are mutually exclusive")
+      sys.exit(2)
     }
+    val v =
+      if (partFilters.nonEmpty)
+        graft.operators.Export.compactSnapshotPartition(
+          spark, dir, partFilters.keys.toSeq, partFilters, nFiles)
+      else o("cluster-by").headOption match {
+        case Some(key) => graft.operators.Export
+          .compactSnapshotClustered(spark, dir, key, nFiles)
+        case None => graft.operators.Export
+          .compactSnapshot(spark, dir, nFiles)
+      }
     println(s"compacted $dir into version $v " +
       s"(${graft.operators.Export.snapshotFiles(dir, v).size} files)")
     spark.stop()
@@ -226,7 +245,7 @@ object Main {
     "continue-on-error", "filter", "route", "table", "port", "bind",
     "checkpoint-url", "bucket-by", "compact-bytes", "config",
     "version", "files", "cluster-by", "keep", "where", "as-of-ts",
-    "to-version", "horizon-ms")
+    "to-version", "horizon-ms", "partition")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)

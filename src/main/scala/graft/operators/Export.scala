@@ -410,6 +410,59 @@ object Export {
     commitAppend(fs, root, meta, df.schema.json, fresh)
   }
 
+  /** Field-by-field schema union — the lake's ADD-COLUMN-only evolution
+    * law: the table's fields keep their order and exact type; fields new
+    * in `next` append as NULLABLE (older files lack them, so every
+    * reader must be able to null-fill); a same-named field changing type
+    * THROWS — silent retyping is a data-corruption vector, not
+    * evolution. */
+  private[graft] def unionSchema(
+      base: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val baseNames = base.fieldNames.toSet
+    val kept = base.fields.map { f =>
+      next.fields.find(_.name == f.name) match {
+        case Some(g) =>
+          require(g.dataType == f.dataType,
+            s"column '${f.name}' changes type ${f.dataType.simpleString}" +
+              s" -> ${g.dataType.simpleString}; evolution adds columns," +
+              " never retypes")
+          f.copy(nullable = f.nullable || g.nullable)
+        // absent from the new writer's rows: its new files null-fill
+        case None => f.copy(nullable = true)
+      }
+    }
+    val added = next.fields.filterNot(f => baseNames(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(kept ++ added)
+  }
+
+  /** [[appendSnapshot]] under SCHEMA EVOLUTION (the `mergeSchema` write
+    * shape of the table formats): the committed `#schema=` becomes the
+    * field-union of the table's current schema and `df`'s
+    * ([[unionSchema]] — new columns append nullable, existing columns
+    * must keep their type). Because every snapshot read decodes through
+    * the committed schema ([[readFilesAs]]), older epochs' files read
+    * back null-filled in the new columns with no per-query footer sweep,
+    * and a version committed BEFORE the evolution still time-travels
+    * with its own narrower schema. */
+  def appendSnapshotEvolved(spark: SparkSession, df: DataFrame,
+      outDir: String, meta: Map[String, String] = Map.empty): Int = {
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val prev = manifestVersions(fs, root).lastOption
+    val schema = prev.flatMap(v => snapshotMetaOf(fs, root, v)
+        .get("schema"))
+      .map(j => unionSchema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        df.schema))
+      .getOrElse(df.schema)
+    val (_, fresh) = writeEpoch(fs, root, prev.getOrElse(0) + 1, df)
+    commitAppend(fs, root, meta, schema.json, fresh)
+  }
+
   /** Commit a FULL-REPLACE snapshot: like [[appendSnapshot]] the epoch's
     * files are immutable and the commit is one atomic manifest rename,
     * but the new manifest lists ONLY the new epoch — the previous
@@ -700,15 +753,34 @@ object Export {
     (dropped.size, deleted)
   }
 
-  /** Read the table AS OF `version`: exactly the manifest's files. */
+  /** Read the table AS OF `version`: exactly the manifest's files,
+    * decoded through the version's committed `#schema=` header (see
+    * [[readFilesAs]]). */
   def readSnapshot(spark: SparkSession, outDir: String,
       version: Int): DataFrame = {
     val (fs, root) = fsRoot(outDir)
     val files = dataLines(readManifestRaw(fs, root, version))
       .map(pathOf).toIndexedSeq
-    if (files.isEmpty) emptyWithCommittedSchema(spark, fs, root, version)
-    else spark.read.parquet(files: _*)
+    readFilesAs(spark, fs, root, version, files)
   }
+
+  /** Plan `files` under `version`'s COMMITTED schema: the manifest —
+    * not the union of file footers — is the schema authority, so a
+    * schema-evolved version reads older epochs' files with the evolved
+    * schema (absent columns null-filled by the parquet reader) and NO
+    * mergeSchema footer sweep is ever paid at planning time — at 100 TB
+    * that sweep is a full listing-plus-footer pass per query. Pre-header
+    * manifests (legacy) fall back to footer inference. */
+  private def readFilesAs(spark: SparkSession, fs: FileSystem,
+      root: Path, version: Int, files: Seq[String]): DataFrame =
+    if (files.isEmpty) emptyWithCommittedSchema(spark, fs, root, version)
+    else snapshotMetaOf(fs, root, version).get("schema") match {
+      case Some(j) => spark.read
+        .schema(org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
 
   /** [[appendSnapshot]] with the epoch CLUSTERED on an integral key and
     * per-file `[key_min, key_max]` zones recorded in the manifest's data
@@ -848,7 +920,7 @@ object Export {
           key + stats.getOrElse(key, "")
         }
       }
-    commitAppend(fs, root, meta, df.schema.json, lines)
+    lines
   }
 
   // recursion over plain listStatus, NOT fs.listFiles: the latter
@@ -891,13 +963,136 @@ object Export {
     val files =
       if (chosen.nonEmpty) chosen
       else lines.map(pathOf).sorted.take(1)
-    val base =
-      if (files.isEmpty) emptyWithCommittedSchema(spark, fs, root, version)
-      else spark.read.parquet(files.toIndexedSeq: _*)
+    val base = readFilesAs(spark, fs, root, version, files.toIndexedSeq)
     val exact = partFilters.map { case (c, v) =>
         col(c).cast("string") === v }.toSeq ++
       zone.map { case (k, lo, hi) => col(k).between(lo, hi) }
     exact.foldLeft(base)(_ filter _)
+  }
+
+  /** Every data line must carry a value for every partition column —
+    * the consistently-partitioned precondition of partition-scoped DML:
+    * a line WITHOUT a spec may hold rows of any partition, so replacing
+    * "matching" lines around it would silently duplicate or lose rows.
+    * Mixed tables (plain appends into a partitioned log) must be
+    * overwritten/merged as whole tables instead. */
+  private def requirePartitioned(lines: Seq[String],
+      partitionCols: Seq[String], what: String): Unit =
+    lines.foreach { l =>
+      val spec = partitionOf(l)
+      val missing = partitionCols.filterNot(spec.contains)
+      require(missing.isEmpty,
+        s"$what needs a consistently partitioned table: " +
+          s"${pathOf(l)} carries no partition value for " +
+          s"${missing.mkString(", ")} (was it appended unpartitioned?)")
+    }
+
+  private def partTuple(line: String,
+      partitionCols: Seq[String]): Seq[String] = {
+    val spec = partitionOf(line)
+    partitionCols.map(spec)
+  }
+
+  /** Dynamic partition overwrite — Delta's `replaceWhere` in its
+    * dynamic form / Hive's `INSERT OVERWRITE ... PARTITION`: commit a
+    * new version in which every partition PRESENT IN `df` is replaced
+    * by `df`'s rows and every other partition's files are carried
+    * verbatim. This is the nightly-reload idiom of every
+    * date-partitioned production table — recompute one `dt`, replace
+    * exactly that `dt`, touch nothing else. The committed schema is the
+    * union of the table's and `df`'s, so overwrite composes with
+    * evolution. Race semantics: MAINTENANCE (version pinned to the head
+    * read at entry) — an overwrite does not commute with a concurrent
+    * commit, so a race fails this commit cleanly instead of silently
+    * dropping the winner's rows. Returns the new version. */
+  def overwritePartitions(spark: SparkSession, df: DataFrame,
+      outDir: String, partitionCols: Seq[String], nFiles: Int = 1,
+      zoneKey: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Int =
+    overwritePartitionsFrom(spark, df, outDir,
+      latestSnapshotVersion(outDir), partitionCols, nFiles, zoneKey,
+      meta)
+
+  /** [[overwritePartitions]] pinned to an explicit base version — the
+    * shared commit half of overwrite and partition-scoped MERGE (whose
+    * rewrite was computed FROM that base, so committing over any other
+    * head would lose the racing commit's rows). */
+  private def overwritePartitionsFrom(spark: SparkSession, df: DataFrame,
+      outDir: String, baseVersion: Int, partitionCols: Seq[String],
+      nFiles: Int, zoneKey: Option[String],
+      meta: Map[String, String]): Int = {
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val version = baseVersion + 1
+    val fresh = writePartitionedEpoch(spark, fs, root, version, df,
+      partitionCols, nFiles, zoneKey)
+    val freshTuples: Set[Seq[String]] =
+      fresh.map(l => partTuple(l, partitionCols)).toSet
+    val (carried, schema) =
+      if (baseVersion == 0) (Nil, df.schema)
+      else {
+        val lines = dataLines(readManifestRaw(fs, root, baseVersion))
+        requirePartitioned(lines, partitionCols, "overwritePartitions")
+        val prevSchema = snapshotMetaOf(fs, root, baseVersion)
+          .get("schema")
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(df.schema)
+        (lines.filterNot(l => freshTuples(partTuple(l, partitionCols))),
+          unionSchema(prevSchema, df.schema))
+      }
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root,
+          meta + ("overwrote_partitions" -> freshTuples.size.toString)),
+        schema.json, op = "overwrite"),
+      carried ++ fresh)
+    version
+  }
+
+  /** MERGE INTO a partitioned snapshot table with PARTITION-SCOPED
+    * rewrite: upsert `updates` (full-row MERGE semantics of
+    * [[Merge.upsert]] — matched keys take the update's every column,
+    * unmatched updates insert, unmatched base rows persist) while
+    * rewriting ONLY the partitions present in `updates`; every other
+    * partition's files are carried verbatim into the new version.
+    *
+    * Requires `partitionCols ⊆ keyCols`: a key then pins its partition,
+    * so the per-partition merge provably equals the global one — the
+    * same reason production MERGEs carry an `AND t.dt = s.dt` pruning
+    * conjunct. 100 TB shape: cost scales with the TOUCHED partitions
+    * (one key-shuffle join over their rows plus one partitioned write),
+    * not with the table — the difference between rewriting one day and
+    * rewriting three years. The touched-partition list is planning
+    * metadata (one tuple per touched partition, not per row) — bounded
+    * exactly like the manifest itself. Race semantics: maintenance
+    * (version pinned to the head the merge read). Returns the new
+    * version. */
+  def mergeSnapshotPartitioned(spark: SparkSession, outDir: String,
+      updates: DataFrame, keyCols: Seq[String],
+      partitionCols: Seq[String], nFiles: Int = 1,
+      zoneKey: Option[String] = None): Int = {
+    require(partitionCols.toSet.subsetOf(keyCols.toSet),
+      s"partition columns (${partitionCols.mkString(", ")}) must be " +
+        s"part of the merge key (${keyCols.mkString(", ")}): only then " +
+        "does a key pin its partition and the partition-scoped merge " +
+        "equal the global one")
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to merge into under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    requirePartitioned(lines, partitionCols, "mergeSnapshotPartitioned")
+    val touched: Set[Seq[String]] = updates
+      .select(partitionCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partitionCols.indices.map(i => r.getString(i)): Seq[String])
+      .toSet
+    val hit = lines.filter(l => touched(partTuple(l, partitionCols)))
+    val base = readFilesAs(spark, fs, root, latest,
+      hit.map(pathOf).toIndexedSeq)
+    val merged = Merge.upsert(base, updates, keyCols)
+    overwritePartitionsFrom(spark, merged, outDir, latest, partitionCols,
+      nFiles, zoneKey, Map("merged_partitions" -> touched.size.toString))
   }
 
   /** RESTORE TABLE TO VERSION (the Delta `RESTORE` shape): commit a NEW
@@ -946,8 +1141,7 @@ object Export {
     val files =
       if (chosen.nonEmpty) chosen
       else lines.map(pathOf).sorted.take(1)
-    (if (files.isEmpty) emptyWithCommittedSchema(spark, fs, root, version)
-     else spark.read.parquet(files.toIndexedSeq: _*))
+    readFilesAs(spark, fs, root, version, files.toIndexedSeq)
       .filter(col(keyCol).between(lo, hi))
   }
 
@@ -1037,6 +1231,50 @@ object Export {
       internalMeta(fs, root,
         carryBatch(fs, root, Map("compacted_from" -> latest.toString)),
         rows.schema.json, op = "compact"), lines)
+    version
+  }
+
+  /** Partition-scoped OPTIMIZE (`OPTIMIZE t WHERE dt = ...`): rewrite
+    * ONLY the files of the partitions matching every `partFilters`
+    * equality into `nFiles` fresh files (optionally re-zoned on
+    * `zoneKey`); every other partition's files are carried verbatim. At
+    * 100 TB maintenance must be incremental — a streaming sink erodes
+    * only today's partition, and rewriting the whole table to fix one
+    * day's small files IS the pathology. Returns the new version, or
+    * the current one unchanged when no file matches (a no-op commit
+    * would churn the log for nothing). */
+  def compactSnapshotPartition(spark: SparkSession, outDir: String,
+      partitionCols: Seq[String], partFilters: Map[String, String],
+      nFiles: Int = 1, zoneKey: Option[String] = None): Int = {
+    require(partFilters.nonEmpty,
+      "partition-scoped compaction needs at least one partition filter" +
+        " (use compactSnapshot for the whole table)")
+    require(partFilters.keySet.subsetOf(partitionCols.toSet),
+      s"filters ${partFilters.keySet.mkString(", ")} must be partition " +
+        s"columns (${partitionCols.mkString(", ")})")
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to compact under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    requirePartitioned(lines, partitionCols, "compactSnapshotPartition")
+    val (hit, rest) = lines.partition { l =>
+      val spec = partitionOf(l)
+      partFilters.forall { case (c, v) => spec(c) == v }
+    }
+    if (hit.isEmpty) return latest
+    val version = latest + 1
+    val rows = readFilesAs(spark, fs, root, latest,
+      hit.map(pathOf).toIndexedSeq)
+    val fresh = writePartitionedEpoch(spark, fs, root, version, rows,
+      partitionCols, nFiles, zoneKey)
+    val schemaJson = snapshotMetaOf(fs, root, latest).getOrElse("schema",
+      rows.schema.json)
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root, Map(
+          "compacted_from" -> latest.toString,
+          "compacted_files" -> hit.size.toString)),
+        schemaJson, op = "compact"), rest ++ fresh)
     version
   }
 

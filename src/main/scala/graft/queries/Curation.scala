@@ -4367,4 +4367,166 @@ object Curation {
       |  CAST(sum(n_chars) AS BIGINT)
       |FROM documents WHERE lang != 'zh'
       |ORDER BY state""".stripMargin
+
+  /** Dynamic partition overwrite
+    * ([[graft.operators.Export.overwritePartitions]] — Delta's
+    * `replaceWhere` / Hive's INSERT OVERWRITE PARTITION): v1 = the
+    * corpus partitioned by `lang`; the `en` partition is then RELOADED
+    * (recomputed nightly-style: even doc_ids only, chars re-scored
+    * +1000) and exactly that partition replaced — every other
+    * partition's files carried verbatim in the manifest (the layout
+    * spec proves the carry; this gate hash-matches the resulting table
+    * state against DuckDB's replay of reload-plus-rest). */
+  def q_snapshot_replacewhere(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snaprw_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotPartitioned(s, docs, od,
+      Seq("lang"), nFiles = 4)
+    val reload = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(1000L))
+    val v2 = graft.operators.Export.overwritePartitions(s, reload, od,
+      Seq("lang"), nFiles = 2)
+    graft.operators.Export.readSnapshot(s, od, v2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q_snapshot_replacewhere_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE lang != 'en'
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 1000 FROM documents
+      |  WHERE lang = 'en' AND doc_id % 2 = 0
+      |) GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Partition-scoped MERGE INTO
+    * ([[graft.operators.Export.mergeSnapshotPartitioned]]): full-row
+    * MERGE semantics (matched keys take every update column, unmatched
+    * updates insert, unmatched base rows persist) rewriting ONLY the
+    * partitions the updates touch — here `en` gets every doc_id%7 row
+    * re-scored (doubled chars) plus one inserted key, and the other
+    * four partitions' files are carried verbatim (layout spec proves
+    * the carry). `partitionCols ⊆ keyCols` makes the partition-scoped
+    * merge provably equal the global one; DuckDB replays that global
+    * merge. */
+  def q_snapshot_merge_part(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapmp_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotPartitioned(s, docs, od,
+      Seq("lang"), nFiles = 3)
+    val updates = docs
+      .filter(col("lang") === "en" && col("doc_id") % 7 === 0)
+      .withColumn("n_chars", col("n_chars") * 2)
+      .unionByName(s.range(1).select(
+        lit(987654L).as("doc_id"), lit("en").as("lang"),
+        lit(42L).as("n_chars")))
+    val v2 = graft.operators.Export.mergeSnapshotPartitioned(s, od,
+      updates, keyCols = Seq("lang", "doc_id"),
+      partitionCols = Seq("lang"), nFiles = 2)
+    graft.operators.Export.readSnapshot(s, od, v2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q_snapshot_merge_part_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN lang = 'en' AND doc_id % 7 = 0
+      |         THEN n_chars * 2 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  UNION ALL SELECT 987654, 'en', 42
+      |) GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Lake schema evolution
+    * ([[graft.operators.Export.appendSnapshotEvolved]]): v1 appends the
+    * corpus WITHOUT a token count; v2 appends newer docs WITH an
+    * `n_tokens` column — the committed schema unions (new column
+    * nullable), and because every snapshot read decodes through the
+    * committed `#schema=` header, v1's files read back null-filled with
+    * NO mergeSchema footer sweep. DuckDB replays the union with an
+    * explicit NULL column. */
+  def q_snapshot_evolve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapev_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") < 300), od)
+    val v2 = graft.operators.Export.appendSnapshotEvolved(s,
+      docs.filter(col("doc_id") >= 300)
+        .withColumn("n_tokens", expr("CAST(n_chars DIV 4 AS BIGINT)")),
+      od)
+    graft.operators.Export.readSnapshot(s, od, v2)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"),
+        count(col("n_tokens")).as("n_with_tokens"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+  }
+
+  val q_snapshot_evolve_sql: String =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(n_tokens) AS n_with_tokens,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM (
+      |  SELECT n_chars, CAST(NULL AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id < 300
+      |  UNION ALL
+      |  SELECT n_chars, n_chars // 4 FROM documents WHERE doc_id >= 300
+      |)""".stripMargin
+
+  /** Partition-scoped OPTIMIZE
+    * ([[graft.operators.Export.compactSnapshotPartition]]): the corpus
+    * lands partitioned by `lang` in 4-file partitions, then ONLY the
+    * `en` partition is compacted to one file — pure layout surgery
+    * scoped to the partition that needs it, every other partition's
+    * files carried verbatim (layout spec proves both). The committed
+    * rows are identical, so DuckDB's plain replay must hash-match
+    * through the maintenance commit. */
+  def q_compact_partition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapcp_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotPartitioned(s, docs, od,
+      Seq("lang"), nFiles = 4)
+    val vC = graft.operators.Export.compactSnapshotPartition(s, od,
+      Seq("lang"), Map("lang" -> "en"), nFiles = 1)
+    graft.operators.Export.readSnapshot(s, od, vC)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q_compact_partition_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -186,6 +186,29 @@ object Events {
     """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
       |FROM events ORDER BY user_id, ts_us, event_type""".stripMargin
 
+  /** Continuous ingestion into a PARTITIONED lake table
+    * ([[graft.streaming.EventStream.streamingLakeIngestPartitioned]]):
+    * each micro-batch commits one `event_type`-partitioned epoch under
+    * the exactly-once `#batch=` guard, and the settled table is read
+    * back PARTITION-PRUNED (`event_type = 'click'`) straight from the
+    * manifest — certifying the streamed write AND the manifest-only
+    * partition elimination in one gate. Oracle: the click rows. */
+  def q_stream_lakeingest_part(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_lakep_${math.abs(dir.hashCode)}")
+    val table = new File("target/qtmp_stream",
+      s"laketable_p_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(table)
+    EventStream.streamingLakeIngestPartitioned(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, table.getAbsolutePath, readType = "click")
+      .orderBy("user_id", "ts_us")
+  }
+
+  val q_stream_lakeingest_part_sql: String =
+    """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+      |FROM events WHERE event_type = 'click'
+      |ORDER BY user_id, ts_us""".stripMargin
+
   /** Incremental sessionization with event-time timeouts
     * ([[graft.streaming.EventStream.sessionizeTimeout]]): sessions emit
     * exactly once via successor-gap closure OR watermark timeout, and

@@ -750,6 +750,57 @@ object EventStream {
       graft.operators.Export.latestSnapshotVersion(tableDir))
   }
 
+  /** [[streamingLakeIngest]] into a hive-style PARTITIONED snapshot
+    * table (partition column: `event_type`) — the production composition
+    * for a streamed corpus table: each micro-batch commits one
+    * partition-laid-out epoch under the same exactly-once `#batch=`
+    * guard, every version time-travels, and a partition-filtered read
+    * plans only matching files FROM THE MANIFEST while the stream is
+    * still appending. Returns the partition-pruned read of the settled
+    * table for `event_type = readType` — so the gate certifies ingest
+    * AND manifest elimination in one pass. */
+  def streamingLakeIngestPartitioned(spark: SparkSession,
+      srcParquet: String, checkpointDir: String, tableDir: String,
+      readType: String): DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+      .select("user_id", "ts", "event_type", "value")
+    val splitDir = new File(new File(checkpointDir).getParentFile,
+      s"lakepsrc_${math.abs(srcParquet.hashCode)}")
+    if (!new File(splitDir, "_SUCCESS").exists()) {
+      base.repartition(4)
+        .write.mode("overwrite").parquet(splitDir.getAbsolutePath)
+    }
+    val tsType = base.schema("ts").dataType
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir.getAbsolutePath)
+    withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // scan-back guard: see drainMatview
+          val applied = graft.operators.Export.lastAppliedBatch(tableDir)
+          if (batchId > applied) {
+            graft.operators.Export.appendSnapshotPartitioned(spark,
+              batch.select(col("user_id"),
+                graft.util.Tables.tsMicros(tsType).as("ts_us"),
+                col("event_type"), col("value")),
+              tableDir, Seq("event_type"), nFiles = 1,
+              meta = Map("batch" -> batchId.toString))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.Export.readSnapshotPartitioned(spark, tableDir,
+      graft.operators.Export.latestSnapshotVersion(tableDir),
+      Map("event_type" -> readType))
+  }
+
   /** The staged-source dir [[streamingMaterializedAggResumed]] reveals
     * files into — exposed so callers (gates, specs) that must wipe a
     * stale dir share ONE naming source of truth instead of re-deriving

@@ -818,4 +818,142 @@ class ExportLayoutSpec extends SparkSpec {
         Seq("file:/nonexistent.parquet"))
     }
   }
+
+  test("dynamic partition overwrite: present partitions swap, absent partitions' files carried verbatim") {
+    val out = tmp("partoverwrite")
+    rmDir(out)
+    val v1 = Export.appendSnapshotPartitioned(spark, docs, out,
+      Seq("lang"), nFiles = 4)
+    val filesBefore = Export.snapshotFiles(out, v1)
+    // nightly-reload: recompute the en partition (halve it), replace
+    // exactly that partition
+    val enReload = docs.filter(col("lang") === "en" &&
+      col("doc_id") % 2 === 0)
+    val v2 = Export.overwritePartitions(spark, enReload, out, Seq("lang"),
+      nFiles = 2)
+    val after = Export.readSnapshot(spark, out, v2)
+    // replaced partition holds exactly the reload's rows
+    assert(after.filter(col("lang") === "en").count() === enReload.count())
+    // untouched partitions: same ROWS and the very same FILES (carried
+    // manifest lines, zero data movement)
+    val nonEn = docs.filter(col("lang") =!= "en").count()
+    assert(after.filter(col("lang") =!= "en").count() === nonEn)
+    val carried = Export.snapshotFiles(out, v2).toSet
+    val nonEnBefore = filesBefore.filterNot(_.contains("_p_lang=en"))
+    assert(nonEnBefore.nonEmpty && nonEnBefore.forall(carried),
+      "untouched partitions' files were rewritten, not carried")
+    assert(filesBefore.filter(_.contains("_p_lang=en"))
+        .forall(f => !carried(f)),
+      "replaced partition's old files still referenced")
+    // v1 still time-travels complete
+    assert(Export.readSnapshot(spark, out, v1).count() === docs.count())
+    // a table with an unpartitioned epoch refuses partition-scoped DML
+    val mixed = tmp("partoverwrite_mixed")
+    rmDir(mixed)
+    Export.appendSnapshot(spark, docs, mixed)
+    intercept[IllegalArgumentException] {
+      Export.overwritePartitions(spark, enReload, mixed, Seq("lang"))
+    }
+  }
+
+  test("partition-scoped merge: only touched partitions rewritten; per-partition == global merge") {
+    val out = tmp("partmerge")
+    rmDir(out)
+    val v1 = Export.appendSnapshotPartitioned(spark, docs, out,
+      Seq("lang"), nFiles = 3)
+    val filesBefore = Export.snapshotFiles(out, v1)
+    // updates touch ONLY lang=en: change some rows, insert new keys
+    val updates = docs.filter(col("lang") === "en" && col("doc_id") % 3 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(1000000L))
+      .unionByName(spark.range(1).select(
+        lit(999999L).as("doc_id"), lit("en").as("lang"),
+        lit(42L).as("n_chars")))
+    val v2 = Export.mergeSnapshotPartitioned(spark, out, updates,
+      keyCols = Seq("lang", "doc_id"), partitionCols = Seq("lang"))
+    val after = Export.readSnapshot(spark, out, v2)
+    // per-partition merge ≡ global upsert
+    val expected = Merge.upsert(docs, updates, Seq("lang", "doc_id"))
+    assert(after.count() === expected.count())
+    assert(after.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(after).count() === 0)
+    // untouched partitions' files carried verbatim
+    val carried = Export.snapshotFiles(out, v2).toSet
+    val nonEnBefore = filesBefore.filterNot(_.contains("_p_lang=en"))
+    assert(nonEnBefore.nonEmpty && nonEnBefore.forall(carried),
+      "merge rewrote partitions its updates never touched")
+    // the precondition that makes partition-scoping sound is enforced
+    intercept[IllegalArgumentException] {
+      Export.mergeSnapshotPartitioned(spark, out, updates,
+        keyCols = Seq("doc_id"), partitionCols = Seq("lang"))
+    }
+  }
+
+  test("partition-scoped compaction: target partition coalesces, others carried, rows identical") {
+    val out = tmp("partcompact")
+    rmDir(out)
+    // erode one partition with several small appends (the streaming shape)
+    val en = docs.filter(col("lang") === "en")
+    val v1 = Export.appendSnapshotPartitioned(spark, docs, out,
+      Seq("lang"), nFiles = 2)
+    (0 until 3).foreach { k =>
+      Export.appendSnapshotPartitioned(spark,
+        en.filter(col("doc_id") % 3 === k)
+          .withColumn("doc_id", col("doc_id") + lit(10000L * (k + 1))),
+        out, Seq("lang"), nFiles = 2)
+    }
+    val vEroded = Export.latestSnapshotVersion(out)
+    val before = Export.snapshotFiles(out, vEroded)
+    val enBefore = before.count(_.contains("_p_lang=en"))
+    val rowsBefore = Export.readSnapshot(spark, out, vEroded).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val vC = Export.compactSnapshotPartition(spark, out, Seq("lang"),
+      Map("lang" -> "en"), nFiles = 1)
+    val after = Export.snapshotFiles(out, vC)
+    assert(after.count(_.contains("_p_lang=en")) < enBefore,
+      s"en partition not compacted: $enBefore files before, " +
+        s"${after.count(_.contains("_p_lang=en"))} after")
+    // other partitions untouched: identical file paths
+    val othersBefore = before.filterNot(_.contains("_p_lang=en")).toSet
+    assert(after.filterNot(_.contains("_p_lang=en")).toSet === othersBefore)
+    // rows byte-identical through the compaction
+    val rowsAfter = Export.readSnapshot(spark, out, vC).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(rowsAfter.toSeq === rowsBefore.toSeq)
+    // no-op filter: no matching files → current version returned, no commit
+    assert(Export.compactSnapshotPartition(spark, out, Seq("lang"),
+      Map("lang" -> "xx")) === vC)
+    assert(Export.latestSnapshotVersion(out) === vC)
+  }
+
+  test("schema evolution: committed schema unions, old files null-fill, old versions keep their narrow schema") {
+    import spark.implicits._
+    val out = tmp("evolve")
+    rmDir(out)
+    val v1 = Export.appendSnapshot(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), out)
+    // evolve: new nullable column arrives with the new epoch
+    val v2 = Export.appendSnapshotEvolved(spark,
+      Seq((3L, "c", 30L)).toDF("id", "s", "score"), out)
+    val evolved = Export.readSnapshot(spark, out, v2)
+    assert(evolved.columns.toSeq === Seq("id", "s", "score"))
+    val byId = evolved.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(30L)),
+      "old epoch's files must null-fill the evolved column")
+    // the PRE-evolution version still time-travels with its own schema
+    assert(Export.readSnapshot(spark, out, v1).columns.toSeq ===
+      Seq("id", "s"))
+    // a writer DROPPING a column is fine (its files null-fill)...
+    val v3 = Export.appendSnapshotEvolved(spark,
+      Seq((4L, 40L)).toDF("id", "score"), out)
+    val r4 = Export.readSnapshot(spark, out, v3)
+      .filter(col("id") === 4L).collect().head
+    assert(r4.isNullAt(1) && r4.getLong(2) === 40L)
+    // ...but RETYPING one is refused
+    intercept[IllegalArgumentException] {
+      Export.appendSnapshotEvolved(spark,
+        Seq((5L, 1.5)).toDF("id", "score"), out)
+    }
+  }
 }
