@@ -662,7 +662,13 @@ object Export {
     * can erase it. */
   private def carryBatch(fs: FileSystem, root: Path,
       meta: Map[String, String]): Map[String, String] =
-    manifestVersions(fs, root).reverseIterator
+    // a caller-stamped batch id is FRESHER than anything in the log (the
+    // guard admits only increasing ids) — carrying the old header over
+    // it would freeze lastAppliedBatch and re-admit every replayed batch
+    // (the streaming MERGE sink's failure mode, spec'd in the CDC apply
+    // replay-storm case)
+    if (meta.contains("batch")) meta
+    else manifestVersions(fs, root).reverseIterator
       .map(v => snapshotMetaOf(fs, root, v).get("batch"))
       .collectFirst { case Some(b) => b }
       .fold(meta)(b => meta + ("batch" -> b))
@@ -825,6 +831,104 @@ object Export {
         case None => f // a file with zero rows carries no zone
       }
     }
+  }
+
+  /** [[appendSnapshot]] Z-ORDERED on two keys with per-file 2-D zones
+    * (`z2=alo:ahi:blo:bhi`) on the manifest data lines — the snapshot-
+    * log form of [[writeZorderLayout]]: the epoch is range-clustered on
+    * the Morton interleave, both keys' per-file min/max ride the atomic
+    * commit, and [[readSnapshotBox]] answers a box query on ANY version
+    * planning only intersecting files. Keys must fit 16 bits (pre-scale
+    * wider domains to rank/bucket space), exactly as the layout form. */
+  def appendSnapshotZordered(spark: SparkSession, df: DataFrame,
+      outDir: String, colA: String, colB: String, nFiles: Int,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val fresh = writeZorderedEpoch(spark, fs, root,
+      manifestVersions(fs, root).lastOption.getOrElse(0) + 1, df,
+      colA, colB, nFiles)
+    commitAppend(fs, root, meta, df.schema.json, fresh)
+  }
+
+  /** `OPTIMIZE ... ZORDER BY (a, b)` in one commit: rewrite the latest
+    * version Z-ordered with fresh 2-D zones — the maintenance pass that
+    * (re)establishes box-pruning over a table whose epoch-at-a-time
+    * ingestion eroded it. Same immutability and race (pinned-version)
+    * contract as [[compactSnapshot]]. */
+  def compactSnapshotZordered(spark: SparkSession, outDir: String,
+      colA: String, colB: String, nFiles: Int): Int = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to compact under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val version = latest + 1
+    val rows = readSnapshot(spark, outDir, latest)
+    val lines = writeZorderedEpoch(spark, fs, root, version, rows,
+      colA, colB, nFiles)
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root, Map("compacted_from" -> latest.toString)),
+        rows.schema.json, op = "compact"), lines)
+    version
+  }
+
+  private def writeZorderedEpoch(spark: SparkSession, fs: FileSystem,
+      root: Path, version: Int, df: DataFrame, colA: String,
+      colB: String, nFiles: Int): Seq[String] = {
+    val z = freshName("_z", df.columns.toSeq)
+    val (epochDir, fresh) = writeEpoch(fs, root, version,
+      df.withColumn(z,
+          morton(col(colA).cast("long"), col(colB).cast("long")))
+        .repartitionByRange(nFiles, col(z))
+        .sortWithinPartitions(z)
+        .drop(z))
+    val zones: Map[String, (Long, Long, Long, Long)] =
+      spark.read.parquet(epochDir.toString)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min(col(colA)).cast("long").as("alo"),
+          max(col(colA)).cast("long").as("ahi"),
+          min(col(colB)).cast("long").as("blo"),
+          max(col(colB)).cast("long").as("bhi"))
+        .collect()
+        .map(r => fs.makeQualified(new Path(r.getString(0))).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    fresh.map { f =>
+      zones.get(fs.makeQualified(new Path(f)).toString) match {
+        case Some((alo, ahi, blo, bhi)) => s"$f\tz2=$alo:$ahi:$blo:$bhi"
+        case None => f // a zero-row file carries no zone
+      }
+    }
+  }
+
+  private def zone2Of(line: String)
+      : Option[(Long, Long, Long, Long)] =
+    line.split('\t').collectFirst { case f if f.startsWith("z2=") =>
+      val Array(alo, ahi, blo, bhi) = f.drop(3).split(':')
+      (alo.toLong, ahi.toLong, blo.toLong, bhi.toLong)
+    }
+
+  /** Box-pruned read of a snapshot version: plan only files whose 2-D
+    * zone intersects the query box (lines without a `z2=` zone always
+    * read — pruning never proves exclusion it can't), then apply the
+    * exact conjunctive predicate, pushed to the parquet scan. */
+  def readSnapshotBox(spark: SparkSession, outDir: String, version: Int,
+      colA: String, colB: String, aLo: Long, aHi: Long,
+      bLo: Long, bHi: Long): DataFrame = {
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+    val chosen = lines.filter(l => zone2Of(l) match {
+      case Some((alo, ahi, blo, bhi)) =>
+        ahi >= aLo && alo <= aHi && bhi >= bLo && blo <= bHi
+      case None => true
+    }).map(pathOf)
+    val files =
+      if (chosen.nonEmpty) chosen
+      else lines.map(pathOf).sorted.take(1)
+    readFilesAs(spark, fs, root, version, files.toIndexedSeq)
+      .filter(col(colA).between(aLo, aHi) && col(colB).between(bLo, bHi))
   }
 
   /** Hive-style PARTITIONED append — the default shape of a production
@@ -1071,7 +1175,31 @@ object Export {
   def mergeSnapshotPartitioned(spark: SparkSession, outDir: String,
       updates: DataFrame, keyCols: Seq[String],
       partitionCols: Seq[String], nFiles: Int = 1,
-      zoneKey: Option[String] = None): Int = {
+      zoneKey: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Int =
+    mergePartitionedWith(spark, outDir, updates, keyCols, partitionCols,
+      nFiles, zoneKey, meta)(Merge.upsert(_, _, keyCols))
+
+  /** [[mergeSnapshotPartitioned]] with ORDER-RESOLVED conflict handling
+    * ([[Merge.upsertLatest]]): per key the surviving row is the maximum
+    * by `orderCols` across the table and the updates — associative and
+    * commutative in the update batches, so an out-of-order CDC feed
+    * applied micro-batch-at-a-time settles to exactly the global
+    * resolution. The streaming apply-changes sink
+    * (`EventStream.streamingCdcApply`) is this call in a loop. */
+  def mergeSnapshotPartitionedLatest(spark: SparkSession, outDir: String,
+      updates: DataFrame, keyCols: Seq[String],
+      partitionCols: Seq[String], orderCols: Seq[String],
+      nFiles: Int = 1, zoneKey: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Int =
+    mergePartitionedWith(spark, outDir, updates, keyCols, partitionCols,
+      nFiles, zoneKey, meta)(Merge.upsertLatest(_, _, keyCols, orderCols))
+
+  private def mergePartitionedWith(spark: SparkSession, outDir: String,
+      updates: DataFrame, keyCols: Seq[String],
+      partitionCols: Seq[String], nFiles: Int,
+      zoneKey: Option[String], meta: Map[String, String])
+      (resolve: (DataFrame, DataFrame) => DataFrame): Int = {
     require(partitionCols.toSet.subsetOf(keyCols.toSet),
       s"partition columns (${partitionCols.mkString(", ")}) must be " +
         s"part of the merge key (${keyCols.mkString(", ")}): only then " +
@@ -1090,9 +1218,10 @@ object Export {
     val hit = lines.filter(l => touched(partTuple(l, partitionCols)))
     val base = readFilesAs(spark, fs, root, latest,
       hit.map(pathOf).toIndexedSeq)
-    val merged = Merge.upsert(base, updates, keyCols)
+    val merged = resolve(base, updates)
     overwritePartitionsFrom(spark, merged, outDir, latest, partitionCols,
-      nFiles, zoneKey, Map("merged_partitions" -> touched.size.toString))
+      nFiles, zoneKey,
+      meta + ("merged_partitions" -> touched.size.toString))
   }
 
   /** RESTORE TABLE TO VERSION (the Delta `RESTORE` shape): commit a NEW

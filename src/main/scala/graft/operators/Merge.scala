@@ -49,6 +49,41 @@ object Merge {
         when(col(s"u.$m"), col(s"u.$c")).otherwise(col(s"b.$c")).as(c)): _*)
   }
 
+  /** ORDER-RESOLVED upsert — the out-of-order CDC apply law: per key,
+    * the surviving row is the MAXIMUM by `orderCols` (then by every
+    * remaining column, so the resolution is a total order and therefore
+    * deterministic) across base ∪ updates. Unlike [[upsert]] (updates
+    * win unconditionally), this is ASSOCIATIVE and COMMUTATIVE in the
+    * update batches: applying micro-batches one at a time, in ANY
+    * arrival order, settles to exactly the global resolution — the
+    * property a CDC consumer needs when its feed is not ordered (late
+    * replicas, replayed partitions). One hash shuffle on the key.
+    *
+    * Null caveat: Spark ranks NULL lowest in struct comparison, so a
+    * NULL order field loses to any non-null one (the sane CDC default:
+    * a record without a sequence number never beats one with). */
+  def upsertLatest(base: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "upsertLatest needs at least one key column")
+    require(orderCols.nonEmpty, "upsertLatest needs an ordering column")
+    val cols = base.columns.toSeq
+    require(updates.columns.toSeq.sorted == cols.sorted,
+      s"schema mismatch: base ${cols.sorted} vs updates " +
+        s"${updates.columns.toSeq.sorted}")
+    require(orderCols.forall(cols.contains), s"unknown order column in " +
+      s"${orderCols.mkString(", ")}")
+    require(orderCols.intersect(keyCols).isEmpty,
+      "order columns must not be key columns (constant per key)")
+    val payload = cols.filterNot(keyCols.contains)
+    val ordered = orderCols ++ payload.filterNot(orderCols.contains)
+    val m = graft.operators.Export.freshName("_m", cols)
+    base.unionByName(updates)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as(m))
+      .select(cols.map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"$m.$c").as(c)): _*)
+  }
+
   /** Merge partial-aggregate tables (same schema: `groupCols` +
     * associatively-mergeable measure columns, each tagged with its merge
     * op): re-group and reduce. `sums` columns merge by SUM, `mins` by

@@ -184,6 +184,74 @@ object Similarity {
       .select(col(idCol), col(groupCol), col("score"), col("rk"))
   }
 
+  /** MMR — Maximal Marginal Relevance diversified re-ranking (Carbonell
+    * & Goldstein, SIGIR 1998): greedily select `k` of each query's
+    * candidates by `argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the
+    * serving-side post-processor that turns a near-duplicate-heavy ANN
+    * top-k into a diverse one.
+    *
+    * 100 TB shape: the ANN stage has ALREADY bounded each query's pool
+    * (rows in = queries × poolK), so the greedy loop is O(poolK²·dim)
+    * LOCAL work per query group and the operator distributes by query —
+    * rerank never touches the corpus. Pairwise sims are computed
+    * declaratively (one self-equi-join on the query key, codegen'd
+    * cosine) and only the (id, rel) / (a, b, sim) tuples enter the
+    * per-group fold.
+    *
+    * Determinism contract (the oracle replays the selection exactly —
+    * this repo's integer-exact discipline): the RAW relevance and
+    * pairwise cosines are nano-quantized as `floor(x·1e9 + 0.5)` BIGINT
+    * (one multiply, one add, one floor — bit-identical on any engine
+    * given the same input double, with none of the cross-engine
+    * `round()` boundary hazards); λ is taken at 3-decimal precision
+    * (`lamN = round(λ·1000)`) and each step's score is the EXACT integer
+    * `lamN·relN − (1000−lamN)·maxSimN`; ties break on ascending id.
+    * Input `cands` must carry (queryCol, idCol, vecCol, relCol) with
+    * relCol the raw (unrounded) relevance; output is
+    * (queryCol, rank, idCol, mmr_n) with mmr_n in units of 1e-12. */
+  def mmrRerank(cands: DataFrame, queryCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    def nano(x: Column): Column = floor(x * lit(1e9) + lit(0.5))
+    val c = cands.select(col(queryCol).cast("long").as("q"),
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      nano(col(relCol).cast("double")).as("rel_n"))
+    val p = c.as("a").join(c.as("b"),
+        col("a.q") === col("b.q") && col("a.id") =!= col("b.id"))
+      .select(col("a.q").as("q"), col("a.id").as("ai"),
+        col("b.id").as("bi"),
+        nano(cosine(col("a.v"), col("b.v"))).as("sim_n"))
+    val cd = c.select("q", "id", "rel_n").as[(Long, Long, Long)]
+    val pd = p.as[(Long, Long, Long, Long)]
+    val lamN = math.round(lambda * 1000)
+    val lamCompN = 1000 - lamN
+    cd.groupByKey(_._1).cogroup(pd.groupByKey(_._1)) { (q, cit, pit) =>
+      val pool = scala.collection.mutable.LinkedHashMap(
+        cit.map(t => t._2 -> t._3).toArray.sortBy(_._1): _*)
+      val sim = pit.map(t => (t._2, t._3) -> t._4).toMap
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Long)]
+      var rank = 1
+      while (rank <= k && pool.nonEmpty) {
+        val (bestId, bestSc) = pool.iterator.map { case (id, relN) =>
+          val maxSimN =
+            if (picked.isEmpty) 0L
+            else picked.iterator.map(s => sim((id, s._3))).max
+          id -> (lamN * relN - lamCompN * maxSimN)
+        }.maxBy { case (id, sc) => (sc, -id) }
+        picked += ((q, rank, bestId, bestSc))
+        pool.remove(bestId)
+        rank += 1
+      }
+      picked.iterator
+    }.toDF(queryCol, "rank", idCol, "mmr_n")
+  }
+
   /** Product quantization — the compressed-codes leg of the ANN family
     * (LSH prunes by bucket, IVF by cell; PQ shrinks every candidate to m
     * bytes so even an exhaustive scan touches 64× less data, and a real

@@ -323,6 +323,103 @@ object Curation {
        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** MMR-diversified ANN serving ([[graft.operators.Similarity.mmrRerank]]
+    * — Carbonell & Goldstein 1998), hash-matched: three query vectors
+    * each retrieve a brute-force top-10 pool, then MMR greedily selects
+    * 4 per query by `λ·rel − (1−λ)·maxSim-to-selected` (λ=0.7). The
+    * greedy recurrence is deterministic by construction (9-dp-rounded
+    * scores, id tie-break), so DuckDB replays all four selection stages
+    * UNROLLED — each stage a windowed argmax over the remaining pool
+    * joined against the already-selected set — and the (query, rank,
+    * doc, score) table must match bit-for-bit. The scores are the
+    * operator's nano-quantized integers (`floor(cos·1e9+0.5)`, λ at
+    * 3-dp), so no cross-engine `round()` boundary can flip a
+    * comparison. Scale shape: pools are ANN-bounded (k≪N), sims are a
+    * per-query k×k self-join, the greedy fold is per-group local work —
+    * rerank never rescans the corpus. */
+  def ann_mmr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("q"),
+        col("embedding").cast("array<double>").as("qv"))
+    val pool = emb.filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(qs))
+      .select(col("q"), col("vec_id").as("id"), col("embedding"),
+        Similarity.cosine(
+          col("embedding").cast("array<double>"), col("qv")).as("rel"),
+        floor(Similarity.cosine(
+            col("embedding").cast("array<double>"), col("qv"))
+          * lit(1e9) + lit(0.5)).as("rel_n"))
+    val top = pool.withColumn("rn", row_number().over(
+        Window.partitionBy("q").orderBy(col("rel_n").desc, col("id"))))
+      .filter(col("rn") <= 10).drop("rn", "rel_n")
+    Similarity.mmrRerank(top, "q", "id", "embedding", "rel",
+        k = 4, lambda = 0.7)
+      .withColumnRenamed("q", "query_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("query_id", "rank")
+  }
+
+  val ann_mmr_sql: String =
+    """WITH qs AS (SELECT vec_id AS q, CAST(embedding AS DOUBLE[]) AS qv
+      |            FROM embeddings WHERE vec_id <= 2),
+      |c0 AS (SELECT qs.q, e.vec_id AS id,
+      |         CAST(e.embedding AS DOUBLE[]) AS v,
+      |         CAST(floor(list_cosine_similarity(
+      |           CAST(e.embedding AS DOUBLE[]), qs.qv) * 1e9 + 0.5)
+      |           AS BIGINT) AS rel_n
+      |       FROM embeddings e, qs WHERE e.vec_id >= 3),
+      |c AS (SELECT q, id, v, rel_n FROM (
+      |        SELECT q, id, v, rel_n, row_number()
+      |          OVER (PARTITION BY q ORDER BY rel_n DESC, id) AS rn
+      |        FROM c0) WHERE rn <= 10),
+      |p AS (SELECT a.q, a.id AS ai, b.id AS bi,
+      |        CAST(floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5)
+      |          AS BIGINT) AS sim_n
+      |      FROM c a JOIN c b ON a.q = b.q AND a.id != b.id),
+      |s1 AS (SELECT q, id, sc AS mmr_n FROM (
+      |         SELECT q, id, 700 * rel_n AS sc, row_number()
+      |           OVER (PARTITION BY q ORDER BY 700 * rel_n DESC, id) AS rn
+      |         FROM c) WHERE rn = 1),
+      |r2 AS (SELECT c.q, c.id, 700 * c.rel_n - 300 * p.sim_n AS sc
+      |       FROM c JOIN s1 ON c.q = s1.q AND c.id != s1.id
+      |       JOIN p ON p.q = c.q AND p.ai = c.id AND p.bi = s1.id),
+      |s2 AS (SELECT q, id, sc AS mmr_n FROM (
+      |         SELECT q, id, sc, row_number()
+      |           OVER (PARTITION BY q ORDER BY sc DESC, id) AS rn
+      |         FROM r2) WHERE rn = 1),
+      |pre3 AS (SELECT q, id FROM s1 UNION ALL SELECT q, id FROM s2),
+      |r3 AS (SELECT c.q, c.id,
+      |         700 * c.rel_n - 300 * max(p.sim_n) AS sc
+      |       FROM c JOIN p ON p.q = c.q AND p.ai = c.id
+      |       JOIN pre3 s ON s.q = p.q AND s.id = p.bi
+      |       WHERE NOT EXISTS (SELECT 1 FROM pre3 x
+      |                         WHERE x.q = c.q AND x.id = c.id)
+      |       GROUP BY c.q, c.id, c.rel_n),
+      |s3 AS (SELECT q, id, sc AS mmr_n FROM (
+      |         SELECT q, id, sc, row_number()
+      |           OVER (PARTITION BY q ORDER BY sc DESC, id) AS rn
+      |         FROM r3) WHERE rn = 1),
+      |pre4 AS (SELECT q, id FROM pre3 UNION ALL SELECT q, id FROM s3),
+      |r4 AS (SELECT c.q, c.id,
+      |         700 * c.rel_n - 300 * max(p.sim_n) AS sc
+      |       FROM c JOIN p ON p.q = c.q AND p.ai = c.id
+      |       JOIN pre4 s ON s.q = p.q AND s.id = p.bi
+      |       WHERE NOT EXISTS (SELECT 1 FROM pre4 x
+      |                         WHERE x.q = c.q AND x.id = c.id)
+      |       GROUP BY c.q, c.id, c.rel_n),
+      |s4 AS (SELECT q, id, sc AS mmr_n FROM (
+      |         SELECT q, id, sc, row_number()
+      |           OVER (PARTITION BY q ORDER BY sc DESC, id) AS rn
+      |         FROM r4) WHERE rn = 1)
+      |SELECT q AS query_id, CAST(1 AS INT) AS rank, id AS doc_id, mmr_n
+      |FROM s1
+      |UNION ALL SELECT q, CAST(2 AS INT), id, mmr_n FROM s2
+      |UNION ALL SELECT q, CAST(3 AS INT), id, mmr_n FROM s3
+      |UNION ALL SELECT q, CAST(4 AS INT), id, mmr_n FROM s4
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Edit-distance-1 vocabulary pairs
     * ([[graft.operators.CorpusStats.fuzzyVocabPairs]] — typo/OCR-variant
     * mining via endpoint-char blocking, never all-pairs), hash-matched:
@@ -4529,4 +4626,41 @@ object Curation {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Z-ORDERED snapshot commits
+    * ([[graft.operators.Export.appendSnapshotZordered]] — the snapshot-
+    * log form of `ZORDER BY (a, b)`): two epochs each range-clustered on
+    * the Morton interleave of (doc_id, n_chars) with BOTH keys' per-file
+    * min/max riding the manifests, then a box query answered through
+    * [[graft.operators.Export.readSnapshotBox]] — 2-D file elimination
+    * from the commit log alone, on a multi-epoch table. DuckDB replays
+    * the conjunctive box predicate full-scan; the layout spec proves
+    * files were actually skipped on both dimensions. */
+  def q_snapshot_zorder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapzo_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotZordered(s,
+      docs.filter(col("doc_id") % 2 === 0), od, "doc_id", "n_chars",
+      nFiles = 8)
+    val v2 = graft.operators.Export.appendSnapshotZordered(s,
+      docs.filter(col("doc_id") % 2 === 1), od, "doc_id", "n_chars",
+      nFiles = 8)
+    graft.operators.Export.readSnapshotBox(s, od, v2,
+        "doc_id", "n_chars", 50L, 220L, 100L, 260L)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+  }
+
+  val q_snapshot_zorder_sql: String =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 50 AND 220
+      |  AND n_chars BETWEEN 100 AND 260""".stripMargin
 }

@@ -209,6 +209,33 @@ object Events {
       |FROM events WHERE event_type = 'click'
       |ORDER BY user_id, ts_us""".stripMargin
 
+  /** Streaming APPLY CHANGES
+    * ([[graft.streaming.EventStream.streamingCdcApply]]): an unordered
+    * keyed change feed applied micro-batch-at-a-time into a partitioned
+    * lake table with ORDER-RESOLVED merges — per (event_type, user_id)
+    * the max-by-(ts_us, value) record survives. Associativity of that
+    * resolution is the whole point: the settled table must equal the
+    * GLOBAL per-key resolution regardless of how the feed was batched,
+    * which is exactly what DuckDB replays with one window. */
+  def q_stream_cdc_apply(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_cdc_${math.abs(dir.hashCode)}")
+    val table = new File("target/qtmp_stream",
+      s"cdctable_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(table)
+    EventStream.streamingCdcApply(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, table.getAbsolutePath)
+      .orderBy("event_type", "user_id")
+  }
+
+  val q_stream_cdc_apply_sql: String =
+    """SELECT event_type, user_id, ts_us, value FROM (
+      |  SELECT event_type, user_id, epoch_us(ts) AS ts_us, value,
+      |    row_number() OVER (PARTITION BY event_type, user_id
+      |                       ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY event_type, user_id""".stripMargin
+
   /** Incremental sessionization with event-time timeouts
     * ([[graft.streaming.EventStream.sessionizeTimeout]]): sessions emit
     * exactly once via successor-gap closure OR watermark timeout, and

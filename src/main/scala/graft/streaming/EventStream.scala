@@ -801,6 +801,72 @@ object EventStream {
       Map("event_type" -> readType))
   }
 
+  /** Streaming APPLY CHANGES — the CDC-consumer sink every lakehouse
+    * ships (Delta's apply-changes-into shape): each micro-batch of keyed
+    * change records is merged into a PARTITIONED snapshot table with
+    * ORDER-RESOLVED conflicts ([[graft.operators.Export.mergeSnapshotPartitionedLatest]]
+    * — per key the max-by-(ts_us, value) row survives). Because that
+    * resolution is associative and commutative, the settled table equals
+    * the GLOBAL per-key resolution no matter how the feed was batched or
+    * ordered — the law that makes an out-of-order CDC feed safe to apply
+    * incrementally. Each batch pre-reduces itself (in-batch LWW) before
+    * the merge, runs under the exactly-once `#batch=` guard, and
+    * rewrites only the partitions it touches. Returns the settled
+    * current-state table (one row per (event_type, user_id)). */
+  def streamingCdcApply(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, tableDir: String): DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+      .select("user_id", "ts", "event_type", "value")
+    val splitDir = new File(new File(checkpointDir).getParentFile,
+      s"cdcsrc_${math.abs(srcParquet.hashCode)}")
+    if (!new File(splitDir, "_SUCCESS").exists()) {
+      base.repartition(4)
+        .write.mode("overwrite").parquet(splitDir.getAbsolutePath)
+    }
+    val tsType = base.schema("ts").dataType
+    val keys = Seq("event_type", "user_id")
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir.getAbsolutePath)
+    withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // scan-back guard: see drainMatview
+          val applied = graft.operators.Export.lastAppliedBatch(tableDir)
+          if (batchId > applied) {
+            val rows = batch.select(col("event_type"), col("user_id"),
+              graft.util.Tables.tsMicros(tsType).as("ts_us"), col("value"))
+            // in-batch LWW pre-reduce: the merge's update side must be
+            // key-unique; same total order as the merge resolution, so
+            // reduce-then-merge == merge-all-rows
+            val reduced = rows.groupBy("event_type", "user_id")
+              .agg(max(struct(col("ts_us"), col("value"))).as("_m"))
+              .select(col("event_type"), col("user_id"),
+                col("_m.ts_us").as("ts_us"), col("_m.value").as("value"))
+            if (graft.operators.Export.latestSnapshotVersion(tableDir) == 0)
+              graft.operators.Export.appendSnapshotPartitioned(spark,
+                reduced, tableDir, Seq("event_type"), nFiles = 1,
+                meta = Map("batch" -> batchId.toString))
+            else
+              graft.operators.Export.mergeSnapshotPartitionedLatest(spark,
+                tableDir, reduced, keyCols = keys,
+                partitionCols = Seq("event_type"),
+                orderCols = Seq("ts_us"), nFiles = 1,
+                meta = Map("batch" -> batchId.toString))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.Export.readSnapshot(spark, tableDir,
+      graft.operators.Export.latestSnapshotVersion(tableDir))
+  }
+
   /** The staged-source dir [[streamingMaterializedAggResumed]] reveals
     * files into — exposed so callers (gates, specs) that must wipe a
     * stale dir share ONE naming source of truth instead of re-deriving

@@ -925,6 +925,43 @@ class ExportLayoutSpec extends SparkSpec {
     assert(Export.latestSnapshotVersion(out) === vC)
   }
 
+  test("z-ordered snapshots: box query prunes files on BOTH dims across epochs; OPTIMIZE ZORDER re-establishes") {
+    val out = tmp("snapzorder")
+    rmDir(out)
+    Export.appendSnapshotZordered(spark,
+      docs.filter(col("doc_id") % 2 === 0), out, "doc_id", "n_chars", 8)
+    val v2 = Export.appendSnapshotZordered(spark,
+      docs.filter(col("doc_id") % 2 === 1), out, "doc_id", "n_chars", 8)
+    val all = Export.readSnapshot(spark, out, v2)
+    val box = Export.readSnapshotBox(spark, out, v2,
+      "doc_id", "n_chars", 50L, 220L, 100L, 260L)
+    assert(box.inputFiles.length < all.inputFiles.length,
+      s"box pruned nothing: ${box.inputFiles.length} of ${all.inputFiles.length}")
+    val expected = docs.filter(col("doc_id").between(50, 220) &&
+      col("n_chars").between(100, 260))
+    assert(box.count() === expected.count())
+    assert(box.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(box).count() === 0)
+    // pruning is 2-D: a box narrow in the SECOND key alone still skips
+    val bBox = Export.readSnapshotBox(spark, out, v2,
+      "doc_id", "n_chars", 0L, 10000L, 100L, 130L)
+    assert(bBox.inputFiles.length < all.inputFiles.length,
+      "second-dimension selectivity pruned nothing")
+    // OPTIMIZE ZORDER: one commit, rows identical, box pruning again —
+    // asserted with a tight box (8 post-compaction files own coarse
+    // zones; a third-of-the-space box may legitimately touch them all)
+    val vC = Export.compactSnapshotZordered(spark, out,
+      "doc_id", "n_chars", 8)
+    val after = Export.readSnapshot(spark, out, vC)
+    assert(after.count() === all.count())
+    val tight = docs.filter(col("doc_id").between(50, 120) &&
+      col("n_chars").between(100, 160))
+    val boxC = Export.readSnapshotBox(spark, out, vC,
+      "doc_id", "n_chars", 50L, 120L, 100L, 160L)
+    assert(boxC.count() === tight.count())
+    assert(boxC.inputFiles.length < after.inputFiles.length)
+  }
+
   test("schema evolution: committed schema unions, old files null-fill, old versions keep their narrow schema") {
     import spark.implicits._
     val out = tmp("evolve")

@@ -68,6 +68,51 @@ class MergeSpec extends SparkSpec {
       base.collect().toSet)
   }
 
+  test("upsertLatest: stale update loses, fresh wins, ties resolve by the full-row total order") {
+    val base = Seq((1L, 10L, "v10"), (2L, 20L, "v20")).toDF("k", "seq", "v")
+    val ups = Seq(
+      (1L, 5L, "stale"),   // older than base: must LOSE
+      (2L, 30L, "fresh"),  // newer: must WIN
+      (3L, 1L, "insert")   // unmatched: appears
+    ).toDF("k", "seq", "v")
+    val out = Merge.upsertLatest(base, ups, Seq("k"), Seq("seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(out === Set((1L, 10L, "v10"), (2L, 30L, "fresh"),
+      (3L, 1L, "insert")))
+    // equal seq: the remaining columns break the tie deterministically
+    val tie = Merge.upsertLatest(base,
+      Seq((1L, 10L, "zzz")).toDF("k", "seq", "v"), Seq("k"), Seq("seq"))
+      .filter(col("k") === 1L).collect().head.getString(2)
+    assert(tie === "zzz", "full-row total order must break seq ties")
+    // an order column inside the key is a caller error
+    intercept[IllegalArgumentException] {
+      Merge.upsertLatest(base, ups, Seq("k", "seq"), Seq("seq"))
+    }
+  }
+
+  test("upsertLatest: associative + commutative — any batching, any order, same settled state") {
+    // the CDC law the streaming apply sink rests on: folding the batches
+    // one at a time, in ANY permutation, equals the global resolution
+    val rows = (0 until 60).map { i =>
+      (i % 7L, (i * 13 % 31).toLong, s"p$i")
+    }
+    val global = Merge.upsertLatest(
+      rows.take(1).toDF("k", "seq", "v"),
+      rows.drop(1).toDF("k", "seq", "v"), Seq("k"), Seq("seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val batches = rows.grouped(13).toSeq
+    for (perm <- Seq(batches, batches.reverse, batches.sortBy(_.head._2))) {
+      val settled = perm.map(_.toDF("k", "seq", "v"))
+        .reduce((acc, b) => Merge.upsertLatest(acc, b, Seq("k"), Seq("seq")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(settled === global,
+        "batch-at-a-time application diverged from the global resolution")
+    }
+  }
+
   test("mergeAggregates: single partial is the identity") {
     val one = Seq(("A", 3L), ("B", 5L)).toDF("g", "n")
     val out = Merge.mergeAggregates(Seq(one), Seq("g"), sums = Seq("n"))

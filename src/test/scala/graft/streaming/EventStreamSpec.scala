@@ -252,6 +252,47 @@ class EventStreamSpec extends SparkSpec {
       "replayed batches appended duplicate epochs")
   }
 
+  test("CDC apply: settled state == global per-key resolution, merge commits versioned, replay-proof") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cp1 = new java.io.File("target/qtmp_stream", "cp_cdc1_spec")
+    val cp2 = new java.io.File("target/qtmp_stream", "cp_cdc2_spec")
+    val table = new java.io.File("target/qtmp_stream", "cdctable_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(cp1); rm(cp2); rm(table)
+    val settled = EventStream.streamingCdcApply(spark,
+      s"$sf/events.parquet", cp1.getAbsolutePath, table.getAbsolutePath)
+    // global LWW resolution, computed in one pass over the source — the
+    // incremental application across 4+ micro-batches must equal it
+    val global = graft.util.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_us"),
+        col("value"))
+      .groupBy("event_type", "user_id")
+      .agg(max(struct(col("ts_us"), col("value"))).as("m"))
+      .select(col("event_type"), col("user_id"),
+        col("m.ts_us").as("ts_us"), col("m.value").as("value"))
+    assert(settled.count() === global.count())
+    assert(settled.exceptAll(global).count() === 0 &&
+      global.exceptAll(settled).count() === 0)
+    // one commit per micro-batch (bootstrap append + merges), and the
+    // table stays key-unique at every version
+    val dir = table.getAbsolutePath
+    val vMax = graft.operators.Export.latestSnapshotVersion(dir)
+    assert(vMax >= 4, s"expected one version per micro-batch, got $vMax")
+    val head = graft.operators.Export.readSnapshot(spark, dir, vMax)
+    assert(head.groupBy("event_type", "user_id").count()
+      .filter(col("count") > 1).count() === 0, "merged table lost key-uniqueness")
+    // replay storm (fresh checkpoint, same table): the #batch= header on
+    // MERGE commits must block every re-delivered batch
+    EventStream.streamingCdcApply(spark,
+      s"$sf/events.parquet", cp2.getAbsolutePath, dir)
+    assert(graft.operators.Export.latestSnapshotVersion(dir) === vMax,
+      "replayed batches re-merged into the table")
+  }
+
   test("watermark: late row dropped, tail windows withheld, emitted counts conserve") {
     val stage = new java.io.File("target/qtmp_stream", "wm_stage_spec")
     val cp = new java.io.File("target/qtmp_stream", "cp_wm_spec")
