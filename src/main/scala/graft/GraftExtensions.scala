@@ -21,10 +21,14 @@ import graft.functions.{Crc64Expr, GramHashes, LaneAgreement, LanesXxHash, Minha
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    GraftExtensions.tableDefinitions.foreach { case (ident, info, builder) =>
+      ext.injectTableFunction((ident, info, builder))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -162,6 +166,65 @@ object GraftExtensions {
         graft.functions.UnigramSegment(args.head, litWeightMap(args(1)),
           litLong(args(2), "unk_weight"))))
 
+  /** Table-valued functions — the LAKE surface from plain SQL: a
+    * snapshot table (any version / timestamp) and its DESCRIBE HISTORY
+    * as FROM-clause relations, so `spark.sql` users time-travel without
+    * touching the Scala API:
+    * {{{
+    *   SELECT * FROM graft_snapshot('/path/table')           -- latest
+    *   SELECT * FROM graft_snapshot('/path/table', 3)        -- AS OF v3
+    *   SELECT * FROM graft_snapshot_at('/path/table', <ms>)  -- TS AS OF
+    *   SELECT version, operation FROM graft_history('/path/table')
+    * }}}
+    * The builder runs at plan-build time: it resolves the manifest
+    * (planning-side metadata only) and splices the manifest-exact scan's
+    * logical plan into the query tree — the outer analyzer/optimizer
+    * then prune columns and push filters into that scan like any other
+    * relation. Arguments must be literals (the manifest must be
+    * readable at planning time — the same contract as every table
+    * format's SQL time travel). */
+  val tableDefinitions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_snapshot"),
+      info("graft_snapshot", "graft_snapshot(path[, version]) - snapshot " +
+        "table AS OF a committed version (default: latest)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litString(args.head, "path")
+        val v =
+          if (args.length > 1) litLong(args(1), "version").toInt
+          else graft.operators.Export.latestSnapshotVersion(path)
+        graft.operators.Export.readSnapshot(spark, path, v)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_snapshot_at"),
+      info("graft_snapshot_at", "graft_snapshot_at(path, ts_millis) - " +
+        "snapshot table TIMESTAMP AS OF epoch-millis (newest version " +
+        "committed at or before it)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Export.readSnapshotAsOf(spark,
+            litString(args.head, "path"), litLong(args(1), "ts_millis"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_history"),
+      info("graft_history", "graft_history(path) - DESCRIBE HISTORY: one " +
+        "row per committed version (version, committed_at, operation, " +
+        "n_files, batch)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Export.snapshotHistory(spark,
+            litString(args.head, "path"))
+          .queryExecution.logical
+      }))
+
+  private def litString(e: Expression, name: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
   /** Late-bound builtin call: resolved (with implicit input casts) by
     * the analyzer's fixpoint after builder substitution. */
   private def fn(name: String, fnArgs: Expression*): Expression =
@@ -235,10 +298,16 @@ object GraftExtensions {
     }.toMap
   }
 
-  /** Register into an already-running session's function registry. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register into an already-running session's function registries
+    * (scalar AND table functions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     definitions.foreach { case (ident, inf, builder) =>
       org.apache.spark.sql.GraftFunctionBridge
         .register(spark, ident, inf, builder)
     }
+    tableDefinitions.foreach { case (ident, inf, builder) =>
+      org.apache.spark.sql.GraftFunctionBridge
+        .registerTable(spark, ident, inf, builder)
+    }
+  }
 }

@@ -931,6 +931,152 @@ object Export {
       .filter(col(colA).between(aLo, aHi) && col(colB).between(bLo, bHi))
   }
 
+  /** Commit-time CHECK constraints (the Delta table-constraint shape):
+    * validate `df` against every named SQL predicate BEFORE any data
+    * lands — a violating batch aborts with per-constraint counts and
+    * NOTHING is written (validation precedes the epoch write), so a bad
+    * row can never enter a committed version. SQL CHECK semantics: a
+    * NULL-evaluating predicate PASSES (constraints reject provable
+    * violations, not unknowns). Constraints are STORED in the manifest
+    * meta (`check_<name>=<sql>`) and INHERITED: every later
+    * [[appendSnapshotChecked]] re-enforces the union of the table's
+    * stored constraints and the new ones, so the guarantee is a table
+    * property, not a caller convention. Cost: one counting aggregate
+    * over the batch — the price every enforcing writer pays.
+    * Returns the committed version. */
+  def appendSnapshotChecked(spark: SparkSession, df: DataFrame,
+      outDir: String, constraints: Map[String, String] = Map.empty,
+      meta: Map[String, String] = Map.empty): Int = {
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val prev = manifestVersions(fs, root).lastOption
+    val inherited: Map[String, String] = prev
+      .map(v => snapshotMetaOf(fs, root, v)
+        .collect { case (k, sql) if k.startsWith("check_") =>
+          k.drop("check_".length) -> sql })
+      .getOrElse(Map.empty)
+    val active = inherited ++ constraints
+    if (active.nonEmpty) {
+      val names = active.keys.toSeq.sorted
+      // one pass: count rows where the predicate is provably FALSE
+      val counts = df.agg(
+          count(lit(1)).as("_n"),
+          names.map(n => sum(when(
+            !coalesce(expr(active(n)), lit(true)), 1L).otherwise(0L))
+            .as(n)): _*)
+        .collect().head
+      val violated = names.map(n => n -> counts.getAs[Long](n))
+        .filter(_._2 > 0)
+      require(violated.isEmpty,
+        s"CHECK constraint violation — nothing committed: " +
+          violated.map { case (n, c) =>
+            s"$n (${active(n)}): $c row(s)" }.mkString("; "))
+    }
+    val (_, fresh) = writeEpoch(fs, root, prev.getOrElse(0) + 1, df)
+    commitAppend(fs, root,
+      meta ++ active.map { case (n, sql) =>
+        require(!n.contains('=') && !n.contains("\n"),
+          s"constraint name must be line-safe: $n")
+        s"check_$n" -> sql },
+      df.schema.json, fresh)
+  }
+
+  /** Per-file BLOOM FILTER manifest stats — the point-lookup pruning a
+    * range zone can't give (a needle key prunes nothing when every
+    * file's [min,max] spans it): each epoch file carries a `b=<key>:hex`
+    * tag of a `BloomBits`-bit filter over `keyCol`, built from the SAME
+    * `xxhash64(key, seed)` family a reader recomputes, and
+    * [[readSnapshotPoint]] plans only files whose filter claims the
+    * needle — the Delta bloom-index / Iceberg puffin idea carried inside
+    * the snapshot manifest. False positives cost a file read; false
+    * negatives are impossible by construction (every row's bits are
+    * OR'd in — the spec proves every present key's file survives).
+    *
+    * 100 TB shape: the filter build is one distinct-(file, bit)
+    * aggregation (≤ nFiles·BloomBits rows cross the exchange, never the
+    * corpus), and the filter rides the manifest line — point lookups
+    * never list, never scan non-claimed files. */
+  def appendSnapshotBloomed(spark: SparkSession, df: DataFrame,
+      outDir: String, keyCol: String, nFiles: Int = 1,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
+    val (epochDir, fresh) = writeEpoch(fs, root, version,
+      df.repartition(nFiles))
+    // distinct (file, bit) pairs — bounded by nFiles × BloomBits
+    // key hashed as BIGINT so the probe's lit(value: Long) hashes
+    // identically whatever integral width the column stores
+    val posCols = (1 to BloomHashes).map(i =>
+      pmod(xxhash64(col(keyCol).cast("long"), lit(i)),
+        lit(BloomBits.toLong)))
+    val bits = spark.read.parquet(epochDir.toString)
+      .select(col("_metadata.file_path").as("file"),
+        explode(array(posCols: _*)).as("pos"))
+      .distinct().collect()
+      .groupBy(r => fs.makeQualified(new Path(r.getString(0))).toString)
+      .map { case (f, rows) =>
+        val words = new Array[Long](BloomBits / 64)
+        rows.foreach { r =>
+          val p = r.getLong(1).toInt
+          words(p / 64) |= (1L << (p % 64))
+        }
+        f -> words.map(w => f"$w%016x").mkString
+      }
+    val lines = fresh.map { f =>
+      bits.get(fs.makeQualified(new Path(f)).toString) match {
+        case Some(hex) => s"$f\tb=$keyCol:$hex"
+        case None => f // a zero-row file carries no filter
+      }
+    }
+    commitAppend(fs, root, meta, df.schema.json, lines)
+  }
+
+  /** Bloom geometry: 1024 bits × 5 hashes ≈ 1% false-positive rate at
+    * ~100 distinct keys per file, <5% at 300 — sized for needle pruning,
+    * not exact membership. One `b=` tag is 256 hex chars. */
+  val BloomBits: Int = 1024
+  val BloomHashes: Int = 5
+
+  private def bloomOf(line: String): Option[(String, String)] =
+    line.split('\t').collectFirst { case f if f.startsWith("b=") =>
+      val Array(k, hex) = f.drop(2).split(":", 2); (k, hex)
+    }
+
+  private def bloomMightContain(hex: String, positions: Seq[Long]): Boolean =
+    positions.forall { p =>
+      val word = java.lang.Long.parseUnsignedLong(
+        hex.substring((p.toInt / 64) * 16, (p.toInt / 64) * 16 + 16), 16)
+      (word & (1L << (p.toInt % 64))) != 0
+    }
+
+  /** Point lookup through the manifest bloom filters: plan only files
+    * whose `b=<keyCol>:` filter claims `value` (files without a filter
+    * for this key always read — pruning never proves what it can't),
+    * then apply the exact equality, pushed to the scan. The needle's bit
+    * positions come from the same engine hash the build used (a one-row
+    * job — engine-consistent by construction, no hand-rolled xxhash64
+    * to drift). */
+  def readSnapshotPoint(spark: SparkSession, outDir: String,
+      version: Int, keyCol: String, value: Long): DataFrame = {
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+    val positions = spark.range(1).select(
+        (1 to BloomHashes).map(i =>
+          pmod(xxhash64(lit(value), lit(i)), lit(BloomBits.toLong))): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Long])
+    val chosen = lines.filter(l => bloomOf(l) match {
+      case Some((k, hex)) if k == keyCol => bloomMightContain(hex, positions)
+      case _ => true
+    }).map(pathOf)
+    val files =
+      if (chosen.nonEmpty) chosen
+      else lines.map(pathOf).sorted.take(1)
+    readFilesAs(spark, fs, root, version, files.toIndexedSeq)
+      .filter(col(keyCol) === value)
+  }
+
   /** Hive-style PARTITIONED append — the default shape of a production
     * corpus table (`dt=.../tenant=...`): the epoch is laid out in
     * partition-column directories and every manifest data line carries

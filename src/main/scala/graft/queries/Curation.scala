@@ -4663,4 +4663,110 @@ object Curation {
       |FROM documents
       |WHERE doc_id BETWEEN 50 AND 220
       |  AND n_chars BETWEEN 100 AND 260""".stripMargin
+
+  /** Bloom-filter manifest point lookups
+    * ([[graft.operators.Export.appendSnapshotBloomed]] /
+    * [[graft.operators.Export.readSnapshotPoint]]): two epochs commit
+    * with per-file `b=doc_id:` bloom tags, then three needle lookups are
+    * answered planning only claimed files — the pruning shape range
+    * zones cannot give a needle (every file's [min,max] spans it). The
+    * layout spec proves the no-false-negative law and the actual file
+    * skips; this gate hash-matches the looked-up rows themselves. */
+  def q_snapshot_bloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapbl_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotBloomed(s,
+      docs.filter(col("doc_id") % 2 === 0), od, "doc_id", nFiles = 8)
+    val v2 = graft.operators.Export.appendSnapshotBloomed(s,
+      docs.filter(col("doc_id") % 2 === 1), od, "doc_id", nFiles = 8)
+    Seq(5L, 123L, 321L)
+      .map(id => graft.operators.Export.readSnapshotPoint(s, od, v2,
+        "doc_id", id))
+      .reduce(_ unionByName _)
+      .orderBy("doc_id")
+  }
+
+  val q_snapshot_bloom_sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (5, 123, 321) ORDER BY doc_id""".stripMargin
+
+  /** Commit-time CHECK constraints
+    * ([[graft.operators.Export.appendSnapshotChecked]]): the corpus
+    * lands in two appends under table constraints (`n_chars > 0`,
+    * `doc_id IS NOT NULL`) — the second append INHERITS them from the
+    * manifest meta without restating. The layout spec proves the
+    * abort-on-violation and NULL-passes laws; this gate hash-matches
+    * the committed table (constraints held, nothing rejected, nothing
+    * lost). */
+  def q_snapshot_constraints(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapck_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotChecked(s,
+      docs.filter(col("doc_id") % 2 === 0), od,
+      constraints = Map("chars_positive" -> "n_chars > 0",
+        "id_present" -> "doc_id IS NOT NULL"))
+    val v2 = graft.operators.Export.appendSnapshotChecked(s,
+      docs.filter(col("doc_id") % 2 === 1), od)
+    graft.operators.Export.readSnapshot(s, od, v2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q_snapshot_constraints_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The lake from PLAIN SQL ([[graft.GraftExtensions]] table-valued
+    * functions): the snapshot log is built with the Scala API (append,
+    * then CoW delete of the `zh` partition of rows), but every READ here
+    * goes through `spark.sql` — `graft_snapshot(path, v)` time-travels
+    * to the pre-delete state, `graft_snapshot(path)` reads the head —
+    * with the TVF splicing a manifest-exact scan into the query tree
+    * (predicate pushdown proven in `GraftExtensionsSpec`). DuckDB
+    * replays both states. */
+  def q_snapshot_sqlseam(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapsql_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    val v1 = graft.operators.Export.appendSnapshot(s, docs, od)
+    graft.operators.Export.deleteWhere(s, od, col("lang") === "zh")
+    s.sql(
+      s"""SELECT 1 AS state, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM graft_snapshot('$od', $v1) WHERE lang = 'zh'
+         |UNION ALL
+         |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+         |  CAST(sum(n_chars) AS BIGINT)
+         |FROM graft_snapshot('$od')
+         |ORDER BY state""".stripMargin)
+  }
+
+  val q_snapshot_sqlseam_sql: String =
+    """SELECT 1 AS state, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'zh'
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE lang != 'zh'
+      |ORDER BY state""".stripMargin
 }

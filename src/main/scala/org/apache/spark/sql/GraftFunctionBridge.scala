@@ -10,4 +10,11 @@ object GraftFunctionBridge {
   def register(spark: SparkSession, ident: FunctionIdentifier,
       info: ExpressionInfo, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  def registerTable(spark: SparkSession, ident: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .registerFunction(ident, info, builder)
 }

@@ -142,4 +142,48 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT hll_bucket(1, 48)").collect() }
     intercept[Exception] { spark.sql("SELECT cms_cell('x', 9, 64)").collect() }
   }
+
+  test("lake TVFs: graft_snapshot / graft_snapshot_at / graft_history from plain SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val out = new java.io.File("target/qtmp", "tvfsnap")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(out)
+    val dir = out.getAbsolutePath
+    val v1 = graft.operators.Export.appendSnapshot(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    val v2 = graft.operators.Export.appendSnapshot(spark,
+      Seq((3L, "c")).toDF("k", "s"), dir)
+    // latest by default; explicit version time-travels
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir')")
+      .collect().head.getLong(0) === 3)
+    assert(spark.sql(
+        s"SELECT k FROM graft_snapshot('$dir', $v1) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // the TVF relation is a real scan: filters/pruning compose (predicate
+    // reaches the parquet scan like any other FROM-clause table)
+    val planned = spark.sql(
+      s"SELECT s FROM graft_snapshot('$dir') WHERE k = 3")
+    assert(planned.collect().map(_.getString(0)).toSeq === Seq("c"))
+    assert(planned.queryExecution.executedPlan.toString
+      .contains("PushedFilters"), "TVF scan lost predicate pushdown")
+    // TIMESTAMP AS OF through SQL resolves exactly like the API
+    val ts1 = graft.operators.Export.snapshotTimestamp(dir, v1)
+    assert(spark.sql(
+        s"SELECT count(*) FROM graft_snapshot_at('$dir', $ts1)")
+      .collect().head.getLong(0) === 2)
+    // DESCRIBE HISTORY rows from SQL == the API's frame
+    val hist = spark.sql(
+        s"SELECT version, operation FROM graft_history('$dir') ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(hist === Seq((v1, "append"), (v2, "append")))
+    // non-literal path is a clear error, not a silent empty table
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_snapshot(concat('a', 'b'))").collect()
+    }
+  }
 }

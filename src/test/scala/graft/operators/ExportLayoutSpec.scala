@@ -962,6 +962,77 @@ class ExportLayoutSpec extends SparkSpec {
     assert(boxC.inputFiles.length < after.inputFiles.length)
   }
 
+  test("bloom manifests: no false negatives for ANY present key, needles skip files, absent needle reads ~nothing") {
+    val out = tmp("snapbloom")
+    rmDir(out)
+    Export.appendSnapshotBloomed(spark,
+      docs.filter(col("doc_id") % 2 === 0), out, "doc_id", nFiles = 8)
+    val v2 = Export.appendSnapshotBloomed(spark,
+      docs.filter(col("doc_id") % 2 === 1), out, "doc_id", nFiles = 8)
+    val all = Export.readSnapshot(spark, out, v2)
+    val total = all.inputFiles.length
+    // the no-false-negative LAW: every present key's lookup finds its row
+    // (checked for every 7th key to keep the loop bounded)
+    val keys = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 7 == 0)
+    keys.foreach { id =>
+      val got = Export.readSnapshotPoint(spark, out, v2, "doc_id", id)
+      assert(got.count() === 1, s"bloom lost present key $id")
+    }
+    // needles actually skip files
+    val needle = Export.readSnapshotPoint(spark, out, v2, "doc_id", 123L)
+    assert(needle.inputFiles.length < total,
+      s"bloom pruned nothing: ${needle.inputFiles.length} of $total")
+    // an absent needle: 0 rows, and (modulo false positives) few files
+    val absent = Export.readSnapshotPoint(spark, out, v2,
+      "doc_id", 987654321L)
+    assert(absent.count() === 0)
+    assert(absent.inputFiles.length < total,
+      "absent needle read the whole table")
+    // files without a filter for the queried key are always planned:
+    // an unbloomed epoch joins the table and stays visible to lookups
+    Export.appendSnapshot(spark,
+      docs.filter(col("doc_id") === 123L)
+        .withColumn("doc_id", lit(900000L)), out)
+    val v3 = Export.latestSnapshotVersion(out)
+    assert(Export.readSnapshotPoint(spark, out, v3, "doc_id", 900000L)
+      .count() === 1, "unbloomed file was wrongly pruned")
+  }
+
+  test("CHECK constraints: violations abort pre-write with counts, NULL passes, constraints inherit") {
+    import spark.implicits._
+    val out = tmp("snapcheck")
+    rmDir(out)
+    val good = Seq((1L, 10L), (2L, 20L)).toDF("id", "n")
+    val v1 = Export.appendSnapshotChecked(spark, good, out,
+      constraints = Map("n_positive" -> "n > 0", "id_set" -> "id < 1000"))
+    assert(v1 === 1)
+    // a violating batch aborts with the constraint's name and count...
+    val bad = Seq((3L, -5L), (4L, 40L), (5L, -1L)).toDF("id", "n")
+    val e = intercept[IllegalArgumentException] {
+      Export.appendSnapshotChecked(spark, bad, out)
+    }
+    assert(e.getMessage.contains("n_positive") &&
+      e.getMessage.contains("2 row(s)"), e.getMessage)
+    // ...and NOTHING landed: same head, no new epoch files
+    assert(Export.latestSnapshotVersion(out) === v1)
+    assert(Export.readSnapshot(spark, out, v1).count() === 2)
+    // inheritance: the second appender never restated the constraints —
+    // the TABLE carries them (meta), and a NULL predicate value passes
+    // (SQL CHECK rejects provable violations, not unknowns)
+    val withNull = Seq((6L, Some(60L)), (7L, None))
+      .toDF("id", "n")
+    val v2 = Export.appendSnapshotChecked(spark, withNull, out)
+    assert(Export.readSnapshot(spark, out, v2).count() === 4)
+    assert(Export.snapshotMeta(out, v2).get("check_n_positive")
+      === Some("n > 0"), "constraints must ride every commit's meta")
+    // inherited enforcement still bites
+    intercept[IllegalArgumentException] {
+      Export.appendSnapshotChecked(spark,
+        Seq((8L, 0L)).toDF("id", "n"), out)
+    }
+  }
+
   test("schema evolution: committed schema unions, old files null-fill, old versions keep their narrow schema") {
     import spark.implicits._
     val out = tmp("evolve")
