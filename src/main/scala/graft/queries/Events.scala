@@ -236,6 +236,26 @@ object Events {
       |  FROM events) WHERE rn = 1
       |ORDER BY event_type, user_id""".stripMargin
 
+  /** [[q_stream_cdc_apply]] KILLED mid-feed and resumed
+    * ([[graft.streaming.EventStream.streamingCdcApplyResumed]]): half
+    * the change files, drain, clean stop; the rest appear, cold restart
+    * from the same checkpoint. The settled table hash-matches the SAME
+    * global-resolution oracle — convergence across the kill is exactly
+    * the order-resolved merge's associativity, plus the `#batch=` guard
+    * refusing every redelivered batch. */
+  def q_stream_cdc_resume(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_cdcr_${math.abs(dir.hashCode)}")
+    val table = new File("target/qtmp_stream",
+      s"cdcrtable_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(table)
+    EventStream.streamingCdcApplyResumed(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, table.getAbsolutePath)
+      .orderBy("event_type", "user_id")
+  }
+
+  val q_stream_cdc_resume_sql: String = q_stream_cdc_apply_sql
+
   /** Incremental sessionization with event-time timeouts
     * ([[graft.streaming.EventStream.sessionizeTimeout]]): sessions emit
     * exactly once via successor-gap closure OR watermark timeout, and

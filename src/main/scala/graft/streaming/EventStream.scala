@@ -823,12 +823,21 @@ object EventStream {
       base.repartition(4)
         .write.mode("overwrite").parquet(splitDir.getAbsolutePath)
     }
-    val tsType = base.schema("ts").dataType
+    drainCdcApply(spark, splitDir.getAbsolutePath, base.schema,
+      checkpointDir, tableDir)
+    graft.operators.Export.readSnapshot(spark, tableDir,
+      graft.operators.Export.latestSnapshotVersion(tableDir))
+  }
+
+  private def drainCdcApply(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String, tableDir: String): Unit = {
+    val tsType = schema("ts").dataType
     val keys = Seq("event_type", "user_id")
     val stream = spark.readStream
-      .schema(base.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(splitDir.getAbsolutePath)
+      .parquet(srcDir)
     withStreamShuffle(spark) {
       val q = stream.writeStream
         .outputMode(OutputMode.Append())
@@ -863,6 +872,46 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
+  }
+
+  /** [[streamingCdcApply]] KILLED between micro-batches and resumed —
+    * the checkpoint-chunks discipline applied to the MERGE sink: run 1
+    * sees half the change files, drains, and stops (AvailableNow = a
+    * clean kill point); the rest appear and a COLD restart from the same
+    * Spark checkpoint merges only the unseen batches (ids continue; the
+    * `#batch=` header on every merge commit blocks any redelivery). The
+    * settled table must STILL equal the global per-key resolution — the
+    * gate hash-matches it against the same one-window oracle as the
+    * uninterrupted run, which only holds because the order-resolved
+    * merge is associative across the kill. */
+  def streamingCdcApplyResumed(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, tableDir: String): DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+      .select("user_id", "ts", "event_type", "value")
+    val parent = new File(checkpointDir).getParentFile
+    val stageDir = new File(parent,
+      s"cdcrstage_${math.abs(srcParquet.hashCode)}")
+    if (!new File(stageDir, "_SUCCESS").exists()) {
+      base.repartition(4)
+        .write.mode("overwrite").parquet(stageDir.getAbsolutePath)
+    }
+    val parts = stageDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val liveDir = new File(parent,
+      s"cdcrlive_${math.abs(srcParquet.hashCode)}_${math.abs(checkpointDir.hashCode)}")
+    graft.util.Dirs.deleteRec(liveDir)
+    liveDir.mkdirs()
+    def reveal(fs: Seq[File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new File(liveDir, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    reveal(parts.take(parts.length / 2).toSeq)
+    drainCdcApply(spark, liveDir.getAbsolutePath, base.schema,
+      checkpointDir, tableDir)
+    reveal(parts.drop(parts.length / 2).toSeq)
+    drainCdcApply(spark, liveDir.getAbsolutePath, base.schema,
+      checkpointDir, tableDir)
     graft.operators.Export.readSnapshot(spark, tableDir,
       graft.operators.Export.latestSnapshotVersion(tableDir))
   }
