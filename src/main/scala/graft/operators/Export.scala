@@ -950,22 +950,31 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
     val prev = manifestVersions(fs, root).lastOption
-    val inherited: Map[String, String] = prev
-      .map(v => snapshotMetaOf(fs, root, v)
-        .collect { case (k, sql) if k.startsWith("check_") =>
-          k.drop("check_".length) -> sql })
-      .getOrElse(Map.empty)
+    // inherited from the NEWEST version carrying any constraint — not
+    // latest-only, or a maintenance commit (compact/restore carries no
+    // check_* headers) would silently drop the table's constraints, the
+    // same erasure mode lastAppliedBatch guards against for #batch=
+    val inherited: Map[String, String] =
+      manifestVersions(fs, root).reverseIterator
+        .map(v => snapshotMetaOf(fs, root, v)
+          .collect { case (k, sql) if k.startsWith("check_") =>
+            k.drop("check_".length) -> sql })
+        .collectFirst { case m if m.nonEmpty => m }
+        .getOrElse(Map.empty)
     val active = inherited ++ constraints
     if (active.nonEmpty) {
       val names = active.keys.toSeq.sorted
-      // one pass: count rows where the predicate is provably FALSE
+      // one pass: count rows where the predicate is provably FALSE.
+      // Positional access — a constraint legitimately named like the
+      // leading count alias must not alias-collide.
       val counts = df.agg(
           count(lit(1)).as("_n"),
-          names.map(n => sum(when(
-            !coalesce(expr(active(n)), lit(true)), 1L).otherwise(0L))
-            .as(n)): _*)
+          names.map(n => coalesce(sum(when(
+            !coalesce(expr(active(n)), lit(true)), 1L).otherwise(0L)),
+            lit(0L)).as(n)): _*)
         .collect().head
-      val violated = names.map(n => n -> counts.getAs[Long](n))
+      val violated = names.zipWithIndex
+        .map { case (n, i) => n -> counts.getLong(i + 1) }
         .filter(_._2 > 0)
       require(violated.isEmpty,
         s"CHECK constraint violation — nothing committed: " +

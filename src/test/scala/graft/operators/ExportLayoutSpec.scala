@@ -1031,6 +1031,18 @@ class ExportLayoutSpec extends SparkSpec {
       Export.appendSnapshotChecked(spark,
         Seq((8L, 0L)).toDF("id", "n"), out)
     }
+    // a maintenance commit carries no check_* headers — inheritance must
+    // scan back past it, not read latest-only and silently drop the law
+    Export.compactSnapshot(spark, out, nFiles = 1)
+    intercept[IllegalArgumentException] {
+      Export.appendSnapshotChecked(spark,
+        Seq((9L, -9L)).toDF("id", "n"), out)
+    }
+    // an EMPTY checked batch commits cleanly (sum-over-nothing is zero
+    // violations, not a null crash)
+    val vE = Export.appendSnapshotChecked(spark,
+      Seq.empty[(Long, Long)].toDF("id", "n"), out)
+    assert(Export.readSnapshot(spark, out, vE).count() === 4)
   }
 
   test("schema evolution: committed schema unions, old files null-fill, old versions keep their narrow schema") {
