@@ -175,20 +175,32 @@ object Main {
           sys.exit(2)
       }
     }.toMap
-    if (partFilters.nonEmpty && o("cluster-by").nonEmpty) {
-      System.err.println(
-        "--cluster-by and --partition are mutually exclusive")
+    val modes = Seq(partFilters.nonEmpty, o("cluster-by").nonEmpty,
+      o("zorder-by").nonEmpty).count(identity)
+    if (modes > 1) {
+      System.err.println("--cluster-by, --zorder-by and --partition " +
+        "are mutually exclusive")
       sys.exit(2)
     }
     val v =
       if (partFilters.nonEmpty)
         graft.operators.Export.compactSnapshotPartition(
           spark, dir, partFilters.keys.toSeq, partFilters, nFiles)
-      else o("cluster-by").headOption match {
-        case Some(key) => graft.operators.Export
-          .compactSnapshotClustered(spark, dir, key, nFiles)
-        case None => graft.operators.Export
-          .compactSnapshot(spark, dir, nFiles)
+      else o("zorder-by").headOption match {
+        case Some(keys) => keys.split(",").map(_.trim) match {
+          case Array(a, b) => graft.operators.Export
+            .compactSnapshotZordered(spark, dir, a, b, nFiles)
+          case _ =>
+            System.err.println("--zorder-by expects exactly two " +
+              s"comma-separated columns, got: $keys")
+            sys.exit(2)
+        }
+        case None => o("cluster-by").headOption match {
+          case Some(key) => graft.operators.Export
+            .compactSnapshotClustered(spark, dir, key, nFiles)
+          case None => graft.operators.Export
+            .compactSnapshot(spark, dir, nFiles)
+        }
       }
     println(s"compacted $dir into version $v " +
       s"(${graft.operators.Export.snapshotFiles(dir, v).size} files)")
@@ -244,8 +256,8 @@ object Main {
   private val KnownOpts = Set("source", "out", "strict", "no-checkpoint",
     "continue-on-error", "filter", "route", "table", "port", "bind",
     "checkpoint-url", "bucket-by", "compact-bytes", "config",
-    "version", "files", "cluster-by", "keep", "where", "as-of-ts",
-    "to-version", "horizon-ms", "partition")
+    "version", "files", "cluster-by", "zorder-by", "keep", "where",
+    "as-of-ts", "to-version", "horizon-ms", "partition")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
