@@ -187,16 +187,32 @@ object GraftExtensions {
       Seq[Expression] =>
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     (FunctionIdentifier("graft_snapshot"),
-      info("graft_snapshot", "graft_snapshot(path[, version]) - snapshot " +
-        "table AS OF a committed version (default: latest)"),
+      info("graft_snapshot", "graft_snapshot(path[, version[, " +
+        "'col=val/col=val']]) - snapshot table AS OF a committed " +
+        "version (default: latest), optionally PARTITION-PRUNED: with " +
+        "the third argument only manifest lines matching every " +
+        "partition equality are planned (the exact predicate is still " +
+        "applied on top)"),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val path = litString(args.head, "path")
         val v =
           if (args.length > 1) litLong(args(1), "version").toInt
           else graft.operators.Export.latestSnapshotVersion(path)
-        graft.operators.Export.readSnapshot(spark, path, v)
-          .queryExecution.logical
+        if (args.length > 2) {
+          val spec = litString(args(2), "partition filter")
+          val filters = spec.split('/').filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(k, value) => k -> value
+              case _ => throw new IllegalArgumentException(
+                s"partition filter expects col=val segments, got: $kv")
+            }
+          }.toMap
+          graft.operators.Export.readSnapshotPartitioned(spark, path, v,
+            filters).queryExecution.logical
+        } else
+          graft.operators.Export.readSnapshot(spark, path, v)
+            .queryExecution.logical
       }),
     (FunctionIdentifier("graft_snapshot_at"),
       info("graft_snapshot_at", "graft_snapshot_at(path, ts_millis) - " +

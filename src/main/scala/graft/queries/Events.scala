@@ -256,6 +256,35 @@ object Events {
 
   val q_stream_cdc_resume_sql: String = q_stream_cdc_apply_sql
 
+  /** CDC apply with DELETE records
+    * ([[graft.streaming.EventStream.streamingCdcApplyDeletes]]):
+    * `error` events are tombstones for their user key; the visible
+    * settled state is every key whose ORDER-RESOLVED winner is not a
+    * delete. Tombstones are retained in the table (dropping one would
+    * let an out-of-order earlier update resurrect the key), so DuckDB's
+    * replay — one window over the whole feed, then filter the
+    * delete-winners — must hash-match the tombstone-filtered read. */
+  def q_stream_cdc_deletes(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_cdcd_${math.abs(dir.hashCode)}")
+    val table = new File("target/qtmp_stream",
+      s"cdcdtable_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(table)
+    EventStream.streamingCdcApplyDeletes(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, table.getAbsolutePath)
+      .orderBy("user_id")
+  }
+
+  val q_stream_cdc_deletes_sql: String =
+    """SELECT user_id, ts_us, value FROM (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+      |    (event_type = 'error') AS is_del,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, value DESC,
+      |               (event_type = 'error') DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND NOT is_del
+      |ORDER BY user_id""".stripMargin
+
   /** Incremental sessionization with event-time timeouts
     * ([[graft.streaming.EventStream.sessionizeTimeout]]): sessions emit
     * exactly once via successor-gap closure OR watermark timeout, and

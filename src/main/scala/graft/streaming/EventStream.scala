@@ -874,6 +874,81 @@ object EventStream {
     }
   }
 
+  /** [[streamingCdcApply]] with DELETE records — the full change-record
+    * vocabulary of a CDC feed (Delta's `APPLY CHANGES ... WHEN MATCHED
+    * DELETE` shape): rows with `event_type = 'error'` act as tombstones
+    * for their key. The tombstone is a REGULAR column riding the same
+    * order-resolved merge, and tombstone rows are RETAINED in the table
+    * rather than dropped at apply time — dropping one would erase its
+    * sequence position, and an out-of-order earlier update arriving
+    * later would wrongly resurrect the key (the exact reason Delta's
+    * apply-changes keeps deleted rows until retention). The VISIBLE
+    * state is the tombstone-filtered read; associativity of the
+    * resolution is untouched because a delete is just a row that wins
+    * by order. Key = user_id, hive-partitioned by `shard = user_id % 8`
+    * (a key-derived partition, so `partitionCols ⊆ keyCols` holds).
+    * Returns the settled VISIBLE state. */
+  def streamingCdcApplyDeletes(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, tableDir: String): DataFrame = {
+    val base = spark.read.parquet(srcParquet)
+      .select("user_id", "ts", "event_type", "value")
+    val splitDir = new File(new File(checkpointDir).getParentFile,
+      s"cdcdsrc_${math.abs(srcParquet.hashCode)}")
+    if (!new File(splitDir, "_SUCCESS").exists()) {
+      base.repartition(4)
+        .write.mode("overwrite").parquet(splitDir.getAbsolutePath)
+    }
+    val tsType = base.schema("ts").dataType
+    val keys = Seq("user_id", "shard")
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir.getAbsolutePath)
+    withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val applied = graft.operators.Export.lastAppliedBatch(tableDir)
+          if (batchId > applied) {
+            val rows = batch.select(col("user_id"),
+              pmod(col("user_id"), lit(8L)).cast("string").as("shard"),
+              graft.util.Tables.tsMicros(tsType).as("ts_us"),
+              col("value"),
+              (col("event_type") === "error").as("is_del"))
+            // in-batch pre-reduce under the SAME total order the merge
+            // resolves by: (ts_us, then payload in column order)
+            val reduced = rows.groupBy("user_id", "shard")
+              .agg(max(struct(col("ts_us"), col("value"),
+                col("is_del"))).as("_m"))
+              .select(col("user_id"), col("shard"),
+                col("_m.ts_us").as("ts_us"), col("_m.value").as("value"),
+                col("_m.is_del").as("is_del"))
+            if (graft.operators.Export.latestSnapshotVersion(tableDir) == 0)
+              graft.operators.Export.appendSnapshotPartitioned(spark,
+                reduced, tableDir, Seq("shard"), nFiles = 1,
+                meta = Map("batch" -> batchId.toString))
+            else
+              graft.operators.Export.mergeSnapshotPartitionedLatest(spark,
+                tableDir, reduced, keyCols = keys,
+                partitionCols = Seq("shard"),
+                orderCols = Seq("ts_us"), nFiles = 1,
+                meta = Map("batch" -> batchId.toString))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // visible state: tombstone-filtered; the tombstones stay in the
+    // table (retention drops them with their versions, never mid-feed)
+    graft.operators.Export.readSnapshot(spark, tableDir,
+        graft.operators.Export.latestSnapshotVersion(tableDir))
+      .filter(!col("is_del"))
+      .drop("is_del", "shard")
+  }
+
   /** [[streamingCdcApply]] KILLED between micro-batches and resumed —
     * the checkpoint-chunks discipline applied to the MERGE sink: run 1
     * sees half the change files, drains, and stops (AvailableNow = a

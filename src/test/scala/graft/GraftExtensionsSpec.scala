@@ -185,5 +185,23 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_snapshot(concat('a', 'b'))").collect()
     }
+    // partition-pruned TVF: the third argument eliminates files from
+    // the MANIFEST (not post-scan) and composes with SQL on top
+    val pout = new java.io.File("target/qtmp", "tvfpart")
+    rm(pout)
+    val pdir = pout.getAbsolutePath
+    val docs = graft.util.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "lang", "n_chars")
+    val pv = graft.operators.Export.appendSnapshotPartitioned(spark,
+      docs, pdir, Seq("lang"), nFiles = 4)
+    val en = spark.sql(
+      s"SELECT count(*) FROM graft_snapshot('$pdir', $pv, 'lang=en')")
+      .collect().head.getLong(0)
+    assert(en === docs.filter(col("lang") === "en").count())
+    val prunedScan = spark.sql(
+      s"SELECT doc_id FROM graft_snapshot('$pdir', $pv, 'lang=en')")
+    assert(prunedScan.inputFiles.nonEmpty &&
+      prunedScan.inputFiles.forall(_.contains("_p_lang=en")),
+      "TVF partition filter planned non-matching files")
   }
 }
