@@ -54,6 +54,7 @@ object Main {
       case "lake-vacuum" => lakeVacuum(opts)
       case "lake-delete" => lakeDelete(opts)
       case "lake-restore" => lakeRestore(opts)
+      case "lake-clone" => lakeClone(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
   }
@@ -93,7 +94,7 @@ object Main {
         "checkpoint-destroy|checkpoint-error-ignore|verify|serve " +
         "--source DIR --out DIR [opts]\n" +
         "       graft.Main lake-versions|lake-read|lake-compact|" +
-        "lake-vacuum|lake-delete|lake-restore --table DIR " +
+        "lake-vacuum|lake-delete|lake-restore|lake-clone --table DIR " +
         "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
         "[--cluster-by COL] [--keep N] [--horizon-ms N] " +
         "[--where SQL_PREDICATE] [--to-version N]")
@@ -241,6 +242,21 @@ object Main {
     println(s"restored $dir to version $to as new version $v")
   }
 
+  /** SHALLOW CLONE: fork a table by re-pointing a fresh log at the
+    * source version's files — planning-side, no Spark session. */
+  private def lakeClone(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val to = o("to").headOption.getOrElse {
+      System.err.println("--to DIR is required"); sys.exit(2)
+    }
+    val version = o("version").headOption.map(_.toInt).getOrElse(-1)
+    val v = graft.operators.Export.cloneSnapshot(dir, to, version)
+    println(s"cloned $dir" +
+      (if (version > 0) s"@v$version" else " (latest)") +
+      s" to $to as version $v (zero data copied; source retention " +
+      "must respect the clone — see cloneSnapshot docs)")
+  }
+
   private def lakeDelete(o: Map[String, List[String]]): Unit = {
     val dir = reqTable(o)
     val where = o("where").headOption.getOrElse {
@@ -257,7 +273,7 @@ object Main {
     "continue-on-error", "filter", "route", "table", "port", "bind",
     "checkpoint-url", "bucket-by", "compact-bytes", "config",
     "version", "files", "cluster-by", "zorder-by", "keep", "where",
-    "as-of-ts", "to-version", "horizon-ms", "partition")
+    "as-of-ts", "to-version", "horizon-ms", "partition", "to")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)

@@ -1406,6 +1406,40 @@ object Export {
     version
   }
 
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` shape):
+    * start a NEW table at `dstDir` whose v1 manifest re-points to
+    * `srcVersion`'s exact data lines — zero data movement, planning-side
+    * only. The clone then diverges independently: appends/DML at the
+    * clone commit fresh epochs under `dstDir` and never touch the
+    * source; stats tags (zones/partitions/blooms) carry verbatim so
+    * pruned reads work on the clone immediately. Ownership caveat
+    * (same as Delta's): the clone REFERENCES the source's files, so a
+    * vacuum at the SOURCE can reclaim files the clone still lists —
+    * treat cloned-from sources as retention-frozen, or compact the
+    * clone (which rewrites its tip into its own files) before source
+    * retention runs. Returns the clone's version (always 1). */
+  def cloneSnapshot(srcDir: String, dstDir: String,
+      srcVersion: Int = -1): Int = {
+    val (sfs, sroot) = fsRoot(srcDir)
+    val v = if (srcVersion > 0) srcVersion
+            else manifestVersions(sfs, sroot).lastOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"nothing to clone under $srcDir"))
+    val lines = dataLines(readManifestRaw(sfs, sroot, v))
+    val schemaJson = snapshotMetaOf(sfs, sroot, v).getOrElse("schema",
+      throw new IllegalStateException(
+        s"version $v under $sroot has no #schema= header"))
+    val (dfs, droot) = fsRoot(dstDir)
+    require(manifestVersions(dfs, droot).isEmpty,
+      s"clone target $dstDir already has a snapshot log")
+    dfs.mkdirs(droot)
+    commitManifest(dfs, droot, 1,
+      internalMeta(dfs, droot,
+        Map("cloned_from" -> s"$srcDir@v$v"), schemaJson, op = "clone"),
+      lines)
+    1
+  }
+
   /** Zone-pruned read of a snapshot version: plan only the files whose
     * manifest zone overlaps `[lo, hi]` (zoneless lines always read),
     * then apply the exact predicate — pushed to the parquet scan, so

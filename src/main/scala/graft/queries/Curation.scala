@@ -4729,6 +4729,44 @@ object Curation {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** SHALLOW CLONE ([[graft.operators.Export.cloneSnapshot]]): the
+    * corpus table is forked with zero data movement (the clone's v1
+    * manifest re-points at the source's files — the layout spec proves
+    * no epoch lands under the clone), the CLONE takes a CoW DELETE of
+    * the `en` docs, and both tables are read back — the fork diverged,
+    * the source is untouched. DuckDB replays both states. */
+  def q_snapshot_clone(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val base = new java.io.File("target", "qtmp")
+    val src = new java.io.File(base, s"snapclsrc_${math.abs(dir.hashCode)}")
+    val dst = new java.io.File(base, s"snapcldst_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(src); graft.util.Dirs.deleteRec(dst)
+    val (sd, dd) = (src.getAbsolutePath, dst.getAbsolutePath)
+    val v1 = graft.operators.Export.appendSnapshot(s, docs, sd)
+    graft.operators.Export.cloneSnapshot(sd, dd)
+    val vDel = graft.operators.Export.deleteWhere(s, dd,
+      col("lang") === "en")
+    val cloneState = graft.operators.Export.readSnapshot(s, dd, vDel)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .select(lit(1).as("state"), col("n_docs"), col("id_sum"))
+    val srcState = graft.operators.Export.readSnapshot(s, sd, v1)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .select(lit(2).as("state"), col("n_docs"), col("id_sum"))
+    cloneState.unionByName(srcState).orderBy("state")
+  }
+
+  val q_snapshot_clone_sql: String =
+    """SELECT 1 AS state, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents WHERE lang != 'en'
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT)
+      |FROM documents
+      |ORDER BY state""".stripMargin
+
   /** The lake from PLAIN SQL ([[graft.GraftExtensions]] table-valued
     * functions): the snapshot log is built with the Scala API (append,
     * then CoW delete of the `zh` partition of rows), but every READ here

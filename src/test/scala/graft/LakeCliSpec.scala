@@ -76,4 +76,22 @@ class LakeCliSpec extends SparkSpec {
     assert(listing(2).contains("restored_from=1") &&
       listing(2).contains("committed_at="), listing(2))
   }
+
+  test("lake-clone forks a table from the CLI, planning-side only") {
+    val src = new java.io.File("target/qtmp", "lakecli_clonesrc")
+    val dst = new java.io.File("target/qtmp", "lakecli_clonedst")
+    graft.util.Dirs.deleteRec(src); graft.util.Dirs.deleteRec(dst)
+    Export.replaceSnapshot(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src.getAbsolutePath)
+    val msg = captureOut {
+      Main.main(Array("lake-clone", "--table", src.getAbsolutePath,
+        "--to", dst.getAbsolutePath))
+    }
+    assert(msg.contains("cloned") && msg.contains("zero data copied"), msg)
+    assert(Export.snapshotFiles(dst.getAbsolutePath, 1) ===
+      Export.snapshotFiles(src.getAbsolutePath, 1))
+    assert(Export.readSnapshot(spark, dst.getAbsolutePath, 1).count() === 2)
+    assert(Export.snapshotMeta(dst.getAbsolutePath, 1)
+      .get("cloned_from").exists(_.endsWith("@v1")))
+  }
 }

@@ -1045,6 +1045,41 @@ class ExportLayoutSpec extends SparkSpec {
     assert(Export.readSnapshot(spark, out, vE).count() === 4)
   }
 
+  test("shallow clone: zero data movement, stats carry, divergence isolated both ways") {
+    import spark.implicits._
+    val src = tmp("clonesrc"); val dst = tmp("clonedst")
+    rmDir(src); rmDir(dst)
+    val v1 = Export.appendSnapshotClustered(spark, docs, src, "doc_id", 6)
+    assert(Export.cloneSnapshot(src, dst) === 1)
+    // identical rows, and the clone's manifest lists the SOURCE's files
+    // (no epoch dir was created under the clone — planning-side only)
+    val cloned = Export.readSnapshot(spark, dst, 1)
+    assert(cloned.count() === docs.count())
+    assert(Export.snapshotFiles(dst, 1).toSet ===
+      Export.snapshotFiles(src, v1).toSet)
+    val (dfs, droot) = Export.fsRoot(dst)
+    assert(!dfs.listStatus(droot).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("epoch=")),
+      "shallow clone wrote data")
+    // stats tags carried: zone-pruned read works on the clone immediately
+    val pruned = Export.readSnapshotPruned(spark, dst, 1, "doc_id", 0, 60)
+    assert(pruned.inputFiles.length < cloned.inputFiles.length)
+    // divergence: the clone takes DML the source never sees, and vice versa
+    Export.deleteWhere(spark, dst, col("lang") === "en")
+    assert(Export.readSnapshot(spark, dst,
+      Export.latestSnapshotVersion(dst)).filter(col("lang") === "en")
+      .count() === 0)
+    assert(Export.readSnapshot(spark, src, v1).count() === docs.count())
+    val v2 = Export.appendSnapshot(spark, docs.limit(3), src)
+    assert(Export.latestSnapshotVersion(dst) === 2,
+      "source append leaked into the clone's log")
+    assert(Export.readSnapshot(spark, src, v2).count() === docs.count() + 3)
+    // refuses to clobber an existing table
+    intercept[IllegalArgumentException] {
+      Export.cloneSnapshot(src, dst)
+    }
+  }
+
   test("schema evolution: committed schema unions, old files null-fill, old versions keep their narrow schema") {
     import spark.implicits._
     val out = tmp("evolve")
