@@ -1078,6 +1078,15 @@ class ExportLayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Export.cloneSnapshot(src, dst)
     }
+    // the documented detach mitigation: compacting the clone rewrites
+    // its tip into its OWN files, after which source retention can no
+    // longer touch the clone's live data
+    val vC = Export.compactSnapshot(spark, dst, nFiles = 2)
+    val srcFiles = Export.snapshotFiles(src, v1).toSet
+    assert(Export.snapshotFiles(dst, vC).forall(f => !srcFiles(f)),
+      "compacted clone still references source files at its tip")
+    assert(Export.readSnapshot(spark, dst, vC).count() ===
+      docs.filter(col("lang") =!= "en").count())
   }
 
   test("schema evolution: committed schema unions, old files null-fill, old versions keep their narrow schema") {
