@@ -1406,6 +1406,82 @@ object Export {
     version
   }
 
+  /** Append with PER-COLUMN min/max stats on the manifest lines
+    * (`s=<col>:<lo>:<hi>`, one tag per stat column) — the general form
+    * of the single-key zone: the Delta/Iceberg column-stats idea where
+    * EVERY listed column's per-file range rides the commit, so
+    * [[readSnapshotRange]] prunes on ANY recorded column (or any
+    * conjunction) with no separate stats table. Rows are range-clustered
+    * on `clusterBy` (default: the first stat column) so at least that
+    * column's ranges are tight; the others prune opportunistically —
+    * over-wide ranges cost reads, never rows. Stats are read back from
+    * the written bytes in ONE per-file aggregation pass. Integral
+    * columns only (ranges are stored as longs). */
+  def appendSnapshotStatted(spark: SparkSession, df: DataFrame,
+      outDir: String, statCols: Seq[String], nFiles: Int,
+      clusterBy: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(statCols.nonEmpty, "need at least one stats column")
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val key = clusterBy.getOrElse(statCols.head)
+    val (epochDir, fresh) = writeEpoch(fs, root,
+      manifestVersions(fs, root).lastOption.getOrElse(0) + 1,
+      df.repartitionByRange(nFiles, col(key)).sortWithinPartitions(key))
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"__lo_$c"),
+      max(col(c)).cast("long").as(s"__hi_$c")))
+    val stats: Map[String, String] = spark.read.parquet(epochDir.toString)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val tags = statCols.map { c =>
+          s"\ts=$c:${r.getAs[Long](s"__lo_$c")}:${r.getAs[Long](s"__hi_$c")}"
+        }.mkString
+        fs.makeQualified(new Path(r.getAs[String]("file"))).toString -> tags
+      }.toMap
+    val lines = fresh.map { f =>
+      val k = fs.makeQualified(new Path(f)).toString
+      k + stats.getOrElse(k, "") // a zero-row file carries no stats
+    }
+    commitAppend(fs, root, meta, df.schema.json, lines)
+  }
+
+  private def statsOf(line: String): Map[String, (Long, Long)] =
+    line.split('\t').collect { case f if f.startsWith("s=") =>
+      f.drop(2).split(':') match {
+        case Array(c, lo, hi) => c -> ((lo.toLong, hi.toLong))
+      }
+    }.toMap
+
+  /** Range read pruned by the per-column stats: plan only files whose
+    * recorded [lo, hi] overlaps EVERY predicate's range (a file lacking
+    * a predicate column's stat is always planned — pruning can't prove
+    * exclusion there), then apply the exact conjunctive predicate,
+    * pushed to the scan. */
+  def readSnapshotRange(spark: SparkSession, outDir: String,
+      version: Int, preds: Map[String, (Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "need at least one range predicate")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+    val chosen = lines.filter { l =>
+      val st = statsOf(l)
+      preds.forall { case (c, (lo, hi)) => st.get(c) match {
+        case Some((slo, shi)) => shi >= lo && slo <= hi
+        case None => true
+      } }
+    }.map(pathOf)
+    val files =
+      if (chosen.nonEmpty) chosen
+      else lines.map(pathOf).sorted.take(1)
+    preds.foldLeft(
+        readFilesAs(spark, fs, root, version, files.toIndexedSeq)) {
+      case (d, (c, (lo, hi))) => d.filter(col(c).between(lo, hi))
+    }
+  }
+
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` shape):
     * start a NEW table at `dstDir` whose v1 manifest re-points to
     * `srcVersion`'s exact data lines — zero data movement, planning-side

@@ -4758,6 +4758,42 @@ object Curation {
     cloneState.unionByName(srcState).orderBy("state")
   }
 
+  /** Per-column manifest stats
+    * ([[graft.operators.Export.appendSnapshotStatted]] /
+    * [[graft.operators.Export.readSnapshotRange]]): two epochs commit
+    * with min/max tags for BOTH doc_id and n_chars on every manifest
+    * line, then a conjunctive range query is answered pruning on both
+    * columns at once — the Delta/Iceberg column-stats shape with no
+    * separate stats table. The layout spec proves files are skipped on
+    * either column; DuckDB replays the conjunction full-scan. */
+  def q_snapshot_stats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapst_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotStatted(s,
+      docs.filter(col("doc_id") % 2 === 0), od,
+      Seq("doc_id", "n_chars"), nFiles = 8)
+    val v2 = graft.operators.Export.appendSnapshotStatted(s,
+      docs.filter(col("doc_id") % 2 === 1), od,
+      Seq("doc_id", "n_chars"), nFiles = 8)
+    graft.operators.Export.readSnapshotRange(s, od, v2,
+        Map("doc_id" -> ((60L, 240L)), "n_chars" -> ((120L, 300L))))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("total_chars"))
+  }
+
+  val q_snapshot_stats_sql: String =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 60 AND 240
+      |  AND n_chars BETWEEN 120 AND 300""".stripMargin
+
   val q_snapshot_clone_sql: String =
     """SELECT 1 AS state, count(*) AS n_docs,
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum

@@ -1089,6 +1089,40 @@ class ExportLayoutSpec extends SparkSpec {
       docs.filter(col("lang") =!= "en").count())
   }
 
+  test("per-column manifest stats: range read prunes on either column; unstatted lines always planned") {
+    val out = tmp("snapstats")
+    rmDir(out)
+    Export.appendSnapshotStatted(spark,
+      docs.filter(col("doc_id") % 2 === 0), out,
+      Seq("doc_id", "n_chars"), nFiles = 8)
+    val v2 = Export.appendSnapshotStatted(spark,
+      docs.filter(col("doc_id") % 2 === 1), out,
+      Seq("doc_id", "n_chars"), nFiles = 8)
+    val all = Export.readSnapshot(spark, out, v2)
+    // clustered column: a narrow doc_id range skips files
+    val byId = Export.readSnapshotRange(spark, out, v2,
+      Map("doc_id" -> ((0L, 60L))))
+    assert(byId.inputFiles.length < all.inputFiles.length)
+    assert(byId.count() === docs.filter(col("doc_id").between(0, 60)).count())
+    // conjunction: adding the second column can only shrink the plan
+    val both = Export.readSnapshotRange(spark, out, v2,
+      Map("doc_id" -> ((0L, 60L)), "n_chars" -> ((0L, 90L))))
+    assert(both.inputFiles.length <= byId.inputFiles.length)
+    val expect = docs.filter(col("doc_id").between(0, 60) &&
+      col("n_chars").between(0, 90))
+    assert(both.count() === expect.count())
+    assert(both.exceptAll(expect).count() === 0 &&
+      expect.exceptAll(both).count() === 0)
+    // an epoch appended WITHOUT stats is always planned by any range read
+    Export.appendSnapshot(spark,
+      docs.filter(col("doc_id") === 1L)
+        .withColumn("doc_id", lit(500000L)), out)
+    val v3 = Export.latestSnapshotVersion(out)
+    assert(Export.readSnapshotRange(spark, out, v3,
+      Map("doc_id" -> ((500000L, 500000L)))).count() === 1,
+      "unstatted epoch wrongly pruned")
+  }
+
   test("schema evolution: committed schema unions, old files null-fill, old versions keep their narrow schema") {
     import spark.implicits._
     val out = tmp("evolve")
