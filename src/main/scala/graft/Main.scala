@@ -97,7 +97,7 @@ object Main {
         "lake-vacuum|lake-delete|lake-restore|lake-clone --table DIR " +
         "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
         "[--cluster-by COL] [--keep N] [--horizon-ms N] " +
-        "[--where SQL_PREDICATE] [--to-version N]")
+        "[--where SQL_PREDICATE] [--mor] [--to-version N]")
 
   // ------------------------------------------------------- lake ops surface
   //
@@ -263,7 +263,12 @@ object Main {
       System.err.println("--where SQL_PREDICATE is required"); sys.exit(2)
     }
     val spark = session()
-    val v = graft.operators.Export.deleteWhere(spark, dir, expr(where))
+    // --mor: merge-on-read (deletion-vector sidecar, no data rewrite) —
+    // the narrow-delete shape; default stays copy-on-write
+    val v =
+      if (o.contains("mor"))
+        graft.operators.Export.deleteWhereMoR(spark, dir, expr(where))
+      else graft.operators.Export.deleteWhere(spark, dir, expr(where))
     println(s"committed delete as version $v of $dir " +
       s"(rows matching: $where)")
     spark.stop()
@@ -273,7 +278,7 @@ object Main {
     "continue-on-error", "filter", "route", "table", "port", "bind",
     "checkpoint-url", "bucket-by", "compact-bytes", "config",
     "version", "files", "cluster-by", "zorder-by", "keep", "where",
-    "as-of-ts", "to-version", "horizon-ms", "partition", "to")
+    "as-of-ts", "to-version", "horizon-ms", "partition", "to", "mor")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)

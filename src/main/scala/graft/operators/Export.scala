@@ -277,6 +277,7 @@ object Export {
   //   legacy positional  `<path>\t<key_min>\t<key_max>`   (cluster zone)
   //   tagged             `z=<lo>:<hi>`                    (cluster zone)
   //   tagged             `p=<col>=<val>/<col>=<val>`      (partition spec)
+  //   tagged             `dv=<dir-uri>:<count>`           (deletion vector)
   // The zone is per-file min/max of the table's cluster key and the
   // partition spec is the file's hive-style partition values — the
   // Iceberg/Delta column-stats idea carried INSIDE the snapshot manifest
@@ -690,7 +691,9 @@ object Export {
   val DefaultVacuumHorizonMs: Long = 60L * 60 * 1000
 
   /** Retention: drop every snapshot version except the newest `keep`,
-    * then delete any epoch file no surviving manifest references. Old
+    * then delete any epoch file (or deletion-vector sidecar dir — kept
+    * wholesale while any surviving manifest's `dv=` tag names it) no
+    * surviving manifest references. Old
     * manifests go first, data files second — a reader holding a surviving
     * manifest can never observe a missing file, and a crash between the
     * two phases only leaves unreferenced files for the next vacuum (the
@@ -723,10 +726,15 @@ object Export {
     dropped.foreach(v => fs.delete(manifestPath(root, v), false))
     // normalize through makeQualified so manifests written with any
     // equivalent path spelling still protect their files
-    val live: Set[String] = versions.takeRight(keep).flatMap { v =>
-      dataLines(readManifestRaw(fs, root, v))
-        .map(l => fs.makeQualified(new Path(pathOf(l))).toString)
-    }.toSet
+    val survivors = versions.takeRight(keep)
+      .map(v => dataLines(readManifestRaw(fs, root, v)))
+    val live: Set[String] = survivors.flatten
+      .map(l => fs.makeQualified(new Path(pathOf(l))).toString).toSet
+    // deletion-vector sidecar dirs are referenced at DIR granularity
+    // (the `dv=` tag names the dir; a read loads the whole dir) — a dir
+    // any surviving manifest points at is kept wholesale
+    val liveDv: Set[String] = survivors.flatten.flatMap(dvOf)
+      .map(d => fs.makeQualified(new Path(d._1)).toString).toSet
     val cutoffMs = System.currentTimeMillis() - horizonMs
     // crashed commits leave `_tmp._v*` files (the rename never
     // happened); reclaim only STALE ones — a fresh temp file may be a
@@ -738,7 +746,10 @@ object Export {
       .foreach(st => fs.delete(st.getPath, false))
     var deleted = 0
     if (fs.exists(root)) fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("epoch=") ||
+          st.getPath.getName.startsWith("dv=")))
+      .filterNot(st => liveDv(fs.makeQualified(st.getPath).toString))
       .foreach { epoch =>
         // recursive: partitioned epochs nest files under _p_<col>= dirs
         val before = listParquetFiles(fs, epoch.getPath)
@@ -780,13 +791,66 @@ object Export {
   private def readFilesAs(spark: SparkSession, fs: FileSystem,
       root: Path, version: Int, files: Seq[String]): DataFrame =
     if (files.isEmpty) emptyWithCommittedSchema(spark, fs, root, version)
-    else snapshotMetaOf(fs, root, version).get("schema") match {
-      case Some(j) => spark.read
-        .schema(org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
+    else {
+      val base = snapshotMetaOf(fs, root, version).get("schema") match {
+        case Some(j) => spark.read
+          .schema(org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(files: _*)
+        case None => spark.read.parquet(files: _*)
+      }
+      applyDeletionVectors(spark, fs, root, version, files, base)
     }
+
+  /** DV sidecar schema: one row per deleted position. `__file` is the
+    * `_metadata.file_path` string as Spark reports it — probe and store
+    * share that provenance, so equality never depends on path
+    * normalization. */
+  private val DvFileCol = "__file"
+  private val DvPosCol = "__pos"
+
+  /** `dv=<dir-uri>:<count>` — the line's file has `count` deleted row
+    * positions recorded in the parquet DV dir at `dir-uri` (absolute, so
+    * shallow clones resolve it against the SOURCE table, same as data
+    * lines). `count` is after the LAST ':' because the URI itself
+    * contains one. */
+  private def dvOf(line: String): Option[(String, Long)] =
+    line.split('\t').collectFirst { case f if f.startsWith("dv=") =>
+      val cut = f.lastIndexOf(':')
+      (f.substring(3, cut), f.substring(cut + 1).toLong)
+    }
+
+  /** Merge-on-read: subtract every planned file's deletion-vector
+    * positions (committed by [[deleteWhereMoR]]) behind ONE left-anti
+    * join on `(_metadata.file_path, _metadata.row_index)`. Sitting under
+    * [[readFilesAs]] makes EVERY reader MoR-correct automatically —
+    * time travel, pruned/point/box/partitioned reads, compaction
+    * (which thereby materializes DVs), CDC diffs, clones. Tables with
+    * no `dv=` tags pay nothing: the planning-side tag scan short-circuits
+    * to the bare scan. At 100 TB the DV side is positions-only (tiny
+    * next to the data); AQE broadcasts it when small and falls back to a
+    * shuffled anti-join on a mass delete. */
+  private def applyDeletionVectors(spark: SparkSession, fs: FileSystem,
+      root: Path, version: Int, files: Seq[String],
+      base: DataFrame): DataFrame = {
+    val planned = files
+      .map(f => fs.makeQualified(new Path(f)).toString).toSet
+    val dvDirs = dataLines(readManifestRaw(fs, root, version))
+      .filter(l => planned(fs.makeQualified(new Path(pathOf(l))).toString))
+      .flatMap(dvOf).map(_._1).distinct
+    if (dvDirs.isEmpty) base
+    else {
+      val fcol = freshName("__dv_file", base.columns.toSeq)
+      val pcol = freshName("__dv_pos", base.columns.toSeq)
+      val dv = spark.read.parquet(dvDirs: _*)
+        .select(col(DvFileCol).as(fcol), col(DvPosCol).as(pcol))
+      base.select(col("*"),
+          col("_metadata.file_path").as(fcol),
+          col("_metadata.row_index").as(pcol))
+        .join(dv, Seq(fcol, pcol), "left_anti")
+        .drop(fcol, pcol)
+    }
+  }
 
   /** [[appendSnapshot]] with the epoch CLUSTERED on an integral key and
     * per-file `[key_min, key_max]` zones recorded in the manifest's data
@@ -1600,6 +1664,87 @@ object Export {
       internalMeta(fs, root,
         carryBatch(fs, root, Map("deleted_from" -> latest.toString)),
         rows.schema.json, op = "delete"), fresh)
+    version
+  }
+
+  /** MERGE-ON-READ DELETE with deletion vectors (the Delta DV /
+    * Iceberg position-delete shape): instead of rewriting every file
+    * touched by the predicate ([[deleteWhere]]'s copy-on-write), commit
+    * a new version that re-points at the SAME data files, each affected
+    * line tagged `dv=<dir>:<count>` naming a parquet sidecar of deleted
+    * `(file, row_index)` positions. Readers subtract positions behind
+    * one anti-join ([[applyDeletionVectors]]); a later
+    * [[compactSnapshot]] materializes the DVs into clean files. This is
+    * THE 100 TB shape for narrow deletes: removing 10 rows from a 1 GB
+    * file costs a positions write, not a gigabyte rewrite — CoW delete
+    * amplifies a GDPR-sized predicate into rewriting most of the table.
+    *
+    * Repeated deletes CONSOLIDATE: the new commit's sidecar carries the
+    * union of all prior positions plus the new hits, so any version
+    * references exactly one DV generation and reads pay one anti-join
+    * regardless of delete history. SQL DELETE semantics (a
+    * NULL-evaluating predicate KEEPS the row), same as [[deleteWhere]].
+    * Positions are computed and written DISTRIBUTEDLY — the driver sees
+    * only per-file counts (bounded by the file count). A delete that
+    * matches nothing new commits nothing and returns the current
+    * version. Deleted rows stay time-travel-readable in prior versions;
+    * the hard purge is compact + vacuum, exactly as with CoW. */
+  def deleteWhereMoR(spark: SparkSession, outDir: String,
+      cond: Column): Int = {
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to delete under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    if (lines.isEmpty) return latest
+    val files = lines.map(pathOf).toIndexedSeq
+    val schemaJson = snapshotMetaOf(fs, root, latest).get("schema")
+    val base = schemaJson match {
+      case Some(j) => spark.read
+        .schema(org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+    // evaluated on PHYSICAL rows: a position already in a DV that
+    // matches again just re-unions (idempotent), and the distinct keeps
+    // the recorded counts exact
+    val hit = base.filter(coalesce(cond, lit(false)))
+      .select(col("_metadata.file_path").as(DvFileCol),
+        col("_metadata.row_index").as(DvPosCol))
+    val oldDirs = lines.flatMap(dvOf).map(_._1).distinct
+    val prevTotal = lines.flatMap(dvOf).map(_._2).sum
+    val carried =
+      if (oldDirs.isEmpty) hit.limit(0)
+      else spark.read.parquet(oldDirs: _*)
+        .select(col(DvFileCol), col(DvPosCol))
+    val version = latest + 1
+    val dvDir = new Path(root,
+      s"dv=$version-${java.util.UUID.randomUUID.toString.take(8)}")
+    hit.unionByName(carried).distinct().write.parquet(dvDir.toString)
+    // counts read back from the written bytes (bounded: one row/file)
+    val counts: Map[String, Long] =
+      spark.read.parquet(dvDir.toString).groupBy(DvFileCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.values.sum == prevTotal) {
+      // nothing new matched: don't churn the log; the orphaned sidecar
+      // is reclaimed by the next vacuum like any losing commit's files
+      fs.delete(dvDir, true)
+      return latest
+    }
+    val dvUri = fs.makeQualified(dvDir).toString
+    val byLine: Map[String, Long] = counts.map { case (f, n) =>
+      fs.makeQualified(new Path(f)).toString -> n }
+    val newLines = lines.map { l =>
+      val kept = l.split('\t').filterNot(_.startsWith("dv=")).mkString("\t")
+      byLine.get(fs.makeQualified(new Path(pathOf(l))).toString)
+        .fold(kept)(n => s"$kept\tdv=$dvUri:$n")
+    }
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root, Map(
+          "mor_deleted_from" -> latest.toString,
+          "dv_positions" -> counts.values.sum.toString)),
+        schemaJson.getOrElse(base.schema.json), op = "delete"), newLines)
     version
   }
 

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Token-sharded inverted index: the SERVING layout for keyword search
+  * over a 100 TB corpus. [[CorpusStats.bm25]] scores by scanning the
+  * whole corpus per query — right for offline mining, wrong for
+  * serving, where a query must touch data proportional to its TERMS,
+  * not the corpus. The index holds one postings row per (token, doc)
+  * with the term frequency and document length baked in, hash-sharded
+  * BY TOKEN so a query plans only its terms' shard directories (the
+  * same dir-pruned discipline as the IVF export), and the corpus-level
+  * constants (N, Σdl) ride a one-row `_global` sidecar so scoring
+  * needs no second corpus pass. Conjunctive-AND retrieval with BM25
+  * ranking then runs entirely on the probed postings: document
+  * frequency per term IS the term's postings count, so the scorer's
+  * statistics come from the very rows the probe already read.
+  *
+  * Scale shape: the build is one explode + one (token, doc) count —
+  * the word-count shuffle; the query reads |terms| shards, broadcasts
+  * a |terms|-row df table, and ends in a TakeOrdered — no global sort,
+  * no corpus scan. Per-term weights are summed in FIXED term order
+  * (each (doc, term) contributes exactly one posting), so scores are
+  * bit-reproducible in any engine — the DuckDB gate hash-matches the
+  * full-scan replay. */
+object InvertedIndex {
+
+  /** Postings of the corpus: one row per (token, document) with
+    * `tf` (occurrences) and `dl` (the document's token count).
+    * Tokenization is the engine's standard normalize-then-whitespace
+    * kernel ([[Dedup.normalized]]/[[Dedup.tokensOf]]) — the same one
+    * every corpus gate replays in DuckDB. */
+  def buildPostings(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        Dedup.tokensOf(Dedup.normalized(col(textCol))).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("token"))
+      .groupBy(col("token"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Write the index under `outDir`:
+    * `shard=<s>/` postings parquet partitioned by [[Export.shardOf]]
+    * of the token (md5-nibble, engine-portable and driver-replayable,
+    * so [[searchAnd]] can name a term's directory without touching the
+    * cluster), plus a one-row `_global/` sidecar
+    * (n_docs, sum_dl, n_shards, id_col) holding the corpus constants
+    * and the layout contract. */
+  def writeIndex(spark: SparkSession, df: DataFrame, textCol: String,
+      idCol: String, outDir: String, nShards: Int): Unit = {
+    require(nShards > 0 && nShards <= 16,
+      s"one md5 nibble addresses at most 16 shards, got $nShards")
+    buildPostings(df, textCol, idCol)
+      .withColumn("shard", Export.shardOf(col("token"), nShards))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.filter(col(textCol).isNotNull)
+      .select(size(Dedup.tokensOf(Dedup.normalized(col(textCol))))
+        .cast("long").as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("sum_dl"))
+      .withColumn("n_shards", lit(nShards))
+      .withColumn("id_col", lit(idCol))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_global")
+  }
+
+  /** Driver-side replay of [[Export.shardOf]] for a literal token:
+    * ascii of the first md5-hex nibble mod `nShards` — lets the query
+    * planner name the shard directories without a Spark job. */
+  private[operators] def shardOfToken(tok: String, nShards: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    hex.charAt(0).toInt % nShards
+  }
+
+  /** Conjunctive-AND keyword search with BM25 ranking, answered FROM
+    * THE INDEX: plans only the query terms' shard directories, keeps
+    * only documents containing EVERY term, and scores with the same
+    * rational-idf BM25 as [[CorpusStats.bm25]] (`lnIdf = false` keeps
+    * every step +,×,÷ over integer-derived doubles — engine-exact; pass
+    * `lnIdf = true` for the real-use log damping). Per-term weights land
+    * in fixed columns (one posting per (doc, term)) and sum in term
+    * order, so scores match the full-scan replay bit-for-bit. Returns
+    * (idCol, bm25) top-`k`, ties broken by id. A term whose shard
+    * directory doesn't exist (never-indexed hash bucket) short-circuits
+    * to the typed empty result — no corpus I/O at all. */
+  def searchAnd(spark: SparkSession, indexDir: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      lnIdf: Boolean = false): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    val g = spark.read.parquet(s"$indexDir/_global").collect()(0)
+    val n = g.getAs[Long]("n_docs").toDouble
+    val avgdl = g.getAs[Long]("sum_dl").toDouble / n
+    val nShards = g.getAs[Int]("n_shards")
+    val idCol = g.getAs[String]("id_col")
+    val qTerms = terms.distinct
+    val dirs = qTerms.map(t => shardOfToken(t, nShards)).distinct
+      .map(s => s"$indexDir/shard=$s")
+    val (fs, _) = Export.fsRoot(indexDir)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bm25",
+          org.apache.spark.sql.types.DoubleType))))
+    if (!dirs.forall(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d)))) return empty
+    val post = spark.read.parquet(dirs: _*)
+      .filter(col("token").isin(qTerms: _*))
+    // document frequency per term = that term's postings count; the
+    // broadcast is |terms| rows
+    val dfs = post.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val w = {
+      val idfOdds = (lit(n) - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))
+      val idf = if (lnIdf) log(lit(1.0) + idfOdds) else idfOdds
+      idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / lit(avgdl)))
+    }
+    val aggs = qTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === lit(t), col("_w"))).as(s"_w_$i") }
+    val grouped = post.join(broadcast(dfs), "token")
+      .withColumn("_w", w)
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val conjunctive = qTerms.indices
+      .map(i => col(s"_w_$i").isNotNull).reduce(_ && _)
+    val score = qTerms.indices.map(i => col(s"_w_$i")).reduce(_ + _)
+    grouped.filter(conjunctive)
+      .select(col(idCol), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+}

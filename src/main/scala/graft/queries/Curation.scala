@@ -323,6 +323,54 @@ object Curation {
        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Inverted-index conjunctive keyword search
+    * ([[graft.operators.InvertedIndex]]), hash-matched: the corpus is
+    * indexed token-sharded (postings carry tf and dl; a one-row
+    * `_global` sidecar carries N and Σdl), then an AND query over two
+    * terms is answered FROM THE INDEX — only the terms' shard dirs are
+    * planned (spec-proven), document frequency per term is the term's
+    * postings count, and the BM25 scores sum per-term weights in fixed
+    * order so they are bit-identical to the full-scan scorer (also
+    * spec-proven). DuckDB replays the ranking full-scan. */
+  def q_search_index(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"invidx_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.InvertedIndex.writeIndex(s, docs, "text", "doc_id",
+      od, nShards = 8)
+    graft.operators.InvertedIndex.searchAnd(s, od,
+      Seq("spark", "customer"), k = 15)
+  }
+
+  val q_search_index_sql: String = {
+    val terms = Seq("spark", "customer")
+    val tfs = terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i")
+      .mkString(",\n        ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i")
+      .mkString(", ")
+    val score = terms.indices.map(i =>
+      s"((n - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * 2.2)" +
+        s" / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
+      .mkString("\n  + ")
+    val conj = terms.indices.map(i => s"tf_$i > 0").mkString(" AND ")
+    s"""WITH d AS (SELECT doc_id,
+       |        list_filter(str_split($NormSql, ' '), t -> t != '') AS toks
+       |      FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |        $tfs
+       |      FROM d),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+       |        $dfs FROM t)
+       |SELECT doc_id, round($score, 6) AS bm25
+       |FROM t, s
+       |WHERE $conj
+       |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+  }
+
   /** MMR-diversified ANN serving ([[graft.operators.Similarity.mmrRerank]]
     * — Carbonell & Goldstein 1998), hash-matched: three query vectors
     * each retrieve a brute-force top-10 pool, then MMR greedily selects
@@ -4757,6 +4805,53 @@ object Curation {
       .select(lit(2).as("state"), col("n_docs"), col("id_sum"))
     cloneState.unionByName(srcState).orderBy("state")
   }
+
+  /** Merge-on-read DELETE with deletion vectors
+    * ([[graft.operators.Export.deleteWhereMoR]]): two deletes land as
+    * position sidecars on the SAME data files (the layout spec proves
+    * no rewrite), the visible state is the DV-subtracted read, and the
+    * pre-delete version stays time-travel-readable. DuckDB replays both
+    * states full-scan; state 1 = before any delete, state 2 = after
+    * both predicates. */
+  def q_snapshot_delete_mor(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapmor_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") % 2 === 0).repartition(4), od)
+    val v2 = graft.operators.Export.appendSnapshot(s,
+      docs.filter(col("doc_id") % 2 === 1).repartition(4), od)
+    val v3 = graft.operators.Export.deleteWhereMoR(s, od,
+      col("lang") === "en" && col("doc_id") % 3 === 0)
+    val v4 = graft.operators.Export.deleteWhereMoR(s, od,
+      col("n_chars") < 120)
+    require(v3 == v2 + 1 && v4 == v3 + 1, "unexpected version sequence")
+    def agg(df: DataFrame, state: Int) =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .select(lit(state).as("state"), col("n_docs"), col("id_sum"),
+          col("total_chars"))
+    agg(graft.operators.Export.readSnapshot(s, od, v2), 1)
+      .unionByName(agg(graft.operators.Export.readSnapshot(s, od, v4), 2))
+      .orderBy("state")
+  }
+
+  val q_snapshot_delete_mor_sql: String =
+    """SELECT 1 AS state, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents
+      |WHERE NOT COALESCE(lang = 'en' AND doc_id % 3 = 0, FALSE)
+      |  AND NOT COALESCE(n_chars < 120, FALSE)
+      |ORDER BY state""".stripMargin
 
   /** Per-column manifest stats
     * ([[graft.operators.Export.appendSnapshotStatted]] /

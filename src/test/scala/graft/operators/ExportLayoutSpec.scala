@@ -1123,6 +1123,66 @@ class ExportLayoutSpec extends SparkSpec {
       "unstatted epoch wrongly pruned")
   }
 
+  test("merge-on-read delete: no data rewrite, repeated deletes consolidate, compaction materializes, vacuum reclaims") {
+    val out = tmp("snapmor")
+    rmDir(out)
+    Export.appendSnapshot(spark,
+      docs.filter(col("doc_id") % 2 === 0).repartition(4), out)
+    val v2 = Export.appendSnapshot(spark,
+      docs.filter(col("doc_id") % 2 === 1).repartition(4), out)
+    val filesBefore = Export.snapshotFiles(out, v2).toSet
+    val v3 = Export.deleteWhereMoR(spark, out, col("lang") === "en")
+    // the commit re-points the SAME data files — no rewrite happened
+    assert(Export.snapshotFiles(out, v3).toSet === filesBefore)
+    assert(Export.readSnapshot(spark, out, v3).count() ===
+      docs.filter(col("lang") =!= "en").count())
+    // second delete consolidates: one DV generation, both predicates out
+    val v4 = Export.deleteWhereMoR(spark, out, col("n_chars") < 100)
+    val expect = docs.filter(col("lang") =!= "en" && col("n_chars") >= 100)
+    val vis = Export.readSnapshot(spark, out, v4)
+    assert(vis.count() === expect.count())
+    assert(vis.exceptAll(expect).count() === 0 &&
+      expect.exceptAll(vis).count() === 0)
+    // time travel: the pre-delete version still reads every row
+    assert(Export.readSnapshot(spark, out, v2).count() === docs.count())
+    // CDC across the MoR delete sees the deleted rows, from manifests alone
+    assert(Export.snapshotDiff(spark, out, v3, v4)
+      .filter(col("_change") === "delete").count() ===
+      docs.filter(col("lang") =!= "en" && col("n_chars") < 100).count())
+    // a delete matching nothing new commits nothing
+    assert(Export.deleteWhereMoR(spark, out, col("lang") === "zz") === v4)
+    // compaction materializes the DVs: fresh manifest carries no dv= tag
+    val v5 = Export.compactSnapshot(spark, out, 2)
+    val manifestTxt = scala.io.Source.fromFile(
+      new java.io.File(out, s"_v$v5.manifest")).mkString
+    assert(!manifestTxt.contains("dv="), "compaction left dv tags behind")
+    assert(Export.readSnapshot(spark, out, v5).count() === expect.count())
+    // retention reclaims the now-unreferenced sidecars and old epochs
+    Export.vacuumSnapshots(out, keep = 1, horizonMs = 0)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("dv=")) === 0,
+      "vacuum left unreferenced DV dirs")
+    assert(Export.readSnapshot(spark, out, v5).count() === expect.count())
+  }
+
+  test("merge-on-read delete: pruned reads apply DVs; vacuum keeps a referenced DV dir") {
+    val out = tmp("snapmordv")
+    rmDir(out)
+    Export.appendSnapshotClustered(spark, docs, out, "doc_id", 6)
+    val v2 = Export.deleteWhereMoR(spark, out, col("doc_id") % 5 === 0)
+    val pr = Export.readSnapshotPruned(spark, out, v2, "doc_id", 0L, 100L)
+    assert(pr.count() === docs.filter(col("doc_id").between(0, 100) &&
+      col("doc_id") % 5 =!= 0).count(),
+      "zone-pruned read ignored the deletion vector")
+    // the surviving head references its DV dir: vacuum must keep it
+    Export.vacuumSnapshots(out, keep = 1, horizonMs = 0)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("dv=")) === 1,
+      "vacuum deleted a DV dir the head still references")
+    assert(Export.readSnapshot(spark, out, v2).count() ===
+      docs.filter(col("doc_id") % 5 =!= 0).count())
+  }
+
   test("schema evolution: committed schema unions, old files null-fill, old versions keep their narrow schema") {
     import spark.implicits._
     val out = tmp("evolve")

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Inverted-index search laws. The gate (`q_search_index`) hash-matches
+  * the ranked result against DuckDB's full-scan replay; these specs pin
+  * what the gate cannot see — that the query plans ONLY the query
+  * terms' shard directories (the serving property), and that the
+  * index-served scores are IDENTICAL to the full-scan
+  * [[CorpusStats.bm25]] restricted to the conjunctive doc set (the
+  * index is an access path, not an approximation). */
+class InvertedIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.util.Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), col("text"))
+  private def idx: String =
+    new java.io.File(new java.io.File("target", "qtmp"),
+      "invidx").getAbsolutePath
+
+  private lazy val built: String = {
+    val d = idx
+    InvertedIndex.writeIndex(spark, docs, "text", "doc_id", d, nShards = 8)
+    d
+  }
+
+  test("index-served BM25 is bit-identical to the full-scan scorer on the conjunctive doc set") {
+    val terms = Seq("spark", "customer")
+    val served = InvertedIndex.searchAnd(spark, built, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // full-scan replay with FULL-corpus statistics (the index bakes in
+    // corpus-level N/Σdl/df), truncated to docs containing every term
+    val toks = Dedup.tokensOf(Dedup.normalized(col("text")))
+    val hasAll = terms.map(t =>
+      size(filter(toks, x => x === lit(t))) > 0).reduce(_ && _)
+    val conjunctiveIds = docs.filter(hasAll).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(conjunctiveIds.size > 25, "fixture too small to exercise top-k")
+    val full = CorpusStats.bm25(docs, "text", "doc_id", terms,
+        lnIdf = false)
+      .filter(col("doc_id").isInCollection(conjunctiveIds))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === full,
+      "index-served ranking diverged from the full-scan scorer")
+  }
+
+  test("query plans only the query terms' shard directories") {
+    val terms = Seq("spark", "customer")
+    val expectDirs = terms
+      .map(t => InvertedIndex.shardOfToken(t, 8)).distinct
+      .map(s => s"shard=$s")
+    val planned = InvertedIndex.searchAnd(spark, built, terms, k = 10)
+      .inputFiles
+    assert(planned.nonEmpty)
+    assert(planned.forall(f => expectDirs.exists(f.contains)),
+      s"planned a file outside the probed shards: " +
+        planned.filterNot(f => expectDirs.exists(f.contains)).mkString(", "))
+    // and the probe read strictly fewer shards than the index holds
+    val allShards = new java.io.File(built).listFiles()
+      .count(_.getName.startsWith("shard="))
+    assert(expectDirs.size < allShards)
+  }
+
+  test("single-term search ranks by BM25 with deterministic ties; absent term is empty") {
+    val one = InvertedIndex.searchAnd(spark, built, Seq("window"), k = 10)
+      .collect()
+    assert(one.length === 10)
+    val scores = one.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "not rank-ordered")
+    assert(InvertedIndex.searchAnd(spark, built,
+      Seq("spark", "zzzznotaword"), k = 10).count() === 0,
+      "conjunction with an unindexed term must be empty")
+  }
+}
