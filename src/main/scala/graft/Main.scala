@@ -97,7 +97,7 @@ object Main {
         "lake-vacuum|lake-delete|lake-restore|lake-clone --table DIR " +
         "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
         "[--cluster-by COL] [--keep N] [--horizon-ms N] " +
-        "[--where SQL_PREDICATE] [--mor] [--to-version N]")
+        "[--where SQL_PREDICATE] [--mor] [--dry-run] [--to-version N]")
 
   // ------------------------------------------------------- lake ops surface
   //
@@ -216,10 +216,14 @@ object Main {
     // after); --horizon-ms 0 only for tables with no possible live writer
     val horizon = o("horizon-ms").headOption.map(_.toLong)
       .getOrElse(graft.operators.Export.DefaultVacuumHorizonMs)
+    val dry = o.contains("dry-run")
     val (droppedV, deletedF) =
-      graft.operators.Export.vacuumSnapshots(dir, keep, horizon)
-    println(s"vacuumed $dir: dropped $droppedV versions, " +
-      s"deleted $deletedF files (kept newest $keep, " +
+      graft.operators.Export.vacuumSnapshots(dir, keep, horizon,
+        dryRun = dry)
+    val verb = if (dry) "DRY RUN would drop" else "dropped"
+    val verbF = if (dry) "would delete" else "deleted"
+    println(s"vacuumed $dir: $verb $droppedV versions, " +
+      s"$verbF $deletedF files (kept newest $keep, " +
       s"horizon ${horizon}ms)")
   }
 
@@ -278,7 +282,8 @@ object Main {
     "continue-on-error", "filter", "route", "table", "port", "bind",
     "checkpoint-url", "bucket-by", "compact-bytes", "config",
     "version", "files", "cluster-by", "zorder-by", "keep", "where",
-    "as-of-ts", "to-version", "horizon-ms", "partition", "to", "mor")
+    "as-of-ts", "to-version", "horizon-ms", "partition", "to", "mor",
+    "dry-run")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)

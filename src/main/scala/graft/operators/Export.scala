@@ -717,13 +717,17 @@ object Export {
     *
     * Returns (versions dropped, files deleted). */
   def vacuumSnapshots(outDir: String, keep: Int,
-      horizonMs: Long = DefaultVacuumHorizonMs): (Int, Int) = {
+      horizonMs: Long = DefaultVacuumHorizonMs,
+      dryRun: Boolean = false): (Int, Int) = {
     require(keep >= 1, s"must keep at least one version, got $keep")
     require(horizonMs >= 0, s"horizon must be non-negative, got $horizonMs")
     val (fs, root) = fsRoot(outDir)
     val versions = manifestVersions(fs, root)
     val dropped = versions.dropRight(keep)
-    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    // dryRun (`VACUUM ... DRY RUN`): report exactly what a real run
+    // would drop/delete, touch nothing — the pre-flight every retention
+    // change deserves before it runs against a production table
+    if (!dryRun) dropped.foreach(v => fs.delete(manifestPath(root, v), false))
     // normalize through makeQualified so manifests written with any
     // equivalent path spelling still protect their files
     val survivors = versions.takeRight(keep)
@@ -740,7 +744,7 @@ object Export {
     // happened); reclaim only STALE ones — a fresh temp file may be a
     // commit IN FLIGHT, and deleting it would fail that committer's
     // rename with a spurious concurrent-commit error
-    if (fs.exists(root)) fs.listStatus(root).toSeq
+    if (!dryRun && fs.exists(root)) fs.listStatus(root).toSeq
       .filter(st => st.getPath.getName.startsWith("_tmp._v") &&
         st.getModificationTime <= cutoffMs)
       .foreach(st => fs.delete(st.getPath, false))
@@ -753,15 +757,17 @@ object Export {
       .foreach { epoch =>
         // recursive: partitioned epochs nest files under _p_<col>= dirs
         val before = listParquetFiles(fs, epoch.getPath)
-        before
+        val victims = before
           .filter(st => !live(fs.makeQualified(st.getPath).toString) &&
             st.getModificationTime <= cutoffMs)
+        if (dryRun) deleted += victims.size
+        else victims
           .foreach { st => if (fs.delete(st.getPath, false)) deleted += 1 }
         // drop the dir once no parquet remains — either we just emptied
         // it, or it never had any AND is older than the horizon (a write
         // in flight holds only _temporary content until its task
         // commits; no parquet yet != abandoned)
-        if (listParquetFiles(fs, epoch.getPath).isEmpty &&
+        if (!dryRun && listParquetFiles(fs, epoch.getPath).isEmpty &&
             (before.nonEmpty ||
               fs.getFileStatus(epoch.getPath).getModificationTime
                 <= cutoffMs))
@@ -1493,7 +1499,7 @@ object Export {
     val (epochDir, fresh) = writeEpoch(fs, root,
       manifestVersions(fs, root).lastOption.getOrElse(0) + 1,
       df.repartitionByRange(nFiles, col(key)).sortWithinPartitions(key))
-    val aggs = statCols.flatMap(c => Seq(
+    val aggs = count(lit(1)).as("__n") +: statCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"__lo_$c"),
       max(col(c)).cast("long").as(s"__hi_$c")))
     val stats: Map[String, String] = spark.read.parquet(epochDir.toString)
@@ -1501,16 +1507,59 @@ object Export {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val tags = statCols.map { c =>
+        val tags = s"\tn=${r.getAs[Long]("__n")}" + statCols.map { c =>
           s"\ts=$c:${r.getAs[Long](s"__lo_$c")}:${r.getAs[Long](s"__hi_$c")}"
         }.mkString
         fs.makeQualified(new Path(r.getAs[String]("file"))).toString -> tags
       }.toMap
     val lines = fresh.map { f =>
       val k = fs.makeQualified(new Path(f)).toString
-      k + stats.getOrElse(k, "") // a zero-row file carries no stats
+      // a zero-row file has no read-back group: row count 0, no stats
+      k + stats.getOrElse(k, "\tn=0")
     }
     commitAppend(fs, root, meta, df.schema.json, lines)
+  }
+
+  private def nOf(line: String): Option[Long] =
+    line.split('\t').collectFirst { case f if f.startsWith("n=") =>
+      f.drop(2).toLong }
+
+  /** METADATA-ONLY `count(*)` of a snapshot version — answered from the
+    * manifest alone (the Delta/Iceberg metadata-only-query shape: a
+    * 100 TB table's row count should cost a manifest read, not a scan;
+    * no Spark session is even taken). Provable only when EVERY data
+    * line carries an `n=` rowcount tag ([[appendSnapshotStatted]]
+    * writes them) — otherwise `None`, never a guess. Deletion-vector
+    * tags SUBTRACT: the recorded position count is exact (distinct at
+    * write), so a MoR-deleted version still counts metadata-only. */
+  def metadataCount(outDir: String, version: Int): Option[Long] = {
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+    val ns = lines.map(nOf)
+    if (ns.exists(_.isEmpty)) None
+    else Some(ns.flatten.sum - lines.flatMap(dvOf).map(_._2).sum)
+  }
+
+  /** METADATA-ONLY `(min, max)` of an integral column, from the
+    * manifest's per-file stats. Honesty rules: zero-row files (`n=0`)
+    * contribute nothing; every file with rows must carry the column's
+    * `s=` stat; and a file carrying a deletion vector REFUSES the
+    * question entirely (`None`) — the DV may have deleted exactly the
+    * extremal row, so the recorded range is an over-approximation that
+    * is sound for pruning but NOT for answering min/max. An empty
+    * version (all files zero-row, or no files) is `None` — SQL's
+    * min-of-empty is NULL, not a number. */
+  def metadataRange(outDir: String, version: Int,
+      column: String): Option[(Long, Long)] = {
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+      .filterNot(l => nOf(l).contains(0L))
+    if (lines.isEmpty || lines.exists(l => dvOf(l).nonEmpty)) None
+    else {
+      val ranges = lines.map(l => statsOf(l).get(column))
+      if (ranges.exists(_.isEmpty)) None
+      else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+    }
   }
 
   private def statsOf(line: String): Map[String, (Long, Long)] =

@@ -4853,6 +4853,57 @@ object Curation {
       |  AND NOT COALESCE(n_chars < 120, FALSE)
       |ORDER BY state""".stripMargin
 
+  /** Metadata-only aggregates
+    * ([[graft.operators.Export.metadataCount]] /
+    * [[graft.operators.Export.metadataRange]]): count(*) and min/max
+    * answered from the manifest's `n=`/`s=` tags with NO data scan and
+    * no Spark job — including the count of a MoR-deleted version
+    * (deletion-vector position counts subtract exactly). The range API
+    * refuses under DVs (the deleted row might be the extremum) — the
+    * gate exercises the provable cases; DuckDB replays them full-scan. */
+  def q_snapshot_metaonly(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapmeta_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotStatted(s,
+      docs.filter(col("doc_id") % 2 === 0), od,
+      Seq("doc_id", "n_chars"), nFiles = 8)
+    val v2 = graft.operators.Export.appendSnapshotStatted(s,
+      docs.filter(col("doc_id") % 2 === 1), od,
+      Seq("doc_id", "n_chars"), nFiles = 8)
+    val v3 = graft.operators.Export.deleteWhereMoR(s, od,
+      col("n_chars") < 150)
+    def need[T](o: Option[T], what: String): T = o.getOrElse(
+      throw new IllegalStateException(s"$what not provable from metadata"))
+    val cnt = need(graft.operators.Export.metadataCount(od, v2), "count@v2")
+    val cntDel = need(graft.operators.Export.metadataCount(od, v3),
+      "count@v3")
+    val (idLo, idHi) =
+      need(graft.operators.Export.metadataRange(od, v2, "doc_id"), "id")
+    val (chLo, chHi) =
+      need(graft.operators.Export.metadataRange(od, v2, "n_chars"), "chars")
+    require(graft.operators.Export.metadataRange(od, v3, "doc_id").isEmpty,
+      "range under a deletion vector must refuse")
+    s.range(1).select(
+      lit(cnt).as("n_docs"), lit(cntDel).as("n_docs_after_delete"),
+      lit(idLo).as("id_min"), lit(idHi).as("id_max"),
+      lit(chLo).as("chars_min"), lit(chHi).as("chars_max"))
+  }
+
+  val q_snapshot_metaonly_sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST((SELECT count(*) FROM documents
+      |        WHERE NOT COALESCE(n_chars < 150, FALSE)) AS BIGINT)
+      |    AS n_docs_after_delete,
+      |  CAST(min(doc_id) AS BIGINT) AS id_min,
+      |  CAST(max(doc_id) AS BIGINT) AS id_max,
+      |  CAST(min(n_chars) AS BIGINT) AS chars_min,
+      |  CAST(max(n_chars) AS BIGINT) AS chars_max
+      |FROM documents""".stripMargin
+
   /** Per-column manifest stats
     * ([[graft.operators.Export.appendSnapshotStatted]] /
     * [[graft.operators.Export.readSnapshotRange]]): two epochs commit

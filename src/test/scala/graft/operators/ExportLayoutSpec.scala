@@ -1183,6 +1183,56 @@ class ExportLayoutSpec extends SparkSpec {
       docs.filter(col("doc_id") % 5 =!= 0).count())
   }
 
+  test("vacuum dry run: reports exactly what the real run then reclaims, touches nothing") {
+    val out = tmp("snapdry")
+    rmDir(out)
+    Export.appendSnapshot(spark, docs.filter(col("doc_id") % 2 === 0), out)
+    Export.appendSnapshot(spark, docs.filter(col("doc_id") % 2 === 1), out)
+    Export.compactSnapshot(spark, out, 2)
+    def listing: Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(out)).map(_.getPath).sorted
+    }
+    val before = listing
+    val dry = Export.vacuumSnapshots(out, keep = 1, horizonMs = 0,
+      dryRun = true)
+    assert(listing === before, "dry run modified the table")
+    assert(dry._1 === 2 && dry._2 > 0)
+    val real = Export.vacuumSnapshots(out, keep = 1, horizonMs = 0)
+    assert(real === dry, "dry-run report diverged from the real vacuum")
+    assert(listing !== before)
+  }
+
+  test("metadata-only aggregates: provable counts/ranges match real reads; honesty rules refuse the unprovable") {
+    val out = tmp("snapmeta")
+    rmDir(out)
+    Export.appendSnapshotStatted(spark,
+      docs.filter(col("doc_id") % 2 === 0), out,
+      Seq("doc_id", "n_chars"), nFiles = 4)
+    val v2 = Export.appendSnapshotStatted(spark,
+      docs.filter(col("doc_id") % 2 === 1), out,
+      Seq("doc_id", "n_chars"), nFiles = 4)
+    // provable: count and both ranges equal the scanned truth
+    assert(Export.metadataCount(out, v2) === Some(docs.count()))
+    val Some((lo, hi)) = Export.metadataRange(out, v2, "doc_id")
+    val truth = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    assert(lo === truth.getLong(0) && hi === truth.getLong(1))
+    // a column never statted is not provable
+    assert(Export.metadataRange(out, v2, "lang").isEmpty)
+    // MoR delete: count subtracts exactly; range refuses under the DV
+    val v3 = Export.deleteWhereMoR(spark, out, col("n_chars") < 150)
+    assert(Export.metadataCount(out, v3) ===
+      Some(docs.filter(col("n_chars") >= 150).count()))
+    assert(Export.metadataRange(out, v3, "doc_id").isEmpty,
+      "min/max under a deletion vector must refuse (extremum may be deleted)")
+    // an untagged epoch poisons provability for the whole version
+    val v4 = Export.appendSnapshot(spark, docs.limit(5), out)
+    assert(Export.metadataCount(out, v4).isEmpty)
+    assert(Export.metadataRange(out, v4, "doc_id").isEmpty)
+  }
+
   test("schema evolution: committed schema unions, old files null-fill, old versions keep their narrow schema") {
     import spark.implicits._
     val out = tmp("evolve")
