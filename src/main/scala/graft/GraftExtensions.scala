@@ -233,6 +233,27 @@ object GraftExtensions {
         graft.operators.Export.snapshotHistory(spark,
             litString(args.head, "path"))
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_diff"),
+      info("graft_diff", "graft_diff(path, v_old, v_new[, " +
+        "'key1,key2']) - table_changes BETWEEN two versions as a " +
+        "FROM-clause relation: bag diff (rows + `_change` " +
+        "insert/delete) by default; with the key list, the keyed CDF " +
+        "(insert/delete/update_preimage/update_postimage)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litString(args.head, "path")
+        val vOld = litLong(args(1), "v_old").toInt
+        val vNew = litLong(args(2), "v_new").toInt
+        val df =
+          if (args.length > 3) {
+            val keys = litString(args(3), "key list")
+              .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            graft.operators.Export.snapshotDiffKeyed(spark, path,
+              vOld, vNew, keys)
+          } else
+            graft.operators.Export.snapshotDiff(spark, path, vOld, vNew)
+        df.queryExecution.logical
       }))
 
   private def litString(e: Expression, name: String): String = e match {

@@ -65,6 +65,97 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"$outDir/_global")
   }
 
+  /** Read the `_global` sidecar row: (n_docs, sum_dl, n_shards, id_col). */
+  private def readGlobal(spark: SparkSession, indexDir: String)
+      : (Long, Long, Int, String) = {
+    val g = spark.read.parquet(s"$indexDir/_global").collect()(0)
+    (g.getAs[Long]("n_docs"), g.getAs[Long]("sum_dl"),
+      g.getAs[Int]("n_shards"), g.getAs[String]("id_col"))
+  }
+
+  private def writeGlobal(spark: SparkSession, indexDir: String,
+      nDocs: Long, sumDl: Long, nShards: Int, idCol: String): Unit =
+    spark.range(1)
+      .select(lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"),
+        lit(nShards).as("n_shards"), lit(idCol).as("id_col"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/_global")
+
+  /** INCREMENTAL index maintenance: append NEW documents' postings to
+    * an existing index without touching what's already there. The
+    * shard layout is content-addressed by token, so a new doc's
+    * postings land in exactly the shard directories a query would
+    * probe, and the `_global` corpus constants are bumped by the
+    * batch's (count, Σdl) — [[searchAnd]] then serves the union corpus
+    * with full-corpus statistics, bit-identical to a from-scratch
+    * rebuild (df per term is still the term's postings count; the
+    * gate hash-matches an even/odd split-then-append against the
+    * full-corpus oracle). Contract: `df`'s ids must be NEW — an id
+    * already indexed (or previously tombstoned by
+    * [[deleteFromIndex]]) would double-count tf/df; rebuild to
+    * re-add. Scale shape: work is proportional to the BATCH (one
+    * explode + one (token, doc) count over the new docs), never the
+    * indexed corpus — the property that makes a 100 TB serving index
+    * maintainable at all. Not transactional: a crash between the
+    * postings append and the `_global` rewrite leaves stale corpus
+    * constants (rebuildable serving layout, same contract as
+    * [[Export.writeShards]]); the lake manifests are the
+    * transactional tier. */
+  def appendToIndex(spark: SparkSession, df: DataFrame, textCol: String,
+      indexDir: String): Unit = {
+    val (nDocs, sumDl, nShards, idCol) = readGlobal(spark, indexDir)
+    buildPostings(df, textCol, idCol)
+      .withColumn("shard", Export.shardOf(col("token"), nShards))
+      .write.mode("append").partitionBy("shard").parquet(indexDir)
+    val s = df.filter(col(textCol).isNotNull)
+      .select(size(Dedup.tokensOf(Dedup.normalized(col(textCol))))
+        .cast("long").as("_dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("_dl")), lit(0L)).as("s"))
+      .collect()(0)
+    writeGlobal(spark, indexDir, nDocs + s.getAs[Long]("n"),
+      sumDl + s.getAs[Long]("s"), nShards, idCol)
+  }
+
+  /** Tombstone DELETE for the serving index — the merge-on-read
+    * discipline ([[Export.deleteWhereMoR]]) mirrored onto the postings
+    * layout: the doc ids land in a `_deletes/` sidecar (postings files
+    * are never rewritten), and [[searchAnd]] anti-joins the broadcast
+    * tombstone set before computing df, so every statistic — document
+    * frequency, N, Σdl — reflects the post-delete corpus exactly.
+    * `_global` is adjusted here (count and Σdl of the docs actually
+    * found, read from the dl already baked into their postings), so a
+    * delete of an unknown id is a no-op and re-deleting an id cannot
+    * double-subtract (already-tombstoned ids are excluded from the
+    * adjustment scan). The stats scan reads the full postings ONCE at
+    * delete time — maintenance cost, not query cost; queries still
+    * probe only their terms' shards. */
+  def deleteFromIndex(spark: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "delete needs at least one doc id")
+    val (nDocs, sumDl, nShards, idCol) = readGlobal(spark, indexDir)
+    val (fs, _) = Export.fsRoot(indexDir)
+    val delDir = s"$indexDir/_deletes"
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(delDir)))
+        spark.read.parquet(delDir).collect().map(_.getLong(0)).toSet
+      else Set.empty[Long]
+    val fresh = ids.distinct.filterNot(existing)
+    if (fresh.isEmpty) return
+    // per-doc dl from the postings themselves (dl rides every posting
+    // row); bounded collect — one row per deleted doc actually indexed
+    val found = spark.read.parquet(indexDir)
+      .filter(col(idCol).isInCollection(fresh))
+      .groupBy(col(idCol))
+      .agg(first(col("dl")).as("_dl"))
+      .collect()
+    import spark.implicits._
+    fresh.toDF(idCol)
+      .coalesce(1)
+      .write.mode("append").parquet(delDir)
+    writeGlobal(spark, indexDir, nDocs - found.length,
+      sumDl - found.map(_.getAs[Long]("_dl")).sum, nShards, idCol)
+  }
+
   /** Driver-side replay of [[Export.shardOf]] for a literal token:
     * ascii of the first md5-hex nibble mod `nShards` — lets the query
     * planner name the shard directories without a Spark job. */
@@ -90,11 +181,9 @@ object InvertedIndex {
       lnIdf: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     require(k > 0, s"k must be positive, got $k")
-    val g = spark.read.parquet(s"$indexDir/_global").collect()(0)
-    val n = g.getAs[Long]("n_docs").toDouble
-    val avgdl = g.getAs[Long]("sum_dl").toDouble / n
-    val nShards = g.getAs[Int]("n_shards")
-    val idCol = g.getAs[String]("id_col")
+    val (nDocs, sumDl, nShards, idCol) = readGlobal(spark, indexDir)
+    val n = nDocs.toDouble
+    val avgdl = sumDl.toDouble / n
     val qTerms = terms.distinct
     val dirs = qTerms.map(t => shardOfToken(t, nShards)).distinct
       .map(s => s"$indexDir/shard=$s")
@@ -108,8 +197,16 @@ object InvertedIndex {
           org.apache.spark.sql.types.DoubleType))))
     if (!dirs.forall(d =>
         fs.exists(new org.apache.hadoop.fs.Path(d)))) return empty
-    val post = spark.read.parquet(dirs: _*)
+    val post0 = spark.read.parquet(dirs: _*)
       .filter(col("token").isin(qTerms: _*))
+    // tombstoned docs ([[deleteFromIndex]]) drop out BEFORE df is
+    // computed, so every served statistic reflects the live corpus
+    val delDir = s"$indexDir/_deletes"
+    val post =
+      if (fs.exists(new org.apache.hadoop.fs.Path(delDir)))
+        post0.join(broadcast(spark.read.parquet(delDir)),
+          Seq(idCol), "left_anti")
+      else post0
     // document frequency per term = that term's postings count; the
     // broadcast is |terms| rows
     val dfs = post.groupBy("token")

@@ -371,6 +371,90 @@ object Curation {
        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
   }
 
+  /** INCREMENTAL index maintenance
+    * ([[graft.operators.InvertedIndex.appendToIndex]]), hash-matched:
+    * the corpus is indexed in TWO generations — even doc_ids built
+    * from scratch, odd doc_ids appended incrementally — and the
+    * search result must be bit-identical to DuckDB's full-corpus
+    * replay. This is the property that makes a serving index
+    * maintainable at 100 TB: append work is proportional to the new
+    * batch, yet the served statistics (df, N, Σdl) are exactly the
+    * union corpus's, as if rebuilt. */
+  def q_search_index_incr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"invidx_incr_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.InvertedIndex.writeIndex(s,
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+      od, nShards = 8)
+    graft.operators.InvertedIndex.appendToIndex(s,
+      docs.filter(col("doc_id") % 2 === 1), "text", od)
+    graft.operators.InvertedIndex.searchAnd(s, od,
+      Seq("spark", "customer"), k = 12)
+  }
+
+  val q_search_index_incr_sql: String =
+    searchIndexOracle(Seq("spark", "customer"), k = 12, where = "")
+
+  /** Tombstone DELETE on the serving index
+    * ([[graft.operators.InvertedIndex.deleteFromIndex]]),
+    * hash-matched: the full corpus is indexed, every doc_id ≡ 3
+    * (mod 7) is deleted merge-on-read (postings untouched; ids land in
+    * a `_deletes/` sidecar, `_global` adjusts by the tombstoned docs'
+    * baked-in dl), and the search must be bit-identical to DuckDB
+    * ranking the corpus WITHOUT those docs — df, N and Σdl all
+    * reflect the post-delete corpus, not the written files. */
+  def q_search_index_del(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"invidx_del_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.InvertedIndex.writeIndex(s, docs, "text", "doc_id",
+      od, nShards = 8)
+    val ids = docs.filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    graft.operators.InvertedIndex.deleteFromIndex(s, od, ids)
+    graft.operators.InvertedIndex.searchAnd(s, od,
+      Seq("spark", "customer"), k = 15)
+  }
+
+  val q_search_index_del_sql: String =
+    searchIndexOracle(Seq("spark", "customer"), k = 15,
+      where = " AND doc_id % 7 != 3")
+
+  /** The full-scan BM25 conjunctive-search oracle, parameterized by
+    * the corpus restriction — shared by the build/incremental/delete
+    * index gates, which must all serve exactly this ranking. */
+  private def searchIndexOracle(terms: Seq[String], k: Int,
+      where: String): String = {
+    val tfs = terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i")
+      .mkString(",\n        ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i")
+      .mkString(", ")
+    val score = terms.indices.map(i =>
+      s"((n - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * 2.2)" +
+        s" / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
+      .mkString("\n  + ")
+    val conj = terms.indices.map(i => s"tf_$i > 0").mkString(" AND ")
+    s"""WITH d AS (SELECT doc_id,
+       |        list_filter(str_split($NormSql, ' '), t -> t != '') AS toks
+       |      FROM documents WHERE text IS NOT NULL$where),
+       |t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |        $tfs
+       |      FROM d),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+       |        $dfs FROM t)
+       |SELECT doc_id, round($score, 6) AS bm25
+       |FROM t, s
+       |WHERE $conj
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** MMR-diversified ANN serving ([[graft.operators.Similarity.mmrRerank]]
     * — Carbonell & Goldstein 1998), hash-matched: three query vectors
     * each retrieve a brute-force top-10 pool, then MMR greedily selects
@@ -4989,4 +5073,95 @@ object Curation {
       |  CAST(sum(n_chars) AS BIGINT)
       |FROM documents WHERE lang != 'zh'
       |ORDER BY state""".stripMargin
+
+  /** PARTITION-SPEC EVOLUTION (the Iceberg property): era 1 appends
+    * even doc_ids partitioned by (lang) alone; era 2 appends odd
+    * doc_ids under the EVOLVED spec (lang, source). Reads then span
+    * both eras seamlessly: a filter on `lang` prunes files of BOTH
+    * eras from the manifests; a filter on `source` prunes era-2 files
+    * but must keep planning era-1 files (their manifest lines carry no
+    * `source` value, so pruning can't prove exclusion — the exact
+    * predicate, pushed to the scan, filters them instead). The gate
+    * emits both reads' aggregates, hash-matched against DuckDB's
+    * predicate replay; `ExportLayoutSpec` separately proves which
+    * files were planned. No rewrite of old data, no spec migration —
+    * the property that lets a 100 TB table change its layout without
+    * a 100 TB rewrite. */
+  def q_snapshot_evolvepart(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapevo_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotPartitioned(s,
+      docs.filter(col("doc_id") % 2 === 0), od, Seq("lang"))
+    val v2 = graft.operators.Export.appendSnapshotPartitioned(s,
+      docs.filter(col("doc_id") % 2 === 1), od, Seq("lang", "source"))
+    def agg(tag: Int, filters: Map[String, String]) =
+      graft.operators.Export.readSnapshotPartitioned(s, od, v2, filters)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .select(lit(tag).as("read"), col("n_docs"), col("id_sum"),
+          col("total_chars"))
+    agg(1, Map("lang" -> "en"))
+      .unionByName(agg(2, Map("source" -> "src7")))
+      .orderBy("read")
+  }
+
+  val q_snapshot_evolvepart_sql: String =
+    """SELECT 1 AS read, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en'
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE source = 'src7'
+      |ORDER BY read""".stripMargin
+
+  /** table_changes from PLAIN SQL (the `graft_diff` TVF): the same
+    * two-version setup as `q_snapshot_cdc`, but the keyed change feed
+    * is read entirely through `spark.sql` —
+    * `graft_diff(path, v1, v2, 'doc_id')` splices the one-full-outer-
+    * join CDF plan into the query tree, and the outer query filters
+    * and orders it like any relation (Delta's `table_changes` shape).
+    * DuckDB replays the classification from the predicates. */
+  def q_diff_tvf(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"difftvf_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    val v1 = graft.operators.Export.replaceSnapshot(s,
+      docs.filter(col("doc_id") % 3 =!= 0), od)
+    val v2 = graft.operators.Export.replaceSnapshot(s,
+      docs.filter(col("doc_id") % 4 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 5 === 0, col("n_chars") + 7)
+            .otherwise(col("n_chars"))), od)
+    s.sql(
+      s"""SELECT doc_id, n_chars, _change
+         |FROM graft_diff('$od', $v1, $v2, 'doc_id')
+         |WHERE _change != 'delete'
+         |ORDER BY _change, doc_id""".stripMargin)
+  }
+
+  val q_diff_tvf_sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END
+      |    AS n_chars,
+      |  'insert' AS _change FROM documents
+      |WHERE doc_id % 4 != 0 AND doc_id % 3 = 0
+      |UNION ALL
+      |SELECT doc_id, n_chars, 'update_preimage' FROM documents
+      |WHERE doc_id % 3 != 0 AND doc_id % 4 != 0 AND doc_id % 5 = 0
+      |UNION ALL
+      |SELECT doc_id, n_chars + 7 AS n_chars, 'update_postimage'
+      |FROM documents
+      |WHERE doc_id % 3 != 0 AND doc_id % 4 != 0 AND doc_id % 5 = 0
+      |ORDER BY _change, doc_id""".stripMargin
 }

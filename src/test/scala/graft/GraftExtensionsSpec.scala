@@ -204,4 +204,35 @@ class GraftExtensionsSpec extends SparkSpec {
       prunedScan.inputFiles.forall(_.contains("_p_lang=en")),
       "TVF partition filter planned non-matching files")
   }
+
+  test("graft_diff TVF: bag diff and keyed CDF from plain SQL equal the API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val out = new java.io.File("target/qtmp", "tvfdiff")
+    graft.util.Dirs.deleteRec(out)
+    val dir = out.getAbsolutePath
+    val v1 = graft.operators.Export.replaceSnapshot(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), dir)
+    val v2 = graft.operators.Export.replaceSnapshot(spark,
+      Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("k", "s"), dir)
+    // bag arm: inserts + deletes, no key needed
+    val bag = spark.sql(
+        s"SELECT k, s, _change FROM graft_diff('$dir', $v1, $v2) " +
+          "ORDER BY _change, k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(bag.toSeq === Seq((2L, "b", "delete"), (1L, "a", "delete"),
+      (2L, "B", "insert"), (4L, "d", "insert")).sortBy(t => (t._3, t._1)))
+    // keyed arm ≡ the Scala API row-for-row
+    val viaSql = spark.sql(
+        s"SELECT k, s, _change FROM graft_diff('$dir', $v1, $v2, 'k') " +
+          "ORDER BY _change, k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val viaApi = graft.operators.Export
+      .snapshotDiffKeyed(spark, dir, v1, v2, Seq("k"))
+      .orderBy("_change", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    assert(viaSql.map(_._3).distinct.sorted ===
+      Seq("delete", "insert", "update_postimage", "update_preimage"))
+  }
 }

@@ -664,6 +664,49 @@ class ExportLayoutSpec extends SparkSpec {
     assert(Export.readSnapshot(spark, out, v2).count() === docs.count())
   }
 
+  test("partition-spec evolution: old-spec files plan under new-spec filters, new-spec files still prune") {
+    val out = tmp("partevo")
+    rmDir(out)
+    val d = graft.util.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    Export.appendSnapshotPartitioned(spark,
+      d.filter(col("doc_id") % 2 === 0), out, Seq("lang"), nFiles = 2)
+    val v2 = Export.appendSnapshotPartitioned(spark,
+      d.filter(col("doc_id") % 2 === 1), out, Seq("lang", "source"),
+      nFiles = 2)
+    val all = Export.readSnapshot(spark, out, v2)
+    // a filter on the SHARED column prunes files of both eras
+    val en = Export.readSnapshotPartitioned(spark, out, v2,
+      Map("lang" -> "en"))
+    assert(en.inputFiles.nonEmpty &&
+      en.inputFiles.forall(_.contains("_p_lang=en")))
+    assert(en.inputFiles.exists(_.contains("_p_source=")) &&
+      en.inputFiles.exists(!_.contains("_p_source=")),
+      "an en read should span both partition-spec eras")
+    assert(en.count() === all.filter(col("lang") === "en").count())
+    // a filter on the EVOLVED column: era-1 files (no source in their
+    // spec) must all still plan — pruning can't prove exclusion there —
+    // while era-2 files of other sources are eliminated from the manifest
+    val src = Export.readSnapshotPartitioned(spark, out, v2,
+      Map("source" -> "src7"))
+    val eraOld = all.inputFiles.filterNot(_.contains("_p_source=")).toSet
+    assert(eraOld.subsetOf(src.inputFiles.toSet),
+      "evolution dropped old-spec files it cannot prove excluded")
+    assert(src.inputFiles.filter(_.contains("_p_source="))
+      .forall(_.contains("_p_source=src7")),
+      "new-spec files of other sources were planned")
+    assert(src.inputFiles.length < all.inputFiles.length)
+    // rows are exact regardless of which era they came from
+    assert(src.count() === all.filter(col("source") === "src7").count())
+    // partition-scoped DML on the evolved column refuses the mixed
+    // table instead of silently corrupting it
+    val ex = intercept[IllegalArgumentException] {
+      Export.compactSnapshotPartition(spark, out,
+        Seq("lang", "source"), Map("lang" -> "en", "source" -> "src7"))
+    }
+    assert(ex.getMessage.contains("consistently partitioned"))
+  }
+
   test("vacuum horizon: an unreferenced-but-fresh epoch is an in-flight commit, not garbage") {
     val out = tmp("vachorizon")
     rmDir(out)

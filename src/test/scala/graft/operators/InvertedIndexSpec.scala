@@ -63,6 +63,59 @@ class InvertedIndexSpec extends SparkSpec {
     assert(expectDirs.size < allShards)
   }
 
+  test("incremental append serves the identical ranking to a from-scratch rebuild") {
+    val d = idx + "_incr"
+    graft.util.Dirs.deleteRec(new java.io.File(d))
+    InvertedIndex.writeIndex(spark,
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", d,
+      nShards = 8)
+    InvertedIndex.appendToIndex(spark,
+      docs.filter(col("doc_id") % 2 === 1), "text", d)
+    val terms = Seq("spark", "customer")
+    val incr = InvertedIndex.searchAnd(spark, d, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = InvertedIndex.searchAnd(spark, built, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(incr === full,
+      "incrementally-maintained index diverged from the rebuild")
+    // the corpus constants converged too, not just this query's slice
+    val gi = spark.read.parquet(s"$d/_global").collect()(0)
+    val gf = spark.read.parquet(s"$built/_global").collect()(0)
+    assert(gi.getAs[Long]("n_docs") === gf.getAs[Long]("n_docs"))
+    assert(gi.getAs[Long]("sum_dl") === gf.getAs[Long]("sum_dl"))
+  }
+
+  test("tombstone delete adjusts df/N/Σdl exactly; re-delete cannot double-subtract") {
+    val d = idx + "_del"
+    graft.util.Dirs.deleteRec(new java.io.File(d))
+    InvertedIndex.writeIndex(spark, docs, "text", "doc_id", d, nShards = 8)
+    val ids = docs.filter(col("doc_id") % 5 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    InvertedIndex.deleteFromIndex(spark, d, ids)
+    val terms = Seq("spark", "customer")
+    val served = InvertedIndex.searchAnd(spark, d, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.nonEmpty)
+    assert(served.map(_._1).toSet.intersect(ids.toSet).isEmpty,
+      "a tombstoned doc was served")
+    // ≡ an index built WITHOUT the deleted docs (stats fully adjusted)
+    val ref = idx + "_delref"
+    graft.util.Dirs.deleteRec(new java.io.File(ref))
+    InvertedIndex.writeIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 1), "text", "doc_id", ref,
+      nShards = 8)
+    val rebuilt = InvertedIndex.searchAnd(spark, ref, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === rebuilt,
+      "merge-on-read delete diverged from the physical rebuild")
+    // idempotence: deleting the same ids again must not re-subtract
+    val g1 = spark.read.parquet(s"$d/_global").collect()(0)
+    InvertedIndex.deleteFromIndex(spark, d, ids)
+    val g2 = spark.read.parquet(s"$d/_global").collect()(0)
+    assert(g1.getAs[Long]("n_docs") === g2.getAs[Long]("n_docs"))
+    assert(g1.getAs[Long]("sum_dl") === g2.getAs[Long]("sum_dl"))
+  }
+
   test("single-term search ranks by BM25 with deterministic ties; absent term is empty") {
     val one = InvertedIndex.searchAnd(spark, built, Seq("window"), k = 10)
       .collect()
