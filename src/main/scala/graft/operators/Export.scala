@@ -501,6 +501,50 @@ object Export {
     dataLines(readManifestRaw(fs, root, version)).map(pathOf)
   }
 
+  /** Committed `#schema=` header of a version as a StructType (None for
+    * a pre-header legacy manifest) — planning-side, no Spark session.
+    * The schema authority every reader decodes through; the streaming
+    * source ([[graft.sources.GraftLakeDataSource]]) pins its stream
+    * schema to this at stream start, the Delta-source discipline. */
+  def snapshotSchema(outDir: String, version: Int)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, root) = fsRoot(outDir)
+    snapshotMetaOf(fs, root, version).get("schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Engine-stamped commit kind of a version (`append` / `replace` /
+    * `compact` / `delete` / `overwrite` / `restore` / `clone`); None for
+    * a pre-`#op=` legacy manifest. Planning-side. The streaming source
+    * classifies commits with this: only `append` versions are servable
+    * as stream rows — everything else is a change/maintenance commit. */
+  def snapshotOperation(outDir: String, version: Int): Option[String] = {
+    val (fs, root) = fsRoot(outDir)
+    snapshotMetaOf(fs, root, version).get("op")
+  }
+
+  /** Data files ADDED at exactly `version`, relative to the previous
+    * SURVIVING version (retention may have vacuumed the literal v-1; the
+    * diff is against the newest survivor below `version`, or — when none
+    * survives — the whole manifest counts as added). Planning-side: two
+    * manifest reads, no Spark session, no listing of the data dirs. This
+    * is the streaming source's per-version input split: an append
+    * commit's added files hold exactly the rows that append introduced,
+    * so a version-offset stream serves each commit once without ever
+    * diffing row sets. */
+  def snapshotAddedFiles(outDir: String, version: Int): Seq[String] = {
+    val (fs, root) = fsRoot(outDir)
+    val cur = dataLines(readManifestRaw(fs, root, version)).map(pathOf)
+    manifestVersions(fs, root).filter(_ < version).lastOption match {
+      case None => cur
+      case Some(prev) =>
+        val before = dataLines(readManifestRaw(fs, root, prev))
+          .map(l => fs.makeQualified(new Path(pathOf(l))).toString).toSet
+        cur.filterNot(f => before(fs.makeQualified(new Path(f)).toString))
+    }
+  }
+
   /** One row per committed version: (version, n_files, caller meta) —
     * each manifest read ONCE (listing a thousand-version streaming table
     * with per-version file+meta pairs would otherwise pay two object-

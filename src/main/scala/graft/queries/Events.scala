@@ -209,6 +209,71 @@ object Events {
       |FROM events WHERE event_type = 'click'
       |ORDER BY user_id, ts_us""".stripMargin
 
+  /** The MEDALLION pipeline over the `graftlake` STREAMING SOURCE
+    * ([[graft.streaming.LakeStream.medallionClicks]]): a bronze lake
+    * table built as three append commits is streamed BY VERSION OFFSET
+    * (`readStream.format("graftlake")`, one micro-batch per commit via
+    * `maxVersionsPerTrigger=1`, every batch planned purely from the
+    * manifests), filtered to clicks, and landed in a silver lake table
+    * under the exactly-once `#batch=` guard. The settled silver table
+    * must equal the one-shot batch transform of the raw events — which
+    * is what DuckDB replays with no engine involvement. The lake's
+    * streaming READ half: restartable at both ends, versions are
+    * offsets, metadata cost per trigger proportional to new commits. */
+  def q_stream_medallion(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_med_${math.abs(dir.hashCode)}")
+    val bronze = new File("target/qtmp_stream",
+      s"medbronze_${math.abs(dir.hashCode)}")
+    val silver = new File("target/qtmp_stream",
+      s"medsilver_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(bronze); deleteRec(silver)
+    graft.streaming.LakeStream.medallionClicks(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, bronze.getAbsolutePath,
+        silver.getAbsolutePath)
+      .orderBy("user_id", "ts_us", "value")
+  }
+
+  val q_stream_medallion_sql: String =
+    """SELECT user_id, epoch_us(ts) AS ts_us, value
+      |FROM events WHERE event_type = 'click'
+      |ORDER BY user_id, ts_us, value""".stripMargin
+
+  /** CHANGE-DATA-FEED streaming read
+    * ([[graft.streaming.LakeStream.cdfDocuments]]): a documents lake
+    * table built as two appends then a copy-on-write DELETE is streamed
+    * with `readChangeFeed=true` — per-version changes tagged
+    * `_change` (insert/delete) + `_commit_version`, the Delta CDF
+    * shape, so the delete commit flows downstream as delete rows
+    * instead of failing the appends-only stream. The landed feed must
+    * equal the from-first-principles change log of the three commits,
+    * replayed by DuckDB from the raw parquet. */
+  def q_stream_lakecdf(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_lcdf_${math.abs(dir.hashCode)}")
+    val table = new File("target/qtmp_stream",
+      s"lcdftable_${math.abs(dir.hashCode)}")
+    val feed = new File("target/qtmp_stream",
+      s"lcdffeed_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(table); deleteRec(feed)
+    graft.streaming.LakeStream.cdfDocuments(s, s"$dir/documents.parquet",
+        cp.getAbsolutePath, table.getAbsolutePath, feed.getAbsolutePath)
+      .orderBy("doc_id", "_change", "_commit_version")
+  }
+
+  val q_stream_lakecdf_sql: String =
+    """SELECT * FROM (
+      |  SELECT doc_id, lang, n_chars, 'insert' AS _change,
+      |    CAST(1 AS BIGINT) AS _commit_version
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'insert', 2
+      |  FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'delete', 3
+      |  FROM documents WHERE lang = 'en')
+      |ORDER BY doc_id, _change, _commit_version""".stripMargin
+
   /** Streaming APPLY CHANGES
     * ([[graft.streaming.EventStream.streamingCdcApply]]): an unordered
     * keyed change feed applied micro-batch-at-a-time into a partitioned

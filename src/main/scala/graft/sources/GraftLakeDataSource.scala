@@ -1,0 +1,233 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.operators.Export
+
+/** STREAMING SOURCE over a graft snapshot table — the read half of the
+  * lake's streaming story (the write half is the exactly-once
+  * `streamingLakeIngest` family). The Delta-source shape, re-expressed
+  * on this engine's manifest log:
+  *
+  *   spark.readStream.format("graftlake").load(tableDir)
+  *
+  * Offsets ARE committed versions: micro-batch (start, end] serves the
+  * rows introduced by versions start+1..end, planned purely from the
+  * manifests ([[Export.snapshotAddedFiles]] — two manifest reads per
+  * version, never a data-dir listing, never a row-set diff). On a
+  * 100 TB table a trigger therefore costs metadata proportional to the
+  * NEW commits, and data proportional to the new epochs — the property
+  * that makes "stream the corpus table into the next pipeline stage"
+  * viable at all. Checkpoint recovery is free: the version number is
+  * the offset, so a restarted query resumes from the engine's offset
+  * log with no source-side state.
+  *
+  * Options (mirroring the Delta source's contract):
+  *  - `startingVersion` (default 1): first version to serve; earlier
+  *    commits are the "initial snapshot" a fresh pipeline may not want.
+  *  - `maxVersionsPerTrigger`: admission control — cap versions
+  *    admitted per micro-batch so a stream catching up on a long log
+  *    re-plays it in bounded bites instead of one giant batch.
+  *  - `skipChangeCommits` (default false): appends-only streams REFUSE
+  *    non-append commits (compaction/delete/overwrite/restore rewrite
+  *    files, so "files added at v" no longer means "rows appended at
+  *    v") — by default the stream fails loudly at that version; opt in
+  *    to skip such commits entirely (their rewritten files are never
+  *    emitted, exactly Delta's `skipChangeCommits`).
+  *  - `readChangeFeed` (default false): CDF mode — serve per-version
+  *    CHANGES instead of appended rows: bag-diff rows tagged `_change`
+  *    (insert/delete) + `_commit_version`, every commit kind legal.
+  *
+  * The stream schema is pinned at stream start to the LATEST committed
+  * `#schema=` (ADD-only evolution makes that a supertype of every older
+  * epoch; absent columns null-fill in the parquet reader). Appends
+  * carry no deletion vectors at commit time, so added-file reads need
+  * no DV subtraction; CDF mode reads full snapshots and inherits MoR
+  * correctness from the one read funnel.
+  *
+  * DSv1 `Source` is the deliberate choice over DSv2 `MicroBatchStream`:
+  * `getBatch` returns a LOGICAL PLAN (the parquet scan of the added
+  * files), so Spark's vectorized parquet reader, column pruning and
+  * whole-stage codegen all apply — a DSv2 `PartitionReader` would
+  * hand-decode parquet rows. This is the same trade Spark's own
+  * `FileStreamSource` and Delta's source make.
+  */
+final class GraftLakeDataSource
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graftlake"
+
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      params: Map[String, String]): (String, StructType) =
+    (shortName(), GraftLakeSource.schemaFor(params))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      params: Map[String, String]): Source =
+    new GraftLakeSource(ctx.sparkSession, params)
+}
+
+object GraftLakeSource {
+  /** CDF change-kind column (insert/delete), Delta CDF naming. */
+  val ChangeCol = "_change"
+  /** CDF commit-version column. */
+  val CommitVersionCol = "_commit_version"
+
+  private def opt(params: Map[String, String], key: String)
+      : Option[String] =
+    params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v
+    }
+
+  private[sources] def pathOf(params: Map[String, String]): String =
+    opt(params, "path").getOrElse(throw new IllegalArgumentException(
+      "graftlake needs a table directory: .load(tableDir)"))
+
+  private[sources] def cdfOf(params: Map[String, String]): Boolean =
+    opt(params, "readChangeFeed").exists(_.toBoolean)
+
+  /** Base (data) schema: the latest version's committed `#schema=`. */
+  private[sources] def dataSchemaFor(params: Map[String, String])
+      : StructType = {
+    val path = pathOf(params)
+    val latest = Export.latestSnapshotVersion(path)
+    require(latest >= 1,
+      s"$path has no committed versions - a graftlake stream needs at " +
+        "least one commit to pin its schema")
+    Export.snapshotSchema(path, latest).getOrElse(
+      throw new IllegalStateException(
+        s"version $latest of $path has no #schema= header " +
+          "(pre-header legacy manifest) - recommit the table"))
+  }
+
+  private[sources] def schemaFor(params: Map[String, String])
+      : StructType = {
+    val base = dataSchemaFor(params)
+    if (cdfOf(params))
+      base.add(ChangeCol, StringType).add(CommitVersionCol, LongType)
+    else base
+  }
+}
+
+final class GraftLakeSource(spark: SparkSession,
+    params: Map[String, String]) extends Source {
+  import GraftLakeSource._
+
+  private val path = pathOf(params)
+  private val cdf = cdfOf(params)
+  private val skipChange =
+    opt(params, "skipChangeCommits").exists(_.toBoolean)
+  private val maxVersions =
+    opt(params, "maxVersionsPerTrigger").map(_.toLong)
+  maxVersions.foreach(k => require(k >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $k"))
+  /** Versions <= floor are never served. */
+  private val floor: Long =
+    opt(params, "startingVersion").map(_.toLong - 1).getOrElse(0L)
+  require(floor >= 0,
+    s"startingVersion must be >= 1, got ${floor + 1}")
+
+  private val dataSchema: StructType = dataSchemaFor(params)
+  override val schema: StructType = schemaFor(params)
+
+  /** Highest version already offered to the engine — the admission
+    * watermark `maxVersionsPerTrigger` advances from. On checkpoint
+    * recovery the engine replays `getBatch` for the uncommitted batch
+    * BEFORE asking for a new offset, so this re-seeds from the
+    * recovered end offset and the cap never re-admits served versions.
+    * Monotone: getOffset never returns less than a previous answer. */
+  @volatile private var highWater: Long = floor
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val latest = Export.latestSnapshotVersion(path).toLong
+    val capped =
+      maxVersions.fold(latest)(k => math.min(latest, highWater + k))
+    val next = math.max(capped, highWater)
+    highWater = next
+    if (next <= floor) None else Some(LongOffset(next))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = math.max(start.map(versionOf).getOrElse(floor), floor)
+    val hi = versionOf(end)
+    if (hi > highWater) highWater = hi
+    val versions = Export.snapshotVersions(path)
+      .map(_.toLong).filter(v => v > lo && v <= hi)
+    val df = if (cdf) cdfBatch(versions) else appendBatch(versions)
+    // a Source's batch must carry isStreaming=true; the only
+    // constructor for that is SparkSession.internalCreateDataFrame
+    // (private[sql], public in bytecode) - the same seam every DSv1
+    // source outside org.apache.spark uses
+    asStreaming(df.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
+  /** Appends-only batch: the union of the versions' ADDED files read
+    * under the pinned stream schema — one parquet scan, planned from
+    * manifests only. Non-append commits fail loudly (or are skipped
+    * under `skipChangeCommits`): their added files are REWRITES of rows
+    * the stream already served, not new data. */
+  private def appendBatch(versions: Seq[Long]): DataFrame = {
+    val files = versions.flatMap { v =>
+      Export.snapshotOperation(path, v.toInt) match {
+        case Some("append") | None =>
+          Export.snapshotAddedFiles(path, v.toInt)
+        case Some(_) if skipChange => Seq.empty[String]
+        case Some(op) => throw new IllegalStateException(
+          s"version $v of $path is a '$op' commit; a graftlake stream " +
+            "serves appends only. Set skipChangeCommits=true to skip " +
+            "data-changing/maintenance commits (their rewritten files " +
+            "are never emitted), or use readChangeFeed=true to stream " +
+            "the change feed instead")
+      }
+    }
+    if (files.isEmpty) emptyFrame(dataSchema)
+    else spark.read.schema(dataSchema).parquet(files: _*)
+  }
+
+  /** CDF batch: per version, the bag diff against the previous
+    * SURVIVING version tagged insert/delete + the commit version; the
+    * log's first served version is insert-everything. Every commit kind
+    * is legal — a delete commit feeds downstream as `delete` rows. */
+  private def cdfBatch(versions: Seq[Long]): DataFrame = {
+    val parts = versions.map { v =>
+      val prev = Export.snapshotVersions(path).filter(_ < v.toInt)
+        .lastOption
+      val d = prev match {
+        case Some(p) => Export.snapshotDiff(spark, path, p, v.toInt)
+        case None => Export.readSnapshot(spark, path, v.toInt)
+          .withColumn(ChangeCol, lit("insert"))
+      }
+      d.withColumn(CommitVersionCol, lit(v))
+    }
+    if (parts.isEmpty) emptyFrame(schema)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  private def emptyFrame(s: StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+
+  private def asStreaming(df: DataFrame): DataFrame = {
+    val m = spark.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
+      java.lang.Boolean.TYPE)
+    m.invoke(spark, df.queryExecution.toRdd, df.schema,
+      java.lang.Boolean.TRUE).asInstanceOf[DataFrame]
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftLakeSource[$path${if (cdf) ", cdf" else ""}]"
+}

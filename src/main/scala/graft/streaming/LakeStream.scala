@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.operators.Export
+import graft.streaming.EventStream.withStreamShuffle
+
+/** Lake-to-lake streaming pipelines over the `graftlake` source
+  * ([[graft.sources.GraftLakeDataSource]]) — the medallion shape every
+  * production corpus runs: a BRONZE table ingests raw commits, a stream
+  * reads bronze BY VERSION OFFSET (planned purely from manifests) and
+  * lands refined rows in a SILVER table under the exactly-once
+  * `#batch=` guard. End-to-end the pipeline is restartable at both
+  * ends: the source resumes from the engine's offset log (versions ARE
+  * offsets), the sink refuses replayed micro-batches, and every
+  * intermediate state of both tables time-travels. */
+object LakeStream {
+
+  /** Build a bronze table from `srcParquet` in `nSlices` deterministic
+    * append commits (sliced on `user_id % nSlices` — stable, disjoint,
+    * complete), so the downstream stream provably sees multiple
+    * versions. Events columns normalized to the engine's epoch-µs
+    * contract at the bronze boundary. */
+  private def buildBronzeEvents(spark: SparkSession, srcParquet: String,
+      bronzeDir: String, nSlices: Int): Unit = {
+    val base = spark.read.parquet(srcParquet)
+      .select("user_id", "ts", "event_type", "value")
+    val tsType = base.schema("ts").dataType
+    val rows = base.select(col("user_id"),
+      graft.util.Tables.tsMicros(tsType).as("ts_us"),
+      col("event_type"), col("value"))
+    (0 until nSlices).foreach { k =>
+      Export.appendSnapshot(spark,
+        rows.filter(pmod(col("user_id"), lit(nSlices)) === k), bronzeDir)
+    }
+  }
+
+  /** Bronze → silver: stream the bronze EVENTS table version-by-version
+    * (`maxVersionsPerTrigger=1` — one micro-batch per commit, the
+    * catch-up discipline a 100 TB log needs), keep the `click` rows,
+    * and append each micro-batch to the silver table under the
+    * exactly-once guard. Returns the settled silver read: it must equal
+    * the one-shot batch transform of the raw source — which is exactly
+    * what the DuckDB oracle replays. */
+  def medallionClicks(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, bronzeDir: String,
+      silverDir: String): DataFrame = {
+    buildBronzeEvents(spark, srcParquet, bronzeDir, nSlices = 3)
+    val stream = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "1")
+      .load(bronzeDir)
+      .filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "value")
+    withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // scan-back guard: see EventStream.drainMatview
+          if (batchId > Export.lastAppliedBatch(silverDir)) {
+            Export.appendSnapshot(spark, batch, silverDir,
+              meta = Map("batch" -> batchId.toString))
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    Export.readSnapshot(spark, silverDir,
+      Export.latestSnapshotVersion(silverDir))
+  }
+
+  /** CHANGE-DATA-FEED consumption: a documents table built as two
+    * appends (`doc_id % 2`) then a copy-on-write DELETE
+    * (`lang = 'en'`), streamed with `readChangeFeed=true` — every
+    * commit kind is legal in CDF mode, and the delete commit arrives
+    * downstream as `delete` rows. The feed lands in a result table
+    * under the exactly-once guard; the settled feed must equal the
+    * from-first-principles change log of those three commits, which the
+    * oracle replays from the raw parquet with no engine involvement. */
+  def cdfDocuments(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, tableDir: String,
+      feedDir: String): DataFrame = {
+    val docs = spark.read.parquet(srcParquet)
+      .select("doc_id", "lang", "n_chars")
+    Export.appendSnapshot(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), tableDir)
+    Export.appendSnapshot(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), tableDir)
+    Export.deleteWhere(spark, tableDir, col("lang") === "en")
+    val stream = spark.readStream.format("graftlake")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(tableDir)
+    withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // scan-back guard: see EventStream.drainMatview
+          if (batchId > Export.lastAppliedBatch(feedDir)) {
+            Export.appendSnapshot(spark, batch, feedDir,
+              meta = Map("batch" -> batchId.toString))
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    Export.readSnapshot(spark, feedDir,
+      Export.latestSnapshotVersion(feedDir))
+  }
+}

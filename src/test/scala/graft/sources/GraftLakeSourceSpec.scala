@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryException, Trigger}
+
+import graft.SparkSpec
+import graft.operators.Export
+
+/** Laws of the graftlake STREAMING SOURCE: version-offset batching,
+  * admission control, the appends-only refusal/skip contract for change
+  * commits, CDF mode, startingVersion, and checkpointed resume. */
+class GraftLakeSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): File =
+    Files.createTempDirectory(prefix).toFile
+
+  private def rows(lo: Int, hi: Int): DataFrame =
+    (lo until hi).map(i => (i.toLong, s"d$i", i % 3)).toDF("id", "s", "m")
+
+  /** Drain the stream with foreachBatch into an in-memory ledger of
+    * (batchId, rows); ProcessingTime(0) + processAllAvailable so
+    * admission control actually yields multiple micro-batches (the
+    * AvailableNow fallback for DSv1 sources is single-batch). */
+  private def drain(stream: DataFrame, cp: File)
+      : Seq[(Long, Seq[(Long, String, Int)])] = {
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, String, Int)])]
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", cp.getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val r = b.select("id", "s", "m").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+        got.synchronized { got += ((id, r)) }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    got.toSeq
+  }
+
+  test("one micro-batch per version under maxVersionsPerTrigger=1, " +
+      "each batch exactly that version's appended rows") {
+    val table = tmp("glk-batching")
+    val slices = Seq(rows(0, 5), rows(5, 7), rows(7, 12))
+    slices.foreach(df =>
+      Export.appendSnapshot(spark, df, table.getAbsolutePath))
+    val stream = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "1")
+      .load(table.getAbsolutePath)
+    val got = drain(stream, tmp("glk-batching-cp"))
+    val nonEmpty = got.filter(_._2.nonEmpty)
+    assert(nonEmpty.size === 3)
+    nonEmpty.sortBy(_._1).zip(slices).foreach { case ((_, g), want) =>
+      val w = want.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      assert(g.sortBy(_._1) === w.sortBy(_._1))
+    }
+  }
+
+  test("admission control: 5 versions at maxVersionsPerTrigger=2 " +
+      "drain in 3 batches; unlimited drains in 1") {
+    val table = tmp("glk-admission")
+    (0 until 5).foreach(k =>
+      Export.appendSnapshot(spark, rows(k * 2, k * 2 + 2),
+        table.getAbsolutePath))
+    val capped = drain(spark.readStream.format("graftlake")
+        .option("maxVersionsPerTrigger", "2")
+        .load(table.getAbsolutePath), tmp("glk-admission-cp"))
+      .filter(_._2.nonEmpty)
+    assert(capped.size === 3)
+    assert(capped.map(_._2.size).sorted === Seq(2, 4, 4))
+    val open = drain(spark.readStream.format("graftlake")
+        .load(table.getAbsolutePath), tmp("glk-admission-cp2"))
+      .filter(_._2.nonEmpty)
+    assert(open.size === 1 && open.head._2.size === 10)
+  }
+
+  test("a change commit FAILS the appends-only stream by default, " +
+      "naming skipChangeCommits") {
+    val table = tmp("glk-refuse")
+    Export.appendSnapshot(spark, rows(0, 6), table.getAbsolutePath)
+    Export.deleteWhere(spark, table.getAbsolutePath, col("m") === 1)
+    val ex = intercept[StreamingQueryException] {
+      drain(spark.readStream.format("graftlake")
+        .load(table.getAbsolutePath), tmp("glk-refuse-cp"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("skipChangeCommits")))
+  }
+
+  test("skipChangeCommits=true: the delete's rewritten files are never " +
+      "emitted; appends before and after flow") {
+    val table = tmp("glk-skip")
+    Export.appendSnapshot(spark, rows(0, 6), table.getAbsolutePath)
+    Export.deleteWhere(spark, table.getAbsolutePath, col("m") === 1)
+    Export.appendSnapshot(spark, rows(6, 9), table.getAbsolutePath)
+    val got = drain(spark.readStream.format("graftlake")
+        .option("skipChangeCommits", "true")
+        .load(table.getAbsolutePath), tmp("glk-skip-cp"))
+      .flatMap(_._2).sortBy(_._1)
+    // v1's 6 rows + v3's 3 rows; the delete commit contributes nothing
+    assert(got.map(_._1) === (0L until 9L))
+  }
+
+  test("startingVersion serves only later commits") {
+    val table = tmp("glk-startv")
+    Export.appendSnapshot(spark, rows(0, 4), table.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(4, 6), table.getAbsolutePath)
+    val got = drain(spark.readStream.format("graftlake")
+        .option("startingVersion", "2")
+        .load(table.getAbsolutePath), tmp("glk-startv-cp"))
+      .flatMap(_._2).map(_._1).sorted
+    assert(got === Seq(4L, 5L))
+  }
+
+  test("checkpointed resume: a restarted stream serves ONLY versions " +
+      "committed after the stop, and the union is the whole table") {
+    val table = tmp("glk-resume")
+    val cp = tmp("glk-resume-cp")
+    Export.appendSnapshot(spark, rows(0, 3), table.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(3, 5), table.getAbsolutePath)
+    def run() = drain(spark.readStream.format("graftlake")
+      .load(table.getAbsolutePath), cp)
+    val first = run().flatMap(_._2)
+    assert(first.map(_._1).sorted === (0L until 5L))
+    Export.appendSnapshot(spark, rows(5, 8), table.getAbsolutePath)
+    val second = run().flatMap(_._2)
+    assert(second.map(_._1).sorted === Seq(5L, 6L, 7L),
+      "a resumed stream must not re-serve checkpointed versions")
+  }
+
+  test("readChangeFeed: inserts per append version, deletes from a " +
+      "delete commit, each stamped with its commit version") {
+    val table = tmp("glk-cdf")
+    Export.appendSnapshot(spark, rows(0, 4), table.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(4, 7), table.getAbsolutePath)
+    Export.deleteWhere(spark, table.getAbsolutePath, col("m") === 0)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    val q = spark.readStream.format("graftlake")
+      .option("readChangeFeed", "true")
+      .load(table.getAbsolutePath)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("glk-cdf-cp").getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = b.select("id", "s", "_change", "_commit_version")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3)))
+        got.synchronized { got ++= r }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val want =
+      (0 until 4).map(i => (i.toLong, s"d$i", "insert", 1L)) ++
+        (4 until 7).map(i => (i.toLong, s"d$i", "insert", 2L)) ++
+        (0 until 7).filter(_ % 3 == 0)
+          .map(i => (i.toLong, s"d$i", "delete", 3L))
+    assert(got.toSeq.sorted === want.sorted)
+  }
+
+  test("the stream schema is the committed schema; an un-evolved old " +
+      "epoch's absent column null-fills") {
+    val table = tmp("glk-schema")
+    Export.appendSnapshot(spark, rows(0, 2), table.getAbsolutePath)
+    Export.appendSnapshotEvolved(spark,
+      rows(2, 4).withColumn("extra", col("id") * 10),
+      table.getAbsolutePath)
+    val stream = spark.readStream.format("graftlake")
+      .load(table.getAbsolutePath)
+    assert(stream.schema.fieldNames.toSeq ===
+      Seq("id", "s", "m", "extra"))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Long])]
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("glk-schema-cp").getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = b.select("id", "extra").collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        got.synchronized { got ++= r }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSeq.sortBy(_._1) === Seq(
+      (0L, None), (1L, None), (2L, Some(20L)), (3L, Some(30L))))
+  }
+}
