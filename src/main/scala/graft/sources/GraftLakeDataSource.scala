@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
@@ -42,6 +43,18 @@ import graft.operators.Export
   *  - `readChangeFeed` (default false): CDF mode — serve per-version
   *    CHANGES instead of appended rows: bag-diff rows tagged `_change`
   *    (insert/delete) + `_commit_version`, every commit kind legal.
+  *  - `failOnDataLoss` (default true): a mid-stream version gap means
+  *    retention vacuumed commits the stream had not served (and its
+  *    diff base with them) — fail loudly rather than silently re-serve;
+  *    opt out for the best-effort diff against the newest survivor. A
+  *    head-vacuumed log is NOT loss for a fresh stream: the first
+  *    survivor serves the accumulated state once.
+  *
+  * `Trigger.AvailableNow` is supported natively
+  * ([[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]):
+  * the end version is pinned when the trigger starts, the stream drains
+  * to it in `maxVersionsPerTrigger`-sized micro-batches and terminates —
+  * the scheduled-catch-up mode a nightly pipeline runs.
   *
   * The stream schema is pinned at stream start to the LATEST committed
   * `#schema=` (ADD-only evolution makes that a supertype of every older
@@ -116,13 +129,16 @@ object GraftLakeSource {
 }
 
 final class GraftLakeSource(spark: SparkSession,
-    params: Map[String, String]) extends Source {
+    params: Map[String, String]) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   import GraftLakeSource._
 
   private val path = pathOf(params)
   private val cdf = cdfOf(params)
   private val skipChange =
     opt(params, "skipChangeCommits").exists(_.toBoolean)
+  private val failOnDataLoss =
+    opt(params, "failOnDataLoss").forall(_.toBoolean)
   private val maxVersions =
     opt(params, "maxVersionsPerTrigger").map(_.toLong)
   maxVersions.foreach(k => require(k >= 1,
@@ -149,12 +165,46 @@ final class GraftLakeSource(spark: SparkSession,
     case other => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] = {
-    val latest = Export.latestSnapshotVersion(path).toLong
+  /** End version `Trigger.AvailableNow` runs to: pinned when the
+    * trigger starts, so commits landing DURING the run don't keep the
+    * supposedly-terminating query alive (the contract of
+    * [[SupportsTriggerAvailableNow]]). */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(Export.latestSnapshotVersion(path).toLong)
+
+  /** Admission is interpreted source-side (`maxVersionsPerTrigger`),
+    * not through a [[ReadLimit]] shape — versions are the unit here and
+    * ReadLimit has no "max versions"; the engine just needs the default
+    * back. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def nextOffset(): Long = {
+    val latest = availableNowEnd
+      .getOrElse(Export.latestSnapshotVersion(path).toLong)
     val capped =
       maxVersions.fold(latest)(k => math.min(latest, highWater + k))
     val next = math.max(capped, highWater)
     highWater = next
+    next
+  }
+
+  /** The engine calls this (not [[getOffset]]) once a v1 Source
+    * declares admission control. `start` is unused: the admission
+    * watermark is [[highWater]], re-seeded by the recovery getBatch. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val next = nextOffset()
+    if (next <= floor) null else LongOffset(next)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val latest = Export.latestSnapshotVersion(path).toLong
+    if (latest <= floor) null else LongOffset(latest)
+  }
+
+  override def getOffset: Option[Offset] = {
+    val next = nextOffset()
     if (next <= floor) None else Some(LongOffset(next))
   }
 
@@ -164,6 +214,28 @@ final class GraftLakeSource(spark: SparkSession,
     if (hi > highWater) highWater = hi
     val versions = Export.snapshotVersions(path)
       .map(_.toLong).filter(v => v > lo && v <= hi)
+    // The version log is DENSE (each commit is prev+1), so a number in
+    // (lo, hi] absent from the survivors was vacuumed. A FRESH stream
+    // (start=None) is safe under a head-vacuumed log: the first
+    // survivor's added-file diff has no earlier survivor to subtract,
+    // so it serves the full accumulated state once. A MID-STREAM gap is
+    // data loss: retention keeps a contiguous tail, so a gap means the
+    // stream's own diff base (the last served version) vanished too —
+    // the next survivor's diff runs against an older survivor (or
+    // nothing) and re-serves rows the stream already emitted, and a
+    // vacuumed change commit's classification is unknowable. Fail
+    // loudly unless the caller opts into the best-effort diff.
+    val lost =
+      if (start.isEmpty) Seq.empty
+      else ((lo + 1) to hi).filterNot(versions.toSet)
+    if (lost.nonEmpty && failOnDataLoss)
+      throw new IllegalStateException(
+        s"versions ${lost.mkString(",")} of $path were vacuumed before " +
+          "this stream served them; the next batch can no longer be " +
+          "reconstructed exactly (rows may be re-served). Raise the " +
+          "vacuum retention above the stream's maximum lag, or set " +
+          "failOnDataLoss=false to continue with the best-effort diff " +
+          "against the newest survivor")
     val df = if (cdf) cdfBatch(versions) else appendBatch(versions)
     // a Source's batch must carry isStreaming=true; the only
     // constructor for that is SparkSession.internalCreateDataFrame

@@ -57,7 +57,7 @@ object LakeStream {
       val q = stream.writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.ProcessingTime(0))
+        .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // scan-back guard: see EventStream.drainMatview
           if (batchId > Export.lastAppliedBatch(silverDir)) {
@@ -67,8 +67,7 @@ object LakeStream {
           ()
         }
         .start()
-      q.processAllAvailable()
-      q.stop()
+      q.awaitTermination()
     }
     Export.readSnapshot(spark, silverDir,
       Export.latestSnapshotVersion(silverDir))
@@ -100,7 +99,7 @@ object LakeStream {
       val q = stream.writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.ProcessingTime(0))
+        .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // scan-back guard: see EventStream.drainMatview
           if (batchId > Export.lastAppliedBatch(feedDir)) {
@@ -110,8 +109,7 @@ object LakeStream {
           ()
         }
         .start()
-      q.processAllAvailable()
-      q.stop()
+      q.awaitTermination()
     }
     Export.readSnapshot(spark, feedDir,
       Export.latestSnapshotVersion(feedDir))

@@ -171,6 +171,74 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(got.toSeq.sorted === want.sorted)
   }
 
+  test("Trigger.AvailableNow drains version-per-batch and SELF-" +
+      "TERMINATES at the end pinned when the trigger started") {
+    val table = tmp("glk-availnow")
+    val slices = Seq(rows(0, 4), rows(4, 6), rows(6, 9))
+    slices.foreach(df =>
+      Export.appendSnapshot(spark, df, table.getAbsolutePath))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int)]
+    val q = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "1")
+      .load(table.getAbsolutePath)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        tmp("glk-availnow-cp").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        got.synchronized { got += ((id, b.count().toInt)) }
+        ()
+      }.start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must terminate on its own")
+    assert(got.filter(_._2 > 0).map(_._2).toSeq === Seq(4, 2, 3),
+      "one batch per version, in commit order")
+  }
+
+  test("a mid-stream vacuumed version FAILS the stream by default " +
+      "(failOnDataLoss); opting out serves the best-effort diff") {
+    val table = tmp("glk-dataloss")
+    val cp = tmp("glk-dataloss-cp")
+    Export.appendSnapshot(spark, rows(0, 3), table.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(3, 5), table.getAbsolutePath)
+    val first = drain(spark.readStream.format("graftlake")
+      .load(table.getAbsolutePath), cp).flatMap(_._2)
+    assert(first.map(_._1).sorted === (0L until 5L))
+    Export.appendSnapshot(spark, rows(5, 7), table.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(7, 8), table.getAbsolutePath)
+    // keep only v4: v3 (and the stream's diff base v2) vanish
+    Export.vacuumSnapshots(table.getAbsolutePath, keep = 1,
+      horizonMs = 0L)
+    val ex = intercept[StreamingQueryException] {
+      drain(spark.readStream.format("graftlake")
+        .load(table.getAbsolutePath), cp)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("failOnDataLoss")))
+    // best-effort: v4's diff has no surviving base -> re-serves the
+    // accumulated state; the stream is told exactly that trade
+    val healed = drain(spark.readStream.format("graftlake")
+      .option("failOnDataLoss", "false")
+      .load(table.getAbsolutePath), cp).flatMap(_._2)
+    assert(healed.map(_._1).sorted === (0L until 8L))
+  }
+
+  test("a fresh stream over a HEAD-vacuumed log serves the first " +
+      "survivor's accumulated state once, no loss flagged") {
+    val table = tmp("glk-headvac")
+    Export.appendSnapshot(spark, rows(0, 3), table.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(3, 6), table.getAbsolutePath)
+    Export.vacuumSnapshots(table.getAbsolutePath, keep = 1,
+      horizonMs = 0L)
+    val got = drain(spark.readStream.format("graftlake")
+        .load(table.getAbsolutePath), tmp("glk-headvac-cp"))
+      .flatMap(_._2)
+    assert(got.map(_._1).sorted === (0L until 6L))
+  }
+
   test("the stream schema is the committed schema; an un-evolved old " +
       "epoch's absent column null-fills") {
     val table = tmp("glk-schema")
