@@ -239,6 +239,36 @@ object Events {
       |FROM events WHERE event_type = 'click'
       |ORDER BY user_id, ts_us, value""".stripMargin
 
+  /** Streaming UPSERT through the `graftlake` SINK's Update mode
+    * ([[graft.streaming.LakeStream.medallionUpsert]]): the bronze event
+    * log streamed version-per-batch and merged into a keyed silver
+    * table by `writeStream.outputMode("update").option("mergeKeys",
+    * ...)` — the sink owns both the exactly-once `#batch=` guard and
+    * the order-resolved merge, so CDC apply is zero caller code. The
+    * settled table must equal the GLOBAL per-key resolution (the
+    * associativity law), replayed by DuckDB with one window. */
+  def q_stream_lakeupsert(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_lup_${math.abs(dir.hashCode)}")
+    val bronze = new File("target/qtmp_stream",
+      s"lupbronze_${math.abs(dir.hashCode)}")
+    val silver = new File("target/qtmp_stream",
+      s"lupsilver_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(bronze); deleteRec(silver)
+    graft.streaming.LakeStream.medallionUpsert(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, bronze.getAbsolutePath,
+        silver.getAbsolutePath)
+      .orderBy("event_type", "user_id")
+  }
+
+  val q_stream_lakeupsert_sql: String =
+    """SELECT user_id, ts_us, event_type, value FROM (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+      |    row_number() OVER (PARTITION BY event_type, user_id
+      |                       ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY event_type, user_id""".stripMargin
+
   /** CHANGE-DATA-FEED streaming read
     * ([[graft.streaming.LakeStream.cdfDocuments]]): a documents lake
     * table built as two appends then a copy-on-write DELETE is streamed

@@ -2,10 +2,11 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.operators.Export
@@ -71,7 +72,8 @@ import graft.operators.Export
   * `FileStreamSource` and Delta's source make.
   */
 final class GraftLakeDataSource
-    extends StreamSourceProvider with DataSourceRegister {
+    extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graftlake"
 
@@ -84,6 +86,12 @@ final class GraftLakeDataSource
       schema: Option[StructType], providerName: String,
       params: Map[String, String]): Source =
     new GraftLakeSource(ctx.sparkSession, params)
+
+  override def createSink(ctx: SQLContext,
+      params: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink =
+    new GraftLakeSink(ctx.sparkSession, params, partitionColumns,
+      outputMode)
 }
 
 object GraftLakeSource {
@@ -125,6 +133,23 @@ object GraftLakeSource {
     if (cdfOf(params))
       base.add(ChangeCol, StringType).add(CommitVersionCol, LongType)
     else base
+  }
+
+  /** Re-plan `df`'s physical rows as a fresh (streaming or batch)
+    * frame. Both halves of the DSv1 contract need it: a Source's batch
+    * must carry isStreaming=true, and a Sink's incoming frame is
+    * streaming-planned (actions like `.write` refuse it) so it must be
+    * rebound as a batch frame first — the ForeachBatchSink pattern. The
+    * only constructor is `SparkSession.internalCreateDataFrame`
+    * (private[sql], public in bytecode) — the same seam every DSv1
+    * connector outside org.apache.spark uses. */
+  private[sources] def internalFrame(spark: SparkSession, df: DataFrame,
+      isStreaming: Boolean): DataFrame = {
+    val m = spark.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
+      java.lang.Boolean.TYPE)
+    m.invoke(spark, df.queryExecution.toRdd, df.schema,
+      java.lang.Boolean.valueOf(isStreaming)).asInstanceOf[DataFrame]
   }
 }
 
@@ -290,13 +315,8 @@ final class GraftLakeSource(spark: SparkSession,
     spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
 
-  private def asStreaming(df: DataFrame): DataFrame = {
-    val m = spark.getClass.getMethod("internalCreateDataFrame",
-      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
-      java.lang.Boolean.TYPE)
-    m.invoke(spark, df.queryExecution.toRdd, df.schema,
-      java.lang.Boolean.TRUE).asInstanceOf[DataFrame]
-  }
+  private def asStreaming(df: DataFrame): DataFrame =
+    GraftLakeSource.internalFrame(spark, df, isStreaming = true)
 
   override def stop(): Unit = ()
 

@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.{Export, Merge}
+
+/** STREAMING SINK into a graft snapshot table — the write half of
+  * `format("graftlake")`, so a lake-to-lake pipeline is pure format
+  * API at both ends:
+  *
+  *   df.writeStream.format("graftlake")
+  *     .option("path", tableDir).partitionBy("dt")
+  *     .outputMode("append").start()
+  *
+  * Exactly-once is BUILT IN, not caller boilerplate: every commit
+  * carries the micro-batch id as the `#batch=` manifest header, and
+  * [[addBatch]] refuses a batch id at or below the table's high-water
+  * mark — the same guard the foreachBatch pipelines hand-roll, moved
+  * behind the format so a plain `writeStream` is idempotent under the
+  * engine's replay storms. Output modes map to the lake's commit kinds:
+  *
+  *  - `Append` → one epoch per micro-batch ([[Export.appendSnapshot]];
+  *    with `.partitionBy(...)`, a hive-laid-out epoch via
+  *    [[Export.appendSnapshotPartitioned]]).
+  *  - `Complete` → each batch is the full result; the commit REPLACES
+  *    the table head ([[Export.replaceSnapshot]]) — the materialized-
+  *    view sink, every refresh time-travel-readable.
+  *  - `Update` → requires `mergeKeys` (+ optional `orderBy`): each
+  *    batch upserts by key with ORDER-RESOLVED merges
+  *    ([[Merge.upsertLatest]] semantics — per key the max-by-(orderBy,
+  *    full row) record survives, so out-of-order feeds settle to the
+  *    global resolution). With `.partitionBy(cols ⊆ mergeKeys)` the
+  *    rewrite is partition-scoped ([[Export.mergeSnapshotPartitionedLatest]]).
+  *
+  * Options: `path` (required), `filesPerCommit` (default 1 — epoch
+  * width), `autoCompactEvery` = N (unpartitioned tables: after every
+  * Nth version, fold the accumulated small epochs into one
+  * [[Export.compactSnapshot]] commit — the small-file answer for
+  * epoch-per-micro-batch ingest; the compaction carries the `#batch=`
+  * watermark forward, so exactly-once survives it), `mergeKeys`,
+  * `orderBy` (comma-separated).
+  *
+  * Scale shape: a micro-batch commit is one epoch write + one manifest
+  * rename; the guard is one manifest-header scan-back. State lives in
+  * the table's log, not the sink — a crashed query resumes from the
+  * engine checkpoint and the guard swallows the replayed batch.
+  */
+final class GraftLakeSink(spark: SparkSession,
+    params: Map[String, String], partitionCols: Seq[String],
+    mode: OutputMode) extends Sink {
+
+  private def opt(key: String): Option[String] =
+    params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v
+    }
+
+  private val path = opt("path").getOrElse(
+    throw new IllegalArgumentException(
+      "graftlake sink needs a table directory: .option(\"path\", dir)"))
+  private val filesPerCommit = opt("filesPerCommit").map(_.toInt)
+    .getOrElse(1)
+  require(filesPerCommit >= 1,
+    s"filesPerCommit must be >= 1, got $filesPerCommit")
+  private val autoCompactEvery = opt("autoCompactEvery").map(_.toInt)
+  autoCompactEvery.foreach(n => require(n >= 2,
+    s"autoCompactEvery must be >= 2, got $n"))
+  require(autoCompactEvery.isEmpty || partitionCols.isEmpty,
+    "autoCompactEvery compacts the whole table and would flatten the " +
+      "partition layout - use lake-compact --partition maintenance " +
+      "for partitioned tables")
+  private val mergeKeys = opt("mergeKeys").toSeq
+    .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  private val orderCols = opt("orderBy").toSeq
+    .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  if (mode == OutputMode.Update()) {
+    require(mergeKeys.nonEmpty,
+      "Update mode needs .option(\"mergeKeys\", \"k1,k2\") - each " +
+        "batch upserts by key with order-resolved merges")
+    require(orderCols.nonEmpty,
+      "Update mode needs .option(\"orderBy\", \"ts,...\") - the " +
+        "sequence columns that resolve out-of-order updates")
+  } else require(mergeKeys.isEmpty,
+    "mergeKeys is only meaningful in Update mode")
+  if (partitionCols.nonEmpty && mergeKeys.nonEmpty)
+    require(partitionCols.forall(mergeKeys.contains),
+      s"partition columns ${partitionCols.mkString(",")} must be a " +
+        s"subset of mergeKeys ${mergeKeys.mkString(",")} - the law " +
+        "that makes per-partition merge equal the global merge")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    synchronized {
+      // exactly-once: the engine replays the last uncommitted batch on
+      // recovery; the manifest's #batch= high-water mark refuses it
+      if (batchId <= Export.lastAppliedBatch(path)) return
+      // the incoming frame is streaming-planned (actions refuse it);
+      // rebind its physical rows as a batch frame first
+      val batch = GraftLakeSource.internalFrame(spark, data,
+        isStreaming = false)
+      val meta = Map("batch" -> batchId.toString)
+      if (mode == OutputMode.Complete())
+        Export.replaceSnapshot(spark, batch, path, meta)
+      else if (mode == OutputMode.Update()) {
+        if (partitionCols.nonEmpty)
+          Export.mergeSnapshotPartitionedLatest(spark, path, batch,
+            mergeKeys, partitionCols, orderCols,
+            nFiles = filesPerCommit, meta = meta)
+        else {
+          val latest = Export.latestSnapshotVersion(path)
+          val base =
+            if (latest == 0) batch.limit(0)
+            else Export.readSnapshot(spark, path, latest)
+          Export.replaceSnapshot(spark,
+            Merge.upsertLatest(base, batch, mergeKeys, orderCols)
+              .coalesce(filesPerCommit),
+            path, meta)
+        }
+      } else {
+        if (partitionCols.nonEmpty)
+          Export.appendSnapshotPartitioned(spark, batch, path,
+            partitionCols, nFiles = filesPerCommit, meta = meta)
+        else
+          Export.appendSnapshot(spark,
+            batch.coalesce(filesPerCommit), path, meta = meta)
+      }
+      autoCompactEvery.foreach { n =>
+        val v = Export.latestSnapshotVersion(path)
+        if (v % n == 0) Export.compactSnapshot(spark, path,
+          nFiles = filesPerCommit)
+      }
+    }
+
+  override def toString: String = s"GraftLakeSink[$path, $mode]"
+}

@@ -54,18 +54,44 @@ object LakeStream {
       .filter(col("event_type") === "click")
       .select("user_id", "ts_us", "value")
     withStreamShuffle(spark) {
-      val q = stream.writeStream
+      // pure format API at both ends: the sink owns the exactly-once
+      // #batch= guard, no foreachBatch boilerplate
+      val q = stream.writeStream.format("graftlake")
+        .option("path", silverDir)
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // scan-back guard: see EventStream.drainMatview
-          if (batchId > Export.lastAppliedBatch(silverDir)) {
-            Export.appendSnapshot(spark, batch, silverDir,
-              meta = Map("batch" -> batchId.toString))
-          }
-          ()
-        }
+        .start()
+      q.awaitTermination()
+    }
+    Export.readSnapshot(spark, silverDir,
+      Export.latestSnapshotVersion(silverDir))
+  }
+
+  /** Streaming UPSERT through the sink's Update mode: the bronze event
+    * log streamed version-per-batch and merged into a keyed silver
+    * table with ORDER-RESOLVED merges — per (event_type, user_id) the
+    * max-by-(ts_us, value) record survives, so however the feed is
+    * batched, the settled table equals the GLOBAL per-key resolution
+    * (associativity of [[graft.operators.Merge.upsertLatest]]), which
+    * is what the oracle replays with one window. The
+    * `writeStream.outputMode("update").option("mergeKeys", ...)` shape —
+    * CDC apply with zero caller code. */
+  def medallionUpsert(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, bronzeDir: String,
+      silverDir: String): DataFrame = {
+    buildBronzeEvents(spark, srcParquet, bronzeDir, nSlices = 3)
+    val stream = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "1")
+      .load(bronzeDir)
+    withStreamShuffle(spark) {
+      val q = stream.writeStream.format("graftlake")
+        .option("path", silverDir)
+        .option("mergeKeys", "event_type,user_id")
+        .option("orderBy", "ts_us,value")
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
@@ -96,18 +122,11 @@ object LakeStream {
       .option("maxVersionsPerTrigger", "1")
       .load(tableDir)
     withStreamShuffle(spark) {
-      val q = stream.writeStream
+      val q = stream.writeStream.format("graftlake")
+        .option("path", feedDir)
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // scan-back guard: see EventStream.drainMatview
-          if (batchId > Export.lastAppliedBatch(feedDir)) {
-            Export.appendSnapshot(spark, batch, feedDir,
-              meta = Map("batch" -> batchId.toString))
-          }
-          ()
-        }
         .start()
       q.awaitTermination()
     }

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.operators.Export
+
+/** Laws of the graftlake STREAMING SINK: built-in exactly-once batch
+  * guard, output-mode → commit-kind mapping (append / replace /
+  * order-resolved upsert), partitionBy layout, autoCompact, and the
+  * option validation surface. */
+class GraftLakeSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): File =
+    Files.createTempDirectory(prefix).toFile
+
+  private def sink(dir: File, mode: OutputMode,
+      opts: Map[String, String] = Map.empty,
+      partitionCols: Seq[String] = Seq.empty) =
+    new GraftLakeSink(spark, opts + ("path" -> dir.getAbsolutePath),
+      partitionCols, mode)
+
+  private def rows(lo: Int, hi: Int): DataFrame =
+    (lo until hi).map(i => (i.toLong, s"d$i", i % 3)).toDF("id", "s", "m")
+
+  test("append: one epoch per batch, #batch= carried, replayed batch " +
+      "ids REFUSED (at and below the high-water mark)") {
+    val t = tmp("gls-append")
+    val s = sink(t, OutputMode.Append())
+    s.addBatch(0, rows(0, 3))
+    s.addBatch(1, rows(3, 5))
+    s.addBatch(1, rows(90, 95)) // replay: same id, different rows
+    s.addBatch(0, rows(90, 95)) // replay: older id
+    assert(Export.latestSnapshotVersion(t.getAbsolutePath) === 2)
+    assert(Export.lastAppliedBatch(t.getAbsolutePath) === 1L)
+    val got = Export.readSnapshot(spark, t.getAbsolutePath, 2)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 5L))
+  }
+
+  test("Complete mode REPLACES the head each batch; old refreshes " +
+      "time-travel") {
+    val t = tmp("gls-complete")
+    val s = sink(t, OutputMode.Complete())
+    s.addBatch(0, rows(0, 3))
+    s.addBatch(1, rows(10, 12))
+    assert(Export.readSnapshot(spark, t.getAbsolutePath, 2)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(10L, 11L))
+    assert(Export.readSnapshot(spark, t.getAbsolutePath, 1)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("Update mode upserts by key with order-resolved merges; " +
+      "out-of-order batches settle to the global resolution") {
+    val t = tmp("gls-update")
+    val s = sink(t, OutputMode.Update(),
+      Map("mergeKeys" -> "id", "orderBy" -> "seq"))
+    def kv(triples: (Long, String, Int)*): DataFrame =
+      triples.toDF("id", "s", "seq")
+    s.addBatch(0, kv((1L, "new", 5), (2L, "b0", 1)))
+    // older seq for key 1 arrives LATE - must lose
+    s.addBatch(1, kv((1L, "stale", 2), (3L, "c0", 7)))
+    val got = Export.readSnapshot(spark, t.getAbsolutePath,
+        Export.latestSnapshotVersion(t.getAbsolutePath))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "new", 5), (2L, "b0", 1), (3L, "c0", 7)))
+  }
+
+  test("partitionBy lays out hive-style epochs; the partition-pruned " +
+      "read plans only matching files") {
+    val t = tmp("gls-part")
+    val s = sink(t, OutputMode.Append(),
+      partitionCols = Seq("m"))
+    s.addBatch(0, rows(0, 6))
+    s.addBatch(1, rows(6, 9))
+    val v = Export.latestSnapshotVersion(t.getAbsolutePath)
+    val pruned = Export.readSnapshotPartitioned(spark,
+      t.getAbsolutePath, v, Map("m" -> "1"))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 9L).filter(_ % 3 == 1))
+    // layout proof: manifest lines of matching partitions only
+    val all = Export.snapshotFiles(t.getAbsolutePath, v)
+    assert(all.exists(_.contains("m=1")) && all.exists(_.contains("m=2")))
+  }
+
+  test("autoCompactEvery folds accumulated epochs and carries the " +
+      "batch watermark, so exactly-once survives compaction") {
+    val t = tmp("gls-autocompact")
+    val s = sink(t, OutputMode.Append(),
+      Map("autoCompactEvery" -> "3"))
+    s.addBatch(0, rows(0, 2))
+    s.addBatch(1, rows(2, 4))
+    s.addBatch(2, rows(4, 6)) // version 3 -> compaction commits v4
+    val v = Export.latestSnapshotVersion(t.getAbsolutePath)
+    assert(v === 4)
+    assert(Export.snapshotOperation(t.getAbsolutePath, 4)
+      === Some("compact"))
+    assert(Export.snapshotFiles(t.getAbsolutePath, 4).size === 1)
+    assert(Export.lastAppliedBatch(t.getAbsolutePath) === 2L)
+    s.addBatch(2, rows(50, 55)) // replay after compaction: refused
+    assert(Export.latestSnapshotVersion(t.getAbsolutePath) === 4)
+    assert(Export.readSnapshot(spark, t.getAbsolutePath, 4)
+      .select("id").as[Long].collect().sorted.toSeq === (0L until 6L))
+  }
+
+  test("option validation: Update needs mergeKeys+orderBy, mergeKeys " +
+      "only in Update, partitions must be a subset of keys, " +
+      "autoCompact refuses partitioned tables") {
+    val t = tmp("gls-validate")
+    intercept[IllegalArgumentException](sink(t, OutputMode.Update()))
+    intercept[IllegalArgumentException](sink(t, OutputMode.Update(),
+      Map("mergeKeys" -> "id")))
+    intercept[IllegalArgumentException](sink(t, OutputMode.Append(),
+      Map("mergeKeys" -> "id")))
+    intercept[IllegalArgumentException](sink(t, OutputMode.Update(),
+      Map("mergeKeys" -> "id", "orderBy" -> "seq"),
+      partitionCols = Seq("m")))
+    intercept[IllegalArgumentException](sink(t, OutputMode.Append(),
+      Map("autoCompactEvery" -> "3"), partitionCols = Seq("m")))
+  }
+
+  test("end-to-end through the engine: readStream graftlake -> " +
+      "writeStream graftlake equals the batch transform") {
+    val src = tmp("gls-e2e-src")
+    val dst = tmp("gls-e2e-dst")
+    Export.appendSnapshot(spark, rows(0, 5), src.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(5, 9), src.getAbsolutePath)
+    val q = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "1")
+      .load(src.getAbsolutePath)
+      .filter(col("m") =!= 2)
+      .writeStream.format("graftlake")
+      .option("path", dst.getAbsolutePath)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("gls-e2e-cp").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(Export.latestSnapshotVersion(dst.getAbsolutePath) === 2)
+    val got = Export.readSnapshot(spark, dst.getAbsolutePath, 2)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 9L).filter(_ % 3 != 2))
+  }
+}
