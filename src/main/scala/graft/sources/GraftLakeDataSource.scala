@@ -44,6 +44,14 @@ import graft.operators.Export
   *  - `readChangeFeed` (default false): CDF mode — serve per-version
   *    CHANGES instead of appended rows: bag-diff rows tagged `_change`
   *    (insert/delete) + `_commit_version`, every commit kind legal.
+  *  - `where` / `select`: predicate and projection applied INSIDE the
+  *    per-batch plan, BEFORE the row boundary the DSv1 contract forces
+  *    (a Source's batch is re-planned from its physical rows, so a
+  *    filter applied downstream of `load()` cannot reach the parquet
+  *    scan). `where` lands as `PushedFilters` / row-group skipping and
+  *    `select` as `ReadSchema` pruning on every micro-batch's scan —
+  *    at 100 TB per-commit epochs, that's the difference between
+  *    scanning the columns you need and scanning the table width.
   *  - `failOnDataLoss` (default true): a mid-stream version gap means
   *    retention vacuumed commits the stream had not served (and its
   *    diff base with them) — fail loudly rather than silently re-serve;
@@ -127,9 +135,19 @@ object GraftLakeSource {
           "(pre-header legacy manifest) - recommit the table"))
   }
 
+  /** Stream schema after the source-side projection/CDF columns. */
   private[sources] def schemaFor(params: Map[String, String])
       : StructType = {
-    val base = dataSchemaFor(params)
+    val base0 = dataSchemaFor(params)
+    val base = opt(params, "select") match {
+      case Some(cols) =>
+        val want = cols.split(',').map(_.trim).filter(_.nonEmpty)
+        StructType(want.map(c => base0.fields.find(_.name == c)
+          .getOrElse(throw new IllegalArgumentException(
+            s"select names unknown column '$c' (table has " +
+              s"${base0.fieldNames.mkString(", ")})"))))
+      case None => base0
+    }
     if (cdfOf(params))
       base.add(ChangeCol, StringType).add(CommitVersionCol, LongType)
     else base
@@ -164,6 +182,7 @@ final class GraftLakeSource(spark: SparkSession,
     opt(params, "skipChangeCommits").exists(_.toBoolean)
   private val failOnDataLoss =
     opt(params, "failOnDataLoss").forall(_.toBoolean)
+  private val whereClause = opt(params, "where")
   private val maxVersions =
     opt(params, "maxVersionsPerTrigger").map(_.toLong)
   maxVersions.foreach(k => require(k >= 1,
@@ -261,12 +280,22 @@ final class GraftLakeSource(spark: SparkSession,
           "vacuum retention above the stream's maximum lag, or set " +
           "failOnDataLoss=false to continue with the best-effort diff " +
           "against the newest survivor")
-    val df = if (cdf) cdfBatch(versions) else appendBatch(versions)
-    // a Source's batch must carry isStreaming=true; the only
-    // constructor for that is SparkSession.internalCreateDataFrame
+    // `where` and the `select` projection are applied INSIDE this plan,
+    // upstream of the row boundary asStreaming forces — so Catalyst
+    // pushes them into the per-batch parquet scan (PushedFilters /
+    // ReadSchema); a filter applied downstream of load() cannot get
+    // there. A Source's batch must then carry isStreaming=true; the
+    // only constructor is SparkSession.internalCreateDataFrame
     // (private[sql], public in bytecode) - the same seam every DSv1
-    // source outside org.apache.spark uses
-    asStreaming(df.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    // source outside org.apache.spark uses.
+    val df =
+      if (versions.isEmpty) emptyFrame(schema)
+      else {
+        val raw = if (cdf) cdfBatch(versions) else appendBatch(versions)
+        whereClause.fold(raw)(w => raw.filter(expr(w)))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+    asStreaming(df)
   }
 
   /** Appends-only batch: the union of the versions' ADDED files read

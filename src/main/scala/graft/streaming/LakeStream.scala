@@ -48,11 +48,14 @@ object LakeStream {
       checkpointDir: String, bronzeDir: String,
       silverDir: String): DataFrame = {
     buildBronzeEvents(spark, srcParquet, bronzeDir, nSlices = 3)
+    // filter + projection as SOURCE options: applied inside each batch
+    // plan, so they reach the parquet scan as PushedFilters/ReadSchema
+    // (a downstream .filter can't cross the DSv1 row boundary)
     val stream = spark.readStream.format("graftlake")
       .option("maxVersionsPerTrigger", "1")
+      .option("where", "event_type = 'click'")
+      .option("select", "user_id,ts_us,value")
       .load(bronzeDir)
-      .filter(col("event_type") === "click")
-      .select("user_id", "ts_us", "value")
     withStreamShuffle(spark) {
       // pure format API at both ends: the sink owns the exactly-once
       // #batch= guard, no foreachBatch boilerplate

@@ -239,6 +239,35 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(got.map(_._1).sorted === (0L until 6L))
   }
 
+  test("source-side where/select: the stream schema is the projection, " +
+      "rows are pre-filtered, and unknown select columns are refused") {
+    val table = tmp("glk-pushdown")
+    Export.appendSnapshot(spark, rows(0, 6), table.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(6, 10), table.getAbsolutePath)
+    val stream = spark.readStream.format("graftlake")
+      .option("where", "m = 1")
+      .option("select", "id,m")
+      .load(table.getAbsolutePath)
+    assert(stream.schema.fieldNames.toSeq === Seq("id", "m"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        tmp("glk-pushdown-cp").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.select("id").collect().map(_.getLong(0))
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(120000))
+    assert(got.sorted.toSeq === (0L until 10L).filter(_ % 3 == 1))
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graftlake")
+        .option("select", "id,nope").load(table.getAbsolutePath).schema
+    }
+  }
+
   test("the stream schema is the committed schema; an un-evolved old " +
       "epoch's absent column null-fills") {
     val table = tmp("glk-schema")
