@@ -30,8 +30,12 @@ import graft.operators.Export
   * log with no source-side state.
   *
   * Options (mirroring the Delta source's contract):
-  *  - `startingVersion` (default 1): first version to serve; earlier
-  *    commits are the "initial snapshot" a fresh pipeline may not want.
+  *  - `startingVersion` (default 1): first version to serve, or
+  *    `latest` to tail only commits made after the stream is created.
+  *    A fresh stream whose first served version is the log's first
+  *    SURVIVOR serves that manifest whole regardless of its commit
+  *    kind — it IS the accumulated state (the Delta initial-snapshot
+  *    semantics), so compacted-then-vacuumed logs bootstrap cleanly.
   *  - `maxVersionsPerTrigger`: admission control — cap versions
   *    admitted per micro-batch so a stream catching up on a long log
   *    re-plays it in bounded bites instead of one giant batch.
@@ -187,9 +191,15 @@ final class GraftLakeSource(spark: SparkSession,
     opt(params, "maxVersionsPerTrigger").map(_.toLong)
   maxVersions.foreach(k => require(k >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $k"))
-  /** Versions <= floor are never served. */
-  private val floor: Long =
-    opt(params, "startingVersion").map(_.toLong - 1).getOrElse(0L)
+  /** Versions <= floor are never served. `startingVersion=latest`
+    * pins the floor to the head at stream creation — tail-only, the
+    * "new data from now on" mode. */
+  private val floor: Long = opt(params, "startingVersion") match {
+    case Some(s) if s.equalsIgnoreCase("latest") =>
+      Export.latestSnapshotVersion(pathOf(params)).toLong
+    case Some(s) => s.toLong - 1
+    case None => 0L
+  }
   require(floor >= 0,
     s"startingVersion must be >= 1, got ${floor + 1}")
 
@@ -291,7 +301,24 @@ final class GraftLakeSource(spark: SparkSession,
     val df =
       if (versions.isEmpty) emptyFrame(schema)
       else {
-        val raw = if (cdf) cdfBatch(versions) else appendBatch(versions)
+        // INITIAL-SNAPSHOT bootstrap: when a FRESH stream's first
+        // served version is the log's FIRST SURVIVOR, that manifest IS
+        // the accumulated table state (no earlier survivor to diff
+        // against - snapshotAddedFiles returns it whole), so it is
+        // served regardless of its commit kind: a fresh stream over a
+        // compacted-then-vacuumed log starts cleanly instead of
+        // refusing the compaction commit. Every LATER version is a
+        // real change and the append rules apply; an explicit
+        // startingVersion ABOVE the first survivor gets no exemption
+        // (a change commit there serves partial rewrites - refuse).
+        val minSurvivor = Export.snapshotVersions(path)
+          .headOption.map(_.toLong)
+        val snapshotBoot =
+          start.isEmpty && minSurvivor.contains(versions.head)
+        val raw =
+          if (cdf) cdfBatch(versions)
+          else appendBatch(versions, bootVersion =
+            if (snapshotBoot) Some(versions.head) else None)
         whereClause.fold(raw)(w => raw.filter(expr(w)))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       }
@@ -303,9 +330,12 @@ final class GraftLakeSource(spark: SparkSession,
     * manifests only. Non-append commits fail loudly (or are skipped
     * under `skipChangeCommits`): their added files are REWRITES of rows
     * the stream already served, not new data. */
-  private def appendBatch(versions: Seq[Long]): DataFrame = {
+  private def appendBatch(versions: Seq[Long],
+      bootVersion: Option[Long]): DataFrame = {
     val files = versions.flatMap { v =>
       Export.snapshotOperation(path, v.toInt) match {
+        case _ if bootVersion.contains(v) =>
+          Export.snapshotAddedFiles(path, v.toInt)
         case Some("append") | None =>
           Export.snapshotAddedFiles(path, v.toInt)
         case Some(_) if skipChange => Seq.empty[String]

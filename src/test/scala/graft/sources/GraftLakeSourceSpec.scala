@@ -226,6 +226,61 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(healed.map(_._1).sorted === (0L until 8L))
   }
 
+  test("initial-snapshot bootstrap: a fresh stream over a compacted-" +
+      "then-vacuumed log serves the surviving compaction whole instead " +
+      "of refusing it; later change commits still refuse") {
+    val table = tmp("glk-bootcompact")
+    Export.appendSnapshot(spark, rows(0, 4), table.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(4, 7), table.getAbsolutePath)
+    Export.compactSnapshot(spark, table.getAbsolutePath)
+    Export.vacuumSnapshots(table.getAbsolutePath, keep = 1,
+      horizonMs = 0L)
+    Export.appendSnapshot(spark, rows(7, 9), table.getAbsolutePath)
+    val got = drain(spark.readStream.format("graftlake")
+        .load(table.getAbsolutePath), tmp("glk-bootcompact-cp"))
+      .flatMap(_._2)
+    assert(got.map(_._1).sorted === (0L until 9L))
+    // the exemption is bootstrap-only: a fresh stream pointed ABOVE
+    // the first survivor still refuses a change commit there
+    Export.compactSnapshot(spark, table.getAbsolutePath)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(spark.readStream.format("graftlake")
+        .option("startingVersion",
+          Export.latestSnapshotVersion(table.getAbsolutePath).toString)
+        .load(table.getAbsolutePath), tmp("glk-bootcompact-cp2"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("skipChangeCommits")))
+  }
+
+  test("startingVersion=latest tails only commits made after the " +
+      "stream existed") {
+    val table = tmp("glk-tail")
+    Export.appendSnapshot(spark, rows(0, 5), table.getAbsolutePath)
+    Export.appendSnapshot(spark, rows(5, 7), table.getAbsolutePath)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graftlake")
+      .option("startingVersion", "latest")
+      .load(table.getAbsolutePath)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("glk-tail-cp").getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.select("id").collect().map(_.getLong(0))
+        }
+        ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.isEmpty, "nothing committed since stream creation")
+    Export.appendSnapshot(spark, rows(7, 9), table.getAbsolutePath)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted.toSeq === Seq(7L, 8L))
+  }
+
   test("a fresh stream over a HEAD-vacuumed log serves the first " +
       "survivor's accumulated state once, no loss flagged") {
     val table = tmp("glk-headvac")
