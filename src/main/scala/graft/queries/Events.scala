@@ -239,6 +239,37 @@ object Events {
       |FROM events WHERE event_type = 'click'
       |ORDER BY user_id, ts_us, value""".stripMargin
 
+  /** STREAMING CORPUS CURATION
+    * ([[graft.streaming.LakeStream.curationStream]]): the raw documents
+    * bronze table streamed version-per-batch, scored with the
+    * integer-exact quality + language-ID kernels, filtered
+    * (`quality >= 60 AND lang_pred != 'und'`), and landed in a curated
+    * silver lake table — `format("graftlake")` at both ends,
+    * exactly-once, time-travel-readable throughout. DuckDB replays the
+    * identical score formulas over the raw parquet. */
+  def q_stream_curate(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_cur_${math.abs(dir.hashCode)}")
+    val bronze = new File("target/qtmp_stream",
+      s"curbronze_${math.abs(dir.hashCode)}")
+    val silver = new File("target/qtmp_stream",
+      s"cursilver_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(bronze); deleteRec(silver)
+    graft.streaming.LakeStream.curationStream(s,
+        s"$dir/documents.parquet", cp.getAbsolutePath,
+        bronze.getAbsolutePath, silver.getAbsolutePath)
+      .orderBy("doc_id")
+  }
+
+  val q_stream_curate_sql: String = {
+    val q = graft.operators.TextAnalysis.qualityScoreSql("text")
+    val l = graft.operators.TextAnalysis.langIdSql("text")
+    s"""SELECT doc_id, lang, $q AS quality, $l AS lang_pred
+       |FROM documents
+       |WHERE $q >= 60 AND $l != 'und'
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Streaming UPSERT through the `graftlake` SINK's Update mode
     * ([[graft.streaming.LakeStream.medallionUpsert]]): the bronze event
     * log streamed version-per-batch and merged into a keyed silver

@@ -102,6 +102,46 @@ object LakeStream {
       Export.latestSnapshotVersion(silverDir))
   }
 
+  /** STREAMING CORPUS CURATION — the production composition this
+    * round's format exists for: a raw documents bronze table (three
+    * append commits) streamed version-per-batch, scored with the
+    * engine's integer-exact quality/language kernels, filtered, and
+    * landed in a curated silver lake table — `format("graftlake")` at
+    * both ends, exactly-once by construction, every intermediate state
+    * of both tables time-travel-readable while the stream runs. The
+    * settled silver must equal the one-shot batch curation of the raw
+    * corpus, which DuckDB replays from the identical score formulas. */
+  def curationStream(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, bronzeDir: String,
+      silverDir: String): DataFrame = {
+    val docs = spark.read.parquet(srcParquet)
+      .select("doc_id", "lang", "text")
+    (0 until 3).foreach { k =>
+      Export.appendSnapshot(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), bronzeDir)
+    }
+    val stream = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "1")
+      .load(bronzeDir)
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextAnalysis.qualityScore(col("text"))
+          .as("quality"),
+        graft.operators.TextAnalysis.langId(col("text"))
+          .as("lang_pred"))
+      .filter(col("quality") >= 60 && col("lang_pred") =!= "und")
+    withStreamShuffle(spark) {
+      val q = stream.writeStream.format("graftlake")
+        .option("path", silverDir)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Export.readSnapshot(spark, silverDir,
+      Export.latestSnapshotVersion(silverDir))
+  }
+
   /** CHANGE-DATA-FEED consumption: a documents table built as two
     * appends (`doc_id % 2`) then a copy-on-write DELETE
     * (`lang = 'en'`), streamed with `readChangeFeed=true` — every
