@@ -239,6 +239,31 @@ object Events {
       |FROM events WHERE event_type = 'click'
       |ORDER BY user_id, ts_us, value""".stripMargin
 
+  /** Materialized view through the `graftlake` sink's Complete mode
+    * ([[graft.streaming.LakeStream.matviewStream]]): a streaming
+    * aggregation whose every refresh is a head-replacing snapshot
+    * commit under the exactly-once guard — the matview the foreachBatch
+    * pipelines hand-rolled, reduced to `outputMode("complete")` +
+    * `format("graftlake")`. The settled head must equal the one-shot
+    * batch aggregation. */
+  def q_stream_lakematview(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_lmv_${math.abs(dir.hashCode)}")
+    val bronze = new File("target/qtmp_stream",
+      s"lmvbronze_${math.abs(dir.hashCode)}")
+    val mv = new File("target/qtmp_stream",
+      s"lmvtable_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(bronze); deleteRec(mv)
+    graft.streaming.LakeStream.matviewStream(s, s"$dir/events.parquet",
+        cp.getAbsolutePath, bronze.getAbsolutePath, mv.getAbsolutePath)
+      .orderBy("user_id")
+  }
+
+  val q_stream_lakematview_sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  max(epoch_us(ts)) AS last_ts_us
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** STREAMING CORPUS CURATION
     * ([[graft.streaming.LakeStream.curationStream]]): the raw documents
     * bronze table streamed version-per-batch, scored with the

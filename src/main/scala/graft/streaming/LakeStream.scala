@@ -102,6 +102,39 @@ object LakeStream {
       Export.latestSnapshotVersion(silverDir))
   }
 
+  /** MATERIALIZED VIEW through the sink's Complete mode: a streaming
+    * aggregation over the bronze log, each refresh committed as a
+    * head-REPLACING snapshot ([[graft.operators.Export.replaceSnapshot]]
+    * under the sink's exactly-once guard) — the matview pattern the
+    * foreachBatch pipelines hand-rolled, now
+    * `groupBy(...).agg(...).writeStream.format("graftlake")
+    * .outputMode("complete")` and nothing else. Every refresh
+    * time-travels; the settled head must equal the one-shot batch
+    * aggregation, which the oracle replays. */
+  def matviewStream(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, bronzeDir: String,
+      mvDir: String): DataFrame = {
+    buildBronzeEvents(spark, srcParquet, bronzeDir, nSlices = 3)
+    val stream = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "1")
+      .option("select", "user_id,ts_us")
+      .load(bronzeDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts_us")).as("last_ts_us"))
+    withStreamShuffle(spark) {
+      val q = stream.writeStream.format("graftlake")
+        .option("path", mvDir)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Export.readSnapshot(spark, mvDir,
+      Export.latestSnapshotVersion(mvDir))
+  }
+
   /** STREAMING CORPUS CURATION — the production composition this
     * round's format exists for: a raw documents bronze table (three
     * append commits) streamed version-per-batch, scored with the
