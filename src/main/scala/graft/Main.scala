@@ -55,8 +55,36 @@ object Main {
       case "lake-delete" => lakeDelete(opts)
       case "lake-restore" => lakeRestore(opts)
       case "lake-clone" => lakeClone(opts)
+      case "lake-rename" => lakeRename(opts)
+      case "lake-drop-column" => lakeDropColumn(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
+  }
+
+  /** RENAME COLUMN — metadata-only, no data rewrite (column mapping). */
+  private def lakeRename(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val from = o("from").headOption.getOrElse {
+      System.err.println("--from COL is required"); sys.exit(2)
+    }
+    val to = o("to").headOption.getOrElse {
+      System.err.println("--to COL is required"); sys.exit(2)
+    }
+    val v = graft.operators.Export.renameSnapshotColumn(dir, from, to)
+    println(s"renamed column $from -> $to in $dir as version $v " +
+      "(metadata-only, no data rewritten)")
+  }
+
+  /** DROP COLUMN — metadata-only; the physical name is retired so the
+    * dropped bytes can never resurface under a re-added name. */
+  private def lakeDropColumn(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val c = o("column").headOption.getOrElse {
+      System.err.println("--column COL is required"); sys.exit(2)
+    }
+    val v = graft.operators.Export.dropSnapshotColumn(dir, c)
+    println(s"dropped column $c from $dir as version $v " +
+      "(metadata-only; bytes purge via compact + vacuum)")
   }
 
   /** Server mode (reference lightning.go:149-167): long-running HTTP task
@@ -94,7 +122,8 @@ object Main {
         "checkpoint-destroy|checkpoint-error-ignore|verify|serve " +
         "--source DIR --out DIR [opts]\n" +
         "       graft.Main lake-versions|lake-read|lake-compact|" +
-        "lake-vacuum|lake-delete|lake-restore|lake-clone --table DIR " +
+        "lake-vacuum|lake-delete|lake-restore|lake-clone|lake-rename|" +
+        "lake-drop-column --table DIR " +
         "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
         "[--cluster-by COL] [--keep N] [--horizon-ms N] " +
         "[--where SQL_PREDICATE] [--mor] [--dry-run] [--to-version N]")

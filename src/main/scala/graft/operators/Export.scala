@@ -378,7 +378,10 @@ object Export {
     * A losing/crashed attempt just orphans its unreferenced dir, which
     * the next vacuum reclaims. */
   private def writeEpoch(fs: FileSystem, root: Path, version: Int,
-      df: DataFrame): (Path, Seq[String]) = {
+      df0: DataFrame): (Path, Seq[String]) = {
+    // bytes always land under PHYSICAL column names (no-op on tables
+    // that never renamed/dropped - see the column-mapping section)
+    val df = toPhysicalDf(fs, root, df0)
     val epochDir = new Path(root,
       s"epoch=$version-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(epochDir.toString)
@@ -545,6 +548,232 @@ object Export {
     }
   }
 
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING — RENAME/DROP COLUMN with NO data rewrite (the Delta
+  // column-mapping idea, carried in the committed `#schema=` itself).
+  // Every column has a PHYSICAL name — the name its bytes carry in the
+  // data files — recorded as `graft.physical` field metadata when it
+  // differs from the logical name. Physical names are assigned once
+  // and NEVER change: a rename moves only the logical name, so a
+  // 100 TB rename is one manifest commit. Writers always write bytes
+  // under physical names ([[toPhysicalDf]] inside the epoch writers);
+  // the read funnel decodes files by physical name and projects back
+  // to logical ([[readFilesAs]]). Dropped columns retire their
+  // physical name forever (`#retired=` header, carried on every
+  // commit), so a later re-add of the same logical name gets a FRESH
+  // salted physical name and the dropped bytes never resurface.
+  // Tables that never rename/drop take the fast path everywhere: no
+  // metadata, no extra projection, byte-identical behavior.
+  // ------------------------------------------------------------------
+
+  /** Field-metadata key holding the column's physical name. */
+  private val PhysicalKey = "graft.physical"
+
+  private[graft] def physicalOf(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private def withPhysical(f: org.apache.spark.sql.types.StructField,
+      phys: String): org.apache.spark.sql.types.StructField =
+    if (phys == f.name && !f.metadata.contains(PhysicalKey)) f
+    else f.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
+
+  /** logical→physical of the HEAD's committed schema (empty = never
+    * renamed — the fast path). */
+  private def headMapping(fs: FileSystem, root: Path)
+      : Map[String, String] =
+    manifestVersions(fs, root).lastOption
+      .flatMap(v => snapshotMetaOf(fs, root, v).get("schema"))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.iterator
+        .filter(_.metadata.contains(PhysicalKey))
+        .map(f => f.name -> f.metadata.getString(PhysicalKey)).toMap)
+      .getOrElse(Map.empty)
+
+  /** Physical names retired by [[dropSnapshotColumn]], carried forward
+    * on every commit as the `#retired=` header. */
+  private def headRetired(fs: FileSystem, root: Path): Set[String] =
+    manifestVersions(fs, root).lastOption
+      .flatMap(v => snapshotMetaOf(fs, root, v).get("retired"))
+      .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** Non-identity physical names for `names` in a NEW commit: the
+    * head's mapping for known logical names; a fresh salted name when
+    * the logical name collides with a retired or live physical (else
+    * old bytes under that name would resurface); identity otherwise.
+    * Deterministic from the head state — no version in the salt, so a
+    * retried commit resolves identically. */
+  private def resolvePhysical(fs: FileSystem, root: Path,
+      names: Seq[String]): Map[String, String] = {
+    val mapping = headMapping(fs, root)
+    val retired = headRetired(fs, root)
+    if (mapping.isEmpty && retired.isEmpty) Map.empty
+    else {
+      val live = mapping.values.toSet
+      def fresh(n: String): String = {
+        var i = 1
+        var cand = s"${n}__r$i"
+        while (retired(cand) || live(cand)) { i += 1; cand = s"${n}__r$i" }
+        cand
+      }
+      names.flatMap { n =>
+        mapping.get(n) match {
+          case Some(p) => Some(n -> p)
+          case None if retired(n) || live(n) => Some(n -> fresh(n))
+          case None => None
+        }
+      }.toMap
+    }
+  }
+
+  /** The non-identity logical→physical renames an epoch write of `df`
+    * would apply: a field's own `graft.physical` metadata (present when
+    * the frame came off a mapped read) is authoritative; everything
+    * else resolves against the head. */
+  private def physicalRenames(fs: FileSystem, root: Path,
+      df: DataFrame): Map[String, String] = {
+    val own = df.schema.fields.iterator
+      .filter(_.metadata.contains(PhysicalKey))
+      .map(f => f.name -> f.metadata.getString(PhysicalKey)).toMap
+    val resolved = resolvePhysical(fs, root,
+      df.columns.toSeq.filterNot(own.contains))
+    (own ++ resolved).filter { case (l, p) => l != p }
+  }
+
+  /** Rename `df`'s columns to their physical names before an epoch
+    * write. No mapping anywhere → `df` unchanged. */
+  private def toPhysicalDf(fs: FileSystem, root: Path,
+      df: DataFrame): DataFrame = {
+    val m = physicalRenames(fs, root, df)
+    if (m.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(c).as(m.getOrElse(c, c))): _*)
+  }
+
+  /** The stat/zone/bloom/partition writers read freshly-written files
+    * back by their KEY columns and bake those names into manifest tags;
+    * a mapped key (renamed, or a re-added retired name) would make the
+    * readback and every later tag lookup disagree with the bytes.
+    * Refused with the workaround spelled out. */
+  private def requireUnmappedKeys(fs: FileSystem, root: Path,
+      df: DataFrame, keys: Seq[String], what: String): Unit = {
+    val m = physicalRenames(fs, root, df)
+    keys.filter(m.contains).foreach(c =>
+      throw new IllegalArgumentException(s"$what keys its layout/tags " +
+        s"on column '$c', whose physical name differs from its logical " +
+        "name (renamed or re-added after a drop) - key the layout on an " +
+        "unmapped column instead"))
+  }
+
+  /** Stamp the commit schema's fields with the physical names the epoch
+    * writer used ([[toPhysicalDf]] — same resolution, same head). */
+  private def mapSchema(fs: FileSystem, root: Path,
+      schemaJson: String): String = {
+    val st = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val m = resolvePhysical(fs, root,
+      st.fields.filterNot(_.metadata.contains(PhysicalKey))
+        .map(_.name).toSeq)
+    if (m.isEmpty) schemaJson
+    else org.apache.spark.sql.types.StructType(st.fields.map(f =>
+      if (f.metadata.contains(PhysicalKey)) f
+      else m.get(f.name).map(p => withPhysical(f, p)).getOrElse(f))).json
+  }
+
+  /** Manifest stats/partition tags are keyed by the name in force at
+    * write time; renaming or dropping a column they name would orphan
+    * them — refuse, the caller compacts first. Zones are positional and
+    * unaffected. */
+  private def requireUntagged(lines: Seq[String], c: String,
+      verb: String): Unit = {
+    val tagged = lines.exists(_.split('\t').exists { f =>
+      f.startsWith(s"s=$c:") || f.startsWith(s"b=$c:") ||
+        (f.startsWith("p=") &&
+          f.drop(2).split('/').exists(_.startsWith(s"$c=")))
+    })
+    require(!tagged, s"column '$c' is named by manifest stats/partition " +
+      s"tags; $verb would orphan them - compact (re-stat) first")
+  }
+
+  /** RENAME COLUMN with no data rewrite: one maintenance commit
+    * re-pointing the head's exact data lines under a schema whose field
+    * moved its LOGICAL name — the bytes keep their physical name, every
+    * reader projects physical→logical, old versions time-travel under
+    * their own names, and later appends (whose frames use the new
+    * logical name) write bytes under the SAME physical name so the
+    * table stays one-schema decodable. Refused when the new name
+    * collides with a live logical, a live physical, or a retired name
+    * (any of those would alias two columns' bytes), or when manifest
+    * tags key on the old name. Returns the new version. */
+  def renameSnapshotColumn(outDir: String, from: String,
+      to: String): Int = {
+    require(from != to, "rename to the same name is a no-op")
+    val (fs, root) = fsRoot(outDir)
+    val head = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $outDir"))
+    val st = snapshotSchema(outDir, head).getOrElse(
+      throw new IllegalStateException(s"version $head of $outDir has " +
+        "no #schema= header (pre-header manifest) - recommit first"))
+    val f = st.fields.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(s"no column '$from' in " +
+        s"${st.fieldNames.mkString(", ")}"))
+    require(!st.fieldNames.contains(to),
+      s"'$to' already exists as a logical column")
+    require(!st.fields.map(physicalOf).contains(to),
+      s"'$to' is a live column's PHYSICAL name - old bytes under it " +
+        "would alias the renamed column")
+    require(!headRetired(fs, root).contains(to),
+      s"'$to' was retired by a dropped column - its old bytes would " +
+        "resurface under the renamed column")
+    val lines = dataLines(readManifestRaw(fs, root, head))
+    requireUntagged(lines, from, "rename")
+    val renamed = org.apache.spark.sql.types.StructType(st.fields.map(
+      x => if (x.name == from) withPhysical(x.copy(name = to),
+        physicalOf(f)) else x))
+    val version = head + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, carryBatch(fs, root, Map.empty),
+        renamed.json, op = "rename"), lines)
+    version
+  }
+
+  /** DROP COLUMN with no data rewrite: one maintenance commit carrying
+    * the head's data lines under a schema without the field — readers
+    * simply never decode those bytes; old versions still time-travel
+    * with the column. The field's PHYSICAL name is retired forever
+    * (`#retired=`), so re-adding the same logical name later allocates
+    * a fresh physical name and the dropped values stay invisible. The
+    * hard purge of the bytes is compact + vacuum, exactly as with
+    * deleted rows. Returns the new version. */
+  def dropSnapshotColumn(outDir: String, name: String): Int = {
+    val (fs, root) = fsRoot(outDir)
+    val head = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $outDir"))
+    val st = snapshotSchema(outDir, head).getOrElse(
+      throw new IllegalStateException(s"version $head of $outDir has " +
+        "no #schema= header (pre-header manifest) - recommit first"))
+    val f = st.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' in " +
+        s"${st.fieldNames.mkString(", ")}"))
+    require(st.fields.length > 1, "cannot drop a table's last column")
+    val lines = dataLines(readManifestRaw(fs, root, head))
+    requireUntagged(lines, name, "drop")
+    val remaining = org.apache.spark.sql.types.StructType(
+      st.fields.filterNot(_.name == name))
+    val version = head + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, carryBatch(fs, root, Map.empty),
+        remaining.json, op = "drop",
+        extraRetired = Set(physicalOf(f))), lines)
+    version
+  }
+
   /** One row per committed version: (version, n_files, caller meta) —
     * each manifest read ONCE (listing a thousand-version streaming table
     * with per-version file+meta pairs would otherwise pay two object-
@@ -600,19 +829,27 @@ object Export {
     * (max(now, prev+1), the Delta commit-timestamp discipline) so
     * `TIMESTAMP AS OF` resolution is well-defined even under clock
     * skew between committers. */
-  private val ReservedMeta = Set("schema", "committed_at", "op")
+  private val ReservedMeta = Set("schema", "committed_at", "op", "retired")
 
   private def internalMeta(fs: FileSystem, root: Path,
       meta: Map[String, String], schemaJson: String,
-      op: String): Map[String, String] = {
+      op: String, extraRetired: Set[String] = Set.empty)
+      : Map[String, String] = {
     ReservedMeta.foreach(k =>
       require(!meta.contains(k), s"'$k' is a reserved meta key"))
     val prevTs = manifestVersions(fs, root).lastOption
       .flatMap(v => snapshotMetaOf(fs, root, v).get("committed_at"))
       .map(_.toLong).getOrElse(Long.MinValue)
-    meta + ("schema" -> schemaJson) + ("op" -> op) +
+    // column-mapping bookkeeping rides the same headers: the schema is
+    // stamped with the physical names the epoch writer used, and the
+    // retired-physical set survives every commit (like #batch=)
+    val retired = headRetired(fs, root) ++ extraRetired
+    val base = meta + ("schema" -> mapSchema(fs, root, schemaJson)) +
+      ("op" -> op) +
       ("committed_at" ->
         math.max(System.currentTimeMillis(), prevTs + 1).toString)
+    if (retired.isEmpty) base
+    else base + ("retired" -> retired.toSeq.sorted.mkString(","))
   }
 
   /** Commit wall-clock of a version (epoch millis) — monotone across
@@ -842,14 +1079,28 @@ object Export {
       root: Path, version: Int, files: Seq[String]): DataFrame =
     if (files.isEmpty) emptyWithCommittedSchema(spark, fs, root, version)
     else {
-      val base = snapshotMetaOf(fs, root, version).get("schema") match {
-        case Some(j) => spark.read
-          .schema(org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val stOpt = snapshotMetaOf(fs, root, version).get("schema")
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      // decode by PHYSICAL name (== logical on never-renamed tables)
+      val scan = stOpt match {
+        case Some(st) => spark.read
+          .schema(org.apache.spark.sql.types.StructType(
+            st.fields.map(f => f.copy(name = physicalOf(f)))))
           .parquet(files: _*)
         case None => spark.read.parquet(files: _*)
       }
-      applyDeletionVectors(spark, fs, root, version, files, base)
+      // DVs subtract on (_metadata.file_path, row_index) BEFORE the
+      // logical-name projection - metadata columns resolve on the scan
+      val withDv = applyDeletionVectors(spark, fs, root, version, files,
+        scan)
+      stOpt match {
+        case Some(st)
+            if st.fields.exists(_.metadata.contains(PhysicalKey)) =>
+          withDv.select(st.fields.toSeq.map(f =>
+            col(physicalOf(f)).as(f.name, f.metadata)): _*)
+        case _ => withDv
+      }
     }
 
   /** DV sidecar schema: one row per deleted position. `__file` is the
@@ -928,6 +1179,7 @@ object Export {
   private def writeClusteredEpoch(spark: SparkSession, fs: FileSystem,
       root: Path, version: Int, df: DataFrame, keyCol: String,
       nFiles: Int): Seq[String] = {
+    requireUnmappedKeys(fs, root, df, Seq(keyCol), "a clustered epoch")
     val (epochDir, fresh) = writeEpoch(fs, root, version,
       df.repartitionByRange(nFiles, col(keyCol))
         .sortWithinPartitions(keyCol))
@@ -991,6 +1243,8 @@ object Export {
   private def writeZorderedEpoch(spark: SparkSession, fs: FileSystem,
       root: Path, version: Int, df: DataFrame, colA: String,
       colB: String, nFiles: Int): Seq[String] = {
+    requireUnmappedKeys(fs, root, df, Seq(colA, colB),
+      "a z-ordered epoch")
     val z = freshName("_z", df.columns.toSeq)
     val (epochDir, fresh) = writeEpoch(fs, root, version,
       df.withColumn(z,
@@ -1125,6 +1379,7 @@ object Export {
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
+    requireUnmappedKeys(fs, root, df, Seq(keyCol), "a bloomed epoch")
     val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
     val (epochDir, fresh) = writeEpoch(fs, root, version,
       df.repartition(nFiles))
@@ -1242,6 +1497,8 @@ object Export {
       zoneKey: Option[String]): Seq[String] = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    requireUnmappedKeys(fs, root, df, partitionCols ++ zoneKey,
+      "a partitioned epoch")
     val epochDir = new Path(root,
       s"epoch=$version-${java.util.UUID.randomUUID.toString.take(8)}")
     val arrangeCols = (partitionCols ++ zoneKey).map(col)
@@ -1252,7 +1509,7 @@ object Export {
       c -> freshName(s"_p_$c", df.columns.toSeq))
     val withShadow = shadows.foldLeft(arranged) { case (d, (c, s)) =>
       d.withColumn(s, col(c)) }
-    withShadow.write.mode("overwrite")
+    toPhysicalDf(fs, root, withShadow).write.mode("overwrite")
       .partitionBy(shadows.map(_._2): _*).parquet(epochDir.toString)
     val files = listParquetFiles(fs, epochDir).map(_.getPath)
       .map(_.toString).sorted
@@ -1539,6 +1796,8 @@ object Export {
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
+    requireUnmappedKeys(fs, root, df,
+      statCols ++ clusterBy, "a statted epoch")
     val key = clusterBy.getOrElse(statCols.head)
     val (epochDir, fresh) = writeEpoch(fs, root,
       manifestVersions(fs, root).lastOption.getOrElse(0) + 1,
@@ -1790,20 +2049,39 @@ object Export {
     val lines = dataLines(readManifestRaw(fs, root, latest))
     if (lines.isEmpty) return latest
     val files = lines.map(pathOf).toIndexedSeq
-    val schemaJson = snapshotMetaOf(fs, root, latest).get("schema")
-    val base = schemaJson match {
-      case Some(j) => spark.read
-        .schema(org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .parquet(files: _*)
+    val stOpt = snapshotMetaOf(fs, root, latest).get("schema")
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    // decode by PHYSICAL name, surface the metadata position columns
+    // BEFORE projecting back to logical names (the predicate is on
+    // logical columns; metadata resolves only on the scan output)
+    val logicalCols = stOpt.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+    val fcol = freshName("__dvp_file", logicalCols)
+    val pcol = freshName("__dvp_pos", logicalCols)
+    val base = stOpt match {
+      case Some(st) =>
+        val scan = spark.read
+          .schema(org.apache.spark.sql.types.StructType(
+            st.fields.map(f => f.copy(name = physicalOf(f)))))
+          .parquet(files: _*)
+        if (st.fields.exists(_.metadata.contains(PhysicalKey)))
+          scan.select(st.fields.toSeq.map(f =>
+              col(physicalOf(f)).as(f.name)) ++
+            Seq(col("_metadata.file_path").as(fcol),
+              col("_metadata.row_index").as(pcol)): _*)
+        else scan.select(col("*"),
+          col("_metadata.file_path").as(fcol),
+          col("_metadata.row_index").as(pcol))
       case None => spark.read.parquet(files: _*)
+        .select(col("*"),
+          col("_metadata.file_path").as(fcol),
+          col("_metadata.row_index").as(pcol))
     }
     // evaluated on PHYSICAL rows: a position already in a DV that
     // matches again just re-unions (idempotent), and the distinct keeps
     // the recorded counts exact
     val hit = base.filter(coalesce(cond, lit(false)))
-      .select(col("_metadata.file_path").as(DvFileCol),
-        col("_metadata.row_index").as(DvPosCol))
+      .select(col(fcol).as(DvFileCol), col(pcol).as(DvPosCol))
     val oldDirs = lines.flatMap(dvOf).map(_._1).distinct
     val prevTotal = lines.flatMap(dvOf).map(_._2).sum
     val carried =
@@ -1837,7 +2115,10 @@ object Export {
         carryBatch(fs, root, Map(
           "mor_deleted_from" -> latest.toString,
           "dv_positions" -> counts.values.sum.toString)),
-        schemaJson.getOrElse(base.schema.json), op = "delete"), newLines)
+        stOpt.map(_.json).getOrElse(
+          org.apache.spark.sql.types.StructType(base.schema.fields
+            .filterNot(f => f.name == fcol || f.name == pcol)).json),
+        op = "delete"), newLines)
     version
   }
 

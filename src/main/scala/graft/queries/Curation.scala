@@ -4694,6 +4694,46 @@ object Curation {
     * committed `#schema=` header, v1's files read back null-filled with
     * NO mergeSchema footer sweep. DuckDB replays the union with an
     * explicit NULL column. */
+  /** COLUMN MAPPING — RENAME + DROP with no data rewrite
+    * ([[graft.operators.Export.renameSnapshotColumn]] /
+    * [[graft.operators.Export.dropSnapshotColumn]]): even doc_ids land
+    * under the original schema, `n_chars` is RENAMED to `chars`
+    * (metadata-only — the bytes keep their physical name), odd doc_ids
+    * append under the NEW logical name (written under the SAME physical
+    * name, so one committed schema decodes both vintages), then `lang`
+    * is DROPPED (its physical name retired). The head must read the
+    * full corpus under the renamed column with the dropped one gone —
+    * DuckDB replays with a plain alias over the raw parquet. A v1
+    * time-travel read inside the gate asserts the old names survive on
+    * old versions. */
+  def q_snapshot_rename(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snaprn_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshot(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), od)
+    graft.operators.Export.renameSnapshotColumn(od, "n_chars", "chars")
+    graft.operators.Export.appendSnapshot(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumnRenamed("n_chars", "chars"), od)
+    val v4 = graft.operators.Export.dropSnapshotColumn(od, "lang")
+    require(graft.operators.Export.readSnapshot(s, od, 1)
+        .columns.toSeq == Seq("doc_id", "lang", "n_chars"),
+      "pre-rename version must time-travel under its own names")
+    val head = graft.operators.Export.readSnapshot(s, od, v4)
+    require(head.columns.toSeq == Seq("doc_id", "chars"),
+      s"head must show the renamed/dropped schema, got " +
+        head.columns.mkString(","))
+    head.orderBy("doc_id")
+  }
+
+  val q_snapshot_rename_sql: String =
+    """SELECT doc_id, n_chars AS chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def q_snapshot_evolve(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .select("doc_id", "lang", "n_chars")

@@ -94,4 +94,29 @@ class LakeCliSpec extends SparkSpec {
     assert(Export.snapshotMeta(dst.getAbsolutePath, 1)
       .get("cloned_from").exists(_.endsWith("@v1")))
   }
+
+  test("lake-rename and lake-drop-column are metadata-only CLI verbs") {
+    val t = new java.io.File("target/qtmp", "lakecli_rename")
+    graft.util.Dirs.deleteRec(t)
+    Export.replaceSnapshot(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"),
+      t.getAbsolutePath)
+    val files = Export.snapshotFiles(t.getAbsolutePath, 1)
+    val m1 = captureOut {
+      Main.main(Array("lake-rename", "--table", t.getAbsolutePath,
+        "--from", "n", "--to", "chars"))
+    }
+    assert(m1.contains("renamed") && m1.contains("no data rewritten"), m1)
+    val m2 = captureOut {
+      Main.main(Array("lake-drop-column", "--table", t.getAbsolutePath,
+        "--column", "s"))
+    }
+    assert(m2.contains("dropped"), m2)
+    assert(Export.snapshotFiles(t.getAbsolutePath, 3) === files,
+      "both verbs are metadata-only")
+    val head = Export.readSnapshot(spark, t.getAbsolutePath, 3)
+    assert(head.columns.toSeq === Seq("k", "chars"))
+    assert(head.as[(Long, Long)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, 10L), (2L, 20L)))
+  }
 }
