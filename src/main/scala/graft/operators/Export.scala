@@ -2201,10 +2201,28 @@ object Export {
     * 100 TB shape: two manifest-exact scans and one hash-partitioned
     * exceptAll per direction, the same key-shuffle cost as the upsert
     * that produced the change. */
+  /** When two versions differ ONLY by renames (same physical column
+    * set), project the old frame under the new logical names so diffs
+    * compare bytes, not labels — a rename commit then yields an EMPTY
+    * change feed, the column-mapping CDF contract. Anything beyond pure
+    * renames is returned unchanged for the caller's schema check to
+    * refuse as before. */
+  private def alignByPhysical(o: DataFrame, n: DataFrame): DataFrame =
+    if (o.columns.toSeq == n.columns.toSeq) o
+    else {
+      val oByPhys = o.schema.fields.map(f => physicalOf(f) -> f).toMap
+      val nFields = n.schema.fields
+      if (nFields.length == o.schema.fields.length &&
+          nFields.forall(f => oByPhys.contains(physicalOf(f))))
+        o.select(nFields.toSeq.map(f =>
+          col(oByPhys(physicalOf(f)).name).as(f.name)): _*)
+      else o
+    }
+
   def snapshotDiff(spark: SparkSession, outDir: String,
       vOld: Int, vNew: Int): DataFrame = {
-    val o = readSnapshot(spark, outDir, vOld)
     val n = readSnapshot(spark, outDir, vNew)
+    val o = alignByPhysical(readSnapshot(spark, outDir, vOld), n)
     n.exceptAll(o).withColumn("_change", lit("insert"))
       .unionByName(o.exceptAll(n).withColumn("_change", lit("delete")))
   }
@@ -2221,8 +2239,8 @@ object Export {
   def snapshotDiffKeyed(spark: SparkSession, outDir: String,
       vOld: Int, vNew: Int, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyed diff needs at least one key column")
-    val o = readSnapshot(spark, outDir, vOld)
     val n = readSnapshot(spark, outDir, vNew)
+    val o = alignByPhysical(readSnapshot(spark, outDir, vOld), n)
     val cols = o.columns.toSeq
     require(n.columns.toSeq.sorted == cols.sorted,
       s"schema mismatch between versions: ${cols.sorted} vs " +

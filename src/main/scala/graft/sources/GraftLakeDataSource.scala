@@ -338,6 +338,12 @@ final class GraftLakeSource(spark: SparkSession,
           Export.snapshotAddedFiles(path, v.toInt)
         case Some("append") | None =>
           Export.snapshotAddedFiles(path, v.toInt)
+        // metadata-only commits (column rename/drop) carry the head's
+        // exact data lines: no rows appear or vanish, the stream keeps
+        // its pinned schema and just flows past them. A MoR delete also
+        // adds no files but DOES change rows (dv= tags), so it is NOT
+        // here - it stays a refused change commit.
+        case Some("rename") | Some("drop") => Seq.empty[String]
         case Some(_) if skipChange => Seq.empty[String]
         case Some(op) => throw new IllegalStateException(
           s"version $v of $path is a '$op' commit; a graftlake stream " +
@@ -348,13 +354,29 @@ final class GraftLakeSource(spark: SparkSession,
       }
     }
     if (files.isEmpty) emptyFrame(dataSchema)
-    else spark.read.schema(dataSchema).parquet(files: _*)
+    else {
+      // decode by PHYSICAL column name (a renamed table's bytes keep
+      // their original names), then project back to the pinned logical
+      // schema - mirrors Export.readFilesAs
+      val phys = StructType(dataSchema.fields.map(f =>
+        f.copy(name = Export.physicalOf(f))))
+      val scan = spark.read.schema(phys).parquet(files: _*)
+      if (dataSchema.fields.exists(f => Export.physicalOf(f) != f.name))
+        scan.select(dataSchema.fields.toSeq.map(f =>
+          col(Export.physicalOf(f)).as(f.name)): _*)
+      else scan
+    }
   }
 
   /** CDF batch: per version, the bag diff against the previous
     * SURVIVING version tagged insert/delete + the commit version; the
     * log's first served version is insert-everything. Every commit kind
-    * is legal — a delete commit feeds downstream as `delete` rows. */
+    * is legal — a delete commit feeds downstream as `delete` rows, and
+    * a rename commit contributes nothing (the diff aligns versions by
+    * PHYSICAL column identity). Each version's changes — emitted under
+    * that version's own names — are aligned to the PINNED stream schema
+    * by physical name: renamed columns line up, later-dropped columns
+    * vanish, later-added columns null-fill. */
   private def cdfBatch(versions: Seq[Long]): DataFrame = {
     val parts = versions.map { v =>
       val prev = Export.snapshotVersions(path).filter(_ < v.toInt)
@@ -364,10 +386,26 @@ final class GraftLakeSource(spark: SparkSession,
         case None => Export.readSnapshot(spark, path, v.toInt)
           .withColumn(ChangeCol, lit("insert"))
       }
-      d.withColumn(CommitVersionCol, lit(v))
+      alignToPinned(d.withColumn(CommitVersionCol, lit(v)))
     }
     if (parts.isEmpty) emptyFrame(schema)
     else parts.reduce(_.unionByName(_))
+  }
+
+  /** Project a CDF part (data columns under ITS version's names + the
+    * two tag columns) onto the pinned stream schema by physical column
+    * identity. */
+  private def alignToPinned(df: DataFrame): DataFrame = {
+    val byPhys = df.schema.fields
+      .filterNot(f => f.name == ChangeCol || f.name == CommitVersionCol)
+      .map(f => Export.physicalOf(f) -> f.name).toMap
+    val dataCols = dataSchema.fields.toSeq.map { f =>
+      byPhys.get(Export.physicalOf(f)) match {
+        case Some(n) => col(n).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(dataCols ++ Seq(col(ChangeCol), col(CommitVersionCol)): _*)
   }
 
   private def emptyFrame(s: StructType): DataFrame =

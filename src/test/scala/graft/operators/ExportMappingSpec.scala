@@ -109,6 +109,24 @@ class ExportMappingSpec extends SparkSpec {
       "dropped bytes resurfaced" )
   }
 
+  test("diffs align versions by PHYSICAL identity: a rename commit is " +
+      "an EMPTY change feed, and changes across a rename emit under " +
+      "the NEW names") {
+    val t = tmp()
+    Export.appendSnapshot(spark, rows(0, 4), t)
+    val v2 = Export.renameSnapshotColumn(t, "s", "label")
+    assert(Export.snapshotDiff(spark, t, 1, v2).count() === 0L,
+      "a rename changes labels, not bytes")
+    val v3 = Export.deleteWhere(spark, t, col("m") === 0)
+    val d = Export.snapshotDiff(spark, t, 1, v3)
+    assert(d.columns.toSeq === Seq("id", "label", "m", "_change"))
+    assert(d.select("id", "_change").as[(Long, String)].collect()
+      .sortBy(_._1).toSeq === Seq((0L, "delete"), (3L, "delete")))
+    val k = Export.snapshotDiffKeyed(spark, t, 1, v3, Seq("id"))
+    assert(k.filter(col("_change") === "delete").select("id")
+      .as[Long].collect().sorted.toSeq === Seq(0L, 3L))
+  }
+
   test("DML on a renamed table: CoW delete and MoR delete evaluate " +
       "predicates on the NEW logical name") {
     val t = tmp()

@@ -281,6 +281,68 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(got.sorted.toSeq === Seq(7L, 8L))
   }
 
+  test("metadata-only rename/drop commits flow through the appends-" +
+      "only stream, and a MAPPED table's old epochs decode by " +
+      "physical name under the pinned schema") {
+    val table = tmp("glk-mapped")
+    Export.appendSnapshot(spark, rows(0, 3), table.getAbsolutePath)
+    Export.renameSnapshotColumn(table.getAbsolutePath, "s", "label")
+    Export.appendSnapshot(spark,
+      (3 until 6).map(i => (i.toLong, s"d$i", i % 3))
+        .toDF("id", "label", "m"), table.getAbsolutePath)
+    Export.dropSnapshotColumn(table.getAbsolutePath, "m")
+    val stream = spark.readStream.format("graftlake")
+      .load(table.getAbsolutePath)
+    assert(stream.schema.fieldNames.toSeq === Seq("id", "label"))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String)]
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        tmp("glk-mapped-cp").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r => (r.getLong(0), r.getString(1)))
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(120000))
+    assert(got.sortBy(_._1).toSeq ===
+      (0 until 6).map(i => (i.toLong, s"d$i")),
+      "v1's bytes (physical name 's') must decode under 'label'")
+  }
+
+  test("CDF across a rename boundary: the rename version emits NOTHING " +
+      "and all changes align to the pinned (new-name) schema") {
+    val table = tmp("glk-cdfrename")
+    Export.appendSnapshot(spark, rows(0, 4), table.getAbsolutePath)
+    Export.renameSnapshotColumn(table.getAbsolutePath, "s", "label")
+    Export.deleteWhere(spark, table.getAbsolutePath, col("m") === 0)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    val q = spark.readStream.format("graftlake")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(table.getAbsolutePath)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        tmp("glk-cdfrename-cp").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = b.select("id", "label", "_change", "_commit_version")
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3)))
+        got.synchronized { got ++= r }
+        ()
+      }.start()
+    assert(q.awaitTermination(120000))
+    val want =
+      (0 until 4).map(i => (i.toLong, s"d$i", "insert", 1L)) ++
+        Seq((0L, "d0", "delete", 3L), (3L, "d3", "delete", 3L))
+    assert(got.toSeq.sorted === want.sorted,
+      "rename version 2 must contribute zero change rows")
+  }
+
   test("a fresh stream over a HEAD-vacuumed log serves the first " +
       "survivor's accumulated state once, no loss flagged") {
     val table = tmp("glk-headvac")
