@@ -654,11 +654,14 @@ object Export {
       col(c).as(m.getOrElse(c, c))): _*)
   }
 
-  /** The stat/zone/bloom/partition writers read freshly-written files
-    * back by their KEY columns and bake those names into manifest tags;
-    * a mapped key (renamed, or a re-added retired name) would make the
-    * readback and every later tag lookup disagree with the bytes.
-    * Refused with the workaround spelled out. */
+  /** The partitioned writer bakes partition-column NAMES into `p=` dir
+    * specs and manifest lines, and five partition-scoped DML/compaction
+    * verbs match those specs back by name — a mapped partition column
+    * would need translation through all of them, so partition-column
+    * mapping is refused outright (the Delta restriction). Stats/bloom/
+    * zone writers instead TRANSLATE: tags are physical-keyed at write
+    * and lookups translate the queried logical name, see
+    * [[physicalIn]]. */
   private def requireUnmappedKeys(fs: FileSystem, root: Path,
       df: DataFrame, keys: Seq[String], what: String): Unit = {
     val m = physicalRenames(fs, root, df)
@@ -668,6 +671,16 @@ object Export {
         "name (renamed or re-added after a drop) - key the layout on an " +
         "unmapped column instead"))
   }
+
+  /** Physical name of a LOGICAL column in a version's committed schema
+    * (identity when unmapped or unknown). Tag LOOKUPS translate through
+    * this: `s=`/`b=` tags are written under physical names — which
+    * every pre-mapping tag already equals — so a renamed column's
+    * pruning keeps working under whatever the column is called now. */
+  private def physicalIn(outDir: String, version: Int,
+      c: String): String =
+    snapshotSchema(outDir, version)
+      .flatMap(_.fields.find(_.name == c)).map(physicalOf).getOrElse(c)
 
   /** Stamp the commit schema's fields with the physical names the epoch
     * writer used ([[toPhysicalDf]] — same resolution, same head). */
@@ -684,19 +697,21 @@ object Export {
       else m.get(f.name).map(p => withPhysical(f, p)).getOrElse(f))).json
   }
 
-  /** Manifest stats/partition tags are keyed by the name in force at
-    * write time; renaming or dropping a column they name would orphan
-    * them — refuse, the caller compacts first. Zones are positional and
-    * unaffected. */
+  /** `s=`/`b=` stats tags are PHYSICAL-keyed and lookups translate
+    * ([[physicalIn]]), so renaming/dropping a statted column is safe.
+    * `p=` partition specs are matched back BY NAME by the partitioned
+    * read and five partition-scoped DML/maintenance verbs — renaming or
+    * dropping a partition column would orphan all of them, so it is
+    * refused (the Delta restriction). */
   private def requireUntagged(lines: Seq[String], c: String,
       verb: String): Unit = {
-    val tagged = lines.exists(_.split('\t').exists { f =>
-      f.startsWith(s"s=$c:") || f.startsWith(s"b=$c:") ||
-        (f.startsWith("p=") &&
-          f.drop(2).split('/').exists(_.startsWith(s"$c=")))
-    })
-    require(!tagged, s"column '$c' is named by manifest stats/partition " +
-      s"tags; $verb would orphan them - compact (re-stat) first")
+    val tagged = lines.exists(_.split('\t').exists(f =>
+      f.startsWith("p=") &&
+        f.drop(2).split('/').exists(_.startsWith(s"$c="))))
+    require(!tagged, s"column '$c' is a partition column of this " +
+      s"table's layout; $verb would orphan the p= specs - rewrite the " +
+      "layout (overwrite/compact into an unpartitioned or re-keyed " +
+      "table) first")
   }
 
   /** RENAME COLUMN with no data rewrite: one maintenance commit
@@ -1179,15 +1194,17 @@ object Export {
   private def writeClusteredEpoch(spark: SparkSession, fs: FileSystem,
       root: Path, version: Int, df: DataFrame, keyCol: String,
       nFiles: Int): Seq[String] = {
-    requireUnmappedKeys(fs, root, df, Seq(keyCol), "a clustered epoch")
+    // zones are POSITIONAL (no name in the tag); only the readback over
+    // the written (physical-named) bytes needs the key translated
+    val keyPhys = physicalRenames(fs, root, df).getOrElse(keyCol, keyCol)
     val (epochDir, fresh) = writeEpoch(fs, root, version,
       df.repartitionByRange(nFiles, col(keyCol))
         .sortWithinPartitions(keyCol))
     val zones: Map[String, (Long, Long)] =
       spark.read.parquet(epochDir.toString)
         .groupBy(col("_metadata.file_path").as("file"))
-        .agg(min(col(keyCol)).cast("long").as("lo"),
-          max(col(keyCol)).cast("long").as("hi"))
+        .agg(min(col(keyPhys)).cast("long").as("lo"),
+          max(col(keyPhys)).cast("long").as("hi"))
         .collect()
         .map(r => fs.makeQualified(new Path(r.getString(0))).toString ->
           ((r.getLong(1), r.getLong(2)))).toMap
@@ -1243,8 +1260,10 @@ object Export {
   private def writeZorderedEpoch(spark: SparkSession, fs: FileSystem,
       root: Path, version: Int, df: DataFrame, colA: String,
       colB: String, nFiles: Int): Seq[String] = {
-    requireUnmappedKeys(fs, root, df, Seq(colA, colB),
-      "a z-ordered epoch")
+    // z2= zones are positional; only the post-write readback needs the
+    // keys translated to the written physical names
+    val pm = physicalRenames(fs, root, df)
+    val (physA, physB) = (pm.getOrElse(colA, colA), pm.getOrElse(colB, colB))
     val z = freshName("_z", df.columns.toSeq)
     val (epochDir, fresh) = writeEpoch(fs, root, version,
       df.withColumn(z,
@@ -1255,10 +1274,10 @@ object Export {
     val zones: Map[String, (Long, Long, Long, Long)] =
       spark.read.parquet(epochDir.toString)
         .groupBy(col("_metadata.file_path").as("file"))
-        .agg(min(col(colA)).cast("long").as("alo"),
-          max(col(colA)).cast("long").as("ahi"),
-          min(col(colB)).cast("long").as("blo"),
-          max(col(colB)).cast("long").as("bhi"))
+        .agg(min(col(physA)).cast("long").as("alo"),
+          max(col(physA)).cast("long").as("ahi"),
+          min(col(physB)).cast("long").as("blo"),
+          max(col(physB)).cast("long").as("bhi"))
         .collect()
         .map(r => fs.makeQualified(new Path(r.getString(0))).toString ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
@@ -1379,7 +1398,8 @@ object Export {
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
-    requireUnmappedKeys(fs, root, df, Seq(keyCol), "a bloomed epoch")
+    // b= tags are PHYSICAL-keyed (lookups translate, see physicalIn)
+    val keyPhys = physicalRenames(fs, root, df).getOrElse(keyCol, keyCol)
     val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
     val (epochDir, fresh) = writeEpoch(fs, root, version,
       df.repartition(nFiles))
@@ -1387,7 +1407,7 @@ object Export {
     // key hashed as BIGINT so the probe's lit(value: Long) hashes
     // identically whatever integral width the column stores
     val posCols = (1 to BloomHashes).map(i =>
-      pmod(xxhash64(col(keyCol).cast("long"), lit(i)),
+      pmod(xxhash64(col(keyPhys).cast("long"), lit(i)),
         lit(BloomBits.toLong)))
     val bits = spark.read.parquet(epochDir.toString)
       .select(col("_metadata.file_path").as("file"),
@@ -1404,7 +1424,7 @@ object Export {
       }
     val lines = fresh.map { f =>
       bits.get(fs.makeQualified(new Path(f)).toString) match {
-        case Some(hex) => s"$f\tb=$keyCol:$hex"
+        case Some(hex) => s"$f\tb=$keyPhys:$hex"
         case None => f // a zero-row file carries no filter
       }
     }
@@ -1444,8 +1464,10 @@ object Export {
         (1 to BloomHashes).map(i =>
           pmod(xxhash64(lit(value), lit(i)), lit(BloomBits.toLong))): _*)
       .collect().head.toSeq.map(_.asInstanceOf[Long])
+    val keyPhys = physicalIn(outDir, version, keyCol)
     val chosen = lines.filter(l => bloomOf(l) match {
-      case Some((k, hex)) if k == keyCol => bloomMightContain(hex, positions)
+      case Some((k, hex)) if k == keyPhys =>
+        bloomMightContain(hex, positions)
       case _ => true
     }).map(pathOf)
     val files =
@@ -1796,22 +1818,25 @@ object Export {
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
-    requireUnmappedKeys(fs, root, df,
-      statCols ++ clusterBy, "a statted epoch")
+    // tags are PHYSICAL-keyed: the readback below runs on the written
+    // (physical-named) bytes and the tag lookups translate the query
+    val pm = physicalRenames(fs, root, df)
+    def phys(c: String): String = pm.getOrElse(c, c)
     val key = clusterBy.getOrElse(statCols.head)
     val (epochDir, fresh) = writeEpoch(fs, root,
       manifestVersions(fs, root).lastOption.getOrElse(0) + 1,
       df.repartitionByRange(nFiles, col(key)).sortWithinPartitions(key))
     val aggs = count(lit(1)).as("__n") +: statCols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"__lo_$c"),
-      max(col(c)).cast("long").as(s"__hi_$c")))
+      min(col(phys(c))).cast("long").as(s"__lo_$c"),
+      max(col(phys(c))).cast("long").as(s"__hi_$c")))
     val stats: Map[String, String] = spark.read.parquet(epochDir.toString)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val tags = s"\tn=${r.getAs[Long]("__n")}" + statCols.map { c =>
-          s"\ts=$c:${r.getAs[Long](s"__lo_$c")}:${r.getAs[Long](s"__hi_$c")}"
+          s"\ts=${phys(c)}:" +
+            s"${r.getAs[Long](s"__lo_$c")}:${r.getAs[Long](s"__hi_$c")}"
         }.mkString
         fs.makeQualified(new Path(r.getAs[String]("file"))).toString -> tags
       }.toMap
@@ -1859,7 +1884,8 @@ object Export {
       .filterNot(l => nOf(l).contains(0L))
     if (lines.isEmpty || lines.exists(l => dvOf(l).nonEmpty)) None
     else {
-      val ranges = lines.map(l => statsOf(l).get(column))
+      val ranges = lines.map(l =>
+        statsOf(l).get(physicalIn(outDir, version, column)))
       if (ranges.exists(_.isEmpty)) None
       else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
     }
@@ -1884,10 +1910,11 @@ object Export {
     val lines = dataLines(readManifestRaw(fs, root, version))
     val chosen = lines.filter { l =>
       val st = statsOf(l)
-      preds.forall { case (c, (lo, hi)) => st.get(c) match {
-        case Some((slo, shi)) => shi >= lo && slo <= hi
-        case None => true
-      } }
+      preds.forall { case (c, (lo, hi)) =>
+        st.get(physicalIn(outDir, version, c)) match {
+          case Some((slo, shi)) => shi >= lo && slo <= hi
+          case None => true
+        } }
     }.map(pathOf)
     val files =
       if (chosen.nonEmpty) chosen

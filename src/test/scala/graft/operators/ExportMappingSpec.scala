@@ -67,7 +67,7 @@ class ExportMappingSpec extends SparkSpec {
   }
 
   test("rename refusals: live logical, live physical, retired name, " +
-      "tag-keyed column") {
+      "partition column") {
     val t = tmp()
     Export.appendSnapshot(spark, rows(0, 4), t)
     Export.renameSnapshotColumn(t, "s", "label")
@@ -79,10 +79,12 @@ class ExportMappingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Export.renameSnapshotColumn(t, "label", "m")) // m retired
     val t2 = tmp()
-    Export.appendSnapshotStatted(spark, rows(0, 4), t2,
-      statCols = Seq("id"), nFiles = 2)
+    Export.appendSnapshotPartitioned(spark, rows(0, 4), t2,
+      partitionCols = Seq("m"), nFiles = 1)
     intercept[IllegalArgumentException](
-      Export.renameSnapshotColumn(t2, "id", "key")) // s= tag keys on id
+      Export.renameSnapshotColumn(t2, "m", "bucket")) // p= specs on m
+    intercept[IllegalArgumentException](
+      Export.dropSnapshotColumn(t2, "m"))
   }
 
   test("drop is metadata-only and the retired physical name NEVER " +
@@ -142,21 +144,52 @@ class ExportMappingSpec extends SparkSpec {
       (0L until 6L).filter(_ % 3 == 2))
   }
 
-  test("layout writers REFUSE mapped key columns with a clear error; " +
-      "unmapped keys still work on a renamed table") {
+  test("stats/bloom tags are PHYSICAL-keyed: layout writers accept a " +
+      "renamed key and pruned reads translate the queried name; " +
+      "partitioned epochs still refuse mapped partition columns") {
     val t = tmp()
-    Export.appendSnapshot(spark, rows(0, 4), t)
-    Export.renameSnapshotColumn(t, "s", "label")
-    val more = (4 until 8).map(i => (i.toLong, s"d$i", i % 3))
-      .toDF("id", "label", "m")
+    Export.appendSnapshot(spark,
+      (0 until 4).map(i => (i.toLong, (i * 10).toLong, i % 3))
+        .toDF("id", "n", "m"), t)
+    Export.renameSnapshotColumn(t, "n", "chars")
+    val more = (4 until 8).map(i => (i.toLong, (i * 10).toLong, i % 3))
+      .toDF("id", "chars", "m")
+    val v = Export.appendSnapshotStatted(spark, more, t,
+      statCols = Seq("chars"), nFiles = 2)
+    // the tag rides the PHYSICAL name (n) while the query uses the
+    // logical one (chars) - and prunes: only the statted epoch's
+    // overlapping file plus the unstatted epoch's files get planned
+    val (fs, _) = Export.fsRoot(t)
+    assert(Export.snapshotFiles(t, v).nonEmpty)
+    val got = Export.readSnapshotRange(spark, t, v,
+        Map("chars" -> ((60L, 70L))))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(6L, 7L))
+    // bloom on a renamed key: b= tag physical, probe logical
+    val t2 = tmp()
+    Export.appendSnapshot(spark,
+      (0 until 4).map(i => (i.toLong, s"d$i")).toDF("k", "s"), t2)
+    Export.renameSnapshotColumn(t2, "k", "key")
+    val v2 = Export.appendSnapshotBloomed(spark,
+      (4 until 8).map(i => (i.toLong, s"d$i")).toDF("key", "s"), t2,
+      keyCol = "key", nFiles = 2)
+    assert(Export.readSnapshotPoint(spark, t2, v2, "key", 5L)
+      .select("s").as[String].collect().toSeq === Seq("d5"))
+    // the other order too: stat FIRST (tags under the original name),
+    // THEN rename - the lookup still translates and prunes
+    val t3 = tmp()
+    Export.appendSnapshotStatted(spark,
+      (0 until 8).map(i => (i.toLong, (i * 10).toLong))
+        .toDF("id", "n"), t3, statCols = Seq("n"), nFiles = 4)
+    val v3 = Export.renameSnapshotColumn(t3, "n", "chars")
+    assert(Export.readSnapshotRange(spark, t3, v3,
+        Map("chars" -> ((60L, 70L))))
+      .select("id").as[Long].collect().sorted.toSeq === Seq(6L, 7L))
+    assert(Export.metadataRange(t3, v3, "chars") === Some((0L, 70L)))
+    // partition columns stay refused under mapping (the Delta rule)
     val ex = intercept[IllegalArgumentException](
-      Export.appendSnapshotStatted(spark, more, t,
-        statCols = Seq("label"), nFiles = 1))
+      Export.appendSnapshotPartitioned(spark, more, t,
+        partitionCols = Seq("chars"), nFiles = 1))
     assert(ex.getMessage.contains("physical name differs"))
-    // keys whose physical == logical are unaffected by the table's map
-    Export.appendSnapshotClustered(spark, more, t, keyCol = "id",
-      nFiles = 2)
-    assert(Export.readSnapshot(spark, t, Export.latestSnapshotVersion(t))
-      .count() === 8)
   }
 }
