@@ -654,24 +654,6 @@ object Export {
       col(c).as(m.getOrElse(c, c))): _*)
   }
 
-  /** The partitioned writer bakes partition-column NAMES into `p=` dir
-    * specs and manifest lines, and five partition-scoped DML/compaction
-    * verbs match those specs back by name — a mapped partition column
-    * would need translation through all of them, so partition-column
-    * mapping is refused outright (the Delta restriction). Stats/bloom/
-    * zone writers instead TRANSLATE: tags are physical-keyed at write
-    * and lookups translate the queried logical name, see
-    * [[physicalIn]]. */
-  private def requireUnmappedKeys(fs: FileSystem, root: Path,
-      df: DataFrame, keys: Seq[String], what: String): Unit = {
-    val m = physicalRenames(fs, root, df)
-    keys.filter(m.contains).foreach(c =>
-      throw new IllegalArgumentException(s"$what keys its layout/tags " +
-        s"on column '$c', whose physical name differs from its logical " +
-        "name (renamed or re-added after a drop) - key the layout on an " +
-        "unmapped column instead"))
-  }
-
   /** Physical name of a LOGICAL column in a version's committed schema
     * (identity when unmapped or unknown). Tag LOOKUPS translate through
     * this: `s=`/`b=` tags are written under physical names — which
@@ -697,21 +679,20 @@ object Export {
       else m.get(f.name).map(p => withPhysical(f, p)).getOrElse(f))).json
   }
 
-  /** `s=`/`b=` stats tags are PHYSICAL-keyed and lookups translate
-    * ([[physicalIn]]), so renaming/dropping a statted column is safe.
-    * `p=` partition specs are matched back BY NAME by the partitioned
-    * read and five partition-scoped DML/maintenance verbs — renaming or
-    * dropping a partition column would orphan all of them, so it is
-    * refused (the Delta restriction). */
+  /** Every manifest tag family is PHYSICAL-keyed and every lookup
+    * translates ([[physicalIn]]), so RENAMING a statted, bloomed, zoned
+    * or even partitioned column is safe. DROPPING a partition column is
+    * not: the layout itself needs the column (future partitioned
+    * commits could not supply it, and the consistently-partitioned
+    * precondition of partition-scoped DML would break) — refused. */
   private def requireUntagged(lines: Seq[String], c: String,
       verb: String): Unit = {
     val tagged = lines.exists(_.split('\t').exists(f =>
       f.startsWith("p=") &&
         f.drop(2).split('/').exists(_.startsWith(s"$c="))))
     require(!tagged, s"column '$c' is a partition column of this " +
-      s"table's layout; $verb would orphan the p= specs - rewrite the " +
-      "layout (overwrite/compact into an unpartitioned or re-keyed " +
-      "table) first")
+      s"table's layout; $verb would break the layout - compact into an " +
+      "unpartitioned or re-keyed table first")
   }
 
   /** RENAME COLUMN with no data rewrite: one maintenance commit
@@ -720,10 +701,11 @@ object Export {
     * reader projects physical→logical, old versions time-travel under
     * their own names, and later appends (whose frames use the new
     * logical name) write bytes under the SAME physical name so the
-    * table stays one-schema decodable. Refused when the new name
-    * collides with a live logical, a live physical, or a retired name
-    * (any of those would alias two columns' bytes), or when manifest
-    * tags key on the old name. Returns the new version. */
+    * table stays one-schema decodable. Stats/bloom/partition tags keep
+    * pruning — they are physical-keyed and lookups translate. Refused
+    * when the new name collides with a live logical, a live physical,
+    * or a retired name (any of those would alias two columns' bytes).
+    * Returns the new version. */
   def renameSnapshotColumn(outDir: String, from: String,
       to: String): Int = {
     require(from != to, "rename to the same name is a no-op")
@@ -746,7 +728,6 @@ object Export {
       s"'$to' was retired by a dropped column - its old bytes would " +
         "resurface under the renamed column")
     val lines = dataLines(readManifestRaw(fs, root, head))
-    requireUntagged(lines, from, "rename")
     val renamed = org.apache.spark.sql.types.StructType(st.fields.map(
       x => if (x.name == from) withPhysical(x.copy(name = to),
         physicalOf(f)) else x))
@@ -778,7 +759,7 @@ object Export {
         s"${st.fieldNames.mkString(", ")}"))
     require(st.fields.length > 1, "cannot drop a table's last column")
     val lines = dataLines(readManifestRaw(fs, root, head))
-    requireUntagged(lines, name, "drop")
+    requireUntagged(lines, physicalOf(f), "drop")
     val remaining = org.apache.spark.sql.types.StructType(
       st.fields.filterNot(_.name == name))
     val version = head + 1
@@ -1519,8 +1500,11 @@ object Export {
       zoneKey: Option[String]): Seq[String] = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
-    requireUnmappedKeys(fs, root, df, partitionCols ++ zoneKey,
-      "a partitioned epoch")
+    // p= specs are PHYSICAL-keyed like the s=/b= tags: the readback
+    // below runs on the written (physical-named) bytes and every spec
+    // consumer translates its column names
+    val pm = physicalRenames(fs, root, df)
+    def phys(c: String): String = pm.getOrElse(c, c)
     val epochDir = new Path(root,
       s"epoch=$version-${java.util.UUID.randomUUID.toString.take(8)}")
     val arrangeCols = (partitionCols ++ zoneKey).map(col)
@@ -1543,10 +1527,10 @@ object Export {
         // by construction of the partitioned write)
         val aggs =
           partitionCols.map(c =>
-            first(col(c).cast("string")).as(s"__p_$c")) ++
+            first(col(phys(c)).cast("string")).as(s"__p_$c")) ++
           zoneKey.toSeq.flatMap(k => Seq(
-            min(col(k)).cast("long").as("__z_lo"),
-            max(col(k)).cast("long").as("__z_hi")))
+            min(col(phys(k))).cast("long").as("__z_lo"),
+            max(col(phys(k))).cast("long").as("__z_hi")))
         val stats = spark.read.parquet(files: _*)
           .groupBy(col("_metadata.file_path").as("file"))
           .agg(aggs.head, aggs.tail: _*)
@@ -1559,7 +1543,7 @@ object Export {
                     ch == '\n' || ch == '\r'),
                 s"partition value for '$c' must be non-null and " +
                   s"line-safe, got: $v")
-              s"$c=$v"
+              s"${phys(c)}=$v"
             }.mkString("/")
             val zone = zoneKey.map(_ =>
               s"\tz=${r.getAs[Long]("__z_lo")}:${r.getAs[Long]("__z_hi")}")
@@ -1605,7 +1589,7 @@ object Export {
     val chosen = lines.filter { l =>
       val spec = partitionOf(l)
       val partOk = partFilters.forall { case (c, v) =>
-        spec.get(c).forall(_ == v) }
+        spec.get(physicalIn(outDir, version, c)).forall(_ == v) }
       val zoneOk = zone.forall { case (_, lo, hi) => zoneOf(l) match {
         case Some((zlo, zhi)) => zhi >= lo && zlo <= hi
         case None => true
@@ -1676,21 +1660,25 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
     val version = baseVersion + 1
+    // spec matching runs on the PHYSICAL partition-column names the
+    // p= specs carry (identity on never-renamed tables)
+    val pm = physicalRenames(fs, root, df)
+    val physCols = partitionCols.map(c => pm.getOrElse(c, c))
     val fresh = writePartitionedEpoch(spark, fs, root, version, df,
       partitionCols, nFiles, zoneKey)
     val freshTuples: Set[Seq[String]] =
-      fresh.map(l => partTuple(l, partitionCols)).toSet
+      fresh.map(l => partTuple(l, physCols)).toSet
     val (carried, schema) =
       if (baseVersion == 0) (Nil, df.schema)
       else {
         val lines = dataLines(readManifestRaw(fs, root, baseVersion))
-        requirePartitioned(lines, partitionCols, "overwritePartitions")
+        requirePartitioned(lines, physCols, "overwritePartitions")
         val prevSchema = snapshotMetaOf(fs, root, baseVersion)
           .get("schema")
           .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
           .getOrElse(df.schema)
-        (lines.filterNot(l => freshTuples(partTuple(l, partitionCols))),
+        (lines.filterNot(l => freshTuples(partTuple(l, physCols))),
           unionSchema(prevSchema, df.schema))
       }
     commitManifest(fs, root, version,
@@ -1757,13 +1745,15 @@ object Export {
     require(latest > 0, s"nothing to merge into under $outDir")
     val (fs, root) = fsRoot(outDir)
     val lines = dataLines(readManifestRaw(fs, root, latest))
-    requirePartitioned(lines, partitionCols, "mergeSnapshotPartitioned")
+    val pm = physicalRenames(fs, root, updates)
+    val physCols = partitionCols.map(c => pm.getOrElse(c, c))
+    requirePartitioned(lines, physCols, "mergeSnapshotPartitioned")
     val touched: Set[Seq[String]] = updates
       .select(partitionCols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
       .map(r => partitionCols.indices.map(i => r.getString(i)): Seq[String])
       .toSet
-    val hit = lines.filter(l => touched(partTuple(l, partitionCols)))
+    val hit = lines.filter(l => touched(partTuple(l, physCols)))
     val base = readFilesAs(spark, fs, root, latest,
       hit.map(pathOf).toIndexedSeq)
     val merged = resolve(base, updates)
@@ -2196,10 +2186,12 @@ object Export {
     require(latest > 0, s"nothing to compact under $outDir")
     val (fs, root) = fsRoot(outDir)
     val lines = dataLines(readManifestRaw(fs, root, latest))
-    requirePartitioned(lines, partitionCols, "compactSnapshotPartition")
+    val physCols = partitionCols.map(physicalIn(outDir, latest, _))
+    requirePartitioned(lines, physCols, "compactSnapshotPartition")
     val (hit, rest) = lines.partition { l =>
       val spec = partitionOf(l)
-      partFilters.forall { case (c, v) => spec(c) == v }
+      partFilters.forall { case (c, v) =>
+        spec(physicalIn(outDir, latest, c)) == v }
     }
     if (hit.isEmpty) return latest
     val version = latest + 1

@@ -82,9 +82,40 @@ class ExportMappingSpec extends SparkSpec {
     Export.appendSnapshotPartitioned(spark, rows(0, 4), t2,
       partitionCols = Seq("m"), nFiles = 1)
     intercept[IllegalArgumentException](
-      Export.renameSnapshotColumn(t2, "m", "bucket")) // p= specs on m
+      Export.dropSnapshotColumn(t2, "m")) // the layout needs m
+  }
+
+  test("even PARTITION columns rename: p= specs are physical-keyed, " +
+      "pruned reads and partition-scoped DML translate, dropping a " +
+      "partition column still refuses") {
+    val t = tmp()
+    Export.appendSnapshotPartitioned(spark, rows(0, 6), t,
+      partitionCols = Seq("m"), nFiles = 1)
+    Export.renameSnapshotColumn(t, "m", "bucket")
+    // pruned read by the NEW name over the OLD epoch's physical specs
+    val v = Export.latestSnapshotVersion(t)
+    assert(Export.readSnapshotPartitioned(spark, t, v,
+        Map("bucket" -> "1"))
+      .select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 6L).filter(_ % 3 == 1))
+    // partitioned append under the new name lands in the SAME physical
+    // partition key; dynamic overwrite replaces exactly one partition
+    Export.appendSnapshotPartitioned(spark,
+      (6 until 9).map(i => (i.toLong, s"d$i", i % 3))
+        .toDF("id", "s", "bucket"), t,
+      partitionCols = Seq("bucket"), nFiles = 1)
+    Export.overwritePartitions(spark,
+      Seq((100L, "x", 0)).toDF("id", "s", "bucket"), t,
+      partitionCols = Seq("bucket"), nFiles = 1)
+    val got = Export.readSnapshot(spark, t,
+        Export.latestSnapshotVersion(t))
+      .select("id", "bucket").as[(Long, Int)].collect().sortBy(_._1)
+    val want = ((0L until 9L).filter(_ % 3 != 0).map(i =>
+      (i, (i % 3).toInt)) :+ ((100L, 0))).sortBy(_._1)
+    assert(got.toSeq === want,
+      "bucket=0 replaced, other partitions carried")
     intercept[IllegalArgumentException](
-      Export.dropSnapshotColumn(t2, "m"))
+      Export.dropSnapshotColumn(t, "bucket"))
   }
 
   test("drop is metadata-only and the retired physical name NEVER " +
@@ -145,8 +176,8 @@ class ExportMappingSpec extends SparkSpec {
   }
 
   test("stats/bloom tags are PHYSICAL-keyed: layout writers accept a " +
-      "renamed key and pruned reads translate the queried name; " +
-      "partitioned epochs still refuse mapped partition columns") {
+      "renamed key and pruned reads translate the queried name, in " +
+      "either order (stat-then-rename, rename-then-stat)") {
     val t = tmp()
     Export.appendSnapshot(spark,
       (0 until 4).map(i => (i.toLong, (i * 10).toLong, i % 3))
@@ -186,10 +217,5 @@ class ExportMappingSpec extends SparkSpec {
         Map("chars" -> ((60L, 70L))))
       .select("id").as[Long].collect().sorted.toSeq === Seq(6L, 7L))
     assert(Export.metadataRange(t3, v3, "chars") === Some((0L, 70L)))
-    // partition columns stay refused under mapping (the Delta rule)
-    val ex = intercept[IllegalArgumentException](
-      Export.appendSnapshotPartitioned(spark, more, t,
-        partitionCols = Seq("chars"), nFiles = 1))
-    assert(ex.getMessage.contains("physical name differs"))
   }
 }
