@@ -4734,6 +4734,38 @@ object Curation {
     """SELECT doc_id, n_chars AS chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** PARTITION-COLUMN rename ([[q_snapshot_rename]]'s hard case): era 1
+    * lands partitioned by `lang`, the partition column is renamed to
+    * `language` (metadata-only — the `p=` specs keep their physical
+    * key), era 2 appends partitioned under the NEW name (same physical
+    * partition key by the mapping), and the gate reads back
+    * PARTITION-PRUNED on the new name — both eras' `en` files planned
+    * from the manifest, everything else skipped. Oracle: the `en` rows
+    * of the raw corpus. */
+  def q_snapshot_rename_part(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snaprnp_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotPartitioned(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), od,
+      partitionCols = Seq("lang"), nFiles = 1)
+    graft.operators.Export.renameSnapshotColumn(od, "lang", "language")
+    val v3 = graft.operators.Export.appendSnapshotPartitioned(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumnRenamed("lang", "language"), od,
+      partitionCols = Seq("language"), nFiles = 1)
+    graft.operators.Export.readSnapshotPartitioned(s, od, v3,
+        Map("language" -> "en"))
+      .orderBy("doc_id")
+  }
+
+  val q_snapshot_rename_part_sql: String =
+    """SELECT doc_id, lang AS language, n_chars FROM documents
+      |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+
   def q_snapshot_evolve(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .select("doc_id", "lang", "n_chars")
