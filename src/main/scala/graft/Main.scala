@@ -57,6 +57,7 @@ object Main {
       case "lake-clone" => lakeClone(opts)
       case "lake-rename" => lakeRename(opts)
       case "lake-drop-column" => lakeDropColumn(opts)
+      case "lake-widen" => lakeWiden(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
   }
@@ -73,6 +74,30 @@ object Main {
     val v = graft.operators.Export.renameSnapshotColumn(dir, from, to)
     println(s"renamed column $from -> $to in $dir as version $v " +
       "(metadata-only, no data rewritten)")
+  }
+
+  /** ALTER COLUMN TYPE widening — metadata-only, restricted to the
+    * lattice the parquet reader upcasts natively. */
+  private def lakeWiden(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val c = o("column").headOption.getOrElse {
+      System.err.println("--column COL is required"); sys.exit(2)
+    }
+    val to = o("to").headOption.map(_.toLowerCase).getOrElse {
+      System.err.println(
+        "--to short|int|long|bigint|double is required"); sys.exit(2)
+    }
+    val tpe = to match {
+      case "short" | "smallint" => org.apache.spark.sql.types.ShortType
+      case "int" | "integer" => org.apache.spark.sql.types.IntegerType
+      case "long" | "bigint" => org.apache.spark.sql.types.LongType
+      case "double" => org.apache.spark.sql.types.DoubleType
+      case other =>
+        System.err.println(s"unknown widening target: $other"); sys.exit(2)
+    }
+    val v = graft.operators.Export.widenSnapshotColumn(dir, c, tpe)
+    println(s"widened column $c to ${tpe.simpleString} in $dir as " +
+      s"version $v (metadata-only, no data rewritten)")
   }
 
   /** DROP COLUMN — metadata-only; the physical name is retired so the
@@ -123,7 +148,7 @@ object Main {
         "--source DIR --out DIR [opts]\n" +
         "       graft.Main lake-versions|lake-read|lake-compact|" +
         "lake-vacuum|lake-delete|lake-restore|lake-clone|lake-rename|" +
-        "lake-drop-column --table DIR " +
+        "lake-drop-column|lake-widen --table DIR " +
         "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
         "[--cluster-by COL] [--keep N] [--horizon-ms N] " +
         "[--where SQL_PREDICATE] [--mor] [--dry-run] [--to-version N]")

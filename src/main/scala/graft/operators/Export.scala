@@ -420,6 +420,25 @@ object Export {
     * reader must be able to null-fill); a same-named field changing type
     * THROWS — silent retyping is a data-corruption vector, not
     * evolution. */
+  /** The SAFE widening lattice — exactly the conversions Spark's
+    * vectorized parquet reader performs when the read schema is wider
+    * than the file (so a widened column's OLD files decode with no
+    * rewrite): the integral up-chain and float→double. Everything else
+    * (narrowing, decimal rescale, string↔number) is refused. */
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    (rank(from) > 0 && rank(to) > 0 && rank(from) < rank(to)) ||
+      (from == FloatType && to == DoubleType)
+  }
+
   private[graft] def unionSchema(
       base: org.apache.spark.sql.types.StructType,
       next: org.apache.spark.sql.types.StructType)
@@ -428,11 +447,20 @@ object Export {
     val kept = base.fields.map { f =>
       next.fields.find(_.name == f.name) match {
         case Some(g) =>
-          require(g.dataType == f.dataType,
-            s"column '${f.name}' changes type ${f.dataType.simpleString}" +
-              s" -> ${g.dataType.simpleString}; evolution adds columns," +
-              " never retypes")
-          f.copy(nullable = f.nullable || g.nullable)
+          // widened types resolve to the WIDER side (either direction:
+          // a narrow append into a widened table upcasts at read; a
+          // wide append widens the union like an explicit widen commit)
+          val tpe =
+            if (g.dataType == f.dataType) f.dataType
+            else if (widens(f.dataType, g.dataType)) g.dataType
+            else if (widens(g.dataType, f.dataType)) f.dataType
+            else throw new IllegalArgumentException(
+              s"column '${f.name}' changes type " +
+                s"${f.dataType.simpleString} -> " +
+                s"${g.dataType.simpleString}; evolution adds columns " +
+                "or WIDENS (byte<short<int<long, float<double), " +
+                "never retypes")
+          f.copy(dataType = tpe, nullable = f.nullable || g.nullable)
         // absent from the new writer's rows: its new files null-fill
         case None => f.copy(nullable = true)
       }
@@ -440,6 +468,41 @@ object Export {
     val added = next.fields.filterNot(f => baseNames(f.name))
       .map(_.copy(nullable = true))
     org.apache.spark.sql.types.StructType(kept ++ added)
+  }
+
+  /** ALTER COLUMN ... TYPE widening with NO data rewrite (the Delta
+    * type-widening feature): one maintenance commit re-pointing the
+    * head's exact data lines under a schema where `column` takes the
+    * WIDER type. Old files decode through the parquet reader's native
+    * upcast ([[widens]] — the lattice is restricted to exactly what the
+    * vectorized reader supports), later appends write the wide type
+    * natively (or keep appending narrow — [[unionSchema]] resolves to
+    * the wider side), and pre-widen versions time-travel with their
+    * original narrow type. Returns the new version. */
+  def widenSnapshotColumn(outDir: String, column: String,
+      to: org.apache.spark.sql.types.DataType): Int = {
+    val (fs, root) = fsRoot(outDir)
+    val head = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $outDir"))
+    val st = snapshotSchema(outDir, head).getOrElse(
+      throw new IllegalStateException(s"version $head of $outDir has " +
+        "no #schema= header (pre-header manifest) - recommit first"))
+    val f = st.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column '$column' in " +
+        s"${st.fieldNames.mkString(", ")}"))
+    require(widens(f.dataType, to),
+      s"'${f.dataType.simpleString} -> ${to.simpleString}' is not a " +
+        "safe widening (byte<short<int<long, float<double) - " +
+        "narrowing or retyping needs a rewrite")
+    val widened = org.apache.spark.sql.types.StructType(st.fields.map(
+      x => if (x.name == column) x.copy(dataType = to) else x))
+    val version = head + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, carryBatch(fs, root, Map.empty),
+        widened.json, op = "widen"),
+      dataLines(readManifestRaw(fs, root, head)))
+    version
   }
 
   /** [[appendSnapshot]] under SCHEMA EVOLUTION (the `mergeSchema` write

@@ -4734,6 +4734,43 @@ object Curation {
     """SELECT doc_id, n_chars AS chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** TYPE WIDENING with no data rewrite
+    * ([[graft.operators.Export.widenSnapshotColumn]], the Delta
+    * type-widening shape): era 1 lands `n_chars` as INT32, one
+    * metadata-only commit widens it to BIGINT (old files decode through
+    * the parquet reader's native upcast), era 2 appends BIGINT rows.
+    * The head must read the full corpus at the wide type — DuckDB
+    * replays over the raw parquet, where n_chars is BIGINT throughout,
+    * so any upcast drift would hash-mismatch. In-gate requires pin the
+    * narrow type on the pre-widen version. */
+  def q_snapshot_widen(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapwd_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshot(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .withColumn("n_chars", col("n_chars").cast("int")), od)
+    graft.operators.Export.widenSnapshotColumn(od, "n_chars",
+      org.apache.spark.sql.types.LongType)
+    val v3 = graft.operators.Export.appendSnapshot(s,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), od)
+    require(graft.operators.Export.readSnapshot(s, od, 1)
+        .schema("n_chars").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "pre-widen version must keep the narrow type")
+    val head = graft.operators.Export.readSnapshot(s, od, v3)
+    require(head.schema("n_chars").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"head must be widened, got ${head.schema("n_chars").dataType}")
+    head.orderBy("doc_id")
+  }
+
+  val q_snapshot_widen_sql: String =
+    """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""".stripMargin
+
   /** PARTITION-COLUMN rename ([[q_snapshot_rename]]'s hard case): era 1
     * lands partitioned by `lang`, the partition column is renamed to
     * `language` (metadata-only — the `p=` specs keep their physical

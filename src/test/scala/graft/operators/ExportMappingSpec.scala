@@ -85,6 +85,56 @@ class ExportMappingSpec extends SparkSpec {
       Export.dropSnapshotColumn(t2, "m")) // the layout needs m
   }
 
+  test("TYPE WIDENING is metadata-only: old int32 files decode as " +
+      "long, time travel keeps the narrow type, the lattice refuses " +
+      "narrowing/retyping, and evolved appends resolve to the wider " +
+      "side in either direction") {
+    import org.apache.spark.sql.types._
+    val t = tmp()
+    Export.appendSnapshot(spark,
+      (0 until 3).map(i => (i.toLong, i * 10)).toDF("id", "n"), t)
+    val before = Export.snapshotFiles(t, 1)
+    val v2 = Export.widenSnapshotColumn(t, "n", LongType)
+    assert(Export.snapshotFiles(t, v2) === before, "no data rewrite")
+    assert(Export.snapshotOperation(t, v2) === Some("widen"))
+    val head = Export.readSnapshot(spark, t, v2)
+    assert(head.schema("n").dataType === LongType)
+    assert(head.select("n").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 10L, 20L), "old int32 bytes upcast at read")
+    assert(Export.readSnapshot(spark, t, 1).schema("n").dataType ===
+      IntegerType, "pre-widen versions keep the narrow type")
+    intercept[IllegalArgumentException](
+      Export.widenSnapshotColumn(t, "n", IntegerType)) // narrowing
+    intercept[IllegalArgumentException](
+      Export.widenSnapshotColumn(t, "n", StringType)) // retyping
+    // a NARROW append after the widen still unions to long
+    val v3 = Export.appendSnapshotEvolved(spark,
+      (3 until 5).map(i => (i.toLong, i * 10)).toDF("id", "n"), t)
+    val after = Export.readSnapshot(spark, t, v3)
+    assert(after.schema("n").dataType === LongType)
+    assert(after.select("n").as[Long].collect().sorted.toSeq ===
+      (0 until 5).map(_ * 10L))
+    // and a WIDE append into a narrow table widens implicitly
+    val t2 = tmp()
+    Export.appendSnapshot(spark,
+      Seq((1L, 1.5f)).toDF("id", "x"), t2)
+    val w = Export.appendSnapshotEvolved(spark,
+      Seq((2L, 2.5d)).toDF("id", "x"), t2)
+    assert(Export.readSnapshot(spark, t2, w).schema("x").dataType ===
+      DoubleType)
+    assert(Export.readSnapshot(spark, t2, w)
+      .select("x").as[Double].collect().sorted.toSeq === Seq(1.5, 2.5))
+    // widening composes with renames: widen the RENAMED column
+    val t3 = tmp()
+    Export.appendSnapshot(spark,
+      (0 until 3).map(i => (i.toLong, i)).toDF("id", "n"), t3)
+    Export.renameSnapshotColumn(t3, "n", "count")
+    val v3b = Export.widenSnapshotColumn(t3, "count", LongType)
+    assert(Export.readSnapshot(spark, t3, v3b)
+      .select("count").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 2L))
+  }
+
   test("even PARTITION columns rename: p= specs are physical-keyed, " +
       "pruned reads and partition-scoped DML translate, dropping a " +
       "partition column still refuses") {
