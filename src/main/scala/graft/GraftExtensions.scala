@@ -234,6 +234,118 @@ object GraftExtensions {
             litString(args.head, "path"))
           .queryExecution.logical
       }),
+    // ---- SQL DML procedures (CALL-style): the WRITE half of the SQL
+    // seam. Each executes its lake operation when the statement is
+    // ANALYZED (the TVF builder runs at plan-build — `spark.sql(...)`
+    // is the CALL) and returns a one-row relation reporting the commit,
+    // so plain-SQL users get MERGE/DELETE/OPTIMIZE/VACUUM without the
+    // Scala API — the Delta-procedures shape on the existing extension
+    // seam. Arguments are literals, like every TVF here.
+    (FunctionIdentifier("graft_delete"),
+      info("graft_delete", "graft_delete(path, predicate_sql[, 'mor']) " +
+        "- DELETE FROM the lake table: copy-on-write by default, " +
+        "merge-on-read deletion vectors with the 'mor' mode. Returns " +
+        "(version)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litString(args.head, "path")
+        val cond = org.apache.spark.sql.functions.expr(
+          litString(args(1), "predicate"))
+        val mor = args.length > 2 &&
+          litString(args(2), "mode").equalsIgnoreCase("mor")
+        val v =
+          if (mor) graft.operators.Export.deleteWhereMoR(spark, path, cond)
+          else graft.operators.Export.deleteWhere(spark, path, cond)
+        oneRow(spark, "version" -> v.toLong)
+      }),
+    (FunctionIdentifier("graft_merge"),
+      info("graft_merge", "graft_merge(path, source_view, " +
+        "'k1,k2'[, 'o1,o2']) - MERGE INTO the lake table from a " +
+        "registered view/table: full-row upsert by key; with the " +
+        "order column list, ORDER-RESOLVED (max-by wins, the CDC " +
+        "shape). Partition-scoped automatically when the table's " +
+        "layout columns are part of the key. Returns (version)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litString(args.head, "path")
+        val updates = spark.table(litString(args(1), "source view"))
+        val keys = litString(args(2), "key list")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val orderCols =
+          if (args.length > 3) litString(args(3), "order list")
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          else Seq.empty
+        val E = graft.operators.Export
+        val latest = E.latestSnapshotVersion(path)
+        require(latest > 0, s"nothing to merge into under $path")
+        val partCols = E.snapshotPartitionColumns(path, latest)
+        val v =
+          if (partCols.nonEmpty && partCols.toSet.subsetOf(keys.toSet)) {
+            // layout ⊆ key: the partition-scoped rewrite (cost follows
+            // the touched partitions, not the table)
+            if (orderCols.nonEmpty)
+              E.mergeSnapshotPartitionedLatest(spark, path, updates,
+                keys, partCols, orderCols)
+            else E.mergeSnapshotPartitioned(spark, path, updates, keys,
+              partCols)
+          } else {
+            val base = E.readSnapshot(spark, path, latest)
+            val merged =
+              if (orderCols.nonEmpty) graft.operators.Merge
+                .upsertLatest(base, updates, keys, orderCols)
+              else graft.operators.Merge.upsert(base, updates, keys)
+            E.replaceSnapshot(spark, merged, path)
+          }
+        oneRow(spark, "version" -> v.toLong)
+      }),
+    (FunctionIdentifier("graft_optimize"),
+      info("graft_optimize", "graft_optimize(path[, n_files[, " +
+        "'cluster:key'|'zorder:a,b']]) - OPTIMIZE the lake table: " +
+        "compact the head into n_files (default 1), optionally " +
+        "range-clustered or z-ordered with fresh pruning zones. " +
+        "Returns (version, n_files)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litString(args.head, "path")
+        val nFiles =
+          if (args.length > 1) litLong(args(1), "n_files").toInt else 1
+        val E = graft.operators.Export
+        val v =
+          if (args.length > 2) {
+            val spec = litString(args(2), "layout spec")
+            spec.split(':') match {
+              case Array("cluster", k) =>
+                E.compactSnapshotClustered(spark, path, k.trim, nFiles)
+              case Array("zorder", ab) => ab.split(',').map(_.trim) match {
+                case Array(a, b) =>
+                  E.compactSnapshotZordered(spark, path, a, b, nFiles)
+                case _ => throw new IllegalArgumentException(
+                  s"zorder spec needs two columns, got: $spec")
+              }
+              case _ => throw new IllegalArgumentException(
+                s"layout spec is 'cluster:key' or 'zorder:a,b', got: $spec")
+            }
+          } else E.compactSnapshot(spark, path, nFiles)
+        oneRow(spark, "version" -> v.toLong,
+          "n_files" -> E.snapshotFiles(path, v).size.toLong)
+      }),
+    (FunctionIdentifier("graft_vacuum"),
+      info("graft_vacuum", "graft_vacuum(path, keep[, horizon_ms]) - " +
+        "retention: drop all but the newest `keep` versions and delete " +
+        "unreferenced data files older than the in-flight horizon. " +
+        "Returns (dropped_versions, deleted_files)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litString(args.head, "path")
+        val keep = litLong(args(1), "keep").toInt
+        val horizon =
+          if (args.length > 2) litLong(args(2), "horizon_ms")
+          else graft.operators.Export.DefaultVacuumHorizonMs
+        val (dv, df) = graft.operators.Export.vacuumSnapshots(path, keep,
+          horizon)
+        oneRow(spark, "dropped_versions" -> dv.toLong,
+          "deleted_files" -> df.toLong)
+      }),
     (FunctionIdentifier("graft_diff"),
       info("graft_diff", "graft_diff(path, v_old, v_new[, " +
         "'key1,key2']) - table_changes BETWEEN two versions as a " +
@@ -255,6 +367,14 @@ object GraftExtensions {
             graft.operators.Export.snapshotDiff(spark, path, vOld, vNew)
         df.queryExecution.logical
       }))
+
+  /** One-row result relation of a DML procedure. */
+  private def oneRow(spark: org.apache.spark.sql.SparkSession,
+      cols: (String, Long)*)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.range(1).select(cols.map { case (n, v) =>
+      org.apache.spark.sql.functions.lit(v).as(n) }: _*)
+      .queryExecution.logical
 
   private def litString(e: Expression, name: String): String = e match {
     case Literal(v, StringType) if v != null => v.toString

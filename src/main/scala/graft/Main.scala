@@ -238,9 +238,21 @@ object Main {
       sys.exit(2)
     }
     val v =
-      if (partFilters.nonEmpty)
+      if (partFilters.nonEmpty) {
+        // the table's FULL partition column set comes from the head
+        // manifest's p= specs, not from the filter: compacting
+        // `--partition dt=X` on a (dt, tenant)-partitioned table must
+        // rewrite files still carrying BOTH columns' specs, or pruning
+        // on the unfiltered column degrades and partition-scoped DML
+        // later refuses the table as inconsistently partitioned
+        val head = graft.operators.Export.latestSnapshotVersion(dir)
+        val partCols = graft.operators.Export
+          .snapshotPartitionColumns(dir, head)
         graft.operators.Export.compactSnapshotPartition(
-          spark, dir, partFilters.keys.toSeq, partFilters, nFiles)
+          spark, dir,
+          if (partCols.nonEmpty) partCols else partFilters.keys.toSeq,
+          partFilters, nFiles)
+      }
       else o("zorder-by").headOption match {
         case Some(keys) => keys.split(",").map(_.trim) match {
           case Array(a, b) => graft.operators.Export

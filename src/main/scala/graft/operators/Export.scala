@@ -256,11 +256,78 @@ object Export {
 
   private val ManifestName = "_v(\\d+)\\.manifest".r
 
-  private def manifestVersions(fs: FileSystem, root: Path): Seq[Int] =
+  // ---------------------------------------------- version-hint head file
+  //
+  // The table root holds manifests, epoch dirs and dv dirs FLAT, and a
+  // `graftlake` streaming sink commits one version per micro-batch — so
+  // a listing-based version discovery pays O(every epoch the table ever
+  // committed) on EVERY plan, commit and stream trigger, the one cost
+  // that grows without bound on an object store. `_versions.hint` is the
+  // committed version list (one decimal per line, rewritten on every
+  // commit and every vacuum) — the `_last_checkpoint` idea: planning
+  // reads ONE small file instead of listing the root. It is a HINT, not
+  // an authority:
+  //  - commits grow it AFTER the manifest rename, so a crash (or a
+  //    concurrent committer whose hint write hasn't landed) leaves it
+  //    BEHIND — readers reconcile forward by probing `_v<head+1>` with
+  //    exists() until the first miss;
+  //  - vacuum shrinks it BEFORE deleting manifests, so the hint never
+  //    names a deleted manifest;
+  //  - an absent/corrupt hint falls back to the full listing (legacy
+  //    tables keep working; their first new commit writes the hint).
+  private val VersionsHint = "_versions.hint"
+
+  private def readVersionsHint(fs: FileSystem, root: Path)
+      : Option[Seq[Int]] =
+    try {
+      val in = fs.open(new Path(root, VersionsHint))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val vs = txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toInt).toVector.sorted
+      if (vs.isEmpty) None else Some(vs)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Best-effort hint rewrite (temp + delete + rename; a reader hitting
+    * the delete/rename window just falls back to the listing once).
+    * Failures are swallowed — the hint accelerates, never gates. */
+  private def writeVersionsHint(fs: FileSystem, root: Path,
+      versions: Seq[Int]): Unit =
+    try {
+      val tmp = new Path(root,
+        s"_tmp.$VersionsHint.${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(versions.distinct.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val dest = new Path(root, VersionsHint)
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Full-listing version discovery — the legacy/fallback path, and what
+    * vacuum uses on purpose (it must see even versions a crashed vacuum
+    * already dropped from the hint, so they get reclaimed eventually). */
+  private def listManifestVersions(fs: FileSystem, root: Path): Seq[Int] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
       case ManifestName(v) => v.toInt
     }.sorted
+
+  /** Committed versions: O(1) via the hint (one read + one forward
+    * probe) when present, full listing otherwise. */
+  private def manifestVersions(fs: FileSystem, root: Path): Seq[Int] =
+    readVersionsHint(fs, root) match {
+      case Some(vs) =>
+        // reconcile FORWARD: the manifest rename precedes the hint write,
+        // so a fresher commit can exist that the hint doesn't name yet
+        var head = vs.last
+        val extra = scala.collection.mutable.ArrayBuffer[Int]()
+        while (fs.exists(manifestPath(root, head + 1))) {
+          head += 1; extra += head
+        }
+        vs ++ extra
+      case None => listManifestVersions(fs, root)
+    }
 
   private def manifestPath(root: Path, version: Int): Path =
     new Path(root, s"_v$version.manifest")
@@ -367,6 +434,17 @@ object Export {
       throw new IllegalStateException(
         s"concurrent commit: _v$version.manifest already exists under $root")
     }
+    // grow the version hint AFTER the commit point. Base it on the prior
+    // hint when present (no listing on the hot commit path); gap-fill by
+    // probing versions between the hint's head and ours — a concurrent
+    // winner whose own hint write hasn't landed yet must not be dropped.
+    val prior = readVersionsHint(fs, root)
+      .getOrElse(listManifestVersions(fs, root))
+      .filterNot(_ == version)
+    val gaps = ((prior.lastOption.getOrElse(0) + 1) until version)
+      .filterNot(prior.contains)
+      .filter(v => fs.exists(manifestPath(root, v)))
+    writeVersionsHint(fs, root, prior ++ gaps :+ version)
   }
 
   /** Write the epoch's immutable data files and return (dir, qualified
@@ -609,6 +687,72 @@ object Export {
           .map(l => fs.makeQualified(new Path(pathOf(l))).toString).toSet
         cur.filterNot(f => before(fs.makeQualified(new Path(f)).toString))
     }
+  }
+
+  /** Planning-side view of one manifest data line — the pruning tags a
+    * scan planner consumes without touching the data: `partition` and
+    * `stats` are PHYSICAL-keyed exactly as the manifest carries them
+    * (translate lookups through the committed schema), `hasDv` marks a
+    * line whose rows need the deletion-vector anti-join. */
+  final case class ManifestEntry(path: String,
+      partition: Map[String, String], stats: Map[String, (Long, Long)],
+      hasDv: Boolean)
+
+  /** The manifest data lines of `version` as [[ManifestEntry]]s — one
+    * manifest read, no Spark session, no data-dir listing. This is the
+    * batch format's planning source ([[graft.sources.GraftLakeFileIndex]]). */
+  def snapshotManifestEntries(outDir: String, version: Int)
+      : Seq[ManifestEntry] = {
+    val (fs, root) = fsRoot(outDir)
+    dataLines(readManifestRaw(fs, root, version)).map(l =>
+      ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
+        dvOf(l).nonEmpty))
+  }
+
+  /** [[replaceSnapshot]] with the hive-style partitioned epoch layout
+    * ([[appendSnapshotPartitioned]]'s write shape): the new version is a
+    * complete table state laid out (and `p=`-tagged) by `partitionCols`,
+    * so partition-pruned reads and partition-scoped DML work from the
+    * first commit — the batch `format("graftlake")`
+    * `mode("overwrite").option("partitionBy", ...)` path. */
+  def replaceSnapshotPartitioned(spark: SparkSession, df: DataFrame,
+      outDir: String, partitionCols: Seq[String], nFiles: Int = 1,
+      zoneKey: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Int = {
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
+    val lines = writePartitionedEpoch(spark, fs, root, version, df,
+      partitionCols, nFiles, zoneKey)
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, meta, df.schema.json, op = "replace"), lines)
+    version
+  }
+
+  /** True when any data line of `version` carries a deletion-vector
+    * (`dv=`) tag — planning-side. The streaming source's bootstrap and
+    * the batch format's fast path must route DV-bearing versions through
+    * the DV-aware read funnel (a raw file scan would re-emit deleted
+    * rows). */
+  def snapshotHasDeletionVectors(outDir: String, version: Int): Boolean = {
+    val (fs, root) = fsRoot(outDir)
+    dataLines(readManifestRaw(fs, root, version)).exists(l =>
+      dvOf(l).nonEmpty)
+  }
+
+  /** LOGICAL partition columns of a version, recovered from its
+    * manifest's `p=` specs (which are PHYSICAL-keyed and carry EVERY
+    * layout column) translated back through the committed schema — the
+    * full partition key set, whatever subset a caller happened to filter
+    * on. Empty for an unpartitioned table. */
+  def snapshotPartitionColumns(outDir: String, version: Int)
+      : Seq[String] = {
+    val (fs, root) = fsRoot(outDir)
+    val phys = dataLines(readManifestRaw(fs, root, version))
+      .flatMap(l => partitionOf(l).keys).distinct
+    val st = snapshotSchema(outDir, version)
+    phys.map(p => st.flatMap(_.fields.find(f => physicalOf(f) == p))
+      .map(_.name).getOrElse(p))
   }
 
   // ------------------------------------------------------------------
@@ -1062,12 +1206,21 @@ object Export {
     require(keep >= 1, s"must keep at least one version, got $keep")
     require(horizonMs >= 0, s"horizon must be non-negative, got $horizonMs")
     val (fs, root) = fsRoot(outDir)
-    val versions = manifestVersions(fs, root)
+    // full listing ON PURPOSE (not the hint): a crashed earlier vacuum may
+    // have shrunk the hint before finishing its deletes — only the listing
+    // still sees those manifests, and this pass reclaims them
+    val versions = listManifestVersions(fs, root)
     val dropped = versions.dropRight(keep)
     // dryRun (`VACUUM ... DRY RUN`): report exactly what a real run
     // would drop/delete, touch nothing — the pre-flight every retention
     // change deserves before it runs against a production table
-    if (!dryRun) dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    if (!dryRun) {
+      // shrink the hint BEFORE deleting manifests (the commit path grows
+      // it AFTER renaming) — the hint can run behind the truth but never
+      // names a deleted manifest
+      writeVersionsHint(fs, root, versions.takeRight(keep))
+      dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    }
     // normalize through makeQualified so manifests written with any
     // equivalent path spelling still protect their files
     val survivors = versions.takeRight(keep)

@@ -5273,4 +5273,95 @@ object Curation {
       |FROM documents
       |WHERE doc_id % 3 != 0 AND doc_id % 4 != 0 AND doc_id % 5 = 0
       |ORDER BY _change, doc_id""".stripMargin
+
+  /** BATCH `format("graftlake")` end to end
+    * ([[graft.sources.GraftLakeBatch]]): the corpus lands in a lake
+    * table purely through `df.write.format("graftlake")` (two
+    * partitioned append commits), and both reads run purely through
+    * `spark.read.format("graftlake")` — the latest head and
+    * `versionAsOf` time travel. The relation is a manifest-planned
+    * `HadoopFsRelation`, so the `lang = 'en'` conjunct is BOTH pushed
+    * to the parquet scan and used to drop non-matching files from the
+    * plan (`GraftLakeBatchSpec` proves the pruning and PushedFilters);
+    * DuckDB replays the predicates full-scan — planning must change
+    * the I/O, never the rows. */
+  def q_lake_batch_format(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"lakebatch_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    docs.filter(col("doc_id") % 2 === 0).write.format("graftlake")
+      .option("partitionBy", "lang").save(od)
+    docs.filter(col("doc_id") % 2 === 1).write.format("graftlake")
+      .mode("append").option("partitionBy", "lang").save(od)
+    def agg(read: Int, df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .select(lit(read).as("read"), col("n_docs"), col("id_sum"),
+          col("total_chars"))
+    agg(1, s.read.format("graftlake").option("versionAsOf", "1").load(od))
+      .unionByName(agg(2, s.read.format("graftlake").load(od)))
+      .orderBy("read")
+  }
+
+  val q_lake_batch_format_sql: String =
+    """SELECT 1 AS read, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE lang = 'en'
+      |ORDER BY read""".stripMargin
+
+  /** SQL DML procedures (the WRITE half of the SQL seam,
+    * [[graft.GraftExtensions]]): the table is built with the batch
+    * format API, then EVERY mutation runs through `spark.sql` —
+    * `graft_delete(path, 'doc_id % 3 = 0')`,
+    * `graft_merge(path, updates_view, 'doc_id')` (full-row upsert:
+    * matched keys take the update, unmatched updates insert),
+    * `graft_optimize(path, 1)` — and the final state is read back
+    * through the `graft_snapshot` TVF, also SQL. DuckDB replays
+    * delete-then-merge from first principles; the optimize must change
+    * layout only. */
+  def q_sql_dml(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqldml_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    docs.write.format("graftlake").save(od)
+    docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("n_chars", col("n_chars") + 100L)
+      .createOrReplaceTempView("q_sql_dml_updates")
+    val del = s.sql(s"SELECT version FROM graft_delete('$od', " +
+      "'doc_id % 3 = 0')").collect()
+    assert(del.head.getLong(0) == 2L)
+    val mrg = s.sql(s"SELECT version FROM graft_merge('$od', " +
+      "'q_sql_dml_updates', 'doc_id')").collect()
+    assert(mrg.head.getLong(0) == 3L)
+    val opt = s.sql(s"SELECT n_files FROM graft_optimize('$od', 1)")
+      .collect()
+    assert(opt.head.getLong(0) == 1L)
+    s.sql(s"SELECT doc_id, n_chars FROM graft_snapshot('$od') " +
+      "ORDER BY doc_id")
+  }
+
+  val q_sql_dml_sql: String =
+    """WITH upd AS (SELECT doc_id, n_chars + 100 AS n_chars
+      |             FROM documents WHERE doc_id % 5 = 0),
+      |base AS (SELECT doc_id, n_chars FROM documents
+      |         WHERE doc_id % 3 != 0)
+      |SELECT doc_id, n_chars FROM upd
+      |UNION ALL
+      |SELECT doc_id, n_chars FROM base
+      |WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.BaseRelation
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.{SQLContext, SparkSession}
+
+import graft.operators.Export
+
+/** BATCH read half of `format("graftlake")`:
+  *
+  *   spark.read.format("graftlake")
+  *     .option("versionAsOf", 3)          // or timestampAsOf=<ms>
+  *     .load(tableDir)
+  *
+  * The relation is a real `HadoopFsRelation` over a MANIFEST-DRIVEN
+  * [[FileIndex]], so the whole native file-scan stack applies untouched:
+  * vectorized parquet reads, `PushedFilters` row-group skipping,
+  * `ReadSchema` column pruning, whole-stage codegen. What the manifest
+  * adds is FILE elimination at planning time: [[GraftLakeFileIndex]]
+  * receives Catalyst's pushed data filters and drops every file whose
+  * `p=` partition spec contradicts an equality conjunct or whose `s=`
+  * per-column range misses a comparison conjunct — the same
+  * tag-pruning contract as `readSnapshotPartitioned`/`readSnapshotRange`
+  * (a file lacking a tag is always planned; pruning accelerates, never
+  * gates), now reached from the plain format API.
+  *
+  * Honesty gates: a head whose schema carries column-mapping metadata,
+  * or whose lines carry deletion vectors, cannot be served by a raw
+  * file relation (the bytes need a physical→logical projection / a DV
+  * anti-join that DSv1 has no seam for) — REFUSED with a pointer to the
+  * `graft_snapshot` TVF and the Scala API, which both serve them
+  * correctly. Compact the table to clear both conditions.
+  */
+object GraftLakeBatch {
+
+  private def opt(params: Map[String, String], key: String)
+      : Option[String] =
+    params.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private[sources] def resolveVersion(params: Map[String, String],
+      path: String): Int = {
+    val byV = opt(params, "versionAsOf")
+    val byTs = opt(params, "timestampAsOf")
+    require(byV.isEmpty || byTs.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    byV.map(_.toInt)
+      .orElse(byTs.map(ts => Export.resolveAsOfTimestamp(path, ts.toLong)))
+      .getOrElse(Export.latestSnapshotVersion(path))
+  }
+
+  /** Build the batch relation for (table, version). */
+  private[sources] def relation(spark: SparkSession, path: String,
+      params: Map[String, String]): BaseRelation = {
+    val version = resolveVersion(params, path)
+    require(version >= 1, s"$path has no committed versions")
+    val schema = Export.snapshotSchema(path, version).getOrElse(
+      throw new IllegalStateException(s"version $version of $path has " +
+        "no #schema= header (pre-header legacy manifest) - recommit"))
+    require(!schema.fields.exists(f => Export.physicalOf(f) != f.name),
+      s"version $version of $path uses column mapping (a column was " +
+        "renamed/dropped with no rewrite); the raw-file batch relation " +
+        "cannot project physical->logical names. Read it via the " +
+        "graft_snapshot TVF or Export.readSnapshot, or compact the " +
+        "table to materialize the mapping")
+    require(!Export.snapshotHasDeletionVectors(path, version),
+      s"version $version of $path carries deletion vectors (MoR " +
+        "delete); the raw-file batch relation would re-emit deleted " +
+        "rows. Read it via the graft_snapshot TVF or " +
+        "Export.readSnapshot, or compact the table to materialize the " +
+        "DVs")
+    val index = new GraftLakeFileIndex(spark, path, version, schema)
+    HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat(), params)(spark)
+  }
+}
+
+/** Manifest-driven [[FileIndex]]: `listFiles` plans exactly the
+  * version's manifest files minus those a pushed literal conjunct
+  * provably excludes via the manifest's `p=`/`s=` tags. File statuses
+  * are resolved ONCE at construction with one `listStatus` per distinct
+  * parent (epoch) directory — bounded by the manifest's directory
+  * count, never the table root. */
+final class GraftLakeFileIndex(spark: SparkSession, table: String,
+    version: Int, schema: StructType) extends FileIndex {
+
+  private val entries = Export.snapshotManifestEntries(table, version)
+
+  private val (fs, root) = Export.fsRoot(table)
+
+  // logical name -> the physical name the tags are keyed by (identity
+  // here in practice: mapped tables are refused by the relation gate)
+  private val physOf: Map[String, String] =
+    schema.fields.map(f => f.name -> Export.physicalOf(f)).toMap
+
+  private val statuses: Seq[(Export.ManifestEntry, FileStatus)] = {
+    val byParent = entries.groupBy(e => new Path(e.path).getParent)
+    byParent.toSeq.flatMap { case (dir, es) =>
+      val listed = fs.listStatus(dir)
+        .map(st => fs.makeQualified(st.getPath).toString -> st).toMap
+      es.map { e =>
+        val q = fs.makeQualified(new Path(e.path)).toString
+        e -> listed.getOrElse(q, fs.getFileStatus(new Path(e.path)))
+      }
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  // partition values are REAL columns in the data files (the layout
+  // shadows them for directories) — so the exact predicates stay pushed
+  // to the parquet scan and this index prunes via dataFilters
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val conjuncts = dataFilters.flatMap(splitAnd)
+    val chosen = statuses.filter { case (e, _) =>
+      conjuncts.forall(c => !excludes(c, e))
+    }
+    Seq(PartitionDirectory(InternalRow.empty,
+      chosen.map(_._2).toArray))
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  private def longOf(l: Literal): Option[Long] = l.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Option(l.value).map(v => v.toString.toLong)
+    case _ => None
+  }
+
+  /** Manifest string form of an equality literal — only types whose
+    * Spark CAST-to-string (what the `p=` writer used) equals the
+    * literal's toString are eligible; anything else never prunes. */
+  private def stringOf(l: Literal): Option[String] = l.dataType match {
+    case StringType | ByteType | ShortType | IntegerType | LongType =>
+      Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  /** True only when the conjunct PROVABLY excludes every row of the
+    * entry's file: a `p=` spec contradicting an equality, or an `s=`
+    * range missing a comparison. Missing tag / non-literal shape /
+    * unknown type → never excludes. */
+  private def excludes(c: Expression, e: Export.ManifestEntry)
+      : Boolean = {
+    def phys(a: Attribute): String = physOf.getOrElse(a.name, a.name)
+    def statRange(a: Attribute): Option[(Long, Long)] =
+      e.stats.get(phys(a))
+    c match {
+      case EqualTo(a: Attribute, l: Literal) => eqExcludes(a, l, e)
+      case EqualTo(l: Literal, a: Attribute) => eqExcludes(a, l, e)
+      case In(a: Attribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.map(_.asInstanceOf[Literal])
+          .forall(l => eqExcludes(a, l, e))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi <= v }
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi < v }
+      case LessThan(a: Attribute, l: Literal) =>
+        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo >= v }
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo > v }
+      case GreaterThan(l: Literal, a: Attribute) => // v > col ≡ col < v
+        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo >= v }
+      case LessThan(l: Literal, a: Attribute) => // v < col ≡ col > v
+        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi <= v }
+      case _ => false
+    }
+  }
+
+  private def eqExcludes(a: Attribute, l: Literal,
+      e: Export.ManifestEntry): Boolean = {
+    val p = physOf.getOrElse(a.name, a.name)
+    val partHit = stringOf(l).zip(e.partition.get(p))
+      .exists { case (v, spec) => spec != v }
+    val statHit = longOf(l).zip(e.stats.get(p))
+      .exists { case (v, (lo, hi)) => v < lo || v > hi }
+    partHit || statHit
+  }
+
+  override def inputFiles: Array[String] =
+    statuses.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+}

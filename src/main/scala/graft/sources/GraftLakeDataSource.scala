@@ -85,6 +85,8 @@ import graft.operators.Export
   */
 final class GraftLakeDataSource
     extends StreamSourceProvider with StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graftlake"
@@ -104,6 +106,65 @@ final class GraftLakeDataSource
       outputMode: OutputMode): Sink =
     new GraftLakeSink(ctx.sparkSession, params, partitionColumns,
       outputMode)
+
+  /** BATCH read: `spark.read.format("graftlake")
+    * .option("versionAsOf"|"timestampAsOf", ...).load(dir)` — a
+    * manifest-planned `HadoopFsRelation` (see [[GraftLakeBatch]]), so
+    * pushed filters prune FILES from the manifest tags before the
+    * vectorized parquet scan prunes row groups. */
+  override def createRelation(ctx: SQLContext,
+      params: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation =
+    GraftLakeBatch.relation(ctx.sparkSession,
+      GraftLakeSource.pathOf(params), params)
+
+  /** BATCH write: `df.write.format("graftlake")
+    * .mode("append"|"overwrite").option("partitionBy", "c1,c2")
+    * .save(dir)`. Modes map to commit kinds: append →
+    * [[Export.appendSnapshot]]/[[Export.appendSnapshotPartitioned]],
+    * overwrite → [[Export.replaceSnapshot]]/
+    * [[Export.replaceSnapshotPartitioned]] (a full-replace VERSION —
+    * time travel keeps the old states; never a file-level truncate).
+    * Partitioning rides an option because Spark's v1 save path does not
+    * forward `.partitionBy` to a CreatableRelationProvider. */
+  override def createRelation(ctx: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      params: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = ctx.sparkSession
+    val path = GraftLakeSource.pathOf(params)
+    val partCols = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("partitionBy") => v
+    }.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val filesPerCommit = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("filesPerCommit") => v.toInt
+    }
+    // unpartitioned epochs keep the frame's natural parallelism unless
+    // the caller sizes them; partitioned epochs range-shuffle anyway
+    val shaped = filesPerCommit.map(data.coalesce).getOrElse(data)
+    val nFiles = filesPerCommit.getOrElse(1)
+    val exists = Export.latestSnapshotVersion(path) >= 1
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"$path already has a snapshot log (mode=ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite =>
+        if (partCols.nonEmpty)
+          Export.replaceSnapshotPartitioned(spark, data, path, partCols,
+            nFiles)
+        else Export.replaceSnapshot(spark, shaped, path)
+      case _ => // Append, or first write under ErrorIfExists/Ignore
+        if (partCols.nonEmpty)
+          Export.appendSnapshotPartitioned(spark, data, path, partCols,
+            nFiles)
+        else Export.appendSnapshot(spark, shaped, path)
+    }
+    GraftLakeBatch.relation(spark, path,
+      params.filterNot(_._1.equalsIgnoreCase("partitionBy")))
+  }
 }
 
 object GraftLakeSource {
@@ -266,8 +327,8 @@ final class GraftLakeSource(spark: SparkSession,
     val lo = math.max(start.map(versionOf).getOrElse(floor), floor)
     val hi = versionOf(end)
     if (hi > highWater) highWater = hi
-    val versions = Export.snapshotVersions(path)
-      .map(_.toLong).filter(v => v > lo && v <= hi)
+    val survivors = Export.snapshotVersions(path).map(_.toLong)
+    val versions = survivors.filter(v => v > lo && v <= hi)
     // The version log is DENSE (each commit is prev+1), so a number in
     // (lo, hi] absent from the survivors was vacuumed. A FRESH stream
     // (start=None) is safe under a head-vacuumed log: the first
@@ -311,10 +372,8 @@ final class GraftLakeSource(spark: SparkSession,
         // real change and the append rules apply; an explicit
         // startingVersion ABOVE the first survivor gets no exemption
         // (a change commit there serves partial rewrites - refuse).
-        val minSurvivor = Export.snapshotVersions(path)
-          .headOption.map(_.toLong)
         val snapshotBoot =
-          start.isEmpty && minSurvivor.contains(versions.head)
+          start.isEmpty && survivors.headOption.contains(versions.head)
         val raw =
           if (cdf) cdfBatch(versions)
           else appendBatch(versions, bootVersion =
@@ -332,7 +391,17 @@ final class GraftLakeSource(spark: SparkSession,
     * the stream already served, not new data. */
   private def appendBatch(versions: Seq[Long],
       bootVersion: Option[Long]): DataFrame = {
-    val files = versions.flatMap { v =>
+    // a DV-BEARING bootstrap manifest (deleteWhereMoR head, or a restore
+    // to a DV version, then vacuum) must go through the DV-aware read
+    // funnel — the raw added-files scan below would silently re-emit the
+    // deleted rows. Export.readSnapshot applies the anti-join and the
+    // physical→logical projection; align its (possibly older) schema to
+    // the pinned stream schema by physical identity.
+    val bootDv = bootVersion.filter(v =>
+      Export.snapshotHasDeletionVectors(path, v.toInt))
+    val bootFrame = bootDv.map(v =>
+      alignDataToPinned(Export.readSnapshot(spark, path, v.toInt)))
+    val files = versions.filterNot(bootDv.contains).flatMap { v =>
       Export.snapshotOperation(path, v.toInt) match {
         case _ if bootVersion.contains(v) =>
           Export.snapshotAddedFiles(path, v.toInt)
@@ -353,19 +422,41 @@ final class GraftLakeSource(spark: SparkSession,
             "the change feed instead")
       }
     }
-    if (files.isEmpty) emptyFrame(dataSchema)
-    else {
-      // decode by PHYSICAL column name (a renamed table's bytes keep
-      // their original names), then project back to the pinned logical
-      // schema - mirrors Export.readFilesAs
-      val phys = StructType(dataSchema.fields.map(f =>
-        f.copy(name = Export.physicalOf(f))))
-      val scan = spark.read.schema(phys).parquet(files: _*)
-      if (dataSchema.fields.exists(f => Export.physicalOf(f) != f.name))
-        scan.select(dataSchema.fields.toSeq.map(f =>
-          col(Export.physicalOf(f)).as(f.name)): _*)
-      else scan
+    val scanned =
+      if (files.isEmpty) None
+      else {
+        // decode by PHYSICAL column name (a renamed table's bytes keep
+        // their original names), then project back to the pinned logical
+        // schema - mirrors Export.readFilesAs
+        val phys = StructType(dataSchema.fields.map(f =>
+          f.copy(name = Export.physicalOf(f))))
+        val scan = spark.read.schema(phys).parquet(files: _*)
+        Some(
+          if (dataSchema.fields.exists(f => Export.physicalOf(f) != f.name))
+            scan.select(dataSchema.fields.toSeq.map(f =>
+              col(Export.physicalOf(f)).as(f.name)): _*)
+          else scan)
+      }
+    (bootFrame, scanned) match {
+      case (Some(b), Some(s)) => b.unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) => emptyFrame(dataSchema)
     }
+  }
+
+  /** Project a snapshot read (its version's own logical names) onto the
+    * pinned stream DATA schema by physical column identity — renamed
+    * columns line up, later-added columns null-fill. */
+  private def alignDataToPinned(df: DataFrame): DataFrame = {
+    val byPhys = df.schema.fields
+      .map(f => Export.physicalOf(f) -> f.name).toMap
+    df.select(dataSchema.fields.toSeq.map { f =>
+      byPhys.get(Export.physicalOf(f)) match {
+        case Some(n) => col(n).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
   }
 
   /** CDF batch: per version, the bag diff against the previous
@@ -378,9 +469,12 @@ final class GraftLakeSource(spark: SparkSession,
     * by physical name: renamed columns line up, later-dropped columns
     * vanish, later-added columns null-fill. */
   private def cdfBatch(versions: Seq[Long]): DataFrame = {
+    // the survivor list is resolved ONCE per getBatch and shared by
+    // every version's diff — not once per version (O(V²) metadata reads
+    // on a catch-up batch)
+    val survivors = Export.snapshotVersions(path)
     val parts = versions.map { v =>
-      val prev = Export.snapshotVersions(path).filter(_ < v.toInt)
-        .lastOption
+      val prev = survivors.filter(_ < v.toInt).lastOption
       val d = prev match {
         case Some(p) => Export.snapshotDiff(spark, path, p, v.toInt)
         case None => Export.readSnapshot(spark, path, v.toInt)

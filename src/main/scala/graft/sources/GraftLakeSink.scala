@@ -39,8 +39,13 @@ import graft.operators.{Export, Merge}
   * Nth version, fold the accumulated small epochs into one
   * [[Export.compactSnapshot]] commit — the small-file answer for
   * epoch-per-micro-batch ingest; the compaction carries the `#batch=`
-  * watermark forward, so exactly-once survives it), `mergeKeys`,
-  * `orderBy` (comma-separated).
+  * watermark forward, so exactly-once survives it. NOTE: each
+  * compaction is a WHOLE-TABLE rewrite — size N so the table rewritten
+  * every N batches stays cheap, or compact out-of-band with
+  * `lake-compact --partition`), `mergeKeys`, `orderBy`
+  * (comma-separated), `allowFullRewrite` (Update mode without
+  * `.partitionBy`: explicit opt-in acknowledging that EVERY micro-batch
+  * reads and rewrites the whole table — the sink refuses otherwise).
   *
   * Scale shape: a micro-batch commit is one epoch write + one manifest
   * rename; the guard is one manifest-header scan-back. State lives in
@@ -75,6 +80,9 @@ final class GraftLakeSink(spark: SparkSession,
   private val orderCols = opt("orderBy").toSeq
     .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
+  private val allowFullRewrite =
+    opt("allowFullRewrite").exists(_.toBoolean)
+
   if (mode == OutputMode.Update()) {
     require(mergeKeys.nonEmpty,
       "Update mode needs .option(\"mergeKeys\", \"k1,k2\") - each " +
@@ -82,8 +90,28 @@ final class GraftLakeSink(spark: SparkSession,
     require(orderCols.nonEmpty,
       "Update mode needs .option(\"orderBy\", \"ts,...\") - the " +
         "sequence columns that resolve out-of-order updates")
+    // SCALE CONTRACT, stated where the user can't miss it: without a
+    // partition layout, every micro-batch reads the FULL table and
+    // rewrites it (O(table) per trigger) — fine for a small keyed state
+    // table, a pathology when a CDC stream points at a big one. The
+    // designed scale path is .partitionBy(cols ⊆ mergeKeys), whose
+    // rewrite is scoped to the batch's touched partitions.
+    require(partitionCols.nonEmpty || allowFullRewrite,
+      "unpartitioned Update mode reads and REWRITES THE ENTIRE TABLE " +
+        "every micro-batch (O(table) per trigger). Partition the table " +
+        "with .partitionBy(cols ⊆ mergeKeys) for partition-scoped " +
+        "merges, or opt in explicitly with " +
+        ".option(\"allowFullRewrite\", \"true\")")
   } else require(mergeKeys.isEmpty,
     "mergeKeys is only meaningful in Update mode")
+  if (mode == OutputMode.Complete())
+    // replaceSnapshot commits the refresh unpartitioned; silently
+    // dropping a requested layout is worse than refusing (ADVICE r11)
+    require(partitionCols.isEmpty,
+      "Complete mode replaces the whole table UNPARTITIONED " +
+        "(replaceSnapshot) - .partitionBy(...) would be silently " +
+        "ignored. Drop it, or use Append/Update mode for partitioned " +
+        "commits")
   if (partitionCols.nonEmpty && mergeKeys.nonEmpty)
     require(partitionCols.forall(mergeKeys.contains),
       s"partition columns ${partitionCols.mkString(",")} must be a " +

@@ -92,6 +92,10 @@ object LakeStream {
         .option("path", silverDir)
         .option("mergeKeys", "event_type,user_id")
         .option("orderBy", "ts_us,value")
+        // small keyed state table: the O(table)-per-batch full rewrite
+        // is the right trade here, acknowledged explicitly (the sink
+        // refuses unpartitioned Update without it)
+        .option("allowFullRewrite", "true")
         .outputMode(OutputMode.Update())
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())

@@ -968,6 +968,37 @@ class ExportLayoutSpec extends SparkSpec {
     assert(Export.latestSnapshotVersion(out) === vC)
   }
 
+  test("partition-scoped compaction on a MULTI-column layout keeps every partition column's spec (ADVICE r11: filtered subset must not narrow the layout)") {
+    val out = tmp("partcompact2")
+    rmDir(out)
+    val two = docs.withColumn("half",
+      (col("doc_id") % 2).cast("string"))
+    val v1 = Export.appendSnapshotPartitioned(spark, two, out,
+      Seq("lang", "half"), nFiles = 2)
+    // the helper recovers the FULL layout key set from the p= specs
+    assert(Export.snapshotPartitionColumns(out, v1) ===
+      Seq("lang", "half"))
+    // compact filtered on ONE column but keyed on the full set (what
+    // the CLI now passes): rewritten lines must still carry BOTH specs
+    val vC = Export.compactSnapshotPartition(spark, out,
+      Export.snapshotPartitionColumns(out, v1),
+      Map("lang" -> "en"), nFiles = 1)
+    val rewritten = Export.snapshotFiles(out, vC)
+      .filterNot(Export.snapshotFiles(out, v1).toSet)
+    assert(rewritten.nonEmpty)
+    assert(rewritten.forall(f => f.contains("_p_lang=") &&
+      f.contains("_p_half=")), s"rewritten files lost a layout dim: " +
+      rewritten.take(3).mkString(", "))
+    // pruning on the UNFILTERED column still works across the rewrite
+    val zeros = Export.readSnapshotPartitioned(spark, out, vC,
+      Map("half" -> "0")).select("doc_id").collect().map(_.getLong(0))
+    assert(zeros.nonEmpty && zeros.forall(_ % 2 == 0))
+    // and partition-scoped DML still accepts the table as consistent
+    Export.compactSnapshotPartition(spark, out,
+      Export.snapshotPartitionColumns(out, vC),
+      Map("half" -> "1"), nFiles = 1)
+  }
+
   test("z-ordered snapshots: box query prunes files on BOTH dims across epochs; OPTIMIZE ZORDER re-establishes") {
     val out = tmp("snapzorder")
     rmDir(out)

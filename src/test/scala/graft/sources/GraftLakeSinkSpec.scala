@@ -60,7 +60,8 @@ class GraftLakeSinkSpec extends SparkSpec {
       "out-of-order batches settle to the global resolution") {
     val t = tmp("gls-update")
     val s = sink(t, OutputMode.Update(),
-      Map("mergeKeys" -> "id", "orderBy" -> "seq"))
+      Map("mergeKeys" -> "id", "orderBy" -> "seq",
+        "allowFullRewrite" -> "true"))
     def kv(triples: (Long, String, Int)*): DataFrame =
       triples.toDF("id", "s", "seq")
     s.addBatch(0, kv((1L, "new", 5), (2L, "b0", 1)))
@@ -123,6 +124,26 @@ class GraftLakeSinkSpec extends SparkSpec {
       partitionCols = Seq("m")))
     intercept[IllegalArgumentException](sink(t, OutputMode.Append(),
       Map("autoCompactEvery" -> "3"), partitionCols = Seq("m")))
+  }
+
+  test("scale contract: unpartitioned Update refuses without an " +
+      "explicit allowFullRewrite; Complete refuses partitionBy instead " +
+      "of silently dropping the layout") {
+    val t = tmp("gls-contract")
+    // O(table)-per-batch rewrite needs the opt-in...
+    val e = intercept[IllegalArgumentException](sink(t, OutputMode.Update(),
+      Map("mergeKeys" -> "id", "orderBy" -> "seq")))
+    assert(e.getMessage.contains("allowFullRewrite"))
+    // ...and the opt-in (or a partition layout) unlocks it
+    sink(t, OutputMode.Update(), Map("mergeKeys" -> "id",
+      "orderBy" -> "seq", "allowFullRewrite" -> "true"))
+    sink(t, OutputMode.Update(), Map("mergeKeys" -> "id,m",
+      "orderBy" -> "seq"), partitionCols = Seq("m"))
+    // Complete commits via replaceSnapshot (unpartitioned); a requested
+    // layout must fail loudly, not vanish (ADVICE r11)
+    val c = intercept[IllegalArgumentException](sink(t,
+      OutputMode.Complete(), partitionCols = Seq("m")))
+    assert(c.getMessage.contains("partitionBy"))
   }
 
   test("end-to-end through the engine: readStream graftlake -> " +

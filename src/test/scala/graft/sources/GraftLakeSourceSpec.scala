@@ -356,6 +356,31 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(got.map(_._1).sorted === (0L until 6L))
   }
 
+  test("a DV-bearing bootstrap (MoR delete then head-vacuum) excludes " +
+      "the deleted rows: the boot batch routes through the DV-aware " +
+      "read, not the raw file scan") {
+    val table = tmp("glk-morboot")
+    Export.appendSnapshot(spark, rows(0, 6), table.getAbsolutePath)
+    // MoR delete: data files untouched, positions in a dv= sidecar —
+    // a raw scan of the head's files would re-emit ids 0..2
+    Export.deleteWhereMoR(spark, table.getAbsolutePath, col("id") < 3)
+    Export.vacuumSnapshots(table.getAbsolutePath, keep = 1,
+      horizonMs = 0L)
+    assert(Export.snapshotHasDeletionVectors(table.getAbsolutePath,
+      Export.latestSnapshotVersion(table.getAbsolutePath)))
+    val got = drain(spark.readStream.format("graftlake")
+        .load(table.getAbsolutePath), tmp("glk-morboot-cp"))
+      .flatMap(_._2)
+    assert(got.map(_._1).sorted === (3L until 6L),
+      "bootstrap re-emitted MoR-deleted rows")
+    // and appends AFTER the DV-bearing bootstrap still flow normally
+    Export.appendSnapshot(spark, rows(10, 12), table.getAbsolutePath)
+    val got2 = drain(spark.readStream.format("graftlake")
+        .load(table.getAbsolutePath), tmp("glk-morboot-cp2"))
+      .flatMap(_._2)
+    assert(got2.map(_._1).sorted === Seq(3L, 4L, 5L, 10L, 11L))
+  }
+
   test("source-side where/select: the stream schema is the projection, " +
       "rows are pre-filtered, and unknown select columns are refused") {
     val table = tmp("glk-pushdown")
