@@ -171,7 +171,7 @@ object Bench {
       var p = run
       var voided = 0
       while (floorApplies && p.rate < IngestFloorMibPerSec &&
-          p.contended(loadGate) && voided < 2) {
+          p.contended(loadGate) && voided < 4) {
         System.err.println(f"BENCH[$tag]: ${p.rate}%.1f MiB/s below floor " +
           "but the window was CONTENDED (ext cores=" +
           p.extCores.map(l => f"$l%.1f").mkString(",") +
@@ -221,31 +221,78 @@ object Bench {
     awaitQuiet("queries")
     val loadAvgQueriesStart = osBean0.getSystemLoadAverage
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // a crashed query must be visible in the JSON line, not silently folded
-    // into a plausible-looking time — failures land in an "errors" object
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // GC time per query: round-over-round timing drift on a shared JVM has
-    // twice been flagged as "unexplained regression" (dedup_exact 1.8→6.6 s
-    // across r1-r3 with identical code — a rerun measured 1.86 s again).
-    // Recording gc_ms alongside each time makes the JSON self-explaining:
-    // high gc_ms → allocator/heap pressure, low gc_ms + high sec → external
-    // CPU contention during the run. Process CPU time disambiguates too.
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    val gcs = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val results = names.map { name =>
-      val t0 = System.nanoTime(); val g0 = gcMs
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        errors(name) = msg.replaceAll("[\"\\\\\n\r\t]", " ").take(160)
-      }
-      gcs(name) = gcMs - g0
-      name -> (System.nanoTime() - t0) / 1e9
+    // One full pass over the registered queries. A crashed query must be
+    // visible in the JSON line, not silently folded into a plausible-
+    // looking time — failures land in an "errors" object. GC time per
+    // query: round-over-round timing drift on a shared JVM has twice been
+    // flagged as "unexplained regression" (dedup_exact 1.8→6.6 s across
+    // r1-r3 with identical code — a rerun measured 1.86 s again).
+    // Recording gc_ms alongside each time makes the JSON self-explaining:
+    // high gc_ms → allocator/heap pressure, low gc_ms + high sec →
+    // external CPU contention during the run.
+    final case class QueryPass(
+        results: Seq[(String, Double)],
+        gcs: scala.collection.mutable.LinkedHashMap[String, Long],
+        errors: scala.collection.mutable.LinkedHashMap[String, String],
+        extCores: Double) {
+      def contended: Boolean = extCores > ExtCoreGate
+      def total: Double = results.map(_._2).sum
     }
+    def runQueryPass(): QueryPass = {
+      val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+      val gcs = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val j0 = systemCpuJiffies; val c0 = procCpuNanos
+      val t0 = System.nanoTime()
+      val results = names.map { name =>
+        val q0 = System.nanoTime(); val g0 = gcMs
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errors(name) = msg.replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+        }
+        gcs(name) = gcMs - g0
+        name -> (System.nanoTime() - q0) / 1e9
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ext =
+        if (j0 < 0) -1.0
+        else (((systemCpuJiffies - j0) / 100.0) -
+          ((procCpuNanos - c0) / 1e9)) / math.max(wall, 1e-9)
+      QueryPass(results, gcs, errors, ext)
+    }
+    // QUERY-PHASE VOIDING (r11 verdict #1): the ingest probes already
+    // void-and-requeue contended windows, but the query phase ran once
+    // and stamped whatever the box gave — r11's official headline was
+    // 1.76× its quiet twin with nothing in the artifact saying which to
+    // trust. Now: measure external CPU across the whole pass; a
+    // contended pass is VOIDED and re-run once after a fresh quiet-wait,
+    // the quieter pass is the official one, and the artifact stamps
+    // queries_ext_cores / queries_voided / queries_contended so a still-
+    // contended number self-identifies instead of impersonating a quiet
+    // one.
+    var queryPass = runQueryPass()
+    var queriesVoided = 0
+    if (queryPass.contended) {
+      System.err.println(f"BENCH[queries]: query pass saw " +
+        f"${queryPass.extCores}%.1f external cores — voiding, re-queuing")
+      queriesVoided += 1
+      awaitQuiet("queries-requeue")
+      val second = runQueryPass()
+      // keep the quieter window's numbers (errors would reproduce; the
+      // second pass also benefits from warm code paths, which is fine —
+      // the driver compares totals across rounds, not passes)
+      if (second.extCores >= 0 && second.extCores < queryPass.extCores)
+        queryPass = second
+    }
+    val results = queryPass.results
+    val gcs = queryPass.gcs
+    val errors = queryPass.errors
+    val queriesContended = queryPass.contended
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gq = gcs.map { case (k, v) => "\"" + k + "\":" + v }
@@ -286,6 +333,9 @@ object Bench {
       s""""contended_start":$contendedStart,"load_wait_attempts":$waitAttempts,""" +
       s""""load_avg_queries_start":$loadAvgQueriesStart,""" +
       s""""run_voided_contended":$voidedRuns,""" +
+      s""""queries_ext_cores":${queryPass.extCores},""" +
+      s""""queries_voided":$queriesVoided,""" +
+      s""""queries_contended":$queriesContended,""" +
       s""""process_cpu_sec":${osBean.getProcessCpuTime / 1e9},""" +
       s""""ingest_mib":$ingestMib,"ingest_sec":$ingestSec,""" +
       s""""ingest_mib_per_sec":$ingestRate,""" +
@@ -324,6 +374,7 @@ object Bench {
       f""""ingest_xl_mib_per_sec":$xlRate%.1f,""" +
       f""""ingest_many_mib_per_sec":$manyRate%.1f,""" +
       f""""external_cpu_sec":$extCpuSec%.0f,"contended_start":$contendedStart,""" +
+      f""""queries_contended":$queriesContended,""" +
       f""""queries":$top5,"sf":"$sfDir"}"""
     println(detail)
     try {

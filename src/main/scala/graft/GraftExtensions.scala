@@ -329,6 +329,29 @@ object GraftExtensions {
         oneRow(spark, "version" -> v.toLong,
           "n_files" -> E.snapshotFiles(path, v).size.toLong)
       }),
+    (FunctionIdentifier("graft_restore"),
+      info("graft_restore", "graft_restore(path, to_version) - RESTORE " +
+        "TABLE TO VERSION: roll the head back by committing a manifest " +
+        "re-pointing at the target version's files (zero data " +
+        "movement). Returns (version)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val v = graft.operators.Export.restoreSnapshot(
+          litString(args.head, "path"),
+          litLong(args(1), "to_version").toInt)
+        oneRow(spark, "version" -> v.toLong)
+      }),
+    (FunctionIdentifier("graft_clone"),
+      info("graft_clone", "graft_clone(src_path, dst_path[, version]) - " +
+        "SHALLOW CLONE: fork a new table whose v1 re-points at the " +
+        "source version's files (zero data movement). Returns (version)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val v = graft.operators.Export.cloneSnapshot(
+          litString(args.head, "src path"), litString(args(1), "dst path"),
+          if (args.length > 2) litLong(args(2), "version").toInt else -1)
+        oneRow(spark, "version" -> v.toLong)
+      }),
     (FunctionIdentifier("graft_vacuum"),
       info("graft_vacuum", "graft_vacuum(path, keep[, horizon_ms]) - " +
         "retention: drop all but the newest `keep` versions and delete " +

@@ -677,15 +677,29 @@ object Export {
     * commit's added files hold exactly the rows that append introduced,
     * so a version-offset stream serves each commit once without ever
     * diffing row sets. */
-  def snapshotAddedFiles(outDir: String, version: Int): Seq[String] = {
+  def snapshotAddedFiles(outDir: String, version: Int): Seq[String] =
+    snapshotAddedEntries(outDir, version).map(_.path)
+
+  /** [[snapshotAddedFiles]] with the pruning tags intact
+    * ([[ManifestEntry]]) — the streaming source plans each version's
+    * added files through this so a partition/stats-filtered stream can
+    * drop non-matching files at PLANNING time (manifest tags), not just
+    * at scan time (pushed predicates). */
+  def snapshotAddedEntries(outDir: String, version: Int)
+      : Seq[ManifestEntry] = {
     val (fs, root) = fsRoot(outDir)
-    val cur = dataLines(readManifestRaw(fs, root, version)).map(pathOf)
+    def entry(l: String) =
+      ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
+        dvOf(l).nonEmpty)
+    val cur = dataLines(readManifestRaw(fs, root, version))
     manifestVersions(fs, root).filter(_ < version).lastOption match {
-      case None => cur
+      case None => cur.map(entry)
       case Some(prev) =>
         val before = dataLines(readManifestRaw(fs, root, prev))
           .map(l => fs.makeQualified(new Path(pathOf(l))).toString).toSet
-        cur.filterNot(f => before(fs.makeQualified(new Path(f)).toString))
+        cur.filterNot(l =>
+            before(fs.makeQualified(new Path(pathOf(l))).toString))
+          .map(entry)
     }
   }
 

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * serving, where a query must touch data proportional to its TERMS,
   * not the corpus. The index holds one postings row per (token, doc)
   * with the term frequency and document length baked in, hash-sharded
-  * BY TOKEN so a query plans only its terms' shard directories (the
+  * BY TOKEN (up to 65536 shards via the portable wide hash; files
+  * token-sorted so row-group stats prune within a shard) so a query
+  * plans only its terms' shard directories (the
   * same dir-pruned discipline as the IVF export), and the corpus-level
   * constants (N, Σdl) ride a one-row `_global` sidecar so scoring
   * needs no second corpus pass. Conjunctive-AND retrieval with BM25
@@ -42,42 +44,73 @@ object InvertedIndex {
       .agg(count(lit(1)).as("tf"))
 
   /** Write the index under `outDir`:
-    * `shard=<s>/` postings parquet partitioned by [[Export.shardOf]]
-    * of the token (md5-nibble, engine-portable and driver-replayable,
-    * so [[searchAnd]] can name a term's directory without touching the
-    * cluster), plus a one-row `_global/` sidecar
-    * (n_docs, sum_dl, n_shards, id_col) holding the corpus constants
-    * and the layout contract. */
+    * `shard=<s>/` postings parquet partitioned by a content-addressed
+    * token hash — [[Export.shardOf]] (md5-nibble) up to 16 shards,
+    * [[Export.shardOfWide]] (portable 32-bit md5 hash) up to 65536 —
+    * both engine-portable AND driver-replayable, so [[searchAnd]] can
+    * name a term's directory without touching the cluster. Postings are
+    * TOKEN-SORTED within every file (`sortWithinPartitions` — a local
+    * sort, no shuffle added), so the pushed `token IN (...)` probe
+    * skips non-matching row groups via parquet min/max stats instead of
+    * scanning the whole shard. A one-row `_global/` sidecar
+    * (n_docs, sum_dl, n_shards, hash, id_col) holds the corpus
+    * constants and the layout contract.
+    *
+    * 100 TB shape: at fleet shard counts (e.g. 4096) a two-term probe
+    * plans 2/4096 of the postings, and within those shards row-group
+    * stats prune to the terms' sorted runs — query I/O proportional to
+    * the TERMS' postings, not the corpus. */
   def writeIndex(spark: SparkSession, df: DataFrame, textCol: String,
       idCol: String, outDir: String, nShards: Int): Unit = {
-    require(nShards > 0 && nShards <= 16,
-      s"one md5 nibble addresses at most 16 shards, got $nShards")
+    require(nShards > 0 && nShards <= 65536,
+      s"sharding addresses at most 65536 shards, got $nShards")
     buildPostings(df, textCol, idCol)
-      .withColumn("shard", Export.shardOf(col("token"), nShards))
+      .withColumn("shard", shardExpr(col("token"), nShards))
+      .sortWithinPartitions("shard", "token")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     df.filter(col(textCol).isNotNull)
       .select(size(Dedup.tokensOf(Dedup.normalized(col(textCol))))
         .cast("long").as("_dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("sum_dl"))
       .withColumn("n_shards", lit(nShards))
+      .withColumn("hash", lit(hashKindOf(nShards)))
       .withColumn("id_col", lit(idCol))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_global")
   }
 
-  /** Read the `_global` sidecar row: (n_docs, sum_dl, n_shards, id_col). */
+  /** Shard addressing by count: ≤ 16 keeps the original md5-nibble
+    * kernel (existing indexes and their DuckDB replays are bit-stable),
+    * above it the portable 32-bit hash. Recorded in `_global` so every
+    * reader/maintainer uses the layout's own kernel. */
+  private def hashKindOf(nShards: Int): String =
+    if (nShards <= 16) "nibble" else "wide"
+
+  private def shardExpr(tok: Column, nShards: Int): Column =
+    if (nShards <= 16) Export.shardOf(tok, nShards)
+    else Export.shardOfWide(tok, nShards)
+
+  /** Read the `_global` sidecar row:
+    * (n_docs, sum_dl, n_shards, hash kind, id_col). A pre-`hash` legacy
+    * sidecar is always a nibble layout (wide sharding shipped with the
+    * column). */
   private def readGlobal(spark: SparkSession, indexDir: String)
-      : (Long, Long, Int, String) = {
+      : (Long, Long, Int, String, String) = {
     val g = spark.read.parquet(s"$indexDir/_global").collect()(0)
+    val kind =
+      if (g.schema.fieldNames.contains("hash")) g.getAs[String]("hash")
+      else "nibble"
     (g.getAs[Long]("n_docs"), g.getAs[Long]("sum_dl"),
-      g.getAs[Int]("n_shards"), g.getAs[String]("id_col"))
+      g.getAs[Int]("n_shards"), kind, g.getAs[String]("id_col"))
   }
 
   private def writeGlobal(spark: SparkSession, indexDir: String,
-      nDocs: Long, sumDl: Long, nShards: Int, idCol: String): Unit =
+      nDocs: Long, sumDl: Long, nShards: Int, hash: String,
+      idCol: String): Unit =
     spark.range(1)
       .select(lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"),
-        lit(nShards).as("n_shards"), lit(idCol).as("id_col"))
+        lit(nShards).as("n_shards"), lit(hash).as("hash"),
+        lit(idCol).as("id_col"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/_global")
 
@@ -103,9 +136,12 @@ object InvertedIndex {
     * transactional tier. */
   def appendToIndex(spark: SparkSession, df: DataFrame, textCol: String,
       indexDir: String): Unit = {
-    val (nDocs, sumDl, nShards, idCol) = readGlobal(spark, indexDir)
+    val (nDocs, sumDl, nShards, hash, idCol) = readGlobal(spark, indexDir)
     buildPostings(df, textCol, idCol)
-      .withColumn("shard", Export.shardOf(col("token"), nShards))
+      .withColumn("shard",
+        if (hash == "wide") Export.shardOfWide(col("token"), nShards)
+        else Export.shardOf(col("token"), nShards))
+      .sortWithinPartitions("shard", "token")
       .write.mode("append").partitionBy("shard").parquet(indexDir)
     val s = df.filter(col(textCol).isNotNull)
       .select(size(Dedup.tokensOf(Dedup.normalized(col(textCol))))
@@ -113,7 +149,7 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n"), coalesce(sum(col("_dl")), lit(0L)).as("s"))
       .collect()(0)
     writeGlobal(spark, indexDir, nDocs + s.getAs[Long]("n"),
-      sumDl + s.getAs[Long]("s"), nShards, idCol)
+      sumDl + s.getAs[Long]("s"), nShards, hash, idCol)
   }
 
   /** Tombstone DELETE for the serving index — the merge-on-read
@@ -132,7 +168,7 @@ object InvertedIndex {
   def deleteFromIndex(spark: SparkSession, indexDir: String,
       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "delete needs at least one doc id")
-    val (nDocs, sumDl, nShards, idCol) = readGlobal(spark, indexDir)
+    val (nDocs, sumDl, nShards, hash, idCol) = readGlobal(spark, indexDir)
     val (fs, _) = Export.fsRoot(indexDir)
     val delDir = s"$indexDir/_deletes"
     val existing =
@@ -153,16 +189,64 @@ object InvertedIndex {
       .coalesce(1)
       .write.mode("append").parquet(delDir)
     writeGlobal(spark, indexDir, nDocs - found.length,
-      sumDl - found.map(_.getAs[Long]("_dl")).sum, nShards, idCol)
+      sumDl - found.map(_.getAs[Long]("_dl")).sum, nShards, hash, idCol)
   }
 
-  /** Driver-side replay of [[Export.shardOf]] for a literal token:
-    * ascii of the first md5-hex nibble mod `nShards` — lets the query
-    * planner name the shard directories without a Spark job. */
-  private[operators] def shardOfToken(tok: String, nShards: Int): Int = {
+  /** TOMBSTONE COMPACTION: fold the `_deletes/` sidecar into rewritten
+    * postings — the maintenance verb that keeps the serving anti-join
+    * set from growing forever. One full postings read (anti-joined on
+    * the broadcast tombstones), one token-sorted partitioned rewrite
+    * into a staging dir, then a directory swap and the tombstone dir is
+    * dropped. `_global` is NOT touched: [[deleteFromIndex]] already
+    * adjusted N/Σdl at delete time, and folding the tombstones changes
+    * which bytes hold the corpus, not the corpus. Maintenance cost
+    * (corpus-proportional, like any compaction); queries before/after
+    * serve the identical ranking — idempotent, a second run is a plain
+    * layout rewrite. The staging dir is underscore-prefixed, so readers
+    * racing the swap never plan half-written files (same serving-layout
+    * contract as [[Export.writeShards]]: the lake manifests are the
+    * transactional tier). */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val (_, _, nShards, hash, idCol) = readGlobal(spark, indexDir)
+    val (fs, root) = Export.fsRoot(indexDir)
+    val delPath = new org.apache.hadoop.fs.Path(root, "_deletes")
+    val live0 = spark.read.parquet(indexDir)
+    val live =
+      if (fs.exists(delPath))
+        live0.join(broadcast(spark.read.parquet(delPath.toString)),
+          Seq(idCol), "left_anti")
+      else live0
+    val staging = new org.apache.hadoop.fs.Path(root, "_compact_staging")
+    fs.delete(staging, true)
+    // the read-back frame carries `shard` as the partition column —
+    // reuse it verbatim (same hash, same layout) rather than re-hashing
+    live.select(col("token"), col(idCol), col("dl"), col("tf"),
+        col("shard"))
+      .sortWithinPartitions("shard", "token")
+      .write.partitionBy("shard").parquet(staging.toString)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.startsWith("shard="))
+      .foreach(st => fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(root, st.getPath.getName)))
+    fs.delete(staging, true)
+    fs.delete(delPath, true)
+  }
+
+  /** Driver-side replay of the layout's shard kernel for a literal
+    * token — [[Export.shardOf]] (ascii of the first md5-hex nibble) or
+    * [[Export.shardOfWide]] ([[Sketches.hash32]]: first 8 md5-hex chars
+    * as a 32-bit value) — lets the query planner name the shard
+    * directories without a Spark job. */
+  private[operators] def shardOfToken(tok: String, nShards: Int,
+      hash: String = "nibble"): Int = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    hex.charAt(0).toInt % nShards
+    if (hash == "wide")
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % nShards).toInt
+    else hex.charAt(0).toInt % nShards
   }
 
   /** Conjunctive-AND keyword search with BM25 ranking, answered FROM
@@ -181,11 +265,11 @@ object InvertedIndex {
       lnIdf: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     require(k > 0, s"k must be positive, got $k")
-    val (nDocs, sumDl, nShards, idCol) = readGlobal(spark, indexDir)
+    val (nDocs, sumDl, nShards, hash, idCol) = readGlobal(spark, indexDir)
     val n = nDocs.toDouble
     val avgdl = sumDl.toDouble / n
     val qTerms = terms.distinct
-    val dirs = qTerms.map(t => shardOfToken(t, nShards)).distinct
+    val dirs = qTerms.map(t => shardOfToken(t, nShards, hash)).distinct
       .map(s => s"$indexDir/shard=$s")
     val (fs, _) = Export.fsRoot(indexDir)
     val empty = spark.createDataFrame(

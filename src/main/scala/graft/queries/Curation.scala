@@ -425,6 +425,54 @@ object Curation {
     searchIndexOracle(Seq("spark", "customer"), k = 15,
       where = " AND doc_id % 7 != 3")
 
+  /** WIDE-sharded serving index
+    * ([[graft.operators.InvertedIndex.writeIndex]] at 256 shards — the
+    * fleet layout where a probe touches its terms' 2/256 of the
+    * postings, spec-proven to shrink probe bytes ≥10×), hash-matched:
+    * the ranking must be bit-identical to DuckDB's full-scan replay —
+    * the shard kernel changes I/O shape, never scores. */
+  def q_search_index_wide(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"invidx_wide_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.InvertedIndex.writeIndex(s, docs, "text", "doc_id",
+      od, nShards = 256)
+    graft.operators.InvertedIndex.searchAnd(s, od,
+      Seq("spark", "customer"), k = 18)
+  }
+
+  val q_search_index_wide_sql: String =
+    searchIndexOracle(Seq("spark", "customer"), k = 18, where = "")
+
+  /** Tombstone COMPACTION on the serving index
+    * ([[graft.operators.InvertedIndex.compactIndex]]), hash-matched:
+    * the corpus is indexed, every doc_id ≡ 2 (mod 7) tombstoned, then
+    * the tombstones are FOLDED into rewritten postings (the `_deletes`
+    * sidecar is gone — the anti-join set no longer grows with delete
+    * history) and the search must still be bit-identical to DuckDB
+    * ranking the post-delete corpus. */
+  def q_search_index_compact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"invidx_cpt_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.InvertedIndex.writeIndex(s, docs, "text", "doc_id",
+      od, nShards = 8)
+    val ids = docs.filter(col("doc_id") % 7 === 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    graft.operators.InvertedIndex.deleteFromIndex(s, od, ids)
+    graft.operators.InvertedIndex.compactIndex(s, od)
+    graft.operators.InvertedIndex.searchAnd(s, od,
+      Seq("spark", "customer"), k = 15)
+  }
+
+  val q_search_index_compact_sql: String =
+    searchIndexOracle(Seq("spark", "customer"), k = 15,
+      where = " AND doc_id % 7 != 2")
+
   /** The full-scan BM25 conjunctive-search oracle, parameterized by
     * the corpus restriction — shared by the build/incremental/delete
     * index gates, which must all serve exactly this ranking. */

@@ -77,6 +77,75 @@ object GraftLakeBatch {
     HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat(), params)(spark)
   }
+
+  // ---- shared manifest-tag pruning kernel (batch FileIndex + the
+  // streaming source's `where`-option planning both call these)
+
+  private[sources] def splitConjuncts(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+      case other => Seq(other)
+    }
+
+  private def longOf(l: Literal): Option[Long] = l.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Option(l.value).map(v => v.toString.toLong)
+    case _ => None
+  }
+
+  /** Manifest string form of an equality literal — only types whose
+    * Spark CAST-to-string (what the `p=` writer used) equals the
+    * literal's toString are eligible; anything else never prunes. */
+  private def stringOf(l: Literal): Option[String] = l.dataType match {
+    case StringType | ByteType | ShortType | IntegerType | LongType =>
+      Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  /** True only when the conjunct PROVABLY excludes every row of the
+    * entry's file: a `p=` spec contradicting an equality, or an `s=`
+    * range missing a comparison. Missing tag / non-literal shape /
+    * unknown type → never excludes. `physOf` translates logical column
+    * names to the physical names the tags are keyed by. Attributes may
+    * be resolved (the batch FileIndex's pushed filters) or unresolved
+    * (the stream source's parsed `where` option) — both are
+    * [[Attribute]]s and only the name is consulted. */
+  private[sources] def excludes(c: Expression, e: Export.ManifestEntry,
+      physOf: Map[String, String]): Boolean = {
+    def statRange(a: Attribute): Option[(Long, Long)] =
+      e.stats.get(physOf.getOrElse(a.name, a.name))
+    c match {
+      case EqualTo(a: Attribute, l: Literal) => eqExcludes(a, l, e, physOf)
+      case EqualTo(l: Literal, a: Attribute) => eqExcludes(a, l, e, physOf)
+      case In(a: Attribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.map(_.asInstanceOf[Literal])
+          .forall(l => eqExcludes(a, l, e, physOf))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi <= v }
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi < v }
+      case LessThan(a: Attribute, l: Literal) =>
+        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo >= v }
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo > v }
+      case GreaterThan(l: Literal, a: Attribute) => // v > col ≡ col < v
+        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo >= v }
+      case LessThan(l: Literal, a: Attribute) => // v < col ≡ col > v
+        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi <= v }
+      case _ => false
+    }
+  }
+
+  private def eqExcludes(a: Attribute, l: Literal,
+      e: Export.ManifestEntry, physOf: Map[String, String]): Boolean = {
+    val p = physOf.getOrElse(a.name, a.name)
+    val partHit = stringOf(l).zip(e.partition.get(p))
+      .exists { case (v, spec) => spec != v }
+    val statHit = longOf(l).zip(e.stats.get(p))
+      .exists { case (v, (lo, hi)) => v < lo || v > hi }
+    partHit || statHit
+  }
 }
 
 /** Manifest-driven [[FileIndex]]: `listFiles` plans exactly the
@@ -118,74 +187,12 @@ final class GraftLakeFileIndex(spark: SparkSession, table: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val conjuncts = dataFilters.flatMap(splitAnd)
+    val conjuncts = dataFilters.flatMap(GraftLakeBatch.splitConjuncts)
     val chosen = statuses.filter { case (e, _) =>
-      conjuncts.forall(c => !excludes(c, e))
+      conjuncts.forall(c => !GraftLakeBatch.excludes(c, e, physOf))
     }
     Seq(PartitionDirectory(InternalRow.empty,
       chosen.map(_._2).toArray))
-  }
-
-  private def splitAnd(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitAnd(l) ++ splitAnd(r)
-    case other => Seq(other)
-  }
-
-  private def longOf(l: Literal): Option[Long] = l.dataType match {
-    case ByteType | ShortType | IntegerType | LongType =>
-      Option(l.value).map(v => v.toString.toLong)
-    case _ => None
-  }
-
-  /** Manifest string form of an equality literal — only types whose
-    * Spark CAST-to-string (what the `p=` writer used) equals the
-    * literal's toString are eligible; anything else never prunes. */
-  private def stringOf(l: Literal): Option[String] = l.dataType match {
-    case StringType | ByteType | ShortType | IntegerType | LongType =>
-      Option(l.value).map(_.toString)
-    case _ => None
-  }
-
-  /** True only when the conjunct PROVABLY excludes every row of the
-    * entry's file: a `p=` spec contradicting an equality, or an `s=`
-    * range missing a comparison. Missing tag / non-literal shape /
-    * unknown type → never excludes. */
-  private def excludes(c: Expression, e: Export.ManifestEntry)
-      : Boolean = {
-    def phys(a: Attribute): String = physOf.getOrElse(a.name, a.name)
-    def statRange(a: Attribute): Option[(Long, Long)] =
-      e.stats.get(phys(a))
-    c match {
-      case EqualTo(a: Attribute, l: Literal) => eqExcludes(a, l, e)
-      case EqualTo(l: Literal, a: Attribute) => eqExcludes(a, l, e)
-      case In(a: Attribute, vs)
-          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        vs.map(_.asInstanceOf[Literal])
-          .forall(l => eqExcludes(a, l, e))
-      case GreaterThan(a: Attribute, l: Literal) =>
-        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi <= v }
-      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
-        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi < v }
-      case LessThan(a: Attribute, l: Literal) =>
-        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo >= v }
-      case LessThanOrEqual(a: Attribute, l: Literal) =>
-        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo > v }
-      case GreaterThan(l: Literal, a: Attribute) => // v > col ≡ col < v
-        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo >= v }
-      case LessThan(l: Literal, a: Attribute) => // v < col ≡ col > v
-        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi <= v }
-      case _ => false
-    }
-  }
-
-  private def eqExcludes(a: Attribute, l: Literal,
-      e: Export.ManifestEntry): Boolean = {
-    val p = physOf.getOrElse(a.name, a.name)
-    val partHit = stringOf(l).zip(e.partition.get(p))
-      .exists { case (v, spec) => spec != v }
-    val statHit = longOf(l).zip(e.stats.get(p))
-      .exists { case (v, (lo, hi)) => v < lo || v > hi }
-    partHit || statHit
   }
 
   override def inputFiles: Array[String] =

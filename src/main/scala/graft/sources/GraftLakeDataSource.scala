@@ -56,6 +56,10 @@ import graft.operators.Export
   *    `select` as `ReadSchema` pruning on every micro-batch's scan —
   *    at 100 TB per-commit epochs, that's the difference between
   *    scanning the columns you need and scanning the table width.
+  *    `where`'s literal conjuncts ALSO prune at PLANNING time: added
+  *    files whose manifest `p=`/`s=` tags provably exclude the
+  *    predicate never enter the batch plan, so a partition-filtered
+  *    stream over a partitioned table plans only matching files.
   *  - `failOnDataLoss` (default true): a mid-stream version gap means
   *    retention vacuumed commits the stream had not served (and its
   *    diff base with them) — fail loudly rather than silently re-serve;
@@ -248,6 +252,22 @@ final class GraftLakeSource(spark: SparkSession,
   private val failOnDataLoss =
     opt(params, "failOnDataLoss").forall(_.toBoolean)
   private val whereClause = opt(params, "where")
+  /** The `where` option's conjuncts, parsed once for MANIFEST pruning:
+    * each version's added files are dropped at planning time when a
+    * literal conjunct provably excludes them via the manifest's
+    * `p=`/`s=` tags ([[GraftLakeBatch.excludes]] — the same kernel the
+    * batch FileIndex uses). The exact predicate is still applied inside
+    * every batch plan; pruning accelerates, never gates. A `where` the
+    * parser rejects falls back to scan-time filtering alone (it will
+    * fail loudly there if genuinely malformed). */
+  private val pruneConjuncts
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    whereClause.toSeq.flatMap { w =>
+      try GraftLakeBatch.splitConjuncts(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(w))
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
   private val maxVersions =
     opt(params, "maxVersionsPerTrigger").map(_.toLong)
   maxVersions.foreach(k => require(k >= 1,
@@ -384,6 +404,20 @@ final class GraftLakeSource(spark: SparkSession,
     asStreaming(df)
   }
 
+  /** Planning-time file pruning for filtered streams: the version's
+    * added files minus those a `where` conjunct provably excludes via
+    * the manifest's `p=`/`s=` tags (physical-name-translated; identity
+    * on never-renamed tables). Package-visible so the spec can assert
+    * on exactly what a batch plans. */
+  private[sources] def plannedAddedFiles(v: Long): Seq[String] = {
+    val physOf: Map[String, String] = dataSchema.fields
+      .map(f => f.name -> Export.physicalOf(f)).toMap
+    Export.snapshotAddedEntries(path, v.toInt)
+      .filter(e => pruneConjuncts.forall(c =>
+        !GraftLakeBatch.excludes(c, e, physOf)))
+      .map(_.path)
+  }
+
   /** Appends-only batch: the union of the versions' ADDED files read
     * under the pinned stream schema — one parquet scan, planned from
     * manifests only. Non-append commits fail loudly (or are skipped
@@ -403,10 +437,8 @@ final class GraftLakeSource(spark: SparkSession,
       alignDataToPinned(Export.readSnapshot(spark, path, v.toInt)))
     val files = versions.filterNot(bootDv.contains).flatMap { v =>
       Export.snapshotOperation(path, v.toInt) match {
-        case _ if bootVersion.contains(v) =>
-          Export.snapshotAddedFiles(path, v.toInt)
-        case Some("append") | None =>
-          Export.snapshotAddedFiles(path, v.toInt)
+        case _ if bootVersion.contains(v) => plannedAddedFiles(v)
+        case Some("append") | None => plannedAddedFiles(v)
         // metadata-only commits (column rename/drop) carry the head's
         // exact data lines: no rows appear or vanish, the stream keeps
         // its pinned schema and just flows past them. A MoR delete also

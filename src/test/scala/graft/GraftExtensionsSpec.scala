@@ -235,4 +235,61 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_._3).distinct.sorted ===
       Seq("delete", "insert", "update_postimage", "update_preimage"))
   }
+
+  test("SQL DML procedures: delete/merge/optimize/restore/clone/vacuum from plain SQL equal the Scala API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val out = new java.io.File("target/qtmp", "tvfdml")
+    graft.util.Dirs.deleteRec(out)
+    val dir = out.getAbsolutePath
+    val E = graft.operators.Export
+    E.appendSnapshot(spark,
+      (1L to 10L).map(i => (i, i * 10)).toDF("k", "v"), dir)
+    // DELETE (CoW): rows where k % 2 = 0 removed, version bumps
+    val dv = spark.sql(
+      s"SELECT version FROM graft_delete('$dir', 'k % 2 = 0')")
+      .collect().head.getLong(0)
+    assert(dv === 2L)
+    assert(E.readSnapshot(spark, dir, 2).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 3L, 5L, 7L, 9L))
+    // MERGE: full-row upsert from a temp view (update k=1, insert k=20)
+    Seq((1L, 111L), (20L, 200L)).toDF("k", "v")
+      .createOrReplaceTempView("tvfdml_upd")
+    spark.sql(s"SELECT version FROM graft_merge('$dir', 'tvfdml_upd', 'k')")
+      .collect()
+    val merged = E.readSnapshot(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(merged.toSeq === Seq((1L, 111L), (3L, 30L), (5L, 50L),
+      (7L, 70L), (9L, 90L), (20L, 200L)))
+    // ORDER-RESOLVED merge: a stale seq loses
+    Seq((1L, 5L), (1L, 999L)).toDF("k", "v")
+      .createOrReplaceTempView("tvfdml_upd2")
+    spark.sql(
+      s"SELECT version FROM graft_merge('$dir', 'tvfdml_upd2', 'k', 'v')")
+      .collect()
+    assert(E.readSnapshot(spark, dir, 4).filter($"k" === 1L)
+      .select("v").collect().head.getLong(0) === 999L)
+    // OPTIMIZE: layout-only, rows identical
+    val opt = spark.sql(s"SELECT * FROM graft_optimize('$dir', 1)")
+      .collect().head
+    assert(opt.getLong(0) === 5L && opt.getLong(1) === 1L)
+    assert(E.readSnapshot(spark, dir, 5).count() === 6)
+    // RESTORE back to the post-delete state
+    spark.sql(s"SELECT version FROM graft_restore('$dir', 2)").collect()
+    assert(E.readSnapshot(spark, dir, 6).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 3L, 5L, 7L, 9L))
+    // CLONE forks a new table at v1
+    val cdir = new java.io.File("target/qtmp", "tvfdml_clone")
+    graft.util.Dirs.deleteRec(cdir)
+    spark.sql(s"SELECT version FROM graft_clone('$dir', " +
+      s"'${cdir.getAbsolutePath}')").collect()
+    assert(E.readSnapshot(spark, cdir.getAbsolutePath, 1).count() === 5)
+    // VACUUM through SQL reports and reclaims
+    val vac = spark.sql(s"SELECT * FROM graft_vacuum('$dir', 1, 0)")
+      .collect().head
+    assert(vac.getLong(0) === 5L) // dropped versions 1..5
+    assert(E.snapshotVersions(dir) === Seq(6))
+  }
 }

@@ -116,6 +116,75 @@ class InvertedIndexSpec extends SparkSpec {
     assert(g1.getAs[Long]("sum_dl") === g2.getAs[Long]("sum_dl"))
   }
 
+  test("wide sharding (256 shards) serves the BIT-IDENTICAL ranking and shrinks probe I/O: fewer files and bytes than the whole index") {
+    val d = idx + "_wide"
+    graft.util.Dirs.deleteRec(new java.io.File(d))
+    InvertedIndex.writeIndex(spark, docs, "text", "doc_id", d,
+      nShards = 256)
+    val terms = Seq("spark", "customer")
+    val wide = InvertedIndex.searchAnd(spark, d, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val narrow = InvertedIndex.searchAnd(spark, built, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wide === narrow,
+      "wide-sharded index diverged from the nibble-sharded ranking")
+    // serving-layout law: the probe plans only its terms' shard dirs,
+    // and at 256 shards that is a strictly smaller byte slice of the
+    // postings than the 8-shard layout can offer
+    def probeBytes(dir: String, shards: Int, hash: String): (Int, Long) = {
+      val dirs = terms.map(t =>
+        InvertedIndex.shardOfToken(t, shards, hash)).distinct
+        .map(s => new java.io.File(dir, s"shard=$s"))
+      val files = dirs.flatMap(_.listFiles().toSeq)
+        .filter(_.getName.endsWith(".parquet"))
+      (files.size, files.map(_.length()).sum)
+    }
+    def totalBytes(dir: String): Long =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val (_, wideBytes) = probeBytes(d, 256, "wide")
+    val (_, narrowBytes) = probeBytes(built, 8, "nibble")
+    assert(wideBytes < narrowBytes,
+      s"256-shard probe ($wideBytes B) should read less than the " +
+        s"8-shard probe ($narrowBytes B)")
+    assert(wideBytes.toDouble / totalBytes(d) < 0.1,
+      "a 2-term probe over 256 shards should touch <10% of the postings")
+  }
+
+  test("tombstone compaction folds _deletes into rewritten postings: identical ranking, tombstone dir gone, idempotent") {
+    val d = idx + "_compact"
+    graft.util.Dirs.deleteRec(new java.io.File(d))
+    InvertedIndex.writeIndex(spark, docs, "text", "doc_id", d, nShards = 8)
+    val ids = docs.filter(col("doc_id") % 5 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    InvertedIndex.deleteFromIndex(spark, d, ids)
+    val terms = Seq("spark", "customer")
+    val before = InvertedIndex.searchAnd(spark, d, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    InvertedIndex.compactIndex(spark, d)
+    assert(!new java.io.File(d, "_deletes").exists(),
+      "compaction must clear the tombstone sidecar")
+    val after = InvertedIndex.searchAnd(spark, d, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after === before, "compaction changed the served ranking")
+    // tombstoned docs are physically gone from the postings now
+    val left = spark.read.parquet(d).filter(
+      col("doc_id").isInCollection(ids)).count()
+    assert(left === 0, s"$left tombstoned postings survived compaction")
+    // idempotent: a second compaction is a plain layout rewrite
+    InvertedIndex.compactIndex(spark, d)
+    val again = InvertedIndex.searchAnd(spark, d, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again === before)
+    // and incremental append keeps working on the compacted index
+    InvertedIndex.appendToIndex(spark,
+      docs.filter(col("doc_id") % 5 === 1), "text", d)
+    val g = spark.read.parquet(s"$d/_global").collect()(0)
+    val want = docs.count()
+    assert(g.getAs[Long]("n_docs") === want)
+  }
+
   test("single-term search ranks by BM25 with deterministic ties; absent term is empty") {
     val one = InvertedIndex.searchAnd(spark, built, Seq("window"), k = 10)
       .collect()

@@ -381,6 +381,44 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(got2.map(_._1).sorted === Seq(3L, 4L, 5L, 10L, 11L))
   }
 
+  test("a partition-filtered stream over a partitioned table PLANS only " +
+      "matching files per batch (manifest-tag pruning, not just pushed " +
+      "predicates); output unchanged") {
+    val table = tmp("glk-streamprune")
+    Export.appendSnapshotPartitioned(spark, rows(0, 12),
+      table.getAbsolutePath, Seq("m"), nFiles = 2)
+    Export.appendSnapshotPartitioned(spark, rows(12, 24),
+      table.getAbsolutePath, Seq("m"), nFiles = 2)
+    val src = new GraftLakeSource(spark.sqlContext.sparkSession,
+      Map("path" -> table.getAbsolutePath, "where" -> "m = 1"))
+    // planning proof: every planned file is an m=1 partition file, and
+    // strictly fewer files are planned than the manifests list
+    val planned = Seq(1L, 2L).flatMap(src.plannedAddedFiles)
+    assert(planned.nonEmpty)
+    assert(planned.forall(_.contains("_p_m=1")),
+      s"planned non-matching files: " +
+        planned.filterNot(_.contains("_p_m=1")).mkString(", "))
+    assert(planned.length < Export.snapshotFiles(
+      table.getAbsolutePath, 2).size)
+    // row proof through the real engine: exactly the m=1 rows
+    val got = drain(spark.readStream.format("graftlake")
+        .option("where", "m = 1").load(table.getAbsolutePath),
+      tmp("glk-streamprune-cp")).flatMap(_._2)
+    assert(got.map(_._1).sorted === (0L until 24L).filter(_ % 3 == 1))
+    // and a range conjunct on a statted column prunes via s= tags too
+    val statted = tmp("glk-streamprune2")
+    Export.appendSnapshotStatted(spark, rows(0, 100),
+      statted.getAbsolutePath, statCols = Seq("id"), nFiles = 5)
+    val src2 = new GraftLakeSource(spark.sqlContext.sparkSession,
+      Map("path" -> statted.getAbsolutePath, "where" -> "id >= 90"))
+    val planned2 = src2.plannedAddedFiles(1L)
+    assert(planned2.nonEmpty && planned2.length < 5)
+    val got2 = drain(spark.readStream.format("graftlake")
+        .option("where", "id >= 90").load(statted.getAbsolutePath),
+      tmp("glk-streamprune2-cp")).flatMap(_._2)
+    assert(got2.map(_._1).sorted === (90L until 100L))
+  }
+
   test("source-side where/select: the stream schema is the projection, " +
       "rows are pre-filtered, and unknown select columns are refused") {
     val table = tmp("glk-pushdown")
