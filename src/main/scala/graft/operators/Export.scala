@@ -357,6 +357,14 @@ object Export {
 
   private def pathOf(line: String): String = line.split('\t').head
 
+  /** The file's recorded byte length (`len=` tag, written by every
+    * r12+ epoch writer from the commit-time listing) — lets a batch
+    * scan planner build its FileStatus set from the manifest alone.
+    * Absent on legacy lines; consumers fall back to a stat. */
+  private def lenOf(line: String): Option[Long] =
+    line.split('\t').collectFirst { case f if f.startsWith("len=") =>
+      f.drop(4).toLong }
+
   /** A column name based on `base` guaranteed absent from `cols`. */
   private[graft] def freshName(base: String, cols: Seq[String]): String =
     Iterator.from(0)
@@ -463,9 +471,13 @@ object Export {
     val epochDir = new Path(root,
       s"epoch=$version-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(epochDir.toString)
-    (epochDir, fs.listStatus(epochDir).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(_.toString).sorted)
+    // lines carry the file LENGTH (`len=` tag) from the very listing the
+    // commit already paid — so batch planning can build its scan from
+    // the manifest alone, zero per-epoch listings at read time
+    (epochDir, fs.listStatus(epochDir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"${st.getPath.toString}\tlen=${st.getLen}")
+      .sorted)
   }
 
   /** Append-only snapshot log — the Delta/Iceberg core mechanism in its
@@ -690,7 +702,7 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     def entry(l: String) =
       ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
-        dvOf(l).nonEmpty)
+        dvOf(l).nonEmpty, lenOf(l))
     val cur = dataLines(readManifestRaw(fs, root, version))
     manifestVersions(fs, root).filter(_ < version).lastOption match {
       case None => cur.map(entry)
@@ -710,7 +722,7 @@ object Export {
     * line whose rows need the deletion-vector anti-join. */
   final case class ManifestEntry(path: String,
       partition: Map[String, String], stats: Map[String, (Long, Long)],
-      hasDv: Boolean)
+      hasDv: Boolean, len: Option[Long])
 
   /** The manifest data lines of `version` as [[ManifestEntry]]s — one
     * manifest read, no Spark session, no data-dir listing. This is the
@@ -720,7 +732,7 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     dataLines(readManifestRaw(fs, root, version)).map(l =>
       ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
-        dvOf(l).nonEmpty))
+        dvOf(l).nonEmpty, lenOf(l)))
   }
 
   /** [[replaceSnapshot]] with the hive-style partitioned epoch layout
@@ -1420,8 +1432,10 @@ object Export {
         .map(r => fs.makeQualified(new Path(r.getString(0))).toString ->
           ((r.getLong(1), r.getLong(2)))).toMap
     fresh.map { f =>
-      zones.get(fs.makeQualified(new Path(f)).toString) match {
-        case Some((lo, hi)) => s"$f\t$lo\t$hi"
+      // tagged z= form (not the legacy positional triple): the base
+      // line already carries the len= tag, and tagged fields compose
+      zones.get(fs.makeQualified(new Path(pathOf(f))).toString) match {
+        case Some((lo, hi)) => s"$f\tz=$lo:$hi"
         case None => f // a file with zero rows carries no zone
       }
     }
@@ -1494,7 +1508,7 @@ object Export {
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
         .toMap
     fresh.map { f =>
-      zones.get(fs.makeQualified(new Path(f)).toString) match {
+      zones.get(fs.makeQualified(new Path(pathOf(f))).toString) match {
         case Some((alo, ahi, blo, bhi)) => s"$f\tz2=$alo:$ahi:$blo:$bhi"
         case None => f // a zero-row file carries no zone
       }
@@ -1634,7 +1648,7 @@ object Export {
         f -> words.map(w => f"$w%016x").mkString
       }
     val lines = fresh.map { f =>
-      bits.get(fs.makeQualified(new Path(f)).toString) match {
+      bits.get(fs.makeQualified(new Path(pathOf(f))).toString) match {
         case Some(hex) => s"$f\tb=$keyPhys:$hex"
         case None => f // a zero-row file carries no filter
       }
@@ -1747,8 +1761,11 @@ object Export {
       d.withColumn(s, col(c)) }
     toPhysicalDf(fs, root, withShadow).write.mode("overwrite")
       .partitionBy(shadows.map(_._2): _*).parquet(epochDir.toString)
-    val files = listParquetFiles(fs, epochDir).map(_.getPath)
-      .map(_.toString).sorted
+    val statuses = listParquetFiles(fs, epochDir)
+      .sortBy(_.getPath.toString)
+    val lens: Map[String, Long] = statuses
+      .map(st => st.getPath.toString -> st.getLen).toMap
+    val files = statuses.map(_.getPath.toString)
     val lines =
       if (files.isEmpty) Nil
       else {
@@ -1783,7 +1800,7 @@ object Export {
           }.toMap
         files.map { f =>
           val key = fs.makeQualified(new Path(f)).toString
-          key + stats.getOrElse(key, "")
+          s"$key\tlen=${lens(f)}" + stats.getOrElse(key, "")
         }
       }
     lines
@@ -2061,9 +2078,9 @@ object Export {
         fs.makeQualified(new Path(r.getAs[String]("file"))).toString -> tags
       }.toMap
     val lines = fresh.map { f =>
-      val k = fs.makeQualified(new Path(f)).toString
+      val k = fs.makeQualified(new Path(pathOf(f))).toString
       // a zero-row file has no read-back group: row count 0, no stats
-      k + stats.getOrElse(k, "\tn=0")
+      f + stats.getOrElse(k, "\tn=0")
     }
     commitAppend(fs, root, meta, df.schema.json, lines)
   }

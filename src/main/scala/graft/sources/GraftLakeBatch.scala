@@ -167,15 +167,29 @@ final class GraftLakeFileIndex(spark: SparkSession, table: String,
     schema.fields.map(f => f.name -> Export.physicalOf(f)).toMap
 
   private val statuses: Seq[(Export.ManifestEntry, FileStatus)] = {
-    val byParent = entries.groupBy(e => new Path(e.path).getParent)
-    byParent.toSeq.flatMap { case (dir, es) =>
-      val listed = fs.listStatus(dir)
-        .map(st => fs.makeQualified(st.getPath).toString -> st).toMap
-      es.map { e =>
-        val q = fs.makeQualified(new Path(e.path)).toString
-        e -> listed.getOrElse(q, fs.getFileStatus(new Path(e.path)))
-      }
+    // r12+ manifest lines carry the file length (`len=` tag recorded at
+    // commit time), so the scan's FileStatus set is built from the
+    // manifest ALONE — zero data-dir round trips at planning. The
+    // commit timestamp stands in for per-file mtime (files are
+    // immutable and committed together). Legacy lines without the tag
+    // fall back to one listStatus per distinct parent (epoch) dir.
+    val commitMs = try Export.snapshotTimestamp(table, version)
+      catch { case _: IllegalStateException => 0L }
+    val (tagged, legacy) = entries.partition(_.len.isDefined)
+    val fromManifest = tagged.map { e =>
+      e -> new FileStatus(e.len.get, false, 1, 128L * 1024 * 1024,
+        commitMs, fs.makeQualified(new Path(e.path)))
     }
+    val fromFs = legacy.groupBy(e => new Path(e.path).getParent).toSeq
+      .flatMap { case (dir, es) =>
+        val listed = fs.listStatus(dir)
+          .map(st => fs.makeQualified(st.getPath).toString -> st).toMap
+        es.map { e =>
+          val q = fs.makeQualified(new Path(e.path)).toString
+          e -> listed.getOrElse(q, fs.getFileStatus(new Path(e.path)))
+        }
+      }
+    fromManifest ++ fromFs
   }
 
   override def rootPaths: Seq[Path] = Seq(root)

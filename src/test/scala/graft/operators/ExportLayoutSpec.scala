@@ -271,8 +271,10 @@ class ExportLayoutSpec extends SparkSpec {
       java.nio.file.Files.readAllLines(
         new java.io.File(out, s"_v$v.manifest").toPath)
         .toArray(Array.empty[String]).toSeq.filterNot(_.startsWith("#"))
-    // every clustered line carries a zone; zones per version cover the keys
-    assert(manifestLines(v2).forall(_.split('\t').length == 3))
+    // every clustered line carries a zone (tagged form) and its length
+    assert(manifestLines(v2).forall(l =>
+      l.split('\t').exists(_.startsWith("z=")) &&
+        l.split('\t').exists(_.startsWith("len="))))
     // pruned read == full read + filter, on BOTH versions
     def full(v: Int, lo: Long, hi: Long) =
       Export.readSnapshot(spark, out, v)

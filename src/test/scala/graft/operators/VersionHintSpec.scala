@@ -120,6 +120,28 @@ class VersionHintSpec extends SparkSpec {
       (1 to 5).map(_.toString))
   }
 
+  test("batch-scan planning is manifest-only: len= tags build the FileIndex with ZERO data-dir listings or stats") {
+    import spark.implicits._
+    val (out, _) = countRoot("hint_batchscan")
+    Export.appendSnapshot(spark,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "s"), out)
+    Export.appendSnapshot(spark,
+      (51L to 80L).map(i => (i, s"v$i")).toDF("id", "s"), out)
+    val schema = Export.snapshotSchema(out, 2).get
+    CountingFs.reset()
+    val index = new graft.sources.GraftLakeFileIndex(spark, out, 2, schema)
+    val planned = index.listFiles(Nil, Nil)
+    assert(planned.map(_.files.size).sum ===
+      Export.snapshotFiles(out, 2).size)
+    assert(CountingFs.listStatusCalls.get === 0,
+      "FileIndex listed a data dir despite len= tags")
+    // recorded lengths are the real ones (the scan plans correct splits)
+    val bytes = planned.flatMap(_.files).map(_.fileStatus.getLen).sum
+    val real = Export.snapshotFiles(out, 2).map(f =>
+      new java.io.File(f.stripPrefix("countfs:")).length()).sum
+    assert(bytes === real)
+  }
+
   test("vacuum shrinks the hint before deleting manifests; planning stays listing-free") {
     val (out, local) = countRoot("hint_vacuum")
     commitMany(out, 1, 10)
