@@ -2009,6 +2009,67 @@ object Export {
       meta + ("merged_partitions" -> touched.size.toString))
   }
 
+  /** ZONE-PRUNED MERGE — the partition-scoped merge generalized to
+    * FILE granularity for tables kept CLUSTERED on an integral merge
+    * key ([[appendSnapshotClustered]] / [[compactSnapshotClustered]]
+    * layouts, whose manifest lines carry per-file `z=` key zones):
+    * upsert `updates` with ORDER-RESOLVED conflicts
+    * ([[Merge.upsertLatest]]) while rewriting ONLY the files whose key
+    * zone overlaps the batch's key envelope `[min, max]`; every other
+    * file is carried verbatim into the new version.
+    *
+    * Soundness: `clusterKey ∈ keyCols`, so a base row matched by any
+    * update shares its clusterKey value, which lies inside the batch
+    * envelope — its file's zone therefore overlaps and the row is in
+    * the merged set. Zoneless lines are always merged (exclusion can't
+    * be proven). Unmatched base rows in merged files persist through
+    * the merge; unmatched update keys insert.
+    *
+    * 100 TB shape: THE answer to the unpartitioned streaming-Update
+    * full-rewrite — a CDC batch whose keys are range-local (the normal
+    * shape: recent ids, today's sessions) rewrites the files it
+    * touches, not the table, and the merged output is re-clustered
+    * with fresh zones so pruning never erodes. A batch spanning the
+    * whole key domain degrades gracefully to the full merge. Race
+    * semantics: maintenance (version pinned to the head the merge
+    * read). Returns the new version. */
+  def mergeSnapshotClusteredLatest(spark: SparkSession, outDir: String,
+      updates: DataFrame, keyCols: Seq[String], clusterKey: String,
+      orderCols: Seq[String], nFiles: Int = 1,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(keyCols.contains(clusterKey),
+      s"clusterKey '$clusterKey' must be one of the merge keys " +
+        s"(${keyCols.mkString(", ")}) - only then does a matched row's " +
+        "file provably overlap the batch envelope")
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to merge into under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    val env = updates.agg(
+        min(col(clusterKey)).cast("long"), max(col(clusterKey)).cast("long"))
+      .collect().head
+    if (env.isNullAt(0)) return latest // empty batch: nothing to commit
+    val (bmin, bmax) = (env.getLong(0), env.getLong(1))
+    val (hit, rest) = lines.partition(l => zoneOf(l) match {
+      case Some((lo, hi)) => hi >= bmin && lo <= bmax
+      case None => true // zoneless: must merge, can't prove exclusion
+    })
+    val base = readFilesAs(spark, fs, root, latest,
+      hit.map(pathOf).toIndexedSeq)
+    val merged = Merge.upsertLatest(base, updates, keyCols, orderCols)
+    val version = latest + 1
+    val fresh = writeClusteredEpoch(spark, fs, root, version, merged,
+      clusterKey, nFiles)
+    val schemaJson = snapshotMetaOf(fs, root, latest).getOrElse("schema",
+      merged.schema.json)
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root,
+          meta + ("merged_files" -> hit.size.toString)),
+        schemaJson, op = "overwrite"), rest ++ fresh)
+    version
+  }
+
   /** RESTORE TABLE TO VERSION (the Delta `RESTORE` shape): commit a NEW
     * version whose manifest re-points to `toVersion`'s exact data lines
     * (zones and partition specs carried verbatim). The head rolls back

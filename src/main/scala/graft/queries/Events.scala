@@ -325,6 +325,36 @@ object Events {
       |  FROM events) WHERE rn = 1
       |ORDER BY event_type, user_id""".stripMargin
 
+  /** Streaming UPSERT with the ZONE-PRUNED merge layout
+    * ([[graft.streaming.LakeStream.medallionUpsertClustered]]): same
+    * CDC-apply pipeline as `q_stream_lakeupsert`, but the silver table
+    * is kept key-clustered (`clusterBy` sink option) so each
+    * micro-batch rewrites only the files whose key zone overlaps the
+    * batch — the file-scoped Update path. The oracle is IDENTICAL to
+    * the full-rewrite gate: layout must change I/O, never rows. */
+  def q_stream_lakeupsert_clustered(s: SparkSession,
+      dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_lupc_${math.abs(dir.hashCode)}")
+    val bronze = new File("target/qtmp_stream",
+      s"lupcbronze_${math.abs(dir.hashCode)}")
+    val silver = new File("target/qtmp_stream",
+      s"lupcsilver_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(bronze); deleteRec(silver)
+    graft.streaming.LakeStream.medallionUpsertClustered(s,
+        s"$dir/events.parquet", cp.getAbsolutePath,
+        bronze.getAbsolutePath, silver.getAbsolutePath)
+      .orderBy("event_type", "user_id")
+  }
+
+  val q_stream_lakeupsert_clustered_sql: String =
+    """SELECT user_id, ts_us, event_type, value FROM (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+      |    row_number() OVER (PARTITION BY event_type, user_id
+      |                       ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY event_type, user_id""".stripMargin
+
   /** CHANGE-DATA-FEED streaming read
     * ([[graft.streaming.LakeStream.cdfDocuments]]): a documents lake
     * table built as two appends then a copy-on-write DELETE is streamed

@@ -32,7 +32,12 @@ import graft.operators.{Export, Merge}
   *    ([[Merge.upsertLatest]] semantics — per key the max-by-(orderBy,
   *    full row) record survives, so out-of-order feeds settle to the
   *    global resolution). With `.partitionBy(cols ⊆ mergeKeys)` the
-  *    rewrite is partition-scoped ([[Export.mergeSnapshotPartitionedLatest]]).
+  *    rewrite is partition-scoped ([[Export.mergeSnapshotPartitionedLatest]]);
+  *    with `.option("clusterBy", "<integral merge key>")` the table is
+  *    kept key-clustered and the rewrite is FILE-scoped — only files
+  *    whose manifest key zone overlaps the batch's envelope are
+  *    touched ([[Export.mergeSnapshotClusteredLatest]]); otherwise the
+  *    full-table rewrite needs an explicit `allowFullRewrite` opt-in.
   *
   * Options: `path` (required), `filesPerCommit` (default 1 — epoch
   * width), `autoCompactEvery` = N (unpartitioned tables: after every
@@ -82,6 +87,19 @@ final class GraftLakeSink(spark: SparkSession,
 
   private val allowFullRewrite =
     opt("allowFullRewrite").exists(_.toBoolean)
+  /** Update mode without a partition layout: keep the table CLUSTERED
+    * on this integral merge key and rewrite only the files whose key
+    * zone overlaps each batch's envelope
+    * ([[Export.mergeSnapshotClusteredLatest]]) — the file-granular
+    * answer where partitioning is too coarse. */
+  private val clusterBy = opt("clusterBy").map(_.trim).filter(_.nonEmpty)
+  clusterBy.foreach(k => require(mergeKeys.contains(k),
+    s"clusterBy '$k' must be one of mergeKeys " +
+      s"(${mergeKeys.mkString(",")}) - only then does a matched row's " +
+      "file provably overlap the batch envelope"))
+  require(clusterBy.isEmpty || partitionCols.isEmpty,
+    "clusterBy is the unpartitioned Update layout; a partitioned table " +
+      "already merges partition-scoped")
 
   if (mode == OutputMode.Update()) {
     require(mergeKeys.nonEmpty,
@@ -96,12 +114,15 @@ final class GraftLakeSink(spark: SparkSession,
     // table, a pathology when a CDC stream points at a big one. The
     // designed scale path is .partitionBy(cols ⊆ mergeKeys), whose
     // rewrite is scoped to the batch's touched partitions.
-    require(partitionCols.nonEmpty || allowFullRewrite,
+    require(partitionCols.nonEmpty || clusterBy.nonEmpty ||
+        allowFullRewrite,
       "unpartitioned Update mode reads and REWRITES THE ENTIRE TABLE " +
         "every micro-batch (O(table) per trigger). Partition the table " +
         "with .partitionBy(cols ⊆ mergeKeys) for partition-scoped " +
-        "merges, or opt in explicitly with " +
-        ".option(\"allowFullRewrite\", \"true\")")
+        "merges, keep it clustered with .option(\"clusterBy\", " +
+        "\"<integral merge key>\") for zone-pruned file-scoped merges, " +
+        "or opt in explicitly with .option(\"allowFullRewrite\", " +
+        "\"true\")")
   } else require(mergeKeys.isEmpty,
     "mergeKeys is only meaningful in Update mode")
   if (mode == OutputMode.Complete())
@@ -135,15 +156,29 @@ final class GraftLakeSink(spark: SparkSession,
           Export.mergeSnapshotPartitionedLatest(spark, path, batch,
             mergeKeys, partitionCols, orderCols,
             nFiles = filesPerCommit, meta = meta)
-        else {
-          val latest = Export.latestSnapshotVersion(path)
-          val base =
-            if (latest == 0) batch.limit(0)
-            else Export.readSnapshot(spark, path, latest)
-          Export.replaceSnapshot(spark,
-            Merge.upsertLatest(base, batch, mergeKeys, orderCols)
-              .coalesce(filesPerCommit),
-            path, meta)
+        else clusterBy match {
+          case Some(k) if Export.latestSnapshotVersion(path) > 0 =>
+            // zone-pruned file-scoped merge: only files whose key zone
+            // overlaps the batch's envelope are rewritten
+            Export.mergeSnapshotClusteredLatest(spark, path, batch,
+              mergeKeys, k, orderCols, nFiles = filesPerCommit,
+              meta = meta)
+          case Some(k) =>
+            // bootstrap: first batch resolves within itself and lands
+            // clustered + zoned so the next batch can prune
+            Export.appendSnapshotClustered(spark,
+              Merge.upsertLatest(batch.limit(0), batch, mergeKeys,
+                orderCols),
+              path, k, nFiles = filesPerCommit, meta = meta)
+          case None =>
+            val latest = Export.latestSnapshotVersion(path)
+            val base =
+              if (latest == 0) batch.limit(0)
+              else Export.readSnapshot(spark, path, latest)
+            Export.replaceSnapshot(spark,
+              Merge.upsertLatest(base, batch, mergeKeys, orderCols)
+                .coalesce(filesPerCommit),
+              path, meta)
         }
       } else {
         if (partitionCols.nonEmpty)

@@ -106,6 +106,37 @@ object LakeStream {
       Export.latestSnapshotVersion(silverDir))
   }
 
+  /** [[medallionUpsert]] with the ZONE-PRUNED merge layout: the silver
+    * table is kept clustered on `user_id` (`clusterBy` option), so each
+    * micro-batch rewrites only the files whose key zone overlaps the
+    * batch's envelope — the file-granular Update path that replaces the
+    * O(table)-per-batch full rewrite. The settled table must STILL
+    * equal the global per-key resolution (the same oracle as the
+    * full-rewrite sink — layout changes I/O, never rows). */
+  def medallionUpsertClustered(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, bronzeDir: String,
+      silverDir: String): DataFrame = {
+    buildBronzeEvents(spark, srcParquet, bronzeDir, nSlices = 3)
+    val stream = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "1")
+      .load(bronzeDir)
+    withStreamShuffle(spark) {
+      val q = stream.writeStream.format("graftlake")
+        .option("path", silverDir)
+        .option("mergeKeys", "event_type,user_id")
+        .option("orderBy", "ts_us,value")
+        .option("clusterBy", "user_id")
+        .option("filesPerCommit", "4")
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Export.readSnapshot(spark, silverDir,
+      Export.latestSnapshotVersion(silverDir))
+  }
+
   /** MATERIALIZED VIEW through the sink's Complete mode: a streaming
     * aggregation over the bronze log, each refresh committed as a
     * head-REPLACING snapshot ([[graft.operators.Export.replaceSnapshot]]

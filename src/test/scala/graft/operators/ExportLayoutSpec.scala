@@ -970,6 +970,58 @@ class ExportLayoutSpec extends SparkSpec {
     assert(Export.latestSnapshotVersion(out) === vC)
   }
 
+  test("zone-pruned merge: only key-overlapping files rewritten, carried files byte-identical, result equals the global merge") {
+    import spark.implicits._
+    val out = tmp("zonemerge")
+    rmDir(out)
+    val base = (1L to 400L).map(i => (i, i * 10, 0L)).toDF("k", "v", "seq")
+    val v1 = Export.appendSnapshotClustered(spark, base, out, "k",
+      nFiles = 8)
+    val before = Export.snapshotFiles(out, v1)
+    // a range-local CDC batch: updates keys 380..400, inserts 401..405,
+    // one stale record that must lose
+    val updates = ((380L to 400L).map(i => (i, i * 100, 5L)) ++
+      (401L to 405L).map(i => (i, i * 100, 5L)) :+ ((390L, -1L, 1L)))
+      .toDF("k", "v", "seq")
+    val v2 = Export.mergeSnapshotClusteredLatest(spark, out, updates,
+      Seq("k"), "k", Seq("seq"), nFiles = 2)
+    val after = Export.snapshotFiles(out, v2)
+    // most files carried VERBATIM (path identity), only the tail zone
+    // (+ the fresh merged epoch) changed
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size >= 6,
+      s"expected >=6 of ${before.size} files carried, got ${carried.size}")
+    assert(after.size < before.size + 3)
+    // result ≡ the GLOBAL order-resolved merge
+    val got = Export.readSnapshot(spark, out, v2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val want = graft.operators.Merge.upsertLatest(base, updates,
+        Seq("k"), Seq("seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(got.find(_._1 == 390L).get._2 === 39000L,
+      "stale update won against the order resolution")
+    // a second range-local batch prunes against the REBUILT zones too
+    val updates2 = Seq((1L, 999L, 9L)).toDF("k", "v", "seq")
+    val v3 = Export.mergeSnapshotClusteredLatest(spark, out, updates2,
+      Seq("k"), "k", Seq("seq"), nFiles = 1)
+    val carried2 = Export.snapshotFiles(out, v3).toSet
+      .intersect(Export.snapshotFiles(out, v2).toSet)
+    assert(carried2.size >= 6)
+    assert(Export.readSnapshot(spark, out, v3)
+      .filter(col("k") === 1L).select("v").collect().head.getLong(0)
+      === 999L)
+    // empty batch: no commit, head unchanged
+    assert(Export.mergeSnapshotClusteredLatest(spark, out,
+      updates2.limit(0), Seq("k"), "k", Seq("seq")) === v3)
+    // clusterKey must be part of the merge key (soundness precondition)
+    intercept[IllegalArgumentException](
+      Export.mergeSnapshotClusteredLatest(spark, out, updates2,
+        Seq("k"), "v", Seq("seq")))
+  }
+
   test("partition-scoped compaction on a MULTI-column layout keeps every partition column's spec (ADVICE r11: filtered subset must not narrow the layout)") {
     val out = tmp("partcompact2")
     rmDir(out)

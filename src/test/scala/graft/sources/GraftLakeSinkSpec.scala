@@ -126,6 +126,40 @@ class GraftLakeSinkSpec extends SparkSpec {
       Map("autoCompactEvery" -> "3"), partitionCols = Seq("m")))
   }
 
+  test("Update + clusterBy: zone-pruned file-scoped merges — bootstrap " +
+      "clusters, later batches carry non-overlapping files verbatim, " +
+      "result equals the global resolution") {
+    val t = tmp("gls-clustered")
+    val s = sink(t, OutputMode.Update(),
+      Map("mergeKeys" -> "id", "orderBy" -> "seq",
+        "clusterBy" -> "id", "filesPerCommit" -> "6"))
+    def kv(rs: Seq[(Long, String, Int)]): DataFrame = {
+      import spark.implicits._
+      rs.toDF("id", "s", "seq")
+    }
+    s.addBatch(0, kv((1L to 300L).map(i => (i, s"v$i", 0))))
+    val files1 = Export.snapshotFiles(t.getAbsolutePath, 1)
+    assert(files1.size === 6)
+    // a range-local batch: only the overlapping zone files rewrite
+    s.addBatch(1, kv(Seq((290L, "new", 5), (310L, "ins", 5))))
+    val files2 = Export.snapshotFiles(t.getAbsolutePath, 2)
+    assert(files2.toSet.intersect(files1.toSet).size >= 4,
+      "zone-pruned merge rewrote non-overlapping files")
+    // stale replay + late stale record resolve exactly as global
+    s.addBatch(1, kv(Seq((290L, "replay", 9)))) // refused: batch id
+    s.addBatch(2, kv(Seq((290L, "stale", 2)))) // loses on seq
+    val got = Export.readSnapshot(spark, t.getAbsolutePath,
+        Export.latestSnapshotVersion(t.getAbsolutePath))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.length === 301)
+    assert(got.find(_._1 == 290L).get === ((290L, "new", 5)))
+    assert(got.find(_._1 == 310L).get === ((310L, "ins", 5)))
+    // validation: clusterBy must be a merge key; clusterBy alone
+    // satisfies the unpartitioned-Update contract (no allowFullRewrite)
+    intercept[IllegalArgumentException](sink(t, OutputMode.Update(),
+      Map("mergeKeys" -> "id", "orderBy" -> "seq", "clusterBy" -> "s")))
+  }
+
   test("scale contract: unpartitioned Update refuses without an " +
       "explicit allowFullRewrite; Complete refuses partitionBy instead " +
       "of silently dropping the layout") {
