@@ -210,9 +210,23 @@ object GraftExtensions {
           }.toMap
           graft.operators.Export.readSnapshotPartitioned(spark, path, v,
             filters).queryExecution.logical
-        } else
-          graft.operators.Export.readSnapshot(spark, path, v)
+        } else {
+          // fast path: the manifest-planned HadoopFsRelation (the batch
+          // format's relation) — outer WHERE conjuncts then prune FILES
+          // via the p=/s= manifest tags on top of the pushed parquet
+          // filters. Column-mapped / DV-bearing / legacy heads fall
+          // back to the projection/anti-join read funnel, which serves
+          // them correctly (just without manifest file pruning).
+          try spark.baseRelationToDataFrame(
+              graft.sources.GraftLakeBatch.relation(spark, path,
+                Map("versionAsOf" -> v.toString)))
             .queryExecution.logical
+          catch {
+            case _: IllegalArgumentException | _: IllegalStateException =>
+              graft.operators.Export.readSnapshot(spark, path, v)
+                .queryExecution.logical
+          }
+        }
       }),
     (FunctionIdentifier("graft_snapshot_at"),
       info("graft_snapshot_at", "graft_snapshot_at(path, ts_millis) - " +

@@ -53,8 +53,9 @@ object GraftLakeBatch {
       .getOrElse(Export.latestSnapshotVersion(path))
   }
 
-  /** Build the batch relation for (table, version). */
-  private[sources] def relation(spark: SparkSession, path: String,
+  /** Build the batch relation for (table, version). Also the
+    * `graft_snapshot` TVF's fast path (package-wide visibility). */
+  private[graft] def relation(spark: SparkSession, path: String,
       params: Map[String, String]): BaseRelation = {
     val version = resolveVersion(params, path)
     require(version >= 1, s"$path has no committed versions")

@@ -236,6 +236,40 @@ class GraftExtensionsSpec extends SparkSpec {
       Seq("delete", "insert", "update_postimage", "update_preimage"))
   }
 
+  test("graft_snapshot TVF plans through the manifest FileIndex: a WHERE range prunes FILES, mapped/DV heads still served by the fallback funnel") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val out = new java.io.File("target/qtmp", "tvffidx")
+    graft.util.Dirs.deleteRec(out)
+    val dir = out.getAbsolutePath
+    val E = graft.operators.Export
+    E.appendSnapshotStatted(spark,
+      (0L until 400L).map(i => (i, i * 2)).toDF("id", "v"), dir,
+      statCols = Seq("id"), nFiles = 8)
+    val q = spark.sql(
+      s"SELECT id FROM graft_snapshot('$dir') WHERE id BETWEEN 300 AND 340")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === (300L to 340L))
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(Nil, f.dataFilters)
+            .map(_.files.size).sum
+      }).sum
+    assert(scanned <= 2, s"TVF scan planned $scanned of 8 files")
+    // a DV-bearing head transparently takes the DV-aware fallback
+    E.deleteWhereMoR(spark, dir, org.apache.spark.sql.functions
+      .col("id") < 100L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir')")
+      .collect().head.getLong(0) === 300L)
+    // and a renamed head (column mapping) too
+    E.compactSnapshot(spark, dir)
+    E.renameSnapshotColumn(dir, "v", "val")
+    assert(spark.sql(
+        s"SELECT sum(val) FROM graft_snapshot('$dir')")
+      .collect().head.getLong(0) ===
+      (100L until 400L).map(_ * 2).sum)
+  }
+
   test("SQL DML procedures: delete/merge/optimize/restore/clone/vacuum from plain SQL equal the Scala API") {
     import spark.implicits._
     GraftExtensions.register(spark)
