@@ -314,9 +314,11 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_optimize"),
       info("graft_optimize", "graft_optimize(path[, n_files[, " +
-        "'cluster:key'|'zorder:a,b']]) - OPTIMIZE the lake table: " +
-        "compact the head into n_files (default 1), optionally " +
-        "range-clustered or z-ordered with fresh pruning zones. " +
+        "'cluster:key'|'zorder:a,b'|'partition:col=val[/col=val]']]) - " +
+        "OPTIMIZE the lake table: compact the head into n_files " +
+        "(default 1), optionally range-clustered / z-ordered with " +
+        "fresh pruning zones, or PARTITION-SCOPED (OPTIMIZE ... WHERE: " +
+        "rewrite only the matching partitions' files, carry the rest). " +
         "Returns (version, n_files)"),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
@@ -336,8 +338,27 @@ object GraftExtensions {
                 case _ => throw new IllegalArgumentException(
                   s"zorder spec needs two columns, got: $spec")
               }
+              case Array("partition", kvs) =>
+                // OPTIMIZE ... WHERE: the table's FULL layout key set
+                // comes from the head's p= specs (a filtered subset
+                // must never narrow the layout — the lake-compact CLI
+                // lesson), the spec supplies the equality filters
+                val filters = kvs.split('/').filter(_.nonEmpty).map { kv =>
+                  kv.split("=", 2) match {
+                    case Array(k, v) => k.trim -> v.trim
+                    case _ => throw new IllegalArgumentException(
+                      s"partition spec expects col=val segments: $kvs")
+                  }
+                }.toMap
+                val head = E.latestSnapshotVersion(path)
+                val partCols = E.snapshotPartitionColumns(path, head)
+                E.compactSnapshotPartition(spark, path,
+                  if (partCols.nonEmpty) partCols
+                  else filters.keys.toSeq,
+                  filters, nFiles)
               case _ => throw new IllegalArgumentException(
-                s"layout spec is 'cluster:key' or 'zorder:a,b', got: $spec")
+                "layout spec is 'cluster:key', 'zorder:a,b' or " +
+                  s"'partition:col=val[/col=val]', got: $spec")
             }
           } else E.compactSnapshot(spark, path, nFiles)
         oneRow(spark, "version" -> v.toLong,

@@ -48,9 +48,15 @@ import graft.operators.{Export, Merge}
   * compaction is a WHOLE-TABLE rewrite — size N so the table rewritten
   * every N batches stays cheap, or compact out-of-band with
   * `lake-compact --partition`), `mergeKeys`, `orderBy`
-  * (comma-separated), `allowFullRewrite` (Update mode without
-  * `.partitionBy`: explicit opt-in acknowledging that EVERY micro-batch
-  * reads and rewrites the whole table — the sink refuses otherwise).
+  * (comma-separated), `clusterBy` (Update mode: zone-pruned file-scoped
+  * merges, see above), `allowFullRewrite` (Update mode without
+  * `.partitionBy`/`clusterBy`: explicit opt-in acknowledging that EVERY
+  * micro-batch reads and rewrites the whole table — the sink refuses
+  * otherwise), `autoVacuumKeep` = K (retention built in: after each
+  * commit drop all but the newest K versions and reclaim unreferenced
+  * files past the in-flight horizon — bounds a minute-trigger sink's
+  * otherwise unbounded version log; size K above downstream stream lag
+  * and reader staleness).
   *
   * Scale shape: a micro-batch commit is one epoch write + one manifest
   * rename; the guard is one manifest-header scan-back. State lives in
@@ -76,6 +82,25 @@ final class GraftLakeSink(spark: SparkSession,
   private val autoCompactEvery = opt("autoCompactEvery").map(_.toInt)
   autoCompactEvery.foreach(n => require(n >= 2,
     s"autoCompactEvery must be >= 2, got $n"))
+  /** Retention housekeeping built into the sink: after each commit,
+    * drop all but the newest `autoVacuumKeep` versions and reclaim
+    * unreferenced files older than the in-flight horizon — a
+    * minute-trigger sink otherwise accretes ~0.5 M versions/year. Size
+    * it ABOVE any downstream stream's maximum lag (a vacuumed unserved
+    * version trips that stream's failOnDataLoss) and above the
+    * reader-staleness bound; the exactly-once `#batch=` watermark
+    * always survives (it rides the newest version). */
+  private val autoVacuumKeep = opt("autoVacuumKeep").map(_.toInt)
+  autoVacuumKeep.foreach(k => require(k >= 2,
+    s"autoVacuumKeep must be >= 2 (the pre-commit version must " +
+      s"survive its own trigger for concurrent readers), got $k"))
+  /** In-flight horizon for the built-in vacuum (default: the
+    * conservative [[Export.DefaultVacuumHorizonMs]]). Lower it only
+    * when no OTHER writer can be mid-commit on this table — the sink
+    * itself commits data-first-manifest-after inside one addBatch, so
+    * its own files are always referenced before its vacuum runs. */
+  private val autoVacuumHorizonMs = opt("autoVacuumHorizonMs")
+    .map(_.toLong).getOrElse(Export.DefaultVacuumHorizonMs)
   require(autoCompactEvery.isEmpty || partitionCols.isEmpty,
     "autoCompactEvery compacts the whole table and would flatten the " +
       "partition layout - use lake-compact --partition maintenance " +
@@ -193,6 +218,13 @@ final class GraftLakeSink(spark: SparkSession,
         if (v % n == 0) Export.compactSnapshot(spark, path,
           nFiles = filesPerCommit)
       }
+      // retention AFTER compaction: the compacted head is the newest
+      // survivor and carries the batch watermark forward, so
+      // exactly-once survives any keep; the default in-flight horizon
+      // protects a concurrent committer's unreferenced fresh files
+      autoVacuumKeep.foreach(k =>
+        Export.vacuumSnapshots(path, keep = k,
+          horizonMs = autoVacuumHorizonMs))
     }
 
   override def toString: String = s"GraftLakeSink[$path, $mode]"

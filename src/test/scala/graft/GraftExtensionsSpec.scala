@@ -325,5 +325,26 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head
     assert(vac.getLong(0) === 5L) // dropped versions 1..5
     assert(E.snapshotVersions(dir) === Seq(6))
+    // PARTITION-SCOPED OPTIMIZE via SQL: only the filtered partition's
+    // files rewrite, the full layout key set is preserved
+    val pdir = new java.io.File("target/qtmp", "tvfdml_part")
+    graft.util.Dirs.deleteRec(pdir)
+    val pd = pdir.getAbsolutePath
+    val docs = (1L to 60L).map(i => (i, (i % 2).toString, i)).toDF(
+      "k", "half", "v")
+    (0 until 3).foreach { e =>
+      E.appendSnapshotPartitioned(spark,
+        docs.filter($"k" % 3 === e), pd, Seq("half"), nFiles = 2)
+    }
+    val beforeP = E.snapshotFiles(pd, 3)
+    spark.sql(s"SELECT * FROM graft_optimize('$pd', 1, " +
+      "'partition:half=1')").collect()
+    val afterP = E.snapshotFiles(pd, 4)
+    assert(afterP.filterNot(_.contains("_p_half=1")).toSet ===
+      beforeP.filterNot(_.contains("_p_half=1")).toSet,
+      "untouched partition's files must carry verbatim")
+    assert(afterP.count(_.contains("_p_half=1")) <
+      beforeP.count(_.contains("_p_half=1")))
+    assert(E.readSnapshot(spark, pd, 4).count() === 60)
   }
 }

@@ -180,6 +180,35 @@ class GraftLakeSinkSpec extends SparkSpec {
     assert(c.getMessage.contains("partitionBy"))
   }
 
+  test("autoVacuumKeep housekeeping: 20 micro-batches leave a BOUNDED " +
+      "log (versions, manifests, epoch dirs), exactly-once survives " +
+      "retention, final rows complete") {
+    val t = tmp("gls-autovacuum")
+    val s = sink(t, OutputMode.Append(),
+      Map("autoCompactEvery" -> "4", "autoVacuumKeep" -> "2",
+        "autoVacuumHorizonMs" -> "0"))
+    (0 until 20).foreach(b => s.addBatch(b, rows(b * 3, b * 3 + 3)))
+    // the version LIST is bounded by keep, not by batch count
+    val versions = Export.snapshotVersions(t.getAbsolutePath)
+    assert(versions.size <= 2, s"unbounded log: $versions")
+    // the physical root is bounded too: manifests + live epoch dirs +
+    // the hint, not one dir per historical batch
+    val rootEntries = t.listFiles().map(_.getName)
+    assert(rootEntries.count(_.startsWith("epoch=")) <= 8,
+      s"epoch dirs unbounded: ${rootEntries.count(_.startsWith("epoch="))}")
+    assert(rootEntries.count(_.endsWith(".manifest")) <= 2)
+    // exactly-once watermark survived compaction + retention
+    assert(Export.lastAppliedBatch(t.getAbsolutePath) === 19L)
+    s.addBatch(19, rows(900, 903)) // replay refused across retention
+    s.addBatch(3, rows(900, 903))
+    assert(Export.lastAppliedBatch(t.getAbsolutePath) === 19L)
+    // every batch's rows present exactly once
+    val got = Export.readSnapshot(spark, t.getAbsolutePath,
+        Export.latestSnapshotVersion(t.getAbsolutePath))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 60L))
+  }
+
   test("end-to-end through the engine: readStream graftlake -> " +
       "writeStream graftlake equals the batch transform") {
     val src = tmp("gls-e2e-src")
