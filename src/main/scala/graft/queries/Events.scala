@@ -355,6 +355,44 @@ object Events {
       |  FROM events) WHERE rn = 1
       |ORDER BY event_type, user_id""".stripMargin
 
+  /** Sink retention housekeeping end to end
+    * ([[graft.sources.GraftLakeSink]] `autoCompactEvery` +
+    * `autoVacuumKeep`): the corpus lands through six exactly-once
+    * micro-batch commits while the sink folds small epochs every third
+    * version and drops all but the newest two — the long-lived
+    * streamed-table configuration. Retention must be INVISIBLE to the
+    * data: the settled table equals the plain corpus (DuckDB replays
+    * it directly), while the in-gate requires pin the log actually
+    * stayed bounded. */
+  def q_stream_lakehousekeeping(s: SparkSession,
+      dir: String): DataFrame = {
+    val table = new File("target/qtmp_stream",
+      s"lhk_${math.abs(dir.hashCode)}")
+    deleteRec(table)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars")
+    val sink = new graft.sources.GraftLakeSink(s,
+      Map("path" -> table.getAbsolutePath,
+        "autoCompactEvery" -> "3", "autoVacuumKeep" -> "2",
+        "autoVacuumHorizonMs" -> "0"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    (0 until 6).foreach { b =>
+      sink.addBatch(b, docs.filter(pmod(col("doc_id"), lit(6)) === b))
+      sink.addBatch(b, docs.limit(5)) // replay storm: refused
+    }
+    val od = table.getAbsolutePath
+    require(graft.operators.Export.snapshotVersions(od).size <= 2,
+      "retention left an unbounded version log")
+    require(graft.operators.Export.lastAppliedBatch(od) == 5L,
+      "exactly-once watermark lost through compaction/retention")
+    graft.operators.Export.readSnapshot(s, od,
+        graft.operators.Export.latestSnapshotVersion(od))
+      .orderBy("doc_id")
+  }
+
+  val q_stream_lakehousekeeping_sql: String =
+    """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""".stripMargin
+
   /** CHANGE-DATA-FEED streaming read
     * ([[graft.streaming.LakeStream.cdfDocuments]]): a documents lake
     * table built as two appends then a copy-on-write DELETE is streamed
