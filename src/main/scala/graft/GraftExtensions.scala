@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.tableDefinitions.foreach { case (ident, info, builder) =>
       ext.injectTableFunction((ident, info, builder))
     }
+    ext.injectResolutionRule(GraftExtensions.catalogReadRule)
   }
 }
 
@@ -425,6 +426,58 @@ object GraftExtensions {
             graft.operators.Export.snapshotDiff(spark, path, vOld, vNew)
         df.queryExecution.logical
       }))
+
+  /** Analyzer rule for the [[graft.sources.GraftLakeCatalog]] READ
+    * path: a resolved v2 relation over a catalog lake table is
+    * rewritten to the manifest-planned v1 `HadoopFsRelation` (the batch
+    * format's relation — vectorized scans, PushedFilters, manifest-tag
+    * file pruning), attribute ids preserved through an aligning
+    * Project. WRITE targets are left as v2 relations — the table's
+    * `V1_BATCH_WRITE` capability handles INSERT INTO/OVERWRITE through
+    * the engine's own v1-fallback writers. Pinned (time-travel)
+    * relations plan their pinned version. This is the Delta-analysis
+    * shape: the catalog names tables, the v1 relation executes them. */
+  private def catalogReadRule(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    new org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      override def apply(plan: LogicalPlan): LogicalPlan = {
+        val hasLake = plan.exists {
+          case r: DataSourceV2Relation =>
+            r.table.isInstanceOf[graft.sources.GraftLakeTable]
+          case _ => false
+        }
+        if (!hasLake) return plan
+        // write targets keep their v2 face (AppendData/Overwrite resolve
+        // through the table's V1 write builder, not through this rule)
+        val writeTargets =
+          plan.collect { case w: V2WriteCommand => w.table }.toSet
+        plan.transformUp {
+          case r: DataSourceV2Relation
+              if r.table.isInstanceOf[graft.sources.GraftLakeTable] &&
+                !writeTargets.contains(r) =>
+            val t = r.table.asInstanceOf[graft.sources.GraftLakeTable]
+            val opts = t.versionAsOf
+              .map(v => Map("versionAsOf" -> v.toString))
+              .getOrElse(Map.empty[String, String])
+            val v1 = spark.baseRelationToDataFrame(
+                graft.sources.GraftLakeBatch.relation(spark, t.dir, opts))
+              .queryExecution.analyzed
+            val byName = v1.output.map(a => a.name -> a).toMap
+            Project(r.output.map { o =>
+              val src = byName.getOrElse(o.name,
+                throw new IllegalStateException(
+                  s"catalog table ${t.name()} lost column '${o.name}' " +
+                    "between resolution and planning"))
+              org.apache.spark.sql.catalyst.expressions.Alias(
+                src, o.name)(exprId = o.exprId)
+            }, v1)
+        }
+      }
+    }
 
   /** One-row result relation of a DML procedure. */
   private def oneRow(spark: org.apache.spark.sql.SparkSession,

@@ -755,6 +755,34 @@ object Export {
     version
   }
 
+  /** Rewrite every surviving manifest's absolute path references from
+    * `oldPrefix/` to `newPrefix/` — the METADATA half of a
+    * table-directory rename: data lines and `dv=` tags carry absolute
+    * qualified URIs (the property that makes shallow clones work), so
+    * moving the directory alone would leave every manifest pointing at
+    * the old location. Lines referencing OTHER tables (a shallow
+    * clone's source) don't match the prefix and carry unchanged —
+    * exactly right, the clone still reads its source. Offline
+    * maintenance surgery: run single-writer, like the rename itself. */
+  def rewriteSnapshotPaths(outDir: String, oldPrefix: String,
+      newPrefix: String): Unit = {
+    val (fs, root) = fsRoot(outDir)
+    manifestVersions(fs, root).foreach { v =>
+      val rewritten = readManifestRaw(fs, root, v)
+        .map(_.replace(oldPrefix + "/", newPrefix + "/"))
+      val tmp = new Path(root,
+        s"_tmp._v$v.rewrite.${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(rewritten.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val dest = manifestPath(root, v)
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new IllegalStateException(
+          s"manifest rewrite failed for version $v under $root")
+    }
+  }
+
   /** True when any data line of `version` carries a deletion-vector
     * (`dv=`) tag — planning-side. The streaming source's bootstrap and
     * the batch format's fast path must route DV-bearing versions through

@@ -5402,6 +5402,49 @@ object Curation {
       "ORDER BY doc_id")
   }
 
+  /** SQL CATALOG end to end ([[graft.sources.GraftLakeCatalog]]): lake
+    * tables addressed BY NAME from plain SQL — CREATE NAMESPACE/TABLE,
+    * two INSERT INTOs (append commits), and the final aggregate all run
+    * through `spark.sql` against `cat.ns.table` identifiers; reads
+    * resolve through the v1-fallback rule into the manifest-planned
+    * relation. The in-gate require pins VERSION AS OF time travel by
+    * name. DuckDB replays the aggregate over the raw corpus. */
+  def q_sql_catalog(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlcat_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glake.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glake.g")
+    s.sql("DROP TABLE IF EXISTS glake.g.docs")
+    s.sql("CREATE TABLE glake.g.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_sql_catalog_src")
+    s.sql("INSERT INTO glake.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_sql_catalog_src WHERE doc_id % 2 = 0")
+    s.sql("INSERT INTO glake.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_sql_catalog_src WHERE doc_id % 2 = 1")
+    // VERSION AS OF by name: v2 holds only the even half
+    val v2 = s.sql(
+      "SELECT count(*) FROM glake.g.docs VERSION AS OF 2")
+      .collect().head.getLong(0)
+    val evens = s.sql(
+      "SELECT count(*) FROM q_sql_catalog_src WHERE doc_id % 2 = 0")
+      .collect().head.getLong(0)
+    require(v2 == evens, s"time travel by name: $v2 != $evens")
+    s.sql("""SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM glake.g.docs GROUP BY lang ORDER BY lang""")
+  }
+
+  val q_sql_catalog_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val q_sql_dml_sql: String =
     """WITH upd AS (SELECT doc_id, n_chars + 100 AS n_chars
       |             FROM documents WHERE doc_id % 5 = 0),

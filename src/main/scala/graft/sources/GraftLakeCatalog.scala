@@ -1,0 +1,281 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.GraftV1FallbackBridge
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Export
+
+/** SQL CATALOG over graft lake tables — the last mile of the SQL story:
+  * after
+  *
+  *   spark.sql.catalog.graftlake = graft.sources.GraftLakeCatalog
+  *   spark.sql.catalog.graftlake.warehouse = /data/lake
+  *
+  * plain SQL addresses tables by NAME instead of path:
+  *
+  *   CREATE NAMESPACE graftlake.corpus
+  *   CREATE TABLE graftlake.corpus.docs (doc_id BIGINT, text STRING)
+  *   INSERT INTO graftlake.corpus.docs SELECT ...
+  *   INSERT OVERWRITE graftlake.corpus.docs SELECT ...
+  *   SELECT * FROM graftlake.corpus.docs WHERE ...
+  *
+  * An identifier `ns.table` maps to the snapshot-log directory
+  * `<warehouse>/ns/table`; a "table" IS its manifest log, so every
+  * existing verb (time travel via the TVFs, DML via the `graft_*`
+  * procedures, maintenance via the CLI) composes with catalog-created
+  * tables — they all address the same directory.
+  *
+  * Read path: `V2TableWithV1Fallback` (via [[org.apache.spark.sql.GraftV1FallbackBridge]]) — the analyzer resolves the
+  * table to its v1 `CatalogTable` (provider `graftlake`, location =
+  * the table dir), which lands in [[GraftLakeDataSource.createRelation]]
+  * and therefore in the manifest-planned `HadoopFsRelation` with file
+  * pruning and pushdown (the same deliberate DSv1 choice as the
+  * format: a native v2 `PartitionReader` would hand-decode parquet).
+  * Write path: `V1_BATCH_WRITE` — `INSERT INTO` appends a snapshot
+  * version, `INSERT OVERWRITE` commits a full-replace version (time
+  * travel keeps the old state; never a file-level truncate).
+  *
+  * Honesty: the same gates as the batch format — a column-mapped or
+  * DV-bearing head is refused at read with a pointer to the TVF/Scala
+  * readers; compaction clears both. DROP TABLE deletes the directory
+  * (the catalog owns the warehouse layout); RENAME is a filesystem
+  * rename and therefore only atomic where the store's rename is. */
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(parts: Seq[String]): String =
+    (warehouse +: parts).mkString("/")
+
+  private def tableDir(ident: Identifier): String =
+    dirOf(ident.namespace.toIndexedSeq :+ ident.name)
+
+  private def fsOf(dir: String) = Export.fsRoot(dir)
+
+  private def isTable(dir: String): Boolean =
+    Export.latestSnapshotVersion(dir) >= 1
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val (fs, root) = fsOf(dirOf(namespace.toIndexedSeq))
+    if (!fs.exists(root)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toIndexedSeq): Seq[String])
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        isTable(st.getPath.toString))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftLakeTable(catalogName, ident, dir)
+  }
+
+  /** SQL time travel by name: `SELECT ... FROM glc.ns.t VERSION AS OF v`
+    * / `TIMESTAMP AS OF ts` — the returned table is PINNED and the read
+    * rule plans that version's manifest. Writes to a pinned table are
+    * refused by the analyzer (a versioned relation is not a write
+    * target). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftLakeTable(catalogName, ident, dir, Some(version.toInt))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // the v2 contract hands MICROseconds since epoch; the lake stamps ms
+    new GraftLakeTable(catalogName, ident, dir,
+      Some(Export.resolveAsOfTimestamp(dir, timestamp / 1000)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "CREATE TABLE ... PARTITIONED BY is not supported through the " +
+        "catalog yet - write partitioned epochs via the format API's " +
+        "partitionBy option or appendSnapshotPartitioned")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    // a zero-file v1 commit carrying the schema: an empty but typed table
+    Export.appendSnapshot(spark,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      dir)
+    new GraftLakeTable(catalogName, ident, dir)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE through the catalog is not supported - use the " +
+        "maintenance verbs (lake-rename/lake-drop-column/lake-widen) " +
+        "or the Export API; they commit metadata-only versions")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else {
+      val (fs, root) = fsOf(dir)
+      fs.delete(root, true)
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val (fs, src) = fsOf(tableDir(oldIdent))
+    val (_, dst) = fsOf(tableDir(newIdent))
+    if (!isTable(src.toString)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(dst)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"rename $src -> $dst failed")
+    // the metadata half: manifests carry ABSOLUTE data-file URIs, so
+    // every surviving version is re-pointed at the new directory
+    // (clone-referenced external paths don't match and carry unchanged)
+    Export.rewriteSnapshotPaths(dst.toString, src.toString, dst.toString)
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (fs, root) = fsOf(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val (fs, root) = fsOf(dirOf(namespace.toIndexedSeq))
+    fs.exists(root)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toIndexedSeq): Seq[String])
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val (fs, root) = fsOf(dirOf(namespace.toIndexedSeq))
+    fs.mkdirs(root)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespaces carry no mutable metadata here")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val (fs, root) = fsOf(dirOf(namespace.toIndexedSeq))
+    if (!fs.exists(root)) false
+    else {
+      if (!cascade && fs.listStatus(root).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(root, true)
+    }
+  }
+}
+
+/** One catalog table = one snapshot-log directory. Reads go through the
+  * v1 fallback (see [[GraftLakeCatalog]] doc); writes are V1 batch
+  * writes mapping INSERT INTO → append commit and INSERT OVERWRITE →
+  * full-replace commit. */
+final class GraftLakeTable(catalogName: String, ident: Identifier,
+    private[graft] val dir: String,
+    private[graft] val versionAsOf: Option[Int] = None) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with GraftV1FallbackBridge {
+
+  override def name(): String =
+    (catalogName +: ident.namespace.toIndexedSeq :+ ident.name)
+      .mkString(".")
+
+  override def schema(): StructType =
+    Export.snapshotSchema(dir,
+        versionAsOf.getOrElse(Export.latestSnapshotVersion(dir)))
+      .getOrElse(new StructType())
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
+
+  override def properties(): util.Map[String, String] =
+    Map("location" -> dir, "provider" -> "graftlake").asJava
+
+  /** The v1 face the analyzer resolves reads through: a `graftlake`-
+    * provider CatalogTable at the table dir — lands in
+    * [[GraftLakeDataSource.createRelation]], i.e. the manifest-planned
+    * HadoopFsRelation. */
+  override def v1Table: CatalogTable = CatalogTable(
+    identifier = TableIdentifier(ident.name,
+      ident.namespace.lastOption, Some(catalogName)),
+    tableType = CatalogTableType.EXTERNAL,
+    storage = CatalogStorageFormat.empty.copy(
+      locationUri = Some(new java.net.URI(dir)),
+      properties = Map("path" -> dir)),
+    schema = schema(),
+    provider = Some("graftlake"))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                legacyOverwrite: Boolean): Unit = {
+              val spark = data.sparkSession
+              if (overwrite || legacyOverwrite)
+                Export.replaceSnapshot(spark, data, dir)
+              else Export.appendSnapshot(spark, data, dir)
+            }
+          }
+      }
+    }
+
+  override def toString: String = s"GraftLakeTable($dir)"
+}
