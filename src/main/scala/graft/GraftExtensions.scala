@@ -451,10 +451,19 @@ object GraftExtensions {
           case _ => false
         }
         if (!hasLake) return plan
-        // write targets keep their v2 face (AppendData/Overwrite resolve
-        // through the table's V1 write builder, not through this rule)
-        val writeTargets =
-          plan.collect { case w: V2WriteCommand => w.table }.toSet
+        // write/DML targets keep their v2 face (AppendData/Overwrite
+        // resolve through the table's V1 write builder, DELETE FROM
+        // through SupportsDelete — not through this rule)
+        // a target may sit under a SubqueryAlias — skip every relation
+        // node inside the target subtree, not just the root
+        val writeTargets: Set[LogicalPlan] =
+          plan.collect {
+            case w: V2WriteCommand => w.table: LogicalPlan
+            case d: org.apache.spark.sql.catalyst.plans.logical
+                .DeleteFromTable => d.table
+          }.flatMap(_.collect {
+            case r: DataSourceV2Relation => r: LogicalPlan
+          }).toSet
         plan.transformUp {
           case r: DataSourceV2Relation
               if r.table.isInstanceOf[graft.sources.GraftLakeTable] &&

@@ -227,7 +227,81 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
     private[graft] val dir: String,
     private[graft] val versionAsOf: Option[Int] = None) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRead
     with GraftV1FallbackBridge {
+
+  /** Placeholder v2 scan: `DELETE FROM` planning insists the target be
+    * readable (`V2ScanRelationPushDown` builds a scan it then discards
+    * for metadata deletes), so this satisfies the shape — but actual
+    * READS never reach it: the resolution rule rewrites every read
+    * relation to the manifest-planned v1 relation first. Executing it
+    * (a session missing the graft.GraftExtensions extension) fails
+    * with the contract spelled out instead of a hand-rolled row scan. */
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType =
+            GraftLakeTable.this.schema()
+          override def description(): String =
+            s"graftlake v1-resolved table ${GraftLakeTable.this.name()} " +
+              "(reads require the graft.GraftExtensions session " +
+              "extension, which plans them from the manifest)"
+        }
+    }
+
+  /** `DELETE FROM cat.ns.t WHERE ...` — the engine hands the pushed v1
+    * filters; translatable conjuncts become one copy-on-write delete
+    * commit ([[Export.deleteWhere]] — SQL NULL semantics, old states
+    * time-travel). An untranslatable filter refuses in
+    * [[canDeleteWhere]], and the engine reports the unsupported
+    * predicate instead of deleting the wrong rows. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.toSeq.flatMap(filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Export.deleteWhere(spark, dir, cond)
+  }
+
+  private def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 
   override def name(): String =
     (catalogName +: ident.namespace.toIndexedSeq :+ ident.name)
@@ -238,9 +312,14 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
         versionAsOf.getOrElse(Export.latestSnapshotVersion(dir)))
       .getOrElse(new StructType())
 
+  // BATCH_READ is declared for the capability CHECK (a DELETE target
+  // must be readable); actual reads never build a v2 scan — the
+  // resolution rule rewrites every read relation to the manifest-
+  // planned v1 relation first (the catalog therefore REQUIRES the
+  // graft.GraftExtensions session extension, its documented contract)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def properties(): util.Map[String, String] =
     Map("location" -> dir, "provider" -> "graftlake").asJava

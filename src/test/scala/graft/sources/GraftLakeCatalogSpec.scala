@@ -72,11 +72,17 @@ class GraftLakeCatalogSpec extends SparkSpec {
     // TVF time travel reads the pre-delete version of the same table
     assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir', 2)")
       .collect().head.getLong(0) === 10)
+    // native DELETE FROM by name: one CoW commit, old state time-travels
+    spark.sql("DELETE FROM glc.mix.t WHERE k > 7")
+    assert(spark.sql("SELECT k FROM glc.mix.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L, 7L))
+    assert(Export.snapshotOperation(dir,
+      Export.latestSnapshotVersion(dir)) === Some("delete"))
     // name-addressed RENAME keeps the log intact (the new name resolves
     // inside the table's catalog, so it is catalog-less)
     spark.sql("ALTER TABLE glc.mix.t RENAME TO mix.t2")
     assert(spark.sql("SELECT count(*) FROM glc.mix.t2")
-      .collect().head.getLong(0) === 5)
+      .collect().head.getLong(0) === 4)
     intercept[Exception](
       spark.sql("SELECT * FROM glc.mix.t").collect())
   }
