@@ -5367,6 +5367,55 @@ object Curation {
       |FROM documents WHERE lang = 'en'
       |ORDER BY read""".stripMargin
 
+  /** ZONE-PRUNED MERGE at the Export level
+    * ([[graft.operators.Export.mergeSnapshotClusteredLatest]]): the
+    * corpus lands key-CLUSTERED in two epochs, then a RANGE-LOCAL
+    * update batch (doc_id < 150 and ≡ 0 mod 4, bumped chars, higher
+    * seq)
+    * merges FILE-scoped — only zone-overlapping files rewrite, the
+    * rest carry verbatim (pinned by the in-gate require). The final
+    * table must equal the global order-resolved upsert, which DuckDB
+    * replays from first principles. */
+  def q_snapshot_merge_clustered(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), lit(0).as("seq"))
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"snapmc_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.Export.appendSnapshotClustered(s,
+      docs.filter(col("doc_id") % 2 === 0), od, "doc_id", nFiles = 4)
+    val v2 = graft.operators.Export.appendSnapshotClustered(s,
+      docs.filter(col("doc_id") % 2 === 1), od, "doc_id", nFiles = 4)
+    val updates = docs
+      .filter(col("doc_id") % 4 === 0 && col("doc_id") < 150)
+      .withColumn("n_chars", col("n_chars") + 100L)
+      .withColumn("seq", lit(1))
+    val before = graft.operators.Export.snapshotFiles(od, v2)
+    val v3 = graft.operators.Export.mergeSnapshotClusteredLatest(s, od,
+      updates, Seq("doc_id"), "doc_id", Seq("seq"), nFiles = 2)
+    // planning proof: the merge carried non-overlapping files verbatim
+    val carried = graft.operators.Export.snapshotFiles(od, v3).toSet
+      .intersect(before.toSet)
+    require(carried.nonEmpty,
+      "zone-pruned merge rewrote every file of a range-local batch")
+    graft.operators.Export.readSnapshot(s, od, v3).orderBy("doc_id")
+  }
+
+  val q_snapshot_merge_clustered_sql: String =
+    """WITH upd AS (SELECT doc_id, n_chars + 100 AS n_chars,
+      |              CAST(1 AS INT) AS seq
+      |            FROM documents
+      |            WHERE doc_id % 4 = 0 AND doc_id < 150),
+      |base AS (SELECT doc_id, n_chars, CAST(0 AS INT) AS seq
+      |         FROM documents)
+      |SELECT doc_id, n_chars, seq FROM upd
+      |UNION ALL
+      |SELECT doc_id, n_chars, seq FROM base
+      |WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      |ORDER BY doc_id""".stripMargin
+
   /** SQL DML procedures (the WRITE half of the SQL seam,
     * [[graft.GraftExtensions]]): the table is built with the batch
     * format API, then EVERY mutation runs through `spark.sql` —

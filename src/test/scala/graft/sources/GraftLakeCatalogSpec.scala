@@ -87,6 +87,21 @@ class GraftLakeCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM glc.mix.t").collect())
   }
 
+  test("CTAS by name: CREATE TABLE ... AS SELECT lands schema + rows in one statement") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ctas")
+    spark.sql("CREATE TABLE glc.ctas.t AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(7)")
+    val got = spark.sql("SELECT k, v FROM glc.ctas.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === (0L until 7L).map(i => (i, i * 2)))
+    // the CTAS left a normal log: v1 typed-empty create + v2 append
+    val dir = s"$wh/ctas/t"
+    assert(Export.snapshotVersions(dir) === Seq(1, 2))
+    assert(Export.snapshotSchema(dir, 1).get.fieldNames.toSeq ===
+      Seq("k", "v"))
+  }
+
   test("honesty gates carry over: a MoR-deleted head read by name is refused with a pointer, old versions readable") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.gate")
