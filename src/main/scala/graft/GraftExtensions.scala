@@ -474,7 +474,15 @@ object GraftExtensions {
               .getOrElse(Map.empty[String, String])
             val v1 = spark.baseRelationToDataFrame(
                 graft.sources.GraftLakeBatch.relation(spark, t.dir, opts))
-              .queryExecution.analyzed
+              .queryExecution.analyzed match {
+              // carry the table's v1 CatalogTable on the relation:
+              // engine housekeeping (e.g. refreshTable after a
+              // streaming batch) dereferences it
+              case lr: org.apache.spark.sql.execution.datasources
+                  .LogicalRelation =>
+                lr.copy(catalogTable = Some(t.v1Table))
+              case other => other
+            }
             val byName = v1.output.map(a => a.name -> a).toMap
             Project(r.output.map { o =>
               val src = byName.getOrElse(o.name,

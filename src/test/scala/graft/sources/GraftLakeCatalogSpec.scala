@@ -102,6 +102,30 @@ class GraftLakeCatalogSpec extends SparkSpec {
       Seq("k", "v"))
   }
 
+  test("streaming by NAME: readStream.table and writeStream.toTable resolve through the catalog into the graftlake source/sink") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.stream")
+    spark.sql("CREATE TABLE glc.stream.src (k BIGINT, m BIGINT)")
+    spark.sql("INSERT INTO glc.stream.src SELECT id, id % 3 FROM range(6)")
+    spark.sql("INSERT INTO glc.stream.src SELECT id, id % 3 " +
+      "FROM range(6, 12)")
+    spark.sql("CREATE TABLE glc.stream.dst (k BIGINT, m BIGINT)")
+    val q = spark.readStream.table("glc.stream.src")
+      .filter(org.apache.spark.sql.functions.col("m") =!= 2L)
+      .writeStream.format("graftlake")
+      .option("checkpointLocation",
+        Files.createTempDirectory("glc-stream-cp").toFile.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .toTable("glc.stream.dst")
+    assert(q.awaitTermination(120000))
+    val got = spark.sql("SELECT k FROM glc.stream.dst ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === (0L until 12L).filter(_ % 3 != 2))
+    // the sink's exactly-once guard rode along: batch header present
+    assert(Export.lastAppliedBatch(s"$wh/stream/dst") >= 0L)
+  }
+
   test("honesty gates carry over: a MoR-deleted head read by name is refused with a pointer, old versions readable") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.gate")
