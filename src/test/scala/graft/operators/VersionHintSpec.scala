@@ -142,6 +142,30 @@ class VersionHintSpec extends SparkSpec {
     assert(bytes === real)
   }
 
+  test("hint stays consistent under concurrent appenders: every committed version visible, hint == listing after the race") {
+    import spark.implicits._
+    val local = new java.io.File("target/qtmp_hintrace")
+    deleteRec(local)
+    val out = local.getAbsolutePath
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        (0 until 3).foreach { i =>
+          Export.appendSnapshot(spark,
+            Seq((t * 10L + i, s"t$t-$i")).toDF("id", "s"), out)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // all 12 appends landed (optimistic retry) and the hint-backed view
+    // agrees with the raw directory listing
+    val listed = local.listFiles().map(_.getName)
+      .collect { case n if n.matches("_v\\d+\\.manifest") =>
+        n.stripPrefix("_v").stripSuffix(".manifest").toInt }.sorted.toSeq
+    assert(listed === (1 to 12))
+    assert(Export.snapshotVersions(out) === listed)
+    assert(Export.readSnapshot(spark, out, 12).count() === 12)
+  }
+
   test("vacuum shrinks the hint before deleting manifests; planning stays listing-free") {
     val (out, local) = countRoot("hint_vacuum")
     commitMany(out, 1, 10)
