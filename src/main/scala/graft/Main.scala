@@ -58,6 +58,7 @@ object Main {
       case "lake-rename" => lakeRename(opts)
       case "lake-drop-column" => lakeDropColumn(opts)
       case "lake-widen" => lakeWiden(opts)
+      case "lake-hint" => lakeHint(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
   }
@@ -148,7 +149,7 @@ object Main {
         "--source DIR --out DIR [opts]\n" +
         "       graft.Main lake-versions|lake-read|lake-compact|" +
         "lake-vacuum|lake-delete|lake-restore|lake-clone|lake-rename|" +
-        "lake-drop-column|lake-widen --table DIR " +
+        "lake-drop-column|lake-widen|lake-hint --table DIR " +
         "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
         "[--cluster-by COL] [--keep N] [--horizon-ms N] " +
         "[--where SQL_PREDICATE] [--mor] [--dry-run] [--to-version N]")
@@ -272,6 +273,20 @@ object Main {
     println(s"compacted $dir into version $v " +
       s"(${graft.operators.Export.snapshotFiles(dir, v).size} files)")
     spark.stop()
+  }
+
+  /** Write the `_versions.hint` head pointer from a full listing — the
+    * one-time migration for READ-ONLY legacy tables (commits write it
+    * as a side effect; a table nobody writes would pay the O(root)
+    * listing on every plan forever). Planning-side, no Spark session. */
+  private def lakeHint(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val versions = graft.operators.Export.refreshVersionsHint(dir)
+    if (versions.isEmpty) {
+      System.err.println(s"no versions under $dir"); sys.exit(2)
+    }
+    println(s"hinted $dir: ${versions.size} versions " +
+      s"(v${versions.head}..v${versions.last})")
   }
 
   private def lakeVacuum(o: Map[String, List[String]]): Unit = {

@@ -313,6 +313,17 @@ object Export {
       case ManifestName(v) => v.toInt
     }.sorted
 
+  /** Force-write the version hint from a full listing — the MIGRATION
+    * verb for legacy tables (every commit writes the hint as a side
+    * effect, but a READ-ONLY legacy table would otherwise pay the
+    * listing forever). Returns the hinted version list. */
+  def refreshVersionsHint(outDir: String): Seq[Int] = {
+    val (fs, root) = fsRoot(outDir)
+    val versions = listManifestVersions(fs, root)
+    if (versions.nonEmpty) writeVersionsHint(fs, root, versions)
+    versions
+  }
+
   /** Committed versions: O(1) via the hint (one read + one forward
     * probe) when present, full listing otherwise. */
   private def manifestVersions(fs: FileSystem, root: Path): Seq[Int] =

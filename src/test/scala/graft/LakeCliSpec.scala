@@ -54,6 +54,24 @@ class LakeCliSpec extends SparkSpec {
     assert(none.contains("no versions"), none)
   }
 
+  test("lake-hint migrates a legacy table to O(1) planning from the CLI") {
+    val out = new java.io.File("target/qtmp", "lakecli_hint")
+    graft.util.Dirs.deleteRec(out)
+    val dir = out.getAbsolutePath
+    Export.replaceSnapshot(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    Export.appendSnapshot(spark, Seq((2L, "b")).toDF("k", "s"), dir)
+    // simulate a legacy table: drop the hint the commits wrote
+    val hint = new java.io.File(out, "_versions.hint")
+    assert(hint.exists() && hint.delete())
+    val msg = captureOut {
+      Main.main(Array("lake-hint", "--table", dir))
+    }
+    assert(msg.contains("2 versions") && msg.contains("v1..v2"), msg)
+    assert(hint.exists(), "lake-hint must write the head pointer")
+    assert(Export.snapshotVersions(dir) === Seq(1, 2))
+    // empty table: clean message via exit — covered by lake-versions path
+  }
+
   test("lake-restore rolls the head back from the CLI, planning-side only") {
     val out = new java.io.File("target/qtmp", "lakecli_restore")
     graft.util.Dirs.deleteRec(out)
