@@ -262,7 +262,24 @@ object InvertedIndex {
     * to the typed empty result — no corpus I/O at all. */
   def searchAnd(spark: SparkSession, indexDir: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      lnIdf: Boolean = false): DataFrame = {
+      lnIdf: Boolean = false): DataFrame =
+    search(spark, indexDir, terms, k, k1, b, lnIdf, requireAll = true)
+
+  /** DISJUNCTIVE (OR) retrieval — the default web-search shape: any
+    * document containing AT LEAST ONE query term is a candidate, ranked
+    * by the sum of its present terms' BM25 weights (an absent term
+    * contributes exactly 0, the same value the full-scan scorer's
+    * tf=0 numerator yields — so OR scores stay bit-identical to the
+    * replay). Same I/O shape as [[searchAnd]]: only the terms' shard
+    * dirs are planned. */
+  def searchOr(spark: SparkSession, indexDir: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      lnIdf: Boolean = false): DataFrame =
+    search(spark, indexDir, terms, k, k1, b, lnIdf, requireAll = false)
+
+  private def search(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int, k1: Double, b: Double,
+      lnIdf: Boolean, requireAll: Boolean): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     require(k > 0, s"k must be positive, got $k")
     val (nDocs, sumDl, nShards, hash, idCol) = readGlobal(spark, indexDir)
@@ -279,9 +296,13 @@ object InvertedIndex {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("bm25",
           org.apache.spark.sql.types.DoubleType))))
-    if (!dirs.forall(d =>
-        fs.exists(new org.apache.hadoop.fs.Path(d)))) return empty
-    val post0 = spark.read.parquet(dirs: _*)
+    // AND: any missing term shard empties the conjunction outright.
+    // OR: drop the missing terms' dirs and keep serving the rest.
+    val liveDirs = dirs.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if ((requireAll && liveDirs.size != dirs.size) || liveDirs.isEmpty)
+      return empty
+    val post0 = spark.read.parquet(liveDirs: _*)
       .filter(col("token").isin(qTerms: _*))
     // tombstoned docs ([[deleteFromIndex]]) drop out BEFORE df is
     // computed, so every served statistic reflects the live corpus
@@ -309,10 +330,19 @@ object InvertedIndex {
       .withColumn("_w", w)
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
-    val conjunctive = qTerms.indices
-      .map(i => col(s"_w_$i").isNotNull).reduce(_ && _)
-    val score = qTerms.indices.map(i => col(s"_w_$i")).reduce(_ + _)
-    grouped.filter(conjunctive)
+    // AND keeps only all-terms docs and sums plain lanes; OR admits any
+    // posting-bearing doc and sums with an absent lane contributing
+    // exactly 0.0 — the same value the full-scan scorer's tf=0
+    // numerator yields, so both modes replay bit-identically
+    val keep =
+      if (requireAll) qTerms.indices
+        .map(i => col(s"_w_$i").isNotNull).reduce(_ && _)
+      else lit(true) // every grouped doc has >=1 posting by construction
+    val score =
+      if (requireAll) qTerms.indices.map(i => col(s"_w_$i")).reduce(_ + _)
+      else qTerms.indices.map(i => coalesce(col(s"_w_$i"), lit(0.0)))
+        .reduce(_ + _)
+    grouped.filter(keep)
       .select(col(idCol), round(score, 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)

@@ -473,11 +473,36 @@ object Curation {
     searchIndexOracle(Seq("spark", "customer"), k = 15,
       where = " AND doc_id % 7 != 2")
 
-  /** The full-scan BM25 conjunctive-search oracle, parameterized by
-    * the corpus restriction — shared by the build/incremental/delete
-    * index gates, which must all serve exactly this ranking. */
+  /** DISJUNCTIVE keyword search from the index
+    * ([[graft.operators.InvertedIndex.searchOr]]): any document with at
+    * least one query term, ranked by the sum of present terms' BM25
+    * weights (absent terms contribute exactly the tf=0 formula's 0.0,
+    * so the scores stay bit-identical to DuckDB's full-scan replay with
+    * an OR presence filter). Same terms-only shard I/O as the AND
+    * probe. */
+  def q_search_index_or(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"invidx_or_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.InvertedIndex.writeIndex(s, docs, "text", "doc_id",
+      od, nShards = 8)
+    graft.operators.InvertedIndex.searchOr(s, od,
+      Seq("spark", "window"), k = 20)
+  }
+
+  val q_search_index_or_sql: String =
+    searchIndexOracle(Seq("spark", "window"), k = 20, where = "",
+      anyTerm = true)
+
+  /** The full-scan BM25 search oracle, parameterized by the corpus
+    * restriction and the presence mode (conjunctive AND by default;
+    * `anyTerm` = the disjunctive OR gate) — shared by the build/
+    * incremental/delete/wide/compact/or index gates, which must all
+    * serve exactly this ranking. */
   private def searchIndexOracle(terms: Seq[String], k: Int,
-      where: String): String = {
+      where: String, anyTerm: Boolean = false): String = {
     val tfs = terms.indices.map(i =>
       s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i")
       .mkString(",\n        ")
@@ -488,7 +513,8 @@ object Curation {
       s"((n - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * 2.2)" +
         s" / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
       .mkString("\n  + ")
-    val conj = terms.indices.map(i => s"tf_$i > 0").mkString(" AND ")
+    val conj = terms.indices.map(i => s"tf_$i > 0")
+      .mkString(if (anyTerm) " OR " else " AND ")
     s"""WITH d AS (SELECT doc_id,
        |        list_filter(str_split($NormSql, ' '), t -> t != '') AS toks
        |      FROM documents WHERE text IS NOT NULL$where),

@@ -185,6 +185,30 @@ class InvertedIndexSpec extends SparkSpec {
     assert(g.getAs[Long]("n_docs") === want)
   }
 
+  test("disjunctive OR search: candidates are the union, AND results rank identically within it, unindexed terms degrade gracefully") {
+    val terms = Seq("spark", "customer")
+    val or = InvertedIndex.searchOr(spark, built, terms, k = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val and = InvertedIndex.searchAnd(spark, built, terms, k = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // every conjunctive hit appears in the OR result with the SAME score
+    val orMap = or.toMap
+    and.foreach { case (id, s) =>
+      assert(orMap.get(id).contains(s),
+        s"doc $id: AND score $s vs OR score ${orMap.get(id)}")
+    }
+    assert(or.length > and.length,
+      "OR should admit single-term docs the conjunction drops")
+    // an unindexed term doesn't empty the disjunction (unlike AND)
+    val degraded = InvertedIndex.searchOr(spark, built,
+      Seq("spark", "zzzznotaword"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val single = InvertedIndex.searchOr(spark, built,
+      Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(degraded.toSeq === single.toSeq)
+  }
+
   test("single-term search ranks by BM25 with deterministic ties; absent term is empty") {
     val one = InvertedIndex.searchAnd(spark, built, Seq("window"), k = 10)
       .collect()
