@@ -29,6 +29,82 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectTableFunction((ident, info, builder))
     }
     ext.injectResolutionRule(GraftExtensions.catalogReadRule)
+    ext.injectResolutionRule(ApplyLakeDeletionVectors.apply)
+  }
+}
+
+/** Serve MERGE-ON-READ heads from the plain batch relation: a lake
+  * version whose manifest lines carry `dv=` tags plans its raw files
+  * through [[graft.sources.GraftLakeFileIndex]], and THIS rule — at
+  * analysis time, once per relation — rewrites the scan into
+  *
+  *   scan ⟕̸ (anti) dv-sidecar  ON (_metadata.file_path, row_index)
+  *
+  * i.e. exactly the subtraction [[graft.operators.Export]]'s read
+  * funnel applies, expressed as a plan rewrite so
+  * `spark.read.format("graftlake")`, the SQL catalog, and the
+  * `graft_snapshot` TVF all get MoR-correct results with NO wrapper
+  * API. The base scan keeps its manifest file pruning, pushed filters
+  * and vectorized reads; the DV side is a tiny positions-only parquet
+  * scan that AQE broadcasts when small and shuffles on a mass delete —
+  * the same 100 TB shape as the funnel. The inner relation is marked
+  * via its options so the analyzer's fixpoint can't rewrite twice, and
+  * the outer Project restores the original attribute ids so parent
+  * operators never notice the substitution. */
+private[graft] case class ApplyLakeDeletionVectors(
+    spark: org.apache.spark.sql.SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  import org.apache.spark.sql.functions.col
+
+  private val Marker = "graft.dv.applied"
+
+  private def dvIndexOf(lr: LogicalRelation)
+      : Option[graft.sources.GraftLakeFileIndex] = lr.relation match {
+    case r: HadoopFsRelation if !r.options.contains(Marker) =>
+      r.location match {
+        case idx: graft.sources.GraftLakeFileIndex
+            if idx.dvDirs.nonEmpty => Some(idx)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case lr: LogicalRelation if dvIndexOf(lr).isDefined =>
+      val idx = dvIndexOf(lr).get
+      val r = lr.relation.asInstanceOf[HadoopFsRelation]
+      val marked = lr.copy(relation =
+        r.copy(options = r.options + (Marker -> "true"))(spark))
+      val base = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, marked)
+      def fresh(stem: String): String = {
+        val taken = base.columns.toSet
+        Iterator.from(0).map(i => if (i == 0) stem else s"${stem}_$i")
+          .find(!taken(_)).get
+      }
+      val fcol = fresh("__dv_file")
+      val pcol = fresh("__dv_pos")
+      val dv = spark.read.parquet(idx.dvDirs: _*)
+        .select(col(graft.operators.Export.DvFileCol).as(fcol),
+          col(graft.operators.Export.DvPosCol).as(pcol))
+      val subtracted = base
+        .select(col("*"), col("_metadata.file_path").as(fcol),
+          col("_metadata.row_index").as(pcol))
+        .join(dv, Seq(fcol, pcol), "left_anti")
+        .drop(fcol, pcol)
+        .queryExecution.analyzed
+      val byName = subtracted.output.map(a => a.name -> a).toMap
+      Project(lr.output.map { o =>
+        Alias(byName.getOrElse(o.name,
+            throw new IllegalStateException(
+              s"DV rewrite of ${idx} lost column '${o.name}'")),
+          o.name)(exprId = o.exprId,
+          explicitMetadata = Some(o.metadata))
+      }, subtracted)
   }
 }
 
@@ -215,9 +291,10 @@ object GraftExtensions {
           // fast path: the manifest-planned HadoopFsRelation (the batch
           // format's relation) — outer WHERE conjuncts then prune FILES
           // via the p=/s= manifest tags on top of the pushed parquet
-          // filters. Column-mapped / DV-bearing / legacy heads fall
-          // back to the projection/anti-join read funnel, which serves
-          // them correctly (just without manifest file pruning).
+          // filters. Column-mapped heads ride the physical-renaming
+          // format and DV-bearing heads the anti-join rewrite, both
+          // keeping the manifest pruning; only LEGACY pre-header
+          // manifests fall back to the read funnel.
           try spark.baseRelationToDataFrame(
               graft.sources.GraftLakeBatch.relation(spark, path,
                 Map("versionAsOf" -> v.toString)))

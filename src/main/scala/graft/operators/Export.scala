@@ -713,7 +713,7 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     def entry(l: String) =
       ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
-        dvOf(l).nonEmpty, lenOf(l))
+        dvOf(l), lenOf(l))
     val cur = dataLines(readManifestRaw(fs, root, version))
     manifestVersions(fs, root).filter(_ < version).lastOption match {
       case None => cur.map(entry)
@@ -729,11 +729,14 @@ object Export {
   /** Planning-side view of one manifest data line — the pruning tags a
     * scan planner consumes without touching the data: `partition` and
     * `stats` are PHYSICAL-keyed exactly as the manifest carries them
-    * (translate lookups through the committed schema), `hasDv` marks a
-    * line whose rows need the deletion-vector anti-join. */
+    * (translate lookups through the committed schema), `dv` carries the
+    * line's deletion-vector sidecar `(dir-uri, count)` when its rows
+    * need the anti-join. */
   final case class ManifestEntry(path: String,
       partition: Map[String, String], stats: Map[String, (Long, Long)],
-      hasDv: Boolean, len: Option[Long])
+      dv: Option[(String, Long)], len: Option[Long]) {
+    def hasDv: Boolean = dv.nonEmpty
+  }
 
   /** The manifest data lines of `version` as [[ManifestEntry]]s — one
     * manifest read, no Spark session, no data-dir listing. This is the
@@ -743,7 +746,7 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     dataLines(readManifestRaw(fs, root, version)).map(l =>
       ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
-        dvOf(l).nonEmpty, lenOf(l)))
+        dvOf(l), lenOf(l)))
   }
 
   /** [[replaceSnapshot]] with the hive-style partitioned epoch layout
@@ -1384,8 +1387,8 @@ object Export {
     * `_metadata.file_path` string as Spark reports it — probe and store
     * share that provenance, so equality never depends on path
     * normalization. */
-  private val DvFileCol = "__file"
-  private val DvPosCol = "__pos"
+  private[graft] val DvFileCol = "__file"
+  private[graft] val DvPosCol = "__pos"
 
   /** `dv=<dir-uri>:<count>` — the line's file has `count` deleted row
     * positions recorded in the parquet DV dir at `dir-uri` (absolute, so
@@ -2484,6 +2487,204 @@ object Export {
             .filterNot(f => f.name == fcol || f.name == pcol)).json),
         op = "delete"), newLines)
     version
+  }
+
+  /** MERGE-ON-READ UPSERT — [[deleteWhereMoR]]'s shape for MERGE: one
+    * commit that (a) tags every matched-and-beaten base row's position
+    * into a deletion-vector sidecar and (b) appends the winning update
+    * rows as a fresh epoch — no data file is ever rewritten. This is
+    * the 100 TB answer to the Update-mode sink's write amplification:
+    * a CDC micro-batch touching 1k keys of a 1 TB table costs a
+    * positions write + a 1k-row epoch, where the copy-on-write path
+    * rewrites the table (unpartitioned), the touched partitions
+    * (partitioned), or the zone-overlapping files (clustered).
+    *
+    * Resolution is EXACTLY [[Merge.upsertLatest]]'s total order — per
+    * key the maximum of `struct(orderCols ++ remaining payload)` across
+    * base ∪ updates survives, ties prefer the incumbent base row (zero
+    * churn; the surviving ROW is identical either way) — so folding
+    * micro-batches through this commit converges to the same state as
+    * the copy-on-write merges, in any arrival order (spec'd law).
+    *
+    * Scan shape: the base is read ONCE, filtered to matched keys by a
+    * semi-join against the batch's (small, AQE-broadcast) key set —
+    * the table never shuffles. With `clusterKey` on a zoned table the
+    * scan itself is FILE-SCOPED: only files whose key zone overlaps
+    * the batch envelope are planned (the [[mergeSnapshotClusteredLatest]]
+    * pruning), and the insert epoch lands re-clustered + zoned so the
+    * next batch prunes too. Rows already in a DV are subtracted BEFORE
+    * resolution — a deleted incumbent must not outrank a live update.
+    *
+    * The commit is `op=merge`: streams refuse it by default
+    * (skipChangeCommits skips it), compaction materializes the DVs,
+    * vacuum reclaims losing sidecars — all the MoR-delete machinery
+    * applies unchanged. Returns the committed version (or the current
+    * one when the batch is empty). */
+  def upsertSnapshotMoR(spark: SparkSession, outDir: String,
+      updates: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      clusterKey: Option[String] = None, nFiles: Int = 1,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(keyCols.nonEmpty, "upsertSnapshotMoR needs key columns")
+    require(orderCols.nonEmpty, "upsertSnapshotMoR needs order columns")
+    clusterKey.foreach(k => require(keyCols.contains(k),
+      s"clusterKey '$k' must be one of the merge keys - only then does " +
+        "a matched row's file provably overlap the batch envelope"))
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to upsert into under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    val schemaJson = snapshotMetaOf(fs, root, latest).getOrElse("schema",
+      throw new IllegalStateException(s"version $latest under $root " +
+        "has no #schema= header (pre-header legacy manifest) - recommit"))
+    val st = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cols = st.fieldNames.toSeq
+    require(updates.columns.toSeq.sorted == cols.sorted,
+      s"schema mismatch: table ${cols.sorted} vs updates " +
+        s"${updates.columns.toSeq.sorted}")
+
+    // one winner per key WITHIN the batch (upsertLatest's own law)
+    val u = Merge.upsertLatest(updates.limit(0), updates,
+      keyCols, orderCols)
+
+    // zone-pruned candidates: only files whose key zone overlaps the
+    // batch envelope can hold a matched row (zoneless lines must scan)
+    val (candidate, untouched) = clusterKey match {
+      case Some(k) =>
+        val env = u.agg(min(col(k)).cast("long"),
+          max(col(k)).cast("long")).collect().head
+        if (env.isNullAt(0)) (Seq.empty[String], lines)
+        else {
+          val (bmin, bmax) = (env.getLong(0), env.getLong(1))
+          lines.partition(l => zoneOf(l) match {
+            case Some((lo, hi)) => hi >= bmin && lo <= bmax
+            case None => true
+          })
+        }
+      case None => (lines, Seq.empty[String])
+    }
+    val candFiles = candidate.map(pathOf).toIndexedSeq
+
+    val fcol = freshName("__mor_file", cols)
+    val pcol = freshName("__mor_pos", cols)
+    val prefC = freshName("__mor_pref", cols)
+    val rnC = freshName("__mor_rn", cols)
+
+    // matched base rows with their (file, pos), existing DVs subtracted,
+    // projected to logical names (mirrors the deleteWhereMoR scan)
+    val oldDvDirs = candidate.flatMap(dvOf).map(_._1).distinct
+    val matchedBase: Option[DataFrame] =
+      if (candFiles.isEmpty) None
+      else {
+        val scan = spark.read
+          .schema(org.apache.spark.sql.types.StructType(
+            st.fields.map(f => f.copy(name = physicalOf(f)))))
+          .parquet(candFiles: _*)
+        val withPos = scan.select(st.fields.toSeq.map(f =>
+            col(physicalOf(f)).as(f.name)) ++
+          Seq(col("_metadata.file_path").as(fcol),
+            col("_metadata.row_index").as(pcol)): _*)
+        val live =
+          if (oldDvDirs.isEmpty) withPos
+          else withPos.join(spark.read.parquet(oldDvDirs: _*)
+              .select(col(DvFileCol).as(fcol), col(DvPosCol).as(pcol)),
+            Seq(fcol, pcol), "left_anti")
+        val ukeys = u.select(keyCols.map(col): _*).distinct()
+        Some(live.as("b").join(ukeys.as("k"),
+          keyCols.map(kc => col(s"b.$kc") <=> col(s"k.$kc"))
+            .reduce(_ && _),
+          "left_semi"))
+      }
+
+    // rank base ∪ batch per key by upsertLatest's total order; the
+    // provenance fields only break EXACT payload ties (base preferred)
+    val shaped = cols ++ Seq(fcol, pcol, prefC)
+    val uT = u
+      .withColumn(fcol, lit(null).cast("string"))
+      .withColumn(pcol, lit(null).cast("long"))
+      .withColumn(prefC, lit(0))
+      .select(shaped.map(col): _*)
+    val tagged = matchedBase match {
+      case Some(mb) =>
+        mb.withColumn(prefC, lit(1)).select(shaped.map(col): _*)
+          .unionByName(uT)
+      case None => uT
+    }
+    val payload = cols.filterNot(keyCols.contains)
+    val ordered = orderCols ++ payload.filterNot(orderCols.contains)
+    val sortKey = struct((ordered ++ Seq(prefC, fcol, pcol)).map(col): _*)
+    // the ranked frame is SMALL (matched rows + the batch) but derives
+    // from the big base scan - persist so the dv/insert actions below
+    // pay that scan once
+    val ranked = tagged.withColumn(rnC, row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(sortKey.desc)))
+      .persist()
+    try {
+      val toInsert = ranked.filter(col(prefC) === 0 && col(rnC) === 1)
+        .select(cols.map(col): _*)
+      val toDv = ranked.filter(col(prefC) === 1 && col(rnC) > 1)
+        .select(col(fcol).as(DvFileCol), col(pcol).as(DvPosCol))
+      val anyBeaten = !toDv.isEmpty
+      val anyInsert = !toInsert.isEmpty
+      if (!anyBeaten && !anyInsert) return latest // nothing to commit
+
+      val version = latest + 1
+
+      // sidecar only when something was beaten: beaten positions + the
+      // CANDIDATE files' carried positions (their lines re-point here;
+      // untouched lines keep their old dirs). Pure-insert batches skip
+      // the sidecar entirely.
+      val (retagged, dvTotal) =
+        if (!anyBeaten) (candidate, candidate.flatMap(dvOf).map(_._2).sum)
+        else {
+          val dvDir = new Path(root,
+            s"dv=$version-${java.util.UUID.randomUUID.toString.take(8)}")
+          val carried =
+            if (oldDvDirs.isEmpty) toDv.limit(0)
+            else spark.read.parquet(oldDvDirs: _*)
+              .select(col(DvFileCol), col(DvPosCol))
+              .join(spark.createDataset(candFiles.map(f =>
+                  fs.makeQualified(new Path(f)).toString))(
+                  org.apache.spark.sql.Encoders.STRING).toDF(DvFileCol),
+                Seq(DvFileCol), "left_semi")
+          toDv.unionByName(carried).distinct()
+            .write.parquet(dvDir.toString)
+          // counts read back from the written bytes (bounded: 1 row/file)
+          val counts: Map[String, Long] =
+            spark.read.parquet(dvDir.toString).groupBy(DvFileCol).count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val dvUri = fs.makeQualified(dvDir).toString
+          val byLine: Map[String, Long] = counts.map { case (f, n) =>
+            fs.makeQualified(new Path(f)).toString -> n }
+          (candidate.map { l =>
+            val kept = l.split('\t').filterNot(_.startsWith("dv="))
+              .mkString("\t")
+            byLine.get(fs.makeQualified(new Path(pathOf(l))).toString)
+              .fold(kept)(n => s"$kept\tdv=$dvUri:$n")
+          }, counts.values.sum)
+        }
+
+      // insert epoch (zoned when clustered, so the NEXT batch prunes)
+      val insertLines: Seq[String] =
+        if (!anyInsert) Seq.empty
+        else clusterKey match {
+          case Some(k) =>
+            writeClusteredEpoch(spark, fs, root, version, toInsert, k,
+              nFiles)
+          case None =>
+            writeEpoch(fs, root, version, toInsert.coalesce(nFiles))._2
+        }
+
+      commitManifest(fs, root, version,
+        internalMeta(fs, root,
+          carryBatch(fs, root, meta ++ Map(
+            "mor_upserted_into" -> latest.toString,
+            "dv_positions" -> dvTotal.toString)),
+          schemaJson, op = "merge"),
+        untouched ++ retagged ++ insertLines)
+      version
+    } finally ranked.unpersist()
   }
 
   /** CLUSTERED compaction (`OPTIMIZE ... ORDER BY` in one commit):

@@ -5530,4 +5530,55 @@ object Curation {
       |SELECT doc_id, n_chars FROM base
       |WHERE doc_id NOT IN (SELECT doc_id FROM upd)
       |ORDER BY doc_id""".stripMargin
+
+  /** TRANSPARENT MAPPED + MoR READS through the plain format API
+    * ([[graft.sources.GraftMappedParquetFormat]] + the extension's
+    * `ApplyLakeDeletionVectors` rewrite): the corpus lands in a lake
+    * table, `n_chars` is RENAMED to `chars` with no data rewrite
+    * (column mapping), a MoR DELETE drops every `doc_id % 3 = 0` row
+    * as deletion-vector positions (no file rewrite either), and the
+    * read runs purely through `spark.read.format("graftlake")` — the
+    * head it serves carries BOTH conditions (pinned by the in-gate
+    * requires: mapping metadata present, `dv=` tags present, zero data
+    * files rewritten since v1). The physical-renaming parquet format
+    * decodes `n_chars` bytes under the `chars` plan name and the
+    * resolution rule subtracts the DV positions behind one anti-join;
+    * DuckDB replays rename + delete from first principles. */
+  def q_lake_mapped_dv(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"lakemapdv_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    docs.write.format("graftlake").save(od)
+    val v1Files = graft.operators.Export.snapshotFiles(od, 1).toSet
+    graft.operators.Export.renameSnapshotColumn(od, "n_chars", "chars")
+    graft.operators.Export.deleteWhereMoR(s, od, col("doc_id") % 3 === 0)
+    val head = graft.operators.Export.latestSnapshotVersion(od)
+    // the served head is REALLY mapped + DV-bearing, on the v1 bytes
+    require(graft.operators.Export.snapshotHasDeletionVectors(od, head),
+      "head lost its deletion vectors")
+    require(graft.operators.Export.snapshotSchema(od, head).get.fields
+      .exists(f => f.name == "chars" &&
+        graft.operators.Export.physicalOf(f) == "n_chars"),
+      "head lost its column mapping")
+    require(graft.operators.Export.snapshotFiles(od, head).toSet
+      == v1Files, "metadata-only ops must not rewrite data files")
+    s.read.format("graftlake").load(od)
+      .filter(col("chars") > 200L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("chars")).cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q_lake_mapped_dv_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id % 3 != 0 AND n_chars > 200
+      |GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -29,12 +29,14 @@ import graft.operators.Export
   * (a file lacking a tag is always planned; pruning accelerates, never
   * gates), now reached from the plain format API.
   *
-  * Honesty gates: a head whose schema carries column-mapping metadata,
-  * or whose lines carry deletion vectors, cannot be served by a raw
-  * file relation (the bytes need a physical→logical projection / a DV
-  * anti-join that DSv1 has no seam for) — REFUSED with a pointer to the
-  * `graft_snapshot` TVF and the Scala API, which both serve them
-  * correctly. Compact the table to clear both conditions.
+  * Column-mapped heads (rename/drop with no rewrite) are served
+  * through [[GraftMappedParquetFormat]] — the plan speaks logical
+  * names, the reader decodes physical bytes, positionally identical so
+  * vectorization/codegen survive. DV-bearing heads (MoR delete) are
+  * served by the extension's `ApplyLakeDeletionVectors` resolution
+  * rule, which rewrites the relation into the standard
+  * `(file_path, row_index)` anti-join; a session without the extension
+  * is refused rather than served wrong.
   */
 object GraftLakeBatch {
 
@@ -54,7 +56,24 @@ object GraftLakeBatch {
   }
 
   /** Build the batch relation for (table, version). Also the
-    * `graft_snapshot` TVF's fast path (package-wide visibility). */
+    * `graft_snapshot` TVF's fast path (package-wide visibility).
+    *
+    * COLUMN-MAPPED heads (a column was renamed/dropped with no data
+    * rewrite) are served through [[GraftMappedParquetFormat]]: the
+    * relation's schema — and therefore every plan attribute — stays
+    * LOGICAL, and the format renames the requested columns and pushed
+    * filters to their physical byte-names at reader-build time. The
+    * translation is positional, so vectorized reads and codegen are
+    * untouched.
+    *
+    * DV-BEARING heads (merge-on-read DELETE) are served by the
+    * [[graft.GraftExtensions]] resolution rule, which rewrites the
+    * relation into the standard `(file_path, row_index)` anti-join at
+    * analysis time — the relation itself plans the raw files and
+    * exposes the sidecar dirs via [[GraftLakeFileIndex.dvDirs]]. A
+    * session WITHOUT the extension would re-emit deleted rows from a
+    * raw scan, so the relation refuses in that case rather than serve
+    * wrong answers. */
   private[graft] def relation(spark: SparkSession, path: String,
       params: Map[String, String]): BaseRelation = {
     val version = resolveVersion(params, path)
@@ -62,21 +81,23 @@ object GraftLakeBatch {
     val schema = Export.snapshotSchema(path, version).getOrElse(
       throw new IllegalStateException(s"version $version of $path has " +
         "no #schema= header (pre-header legacy manifest) - recommit"))
-    require(!schema.fields.exists(f => Export.physicalOf(f) != f.name),
-      s"version $version of $path uses column mapping (a column was " +
-        "renamed/dropped with no rewrite); the raw-file batch relation " +
-        "cannot project physical->logical names. Read it via the " +
-        "graft_snapshot TVF or Export.readSnapshot, or compact the " +
-        "table to materialize the mapping")
-    require(!Export.snapshotHasDeletionVectors(path, version),
-      s"version $version of $path carries deletion vectors (MoR " +
-        "delete); the raw-file batch relation would re-emit deleted " +
-        "rows. Read it via the graft_snapshot TVF or " +
-        "Export.readSnapshot, or compact the table to materialize the " +
-        "DVs")
     val index = new GraftLakeFileIndex(spark, path, version, schema)
-    HadoopFsRelation(index, new StructType(), schema, None,
-      new ParquetFileFormat(), params)(spark)
+    if (index.dvDirs.nonEmpty)
+      require(spark.sessionState.analyzer.extendedResolutionRules
+          .exists(_.ruleName.contains("LakeDeletionVectors")),
+        s"version $version of $path carries deletion vectors (MoR " +
+          "delete); serving them from the batch relation needs the " +
+          "graft extension's anti-join rewrite. Add " +
+          "spark.sql.extensions=graft.GraftExtensions, or read via " +
+          "Export.readSnapshot, or compact the table")
+    val mapped: Map[String, String] = schema.fields.iterator
+      .map(f => f.name -> Export.physicalOf(f))
+      .filter { case (l, p) => l != p }.toMap
+    val fmt =
+      if (mapped.isEmpty) new ParquetFileFormat()
+      else new GraftMappedParquetFormat(mapped)
+    HadoopFsRelation(index, new StructType(), schema, None, fmt,
+      params)(spark)
   }
 
   // ---- shared manifest-tag pruning kernel (batch FileIndex + the
@@ -162,8 +183,15 @@ final class GraftLakeFileIndex(spark: SparkSession, table: String,
 
   private val (fs, root) = Export.fsRoot(table)
 
-  // logical name -> the physical name the tags are keyed by (identity
-  // here in practice: mapped tables are refused by the relation gate)
+  /** Deletion-vector sidecar dirs referenced by this version's lines —
+    * non-empty means a raw scan of the planned files would re-emit
+    * MoR-deleted rows, and the extension's resolution rule must wrap
+    * the relation in the `(file_path, row_index)` anti-join. */
+  val dvDirs: Seq[String] = entries.flatMap(_.dv).map(_._1).distinct
+
+  // logical name -> the physical name the tags are keyed by, so a
+  // renamed column's pushed filters keep pruning files (the p=/s=/b=
+  // tags never change name; only the logical label moves)
   private val physOf: Map[String, String] =
     schema.fields.map(f => f.name -> Export.physicalOf(f)).toMap
 

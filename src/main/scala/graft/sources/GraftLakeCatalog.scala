@@ -49,11 +49,13 @@ import graft.operators.Export
   * version, `INSERT OVERWRITE` commits a full-replace version (time
   * travel keeps the old state; never a file-level truncate).
   *
-  * Honesty: the same gates as the batch format — a column-mapped or
-  * DV-bearing head is refused at read with a pointer to the TVF/Scala
-  * readers; compaction clears both. DROP TABLE deletes the directory
-  * (the catalog owns the warehouse layout); RENAME is a filesystem
-  * rename and therefore only atomic where the store's rename is. */
+  * Column-mapped heads serve through the physical-renaming parquet
+  * format and DV-bearing (MoR-deleted) heads through the extension's
+  * anti-join rewrite — `SELECT` by name is correct immediately after a
+  * RENAME/DROP COLUMN or a MoR DELETE, no compaction required. DROP
+  * TABLE deletes the directory (the catalog owns the warehouse
+  * layout); RENAME is a filesystem rename and therefore only atomic
+  * where the store's rename is. */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _

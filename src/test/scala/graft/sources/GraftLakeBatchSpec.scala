@@ -12,8 +12,9 @@ import graft.operators.Export
 /** Laws of the BATCH `format("graftlake")` relation: read/write through
   * the plain format API, version/timestamp time travel, filter pushdown
   * into the parquet scan, manifest-tag FILE pruning behind pushed
-  * literal conjuncts, and the honesty gates (column-mapped / DV-bearing
-  * heads refused, never served wrong). */
+  * literal conjuncts, and transparent service of column-mapped heads
+  * (physical-renaming parquet format) and DV-bearing heads (the
+  * extension's anti-join rewrite). */
 class GraftLakeBatchSpec extends SparkSpec {
   import spark.implicits._
 
@@ -112,26 +113,83 @@ class GraftLakeBatchSpec extends SparkSpec {
     assert(open === files.size)
   }
 
-  test("honesty gates: column-mapped and DV-bearing heads are refused with a pointer, old clean versions still readable") {
-    val t = tmp("glb-gates").getAbsolutePath
+  test("DV-bearing head serves transparently: the extension's anti-join rewrite subtracts MoR-deleted rows, bit-identical to the read funnel") {
+    val t = tmp("glb-dv").getAbsolutePath
     rows(0, 6).write.format("graftlake").save(t)
-    // DV-bearing head
     Export.deleteWhereMoR(spark, t, col("id") < 2)
-    val e1 = intercept[IllegalArgumentException](
-      spark.read.format("graftlake").load(t).collect())
-    assert(e1.getMessage.contains("deletion vectors"))
-    // the pre-delete version stays servable
+    val viaFormat = spark.read.format("graftlake").load(t)
+    assert(viaFormat.select("id").as[Long].collect().sorted.toSeq ===
+      (2L until 6L))
+    // bit-identity with the Scala read funnel (same anti-join semantics)
+    assert(viaFormat.exceptAll(Export.readSnapshot(spark, t, 2))
+      .isEmpty)
+    assert(Export.readSnapshot(spark, t, 2).exceptAll(viaFormat)
+      .isEmpty)
+    // the pre-delete version plans NO anti-join and still serves
     assert(spark.read.format("graftlake").option("versionAsOf", "1")
       .load(t).count() === 6)
-    // compaction materializes the DVs -> format API serves again
-    Export.compactSnapshot(spark, t)
+    // a REPEATED MoR delete consolidates: still one subtraction, right rows
+    Export.deleteWhereMoR(spark, t, col("id") === 5L)
     assert(spark.read.format("graftlake").load(t)
-      .select("id").as[Long].collect().sorted.toSeq === (2L until 6L))
-    // column-mapped head
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
+    // compaction materializes the DVs -> back to the bare-scan plan
+    Export.compactSnapshot(spark, t)
+    val clean = spark.read.format("graftlake").load(t)
+    assert(clean.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 3L, 4L))
+    assert(!clean.queryExecution.executedPlan.toString
+      .contains("LeftAnti"), "compacted head must not pay the anti-join")
+  }
+
+  test("column-mapped head serves transparently: logical names, physical bytes, pushdown and file pruning survive the rename") {
+    val t = tmp("glb-map").getAbsolutePath
+    val df = (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    Export.appendSnapshotStatted(spark, df, t, statCols = Seq("id"),
+      nFiles = 8)
+    Export.renameSnapshotColumn(t, "id", "doc_id")
     Export.renameSnapshotColumn(t, "s", "label")
-    val e2 = intercept[IllegalArgumentException](
-      spark.read.format("graftlake").load(t).collect())
-    assert(e2.getMessage.contains("column mapping"))
+    val q = spark.read.format("graftlake").load(t)
+      .filter(col("doc_id") >= 300L && col("doc_id") <= 340L)
+    assert(q.columns.toSeq === Seq("doc_id", "label"))
+    assert(q.select("doc_id").as[Long].collect().sorted.toSeq ===
+      (300L to 340L))
+    assert(q.select("label").as[String].collect().toSet ===
+      (300 to 340).map(i => s"v$i").toSet)
+    // the s= tags are keyed by the PHYSICAL name (id) - pruning holds
+    // under the new logical name
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(Nil,
+            f.dataFilters).map(_.files.size).sum
+      }).sum
+    assert(scanned <= 2, s"expected <=2 of 8 files planned, got $scanned")
+    // and the pushed filters reach the parquet scan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual"), plan.take(2000))
+    // DROP retires the bytes: the dropped column disappears, the rest
+    // still decodes
+    Export.dropSnapshotColumn(t, "label")
+    val dropped = spark.read.format("graftlake").load(t)
+    assert(dropped.columns.toSeq === Seq("doc_id"))
+    assert(dropped.count() === 400)
+  }
+
+  test("column mapping and deletion vectors COMPOSE through the format: rename, MoR-delete, read - and a catalog-free session refuses the DV head") {
+    val t = tmp("glb-mapdv").getAbsolutePath
+    rows(0, 10).write.format("graftlake").save(t)
+    Export.renameSnapshotColumn(t, "id", "doc_id")
+    Export.deleteWhereMoR(spark, t, col("doc_id") % 2 === 0)
+    val got = spark.read.format("graftlake").load(t)
+    assert(got.columns.contains("doc_id"))
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 5L, 7L, 9L))
+    // agreement with the funnel on the composed head
+    val funnel = Export.readSnapshot(spark, t,
+      Export.latestSnapshotVersion(t))
+    assert(got.exceptAll(funnel).isEmpty &&
+      funnel.exceptAll(got).isEmpty)
   }
 
   test("batch write interleaves with the streaming sink's exactly-once guard (append commits carry no batch header but never reset it)") {

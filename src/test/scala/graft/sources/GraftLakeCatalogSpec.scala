@@ -126,7 +126,7 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(Export.lastAppliedBatch(s"$wh/stream/dst") >= 0L)
   }
 
-  test("honesty gates carry over: a MoR-deleted head read by name is refused with a pointer, old versions readable") {
+  test("MoR-deleted and column-mapped heads serve BY NAME: the anti-join rewrite and the physical-renaming format reach the catalog path") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.gate")
     spark.sql("CREATE TABLE glc.gate.d (k BIGINT)")
@@ -134,10 +134,14 @@ class GraftLakeCatalogSpec extends SparkSpec {
     val dir = s"$wh/gate/d"
     Export.deleteWhereMoR(spark, dir,
       org.apache.spark.sql.functions.col("k") < 2)
-    val e = intercept[Exception](
-      spark.sql("SELECT * FROM glc.gate.d").collect())
-    assert(e.getMessage.contains("deletion vectors") ||
-      Option(e.getCause).exists(_.getMessage.contains("deletion vectors")))
+    // plain SQL by name subtracts the deleted rows, no compaction needed
+    assert(spark.sql("SELECT k FROM glc.gate.d ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === (2L until 6L))
+    // rename with no rewrite: the new logical name serves by name too
+    Export.renameSnapshotColumn(dir, "k", "key")
+    assert(spark.sql("SELECT key FROM glc.gate.d WHERE key >= 4")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
+    // compaction materializes both; results unchanged
     Export.compactSnapshot(spark, dir)
     assert(spark.sql("SELECT count(*) FROM glc.gate.d")
       .collect().head.getLong(0) === 4)
