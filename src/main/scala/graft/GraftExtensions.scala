@@ -352,11 +352,14 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_merge"),
       info("graft_merge", "graft_merge(path, source_view, " +
-        "'k1,k2'[, 'o1,o2']) - MERGE INTO the lake table from a " +
-        "registered view/table: full-row upsert by key; with the " +
+        "'k1,k2'[, 'o1,o2'[, 'mor']]) - MERGE INTO the lake table from " +
+        "a registered view/table: full-row upsert by key; with the " +
         "order column list, ORDER-RESOLVED (max-by wins, the CDC " +
         "shape). Partition-scoped automatically when the table's " +
-        "layout columns are part of the key. Returns (version)"),
+        "layout columns are part of the key; with 'mor', a MERGE-ON-" +
+        "READ commit (deletion-vector the beaten incumbents + append " +
+        "the winners - O(batch) writes at any table size). " +
+        "Returns (version)"),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val path = litString(args.head, "path")
@@ -367,12 +370,23 @@ object GraftExtensions {
           if (args.length > 3) litString(args(3), "order list")
             .split(',').map(_.trim).filter(_.nonEmpty).toSeq
           else Seq.empty
+        val mor = args.length > 4 && {
+          val m = litString(args(4), "mode")
+          require(m == "mor", s"mode must be 'mor', got '$m'")
+          require(orderCols.nonEmpty,
+            "graft_merge(..., 'mor') needs the order column list - " +
+              "MoR resolution is order-resolved")
+          true
+        }
         val E = graft.operators.Export
         val latest = E.latestSnapshotVersion(path)
         require(latest > 0, s"nothing to merge into under $path")
         val partCols = E.snapshotPartitionColumns(path, latest)
         val v =
-          if (partCols.nonEmpty && partCols.toSet.subsetOf(keys.toSet)) {
+          if (mor)
+            E.upsertSnapshotMoR(spark, path, updates, keys, orderCols)
+          else if (partCols.nonEmpty &&
+              partCols.toSet.subsetOf(keys.toSet)) {
             // layout ⊆ key: the partition-scoped rewrite (cost follows
             // the touched partitions, not the table)
             if (orderCols.nonEmpty)

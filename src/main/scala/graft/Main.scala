@@ -57,6 +57,7 @@ object Main {
       case "lake-clone" => lakeClone(opts)
       case "lake-rename" => lakeRename(opts)
       case "lake-drop-column" => lakeDropColumn(opts)
+      case "lake-add-column" => lakeAddColumn(opts)
       case "lake-widen" => lakeWiden(opts)
       case "lake-hint" => lakeHint(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
@@ -99,6 +100,26 @@ object Main {
     val v = graft.operators.Export.widenSnapshotColumn(dir, c, tpe)
     println(s"widened column $c to ${tpe.simpleString} in $dir as " +
       s"version $v (metadata-only, no data rewritten)")
+  }
+
+  /** ADD COLUMN — metadata-only; existing rows read back null in the
+    * new column, a re-added dropped name gets fresh bytes. */
+  private def lakeAddColumn(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val c = o("column").headOption.getOrElse {
+      System.err.println("--column COL is required"); sys.exit(2)
+    }
+    val tpe = o("type").headOption.map(_.toLowerCase).getOrElse {
+      System.err.println("--type DDL-TYPE is required " +
+        "(e.g. bigint, string, double)"); sys.exit(2)
+    }
+    val dt = try org.apache.spark.sql.types.DataType.fromDDL(tpe)
+      catch { case _: Exception =>
+        System.err.println(s"unparseable type: $tpe"); sys.exit(2)
+      }
+    val v = graft.operators.Export.addSnapshotColumn(dir, c, dt)
+    println(s"added column $c ${dt.simpleString} to $dir as version " +
+      s"$v (metadata-only, existing rows read back null)")
   }
 
   /** DROP COLUMN — metadata-only; the physical name is retired so the
@@ -149,7 +170,8 @@ object Main {
         "--source DIR --out DIR [opts]\n" +
         "       graft.Main lake-versions|lake-read|lake-compact|" +
         "lake-vacuum|lake-delete|lake-restore|lake-clone|lake-rename|" +
-        "lake-drop-column|lake-widen|lake-hint --table DIR " +
+        "lake-drop-column|lake-add-column|lake-widen|lake-hint " +
+        "--table DIR " +
         "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
         "[--cluster-by COL] [--keep N] [--horizon-ms N] " +
         "[--where SQL_PREDICATE] [--mor] [--dry-run] [--to-version N]")

@@ -713,7 +713,7 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     def entry(l: String) =
       ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
-        dvOf(l), lenOf(l))
+        dvOf(l), lenOf(l), zoneOf(l))
     val cur = dataLines(readManifestRaw(fs, root, version))
     manifestVersions(fs, root).filter(_ < version).lastOption match {
       case None => cur.map(entry)
@@ -731,10 +731,12 @@ object Export {
     * `stats` are PHYSICAL-keyed exactly as the manifest carries them
     * (translate lookups through the committed schema), `dv` carries the
     * line's deletion-vector sidecar `(dir-uri, count)` when its rows
-    * need the anti-join. */
+    * need the anti-join, `zone` the positional cluster-key range when
+    * the file was written clustered. */
   final case class ManifestEntry(path: String,
       partition: Map[String, String], stats: Map[String, (Long, Long)],
-      dv: Option[(String, Long)], len: Option[Long]) {
+      dv: Option[(String, Long)], len: Option[Long],
+      zone: Option[(Long, Long)] = None) {
     def hasDv: Boolean = dv.nonEmpty
   }
 
@@ -746,7 +748,7 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     dataLines(readManifestRaw(fs, root, version)).map(l =>
       ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
-        dvOf(l), lenOf(l)))
+        dvOf(l), lenOf(l), zoneOf(l)))
   }
 
   /** [[replaceSnapshot]] with the hive-style partitioned epoch layout
@@ -1042,6 +1044,36 @@ object Export {
       internalMeta(fs, root, carryBatch(fs, root, Map.empty),
         remaining.json, op = "drop",
         extraRetired = Set(physicalOf(f))), lines)
+    version
+  }
+
+  /** ADD COLUMN with no data rewrite: one maintenance commit carrying
+    * the head's data lines under a schema EXTENDED by one nullable
+    * field — existing files read back null-filled in the new column
+    * (the committed-schema decode), older versions still time-travel
+    * without it. A name that collides with a retired or live physical
+    * gets a fresh salted physical stamped at commit ([[mapSchema]]), so
+    * a dropped column's old bytes can never resurface under a re-added
+    * logical name. Returns the new version. */
+  def addSnapshotColumn(outDir: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val (fs, root) = fsRoot(outDir)
+    val head = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $outDir"))
+    val st = snapshotSchema(outDir, head).getOrElse(
+      throw new IllegalStateException(s"version $head of $outDir has " +
+        "no #schema= header (pre-header manifest) - recommit first"))
+    require(!st.fieldNames.contains(name),
+      s"'$name' already exists as a logical column")
+    val extended = org.apache.spark.sql.types.StructType(st.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType,
+        nullable = true))
+    val version = head + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, carryBatch(fs, root, Map.empty),
+        extended.json, op = "add"),
+      dataLines(readManifestRaw(fs, root, head)))
     version
   }
 
@@ -1475,9 +1507,14 @@ object Export {
           ((r.getLong(1), r.getLong(2)))).toMap
     fresh.map { f =>
       // tagged z= form (not the legacy positional triple): the base
-      // line already carries the len= tag, and tagged fields compose
+      // line already carries the len= tag, and tagged fields compose.
+      // The SAME range also rides as a NAMED s= stat (physical-keyed,
+      // like every stat tag) so planners that don't know the cluster
+      // key - the batch format's FileIndex, readSnapshotRange - prune
+      // clustered files too; z= stays the positional zone the clustered
+      // merge/read paths consume.
       zones.get(fs.makeQualified(new Path(pathOf(f))).toString) match {
-        case Some((lo, hi)) => s"$f\tz=$lo:$hi"
+        case Some((lo, hi)) => s"$f\tz=$lo:$hi\ts=$keyPhys:$lo:$hi"
         case None => f // a file with zero rows carries no zone
       }
     }
@@ -1550,8 +1587,14 @@ object Export {
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
         .toMap
     fresh.map { f =>
+      // both keys' ranges ALSO ride as NAMED s= stats (physical-keyed)
+      // so planners that don't know the z-order keys - the batch
+      // format's FileIndex, readSnapshotRange - prune these files too;
+      // z2= stays the positional 2-D zone readSnapshotBox consumes
       zones.get(fs.makeQualified(new Path(pathOf(f))).toString) match {
-        case Some((alo, ahi, blo, bhi)) => s"$f\tz2=$alo:$ahi:$blo:$bhi"
+        case Some((alo, ahi, blo, bhi)) =>
+          s"$f\tz2=$alo:$ahi:$blo:$bhi" +
+            s"\ts=$physA:$alo:$ahi\ts=$physB:$blo:$bhi"
         case None => f // a zero-row file carries no zone
       }
     }

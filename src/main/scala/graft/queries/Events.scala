@@ -355,6 +355,36 @@ object Events {
       |  FROM events) WHERE rn = 1
       |ORDER BY event_type, user_id""".stripMargin
 
+  /** Streaming UPSERT as MERGE-ON-READ commits
+    * ([[graft.streaming.LakeStream.medallionUpsertMoR]]): the same
+    * CDC-apply pipeline as `q_stream_lakeupsert`, but each micro-batch
+    * commits O(batch) — deletion vectors for the beaten incumbents +
+    * a zoned winners epoch (`morUpsert` + `clusterBy` sink options),
+    * with `autoCompactEvery` materializing the DVs mid-stream under
+    * the exactly-once guard. Oracle IDENTICAL to the full-rewrite and
+    * clustered-CoW gates: commit shape changes I/O, never rows. */
+  def q_stream_lakeupsert_mor(s: SparkSession, dir: String): DataFrame = {
+    val cp = new File("target/qtmp_stream",
+      s"cp_lupm_${math.abs(dir.hashCode)}")
+    val bronze = new File("target/qtmp_stream",
+      s"lupmbronze_${math.abs(dir.hashCode)}")
+    val silver = new File("target/qtmp_stream",
+      s"lupmsilver_${math.abs(dir.hashCode)}")
+    deleteRec(cp); deleteRec(bronze); deleteRec(silver)
+    graft.streaming.LakeStream.medallionUpsertMoR(s,
+        s"$dir/events.parquet", cp.getAbsolutePath,
+        bronze.getAbsolutePath, silver.getAbsolutePath)
+      .orderBy("event_type", "user_id")
+  }
+
+  val q_stream_lakeupsert_mor_sql: String =
+    """SELECT user_id, ts_us, event_type, value FROM (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+      |    row_number() OVER (PARTITION BY event_type, user_id
+      |                       ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY event_type, user_id""".stripMargin
+
   /** Sink retention housekeeping end to end
     * ([[graft.sources.GraftLakeSink]] `autoCompactEvery` +
     * `autoVacuumKeep`): the corpus lands through six exactly-once

@@ -29,9 +29,13 @@ import graft.operators.Export
   *
   *   CREATE NAMESPACE graftlake.corpus
   *   CREATE TABLE graftlake.corpus.docs (doc_id BIGINT, text STRING)
+  *     [PARTITIONED BY (lang)]          -- hive-style layout, p=-tagged
   *   INSERT INTO graftlake.corpus.docs SELECT ...
   *   INSERT OVERWRITE graftlake.corpus.docs SELECT ...
   *   SELECT * FROM graftlake.corpus.docs WHERE ...
+  *   ALTER TABLE graftlake.corpus.docs RENAME COLUMN a TO b
+  *     | DROP COLUMN a | ADD COLUMN x BIGINT
+  *     | ALTER COLUMN n TYPE BIGINT     -- all metadata-only commits
   *
   * An identifier `ns.table` maps to the snapshot-log directory
   * `<warehouse>/ns/table`; a "table" IS its manifest log, so every
@@ -126,27 +130,77 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "CREATE TABLE ... PARTITIONED BY is not supported through the " +
-        "catalog yet - write partitioned epochs via the format API's " +
-        "partitionBy option or appendSnapshotPartitioned")
+    // PARTITIONED BY (col, ...) — identity transforms only: the lake's
+    // layout is hive-style value directories; bucket/temporal transforms
+    // have no epoch-writer analog and are refused loudly
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"unsupported partition transform $t - the lake partitions by " +
+          "plain top-level columns (PARTITIONED BY (col, ...))")
+      t.references.head.fieldNames.head
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the table schema"))
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val spark = SparkSession.active
-    // a zero-file v1 commit carrying the schema: an empty but typed table
+    // a zero-file v1 commit carrying the schema (and the declared
+    // layout - the first INSERT reads it back, every later one derives
+    // it from the committed p= specs): an empty but typed table
     Export.appendSnapshot(spark,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      dir)
+      dir,
+      meta = if (partCols.isEmpty) Map.empty
+        else Map("partition_cols" -> partCols.mkString(",")))
     new GraftLakeTable(catalogName, ident, dir)
   }
 
+  /** SQL schema evolution BY NAME — every change is the corresponding
+    * metadata-only lake commit (no data rewrite, old versions still
+    * time-travel, reads serve the mapped head transparently):
+    *
+    *   ALTER TABLE c.ns.t RENAME COLUMN a TO b   → renameSnapshotColumn
+    *   ALTER TABLE c.ns.t DROP COLUMN a          → dropSnapshotColumn
+    *   ALTER TABLE c.ns.t ADD COLUMN x BIGINT    → addSnapshotColumn
+    *   ALTER TABLE c.ns.t ALTER COLUMN a TYPE BIGINT → widenSnapshotColumn
+    *
+    * Nested fields and column moves/defaults are not lake concepts here
+    * — refused loudly, never half-applied (changes apply one at a time
+    * in statement order; Spark sends one ALTER statement's changes in
+    * one call, and each lake commit is atomic). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE through the catalog is not supported - use the " +
-        "maintenance verbs (lake-rename/lake-drop-column/lake-widen) " +
-        "or the Export API; they commit metadata-only versions")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$what on nested field ${fieldNames.mkString(".")} is not " +
+          "supported - lake columns are top-level")
+      fieldNames.head
+    }
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        Export.renameSnapshotColumn(dir,
+          topLevel(c.fieldNames, "RENAME COLUMN"), c.newName)
+      case c: TableChange.DeleteColumn =>
+        Export.dropSnapshotColumn(dir,
+          topLevel(c.fieldNames, "DROP COLUMN"))
+      case c: TableChange.AddColumn =>
+        require(c.isNullable,
+          "ADD COLUMN must be nullable - existing rows read back null")
+        Export.addSnapshotColumn(dir,
+          topLevel(c.fieldNames, "ADD COLUMN"), c.dataType)
+      case c: TableChange.UpdateColumnType =>
+        Export.widenSnapshotColumn(dir,
+          topLevel(c.fieldNames, "ALTER COLUMN TYPE"), c.newDataType)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other - the lake supports " +
+          "RENAME/DROP/ADD COLUMN and safe type widening")
+    }
+    new GraftLakeTable(catalogName, ident, dir)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -340,6 +394,22 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
     schema = schema(),
     provider = Some("graftlake"))
 
+  /** The table's declared partition layout: derived from the head's
+    * committed `p=` specs once data exists, from the CREATE commit's
+    * recorded `partition_cols` before the first insert. */
+  private def layoutCols: Seq[String] = {
+    val head = Export.latestSnapshotVersion(dir)
+    val fromSpecs = Export.snapshotPartitionColumns(dir, head)
+    if (fromSpecs.nonEmpty) fromSpecs
+    else Export.snapshotMeta(dir, 1).get("partition_cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+  }
+
+  override def partitioning(): Array[Transform] =
+    layoutCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -350,9 +420,16 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
             override def insert(data: org.apache.spark.sql.DataFrame,
                 legacyOverwrite: Boolean): Unit = {
               val spark = data.sparkSession
-              if (overwrite || legacyOverwrite)
-                Export.replaceSnapshot(spark, data, dir)
-              else Export.appendSnapshot(spark, data, dir)
+              val parts = layoutCols
+              if (overwrite || legacyOverwrite) {
+                if (parts.nonEmpty) Export.replaceSnapshotPartitioned(
+                  spark, data, dir, parts)
+                else Export.replaceSnapshot(spark, data, dir)
+              } else {
+                if (parts.nonEmpty) Export.appendSnapshotPartitioned(
+                  spark, data, dir, parts)
+                else Export.appendSnapshot(spark, data, dir)
+              }
             }
           }
       }

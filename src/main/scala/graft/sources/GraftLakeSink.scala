@@ -36,8 +36,15 @@ import graft.operators.{Export, Merge}
   *    with `.option("clusterBy", "<integral merge key>")` the table is
   *    kept key-clustered and the rewrite is FILE-scoped — only files
   *    whose manifest key zone overlaps the batch's envelope are
-  *    touched ([[Export.mergeSnapshotClusteredLatest]]); otherwise the
-  *    full-table rewrite needs an explicit `allowFullRewrite` opt-in.
+  *    touched ([[Export.mergeSnapshotClusteredLatest]]); with
+  *    `.option("morUpsert", "true")` the batch commits MERGE-ON-READ
+  *    ([[Export.upsertSnapshotMoR]]) — beaten incumbents become
+  *    deletion-vector positions and only the winners are appended, so
+  *    a micro-batch WRITES O(batch) regardless of table size (pair
+  *    with `autoCompactEvery` to fold the accumulating DVs/epochs, and
+  *    with `clusterBy` to also scope the matched-key SCAN to
+  *    zone-overlapping files); otherwise the full-table rewrite needs
+  *    an explicit `allowFullRewrite` opt-in.
   *
   * Options: `path` (required), `filesPerCommit` (default 1 — epoch
   * width), `autoCompactEvery` = N (unpartitioned tables: after every
@@ -112,6 +119,14 @@ final class GraftLakeSink(spark: SparkSession,
 
   private val allowFullRewrite =
     opt("allowFullRewrite").exists(_.toBoolean)
+  /** Update mode as MERGE-ON-READ commits: DV the beaten incumbents +
+    * append the winners ([[Export.upsertSnapshotMoR]]) — O(batch)
+    * writes per trigger at any table size. */
+  private val morUpsert = opt("morUpsert").exists(_.toBoolean)
+  require(!morUpsert || partitionCols.isEmpty,
+    "morUpsert is the unpartitioned/clustered Update shape; a " +
+      "partitioned table already merges partition-scoped - drop " +
+      ".partitionBy or morUpsert")
   /** Update mode without a partition layout: keep the table CLUSTERED
     * on this integral merge key and rewrite only the files whose key
     * zone overlaps each batch's envelope
@@ -140,7 +155,7 @@ final class GraftLakeSink(spark: SparkSession,
     // designed scale path is .partitionBy(cols ⊆ mergeKeys), whose
     // rewrite is scoped to the batch's touched partitions.
     require(partitionCols.nonEmpty || clusterBy.nonEmpty ||
-        allowFullRewrite,
+        morUpsert || allowFullRewrite,
       "unpartitioned Update mode reads and REWRITES THE ENTIRE TABLE " +
         "every micro-batch (O(table) per trigger). Partition the table " +
         "with .partitionBy(cols ⊆ mergeKeys) for partition-scoped " +
@@ -181,7 +196,26 @@ final class GraftLakeSink(spark: SparkSession,
           Export.mergeSnapshotPartitionedLatest(spark, path, batch,
             mergeKeys, partitionCols, orderCols,
             nFiles = filesPerCommit, meta = meta)
-        else clusterBy match {
+        else if (morUpsert) {
+          if (Export.latestSnapshotVersion(path) > 0)
+            // MoR commit: O(batch) writes; scan zone-scoped when
+            // clustered (clusterBy doubles as the MoR cluster key)
+            Export.upsertSnapshotMoR(spark, path, batch, mergeKeys,
+              orderCols, clusterKey = clusterBy,
+              nFiles = filesPerCommit, meta = meta)
+          else {
+            // bootstrap: first batch resolves within itself; clustered
+            // + zoned when a cluster key is declared, so batch 2 prunes
+            val resolved = Merge.upsertLatest(batch.limit(0), batch,
+              mergeKeys, orderCols)
+            clusterBy match {
+              case Some(k) => Export.appendSnapshotClustered(spark,
+                resolved, path, k, nFiles = filesPerCommit, meta = meta)
+              case None => Export.appendSnapshot(spark,
+                resolved.coalesce(filesPerCommit), path, meta = meta)
+            }
+          }
+        } else clusterBy match {
           case Some(k) if Export.latestSnapshotVersion(path) > 0 =>
             // zone-pruned file-scoped merge: only files whose key zone
             // overlaps the batch's envelope are rewritten

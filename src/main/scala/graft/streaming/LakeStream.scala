@@ -137,6 +137,42 @@ object LakeStream {
       Export.latestSnapshotVersion(silverDir))
   }
 
+  /** CDC apply as MERGE-ON-READ commits ([[Export.upsertSnapshotMoR]]
+    * behind the sink's `morUpsert` option): each micro-batch writes
+    * O(batch) — beaten incumbents become deletion-vector positions,
+    * winners append as a zoned epoch (`clusterBy` scopes the matched-
+    * key scan to zone-overlapping files), and `autoCompactEvery` folds
+    * the accumulated DVs back into clean files mid-stream WITHOUT
+    * breaking the exactly-once guard. The settled table must STILL
+    * equal the global per-key resolution — same oracle as the
+    * full-rewrite and clustered-CoW gates: commit shape changes I/O,
+    * never rows. */
+  def medallionUpsertMoR(spark: SparkSession, srcParquet: String,
+      checkpointDir: String, bronzeDir: String,
+      silverDir: String): DataFrame = {
+    buildBronzeEvents(spark, srcParquet, bronzeDir, nSlices = 3)
+    val stream = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "1")
+      .load(bronzeDir)
+    withStreamShuffle(spark) {
+      val q = stream.writeStream.format("graftlake")
+        .option("path", silverDir)
+        .option("mergeKeys", "event_type,user_id")
+        .option("orderBy", "ts_us,value")
+        .option("clusterBy", "user_id")
+        .option("morUpsert", "true")
+        .option("autoCompactEvery", "2")
+        .option("filesPerCommit", "4")
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Export.readSnapshot(spark, silverDir,
+      Export.latestSnapshotVersion(silverDir))
+  }
+
   /** MATERIALIZED VIEW through the sink's Complete mode: a streaming
     * aggregation over the bronze log, each refresh committed as a
     * head-REPLACING snapshot ([[graft.operators.Export.replaceSnapshot]]

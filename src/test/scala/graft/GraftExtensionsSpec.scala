@@ -325,6 +325,20 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head
     assert(vac.getLong(0) === 5L) // dropped versions 1..5
     assert(E.snapshotVersions(dir) === Seq(6))
+    // MERGE-ON-READ merge via SQL: same resolution, ZERO file rewrites
+    val filesBeforeMor = E.snapshotFiles(dir, 6).toSet
+    Seq((3L, 333L), (30L, 300L)).toDF("k", "v")
+      .createOrReplaceTempView("tvfdml_upd3")
+    spark.sql(s"SELECT version FROM graft_merge('$dir', " +
+      "'tvfdml_upd3', 'k', 'v', 'mor')").collect()
+    val vMor = E.latestSnapshotVersion(dir)
+    assert(filesBeforeMor.subsetOf(E.snapshotFiles(dir, vMor).toSet),
+      "MoR merge must not rewrite data files")
+    assert(E.snapshotHasDeletionVectors(dir, vMor))
+    assert(E.readSnapshot(spark, dir, vMor)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((1L, 10L), (3L, 333L), (5L, 50L), (7L, 70L), (9L, 90L),
+        (30L, 300L)))
     // PARTITION-SCOPED OPTIMIZE via SQL: only the filtered partition's
     // files rewrite, the full layout key set is preserved
     val pdir = new java.io.File("target/qtmp", "tvfdml_part")

@@ -136,5 +136,17 @@ class LakeCliSpec extends SparkSpec {
     assert(head.columns.toSeq === Seq("k", "chars"))
     assert(head.as[(Long, Long)].collect().sortBy(_._1).toSeq ===
       Seq((1L, 10L), (2L, 20L)))
+    // ADD COLUMN: metadata-only too; existing rows read back null,
+    // and re-adding the dropped name serves fresh nulls, never old bytes
+    val m3 = captureOut {
+      Main.main(Array("lake-add-column", "--table", t.getAbsolutePath,
+        "--column", "s", "--type", "string"))
+    }
+    assert(m3.contains("added column s"), m3)
+    assert(Export.snapshotFiles(t.getAbsolutePath, 4) === files)
+    val readded = Export.readSnapshot(spark, t.getAbsolutePath, 4)
+    assert(readded.columns.toSeq === Seq("k", "chars", "s"))
+    assert(readded.select("s").collect().forall(_.isNullAt(0)),
+      "dropped bytes resurfaced under the re-added name")
   }
 }

@@ -126,6 +126,93 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(Export.lastAppliedBatch(s"$wh/stream/dst") >= 0L)
   }
 
+  test("CREATE TABLE PARTITIONED BY: hive-style layout from the first INSERT, partition-pruned reads by name, OVERWRITE keeps the layout") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.part")
+    spark.sql("CREATE TABLE glc.part.t (k BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    val dir = s"$wh/part/t"
+    spark.sql("INSERT INTO glc.part.t " +
+      "SELECT id, CAST(id % 3 AS STRING) FROM range(30)")
+    // layout proof: hive-style value dirs + p= specs
+    val files = Export.snapshotFiles(dir,
+      Export.latestSnapshotVersion(dir))
+    assert(files.exists(_.contains("grp=1")) &&
+      files.exists(_.contains("grp=2")))
+    // the declared layout is reported back to SQL
+    val t = new GraftLakeCatalog {
+      initialize("glc2", new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(
+          java.util.Map.of("warehouse", wh)))
+    }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("part"), "t"))
+    assert(t.partitioning().map(p =>
+      p.references.head.fieldNames.mkString(".")).toSeq === Seq("grp"))
+    // partition-pruned read by name: the equality conjunct drops files
+    // from the plan via the manifest p= tags
+    val q = spark.sql("SELECT k FROM glc.part.t WHERE grp = '1'")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 30L).filter(_ % 3 == 1))
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(Nil,
+            f.dataFilters).map(_.files.size).sum
+      }).sum
+    assert(scanned < files.size,
+      s"expected pruning: $scanned of ${files.size}")
+    // INSERT OVERWRITE commits a partitioned full replace
+    spark.sql("INSERT OVERWRITE glc.part.t " +
+      "SELECT id, CAST(id % 2 AS STRING) FROM range(10)")
+    val after = Export.snapshotFiles(dir,
+      Export.latestSnapshotVersion(dir))
+    assert(after.exists(_.contains("grp=0")) &&
+      after.exists(_.contains("grp=1")) &&
+      !after.exists(_.contains("grp=2")))
+    assert(spark.sql("SELECT count(*) FROM glc.part.t")
+      .collect().head.getLong(0) === 10)
+    // bucket/temporal transforms refuse loudly
+    intercept[Exception](spark.sql(
+      "CREATE TABLE glc.part.bad (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))"))
+  }
+
+  test("ALTER TABLE by name: RENAME/DROP/ADD COLUMN and type widening commit metadata-only lake versions; reads follow immediately") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.alter")
+    spark.sql("CREATE TABLE glc.alter.t (k BIGINT, v INT, junk STRING)")
+    spark.sql("INSERT INTO glc.alter.t " +
+      "SELECT id, CAST(id * 10 AS INT), concat('j', id) FROM range(5)")
+    val dir = s"$wh/alter/t"
+    val filesBefore = Export.snapshotFiles(dir,
+      Export.latestSnapshotVersion(dir)).toSet
+    spark.sql("ALTER TABLE glc.alter.t RENAME COLUMN v TO score")
+    spark.sql("ALTER TABLE glc.alter.t DROP COLUMN junk")
+    spark.sql("ALTER TABLE glc.alter.t ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE glc.alter.t ALTER COLUMN score TYPE BIGINT")
+    // four metadata-only commits: same data files throughout
+    val head = Export.latestSnapshotVersion(dir)
+    assert(Export.snapshotFiles(dir, head).toSet === filesBefore,
+      "ALTER must never rewrite data")
+    val got = spark.sql(
+      "SELECT k, score, note FROM glc.alter.t ORDER BY k").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(0L, 10L, 20L, 30L, 40L))
+    assert(got.forall(_.isNullAt(2)), "added column reads back null")
+    // a dropped-then-readded name gets fresh bytes, never the old ones
+    spark.sql("ALTER TABLE glc.alter.t ADD COLUMN junk STRING")
+    assert(spark.sql("SELECT junk FROM glc.alter.t").collect()
+      .forall(_.isNullAt(0)), "dropped bytes resurfaced under re-add")
+    // the widened column accepts a post-widen append at the wide type
+    spark.sql("INSERT INTO glc.alter.t " +
+      "SELECT 100, 4000000000, 'wide', NULL")
+    assert(spark.sql(
+      "SELECT score FROM glc.alter.t WHERE k = 100").collect()
+      .head.getLong(0) === 4000000000L)
+    // unsupported shapes refuse loudly
+    intercept[Exception](spark.sql(
+      "ALTER TABLE glc.alter.t ALTER COLUMN score TYPE INT")) // narrow
+  }
+
   test("MoR-deleted and column-mapped heads serve BY NAME: the anti-join rewrite and the physical-renaming format reach the catalog path") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.gate")

@@ -73,6 +73,45 @@ class GraftLakeSinkSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "new", 5), (2L, "b0", 1), (3L, "c0", 7)))
   }
 
+  test("Update + morUpsert: O(batch) MERGE-ON-READ commits — no data " +
+      "file ever rewritten, state equals the CoW Update sink's, " +
+      "exactly-once guard holds, autoCompact materializes") {
+    val t = tmp("gls-morupsert")
+    val s = sink(t, OutputMode.Update(),
+      Map("mergeKeys" -> "id", "orderBy" -> "seq",
+        "morUpsert" -> "true"))
+    def kv(triples: (Long, String, Int)*): DataFrame =
+      triples.toDF("id", "s", "seq")
+    val p = t.getAbsolutePath
+    s.addBatch(0, kv((1L, "a0", 1), (2L, "b0", 1))) // bootstrap append
+    val files1 = Export.snapshotFiles(p, 1).toSet
+    s.addBatch(1, kv((1L, "a1", 5), (3L, "c0", 2))) // update + insert
+    s.addBatch(2, kv((1L, "stale", 3), (2L, "b1", 9))) // stale loses
+    s.addBatch(1, kv((1L, "replay", 99))) // replayed batch id: refused
+    val head = Export.latestSnapshotVersion(p)
+    // every original file still referenced - MoR never rewrites
+    assert(files1.subsetOf(Export.snapshotFiles(p, head).toSet))
+    assert(Export.snapshotHasDeletionVectors(p, head))
+    val got = Export.readSnapshot(spark, p, head)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a1", 5), (2L, "b1", 9), (3L, "c0", 2)))
+    // the format API serves the MoR head too (anti-join rewrite)
+    assert(spark.read.format("graftlake").load(p)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq === got.toSeq)
+    // compaction materializes; state unchanged
+    Export.compactSnapshot(spark, p)
+    assert(Export.readSnapshot(spark, p,
+        Export.latestSnapshotVersion(p))
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq === got.toSeq)
+    // morUpsert satisfies the scale contract (no allowFullRewrite
+    // needed) but refuses a partition layout
+    intercept[IllegalArgumentException](sink(tmp("gls-morbad"),
+      OutputMode.Update(),
+      Map("mergeKeys" -> "id,m", "orderBy" -> "seq",
+        "morUpsert" -> "true"),
+      partitionCols = Seq("m")))
+  }
+
   test("partitionBy lays out hive-style epochs; the partition-pruned " +
       "read plans only matching files") {
     val t = tmp("gls-part")
