@@ -30,6 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectResolutionRule(GraftExtensions.catalogReadRule)
     ext.injectResolutionRule(ApplyLakeDeletionVectors.apply)
+    // native MERGE INTO / UPDATE statements on lake catalog tables →
+    // deferred commands routed to the audited commit paths
+    ext.injectResolutionRule(graft.plans.RewriteGraftLakeDml.apply)
+    // the physical leg of every deferred lake command: side effects
+    // fire at EXECUTION, so EXPLAIN/schema inspection commits nothing
+    ext.injectPlannerStrategy(_ => graft.plans.GraftLakeStrategy)
   }
 }
 
@@ -50,7 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * the same 100 TB shape as the funnel. The inner relation is marked
   * via its options so the analyzer's fixpoint can't rewrite twice, and
   * the outer Project restores the original attribute ids so parent
-  * operators never notice the substitution. */
+  * operators never notice the substitution.
+  *
+  * Known capability gap (documented contract): `_metadata` columns do
+  * NOT resolve on a DV-bearing head served through this rewrite — the
+  * relation becomes a Project over an anti-join, and the hidden
+  * metadata output does not propagate through it. Reads needing
+  * `_metadata` on a MoR head should compact first (materializing the
+  * DVs restores the plain relation); data columns are unaffected. */
 private[graft] case class ApplyLakeDeletionVectors(
     spark: org.apache.spark.sql.SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
@@ -327,28 +340,60 @@ object GraftExtensions {
           .queryExecution.logical
       }),
     // ---- SQL DML procedures (CALL-style): the WRITE half of the SQL
-    // seam. Each executes its lake operation when the statement is
-    // ANALYZED (the TVF builder runs at plan-build — `spark.sql(...)`
-    // is the CALL) and returns a one-row relation reporting the commit,
-    // so plain-SQL users get MERGE/DELETE/OPTIMIZE/VACUUM without the
-    // Scala API — the Delta-procedures shape on the existing extension
-    // seam. Arguments are literals, like every TVF here.
+    // seam. Each ANALYZES to a deferred [[graft.plans.GraftLakeCommand]]
+    // leaf — argument literals are validated at plan-build, but the
+    // lake operation itself runs at PHYSICAL EXECUTION (the r12
+    // execute-on-analyze wart is closed: `.explain()`, a schema
+    // preview, or CREATE VIEW over a procedure commits NOTHING; the
+    // first action commits exactly once). Plain-SQL users get
+    // MERGE/DELETE/UPDATE/OPTIMIZE/VACUUM without the Scala API — the
+    // Delta-procedures shape on the existing extension seam. Arguments
+    // are literals, like every TVF here.
     (FunctionIdentifier("graft_delete"),
       info("graft_delete", "graft_delete(path, predicate_sql[, 'mor']) " +
         "- DELETE FROM the lake table: copy-on-write by default, " +
         "merge-on-read deletion vectors with the 'mor' mode. Returns " +
         "(version)"),
       (args: Seq[Expression]) => {
-        val spark = org.apache.spark.sql.SparkSession.active
         val path = litString(args.head, "path")
-        val cond = org.apache.spark.sql.functions.expr(
-          litString(args(1), "predicate"))
+        val predicate = litString(args(1), "predicate")
         val mor = args.length > 2 &&
           litString(args(2), "mode").equalsIgnoreCase("mor")
-        val v =
-          if (mor) graft.operators.Export.deleteWhereMoR(spark, path, cond)
-          else graft.operators.Export.deleteWhere(spark, path, cond)
-        oneRow(spark, "version" -> v.toLong)
+        graft.plans.GraftLakeCommand.oneRow("graft_delete", Seq("version")) { () =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val cond = org.apache.spark.sql.functions.expr(predicate)
+          val v =
+            if (mor)
+              graft.operators.Export.deleteWhereMoR(spark, path, cond)
+            else graft.operators.Export.deleteWhere(spark, path, cond)
+          Seq(v.toLong)
+        }
+      }),
+    (FunctionIdentifier("graft_update"),
+      info("graft_update", "graft_update(path, 'col=expr[;col=expr]', " +
+        "predicate_sql) - UPDATE the lake table: rows matching the " +
+        "predicate take the assignments (file-scoped copy-on-write - " +
+        "manifest tags prune files the predicate provably excludes). " +
+        "Returns (version)"),
+      (args: Seq[Expression]) => {
+        val path = litString(args.head, "path")
+        val setSpec = litString(args(1), "assignments")
+        val predicate = litString(args(2), "predicate")
+        val sets = setSpec.split(';').toSeq.filter(_.nonEmpty).map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => k.trim -> v.trim
+            case _ => throw new IllegalArgumentException(
+              s"assignments expect col=expr[;col=expr], got: $kv")
+          }
+        }
+        require(sets.nonEmpty, "graft_update needs at least one col=expr")
+        graft.plans.GraftLakeCommand.oneRow("graft_update", Seq("version")) { () =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          Seq(graft.operators.Export.updateWhere(spark, path,
+            sets.map { case (c, e) =>
+              c -> org.apache.spark.sql.functions.expr(e) },
+            org.apache.spark.sql.functions.expr(predicate)).toLong)
+        }
       }),
     (FunctionIdentifier("graft_merge"),
       info("graft_merge", "graft_merge(path, source_view, " +
@@ -361,9 +406,8 @@ object GraftExtensions {
         "the winners - O(batch) writes at any table size). " +
         "Returns (version)"),
       (args: Seq[Expression]) => {
-        val spark = org.apache.spark.sql.SparkSession.active
         val path = litString(args.head, "path")
-        val updates = spark.table(litString(args(1), "source view"))
+        val view = litString(args(1), "source view")
         val keys = litString(args(2), "key list")
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val orderCols =
@@ -378,31 +422,42 @@ object GraftExtensions {
               "MoR resolution is order-resolved")
           true
         }
-        val E = graft.operators.Export
-        val latest = E.latestSnapshotVersion(path)
-        require(latest > 0, s"nothing to merge into under $path")
-        val partCols = E.snapshotPartitionColumns(path, latest)
-        val v =
-          if (mor)
-            E.upsertSnapshotMoR(spark, path, updates, keys, orderCols)
-          else if (partCols.nonEmpty &&
-              partCols.toSet.subsetOf(keys.toSet)) {
-            // layout ⊆ key: the partition-scoped rewrite (cost follows
-            // the touched partitions, not the table)
-            if (orderCols.nonEmpty)
-              E.mergeSnapshotPartitionedLatest(spark, path, updates,
-                keys, partCols, orderCols)
-            else E.mergeSnapshotPartitioned(spark, path, updates, keys,
-              partCols)
-          } else {
-            val base = E.readSnapshot(spark, path, latest)
-            val merged =
-              if (orderCols.nonEmpty) graft.operators.Merge
-                .upsertLatest(base, updates, keys, orderCols)
-              else graft.operators.Merge.upsert(base, updates, keys)
-            E.replaceSnapshot(spark, merged, path)
-          }
-        oneRow(spark, "version" -> v.toLong)
+        graft.plans.GraftLakeCommand.oneRow("graft_merge", Seq("version")) { () =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val updates = spark.table(view)
+          val E = graft.operators.Export
+          val latest = E.latestSnapshotVersion(path)
+          require(latest > 0, s"nothing to merge into under $path")
+          val partCols = E.snapshotPartitionColumns(path, latest)
+          val v =
+            if (mor)
+              // upsertSnapshotMoR itself refuses partitioned tables
+              // (its insert epoch carries no p= specs - one such commit
+              // would break partition-scoped DML forever after)
+              E.upsertSnapshotMoR(spark, path, updates, keys, orderCols)
+            else if (partCols.nonEmpty &&
+                partCols.toSet.subsetOf(keys.toSet)) {
+              // layout ⊆ key: the partition-scoped rewrite (cost follows
+              // the touched partitions, not the table)
+              if (orderCols.nonEmpty)
+                E.mergeSnapshotPartitionedLatest(spark, path, updates,
+                  keys, partCols, orderCols)
+              else E.mergeSnapshotPartitioned(spark, path, updates, keys,
+                partCols)
+            } else {
+              val base = E.readSnapshot(spark, path, latest)
+              val merged =
+                if (orderCols.nonEmpty) graft.operators.Merge
+                  .upsertLatest(base, updates, keys, orderCols)
+                else graft.operators.Merge.upsert(base, updates, keys)
+              // keep the declared layout: a partitioned table whose
+              // layout exceeds the key set still commits partitioned
+              if (partCols.nonEmpty)
+                E.replaceSnapshotPartitioned(spark, merged, path, partCols)
+              else E.replaceSnapshot(spark, merged, path)
+            }
+          Seq(v.toLong)
+        }
       }),
     (FunctionIdentifier("graft_optimize"),
       info("graft_optimize", "graft_optimize(path[, n_files[, " +
@@ -413,15 +468,18 @@ object GraftExtensions {
         "rewrite only the matching partitions' files, carry the rest). " +
         "Returns (version, n_files)"),
       (args: Seq[Expression]) => {
-        val spark = org.apache.spark.sql.SparkSession.active
         val path = litString(args.head, "path")
         val nFiles =
           if (args.length > 1) litLong(args(1), "n_files").toInt else 1
-        val E = graft.operators.Export
-        val v =
-          if (args.length > 2) {
-            val spec = litString(args(2), "layout spec")
-            spec.split(':') match {
+        val layoutSpec =
+          if (args.length > 2) Some(litString(args(2), "layout spec"))
+          else None
+        graft.plans.GraftLakeCommand.oneRow("graft_optimize",
+            Seq("version", "n_files")) { () =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val E = graft.operators.Export
+          val v = layoutSpec match {
+            case Some(spec) => spec.split(':') match {
               case Array("cluster", k) =>
                 E.compactSnapshotClustered(spark, path, k.trim, nFiles)
               case Array("zorder", ab) => ab.split(',').map(_.trim) match {
@@ -452,9 +510,10 @@ object GraftExtensions {
                 "layout spec is 'cluster:key', 'zorder:a,b' or " +
                   s"'partition:col=val[/col=val]', got: $spec")
             }
-          } else E.compactSnapshot(spark, path, nFiles)
-        oneRow(spark, "version" -> v.toLong,
-          "n_files" -> E.snapshotFiles(path, v).size.toLong)
+            case None => E.compactSnapshot(spark, path, nFiles)
+          }
+          Seq(v.toLong, E.snapshotFiles(path, v).size.toLong)
+        }
       }),
     (FunctionIdentifier("graft_restore"),
       info("graft_restore", "graft_restore(path, to_version) - RESTORE " +
@@ -462,22 +521,26 @@ object GraftExtensions {
         "re-pointing at the target version's files (zero data " +
         "movement). Returns (version)"),
       (args: Seq[Expression]) => {
-        val spark = org.apache.spark.sql.SparkSession.active
-        val v = graft.operators.Export.restoreSnapshot(
-          litString(args.head, "path"),
-          litLong(args(1), "to_version").toInt)
-        oneRow(spark, "version" -> v.toLong)
+        val path = litString(args.head, "path")
+        val toV = litLong(args(1), "to_version").toInt
+        graft.plans.GraftLakeCommand.oneRow("graft_restore", Seq("version")) {
+          () => Seq(graft.operators.Export.restoreSnapshot(path, toV)
+            .toLong)
+        }
       }),
     (FunctionIdentifier("graft_clone"),
       info("graft_clone", "graft_clone(src_path, dst_path[, version]) - " +
         "SHALLOW CLONE: fork a new table whose v1 re-points at the " +
         "source version's files (zero data movement). Returns (version)"),
       (args: Seq[Expression]) => {
-        val spark = org.apache.spark.sql.SparkSession.active
-        val v = graft.operators.Export.cloneSnapshot(
-          litString(args.head, "src path"), litString(args(1), "dst path"),
-          if (args.length > 2) litLong(args(2), "version").toInt else -1)
-        oneRow(spark, "version" -> v.toLong)
+        val src = litString(args.head, "src path")
+        val dst = litString(args(1), "dst path")
+        val v0 =
+          if (args.length > 2) litLong(args(2), "version").toInt else -1
+        graft.plans.GraftLakeCommand.oneRow("graft_clone", Seq("version")) {
+          () => Seq(graft.operators.Export.cloneSnapshot(src, dst, v0)
+            .toLong)
+        }
       }),
     (FunctionIdentifier("graft_vacuum"),
       info("graft_vacuum", "graft_vacuum(path, keep[, horizon_ms]) - " +
@@ -485,16 +548,17 @@ object GraftExtensions {
         "unreferenced data files older than the in-flight horizon. " +
         "Returns (dropped_versions, deleted_files)"),
       (args: Seq[Expression]) => {
-        val spark = org.apache.spark.sql.SparkSession.active
         val path = litString(args.head, "path")
         val keep = litLong(args(1), "keep").toInt
         val horizon =
           if (args.length > 2) litLong(args(2), "horizon_ms")
           else graft.operators.Export.DefaultVacuumHorizonMs
-        val (dv, df) = graft.operators.Export.vacuumSnapshots(path, keep,
-          horizon)
-        oneRow(spark, "dropped_versions" -> dv.toLong,
-          "deleted_files" -> df.toLong)
+        graft.plans.GraftLakeCommand.oneRow("graft_vacuum",
+            Seq("dropped_versions", "deleted_files")) { () =>
+          val (dv, df) = graft.operators.Export.vacuumSnapshots(path,
+            keep, horizon)
+          Seq(dv.toLong, df.toLong)
+        }
       }),
     (FunctionIdentifier("graft_diff"),
       info("graft_diff", "graft_diff(path, v_old, v_new[, " +
@@ -544,7 +608,8 @@ object GraftExtensions {
         if (!hasLake) return plan
         // write/DML targets keep their v2 face (AppendData/Overwrite
         // resolve through the table's V1 write builder, DELETE FROM
-        // through SupportsDelete — not through this rule)
+        // through SupportsDelete, MERGE INTO/UPDATE through the
+        // RewriteGraftLakeDml rule — not through this rule)
         // a target may sit under a SubqueryAlias — skip every relation
         // node inside the target subtree, not just the root
         val writeTargets: Set[LogicalPlan] =
@@ -552,6 +617,10 @@ object GraftExtensions {
             case w: V2WriteCommand => w.table: LogicalPlan
             case d: org.apache.spark.sql.catalyst.plans.logical
                 .DeleteFromTable => d.table
+            case m: org.apache.spark.sql.catalyst.plans.logical
+                .MergeIntoTable => m.targetTable
+            case u: org.apache.spark.sql.catalyst.plans.logical
+                .UpdateTable => u.table
           }.flatMap(_.collect {
             case r: DataSourceV2Relation => r: LogicalPlan
           }).toSet
@@ -586,14 +655,6 @@ object GraftExtensions {
         }
       }
     }
-
-  /** One-row result relation of a DML procedure. */
-  private def oneRow(spark: org.apache.spark.sql.SparkSession,
-      cols: (String, Long)*)
-      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    spark.range(1).select(cols.map { case (n, v) =>
-      org.apache.spark.sql.functions.lit(v).as(n) }: _*)
-      .queryExecution.logical
 
   private def litString(e: Expression, name: String): String = e match {
     case Literal(v, StringType) if v != null => v.toString
@@ -675,7 +736,11 @@ object GraftExtensions {
   }
 
   /** Register into an already-running session's function registries
-    * (scalar AND table functions). */
+    * (scalar AND table functions), plus the deferred-command planner
+    * strategy the DML procedures need (via the public experimental
+    * seam — resolution rules can't be added post-startup, so the
+    * MERGE INTO/UPDATE statement rewrite and catalog reads still need
+    * the spark.sql.extensions route). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     definitions.foreach { case (ident, inf, builder) =>
       org.apache.spark.sql.GraftFunctionBridge
@@ -685,5 +750,6 @@ object GraftExtensions {
       org.apache.spark.sql.GraftFunctionBridge
         .registerTable(spark, ident, inf, builder)
     }
+    graft.plans.GraftLakeCommand.registerStrategy(spark)
   }
 }

@@ -277,14 +277,47 @@ object Export {
   //    tables keep working; their first new commit writes the hint).
   private val VersionsHint = "_versions.hint"
 
+  /** RANGE-ENCODED hint body (r12 verdict #4): a plain version list is
+    * O(V) bytes rewritten on EVERY commit — a no-vacuum minute-trigger
+    * table (0.5 M versions/year) pays a multi-MB hint rewrite per
+    * commit. Contiguous runs collapse to `lo-hi` lines, so the hint is
+    * O(gaps): ONE line for any unvacuumed history, one per retention
+    * window otherwise — commit and plan cost stay O(1) at any version
+    * count. Legacy one-version-per-line hints still parse (a bare int
+    * is a width-1 run), and a legacy reader never sees this format
+    * (the hint is an internal file with exactly one consumer). */
+  private[graft] def encodeVersionRuns(versions: Seq[Int]): String = {
+    val vs = versions.distinct.sorted
+    if (vs.isEmpty) ""
+    else {
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var lo = vs.head; var hi = vs.head
+      vs.tail.foreach { v =>
+        if (v == hi + 1) hi = v
+        else { runs += ((lo, hi)); lo = v; hi = v }
+      }
+      runs += ((lo, hi))
+      runs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }
+        .mkString("\n")
+    }
+  }
+
+  private[graft] def decodeVersionRuns(txt: String): Seq[Int] =
+    txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+      l.split('-') match {
+        case Array(a, b) => a.toInt to b.toInt
+        case Array(a) => Seq(a.toInt)
+        case _ => throw new NumberFormatException(s"bad hint line: $l")
+      }
+    }.toVector.sorted
+
   private def readVersionsHint(fs: FileSystem, root: Path)
       : Option[Seq[Int]] =
     try {
       val in = fs.open(new Path(root, VersionsHint))
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val vs = txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
-        .map(_.toInt).toVector.sorted
+      val vs = decodeVersionRuns(txt)
       if (vs.isEmpty) None else Some(vs)
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -297,7 +330,7 @@ object Export {
       val tmp = new Path(root,
         s"_tmp.$VersionsHint.${java.util.UUID.randomUUID.toString.take(8)}")
       val out = fs.create(tmp, false)
-      try out.write(versions.distinct.sorted.mkString("\n").getBytes("UTF-8"))
+      try out.write(encodeVersionRuns(versions).getBytes("UTF-8"))
       finally out.close()
       val dest = new Path(root, VersionsHint)
       fs.delete(dest, false)
@@ -428,6 +461,25 @@ object Export {
 
   @volatile var commitGuard: CommitGuard = (_: Path, _: Int) => ()
 
+  /** TYPED loser of a commit race: `winning` is the version number the
+    * racing writer already holds (this writer's rewrite was computed
+    * against an older head). Appends auto-retry ([[commitAppend]] —
+    * they always commute); maintenance commits retry only when the
+    * interleaved commits provably commute (compaction vs appends,
+    * partition-scoped rewrites vs commits on disjoint partitions) and
+    * raise THIS error otherwise, so a caller can re-plan against
+    * `winning` instead of pattern-matching a message string. Subclasses
+    * IllegalStateException: every existing catch keeps working. */
+  final class ConcurrentCommitException(msg: String, val winning: Int)
+      extends IllegalStateException(msg)
+
+  /** TEST SEAM mirroring [[appendRaceInjector]] for MAINTENANCE
+    * commits: called before each rewrite-commit attempt with
+    * (root, attempted version) so a spec can deterministically inject a
+    * racing winner between plan and commit. Always None in production. */
+  @volatile private[graft] var rewriteRaceInjector
+      : Option[(Path, Int) => Unit] = None
+
   private[graft] def commitManifest(fs: FileSystem, root: Path, version: Int,
       meta: Map[String, String], files: Seq[String]): Unit = {
     meta.foreach { case (k, v) =>
@@ -450,8 +502,9 @@ object Export {
     val dest = manifestPath(root, version)
     if (fs.exists(dest) || !fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"concurrent commit: _v$version.manifest already exists under $root")
+      throw new ConcurrentCommitException(
+        s"concurrent commit: _v$version.manifest already exists under " +
+          s"$root", version)
     }
     // grow the version hint AFTER the commit point. Base it on the prior
     // hint when present (no listing on the hot commit path); gap-fill by
@@ -513,6 +566,27 @@ object Export {
     val (_, fresh) = writeEpoch(fs, root,
       manifestVersions(fs, root).lastOption.getOrElse(0) + 1, df)
     commitAppend(fs, root, meta, df.schema.json, fresh)
+  }
+
+  /** Commit version 1 of a brand-new EMPTY table: the schema header
+    * (and caller meta) with ZERO data lines — the CREATE TABLE commit.
+    * Writing an empty DataFrame instead would land an empty parquet
+    * part file whose manifest line carries no `p=` spec, and that one
+    * line — carried verbatim through every later append — makes
+    * [[requirePartitioned]] refuse partition-scoped DML on the table
+    * FOREVER. Zero-file versions read back as empty, correctly-typed
+    * tables ([[emptyWithCommittedSchema]]); streams bootstrap on them
+    * like any first survivor. */
+  def createEmptySnapshot(outDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      meta: Map[String, String] = Map.empty): Int = {
+    val (fs, root) = fsRoot(outDir)
+    fs.mkdirs(root)
+    require(manifestVersions(fs, root).isEmpty,
+      s"$outDir already has committed versions")
+    commitManifest(fs, root, 1,
+      internalMeta(fs, root, meta, schema.json, op = "append"), Nil)
+    1
   }
 
   /** Field-by-field schema union — the lake's ADD-COLUMN-only evolution
@@ -1991,35 +2065,80 @@ object Export {
       meta: Map[String, String]): Int = {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
-    val version = baseVersion + 1
     // spec matching runs on the PHYSICAL partition-column names the
     // p= specs carry (identity on never-renamed tables)
     val pm = physicalRenames(fs, root, df)
     val physCols = partitionCols.map(c => pm.getOrElse(c, c))
-    val fresh = writePartitionedEpoch(spark, fs, root, version, df,
-      partitionCols, nFiles, zoneKey)
+    val fresh = writePartitionedEpoch(spark, fs, root, baseVersion + 1,
+      df, partitionCols, nFiles, zoneKey)
     val freshTuples: Set[Seq[String]] =
       fresh.map(l => partTuple(l, physCols)).toSet
-    val (carried, schema) =
-      if (baseVersion == 0) (Nil, df.schema)
+    // the base state of OUR partitions, pinned at plan time: the
+    // disjointness certificate every retry re-checks against the head
+    val baseTouched: Set[String] =
+      if (baseVersion == 0) Set.empty
       else {
         val lines = dataLines(readManifestRaw(fs, root, baseVersion))
         requirePartitioned(lines, physCols, "overwritePartitions")
-        val prevSchema = snapshotMetaOf(fs, root, baseVersion)
-          .get("schema")
-          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .getOrElse(df.schema)
-        (lines.filterNot(l => freshTuples(partTuple(l, physCols))),
-          unionSchema(prevSchema, df.schema))
+        lines.filter(l => freshTuples(partTuple(l, physCols))).toSet
       }
-    commitManifest(fs, root, version,
-      internalMeta(fs, root,
-        carryBatch(fs, root,
-          meta + ("overwrote_partitions" -> freshTuples.size.toString)),
-        schema.json, op = "overwrite"),
-      carried ++ fresh)
-    version
+    // OPTIMISTIC RETRY against commuting winners (r12 verdict #3): the
+    // rewrite replaced exactly the partitions in `freshTuples`, so it
+    // commutes with any interleaved commit that (a) kept the table
+    // consistently partitioned and (b) did not touch those partitions
+    // — their lines at the new head must be EXACTLY the pinned base's
+    // (same files, same dv/zone tags). Then the retried commit carries
+    // the head's other-partition lines (keeping the winner's changes)
+    // and still replaces ours. A winner that DID touch our partitions
+    // raises the typed conflict: replaying our rewrite would silently
+    // drop its rows — the one outcome a lake must never allow.
+    var attempt = 0
+    while (attempt <= MaxAppendRetries) {
+      val head = manifestVersions(fs, root).lastOption.getOrElse(0)
+      val (carried, schema) =
+        if (head == 0) (Seq.empty[String], df.schema)
+        else {
+          val lines = dataLines(readManifestRaw(fs, root, head))
+          if (head != baseVersion) {
+            val consistent = lines.forall(l =>
+              physCols.forall(partitionOf(l).contains))
+            val headTouched =
+              if (consistent)
+                lines.filter(l => freshTuples(partTuple(l, physCols))).toSet
+              else Set.empty[String]
+            if (!consistent || headTouched != baseTouched)
+              throw new ConcurrentCommitException(
+                s"concurrent commit(s) up to _v$head under $root " +
+                  "touched the partition(s) this rewrite replaces " +
+                  "(or broke the partition layout) - committing would " +
+                  "drop the winner's rows; re-plan against the new " +
+                  "head", head)
+          }
+          val prevSchema = snapshotMetaOf(fs, root, head)
+            .get("schema")
+            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .getOrElse(df.schema)
+          (lines.filterNot(l => freshTuples(partTuple(l, physCols))),
+            unionSchema(prevSchema, df.schema))
+        }
+      val version = head + 1
+      rewriteRaceInjector.foreach(_(root, version))
+      try {
+        commitManifest(fs, root, version,
+          internalMeta(fs, root,
+            carryBatch(fs, root,
+              meta + ("overwrote_partitions" -> freshTuples.size.toString)),
+            schema.json, op = "overwrite"),
+          carried ++ fresh)
+        return version
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > MaxAppendRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** MERGE INTO a partitioned snapshot table with PARTITION-SCOPED
@@ -2131,10 +2250,18 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     val lines = dataLines(readManifestRaw(fs, root, latest))
     val env = updates.agg(
-        min(col(clusterKey)).cast("long"), max(col(clusterKey)).cast("long"))
+        min(col(clusterKey)).cast("long"),
+        max(col(clusterKey)).cast("long"),
+        count(lit(1)), count(col(clusterKey)))
       .collect().head
-    if (env.isNullAt(0)) return latest // empty batch: nothing to commit
-    val (bmin, bmax) = (env.getLong(0), env.getLong(1))
+    if (env.getLong(2) == 0L) return latest // empty batch
+    // a batch holding NULL cluster keys (or a key whose cast nulls) has
+    // no sound envelope — merge every file rather than silently missing
+    // the null-keyed incumbents (the upsertSnapshotMoR null-envelope law)
+    val noEnvelope = env.isNullAt(0) || env.getLong(3) < env.getLong(2)
+    val (bmin, bmax) =
+      if (noEnvelope) (Long.MinValue, Long.MaxValue)
+      else (env.getLong(0), env.getLong(1))
     val (hit, rest) = lines.partition(l => zoneOf(l) match {
       case Some((lo, hi)) => hi >= bmin && lo <= bmax
       case None => true // zoneless: must merge, can't prove exclusion
@@ -2383,21 +2510,64 @@ object Export {
     val latest = latestSnapshotVersion(outDir)
     require(latest > 0, s"nothing to compact under $outDir")
     val rows = readSnapshot(spark, outDir, latest).coalesce(nFiles)
-    // version PINNED to latest+1, not re-derived at commit time:
-    // delegating to replaceSnapshot would re-list the log and renumber
-    // past any version committed since our read — silently dropping that
-    // version's rows from the tip instead of failing the race. With the
-    // pin, a concurrent commit makes commitManifest throw (the loser
-    // detection), which is the correct outcome for maintenance racing a
-    // live sink.
     val (fs, root) = fsRoot(outDir)
-    val version = latest + 1
-    val (_, fresh) = writeEpoch(fs, root, version, rows)
-    commitManifest(fs, root, version,
-      internalMeta(fs, root,
-        carryBatch(fs, root, Map("compacted_from" -> latest.toString)),
-        rows.schema.json, op = "compact"), fresh)
-    version
+    val baseLines = dataLines(readManifestRaw(fs, root, latest))
+    val (_, fresh) = writeEpoch(fs, root, latest + 1, rows)
+    commitCompactionFrom(fs, root, latest, baseLines, fresh,
+      rows.schema.json)
+  }
+
+  /** Commit half of the whole-table compactions, with OPTIMISTIC RETRY
+    * against commuting winners (r12 verdict #3): the compaction
+    * rewrote `baseVersion`'s rows into `fresh` files, so it COMMUTES
+    * with any interleaved APPEND — the appended epochs' lines are
+    * disjoint from the compacted set and simply CARRY into the retried
+    * commit (compaction of the old state + the new appends ≡ the
+    * serial order). An interleaved NON-append (delete/merge/overwrite:
+    * its rewrite overlaps the rows we compacted) raises the typed
+    * [[ConcurrentCommitException]] naming the winning version — the
+    * correct outcome for maintenance racing real DML. Version
+    * re-derivation never renumbers silently: every attempt re-checks
+    * the full interleaved window from the pinned base. */
+  private def commitCompactionFrom(fs: FileSystem, root: Path,
+      baseVersion: Int, baseLines: Seq[String], fresh: Seq[String],
+      fallbackSchema: String): Int = {
+    val basePaths = baseLines.map(l =>
+      fs.makeQualified(new Path(pathOf(l))).toString).toSet
+    var attempt = 0
+    while (attempt <= MaxAppendRetries) {
+      val head = manifestVersions(fs, root).last
+      ((baseVersion + 1) to head).foreach { v =>
+        val op = snapshotMetaOf(fs, root, v).get("op")
+        if (!op.contains("append"))
+          throw new ConcurrentCommitException(
+            s"concurrent '${op.getOrElse("?")}' commit _v$v under " +
+              s"$root does not commute with this compaction (it may " +
+              "have rewritten rows the compaction carried) - re-plan " +
+              "against the new head", v)
+      }
+      val carried =
+        if (head == baseVersion) Seq.empty[String]
+        else dataLines(readManifestRaw(fs, root, head)).filterNot(l =>
+          basePaths(fs.makeQualified(new Path(pathOf(l))).toString))
+      val schemaJson = snapshotMetaOf(fs, root, head)
+        .getOrElse("schema", fallbackSchema)
+      val version = head + 1
+      rewriteRaceInjector.foreach(_(root, version))
+      try {
+        commitManifest(fs, root, version,
+          internalMeta(fs, root,
+            carryBatch(fs, root,
+              Map("compacted_from" -> baseVersion.toString)),
+            schemaJson, op = "compact"), carried ++ fresh)
+        return version
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > MaxAppendRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Copy-on-write DELETE — the third leg of the lake DML triad
@@ -2426,6 +2596,86 @@ object Export {
       internalMeta(fs, root,
         carryBatch(fs, root, Map("deleted_from" -> latest.toString)),
         rows.schema.json, op = "delete"), fresh)
+    version
+  }
+
+  /** Copy-on-write UPDATE — the `UPDATE t SET c = expr WHERE pred` leg
+    * of the DML triad, FILE-SCOPED: every latest-version row matching
+    * `cond` takes the `sets` assignments (cast to the column's
+    * committed type; SQL semantics — a NULL-evaluating predicate
+    * leaves the row unchanged), every other row carries. The rewrite
+    * set is pruned by the SAME manifest-tag kernel as the batch scan
+    * ([[graft.sources.GraftLakeBatch.excludes]] over the predicate's
+    * conjuncts): a file whose `p=` spec or `s=` range provably
+    * excludes the predicate is CARRIED VERBATIM — its bytes are never
+    * read, let alone rewritten. 100 TB shape: an UPDATE pinned to one
+    * partition or key range costs the touched files, not the table —
+    * exactly the scoping [[deleteWhereMoR]] gives deletes. Rewritten
+    * files land partition-laid-out on a partitioned table (fresh `p=`
+    * specs), so partition-scoped DML keeps working afterwards.
+    * Returns the new version (or the current one when no file can
+    * match). */
+  def updateWhere(spark: SparkSession, outDir: String,
+      sets: Seq[(String, Column)], cond: Column,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to update under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    val st = snapshotSchema(outDir, latest).getOrElse(
+      throw new IllegalStateException(s"version $latest under $root " +
+        "has no #schema= header (pre-header legacy manifest) - recommit"))
+    sets.foreach { case (n, _) =>
+      require(st.fieldNames.contains(n),
+        s"UPDATE assigns unknown column '$n' (table has " +
+          s"${st.fieldNames.mkString(", ")})") }
+    // file pruning through the predicate's conjuncts and the manifest
+    // p=/s= tags — the same planning kernel the batch scan uses; a
+    // non-analyzable predicate simply prunes nothing
+    val physOf: Map[String, String] =
+      st.fields.map(f => f.name -> physicalOf(f)).toMap
+    val conjuncts =
+      try graft.sources.GraftLakeBatch.splitConjuncts(
+        org.apache.spark.sql.GraftColumnBridge.expression(cond))
+      catch { case scala.util.control.NonFatal(_) =>
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression] }
+    def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
+      statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
+    val (hit, rest) = lines.partition { l =>
+      val e = entryOf(l)
+      conjuncts.forall(c =>
+        !graft.sources.GraftLakeBatch.excludes(c, e, physOf))
+    }
+    if (hit.isEmpty) return latest // every file provably misses: no-op
+    val version = latest + 1
+    // DV-aware, physical-decoded, logical-projected — the standard funnel
+    val rows = readFilesAs(spark, fs, root, latest,
+      hit.map(pathOf).toIndexedSeq)
+    val hitCond = coalesce(cond, lit(false))
+    val setMap = sets.toMap
+    val updated = rows.select(st.fields.toSeq.map { f =>
+      setMap.get(f.name) match {
+        case Some(v) =>
+          when(hitCond, v.cast(f.dataType)).otherwise(col(f.name))
+            .as(f.name, f.metadata)
+        case None => col(f.name)
+      }
+    }: _*)
+    val partCols = snapshotPartitionColumns(outDir, latest)
+    val fresh =
+      if (partCols.nonEmpty)
+        // re-laid-out with fresh p= specs: the rewrite must not leave a
+        // partitioned table inconsistently partitioned
+        writePartitionedEpoch(spark, fs, root, version, updated,
+          partCols, math.max(1, hit.size), None)
+      else writeEpoch(fs, root, version, updated)._2
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root, meta ++ Map(
+          "updated_from" -> latest.toString,
+          "updated_files" -> hit.size.toString)),
+        st.json, op = "update"), rest ++ fresh)
     version
   }
 
@@ -2585,18 +2835,49 @@ object Export {
     require(updates.columns.toSeq.sorted == cols.sorted,
       s"schema mismatch: table ${cols.sorted} vs updates " +
         s"${updates.columns.toSeq.sorted}")
+    // a MoR insert epoch carries no p= specs — ONE such commit into a
+    // partitioned table would leave it inconsistently partitioned and
+    // every later partition-scoped merge refused (the sink's morUpsert
+    // guard, enforced here so the SQL procedure / direct API can't
+    // slip past it)
+    require(lines.forall(l => partitionOf(l).isEmpty),
+      s"upsertSnapshotMoR into $outDir: the table is hive-partitioned " +
+        "and the MoR insert epoch would carry no partition specs, " +
+        "breaking every later partition-scoped merge. Use " +
+        "mergeSnapshotPartitioned(Latest) - partition-scoped rewrites " +
+        "- for partitioned tables")
+    // zone arithmetic is integral: a non-integral cluster key would
+    // cast its envelope to null and silently skip matched incumbents
+    clusterKey.foreach { k =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val t = st.fields.find(_.name == k).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"clusterKey '$k' is not a " +
+          s"table column (${cols.mkString(", ")})"))
+      require(Set[org.apache.spark.sql.types.DataType](ByteType,
+          ShortType, IntegerType, LongType).contains(t),
+        s"clusterKey '$k' must be an integral column for zone " +
+          s"arithmetic, got $t")
+    }
 
     // one winner per key WITHIN the batch (upsertLatest's own law)
     val u = Merge.upsertLatest(updates.limit(0), updates,
       keyCols, orderCols)
 
     // zone-pruned candidates: only files whose key zone overlaps the
-    // batch envelope can hold a matched row (zoneless lines must scan)
+    // batch envelope can hold a matched row (zoneless lines must scan).
+    // A batch containing NULL cluster keys gets no envelope guarantee —
+    // its null-key rows can match incumbents in ANY file, so candidacy
+    // degrades to every line (correctness over pruning; the old
+    // behavior treated a null envelope as "touch nothing" and could
+    // commit duplicate keys).
     val (candidate, untouched) = clusterKey match {
       case Some(k) =>
         val env = u.agg(min(col(k)).cast("long"),
-          max(col(k)).cast("long")).collect().head
-        if (env.isNullAt(0)) (Seq.empty[String], lines)
+          max(col(k)).cast("long"), count(lit(1)), count(col(k)))
+          .collect().head
+        if (env.getLong(2) == 0L) (Seq.empty[String], lines) // empty batch
+        else if (env.isNullAt(0) || env.getLong(3) < env.getLong(2))
+          (lines, Seq.empty[String]) // null keys: can't prove exclusion
         else {
           val (bmin, bmax) = (env.getLong(0), env.getLong(1))
           lines.partition(l => zoneOf(l) match {
@@ -2744,15 +3025,16 @@ object Export {
     val latest = latestSnapshotVersion(outDir)
     require(latest > 0, s"nothing to compact under $outDir")
     val (fs, root) = fsRoot(outDir)
-    val version = latest + 1
+    val baseLines = dataLines(readManifestRaw(fs, root, latest))
     val rows = readSnapshot(spark, outDir, latest)
-    val lines = writeClusteredEpoch(spark, fs, root, version,
+    val fresh = writeClusteredEpoch(spark, fs, root, latest + 1,
       rows, keyCol, nFiles)
-    commitManifest(fs, root, version,
-      internalMeta(fs, root,
-        carryBatch(fs, root, Map("compacted_from" -> latest.toString)),
-        rows.schema.json, op = "compact"), lines)
-    version
+    // same commute-with-appends retry as the plain compaction: a
+    // carried append's lines are unzoned, so pruning degrades
+    // gracefully there (zoneless lines always scan) until the next
+    // clustered compaction re-sorts them
+    commitCompactionFrom(fs, root, latest, baseLines, fresh,
+      rows.schema.json)
   }
 
   /** Partition-scoped OPTIMIZE (`OPTIMIZE t WHERE dt = ...`): rewrite

@@ -32,16 +32,29 @@ object InvertedIndex {
     * `tf` (occurrences) and `dl` (the document's token count).
     * Tokenization is the engine's standard normalize-then-whitespace
     * kernel ([[Dedup.normalized]]/[[Dedup.tokensOf]]) — the same one
-    * every corpus gate replays in DuckDB. */
+    * every corpus gate replays in DuckDB. With `withPositions`, each
+    * posting also carries the token's sorted 0-based POSITIONS in the
+    * document (`pos`, array<int>) — the Lucene positional-postings
+    * layout that makes [[searchPhrase]] answerable from the index
+    * alone (cost: one posexplode + the position arrays' bytes; leave
+    * it off for boolean/BM25-only serving). */
   def buildPostings(df: DataFrame, textCol: String,
-      idCol: String): DataFrame =
-    df.filter(col(textCol).isNotNull)
+      idCol: String, withPositions: Boolean = false): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         Dedup.tokensOf(Dedup.normalized(col(textCol))).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
-      .select(col(idCol), col("dl"), explode(col("_toks")).as("token"))
-      .groupBy(col("token"), col(idCol), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+    if (withPositions)
+      toks.select(col(idCol), col("dl"),
+          posexplode(col("_toks")).as(Seq("_p", "token")))
+        .groupBy(col("token"), col(idCol), col("dl"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("_p"))).as("pos"))
+    else
+      toks.select(col(idCol), col("dl"), explode(col("_toks")).as("token"))
+        .groupBy(col("token"), col(idCol), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+  }
 
   /** Write the index under `outDir`:
     * `shard=<s>/` postings parquet partitioned by a content-addressed
@@ -61,10 +74,11 @@ object InvertedIndex {
     * stats prune to the terms' sorted runs — query I/O proportional to
     * the TERMS' postings, not the corpus. */
   def writeIndex(spark: SparkSession, df: DataFrame, textCol: String,
-      idCol: String, outDir: String, nShards: Int): Unit = {
+      idCol: String, outDir: String, nShards: Int,
+      withPositions: Boolean = false): Unit = {
     require(nShards > 0 && nShards <= 65536,
       s"sharding addresses at most 65536 shards, got $nShards")
-    buildPostings(df, textCol, idCol)
+    buildPostings(df, textCol, idCol, withPositions)
       .withColumn("shard", shardExpr(col("token"), nShards))
       .sortWithinPartitions("shard", "token")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
@@ -75,6 +89,7 @@ object InvertedIndex {
       .withColumn("n_shards", lit(nShards))
       .withColumn("hash", lit(hashKindOf(nShards)))
       .withColumn("id_col", lit(idCol))
+      .withColumn("positions", lit(withPositions))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_global")
   }
@@ -90,27 +105,31 @@ object InvertedIndex {
     if (nShards <= 16) Export.shardOf(tok, nShards)
     else Export.shardOfWide(tok, nShards)
 
-  /** Read the `_global` sidecar row:
-    * (n_docs, sum_dl, n_shards, hash kind, id_col). A pre-`hash` legacy
-    * sidecar is always a nibble layout (wide sharding shipped with the
-    * column). */
+  /** The `_global` sidecar row: corpus constants + layout contract. A
+    * pre-`hash` legacy sidecar is always a nibble layout and a
+    * pre-`positions` one never carries positions (both columns shipped
+    * with their features). */
+  private[operators] final case class IndexMeta(nDocs: Long, sumDl: Long,
+    nShards: Int, hash: String, idCol: String, positions: Boolean)
+
   private def readGlobal(spark: SparkSession, indexDir: String)
-      : (Long, Long, Int, String, String) = {
+      : IndexMeta = {
     val g = spark.read.parquet(s"$indexDir/_global").collect()(0)
     val kind =
       if (g.schema.fieldNames.contains("hash")) g.getAs[String]("hash")
       else "nibble"
-    (g.getAs[Long]("n_docs"), g.getAs[Long]("sum_dl"),
-      g.getAs[Int]("n_shards"), kind, g.getAs[String]("id_col"))
+    val pos = g.schema.fieldNames.contains("positions") &&
+      g.getAs[Boolean]("positions")
+    IndexMeta(g.getAs[Long]("n_docs"), g.getAs[Long]("sum_dl"),
+      g.getAs[Int]("n_shards"), kind, g.getAs[String]("id_col"), pos)
   }
 
   private def writeGlobal(spark: SparkSession, indexDir: String,
-      nDocs: Long, sumDl: Long, nShards: Int, hash: String,
-      idCol: String): Unit =
+      m: IndexMeta): Unit =
     spark.range(1)
-      .select(lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"),
-        lit(nShards).as("n_shards"), lit(hash).as("hash"),
-        lit(idCol).as("id_col"))
+      .select(lit(m.nDocs).as("n_docs"), lit(m.sumDl).as("sum_dl"),
+        lit(m.nShards).as("n_shards"), lit(m.hash).as("hash"),
+        lit(m.idCol).as("id_col"), lit(m.positions).as("positions"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/_global")
 
@@ -136,11 +155,13 @@ object InvertedIndex {
     * transactional tier. */
   def appendToIndex(spark: SparkSession, df: DataFrame, textCol: String,
       indexDir: String): Unit = {
-    val (nDocs, sumDl, nShards, hash, idCol) = readGlobal(spark, indexDir)
-    buildPostings(df, textCol, idCol)
+    val m = readGlobal(spark, indexDir)
+    // the layout contract rides _global: an append into a positional
+    // index carries positions too, so searchPhrase keeps serving
+    buildPostings(df, textCol, m.idCol, m.positions)
       .withColumn("shard",
-        if (hash == "wide") Export.shardOfWide(col("token"), nShards)
-        else Export.shardOf(col("token"), nShards))
+        if (m.hash == "wide") Export.shardOfWide(col("token"), m.nShards)
+        else Export.shardOf(col("token"), m.nShards))
       .sortWithinPartitions("shard", "token")
       .write.mode("append").partitionBy("shard").parquet(indexDir)
     val s = df.filter(col(textCol).isNotNull)
@@ -148,8 +169,9 @@ object InvertedIndex {
         .cast("long").as("_dl"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("_dl")), lit(0L)).as("s"))
       .collect()(0)
-    writeGlobal(spark, indexDir, nDocs + s.getAs[Long]("n"),
-      sumDl + s.getAs[Long]("s"), nShards, hash, idCol)
+    writeGlobal(spark, indexDir, m.copy(
+      nDocs = m.nDocs + s.getAs[Long]("n"),
+      sumDl = m.sumDl + s.getAs[Long]("s")))
   }
 
   /** Tombstone DELETE for the serving index — the merge-on-read
@@ -168,7 +190,7 @@ object InvertedIndex {
   def deleteFromIndex(spark: SparkSession, indexDir: String,
       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "delete needs at least one doc id")
-    val (nDocs, sumDl, nShards, hash, idCol) = readGlobal(spark, indexDir)
+    val m = readGlobal(spark, indexDir)
     val (fs, _) = Export.fsRoot(indexDir)
     val delDir = s"$indexDir/_deletes"
     val existing =
@@ -180,16 +202,17 @@ object InvertedIndex {
     // per-doc dl from the postings themselves (dl rides every posting
     // row); bounded collect — one row per deleted doc actually indexed
     val found = spark.read.parquet(indexDir)
-      .filter(col(idCol).isInCollection(fresh))
-      .groupBy(col(idCol))
+      .filter(col(m.idCol).isInCollection(fresh))
+      .groupBy(col(m.idCol))
       .agg(first(col("dl")).as("_dl"))
       .collect()
     import spark.implicits._
-    fresh.toDF(idCol)
+    fresh.toDF(m.idCol)
       .coalesce(1)
       .write.mode("append").parquet(delDir)
-    writeGlobal(spark, indexDir, nDocs - found.length,
-      sumDl - found.map(_.getAs[Long]("_dl")).sum, nShards, hash, idCol)
+    writeGlobal(spark, indexDir, m.copy(
+      nDocs = m.nDocs - found.length,
+      sumDl = m.sumDl - found.map(_.getAs[Long]("_dl")).sum))
   }
 
   /** TOMBSTONE COMPACTION: fold the `_deletes/` sidecar into rewritten
@@ -207,21 +230,23 @@ object InvertedIndex {
     * contract as [[Export.writeShards]]: the lake manifests are the
     * transactional tier). */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    val (_, _, nShards, hash, idCol) = readGlobal(spark, indexDir)
+    val m = readGlobal(spark, indexDir)
     val (fs, root) = Export.fsRoot(indexDir)
     val delPath = new org.apache.hadoop.fs.Path(root, "_deletes")
     val live0 = spark.read.parquet(indexDir)
     val live =
       if (fs.exists(delPath))
         live0.join(broadcast(spark.read.parquet(delPath.toString)),
-          Seq(idCol), "left_anti")
+          Seq(m.idCol), "left_anti")
       else live0
     val staging = new org.apache.hadoop.fs.Path(root, "_compact_staging")
     fs.delete(staging, true)
     // the read-back frame carries `shard` as the partition column —
-    // reuse it verbatim (same hash, same layout) rather than re-hashing
-    live.select(col("token"), col(idCol), col("dl"), col("tf"),
-        col("shard"))
+    // reuse it verbatim (same hash, same layout) rather than re-hashing;
+    // positional postings carry their pos arrays through unchanged
+    val kept = Seq(col("token"), col(m.idCol), col("dl"), col("tf")) ++
+      (if (m.positions) Seq(col("pos")) else Nil) :+ col("shard")
+    live.select(kept: _*)
       .sortWithinPartitions("shard", "token")
       .write.partitionBy("shard").parquet(staging.toString)
     fs.listStatus(root).toSeq
@@ -277,22 +302,45 @@ object InvertedIndex {
       lnIdf: Boolean = false): DataFrame =
     search(spark, indexDir, terms, k, k1, b, lnIdf, requireAll = false)
 
+  /** EXACT-PHRASE search — the second query every search user types:
+    * documents whose normalized token stream contains `terms`
+    * CONSECUTIVELY, ranked by the same BM25 as [[searchAnd]] (phrase
+    * containment gates candidacy; scoring stays the per-term scorer,
+    * bit-identical to the full-scan replay). Needs a POSITIONAL index
+    * (`writeIndex(..., withPositions = true)`) — refused loudly on a
+    * positions-less layout. I/O shape is exactly the AND probe: only
+    * the phrase terms' shard dirs are planned, the adjacency check
+    * (`exists(pos_0, p -> pos_i contains p+i ∀i)`) runs on the probed
+    * postings' position arrays — no document text is ever re-read. */
+  def searchPhrase(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      lnIdf: Boolean = false): DataFrame = {
+    require(terms.size >= 2,
+      "a phrase needs at least two terms (use searchAnd for one)")
+    search(spark, indexDir, terms, k, k1, b, lnIdf, requireAll = true,
+      phrase = Some(terms))
+  }
+
   private def search(spark: SparkSession, indexDir: String,
       terms: Seq[String], k: Int, k1: Double, b: Double,
-      lnIdf: Boolean, requireAll: Boolean): DataFrame = {
+      lnIdf: Boolean, requireAll: Boolean,
+      phrase: Option[Seq[String]] = None): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     require(k > 0, s"k must be positive, got $k")
-    val (nDocs, sumDl, nShards, hash, idCol) = readGlobal(spark, indexDir)
-    val n = nDocs.toDouble
-    val avgdl = sumDl.toDouble / n
+    val m = readGlobal(spark, indexDir)
+    phrase.foreach(_ => require(m.positions,
+      s"$indexDir carries no token positions - rebuild with " +
+        "writeIndex(..., withPositions = true) to serve phrase queries"))
+    val n = m.nDocs.toDouble
+    val avgdl = m.sumDl.toDouble / n
     val qTerms = terms.distinct
-    val dirs = qTerms.map(t => shardOfToken(t, nShards, hash)).distinct
-      .map(s => s"$indexDir/shard=$s")
+    val dirs = qTerms.map(t => shardOfToken(t, m.nShards, m.hash))
+      .distinct.map(s => s"$indexDir/shard=$s")
     val (fs, _) = Export.fsRoot(indexDir)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.StructField(m.idCol,
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("bm25",
           org.apache.spark.sql.types.DoubleType))))
@@ -310,7 +358,7 @@ object InvertedIndex {
     val post =
       if (fs.exists(new org.apache.hadoop.fs.Path(delDir)))
         post0.join(broadcast(spark.read.parquet(delDir)),
-          Seq(idCol), "left_anti")
+          Seq(m.idCol), "left_anti")
       else post0
     // document frequency per term = that term's postings count; the
     // broadcast is |terms| rows
@@ -324,27 +372,45 @@ object InvertedIndex {
           lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl").cast("double") / lit(avgdl)))
     }
+    // per-term lanes: the weight, and (phrase mode) the positions —
+    // one posting per (doc, term), so first(ignoreNulls) is exact
     val aggs = qTerms.zipWithIndex.map { case (t, i) =>
-      max(when(col("token") === lit(t), col("_w"))).as(s"_w_$i") }
+      max(when(col("token") === lit(t), col("_w"))).as(s"_w_$i") } ++
+      phrase.toSeq.flatMap(_ => qTerms.zipWithIndex.map { case (t, i) =>
+        first(when(col("token") === lit(t), col("pos")),
+          ignoreNulls = true).as(s"_p_$i") })
     val grouped = post.join(broadcast(dfs), "token")
       .withColumn("_w", w)
-      .groupBy(col(idCol))
+      .groupBy(col(m.idCol))
       .agg(aggs.head, aggs.tail: _*)
     // AND keeps only all-terms docs and sums plain lanes; OR admits any
     // posting-bearing doc and sums with an absent lane contributing
     // exactly 0.0 — the same value the full-scan scorer's tf=0
     // numerator yields, so both modes replay bit-identically
-    val keep =
+    val keepTerms =
       if (requireAll) qTerms.indices
         .map(i => col(s"_w_$i").isNotNull).reduce(_ && _)
       else lit(true) // every grouped doc has >=1 posting by construction
+    // phrase adjacency: some start position p of the first term has
+    // every following term at p+offset (lanes are keyed by DISTINCT
+    // term, so a repeated phrase word checks its one lane at each of
+    // its offsets)
+    val keep = phrase match {
+      case Some(ph) =>
+        val lane = ph.map(t => qTerms.indexOf(t))
+        keepTerms && exists(col(s"_p_${lane.head}"), p =>
+          lane.zipWithIndex.tail.map { case (l, off) =>
+            array_contains(col(s"_p_$l"), p + off)
+          }.reduce(_ && _))
+      case None => keepTerms
+    }
     val score =
       if (requireAll) qTerms.indices.map(i => col(s"_w_$i")).reduce(_ + _)
       else qTerms.indices.map(i => coalesce(col(s"_w_$i"), lit(0.0)))
         .reduce(_ + _)
     grouped.filter(keep)
-      .select(col(idCol), round(score, 6).as("bm25"))
-      .orderBy(col("bm25").desc, col(idCol))
+      .select(col(m.idCol), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(m.idCol))
       .limit(k)
   }
 }

@@ -502,10 +502,18 @@ object Curation {
     * incremental/delete/wide/compact/or index gates, which must all
     * serve exactly this ranking. */
   private def searchIndexOracle(terms: Seq[String], k: Int,
-      where: String, anyTerm: Boolean = false): String = {
+      where: String, anyTerm: Boolean = false,
+      phrase: Option[Seq[String]] = None): String = {
     val tfs = terms.indices.map(i =>
       s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i")
       .mkString(",\n        ")
+    // exact-phrase presence on the SAME token stream: the space-joined
+    // tokens contain the space-joined phrase with word boundaries
+    val phSel = phrase.map(p =>
+      s""",
+         |        (instr(' ' || array_to_string(toks, ' ') || ' ',
+         |               ' ${p.mkString(" ")} ') > 0) AS ph""".stripMargin)
+      .getOrElse("")
     val dfs = terms.indices.map(i =>
       s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i")
       .mkString(", ")
@@ -514,12 +522,13 @@ object Curation {
         s" / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
       .mkString("\n  + ")
     val conj = terms.indices.map(i => s"tf_$i > 0")
-      .mkString(if (anyTerm) " OR " else " AND ")
+      .mkString(if (anyTerm) " OR " else " AND ") +
+      phrase.map(_ => " AND ph").getOrElse("")
     s"""WITH d AS (SELECT doc_id,
        |        list_filter(str_split($NormSql, ' '), t -> t != '') AS toks
        |      FROM documents WHERE text IS NOT NULL$where),
        |t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-       |        $tfs
+       |        $tfs$phSel
        |      FROM d),
        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
        |        $dfs FROM t)
@@ -528,6 +537,31 @@ object Curation {
        |WHERE $conj
        |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** EXACT-PHRASE search from the POSITIONAL index
+    * ([[graft.operators.InvertedIndex.searchPhrase]]), hash-matched:
+    * the corpus is indexed with per-posting token positions, and the
+    * phrase query "table scan" is answered ENTIRELY from the probed
+    * postings — the two terms' shard dirs are planned, candidacy is
+    * the position-adjacency check (∃p: p ∈ pos(table) ∧ p+1 ∈
+    * pos(scan)), and ranking is the same per-term BM25 as the AND
+    * probe. DuckDB replays phrase containment on the space-joined
+    * token stream + the full-scan scorer; scores must hash-match. */
+  def q_search_index_phrase(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"invidx_ph_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    graft.operators.InvertedIndex.writeIndex(s, docs, "text", "doc_id",
+      od, nShards = 8, withPositions = true)
+    graft.operators.InvertedIndex.searchPhrase(s, od,
+      Seq("table", "scan"), k = 15)
+  }
+
+  val q_search_index_phrase_sql: String =
+    searchIndexOracle(Seq("table", "scan"), k = 15, where = "",
+      phrase = Some(Seq("table", "scan")))
 
   /** MMR-diversified ANN serving ([[graft.operators.Similarity.mmrRerank]]
     * — Carbonell & Goldstein 1998), hash-matched: three query vectors
@@ -5581,4 +5615,106 @@ object Curation {
       |FROM documents
       |WHERE doc_id % 3 != 0 AND n_chars > 200
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** NATIVE `MERGE INTO` SQL on a catalog table
+    * ([[graft.plans.RewriteGraftLakeDml]]): the canonical upsert
+    * statement — `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    * INSERT *` — routed to the audited [[graft.operators.Merge.upsert]]
+    * commit. Updates bump every fifth doc's n_chars AND insert brand-new
+    * keys, so both MERGE legs execute. The in-gate require pins the SQL
+    * result row-identical to the Scala-API upsert over the pre-state
+    * (the verdict's ≡ condition); DuckDB replays the upsert from first
+    * principles. */
+  def q_sql_merge_into(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlmi_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glmi",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glmi.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glmi.g")
+    s.sql("DROP TABLE IF EXISTS glmi.g.docs")
+    s.sql("CREATE TABLE glmi.g.docs (doc_id BIGINT, n_chars BIGINT)")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_sql_mi_src")
+    s.sql("INSERT INTO glmi.g.docs SELECT doc_id, n_chars " +
+      "FROM q_sql_mi_src")
+    s.sql("""SELECT doc_id, n_chars + 100 AS n_chars
+        FROM q_sql_mi_src WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 100000, doc_id FROM q_sql_mi_src
+        WHERE doc_id % 50 = 1""")
+      .createOrReplaceTempView("q_sql_mi_updates")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val before = graft.operators.Export.readSnapshot(s, dirT,
+      graft.operators.Export.latestSnapshotVersion(dirT))
+    val expected = graft.operators.Merge.upsert(before,
+      s.table("q_sql_mi_updates"), Seq("doc_id"))
+    s.sql("MERGE INTO glmi.g.docs t USING q_sql_mi_updates s " +
+      "ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val got = s.sql("SELECT doc_id, n_chars FROM glmi.g.docs")
+    // ≡ the Scala-API result, row for row (the verdict's Done bar)
+    require(got.exceptAll(expected).isEmpty &&
+      expected.exceptAll(got).isEmpty,
+      "SQL MERGE INTO diverged from the Scala-API Merge.upsert result")
+    s.sql("SELECT doc_id, n_chars FROM glmi.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_merge_into_sql: String =
+    """WITH upd AS (SELECT doc_id, n_chars + 100 AS n_chars
+      |             FROM documents WHERE doc_id % 5 = 0
+      |             UNION ALL
+      |             SELECT doc_id + 100000, doc_id FROM documents
+      |             WHERE doc_id % 50 = 1)
+      |SELECT doc_id, n_chars FROM upd
+      |UNION ALL
+      |SELECT doc_id, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      |ORDER BY doc_id""".stripMargin
+
+  /** NATIVE `UPDATE` SQL on a PARTITIONED catalog table
+    * ([[graft.plans.RewriteGraftLakeDml]] →
+    * [[graft.operators.Export.updateWhere]]): rows matching the
+    * predicate take the assignment, everything else carries — and the
+    * rewrite is FILE-SCOPED: the `lang = 'en'` equality prunes every
+    * other partition's files through the manifest `p=` tags (the
+    * in-gate require pins the untouched partitions' files carried
+    * verbatim into the new version). DuckDB replays the CASE
+    * expression. */
+  def q_sql_update(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlup_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glup",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glup.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glup.g")
+    s.sql("DROP TABLE IF EXISTS glup.g.docs")
+    s.sql("CREATE TABLE glup.g.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_sql_up_src")
+    s.sql("INSERT INTO glup.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_sql_up_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v0 = E.latestSnapshotVersion(dirT)
+    val othersBefore = E.snapshotManifestEntries(dirT, v0)
+      .filter(!_.partition.get("lang").contains("en")).map(_.path).toSet
+    s.sql("UPDATE glup.g.docs SET n_chars = n_chars * 2 + doc_id " +
+      "WHERE lang = 'en' AND n_chars > 200")
+    val v1 = E.latestSnapshotVersion(dirT)
+    val othersAfter = E.snapshotManifestEntries(dirT, v1)
+      .filter(!_.partition.get("lang").contains("en")).map(_.path).toSet
+    require(v1 == v0 + 1 && othersAfter == othersBefore,
+      "UPDATE rewrote files its lang='en' predicate provably excludes")
+    s.sql("SELECT doc_id, lang, n_chars FROM glup.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_update_sql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN lang = 'en' AND n_chars > 200
+      |       THEN n_chars * 2 + doc_id ELSE n_chars END AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -103,7 +103,7 @@ object GraftLakeBatch {
   // ---- shared manifest-tag pruning kernel (batch FileIndex + the
   // streaming source's `where`-option planning both call these)
 
-  private[sources] def splitConjuncts(e: Expression): Seq[Expression] =
+  private[graft] def splitConjuncts(e: Expression): Seq[Expression] =
     e match {
       case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
       case other => Seq(other)
@@ -132,7 +132,7 @@ object GraftLakeBatch {
     * be resolved (the batch FileIndex's pushed filters) or unresolved
     * (the stream source's parsed `where` option) — both are
     * [[Attribute]]s and only the name is consulted. */
-  private[sources] def excludes(c: Expression, e: Export.ManifestEntry,
+  private[graft] def excludes(c: Expression, e: Export.ManifestEntry,
       physOf: Map[String, String]): Boolean = {
     def statRange(a: Attribute): Option[(Long, Long)] =
       e.stats.get(physOf.getOrElse(a.name, a.name))

@@ -144,14 +144,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       s"partition column '$c' is not in the table schema"))
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    val spark = SparkSession.active
     // a zero-file v1 commit carrying the schema (and the declared
     // layout - the first INSERT reads it back, every later one derives
-    // it from the committed p= specs): an empty but typed table
-    Export.appendSnapshot(spark,
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      dir,
+    // it from the committed p= specs): an empty but typed table.
+    // ZERO files matters: an empty parquet part file would carry no
+    // p= spec and poison partition-scoped DML on the table forever
+    Export.createEmptySnapshot(dir, schema,
       meta = if (partCols.isEmpty) Map.empty
         else Map("partition_cols" -> partCols.mkString(",")))
     new GraftLakeTable(catalogName, ident, dir)
