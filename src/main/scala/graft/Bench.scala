@@ -181,6 +181,31 @@ object Bench {
         awaitQuiet(s"$tag-requeue")
         p = run
       }
+      // CONTENDED-WINDOW VOIDING even ABOVE the floor (r12 verdict #2 —
+      // ingest parity with the query phase): three rounds running, the
+      // official ingest headline was a contended-window number that a
+      // quiet rerun beat 2-3×. An above-floor-but-contended probe is
+      // re-queued once after a fresh quiet wait, and the QUIETER window
+      // (by max external cores, spread as tie-break) becomes official —
+      // a still-contended number self-identifies via ingest_contended
+      // instead of impersonating a quiet one.
+      if (p.contended(loadGate) &&
+          !(floorApplies && p.rate < IngestFloorMibPerSec)) {
+        System.err.println(f"BENCH[$tag]: window CONTENDED (ext cores=" +
+          p.extCores.map(l => f"$l%.1f").mkString(",") +
+          f" spread=${p.spread}%.2f) — voiding, re-queuing once")
+        voidedRuns += 1
+        awaitQuiet(s"$tag-requeue")
+        val p2 = run
+        val quieter =
+          if (p2.extCores.maxOption.getOrElse(0.0) <
+              p.extCores.maxOption.getOrElse(0.0)) p2
+          else if (p.extCores.maxOption == p2.extCores.maxOption &&
+              p2.spread < p.spread) p2
+          else if (!p2.contended(loadGate)) p2
+          else p
+        p = quieter
+      }
       // clean below-floor: one retry to rule out a one-shot dip (r4
       // lesson — a single sample is indistinguishable from a regression)
       var retried = false

@@ -165,9 +165,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     *   ALTER TABLE c.ns.t ALTER COLUMN a TYPE BIGINT → widenSnapshotColumn
     *
     * Nested fields and column moves/defaults are not lake concepts here
-    * — refused loudly, never half-applied (changes apply one at a time
-    * in statement order; Spark sends one ALTER statement's changes in
-    * one call, and each lake commit is atomic). */
+    * — refused loudly, never half-applied: EVERY change in the call is
+    * validated against the (simulated) evolving schema BEFORE the first
+    * one commits, so a multi-change statement whose later change is
+    * invalid (e.g. `ADD COLUMNS (a INT, a INT)`, a rename collision, a
+    * narrowing type) refuses as a whole instead of leaving the table
+    * half-altered. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -178,24 +181,58 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
           "supported - lake columns are top-level")
       fieldNames.head
     }
+    // PHASE 1 — validate the whole list against the evolving schema;
+    // commits nothing, throws on the FIRST invalid change
+    val head = Export.latestSnapshotVersion(dir)
+    var names = Export.snapshotSchema(dir, head)
+      .map(_.fields.map(f => f.name -> f.dataType).toVector)
+      .getOrElse(Vector.empty)
+    def has(n: String) = names.exists(_._1 == n)
     changes.foreach {
       case c: TableChange.RenameColumn =>
-        Export.renameSnapshotColumn(dir,
-          topLevel(c.fieldNames, "RENAME COLUMN"), c.newName)
+        val from = topLevel(c.fieldNames, "RENAME COLUMN")
+        require(has(from), s"RENAME COLUMN: no column '$from'")
+        require(!has(c.newName),
+          s"RENAME COLUMN: '${c.newName}' already exists")
+        names = names.map { case (n, t) =>
+          (if (n == from) c.newName else n) -> t }
       case c: TableChange.DeleteColumn =>
-        Export.dropSnapshotColumn(dir,
-          topLevel(c.fieldNames, "DROP COLUMN"))
+        val n = topLevel(c.fieldNames, "DROP COLUMN")
+        require(has(n), s"DROP COLUMN: no column '$n'")
+        require(names.size > 1,
+          "DROP COLUMN: cannot drop the table's last column")
+        names = names.filterNot(_._1 == n)
       case c: TableChange.AddColumn =>
+        val n = topLevel(c.fieldNames, "ADD COLUMN")
         require(c.isNullable,
           "ADD COLUMN must be nullable - existing rows read back null")
-        Export.addSnapshotColumn(dir,
-          topLevel(c.fieldNames, "ADD COLUMN"), c.dataType)
+        require(!has(n), s"ADD COLUMN: '$n' already exists")
+        names = names :+ (n -> c.dataType)
       case c: TableChange.UpdateColumnType =>
-        Export.widenSnapshotColumn(dir,
-          topLevel(c.fieldNames, "ALTER COLUMN TYPE"), c.newDataType)
+        val n = topLevel(c.fieldNames, "ALTER COLUMN TYPE")
+        val cur = names.find(_._1 == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER COLUMN TYPE: no column '$n'"))._2
+        require(Export.widens(cur, c.newDataType),
+          s"ALTER COLUMN TYPE: $cur -> ${c.newDataType} is not a safe " +
+            "widening (integral up-chain or float->double only)")
+        names = names.map { case (m, t) =>
+          m -> (if (m == n) c.newDataType else t) }
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other - the lake supports " +
           "RENAME/DROP/ADD COLUMN and safe type widening")
+    }
+    // PHASE 2 — apply; each lake commit is atomic and pre-validated
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        Export.renameSnapshotColumn(dir, c.fieldNames.head, c.newName)
+      case c: TableChange.DeleteColumn =>
+        Export.dropSnapshotColumn(dir, c.fieldNames.head)
+      case c: TableChange.AddColumn =>
+        Export.addSnapshotColumn(dir, c.fieldNames.head, c.dataType)
+      case c: TableChange.UpdateColumnType =>
+        Export.widenSnapshotColumn(dir, c.fieldNames.head, c.newDataType)
+      case other => throw new IllegalStateException(s"unreachable: $other")
     }
     new GraftLakeTable(catalogName, ident, dir)
   }

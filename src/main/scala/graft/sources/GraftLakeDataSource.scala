@@ -499,13 +499,54 @@ final class GraftLakeSource(spark: SparkSession,
     * PHYSICAL column identity). Each version's changes — emitted under
     * that version's own names — are aligned to the PINNED stream schema
     * by physical name: renamed columns line up, later-dropped columns
-    * vanish, later-added columns null-fill. */
+    * vanish, later-added columns null-fill.
+    *
+    * PLAN WIDTH is O(non-append commits), not O(versions) (r12 verdict
+    * #6): for an APPEND commit the bag diff against its predecessor IS
+    * the added files' rows (manifest(v) = manifest(prev) ⊎ added — the
+    * exceptAll cancels everything else), so every pure-append version
+    * in the batch is served by ONE shared multi-file scan whose rows
+    * get their `_commit_version` from a broadcast file→version map
+    * (the manifest's own qualified paths against
+    * `_metadata.file_path` — the provenance equality the DV sidecars
+    * already rely on). A 50-version catch-up over a streaming-sink log
+    * plans ONE scan + ONE broadcast join instead of a 50-way union of
+    * 100 exceptAll scans. Non-append versions (and DV-bearing added
+    * lines, whose rows need the anti-join funnel) keep the exact
+    * per-version diff. */
   private def cdfBatch(versions: Seq[Long]): DataFrame = {
     // the survivor list is resolved ONCE per getBatch and shared by
     // every version's diff — not once per version (O(V²) metadata reads
     // on a catch-up batch)
     val survivors = Export.snapshotVersions(path)
-    val parts = versions.map { v =>
+    val (appendVs, diffVs) = cdfGroups(versions, survivors)
+    val appendPart: Option[DataFrame] = {
+      val fileVer: Seq[(String, Long)] = appendVs.flatMap(v =>
+        Export.snapshotAddedEntries(path, v.toInt).map(e => (e.path, v)))
+      if (fileVer.isEmpty) None
+      else {
+        val phys = StructType(dataSchema.fields.map(f =>
+          f.copy(name = Export.physicalOf(f))))
+        val scan = spark.read.schema(phys)
+          .parquet(fileVer.map(_._1): _*)
+        val fcol = Export.freshName("__cdf_file",
+          phys.fieldNames.toSeq ++ Seq(ChangeCol, CommitVersionCol))
+        val fv = spark.createDataset(fileVer)(
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.scalaLong))
+          .toDF(fcol, CommitVersionCol)
+        val tagged = scan
+          .withColumn(fcol, col("_metadata.file_path"))
+          .join(broadcast(fv), Seq(fcol))
+          .drop(fcol)
+        val dataCols = dataSchema.fields.toSeq.map(f =>
+          col(Export.physicalOf(f)).as(f.name))
+        Some(tagged.select(dataCols ++ Seq(lit("insert").as(ChangeCol),
+          col(CommitVersionCol)): _*))
+      }
+    }
+    val diffParts = diffVs.map { v =>
       val prev = survivors.filter(_ < v.toInt).lastOption
       val d = prev match {
         case Some(p) => Export.snapshotDiff(spark, path, p, v.toInt)
@@ -514,9 +555,27 @@ final class GraftLakeSource(spark: SparkSession,
       }
       alignToPinned(d.withColumn(CommitVersionCol, lit(v)))
     }
+    val parts = appendPart.toSeq ++ diffParts
     if (parts.isEmpty) emptyFrame(schema)
     else parts.reduce(_.unionByName(_))
   }
+
+  /** The CDF plan grouping: (versions served by the ONE shared
+    * added-files scan, versions needing a per-version diff).
+    * Package-visible so the spec can assert a catch-up batch's plan is
+    * O(non-append commits) wide. The shared scan is sound only when
+    * the version diffs against its IMMEDIATE predecessor (or is the
+    * log's first survivor — insert-everything): an append whose
+    * predecessor was vacuumed diffs against an older survivor, where
+    * "pure add" no longer holds (intervening rewrites fold into the
+    * gap), so it keeps the exact diff path. */
+  private[sources] def cdfGroups(versions: Seq[Long],
+      survivors: Seq[Int]): (Seq[Long], Seq[Long]) =
+    versions.partition { v =>
+      Export.snapshotOperation(path, v.toInt).contains("append") &&
+        survivors.filter(_ < v.toInt).lastOption.forall(_ == v.toInt - 1) &&
+        Export.snapshotAddedEntries(path, v.toInt).forall(!_.hasDv)
+    }
 
   /** Project a CDF part (data columns under ITS version's names + the
     * two tag columns) onto the pinned stream schema by physical column

@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.StructType
   * The mapping is captured at relation-build time (driver-side); the
   * reader function the superclass returns closes over only the renamed
   * schemas, so tasks ship nothing extra. */
-final class GraftMappedParquetFormat(physOf: Map[String, String])
+final class GraftMappedParquetFormat(
+    private val physOf: Map[String, String])
     extends ParquetFileFormat {
 
   private def rename(st: StructType): StructType =
@@ -75,6 +76,19 @@ final class GraftMappedParquetFormat(physOf: Map[String, String])
     super.buildReaderWithPartitionValues(sparkSession,
       rename(dataSchema), partitionSchema, rename(requiredSchema),
       filters.flatMap(renameFilter(_)), options, hadoopConf)
+
+  // ParquetFileFormat.equals returns true for ANY ParquetFileFormat —
+  // a mapped format must never compare equal to a plain one (or to a
+  // format carrying a different mapping): relation/plan caching keyed
+  // on the format would silently decode wrong column names. Identity =
+  // class + mapping.
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftMappedParquetFormat => g.physOf == physOf
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * getClass.hashCode() + physOf.hashCode()
 
   override def toString: String = "GraftMappedParquet"
 }

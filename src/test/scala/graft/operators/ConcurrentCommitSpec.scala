@@ -1,0 +1,196 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Optimistic concurrency for non-append commits (r13 task #3): a
+  * maintenance/rewrite commit losing its race RETRIES when the
+  * interleaved winners provably commute — compaction vs appends,
+  * partition-scoped rewrites vs commits on disjoint partitions — and
+  * raises the typed [[Export.ConcurrentCommitException]] (naming the
+  * winning version) when they don't. The settled table must equal the
+  * SERIAL result in every commuting case. */
+class ConcurrentCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def rows(lo: Int, hi: Int): DataFrame =
+    (lo until hi).map(i => (i.toLong, s"d$i", i % 3)).toDF("id", "s", "m")
+
+  private def ids(dir: String): Seq[Long] =
+    Export.readSnapshot(spark, dir, Export.latestSnapshotVersion(dir))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("compaction racing a concurrent APPEND retries and commutes: both commits land, settled table = serial result, appended epoch carried") {
+    val dir = tmp("ccs-compact")
+    Export.appendSnapshot(spark, rows(0, 10), dir)
+    Export.appendSnapshot(spark, rows(10, 20), dir)
+    var injected = false
+    Export.rewriteRaceInjector = Some((_, _) =>
+      if (!injected) {
+        injected = true
+        Export.appendSnapshot(spark, rows(20, 25), dir)
+      })
+    try {
+      val v = Export.compactSnapshot(spark, dir, nFiles = 1)
+      assert(injected, "race was never injected")
+      // the append won version 3; the compaction retried and landed at 4
+      assert(v === 4)
+      assert(Export.snapshotOperation(dir, 3) === Some("append"))
+      assert(Export.snapshotOperation(dir, 4) === Some("compact"))
+      assert(ids(dir) === (0L until 25L))
+      // the racing append's epoch is CARRIED into the compacted head
+      // (its rows were not part of the compacted bytes)
+      val appended = Export.snapshotAddedFiles(dir, 3).toSet
+      val headFiles = Export.snapshotFiles(dir, 4).toSet
+      assert(appended.subsetOf(headFiles))
+    } finally Export.rewriteRaceInjector = None
+  }
+
+  test("compaction racing a concurrent DELETE raises the typed conflict naming the winning version (a delete does not commute with a whole-table rewrite)") {
+    val dir = tmp("ccs-compactdel")
+    Export.appendSnapshot(spark, rows(0, 10), dir)
+    var injected = false
+    Export.rewriteRaceInjector = Some((_, _) =>
+      if (!injected) {
+        injected = true
+        Export.deleteWhere(spark, dir, col("id") < 3L)
+      })
+    try {
+      val e = intercept[Export.ConcurrentCommitException] {
+        Export.compactSnapshot(spark, dir, nFiles = 1)
+      }
+      assert(e.winning === 2)
+      // the winner's state is intact: the deleted rows stay deleted
+      assert(ids(dir) === (3L until 10L))
+    } finally Export.rewriteRaceInjector = None
+  }
+
+  test("partition-scoped merges on DISJOINT partitions both succeed and settle to the serial result") {
+    val dir = tmp("ccs-merge")
+    Export.appendSnapshotPartitioned(spark, rows(0, 12), dir, Seq("m"))
+    val base = Export.readSnapshot(spark, dir, 1)
+    // merge A touches m=1 rows; the injected merge B touches m=2
+    val updA = rows(0, 12).filter(col("m") === 1)
+      .withColumn("s", concat(lit("A"), col("s")))
+    val updB = rows(0, 12).filter(col("m") === 2)
+      .withColumn("s", concat(lit("B"), col("s")))
+    var injected = false
+    Export.rewriteRaceInjector = Some((_, _) =>
+      if (!injected) {
+        injected = true
+        Export.mergeSnapshotPartitioned(spark, dir, updB,
+          keyCols = Seq("id", "m"), partitionCols = Seq("m"))
+      })
+    try {
+      val v = Export.mergeSnapshotPartitioned(spark, dir, updA,
+        keyCols = Seq("id", "m"), partitionCols = Seq("m"))
+      assert(injected)
+      assert(v === 3) // B landed v2, A retried onto v3
+      val got = Export.readSnapshot(spark, dir, v)
+      val serial = Merge.upsert(Merge.upsert(base, updB,
+        Seq("id", "m")), updA, Seq("id", "m"))
+      assert(got.exceptAll(serial).isEmpty &&
+        serial.exceptAll(got).isEmpty,
+        "settled table diverged from the serial merge result")
+    } finally Export.rewriteRaceInjector = None
+  }
+
+  test("partition-scoped merges on the SAME partition conflict with the typed error; the winner's rows survive untouched") {
+    val dir = tmp("ccs-mergeconflict")
+    Export.appendSnapshotPartitioned(spark, rows(0, 12), dir, Seq("m"))
+    val updA = rows(0, 12).filter(col("m") === 1)
+      .withColumn("s", concat(lit("A"), col("s")))
+    val updB = rows(0, 12).filter(col("m") === 1)
+      .withColumn("s", concat(lit("B"), col("s")))
+    var injected = false
+    Export.rewriteRaceInjector = Some((_, _) =>
+      if (!injected) {
+        injected = true
+        Export.mergeSnapshotPartitioned(spark, dir, updB,
+          keyCols = Seq("id", "m"), partitionCols = Seq("m"))
+      })
+    try {
+      val e = intercept[Export.ConcurrentCommitException] {
+        Export.mergeSnapshotPartitioned(spark, dir, updA,
+          keyCols = Seq("id", "m"), partitionCols = Seq("m"))
+      }
+      assert(e.winning === 2)
+      // B's merge is the settled state — replaying A would have
+      // silently dropped it, the one outcome the conflict must prevent
+      val got = Export.readSnapshot(spark, dir, 2)
+        .filter(col("m") === 1).select("s").collect()
+        .map(_.getString(0)).toSeq
+      assert(got.nonEmpty && got.forall(_.startsWith("B")))
+    } finally Export.rewriteRaceInjector = None
+  }
+
+  test("appends still auto-retry through the typed exception (subclass compatibility)") {
+    val dir = tmp("ccs-append")
+    Export.appendSnapshot(spark, rows(0, 5), dir)
+    var injected = false
+    Export.appendRaceInjector = Some((_, _) =>
+      if (!injected) {
+        injected = true
+        Export.appendSnapshot(spark, rows(5, 8), dir)
+      })
+    try {
+      val v = Export.appendSnapshot(spark, rows(8, 10), dir)
+      assert(v === 3 && ids(dir) === (0L until 10L))
+    } finally Export.appendRaceInjector = None
+  }
+}
+
+/** The range-encoded `_versions.hint` (r13 task #4): commit/plan cost
+  * is O(version-gaps) — ONE line for any unvacuumed history — not
+  * O(versions); legacy one-per-line hints still parse. (The
+  * O(1)-FS-ops planning law lives in [[VersionHintSpec]]; this pins
+  * the BYTES side.) */
+class VersionHintRunsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode/decode: contiguous runs collapse, gaps split, legacy plain lists parse, roundtrip is exact") {
+    assert(Export.encodeVersionRuns(1 to 5000) === "1-5000")
+    assert(Export.encodeVersionRuns(Seq(7)) === "7")
+    assert(Export.encodeVersionRuns(Seq(1, 2, 3, 7, 9, 10)) === "1-3\n7\n9-10")
+    assert(Export.decodeVersionRuns("1-3\n7\n9-10") ===
+      Seq(1, 2, 3, 7, 9, 10))
+    // legacy format: one version per line
+    assert(Export.decodeVersionRuns("1\n2\n3\n11") === Seq(1, 2, 3, 11))
+    val gappy = Seq(1, 5, 6, 7, 100, 101, 4000)
+    assert(Export.decodeVersionRuns(Export.encodeVersionRuns(gappy))
+      === gappy)
+  }
+
+  test("a 5000-version no-vacuum table keeps an O(1) hint: bytes stay constant-ish per commit, planning reads one small file, vacuum shrinks to one run") {
+    val dir = Files.createTempDirectory("vh-5000").toFile.getAbsolutePath
+    val (fs, root) = Export.fsRoot(dir)
+    fs.mkdirs(root)
+    // 5000 manifest-level commits (planning-layer test: no data files,
+    // no Spark jobs — exactly the metadata cost a streaming sink pays)
+    (1 to 5000).foreach(v =>
+      Export.commitManifest(fs, root, v, Map("op" -> "append"), Nil))
+    val hint = new org.apache.hadoop.fs.Path(root, "_versions.hint")
+    assert(fs.getFileStatus(hint).getLen <= 16,
+      "hint grew with version count - the O(V) rewrite is back")
+    assert(Export.latestSnapshotVersion(dir) === 5000)
+    assert(Export.snapshotVersions(dir).size === 5000)
+    // vacuum to the newest 100: the hint is one run again
+    Export.vacuumSnapshots(dir, keep = 100, horizonMs = 0)
+    assert(Export.latestSnapshotVersion(dir) === 5000)
+    assert(Export.snapshotVersions(dir) === (4901 to 5000))
+    assert(fs.getFileStatus(hint).getLen <= 16)
+    // hint lost (legacy/readonly table): full listing still serves, and
+    // the migration verb rebuilds the hint
+    fs.delete(hint, false)
+    assert(Export.latestSnapshotVersion(dir) === 5000)
+    assert(Export.refreshVersionsHint(dir) === (4901 to 5000))
+    assert(fs.exists(hint))
+  }
+}

@@ -63,6 +63,65 @@ class InvertedIndexSpec extends SparkSpec {
     assert(expectDirs.size < allShards)
   }
 
+  test("phrase search: candidacy = exact token adjacency on the full-scan oracle, scores = the AND scorer's, probe plans only the terms' shards, positions survive append + compaction") {
+    val terms = Seq("table", "scan")
+    val d = idx + "_phrase"
+    graft.util.Dirs.deleteRec(new java.io.File(d))
+    InvertedIndex.writeIndex(spark, docs, "text", "doc_id", d,
+      nShards = 8, withPositions = true)
+    val served = InvertedIndex.searchPhrase(spark, d, terms, k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // oracle: docs whose normalized token STREAM contains the phrase
+    val joined = concat(lit(" "),
+      concat_ws(" ", Dedup.tokensOf(Dedup.normalized(col("text")))),
+      lit(" "))
+    val phraseIds = docs
+      .filter(joined.contains(s" ${terms.mkString(" ")} "))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(phraseIds.nonEmpty, "fixture has no phrase hits")
+    assert(served.map(_._1).toSet === phraseIds
+      .intersect(served.map(_._1).toSet) &&
+      served.map(_._1).toSet.subsetOf(phraseIds),
+      "phrase candidacy diverged from the token-stream oracle")
+    // scores are the AND scorer's, restricted to the phrase docs
+    val and = InvertedIndex.searchAnd(spark, d, terms, k = 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    served.foreach { case (id, s) =>
+      assert(and(id) === s, s"phrase score for doc $id diverged") }
+    // exact candidate set (not just subset): every phrase doc with a
+    // score in the top-k window appears
+    val expect = phraseIds.toSeq.map(id => (id, and(id)))
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+    assert(served === expect, "phrase ranking diverged from the oracle")
+    // serving shape: only the two terms' shard dirs planned
+    val expectDirs = terms.map(t => InvertedIndex.shardOfToken(t, 8))
+      .distinct.map(s => s"shard=$s")
+    val planned = InvertedIndex.searchPhrase(spark, d, terms, k = 5)
+      .inputFiles.filter(_.contains("shard="))
+    assert(planned.nonEmpty &&
+      planned.forall(f => expectDirs.exists(f.contains)))
+    // positions survive incremental append + tombstone compaction
+    val d2 = idx + "_phrase2"
+    graft.util.Dirs.deleteRec(new java.io.File(d2))
+    InvertedIndex.writeIndex(spark, docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", d2, nShards = 8, withPositions = true)
+    InvertedIndex.appendToIndex(spark,
+      docs.filter(col("doc_id") % 2 === 1), "text", d2)
+    InvertedIndex.deleteFromIndex(spark, d2, Seq(-1L)) // no-op id
+    val someId = served.head._1
+    InvertedIndex.deleteFromIndex(spark, d2, Seq(someId))
+    InvertedIndex.compactIndex(spark, d2)
+    val after = InvertedIndex.searchPhrase(spark, d2, terms, k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(someId) &&
+      after.toSet.subsetOf(phraseIds - someId))
+    // a positions-less index refuses phrase queries loudly
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.searchPhrase(spark, built, terms, k = 5).collect()
+    }
+    assert(e.getMessage.contains("withPositions"))
+  }
+
   test("incremental append serves the identical ranking to a from-scratch rebuild") {
     val d = idx + "_incr"
     graft.util.Dirs.deleteRec(new java.io.File(d))

@@ -116,8 +116,9 @@ class VersionHintSpec extends SparkSpec {
     commitMany(out, 5, 1)
     val txt = java.nio.file.Files.readString(
       new java.io.File(local, "_versions.hint").toPath)
-    assert(txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq ===
-      (1 to 5).map(_.toString))
+    // r13: the hint is RANGE-encoded (one run line for a gapless log)
+    assert(Export.decodeVersionRuns(txt) === (1 to 5))
+    assert(txt.trim === "1-5")
   }
 
   test("batch-scan planning is manifest-only: len= tags build the FileIndex with ZERO data-dir listings or stats") {
@@ -174,8 +175,9 @@ class VersionHintSpec extends SparkSpec {
     assert(Export.snapshotVersions(out) === Seq(9, 10))
     val txt = java.nio.file.Files.readString(
       new java.io.File(local, "_versions.hint").toPath)
-    assert(txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq ===
-      Seq("9", "10"))
+    // r13: range-encoded — the surviving window is one run line
+    assert(Export.decodeVersionRuns(txt) === Seq(9, 10))
+    assert(txt.trim === "9-10")
     CountingFs.reset()
     assert(Export.latestSnapshotVersion(out) === 10)
     assert(CountingFs.listStatusCalls.get === 0)

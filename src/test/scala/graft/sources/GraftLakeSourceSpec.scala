@@ -171,6 +171,47 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(got.toSeq.sorted === want.sorted)
   }
 
+  test("CDF catch-up plan width is O(non-append commits): a 50-version " +
+      "append run shares ONE scan group; rows and version stamps are " +
+      "exact (r13 task #6)") {
+    val table = tmp("glk-cdfwide")
+    (0 until 50).foreach(i =>
+      Export.appendSnapshot(spark, rows(i * 2, i * 2 + 2),
+        table.getAbsolutePath))
+    Export.deleteWhere(spark, table.getAbsolutePath, col("id") === 0L)
+    val src = new GraftLakeSource(spark.sqlContext.sparkSession,
+      Map("path" -> table.getAbsolutePath, "readChangeFeed" -> "true"))
+    // plan-width proof: 50 appends share the single scan group, only
+    // the delete commit keeps a per-version diff plan
+    val (grouped, perVersion) = src.cdfGroups((1L to 51L),
+      Export.snapshotVersions(table.getAbsolutePath))
+    assert(grouped === (1L to 50L))
+    assert(perVersion === Seq(51L))
+    // row proof through the real engine: every append row stamped with
+    // ITS commit version (the broadcast file→version join), the delete
+    // rows with the delete's
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    val q = spark.readStream.format("graftlake")
+      .option("readChangeFeed", "true")
+      .load(table.getAbsolutePath)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("glk-cdfwide-cp").getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = b.select("id", "_change", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        got.synchronized { got ++= r }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val want =
+      (0 until 100).map(i => (i.toLong, "insert", (i / 2 + 1).toLong)) :+
+        ((0L, "delete", 51L))
+    assert(got.toSeq.sorted === want.sorted)
+  }
+
   test("Trigger.AvailableNow drains version-per-batch and SELF-" +
       "TERMINATES at the end pinned when the trigger started") {
     val table = tmp("glk-availnow")
