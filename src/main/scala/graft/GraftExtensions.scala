@@ -371,14 +371,19 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_update"),
       info("graft_update", "graft_update(path, 'col=expr[;col=expr]', " +
-        "predicate_sql) - UPDATE the lake table: rows matching the " +
-        "predicate take the assignments (file-scoped copy-on-write - " +
-        "manifest tags prune files the predicate provably excludes). " +
-        "Returns (version)"),
+        "predicate_sql[, 'mor']) - UPDATE the lake table: rows matching " +
+        "the predicate take the assignments. Copy-on-write by default " +
+        "(file-scoped - manifest tags prune files the predicate " +
+        "provably excludes); with 'mor', a MERGE-ON-READ commit " +
+        "(deletion-vector the matched positions + append the updated " +
+        "copies - O(matched) writes at any table size). Returns " +
+        "(version)"),
       (args: Seq[Expression]) => {
         val path = litString(args.head, "path")
         val setSpec = litString(args(1), "assignments")
         val predicate = litString(args(2), "predicate")
+        val mor = args.length > 3 &&
+          litString(args(3), "mode").equalsIgnoreCase("mor")
         val sets = setSpec.split(';').toSeq.filter(_.nonEmpty).map { kv =>
           kv.split("=", 2) match {
             case Array(k, v) => k.trim -> v.trim
@@ -389,10 +394,14 @@ object GraftExtensions {
         require(sets.nonEmpty, "graft_update needs at least one col=expr")
         graft.plans.GraftLakeCommand.oneRow("graft_update", Seq("version")) { () =>
           val spark = org.apache.spark.sql.SparkSession.active
-          Seq(graft.operators.Export.updateWhere(spark, path,
-            sets.map { case (c, e) =>
-              c -> org.apache.spark.sql.functions.expr(e) },
-            org.apache.spark.sql.functions.expr(predicate)).toLong)
+          val cSets = sets.map { case (c, e) =>
+            c -> org.apache.spark.sql.functions.expr(e) }
+          val cond = org.apache.spark.sql.functions.expr(predicate)
+          Seq((if (mor)
+              graft.operators.Export.updateWhereMoR(spark, path, cSets,
+                cond)
+            else graft.operators.Export.updateWhere(spark, path, cSets,
+              cond)).toLong)
         }
       }),
     (FunctionIdentifier("graft_merge"),

@@ -2637,7 +2637,8 @@ object Export {
       st.fields.map(f => f.name -> physicalOf(f)).toMap
     val conjuncts =
       try graft.sources.GraftLakeBatch.splitConjuncts(
-        org.apache.spark.sql.GraftColumnBridge.expression(cond))
+        graft.sources.GraftLakeBatch.normalizeOps(
+          org.apache.spark.sql.GraftColumnBridge.catalystExpression(cond)))
       catch { case scala.util.control.NonFatal(_) =>
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression] }
     def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
@@ -2677,6 +2678,134 @@ object Export {
           "updated_files" -> hit.size.toString)),
         st.json, op = "update"), rest ++ fresh)
     version
+  }
+
+  /** MERGE-ON-READ UPDATE — [[updateWhere]]'s narrow-predicate shape:
+    * instead of rewriting every file the predicate cannot exclude,
+    * commit ONE version that (a) deletion-vectors the matched rows'
+    * positions and (b) appends their UPDATED copies as a fresh epoch —
+    * no data file is rewritten, the [[upsertSnapshotMoR]] discipline
+    * applied to UPDATE. 100 TB shape: an UPDATE touching 1k rows of a
+    * 1 TB table costs a positions write + a 1k-row epoch where the
+    * copy-on-write path rewrites every non-excluded file. The scan is
+    * still manifest-tag pruned (only non-excluded files are READ), DVs
+    * subtract before matching (a deleted row cannot be updated), and
+    * the commit is `op=merge` — streams refuse/skip it, compaction
+    * materializes it, exactly like the MoR merge. An UPDATE matching
+    * nothing commits nothing. SQL semantics: NULL predicate = no
+    * match. Returns the committed (or current) version. */
+  def updateWhereMoR(spark: SparkSession, outDir: String,
+      sets: Seq[(String, Column)], cond: Column,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to update under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    if (lines.isEmpty) return latest
+    val st = snapshotSchema(outDir, latest).getOrElse(
+      throw new IllegalStateException(s"version $latest under $root " +
+        "has no #schema= header (pre-header legacy manifest) - recommit"))
+    sets.foreach { case (n, _) =>
+      require(st.fieldNames.contains(n),
+        s"UPDATE assigns unknown column '$n' (table has " +
+          s"${st.fieldNames.mkString(", ")})") }
+    // manifest-tag pruning, same kernel as the CoW path: excluded
+    // files are never read
+    val physOf: Map[String, String] =
+      st.fields.map(f => f.name -> physicalOf(f)).toMap
+    val conjuncts =
+      try graft.sources.GraftLakeBatch.splitConjuncts(
+        graft.sources.GraftLakeBatch.normalizeOps(
+          org.apache.spark.sql.GraftColumnBridge.catalystExpression(cond)))
+      catch { case scala.util.control.NonFatal(_) =>
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression] }
+    def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
+      statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
+    val candidate = lines.filter { l =>
+      val e = entryOf(l)
+      conjuncts.forall(c =>
+        !graft.sources.GraftLakeBatch.excludes(c, e, physOf))
+    }
+    if (candidate.isEmpty) return latest
+    val candFiles = candidate.map(pathOf).toIndexedSeq
+    val cols = st.fieldNames.toSeq
+    val fcol = freshName("__upd_file", cols)
+    val pcol = freshName("__upd_pos", cols)
+    // candidate scan with provenance, existing DVs subtracted (the
+    // deleteWhereMoR funnel: physical decode, metadata BEFORE the
+    // logical projection)
+    val scan = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        st.fields.map(f => f.copy(name = physicalOf(f)))))
+      .parquet(candFiles: _*)
+    val withPos = scan.select(st.fields.toSeq.map(f =>
+        col(physicalOf(f)).as(f.name)) ++
+      Seq(col("_metadata.file_path").as(fcol),
+        col("_metadata.row_index").as(pcol)): _*)
+    val oldDvDirs = candidate.flatMap(dvOf).map(_._1).distinct
+    val live =
+      if (oldDvDirs.isEmpty) withPos
+      else withPos.join(spark.read.parquet(oldDvDirs: _*)
+          .select(col(DvFileCol).as(fcol), col(DvPosCol).as(pcol)),
+        Seq(fcol, pcol), "left_anti")
+    val matched = live.filter(coalesce(cond, lit(false))).persist()
+    try {
+      if (matched.isEmpty) return latest // nothing to update: no churn
+      val version = latest + 1
+      // (a) DV the matched positions — union with the candidates'
+      // carried positions, exactly the deleteWhereMoR consolidation
+      val toDv = matched.select(col(fcol).as(DvFileCol),
+        col(pcol).as(DvPosCol))
+      // carried positions restricted to the CANDIDATE files (whose
+      // lines re-point at the new sidecar); a non-candidate line
+      // sharing an old sidecar dir keeps its dv= tag verbatim below,
+      // so its positions must NOT migrate (the upsertSnapshotMoR
+      // discipline)
+      val carried =
+        if (oldDvDirs.isEmpty) toDv.limit(0)
+        else spark.read.parquet(oldDvDirs: _*)
+          .select(col(DvFileCol), col(DvPosCol))
+          .join(spark.createDataset(candFiles.map(f =>
+              fs.makeQualified(new Path(f)).toString))(
+              org.apache.spark.sql.Encoders.STRING).toDF(DvFileCol),
+            Seq(DvFileCol), "left_semi")
+      val dvDir = new Path(root,
+        s"dv=$version-${java.util.UUID.randomUUID.toString.take(8)}")
+      toDv.unionByName(carried).distinct().write.parquet(dvDir.toString)
+      val counts: Map[String, Long] =
+        spark.read.parquet(dvDir.toString).groupBy(DvFileCol).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dvUri = fs.makeQualified(dvDir).toString
+      val byLine: Map[String, Long] = counts.map { case (f, n) =>
+        fs.makeQualified(new Path(f)).toString -> n }
+      val candSet = candidate.toSet
+      val retagged = lines.map { l =>
+        if (!candSet(l)) l // untouched line: dv tag (if any) carries
+        else {
+          val kept = l.split('\t').filterNot(_.startsWith("dv="))
+            .mkString("\t")
+          byLine.get(fs.makeQualified(new Path(pathOf(l))).toString)
+            .fold(kept)(n => s"$kept\tdv=$dvUri:$n")
+        }
+      }
+      // (b) append the UPDATED copies as a fresh epoch
+      val setMap = sets.toMap
+      val updated = matched.select(st.fields.toSeq.map { f =>
+        setMap.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name, f.metadata)
+          case None => col(f.name)
+        }
+      }: _*)
+      val insertLines = writeEpoch(fs, root, version, updated)._2
+      commitManifest(fs, root, version,
+        internalMeta(fs, root,
+          carryBatch(fs, root, meta ++ Map(
+            "mor_updated_from" -> latest.toString,
+            "dv_positions" -> counts.values.sum.toString)),
+          st.json, op = "merge"), retagged ++ insertLines)
+      version
+    } finally matched.unpersist()
   }
 
   /** MERGE-ON-READ DELETE with deletion vectors (the Delta DV /

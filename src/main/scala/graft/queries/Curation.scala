@@ -5717,4 +5717,48 @@ object Curation {
       |  CASE WHEN lang = 'en' AND n_chars > 200
       |       THEN n_chars * 2 + doc_id ELSE n_chars END AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** MERGE-ON-READ UPDATE ([[graft.operators.Export.updateWhereMoR]]
+    * through the `graft_update(..., 'mor')` SQL procedure): the matched
+    * rows become deletion-vector positions and their updated copies
+    * append as a fresh epoch — ZERO data files rewritten (pinned by the
+    * in-gate require: the v1 file set survives, the head carries `dv=`
+    * tags, the commit is `op=merge`). The read serves the post-update
+    * state through the DV-aware funnel; DuckDB replays the CASE
+    * expression. A second no-match update must not commit (no-churn
+    * contract). */
+  def q_snapshot_update_mor(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"updmor_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    docs.write.format("graftlake").save(od)
+    val E = graft.operators.Export
+    val v1Files = E.snapshotFiles(od, 1).toSet
+    val v = s.sql(s"SELECT version FROM graft_update('$od', " +
+      "'n_chars=n_chars + doc_id', 'doc_id % 4 = 1', 'mor')")
+      .collect().head.getLong(0)
+    require(v == 2L, s"MoR update should commit v2, got $v")
+    require(E.snapshotHasDeletionVectors(od, 2),
+      "MoR update must carry deletion vectors")
+    require(E.snapshotOperation(od, 2) == Some("merge"),
+      "MoR update must commit op=merge")
+    require(v1Files.subsetOf(E.snapshotFiles(od, 2).toSet),
+      "MoR update must not rewrite existing data files")
+    // no-match predicate: no commit, no churn
+    val v2 = s.sql(s"SELECT version FROM graft_update('$od', " +
+      "'n_chars=0', 'doc_id < 0', 'mor')").collect().head.getLong(0)
+    require(v2 == 2L, s"no-match MoR update must not commit, got $v2")
+    s.sql(s"SELECT doc_id, lang, n_chars FROM graft_snapshot('$od') " +
+      "ORDER BY doc_id")
+  }
+
+  val q_snapshot_update_mor_sql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 4 = 1 THEN n_chars + doc_id
+      |       ELSE n_chars END AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

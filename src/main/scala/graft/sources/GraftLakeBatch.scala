@@ -109,6 +109,29 @@ object GraftLakeBatch {
       case other => Seq(other)
     }
 
+  /** Column-API predicates reach the planner as operator-named
+    * `UnresolvedFunction` nodes (`and`, `<`, `=`, ...) rather than the
+    * binary catalyst nodes the SQL parser produces — normalize the
+    * comparison/conjunction shapes so [[excludes]] prunes for BOTH
+    * front doors. Unknown names stay as-is (never prunes — safe). */
+  private[graft] def normalizeOps(e: Expression): Expression =
+    e.transformUp {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.arguments.length == 2 && f.nameParts.length == 1 &&
+            !f.isDistinct =>
+        val a = f.arguments.head
+        val b = f.arguments(1)
+        f.nameParts.head.toLowerCase(java.util.Locale.ROOT) match {
+          case "and" => And(a, b)
+          case "<" => LessThan(a, b)
+          case "<=" => LessThanOrEqual(a, b)
+          case ">" => GreaterThan(a, b)
+          case ">=" => GreaterThanOrEqual(a, b)
+          case "=" | "==" => EqualTo(a, b)
+          case _ => f
+        }
+    }
+
   private def longOf(l: Literal): Option[Long] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType =>
       Option(l.value).map(v => v.toString.toLong)

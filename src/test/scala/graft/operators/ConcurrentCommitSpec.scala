@@ -131,6 +131,45 @@ class ConcurrentCommitSpec extends SparkSpec {
     } finally Export.rewriteRaceInjector = None
   }
 
+  test("updateWhereMoR: matched rows DV'd + updated copies appended, zero files rewritten; pruned-out files keep their OLD dv tags (shared-sidecar carry)") {
+    val dir = tmp("ccs-updmor")
+    // one statted epoch of 2 files: ids 0..49 and 50..99 (s= tags prune)
+    Export.appendSnapshotStatted(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "s"), dir,
+      statCols = Seq("id"), nFiles = 2, clusterBy = Some("id"))
+    // a MoR delete spanning BOTH files → one SHARED dv sidecar
+    Export.deleteWhereMoR(spark, dir, col("id") % 10 === 0L)
+    assert(Export.snapshotHasDeletionVectors(dir, 2))
+    val filesV2 = Export.snapshotFiles(dir, 2).toSet
+    // MoR update confined to ids < 30: the high file is s=-pruned out
+    val v = Export.updateWhereMoR(spark, dir,
+      Seq("s" -> concat(lit("U"), col("s"))),
+      col("id") < 30L && col("id") % 3 === 1L)
+    assert(v === 3)
+    assert(Export.snapshotOperation(dir, 3) === Some("merge"))
+    // zero data files rewritten; the updated copies are a fresh epoch
+    assert(filesV2.subsetOf(Export.snapshotFiles(dir, 3).toSet))
+    // the pruned-out high file keeps its ORIGINAL dv dir (shared
+    // sidecar): its deleted rows must stay deleted
+    val entriesV2 = Export.snapshotManifestEntries(dir, 2)
+    val entriesV3 = Export.snapshotManifestEntries(dir, 3)
+    def dvOfHigh(es: Seq[Export.ManifestEntry]) = es
+      .filter(e => e.stats.get("id").exists(_._1 >= 50)).flatMap(e => e.dv)
+    assert(dvOfHigh(entriesV3).nonEmpty &&
+      dvOfHigh(entriesV3) === dvOfHigh(entriesV2),
+      "pruned-out file lost (or churned) its deletion-vector tag")
+    // row law: deletes stay deleted, matched rows updated exactly once
+    val got = Export.readSnapshot(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = (0L until 100L).filter(_ % 10 != 0).map { i =>
+      (i, if (i < 30 && i % 3 == 1) s"Uv$i" else s"v$i")
+    }
+    assert(got.toSeq === want)
+    // no-match update commits nothing
+    assert(Export.updateWhereMoR(spark, dir,
+      Seq("s" -> lit("x")), col("id") < 0L) === 3)
+  }
+
   test("appends still auto-retry through the typed exception (subclass compatibility)") {
     val dir = tmp("ccs-append")
     Export.appendSnapshot(spark, rows(0, 5), dir)
