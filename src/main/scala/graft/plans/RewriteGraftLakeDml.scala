@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.{Column, GraftColumnBridge, GraftPlanBridge}
@@ -102,16 +102,23 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       "supported (ALTER TABLE ... ADD COLUMN first)")
     if (m.notMatchedBySourceActions.nonEmpty)
       refuse("WHEN NOT MATCHED BY SOURCE is not supported")
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    // the MATCHED-DELETE shape (`WHEN MATCHED THEN DELETE`, no insert):
+    // an anti-join delete — rows whose key appears in the source vanish
+    val deleteShape = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(DeleteAction(None)), Seq()) => true
+      case _ => false
+    }
     val (updAssigns, insAssigns) =
       (m.matchedActions, m.notMatchedActions) match {
+        case _ if deleteShape => (Nil, Nil)
         case (Seq(UpdateAction(None, ua, _)), Seq(InsertAction(None, ia)))
             => (ua, ia)
         case _ => refuse("need exactly one unconditioned WHEN MATCHED " +
           "THEN UPDATE and one unconditioned WHEN NOT MATCHED THEN " +
-          "INSERT")
+          "INSERT (or a single WHEN MATCHED THEN DELETE)")
       }
-    val tOut = m.targetTable.outputSet
-    val sOut = m.sourceTable.outputSet
     def sideOf(a: Expression, b: Expression)
         : Option[(AttributeReference, AttributeReference)] = (a, b) match {
       case (ta: AttributeReference, sa: AttributeReference)
@@ -134,6 +141,29 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
           s"$other")
       }
     val keys = keyPairs.map(_._1.name)
+    if (deleteShape) {
+      // MERGE-DELETE: anti-join the target on the ON clause's key
+      // columns (source keys projected under the target's names); a
+      // partitioned table recommits partition-laid-out
+      val keysPlan = Project(keyPairs.map { case (ta, sa) =>
+        Alias(if (sa.dataType == ta.dataType) sa
+          else Cast(sa, ta.dataType), ta.name)()
+      }, m.sourceTable)
+      val dir = t.dir
+      return GraftDmlStatement(s"MERGE DELETE ${t.name()}", () => {
+        val s = SparkSession.active
+        val sourceKeys = GraftPlanBridge.ofRows(s, keysPlan).distinct()
+        val latest = Export.latestSnapshotVersion(dir)
+        require(latest > 0, s"nothing to merge into under $dir")
+        val remaining = Export.readSnapshot(s, dir, latest)
+          .join(sourceKeys, keys, "left_anti")
+        val partCols = Export.snapshotPartitionColumns(dir, latest)
+        if (partCols.nonEmpty)
+          Export.replaceSnapshotPartitioned(s, remaining, dir, partCols)
+        else Export.replaceSnapshot(s, remaining, dir)
+        ()
+      })
+    }
     // every target column must be assigned, UPDATE and INSERT must
     // agree (Merge.upsert writes the same values on both paths), and a
     // key column's value must be the very source column the ON clause

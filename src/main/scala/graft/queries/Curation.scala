@@ -5761,4 +5761,105 @@ object Curation {
       |  CASE WHEN doc_id % 4 = 1 THEN n_chars + doc_id
       |       ELSE n_chars END AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** NATIVE `MERGE INTO` on a PARTITIONED catalog table with
+    * `layout ⊆ keys` — the statement routes PARTITION-SCOPED
+    * ([[graft.operators.Export.mergeSnapshotPartitioned]]): only the
+    * touched partition is rewritten (in-gate require: every other
+    * partition's files carry verbatim, `merged_partitions=1` stamped),
+    * while results stay exactly the full upsert's. The 100 TB shape a
+    * SQL user gets for free by declaring the layout in CREATE TABLE.
+    * DuckDB replays the upsert confined to the 'en' partition. */
+  def q_sql_merge_part(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlmp_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glmp",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glmp.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glmp.g")
+    s.sql("DROP TABLE IF EXISTS glmp.g.docs")
+    s.sql("CREATE TABLE glmp.g.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_sql_mp_src")
+    s.sql("INSERT INTO glmp.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_sql_mp_src")
+    // updates confined to lang='en': bump every third doc + new keys
+    s.sql("""SELECT doc_id, lang, n_chars + 7 AS n_chars
+        FROM q_sql_mp_src WHERE lang = 'en' AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 200000, 'en', doc_id FROM q_sql_mp_src
+        WHERE lang = 'en' AND doc_id % 100 = 2""")
+      .createOrReplaceTempView("q_sql_mp_updates")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v0 = E.latestSnapshotVersion(dirT)
+    val othersBefore = E.snapshotManifestEntries(dirT, v0)
+      .filter(!_.partition.get("lang").contains("en")).map(_.path).toSet
+    s.sql("MERGE INTO glmp.g.docs t USING q_sql_mp_updates s " +
+      "ON t.doc_id = s.doc_id AND t.lang = s.lang " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val v1 = E.latestSnapshotVersion(dirT)
+    require(v1 == v0 + 1 &&
+      E.snapshotMeta(dirT, v1).get("merged_partitions") == Some("1"),
+      "MERGE with layout ⊆ keys must route partition-scoped")
+    val othersAfter = E.snapshotManifestEntries(dirT, v1)
+      .filter(!_.partition.get("lang").contains("en")).map(_.path).toSet
+    require(othersAfter == othersBefore,
+      "partition-scoped MERGE rewrote untouched partitions' files")
+    s.sql("SELECT doc_id, lang, n_chars FROM glmp.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_merge_part_sql: String =
+    """WITH upd AS (SELECT doc_id, lang, n_chars + 7 AS n_chars
+      |             FROM documents WHERE lang = 'en' AND doc_id % 3 = 0
+      |             UNION ALL
+      |             SELECT doc_id + 200000, 'en', doc_id FROM documents
+      |             WHERE lang = 'en' AND doc_id % 100 = 2)
+      |SELECT doc_id, lang, n_chars FROM upd
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      |ORDER BY doc_id""".stripMargin
+
+  /** FILE-SCOPED UPDATE on a key-CLUSTERED table
+    * ([[graft.operators.Export.updateWhere]] over `s=` range tags): the
+    * predicate's key range provably excludes the other clustered files,
+    * so they carry VERBATIM into the new version (in-gate require) —
+    * the `OPTIMIZE ... ORDER BY` layout pays off for DML, not just
+    * reads. Scala-API Column predicate on purpose: pins the
+    * ColumnNode→catalyst normalization that makes Column-built
+    * predicates prune like SQL-parsed ones. DuckDB replays the CASE. */
+  def q_snapshot_update_range(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val out = new java.io.File(new java.io.File("target", "qtmp"),
+      s"updrange_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(out)
+    val od = out.getAbsolutePath
+    val E = graft.operators.Export
+    // clustered on n_chars: its VALUE distribution (not the row count)
+    // sets the file ranges, so the literal cutoff below prunes at every
+    // scale factor
+    E.appendSnapshotStatted(s, docs, od, statCols = Seq("n_chars"),
+      nFiles = 5, clusterBy = Some("n_chars"))
+    val loFiles = E.snapshotManifestEntries(od, 1)
+      .filter(_.stats.get("n_chars").exists(_._2 < 400)).map(_.path).toSet
+    require(loFiles.nonEmpty, "fixture produced no low-range files")
+    val v = E.updateWhere(s, od,
+      Seq("n_chars" -> (col("n_chars") + col("doc_id") % 9)),
+      col("n_chars") >= 400L && col("doc_id") % 2 === 0L)
+    require(v == 2, s"expected v2, got $v")
+    require(loFiles.subsetOf(E.snapshotFiles(od, 2).toSet),
+      "UPDATE rewrote files its n_chars >= 400 predicate provably excludes")
+    E.readSnapshot(s, od, v)
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+  }
+
+  val q_snapshot_update_range_sql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN n_chars >= 400 AND doc_id % 2 = 0
+      |       THEN n_chars + doc_id % 9 ELSE n_chars END AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

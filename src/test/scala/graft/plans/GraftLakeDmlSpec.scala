@@ -115,14 +115,22 @@ class GraftLakeDmlSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT *").collect()
     assert(Export.latestSnapshotVersion(dir) === v0,
       "EXPLAIN MERGE INTO committed a version")
-    // DELETE action: not the upsert shape — refused with the pointer
+    // a conditioned action is not a supported shape — refused with the
+    // pointer, nothing half-applied
     val e = intercept[Exception] {
       spark.sql("MERGE INTO gld.ns.m3 t USING m3_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN DELETE")
+        "WHEN MATCHED AND s.v > 2 THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
     }
     assert(e.getMessage.contains("graft_merge") ||
       Option(e.getCause).exists(_.getMessage.contains("graft_merge")))
     assert(Export.latestSnapshotVersion(dir) === v0)
+    // MERGE-DELETE shape: matched keys vanish (k=2,3 matched by src 2..5)
+    spark.sql("MERGE INTO gld.ns.m3 t USING m3_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE")
+    assert(Export.latestSnapshotVersion(dir) === v0 + 1)
+    assert(spark.sql("SELECT k FROM gld.ns.m3 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
   }
 
   test("UPDATE: SQL result matches the predicate semantics, prunes via manifest tags (untouched partition carried verbatim), and EXPLAIN UPDATE commits nothing") {
