@@ -53,6 +53,7 @@ object Main {
       case "lake-compact" => lakeCompact(opts)
       case "lake-vacuum" => lakeVacuum(opts)
       case "lake-delete" => lakeDelete(opts)
+      case "lake-update" => lakeUpdate(opts)
       case "lake-restore" => lakeRestore(opts)
       case "lake-clone" => lakeClone(opts)
       case "lake-rename" => lakeRename(opts)
@@ -169,12 +170,13 @@ object Main {
         "checkpoint-destroy|checkpoint-error-ignore|verify|serve " +
         "--source DIR --out DIR [opts]\n" +
         "       graft.Main lake-versions|lake-read|lake-compact|" +
-        "lake-vacuum|lake-delete|lake-restore|lake-clone|lake-rename|" +
+        "lake-vacuum|lake-delete|lake-update|lake-restore|lake-clone|lake-rename|" +
         "lake-drop-column|lake-add-column|lake-widen|lake-hint " +
         "--table DIR " +
         "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
         "[--cluster-by COL] [--keep N] [--horizon-ms N] " +
-        "[--where SQL_PREDICATE] [--mor] [--dry-run] [--to-version N]")
+        "[--where SQL_PREDICATE] [--set 'col=expr[;col=expr]'] [--mor] " +
+        "[--dry-run] [--to-version N]")
 
   // ------------------------------------------------------- lake ops surface
   //
@@ -381,10 +383,45 @@ object Main {
     spark.stop()
   }
 
+  /** UPDATE maintenance verb: `lake-update --table DIR --set
+    * 'col=expr[;col=expr]' --where PRED [--mor]` — file-scoped
+    * copy-on-write by default (manifest tags prune files the predicate
+    * provably excludes), merge-on-read with `--mor` (DV the matched
+    * positions + append the updated copies; zero files rewritten). */
+  private def lakeUpdate(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val where = o("where").headOption.getOrElse {
+      System.err.println("--where SQL_PREDICATE is required"); sys.exit(2)
+    }
+    val setSpec = o("set").headOption.getOrElse {
+      System.err.println("--set 'col=expr[;col=expr]' is required")
+      sys.exit(2)
+    }
+    val sets = setSpec.split(';').toSeq.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k.trim -> expr(v.trim)
+        case _ =>
+          System.err.println(s"--set expects col=expr[;col=expr]: $kv")
+          sys.exit(2)
+      }
+    }
+    val spark = session()
+    val v =
+      if (o.contains("mor"))
+        graft.operators.Export.updateWhereMoR(spark, dir, sets,
+          expr(where))
+      else graft.operators.Export.updateWhere(spark, dir, sets,
+        expr(where))
+    println(s"committed update as version $v of $dir " +
+      s"(set: $setSpec where: $where" +
+      (if (o.contains("mor")) ", merge-on-read)" else ")"))
+    spark.stop()
+  }
+
   private val KnownOpts = Set("source", "out", "strict", "no-checkpoint",
     "continue-on-error", "filter", "route", "table", "port", "bind",
     "checkpoint-url", "bucket-by", "compact-bytes", "config",
-    "version", "files", "cluster-by", "zorder-by", "keep", "where",
+    "version", "files", "cluster-by", "zorder-by", "keep", "where", "set",
     "as-of-ts", "to-version", "horizon-ms", "partition", "to", "mor",
     "dry-run")
 
