@@ -110,14 +110,23 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       case (Seq(DeleteAction(None)), Seq()) => true
       case _ => false
     }
+    // the INSERT-IF-ABSENT shape (`WHEN NOT MATCHED THEN INSERT` with
+    // no matched action): an anti-join append — source keys already in
+    // the table are skipped, the rest INSERT. O(batch) writes: one
+    // key-pruned scan of the table's key columns + one append commit.
+    val insertOnly = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(), Seq(InsertAction(None, ia))) => Some(ia)
+      case _ => None
+    }
     val (updAssigns, insAssigns) =
       (m.matchedActions, m.notMatchedActions) match {
-        case _ if deleteShape => (Nil, Nil)
+        case _ if deleteShape || insertOnly.nonEmpty => (Nil, Nil)
         case (Seq(UpdateAction(None, ua, _)), Seq(InsertAction(None, ia)))
             => (ua, ia)
         case _ => refuse("need exactly one unconditioned WHEN MATCHED " +
           "THEN UPDATE and one unconditioned WHEN NOT MATCHED THEN " +
-          "INSERT (or a single WHEN MATCHED THEN DELETE)")
+          "INSERT (or a single WHEN MATCHED THEN DELETE, or a single " +
+          "WHEN NOT MATCHED THEN INSERT)")
       }
     def sideOf(a: Expression, b: Expression)
         : Option[(AttributeReference, AttributeReference)] = (a, b) match {
@@ -161,6 +170,48 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         if (partCols.nonEmpty)
           Export.replaceSnapshotPartitioned(s, remaining, dir, partCols)
         else Export.replaceSnapshot(s, remaining, dir)
+        ()
+      })
+    }
+    insertOnly.foreach { ia =>
+      val ins = ia.map { a =>
+        a.key match {
+          case ar: AttributeReference => (ar: Attribute) -> a.value
+          case other => refuse(s"INSERT assigns a non-top-level target " +
+            s"$other")
+        }
+      }.toMap
+      val projected = m.targetTable.output.map { ta =>
+        val v = ins.getOrElse(ta, refuse(s"INSERT does not assign " +
+          s"column '${ta.name}'"))
+        if (v.references.exists(tOut.contains))
+          refuse(s"the value of '${ta.name}' references target columns")
+        keyPairs.find(_._1.semanticEquals(ta)).foreach { case (_, sa) =>
+          if (!v.semanticEquals(sa))
+            refuse(s"key column '${ta.name}' must be assigned the ON " +
+              s"clause's source column ${sa.name}, got $v")
+        }
+        Alias(
+          if (v.dataType == ta.dataType) v else Cast(v, ta.dataType),
+          ta.name)()
+      }
+      val insPlan = Project(projected, m.sourceTable)
+      val dir = t.dir
+      return GraftDmlStatement(s"MERGE INSERT ${t.name()}", () => {
+        val s = SparkSession.active
+        val src = GraftPlanBridge.ofRows(s, insPlan)
+        val latest = Export.latestSnapshotVersion(dir)
+        require(latest > 0, s"nothing to merge into under $dir")
+        // key-column-pruned scan of the table, broadcast-friendly
+        // anti-join, append-only commit — never a table rewrite
+        val existing = Export.readSnapshot(s, dir, latest)
+          .select(keys.map(org.apache.spark.sql.functions.col): _*)
+          .distinct()
+        val fresh = src.join(existing, keys, "left_anti")
+        val partCols = Export.snapshotPartitionColumns(dir, latest)
+        if (partCols.nonEmpty)
+          Export.appendSnapshotPartitioned(s, fresh, dir, partCols)
+        else Export.appendSnapshot(s, fresh, dir)
         ()
       })
     }

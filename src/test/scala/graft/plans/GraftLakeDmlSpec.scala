@@ -125,10 +125,18 @@ class GraftLakeDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_merge") ||
       Option(e.getCause).exists(_.getMessage.contains("graft_merge")))
     assert(Export.latestSnapshotVersion(dir) === v0)
-    // MERGE-DELETE shape: matched keys vanish (k=2,3 matched by src 2..5)
+    // INSERT-IF-ABSENT shape: only the keys NOT in the table append
+    // (4,5 new; 2,3 skipped), the commit is an APPEND — no rewrite
+    spark.sql("MERGE INTO gld.ns.m3 t USING m3_src s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(Export.latestSnapshotVersion(dir) === v0 + 1)
+    assert(Export.snapshotOperation(dir, v0 + 1) === Some("append"))
+    assert(spark.sql("SELECT k FROM gld.ns.m3 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === (0L to 5L))
+    // MERGE-DELETE shape: matched keys vanish (0..5 matched by src 2..5)
     spark.sql("MERGE INTO gld.ns.m3 t USING m3_src s ON t.k = s.k " +
       "WHEN MATCHED THEN DELETE")
-    assert(Export.latestSnapshotVersion(dir) === v0 + 1)
+    assert(Export.latestSnapshotVersion(dir) === v0 + 2)
     assert(spark.sql("SELECT k FROM gld.ns.m3 ORDER BY k")
       .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
   }
