@@ -2587,16 +2587,67 @@ object Export {
     // would drop NULL rows too (filter discards NULL), silently purging
     // every row with a NULL in the predicate's columns.
     val keep = !coalesce(cond, lit(false))
-    // version pinned for the same race-safety reason as compactSnapshot
     val rows = readSnapshot(spark, outDir, latest).filter(keep)
     val (fs, root) = fsRoot(outDir)
-    val version = latest + 1
-    val (_, fresh) = writeEpoch(fs, root, version, rows)
-    commitManifest(fs, root, version,
-      internalMeta(fs, root,
-        carryBatch(fs, root, Map("deleted_from" -> latest.toString)),
-        rows.schema.json, op = "delete"), fresh)
-    version
+    val baseLines = dataLines(readManifestRaw(fs, root, latest))
+    val (_, fresh) = writeEpoch(fs, root, latest + 1, rows)
+    // retries over interleaved APPENDS (delete-first serialization:
+    // their rows were never visible to the predicate); anything else
+    // raises the typed conflict
+    commitRewriteThenAppends(fs, root, latest, baseLines, fresh,
+      Map("deleted_from" -> latest.toString), rows.schema.json,
+      op = "delete")
+  }
+
+  /** Commit a ROW-LEVEL rewrite (delete/update/merge — CoW or MoR)
+    * computed FROM `baseVersion`, retrying over interleaved APPENDS
+    * (r13, extends the commute taxonomy beyond compaction): the
+    * serialization "this rewrite at base, THEN the appends" is always
+    * a valid serial order for concurrent unordered commits — the
+    * appended epochs' lines are disjoint from everything the rewrite
+    * consumed and CARRY verbatim into the retried commit (their rows
+    * were never visible to the rewrite's predicate, exactly as if they
+    * committed after it). Any interleaved NON-append (its rewrite
+    * overlaps ours) raises the typed [[ConcurrentCommitException]].
+    * `computed` must be the COMPLETE replacement for the base
+    * version's data lines; the committed schema follows the head
+    * (appends may have evolved it — union semantics). */
+  private def commitRewriteThenAppends(fs: FileSystem, root: Path,
+      baseVersion: Int, baseLines: Seq[String], computed: Seq[String],
+      meta: Map[String, String], fallbackSchema: String,
+      op: String): Int = {
+    val baseSet = baseLines.toSet
+    var attempt = 0
+    while (attempt <= MaxAppendRetries) {
+      val head = manifestVersions(fs, root).last
+      ((baseVersion + 1) to head).foreach { v =>
+        val headOp = snapshotMetaOf(fs, root, v).get("op")
+        if (!headOp.contains("append"))
+          throw new ConcurrentCommitException(
+            s"concurrent '${headOp.getOrElse("?")}' commit _v$v under " +
+              s"$root does not commute with this $op (both rewrote " +
+              "overlapping rows) - re-plan against the new head", v)
+      }
+      val appended =
+        if (head == baseVersion) Seq.empty[String]
+        else dataLines(readManifestRaw(fs, root, head))
+          .filterNot(baseSet)
+      val schemaJson = snapshotMetaOf(fs, root, head)
+        .getOrElse("schema", fallbackSchema)
+      val version = head + 1
+      rewriteRaceInjector.foreach(_(root, version))
+      try {
+        commitManifest(fs, root, version,
+          internalMeta(fs, root, carryBatch(fs, root, meta),
+            schemaJson, op = op), computed ++ appended)
+        return version
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > MaxAppendRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Copy-on-write UPDATE — the `UPDATE t SET c = expr WHERE pred` leg
@@ -2671,13 +2722,11 @@ object Export {
         writePartitionedEpoch(spark, fs, root, version, updated,
           partCols, math.max(1, hit.size), None)
       else writeEpoch(fs, root, version, updated)._2
-    commitManifest(fs, root, version,
-      internalMeta(fs, root,
-        carryBatch(fs, root, meta ++ Map(
-          "updated_from" -> latest.toString,
-          "updated_files" -> hit.size.toString)),
-        st.json, op = "update"), rest ++ fresh)
-    version
+    commitRewriteThenAppends(fs, root, latest, lines, rest ++ fresh,
+      meta ++ Map(
+        "updated_from" -> latest.toString,
+        "updated_files" -> hit.size.toString),
+      st.json, op = "update")
   }
 
   /** MERGE-ON-READ UPDATE — [[updateWhere]]'s narrow-predicate shape:
@@ -2798,13 +2847,12 @@ object Export {
         }
       }: _*)
       val insertLines = writeEpoch(fs, root, version, updated)._2
-      commitManifest(fs, root, version,
-        internalMeta(fs, root,
-          carryBatch(fs, root, meta ++ Map(
-            "mor_updated_from" -> latest.toString,
-            "dv_positions" -> counts.values.sum.toString)),
-          st.json, op = "merge"), retagged ++ insertLines)
-      version
+      commitRewriteThenAppends(fs, root, latest, lines,
+        retagged ++ insertLines,
+        meta ++ Map(
+          "mor_updated_from" -> latest.toString,
+          "dv_positions" -> counts.values.sum.toString),
+        st.json, op = "merge")
     } finally matched.unpersist()
   }
 
@@ -2899,16 +2947,14 @@ object Export {
       byLine.get(fs.makeQualified(new Path(pathOf(l))).toString)
         .fold(kept)(n => s"$kept\tdv=$dvUri:$n")
     }
-    commitManifest(fs, root, version,
-      internalMeta(fs, root,
-        carryBatch(fs, root, Map(
-          "mor_deleted_from" -> latest.toString,
-          "dv_positions" -> counts.values.sum.toString)),
-        stOpt.map(_.json).getOrElse(
-          org.apache.spark.sql.types.StructType(base.schema.fields
-            .filterNot(f => f.name == fcol || f.name == pcol)).json),
-        op = "delete"), newLines)
-    version
+    commitRewriteThenAppends(fs, root, latest, lines, newLines,
+      Map(
+        "mor_deleted_from" -> latest.toString,
+        "dv_positions" -> counts.values.sum.toString),
+      stOpt.map(_.json).getOrElse(
+        org.apache.spark.sql.types.StructType(base.schema.fields
+          .filterNot(f => f.name == fcol || f.name == pcol)).json),
+      op = "delete")
   }
 
   /** MERGE-ON-READ UPSERT — [[deleteWhereMoR]]'s shape for MERGE: one
@@ -3129,14 +3175,12 @@ object Export {
             writeEpoch(fs, root, version, toInsert.coalesce(nFiles))._2
         }
 
-      commitManifest(fs, root, version,
-        internalMeta(fs, root,
-          carryBatch(fs, root, meta ++ Map(
-            "mor_upserted_into" -> latest.toString,
-            "dv_positions" -> dvTotal.toString)),
-          schemaJson, op = "merge"),
-        untouched ++ retagged ++ insertLines)
-      version
+      commitRewriteThenAppends(fs, root, latest, lines,
+        untouched ++ retagged ++ insertLines,
+        meta ++ Map(
+          "mor_upserted_into" -> latest.toString,
+          "dv_positions" -> dvTotal.toString),
+        schemaJson, op = "merge")
     } finally ranked.unpersist()
   }
 

@@ -170,6 +170,62 @@ class ConcurrentCommitSpec extends SparkSpec {
       Seq("s" -> lit("x")), col("id") < 0L) === 3)
   }
 
+  test("row-level rewrites commute with concurrent APPENDS (rewrite-first serialization): CoW delete and MoR upsert both retry, appended rows survive untouched; racing two rewrites conflicts typed") {
+    // CoW delete racing an append: deleted-at-base rows gone, the
+    // racing append's rows present even where they match the predicate
+    // (they were never visible to it — the valid serial order)
+    val d1 = tmp("ccs-delapp")
+    Export.appendSnapshot(spark, rows(0, 10), d1)
+    var injected = false
+    Export.rewriteRaceInjector = Some((_, _) =>
+      if (!injected) { injected = true
+        Export.appendSnapshot(spark, rows(10, 14), d1) })
+    try {
+      val v = Export.deleteWhere(spark, d1, col("id") < 12L)
+      assert(injected && v === 3)
+      assert(ids(d1) === (10L until 14L),
+        "serial delete-then-append: appended rows survive, base rows < 12 gone")
+    } finally Export.rewriteRaceInjector = None
+    // MoR upsert racing an append: both land, DV semantics intact
+    val d2 = tmp("ccs-morapp")
+    Export.appendSnapshot(spark, rows(0, 6), d2)
+    val upd = rows(0, 3).withColumn("s", concat(lit("U"), col("s")))
+      .withColumn("ts", lit(9L))
+    val base2 = Export.readSnapshot(spark, d2, 1).withColumn("ts", lit(1L))
+    Export.replaceSnapshot(spark, base2, d2) // give the table a ts col
+    injected = false
+    Export.rewriteRaceInjector = Some((_, _) =>
+      if (!injected) { injected = true
+        Export.appendSnapshot(spark,
+          rows(6, 8).withColumn("ts", lit(1L)), d2) })
+    try {
+      val v = Export.upsertSnapshotMoR(spark, d2, upd,
+        keyCols = Seq("id"), orderCols = Seq("ts"))
+      assert(injected && v === 4)
+      val got = Export.readSnapshot(spark, d2, v)
+        .select("id", "s").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val want = (0L until 8L).map(i =>
+        (i, if (i < 3) s"Ud$i" else s"d$i"))
+      assert(got === want)
+    } finally Export.rewriteRaceInjector = None
+    // two rewrites racing: typed conflict, winner intact
+    val d3 = tmp("ccs-updconflict")
+    Export.appendSnapshot(spark, rows(0, 10), d3)
+    injected = false
+    Export.rewriteRaceInjector = Some((_, _) =>
+      if (!injected) { injected = true
+        Export.deleteWhere(spark, d3, col("id") === 9L) })
+    try {
+      val e = intercept[Export.ConcurrentCommitException] {
+        Export.updateWhere(spark, d3,
+          Seq("s" -> lit("x")), col("id") < 5L)
+      }
+      assert(e.winning === 2)
+      assert(ids(d3) === (0L until 9L)) // the delete's state stands
+    } finally Export.rewriteRaceInjector = None
+  }
+
   test("appends still auto-retry through the typed exception (subclass compatibility)") {
     val dir = tmp("ccs-append")
     Export.appendSnapshot(spark, rows(0, 5), dir)
