@@ -285,7 +285,7 @@ object GraftExtensions {
         "applied on top)"),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = litString(args.head, "path")
+        val path = litPath(args.head, "path")
         val v =
           if (args.length > 1) litLong(args(1), "version").toInt
           else graft.operators.Export.latestSnapshotVersion(path)
@@ -326,7 +326,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         graft.operators.Export.readSnapshotAsOf(spark,
-            litString(args.head, "path"), litLong(args(1), "ts_millis"))
+            litPath(args.head, "path"), litLong(args(1), "ts_millis"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_history"),
@@ -336,7 +336,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         graft.operators.Export.snapshotHistory(spark,
-            litString(args.head, "path"))
+            litPath(args.head, "path"))
           .queryExecution.logical
       }),
     // ---- SQL DML procedures (CALL-style): the WRITE half of the SQL
@@ -355,7 +355,7 @@ object GraftExtensions {
         "merge-on-read deletion vectors with the 'mor' mode. Returns " +
         "(version)"),
       (args: Seq[Expression]) => {
-        val path = litString(args.head, "path")
+        val path = litPath(args.head, "path")
         val predicate = litString(args(1), "predicate")
         val mor = args.length > 2 &&
           litString(args(2), "mode").equalsIgnoreCase("mor")
@@ -379,7 +379,7 @@ object GraftExtensions {
         "copies - O(matched) writes at any table size). Returns " +
         "(version)"),
       (args: Seq[Expression]) => {
-        val path = litString(args.head, "path")
+        val path = litPath(args.head, "path")
         val setSpec = litString(args(1), "assignments")
         val predicate = litString(args(2), "predicate")
         val mor = args.length > 3 &&
@@ -415,7 +415,7 @@ object GraftExtensions {
         "the winners - O(batch) writes at any table size). " +
         "Returns (version)"),
       (args: Seq[Expression]) => {
-        val path = litString(args.head, "path")
+        val path = litPath(args.head, "path")
         val view = litString(args(1), "source view")
         val keys = litString(args(2), "key list")
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -477,7 +477,7 @@ object GraftExtensions {
         "rewrite only the matching partitions' files, carry the rest). " +
         "Returns (version, n_files)"),
       (args: Seq[Expression]) => {
-        val path = litString(args.head, "path")
+        val path = litPath(args.head, "path")
         val nFiles =
           if (args.length > 1) litLong(args(1), "n_files").toInt else 1
         val layoutSpec =
@@ -530,7 +530,7 @@ object GraftExtensions {
         "re-pointing at the target version's files (zero data " +
         "movement). Returns (version)"),
       (args: Seq[Expression]) => {
-        val path = litString(args.head, "path")
+        val path = litPath(args.head, "path")
         val toV = litLong(args(1), "to_version").toInt
         graft.plans.GraftLakeCommand.oneRow("graft_restore", Seq("version")) {
           () => Seq(graft.operators.Export.restoreSnapshot(path, toV)
@@ -542,7 +542,7 @@ object GraftExtensions {
         "SHALLOW CLONE: fork a new table whose v1 re-points at the " +
         "source version's files (zero data movement). Returns (version)"),
       (args: Seq[Expression]) => {
-        val src = litString(args.head, "src path")
+        val src = litPath(args.head, "src path")
         val dst = litString(args(1), "dst path")
         val v0 =
           if (args.length > 2) litLong(args(2), "version").toInt else -1
@@ -557,7 +557,7 @@ object GraftExtensions {
         "unreferenced data files older than the in-flight horizon. " +
         "Returns (dropped_versions, deleted_files)"),
       (args: Seq[Expression]) => {
-        val path = litString(args.head, "path")
+        val path = litPath(args.head, "path")
         val keep = litLong(args(1), "keep").toInt
         val horizon =
           if (args.length > 2) litLong(args(2), "horizon_ms")
@@ -577,7 +577,7 @@ object GraftExtensions {
         "(insert/delete/update_preimage/update_postimage)"),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = litString(args.head, "path")
+        val path = litPath(args.head, "path")
         val vOld = litLong(args(1), "v_old").toInt
         val vNew = litLong(args(2), "v_new").toInt
         val df =
@@ -669,6 +669,37 @@ object GraftExtensions {
     case Literal(v, StringType) if v != null => v.toString
     case other => throw new IllegalArgumentException(
       s"$name must be a string literal, got $other")
+  }
+
+  /** A table-reference literal resolved to its snapshot-log DIRECTORY:
+    * a path (contains a separator) passes verbatim; a `cat.ns.table`
+    * NAME resolves through the session's registered
+    * [[graft.sources.GraftLakeCatalog]] — so every TVF and DML
+    * procedure accepts catalog tables without the user digging out the
+    * warehouse layout: `SELECT * FROM graft_history('glc.ns.docs')`.
+    * Unresolvable names pass through unchanged (the downstream
+    * manifest read produces the honest error). */
+  private def litPath(e: Expression, name: String): String = {
+    val ref = litString(e, name)
+    if (ref.contains('/') || ref.contains('\\')) ref
+    else {
+      val parts = ref.split('.')
+      if (parts.length < 2) ref
+      else
+        try {
+          val spark = org.apache.spark.sql.SparkSession.active
+          spark.sessionState.catalogManager.catalog(parts.head) match {
+            case g: graft.sources.GraftLakeCatalog =>
+              g.loadTable(org.apache.spark.sql.connector.catalog
+                .Identifier.of(parts.drop(1).dropRight(1), parts.last))
+              match {
+                case t: graft.sources.GraftLakeTable => t.dir
+                case _ => ref
+              }
+            case _ => ref
+          }
+        } catch { case scala.util.control.NonFatal(_) => ref }
+    }
   }
 
   /** Late-bound builtin call: resolved (with implicit input casts) by

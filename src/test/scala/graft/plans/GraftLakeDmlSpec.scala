@@ -47,6 +47,34 @@ class GraftLakeDmlSpec extends SparkSpec {
       .collect().head.getLong(0) === 5)
   }
 
+  test("TVFs and procedures accept CATALOG NAMES: graft_history/graft_snapshot/graft_delete('cat.ns.t') resolve to the table's directory; CREATE VIEW over a procedure commits nothing until read") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.byname (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.byname SELECT id, id FROM range(6)")
+    val dir = s"$wh/ns/byname"
+    // TVF reads by NAME = by path
+    assert(spark.sql("SELECT count(*) FROM graft_snapshot('gld.ns.byname')")
+      .collect().head.getLong(0) === 6)
+    assert(spark.sql(
+        "SELECT max(version) FROM graft_history('gld.ns.byname')")
+      .collect().head.getInt(0) === 2)
+    // CREATE VIEW over a DML procedure: analysis only — no commit
+    val v0 = Export.latestSnapshotVersion(dir)
+    spark.sql("CREATE OR REPLACE TEMP VIEW byname_del AS " +
+      "SELECT * FROM graft_delete('gld.ns.byname', 'k = 0')")
+    assert(Export.latestSnapshotVersion(dir) === v0,
+      "CREATE VIEW over graft_delete committed a version")
+    // reading the view IS the call
+    assert(spark.sql("SELECT version FROM byname_del")
+      .collect().head.getLong(0) === (v0 + 1).toLong)
+    assert(spark.sql("SELECT count(*) FROM gld.ns.byname")
+      .collect().head.getLong(0) === 5)
+    // an unresolvable name passes through verbatim: no such directory →
+    // the empty history every nonexistent path gets (no false resolve)
+    assert(spark.sql("SELECT * FROM graft_history('gld.ns.nosuch')")
+      .collect().isEmpty)
+  }
+
   test("MERGE INTO (unpartitioned): plain SQL upsert ≡ the Scala-API Merge.upsert result") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.m1 (k BIGINT, v BIGINT, s STRING)")
