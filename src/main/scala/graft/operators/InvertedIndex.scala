@@ -321,10 +321,31 @@ object InvertedIndex {
       phrase = Some(terms))
   }
 
+  /** ORDERED-PROXIMITY search (the `NEAR/w` query): documents where
+    * the terms occur IN ORDER with the whole chain spanning at most
+    * `window` token positions (first→last), ranked by the same BM25 as
+    * [[searchAnd]]. `window = terms.size - 1` degenerates to the exact
+    * phrase. Same positional-index contract and terms-only shard I/O
+    * as [[searchPhrase]]; the chain check runs as nested
+    * higher-order-function predicates over the probed postings'
+    * position arrays — codegen-friendly, no document text re-read. */
+  def searchNear(spark: SparkSession, indexDir: String,
+      terms: Seq[String], window: Int, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, lnIdf: Boolean = false): DataFrame = {
+    require(terms.size >= 2,
+      "proximity needs at least two terms (use searchAnd for one)")
+    require(window >= terms.size - 1,
+      s"window $window cannot fit ${terms.size} ordered terms " +
+        s"(minimum ${terms.size - 1})")
+    search(spark, indexDir, terms, k, k1, b, lnIdf, requireAll = true,
+      phrase = Some(terms), slop = Some(window))
+  }
+
   private def search(spark: SparkSession, indexDir: String,
       terms: Seq[String], k: Int, k1: Double, b: Double,
       lnIdf: Boolean, requireAll: Boolean,
-      phrase: Option[Seq[String]] = None): DataFrame = {
+      phrase: Option[Seq[String]] = None,
+      slop: Option[Int] = None): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     require(k > 0, s"k must be positive, got $k")
     val m = readGlobal(spark, indexDir)
@@ -394,15 +415,27 @@ object InvertedIndex {
     // phrase adjacency: some start position p of the first term has
     // every following term at p+offset (lanes are keyed by DISTINCT
     // term, so a repeated phrase word checks its one lane at each of
-    // its offsets)
-    val keep = phrase match {
-      case Some(ph) =>
+    // its offsets). With `slop`, the relaxed ORDERED-CHAIN form: an
+    // increasing position chain q_0 < q_1 < ... across the terms'
+    // lanes with q_last - q_0 <= window — built as nested
+    // higher-order-function predicates (depth = |terms|, tiny).
+    val keep = (phrase, slop) match {
+      case (Some(ph), None) =>
         val lane = ph.map(t => qTerms.indexOf(t))
         keepTerms && exists(col(s"_p_${lane.head}"), p =>
           lane.zipWithIndex.tail.map { case (l, off) =>
             array_contains(col(s"_p_$l"), p + off)
           }.reduce(_ && _))
-      case None => keepTerms
+      case (Some(ph), Some(w)) =>
+        val lane = ph.map(t => qTerms.indexOf(t))
+        def chain(i: Int, prev: Column, first: Column): Column =
+          if (i == lane.length) lit(true)
+          else exists(col(s"_p_${lane(i)}"), q =>
+            q > prev && (q - first) <= lit(w) &&
+              chain(i + 1, q, first))
+        keepTerms && exists(col(s"_p_${lane.head}"), p =>
+          chain(1, p, p))
+      case _ => keepTerms
     }
     val score =
       if (requireAll) qTerms.indices.map(i => col(s"_w_$i")).reduce(_ + _)

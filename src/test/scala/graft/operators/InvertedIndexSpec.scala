@@ -122,6 +122,47 @@ class InvertedIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("withPositions"))
   }
 
+  test("NEAR/w proximity: candidacy equals the ordered-chain token oracle, minimum window degenerates to the exact phrase, scores are the AND scorer's") {
+    val terms = Seq("table", "scan")
+    val d = idx + "_near"
+    graft.util.Dirs.deleteRec(new java.io.File(d))
+    InvertedIndex.writeIndex(spark, docs, "text", "doc_id", d,
+      nShards = 8, withPositions = true)
+    // driver-side oracle: ordered chain q0 < q1 with q1 - q0 <= w over
+    // the normalized token positions
+    val tokRows = docs.select(col("doc_id"),
+        Dedup.tokensOf(Dedup.normalized(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    def nearDocs(w: Int): Set[Long] = tokRows.collect { case (id, toks)
+        if toks.zipWithIndex.exists { case (t0, p0) =>
+          t0 == terms.head && toks.zipWithIndex.exists { case (t1, p1) =>
+            t1 == terms(1) && p1 > p0 && p1 - p0 <= w }
+        } => id }.toSet
+    val and = InvertedIndex.searchAnd(spark, d, terms, k = 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    for (w <- Seq(1, 3, 8)) {
+      val served = InvertedIndex.searchNear(spark, d, terms, window = w,
+        k = 10000).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = nearDocs(w).toSeq.map(id => (id, and(id)))
+        .sortBy { case (id, s) => (-s, id) }
+      assert(served === want, s"NEAR/$w diverged from the token oracle")
+    }
+    // window = |terms|-1 ≡ the exact phrase
+    val ph = InvertedIndex.searchPhrase(spark, d, terms, k = 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val near1 = InvertedIndex.searchNear(spark, d, terms, window = 1,
+      k = 10000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(near1 === ph)
+    // widening the window only ADDS candidates
+    assert(nearDocs(1).subsetOf(nearDocs(8)))
+    // a window too small for the chain is refused
+    intercept[IllegalArgumentException] {
+      InvertedIndex.searchNear(spark, d, terms, window = 0, k = 5)
+    }
+  }
+
   test("incremental append serves the identical ranking to a from-scratch rebuild") {
     val d = idx + "_incr"
     graft.util.Dirs.deleteRec(new java.io.File(d))
