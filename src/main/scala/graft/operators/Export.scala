@@ -899,6 +899,26 @@ object Export {
       .map(_.name).getOrElse(p))
   }
 
+  /** The table's DECLARED partition layout even BEFORE the first
+    * insert: the head's committed `p=` specs when data exists,
+    * otherwise the CREATE commit's recorded `partition_cols` meta
+    * (what [[createEmptySnapshot]] stamps for a catalog `CREATE TABLE
+    * ... PARTITIONED BY`). The guard surface for MoR writers: a
+    * spec-less epoch into a table that is partitioned — by data OR by
+    * declaration — poisons partition-scoped DML, and a freshly created
+    * empty table has no lines to betray its layout. A vacuumed-away v1
+    * reads as undeclared (data lines then carry the truth). */
+  def declaredPartitionColumns(outDir: String): Seq[String] = {
+    val head = latestSnapshotVersion(outDir)
+    val fromSpecs =
+      if (head > 0) snapshotPartitionColumns(outDir, head) else Seq.empty
+    if (fromSpecs.nonEmpty) fromSpecs
+    else (try snapshotMeta(outDir, 1).get("partition_cols")
+      catch { case scala.util.control.NonFatal(_) => None })
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+  }
+
   // ------------------------------------------------------------------
   // COLUMN MAPPING — RENAME/DROP COLUMN with NO data rewrite (the Delta
   // column-mapping idea, carried in the committed `#schema=` itself).
@@ -2062,7 +2082,8 @@ object Export {
   private def overwritePartitionsFrom(spark: SparkSession, df: DataFrame,
       outDir: String, baseVersion: Int, partitionCols: Seq[String],
       nFiles: Int, zoneKey: Option[String],
-      meta: Map[String, String]): Int = {
+      meta: Map[String, String],
+      replaceTuples: Option[Set[Seq[String]]] = None): Int = {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
     // spec matching runs on the PHYSICAL partition-column names the
@@ -2071,8 +2092,15 @@ object Export {
     val physCols = partitionCols.map(c => pm.getOrElse(c, c))
     val fresh = writePartitionedEpoch(spark, fs, root, baseVersion + 1,
       df, partitionCols, nFiles, zoneKey)
-    val freshTuples: Set[Seq[String]] =
-      fresh.map(l => partTuple(l, physCols)).toSet
+    // the replace set defaults to the partitions the fresh epoch wrote;
+    // a DELETE-shaped rewrite passes it EXPLICITLY because a partition
+    // it emptied entirely leaves no fresh line — yet its base lines
+    // must still drop (deriving the set from the epoch would silently
+    // resurrect every fully-deleted partition)
+    val freshTuples: Set[Seq[String]] = replaceTuples.getOrElse(
+      fresh.map(l => partTuple(l, physCols)).toSet)
+    require(fresh.map(l => partTuple(l, physCols)).forall(freshTuples),
+      "replaceTuples must cover every partition the fresh epoch wrote")
     // the base state of OUR partitions, pinned at plan time: the
     // disjointness certificate every retry re-checks against the head
     val baseTouched: Set[String] =
@@ -2211,6 +2239,169 @@ object Export {
     overwritePartitionsFrom(spark, merged, outDir, latest, partitionCols,
       nFiles, zoneKey,
       meta + ("merged_partitions" -> touched.size.toString))
+  }
+
+  /** PARTITION-SCOPED MERGE-DELETE — [[mergeSnapshotPartitioned]]'s
+    * discipline applied to the delete leg: drop every row whose key
+    * tuple appears in `keys` (anti-join on `keyCols`) while rewriting
+    * ONLY the partitions PRESENT IN `keys`; every other partition's
+    * files carry verbatim. Requires `partitionCols ⊆ keyCols` — a key
+    * then pins its partition, so the per-partition anti-join provably
+    * equals the global one. A partition the delete EMPTIES is dropped
+    * from the new version outright (its tuple rides the explicit
+    * replace set — no fresh file needed to evict its old lines).
+    * 100 TB shape: a MERGE-DELETE keyed on the layout costs the
+    * touched partitions, not a full-table rewrite. Race semantics:
+    * maintenance (pinned to the head read at entry), identical to the
+    * partition-scoped merge. Returns the new version. */
+  def deleteSnapshotPartitioned(spark: SparkSession, outDir: String,
+      keys: DataFrame, keyCols: Seq[String],
+      partitionCols: Seq[String], nFiles: Int = 1,
+      meta: Map[String, String] = Map.empty): Int = {
+    require(keyCols.nonEmpty, "deleteSnapshotPartitioned needs keys")
+    require(partitionCols.toSet.subsetOf(keyCols.toSet),
+      s"partition columns (${partitionCols.mkString(", ")}) must be " +
+        s"part of the delete key (${keyCols.mkString(", ")}): only " +
+        "then does a key pin its partition and the partition-scoped " +
+        "anti-join equal the global one")
+    require(keys.columns.toSet == keyCols.toSet,
+      s"keys frame must carry exactly the key columns " +
+        s"(${keyCols.mkString(", ")}), got ${keys.columns.mkString(", ")}")
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to delete from under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    val pm = physicalRenames(fs, root, keys)
+    val physCols = partitionCols.map(c => pm.getOrElse(c, c))
+    requirePartitioned(lines, physCols, "deleteSnapshotPartitioned")
+    val touched: Set[Seq[String]] = keys
+      .select(partitionCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partitionCols.indices.map(i => r.getString(i)): Seq[String])
+      .toSet
+    if (touched.isEmpty) return latest // empty key batch: no-op
+    val hit = lines.filter(l => touched(partTuple(l, physCols)))
+    val base = readFilesAs(spark, fs, root, latest,
+      hit.map(pathOf).toIndexedSeq)
+    val remaining = base.join(keys, keyCols.toSeq, "left_anti")
+    overwritePartitionsFrom(spark, remaining, outDir, latest,
+      partitionCols, nFiles, None,
+      meta + ("deleted_partitions" -> touched.size.toString),
+      replaceTuples = Some(touched))
+  }
+
+  /** ENVELOPE-PRUNED key-column scan — the insert-if-absent MERGE's
+    * existing-keys side made O(overlapping files): instead of a
+    * distinct over EVERY file's key columns, compute the batch's
+    * per-key `[min, max]` envelope (driver-side, one tiny agg) and
+    * plan only the files whose `s=`/`p=` manifest tags cannot exclude
+    * `key BETWEEN min AND max` — the SAME [[graft.sources
+    * .GraftLakeBatch.excludes]] kernel every pruned read uses.
+    * Soundness under the anti-join's `EqualTo` semantics: a source row
+    * can only match an existing key EQUAL to it, and every such key
+    * lies inside the batch envelope, so a file whose key range misses
+    * the envelope cannot hold a blocking key (NULL source keys match
+    * nothing and min/max ignore them). Unstatted files and
+    * non-envelope-able key types degrade to scanned — correctness over
+    * pruning. Returns the DISTINCT key tuples of the planned files
+    * (DV-subtracted, logical names). */
+  def snapshotKeysOverlapping(spark: SparkSession, outDir: String,
+      version: Int, keyCols: Seq[String], batch: DataFrame): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+    val st = snapshotSchema(outDir, version)
+    val physOf: Map[String, String] = st
+      .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
+      .getOrElse(Map.empty)
+    // one driver-side agg over the (small) batch: per key column its
+    // long-cast envelope; a null min (empty batch, all-null keys, or a
+    // type whose cast nulls) yields no conjunct for that column
+    val aggs = keyCols.flatMap(k => Seq(
+      min(col(k)).cast("long").as(s"__lo_$k"),
+      max(col(k)).cast("long").as(s"__hi_$k")))
+    val env = batch.agg(aggs.head, aggs.tail: _*).collect().head
+    val conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      keyCols.zipWithIndex.flatMap { case (k, i) =>
+        if (env.isNullAt(2 * i) || env.isNullAt(2 * i + 1)) Nil
+        else {
+          import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual, Literal}
+          val a = org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute.quoted(k)
+          Seq(GreaterThanOrEqual(a, Literal(env.getLong(2 * i))),
+            LessThanOrEqual(a, Literal(env.getLong(2 * i + 1))))
+        }
+      }
+    def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
+      statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
+    val hit = lines.filter { l =>
+      val e = entryOf(l)
+      conjuncts.forall(c =>
+        !graft.sources.GraftLakeBatch.excludes(c, e, physOf))
+    }
+    readFilesAs(spark, fs, root, version, hit.map(pathOf).toIndexedSeq)
+      .select(keyCols.map(col): _*).distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // TABLE PROPERTIES — a small string map carried in the manifest
+  // headers (the Delta TBLPROPERTIES shape): `graft.update.mode=mor`
+  // routes the native UPDATE statement merge-on-read, and future knobs
+  // ride the same channel. A property commit is METADATA-ONLY — it
+  // re-points the head's exact data lines (op="rename", the
+  // schema/meta pass-through commit kind streams already skip), so
+  // setting a property on a 100 TB table is one manifest write. The
+  // CURRENT map is the newest version carrying a `props` header
+  // (inherited across data commits without re-stamping, like
+  // constraints); unset = commit the map without the key.
+  // ------------------------------------------------------------------
+
+  private def encodeProps(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+
+  private def decodeProps(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split('&').toSeq.map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+
+  /** The table's CURRENT properties: the newest version carrying a
+    * `props` header (empty if none ever committed). */
+  def snapshotProperties(outDir: String): Map[String, String] = {
+    val (fs, root) = fsRoot(outDir)
+    manifestVersions(fs, root).reverseIterator
+      .map(v => snapshotMetaOf(fs, root, v).get("props"))
+      .collectFirst { case Some(p) => decodeProps(p) }
+      .getOrElse(Map.empty)
+  }
+
+  /** SET/UNSET table properties in one metadata-only commit. Returns
+    * the new version (or the current one when nothing changes). */
+  def setSnapshotProperties(outDir: String, set: Map[String, String],
+      unset: Seq[String] = Nil): Int = {
+    set.keys.foreach(k => require(k.nonEmpty, "empty property key"))
+    val (fs, root) = fsRoot(outDir)
+    val head = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $outDir"))
+    val current = snapshotProperties(outDir)
+    val next = (current ++ set) -- unset
+    if (next == current) return head
+    val schemaJson = snapshotMetaOf(fs, root, head).getOrElse("schema",
+      throw new IllegalStateException(s"version $head under $root " +
+        "has no #schema= header (pre-header legacy manifest) - recommit"))
+    val lines = dataLines(readManifestRaw(fs, root, head))
+    val version = head + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root, Map("props" -> encodeProps(next))),
+        schemaJson, op = "rename"), lines)
+    version
   }
 
   /** ZONE-PRUNED MERGE — the partition-scoped merge generalized to
@@ -2846,7 +3037,18 @@ object Export {
           case None => col(f.name)
         }
       }: _*)
-      val insertLines = writeEpoch(fs, root, version, updated)._2
+      // the insert epoch must keep a partitioned table consistently
+      // partitioned: a spec-less line here would make
+      // [[requirePartitioned]] refuse every later partition-scoped
+      // merge/overwrite/compact FOREVER (the upsertSnapshotMoR guard's
+      // bug class, closed on this path by writing fresh p= specs — the
+      // CoW [[updateWhere]] discipline)
+      val partCols = snapshotPartitionColumns(outDir, latest)
+      val insertLines =
+        if (partCols.nonEmpty)
+          writePartitionedEpoch(spark, fs, root, version, updated,
+            partCols, 1, None)
+        else writeEpoch(fs, root, version, updated)._2
       commitRewriteThenAppends(fs, root, latest, lines,
         retagged ++ insertLines,
         meta ++ Map(
@@ -3015,23 +3217,31 @@ object Export {
     // every later partition-scoped merge refused (the sink's morUpsert
     // guard, enforced here so the SQL procedure / direct API can't
     // slip past it)
-    require(lines.forall(l => partitionOf(l).isEmpty),
+    // the layout check must also catch the DECLARED-but-empty case: a
+    // fresh `CREATE TABLE ... PARTITIONED BY` commits zero lines, so a
+    // lines-only guard passes vacuously and the MoR merge as the
+    // table's FIRST write would commit the poisoning spec-less epoch
+    require(lines.forall(l => partitionOf(l).isEmpty) &&
+        declaredPartitionColumns(outDir).isEmpty,
       s"upsertSnapshotMoR into $outDir: the table is hive-partitioned " +
-        "and the MoR insert epoch would carry no partition specs, " +
-        "breaking every later partition-scoped merge. Use " +
+        "(by its data lines or its declared layout) and the MoR " +
+        "insert epoch would carry no partition specs, breaking every " +
+        "later partition-scoped merge. Use " +
         "mergeSnapshotPartitioned(Latest) - partition-scoped rewrites " +
         "- for partitioned tables")
-    // zone arithmetic is integral: a non-integral cluster key would
-    // cast its envelope to null and silently skip matched incumbents
+    // zone arithmetic casts the key to long: accept exactly the types
+    // whose cast is TOTAL (integrals, and TimestampType's epoch-second
+    // cast — timestamp-clustered tables zone-prune like integral ones);
+    // a type whose cast nulls would silently skip matched incumbents
     clusterKey.foreach { k =>
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampType}
       val t = st.fields.find(_.name == k).map(_.dataType).getOrElse(
         throw new IllegalArgumentException(s"clusterKey '$k' is not a " +
           s"table column (${cols.mkString(", ")})"))
       require(Set[org.apache.spark.sql.types.DataType](ByteType,
-          ShortType, IntegerType, LongType).contains(t),
-        s"clusterKey '$k' must be an integral column for zone " +
-          s"arithmetic, got $t")
+          ShortType, IntegerType, LongType, TimestampType).contains(t),
+        s"clusterKey '$k' must be an integral or timestamp column " +
+          s"for zone arithmetic, got $t")
     }
 
     // one winner per key WITHIN the batch (upsertLatest's own law)

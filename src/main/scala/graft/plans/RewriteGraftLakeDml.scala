@@ -2,40 +2,54 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, ExprId}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreePattern.COMMAND
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.{Column, GraftColumnBridge, GraftPlanBridge}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, GraftPlanBridge}
 
 import graft.operators.{Export, Merge}
 import graft.sources.GraftLakeTable
 
 /** Native `MERGE INTO` / `UPDATE` SQL on lake catalog tables — the
-  * first DML statements a warehouse user types, previously reachable
-  * only through the `graft_merge` procedure's path+view calling
-  * convention. A resolved [[MergeIntoTable]]/[[UpdateTable]] whose
-  * target is a [[GraftLakeTable]] is rewritten (at analysis, like every
-  * DSv2 row-level rewrite) into a deferred [[GraftDmlStatement]] whose
-  * thunk routes to the AUDITED commit paths:
+  * first DML statements a warehouse user types. A resolved
+  * [[MergeIntoTable]]/[[UpdateTable]] whose target is a
+  * [[GraftLakeTable]] is rewritten (at analysis, like every DSv2
+  * row-level rewrite) into a deferred [[GraftDmlStatement]] whose thunk
+  * routes to the AUDITED commit paths. Fast paths keep their scoped
+  * commits; everything else takes the GENERAL merge:
   *
-  *  - MERGE with `layout ⊆ merge keys` →
+  *  - canonical upsert (`WHEN MATCHED THEN UPDATE SET * WHEN NOT
+  *    MATCHED THEN INSERT *` shapes) with `layout ⊆ merge keys` →
   *    [[Export.mergeSnapshotPartitioned]] (cost follows the touched
-  *    partitions, not the table);
-  *  - MERGE otherwise → [[Merge.upsert]] + full-replace commit, the
-  *    partition layout preserved when the table has one;
-  *  - UPDATE → [[Export.updateWhere]], whose manifest-tag pruning
-  *    rewrites only the files the predicate cannot exclude.
+  *    partitions), otherwise [[Merge.upsert]] + full-replace;
+  *  - `WHEN MATCHED THEN DELETE` → anti-join delete, PARTITION-SCOPED
+  *    ([[Export.deleteSnapshotPartitioned]]) when `layout ⊆ keys`;
+  *  - `WHEN NOT MATCHED THEN INSERT` only → anti-join append whose
+  *    existing-keys scan is ENVELOPE-PRUNED
+  *    ([[Export.snapshotKeysOverlapping]]) — O(overlapping files),
+  *    never a table rewrite;
+  *  - conditioned / mixed actions (`WHEN MATCHED AND c THEN
+  *    UPDATE/DELETE`, multiple clauses, `WHEN NOT MATCHED BY SOURCE`)
+  *    → the general first-true-clause rewrite ([[rewriteMergeGeneral]]):
+  *    one outer join + per-clause CASE resolution, full SQL MERGE
+  *    semantics including the duplicate-source-key cardinality error;
+  *  - UPDATE → [[Export.updateWhere]] (manifest-tag-pruned rewrite) or,
+  *    when the table property `graft.update.mode=mor` is set,
+  *    [[Export.updateWhereMoR]] (deletion vectors + an O(matched)
+  *    insert epoch — zero files rewritten).
   *
-  * Supported MERGE shape is the canonical upsert — `WHEN MATCHED THEN
-  * UPDATE SET ... WHEN NOT MATCHED THEN INSERT ...` with an
-  * equality-conjunction ON clause and matching UPDATE/INSERT values
-  * (what `SET * / INSERT *` expand to). Anything else (conditioned
-  * actions, DELETE actions, NOT MATCHED BY SOURCE, inequality ON) is
-  * refused with a pointer to the procedure — never half-applied.
-  * Execution is DEFERRED to the physical node ([[GraftDmlStatement]] is
-  * a Command: `spark.sql` runs it eagerly, `EXPLAIN` plans it without
-  * committing). */
+  * Still refused loudly (never half-applied): time-travel targets,
+  * `WITH SCHEMA EVOLUTION`, non-equality ON conjuncts, an ON clause
+  * binding one target column to DIFFERENT source expressions, and
+  * nested-field assignment targets. Execution is DEFERRED to the
+  * physical node ([[GraftDmlStatement]] is a Command: `spark.sql` runs
+  * it eagerly, `EXPLAIN` plans it without committing). The rule itself
+  * is O(1) on non-DML statements: commands carry the COMMAND tree
+  * pattern, so the 99% of analyzer fixpoint passes over ordinary
+  * queries exit on one cached-bitset check without traversing. */
 final case class RewriteGraftLakeDml(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
@@ -46,13 +60,15 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         r.table.asInstanceOf[GraftLakeTable]
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case u: UpdateTable if u.resolved && lakeTableOf(u.table).isDefined =>
-      rewriteUpdate(u, lakeTableOf(u.table).get)
-    case m: MergeIntoTable
-        if m.resolved && lakeTableOf(m.targetTable).isDefined =>
-      rewriteMerge(m, lakeTableOf(m.targetTable).get)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!plan.containsPattern(COMMAND)) plan
+    else plan.transformUpWithPruning(_.containsPattern(COMMAND)) {
+      case u: UpdateTable if u.resolved && lakeTableOf(u.table).isDefined =>
+        rewriteUpdate(u, lakeTableOf(u.table).get)
+      case m: MergeIntoTable
+          if m.resolved && lakeTableOf(m.targetTable).isDefined =>
+        rewriteMerge(m, lakeTableOf(m.targetTable).get)
+    }
 
   /** Rebind a target-column expression by NAME, so the thunk can apply
     * it to the fresh snapshot frame it reads at execution time (the
@@ -82,52 +98,40 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val dir = t.dir
     GraftDmlStatement(s"UPDATE ${t.name()}", () => {
-      Export.updateWhere(SparkSession.active, dir, sets, cond)
+      // table-property routing, read at EXECUTION time so an ALTER
+      // between analysis and run is honored: `graft.update.mode=mor`
+      // takes the deletion-vector path (O(matched) writes) instead of
+      // the copy-on-write file rewrite
+      val mor = Export.snapshotProperties(dir)
+        .get("graft.update.mode").contains("mor")
+      if (mor) Export.updateWhereMoR(SparkSession.active, dir, sets, cond)
+      else Export.updateWhere(SparkSession.active, dir, sets, cond)
       ()
     })
   }
+
+  /** Thrown internally when a MERGE doesn't fit a scoped fast path —
+    * caught to fall through to the general rewrite, never surfaced. */
+  private object NotCanonical
+      extends Exception with scala.util.control.NoStackTrace
+  private def miss(): Nothing = throw NotCanonical
+  private def canonical(body: => LogicalPlan): Option[LogicalPlan] =
+    try Some(body) catch { case NotCanonical => None }
 
   private def rewriteMerge(m: MergeIntoTable,
       t: GraftLakeTable): LogicalPlan = {
     def refuse(what: String): Nothing =
       throw new UnsupportedOperationException(
-        s"MERGE INTO ${t.name()}: $what. The supported SQL shape is " +
-          "the canonical upsert - WHEN MATCHED THEN UPDATE SET ... " +
-          "WHEN NOT MATCHED THEN INSERT ... with an equality ON " +
-          "clause and matching UPDATE/INSERT values (SET * / INSERT " +
-          "*); other shapes run through the graft_merge procedure")
+        s"MERGE INTO ${t.name()}: $what. Supported: equality ON " +
+          "clauses with any combination of (conditioned) WHEN MATCHED " +
+          "UPDATE/DELETE, WHEN NOT MATCHED INSERT, and WHEN NOT " +
+          "MATCHED BY SOURCE UPDATE/DELETE clauses")
     require(t.versionAsOf.isEmpty,
       s"cannot MERGE INTO time-travel relation ${t.name()}")
     if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is not " +
       "supported (ALTER TABLE ... ADD COLUMN first)")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not supported")
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
-    // the MATCHED-DELETE shape (`WHEN MATCHED THEN DELETE`, no insert):
-    // an anti-join delete — rows whose key appears in the source vanish
-    val deleteShape = (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(DeleteAction(None)), Seq()) => true
-      case _ => false
-    }
-    // the INSERT-IF-ABSENT shape (`WHEN NOT MATCHED THEN INSERT` with
-    // no matched action): an anti-join append — source keys already in
-    // the table are skipped, the rest INSERT. O(batch) writes: one
-    // key-pruned scan of the table's key columns + one append commit.
-    val insertOnly = (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(), Seq(InsertAction(None, ia))) => Some(ia)
-      case _ => None
-    }
-    val (updAssigns, insAssigns) =
-      (m.matchedActions, m.notMatchedActions) match {
-        case _ if deleteShape || insertOnly.nonEmpty => (Nil, Nil)
-        case (Seq(UpdateAction(None, ua, _)), Seq(InsertAction(None, ia)))
-            => (ua, ia)
-        case _ => refuse("need exactly one unconditioned WHEN MATCHED " +
-          "THEN UPDATE and one unconditioned WHEN NOT MATCHED THEN " +
-          "INSERT (or a single WHEN MATCHED THEN DELETE, or a single " +
-          "WHEN NOT MATCHED THEN INSERT)")
-      }
     def sideOf(a: Expression, b: Expression)
         : Option[(AttributeReference, AttributeReference)] = (a, b) match {
       case (ta: AttributeReference, sa: AttributeReference)
@@ -137,116 +141,178 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       case _ => None
     }
     // ON clause: a conjunction of target-col = source-col equalities;
-    // each pair is a merge key
-    val keyPairs: Seq[(AttributeReference, AttributeReference)] =
+    // each pair is a merge key (`<=>` keeps its null-matching semantics
+    // through the general path's join)
+    val rawConds: Seq[(AttributeReference, AttributeReference, Boolean)] =
       graft.sources.GraftLakeBatch.splitConjuncts(m.mergeCondition).map {
-        case EqualTo(a, b) => sideOf(a, b).getOrElse(
+        case EqualTo(a, b) => sideOf(a, b).map { case (ta, sa) =>
+            (ta, sa, false) }.getOrElse(
           refuse(s"ON conjunct $a = $b is not a target-column = " +
             "source-column equality"))
-        case EqualNullSafe(a, b) => sideOf(a, b).getOrElse(
+        case EqualNullSafe(a, b) => sideOf(a, b).map { case (ta, sa) =>
+            (ta, sa, true) }.getOrElse(
           refuse(s"ON conjunct $a <=> $b is not a target-column = " +
             "source-column equality"))
         case other => refuse(s"ON clause has a non-equality conjunct: " +
           s"$other")
       }
-    val keys = keyPairs.map(_._1.name)
-    if (deleteShape) {
-      // MERGE-DELETE: anti-join the target on the ON clause's key
-      // columns (source keys projected under the target's names); a
-      // partitioned table recommits partition-laid-out
-      val keysPlan = Project(keyPairs.map { case (ta, sa) =>
-        Alias(if (sa.dataType == ta.dataType) sa
-          else Cast(sa, ta.dataType), ta.name)()
-      }, m.sourceTable)
-      val dir = t.dir
-      return GraftDmlStatement(s"MERGE DELETE ${t.name()}", () => {
-        val s = SparkSession.active
-        val sourceKeys = GraftPlanBridge.ofRows(s, keysPlan).distinct()
-        val latest = Export.latestSnapshotVersion(dir)
-        require(latest > 0, s"nothing to merge into under $dir")
+    // one pair per target column: duplicate conjuncts binding the SAME
+    // source column collapse (EqualTo wins over <=> — their conjunction
+    // is the plain equality); different sources are refused, because
+    // any single-join rewrite would silently drop one equality and
+    // match rows SQL MERGE would not
+    val keyConds: Seq[(AttributeReference, AttributeReference, Boolean)] =
+      rawConds.map(_._1.exprId).distinct.map { id =>
+        val group = rawConds.filter(_._1.exprId == id)
+        if (!group.forall(_._2.semanticEquals(group.head._2)))
+          refuse(s"target column '${group.head._1.name}' appears in " +
+            "multiple ON conjuncts bound to DIFFERENT source columns " +
+            s"(${group.map(_._2.name).distinct.mkString(", ")}) - a " +
+            "single-key rewrite would drop one of the equalities")
+        (group.head._1, group.head._2, group.forall(_._3))
+      }
+
+    // ---- fast paths: each claims only its exact shape, else misses
+    canonical(rewriteMergeDelete(m, t, keyConds, refuse))
+      .orElse(canonical(rewriteMergeInsertOnly(m, t, keyConds, refuse)))
+      .orElse(canonical(rewriteMergeUpsert(m, t, keyConds, refuse)))
+      .getOrElse(rewriteMergeGeneral(m, t, keyConds, refuse))
+  }
+
+  /** `WHEN MATCHED THEN DELETE` (alone, unconditioned): an anti-join
+    * delete — rows whose key appears in the source vanish. With
+    * `layout ⊆ keys` the rewrite is PARTITION-SCOPED
+    * ([[Export.deleteSnapshotPartitioned]]): only partitions present in
+    * the source keys rewrite, the rest carry verbatim — a MERGE-DELETE
+    * keyed on the layout costs the touched partitions at 100 TB, not
+    * the table. */
+  private def rewriteMergeDelete(m: MergeIntoTable, t: GraftLakeTable,
+      keyConds: Seq[(AttributeReference, AttributeReference, Boolean)],
+      refuse: String => Nothing): LogicalPlan = {
+    (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+      case (Seq(DeleteAction(None)), Seq(), Seq()) => ()
+      case _ => miss()
+    }
+    val keys = keyConds.map(_._1.name)
+    val keysPlan = Project(keyConds.map { case (ta, sa, _) =>
+      Alias(if (sa.dataType == ta.dataType) sa
+        else Cast(sa, ta.dataType), ta.name)()
+    }, m.sourceTable)
+    val dir = t.dir
+    GraftDmlStatement(s"MERGE DELETE ${t.name()}", () => {
+      val s = SparkSession.active
+      val sourceKeys = GraftPlanBridge.ofRows(s, keysPlan).distinct()
+      val latest = Export.latestSnapshotVersion(dir)
+      require(latest > 0, s"nothing to merge into under $dir")
+      val partCols = Export.snapshotPartitionColumns(dir, latest)
+      if (partCols.nonEmpty && partCols.toSet.subsetOf(keys.toSet))
+        Export.deleteSnapshotPartitioned(s, dir, sourceKeys, keys,
+          partCols)
+      else {
         val remaining = Export.readSnapshot(s, dir, latest)
           .join(sourceKeys, keys, "left_anti")
-        val partCols = Export.snapshotPartitionColumns(dir, latest)
         if (partCols.nonEmpty)
           Export.replaceSnapshotPartitioned(s, remaining, dir, partCols)
         else Export.replaceSnapshot(s, remaining, dir)
-        ()
-      })
-    }
-    insertOnly.foreach { ia =>
-      val ins = ia.map { a =>
-        a.key match {
-          case ar: AttributeReference => (ar: Attribute) -> a.value
-          case other => refuse(s"INSERT assigns a non-top-level target " +
-            s"$other")
-        }
-      }.toMap
-      val projected = m.targetTable.output.map { ta =>
-        val v = ins.getOrElse(ta, refuse(s"INSERT does not assign " +
-          s"column '${ta.name}'"))
-        if (v.references.exists(tOut.contains))
-          refuse(s"the value of '${ta.name}' references target columns")
-        keyPairs.find(_._1.semanticEquals(ta)).foreach { case (_, sa) =>
-          if (!v.semanticEquals(sa))
-            refuse(s"key column '${ta.name}' must be assigned the ON " +
-              s"clause's source column ${sa.name}, got $v")
-        }
-        Alias(
-          if (v.dataType == ta.dataType) v else Cast(v, ta.dataType),
-          ta.name)()
       }
-      val insPlan = Project(projected, m.sourceTable)
-      val dir = t.dir
-      return GraftDmlStatement(s"MERGE INSERT ${t.name()}", () => {
-        val s = SparkSession.active
-        val src = GraftPlanBridge.ofRows(s, insPlan)
-        val latest = Export.latestSnapshotVersion(dir)
-        require(latest > 0, s"nothing to merge into under $dir")
-        // key-column-pruned scan of the table, broadcast-friendly
-        // anti-join, append-only commit — never a table rewrite
-        val existing = Export.readSnapshot(s, dir, latest)
-          .select(keys.map(org.apache.spark.sql.functions.col): _*)
-          .distinct()
-        val fresh = src.join(existing, keys, "left_anti")
-        val partCols = Export.snapshotPartitionColumns(dir, latest)
-        if (partCols.nonEmpty)
-          Export.appendSnapshotPartitioned(s, fresh, dir, partCols)
-        else Export.appendSnapshot(s, fresh, dir)
-        ()
-      })
+      ()
+    })
+  }
+
+  /** `WHEN NOT MATCHED THEN INSERT` (alone, unconditioned, key columns
+    * assigned the ON clause's source columns): an anti-join append —
+    * source keys already in the table are skipped, the rest INSERT.
+    * O(batch) writes AND O(overlapping files) reads: the existing-keys
+    * side is [[Export.snapshotKeysOverlapping]], planned from the
+    * batch's key envelope against the manifest `s=`/`p=` tags — a
+    * statted/clustered table pays only the files its batch could
+    * collide with, never a full key scan. */
+  private def rewriteMergeInsertOnly(m: MergeIntoTable, t: GraftLakeTable,
+      keyConds: Seq[(AttributeReference, AttributeReference, Boolean)],
+      refuse: String => Nothing): LogicalPlan = {
+    val ia = (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+      case (Seq(), Seq(InsertAction(None, ia)), Seq()) => ia
+      case _ => miss()
     }
-    // every target column must be assigned, UPDATE and INSERT must
-    // agree (Merge.upsert writes the same values on both paths), and a
-    // key column's value must be the very source column the ON clause
-    // joins on (otherwise the upsert's join key differs from the
-    // written key)
-    def byTarget(assigns: Seq[Assignment],
-        what: String): Map[Attribute, Expression] =
+    val tOut = m.targetTable.outputSet
+    val keys = keyConds.map(_._1.name)
+    val ins = ia.map { a =>
+      a.key match {
+        case ar: AttributeReference => (ar: Attribute) -> a.value
+        case _ => miss() // nested target: the general path refuses it
+      }
+    }.toMap
+    val projected = m.targetTable.output.map { ta =>
+      val v = ins.getOrElse(ta, miss())
+      if (v.references.exists(tOut.contains)) miss()
+      keyConds.find(_._1.semanticEquals(ta)).foreach { case (_, sa, _) =>
+        if (!v.semanticEquals(sa)) miss()
+      }
+      Alias(
+        if (v.dataType == ta.dataType) v else Cast(v, ta.dataType),
+        ta.name)()
+    }
+    val insPlan = Project(projected, m.sourceTable)
+    val dir = t.dir
+    GraftDmlStatement(s"MERGE INSERT ${t.name()}", () => {
+      val s = SparkSession.active
+      val src = GraftPlanBridge.ofRows(s, insPlan)
+      val latest = Export.latestSnapshotVersion(dir)
+      require(latest > 0, s"nothing to merge into under $dir")
+      // envelope-pruned key scan + broadcast-friendly anti-join +
+      // append-only commit — never a table rewrite
+      val existing = Export.snapshotKeysOverlapping(s, dir, latest,
+        keys, src.select(keys.map(col): _*))
+      val fresh = src.join(existing, keys, "left_anti")
+      val partCols = Export.snapshotPartitionColumns(dir, latest)
+      if (partCols.nonEmpty)
+        Export.appendSnapshotPartitioned(s, fresh, dir, partCols)
+      else Export.appendSnapshot(s, fresh, dir)
+      ()
+    })
+  }
+
+  /** The canonical upsert — one unconditioned `UPDATE SET` + one
+    * unconditioned `INSERT` assigning identical, source-only values
+    * (what `SET * / INSERT *` expand to): routed to
+    * [[Export.mergeSnapshotPartitioned]] when `layout ⊆ keys` (cost
+    * follows the touched partitions), else [[Merge.upsert]] +
+    * full-replace. Shapes that assign different or target-referencing
+    * values fall through to the general rewrite instead. */
+  private def rewriteMergeUpsert(m: MergeIntoTable, t: GraftLakeTable,
+      keyConds: Seq[(AttributeReference, AttributeReference, Boolean)],
+      refuse: String => Nothing): LogicalPlan = {
+    val (updAssigns, insAssigns) = (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+      case (Seq(UpdateAction(None, ua, _)), Seq(InsertAction(None, ia)),
+          Seq()) => (ua, ia)
+      case _ => miss()
+    }
+    val tOut = m.targetTable.outputSet
+    val keys = keyConds.map(_._1.name)
+    def byTarget(assigns: Seq[Assignment]): Map[Attribute, Expression] =
       assigns.map { a =>
         a.key match {
           case ar: AttributeReference => (ar: Attribute) -> a.value
-          case other => refuse(s"$what assigns a non-top-level target " +
-            s"$other")
+          case _ => miss()
         }
       }.toMap
-    val upd = byTarget(updAssigns, "UPDATE")
-    val ins = byTarget(insAssigns, "INSERT")
+    val upd = byTarget(updAssigns)
+    val ins = byTarget(insAssigns)
+    // every target column assigned, UPDATE and INSERT agree
+    // (Merge.upsert writes the same values on both paths), values are
+    // source-only, and a key column takes the very source column the
+    // ON clause joins on — otherwise the upsert's join key would
+    // differ from the written key
     val projected = m.targetTable.output.map { ta =>
-      val u = upd.getOrElse(ta, refuse(s"UPDATE does not assign " +
-        s"column '${ta.name}'"))
-      val i = ins.getOrElse(ta, refuse(s"INSERT does not assign " +
-        s"column '${ta.name}'"))
-      if (!u.semanticEquals(i))
-        refuse(s"UPDATE and INSERT assign different values to " +
-          s"'${ta.name}' ($u vs $i) - matched and inserted rows would " +
-          "diverge, which full-row upsert cannot express")
-      if (u.references.exists(tOut.contains))
-        refuse(s"the value of '${ta.name}' references target columns " +
-          s"($u) - only source-derived values are supported")
-      keyPairs.find(_._1.semanticEquals(ta)).foreach { case (_, sa) =>
-        if (!u.semanticEquals(sa))
-          refuse(s"key column '${ta.name}' must be assigned the ON " +
-            s"clause's source column ${sa.name}, got $u")
+      val u = upd.getOrElse(ta, miss())
+      val i = ins.getOrElse(ta, miss())
+      if (!u.semanticEquals(i)) miss()
+      if (u.references.exists(tOut.contains)) miss()
+      keyConds.find(_._1.semanticEquals(ta)).foreach { case (_, sa, _) =>
+        if (!u.semanticEquals(sa)) miss()
       }
       Alias(
         if (u.dataType == ta.dataType) u else Cast(u, ta.dataType),
@@ -268,6 +334,241 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         if (partCols.nonEmpty)
           Export.replaceSnapshotPartitioned(s, merged, dir, partCols)
         else Export.replaceSnapshot(s, merged, dir)
+      }
+      ()
+    })
+  }
+
+  /** The GENERAL merge — full SQL MERGE clause semantics in one
+    * copy-on-write rewrite: per target row, matching source rows are
+    * found by ONE outer join on the ON keys; the FIRST matched clause
+    * whose condition holds fires (UPDATE's assignments or DELETE),
+    * unfired rows carry; target rows with no match run the `NOT
+    * MATCHED BY SOURCE` clauses the same way; source rows with no
+    * match run the insert clauses, first-true inserting (unassigned
+    * columns null-fill, the INSERT column-list law). Duplicate source
+    * merge keys with matched clauses present raise the SQL cardinality
+    * error (a target row may be modified at most once) — checked with
+    * one tiny agg over the batch, not a join. A merge with ONLY insert
+    * clauses commits as an APPEND against an envelope-pruned key scan
+    * — no table rewrite. 100 TB shape: the rewrite is one shuffle on
+    * the merge keys plus the partitioned/plain replace; conditions and
+    * assignments stay codegen'd CASE expressions, and the source side
+    * is broadcast when small (AQE). */
+  private def rewriteMergeGeneral(m: MergeIntoTable, t: GraftLakeTable,
+      keyConds: Seq[(AttributeReference, AttributeReference, Boolean)],
+      refuse: String => Nothing): LogicalPlan = {
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    val targetNames = m.targetTable.output.map(_.name)
+    // a fresh, collision-free namespace for the source side: every
+    // source column is renamed positionally, so duplicate source names
+    // and target/source clashes cannot mis-resolve
+    val prefix = Iterator.from(0)
+      .map(i => if (i == 0) "__mrg_" else s"__mrg${i}_")
+      .find(p => !targetNames.exists(_.startsWith(p))).get
+    val renameOf: Map[ExprId, String] = m.sourceTable.output.zipWithIndex
+      .map { case (a, i) => a.exprId -> s"${prefix}s_$i" }.toMap
+    val srcPlan = Project(m.sourceTable.output.map(a =>
+      Alias(a, renameOf(a.exprId))()), m.sourceTable)
+
+    def rebind(e: Expression): Expression = e.transform {
+      case a: AttributeReference if sOut.contains(a) =>
+        UnresolvedAttribute.quoted(renameOf(a.exprId))
+      case a: AttributeReference if tOut.contains(a) =>
+        UnresolvedAttribute.quoted(a.name)
+    }
+    def rebC(e: Expression): Column = GraftColumnBridge.column(rebind(e))
+
+    def assignsOf(as: Seq[Assignment], what: String,
+        sourceAllowed: Boolean): Map[String, Column] =
+      as.map { a =>
+        a.key match {
+          case ar: AttributeReference =>
+            if (!sourceAllowed && a.value.references.exists(sOut.contains))
+              refuse(s"$what assigns '${ar.name}' a source-referencing " +
+                s"value (${a.value}) - no source row exists for a NOT " +
+                "MATCHED BY SOURCE target row")
+            ar.name -> rebC(a.value)
+          case other =>
+            refuse(s"$what assigns a non-top-level target $other")
+        }
+      }.toMap
+
+    // clause capture: (condition, Some(assignments)=UPDATE / None=DELETE)
+    val matchedActs: Seq[(Option[Column], Option[Map[String, Column]])] =
+      m.matchedActions.map {
+        case UpdateAction(c, as, _) =>
+          (c.map(rebC), Some(assignsOf(as, "WHEN MATCHED UPDATE",
+            sourceAllowed = true)))
+        case DeleteAction(c) => (c.map(rebC), None)
+        case other => refuse(s"unsupported WHEN MATCHED action $other")
+      }
+    val insertActs: Seq[(Option[Column], Map[String, Column])] =
+      m.notMatchedActions.map {
+        case InsertAction(c, as) =>
+          c.foreach(cc => if (cc.references.exists(tOut.contains))
+            refuse("a WHEN NOT MATCHED condition references target " +
+              "columns - no target row exists for an unmatched source " +
+              "row"))
+          val sets = as.map { a =>
+            a.key match {
+              case ar: AttributeReference =>
+                if (a.value.references.exists(tOut.contains))
+                  refuse(s"INSERT assigns '${ar.name}' a target-" +
+                    "referencing value - no target row exists for an " +
+                    "unmatched source row")
+                ar.name -> rebC(a.value)
+              case other =>
+                refuse(s"INSERT assigns a non-top-level target $other")
+            }
+          }.toMap
+          (c.map(rebC), sets)
+        case other => refuse(s"unsupported WHEN NOT MATCHED action $other")
+      }
+    val bySourceActs: Seq[(Option[Column], Option[Map[String, Column]])] =
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(c, as, _) =>
+          c.foreach(cc => if (cc.references.exists(sOut.contains))
+            refuse("a WHEN NOT MATCHED BY SOURCE condition references " +
+              "source columns"))
+          (c.map(rebC), Some(assignsOf(as, "WHEN NOT MATCHED BY SOURCE " +
+            "UPDATE", sourceAllowed = false)))
+        case DeleteAction(c) =>
+          c.foreach(cc => if (cc.references.exists(sOut.contains))
+            refuse("a WHEN NOT MATCHED BY SOURCE condition references " +
+              "source columns"))
+          (c.map(rebC), None)
+        case other =>
+          refuse(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
+      }
+
+    val keys = keyConds.map(_._1.name)
+    val keyCaptured: Seq[(String, String, Boolean)] = keyConds.map {
+      case (ta, sa, ns) => (ta.name, renameOf(sa.exprId), ns) }
+    val dir = t.dir
+    val marker = s"${prefix}matched"
+    val miCol = s"${prefix}mi"
+    val biCol = s"${prefix}bi"
+    val insCol = s"${prefix}ins"
+
+    // first-true clause index (1-based; 0 = no clause fires); a NULL
+    // condition is false, the SQL law
+    def firstIdx(conds: Seq[Option[Column]]): Column =
+      conds.zipWithIndex.foldLeft(Option.empty[Column]) {
+        case (acc, (c, i)) =>
+          val cond = c.getOrElse(lit(true))
+          Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
+      }.map(_.otherwise(lit(0))).getOrElse(lit(0))
+    def notDeleted(idx: Column,
+        acts: Seq[(Option[Column], Option[Map[String, Column]])]): Column = {
+      val dels = acts.zipWithIndex.collect {
+        case ((_, None), i) => i + 1 }
+      if (dels.isEmpty) lit(true)
+      else !idx.isin(dels.map(Integer.valueOf): _*)
+    }
+
+    GraftDmlStatement(s"MERGE INTO ${t.name()} (general)", () => {
+      val s = SparkSession.active
+      val latest = Export.latestSnapshotVersion(dir)
+      require(latest > 0, s"nothing to merge into under $dir")
+      val st = Export.snapshotSchema(dir, latest).getOrElse(
+        throw new IllegalStateException(s"version $latest under $dir " +
+          "has no #schema= header (pre-header legacy manifest) - " +
+          "recommit"))
+      val src = GraftPlanBridge.ofRows(s, srcPlan)
+      val joinCond = keyCaptured.map { case (tn, sn, ns) =>
+        if (ns) col(tn) <=> col(sn) else col(tn) === col(sn)
+      }.reduce(_ && _)
+      val partCols = Export.snapshotPartitionColumns(dir, latest)
+
+      def insertRows(existing: DataFrame): DataFrame = {
+        val notM = src.join(existing, joinCond, "left_anti")
+        val withIdx = notM.withColumn(insCol,
+          firstIdx(insertActs.map(_._1)))
+        withIdx.filter(col(insCol) > 0).select(st.fields.toSeq.map {
+          f =>
+            insertActs.zipWithIndex.foldLeft(Option.empty[Column]) {
+              case (acc, ((_, sets), k)) =>
+                val v = sets.getOrElse(f.name, lit(null))
+                  .cast(f.dataType)
+                Some(acc.fold(when(col(insCol) === (k + 1), v))(
+                  _.when(col(insCol) === (k + 1), v)))
+            }.map(_.otherwise(lit(null).cast(f.dataType)))
+              .getOrElse(lit(null).cast(f.dataType))
+              .as(f.name, f.metadata)
+        }: _*)
+      }
+
+      if (matchedActs.isEmpty && bySourceActs.isEmpty) {
+        // conditioned-insert-only: every target row carries — commit as
+        // an APPEND against the envelope-pruned key scan, never a
+        // rewrite (sound for plain-equality keys; a null-safe key can
+        // match NULL incumbents the envelope cannot see, so it scans)
+        val existing =
+          if (keyCaptured.forall(!_._3))
+            Export.snapshotKeysOverlapping(s, dir, latest, keys,
+              src.select(keyCaptured.map { case (tn, sn, _) =>
+                col(sn).as(tn) }: _*))
+          else Export.readSnapshot(s, dir, latest)
+            .select(keys.map(col): _*).distinct()
+        val fresh = insertRows(existing)
+        if (partCols.nonEmpty)
+          Export.appendSnapshotPartitioned(s, fresh, dir, partCols)
+        else Export.appendSnapshot(s, fresh, dir)
+      } else {
+        // SQL cardinality law: with matched clauses present, a
+        // duplicate source merge key would update/delete one target
+        // row twice — refuse BEFORE any write (one tiny agg over the
+        // batch)
+        if (matchedActs.nonEmpty) {
+          val nonNull = keyCaptured.filterNot(_._3)
+            .map { case (_, sn, _) => col(sn).isNotNull }
+          val eligible = nonNull.foldLeft(src)((d, c) => d.filter(c))
+          val dup = eligible
+            .groupBy(keyCaptured.map { case (_, sn, _) => col(sn) }: _*)
+            .count().filter(col("count") > 1).limit(1).count()
+          require(dup == 0L,
+            s"MERGE INTO $dir: the source has duplicate merge keys - " +
+              "a matched target row would be updated/deleted more " +
+              "than once (the SQL MERGE cardinality violation). " +
+              "De-duplicate the source (e.g. keep the latest row per " +
+              "key) first")
+        }
+
+        val base = Export.readSnapshot(s, dir, latest)
+        val joined = base.join(src.withColumn(marker, lit(true)),
+          joinCond, "left_outer")
+        val isM = coalesce(col(marker), lit(false))
+        val tagged = joined
+          .withColumn(miCol, firstIdx(matchedActs.map(_._1)))
+          .withColumn(biCol, firstIdx(bySourceActs.map(_._1)))
+        val kept = tagged.filter(
+            when(isM, notDeleted(col(miCol), matchedActs))
+              .otherwise(notDeleted(col(biCol), bySourceActs)))
+          .select(st.fields.toSeq.map { f =>
+            val cases: Seq[(Column, Column)] =
+              matchedActs.zipWithIndex.collect {
+                case ((_, Some(sets)), i) if sets.contains(f.name) =>
+                  (isM && col(miCol) === (i + 1)) ->
+                    sets(f.name).cast(f.dataType)
+              } ++
+              bySourceActs.zipWithIndex.collect {
+                case ((_, Some(sets)), j) if sets.contains(f.name) =>
+                  (!isM && col(biCol) === (j + 1)) ->
+                    sets(f.name).cast(f.dataType)
+              }
+            cases.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
+              Some(acc.fold(when(c, v))(_.when(c, v)))
+            }.map(_.otherwise(col(f.name))).getOrElse(col(f.name))
+              .as(f.name, f.metadata)
+          }: _*)
+        val result =
+          if (insertActs.isEmpty) kept
+          else kept.unionByName(insertRows(base))
+        if (partCols.nonEmpty)
+          Export.replaceSnapshotPartitioned(s, result, dir, partCols)
+        else Export.replaceSnapshot(s, result, dir)
       }
       ()
     })

@@ -152,6 +152,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     Export.createEmptySnapshot(dir, schema,
       meta = if (partCols.isEmpty) Map.empty
         else Map("partition_cols" -> partCols.mkString(",")))
+    // TBLPROPERTIES: the engine's own `graft.*` knobs persist in the
+    // manifest property channel (e.g. `graft.update.mode=mor` routes
+    // the native UPDATE merge-on-read); Spark's bookkeeping keys
+    // (provider/location/owner) are not table semantics and drop
+    val graftProps = properties.asScala.toMap
+      .filter { case (k, _) => k.startsWith("graft.") }
+    if (graftProps.nonEmpty)
+      Export.setSnapshotProperties(dir, graftProps)
     new GraftLakeTable(catalogName, ident, dir)
   }
 
@@ -218,11 +226,27 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
             "widening (integral up-chain or float->double only)")
         names = names.map { case (m, t) =>
           m -> (if (m == n) c.newDataType else t) }
+      case c: TableChange.SetProperty =>
+        require(c.property.startsWith("graft."),
+          s"SET TBLPROPERTIES: only graft.* properties are table " +
+            s"semantics here, got '${c.property}'")
+      case c: TableChange.RemoveProperty =>
+        require(c.property.startsWith("graft."),
+          s"UNSET TBLPROPERTIES: only graft.* properties are table " +
+            s"semantics here, got '${c.property}'")
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other - the lake supports " +
-          "RENAME/DROP/ADD COLUMN and safe type widening")
+          "RENAME/DROP/ADD COLUMN, safe type widening, and graft.* " +
+          "TBLPROPERTIES")
     }
     // PHASE 2 — apply; each lake commit is atomic and pre-validated
+    // (consecutive property changes collapse into ONE metadata commit)
+    val setProps = changes.collect {
+      case c: TableChange.SetProperty => c.property -> c.value }.toMap
+    val unsetProps = changes.collect {
+      case c: TableChange.RemoveProperty => c.property }.toSeq
+    if (setProps.nonEmpty || unsetProps.nonEmpty)
+      Export.setSnapshotProperties(dir, setProps, unsetProps)
     changes.foreach {
       case c: TableChange.RenameColumn =>
         Export.renameSnapshotColumn(dir, c.fieldNames.head, c.newName)
@@ -232,6 +256,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         Export.addSnapshotColumn(dir, c.fieldNames.head, c.dataType)
       case c: TableChange.UpdateColumnType =>
         Export.widenSnapshotColumn(dir, c.fieldNames.head, c.newDataType)
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+        () // applied above in one commit
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
     new GraftLakeTable(catalogName, ident, dir)
@@ -413,7 +439,8 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def properties(): util.Map[String, String] =
-    Map("location" -> dir, "provider" -> "graftlake").asJava
+    (Export.snapshotProperties(dir) ++
+      Map("location" -> dir, "provider" -> "graftlake")).asJava
 
   /** The v1 face the analyzer resolves reads through: a `graftlake`-
     * provider CatalogTable at the table dir — lands in
@@ -432,13 +459,8 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
   /** The table's declared partition layout: derived from the head's
     * committed `p=` specs once data exists, from the CREATE commit's
     * recorded `partition_cols` before the first insert. */
-  private def layoutCols: Seq[String] = {
-    val head = Export.latestSnapshotVersion(dir)
-    val fromSpecs = Export.snapshotPartitionColumns(dir, head)
-    if (fromSpecs.nonEmpty) fromSpecs
-    else Export.snapshotMeta(dir, 1).get("partition_cols")
-      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-  }
+  private def layoutCols: Seq[String] =
+    Export.declaredPartitionColumns(dir)
 
   override def partitioning(): Array[Transform] =
     layoutCols.map(c =>

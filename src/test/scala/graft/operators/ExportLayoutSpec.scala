@@ -1392,4 +1392,36 @@ class ExportLayoutSpec extends SparkSpec {
         Seq((5L, 1.5)).toDF("id", "score"), out)
     }
   }
+
+  test("snapshotKeysOverlapping: the insert-only MERGE's existing-keys scan plans ONLY the files whose s= range overlaps the batch envelope (r13 item #7)") {
+    import spark.implicits._
+    val out = tmp("keysoverlap")
+    graft.util.Dirs.deleteRec(new java.io.File(out))
+    val base = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    Export.appendSnapshotClustered(spark, base, out, "k", nFiles = 10)
+    val entries = Export.snapshotManifestEntries(out, 1)
+    assert(entries.length === 10 && entries.forall(_.stats.contains("k")))
+    // batch confined to [100, 199]: only the file(s) whose k-range
+    // overlaps can hold a blocking key
+    val batch = spark.range(100, 200).selectExpr("id AS k")
+    val keys = Export.snapshotKeysOverlapping(spark, out, 1,
+      Seq("k"), batch)
+    val planned = keys.inputFiles.toSet
+    val overlapping = entries.filter(_.stats.get("k").exists {
+      case (lo, hi) => hi >= 100L && lo <= 199L }).map(_.path).toSet
+    assert(planned.size < entries.length,
+      "envelope pruning must skip provably-disjoint files")
+    assert(planned.size === overlapping.size,
+      s"planned ${planned.size} files, expected ${overlapping.size}")
+    // correctness: every distinct key of the planned files comes back
+    val got = keys.as[Long].collect().toSet
+    assert((100L until 200L).forall(got.contains))
+    // degenerate batch (all-null envelope): every file scans — pruning
+    // never proves what it can't
+    val nullBatch = Seq[Option[Long]](None, None).toDF("k")
+    val all = Export.snapshotKeysOverlapping(spark, out, 1,
+      Seq("k"), nullBatch)
+    assert(all.inputFiles.length === entries.length)
+    assert(all.count() === 1000L)
+  }
 }

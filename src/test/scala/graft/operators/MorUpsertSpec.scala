@@ -139,4 +139,49 @@ class MorUpsertSpec extends SparkSpec {
     assert(!Export.snapshotHasDeletionVectors(out, head),
       "pure-insert batch must not write a sidecar")
   }
+
+  test("DECLARED-but-empty partitioned table refuses MoR upsert: the lines-only guard would pass vacuously and the first write would poison partition-scoped DML (r13 ADVICE #2)") {
+    val out = tmp("mordeclared")
+    Export.createEmptySnapshot(out,
+      df().limit(0).schema, meta = Map("partition_cols" -> "v"))
+    val e = intercept[IllegalArgumentException] {
+      Export.upsertSnapshotMoR(spark, out, df((1L, 5L, "x")), keys, order)
+    }
+    assert(e.getMessage.contains("hive-partitioned"))
+    assert(Export.latestSnapshotVersion(out) === 1,
+      "the refused MoR upsert must commit nothing")
+  }
+
+  test("TIMESTAMP cluster key: cast-to-long is total, so timestamp-clustered MoR upserts zone-prune like integral ones (r13 ADVICE #3)") {
+    val out = tmp("morts")
+    val base = spark.sql(
+      """SELECT timestamp_seconds(1700000000 + id * 3600) AS ts,
+        |  1L AS ord, CAST(id AS STRING) AS v FROM range(100)""".stripMargin)
+    Export.appendSnapshotClustered(spark, base, out, "ts", nFiles = 5)
+    val linesBefore = Export.snapshotManifestEntries(out, 1)
+    assert(linesBefore.forall(_.zone.nonEmpty), "fixture must be zoned")
+    // a batch confined to the earliest hours: late files must carry
+    val batch = spark.sql(
+      """SELECT timestamp_seconds(1700000000 + id * 3600) AS ts,
+        |  2L AS ord, concat('u', id) AS v FROM range(5)""".stripMargin)
+    Export.upsertSnapshotMoR(spark, out, batch,
+      Seq("ts"), Seq("ord"), clusterKey = Some("ts"))
+    val head = Export.latestSnapshotVersion(out)
+    val after = Export.snapshotManifestEntries(out, head)
+    val batchHi = 1700000000L + 4 * 3600
+    val disjoint = linesBefore.filter(_.zone.exists(_._1 > batchHi))
+    assert(disjoint.nonEmpty, "fixture must have zone-disjoint files")
+    disjoint.foreach { e =>
+      val now = after.find(_.path == e.path)
+      assert(now.exists(_.dv.isEmpty),
+        s"zone-disjoint file ${e.path} must carry without a DV")
+    }
+    val got = Export.readSnapshot(spark, out, head)
+      .selectExpr("CAST(ts AS LONG) AS t", "v")
+      .as[(Long, String)].collect().toMap
+    (0L until 100L).foreach { id =>
+      val expected = if (id < 5) s"u$id" else id.toString
+      assert(got(1700000000L + id * 3600) === expected)
+    }
+  }
 }

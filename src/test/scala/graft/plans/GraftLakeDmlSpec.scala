@@ -143,15 +143,26 @@ class GraftLakeDmlSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT *").collect()
     assert(Export.latestSnapshotVersion(dir) === v0,
       "EXPLAIN MERGE INTO committed a version")
-    // a conditioned action is not a supported shape — refused with the
-    // pointer, nothing half-applied
+    // genuinely inexpressible shapes stay refused, nothing half-applied
+    def msgOf(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
     val e = intercept[Exception] {
-      spark.sql("MERGE INTO gld.ns.m3 t USING m3_src s ON t.k = s.k " +
-        "WHEN MATCHED AND s.v > 2 THEN UPDATE SET * " +
+      spark.sql("MERGE INTO gld.ns.m3 t USING m3_src s ON t.k >= s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
     }
-    assert(e.getMessage.contains("graft_merge") ||
-      Option(e.getCause).exists(_.getMessage.contains("graft_merge")))
+    assert(msgOf(e).contains("non-equality"))
+    assert(Export.latestSnapshotVersion(dir) === v0)
+    // an ON clause binding one target column to DIFFERENT source
+    // expressions is refused — any single-join rewrite would silently
+    // drop one equality (r13 ADVICE #4)
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE INTO gld.ns.m3 t USING m3_src s " +
+        "ON t.k = s.k AND t.k = s.v " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(msgOf(e2).contains("DIFFERENT source"))
     assert(Export.latestSnapshotVersion(dir) === v0)
     // INSERT-IF-ABSENT shape: only the keys NOT in the table append
     // (4,5 new; 2,3 skipped), the commit is an APPEND — no rewrite
@@ -219,5 +230,155 @@ class GraftLakeDmlSpec extends SparkSpec {
       Seq("v" -> lit(0L)), col("k") > 100L)
     assert(Export.readSnapshot(spark, dir, v2)
       .filter(col("v") === 0L).count() === 0)
+  }
+
+  test("conditioned/mixed MERGE actions: first-true clause per row (CDC D/U/I shape), EXPLAIN commits nothing, deferred to execution") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.mc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.mc SELECT id, id * 10 FROM range(6)")
+    // op D for k∈{0,3}; op U (v+1000) for k∈{1,4}; op I for k∈{10,11}
+    spark.sql("""SELECT * FROM VALUES
+        (0L, 0L, 'D'), (3L, 30L, 'D'),
+        (1L, 1010L, 'U'), (4L, 1040L, 'U'),
+        (10L, 100L, 'I'), (11L, 110L, 'I') AS t(k, v, op)""")
+      .createOrReplaceTempView("mc_src")
+    val dir = s"$wh/ns/mc"
+    val v0 = Export.latestSnapshotVersion(dir)
+    val stmt = "MERGE INTO gld.ns.mc t USING mc_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+      "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, v) " +
+      "VALUES (s.k, s.v)"
+    spark.sql(s"EXPLAIN $stmt").collect()
+    assert(Export.latestSnapshotVersion(dir) === v0,
+      "EXPLAIN of a conditioned MERGE committed a version")
+    spark.sql(stmt)
+    assert(Export.latestSnapshotVersion(dir) === v0 + 1)
+    val got = spark.sql("SELECT k, v FROM gld.ns.mc ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 0,3 deleted; 1,4 updated; 2,5 carried; 10,11 inserted
+    assert(got === Seq((1L, 1010L), (2L, 20L), (4L, 1040L),
+      (5L, 50L), (10L, 100L), (11L, 110L)))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: conditioned UPDATE and DELETE run per unmatched target row; matched update composes") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.mbs (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.mbs SELECT id, id FROM range(8)")
+    spark.range(0, 4).selectExpr("id AS k", "id + 100 AS v")
+      .createOrReplaceTempView("mbs_src")
+    spark.sql("MERGE INTO gld.ns.mbs t USING mbs_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 0 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v - 1")
+    val got = spark.sql("SELECT k, v FROM gld.ns.mbs ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 0..3 matched → v=k+100; 4,6 unmatched even → deleted;
+    // 5,7 unmatched odd → v-1 (first-true resolution: the DELETE
+    // clause fires first only where its condition holds)
+    assert(got === Seq((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L),
+      (5L, 4L), (7L, 6L)))
+  }
+
+  test("general MERGE refuses duplicate source merge keys (SQL cardinality law) BEFORE any write; conditioned insert-only commits as APPEND") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.mcard (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.mcard SELECT id, id FROM range(4)")
+    spark.sql("SELECT * FROM VALUES (1L, 7L), (1L, 8L), (2L, 9L) " +
+      "AS t(k, v)").createOrReplaceTempView("mcard_dup")
+    val dir = s"$wh/ns/mcard"
+    val v0 = Export.latestSnapshotVersion(dir)
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO gld.ns.mcard t USING mcard_dup s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 7 THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    }
+    assert((e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("cardinality"))
+    assert(Export.latestSnapshotVersion(dir) === v0,
+      "a cardinality-violating MERGE must commit nothing")
+    // conditioned insert-only (no matched/by-source clauses): APPEND
+    // commit against the envelope-pruned key scan — never a rewrite
+    spark.sql("SELECT * FROM VALUES (2L, 200L, false), (9L, 900L, true)," +
+      " (8L, 800L, false) AS t(k, v, keep)")
+      .createOrReplaceTempView("mcard_ins")
+    spark.sql("MERGE INTO gld.ns.mcard t USING mcard_ins s ON t.k = s.k " +
+      "WHEN NOT MATCHED AND s.keep THEN INSERT (k, v) VALUES (s.k, s.v)")
+    assert(Export.latestSnapshotVersion(dir) === v0 + 1)
+    assert(Export.snapshotOperation(dir, v0 + 1) === Some("append"))
+    assert(spark.sql("SELECT k FROM gld.ns.mcard ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L, 9L))
+  }
+
+  test("native UPDATE routes merge-on-read via the graft.update.mode=mor table property; UNSET returns to copy-on-write") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.umor (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.umor SELECT id, id FROM range(10)")
+    val dir = s"$wh/ns/umor"
+    spark.sql("ALTER TABLE gld.ns.umor " +
+      "SET TBLPROPERTIES ('graft.update.mode' = 'mor')")
+    assert(Export.snapshotProperties(dir)
+      .get("graft.update.mode") === Some("mor"))
+    val v0 = Export.latestSnapshotVersion(dir)
+    val filesBefore = Export.snapshotFiles(dir, v0).toSet
+    spark.sql("UPDATE gld.ns.umor SET v = v + 100 WHERE k % 3 = 1")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    assert(Export.snapshotOperation(dir, v1) === Some("merge"),
+      "property-routed UPDATE must take the MoR path")
+    assert(Export.snapshotHasDeletionVectors(dir, v1))
+    assert(filesBefore.subsetOf(Export.snapshotFiles(dir, v1).toSet),
+      "MoR UPDATE must not rewrite existing data files")
+    // UNSET: back to copy-on-write (op=update, no new DVs needed for
+    // assertion — the op stamp is the router's fingerprint)
+    spark.sql("ALTER TABLE gld.ns.umor " +
+      "UNSET TBLPROPERTIES ('graft.update.mode')")
+    assert(Export.snapshotProperties(dir).get("graft.update.mode")
+      === None)
+    spark.sql("UPDATE gld.ns.umor SET v = v + 1 WHERE k = 0")
+    val v3 = Export.latestSnapshotVersion(dir)
+    assert(Export.snapshotOperation(dir, v3) === Some("update"),
+      "without the property, UPDATE must stay copy-on-write")
+    val got = spark.sql("SELECT k, v FROM gld.ns.umor ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (0L until 10L).map { k =>
+      (k, if (k == 0) 1L else if (k % 3 == 1) k + 100 else k) }
+    assert(got === expected)
+  }
+
+  test("MERGE-DELETE with layout ⊆ keys routes PARTITION-SCOPED: deleted_partitions stamped, untouched partition carried verbatim, emptied partition dropped") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.mdp (k BIGINT, dt STRING, v BIGINT) " +
+      "PARTITIONED BY (dt)")
+    spark.sql("INSERT INTO gld.ns.mdp SELECT id, " +
+      "CASE WHEN id < 4 THEN 'a' WHEN id < 8 THEN 'b' ELSE 'c' END, id " +
+      "FROM range(12)")
+    val dir = s"$wh/ns/mdp"
+    val v0 = Export.latestSnapshotVersion(dir)
+    val filesC = Export.snapshotManifestEntries(dir, v0)
+      .filter(_.partition.get("dt").contains("c")).map(_.path).toSet
+    // delete HALF of 'a' and ALL of 'b' — 'c' untouched
+    spark.sql("SELECT * FROM VALUES (0L, 'a'), (1L, 'a'), (4L, 'b'), " +
+      "(5L, 'b'), (6L, 'b'), (7L, 'b') AS t(k, dt)")
+      .createOrReplaceTempView("mdp_keys")
+    spark.sql("MERGE INTO gld.ns.mdp t USING mdp_keys s " +
+      "ON t.k = s.k AND t.dt = s.dt WHEN MATCHED THEN DELETE")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    assert(Export.snapshotMeta(dir, v1).get("deleted_partitions")
+      === Some("2"))
+    val filesCAfter = Export.snapshotManifestEntries(dir, v1)
+      .filter(_.partition.get("dt").contains("c")).map(_.path).toSet
+    assert(filesCAfter === filesC,
+      "partition-scoped MERGE-DELETE rewrote an untouched partition")
+    // 'b' emptied ENTIRELY: its lines must drop even though the fresh
+    // epoch wrote no file for it (the explicit replace-tuple law)
+    assert(Export.snapshotManifestEntries(dir, v1)
+      .forall(!_.partition.get("dt").contains("b")))
+    assert(spark.sql("SELECT k FROM gld.ns.mdp ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq ===
+      Seq(2L, 3L, 8L, 9L, 10L, 11L))
   }
 }
