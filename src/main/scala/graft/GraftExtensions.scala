@@ -58,12 +58,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * the outer Project restores the original attribute ids so parent
   * operators never notice the substitution.
   *
-  * Known capability gap (documented contract): `_metadata` columns do
-  * NOT resolve on a DV-bearing head served through this rewrite — the
-  * relation becomes a Project over an anti-join, and the hidden
-  * metadata output does not propagate through it. Reads needing
-  * `_metadata` on a MoR head should compact first (materializing the
-  * DVs restores the plain relation); data columns are unaffected. */
+  * `_metadata` PROPAGATES through the rewrite (r14, closes the r13
+  * documented gap): the base relation is materialized WITH its file
+  * metadata column, the struct rides the anti-join under an internal
+  * name, and the outer Project re-exposes it under the original
+  * metadata attribute id — hidden from `SELECT *` (the standard
+  * qualified-access-only marker the analyzer's own materialization
+  * uses) but resolvable by name exactly like a plain file relation's,
+  * via the Project hidden-output tag. File provenance on a DV-bearing
+  * head therefore reports the SURVIVING rows' real files, which is
+  * the only consistent answer an anti-join subtraction has. */
 private[graft] case class ApplyLakeDeletionVectors(
     spark: org.apache.spark.sql.SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
@@ -87,13 +91,65 @@ private[graft] case class ApplyLakeDeletionVectors(
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  /** True when this subtree contains an already-DV-rewritten graft
+    * scan (the marker the rewrite stamps on the inner relation). */
+  private def hasMarkedGraftScan(plan: LogicalPlan): Boolean =
+    plan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case r: HadoopFsRelation => r.options.contains(Marker) &&
+          r.location.isInstanceOf[graft.sources.GraftLakeFileIndex]
+        case _ => false
+      }
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // a named read over a DV-rewritten lake scan (`SELECT ... FROM
+    // cat.ns.t`, `df.alias(...)`): SubqueryAlias only propagates
+    // metadataOutput when its child is a LEAF, which a rewritten scan
+    // never is — so the alias is replaced by its child Project with
+    // the alias's QUALIFIER stamped on the output, preserving `t.k` /
+    // `t.*` resolution while letting the advertised `_metadata` flow.
+    // Tags (the hidden-output advertisement) are copied through.
+    case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+        if sa.child.isInstanceOf[Project] &&
+          sa.child.metadataOutput.exists(_.name == "_metadata") &&
+          hasMarkedGraftScan(sa.child) =>
+      val p = sa.child.asInstanceOf[Project]
+      val q = sa.identifier.qualifier :+ sa.alias
+      val qualified = Project(p.projectList.map {
+        case al: Alias =>
+          Alias(al.child, al.name)(exprId = al.exprId, qualifier = q,
+            explicitMetadata = al.explicitMetadata,
+            nonInheritableMetadataKeys = al.nonInheritableMetadataKeys)
+        case ar: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => ar.withQualifier(q)
+        case other => other
+      }, p.child)
+      qualified.copyTagsFrom(p)
+      qualified
     case lr: LogicalRelation if dvIndexOf(lr).isDefined =>
+      rewrite(lr, Seq.empty)
+  }
+
+  private def rewrite(lr: LogicalRelation,
+      qualifier: Seq[String]): LogicalPlan = {
       val idx = dvIndexOf(lr).get
       val r = lr.relation.asInstanceOf[HadoopFsRelation]
       val marked = lr.copy(relation =
         r.copy(options = r.options + (Marker -> "true"))(spark))
-      val base = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, marked)
+      // materialize the file-metadata column on the base relation (the
+      // analyzer's own AddMetadataColumns shape): the struct must ride
+      // the anti-join so parents can still ask for provenance — and
+      // when a parent ALREADY materialized it (SQL analyzes references
+      // before extension rules run), lr.output carries it and the
+      // rewrite must keep producing that exprId
+      val alreadyMat = lr.output.exists(_.name == "_metadata")
+      val withMd: LogicalRelation =
+        if (alreadyMat || marked.metadataOutput.isEmpty) marked
+        else marked.withMetadataColumns().asInstanceOf[LogicalRelation]
+      val mdOut = withMd.output.find(_.name == "_metadata")
+      val base = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, withMd)
       def fresh(stem: String): String = {
         val taken = base.columns.toSet
         Iterator.from(0).map(i => if (i == 0) stem else s"${stem}_$i")
@@ -101,23 +157,58 @@ private[graft] case class ApplyLakeDeletionVectors(
       }
       val fcol = fresh("__dv_file")
       val pcol = fresh("__dv_pos")
+      val mcol = fresh("__dv_md")
       val dv = spark.read.parquet(idx.dvDirs: _*)
         .select(col(graft.operators.Export.DvFileCol).as(fcol),
           col(graft.operators.Export.DvPosCol).as(pcol))
+      // reference the (hidden) metadata attribute directly by id —
+      // star excludes it and by-name lookup may too, by design
+      val mdColumn = mdOut.map(a =>
+        org.apache.spark.sql.GraftColumnBridge.column(a))
       val subtracted = base
-        .select(col("*"), col("_metadata.file_path").as(fcol),
-          col("_metadata.row_index").as(pcol))
+        .select(Seq(col("*")) ++
+          mdColumn.map(_.as(mcol)) ++
+          mdColumn.map(_.getField("file_path").as(fcol)) ++
+          mdColumn.map(_.getField("row_index").as(pcol)): _*)
         .join(dv, Seq(fcol, pcol), "left_anti")
         .drop(fcol, pcol)
         .queryExecution.analyzed
       val byName = subtracted.output.map(a => a.name -> a).toMap
-      Project(lr.output.map { o =>
-        Alias(byName.getOrElse(o.name,
-            throw new IllegalStateException(
-              s"DV rewrite of ${idx} lost column '${o.name}'")),
-          o.name)(exprId = o.exprId,
+      def src(name: String): org.apache.spark.sql.catalyst.expressions.Attribute =
+        byName.getOrElse(name, throw new IllegalStateException(
+          s"DV rewrite of ${idx} lost column '$name'"))
+      val restored = lr.output.map { o =>
+        Alias(if (o.name == "_metadata") src(mcol) else src(o.name),
+          o.name)(exprId = o.exprId, qualifier = qualifier,
           explicitMetadata = Some(o.metadata))
-      }, subtracted)
+      }
+      if (alreadyMat || mdOut.isEmpty)
+        Project(restored, subtracted)
+      else {
+        // two-layer shape so provenance stays OUT of the visible
+        // schema yet resolvable: the inner Project produces the
+        // original columns PLUS the metadata struct under its
+        // advertised name (marked metadata-col + qualified-access-only,
+        // the same stamps the analyzer's own materialization uses);
+        // the outer Project exposes only the original columns and
+        // advertises the hidden one via [[Project.hiddenOutputTag]] —
+        // the analyzer's AddMetadataColumns then threads it up when,
+        // and only when, a parent actually references `_metadata`.
+        import org.apache.spark.sql.catalyst.util.{MetadataColumnHelper, METADATA_COL_ATTR_KEY, QUALIFIED_ACCESS_ONLY}
+        val a = mdOut.get
+        val mdMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(a.metadata)
+          .putBoolean(METADATA_COL_ATTR_KEY, true)
+          .putBoolean(QUALIFIED_ACCESS_ONLY, true).build()
+        val mdAlias = Alias(src(mcol), a.name)(
+          qualifier = qualifier, explicitMetadata = Some(mdMeta))
+        val inner = Project(restored :+ mdAlias, subtracted)
+        val outer = Project(restored.map(al =>
+          al.toAttribute.withMetadata(al.metadata)), inner)
+        outer.setTagValue(Project.hiddenOutputTag,
+          Seq(mdAlias.toAttribute.markAsAllowAnyAccess()))
+        outer
+      }
   }
 }
 

@@ -5599,7 +5599,23 @@ object Curation {
       "head lost its column mapping")
     require(graft.operators.Export.snapshotFiles(od, head).toSet
       == v1Files, "metadata-only ops must not rewrite data files")
-    s.read.format("graftlake").load(od)
+    val served = s.read.format("graftlake").load(od)
+    // (r14) _metadata PROPAGATES through the DV rewrite: provenance
+    // resolves, reports only the head's committed files, covers every
+    // surviving row — and never leaks into `SELECT *`
+    val provFiles = served
+      .select(col("_metadata.file_path").as("f"))
+      .distinct().collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    val committed = v1Files.map(p =>
+      new org.apache.hadoop.fs.Path(p).getName)
+    require(provFiles.nonEmpty && provFiles.subsetOf(committed),
+      s"_metadata on the DV head reported non-committed files: " +
+        s"${provFiles -- committed}")
+    require(served.select("*").columns.toSeq ==
+      Seq("doc_id", "lang", "chars"),
+      "_metadata leaked into SELECT * on a DV head")
+    served
       .filter(col("chars") > 200L)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

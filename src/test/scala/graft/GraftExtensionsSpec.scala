@@ -361,4 +361,65 @@ class GraftExtensionsSpec extends SparkSpec {
       beforeP.count(_.contains("_p_half=1")))
     assert(E.readSnapshot(spark, pd, 4).count() === 60)
   }
+
+  test("_metadata PROPAGATES through the DV rewrite (r14): provenance resolves on a MoR head via format AND SQL, reports surviving rows' real files, and SELECT * never leaks it") {
+    import spark.implicits._
+    val E = graft.operators.Export
+    val dir = java.nio.file.Files.createTempDirectory("dvmd").toFile
+      .getAbsolutePath
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+      .write.format("graftlake").save(dir)
+    E.deleteWhereMoR(spark, dir, org.apache.spark.sql.functions
+      .col("k") % 3 === 0)
+    val head = E.latestSnapshotVersion(dir)
+    assert(E.snapshotHasDeletionVectors(dir, head), "fixture must be MoR")
+    val df = spark.read.format("graftlake").load(dir)
+    // 1. data still MoR-correct
+    assert(df.count() === 66)
+    // 2. _metadata resolves through the rewrite; provenance is real:
+    //    every reported path is a committed data file of the head
+    val prov = df.select($"k", $"_metadata.file_path".as("f"))
+    val files = E.snapshotFiles(dir, head).map(p =>
+      new org.apache.hadoop.fs.Path(p).getName).toSet
+    val got = prov.collect()
+    assert(got.length === 66)
+    assert(got.forall(r => files.contains(
+      new org.apache.hadoop.fs.Path(r.getString(1)).getName)))
+    // 3. SELECT * must NOT leak the hidden column
+    assert(df.select("*").columns.toSeq === Seq("k", "v"))
+    assert(df.columns.toSeq === Seq("k", "v"))
+    // 4. the SQL front door: a CATALOG table read (temp views hide
+    //    metadata columns by Spark contract — View.metadataOutput is
+    //    Nil even for plain parquet, so parity is the direct read)
+    val wh = java.nio.file.Files.createTempDirectory("dvmd-wh").toFile
+    spark.conf.set("spark.sql.catalog.gmd",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmd.warehouse", wh.getAbsolutePath)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmd.ns")
+    spark.sql("CREATE TABLE gmd.ns.t (k BIGINT, v BIGINT)")
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+      .createOrReplaceTempView("dvmd_src")
+    spark.sql("INSERT INTO gmd.ns.t SELECT k, v FROM dvmd_src")
+    val dirT = s"${wh.getAbsolutePath}/ns/t"
+    E.deleteWhereMoR(spark, dirT, org.apache.spark.sql.functions
+      .col("k") % 3 === 0)
+    assert(E.snapshotHasDeletionVectors(dirT,
+      E.latestSnapshotVersion(dirT)))
+    val viaSql = spark.sql("SELECT count(DISTINCT _metadata.file_path) " +
+      "AS nf, count(*) AS n FROM gmd.ns.t").collect().head
+    assert(viaSql.getLong(1) === 66L)
+    assert(viaSql.getLong(0) >= 1L)
+    assert(spark.sql("SELECT * FROM gmd.ns.t").columns.toSeq ===
+      Seq("k", "v"))
+    // 5. row_index provenance joins back to the DV discipline: no
+    //    surviving (file, pos) may appear in the sidecar
+    val dvDirs = E.snapshotManifestEntries(dir, head)
+      .flatMap(_.dv).map(_._1).distinct
+    val sidecar = spark.read.parquet(dvDirs: _*)
+      .select($"__file".as("f"), $"__pos".as("p"))
+    val surviving = df.select($"_metadata.file_path".as("f"),
+      $"_metadata.row_index".as("p"))
+    assert(surviving.join(sidecar, Seq("f", "p"), "left_semi")
+      .count() === 0L, "a DV'd position survived the subtraction")
+  }
 }
