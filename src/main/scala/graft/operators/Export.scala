@@ -2092,15 +2092,16 @@ object Export {
     val physCols = partitionCols.map(c => pm.getOrElse(c, c))
     val fresh = writePartitionedEpoch(spark, fs, root, baseVersion + 1,
       df, partitionCols, nFiles, zoneKey)
-    // the replace set defaults to the partitions the fresh epoch wrote;
-    // a DELETE-shaped rewrite passes it EXPLICITLY because a partition
-    // it emptied entirely leaves no fresh line — yet its base lines
-    // must still drop (deriving the set from the epoch would silently
-    // resurrect every fully-deleted partition)
+    // the replace set defaults to the partitions the fresh epoch
+    // wrote; a row-level rewrite passes it EXPLICITLY: a partition the
+    // rewrite EMPTIED leaves no fresh line yet its base lines must
+    // still drop (deriving the set from the epoch would resurrect
+    // every fully-deleted partition), and a fresh line OUTSIDE the set
+    // is an ADDITIVE append into a partition whose base lines carry
+    // (the general merge's insert leg landing in an untouched
+    // partition)
     val freshTuples: Set[Seq[String]] = replaceTuples.getOrElse(
       fresh.map(l => partTuple(l, physCols)).toSet)
-    require(fresh.map(l => partTuple(l, physCols)).forall(freshTuples),
-      "replaceTuples must cover every partition the fresh epoch wrote")
     // the base state of OUR partitions, pinned at plan time: the
     // disjointness certificate every retry re-checks against the head
     val baseTouched: Set[String] =
@@ -2289,6 +2290,41 @@ object Export {
       meta + ("deleted_partitions" -> touched.size.toString),
       replaceTuples = Some(touched))
   }
+
+  /** The rows of EXACTLY the given partition tuples (stringified
+    * values in `partitionCols` order), DV-subtracted and decoded
+    * through the committed schema — the read half of a
+    * partition-scoped row-level rewrite. Requires a consistently
+    * partitioned table. */
+  def readSnapshotPartitionTuples(spark: SparkSession, outDir: String,
+      version: Int, partitionCols: Seq[String],
+      tuples: Set[Seq[String]]): DataFrame = {
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+    val st = snapshotSchema(outDir, version)
+    val physCols = partitionCols.map(c =>
+      st.flatMap(_.fields.find(_.name == c)).map(physicalOf)
+        .getOrElse(c))
+    requirePartitioned(lines, physCols, "readSnapshotPartitionTuples")
+    val hit = lines.filter(l => tuples(partTuple(l, physCols)))
+    readFilesAs(spark, fs, root, version, hit.map(pathOf).toIndexedSeq)
+  }
+
+  /** Commit `df` as the COMPLETE new content of exactly the partitions
+    * in `touched` (carrying every other partition's files verbatim) —
+    * the commit half of a partition-scoped row-level rewrite whose
+    * replace set cannot be derived from the fresh epoch: a touched
+    * partition the rewrite EMPTIED drops outright, and a `df` row
+    * landing OUTSIDE `touched` (the general merge's insert leg)
+    * appends into its partition without disturbing the carried lines.
+    * Race semantics: maintenance, pinned to the current head. */
+  def replaceSnapshotPartitionsScoped(spark: SparkSession,
+      df: DataFrame, outDir: String, partitionCols: Seq[String],
+      touched: Set[Seq[String]], nFiles: Int = 1,
+      meta: Map[String, String] = Map.empty): Int =
+    overwritePartitionsFrom(spark, df, outDir,
+      latestSnapshotVersion(outDir), partitionCols, nFiles, None,
+      meta, replaceTuples = Some(touched))
 
   /** ENVELOPE-PRUNED key-column scan — the insert-if-absent MERGE's
     * existing-keys side made O(overlapping files): instead of a

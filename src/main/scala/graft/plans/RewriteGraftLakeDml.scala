@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, ExprId}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern.COMMAND
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -68,6 +68,9 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       case m: MergeIntoTable
           if m.resolved && lakeTableOf(m.targetTable).isDefined =>
         rewriteMerge(m, lakeTableOf(m.targetTable).get)
+      case d: DeleteFromTable
+          if d.resolved && lakeTableOf(d.table).isDefined =>
+        rewriteDelete(d, lakeTableOf(d.table).get)
     }
 
   /** Rebind a target-column expression by NAME, so the thunk can apply
@@ -106,6 +109,30 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         .get("graft.update.mode").contains("mor")
       if (mor) Export.updateWhereMoR(SparkSession.active, dir, sets, cond)
       else Export.updateWhere(SparkSession.active, dir, sets, cond)
+      ()
+    })
+  }
+
+  /** Native `DELETE FROM` with ANY predicate — the v2 `SupportsDelete`
+    * route only accepts source-Filter-translatable conjuncts (an
+    * expression like `doc_id % 3 = 0` refused outright); this rewrite
+    * hands the FULL condition to the audited manifest-pruned deletes.
+    * `graft.delete.mode=mor` routes the deletion-vector path (zero
+    * files rewritten, O(matched) positions) exactly like the UPDATE
+    * property. Same deferred contract: `EXPLAIN DELETE` commits
+    * nothing. */
+  private def rewriteDelete(d: DeleteFromTable,
+      t: GraftLakeTable): LogicalPlan = {
+    require(t.versionAsOf.isEmpty,
+      s"cannot DELETE FROM time-travel relation ${t.name()} - a " +
+        "pinned version is immutable by definition")
+    val cond = asColumn(d.condition)
+    val dir = t.dir
+    GraftDmlStatement(s"DELETE FROM ${t.name()}", () => {
+      val mor = Export.snapshotProperties(dir)
+        .get("graft.delete.mode").contains("mor")
+      if (mor) Export.deleteWhereMoR(SparkSession.active, dir, cond)
+      else Export.deleteWhere(SparkSession.active, dir, cond)
       ()
     })
   }
@@ -536,7 +563,30 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
               "key) first")
         }
 
-        val base = Export.readSnapshot(s, dir, latest)
+        // PARTITION-SCOPED general merge: with `layout ⊆ keys` and no
+        // by-source clauses, every matched row lives in a partition
+        // named by the source keys (a key pins its partition), so the
+        // outer join, the clause resolution and the rewrite all run
+        // over the TOUCHED partitions only — untouched partitions'
+        // files carry verbatim, and an insert landing outside them
+        // appends additively. By-source clauses break the scoping
+        // (they fire on unmatched rows anywhere in the table).
+        val scoped = partCols.nonEmpty && bySourceActs.isEmpty &&
+          partCols.toSet.subsetOf(keys.toSet)
+        val touched: Set[Seq[String]] =
+          if (!scoped) Set.empty
+          else {
+            val tupleCols = partCols.map(pc =>
+              keyCaptured.find(_._1 == pc).get._2)
+            src.select(tupleCols.map(c => col(c).cast("string")): _*)
+              .distinct().collect()
+              .map(r => partCols.indices.map(i => r.getString(i))
+                : Seq[String]).toSet
+          }
+        val base =
+          if (scoped) Export.readSnapshotPartitionTuples(s, dir,
+            latest, partCols, touched)
+          else Export.readSnapshot(s, dir, latest)
         val joined = base.join(src.withColumn(marker, lit(true)),
           joinCond, "left_outer")
         val isM = coalesce(col(marker), lit(false))
@@ -566,7 +616,11 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         val result =
           if (insertActs.isEmpty) kept
           else kept.unionByName(insertRows(base))
-        if (partCols.nonEmpty)
+        if (scoped)
+          Export.replaceSnapshotPartitionsScoped(s, result, dir,
+            partCols, touched,
+            meta = Map("merged_partitions" -> touched.size.toString))
+        else if (partCols.nonEmpty)
           Export.replaceSnapshotPartitioned(s, result, dir, partCols)
         else Export.replaceSnapshot(s, result, dir)
       }

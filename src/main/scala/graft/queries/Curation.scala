@@ -6155,4 +6155,125 @@ object Curation {
       |  CASE WHEN doc_id % 4 = 1 THEN n_chars + doc_id
       |       ELSE n_chars END AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** CONDITIONED MERGE, PARTITION-SCOPED (r14: the general
+    * first-true-clause rewrite composes with `layout ⊆ keys` — the
+    * D/U/I CDC statement on a partitioned table joins, resolves and
+    * rewrites ONLY the partitions named by the source keys; the
+    * in-gate requires pin `merged_partitions=1` and every other
+    * partition's files carried verbatim. The CDC MERGE a Delta user
+    * writes costs the touched day, not the table, even with mixed
+    * conditioned actions.) DuckDB replays the clause resolution. */
+  def q_sql_merge_cond_part(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlmcp_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glcp",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glcp.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glcp.g")
+    s.sql("DROP TABLE IF EXISTS glcp.g.docs")
+    s.sql("CREATE TABLE glcp.g.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_sql_cp_src")
+    s.sql("INSERT INTO glcp.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_sql_cp_src")
+    // one partition's CDC batch: deletes, updates, and inserts in 'en'
+    s.sql("""SELECT doc_id, lang, n_chars, 'D' AS op
+        FROM q_sql_cp_src WHERE lang = 'en' AND doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars + 100, 'U' FROM q_sql_cp_src
+        WHERE lang = 'en' AND doc_id % 5 = 0 AND doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 400000, 'en', doc_id, 'I' FROM q_sql_cp_src
+        WHERE lang = 'en' AND doc_id % 100 = 9""")
+      .createOrReplaceTempView("q_sql_cp_changes")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v0 = E.latestSnapshotVersion(dirT)
+    val othersBefore = E.snapshotManifestEntries(dirT, v0)
+      .filter(!_.partition.get("lang").contains("en")).map(_.path).toSet
+    s.sql("MERGE INTO glcp.g.docs t USING q_sql_cp_changes s " +
+      "ON t.doc_id = s.doc_id AND t.lang = s.lang " +
+      "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars " +
+      "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT " +
+      "(doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)")
+    val v1 = E.latestSnapshotVersion(dirT)
+    require(v1 == v0 + 1 &&
+      E.snapshotMeta(dirT, v1).get("merged_partitions") == Some("1"),
+      "conditioned MERGE with layout ⊆ keys must route partition-scoped")
+    val othersAfter = E.snapshotManifestEntries(dirT, v1)
+      .filter(!_.partition.get("lang").contains("en")).map(_.path).toSet
+    require(othersAfter == othersBefore,
+      "partition-scoped conditioned MERGE rewrote untouched partitions")
+    s.sql("SELECT doc_id, lang, n_chars FROM glcp.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_merge_cond_part_sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, lang, n_chars, 'D' AS op FROM documents
+      |  WHERE lang = 'en' AND doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 100 AS n_chars, 'U' AS op
+      |  FROM documents
+      |  WHERE lang = 'en' AND doc_id % 5 = 0 AND doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 400000, 'en', doc_id, 'I' FROM documents
+      |  WHERE lang = 'en' AND doc_id % 100 = 9)
+      |SELECT t.doc_id, t.lang,
+      |  CASE WHEN s.op IS NOT NULL THEN s.n_chars
+      |       ELSE t.n_chars END AS n_chars
+      |FROM documents t LEFT JOIN src s
+      |  ON t.doc_id = s.doc_id AND t.lang = s.lang
+      |WHERE s.op IS NULL OR s.op <> 'D'
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars FROM src WHERE op = 'I'
+      |ORDER BY doc_id""".stripMargin
+
+  /** NATIVE `DELETE FROM` with an ARBITRARY predicate + MoR routing
+    * (r14: the v2 SupportsDelete route refuses any predicate that is
+    * not a source-Filter conjunct — `doc_id % 3 = 0` included; the
+    * DML rewrite hands the full expression to the audited deletes,
+    * and `graft.delete.mode=mor` routes deletion vectors: ZERO files
+    * rewritten, pinned in-gate like the UPDATE twin). DuckDB replays
+    * the anti-filter. */
+  def q_sql_delete_mor(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqldm_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.gldm",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.gldm.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gldm.g")
+    s.sql("DROP TABLE IF EXISTS gldm.g.docs")
+    s.sql("CREATE TABLE gldm.g.docs (doc_id BIGINT, n_chars BIGINT) " +
+      "TBLPROPERTIES ('graft.delete.mode' = 'mor')")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_sql_dm_src")
+    s.sql("INSERT INTO gldm.g.docs SELECT doc_id, n_chars " +
+      "FROM q_sql_dm_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    require(E.snapshotProperties(dirT).get("graft.delete.mode")
+        == Some("mor"), "CREATE TBLPROPERTIES must persist")
+    val v0 = E.latestSnapshotVersion(dirT)
+    val beforeFiles = E.snapshotFiles(dirT, v0).toSet
+    // a predicate the v2 Filter route cannot express
+    s.sql("DELETE FROM gldm.g.docs " +
+      "WHERE doc_id % 3 = 0 AND n_chars * 2 > doc_id")
+    val v1 = E.latestSnapshotVersion(dirT)
+    require(v1 == v0 + 1, "DELETE must commit exactly one version")
+    require(E.snapshotHasDeletionVectors(dirT, v1),
+      "property-routed DELETE must take the MoR path (dv= tags)")
+    require(beforeFiles.subsetOf(E.snapshotFiles(dirT, v1).toSet),
+      "MoR DELETE must not rewrite existing data files")
+    s.sql("SELECT doc_id, n_chars FROM gldm.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_delete_mor_sql: String =
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE NOT (doc_id % 3 = 0 AND n_chars * 2 > doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -348,6 +348,84 @@ class GraftLakeDmlSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("conditioned MERGE on a partitioned table with layout ⊆ keys scopes to the touched partitions: untouched carried, emptied dropped, new-partition insert lands") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.mcp (k BIGINT, dt STRING, v BIGINT) " +
+      "PARTITIONED BY (dt)")
+    spark.sql("INSERT INTO gld.ns.mcp SELECT id, " +
+      "CASE WHEN id < 4 THEN 'a' WHEN id < 8 THEN 'b' ELSE 'c' END, id " +
+      "FROM range(12)")
+    val dir = s"$wh/ns/mcp"
+    val v0 = Export.latestSnapshotVersion(dir)
+    val filesC = Export.snapshotManifestEntries(dir, v0)
+      .filter(_.partition.get("dt").contains("c")).map(_.path).toSet
+    // delete ALL of 'b', update one 'a' row, insert into NEW 'd'
+    spark.sql("""SELECT * FROM VALUES
+        (4L, 'b', 0L, 'D'), (5L, 'b', 0L, 'D'),
+        (6L, 'b', 0L, 'D'), (7L, 'b', 0L, 'D'),
+        (1L, 'a', 111L, 'U'), (100L, 'd', 777L, 'I')
+        AS t(k, dt, v, op)""").createOrReplaceTempView("mcp_src")
+    spark.sql("MERGE INTO gld.ns.mcp t USING mcp_src s " +
+      "ON t.k = s.k AND t.dt = s.dt " +
+      "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+      "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, dt, v) " +
+      "VALUES (s.k, s.dt, s.v)")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    // touched = the source keys' partitions: a, b, d
+    assert(Export.snapshotMeta(dir, v1).get("merged_partitions")
+      === Some("3"))
+    val filesCAfter = Export.snapshotManifestEntries(dir, v1)
+      .filter(_.partition.get("dt").contains("c")).map(_.path).toSet
+    assert(filesCAfter === filesC,
+      "scoped conditioned MERGE rewrote an untouched partition")
+    assert(Export.snapshotManifestEntries(dir, v1)
+      .forall(!_.partition.get("dt").contains("b")),
+      "emptied partition must drop from the new version")
+    val got = spark.sql("SELECT k, dt, v FROM gld.ns.mcp ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val expected = Seq((0L, "a", 0L), (1L, "a", 111L), (2L, "a", 2L),
+      (3L, "a", 3L)) ++ (8L until 12L).map(k => (k, "c", k)) :+
+      ((100L, "d", 777L))
+    assert(got === expected)
+  }
+
+  test("native DELETE FROM: arbitrary (non-Filter) predicates work, EXPLAIN commits nothing, graft.delete.mode=mor routes deletion vectors") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.dl (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.dl SELECT id, id FROM range(12)")
+    val dir = s"$wh/ns/dl"
+    val v0 = Export.latestSnapshotVersion(dir)
+    spark.sql("EXPLAIN DELETE FROM gld.ns.dl WHERE k % 3 = 0").collect()
+    assert(Export.latestSnapshotVersion(dir) === v0,
+      "EXPLAIN DELETE committed a version")
+    // modulo is not expressible as a v2 source Filter — the rewrite
+    // hands the full expression to deleteWhere (copy-on-write default)
+    spark.sql("DELETE FROM gld.ns.dl WHERE k % 3 = 0 AND v * 2 >= k")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    assert(Export.snapshotOperation(dir, v1) === Some("delete"))
+    assert(spark.sql("SELECT k FROM gld.ns.dl ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L))
+    // MoR routing via the table property
+    spark.sql("ALTER TABLE gld.ns.dl " +
+      "SET TBLPROPERTIES ('graft.delete.mode' = 'mor')")
+    val filesBefore = Export.snapshotFiles(dir,
+      Export.latestSnapshotVersion(dir)).toSet
+    spark.sql("DELETE FROM gld.ns.dl WHERE k % 4 = 1")
+    val v3 = Export.latestSnapshotVersion(dir)
+    assert(Export.snapshotHasDeletionVectors(dir, v3),
+      "property-routed DELETE must take the MoR path")
+    assert(filesBefore.subsetOf(Export.snapshotFiles(dir, v3).toSet),
+      "MoR DELETE must not rewrite existing data files")
+    assert(spark.sql("SELECT k FROM gld.ns.dl ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq ===
+      Seq(2L, 4L, 7L, 8L, 10L, 11L))
+  }
+
   test("MERGE-DELETE with layout ⊆ keys routes PARTITION-SCOPED: deleted_partitions stamped, untouched partition carried verbatim, emptied partition dropped") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.mdp (k BIGINT, dt STRING, v BIGINT) " +
