@@ -2326,6 +2326,70 @@ object Export {
       latestSnapshotVersion(outDir), partitionCols, nFiles, None,
       meta, replaceTuples = Some(touched))
 
+  /** `(rows, envelope)` of a batch on `key`, cast to the zone domain
+    * (long): the envelope is `None` when it cannot be PROVEN — null
+    * keys present (they can match incumbents anywhere under `<=>`),
+    * or a type whose cast nulls — in which case zone scoping must
+    * degrade to the full set (correctness over pruning, the
+    * [[mergeSnapshotClusteredLatest]] law). One tiny driver agg. */
+  def batchEnvelope(df: DataFrame, key: String)
+      : (Long, Option[(Long, Long)]) = {
+    val env = df.agg(min(col(key)).cast("long"),
+      max(col(key)).cast("long"), count(lit(1)), count(col(key)))
+      .collect().head
+    val n = env.getLong(2)
+    if (n == 0L) (0L, None)
+    else if (env.isNullAt(0) || env.getLong(3) < n) (n, None)
+    else (n, Some((env.getLong(0), env.getLong(1))))
+  }
+
+  /** ZONE-SCOPED row-level rewrite — the clustered-table twin of
+    * [[replaceSnapshotPartitionsScoped]]: `transform` receives ONLY
+    * the rows of the files whose `z=` key zone overlaps `envelope`
+    * (zoneless lines always included — exclusion can't be proven; a
+    * `None` envelope degrades to every file), and its result replaces
+    * exactly those files in the new version — every zone-disjoint
+    * file carries verbatim, and the fresh epoch lands RE-CLUSTERED on
+    * `clusterKey` with fresh zones so pruning never erodes. This is
+    * what lets ANY merge shape (the conditioned CDC statement
+    * included) cost O(overlapping files) on an unpartitioned table
+    * kept clustered on its merge key. Race semantics: maintenance
+    * (pinned to the head read at entry; a racing commit raises the
+    * typed conflict). Returns the new version. */
+  def rewriteSnapshotZoneScoped(spark: SparkSession, outDir: String,
+      clusterKey: String, envelope: Option[(Long, Long)],
+      nFiles: Int = 0, meta: Map[String, String] = Map.empty)(
+      transform: DataFrame => DataFrame): Int = {
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to rewrite under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    val (hit, rest) = envelope match {
+      case Some((lo, hi)) => lines.partition(l => zoneOf(l) match {
+        case Some((zlo, zhi)) => zhi >= lo && zlo <= hi
+        case None => true // zoneless: must rewrite, can't prove exclusion
+      })
+      case None => (lines, Seq.empty[String])
+    }
+    val base = readFilesAs(spark, fs, root, latest,
+      hit.map(pathOf).toIndexedSeq)
+    val result = transform(base)
+    val version = latest + 1
+    // nFiles=0 (default) preserves the rewritten slice's file count,
+    // so the zoned layout's granularity — what pruning lives on —
+    // never collapses through a merge
+    val fresh = writeClusteredEpoch(spark, fs, root, version, result,
+      clusterKey, if (nFiles > 0) nFiles else math.max(1, hit.size))
+    val schemaJson = snapshotMetaOf(fs, root, latest).getOrElse("schema",
+      result.schema.json)
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root,
+          meta + ("rewritten_files" -> hit.size.toString)),
+        schemaJson, op = "overwrite"), rest ++ fresh)
+    version
+  }
+
   /** ENVELOPE-PRUNED key-column scan — the insert-if-absent MERGE's
     * existing-keys side made O(overlapping files): instead of a
     * distinct over EVERY file's key columns, compute the batch's

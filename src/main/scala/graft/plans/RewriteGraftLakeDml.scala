@@ -353,9 +353,22 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       val latest = Export.latestSnapshotVersion(dir)
       require(latest > 0, s"nothing to merge into under $dir")
       val partCols = Export.snapshotPartitionColumns(dir, latest)
+      val clusterKey =
+        if (partCols.isEmpty)
+          Export.snapshotProperties(dir).get("graft.cluster.key")
+            .filter(keys.contains)
+        else None
       if (partCols.nonEmpty && partCols.toSet.subsetOf(keys.toSet))
         Export.mergeSnapshotPartitioned(s, dir, updates, keys, partCols)
-      else {
+      else if (clusterKey.nonEmpty) {
+        // unpartitioned but clustered on a merge key: rewrite only the
+        // envelope-overlapping files (zone-disjoint files carry)
+        val ck = clusterKey.get
+        val (n, env) = Export.batchEnvelope(updates.select(col(ck)), ck)
+        if (n > 0)
+          Export.rewriteSnapshotZoneScoped(s, dir, ck, env)(base =>
+            Merge.upsert(base, updates, keys))
+      } else {
         val merged = Merge.upsert(
           Export.readSnapshot(s, dir, latest), updates, keys)
         if (partCols.nonEmpty)
@@ -563,6 +576,40 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
               "key) first")
         }
 
+        // first-true clause resolution against a base slice: ONE outer
+        // join, per-clause CASE towers, inserts anti-joined — shared
+        // by the full, partition-scoped and zone-scoped commits
+        def resolveAgainst(base: DataFrame): DataFrame = {
+          val joined = base.join(src.withColumn(marker, lit(true)),
+            joinCond, "left_outer")
+          val isM = coalesce(col(marker), lit(false))
+          val tagged = joined
+            .withColumn(miCol, firstIdx(matchedActs.map(_._1)))
+            .withColumn(biCol, firstIdx(bySourceActs.map(_._1)))
+          val kept = tagged.filter(
+              when(isM, notDeleted(col(miCol), matchedActs))
+                .otherwise(notDeleted(col(biCol), bySourceActs)))
+            .select(st.fields.toSeq.map { f =>
+              val cases: Seq[(Column, Column)] =
+                matchedActs.zipWithIndex.collect {
+                  case ((_, Some(sets)), i) if sets.contains(f.name) =>
+                    (isM && col(miCol) === (i + 1)) ->
+                      sets(f.name).cast(f.dataType)
+                } ++
+                bySourceActs.zipWithIndex.collect {
+                  case ((_, Some(sets)), j) if sets.contains(f.name) =>
+                    (!isM && col(biCol) === (j + 1)) ->
+                      sets(f.name).cast(f.dataType)
+                }
+              cases.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
+                Some(acc.fold(when(c, v))(_.when(c, v)))
+              }.map(_.otherwise(col(f.name))).getOrElse(col(f.name))
+                .as(f.name, f.metadata)
+            }: _*)
+          if (insertActs.isEmpty) kept
+          else kept.unionByName(insertRows(base))
+        }
+
         // PARTITION-SCOPED general merge: with `layout ⊆ keys` and no
         // by-source clauses, every matched row lives in a partition
         // named by the source keys (a key pins its partition), so the
@@ -573,56 +620,54 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         // (they fire on unmatched rows anywhere in the table).
         val scoped = partCols.nonEmpty && bySourceActs.isEmpty &&
           partCols.toSet.subsetOf(keys.toSet)
-        val touched: Set[Seq[String]] =
-          if (!scoped) Set.empty
-          else {
-            val tupleCols = partCols.map(pc =>
-              keyCaptured.find(_._1 == pc).get._2)
+        if (scoped) {
+          val tupleCols = partCols.map(pc =>
+            keyCaptured.find(_._1 == pc).get._2)
+          val touched: Set[Seq[String]] =
             src.select(tupleCols.map(c => col(c).cast("string")): _*)
               .distinct().collect()
               .map(r => partCols.indices.map(i => r.getString(i))
                 : Seq[String]).toSet
+          if (touched.nonEmpty) {
+            val base = Export.readSnapshotPartitionTuples(s, dir,
+              latest, partCols, touched)
+            Export.replaceSnapshotPartitionsScoped(s,
+              resolveAgainst(base), dir, partCols, touched,
+              meta = Map(
+                "merged_partitions" -> touched.size.toString))
+          } // empty batch + no by-source clauses: nothing can change
+        } else {
+          // ZONE-SCOPED general merge: an unpartitioned table kept
+          // CLUSTERED on a merge key (declared via the
+          // `graft.cluster.key` table property) rewrites only the
+          // files whose z= zone overlaps the batch's key envelope —
+          // the conditioned-CDC answer where there is no layout. A
+          // null-key batch gets no provable envelope and degrades to
+          // the full rewrite (never silently misses an incumbent).
+          val ckOpt =
+            if (partCols.isEmpty && bySourceActs.isEmpty)
+              Export.snapshotProperties(dir).get("graft.cluster.key")
+                .filter(keys.contains)
+            else None
+          ckOpt match {
+            case Some(ck) =>
+              val sn = keyCaptured.find(_._1 == ck).get._2
+              val (n, env) = Export.batchEnvelope(
+                src.select(col(sn).as(ck)), ck)
+              if (n > 0)
+                Export.rewriteSnapshotZoneScoped(s, dir, ck, env,
+                  meta = Map("merged_envelope" ->
+                    env.map { case (lo, hi) => s"$lo:$hi" }
+                      .getOrElse("full")))(resolveAgainst)
+            case None =>
+              val result = resolveAgainst(
+                Export.readSnapshot(s, dir, latest))
+              if (partCols.nonEmpty)
+                Export.replaceSnapshotPartitioned(s, result, dir,
+                  partCols)
+              else Export.replaceSnapshot(s, result, dir)
           }
-        val base =
-          if (scoped) Export.readSnapshotPartitionTuples(s, dir,
-            latest, partCols, touched)
-          else Export.readSnapshot(s, dir, latest)
-        val joined = base.join(src.withColumn(marker, lit(true)),
-          joinCond, "left_outer")
-        val isM = coalesce(col(marker), lit(false))
-        val tagged = joined
-          .withColumn(miCol, firstIdx(matchedActs.map(_._1)))
-          .withColumn(biCol, firstIdx(bySourceActs.map(_._1)))
-        val kept = tagged.filter(
-            when(isM, notDeleted(col(miCol), matchedActs))
-              .otherwise(notDeleted(col(biCol), bySourceActs)))
-          .select(st.fields.toSeq.map { f =>
-            val cases: Seq[(Column, Column)] =
-              matchedActs.zipWithIndex.collect {
-                case ((_, Some(sets)), i) if sets.contains(f.name) =>
-                  (isM && col(miCol) === (i + 1)) ->
-                    sets(f.name).cast(f.dataType)
-              } ++
-              bySourceActs.zipWithIndex.collect {
-                case ((_, Some(sets)), j) if sets.contains(f.name) =>
-                  (!isM && col(biCol) === (j + 1)) ->
-                    sets(f.name).cast(f.dataType)
-              }
-            cases.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
-              Some(acc.fold(when(c, v))(_.when(c, v)))
-            }.map(_.otherwise(col(f.name))).getOrElse(col(f.name))
-              .as(f.name, f.metadata)
-          }: _*)
-        val result =
-          if (insertActs.isEmpty) kept
-          else kept.unionByName(insertRows(base))
-        if (scoped)
-          Export.replaceSnapshotPartitionsScoped(s, result, dir,
-            partCols, touched,
-            meta = Map("merged_partitions" -> touched.size.toString))
-        else if (partCols.nonEmpty)
-          Export.replaceSnapshotPartitioned(s, result, dir, partCols)
-        else Export.replaceSnapshot(s, result, dir)
+        }
       }
       ()
     })

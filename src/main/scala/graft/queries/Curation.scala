@@ -6276,4 +6276,81 @@ object Curation {
     """SELECT doc_id, n_chars FROM documents
       |WHERE NOT (doc_id % 3 = 0 AND n_chars * 2 > doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** CONDITIONED MERGE, ZONE-SCOPED (r14: the general merge on an
+    * UNPARTITIONED table kept clustered on its merge key — declared
+    * via `graft.cluster.key` TBLPROPERTIES — rewrites only the files
+    * whose `z=` zone overlaps the batch's key envelope: the in-gate
+    * requires pin the high-key files carried verbatim across a
+    * range-local D/U/I batch (insert keys land NEGATIVE so the
+    * envelope stays low), and the fresh epoch re-clusters so pruning
+    * never erodes. The conditioned-CDC cost story where there is no
+    * partition layout.) DuckDB replays the clause resolution. */
+  def q_sql_merge_cond_zoned(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlmcz_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glcz",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glcz.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glcz.g")
+    s.sql("DROP TABLE IF EXISTS glcz.g.docs")
+    s.sql("CREATE TABLE glcz.g.docs (doc_id BIGINT, n_chars BIGINT) " +
+      "TBLPROPERTIES ('graft.cluster.key' = 'doc_id')")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_sql_cz_src")
+    s.sql("INSERT INTO glcz.g.docs SELECT doc_id, n_chars " +
+      "FROM q_sql_cz_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    // OPTIMIZE ... ORDER BY: establish the zoned multi-file layout
+    E.compactSnapshotClustered(s, dirT, "doc_id", nFiles = 6)
+    val v0 = E.latestSnapshotVersion(dirT)
+    val hiBefore = E.snapshotManifestEntries(dirT, v0)
+      .filter(_.zone.exists(_._1 > 100L)).map(_.path).toSet
+    require(hiBefore.nonEmpty, "fixture produced no high-zone files")
+    // a RANGE-LOCAL CDC batch: keys ≤ 100, inserts negative
+    s.sql("""SELECT doc_id, n_chars, 'D' AS op
+        FROM q_sql_cz_src WHERE doc_id % 7 = 0 AND doc_id <= 100
+        UNION ALL
+        SELECT doc_id, n_chars + 100, 'U' FROM q_sql_cz_src
+        WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 AND doc_id <= 100
+        UNION ALL
+        SELECT -doc_id - 1, doc_id, 'I' FROM q_sql_cz_src
+        WHERE doc_id % 100 = 9 AND doc_id <= 100""")
+      .createOrReplaceTempView("q_sql_cz_changes")
+    s.sql("MERGE INTO glcz.g.docs t USING q_sql_cz_changes s " +
+      "ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars " +
+      "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (doc_id, n_chars) " +
+      "VALUES (s.doc_id, s.n_chars)")
+    val v1 = E.latestSnapshotVersion(dirT)
+    require(v1 == v0 + 1 &&
+      E.snapshotMeta(dirT, v1).contains("merged_envelope"),
+      "conditioned MERGE on a clustered table must route zone-scoped")
+    require(hiBefore.subsetOf(E.snapshotFiles(dirT, v1).toSet),
+      "zone-scoped MERGE rewrote files its envelope provably excludes")
+    s.sql("SELECT doc_id, n_chars FROM glcz.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_merge_cond_zoned_sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, n_chars, 'D' AS op FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id <= 100
+      |  UNION ALL
+      |  SELECT doc_id, n_chars + 100 AS n_chars, 'U' AS op
+      |  FROM documents
+      |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 AND doc_id <= 100
+      |  UNION ALL
+      |  SELECT -doc_id - 1, doc_id, 'I' FROM documents
+      |  WHERE doc_id % 100 = 9 AND doc_id <= 100)
+      |SELECT t.doc_id,
+      |  CASE WHEN s.op IS NOT NULL THEN s.n_chars
+      |       ELSE t.n_chars END AS n_chars
+      |FROM documents t LEFT JOIN src s ON t.doc_id = s.doc_id
+      |WHERE s.op IS NULL OR s.op <> 'D'
+      |UNION ALL
+      |SELECT doc_id, n_chars FROM src WHERE op = 'I'
+      |ORDER BY doc_id""".stripMargin
 }

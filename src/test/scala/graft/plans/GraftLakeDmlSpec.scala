@@ -426,6 +426,36 @@ class GraftLakeDmlSpec extends SparkSpec {
       Seq(2L, 4L, 7L, 8L, 10L, 11L))
   }
 
+  test("canonical SET*/INSERT* MERGE on a graft.cluster.key table is ZONE-SCOPED: envelope-disjoint files carry verbatim, fresh epoch re-clusters") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.mz (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.cluster.key' = 'k')")
+    spark.sql("INSERT INTO gld.ns.mz SELECT id, id FROM range(100)")
+    val dir = s"$wh/ns/mz"
+    Export.compactSnapshotClustered(spark, dir, "k", nFiles = 5)
+    val v0 = Export.latestSnapshotVersion(dir)
+    val hiBefore = Export.snapshotManifestEntries(dir, v0)
+      .filter(_.zone.exists(_._1 > 9L)).map(_.path).toSet
+    assert(hiBefore.nonEmpty, "fixture must have zone-disjoint files")
+    spark.sql("SELECT id AS k, id + 100 AS v FROM range(10) " +
+      "UNION ALL SELECT -5L, 777L")
+      .createOrReplaceTempView("mz_src")
+    spark.sql("MERGE INTO gld.ns.mz t USING mz_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    assert(hiBefore.subsetOf(Export.snapshotFiles(dir, v1).toSet),
+      "zone-scoped canonical upsert rewrote envelope-disjoint files")
+    // fresh epoch re-clustered: every line still zoned
+    assert(Export.snapshotManifestEntries(dir, v1)
+      .forall(_.zone.nonEmpty), "merge must not erode the zoned layout")
+    val got = spark.sql("SELECT k, v FROM gld.ns.mz ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = ((-5L, 777L) +: (0L until 100L).map(k =>
+      (k, if (k < 10) k + 100 else k))).toSeq
+    assert(got === expected)
+  }
+
   test("MERGE-DELETE with layout ⊆ keys routes PARTITION-SCOPED: deleted_partitions stamped, untouched partition carried verbatim, emptied partition dropped") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.mdp (k BIGINT, dt STRING, v BIGINT) " +
