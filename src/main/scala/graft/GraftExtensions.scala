@@ -610,7 +610,17 @@ object GraftExtensions {
                 "layout spec is 'cluster:key', 'zorder:a,b' or " +
                   s"'partition:col=val[/col=val]', got: $spec")
             }
-            case None => E.compactSnapshot(spark, path, nFiles)
+            case None =>
+              // a declared cluster key makes the bare OPTIMIZE
+              // re-cluster by default (OPTIMIZE ≡ OPTIMIZE ... ORDER
+              // BY <graft.cluster.key>) — compacting a zoned table
+              // into an unzoned blob would silently erode every
+              // zone-scoped merge and pruned read behind it
+              E.snapshotProperties(path).get("graft.cluster.key") match {
+                case Some(k) =>
+                  E.compactSnapshotClustered(spark, path, k, nFiles)
+                case None => E.compactSnapshot(spark, path, nFiles)
+              }
           }
           Seq(v.toLong, E.snapshotFiles(path, v).size.toLong)
         }

@@ -478,14 +478,29 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
                 legacyOverwrite: Boolean): Unit = {
               val spark = data.sparkSession
               val parts = layoutCols
+              // a declared cluster key (`graft.cluster.key`) makes
+              // every INSERT land as a ZONED epoch — zone-scoped
+              // merges and pruned reads work from the first write,
+              // no OPTIMIZE ... ORDER BY bootstrap needed
+              val clusterKey =
+                if (parts.nonEmpty) None
+                else Export.snapshotProperties(dir)
+                  .get("graft.cluster.key")
+                  .filter(data.columns.contains)
               if (overwrite || legacyOverwrite) {
                 if (parts.nonEmpty) Export.replaceSnapshotPartitioned(
                   spark, data, dir, parts)
                 else Export.replaceSnapshot(spark, data, dir)
-              } else {
-                if (parts.nonEmpty) Export.appendSnapshotPartitioned(
-                  spark, data, dir, parts)
-                else Export.appendSnapshot(spark, data, dir)
+              } else clusterKey match {
+                case Some(k) =>
+                  // keep the batch's own parallelism: one zoned file
+                  // per incoming partition, like the plain epoch write
+                  Export.appendSnapshotClustered(spark, data, dir, k,
+                    nFiles = math.max(1, data.rdd.getNumPartitions))
+                case None =>
+                  if (parts.nonEmpty) Export.appendSnapshotPartitioned(
+                    spark, data, dir, parts)
+                  else Export.appendSnapshot(spark, data, dir)
               }
             }
           }

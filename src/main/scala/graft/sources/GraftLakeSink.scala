@@ -133,6 +133,15 @@ final class GraftLakeSink(spark: SparkSession,
     * ([[Export.mergeSnapshotClusteredLatest]]) — the file-granular
     * answer where partitioning is too coarse. */
   private val clusterBy = opt("clusterBy").map(_.trim).filter(_.nonEmpty)
+
+  /** The table's DECLARED cluster key (`graft.cluster.key` property),
+    * resolved once at the first batch — Append-mode micro-batches land
+    * zoned on it without a per-query `.option("clusterBy", ...)`.
+    * Missing table / no property → plain epochs (the r13 behavior). */
+  private lazy val declaredClusterKey: Option[String] =
+    try graft.operators.Export.snapshotProperties(path)
+      .get("graft.cluster.key")
+    catch { case scala.util.control.NonFatal(_) => None }
   clusterBy.foreach(k => require(mergeKeys.contains(k),
     s"clusterBy '$k' must be one of mergeKeys " +
       s"(${mergeKeys.mkString(",")}) - only then does a matched row's " +
@@ -243,9 +252,18 @@ final class GraftLakeSink(spark: SparkSession,
         if (partitionCols.nonEmpty)
           Export.appendSnapshotPartitioned(spark, batch, path,
             partitionCols, nFiles = filesPerCommit, meta = meta)
-        else
-          Export.appendSnapshot(spark,
-            batch.coalesce(filesPerCommit), path, meta = meta)
+        else declaredClusterKey.filter(batch.columns.contains) match {
+          case Some(k) =>
+            // the table DECLARED a cluster key (graft.cluster.key):
+            // every appended micro-batch lands zoned on it, so
+            // zone-scoped merges and pruned reads hold through
+            // streaming ingestion — parity with INSERT INTO
+            Export.appendSnapshotClustered(spark, batch, path, k,
+              nFiles = filesPerCommit, meta = meta)
+          case None =>
+            Export.appendSnapshot(spark,
+              batch.coalesce(filesPerCommit), path, meta = meta)
+        }
       }
       autoCompactEvery.foreach { n =>
         val v = Export.latestSnapshotVersion(path)

@@ -233,4 +233,40 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM glc.gate.d")
       .collect().head.getLong(0) === 4)
   }
+
+  test("graft.cluster.key: INSERT INTO lands ZONED epochs from the first write, and bare graft_optimize re-clusters instead of eroding the layout") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ck")
+    spark.sql("CREATE TABLE glc.ck.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.cluster.key' = 'k')")
+    spark.sql("INSERT INTO glc.ck.t SELECT id, id FROM range(50)")
+    spark.sql("INSERT INTO glc.ck.t SELECT id, id FROM range(50, 100)")
+    val dir = wh + "/ck/t"
+    val head = Export.latestSnapshotVersion(dir)
+    val entries = Export.snapshotManifestEntries(dir, head)
+    assert(entries.nonEmpty && entries.forall(_.zone.nonEmpty),
+      "INSERT into a cluster-keyed table must write zoned epochs")
+    // the declared key makes plain SQL MERGE zone-scoped immediately
+    // (no OPTIMIZE bootstrap): low-key batch leaves the second
+    // epoch's files untouched
+    val hiBefore = entries.filter(_.zone.exists(_._1 >= 50L))
+      .map(_.path).toSet
+    assert(hiBefore.nonEmpty)
+    spark.sql("SELECT id AS k, id + 1000 AS v FROM range(5)")
+      .createOrReplaceTempView("ck_src")
+    spark.sql("MERGE INTO glc.ck.t t USING ck_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(hiBefore.subsetOf(Export.snapshotFiles(dir, v1).toSet),
+      "first-ever MERGE on an insert-zoned table must prune")
+    // bare OPTIMIZE re-clusters by default (zones survive compaction)
+    spark.sql(s"SELECT version FROM graft_optimize('$dir', 2)").collect()
+    val v2 = Export.latestSnapshotVersion(dir)
+    assert(Export.snapshotManifestEntries(dir, v2)
+      .forall(_.zone.nonEmpty),
+      "bare OPTIMIZE on a cluster-keyed table must keep zones")
+    assert(spark.sql("SELECT sum(v) FROM glc.ck.t")
+      .collect().head.getLong(0) ===
+      (0L until 100L).map(k => if (k < 5) k + 1000 else k).sum)
+  }
 }

@@ -44,6 +44,26 @@ class GraftLakeSinkSpec extends SparkSpec {
     assert(got.toSeq === (0L until 5L))
   }
 
+  test("append honors the DECLARED graft.cluster.key: every " +
+      "micro-batch lands zoned (parity with INSERT INTO), no " +
+      "per-query clusterBy option needed") {
+    val t = tmp("gls-declared-ck")
+    val path = t.getAbsolutePath
+    // the table exists with the property BEFORE the stream starts
+    // (the CREATE TABLE ... TBLPROPERTIES shape)
+    Export.createEmptySnapshot(path, rows(0, 1).schema)
+    Export.setSnapshotProperties(path,
+      Map("graft.cluster.key" -> "id"))
+    val s = sink(t, OutputMode.Append())
+    s.addBatch(0, rows(0, 50))
+    s.addBatch(1, rows(50, 100))
+    val head = Export.latestSnapshotVersion(path)
+    val entries = Export.snapshotManifestEntries(path, head)
+    assert(entries.nonEmpty && entries.forall(_.zone.nonEmpty),
+      "declared-key appends must write zoned epochs")
+    assert(Export.readSnapshot(spark, path, head).count() === 100)
+  }
+
   test("Complete mode REPLACES the head each batch; old refreshes " +
       "time-travel") {
     val t = tmp("gls-complete")
