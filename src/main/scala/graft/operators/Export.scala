@@ -2380,14 +2380,13 @@ object Export {
     // never collapses through a merge
     val fresh = writeClusteredEpoch(spark, fs, root, version, result,
       clusterKey, if (nFiles > 0) nFiles else math.max(1, hit.size))
-    val schemaJson = snapshotMetaOf(fs, root, latest).getOrElse("schema",
-      result.schema.json)
-    commitManifest(fs, root, version,
-      internalMeta(fs, root,
-        carryBatch(fs, root,
-          meta + ("rewritten_files" -> hit.size.toString)),
-        schemaJson, op = "overwrite"), rest ++ fresh)
-    version
+    // row-level rewrite commit discipline: retry over interleaved
+    // APPENDS (their lines are disjoint from everything this rewrite
+    // consumed and carry verbatim — rewrite-first serialization); any
+    // interleaved non-append raises the typed conflict
+    commitRewriteThenAppends(fs, root, latest, lines, rest ++ fresh,
+      meta + ("rewritten_files" -> hit.size.toString),
+      result.schema.json, op = "overwrite")
   }
 
   /** ENVELOPE-PRUNED key-column scan — the insert-if-absent MERGE's

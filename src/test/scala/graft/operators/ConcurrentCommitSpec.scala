@@ -240,6 +240,49 @@ class ConcurrentCommitSpec extends SparkSpec {
       assert(v === 3 && ids(dir) === (0L until 10L))
     } finally Export.appendRaceInjector = None
   }
+
+  test("zone-scoped rewrite commutes with a concurrent APPEND (retry carries the appended epoch); racing a delete conflicts typed") {
+    // zone-scoped upsert racing an append: rewrite-first serialization
+    val d1 = tmp("ccs-zoneapp")
+    Export.appendSnapshotClustered(spark, rows(0, 100), d1, "id",
+      nFiles = 5)
+    var injected = false
+    Export.rewriteRaceInjector = Some((_, _) =>
+      if (!injected) { injected = true
+        Export.appendSnapshot(spark, rows(100, 105), d1) })
+    try {
+      val upd = rows(0, 5).withColumn("s", concat(lit("Z"), col("s")))
+      val v = Export.rewriteSnapshotZoneScoped(spark, d1, "id",
+        Some((0L, 4L)))(base => Merge.upsert(base, upd, Seq("id")))
+      assert(injected && v === 3)
+      // serial rewrite-then-append: low keys updated, appended rows
+      // present, zone-disjoint files untouched
+      val got = Export.readSnapshot(spark, d1, v)
+        .select("id", "s").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got === (0L until 105L).map(i =>
+        (i, if (i < 5) s"Zd$i" else s"d$i")))
+    } finally Export.rewriteRaceInjector = None
+    // racing a non-append: typed conflict, the winner's state stands
+    val d2 = tmp("ccs-zoneconflict")
+    Export.appendSnapshotClustered(spark, rows(0, 20), d2, "id",
+      nFiles = 2)
+    injected = false
+    Export.rewriteRaceInjector = Some((_, _) =>
+      if (!injected) { injected = true
+        Export.deleteWhere(spark, d2, col("id") === 19L) })
+    try {
+      val e = intercept[Export.ConcurrentCommitException] {
+        Export.rewriteSnapshotZoneScoped(spark, d2, "id",
+          Some((0L, 3L)))(base =>
+          Merge.upsert(base,
+            rows(0, 2).withColumn("s", lit("x")), Seq("id")))
+      }
+      assert(e.winning === 2)
+      assert(ids(d2) === (0L until 19L))
+    } finally Export.rewriteRaceInjector = None
+  }
+
 }
 
 /** The range-encoded `_versions.hint` (r13 task #4): commit/plan cost
