@@ -652,6 +652,18 @@ object GraftExtensions {
             .toLong)
         }
       }),
+    (FunctionIdentifier("graft_truncate"),
+      info("graft_truncate", "graft_truncate(path) - TRUNCATE TABLE " +
+        "for path-addressed tables: one zero-line replace commit; " +
+        "schema and declared layout carry, old versions still " +
+        "time-travel. Returns (version)"),
+      (args: Seq[Expression]) => {
+        val path = litPath(args.head, "path")
+        graft.plans.GraftLakeCommand.oneRow("graft_truncate",
+            Seq("version")) {
+          () => Seq(graft.operators.Export.truncateSnapshot(path).toLong)
+        }
+      }),
     (FunctionIdentifier("graft_vacuum"),
       info("graft_vacuum", "graft_vacuum(path, keep[, horizon_ms]) - " +
         "retention: drop all but the newest `keep` versions and delete " +

@@ -723,6 +723,35 @@ object Export {
     version
   }
 
+  /** `TRUNCATE TABLE` — commit a new version with ZERO data lines: the
+    * schema (and any declared partition layout) carries, every row is
+    * gone, and because the old epochs' files are untouched the
+    * pre-truncate versions still time-travel (the lake's truncate is a
+    * logical replace, never a file delete — vacuum reclaims). The
+    * layout survives via the same `partition_cols` meta stamp as
+    * [[createEmptySnapshot]] ([[declaredPartitionColumns]] reads it
+    * back from the head), so the first post-truncate INSERT lands
+    * partitioned again instead of poisoning partition-scoped DML.
+    * Returns the new version. */
+  def truncateSnapshot(outDir: String): Int = {
+    val (fs, root) = fsRoot(outDir)
+    val head = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $outDir"))
+    val schemaJson = snapshotMetaOf(fs, root, head).getOrElse("schema",
+      throw new IllegalStateException(s"version $head under $outDir " +
+        "has no #schema= header (pre-header legacy manifest) - recommit"))
+    val partCols = declaredPartitionColumns(outDir)
+    val meta =
+      if (partCols.isEmpty) Map.empty[String, String]
+      else Map("partition_cols" -> partCols.mkString(","))
+    val version = head + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, carryBatch(fs, root, meta), schemaJson,
+        op = "replace"), Nil)
+    version
+  }
+
   /** Latest committed snapshot version, or 0 if none. */
   def latestSnapshotVersion(outDir: String): Int = {
     val (fs, root) = fsRoot(outDir)
@@ -912,10 +941,15 @@ object Export {
     val head = latestSnapshotVersion(outDir)
     val fromSpecs =
       if (head > 0) snapshotPartitionColumns(outDir, head) else Seq.empty
+    def metaOf(v: Int): Option[Seq[String]] =
+      (try snapshotMeta(outDir, v).get("partition_cols")
+        catch { case scala.util.control.NonFatal(_) => None })
+        .map(_.split(',').toSeq.filter(_.nonEmpty))
     if (fromSpecs.nonEmpty) fromSpecs
-    else (try snapshotMeta(outDir, 1).get("partition_cols")
-      catch { case scala.util.control.NonFatal(_) => None })
-      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    // head meta covers a zero-line head that is NOT v1 (TRUNCATE of a
+    // partitioned table re-stamps the layout it read); v1 meta covers
+    // the freshly created catalog table before its first insert
+    else metaOf(head).orElse(if (head == 1) None else metaOf(1))
       .getOrElse(Seq.empty)
   }
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, ExprId}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, OverwritePartitionsDynamic, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern.COMMAND
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -26,7 +26,12 @@ import graft.sources.GraftLakeTable
   *    [[Export.mergeSnapshotPartitioned]] (cost follows the touched
   *    partitions), otherwise [[Merge.upsert]] + full-replace;
   *  - `WHEN MATCHED THEN DELETE` → anti-join delete, PARTITION-SCOPED
-  *    ([[Export.deleteSnapshotPartitioned]]) when `layout ⊆ keys`;
+  *    ([[Export.deleteSnapshotPartitioned]]) when `layout ⊆ keys`, or
+  *    ZONE-SCOPED ([[Export.rewriteSnapshotZoneScoped]]) on an
+  *    unpartitioned table clustered on a merge key;
+  *  - `INSERT OVERWRITE` under dynamic partition-overwrite mode →
+  *    [[rewriteDynamicOverwrite]]: replace exactly the touched
+  *    partitions, carry the rest verbatim;
   *  - `WHEN NOT MATCHED THEN INSERT` only → anti-join append whose
   *    existing-keys scan is ENVELOPE-PRUNED
   *    ([[Export.snapshotKeysOverlapping]]) — O(overlapping files),
@@ -41,10 +46,15 @@ import graft.sources.GraftLakeTable
   *    [[Export.updateWhereMoR]] (deletion vectors + an O(matched)
   *    insert epoch — zero files rewritten).
   *
-  * Still refused loudly (never half-applied): time-travel targets,
-  * `WITH SCHEMA EVOLUTION`, non-equality ON conjuncts, an ON clause
-  * binding one target column to DIFFERENT source expressions, and
-  * nested-field assignment targets. Execution is DEFERRED to the
+  * `WITH SCHEMA EVOLUTION` is native: the target declares
+  * `AUTOMATIC_SCHEMA_EVOLUTION`, so the analyzer's own
+  * `ResolveMergeIntoSchemaEvolution` lands the source-minus-target
+  * column delta through the catalog's metadata-only ADD COLUMN /
+  * safe-widen commits BEFORE this rule fires (the rule skips while
+  * `needSchemaEvolution` holds). Still refused loudly (never
+  * half-applied): time-travel targets, non-equality ON conjuncts, an
+  * ON clause binding one target column to DIFFERENT source
+  * expressions, and nested-field assignment targets. Execution is DEFERRED to the
   * physical node ([[GraftDmlStatement]] is a Command: `spark.sql` runs
   * it eagerly, `EXPLAIN` plans it without committing). The rule itself
   * is O(1) on non-DML statements: commands carry the COMMAND tree
@@ -66,11 +76,21 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       case u: UpdateTable if u.resolved && lakeTableOf(u.table).isDefined =>
         rewriteUpdate(u, lakeTableOf(u.table).get)
       case m: MergeIntoTable
-          if m.resolved && lakeTableOf(m.targetTable).isDefined =>
+          if m.resolved && !m.needSchemaEvolution &&
+            lakeTableOf(m.targetTable).isDefined =>
+        // `WITH SCHEMA EVOLUTION` with a pending column delta is left
+        // for the analyzer's own ResolveMergeIntoSchemaEvolution (the
+        // table declares AUTOMATIC_SCHEMA_EVOLUTION, so that rule adds
+        // the new columns through the catalog's metadata-only
+        // alterTable commits and clears needSchemaEvolution); the next
+        // fixpoint pass lands here with the evolved target
         rewriteMerge(m, lakeTableOf(m.targetTable).get)
       case d: DeleteFromTable
           if d.resolved && lakeTableOf(d.table).isDefined =>
         rewriteDelete(d, lakeTableOf(d.table).get)
+      case o: OverwritePartitionsDynamic
+          if o.resolved && lakeTableOf(o.table).isDefined =>
+        rewriteDynamicOverwrite(o, lakeTableOf(o.table).get)
     }
 
   /** Rebind a target-column expression by NAME, so the thunk can apply
@@ -137,6 +157,55 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     })
   }
 
+  /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, and
+    * `df.writeTo(t).overwritePartitions()`): replace EXACTLY the
+    * partitions the incoming rows land in, carrying every other
+    * partition's files verbatim — at 100 TB an hourly re-load of one
+    * day's partitions costs those partitions, never the table. The v2
+    * exec for this plan requires a true BatchWrite, which the lake's
+    * deliberate V1 write seam doesn't build, so the statement routes
+    * here instead: a deferred [[GraftDmlStatement]] committing
+    * [[Export.replaceSnapshotPartitionsScoped]] over the touched
+    * tuples (one tiny driver distinct over the batch's partition
+    * columns). An unpartitioned table degrades to the full replace —
+    * the SQL semantics when there is no partitioning to scope by. */
+  private def rewriteDynamicOverwrite(o: OverwritePartitionsDynamic,
+      t: GraftLakeTable): LogicalPlan = {
+    require(t.versionAsOf.isEmpty,
+      s"cannot INSERT OVERWRITE time-travel relation ${t.name()} - a " +
+        "pinned version is immutable by definition")
+    // the analyzer has already aligned the query's output to the table
+    // columns (order and type); re-alias by position so the thunk's
+    // frame carries the table's column names
+    val projected = Project(o.query.output.zip(o.table.output).map {
+      case (q, ta) => Alias(
+        if (q.dataType == ta.dataType) q else Cast(q, ta.dataType),
+        ta.name)()
+    }, o.query)
+    val dir = t.dir
+    GraftDmlStatement(s"INSERT OVERWRITE DYNAMIC ${t.name()}", () => {
+      val s = SparkSession.active
+      val df = GraftPlanBridge.ofRows(s, projected)
+      val partCols = Export.declaredPartitionColumns(dir)
+      if (partCols.isEmpty) Export.replaceSnapshot(s, df, dir)
+      else {
+        val touched: Set[Seq[String]] =
+          df.select(partCols.map(c => col(c).cast("string")): _*)
+            .distinct().collect()
+            .map(r => partCols.indices.map(i => r.getString(i))
+              : Seq[String]).toSet
+        // empty source: dynamic overwrite touches nothing (the SQL
+        // law), so nothing commits
+        if (touched.nonEmpty)
+          Export.replaceSnapshotPartitionsScoped(s, df, dir, partCols,
+            touched, meta = Map(
+              "overwritten_partitions" -> touched.size.toString))
+      }
+      ()
+    })
+  }
+
   /** Thrown internally when a MERGE doesn't fit a scoped fast path —
     * caught to fall through to the general rewrite, never surfaced. */
   private object NotCanonical
@@ -155,8 +224,6 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
           "MATCHED BY SOURCE UPDATE/DELETE clauses")
     require(t.versionAsOf.isEmpty,
       s"cannot MERGE INTO time-travel relation ${t.name()}")
-    if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is not " +
-      "supported (ALTER TABLE ... ADD COLUMN first)")
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
     def sideOf(a: Expression, b: Expression)
@@ -233,10 +300,30 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       val latest = Export.latestSnapshotVersion(dir)
       require(latest > 0, s"nothing to merge into under $dir")
       val partCols = Export.snapshotPartitionColumns(dir, latest)
+      val clusterKey =
+        if (partCols.isEmpty)
+          Export.snapshotProperties(dir).get("graft.cluster.key")
+            .filter(keys.contains)
+        else None
       if (partCols.nonEmpty && partCols.toSet.subsetOf(keys.toSet))
         Export.deleteSnapshotPartitioned(s, dir, sourceKeys, keys,
           partCols)
-      else {
+      else if (clusterKey.nonEmpty) {
+        // unpartitioned but clustered on a merge key: a deleted row's
+        // key EQUALS a source key, so files zone-disjoint from the
+        // batch envelope cannot hold one — anti-join only the
+        // overlapping files, carry the rest verbatim (a null-bearing
+        // batch gets no provable envelope and degrades to the full
+        // anti-join, never a silent miss)
+        val ck = clusterKey.get
+        val (n, env) = Export.batchEnvelope(sourceKeys.select(col(ck)),
+          ck)
+        if (n > 0)
+          Export.rewriteSnapshotZoneScoped(s, dir, ck, env,
+            meta = Map("deleted_envelope" ->
+              env.map { case (lo, hi) => s"$lo:$hi" }.getOrElse("full")))(
+            base => base.join(sourceKeys, keys, "left_anti"))
+      } else {
         val remaining = Export.readSnapshot(s, dir, latest)
           .join(sourceKeys, keys, "left_anti")
         if (partCols.nonEmpty)

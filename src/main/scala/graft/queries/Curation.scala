@@ -6353,4 +6353,229 @@ object Curation {
       |UNION ALL
       |SELECT doc_id, n_chars FROM src WHERE op = 'I'
       |ORDER BY doc_id""".stripMargin
+
+  /** `MERGE ... WITH SCHEMA EVOLUTION` — the Delta-parity shape a
+    * pipeline hits the day its upstream adds a column: the source
+    * carries `lang`, the target doesn't. The catalog declares
+    * `AUTOMATIC_SCHEMA_EVOLUTION`, so the analyzer's own
+    * ResolveMergeIntoSchemaEvolution routes the column delta through
+    * the catalog's METADATA-ONLY `ALTER TABLE ADD COLUMN` commit (zero
+    * data files rewritten for the evolution; pre-evolution rows read
+    * back null through the committed-schema decode), then the merge
+    * lands through the audited upsert. DuckDB replays the final state
+    * with a LEFT JOIN + anti-join insert. */
+  def q_sql_merge_evolve(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlmev_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glme",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glme.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glme.g")
+    s.sql("DROP TABLE IF EXISTS glme.g.docs")
+    s.sql("CREATE TABLE glme.g.docs (doc_id BIGINT, n_chars BIGINT)")
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars", "lang")
+      .createOrReplaceTempView("q_sql_ev_src")
+    s.sql("INSERT INTO glme.g.docs SELECT doc_id, n_chars " +
+      "FROM q_sql_ev_src")
+    s.sql("""SELECT doc_id, n_chars + 1000 AS n_chars, lang
+        FROM q_sql_ev_src WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 200000, doc_id, 'xx' FROM q_sql_ev_src
+        WHERE doc_id % 25 = 3""")
+      .createOrReplaceTempView("q_sql_ev_changes")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v0 = E.latestSnapshotVersion(dirT)
+    s.sql("MERGE WITH SCHEMA EVOLUTION INTO glme.g.docs t " +
+      "USING q_sql_ev_changes s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val head = E.latestSnapshotVersion(dirT)
+    require(E.snapshotSchema(dirT, head).exists(
+        _.fieldNames.toSeq == Seq("doc_id", "n_chars", "lang")),
+      "WITH SCHEMA EVOLUTION must add the source-only 'lang' column")
+    require(head == v0 + 2,
+      "expected exactly the ADD COLUMN metadata commit + the merge")
+    s.sql("SELECT doc_id, n_chars, lang FROM glme.g.docs " +
+      "ORDER BY doc_id")
+  }
+
+  val q_sql_merge_evolve_sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, n_chars + 1000 AS n_chars, lang FROM documents
+      |  WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, doc_id, 'xx' FROM documents
+      |  WHERE doc_id % 25 = 3)
+      |SELECT t.doc_id,
+      |  CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars
+      |       ELSE t.n_chars END AS n_chars,
+      |  s.lang AS lang
+      |FROM documents t LEFT JOIN src s ON t.doc_id = s.doc_id
+      |UNION ALL
+      |SELECT s.doc_id, s.n_chars, s.lang FROM src s
+      |WHERE s.doc_id NOT IN (SELECT doc_id FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** `TRUNCATE TABLE` — one ZERO-LINE replace commit: rows gone,
+    * schema and declared partition layout carried (the next INSERT
+    * lands partitioned again), pre-truncate versions still time-travel
+    * because no file is deleted. The gate truncates a loaded table,
+    * re-inserts a filtered slice, and pins in-gate that (a) the
+    * truncate head lists zero files and (b) the pre-truncate state
+    * still reads back whole. */
+  def q_sql_truncate(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqltr_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.gltr",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.gltr.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gltr.g")
+    s.sql("DROP TABLE IF EXISTS gltr.g.docs")
+    s.sql("CREATE TABLE gltr.g.docs (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (lang)")
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_sql_tr_src")
+    s.sql("INSERT INTO gltr.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_sql_tr_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v0 = E.latestSnapshotVersion(dirT)
+    val before = s.sql("SELECT count(*) FROM gltr.g.docs")
+      .collect().head.getLong(0)
+    s.sql("TRUNCATE TABLE gltr.g.docs")
+    val v1 = E.latestSnapshotVersion(dirT)
+    require(v1 == v0 + 1 && E.snapshotFiles(dirT, v1).isEmpty,
+      "TRUNCATE must be one zero-line commit")
+    require(E.readSnapshot(s, dirT, v0).count() == before,
+      "pre-truncate version must still time-travel whole")
+    // re-load a slice: the declared layout must have survived (the
+    // insert lands partitioned; a spec-less epoch would poison)
+    s.sql("INSERT INTO gltr.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_sql_tr_src WHERE doc_id % 3 = 0")
+    require(E.snapshotPartitionColumns(dirT,
+        E.latestSnapshotVersion(dirT)) == Seq("lang"),
+      "declared layout must survive TRUNCATE")
+    s.sql("SELECT doc_id, lang, n_chars FROM gltr.g.docs " +
+      "ORDER BY doc_id")
+  }
+
+  val q_sql_truncate_sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin
+
+  /** DYNAMIC partition overwrite — `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic` replaces EXACTLY the partitions
+    * the incoming rows land in (here: one language re-scored), every
+    * other partition's files carried VERBATIM (pinned in-gate). At
+    * 100 TB this is the hourly-reload shape: rewriting one day's
+    * partition costs that partition, never the table. */
+  def q_sql_overwrite_dyn(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlod_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glod",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glod.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glod.g")
+    s.sql("DROP TABLE IF EXISTS glod.g.docs")
+    s.sql("CREATE TABLE glod.g.docs (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (lang)")
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_sql_od_src")
+    s.sql("INSERT INTO glod.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_sql_od_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v0 = E.latestSnapshotVersion(dirT)
+    val lang0 = s.sql("SELECT lang FROM q_sql_od_src GROUP BY lang " +
+      "ORDER BY count(*) DESC, lang LIMIT 1").collect().head.getString(0)
+    val carried = E.snapshotManifestEntries(dirT, v0)
+      .filterNot(_.partition.get("lang").contains(lang0))
+      .map(_.path).toSet
+    require(carried.nonEmpty, "fixture needs more than one language")
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s.sql(s"INSERT OVERWRITE glod.g.docs SELECT doc_id, lang, " +
+        s"n_chars * 2 FROM q_sql_od_src WHERE lang = '$lang0' " +
+        "AND doc_id % 2 = 0")
+    } finally prev.fold(s.conf.unset(
+      "spark.sql.sources.partitionOverwriteMode"))(
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    val v1 = E.latestSnapshotVersion(dirT)
+    require(v1 == v0 + 1 &&
+      E.snapshotMeta(dirT, v1).get("overwritten_partitions")
+        .contains("1"),
+      "dynamic overwrite must commit one partition-scoped version")
+    require(carried.subsetOf(E.snapshotFiles(dirT, v1).toSet),
+      "dynamic overwrite rewrote an untouched partition")
+    s.sql("SELECT doc_id, lang, n_chars FROM glod.g.docs " +
+      "ORDER BY doc_id")
+  }
+
+  val q_sql_overwrite_dyn_sql: String =
+    """WITH lang0 AS (
+      |  SELECT lang FROM documents GROUP BY lang
+      |  ORDER BY count(*) DESC, lang LIMIT 1)
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE lang <> (SELECT lang FROM lang0)
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars * 2 AS n_chars FROM documents
+      |WHERE lang = (SELECT lang FROM lang0) AND doc_id % 2 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** ZONE-SCOPED MERGE-DELETE — `WHEN MATCHED THEN DELETE` on an
+    * unpartitioned table kept CLUSTERED on the merge key anti-joins
+    * only the files whose `z=` zone overlaps the batch's key envelope;
+    * zone-disjoint files carry verbatim (pinned in-gate). The CDC
+    * retention shape at 100 TB: deleting one key range costs the
+    * overlapping files, never the table. */
+  def q_sql_merge_delete_zoned(s: SparkSession, dir: String)
+      : DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlmdz_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glmdz",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glmdz.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glmdz.g")
+    s.sql("DROP TABLE IF EXISTS glmdz.g.docs")
+    s.sql("CREATE TABLE glmdz.g.docs (doc_id BIGINT, n_chars BIGINT) " +
+      "TBLPROPERTIES ('graft.cluster.key' = 'doc_id')")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_sql_mdz_src")
+    s.sql("INSERT INTO glmdz.g.docs SELECT doc_id, n_chars " +
+      "FROM q_sql_mdz_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    E.compactSnapshotClustered(s, dirT, "doc_id", nFiles = 6)
+    val v0 = E.latestSnapshotVersion(dirT)
+    val hiBefore = E.snapshotManifestEntries(dirT, v0)
+      .filter(_.zone.exists(_._1 > 200L)).map(_.path).toSet
+    require(hiBefore.nonEmpty, "fixture produced no high-zone files")
+    // a RANGE-LOCAL retention batch: delete every 3rd key ≤ 200
+    s.sql("SELECT doc_id FROM q_sql_mdz_src " +
+      "WHERE doc_id % 3 = 0 AND doc_id <= 200")
+      .createOrReplaceTempView("q_sql_mdz_keys")
+    s.sql("MERGE INTO glmdz.g.docs t USING q_sql_mdz_keys s " +
+      "ON t.doc_id = s.doc_id WHEN MATCHED THEN DELETE")
+    val v1 = E.latestSnapshotVersion(dirT)
+    require(v1 == v0 + 1 &&
+      E.snapshotMeta(dirT, v1).contains("deleted_envelope"),
+      "MERGE-DELETE on a clustered table must route zone-scoped")
+    require(hiBefore.subsetOf(E.snapshotFiles(dirT, v1).toSet),
+      "zone-scoped MERGE-DELETE rewrote envelope-disjoint files")
+    s.sql("SELECT doc_id, n_chars FROM glmdz.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_merge_delete_zoned_sql: String =
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE NOT (doc_id % 3 = 0 AND doc_id <= 200)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -346,7 +346,19 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with GraftV1FallbackBridge {
+
+  /** `TRUNCATE TABLE cat.ns.t` — one zero-line replace commit: every
+    * row gone, schema and declared partition layout carried, old
+    * versions still time-travel ([[Export.truncateSnapshot]]). */
+  override def truncateTable(): Boolean = {
+    require(versionAsOf.isEmpty,
+      s"cannot TRUNCATE time-travel relation ${name()} - a pinned " +
+        "version is immutable by definition")
+    Export.truncateSnapshot(dir)
+    true
+  }
 
   /** Placeholder v2 scan: `DELETE FROM` planning insists the target be
     * readable (`V2ScanRelationPushDown` builds a scan it then discards
@@ -433,10 +445,16 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
   // must be readable); actual reads never build a v2 scan — the
   // resolution rule rewrites every read relation to the manifest-
   // planned v1 relation first (the catalog therefore REQUIRES the
-  // graft.GraftExtensions session extension, its documented contract)
+  // graft.GraftExtensions session extension, its documented contract).
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into the analyzer's
+  // `ResolveMergeIntoSchemaEvolution`: `MERGE ... WITH SCHEMA
+  // EVOLUTION` computes the source-minus-target column delta and lands
+  // it through [[alterTable]] (metadata-only ADD COLUMN / safe-widen
+  // commits) before the DML rewrite fires.
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def properties(): util.Map[String, String] =
     (Export.snapshotProperties(dir) ++

@@ -489,4 +489,148 @@ class GraftLakeDmlSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq ===
       Seq(2L, 3L, 8L, 9L, 10L, 11L))
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns land as metadata-only ADD COLUMN commits, pre-evolution rows read back null, SET*/INSERT* carry the evolved width") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.ev (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.ev SELECT id, id FROM range(4)")
+    spark.range(2, 6)
+      .selectExpr("id AS k", "id * 10 AS v", "concat('t', id) AS tag")
+      .createOrReplaceTempView("ev_src")
+    val dir = s"$wh/ns/ev"
+    val v0 = Export.latestSnapshotVersion(dir)
+    // WITHOUT the clause, the same statement must NOT silently evolve:
+    // SET */INSERT * expand against the target's columns only, so the
+    // extra source column is ignored and the schema stays 2-wide
+    spark.sql("MERGE INTO gld.ns.ev t USING ev_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(Export.snapshotSchema(dir,
+        Export.latestSnapshotVersion(dir)).get.fieldNames.toSeq ===
+      Seq("k", "v"))
+    spark.sql("MERGE WITH SCHEMA EVOLUTION INTO gld.ns.ev t " +
+      "USING ev_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val head = Export.latestSnapshotVersion(dir)
+    assert(Export.snapshotSchema(dir, head).get.fieldNames.toSeq ===
+      Seq("k", "v", "tag"),
+      "WITH SCHEMA EVOLUTION must add the source-only column")
+    // the evolution itself is a metadata-only commit (op=widen family,
+    // zero data files rewritten for it) followed by the merge commit
+    assert(head > v0 + 1, "expected ADD COLUMN commit + merge commit")
+    val rows = spark.sql(
+        "SELECT k, v, tag FROM gld.ns.ev ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq === Seq(
+      (0L, 0L, null), (1L, 1L, null), (2L, 20L, "t2"), (3L, 30L, "t3"),
+      (4L, 40L, "t4"), (5L, 50L, "t5")))
+    // pre-evolution versions still time-travel with their own width
+    assert(Export.readSnapshot(spark, dir, v0).columns.toSeq ===
+      Seq("k", "v"))
+  }
+
+  test("TRUNCATE TABLE: one zero-line replace commit - rows gone, schema and declared layout survive, old versions time-travel, partition-scoped DML still works after the next insert") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.tr (k BIGINT, dt STRING, v BIGINT) " +
+      "PARTITIONED BY (dt)")
+    spark.sql("INSERT INTO gld.ns.tr SELECT id, " +
+      "CASE WHEN id < 4 THEN 'a' ELSE 'b' END, id FROM range(8)")
+    val dir = s"$wh/ns/tr"
+    val v0 = Export.latestSnapshotVersion(dir)
+    spark.sql("TRUNCATE TABLE gld.ns.tr")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    assert(spark.sql("SELECT count(*) FROM gld.ns.tr")
+      .collect().head.getLong(0) === 0L)
+    assert(Export.snapshotFiles(dir, v1).isEmpty,
+      "TRUNCATE must commit zero data lines")
+    // pre-truncate state still time-travels (logical replace, no
+    // file deletes)
+    assert(Export.readSnapshot(spark, dir, v0).count() === 8L)
+    // the declared layout SURVIVES the zero-line head: the next insert
+    // lands partitioned and partition-scoped DML keeps working
+    assert(Export.declaredPartitionColumns(dir) === Seq("dt"))
+    spark.sql("INSERT INTO gld.ns.tr SELECT id, " +
+      "CASE WHEN id < 2 THEN 'a' ELSE 'b' END, id * 2 FROM range(4)")
+    spark.sql("SELECT * FROM VALUES (0L, 'a') AS t(k, dt)")
+      .createOrReplaceTempView("tr_keys")
+    spark.sql("MERGE INTO gld.ns.tr t USING tr_keys s " +
+      "ON t.k = s.k AND t.dt = s.dt WHEN MATCHED THEN DELETE")
+    assert(Export.snapshotMeta(dir, Export.latestSnapshotVersion(dir))
+      .get("deleted_partitions") === Some("1"),
+      "post-truncate table must still route partition-scoped")
+    assert(spark.sql("SELECT k FROM gld.ns.tr ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("INSERT OVERWRITE under dynamic partition-overwrite mode replaces ONLY the touched partitions (untouched files carried verbatim); EXPLAIN commits nothing; static mode keeps the full replace") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.dyn (k BIGINT, dt STRING) " +
+      "PARTITIONED BY (dt)")
+    spark.sql("INSERT INTO gld.ns.dyn SELECT id, " +
+      "CASE WHEN id < 4 THEN 'a' ELSE 'b' END FROM range(8)")
+    val dir = s"$wh/ns/dyn"
+    val v0 = Export.latestSnapshotVersion(dir)
+    val filesB = Export.snapshotManifestEntries(dir, v0)
+      .filter(_.partition.get("dt").contains("b")).map(_.path).toSet
+    assert(filesB.nonEmpty)
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      // EXPLAIN plans the deferred command without committing
+      spark.sql("EXPLAIN INSERT OVERWRITE gld.ns.dyn " +
+        "SELECT id + 100, 'a' FROM range(2)").collect()
+      assert(Export.latestSnapshotVersion(dir) === v0,
+        "EXPLAIN INSERT OVERWRITE (dynamic) committed a version")
+      spark.sql("INSERT OVERWRITE gld.ns.dyn " +
+        "SELECT id + 100, 'a' FROM range(2)")
+      val v1 = Export.latestSnapshotVersion(dir)
+      assert(v1 === v0 + 1)
+      assert(Export.snapshotMeta(dir, v1).get("overwritten_partitions")
+        === Some("1"))
+      val filesBAfter = Export.snapshotManifestEntries(dir, v1)
+        .filter(_.partition.get("dt").contains("b")).map(_.path).toSet
+      assert(filesBAfter === filesB,
+        "dynamic overwrite rewrote an untouched partition")
+      assert(spark.sql("SELECT k FROM gld.ns.dyn ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq ===
+        Seq(4L, 5L, 6L, 7L, 100L, 101L))
+    } finally {
+      prev.fold(spark.conf.unset(
+        "spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    // back in static mode: INSERT OVERWRITE is the classic full replace
+    spark.sql("INSERT OVERWRITE gld.ns.dyn SELECT id, 'c' FROM range(3)")
+    assert(spark.sql("SELECT count(*) FROM gld.ns.dyn")
+      .collect().head.getLong(0) === 3L)
+  }
+
+  test("MERGE-DELETE on a graft.cluster.key table is ZONE-SCOPED: envelope-disjoint files carry verbatim, deleted_envelope stamped") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.zd (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.cluster.key' = 'k')")
+    spark.sql("INSERT INTO gld.ns.zd SELECT id, id FROM range(1000)")
+    val dir = s"$wh/ns/zd"
+    Export.compactSnapshotClustered(spark, dir, "k", nFiles = 5)
+    val v0 = Export.latestSnapshotVersion(dir)
+    val hiBefore = Export.snapshotManifestEntries(dir, v0)
+      .filter(_.zone.exists(_._1 > 400L)).map(_.path).toSet
+    assert(hiBefore.nonEmpty, "fixture produced no high-zone files")
+    // delete keys 0..99 — the low zone only
+    spark.range(0, 100).selectExpr("id AS k")
+      .createOrReplaceTempView("zd_keys")
+    spark.sql("MERGE INTO gld.ns.zd t USING zd_keys s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    assert(Export.snapshotMeta(dir, v1).contains("deleted_envelope"),
+      "MERGE-DELETE on a clustered table must route zone-scoped")
+    assert(hiBefore.subsetOf(Export.snapshotFiles(dir, v1).toSet),
+      "zone-scoped MERGE-DELETE rewrote envelope-disjoint files")
+    assert(spark.sql("SELECT count(*), min(k) FROM gld.ns.zd")
+      .collect().head.toSeq === Seq(900L, 100L))
+  }
 }
