@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // native MERGE INTO / UPDATE statements on lake catalog tables →
     // deferred commands routed to the audited commit paths
     ext.injectResolutionRule(graft.plans.RewriteGraftLakeDml.apply)
+    // persistent SQL views in the lake catalog: CREATE/DROP/SHOW VIEW
+    // + text re-expansion on read (Spark has no v2 view exec path).
+    // HINT seam, not resolution: the Hints batch runs BEFORE
+    // ResolveSessionCatalog, which throws MISSING_CATALOG_ABILITY on
+    // any view statement aimed at a non-session catalog
+    ext.injectHintResolutionRule(graft.plans.RewriteGraftLakeViews.apply)
     // the physical leg of every deferred lake command: side effects
     // fire at EXECUTION, so EXPLAIN/schema inspection commits nothing
     ext.injectPlannerStrategy(_ => graft.plans.GraftLakeStrategy)
@@ -463,7 +469,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_update"),
       info("graft_update", "graft_update(path, 'col=expr[;col=expr]', " +
         "predicate_sql[, 'mor']) - UPDATE the lake table: rows matching " +
-        "the predicate take the assignments. Copy-on-write by default " +
+        "the predicate take the assignments (a dotted col like " +
+        "meta.score updates that struct field in place). " +
+        "Copy-on-write by default " +
         "(file-scoped - manifest tags prune files the predicate " +
         "provably excludes); with 'mor', a MERGE-ON-READ commit " +
         "(deletion-vector the matched positions + append the updated " +
@@ -485,8 +493,27 @@ object GraftExtensions {
         require(sets.nonEmpty, "graft_update needs at least one col=expr")
         graft.plans.GraftLakeCommand.oneRow("graft_update", Seq("version")) { () =>
           val spark = org.apache.spark.sql.SparkSession.active
-          val cSets = sets.map { case (c, e) =>
-            c -> org.apache.spark.sql.functions.expr(e) }
+          // a dotted lhs (`meta.score=expr`) is a struct-field
+          // assignment: fold each root's field updates into ONE
+          // whole-column withField rebuild (a NULL struct stays NULL),
+          // grouped so updateWhere's by-name map sees each root once
+          val cSets = sets
+            .map { case (c, e) =>
+              val parts = c.split('.').toSeq
+              (parts.head, parts.tail,
+                org.apache.spark.sql.functions.expr(e))
+            }
+            .groupBy(_._1).toSeq.map { case (root, items) =>
+              require(!items.exists(_._2.isEmpty) || items.size == 1,
+                s"graft_update: column '$root' assigned more than once")
+              root ->
+                (if (items.head._2.isEmpty) items.head._3
+                 else items.foldLeft(
+                     org.apache.spark.sql.functions.col(root)) {
+                   case (acc, (_, path, v)) =>
+                     acc.withField(path.mkString("."), v)
+                 })
+            }
           val cond = org.apache.spark.sql.functions.expr(predicate)
           Seq((if (mor)
               graft.operators.Export.updateWhereMoR(spark, path, cSets,

@@ -577,6 +577,29 @@ object Export {
     * FOREVER. Zero-file versions read back as empty, correctly-typed
     * tables ([[emptyWithCommittedSchema]]); streams bootstrap on them
     * like any first survivor. */
+  /** The type with every NESTED field/element nullable — the cast
+    * target for rewritten values. Committed schemas are stamped from
+    * writer frames, so a struct field can carry NOT NULL; a rewrite's
+    * value (a CASE fall-through, a null-fill insert, a `withField`
+    * over a nullable expression) is lawfully nullable, and casting
+    * nullable→NOT-NULL struct fields is unresolvable by Spark's
+    * analyzer. Scalar types are unchanged (top-level nullability is
+    * not part of the DataType). */
+  def nullableType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = nullableType(f.dataType), nullable = true)))
+      case ArrayType(et, _) =>
+        ArrayType(nullableType(et), containsNull = true)
+      case MapType(kt, vt, _) =>
+        MapType(nullableType(kt), nullableType(vt),
+          valueContainsNull = true)
+      case other => other
+    }
+  }
+
   def createEmptySnapshot(outDir: String,
       schema: org.apache.spark.sql.types.StructType,
       meta: Map[String, String] = Map.empty): Int = {
@@ -1205,6 +1228,53 @@ object Export {
     version
   }
 
+  /** SET/DROP a column's DEFAULT — one metadata-only commit updating
+    * the field's `CURRENT_DEFAULT` metadata (the analyzer's own
+    * default-column contract: consulted ONLY when a future INSERT
+    * omits the column or writes the DEFAULT keyword). Existing rows,
+    * files, and the read path are untouched — which is exactly why
+    * SET/DROP DEFAULT never needs a rewrite, and why ADD COLUMN WITH
+    * DEFAULT is refused at the catalog instead (it would need an
+    * EXISTS_DEFAULT fill for pre-add files, a read-path semantic this
+    * lake deliberately keeps as null-fill). The default SQL text was
+    * already analyzed by Spark before the TableChange reached us.
+    * Ref anchor: the reference fills ingest-side defaults per column
+    * (P2, lightning/restore/table_restore.go) — this is the
+    * serving-side twin. Returns the new version. */
+  def setSnapshotColumnDefault(outDir: String, column: String,
+      default: Option[String]): Int = {
+    val (fs, root) = fsRoot(outDir)
+    val head = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $outDir"))
+    val st = snapshotSchema(outDir, head).getOrElse(
+      throw new IllegalStateException(s"version $head of $outDir has " +
+        "no #schema= header (pre-header manifest) - recommit first"))
+    val idx = st.fieldNames.indexOf(column)
+    require(idx >= 0, s"no column '$column' in " +
+      s"${st.fieldNames.mkString(", ")}")
+    val f = st.fields(idx)
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+    default match {
+      // CURRENT_DEFAULT only — NEVER EXISTS_DEFAULT: that key is the
+      // READ-path fill for files predating a column, and stamping it
+      // here would retroactively flip rows that the ADD-COLUMN
+      // null-fill law already committed as NULL (a metadata commit
+      // must not change committed data)
+      case Some(t) => mb.putString("CURRENT_DEFAULT", t)
+      case None => mb.remove("CURRENT_DEFAULT")
+    }
+    val updated = org.apache.spark.sql.types.StructType(
+      st.fields.updated(idx, f.copy(metadata = mb.build())))
+    val version = head + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, carryBatch(fs, root, Map.empty),
+        updated.json, op = "default"),
+      dataLines(readManifestRaw(fs, root, head)))
+    version
+  }
+
   /** One row per committed version: (version, n_files, caller meta) —
     * each manifest read ONCE (listing a thousand-version streaming table
     * with per-version file+meta pairs would otherwise pay two object-
@@ -1268,19 +1338,74 @@ object Export {
       : Map[String, String] = {
     ReservedMeta.foreach(k =>
       require(!meta.contains(k), s"'$k' is a reserved meta key"))
-    val prevTs = manifestVersions(fs, root).lastOption
-      .flatMap(v => snapshotMetaOf(fs, root, v).get("committed_at"))
+    val headMeta: Map[String, String] =
+      manifestVersions(fs, root).lastOption
+        .map(v => snapshotMetaOf(fs, root, v)).getOrElse(Map.empty)
+    val prevTs = headMeta.get("committed_at")
       .map(_.toLong).getOrElse(Long.MinValue)
+    // METADATA-CARRY LAW (r14): a DATA commit never silently drops a
+    // column's metadata contract (DEFAULT, comments) nor re-tightens
+    // its nullability — writer frames lose both through projections
+    // and casts, so for every incoming field that exists at the head
+    // with a same-shaped type, the head's metadata keys survive under
+    // the incoming ones and nullability only RELAXES (monotone OR).
+    // Deliberate schema commits (add/drop/rename/widen/default/
+    // restore/clone) stamp exactly what they were given.
+    val carried =
+      if (DataOps(op)) carrySchemaContract(headMeta.get("schema"),
+        schemaJson)
+      else schemaJson
     // column-mapping bookkeeping rides the same headers: the schema is
     // stamped with the physical names the epoch writer used, and the
     // retired-physical set survives every commit (like #batch=)
     val retired = headRetired(fs, root) ++ extraRetired
-    val base = meta + ("schema" -> mapSchema(fs, root, schemaJson)) +
+    val base = meta + ("schema" -> mapSchema(fs, root, carried)) +
       ("op" -> op) +
       ("committed_at" ->
         math.max(System.currentTimeMillis(), prevTs + 1).toString)
     if (retired.isEmpty) base
     else base + ("retired" -> retired.toSeq.sorted.mkString(","))
+  }
+
+  /** The commit ops that carry DATA (their schema stamp comes from a
+    * writer frame) — the metadata-carry law in [[internalMeta]] applies
+    * to exactly these. */
+  private val DataOps = Set("append", "compact", "delete", "merge",
+    "overwrite", "replace", "update")
+
+  /** Per-field contract carry for [[internalMeta]]: incoming fields
+    * that exist at the head with a same-shaped type keep the head's
+    * metadata (incoming keys win on conflict) and OR their
+    * nullability; a type equal only up to NESTED nullability resolves
+    * to the fully relaxed side. Head-only columns are NOT resurrected
+    * (replace semantics own the column set), and mapped physical names
+    * at the head simply miss the by-name lookup (their carry degrades
+    * gracefully to the incoming field). */
+  private def carrySchemaContract(headJson: Option[String],
+      schemaJson: String): String = headJson match {
+    case None => schemaJson
+    case Some(hj) =>
+      import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructType}
+      val head = DataType.fromJson(hj).asInstanceOf[StructType]
+      val in = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val byName = head.fields.map(f => f.name -> f).toMap
+      StructType(in.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(h) =>
+            val tpe =
+              if (h.dataType == f.dataType) f.dataType
+              else if (nullableType(h.dataType) == nullableType(f.dataType))
+                nullableType(f.dataType)
+              else f.dataType
+            val meta =
+              if (h.metadata == f.metadata) f.metadata
+              else new MetadataBuilder().withMetadata(h.metadata)
+                .withMetadata(f.metadata).build()
+            f.copy(dataType = tpe, nullable = h.nullable || f.nullable,
+              metadata = meta)
+          case None => f
+        }
+      }).json
   }
 
   /** Commit wall-clock of a version (epoch millis) — monotone across
@@ -3033,7 +3158,8 @@ object Export {
     val updated = rows.select(st.fields.toSeq.map { f =>
       setMap.get(f.name) match {
         case Some(v) =>
-          when(hitCond, v.cast(f.dataType)).otherwise(col(f.name))
+          when(hitCond, v.cast(nullableType(f.dataType)))
+            .otherwise(col(f.name))
             .as(f.name, f.metadata)
         case None => col(f.name)
       }
@@ -3166,7 +3292,8 @@ object Export {
       val setMap = sets.toMap
       val updated = matched.select(st.fields.toSeq.map { f =>
         setMap.get(f.name) match {
-          case Some(v) => v.cast(f.dataType).as(f.name, f.metadata)
+          case Some(v) =>
+          v.cast(nullableType(f.dataType)).as(f.name, f.metadata)
           case None => col(f.name)
         }
       }: _*)

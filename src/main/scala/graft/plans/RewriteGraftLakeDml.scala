@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, ExprId}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, ExprId, GetStructField}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, OverwritePartitionsDynamic, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern.COMMAND
@@ -51,10 +51,14 @@ import graft.sources.GraftLakeTable
   * `ResolveMergeIntoSchemaEvolution` lands the source-minus-target
   * column delta through the catalog's metadata-only ADD COLUMN /
   * safe-widen commits BEFORE this rule fires (the rule skips while
-  * `needSchemaEvolution` holds). Still refused loudly (never
-  * half-applied): time-travel targets, non-equality ON conjuncts, an
-  * ON clause binding one target column to DIFFERENT source
-  * expressions, and nested-field assignment targets. Execution is DEFERRED to the
+  * `needSchemaEvolution` holds). Struct-field assignment targets
+  * (`SET meta.score = v`, r14) fold into whole-column `withField`
+  * rebuilds, so UPDATE and every MERGE UPDATE clause accept them.
+  * Still refused loudly (never half-applied): time-travel targets,
+  * non-equality ON conjuncts, an ON clause binding one target column
+  * to DIFFERENT source expressions, overlapping assignments to one
+  * root column, and nested INSERT targets (no base row to rebuild).
+  * Execution is DEFERRED to the
   * physical node ([[GraftDmlStatement]] is a Command: `spark.sql` runs
   * it eagerly, `EXPLAIN` plans it without committing). The rule itself
   * is O(1) on non-DML statements: commands carry the COMMAND tree
@@ -104,18 +108,69 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
   private def asColumn(e: Expression): Column =
     GraftColumnBridge.column(unresolve(e))
 
+  /** An assignment target normalized to (root column, struct path):
+    * `SET meta.quality.score = v` → (meta, [quality, score]). Only
+    * pure struct-field chains rooted at a top-level column qualify —
+    * array/map element targets have no in-place rewrite. The analyzer
+    * already resolved the chain, so the path provably exists and
+    * `key.dataType` is the leaf's committed type. */
+  private def targetPath(k: Expression)
+      : Option[(AttributeReference, Seq[String])] = k match {
+    case ar: AttributeReference => Some((ar, Nil))
+    case g: GetStructField => targetPath(g.child).map {
+      case (ar, p) => (ar, p :+ g.extractFieldName) }
+    case _ => None
+  }
+
+  /** Fold one root column's assignments into ONE whole-column value, so
+    * every commit path below keeps operating on top-level columns. A
+    * whole-column assignment must be alone for its root, and nested
+    * paths must not overlap (the SQL duplicate-assignment law —
+    * `SET meta = ..., meta.score = ...` has no defined order); field
+    * assignments rebuild the struct in place via `withField`, so a
+    * NULL struct stays NULL — no phantom partial rows invented. */
+  private def foldAssignments(root: String, base: Column,
+      items: Seq[(Seq[String], Column)],
+      refuse: String => Nothing): Column =
+    if (items.exists(_._1.isEmpty)) {
+      if (items.size > 1)
+        refuse(s"column '$root' is assigned more than once")
+      items.head._2
+    } else {
+      items.map(_._1).combinations(2).foreach { pair =>
+        val (a, b) = (pair.head, pair(1))
+        if (a.startsWith(b) || b.startsWith(a))
+          refuse(s"conflicting assignments under '$root': paths " +
+            s"${a.mkString(".")} and ${b.mkString(".")} overlap")
+      }
+      items.foldLeft(base) { case (acc, (p, v)) =>
+        p.foreach(n => if (n.contains(".") || n.contains("`"))
+          refuse(s"struct field '$n' under '$root' cannot be " +
+            "addressed by a dotted path (name contains '.' or '`')"))
+        acc.withField(p.mkString("."), v)
+      }
+    }
+
   private def rewriteUpdate(u: UpdateTable,
       t: GraftLakeTable): LogicalPlan = {
     require(t.versionAsOf.isEmpty,
       s"cannot UPDATE time-travel relation ${t.name()} - a pinned " +
         "version is immutable by definition")
-    val sets = u.assignments.map { a =>
-      a.key match {
-        case ar: AttributeReference => ar.name -> asColumn(a.value)
-        case other => throw new UnsupportedOperationException(
-          s"UPDATE ${t.name()}: assignment target must be a top-level " +
-            s"column, got $other")
+    def refuse(msg: String): Nothing =
+      throw new UnsupportedOperationException(s"UPDATE ${t.name()}: $msg")
+    val triples = u.assignments.map { a =>
+      targetPath(a.key) match {
+        // leaf-cast to the committed field type, so the struct the
+        // withField fold rebuilds keeps its committed shape exactly
+        case Some((ar, p)) =>
+          (ar.name, p, asColumn(a.value).cast(Export.nullableType(a.key.dataType)))
+        case None => refuse("assignment target must be a top-level " +
+          s"column or a struct-field path over one, got ${a.key}")
       }
+    }
+    val sets = triples.groupBy(_._1).toSeq.map { case (root, items) =>
+      root -> foldAssignments(root, col(root),
+        items.map(i => (i._2, i._3)), refuse)
     }
     val cond = u.condition.map(asColumn)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -355,7 +410,8 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     val ins = ia.map { a =>
       a.key match {
         case ar: AttributeReference => (ar: Attribute) -> a.value
-        case _ => miss() // nested target: the general path refuses it
+        case _ => miss() // nested INSERT target: the general path
+                         // refuses it loudly (no base row to rebuild)
       }
     }.toMap
     val projected = m.targetTable.output.map { ta =>
@@ -508,19 +564,27 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     def rebC(e: Expression): Column = GraftColumnBridge.column(rebind(e))
 
     def assignsOf(as: Seq[Assignment], what: String,
-        sourceAllowed: Boolean): Map[String, Column] =
-      as.map { a =>
-        a.key match {
-          case ar: AttributeReference =>
+        sourceAllowed: Boolean): Map[String, Column] = {
+      val triples = as.map { a =>
+        targetPath(a.key) match {
+          case Some((ar, p)) =>
             if (!sourceAllowed && a.value.references.exists(sOut.contains))
               refuse(s"$what assigns '${ar.name}' a source-referencing " +
                 s"value (${a.value}) - no source row exists for a NOT " +
                 "MATCHED BY SOURCE target row")
-            ar.name -> rebC(a.value)
-          case other =>
-            refuse(s"$what assigns a non-top-level target $other")
+            // leaf-cast so the withField fold keeps the committed shape
+            (ar.name, p, rebC(a.value).cast(Export.nullableType(a.key.dataType)))
+          case None =>
+            refuse(s"$what assigns an unsupported target ${a.key} - " +
+              "top-level columns and struct-field paths only")
         }
-      }.toMap
+      }
+      triples.groupBy(_._1).map { case (root, items) =>
+        root -> foldAssignments(root, col(root),
+          items.map(i => (i._2, i._3)),
+          msg => refuse(s"$what: $msg"))
+      }
+    }
 
     // clause capture: (condition, Some(assignments)=UPDATE / None=DELETE)
     val matchedActs: Seq[(Option[Column], Option[Map[String, Column]])] =
@@ -618,11 +682,11 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
             insertActs.zipWithIndex.foldLeft(Option.empty[Column]) {
               case (acc, ((_, sets), k)) =>
                 val v = sets.getOrElse(f.name, lit(null))
-                  .cast(f.dataType)
+                  .cast(Export.nullableType(f.dataType))
                 Some(acc.fold(when(col(insCol) === (k + 1), v))(
                   _.when(col(insCol) === (k + 1), v)))
-            }.map(_.otherwise(lit(null).cast(f.dataType)))
-              .getOrElse(lit(null).cast(f.dataType))
+            }.map(_.otherwise(lit(null).cast(Export.nullableType(f.dataType))))
+              .getOrElse(lit(null).cast(Export.nullableType(f.dataType)))
               .as(f.name, f.metadata)
         }: _*)
       }
@@ -681,12 +745,12 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
                 matchedActs.zipWithIndex.collect {
                   case ((_, Some(sets)), i) if sets.contains(f.name) =>
                     (isM && col(miCol) === (i + 1)) ->
-                      sets(f.name).cast(f.dataType)
+                      sets(f.name).cast(Export.nullableType(f.dataType))
                 } ++
                 bySourceActs.zipWithIndex.collect {
                   case ((_, Some(sets)), j) if sets.contains(f.name) =>
                     (!isM && col(biCol) === (j + 1)) ->
-                      sets(f.name).cast(f.dataType)
+                      sets(f.name).cast(Export.nullableType(f.dataType))
                 }
               cases.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
                 Some(acc.fold(when(c, v))(_.when(c, v)))

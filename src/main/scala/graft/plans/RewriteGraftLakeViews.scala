@@ -1,0 +1,298 @@
+package graft.plans
+
+import java.net.{URLDecoder, URLEncoder}
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.AliasIdentifier
+import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, ResolvedNamespace, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LocalRelation, LogicalPlan, ShowViews, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreePattern.{COMMAND, UNRESOLVED_RELATION}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Export
+
+/** PERSISTENT SQL VIEWS in the lake catalog — `CREATE [OR REPLACE]
+  * VIEW cat.ns.v [(cols)] AS SELECT ...`, `DROP VIEW [IF EXISTS]`,
+  * `SHOW VIEWS IN cat.ns`, and view EXPANSION on read. Spark 4.x ships
+  * the `ViewCatalog` connector API but no analyzer/exec path for it
+  * (CREATE VIEW against a non-session catalog has no rule to claim
+  * it), so the statements are rewritten here, the same extension seam
+  * as the lake DML.
+  *
+  * Storage: a `_view` file under the view's warehouse path
+  * (`<warehouse>/<ns>/<view>/_view`, urlencoded `k=v` lines — the
+  * manifest property idiom). A view directory has no `_v*` manifests,
+  * so the catalog's `listTables`/`isTable` never conflate it with a
+  * table, and `tableExists` stays false.
+  *
+  * Semantics: the view stores its SQL TEXT and re-resolves PER READ —
+  * schema-EVOLUTION binding (the Hive/Iceberg view law): base-table
+  * column adds/renames flow through on the next read, and the view is
+  * readable from any session that can reach the warehouse, unlike a
+  * temp view. A user column list applies BY POSITION at expansion
+  * (`UnresolvedSubqueryColumnAliases`, the `FROM t AS x(a,b)` node).
+  * Cyclic references (possible only via CREATE OR REPLACE after the
+  * fact) are detected at expansion and refuse loudly. Persistent views
+  * over TEMP views are refused at CREATE — the text would re-resolve
+  * against the READING session's temp state. CREATE/DROP defer their
+  * side effect to execution ([[GraftDmlStatement]]): `EXPLAIN CREATE
+  * VIEW` writes nothing. SHOW VIEWS is a pure metadata read and
+  * resolves to a [[LocalRelation]] at analysis.
+  *
+  * Ref anchor: the reference serves logical tables over physical
+  * layouts through its routing config (tidb-lightning.toml routes,
+  * SURVEY §2 S3) — views are the serving-side composition twin.
+  *
+  * Injection point: the HINT-resolution seam — the Hints batch runs
+  * BEFORE Resolution, which matters twice over: (a) Spark's own
+  * `ResolveSessionCatalog` throws MISSING_CATALOG_ABILITY the moment
+  * it sees a view statement whose identifier resolved to a non-session
+  * catalog, so a plain resolution rule never gets the plan; (b) here
+  * the statements still carry their raw `UnresolvedIdentifier` parts,
+  * and claiming them needs only a conf lookup (is the first part a
+  * configured lake catalog?), no resolution at all. The CREATE's query
+  * is still unresolved at this point, so its validation (the text must
+  * analyze, no temp-view captures, column-list arity) runs inside the
+  * deferred thunk — the statement still fails eagerly at `spark.sql`,
+  * the SQL contract, while EXPLAIN keeps writing nothing. */
+final case class RewriteGraftLakeViews(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import GraftLakeViews._
+
+  private def warehouseOf(cat: String): Option[String] =
+    try {
+      val conf = spark.conf
+      if (conf.getOption(s"spark.sql.catalog.$cat").contains(
+          classOf[graft.sources.GraftLakeCatalog].getName))
+        conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+      else None
+    } catch { case NonFatal(_) => None }
+
+  /** `cat.ns….name` → the view's directory, when `cat` is a configured
+    * lake catalog. Two segments minimum after the catalog (a namespace
+    * and the view name) — the lake warehouse is namespace-rooted. */
+  private def viewDirOf(parts: Seq[String]): Option[String] =
+    if (parts.length < 3) None
+    else warehouseOf(parts.head).map(w => (w +: parts.tail).mkString("/"))
+
+  private def identParts(p: LogicalPlan): Option[Seq[String]] = p match {
+    case u: UnresolvedIdentifier => Some(u.nameParts)
+    case r: ResolvedIdentifier =>
+      Some(r.catalog.name +: (r.identifier.namespace.toSeq :+
+        r.identifier.name))
+    case _ => None
+  }
+
+  private def isView(parts: Seq[String]): Boolean =
+    viewDirOf(parts).exists(d => readView(d).isDefined)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!plan.containsAnyPattern(UNRESOLVED_RELATION, COMMAND)) plan
+    else plan.transformUpWithPruning(
+        _.containsAnyPattern(UNRESOLVED_RELATION, COMMAND)) {
+      case u: UnresolvedRelation
+          if !u.isStreaming && isView(u.multipartIdentifier) =>
+        expand(u.multipartIdentifier, Set.empty)
+      case c: CreateView
+          if identParts(c.child).exists(p => viewDirOf(p).isDefined) =>
+        rewriteCreate(c, identParts(c.child).get)
+      case d: DropView
+          if identParts(d.child).exists(p => viewDirOf(p).isDefined) =>
+        rewriteDrop(d, identParts(d.child).get)
+      case s: ShowViews if namespaceParts(s.namespace)
+          .exists(p => p.nonEmpty && warehouseOf(p.head).isDefined) =>
+        rewriteShow(s, namespaceParts(s.namespace).get)
+    }
+
+  /** Inline the stored text, pre-expanding nested lake views with a
+    * seen-set so a reference cycle refuses instead of spinning the
+    * analyzer fixpoint; the alias keeps `v.col` / `v.*` resolution and
+    * the column list applies by position. */
+  private def expand(parts: Seq[String],
+      seen: Set[Seq[String]]): LogicalPlan = {
+    val key = parts.map(_.toLowerCase)
+    if (seen.contains(key))
+      throw new IllegalStateException(
+        s"cyclic view reference: ${parts.mkString(".")} refers " +
+          "(transitively) to itself - re-CREATE one of the views in " +
+          "the cycle")
+    val dir = viewDirOf(parts).get
+    val vd = readView(dir).getOrElse(
+      throw new IllegalStateException(
+        s"view ${parts.mkString(".")} vanished during analysis"))
+    val parsed = CatalystSqlParser.parsePlan(vd.sql)
+    val inner = parsed.transformUpWithPruning(
+        _.containsPattern(UNRESOLVED_RELATION)) {
+      case u: UnresolvedRelation
+          if !u.isStreaming && isView(u.multipartIdentifier) =>
+        expand(u.multipartIdentifier, seen + key)
+    }
+    val body =
+      if (vd.cols.isEmpty) inner
+      else UnresolvedSubqueryColumnAliases(vd.cols, inner)
+    SubqueryAlias(AliasIdentifier(parts.last, parts.init), body)
+  }
+
+  private def rewriteCreate(c: CreateView,
+      parts: Seq[String]): LogicalPlan = {
+    val dir = viewDirOf(parts).get
+    val sql = c.originalText.getOrElse(throw new IllegalStateException(
+      s"CREATE VIEW ${parts.mkString(".")}: no SQL text captured"))
+    val cols = c.userSpecifiedColumns.map(_._1)
+    val comment = c.comment
+    val (allowExisting, replace) = (c.allowExisting, c.replace)
+    GraftDmlStatement(s"CREATE VIEW ${parts.mkString(".")}", () => {
+      val s = SparkSession.active
+      require(Export.latestSnapshotVersion(dir) < 1,
+        s"${parts.mkString(".")} is a TABLE - CREATE VIEW cannot " +
+          "shadow it")
+      // the SQL law: a broken query refuses the CREATE — analyze the
+      // text now (this very rule expands nested lake views inside it)
+      val analyzed = org.apache.spark.sql.GraftPlanBridge
+        .ofRows(s, CatalystSqlParser.parsePlan(sql))
+        .queryExecution.analyzed
+      // a persistent view must not capture the creating session's temp
+      // state - the stored text re-resolves in the READING session
+      analyzed.foreach {
+        case v: View if v.isTempView =>
+          throw new IllegalArgumentException(
+            s"CREATE VIEW ${parts.mkString(".")}: the query references " +
+              s"a TEMPORARY view ('${v.desc.identifier.table}') - a " +
+              "persistent view's text re-resolves in the reading " +
+              "session, where that temp view does not exist. Inline " +
+              "it or make it a lake view")
+        case _ =>
+      }
+      if (cols.nonEmpty)
+        require(cols.length == analyzed.output.length,
+          s"CREATE VIEW ${parts.mkString(".")}: ${cols.length} column " +
+            s"names for ${analyzed.output.length} query columns")
+      val exists = readView(dir).isDefined
+      if (exists && !replace && !allowExisting)
+        throw new IllegalStateException(
+          s"view ${parts.mkString(".")} already exists (use CREATE OR " +
+            "REPLACE VIEW, or IF NOT EXISTS)")
+      if (!exists || replace)
+        writeView(dir, ViewDef(sql, cols, comment))
+      ()
+    })
+  }
+
+  private def rewriteDrop(d: DropView, parts: Seq[String]): LogicalPlan =
+    GraftDmlStatement(s"DROP VIEW ${parts.mkString(".")}", () => {
+      if (readView(viewDirOf(parts).get).isDefined)
+        deleteView(viewDirOf(parts).get)
+      else if (Export.latestSnapshotVersion(viewDirOf(parts).get) >= 1)
+        throw new IllegalArgumentException(
+          s"${parts.mkString(".")} is a TABLE, not a view - use DROP " +
+            "TABLE")
+      else if (!d.ifExists)
+        throw new IllegalArgumentException(
+          s"view ${parts.mkString(".")} does not exist")
+      ()
+    })
+
+  private def namespaceParts(p: LogicalPlan): Option[Seq[String]] =
+    p match {
+      case u: UnresolvedNamespace => Some(u.multipartIdentifier)
+      case r: ResolvedNamespace =>
+        Some(r.catalog.name +: r.namespace)
+      case _ => None
+    }
+
+  /** SHOW VIEWS — a pure metadata read: resolve to the listed rows at
+    * analysis (Spark's own ShowViewsCommand is likewise an eager
+    * command; there is no side effect to defer). */
+  private def rewriteShow(s: ShowViews,
+      parts: Seq[String]): LogicalPlan = {
+    val w = warehouseOf(parts.head).get
+    val nsDir = (w +: parts.tail).mkString("/")
+    val names = listViews(nsDir)
+    val filtered = s.pattern match {
+      case Some(p) =>
+        // the SHOW ... LIKE law: '*' any chars, '|' alternation,
+        // case-insensitive
+        val rx = p.split("\\|").map(a =>
+          java.util.regex.Pattern.quote(a.trim.toLowerCase)
+            .replace("*", "\\E.*\\Q")).mkString("|")
+        names.filter(n => n.toLowerCase.matches(rx))
+      case None => names
+    }
+    val ns = UTF8String.fromString(parts.tail.mkString("."))
+    LocalRelation(s.output, filtered.sorted.map(n =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        ns, UTF8String.fromString(n), false)))
+  }
+}
+
+/** The `_view` file format + FS helpers (urlencoded `k=v` lines, the
+  * manifest property idiom — no JSON dependency, atomic overwrite via
+  * create-temp-then-rename like every lake commit). */
+object GraftLakeViews {
+
+  final case class ViewDef(sql: String, cols: Seq[String],
+      comment: Option[String])
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+
+  private def fileOf(dir: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val (fs, root) = Export.fsRoot(dir)
+    (fs, new Path(root, "_view"))
+  }
+
+  def readView(dir: String): Option[ViewDef] = {
+    val (fs, f) = fileOf(dir)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      val kvs = text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, dec(v)) }
+        .toSeq
+      val sql = kvs.collectFirst { case ("sql", v) => v }.getOrElse(
+        throw new IllegalStateException(s"$f has no sql= line"))
+      Some(ViewDef(sql, kvs.collect { case ("col", v) => v },
+        kvs.collectFirst { case ("comment", v) => v }))
+    }
+  }
+
+  def writeView(dir: String, vd: ViewDef): Unit = {
+    val (fs, f) = fileOf(dir)
+    fs.mkdirs(f.getParent)
+    val tmp = new Path(f.getParent, s"._view.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val lines = Seq(s"sql=${enc(vd.sql)}") ++
+        vd.cols.map(c => s"col=${enc(c)}") ++
+        vd.comment.map(c => s"comment=${enc(c)}") ++
+        Seq(s"created_at=${System.currentTimeMillis()}")
+      out.write(lines.mkString("\n").getBytes("UTF-8"))
+    } finally out.close()
+    if (fs.exists(f)) fs.delete(f, false)
+    if (!fs.rename(tmp, f))
+      throw new IllegalStateException(s"rename $tmp -> $f failed")
+  }
+
+  def deleteView(dir: String): Unit = {
+    val (fs, root) = Export.fsRoot(dir)
+    fs.delete(root, true) // the dir holds only _view (never manifests)
+  }
+
+  def listViews(nsDir: String): Seq[String] = {
+    val (fs, root) = Export.fsRoot(nsDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, "_view")))
+      .map(_.getPath.getName)
+  }
+}

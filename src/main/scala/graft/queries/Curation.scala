@@ -6578,4 +6578,238 @@ object Curation {
     """SELECT doc_id, n_chars FROM documents
       |WHERE NOT (doc_id % 3 = 0 AND doc_id <= 200)
       |ORDER BY doc_id""".stripMargin
+
+  /** PERSISTENT SQL VIEWS in the lake catalog (r14:
+    * [[graft.plans.RewriteGraftLakeViews]] — Spark ships the
+    * ViewCatalog API with no analyzer/exec path, so CREATE/DROP/SHOW
+    * VIEW and read-time text expansion ride the extension seam): the
+    * view stores SQL TEXT under the warehouse and re-resolves per read
+    * (schema-EVOLUTION binding), composes view-over-view, and DROP
+    * removes it (pinned in-gate with SHOW VIEWS before/after). DuckDB
+    * replays the view body inline. */
+  def q_sql_views(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlvw_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glvw",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glvw.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glvw.g")
+    s.sql("DROP TABLE IF EXISTS glvw.g.docs")
+    s.sql("CREATE TABLE glvw.g.docs (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT)")
+    Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_sql_vw_src")
+    s.sql("INSERT INTO glvw.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_sql_vw_src")
+    // a filtered + computed view, and an aggregate view OVER it
+    s.sql("CREATE VIEW glvw.g.long_docs (doc_id, lang, score) AS " +
+      "SELECT doc_id, lang, n_chars * 2 + doc_id FROM glvw.g.docs " +
+      "WHERE n_chars > 200")
+    s.sql("CREATE VIEW glvw.g.lang_stats AS " +
+      "SELECT lang, count(*) AS n, sum(score) AS total " +
+      "FROM glvw.g.long_docs GROUP BY lang")
+    val shown = s.sql("SHOW VIEWS IN glvw.g").collect()
+      .map(_.getString(1)).toSet
+    require(shown == Set("long_docs", "lang_stats"),
+      s"SHOW VIEWS listed $shown")
+    s.sql("DROP VIEW glvw.g.long_docs")
+    require(s.sql("SHOW VIEWS IN glvw.g").collect()
+        .map(_.getString(1)).toSet == Set("lang_stats"),
+      "DROP VIEW must remove the view from SHOW VIEWS")
+    // lang_stats still expands long_docs? No - it referenced the VIEW,
+    // which is gone: recreate it to pin that the dependency is by
+    // TEXT, late-bound, like Hive/Iceberg views
+    s.sql("CREATE VIEW glvw.g.long_docs (doc_id, lang, score) AS " +
+      "SELECT doc_id, lang, n_chars * 2 + doc_id FROM glvw.g.docs " +
+      "WHERE n_chars > 200")
+    s.sql("SELECT lang, n, total FROM glvw.g.lang_stats ORDER BY lang")
+  }
+
+  val q_sql_views_sql: String =
+    """SELECT lang, count(*) AS n,
+      |  CAST(sum(n_chars * 2 + doc_id) AS BIGINT) AS total
+      |FROM documents WHERE n_chars > 200
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** COLUMN DEFAULT VALUES (r14): `CREATE TABLE (c DOUBLE DEFAULT
+    * 1.5)` persists the analyzer's CURRENT_DEFAULT metadata in the
+    * committed schema; INSERTs that omit the column or write the
+    * DEFAULT keyword materialize it AT WRITE TIME (files always carry
+    * every column — the read path never fills), `ALTER COLUMN ...
+    * SET/DROP DEFAULT` is one metadata-only commit affecting future
+    * inserts only, and the metadata-carry law keeps the default alive
+    * across data commits (pinned in-gate after the INSERTs). DuckDB
+    * replays the constants. */
+  def q_sql_defaults(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqldef_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.gldef",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.gldef.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gldef.g")
+    s.sql("DROP TABLE IF EXISTS gldef.g.docs")
+    s.sql("CREATE TABLE gldef.g.docs (doc_id BIGINT, " +
+      "lang STRING DEFAULT 'und', score DOUBLE DEFAULT 1.5)")
+    Tables.load(s, dir, "documents").select("doc_id")
+      .createOrReplaceTempView("q_sql_def_src")
+    // omitted columns take their defaults, materialized at write
+    s.sql("INSERT INTO gldef.g.docs (doc_id) " +
+      "SELECT doc_id FROM q_sql_def_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val head = E.latestSnapshotVersion(dirT)
+    val carried = E.snapshotSchema(dirT, head).get
+      .find(_.name == "score").get.metadata
+    require(carried.contains("CURRENT_DEFAULT"),
+      "a data commit must not drop the column's DEFAULT contract " +
+        "(the metadata-carry law)")
+    // the DEFAULT keyword in VALUES
+    s.sql("INSERT INTO gldef.g.docs VALUES (1000001, DEFAULT, 9.0)")
+    // SET DEFAULT: future inserts only, one metadata commit
+    s.sql("ALTER TABLE gldef.g.docs ALTER COLUMN lang SET DEFAULT 'en'")
+    s.sql("INSERT INTO gldef.g.docs (doc_id, score) " +
+      "VALUES (1000002, DEFAULT)")
+    // DROP DEFAULT: back to null-fill
+    s.sql("ALTER TABLE gldef.g.docs ALTER COLUMN lang DROP DEFAULT")
+    s.sql("INSERT INTO gldef.g.docs (doc_id) VALUES (1000003)")
+    s.sql("SELECT doc_id, lang, score FROM gldef.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_defaults_sql: String =
+    """SELECT doc_id, 'und' AS lang, 1.5 AS score FROM documents
+      |UNION ALL SELECT 1000001, 'und', 9.0
+      |UNION ALL SELECT 1000002, 'en', 1.5
+      |UNION ALL SELECT 1000003, NULL, 1.5
+      |ORDER BY doc_id""".stripMargin
+
+  /** STRUCT-FIELD UPDATE (r14): `UPDATE ... SET meta.score = ...`
+    * targets a field INSIDE a struct column —
+    * [[graft.plans.RewriteGraftLakeDml]] folds each root's field
+    * assignments into ONE whole-column `withField` rebuild, so the
+    * audited [[graft.operators.Export.updateWhere]] commit path is
+    * unchanged and a NULL struct stays NULL (no phantom row parts
+    * invented — pinned in-gate). A mixed statement also assigning a
+    * sibling top-level column proves the fold composes. The
+    * overlapping shape `SET meta = ..., meta.score = ...` refuses
+    * BEFORE any write (also pinned). DuckDB replays the CASE over the
+    * flattened fields. */
+  def q_sql_update_nested(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlupn_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glun",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glun.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glun.g")
+    s.sql("DROP TABLE IF EXISTS glun.g.docs")
+    s.sql("CREATE TABLE glun.g.docs (doc_id BIGINT, lang STRING, " +
+      "meta STRUCT<n_chars: BIGINT, score: DOUBLE>)")
+    Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_sql_upn_src")
+    // every 10th row carries a NULL struct — the null-preservation law
+    s.sql("INSERT INTO glun.g.docs SELECT doc_id, lang, " +
+      "CASE WHEN doc_id % 10 = 7 THEN NULL ELSE named_struct(" +
+      "'n_chars', n_chars, 'score', CAST(n_chars AS DOUBLE) / 10) END " +
+      "FROM q_sql_upn_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v0 = E.latestSnapshotVersion(dirT)
+    // overlapping assignments to one root refuse before any write
+    val overlap = scala.util.Try(s.sql(
+      "UPDATE glun.g.docs SET meta = NULL, meta.score = 1.0 " +
+        "WHERE doc_id = 1"))
+    require(overlap.isFailure && E.latestSnapshotVersion(dirT) == v0,
+      "overlapping assignments to 'meta' must refuse without a commit")
+    s.sql("UPDATE glun.g.docs " +
+      "SET meta.score = meta.score * 2 + doc_id, lang = upper(lang) " +
+      "WHERE doc_id % 3 = 0")
+    require(E.latestSnapshotVersion(dirT) == v0 + 1,
+      "nested UPDATE must commit exactly one version")
+    val nulls = s.sql("SELECT count(*) FROM glun.g.docs " +
+      "WHERE doc_id % 10 = 7 AND meta IS NOT NULL").collect().head
+    require(nulls.getLong(0) == 0L,
+      "a NULL struct must stay NULL through a field update")
+    s.sql("SELECT doc_id, lang, meta.n_chars AS n_chars, " +
+      "meta.score AS score FROM glun.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_update_nested_sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN upper(lang) ELSE lang END AS lang,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL ELSE n_chars END AS n_chars,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       WHEN doc_id % 3 = 0
+      |       THEN (CAST(n_chars AS DOUBLE) / 10) * 2 + doc_id
+      |       ELSE CAST(n_chars AS DOUBLE) / 10 END AS score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** STRUCT-FIELD MERGE UPDATE (r14): a conditioned `WHEN MATCHED`
+    * clause assigns a struct FIELD from source AND target values
+    * (`SET meta.score = t.meta.score + s.bump`) while a `WHEN NOT
+    * MATCHED` clause inserts whole rows building the struct from
+    * source columns — the general first-true-clause rewrite carries
+    * the withField fold through its per-clause CASE towers. NULL
+    * structs in matched rows stay NULL (pinned). DuckDB replays the
+    * join + CASE over the flattened fields. */
+  def q_sql_merge_nested(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlmn_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glmn",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glmn.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glmn.g")
+    s.sql("DROP TABLE IF EXISTS glmn.g.docs")
+    s.sql("CREATE TABLE glmn.g.docs (doc_id BIGINT, lang STRING, " +
+      "meta STRUCT<n_chars: BIGINT, score: DOUBLE>)")
+    Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_sql_mn_src")
+    s.sql("INSERT INTO glmn.g.docs SELECT doc_id, lang, " +
+      "CASE WHEN doc_id % 10 = 7 THEN NULL ELSE named_struct(" +
+      "'n_chars', n_chars, 'score', CAST(n_chars AS DOUBLE) / 10) END " +
+      "FROM q_sql_mn_src")
+    // the CDC batch: bumps for every 4th doc, fresh rows past the range
+    s.sql("""SELECT doc_id, CAST(doc_id % 7 AS DOUBLE) AS bump
+        FROM q_sql_mn_src WHERE doc_id % 4 = 2
+        UNION ALL
+        SELECT doc_id + 200000, CAST(doc_id AS DOUBLE) FROM q_sql_mn_src
+        WHERE doc_id % 100 = 3""")
+      .createOrReplaceTempView("q_sql_mn_batch")
+    s.sql("MERGE INTO glmn.g.docs t USING q_sql_mn_batch s " +
+      "ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED AND s.bump > 0 " +
+      "THEN UPDATE SET meta.score = t.meta.score + s.bump " +
+      "WHEN NOT MATCHED THEN INSERT (doc_id, lang, meta) VALUES " +
+      "(s.doc_id, 'new', named_struct('n_chars', CAST(0 AS BIGINT), " +
+      "'score', s.bump))")
+    val nulls = s.sql("SELECT count(*) FROM glmn.g.docs " +
+      "WHERE doc_id % 10 = 7 AND doc_id < 200000 AND meta IS NOT NULL")
+      .collect().head
+    require(nulls.getLong(0) == 0L,
+      "a NULL struct must stay NULL through a MERGE field update")
+    s.sql("SELECT doc_id, lang, meta.n_chars AS n_chars, " +
+      "meta.score AS score FROM glmn.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_merge_nested_sql: String =
+    """WITH batch AS (
+      |  SELECT doc_id, CAST(doc_id % 7 AS DOUBLE) AS bump
+      |  FROM documents WHERE doc_id % 4 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 200000, CAST(doc_id AS DOUBLE) FROM documents
+      |  WHERE doc_id % 100 = 3)
+      |SELECT d.doc_id, d.lang,
+      |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE d.n_chars END
+      |    AS n_chars,
+      |  CASE WHEN d.doc_id % 10 = 7 THEN NULL
+      |       WHEN b.doc_id IS NOT NULL AND b.bump > 0
+      |       THEN (CAST(d.n_chars AS DOUBLE) / 10) + b.bump
+      |       ELSE CAST(d.n_chars AS DOUBLE) / 10 END AS score
+      |FROM documents d LEFT JOIN batch b ON d.doc_id = b.doc_id
+      |UNION ALL
+      |SELECT b.doc_id, 'new', 0, b.bump FROM batch b
+      |WHERE b.doc_id NOT IN (SELECT doc_id FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }

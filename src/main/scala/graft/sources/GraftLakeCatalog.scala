@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
 import org.apache.spark.sql.GraftV1FallbackBridge
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableCatalogCapability, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
@@ -74,6 +74,20 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catalogName
+
+  /** COLUMN DEFAULT VALUES are first-class: `CREATE TABLE ... (c INT
+    * DEFAULT 5)` persists the analyzer's `CURRENT_DEFAULT` metadata in
+    * the committed schema (the metadata-carry law in
+    * [[Export.internalMeta]] keeps it alive across every data commit),
+    * and INSERTs that omit the column — or write the DEFAULT keyword —
+    * materialize it at write time through Spark's own default-column
+    * resolution. `ALTER COLUMN ... SET/DROP DEFAULT` is a metadata-only
+    * commit ([[Export.setSnapshotColumnDefault]], future inserts only).
+    * `ADD COLUMN ... DEFAULT` stays refused: it would need an
+    * EXISTS_DEFAULT read fill for pre-add files, and this lake's
+    * evolution law is null-fill. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
 
   private def dirOf(parts: Seq[String]): String =
     (warehouse +: parts).mkString("/")
@@ -144,12 +158,25 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       s"partition column '$c' is not in the table schema"))
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    // DEFAULT columns: keep CURRENT_DEFAULT (the INSERT-time fill
+    // Spark's analyzer resolves) but strip EXISTS_DEFAULT — that key
+    // is a READ-path fill for files missing the column, and this
+    // lake's read contract for absent columns is null-fill; a file
+    // of a created-with-default table always carries the column
+    // (defaults materialize at write), so the key could only ever
+    // fire surprisingly
+    val stored = StructType(schema.fields.map { f =>
+      if (!f.metadata.contains("EXISTS_DEFAULT")) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove("EXISTS_DEFAULT").build())
+    })
     // a zero-file v1 commit carrying the schema (and the declared
     // layout - the first INSERT reads it back, every later one derives
     // it from the committed p= specs): an empty but typed table.
     // ZERO files matters: an empty parquet part file would carry no
     // p= spec and poison partition-scoped DML on the table forever
-    Export.createEmptySnapshot(dir, schema,
+    Export.createEmptySnapshot(dir, stored,
       meta = if (partCols.isEmpty) Map.empty
         else Map("partition_cols" -> partCols.mkString(",")))
     // TBLPROPERTIES: the engine's own `graft.*` knobs persist in the
@@ -214,8 +241,16 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         val n = topLevel(c.fieldNames, "ADD COLUMN")
         require(c.isNullable,
           "ADD COLUMN must be nullable - existing rows read back null")
+        require(c.defaultValue == null,
+          s"ADD COLUMN '$n' WITH DEFAULT is not supported - existing " +
+            "rows read back null (the lake's evolution law); add the " +
+            "column, then ALTER COLUMN ... SET DEFAULT for future " +
+            "inserts")
         require(!has(n), s"ADD COLUMN: '$n' already exists")
         names = names :+ (n -> c.dataType)
+      case c: TableChange.UpdateColumnDefaultValue =>
+        val n = topLevel(c.fieldNames, "ALTER COLUMN DEFAULT")
+        require(has(n), s"ALTER COLUMN DEFAULT: no column '$n'")
       case c: TableChange.UpdateColumnType =>
         val n = topLevel(c.fieldNames, "ALTER COLUMN TYPE")
         val cur = names.find(_._1 == n).getOrElse(
@@ -256,6 +291,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         Export.addSnapshotColumn(dir, c.fieldNames.head, c.dataType)
       case c: TableChange.UpdateColumnType =>
         Export.widenSnapshotColumn(dir, c.fieldNames.head, c.newDataType)
+      case c: TableChange.UpdateColumnDefaultValue =>
+        // SET DEFAULT carries the analyzed SQL text; DROP DEFAULT
+        // arrives as an empty/null text — both are one metadata commit
+        Export.setSnapshotColumnDefault(dir, c.fieldNames.head,
+          Option(c.newDefaultValue).filter(_.nonEmpty))
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
         () // applied above in one commit
       case other => throw new IllegalStateException(s"unreachable: $other")

@@ -444,7 +444,10 @@ final class GraftLakeSource(spark: SparkSession,
         // its pinned schema and just flows past them. A MoR delete also
         // adds no files but DOES change rows (dv= tags), so it is NOT
         // here - it stays a refused change commit.
-        case Some("rename") | Some("drop") => Seq.empty[String]
+        // a DEFAULT change is also metadata-only: rows, files and the
+        // pinned read schema's shape are all unchanged
+        case Some("rename") | Some("drop") | Some("default") =>
+          Seq.empty[String]
         case Some(_) if skipChange => Seq.empty[String]
         case Some(op) => throw new IllegalStateException(
           s"version $v of $path is a '$op' commit; a graftlake stream " +

@@ -633,4 +633,101 @@ class GraftLakeDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*), min(k) FROM gld.ns.zd")
       .collect().head.toSeq === Seq(900L, 100L))
   }
+
+  test("struct-field UPDATE: SET meta.score folds into one withField rebuild - values row-exact, NULL struct stays NULL, overlapping assignments refuse without a commit") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.nup (k BIGINT, lang STRING, " +
+      "meta STRUCT<n: BIGINT, score: DOUBLE>)")
+    spark.sql("INSERT INTO gld.ns.nup SELECT id, 'en', " +
+      "CASE WHEN id = 3 THEN NULL " +
+      "ELSE named_struct('n', id * 10, 'score', CAST(id AS DOUBLE)) END " +
+      "FROM range(6)")
+    val dir = s"$wh/ns/nup"
+    val v0 = Export.latestSnapshotVersion(dir)
+    // overlapping root assignments refuse BEFORE any write
+    val overlap = intercept[Exception](spark.sql(
+      "UPDATE gld.ns.nup SET meta = NULL, meta.score = 1.0 WHERE k = 1"))
+    assert(overlap.getMessage.toLowerCase.contains("assign"))
+    assert(Export.latestSnapshotVersion(dir) === v0,
+      "refused UPDATE must not commit")
+    // two fields of one struct + a sibling top-level column in ONE
+    // statement; the untouched field (meta.n) carries
+    spark.sql("UPDATE gld.ns.nup SET meta.score = meta.score * 2 + k, " +
+      "meta.n = meta.n + 1, lang = 'xx' WHERE k % 2 = 1")
+    assert(Export.latestSnapshotVersion(dir) === v0 + 1)
+    val got = spark.sql("SELECT k, lang, meta.n, meta.score " +
+      "FROM gld.ns.nup ORDER BY k").collect().map(_.toSeq)
+    assert(got(1) === Seq(1L, "xx", 11L, 3.0))   // 1*2+1
+    assert(got(5) === Seq(5L, "xx", 51L, 15.0))  // 5*2+5
+    assert(got(2) === Seq(2L, "en", 20L, 2.0))   // unmatched carries
+    assert(got(3) === Seq(3L, "xx", null, null), // NULL struct stays NULL
+      "a NULL struct must stay NULL through a field update")
+  }
+
+  test("struct-field MERGE UPDATE: a conditioned clause assigns t.meta.score + s.bump; nested INSERT targets refuse; MoR property routes the nested UPDATE with zero rewrites") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.nmg (k BIGINT, " +
+      "meta STRUCT<n: BIGINT, score: DOUBLE>)")
+    spark.sql("INSERT INTO gld.ns.nmg SELECT id, " +
+      "named_struct('n', id, 'score', CAST(id AS DOUBLE)) FROM range(8)")
+    val dir = s"$wh/ns/nmg"
+    spark.range(0, 12, 2).selectExpr("id AS k", "CAST(id % 3 AS DOUBLE) AS bump")
+      .createOrReplaceTempView("nmg_src")
+    spark.sql("MERGE INTO gld.ns.nmg t USING nmg_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.bump > 0 " +
+      "THEN UPDATE SET meta.score = t.meta.score + s.bump " +
+      "WHEN NOT MATCHED THEN INSERT (k, meta) VALUES (s.k, " +
+      "named_struct('n', CAST(-1 AS BIGINT), 'score', s.bump))")
+    val got = spark.sql("SELECT k, meta.n, meta.score FROM gld.ns.nmg " +
+      "ORDER BY k").collect().map(_.toSeq)
+    // matched, bump>0: k=2 (bump 2.0) -> 4.0; k=4 (bump 1.0) -> 5.0;
+    // matched, bump=0: k=0, k=6 carry; odd rows carry; 8,10 insert
+    assert(got.toSeq === Seq(
+      Seq(0L, 0L, 0.0), Seq(1L, 1L, 1.0), Seq(2L, 2L, 4.0),
+      Seq(3L, 3L, 3.0), Seq(4L, 4L, 5.0), Seq(5L, 5L, 5.0),
+      Seq(6L, 6L, 6.0), Seq(7L, 7L, 7.0), Seq(8L, -1L, 2.0),
+      Seq(10L, -1L, 1.0)))
+    // nested INSERT target: no base row to rebuild - refuse loudly
+    val e = intercept[Exception](spark.sql(
+      "MERGE INTO gld.ns.nmg t USING nmg_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT (k, meta.score) VALUES " +
+        "(s.k, s.bump)"))
+    assert(e.getMessage.contains("INSERT") ||
+      e.getMessage.toLowerCase.contains("field"))
+    // MoR property: the nested UPDATE deletion-vectors + appends, no
+    // data file rewritten
+    spark.sql("ALTER TABLE gld.ns.nmg " +
+      "SET TBLPROPERTIES ('graft.update.mode' = 'mor')")
+    val v0 = Export.latestSnapshotVersion(dir)
+    val before = Export.snapshotFiles(dir, v0).toSet
+    spark.sql("UPDATE gld.ns.nmg SET meta.score = 0.5 WHERE k = 7")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    assert(Export.snapshotHasDeletionVectors(dir, v1))
+    assert(before.subsetOf(Export.snapshotFiles(dir, v1).toSet),
+      "MoR nested UPDATE must not rewrite data files")
+    assert(spark.sql("SELECT meta.score FROM gld.ns.nmg WHERE k = 7")
+      .collect().head.getDouble(0) === 0.5)
+  }
+
+  test("graft_update accepts dotted struct-field assignments (meta.score=expr), folding per root; duplicate whole-column assignment refuses") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.ndt (k BIGINT, " +
+      "meta STRUCT<n: BIGINT, score: DOUBLE>)")
+    spark.sql("INSERT INTO gld.ns.ndt SELECT id, " +
+      "named_struct('n', id, 'score', CAST(id AS DOUBLE)) FROM range(4)")
+    val dir = s"$wh/ns/ndt"
+    val v = spark.sql(s"SELECT version FROM graft_update('$dir', " +
+      "'meta.score=meta.score + 100;meta.n=k', 'k >= 2')")
+      .collect().head.getLong(0)
+    assert(v === Export.latestSnapshotVersion(dir).toLong)
+    val got = spark.sql("SELECT k, meta.n, meta.score FROM gld.ns.ndt " +
+      "ORDER BY k").collect().map(_.toSeq)
+    assert(got.toSeq === Seq(Seq(0L, 0L, 0.0), Seq(1L, 1L, 1.0),
+      Seq(2L, 2L, 102.0), Seq(3L, 3L, 103.0)))
+    val dup = intercept[Exception](spark.sql(
+      s"SELECT version FROM graft_update('$dir', " +
+        "'meta=NULL;meta.score=1', 'k = 0')").collect())
+    assert(dup.getMessage.contains("more than once"))
+  }
 }

@@ -1,0 +1,106 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.Export
+import graft.sources.GraftLakeCatalog
+
+/** Persistent SQL views in the lake catalog: CREATE/DROP/SHOW VIEW and
+  * text re-expansion on read ([[RewriteGraftLakeViews]]) — Spark has no
+  * v2 view exec path, so the extension seam carries the statements. */
+class GraftLakeViewSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("glv-warehouse").toFile
+    spark.conf.set("spark.sql.catalog.glv",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glv.warehouse", w.getAbsolutePath)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glv.ns")
+    w.getAbsolutePath
+  }
+
+  test("CREATE VIEW persists SQL text, reads expand by name (with a positional column list), SHOW VIEWS lists, DROP VIEW removes; EXPLAIN CREATE VIEW writes nothing") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE glv.ns.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO glv.ns.t SELECT id, id * 10 FROM range(6)")
+    // EXPLAIN defers: no _view file appears
+    spark.sql("EXPLAIN COST CREATE VIEW glv.ns.w AS " +
+      "SELECT k, v + 1 AS v1 FROM glv.ns.t WHERE k % 2 = 0").collect()
+    assert(GraftLakeViews.readView(s"$wh/ns/w").isEmpty,
+      "EXPLAIN CREATE VIEW must not write the view")
+    spark.sql("CREATE VIEW glv.ns.w (key, bumped) AS " +
+      "SELECT k, v + 1 FROM glv.ns.t WHERE k % 2 = 0")
+    assert(GraftLakeViews.readView(s"$wh/ns/w").isDefined)
+    val got = spark.sql(
+        "SELECT key, bumped FROM glv.ns.w ORDER BY key")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 1L), (2L, 21L), (4L, 41L)))
+    // the alias resolves qualified reads and star expansion
+    assert(spark.sql("SELECT w.key FROM glv.ns.w w WHERE w.bumped > 1")
+      .collect().length === 2)
+    // SHOW VIEWS (+ LIKE pattern)
+    val shown = spark.sql("SHOW VIEWS IN glv.ns").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(shown.toSeq === Seq(("ns", "w", false)))
+    assert(spark.sql("SHOW VIEWS IN glv.ns LIKE 'nope*'").collect()
+      .isEmpty)
+    // duplicate create refuses; IF NOT EXISTS and OR REPLACE don't
+    intercept[Exception](spark.sql(
+      "CREATE VIEW glv.ns.w AS SELECT 1 AS one"))
+    spark.sql("CREATE VIEW IF NOT EXISTS glv.ns.w AS SELECT 1 AS one")
+    assert(spark.sql("SELECT count(*) FROM glv.ns.w")
+      .collect().head.getLong(0) === 3, "IF NOT EXISTS must keep the " +
+      "existing definition")
+    spark.sql("CREATE OR REPLACE VIEW glv.ns.w AS " +
+      "SELECT k FROM glv.ns.t")
+    assert(spark.sql("SELECT count(*) FROM glv.ns.w")
+      .collect().head.getLong(0) === 6)
+    spark.sql("DROP VIEW glv.ns.w")
+    assert(GraftLakeViews.readView(s"$wh/ns/w").isEmpty)
+    intercept[Exception](spark.sql("DROP VIEW glv.ns.w"))
+    spark.sql("DROP VIEW IF EXISTS glv.ns.w") // no-op
+  }
+
+  test("views compose: view-over-view expands transitively, schema-evolution binding follows base-table changes, cycles refuse at read") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE glv.ns.base (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO glv.ns.base SELECT id, id FROM range(4)")
+    spark.sql("CREATE VIEW glv.ns.l1 AS " +
+      "SELECT * FROM glv.ns.base WHERE k < 3")
+    spark.sql("CREATE VIEW glv.ns.l2 AS " +
+      "SELECT sum(v) AS s FROM glv.ns.l1")
+    assert(spark.sql("SELECT s FROM glv.ns.l2")
+      .collect().head.getLong(0) === 3L)
+    // EVOLUTION binding: the view text re-resolves, so a base ADD
+    // COLUMN flows through l1's star on the very next read
+    spark.sql("ALTER TABLE glv.ns.base ADD COLUMN extra BIGINT")
+    assert(spark.sql("SELECT * FROM glv.ns.l1").columns.toSeq ===
+      Seq("k", "v", "extra"))
+    // a cycle (only reachable via OR REPLACE) refuses loudly
+    spark.sql("CREATE OR REPLACE VIEW glv.ns.l1 AS " +
+      "SELECT s AS k FROM glv.ns.l2")
+    val e = intercept[Exception](spark.sql("SELECT * FROM glv.ns.l2")
+      .collect())
+    assert(e.getMessage.toLowerCase.contains("cyclic"))
+  }
+
+  test("guard rails: persistent views refuse temp-view references, CREATE VIEW cannot shadow a table, DROP VIEW on a table points to DROP TABLE") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE glv.ns.tbl (k BIGINT)")
+    spark.sql("INSERT INTO glv.ns.tbl VALUES (1)")
+    spark.range(3).createOrReplaceTempView("glv_tmp")
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE VIEW glv.ns.overtmp AS SELECT * FROM glv_tmp"))
+    assert(e1.getMessage.toUpperCase.contains("TEMPORARY"))
+    assert(GraftLakeViews.readView(s"$wh/ns/overtmp").isEmpty)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE VIEW glv.ns.tbl AS SELECT 1 AS one"))
+    assert(e2.getMessage.contains("TABLE"))
+    val e3 = intercept[Exception](spark.sql("DROP VIEW glv.ns.tbl"))
+    assert(e3.getMessage.contains("DROP TABLE"))
+    // and the table is intact
+    assert(spark.sql("SELECT count(*) FROM glv.ns.tbl")
+      .collect().head.getLong(0) === 1L)
+  }
+}

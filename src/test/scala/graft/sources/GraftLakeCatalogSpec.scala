@@ -269,4 +269,52 @@ class GraftLakeCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) ===
       (0L until 100L).map(k => if (k < 5) k + 1000 else k).sum)
   }
+
+  test("column DEFAULTs: CREATE-time defaults fill omitted columns and the DEFAULT keyword; SET/DROP DEFAULT are metadata-only; the contract survives data commits; ADD COLUMN DEFAULT refuses") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_def")
+    spark.sql("CREATE TABLE glc.ns_def.t (k BIGINT, " +
+      "lang STRING DEFAULT 'und', score DOUBLE DEFAULT 1.5)")
+    val dir = s"$wh/ns_def/t"
+    spark.sql("INSERT INTO glc.ns_def.t (k) VALUES (1), (2)")
+    spark.sql("INSERT INTO glc.ns_def.t VALUES (3, DEFAULT, 9.0)")
+    assert(spark.sql("SELECT k, lang, score FROM glc.ns_def.t ORDER BY k")
+      .collect().map(_.toSeq).toSeq === Seq(
+      Seq(1L, "und", 1.5), Seq(2L, "und", 1.5), Seq(3L, "und", 9.0)))
+    // defaults materialize AT WRITE: the files carry the values, the
+    // committed schema still carries the contract (metadata-carry law)
+    val head = Export.latestSnapshotVersion(dir)
+    assert(Export.snapshotSchema(dir, head).get.find(_.name == "lang")
+      .get.metadata.contains("CURRENT_DEFAULT"))
+    // a MERGE (a full data rewrite) must not strip the contract either
+    spark.range(1, 2).selectExpr("id AS k", "'xx' AS lang", "2.5 AS score")
+      .createOrReplaceTempView("def_src")
+    spark.sql("MERGE INTO glc.ns_def.t t USING def_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val h2 = Export.latestSnapshotVersion(dir)
+    assert(Export.snapshotSchema(dir, h2).get.find(_.name == "lang")
+      .get.metadata.contains("CURRENT_DEFAULT"),
+      "a MERGE commit dropped the DEFAULT contract")
+    spark.sql("INSERT INTO glc.ns_def.t (k) VALUES (4)")
+    assert(spark.sql("SELECT lang FROM glc.ns_def.t WHERE k = 4")
+      .collect().head.getString(0) === "und")
+    // SET DEFAULT affects future inserts only; DROP returns to null
+    spark.sql("ALTER TABLE glc.ns_def.t ALTER COLUMN lang SET DEFAULT 'en'")
+    spark.sql("INSERT INTO glc.ns_def.t (k) VALUES (5)")
+    spark.sql("ALTER TABLE glc.ns_def.t ALTER COLUMN lang DROP DEFAULT")
+    spark.sql("INSERT INTO glc.ns_def.t (k) VALUES (6)")
+    val tail = spark.sql("SELECT k, lang FROM glc.ns_def.t " +
+      "WHERE k >= 4 ORDER BY k").collect().map(_.toSeq)
+    assert(tail.toSeq === Seq(Seq(4L, "und"), Seq(5L, "en"),
+      Seq(6L, null)))
+    // existing rows never change from a default edit (metadata-only);
+    // k=1 took the MERGE's own 'xx', k=2 still carries its insert-time
+    // materialized default
+    assert(spark.sql("SELECT lang FROM glc.ns_def.t WHERE k = 2")
+      .collect().head.getString(0) === "und")
+    // ADD COLUMN WITH DEFAULT refuses: pre-add files null-fill here
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_def.t ADD COLUMN extra BIGINT DEFAULT 7"))
+    assert(e.getMessage.contains("DEFAULT"))
+  }
 }
