@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HINT seam, not resolution: the Hints batch runs BEFORE
     // ResolveSessionCatalog, which throws MISSING_CATALOG_ABILITY on
     // any view statement aimed at a non-session catalog
-    ext.injectHintResolutionRule(graft.plans.RewriteGraftLakeViews.apply)
+    ext.injectHintResolutionRule(graft.plans.RewriteGraftLakeDdl.apply)
     // the physical leg of every deferred lake command: side effects
     // fire at EXECUTION, so EXPLAIN/schema inspection commits nothing
     ext.injectPlannerStrategy(_ => graft.plans.GraftLakeStrategy)

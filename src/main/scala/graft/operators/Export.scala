@@ -530,8 +530,9 @@ object Export {
   private def writeEpoch(fs: FileSystem, root: Path, version: Int,
       df0: DataFrame): (Path, Seq[String]) = {
     // bytes always land under PHYSICAL column names (no-op on tables
-    // that never renamed/dropped - see the column-mapping section)
-    val df = toPhysicalDf(fs, root, df0)
+    // that never renamed/dropped - see the column-mapping section);
+    // CHECK constraints assert per-row inside the same projection
+    val df = toPhysicalDf(fs, root, enforceChecks(fs, root, df0))
     val epochDir = new Path(root,
       s"epoch=$version-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(epochDir.toString)
@@ -1881,6 +1882,91 @@ object Export {
       .filter(col(colA).between(aLo, aHi) && col(colB).between(bLo, bHi))
   }
 
+  /** The table's ACTIVE CHECK constraints at the head: the newest
+    * version carrying any `check_` header, minus empty-valued
+    * TOMBSTONES (a DROP CONSTRAINT stamps `check_<name>=` so
+    * inheritance sees the drop instead of falling through to the
+    * pre-drop set). */
+  def snapshotChecks(outDir: String): Map[String, String] = {
+    val (fs, root) = fsRoot(outDir)
+    storedChecks(fs, root)
+  }
+
+  private def storedChecks(fs: FileSystem,
+      root: Path): Map[String, String] =
+    manifestVersions(fs, root).reverseIterator
+      .map(v => snapshotMetaOf(fs, root, v)
+        .collect { case (k, sql) if k.startsWith("check_") =>
+          k.drop("check_".length) -> sql })
+      .collectFirst { case m if m.nonEmpty => m.filter(_._2.nonEmpty) }
+      .getOrElse(Map.empty)
+
+  /** ONE-PASS constraint enforcement for the epoch writers: each row
+    * evaluates the active CHECK predicates inside the write projection
+    * (`assert_true` filter — codegen'd, NO second scan of the frame,
+    * unlike a pre-count) and a violating row aborts the write mid-
+    * epoch. No manifest commits on abort — orphan epoch files are
+    * vacuum-reclaimable, the same contract as any failed write. SQL
+    * CHECK semantics: a NULL-evaluating predicate passes. Runs on the
+    * LOGICAL frame (before physical renames) because constraint texts
+    * bind logical column names. Zero cost while the table has no
+    * constraints. */
+  private def enforceChecks(fs: FileSystem, root: Path,
+      df: DataFrame): DataFrame = {
+    val checks = storedChecks(fs, root)
+    if (checks.isEmpty) df
+    else checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
+      d.filter(assert_true(coalesce(expr(sql), lit(true)),
+        lit(s"CHECK constraint '$n' ($sql) violated - the write " +
+          "aborts, no version commits")).isNull)
+    }
+  }
+
+  /** ADD/DROP a named CHECK constraint — the `ALTER TABLE ... ADD
+    * CONSTRAINT name CHECK (sql)` surface. ADD validates EXISTING rows
+    * first (one counting pass over the head snapshot — a violating
+    * table refuses the constraint, the Delta law), then commits
+    * METADATA-ONLY: the full active set re-stamps as `check_*` headers,
+    * a DROP leaving the empty-valued tombstone. Enforcement lives in
+    * the epoch writers ([[enforceChecks]]), so EVERY writer — SQL
+    * INSERT, the streaming sink, MERGE/UPDATE statements, procedures —
+    * pays one codegen'd assert per row while constraints exist; no
+    * caller convention required. Returns the committed version. */
+  def setSnapshotCheck(spark: SparkSession, outDir: String,
+      name: String, sql: Option[String]): Int = {
+    require(!name.contains('=') && !name.contains("\n") &&
+      name.nonEmpty, s"constraint name must be line-safe: '$name'")
+    val (fs, root) = fsRoot(outDir)
+    val head = latestSnapshotVersion(outDir)
+    require(head > 0, s"no committed versions under $outDir")
+    val stored = storedChecks(fs, root)
+    sql.foreach { s =>
+      require(!stored.contains(name),
+        s"constraint '$name' already exists (${stored(name)})")
+      val violating = readSnapshot(spark, outDir, head)
+        .filter(!coalesce(expr(s), lit(true))).limit(1).count()
+      require(violating == 0L,
+        s"cannot ADD CONSTRAINT '$name' CHECK ($s): existing rows " +
+          "violate it - constraints guarantee the whole table, not " +
+          "just future writes")
+    }
+    val active = sql match {
+      case Some(s) => stored + (name -> s)
+      case None => stored - name
+    }
+    val headers = active.map { case (n, s) => s"check_$n" -> s } ++
+      (if (sql.isEmpty) Map(s"check_$name" -> "") else Map.empty)
+    val schemaJson = snapshotMetaOf(fs, root, head).getOrElse("schema",
+      throw new IllegalStateException(s"version $head of $outDir has " +
+        "no #schema= header (pre-header manifest) - recommit first"))
+    val version = head + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, carryBatch(fs, root, headers), schemaJson,
+        op = "constraint"),
+      dataLines(readManifestRaw(fs, root, head)))
+    version
+  }
+
   /** Commit-time CHECK constraints (the Delta table-constraint shape):
     * validate `df` against every named SQL predicate BEFORE any data
     * lands — a violating batch aborts with per-constraint counts and
@@ -1904,13 +1990,7 @@ object Export {
     // latest-only, or a maintenance commit (compact/restore carries no
     // check_* headers) would silently drop the table's constraints, the
     // same erasure mode lastAppliedBatch guards against for #batch=
-    val inherited: Map[String, String] =
-      manifestVersions(fs, root).reverseIterator
-        .map(v => snapshotMetaOf(fs, root, v)
-          .collect { case (k, sql) if k.startsWith("check_") =>
-            k.drop("check_".length) -> sql })
-        .collectFirst { case m if m.nonEmpty => m }
-        .getOrElse(Map.empty)
+    val inherited: Map[String, String] = storedChecks(fs, root)
     val active = inherited ++ constraints
     if (active.nonEmpty) {
       val names = active.keys.toSeq.sorted
@@ -2077,11 +2157,15 @@ object Export {
     * every partitioned commit (append / overwrite / partition-scoped
     * compaction / merge). */
   private def writePartitionedEpoch(spark: SparkSession, fs: FileSystem,
-      root: Path, version: Int, df: DataFrame,
+      root: Path, version: Int, df0: DataFrame,
       partitionCols: Seq[String], nFiles: Int,
       zoneKey: Option[String]): Seq[String] = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    // CHECK constraints assert per-row here too - the partitioned twin
+    // of writeEpoch's enforcement (clustered epochs funnel through
+    // writeEpoch itself)
+    val df = enforceChecks(fs, root, df0)
     // p= specs are PHYSICAL-keyed like the s=/b= tags: the readback
     // below runs on the written (physical-named) bytes and every spec
     // consumer translates its column names

@@ -7,10 +7,10 @@ import scala.util.control.NonFatal
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.AliasIdentifier
-import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, ResolvedNamespace, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, ResolvedNamespace, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTable, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LocalRelation, LogicalPlan, ShowViews, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AlterViewAs, CreateView, DropConstraint, DropView, LocalRelation, LogicalPlan, ShowViews, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern.{COMMAND, UNRESOLVED_RELATION}
 import org.apache.spark.unsafe.types.UTF8String
@@ -61,7 +61,7 @@ import graft.operators.Export
   * analyze, no temp-view captures, column-list arity) runs inside the
   * deferred thunk — the statement still fails eagerly at `spark.sql`,
   * the SQL contract, while EXPLAIN keeps writing nothing. */
-final case class RewriteGraftLakeViews(spark: SparkSession)
+final case class RewriteGraftLakeDdl(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   import GraftLakeViews._
@@ -84,6 +84,7 @@ final case class RewriteGraftLakeViews(spark: SparkSession)
 
   private def identParts(p: LogicalPlan): Option[Seq[String]] = p match {
     case u: UnresolvedIdentifier => Some(u.nameParts)
+    case v: UnresolvedView => Some(v.multipartIdentifier)
     case r: ResolvedIdentifier =>
       Some(r.catalog.name +: (r.identifier.namespace.toSeq :+
         r.identifier.name))
@@ -106,10 +107,65 @@ final case class RewriteGraftLakeViews(spark: SparkSession)
       case d: DropView
           if identParts(d.child).exists(p => viewDirOf(p).isDefined) =>
         rewriteDrop(d, identParts(d.child).get)
+      case a: AlterViewAs
+          if identParts(a.child).exists(p => viewDirOf(p).isDefined) =>
+        rewriteAlterAs(a, identParts(a.child).get)
       case s: ShowViews if namespaceParts(s.namespace)
           .exists(p => p.nonEmpty && warehouseOf(p.head).isDefined) =>
         rewriteShow(s, namespaceParts(s.namespace).get)
+      // ALTER TABLE ... ADD CONSTRAINT name CHECK (...) / DROP
+      // CONSTRAINT: Spark's own route dies twice for this engine
+      // (ResolveSessionCatalog rejects any AddCheckConstraint whose
+      // child resolved through a V1 relation — exactly what the lake's
+      // deliberate V1 read fallback produces), so the statements
+      // rewrite here to the audited metadata commits; enforcement
+      // itself lives in the epoch writers, not in the statement
+      case a: AddCheckConstraint
+          if relParts(a.child).exists(p => viewDirOf(p).isDefined) =>
+        rewriteAddCheck(a, relParts(a.child).get)
+      case d: DropConstraint
+          if relParts(d.table).exists(p => viewDirOf(p).isDefined) =>
+        rewriteDropCheck(d, relParts(d.table).get)
     }
+
+  private def relParts(p: LogicalPlan): Option[Seq[String]] =
+    p.collectFirst {
+      case u: UnresolvedRelation => u.multipartIdentifier
+      case t: UnresolvedTable => t.multipartIdentifier
+    }
+
+  private def rewriteAddCheck(a: AddCheckConstraint,
+      parts: Seq[String]): LogicalPlan = {
+    val dir = viewDirOf(parts).get
+    val ck = a.checkConstraint
+    val name = Option(ck.userProvidedName).getOrElse(
+      s"chk_${math.abs(ck.condition.hashCode).toString}")
+    val cond = ck.condition
+    GraftDmlStatement(
+      s"ALTER TABLE ${parts.mkString(".")} ADD CONSTRAINT $name", () => {
+        // validates EXISTING rows, then one metadata-only commit; the
+        // epoch writers enforce from the next write on
+        Export.setSnapshotCheck(SparkSession.active, dir, name,
+          Some(cond))
+        ()
+      })
+  }
+
+  private def rewriteDropCheck(d: DropConstraint,
+      parts: Seq[String]): LogicalPlan = {
+    val dir = viewDirOf(parts).get
+    val (name, ifExists) = (d.name, d.ifExists)
+    GraftDmlStatement(
+      s"ALTER TABLE ${parts.mkString(".")} DROP CONSTRAINT $name", () => {
+        val exists = Export.snapshotChecks(dir).contains(name)
+        if (!exists && !ifExists)
+          throw new IllegalArgumentException(
+            s"no constraint '$name' on ${parts.mkString(".")}")
+        if (exists)
+          Export.setSnapshotCheck(SparkSession.active, dir, name, None)
+        ()
+      })
+  }
 
   /** Inline the stored text, pre-expanding nested lake views with a
     * seen-set so a reference cycle refuses instead of spinning the
@@ -181,6 +237,37 @@ final case class RewriteGraftLakeViews(spark: SparkSession)
             "REPLACE VIEW, or IF NOT EXISTS)")
       if (!exists || replace)
         writeView(dir, ViewDef(sql, cols, comment))
+      ()
+    })
+  }
+
+  /** `ALTER VIEW v AS SELECT ...` — swap the stored text in place,
+    * keeping the comment but CLEARING a stored column list (the new
+    * query names its own columns, the Spark semantics). The same
+    * exec-time validation as CREATE: the text must analyze, no
+    * temp-view captures. */
+  private def rewriteAlterAs(a: AlterViewAs,
+      parts: Seq[String]): LogicalPlan = {
+    val dir = viewDirOf(parts).get
+    val sql = a.originalText
+    GraftDmlStatement(s"ALTER VIEW ${parts.mkString(".")} AS", () => {
+      val s = SparkSession.active
+      val existing = readView(dir).getOrElse(
+        throw new IllegalArgumentException(
+          if (Export.latestSnapshotVersion(dir) >= 1)
+            s"${parts.mkString(".")} is a TABLE, not a view"
+          else s"view ${parts.mkString(".")} does not exist"))
+      val analyzed = org.apache.spark.sql.GraftPlanBridge
+        .ofRows(s, CatalystSqlParser.parsePlan(sql))
+        .queryExecution.analyzed
+      analyzed.foreach {
+        case v: View if v.isTempView =>
+          throw new IllegalArgumentException(
+            s"ALTER VIEW ${parts.mkString(".")}: the query references " +
+              s"a TEMPORARY view ('${v.desc.identifier.table}')")
+        case _ =>
+      }
+      writeView(dir, ViewDef(sql, Nil, existing.comment))
       ()
     })
   }

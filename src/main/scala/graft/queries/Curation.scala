@@ -6579,6 +6579,70 @@ object Curation {
       |WHERE NOT (doc_id % 3 = 0 AND doc_id <= 200)
       |ORDER BY doc_id""".stripMargin
 
+  /** SQL CHECK CONSTRAINTS (r14: `ALTER TABLE ... ADD CONSTRAINT name
+    * CHECK (...)` / `DROP CONSTRAINT` — the statements rewrite through
+    * the hint-phase DDL seam (Spark's own route rejects any
+    * AddCheckConstraint whose table resolves via a V1 relation) to a
+    * metadata-only commit; ADD VALIDATES existing rows first (the
+    * Delta law), and enforcement lives in the EPOCH WRITERS — every
+    * writer (INSERT, UPDATE statement, MERGE, streaming) pays one
+    * codegen'd per-row assert while constraints exist, so the
+    * guarantee is a table property, not a caller convention. The gate
+    * pins: violating ADD refuses, violating INSERT and UPDATE abort
+    * with no commit, valid writes land, DROP lifts. DuckDB replays the
+    * surviving writes. */
+  def q_sql_check(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlck_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glck",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glck.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glck.g")
+    s.sql("DROP TABLE IF EXISTS glck.g.docs")
+    s.sql("CREATE TABLE glck.g.docs (doc_id BIGINT, n_chars BIGINT)")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_sql_ck_src")
+    s.sql("INSERT INTO glck.g.docs SELECT doc_id, n_chars " +
+      "FROM q_sql_ck_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    // ADD against violating existing rows refuses, commits nothing
+    val v0 = E.latestSnapshotVersion(dirT)
+    val badAdd = scala.util.Try(s.sql(
+      "ALTER TABLE glck.g.docs ADD CONSTRAINT huge CHECK (n_chars > 1000000)"))
+    require(badAdd.isFailure && E.latestSnapshotVersion(dirT) == v0,
+      "ADD CONSTRAINT over violating rows must refuse without a commit")
+    s.sql("ALTER TABLE glck.g.docs " +
+      "ADD CONSTRAINT nonneg CHECK (n_chars >= 0)")
+    require(E.snapshotChecks(dirT) == Map("nonneg" -> "n_chars >= 0"),
+      "constraint must persist in the manifest")
+    // violating INSERT aborts - no version lands
+    val v1 = E.latestSnapshotVersion(dirT)
+    val badIns = scala.util.Try(s.sql(
+      "INSERT INTO glck.g.docs VALUES (900001, -5)"))
+    require(badIns.isFailure && E.latestSnapshotVersion(dirT) == v1,
+      "a violating INSERT must abort without a commit")
+    // violating UPDATE aborts too - enforcement is in the writers
+    val badUpd = scala.util.Try(s.sql(
+      "UPDATE glck.g.docs SET n_chars = -1 WHERE doc_id = 0"))
+    require(badUpd.isFailure,
+      "a violating UPDATE must abort")
+    require(s.sql("SELECT n_chars FROM glck.g.docs WHERE doc_id = 0")
+        .collect().head.getLong(0) >= 0,
+      "the failed UPDATE must not land")
+    s.sql("INSERT INTO glck.g.docs VALUES (900002, 42)") // valid lands
+    s.sql("ALTER TABLE glck.g.docs DROP CONSTRAINT nonneg")
+    s.sql("INSERT INTO glck.g.docs VALUES (900003, -7)") // lifted
+    s.sql("SELECT doc_id, n_chars FROM glck.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_check_sql: String =
+    """SELECT doc_id, n_chars FROM documents
+      |UNION ALL SELECT 900002, 42
+      |UNION ALL SELECT 900003, -7
+      |ORDER BY doc_id""".stripMargin
+
   /** PERSISTENT SQL VIEWS in the lake catalog (r14:
     * [[graft.plans.RewriteGraftLakeViews]] — Spark ships the
     * ViewCatalog API with no analyzer/exec path, so CREATE/DROP/SHOW

@@ -87,7 +87,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     * EXISTS_DEFAULT read fill for pre-add files, and this lake's
     * evolution law is null-fill. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+    Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
 
   private def dirOf(parts: Seq[String]): String =
     (warehouse +: parts).mkString("/")
@@ -251,6 +252,17 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       case c: TableChange.UpdateColumnDefaultValue =>
         val n = topLevel(c.fieldNames, "ALTER COLUMN DEFAULT")
         require(has(n), s"ALTER COLUMN DEFAULT: no column '$n'")
+      case c: TableChange.AddConstraint =>
+        c.constraint match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(ck.predicateSql != null && ck.predicateSql.nonEmpty,
+              s"ADD CONSTRAINT ${ck.name}: CHECK needs a predicate")
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are enforceable here - got " +
+              s"'$other' (PRIMARY KEY / FOREIGN KEY / UNIQUE are " +
+              "informational claims this engine does not store)")
+        }
+      case _: TableChange.DropConstraint => () // ifExists handled below
       case c: TableChange.UpdateColumnType =>
         val n = topLevel(c.fieldNames, "ALTER COLUMN TYPE")
         val cur = names.find(_._1 == n).getOrElse(
@@ -296,6 +308,19 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         // arrives as an empty/null text — both are one metadata commit
         Export.setSnapshotColumnDefault(dir, c.fieldNames.head,
           Option(c.newDefaultValue).filter(_.nonEmpty))
+      case c: TableChange.AddConstraint =>
+        val ck = c.constraint
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Check]
+        // validates EXISTING rows, then one metadata-only commit;
+        // enforcement itself lives in the epoch writers
+        Export.setSnapshotCheck(SparkSession.active, dir,
+          ck.name, Some(ck.predicateSql))
+      case c: TableChange.DropConstraint =>
+        val exists = Export.snapshotChecks(dir).contains(c.name)
+        require(exists || c.ifExists,
+          s"no constraint '${c.name}' on this table")
+        if (exists)
+          Export.setSnapshotCheck(SparkSession.active, dir, c.name, None)
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
         () // applied above in one commit
       case other => throw new IllegalStateException(s"unreachable: $other")
@@ -499,6 +524,20 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
   override def properties(): util.Map[String, String] =
     (Export.snapshotProperties(dir) ++
       Map("location" -> dir, "provider" -> "graftlake")).asJava
+
+  /** The stored CHECK constraints, surfaced through the connector API
+    * (DESCRIBE et al.) — all VALID (ADD validated existing rows) and
+    * enforced (the epoch writers assert per row). */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    Export.snapshotChecks(dir).toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** The v1 face the analyzer resolves reads through: a `graftlake`-
     * provider CatalogTable at the table dir — lands in

@@ -444,9 +444,10 @@ final class GraftLakeSource(spark: SparkSession,
         // its pinned schema and just flows past them. A MoR delete also
         // adds no files but DOES change rows (dv= tags), so it is NOT
         // here - it stays a refused change commit.
-        // a DEFAULT change is also metadata-only: rows, files and the
-        // pinned read schema's shape are all unchanged
-        case Some("rename") | Some("drop") | Some("default") =>
+        // DEFAULT and CONSTRAINT changes are also metadata-only: rows,
+        // files and the pinned read schema's shape are all unchanged
+        case Some("rename") | Some("drop") | Some("default") |
+            Some("constraint") =>
           Seq.empty[String]
         case Some(_) if skipChange => Seq.empty[String]
         case Some(op) => throw new IllegalStateException(

@@ -7,7 +7,7 @@ import graft.operators.Export
 import graft.sources.GraftLakeCatalog
 
 /** Persistent SQL views in the lake catalog: CREATE/DROP/SHOW VIEW and
-  * text re-expansion on read ([[RewriteGraftLakeViews]]) — Spark has no
+  * text re-expansion on read ([[RewriteGraftLakeDdl]]) — Spark has no
   * v2 view exec path, so the extension seam carries the statements. */
 class GraftLakeViewSpec extends SparkSpec {
 
@@ -83,6 +83,24 @@ class GraftLakeViewSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT * FROM glv.ns.l2")
       .collect())
     assert(e.getMessage.toLowerCase.contains("cyclic"))
+  }
+
+  test("ALTER VIEW ... AS swaps the stored text in place: new body on the next read, column list cleared, missing view and table targets refuse") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE glv.ns.at (k BIGINT)")
+    spark.sql("INSERT INTO glv.ns.at SELECT id FROM range(5)")
+    spark.sql("CREATE VIEW glv.ns.av (n) AS " +
+      "SELECT count(*) FROM glv.ns.at")
+    assert(spark.sql("SELECT n FROM glv.ns.av")
+      .collect().head.getLong(0) === 5L)
+    spark.sql("ALTER VIEW glv.ns.av AS SELECT max(k) AS m FROM glv.ns.at")
+    assert(spark.sql("SELECT m FROM glv.ns.av")
+      .collect().head.getLong(0) === 4L)
+    intercept[Exception](spark.sql(
+      "ALTER VIEW glv.ns.nosuch AS SELECT 1 AS one"))
+    val e = intercept[Exception](spark.sql(
+      "ALTER VIEW glv.ns.at AS SELECT 1 AS one"))
+    assert(e.getMessage.contains("TABLE"))
   }
 
   test("guard rails: persistent views refuse temp-view references, CREATE VIEW cannot shadow a table, DROP VIEW on a table points to DROP TABLE") {

@@ -317,4 +317,50 @@ class GraftLakeCatalogSpec extends SparkSpec {
       "ALTER TABLE glc.ns_def.t ADD COLUMN extra BIGINT DEFAULT 7"))
     assert(e.getMessage.contains("DEFAULT"))
   }
+
+  test("SQL CHECK constraints: ADD validates existing rows, EVERY writer enforces per-row (INSERT, UPDATE statement), DROP lifts, tombstones survive inheritance") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_ck")
+    spark.sql("CREATE TABLE glc.ns_ck.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO glc.ns_ck.t SELECT id, id FROM range(6)")
+    val dir = s"$wh/ns_ck/t"
+    // ADD against violating existing rows refuses, commits nothing
+    val v0 = Export.latestSnapshotVersion(dir)
+    val bad = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_ck.t ADD CONSTRAINT small CHECK (v < 3)"))
+    assert(bad.getMessage.contains("existing rows"))
+    assert(Export.latestSnapshotVersion(dir) === v0)
+    spark.sql(
+      "ALTER TABLE glc.ns_ck.t ADD CONSTRAINT positive CHECK (v >= 0)")
+    assert(Export.snapshotChecks(dir) === Map("positive" -> "v >= 0"))
+    // a violating INSERT aborts - no version, no rows
+    val v1 = Export.latestSnapshotVersion(dir)
+    val ins = intercept[Exception](spark.sql(
+      "INSERT INTO glc.ns_ck.t VALUES (100, -1)"))
+    assert(Option(ins.getMessage).getOrElse(
+      ins.getCause.getMessage).contains("positive"))
+    assert(Export.latestSnapshotVersion(dir) === v1)
+    assert(spark.sql("SELECT count(*) FROM glc.ns_ck.t")
+      .collect().head.getLong(0) === 6)
+    spark.sql("INSERT INTO glc.ns_ck.t VALUES (100, 1)") // valid lands
+    // enforcement is a property of the epoch WRITERS: the UPDATE
+    // statement's rewrite pays the same per-row assert
+    val upd = intercept[Exception](spark.sql(
+      "UPDATE glc.ns_ck.t SET v = -5 WHERE k = 2"))
+    assert(spark.sql("SELECT v FROM glc.ns_ck.t WHERE k = 2")
+      .collect().head.getLong(0) === 2, "failed UPDATE must not land")
+    // SQL NULL semantics: a NULL-evaluating predicate passes
+    spark.sql("INSERT INTO glc.ns_ck.t VALUES (101, NULL)")
+    // DROP lifts enforcement; the tombstone survives later commits
+    intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_ck.t DROP CONSTRAINT nosuch"))
+    spark.sql("ALTER TABLE glc.ns_ck.t DROP CONSTRAINT IF EXISTS nosuch")
+    spark.sql("ALTER TABLE glc.ns_ck.t DROP CONSTRAINT positive")
+    assert(Export.snapshotChecks(dir) === Map.empty)
+    spark.sql("INSERT INTO glc.ns_ck.t VALUES (102, -7)")
+    assert(Export.snapshotChecks(dir) === Map.empty,
+      "a post-drop data commit must not resurrect the constraint")
+    assert(spark.sql("SELECT count(*) FROM glc.ns_ck.t")
+      .collect().head.getLong(0) === 9)
+  }
 }
