@@ -1150,6 +1150,13 @@ object Export {
         s"${st.fieldNames.mkString(", ")}"))
     require(!st.fieldNames.contains(to),
       s"'$to' already exists as a logical column")
+    locally {
+      val pinned = checksReferencing(fs, root, from)
+      require(pinned.isEmpty,
+        s"cannot RENAME '$from': CHECK constraint(s) " +
+          s"${pinned.mkString(", ")} reference it by name - DROP " +
+          "CONSTRAINT first, rename, then re-add")
+    }
     require(!st.fields.map(physicalOf).contains(to),
       s"'$to' is a live column's PHYSICAL name - old bytes under it " +
         "would alias the renamed column")
@@ -1187,6 +1194,13 @@ object Export {
       throw new IllegalArgumentException(s"no column '$name' in " +
         s"${st.fieldNames.mkString(", ")}"))
     require(st.fields.length > 1, "cannot drop a table's last column")
+    locally {
+      val pinned = checksReferencing(fs, root, name)
+      require(pinned.isEmpty,
+        s"cannot DROP COLUMN '$name': CHECK constraint(s) " +
+          s"${pinned.mkString(", ")} reference it by name - DROP " +
+          "CONSTRAINT first")
+    }
     val lines = dataLines(readManifestRaw(fs, root, head))
     requireUntagged(lines, physicalOf(f), "drop")
     val remaining = org.apache.spark.sql.types.StructType(
@@ -1915,12 +1929,42 @@ object Export {
       df: DataFrame): DataFrame = {
     val checks = storedChecks(fs, root)
     if (checks.isEmpty) df
-    else checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
-      d.filter(assert_true(coalesce(expr(sql), lit(true)),
-        lit(s"CHECK constraint '$n' ($sql) violated - the write " +
-          "aborts, no version commits")).isNull)
+    else {
+      // an EVOLVED append may write a narrower frame than the head
+      // schema; its files read back NULL in the missing columns, and
+      // SQL CHECK passes on NULL - shim the missing columns as typed
+      // nulls so a constraint referencing one ANALYZES and passes,
+      // instead of refusing a lawful write
+      val headFields = manifestVersions(fs, root).lastOption
+        .flatMap(v => snapshotMetaOf(fs, root, v).get("schema"))
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq)
+        .getOrElse(Seq.empty)
+      val missing = headFields.filterNot(f => df.columns.contains(f.name))
+      val shimmed = missing.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val checked = checks.toSeq.sortBy(_._1).foldLeft(shimmed) {
+        case (d, (n, sql)) =>
+          d.filter(assert_true(coalesce(expr(sql), lit(true)),
+            lit(s"CHECK constraint '$n' ($sql) violated - the write " +
+              "aborts, no version commits")).isNull)
+      }
+      missing.foldLeft(checked)((d, f) => d.drop(f.name))
     }
   }
+
+  /** Stored CHECK texts bind column NAMES — a rename/drop of a
+    * referenced column would wedge every later write on an
+    * unanalyzable predicate, so the schema change refuses first (the
+    * Delta law: drop the constraint, then rename). Word-boundary
+    * match: a constraint on `value` does not pin a column `val`. */
+  private def checksReferencing(fs: FileSystem, root: Path,
+      column: String): Seq[String] =
+    storedChecks(fs, root).collect {
+      case (n, sql) if ("""(?<![A-Za-z0-9_`])""" +
+          java.util.regex.Pattern.quote(column) +
+          """(?![A-Za-z0-9_`])""").r.findFirstIn(sql).isDefined => n
+    }.toSeq.sorted
 
   /** ADD/DROP a named CHECK constraint — the `ALTER TABLE ... ADD
     * CONSTRAINT name CHECK (sql)` surface. ADD validates EXISTING rows

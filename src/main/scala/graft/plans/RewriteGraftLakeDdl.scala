@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.AliasIdentifier
 import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, ResolvedNamespace, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTable, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AlterViewAs, CreateView, DropConstraint, DropView, LocalRelation, LogicalPlan, ShowViews, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AlterViewAs, CreateView, DeleteFromTable, DropConstraint, DropView, InsertIntoStatement, LocalRelation, LogicalPlan, MergeIntoTable, ShowViews, SubqueryAlias, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern.{COMMAND, UNRESOLVED_RELATION}
 import org.apache.spark.unsafe.types.UTF8String
@@ -96,8 +96,23 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!plan.containsAnyPattern(UNRESOLVED_RELATION, COMMAND)) plan
-    else plan.transformUpWithPruning(
+    // TOP-DOWN so the DML-on-view guards see the statement node while
+    // its table child is still the raw UnresolvedRelation (bottom-up
+    // would expand the view first and leave the guard nothing to match)
+    else plan.transformDownWithPruning(
         _.containsAnyPattern(UNRESOLVED_RELATION, COMMAND)) {
+      // a view is not a write target - refuse loudly before the
+      // expansion turns the statement into a confusing analysis error
+      case i: InsertIntoStatement
+          if relParts(i.table).exists(isView) =>
+        refuseDmlOnView("INSERT INTO", relParts(i.table).get)
+      case u: UpdateTable if relParts(u.table).exists(isView) =>
+        refuseDmlOnView("UPDATE", relParts(u.table).get)
+      case d: DeleteFromTable if relParts(d.table).exists(isView) =>
+        refuseDmlOnView("DELETE FROM", relParts(d.table).get)
+      case m: MergeIntoTable
+          if relParts(m.targetTable).exists(isView) =>
+        refuseDmlOnView("MERGE INTO", relParts(m.targetTable).get)
       case u: UnresolvedRelation
           if !u.isStreaming && isView(u.multipartIdentifier) =>
         expand(u.multipartIdentifier, Set.empty)
@@ -133,6 +148,11 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       case u: UnresolvedRelation => u.multipartIdentifier
       case t: UnresolvedTable => t.multipartIdentifier
     }
+
+  private def refuseDmlOnView(stmt: String, parts: Seq[String]): Nothing =
+    throw new UnsupportedOperationException(
+      s"$stmt ${parts.mkString(".")}: the target is a VIEW - views are " +
+        "stored SQL text, not data; write to the base table instead")
 
   private def rewriteAddCheck(a: AddCheckConstraint,
       parts: Seq[String]): LogicalPlan = {

@@ -191,6 +191,34 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     new GraftLakeTable(catalogName, ident, dir)
   }
 
+  /** `CREATE TABLE ... (cols, CONSTRAINT c CHECK (...))` — the
+    * TableInfo overload. The interface DEFAULT delegates to the
+    * columns variant and silently DROPS `info.constraints()`; a lost
+    * CHECK is a data-integrity hole, so this override stores each one
+    * after the zero-file create (nothing to validate on an empty
+    * table — the epoch writers enforce from the first INSERT).
+    * Non-CHECK constraints refuse, and a refusal drops the
+    * half-created table so the statement never half-applies. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    if (info.constraints().nonEmpty) {
+      try info.constraints().foreach {
+        case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          Export.setSnapshotCheck(SparkSession.active, tableDir(ident),
+            ck.name, Some(ck.predicateSql))
+        case other => throw new UnsupportedOperationException(
+          s"only CHECK constraints are enforceable here - got '$other' " +
+            "(PRIMARY KEY / FOREIGN KEY / UNIQUE are informational " +
+            "claims this engine does not store)")
+      } catch {
+        case e: Throwable => dropTable(ident); throw e
+      }
+      loadTable(ident)
+    } else t
+  }
+
   /** SQL schema evolution BY NAME — every change is the corresponding
     * metadata-only lake commit (no data rewrite, old versions still
     * time-travel, reads serve the mapped head transparently):

@@ -120,5 +120,16 @@ class GraftLakeViewSpec extends SparkSpec {
     // and the table is intact
     assert(spark.sql("SELECT count(*) FROM glv.ns.tbl")
       .collect().head.getLong(0) === 1L)
+    // a view is not a write target: every DML statement refuses loudly
+    spark.sql("CREATE VIEW glv.ns.roview AS SELECT k FROM glv.ns.tbl")
+    for (stmt <- Seq(
+        "INSERT INTO glv.ns.roview VALUES (9)",
+        "UPDATE glv.ns.roview SET k = 9 WHERE k = 1",
+        "DELETE FROM glv.ns.roview WHERE k = 1",
+        "MERGE INTO glv.ns.roview t USING glv.ns.tbl s ON t.k = s.k " +
+          "WHEN MATCHED THEN DELETE")) {
+      val e = intercept[Exception](spark.sql(stmt))
+      assert(e.getMessage.contains("VIEW"), s"$stmt: ${e.getMessage}")
+    }
   }
 }

@@ -363,4 +363,37 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM glc.ns_ck.t")
       .collect().head.getLong(0) === 9)
   }
+
+  test("CREATE TABLE with a CHECK constraint stores it (the TableInfo default would silently drop it); the first INSERT already enforces") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_ck2")
+    spark.sql("CREATE TABLE glc.ns_ck2.t (k BIGINT, v BIGINT, " +
+      "CONSTRAINT pos CHECK (v > 0))")
+    assert(Export.snapshotChecks(s"$wh/ns_ck2/t") ===
+      Map("pos" -> "v > 0"))
+    intercept[Exception](spark.sql(
+      "INSERT INTO glc.ns_ck2.t VALUES (1, 0)"))
+    assert(spark.sql("SELECT count(*) FROM glc.ns_ck2.t")
+      .collect().head.getLong(0) === 0)
+    spark.sql("INSERT INTO glc.ns_ck2.t VALUES (1, 5)")
+    assert(spark.sql("SELECT v FROM glc.ns_ck2.t")
+      .collect().head.getLong(0) === 5)
+    // renaming/dropping a CHECK-referenced column refuses FIRST -
+    // otherwise the stale text would wedge every later write
+    val er = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_ck2.t RENAME COLUMN v TO w"))
+    assert(er.getMessage.contains("CHECK"))
+    val ed = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_ck2.t DROP COLUMN v"))
+    assert(ed.getMessage.contains("CHECK"))
+    // an EVOLVED narrow append missing the constrained column is a
+    // lawful write: the files read back NULL there and CHECK passes
+    // on NULL (the shim makes the predicate analyze)
+    Export.appendSnapshotEvolved(spark,
+      spark.range(1).selectExpr("CAST(77 AS BIGINT) AS k"),
+      s"$wh/ns_ck2/t")
+    assert(spark.sql(
+        "SELECT count(*) FROM glc.ns_ck2.t WHERE v IS NULL")
+      .collect().head.getLong(0) === 1)
+  }
 }
