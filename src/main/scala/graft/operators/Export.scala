@@ -531,8 +531,9 @@ object Export {
       df0: DataFrame): (Path, Seq[String]) = {
     // bytes always land under PHYSICAL column names (no-op on tables
     // that never renamed/dropped - see the column-mapping section);
-    // CHECK constraints assert per-row inside the same projection
-    val df = toPhysicalDf(fs, root, enforceChecks(fs, root, df0))
+    // generated columns materialize, then CHECK constraints assert
+    // per-row, all inside the same projection (one head-meta read)
+    val df = toPhysicalDf(fs, root, writeProjection(fs, root, df0))
     val epochDir = new Path(root,
       s"epoch=$version-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(epochDir.toString)
@@ -1153,9 +1154,8 @@ object Export {
     locally {
       val pinned = checksReferencing(fs, root, from)
       require(pinned.isEmpty,
-        s"cannot RENAME '$from': CHECK constraint(s) " +
-          s"${pinned.mkString(", ")} reference it by name - DROP " +
-          "CONSTRAINT first, rename, then re-add")
+        s"cannot RENAME '$from': ${pinned.mkString(", ")} reference " +
+          "it by name - drop the constraint / generated column first")
     }
     require(!st.fields.map(physicalOf).contains(to),
       s"'$to' is a live column's PHYSICAL name - old bytes under it " +
@@ -1197,9 +1197,9 @@ object Export {
     locally {
       val pinned = checksReferencing(fs, root, name)
       require(pinned.isEmpty,
-        s"cannot DROP COLUMN '$name': CHECK constraint(s) " +
-          s"${pinned.mkString(", ")} reference it by name - DROP " +
-          "CONSTRAINT first")
+        s"cannot DROP COLUMN '$name': ${pinned.mkString(", ")} " +
+          "reference it by name - drop the constraint / generated " +
+          "column first")
     }
     val lines = dataLines(readManifestRaw(fs, root, head))
     requireUntagged(lines, physicalOf(f), "drop")
@@ -1370,11 +1370,22 @@ object Export {
       if (DataOps(op)) carrySchemaContract(headMeta.get("schema"),
         schemaJson)
       else schemaJson
+    // CHECK-constraint headers inherit by CARRY-FORWARD: every commit
+    // re-stamps the head's ACTIVE set (empty-valued tombstones collapse
+    // here), so the head alone is authoritative and readers/writers
+    // never scan history - O(1) at any version count. The constraint
+    // commit itself (and appendSnapshotChecked) stamps its own set and
+    // is left alone.
+    val checksCarried: Map[String, String] =
+      if (meta.keys.exists(_.startsWith("check_"))) Map.empty
+      else headMeta.collect {
+        case (k, v) if k.startsWith("check_") && v.nonEmpty => k -> v }
     // column-mapping bookkeeping rides the same headers: the schema is
     // stamped with the physical names the epoch writer used, and the
     // retired-physical set survives every commit (like #batch=)
     val retired = headRetired(fs, root) ++ extraRetired
-    val base = meta + ("schema" -> mapSchema(fs, root, carried)) +
+    val base = meta ++ checksCarried +
+      ("schema" -> mapSchema(fs, root, carried)) +
       ("op" -> op) +
       ("committed_at" ->
         math.max(System.currentTimeMillis(), prevTs + 1).toString)
@@ -1404,7 +1415,7 @@ object Export {
       val head = DataType.fromJson(hj).asInstanceOf[StructType]
       val in = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val byName = head.fields.map(f => f.name -> f).toMap
-      StructType(in.fields.map { f =>
+      val carried = in.fields.map { f =>
         byName.get(f.name) match {
           case Some(h) =>
             val tpe =
@@ -1420,7 +1431,27 @@ object Export {
               metadata = meta)
           case None => f
         }
-      }).json
+      }
+      // head-only GENERATED columns resurrect: the epoch writers ALWAYS
+      // materialize them into the bytes even when the caller's frame
+      // omits them, so the committed schema must keep advertising them
+      // (a narrow append must not hide a column the files carry)
+      val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .GENERATION_EXPRESSION_METADATA_KEY
+      val inNames = in.fieldNames.toSet
+      val genMissing = head.fields.filter(f =>
+        f.metadata.contains(genKey) && !inNames(f.name))
+      val all =
+        if (genMissing.isEmpty) carried
+        else {
+          // keep the HEAD's field order for its columns, then any
+          // incoming-only additions - no order flip-flop across writes
+          val byOut = (carried ++ genMissing).map(f => f.name -> f).toMap
+          val headFirst = head.fieldNames.filter(byOut.contains)
+          (headFirst ++ carried.map(_.name).filterNot(headFirst.contains))
+            .map(byOut(_))
+        }
+      StructType(all.toSeq).json
   }
 
   /** Commit wall-clock of a version (epoch millis) — monotone across
@@ -1896,24 +1927,47 @@ object Export {
       .filter(col(colA).between(aLo, aHi) && col(colB).between(bLo, bHi))
   }
 
-  /** The table's ACTIVE CHECK constraints at the head: the newest
-    * version carrying any `check_` header, minus empty-valued
-    * TOMBSTONES (a DROP CONSTRAINT stamps `check_<name>=` so
-    * inheritance sees the drop instead of falling through to the
-    * pre-drop set). */
+  /** The table's ACTIVE CHECK constraints at the HEAD — O(1):
+    * constraint headers CARRY FORWARD through every commit
+    * ([[internalMeta]] re-stamps the head's active set, collapsing
+    * tombstones), so the head alone is authoritative; no history scan,
+    * ever — the write path must not pay O(versions) per commit. */
   def snapshotChecks(outDir: String): Map[String, String] = {
     val (fs, root) = fsRoot(outDir)
-    storedChecks(fs, root)
+    storedChecks(headMetaOf(fs, root))
   }
 
-  private def storedChecks(fs: FileSystem,
+  private def headMetaOf(fs: FileSystem,
       root: Path): Map[String, String] =
-    manifestVersions(fs, root).reverseIterator
-      .map(v => snapshotMetaOf(fs, root, v)
-        .collect { case (k, sql) if k.startsWith("check_") =>
-          k.drop("check_".length) -> sql })
-      .collectFirst { case m if m.nonEmpty => m.filter(_._2.nonEmpty) }
-      .getOrElse(Map.empty)
+    manifestVersions(fs, root).lastOption
+      .map(v => snapshotMetaOf(fs, root, v)).getOrElse(Map.empty)
+
+  private def storedChecks(
+      headMeta: Map[String, String]): Map[String, String] =
+    headMeta.collect {
+      case (k, sql) if k.startsWith("check_") && sql.nonEmpty =>
+        k.drop("check_".length) -> sql
+    }
+
+  /** The shared WRITE PROJECTION of the epoch writers — ONE head-meta
+    * read covers both halves: generated columns materialize
+    * ([[materializeGenerated]]), then CHECK constraints assert per row
+    * ([[enforceChecks]]). Zero cost (and zero extra plan nodes) while
+    * the table has neither. */
+  private def writeProjection(fs: FileSystem, root: Path,
+      df: DataFrame): DataFrame = {
+    val headMeta = headMetaOf(fs, root)
+    if (headMeta.isEmpty) df
+    else {
+      val headFields = headMeta.get("schema")
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fields.toSeq)
+        .getOrElse(Seq.empty)
+      enforceChecks(storedChecks(headMeta), headFields,
+        materializeGenerated(headFields, df))
+    }
+  }
 
   /** ONE-PASS constraint enforcement for the epoch writers: each row
     * evaluates the active CHECK predicates inside the write projection
@@ -1923,11 +1977,10 @@ object Export {
     * vacuum-reclaimable, the same contract as any failed write. SQL
     * CHECK semantics: a NULL-evaluating predicate passes. Runs on the
     * LOGICAL frame (before physical renames) because constraint texts
-    * bind logical column names. Zero cost while the table has no
-    * constraints. */
-  private def enforceChecks(fs: FileSystem, root: Path,
+    * bind logical column names. */
+  private def enforceChecks(checks: Map[String, String],
+      headFields: Seq[org.apache.spark.sql.types.StructField],
       df: DataFrame): DataFrame = {
-    val checks = storedChecks(fs, root)
     if (checks.isEmpty) df
     else {
       // an EVOLVED append may write a narrower frame than the head
@@ -1935,11 +1988,6 @@ object Export {
       // SQL CHECK passes on NULL - shim the missing columns as typed
       // nulls so a constraint referencing one ANALYZES and passes,
       // instead of refusing a lawful write
-      val headFields = manifestVersions(fs, root).lastOption
-        .flatMap(v => snapshotMetaOf(fs, root, v).get("schema"))
-        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq)
-        .getOrElse(Seq.empty)
       val missing = headFields.filterNot(f => df.columns.contains(f.name))
       val shimmed = missing.foldLeft(df)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -1953,18 +2001,83 @@ object Export {
     }
   }
 
-  /** Stored CHECK texts bind column NAMES — a rename/drop of a
-    * referenced column would wedge every later write on an
-    * unanalyzable predicate, so the schema change refuses first (the
-    * Delta law: drop the constraint, then rename). Word-boundary
-    * match: a constraint on `value` does not pin a column `val`. */
+  /** GENERATED COLUMNS, materialized at WRITE by the epoch writers
+    * (the constraint-enforcement twin): `CREATE TABLE (ts TIMESTAMP,
+    * day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) PARTITIONED BY
+    * (day)` stores the expression in the committed schema's field
+    * metadata (Spark's own `generationExpression` key; the
+    * metadata-carry law keeps it alive across data commits), and every
+    * writer computes it: a NULL incoming value — including the
+    * analyzer's null-fill for an omitted column, and a frame missing
+    * the column entirely — takes the computed expression; an explicit
+    * non-NULL value must MATCH the computed one (`<=>`) or the write
+    * aborts, so a committed generated column can NEVER be stale. An
+    * UPDATE changing a dependency must therefore also SET the
+    * generated column (NULL recomputes) — loud, never silently wrong.
+    * The 100 TB shape: hourly loads land day-partitioned with no
+    * caller arithmetic, and partition pruning works from day one. */
+  private def materializeGenerated(
+      headFields: Seq[org.apache.spark.sql.types.StructField],
+      df: DataFrame): DataFrame = {
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val gens = headFields.collect {
+      case f if f.metadata.contains(genKey) =>
+        (f.name, f.metadata.getString(genKey), f.dataType)
+    }
+    if (gens.isEmpty) df
+    else {
+      val withCols = gens.foldLeft(df) { case (d, (g, e, t)) =>
+        val computed = expr(e).cast(nullableType(t))
+        if (!d.columns.contains(g)) d.withColumn(g, computed)
+        else d
+          .filter(assert_true(col(g).isNull || (col(g) <=> computed),
+            lit(s"generated column '$g' GENERATED ALWAYS AS ($e): an " +
+              "explicit value must match the computed one (SET it " +
+              "NULL to recompute) - the write aborts")).isNull)
+          .withColumn(g, coalesce(col(g), computed))
+      }
+      // keep the head's column order when a missing column was added
+      val headOrder = headFields.map(_.name)
+      val order = headOrder.filter(withCols.columns.contains) ++
+        withCols.columns.filterNot(headOrder.contains)
+      if (order == withCols.columns.toSeq) withCols
+      else withCols.select(order.map(col): _*)
+    }
+  }
+
+  private def referencesColumn(sql: String, column: String): Boolean =
+    ("""(?<![A-Za-z0-9_`])""" +
+      java.util.regex.Pattern.quote(column) +
+      """(?![A-Za-z0-9_`])""").r.findFirstIn(sql).isDefined
+
+  /** Stored CHECK texts and GENERATION expressions bind column NAMES —
+    * a rename/drop of a referenced column would wedge every later
+    * write on an unanalyzable expression, so the schema change refuses
+    * first (the Delta law: drop the constraint, then rename; a
+    * generated column pins its dependencies for the table's life).
+    * Word-boundary match: a constraint on `value` does not pin a
+    * column `val`. */
   private def checksReferencing(fs: FileSystem, root: Path,
-      column: String): Seq[String] =
-    storedChecks(fs, root).collect {
-      case (n, sql) if ("""(?<![A-Za-z0-9_`])""" +
-          java.util.regex.Pattern.quote(column) +
-          """(?![A-Za-z0-9_`])""").r.findFirstIn(sql).isDefined => n
-    }.toSeq.sorted
+      column: String): Seq[String] = {
+    val fromChecks = storedChecks(headMetaOf(fs, root)).collect {
+      case (n, sql) if referencesColumn(sql, column) =>
+        s"CHECK $n"
+    }.toSeq
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val fromGen = manifestVersions(fs, root).lastOption
+      .flatMap(v => snapshotMetaOf(fs, root, v).get("schema"))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq)
+      .getOrElse(Seq.empty)
+      .collect {
+        case f if f.name != column && f.metadata.contains(genKey) &&
+            referencesColumn(f.metadata.getString(genKey), column) =>
+          s"GENERATED ${f.name}"
+      }
+    (fromChecks ++ fromGen).sorted
+  }
 
   /** ADD/DROP a named CHECK constraint — the `ALTER TABLE ... ADD
     * CONSTRAINT name CHECK (sql)` surface. ADD validates EXISTING rows
@@ -1983,7 +2096,7 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     val head = latestSnapshotVersion(outDir)
     require(head > 0, s"no committed versions under $outDir")
-    val stored = storedChecks(fs, root)
+    val stored = storedChecks(headMetaOf(fs, root))
     sql.foreach { s =>
       require(!stored.contains(name),
         s"constraint '$name' already exists (${stored(name)})")
@@ -2034,7 +2147,7 @@ object Export {
     // latest-only, or a maintenance commit (compact/restore carries no
     // check_* headers) would silently drop the table's constraints, the
     // same erasure mode lastAppliedBatch guards against for #batch=
-    val inherited: Map[String, String] = storedChecks(fs, root)
+    val inherited: Map[String, String] = storedChecks(headMetaOf(fs, root))
     val active = inherited ++ constraints
     if (active.nonEmpty) {
       val names = active.keys.toSeq.sorted
@@ -2206,10 +2319,10 @@ object Export {
       zoneKey: Option[String]): Seq[String] = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
-    // CHECK constraints assert per-row here too - the partitioned twin
-    // of writeEpoch's enforcement (clustered epochs funnel through
-    // writeEpoch itself)
-    val df = enforceChecks(fs, root, df0)
+    // generated columns + CHECK constraints here too - the partitioned
+    // twin of writeEpoch's write-projection work (clustered epochs
+    // funnel through writeEpoch itself)
+    val df = writeProjection(fs, root, df0)
     // p= specs are PHYSICAL-keyed like the s=/b= tags: the readback
     // below runs on the written (physical-named) bytes and every spec
     // consumer translates its column names

@@ -6579,6 +6579,57 @@ object Curation {
       |WHERE NOT (doc_id % 3 = 0 AND doc_id <= 200)
       |ORDER BY doc_id""".stripMargin
 
+  /** GENERATED COLUMNS (r14: `c GENERATED ALWAYS AS (expr)` in CREATE
+    * TABLE — the expression persists in the committed schema's field
+    * metadata (Spark's own key; the v2 column→field conversion drops
+    * it, so the catalog stamps it) and the EPOCH WRITERS materialize
+    * it: NULL/omitted computes, an explicit mismatch aborts the write
+    * (a committed generated column can never be stale). PARTITIONED BY
+    * a generated column is the 100 TB shape: loads land bucketed with
+    * no caller arithmetic and partition pruning works from the first
+    * insert (p= specs pinned in-gate; mismatch-refusal pinned too).
+    * DuckDB replays the expression. */
+  def q_sql_generated(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlgen_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glgn",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glgn.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glgn.g")
+    s.sql("DROP TABLE IF EXISTS glgn.g.docs")
+    s.sql("CREATE TABLE glgn.g.docs (doc_id BIGINT, n_chars BIGINT, " +
+      "bucket BIGINT GENERATED ALWAYS AS (n_chars DIV 200)) " +
+      "PARTITIONED BY (bucket)")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_sql_gen_src")
+    s.sql("INSERT INTO glgn.g.docs " +
+      "SELECT doc_id, n_chars, NULL FROM q_sql_gen_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v = E.latestSnapshotVersion(dirT)
+    val buckets = E.snapshotManifestEntries(dirT, v)
+      .flatMap(_.partition.get("bucket")).toSet
+    require(buckets.size > 1,
+      s"generated partition column must land p= specs, got $buckets")
+    // explicit mismatch aborts, nothing commits
+    val bad = scala.util.Try(s.sql(
+      "INSERT INTO glgn.g.docs VALUES (900001, 500, 99)"))
+    require(bad.isFailure && E.latestSnapshotVersion(dirT) == v,
+      "a mismatched generated value must abort without a commit")
+    // explicit MATCHING value and NULL both land
+    s.sql("INSERT INTO glgn.g.docs VALUES (900001, 500, 2), " +
+      "(900002, 150, NULL)")
+    s.sql("SELECT doc_id, n_chars, bucket FROM glgn.g.docs " +
+      "ORDER BY doc_id")
+  }
+
+  val q_sql_generated_sql: String =
+    """SELECT doc_id, n_chars, n_chars // 200 AS bucket FROM documents
+      |UNION ALL SELECT 900001, 500, 2
+      |UNION ALL SELECT 900002, 150, 0
+      |ORDER BY doc_id""".stripMargin
+
   /** SQL CHECK CONSTRAINTS (r14: `ALTER TABLE ... ADD CONSTRAINT name
     * CHECK (...)` / `DROP CONSTRAINT` — the statements rewrite through
     * the hint-phase DDL seam (Spark's own route rejects any

@@ -88,7 +88,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     * evolution law is null-fill. */
   override def capabilities(): util.Set[TableCatalogCapability] =
     Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      .asJava
 
   private def dirOf(parts: Seq[String]): String =
     (warehouse +: parts).mkString("/")
@@ -201,7 +203,24 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     * half-created table so the statement never half-applies. */
   override def createTable(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
-    val t = createTable(ident, info.schema(), info.partitions(),
+    // GENERATED columns: the v2 Column carries generationExpression()
+    // but Spark's column→StructField conversion does NOT embed it, so
+    // stamp the analyzer's own metadata key here — the committed
+    // schema is where the epoch writers read it back from
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val genOf: Map[String, String] = info.columns()
+      .flatMap(c => Option(c.generationExpression).map(c.name -> _))
+      .toMap
+    val enriched = StructType(info.schema().fields.map { f =>
+      genOf.get(f.name) match {
+        case Some(g) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(genKey, g).build())
+        case None => f
+      }
+    })
+    val t = createTable(ident, enriched, info.partitions(),
       info.properties())
     if (info.constraints().nonEmpty) {
       try info.constraints().foreach {

@@ -396,4 +396,51 @@ class GraftLakeCatalogSpec extends SparkSpec {
         "SELECT count(*) FROM glc.ns_ck2.t WHERE v IS NULL")
       .collect().head.getLong(0) === 1)
   }
+
+  test("GENERATED columns materialize at write: NULL/omitted computes, explicit mismatch aborts, PARTITIONED BY a generated column lands pruned layout") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_gen")
+    spark.sql("CREATE TABLE glc.ns_gen.t (k BIGINT, ts TIMESTAMP, " +
+      "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "PARTITIONED BY (day)")
+    val dir = s"$wh/ns_gen/t"
+    // NULL in the generated slot computes
+    spark.sql("INSERT INTO glc.ns_gen.t VALUES " +
+      "(1, TIMESTAMP '2026-01-01 10:00:00', NULL), " +
+      "(2, TIMESTAMP '2026-01-02 23:59:00', NULL)")
+    val got = spark.sql("SELECT k, CAST(day AS STRING) " +
+      "FROM glc.ns_gen.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "2026-01-01"), (2L, "2026-01-02")))
+    // the computed column drives the hive layout: p= specs per day
+    val v = Export.latestSnapshotVersion(dir)
+    val days = Export.snapshotManifestEntries(dir, v)
+      .flatMap(_.partition.get("day")).toSet
+    assert(days === Set("2026-01-01", "2026-01-02"),
+      "generated partition column must land p= specs")
+    // an explicit matching value passes; a mismatch aborts the write
+    spark.sql("INSERT INTO glc.ns_gen.t VALUES " +
+      "(3, TIMESTAMP '2026-01-03 01:00:00', DATE '2026-01-03')")
+    val bad = intercept[Exception](spark.sql(
+      "INSERT INTO glc.ns_gen.t VALUES " +
+        "(4, TIMESTAMP '2026-01-04 01:00:00', DATE '1999-09-09')"))
+    assert(spark.sql("SELECT count(*) FROM glc.ns_gen.t")
+      .collect().head.getLong(0) === 3,
+      "a mismatched generated value must not land")
+    // a frame MISSING the column entirely (Scala-API append) computes
+    Export.appendSnapshotPartitioned(spark,
+      spark.sql("SELECT CAST(5 AS BIGINT) AS k, " +
+        "TIMESTAMP '2026-01-05 12:00:00' AS ts"),
+      dir, Seq("day"))
+    assert(spark.sql("SELECT CAST(day AS STRING) FROM glc.ns_gen.t " +
+        "WHERE k = 5").collect().head.getString(0) === "2026-01-05")
+    // renaming/dropping a generation DEPENDENCY refuses first - the
+    // stale expression would wedge every later write
+    val er = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_gen.t RENAME COLUMN ts TO created"))
+    assert(er.getMessage.contains("GENERATED"))
+    val ed = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_gen.t DROP COLUMN ts"))
+    assert(ed.getMessage.contains("GENERATED"))
+  }
 }
