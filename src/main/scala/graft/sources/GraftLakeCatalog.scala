@@ -161,6 +161,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       s"partition column '$c' is not in the table schema"))
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    // a PERSISTENT VIEW owns this name: committing manifests beside
+    // its _view file would make every read shadow the table (the view
+    // expands before resolution) - refuse, never silently shadow
+    require(graft.plans.GraftLakeViews.readView(dir).isEmpty,
+      s"${ident.toString} is a VIEW - DROP VIEW first, or pick " +
+        "another name")
     // DEFAULT columns: keep CURRENT_DEFAULT (the INSERT-time fill
     // Spark's analyzer resolves) but strip EXISTS_DEFAULT — that key
     // is a READ-path fill for files missing the column, and this

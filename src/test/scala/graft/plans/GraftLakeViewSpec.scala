@@ -122,6 +122,12 @@ class GraftLakeViewSpec extends SparkSpec {
       .collect().head.getLong(0) === 1L)
     // a view is not a write target: every DML statement refuses loudly
     spark.sql("CREATE VIEW glv.ns.roview AS SELECT k FROM glv.ns.tbl")
+    // ...and CREATE TABLE cannot shadow a view either (manifests
+    // beside _view would make every read expand the view, hiding the
+    // table silently)
+    val e4 = intercept[Exception](spark.sql(
+      "CREATE TABLE glv.ns.roview (x BIGINT)"))
+    assert(e4.getMessage.contains("VIEW"))
     for (stmt <- Seq(
         "INSERT INTO glv.ns.roview VALUES (9)",
         "UPDATE glv.ns.roview SET k = 9 WHERE k = 1",
