@@ -290,4 +290,30 @@ class GraftLakeSinkSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(got.toSeq === (0L until 9L).filter(_ % 3 != 2))
   }
+
+  test("CHECK constraints reach the STREAMING sink: a violating " +
+      "micro-batch aborts with the constraint named, nothing commits, " +
+      "and a clean batch still lands afterwards") {
+    val t = tmp("gls-check")
+    val s = sink(t, OutputMode.Append())
+    s.addBatch(0, rows(0, 3))
+    Export.setSnapshotCheck(spark, t.getAbsolutePath,
+      "id_small", Some("id < 100"))
+    val v = Export.latestSnapshotVersion(t.getAbsolutePath)
+    val e = intercept[Exception](s.addBatch(1, rows(98, 103)))
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++
+        msgs(t.getCause))
+    assert(msgs(e).exists(_.contains("id_small")),
+      s"expected the constraint named, got: ${msgs(e)}")
+    assert(Export.latestSnapshotVersion(t.getAbsolutePath) === v,
+      "a violating micro-batch must not commit")
+    // the guard did not burn the batch id: the RETRY (the streaming
+    // engine's replay of the failed batch) commits once fixed
+    s.addBatch(1, rows(10, 13))
+    assert(Export.readSnapshot(spark, t.getAbsolutePath,
+        Export.latestSnapshotVersion(t.getAbsolutePath))
+      .select("id").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 2L, 10L, 11L, 12L))
+  }
 }
