@@ -446,6 +446,18 @@ object GraftExtensions {
     // MERGE/DELETE/UPDATE/OPTIMIZE/VACUUM without the Scala API — the
     // Delta-procedures shape on the existing extension seam. Arguments
     // are literals, like every TVF here.
+    (FunctionIdentifier("graft_detail"),
+      info("graft_detail", "graft_detail(path) - DESCRIBE DETAIL: one " +
+        "row summarizing the head (version, operation, file/byte " +
+        "counts from the manifest alone, partition/cluster layout, " +
+        "DV and zoned file counts, schema width, generated columns, " +
+        "properties, constraints)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Export.snapshotDetail(spark,
+            litPath(args.head, "path"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_delete"),
       info("graft_delete", "graft_delete(path, predicate_sql[, 'mor']) " +
         "- DELETE FROM the lake table: copy-on-write by default, " +

@@ -1243,6 +1243,49 @@ object Export {
     version
   }
 
+  /** DESCRIBE DETAIL (the Delta shape): ONE row summarizing the head —
+    * format, location, head version + commit time + operation, file/
+    * byte counts from the MANIFEST ALONE (no data-dir listing, no
+    * scan: the `len=` tags the commit already paid for), layout
+    * (partition columns / cluster key / zoned- and DV-file counts),
+    * schema width, generated columns, `graft.*` properties and active
+    * CHECK constraints. The one-stop operational answer to "what is
+    * this table?" at any size — planning-side cost only. */
+  def snapshotDetail(spark: SparkSession, outDir: String): DataFrame = {
+    val v = latestSnapshotVersion(outDir)
+    require(v > 0, s"no committed versions under $outDir")
+    val entries = snapshotManifestEntries(outDir, v)
+    val st = snapshotSchema(outDir, v)
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val generated = st.map(_.fields.collect {
+      case f if f.metadata.contains(genKey) => f.name
+    }.toSeq).getOrElse(Seq.empty)
+    val props = snapshotProperties(outDir)
+    val checks = snapshotChecks(outDir)
+    import spark.implicits._
+    Seq((
+      "graftlake",
+      outDir,
+      v.toLong,
+      snapshotTimestamp(outDir, v),
+      snapshotOperation(outDir, v).getOrElse(""),
+      entries.size.toLong,
+      entries.flatMap(_.len).sum,
+      entries.count(_.hasDv).toLong,
+      entries.count(_.zone.nonEmpty).toLong,
+      snapshotPartitionColumns(outDir, v).mkString(","),
+      props.getOrElse("graft.cluster.key", ""),
+      st.map(_.fields.length.toLong).getOrElse(0L),
+      generated.mkString(","),
+      props.toSeq.sorted.map { case (k, x) => s"$k=$x" }.mkString(";"),
+      checks.toSeq.sorted.map { case (n, s) => s"$n: $s" }.mkString("; ")
+    )).toDF("format", "location", "version", "committed_at",
+      "operation", "num_files", "size_bytes", "num_dv_files",
+      "num_zoned_files", "partition_columns", "cluster_key",
+      "num_columns", "generated_columns", "properties", "constraints")
+  }
+
   /** SET/DROP a column's DEFAULT — one metadata-only commit updating
     * the field's `CURRENT_DEFAULT` metadata (the analyzer's own
     * default-column contract: consulted ONLY when a future INSERT

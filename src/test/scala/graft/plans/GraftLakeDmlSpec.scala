@@ -710,6 +710,33 @@ class GraftLakeDmlSpec extends SparkSpec {
       .collect().head.getDouble(0) === 0.5)
   }
 
+  test("graft_detail: one manifest-only row - version/op/file+byte counts, layout, DV count, schema width, properties, constraints") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.dtl (k BIGINT, lang STRING, " +
+      "v BIGINT, CONSTRAINT pos CHECK (v >= 0)) PARTITIONED BY (lang) " +
+      "TBLPROPERTIES ('graft.update.mode' = 'mor')")
+    spark.sql("INSERT INTO gld.ns.dtl SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, id FROM range(8)")
+    spark.sql("UPDATE gld.ns.dtl SET v = v + 1 WHERE k = 3") // MoR: dv=
+    val dir = s"$wh/ns/dtl"
+    val r = spark.sql(s"SELECT * FROM graft_detail('$dir')")
+      .collect().head
+    def s(n: String) = r.getString(r.fieldIndex(n))
+    def l(n: String) = r.getLong(r.fieldIndex(n))
+    assert(s("format") === "graftlake")
+    assert(l("version") === Export.latestSnapshotVersion(dir).toLong)
+    assert(s("operation") === "merge") // the MoR UPDATE's commit kind
+    assert(l("num_files") >= 2 && l("size_bytes") > 0)
+    assert(l("num_dv_files") >= 1, "the MoR update must show dv files")
+    assert(s("partition_columns") === "lang")
+    assert(l("num_columns") === 3)
+    assert(s("properties").contains("graft.update.mode=mor"))
+    assert(s("constraints") === "pos: v >= 0")
+    // by NAME too, like every TVF
+    assert(spark.sql("SELECT num_files FROM graft_detail('gld.ns.dtl')")
+      .collect().head.getLong(0) === l("num_files"))
+  }
+
   test("graft_update accepts dotted struct-field assignments (meta.score=expr), folding per root; duplicate whole-column assignment refuses") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.ndt (k BIGINT, " +
