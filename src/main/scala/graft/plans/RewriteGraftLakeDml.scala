@@ -677,16 +677,27 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         val notM = src.join(existing, joinCond, "left_anti")
         val withIdx = notM.withColumn(insCol,
           firstIdx(insertActs.map(_._1)))
+        // a column the INSERT clause leaves unassigned takes its
+        // declared DEFAULT (the SQL law — the committed schema carries
+        // CURRENT_DEFAULT thanks to the metadata-carry law), else NULL;
+        // generated columns stay NULL here and the epoch writer
+        // computes them
+        def unassigned(f: org.apache.spark.sql.types.StructField): Column =
+          (if (f.metadata.contains("CURRENT_DEFAULT"))
+            org.apache.spark.sql.functions
+              .expr(f.metadata.getString("CURRENT_DEFAULT"))
+          else lit(null)).cast(Export.nullableType(f.dataType))
         withIdx.filter(col(insCol) > 0).select(st.fields.toSeq.map {
           f =>
             insertActs.zipWithIndex.foldLeft(Option.empty[Column]) {
               case (acc, ((_, sets), k)) =>
-                val v = sets.getOrElse(f.name, lit(null))
-                  .cast(Export.nullableType(f.dataType))
+                val v = sets.get(f.name)
+                  .map(_.cast(Export.nullableType(f.dataType)))
+                  .getOrElse(unassigned(f))
                 Some(acc.fold(when(col(insCol) === (k + 1), v))(
                   _.when(col(insCol) === (k + 1), v)))
-            }.map(_.otherwise(lit(null).cast(Export.nullableType(f.dataType))))
-              .getOrElse(lit(null).cast(Export.nullableType(f.dataType)))
+            }.map(_.otherwise(unassigned(f)))
+              .getOrElse(unassigned(f))
               .as(f.name, f.metadata)
         }: _*)
       }

@@ -710,6 +710,24 @@ class GraftLakeDmlSpec extends SparkSpec {
       .collect().head.getDouble(0) === 0.5)
   }
 
+  test("MERGE INSERT clauses honor column DEFAULTs: an unassigned column takes its declared DEFAULT, not NULL") {
+    spark.sql("CREATE TABLE gld.ns.mdef (k BIGINT, " +
+      "lang STRING DEFAULT 'und', v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.mdef VALUES (1, 'en', 10), " +
+      "(2, 'de', 20)")
+    spark.range(2, 5).selectExpr("id AS k", "id * 100 AS v")
+      .createOrReplaceTempView("mdef_src")
+    spark.sql("MERGE INTO gld.ns.mdef t USING mdef_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    val got = spark.sql("SELECT k, lang, v FROM gld.ns.mdef ORDER BY k")
+      .collect().map(_.toSeq)
+    assert(got.toSeq === Seq(
+      Seq(1L, "en", 10L), Seq(2L, "de", 200L),
+      Seq(3L, "und", 300L), Seq(4L, "und", 400L)),
+      "unassigned INSERT columns must take their DEFAULT")
+  }
+
   test("graft_detail: one manifest-only row - version/op/file+byte counts, layout, DV count, schema width, properties, constraints") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.dtl (k BIGINT, lang STRING, " +
