@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ResolveSessionCatalog, which throws MISSING_CATALOG_ABILITY on
     // any view statement aimed at a non-session catalog
     ext.injectHintResolutionRule(graft.plans.RewriteGraftLakeDdl.apply)
+    // DESCRIBE HISTORY / DESCRIBE DETAIL — two statements Spark's
+    // grammar lacks (Delta ships its own parser for them); the
+    // delegating parser claims exactly those shapes, everything else
+    // passes through verbatim
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
     // the physical leg of every deferred lake command: side effects
     // fire at EXECUTION, so EXPLAIN/schema inspection commits nothing
     ext.injectPlannerStrategy(_ => graft.plans.GraftLakeStrategy)
@@ -506,25 +512,29 @@ object GraftExtensions {
         graft.plans.GraftLakeCommand.oneRow("graft_update", Seq("version")) { () =>
           val spark = org.apache.spark.sql.SparkSession.active
           // a dotted lhs (`meta.score=expr`) is a struct-field
-          // assignment: fold each root's field updates into ONE
-          // whole-column withField rebuild (a NULL struct stays NULL),
-          // grouped so updateWhere's by-name map sees each root once
+          // assignment, and an indexed one (`tags[0]=expr`,
+          // `meta.tags[2].name=expr`) an ARRAY-ELEMENT rewrite —
+          // split honoring backtick quotes (so a top-level column
+          // named `a.b` stays addressable), then fold each root's
+          // updates through the SAME duplicate/overlap refusals as
+          // SQL UPDATE (graft.plans.DmlAssignments — one law, both
+          // front doors)
+          val A = graft.plans.DmlAssignments
           val cSets = sets
             .map { case (c, e) =>
-              val parts = c.split('.').toSeq
-              (parts.head, parts.tail,
-                org.apache.spark.sql.functions.expr(e))
+              A.parseSteps(c) match {
+                case A.Field(root) +: rest =>
+                  (root, rest, org.apache.spark.sql.functions.expr(e))
+                case other => throw new IllegalArgumentException(
+                  s"graft_update: assignment target '$c' must start " +
+                    "with a column name")
+              }
             }
             .groupBy(_._1).toSeq.map { case (root, items) =>
-              require(!items.exists(_._2.isEmpty) || items.size == 1,
-                s"graft_update: column '$root' assigned more than once")
-              root ->
-                (if (items.head._2.isEmpty) items.head._3
-                 else items.foldLeft(
-                     org.apache.spark.sql.functions.col(root)) {
-                   case (acc, (_, path, v)) =>
-                     acc.withField(path.mkString("."), v)
-                 })
+              root -> A.foldSteps(root, A.colOf(root),
+                items.map(i => (i._2, i._3)),
+                msg => throw new IllegalArgumentException(
+                  s"graft_update: $msg"))
             }
           val cond = org.apache.spark.sql.functions.expr(predicate)
           Seq((if (mor)
@@ -536,13 +546,17 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_merge"),
       info("graft_merge", "graft_merge(path, source_view, " +
-        "'k1,k2'[, 'o1,o2'[, 'mor']]) - MERGE INTO the lake table from " +
+        "'k1,k2'[, 'o1,o2'[, 'mor'|'evolve'|'mor+evolve']]) - MERGE " +
+        "INTO the lake table from " +
         "a registered view/table: full-row upsert by key; with the " +
         "order column list, ORDER-RESOLVED (max-by wins, the CDC " +
         "shape). Partition-scoped automatically when the table's " +
         "layout columns are part of the key; with 'mor', a MERGE-ON-" +
         "READ commit (deletion-vector the beaten incumbents + append " +
-        "the winners - O(batch) writes at any table size). " +
+        "the winners - O(batch) writes at any table size); with " +
+        "'evolve', a WIDER source first evolves the table schema " +
+        "through the same metadata-only commits as MERGE ... WITH " +
+        "SCHEMA EVOLUTION (new columns nullable, safe widenings). " +
         "Returns (version)"),
       (args: Seq[Expression]) => {
         val path = litPath(args.head, "path")
@@ -553,20 +567,42 @@ object GraftExtensions {
           if (args.length > 3) litString(args(3), "order list")
             .split(',').map(_.trim).filter(_.nonEmpty).toSeq
           else Seq.empty
-        val mor = args.length > 4 && {
-          val m = litString(args(4), "mode")
-          require(m == "mor", s"mode must be 'mor', got '$m'")
-          require(orderCols.nonEmpty,
-            "graft_merge(..., 'mor') needs the order column list - " +
-              "MoR resolution is order-resolved")
-          true
-        }
+        val modes: Set[String] =
+          if (args.length > 4) {
+            val m = litString(args(4), "mode")
+            val ms = m.split('+').map(_.trim).filter(_.nonEmpty).toSet
+            require(ms.nonEmpty && ms.subsetOf(Set("mor", "evolve")),
+              s"mode must be 'mor', 'evolve' or 'mor+evolve', got '$m'")
+            ms
+          } else Set.empty
+        val mor = modes("mor")
+        val evolve = modes("evolve")
+        if (mor) require(orderCols.nonEmpty,
+          "graft_merge(..., 'mor') needs the order column list - " +
+            "MoR resolution is order-resolved")
         graft.plans.GraftLakeCommand.oneRow("graft_merge", Seq("version")) { () =>
           val spark = org.apache.spark.sql.SparkSession.active
-          val updates = spark.table(view)
+          val updates0 = spark.table(view)
           val E = graft.operators.Export
+          require(E.latestSnapshotVersion(path) > 0,
+            s"nothing to merge into under $path")
+          // 'evolve': land the source-minus-target delta as ONE
+          // metadata-only commit BEFORE the merge (the SQL statement's
+          // law), then null-fill the source up to the evolved width -
+          // full-row upsert semantics over the union schema
+          if (evolve) E.evolveSnapshotSchema(path, updates0.schema)
           val latest = E.latestSnapshotVersion(path)
-          require(latest > 0, s"nothing to merge into under $path")
+          val updates =
+            if (!evolve) updates0
+            else E.snapshotSchema(path, latest) match {
+              case Some(st) =>
+                st.fields.filterNot(f =>
+                    updates0.columns.contains(f.name))
+                  .foldLeft(updates0)((d, f) => d.withColumn(f.name,
+                    org.apache.spark.sql.functions.lit(null)
+                      .cast(E.nullableType(f.dataType))))
+              case None => updates0
+            }
           val partCols = E.snapshotPartitionColumns(path, latest)
           val v =
             if (mor)

@@ -248,6 +248,13 @@ object Export {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
+  /** `col(name)` that survives a dot or backtick in the column NAME
+    * (bare `col` would parse a dotted name as a struct path). */
+  private def colQ(n: String): Column =
+    if (n.contains(".") || n.contains("`"))
+      col(s"`${n.replace("`", "``")}`")
+    else col(n)
+
   private[graft] def fsRoot(outDir: String): (FileSystem, Path) = {
     val p = new Path(outDir)
     val fs = p.getFileSystem(hadoopConf)
@@ -461,6 +468,36 @@ object Export {
 
   @volatile var commitGuard: CommitGuard = (_: Path, _: Int) => ()
 
+  /** Publish a FULLY-WRITTEN temp file at `dest`, failing (false) if
+    * `dest` already exists — the commit-point primitive under every
+    * manifest, identity claim, and view generation. On a LOCAL
+    * filesystem the move is a HARD LINK: `link(2)` is the one atomic
+    * create-exclusive POSIX gives (rename(2) replaces silently, and
+    * exists()+rename is check-then-act — the r15 identity race test
+    * caught exactly that window), and the content is complete the
+    * instant the name appears, so a reader can never observe a torn
+    * file. Elsewhere rename-without-overwrite carries the guarantee
+    * (atomic on HDFS; S3-style stores keep the documented
+    * single-writer caveat / [[CommitGuard]] hook). The temp file is
+    * deleted on either outcome. */
+  private[graft] def publishExclusive(fs: FileSystem, tmp: Path,
+      dest: Path): Boolean = {
+    val won =
+      if ("file".equalsIgnoreCase(
+          Option(fs.getUri.getScheme).getOrElse(""))) {
+        val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+        val d = java.nio.file.Paths.get(fs.makeQualified(dest).toUri)
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.nio.file.NoSuchFileException => false
+        }
+      } else !fs.exists(dest) && fs.rename(tmp, dest)
+    try fs.delete(tmp, false)
+    catch { case scala.util.control.NonFatal(_) => () }
+    won
+  }
+
   /** TYPED loser of a commit race: `winning` is the version number the
     * racing writer already holds (this writer's rewrite was computed
     * against an older head). Appends auto-retry ([[commitAppend]] —
@@ -493,15 +530,13 @@ object Export {
       (meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++ files)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // loser-detection is two layers: on HDFS/object stores, rename onto
-    // an existing destination FAILS (returns false) — the true atomic
-    // guard; on a POSIX local FS, File.renameTo silently OVERWRITES, so
-    // the exists() pre-check catches the race the rename can't. A local
-    // FS is a dev/test surface; the deployment stores get the atomic
-    // semantics.
+    // loser-detection through [[publishExclusive]]: hard-link CAS on a
+    // local FS (atomic create-exclusive — exists()+rename had a
+    // check-then-act window two truly concurrent committers could both
+    // thread), rename-without-overwrite on HDFS (rename onto an
+    // existing destination FAILS there — the native atomic guard).
     val dest = manifestPath(root, version)
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
+    if (!publishExclusive(fs, tmp, dest)) {
       throw new ConcurrentCommitException(
         s"concurrent commit: _v$version.manifest already exists under " +
           s"$root", version)
@@ -559,7 +594,7 @@ object Export {
     * two concurrent appenders both succeed with both epochs in the final
     * manifest. Returns the committed version. */
   def appendSnapshot(spark: SparkSession, df: DataFrame, outDir: String,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty): Int = asInsertSurface {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
     // the epoch dir's version label is the TENTATIVE version (cosmetic —
@@ -715,7 +750,8 @@ object Export {
     * and a version committed BEFORE the evolution still time-travels
     * with its own narrower schema. */
   def appendSnapshotEvolved(spark: SparkSession, df: DataFrame,
-      outDir: String, meta: Map[String, String] = Map.empty): Int = {
+      outDir: String, meta: Map[String, String] = Map.empty): Int =
+      asInsertSurface {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
     val prev = manifestVersions(fs, root).lastOption
@@ -1157,6 +1193,14 @@ object Export {
         s"cannot RENAME '$from': ${pinned.mkString(", ")} reference " +
           "it by name - drop the constraint / generated column first")
     }
+    // an IDENTITY column's consumed watermark (`idc_` header + claim
+    // files) is keyed by NAME — a rename would reset it to zero and
+    // every later insert would re-issue taken ids
+    require(!f.metadata.contains(org.apache.spark.sql.catalyst.util
+        .IdentityColumn.IDENTITY_INFO_START),
+      s"cannot RENAME identity column '$from': its allocation " +
+        "watermark is keyed by name (drop and re-add the column to " +
+        "restart the sequence)")
     require(!st.fields.map(physicalOf).contains(to),
       s"'$to' is a live column's PHYSICAL name - old bytes under it " +
         "would alias the renamed column")
@@ -1241,6 +1285,38 @@ object Export {
         extended.json, op = "add"),
       dataLines(readManifestRaw(fs, root, head)))
     version
+  }
+
+  /** METADATA-ONLY schema evolution to `unionSchema(head, next)` — the
+    * procedure/Scala-API twin of `MERGE ... WITH SCHEMA EVOLUTION`
+    * (r15: the two front doors now agree): new columns append
+    * NULLABLE, same-named columns may WIDEN through the safe lattice,
+    * anything else refuses ([[unionSchema]]). ONE commit re-pointing
+    * the head's exact data lines — zero rewrites at any table size;
+    * older files null-fill / upcast on read. Returns the new version,
+    * or the head when nothing would change (no spurious commits). */
+  def evolveSnapshotSchema(outDir: String,
+      next: org.apache.spark.sql.types.StructType): Int = {
+    val (fs, root) = fsRoot(outDir)
+    val head = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $outDir"))
+    val st = snapshotSchema(outDir, head).getOrElse(
+      throw new IllegalStateException(s"version $head of $outDir has " +
+        "no #schema= header (pre-header manifest) - recommit first"))
+    val union = unionSchema(st, next)
+    val changed = union.fields.length != st.fields.length ||
+      union.fields.zip(st.fields).exists { case (u, o) =>
+        u.name != o.name || u.dataType != o.dataType }
+    if (!changed) head
+    else {
+      val version = head + 1
+      commitManifest(fs, root, version,
+        internalMeta(fs, root, carryBatch(fs, root, Map.empty),
+          union.json, op = "add"),
+        dataLines(readManifestRaw(fs, root, head)))
+      version
+    }
   }
 
   /** DESCRIBE DETAIL (the Delta shape): ONE row summarizing the head —
@@ -1423,11 +1499,25 @@ object Export {
       if (meta.keys.exists(_.startsWith("check_"))) Map.empty
       else headMeta.collect {
         case (k, v) if k.startsWith("check_") && v.nonEmpty => k -> v }
+    // identity consumed-watermarks (`idc_<col>`) inherit the same way:
+    // every commit re-stamps the head's, raised to any watermark this
+    // thread's epoch writer just claimed (monotone max) — the GC floor
+    // for `_idclaim` files
+    val idPending: Map[String, Long] = pendingIdentity.get()
+      .collect { case ((r, c), v) if r == root.toString => (c, v) }
+    val idCarried: Map[String, String] =
+      (headMeta.keysIterator.filter(_.startsWith("idc_")).toSet ++
+        idPending.keySet.map("idc_" + _)).map { k =>
+        val c = k.drop("idc_".length)
+        k -> math.max(
+          headMeta.get(k).map(_.toLong).getOrElse(0L),
+          idPending.getOrElse(c, 0L)).toString
+      }.toMap
     // column-mapping bookkeeping rides the same headers: the schema is
     // stamped with the physical names the epoch writer used, and the
     // retired-physical set survives every commit (like #batch=)
     val retired = headRetired(fs, root) ++ extraRetired
-    val base = meta ++ checksCarried +
+    val base = meta ++ checksCarried ++ idCarried +
       ("schema" -> mapSchema(fs, root, carried)) +
       ("op" -> op) +
       ("committed_at" ->
@@ -1475,15 +1565,19 @@ object Export {
           case None => f
         }
       }
-      // head-only GENERATED columns resurrect: the epoch writers ALWAYS
-      // materialize them into the bytes even when the caller's frame
-      // omits them, so the committed schema must keep advertising them
-      // (a narrow append must not hide a column the files carry)
+      // head-only GENERATED and IDENTITY columns resurrect: the epoch
+      // writers ALWAYS materialize them into the bytes even when the
+      // caller's frame omits them, so the committed schema must keep
+      // advertising them (a narrow append must not hide a column the
+      // files carry)
       val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
         .GENERATION_EXPRESSION_METADATA_KEY
+      val idKey = org.apache.spark.sql.catalyst.util.IdentityColumn
+        .IDENTITY_INFO_START
       val inNames = in.fieldNames.toSet
       val genMissing = head.fields.filter(f =>
-        f.metadata.contains(genKey) && !inNames(f.name))
+        (f.metadata.contains(genKey) || f.metadata.contains(idKey)) &&
+          !inNames(f.name))
       val all =
         if (genMissing.isEmpty) carried
         else {
@@ -2008,8 +2102,225 @@ object Export {
           .fields.toSeq)
         .getOrElse(Seq.empty)
       enforceChecks(storedChecks(headMeta), headFields,
-        materializeGenerated(headFields, df))
+        materializeGenerated(headFields,
+          materializeIdentity(fs, root, headFields, df)))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // IDENTITY COLUMNS (`GENERATED ALWAYS / BY DEFAULT AS IDENTITY`) —
+  // surrogate keys assigned at WRITE inside the same epoch-writer
+  // projection as generated columns and CHECKs. The allocation
+  // discipline is the import pipeline's row-id allocator (SURVEY §2
+  // P4/P8, `RowIdAllocator.scala`, mirroring the reference
+  // lightning/backend/allocator.go:40-57): a writer CLAIMS a disjoint
+  // ordinal range with one CAS — a rename-committed
+  // `_idclaim/<col>.<from>` file, exactly the manifest commit
+  // discipline, so two RACING writers get disjoint ids regardless of
+  // commit order — then assigns ids DISTRIBUTED: the dense
+  // per-partition row index (the low 33 bits of
+  // `monotonically_increasing_id`, which is exactly row_number within
+  // the partition computed WITHOUT a shuffle or sort) rebased by
+  // driver-side per-partition base offsets (one tiny counts collect
+  // over a checkpointed batch, so both passes see the same
+  // partitioning); the raw sparse value is NEVER used as an id.
+  // The consumed watermark rides the manifest headers (`idc_<col>`,
+  // carried by [[internalMeta]] like `check_*`) as the claims' GC
+  // floor. NULL slots get fresh ids; non-NULL values pass through —
+  // which makes every REWRITE (UPDATE/MERGE/compaction) id-stable by
+  // construction — and the ALWAYS no-explicit-values law is enforced
+  // per-row on the INSERT surfaces (the append entry points), where
+  // every row is new. Ids are `start + ordinal*step`: dense per epoch,
+  // monotone across a writer's commits, gaps only across writers (the
+  // SQL identity contract).
+  // ------------------------------------------------------------------
+
+  /** True while the current thread is inside an APPEND entry point
+    * (INSERT surfaces — every row of the epoch is new), where
+    * GENERATED ALWAYS AS IDENTITY refuses explicit non-NULL values.
+    * Rewrite commits (UPDATE/MERGE/replace/compact) carry existing ids
+    * through the NULL-slots-only assignment instead. */
+  private val insertSurface = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  private def asInsertSurface[T](body: => T): T = {
+    val prev = insertSurface.get()
+    insertSurface.set(true)
+    try body finally insertSurface.set(prev)
+  }
+
+  /** Per-thread (root, column) → consumed watermark the epoch writer
+    * just claimed; [[internalMeta]] stamps it as the `idc_<col>`
+    * header (monotone max with the head's). Never cleared — stamping
+    * an old watermark again is a harmless no-op under the max. */
+  private val pendingIdentity =
+    new ThreadLocal[Map[(String, String), Long]] {
+      override def initialValue(): Map[(String, String), Long] = Map.empty
+    }
+
+  private def idClaimDir(root: Path): Path = new Path(root, "_idclaim")
+
+  /** Total ids CONSUMED for `column` (ordinal space): max of the head's
+    * `idc_` header and the live claim files. Claims are listed BEFORE
+    * the header is read, so a claim GC'd in between is always covered
+    * by the newer header value — never an undercount. */
+  private def identityConsumed(fs: FileSystem, root: Path,
+      colEnc: String): Long = {
+    val dir = idClaimDir(root)
+    val fromClaims: Long =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.startsWith(colEnc + "."))
+        .flatMap { st =>
+          try {
+            val in = fs.open(st.getPath)
+            val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim finally in.close()
+            Some(txt.toLong)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.foldLeft(0L)(math.max)
+    val fromHeader = headMetaOf(fs, root).get(s"idc_$colEnc")
+      .map(_.toLong).getOrElse(0L)
+    math.max(fromClaims, fromHeader)
+  }
+
+  /** CAS-claim `n` ordinals: returns the claimed range's FROM (ids are
+    * `start + (from+i)*step`). The claim file's NAME is the from-value
+    * (the CAS point: two writers reading the same watermark collide on
+    * the name and the loser re-reads), its CONTENT the new watermark —
+    * written whole into a temp file and renamed, so a reader never
+    * sees a torn claim. Claims below the committed header floor are
+    * pruned opportunistically. */
+  private def claimIdentityRange(fs: FileSystem, root: Path,
+      colEnc: String, n: Long): Long = {
+    val dir = idClaimDir(root)
+    fs.mkdirs(dir)
+    var attempt = 0
+    while (attempt < 50) {
+      val current = identityConsumed(fs, root, colEnc)
+      val dest = new Path(dir, s"$colEnc.$current")
+      val tmp = new Path(dir, s".claim.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((current + n).toString.getBytes("UTF-8"))
+      finally out.close()
+      // the commit-point primitive: atomic create-exclusive with the
+      // content complete before the name appears; a loser re-reads the
+      // (now higher) watermark and claims the next range
+      if (publishExclusive(fs, tmp, dest)) {
+        val floor = headMetaOf(fs, root).get(s"idc_$colEnc")
+          .map(_.toLong).getOrElse(0L)
+        if (floor > 0L) fs.listStatus(dir).toSeq
+          .filter { st =>
+            val nm = st.getPath.getName
+            nm.startsWith(colEnc + ".") && nm != dest.getName &&
+              scala.util.Try(nm.drop(colEnc.length + 1).toLong)
+                .toOption.exists(from => from < floor)
+          }
+          .foreach { st =>
+            // prune only claims whose END is under the floor too
+            val end = try {
+              val in = fs.open(st.getPath)
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .mkString.trim.toLong finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+            if (end <= floor)
+              try fs.delete(st.getPath, false)
+              catch { case scala.util.control.NonFatal(_) => () }
+          }
+        return current
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"identity claim under $root kept losing CAS races")
+  }
+
+  private def materializeIdentity(fs: FileSystem, root: Path,
+      headFields: Seq[org.apache.spark.sql.types.StructField],
+      df: DataFrame): DataFrame = {
+    val IC = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val ids = headFields.filter(f =>
+      f.metadata.contains(IC.IDENTITY_INFO_START))
+    if (ids.isEmpty) df
+    else {
+      val out = ids.foldLeft(df) { case (d, f) =>
+        assignIdentity(fs, root, f, d) }
+      // keep the head's column order when a missing column was added
+      val headOrder = headFields.map(_.name)
+      val order = headOrder.filter(out.columns.contains) ++
+        out.columns.filterNot(headOrder.contains)
+      if (order == out.columns.toSeq) out
+      else out.select(order.map(colQ): _*)
+    }
+  }
+
+  private def assignIdentity(fs: FileSystem, root: Path,
+      f: org.apache.spark.sql.types.StructField,
+      d0: DataFrame): DataFrame = {
+    val IC = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val start = f.metadata.getLong(IC.IDENTITY_INFO_START)
+    val step = f.metadata.getLong(IC.IDENTITY_INFO_STEP)
+    val allowExplicit =
+      f.metadata.getBoolean(IC.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT)
+    val name = f.name
+    val d =
+      if (!d0.columns.contains(name))
+        d0.withColumn(name, lit(null).cast(nullableType(f.dataType)))
+      else if (!allowExplicit && insertSurface.get())
+        d0.filter(assert_true(colQ(name).isNull,
+          lit(s"identity column '$name' is GENERATED ALWAYS AS " +
+            "IDENTITY - explicit values are not allowed on INSERT " +
+            "(omit the column, or write NULL for a fresh id)")).isNull)
+      else d0
+    // ONE materialization of the (batch-bounded) epoch frame: the
+    // per-partition counts and the id projection must see the SAME
+    // partitioning, and the write that follows reuses the blocks
+    val snap = d.localCheckpoint(true)
+    val nulls = snap.filter(colQ(name).isNull)
+    val n = nulls.count()
+    if (n == 0L) return snap // pure rewrite: every id carries, no claim
+    val colEnc = java.net.URLEncoder.encode(name, "UTF-8")
+    val from = claimIdentityRange(fs, root, colEnc, n)
+    pendingIdentity.set(pendingIdentity.get() +
+      ((root.toString, colEnc) -> (from + n)))
+    val cols = snap.columns.toSeq
+    val pidCol = freshName("__id_pid", cols)
+    val idxCol = freshName("__id_idx", cols)
+    val baseCol = freshName("__id_base", cols)
+    // dense per-partition row index over the NULL slots alone (the
+    // filter's output order is fixed by the checkpoint blocks): the
+    // low 33 bits of monotonically_increasing_id ARE row_number within
+    // the partition, computed with NO shuffle and NO sort; the raw
+    // sparse value is never an id — it rebases through the driver's
+    // per-partition offsets, so ids come out dense 0..n-1
+    val withPid = nulls
+      .withColumn(pidCol,
+        org.apache.spark.sql.functions.spark_partition_id())
+      .withColumn(idxCol,
+        org.apache.spark.sql.functions.monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1)))
+    val counts = withPid.groupBy(col(pidCol)).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bases = counts.map { case (p, c) =>
+      val b = acc; acc += c; (p, b) }
+    val baseDf = org.apache.spark.sql.functions.broadcast(
+      d0.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          bases.toSeq.map { case (p, b) =>
+            org.apache.spark.sql.Row(p, b) }).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(pidCol,
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField(baseCol,
+            org.apache.spark.sql.types.LongType, nullable = false)))))
+    val ordinal = col(baseCol) + col(idxCol)
+    val idVal = (lit(start) + (lit(from) + ordinal) * lit(step))
+      .cast(nullableType(f.dataType))
+    val assigned = withPid.join(baseDf, pidCol)
+      .withColumn(name, idVal)
+      .drop(pidCol, idxCol, baseCol)
+    assigned.unionByName(snap.filter(colQ(name).isNotNull))
   }
 
   /** ONE-PASS constraint enforcement for the epoch writers: each row
@@ -2070,7 +2381,17 @@ object Export {
     }
     if (gens.isEmpty) df
     else {
-      val withCols = gens.foldLeft(df) { case (d, (g, e, t)) =>
+      // an EVOLVED narrow append may omit a generated column's
+      // DEPENDENCIES; the null-fill read contract means the generated
+      // value lawfully computes against NULL - shim the missing
+      // non-generated head columns as typed nulls (the enforceChecks
+      // discipline) so the expression analyzes, drop the shims after
+      val missing = headFields
+        .filterNot(f => df.columns.contains(f.name))
+        .filterNot(f => gens.exists(_._1 == f.name))
+      val shimmed = missing.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val withCols = gens.foldLeft(shimmed) { case (d, (g, e, t)) =>
         val computed = expr(e).cast(nullableType(t))
         if (!d.columns.contains(g)) d.withColumn(g, computed)
         else d
@@ -2080,19 +2401,25 @@ object Export {
               "NULL to recompute) - the write aborts")).isNull)
           .withColumn(g, coalesce(col(g), computed))
       }
+      val deshimmed = missing.foldLeft(withCols)((d, f) => d.drop(f.name))
       // keep the head's column order when a missing column was added
       val headOrder = headFields.map(_.name)
-      val order = headOrder.filter(withCols.columns.contains) ++
-        withCols.columns.filterNot(headOrder.contains)
-      if (order == withCols.columns.toSeq) withCols
-      else withCols.select(order.map(col): _*)
+      val order = headOrder.filter(deshimmed.columns.contains) ++
+        deshimmed.columns.filterNot(headOrder.contains)
+      if (order == deshimmed.columns.toSeq) deshimmed
+      else deshimmed.select(order.map(col): _*)
     }
   }
 
-  private def referencesColumn(sql: String, column: String): Boolean =
-    ("""(?<![A-Za-z0-9_`])""" +
-      java.util.regex.Pattern.quote(column) +
-      """(?![A-Za-z0-9_`])""").r.findFirstIn(sql).isDefined
+  private def referencesColumn(sql: String, column: String): Boolean = {
+    val q = java.util.regex.Pattern.quote(column)
+    // bare word-boundary match OR backtick-quoted (`col`) — a CHECK
+    // written with quoted identifiers must still pin its column, or
+    // RENAME/DROP of the referenced column would wedge later writes
+    (("""(?<![A-Za-z0-9_`])""" + q + """(?![A-Za-z0-9_`])""").r
+      .findFirstIn(sql).isDefined) ||
+      ("`" + q + "`").r.findFirstIn(sql).isDefined
+  }
 
   /** Stored CHECK texts and GENERATION expressions bind column NAMES —
     * a rename/drop of a referenced column would wedge every later
@@ -2182,7 +2509,7 @@ object Export {
     * Returns the committed version. */
   def appendSnapshotChecked(spark: SparkSession, df: DataFrame,
       outDir: String, constraints: Map[String, String] = Map.empty,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty): Int = asInsertSurface {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
     val prev = manifestVersions(fs, root).lastOption
@@ -2343,7 +2670,7 @@ object Export {
   def appendSnapshotPartitioned(spark: SparkSession, df: DataFrame,
       outDir: String, partitionCols: Seq[String], nFiles: Int = 1,
       zoneKey: Option[String] = None,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty): Int = asInsertSurface {
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
     val version = manifestVersions(fs, root).lastOption.getOrElse(0) + 1
@@ -2848,7 +3175,8 @@ object Export {
     * pruning. Returns the DISTINCT key tuples of the planned files
     * (DV-subtracted, logical names). */
   def snapshotKeysOverlapping(spark: SparkSession, outDir: String,
-      version: Int, keyCols: Seq[String], batch: DataFrame): DataFrame = {
+      version: Int, keyCols: Seq[String], batch: DataFrame,
+      residual: Option[Column] = None): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     val (fs, root) = fsRoot(outDir)
     val lines = dataLines(readManifestRaw(fs, root, version))
@@ -2863,7 +3191,7 @@ object Export {
       min(col(k)).cast("long").as(s"__lo_$k"),
       max(col(k)).cast("long").as(s"__hi_$k")))
     val env = batch.agg(aggs.head, aggs.tail: _*).collect().head
-    val conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    val envConjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
       keyCols.zipWithIndex.flatMap { case (k, i) =>
         if (env.isNullAt(2 * i) || env.isNullAt(2 * i + 1)) Nil
         else {
@@ -2874,6 +3202,18 @@ object Export {
             LessThanOrEqual(a, Literal(env.getLong(2 * i + 1))))
         }
       }
+    // a caller-supplied TARGET-side residual (the MERGE ON filter
+    // conjuncts) prunes files through the SAME excludes kernel, then
+    // filters the scanned rows — only residual-true incumbents can
+    // block an insert
+    val resConjuncts = residual.toSeq.flatMap { c =>
+      try graft.sources.GraftLakeBatch.splitConjuncts(
+        graft.sources.GraftLakeBatch.normalizeOps(
+          org.apache.spark.sql.GraftColumnBridge.catalystExpression(c)))
+      catch { case scala.util.control.NonFatal(_) =>
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression] }
+    }
+    val conjuncts = envConjuncts ++ resConjuncts
     def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
       statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
     val hit = lines.filter { l =>
@@ -2881,8 +3221,26 @@ object Export {
       conjuncts.forall(c =>
         !graft.sources.GraftLakeBatch.excludes(c, e, physOf))
     }
-    readFilesAs(spark, fs, root, version, hit.map(pathOf).toIndexedSeq)
+    val rows = readFilesAs(spark, fs, root, version,
+      hit.map(pathOf).toIndexedSeq)
+    residual.fold(rows)(rows.filter)
       .select(keyCols.map(col): _*).distinct()
+  }
+
+  /** DISTINCT partition tuples of `version` under `partitionCols`
+    * (string values in column order) — ONE manifest read, zero data
+    * reads: the candidate enumeration for partition-scoping DML whose
+    * keys don't cover the layout but whose ON residuals do. */
+  def snapshotPartitionTuples(outDir: String, version: Int,
+      partitionCols: Seq[String]): Set[Seq[String]] = {
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, version))
+    val st = snapshotSchema(outDir, version)
+    val physCols = partitionCols.map(c =>
+      st.flatMap(_.fields.find(_.name == c)).map(physicalOf)
+        .getOrElse(c))
+    requirePartitioned(lines, physCols, "snapshotPartitionTuples")
+    lines.map(l => partTuple(l, physCols)).toSet
   }
 
   // ------------------------------------------------------------------
@@ -3443,9 +3801,9 @@ object Export {
       setMap.get(f.name) match {
         case Some(v) =>
           when(hitCond, v.cast(nullableType(f.dataType)))
-            .otherwise(col(f.name))
+            .otherwise(colQ(f.name))
             .as(f.name, f.metadata)
-        case None => col(f.name)
+        case None => colQ(f.name)
       }
     }: _*)
     val partCols = snapshotPartitionColumns(outDir, latest)
@@ -3578,7 +3936,7 @@ object Export {
         setMap.get(f.name) match {
           case Some(v) =>
           v.cast(nullableType(f.dataType)).as(f.name, f.metadata)
-          case None => col(f.name)
+          case None => colQ(f.name)
         }
       }: _*)
       // the insert epoch must keep a partitioned table consistently

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedLeafNode
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.trees.TreePattern
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** `DESCRIBE HISTORY <table|'path'>` / `DESCRIBE DETAIL <table|'path'>`
+  * — the Delta-shaped operational statements. Spark's grammar has no
+  * rule for them (Delta ships its own parser extension for exactly
+  * this), so a thin DELEGATING parser claims these two shapes — one
+  * compiled-regex probe per statement; everything else, including
+  * every `DESCRIBE [TABLE]` form, passes through verbatim — and
+  * resolution happens in [[RewriteGraftLakeDdl]], which rewrites the
+  * carrier node to the same MANIFEST-ONLY plans as the
+  * `graft_history` / `graft_detail` TVFs (by-name parity is
+  * spec-pinned). Note `DESCRIBE history` (a table named history)
+  * still reaches Spark: the probe requires a target after the
+  * keyword. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val Desc =
+    """(?is)^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+(.+?)\s*;?\s*$""".r
+  private val SQuoted = """^'([^']+)'$""".r
+  private val DQuoted = """^"([^"]+)"$""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Desc(kind, target) =>
+      target.trim match {
+        case SQuoted(p) => GraftDescribeStatement(kind.toUpperCase, Nil,
+          Some(p))
+        case DQuoted(p) => GraftDescribeStatement(kind.toUpperCase, Nil,
+          Some(p))
+        case t => GraftDescribeStatement(kind.toUpperCase,
+          delegate.parseMultipartIdentifier(t), None)
+      }
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(
+      sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Unresolved `DESCRIBE HISTORY/DETAIL` carrier (kind is "HISTORY" or
+  * "DETAIL"; exactly one of nameParts/path is set), claimed at the
+  * hint seam by [[RewriteGraftLakeDdl]]. Carries the COMMAND pattern
+  * so the rule's pruning guard visits it. */
+final case class GraftDescribeStatement(kind: String,
+    nameParts: Seq[String], path: Option[String])
+    extends UnresolvedLeafNode {
+  final override val nodePatterns: Seq[TreePattern.TreePattern] =
+    Seq(TreePattern.COMMAND)
+}

@@ -75,12 +75,39 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       else None
     } catch { case NonFatal(_) => None }
 
+  /** Qualify a 1-2-part name with the session's CURRENT catalog and
+    * namespace (the `USE <lakecat>.<ns>` surface): short references
+    * must reach the same rewrite as fully-qualified ones, or the view
+    * surface silently shrinks whenever a lake catalog is current.
+    * Spark's precedence law is preserved: a TEMP view always claims a
+    * 1-part name and `global_temp` claims its 2-part names, so
+    * qualification never shadows either. */
+  private def qualified(parts: Seq[String]): Seq[String] =
+    if (parts.length >= 3 || parts.isEmpty) parts
+    else {
+      val cm = spark.sessionState.catalogManager
+      val cat = cm.currentCatalog.name
+      if (warehouseOf(cat).isEmpty) parts
+      else if (parts.length == 2) {
+        val globalDb = spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.StaticSQLConf.GLOBAL_TEMP_DATABASE)
+        if (parts.head.equalsIgnoreCase(globalDb)) parts
+        else cat +: parts
+      } else if (spark.sessionState.catalog.getTempView(parts.head).isEmpty)
+        cat +: (cm.currentNamespace.toSeq ++ parts)
+      else parts
+    }
+
   /** `cat.ns….name` → the view's directory, when `cat` is a configured
     * lake catalog. Two segments minimum after the catalog (a namespace
-    * and the view name) — the lake warehouse is namespace-rooted. */
-  private def viewDirOf(parts: Seq[String]): Option[String] =
+    * and the view name) — the lake warehouse is namespace-rooted;
+    * shorter names qualify through the session's current catalog and
+    * namespace first ([[qualified]]). */
+  private def viewDirOf(parts0: Seq[String]): Option[String] = {
+    val parts = qualified(parts0)
     if (parts.length < 3) None
     else warehouseOf(parts.head).map(w => (w +: parts.tail).mkString("/"))
+  }
 
   private def identParts(p: LogicalPlan): Option[Seq[String]] = p match {
     case u: UnresolvedIdentifier => Some(u.nameParts)
@@ -125,9 +152,25 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       case a: AlterViewAs
           if identParts(a.child).exists(p => viewDirOf(p).isDefined) =>
         rewriteAlterAs(a, identParts(a.child).get)
-      case s: ShowViews if namespaceParts(s.namespace)
+      case s: ShowViews if namespaceParts(s.namespace).map(qualifiedNs)
           .exists(p => p.nonEmpty && warehouseOf(p.head).isDefined) =>
-        rewriteShow(s, namespaceParts(s.namespace).get)
+        rewriteShow(s, qualifiedNs(namespaceParts(s.namespace).get))
+      // DESCRIBE HISTORY / DESCRIBE DETAIL (parsed by
+      // [[GraftSqlParser]]): resolve the name through the same
+      // qualification as views, then plan the exact manifest-only
+      // frame the graft_history / graft_detail TVFs serve — pure
+      // metadata reads, resolved eagerly like SHOW VIEWS
+      case d: GraftDescribeStatement =>
+        val dir = d.path.orElse(viewDirOf(d.nameParts)
+            .filter(x => Export.latestSnapshotVersion(x) >= 1))
+          .getOrElse(throw new IllegalArgumentException(
+            s"DESCRIBE ${d.kind} ${d.nameParts.mkString(".")}: not a " +
+              "lake table (fully qualify the name, USE the lake " +
+              "catalog, or pass a quoted path)"))
+        val df =
+          if (d.kind == "HISTORY") Export.snapshotHistory(spark, dir)
+          else Export.snapshotDetail(spark, dir)
+        df.queryExecution.logical
       // ALTER TABLE ... ADD CONSTRAINT name CHECK (...) / DROP
       // CONSTRAINT: Spark's own route dies twice for this engine
       // (ResolveSessionCatalog rejects any AddCheckConstraint whose
@@ -193,7 +236,9 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
     * the column list applies by position. */
   private def expand(parts: Seq[String],
       seen: Set[Seq[String]]): LogicalPlan = {
-    val key = parts.map(_.toLowerCase)
+    // cycle keys are the QUALIFIED name, so a short reference under
+    // USE and its fully-qualified spelling are the same view
+    val key = qualified(parts).map(_.toLowerCase)
     if (seen.contains(key))
       throw new IllegalStateException(
         s"cyclic view reference: ${parts.mkString(".")} refers " +
@@ -206,9 +251,20 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
     val parsed = CatalystSqlParser.parsePlan(vd.sql)
     val inner = parsed.transformUpWithPruning(
         _.containsPattern(UNRESOLVED_RELATION)) {
-      case u: UnresolvedRelation
-          if !u.isStreaming && isView(u.multipartIdentifier) =>
-        expand(u.multipartIdentifier, seen + key)
+      case u: UnresolvedRelation if !u.isStreaming =>
+        // a SHORT name inside the TEXT binds to the view's CREATION
+        // context (the SQL view-default-database law) — never to the
+        // reading session's USE state
+        val raw = u.multipartIdentifier
+        val bound =
+          if (raw.length >= 3 || vd.ctx.isEmpty) raw
+          else if (raw.length == 2) vd.ctx.head +: raw
+          else vd.ctx ++ raw
+        if (isView(bound)) expand(bound, seen + key)
+        else if (bound != raw && viewDirOf(bound).exists(d =>
+            Export.latestSnapshotVersion(d) >= 1))
+          u.copy(multipartIdentifier = bound)
+        else u
     }
     val body =
       if (vd.cols.isEmpty) inner
@@ -255,8 +311,11 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
         throw new IllegalStateException(
           s"view ${parts.mkString(".")} already exists (use CREATE OR " +
             "REPLACE VIEW, or IF NOT EXISTS)")
-      if (!exists || replace)
-        writeView(dir, ViewDef(sql, cols, comment))
+      if (!exists || replace) {
+        val cm = s.sessionState.catalogManager
+        writeView(dir, ViewDef(sql, cols, comment,
+          cm.currentCatalog.name +: cm.currentNamespace.toSeq))
+      }
       ()
     })
   }
@@ -287,7 +346,10 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
               s"a TEMPORARY view ('${v.desc.identifier.table}')")
         case _ =>
       }
-      writeView(dir, ViewDef(sql, Nil, existing.comment))
+      // the NEW text binds to the ALTERING session's context
+      val cm = s.sessionState.catalogManager
+      writeView(dir, ViewDef(sql, Nil, existing.comment,
+        cm.currentCatalog.name +: cm.currentNamespace.toSeq))
       ()
     })
   }
@@ -311,7 +373,21 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       case u: UnresolvedNamespace => Some(u.multipartIdentifier)
       case r: ResolvedNamespace =>
         Some(r.catalog.name +: r.namespace)
+      case _ if p == org.apache.spark.sql.catalyst.analysis
+          .CurrentNamespace => Some(Nil)
       case _ => None
+    }
+
+  /** SHOW VIEWS' namespace under `USE`: a 0-1-part namespace whose
+    * head is not a catalog qualifies with the current catalog (and,
+    * when empty, the current namespace). */
+  private def qualifiedNs(parts: Seq[String]): Seq[String] =
+    if (parts.nonEmpty && warehouseOf(parts.head).isDefined) parts
+    else {
+      val cm = spark.sessionState.catalogManager
+      if (warehouseOf(cm.currentCatalog.name).isEmpty) parts
+      else cm.currentCatalog.name +:
+        (if (parts.isEmpty) cm.currentNamespace.toSeq else parts)
     }
 
   /** SHOW VIEWS — a pure metadata read: resolve to the listed rows at
@@ -340,66 +416,123 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
 }
 
 /** The `_view` file format + FS helpers (urlencoded `k=v` lines, the
-  * manifest property idiom — no JSON dependency, atomic overwrite via
-  * create-temp-then-rename like every lake commit). */
+  * manifest property idiom — no JSON dependency). A view definition is
+  * a GENERATION file `_view.N` (a legacy bare `_view` reads as
+  * generation 0); a REPLACE commits `_view.N+1` through the same
+  * non-overwriting create-temp-then-rename pair as every manifest, so
+  * the OLD definition stays readable until the new one is fully
+  * committed — a reader racing `CREATE OR REPLACE` sees old-or-new,
+  * never a missing or torn view (delete-then-rename had exactly that
+  * window, and rename-with-OVERWRITE is delete+rename inside Hadoop's
+  * local FileContext too). Superseded generations are pruned
+  * best-effort, keeping the immediate predecessor for in-flight
+  * readers; a reader that loses the prune race re-lists — generations
+  * only grow, so the retry converges. */
 object GraftLakeViews {
 
+  /** `ctx` is the CREATING session's current catalog+namespace — the
+    * SQL view-default-database law: short names inside the stored text
+    * bind to where the view was created, not to the reading session's
+    * `USE` state. Empty on pre-r15 view files (their texts were
+    * necessarily fully qualified). */
   final case class ViewDef(sql: String, cols: Seq[String],
-      comment: Option[String])
+      comment: Option[String], ctx: Seq[String] = Nil)
 
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
 
-  private def fileOf(dir: String): (org.apache.hadoop.fs.FileSystem, Path) = {
-    val (fs, root) = Export.fsRoot(dir)
-    (fs, new Path(root, "_view"))
+  /** All committed view-definition generations under `root`. */
+  private def viewFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n == "_view") Some((0L, p))
+      else if (n.startsWith("_view.") && !n.endsWith(".tmp"))
+        scala.util.Try(n.drop("_view.".length).toLong).toOption
+          .map((_, p))
+      else None
+    }
+
+  private def parseView(fs: org.apache.hadoop.fs.FileSystem,
+      f: Path): ViewDef = {
+    val in = fs.open(f)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    val kvs = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); (k, dec(v)) }
+      .toSeq
+    val sql = kvs.collectFirst { case ("sql", v) => v }.getOrElse(
+      throw new IllegalStateException(s"$f has no sql= line"))
+    ViewDef(sql, kvs.collect { case ("col", v) => v },
+      kvs.collectFirst { case ("comment", v) => v },
+      kvs.collect { case ("ctx", v) => v })
   }
 
   def readView(dir: String): Option[ViewDef] = {
-    val (fs, f) = fileOf(dir)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString finally in.close()
-      val kvs = text.linesIterator.filter(_.contains("="))
-        .map { l => val Array(k, v) = l.split("=", 2); (k, dec(v)) }
-        .toSeq
-      val sql = kvs.collectFirst { case ("sql", v) => v }.getOrElse(
-        throw new IllegalStateException(s"$f has no sql= line"))
-      Some(ViewDef(sql, kvs.collect { case ("col", v) => v },
-        kvs.collectFirst { case ("comment", v) => v }))
+    val (fs, root) = Export.fsRoot(dir)
+    var attempt = 0
+    while (attempt <= 8) {
+      viewFiles(fs, root).maxByOption(_._1) match {
+        case None => return None
+        case Some((_, f)) =>
+          try return Some(parseView(fs, f))
+          catch {
+            // the generation was pruned between listing and open — a
+            // NEWER one exists by construction; re-list (bounded: each
+            // miss proves another replace landed)
+            case e: java.io.FileNotFoundException =>
+              attempt += 1
+              if (attempt > 8) throw e
+          }
+      }
     }
+    None // unreachable
   }
 
   def writeView(dir: String, vd: ViewDef): Unit = {
-    val (fs, f) = fileOf(dir)
-    fs.mkdirs(f.getParent)
-    val tmp = new Path(f.getParent, s"._view.${System.nanoTime()}.tmp")
-    val out = fs.create(tmp, true)
-    try {
-      val lines = Seq(s"sql=${enc(vd.sql)}") ++
-        vd.cols.map(c => s"col=${enc(c)}") ++
-        vd.comment.map(c => s"comment=${enc(c)}") ++
-        Seq(s"created_at=${System.currentTimeMillis()}")
-      out.write(lines.mkString("\n").getBytes("UTF-8"))
-    } finally out.close()
-    if (fs.exists(f)) fs.delete(f, false)
-    if (!fs.rename(tmp, f))
-      throw new IllegalStateException(s"rename $tmp -> $f failed")
+    val (fs, root) = Export.fsRoot(dir)
+    fs.mkdirs(root)
+    val payload = (Seq(s"sql=${enc(vd.sql)}") ++
+      vd.cols.map(c => s"col=${enc(c)}") ++
+      vd.comment.map(c => s"comment=${enc(c)}") ++
+      vd.ctx.map(c => s"ctx=${enc(c)}") ++
+      Seq(s"created_at=${System.currentTimeMillis()}"))
+      .mkString("\n").getBytes("UTF-8")
+    var attempt = 0
+    while (attempt < 10) {
+      val gen = viewFiles(fs, root).map(_._1).maxOption.getOrElse(-1L) + 1
+      val dest = new Path(root, s"_view.$gen")
+      val tmp = new Path(root, s"._view.${System.nanoTime()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(payload) finally out.close()
+      // the manifest commit-point primitive (atomic create-exclusive,
+      // content complete before the name appears); a loser re-reads
+      // and claims gen+1
+      if (Export.publishExclusive(fs, tmp, dest)) {
+        viewFiles(fs, root).sortBy(_._1).dropRight(2).foreach {
+          case (_, p) =>
+            try fs.delete(p, false)
+            catch { case NonFatal(_) => () } // next replace re-prunes
+        }
+        return
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"view commit under $root kept losing replace races")
   }
 
   def deleteView(dir: String): Unit = {
     val (fs, root) = Export.fsRoot(dir)
-    fs.delete(root, true) // the dir holds only _view (never manifests)
+    fs.delete(root, true) // the dir holds only _view* (never manifests)
   }
 
   def listViews(nsDir: String): Seq[String] = {
     val (fs, root) = Export.fsRoot(nsDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory &&
-        fs.exists(new Path(st.getPath, "_view")))
+      .filter(st => st.isDirectory && viewFiles(fs, st.getPath).nonEmpty)
       .map(_.getPath.getName)
   }
 }

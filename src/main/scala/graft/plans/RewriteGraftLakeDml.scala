@@ -54,11 +54,14 @@ import graft.sources.GraftLakeTable
   * `needSchemaEvolution` holds). Struct-field assignment targets
   * (`SET meta.score = v`, r14) fold into whole-column `withField`
   * rebuilds, so UPDATE and every MERGE UPDATE clause accept them.
+  * TARGET-side ON filter conjuncts (`ON t.k = s.k AND t.dt = '...'`,
+  * the Delta prune-assisted merge idiom, r15) fold into the general
+  * rewrite's match condition AND its partition prune.
   * Still refused loudly (never half-applied): time-travel targets,
-  * non-equality ON conjuncts, an ON clause binding one target column
-  * to DIFFERENT source expressions, overlapping assignments to one
-  * root column, and nested INSERT targets (no base row to rebuild).
-  * Execution is DEFERRED to the
+  * source-referencing ON residuals, an ON clause binding one target
+  * column to DIFFERENT source expressions, overlapping assignments to
+  * one root column, and nested INSERT targets (no base row to
+  * rebuild). Execution is DEFERRED to the
   * physical node ([[GraftDmlStatement]] is a Command: `spark.sql` runs
   * it eagerly, `EXPLAIN` plans it without committing). The rule itself
   * is O(1) on non-DML statements: commands carry the COMMAND tree
@@ -122,34 +125,13 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     case _ => None
   }
 
-  /** Fold one root column's assignments into ONE whole-column value, so
-    * every commit path below keeps operating on top-level columns. A
-    * whole-column assignment must be alone for its root, and nested
-    * paths must not overlap (the SQL duplicate-assignment law —
-    * `SET meta = ..., meta.score = ...` has no defined order); field
-    * assignments rebuild the struct in place via `withField`, so a
-    * NULL struct stays NULL — no phantom partial rows invented. */
+  /** Fold one root column's assignments into ONE whole-column value —
+    * delegated to [[DmlAssignments.fold]], the law shared with the
+    * `graft_update` procedure front door. */
   private def foldAssignments(root: String, base: Column,
       items: Seq[(Seq[String], Column)],
       refuse: String => Nothing): Column =
-    if (items.exists(_._1.isEmpty)) {
-      if (items.size > 1)
-        refuse(s"column '$root' is assigned more than once")
-      items.head._2
-    } else {
-      items.map(_._1).combinations(2).foreach { pair =>
-        val (a, b) = (pair.head, pair(1))
-        if (a.startsWith(b) || b.startsWith(a))
-          refuse(s"conflicting assignments under '$root': paths " +
-            s"${a.mkString(".")} and ${b.mkString(".")} overlap")
-      }
-      items.foldLeft(base) { case (acc, (p, v)) =>
-        p.foreach(n => if (n.contains(".") || n.contains("`"))
-          refuse(s"struct field '$n' under '$root' cannot be " +
-            "addressed by a dotted path (name contains '.' or '`')"))
-        acc.withField(p.mkString("."), v)
-      }
-    }
+    DmlAssignments.fold(root, base, items, refuse)
 
   private def rewriteUpdate(u: UpdateTable,
       t: GraftLakeTable): LogicalPlan = {
@@ -165,7 +147,10 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         case Some((ar, p)) =>
           (ar.name, p, asColumn(a.value).cast(Export.nullableType(a.key.dataType)))
         case None => refuse("assignment target must be a top-level " +
-          s"column or a struct-field path over one, got ${a.key}")
+          s"column or a struct-field path over one, got ${a.key} " +
+          "(Spark's UPDATE grammar has no array-element targets; " +
+          "use graft_update(path, 'tags[0]=expr', predicate) for " +
+          "element rewrites)")
       }
     }
     val sets = triples.groupBy(_._1).toSeq.map { case (root, items) =>
@@ -289,22 +274,39 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
           if tOut.contains(ta) && sOut.contains(sa) => Some((ta, sa))
       case _ => None
     }
-    // ON clause: a conjunction of target-col = source-col equalities;
-    // each pair is a merge key (`<=>` keeps its null-matching semantics
-    // through the general path's join)
-    val rawConds: Seq[(AttributeReference, AttributeReference, Boolean)] =
-      graft.sources.GraftLakeBatch.splitConjuncts(m.mergeCondition).map {
+    // ON clause: a conjunction of target-col = source-col equalities
+    // (the merge keys; `<=>` keeps its null-matching semantics through
+    // the general path's join) plus optional TARGET-side FILTER
+    // conjuncts (`ON t.k = s.k AND t.dt = '2024-08-01'` — the Delta
+    // prune-assisted merge idiom): a target row failing a filter
+    // conjunct matches NO source row. Source-referencing residuals are
+    // refused — they change which source rows count as matched in ways
+    // a single-key rewrite cannot express soundly.
+    def keyPair(c: Expression)
+        : Option[(AttributeReference, AttributeReference, Boolean)] =
+      c match {
         case EqualTo(a, b) => sideOf(a, b).map { case (ta, sa) =>
-            (ta, sa, false) }.getOrElse(
-          refuse(s"ON conjunct $a = $b is not a target-column = " +
-            "source-column equality"))
+          (ta, sa, false) }
         case EqualNullSafe(a, b) => sideOf(a, b).map { case (ta, sa) =>
-            (ta, sa, true) }.getOrElse(
-          refuse(s"ON conjunct $a <=> $b is not a target-column = " +
-            "source-column equality"))
-        case other => refuse(s"ON clause has a non-equality conjunct: " +
-          s"$other")
+          (ta, sa, true) }
+        case _ => None
       }
+    val (eqCs, residuals) = graft.sources.GraftLakeBatch
+      .splitConjuncts(m.mergeCondition)
+      .partition(c => keyPair(c).isDefined)
+    residuals.foreach { r =>
+      if (r.references.exists(sOut.contains))
+        refuse(s"ON conjunct $r is neither a target=source column " +
+          "equality nor a TARGET-side filter (source-referencing " +
+          "residuals are not supported)")
+      if (!r.deterministic)
+        refuse(s"ON filter conjunct $r is nondeterministic")
+    }
+    if (eqCs.isEmpty)
+      refuse("ON clause has no target=source column equality to " +
+        "merge on")
+    val rawConds: Seq[(AttributeReference, AttributeReference, Boolean)] =
+      eqCs.map(c => keyPair(c).get)
     // one pair per target column: duplicate conjuncts binding the SAME
     // source column collapse (EqualTo wins over <=> — their conjunction
     // is the plain equality); different sources are refused, because
@@ -321,11 +323,16 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         (group.head._1, group.head._2, group.forall(_._3))
       }
 
-    // ---- fast paths: each claims only its exact shape, else misses
-    canonical(rewriteMergeDelete(m, t, keyConds, refuse))
+    // ---- fast paths: each claims only its exact BARE-EQUALITY shape,
+    // else misses; filter conjuncts always take the general rewrite
+    // (which folds them into the match condition AND the partition
+    // prune)
+    if (residuals.nonEmpty)
+      rewriteMergeGeneral(m, t, keyConds, residuals, refuse)
+    else canonical(rewriteMergeDelete(m, t, keyConds, refuse))
       .orElse(canonical(rewriteMergeInsertOnly(m, t, keyConds, refuse)))
       .orElse(canonical(rewriteMergeUpsert(m, t, keyConds, refuse)))
-      .getOrElse(rewriteMergeGeneral(m, t, keyConds, refuse))
+      .getOrElse(rewriteMergeGeneral(m, t, keyConds, Nil, refuse))
   }
 
   /** `WHEN MATCHED THEN DELETE` (alone, unconditioned): an anti-join
@@ -540,6 +547,7 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     * is broadcast when small (AQE). */
   private def rewriteMergeGeneral(m: MergeIntoTable, t: GraftLakeTable,
       keyConds: Seq[(AttributeReference, AttributeReference, Boolean)],
+      residuals: Seq[Expression],
       refuse: String => Nothing): LogicalPlan = {
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
@@ -562,6 +570,18 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         UnresolvedAttribute.quoted(a.name)
     }
     def rebC(e: Expression): Column = GraftColumnBridge.column(rebind(e))
+
+    // TARGET-side ON filter conjuncts: a target row failing one
+    // matches NO source row (so it's NOT MATCHED [BY SOURCE]), and a
+    // source row whose key partners all fail it is NOT MATCHED —
+    // folding the residual into the outer-join condition gives exactly
+    // that. `resByRefs` keeps each conjunct with its referenced column
+    // names so the partition prune below can evaluate the
+    // layout-column subset against candidate tuples.
+    val resFilter: Option[Column] =
+      residuals.map(rebC).reduceOption(_ && _)
+    val resByRefs: Seq[(Set[String], Column)] =
+      residuals.map(r => (r.references.toSeq.map(_.name).toSet, rebC(r)))
 
     def assignsOf(as: Seq[Assignment], what: String,
         sourceAllowed: Boolean): Map[String, Column] = {
@@ -671,10 +691,18 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       val joinCond = keyCaptured.map { case (tn, sn, ns) =>
         if (ns) col(tn) <=> col(sn) else col(tn) === col(sn)
       }.reduce(_ && _)
+      // the MATCH condition folds the target-side ON residual in; the
+      // anti-join legs instead pre-filter their target side with it
+      // (equivalent for a target-only predicate, and it keeps the
+      // anti-join an equi-join)
+      val matchCond = resFilter.fold(joinCond)(joinCond && _)
       val partCols = Export.snapshotPartitionColumns(dir, latest)
 
-      def insertRows(existing: DataFrame): DataFrame = {
-        val notM = src.join(existing, joinCond, "left_anti")
+      // `eligible` must be the residual-TRUE target rows: a source row
+      // keyed only to residual-false incumbents is NOT MATCHED and
+      // must insert
+      def insertRows(eligible: DataFrame): DataFrame = {
+        val notM = src.join(eligible, joinCond, "left_anti")
         val withIdx = notM.withColumn(insCol,
           firstIdx(insertActs.map(_._1)))
         // a column the INSERT clause leaves unassigned takes its
@@ -706,14 +734,20 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         // conditioned-insert-only: every target row carries — commit as
         // an APPEND against the envelope-pruned key scan, never a
         // rewrite (sound for plain-equality keys; a null-safe key can
-        // match NULL incumbents the envelope cannot see, so it scans)
+        // match NULL incumbents the envelope cannot see, so it scans).
+        // An ON residual both PRUNES the scan (its conjuncts reach the
+        // excludes kernel) and filters the incumbents — only
+        // residual-true rows can block an insert.
         val existing =
           if (keyCaptured.forall(!_._3))
             Export.snapshotKeysOverlapping(s, dir, latest, keys,
               src.select(keyCaptured.map { case (tn, sn, _) =>
-                col(sn).as(tn) }: _*))
-          else Export.readSnapshot(s, dir, latest)
-            .select(keys.map(col): _*).distinct()
+                col(sn).as(tn) }: _*), residual = resFilter)
+          else {
+            val all = Export.readSnapshot(s, dir, latest)
+            resFilter.fold(all)(all.filter)
+              .select(keys.map(col): _*).distinct()
+          }
         val fresh = insertRows(existing)
         if (partCols.nonEmpty)
           Export.appendSnapshotPartitioned(s, fresh, dir, partCols)
@@ -743,7 +777,7 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         // by the full, partition-scoped and zone-scoped commits
         def resolveAgainst(base: DataFrame): DataFrame = {
           val joined = base.join(src.withColumn(marker, lit(true)),
-            joinCond, "left_outer")
+            matchCond, "left_outer")
           val isM = coalesce(col(marker), lit(false))
           val tagged = joined
             .withColumn(miCol, firstIdx(matchedActs.map(_._1)))
@@ -769,36 +803,104 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
                 .as(f.name, f.metadata)
             }: _*)
           if (insertActs.isEmpty) kept
-          else kept.unionByName(insertRows(base))
+          else kept.unionByName(
+            insertRows(resFilter.fold(base)(base.filter)))
         }
 
-        // PARTITION-SCOPED general merge: with `layout ⊆ keys` and no
-        // by-source clauses, every matched row lives in a partition
-        // named by the source keys (a key pins its partition), so the
-        // outer join, the clause resolution and the rewrite all run
-        // over the TOUCHED partitions only — untouched partitions'
-        // files carry verbatim, and an insert landing outside them
-        // appends additively. By-source clauses break the scoping
-        // (they fire on unmatched rows anywhere in the table).
-        val scoped = partCols.nonEmpty && bySourceActs.isEmpty &&
-          partCols.toSet.subsetOf(keys.toSet)
-        if (scoped) {
-          val tupleCols = partCols.map(pc =>
-            keyCaptured.find(_._1 == pc).get._2)
-          val touched: Set[Seq[String]] =
-            src.select(tupleCols.map(c => col(c).cast("string")): _*)
-              .distinct().collect()
+        // PARTITION-SCOPED general merge, two ways in (by-source
+        // clauses break both — they fire on unmatched rows anywhere):
+        //  - `layout ⊆ keys`: every matched row lives in a partition
+        //    named by the source keys (a key pins its partition), so
+        //    touched = the source's distinct key tuples — further
+        //    SHRUNK by any layout-column ON residual (a residual-false
+        //    partition cannot hold a matched row);
+        //  - layout NOT ⊆ keys but constrained by the ON residual
+        //    and/or a layout-column key (the Delta prune-assisted
+        //    idiom `ON t.k = s.k AND t.dt = '...'` on a dt-partitioned
+        //    table): candidates = the MANIFEST's partition tuples,
+        //    minus tuples a layout-column residual proves false, minus
+        //    tuples whose key-covered columns match no source value.
+        // Either way the outer join, clause resolution and rewrite run
+        // over the candidate partitions only — the rest carry
+        // verbatim, and an insert landing outside them appends
+        // additively. Unprovable tuples are KEPT (a NULL residual or
+        // an uncastable value never excludes — correctness over
+        // pruning).
+        val partSet = partCols.toSet
+        val partRes = resByRefs.collect {
+          case (refs, c) if refs.nonEmpty && refs.subsetOf(partSet) => c }
+        def residualTrueTuples(tuples: Set[Seq[String]])
+            : Set[Seq[String]] =
+          if (partRes.isEmpty || tuples.isEmpty) tuples
+          else {
+            import org.apache.spark.sql.types.{StringType, StructField, StructType}
+            val schema = StructType(partCols.map(c =>
+              StructField(s"__s_$c", StringType)))
+            val rows = tuples.toSeq.map(tp =>
+              org.apache.spark.sql.Row(tp: _*))
+            val df = s.createDataFrame(
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+              schema)
+            val typed = partCols.foldLeft(df)((d, c) =>
+              d.withColumn(c, org.apache.spark.sql.functions.expr(
+                s"try_cast(`__s_$c` AS " +
+                  s"${st.fields.find(_.name == c).get.dataType.sql})")))
+            typed.filter(partRes.map(r => coalesce(r, lit(true)))
+                .reduce(_ && _))
+              .select(partCols.map(c => col(s"__s_$c")): _*)
+              .collect()
               .map(r => partCols.indices.map(i => r.getString(i))
                 : Seq[String]).toSet
-          if (touched.nonEmpty) {
+          }
+        val touchedOpt: Option[Set[Seq[String]]] =
+          if (partCols.isEmpty || bySourceActs.nonEmpty) None
+          else if (partSet.subsetOf(keys.toSet)) {
+            val tupleCols = partCols.map(pc =>
+              keyCaptured.find(_._1 == pc).get._2)
+            Some(residualTrueTuples(
+              src.select(tupleCols.map(c => col(c).cast("string")): _*)
+                .distinct().collect()
+                .map(r => partCols.indices.map(i => r.getString(i))
+                  : Seq[String]).toSet))
+          } else if (partRes.nonEmpty ||
+              partCols.exists(pc => keyCaptured.exists(k =>
+                k._1 == pc && !k._3))) {
+            val all = Export.snapshotPartitionTuples(dir, latest,
+              partCols)
+            // plain-equality key columns in the layout: a matched
+            // row's value equals some source key value (string form is
+            // the p= spec form, the same cast the ⊆-keys path uses);
+            // null-safe keys skip the filter (NULL matches NULL
+            // incumbents whose spec string is the null marker)
+            val keyVals: Map[Int, Set[String]] =
+              partCols.zipWithIndex.collect {
+                case (pc, i) if keyCaptured.exists(k =>
+                    k._1 == pc && !k._3) =>
+                  val sn = keyCaptured.find(_._1 == pc).get._2
+                  i -> src.select(col(sn).cast("string")).distinct()
+                    .collect().flatMap(r =>
+                      if (r.isNullAt(0)) None else Some(r.getString(0)))
+                    .toSet
+              }.toMap
+            Some(residualTrueTuples(all.filter(tp =>
+              keyVals.forall { case (i, vs) => vs.contains(tp(i)) })))
+          } else None
+        touchedOpt match {
+          case Some(touched) =>
             val base = Export.readSnapshotPartitionTuples(s, dir,
               latest, partCols, touched)
-            Export.replaceSnapshotPartitionsScoped(s,
-              resolveAgainst(base), dir, partCols, touched,
-              meta = Map(
-                "merged_partitions" -> touched.size.toString))
-          } // empty batch + no by-source clauses: nothing can change
-        } else {
+            val out = resolveAgainst(base)
+            if (touched.nonEmpty)
+              Export.replaceSnapshotPartitionsScoped(s, out, dir,
+                partCols, touched,
+                meta = Map(
+                  "merged_partitions" -> touched.size.toString))
+            else if (insertActs.nonEmpty && !out.isEmpty)
+              // no candidate partition holds a matchable row, but the
+              // insert legs may still fire — append-only commit
+              Export.appendSnapshotPartitioned(s, out, dir, partCols)
+            // else: nothing can change
+          case None =>
           // ZONE-SCOPED general merge: an unpartitioned table kept
           // CLUSTERED on a merge key (declared via the
           // `graft.cluster.key` table property) rewrites only the
@@ -833,5 +935,161 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       }
       ()
     })
+  }
+}
+
+/** The assignment-folding LAW, shared by every UPDATE front door (SQL
+  * UPDATE, every MERGE UPDATE clause, and the `graft_update`
+  * procedure): one root column's assignments fold into ONE
+  * whole-column value, with the SQL refusals — a whole-column
+  * assignment must be alone for its root, duplicate roots and
+  * overlapping nested paths refuse (`SET meta = ..., meta.score = ...`
+  * has no defined order). Field assignments rebuild the struct in
+  * place via `withField`, so a NULL struct stays NULL — no phantom
+  * partial rows invented. */
+object DmlAssignments {
+
+  /** One step of an assignment-target path: a struct FIELD, an ARRAY
+    * element index, or a MAP key (`meta.tags[0].name` →
+    * Field(meta) :: Field(tags) :: Idx(0) :: Field(name);
+    * `attrs['lang']` → Field(attrs) :: Key(lang)). A bare integer in
+    * brackets is an array index; a quoted string is a map key —
+    * non-string map keys are not addressable (the transform would
+    * fail loudly at analysis, never silently). */
+  sealed trait Step
+  final case class Field(name: String) extends Step
+  final case class Idx(i: Int) extends Step
+  final case class Key(k: String) extends Step
+
+  /** Split a dotted column spec into path segments honoring BACKTICK
+    * quoting: `` `a.b`.c `` → [a.b, c]; a doubled backtick inside
+    * quotes escapes one literal backtick. A top-level column whose
+    * name contains a dot is therefore still addressable — quote it. */
+  def splitDotted(spec: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < spec.length) {
+      val ch = spec.charAt(i)
+      if (ch == '`') {
+        if (inQ && i + 1 < spec.length && spec.charAt(i + 1) == '`') {
+          sb.append('`'); i += 1
+        } else inQ = !inQ
+      } else if (ch == '.' && !inQ) { out += sb.result(); sb.clear() }
+      else sb.append(ch)
+      i += 1
+    }
+    require(!inQ, s"unbalanced backticks in column spec '$spec'")
+    out += sb.result()
+    val parts = out.toSeq
+    require(parts.forall(_.nonEmpty),
+      s"empty path segment in column spec '$spec'")
+    parts
+  }
+
+  /** [[splitDotted]] + trailing `[i]` ARRAY-index suffixes per
+    * segment: `meta.tags[0].name` → Field/Idx steps. (A backtick-
+    * quoted segment whose NAME literally ends in `[n]` is not
+    * representable — no such column exists in practice.) */
+  def parseSteps(spec: String): Seq[Step] = {
+    val IdxRx = """\[(?:(-?\d+)|'([^']*)'|"([^"]*)")\]""".r
+    splitDotted(spec).flatMap { seg =>
+      val br = seg.indexOf('[')
+      if (br < 0) Seq(Field(seg))
+      else {
+        val base = seg.substring(0, br)
+        require(base.nonEmpty,
+          s"path segment '$seg' in '$spec' has no column before '['")
+        val suffix = seg.substring(br)
+        require(IdxRx.replaceAllIn(suffix, "").isEmpty,
+          s"malformed bracket suffix in '$seg' (expected [0]-style " +
+            "integer array indexes or ['k']-style quoted map keys)")
+        Field(base) +: IdxRx.findAllMatchIn(suffix).map { m =>
+          if (m.group(1) != null) Idx(m.group(1).toInt)
+          else Key(Option(m.group(2)).getOrElse(m.group(3)))
+        }.toSeq
+      }
+    }
+  }
+
+  /** `col("name")` that survives a dot or backtick in the name. */
+  def colOf(root: String): Column =
+    if (root.contains(".") || root.contains("`"))
+      col(s"`${root.replace("`", "``")}`")
+    else col(root)
+
+  def fold(root: String, base: Column,
+      items: Seq[(Seq[String], Column)],
+      refuse: String => Nothing): Column =
+    foldSteps(root, base,
+      items.map { case (p, v) => (p.map(Field(_): Step), v) }, refuse)
+
+  /** The general fold over Field/Idx paths: a whole-column assignment
+    * must be alone for its root, overlapping paths refuse (no defined
+    * order), struct fields rebuild in place via `withField` (a NULL
+    * struct stays NULL), and an array-element step rebuilds the ONE
+    * element through `transform` — every other element copies
+    * verbatim, an out-of-range index leaves the array unchanged (the
+    * transform law: no elements invented), and a NULL array stays
+    * NULL. All of it stays one codegen'd projection — no UDF, no
+    * explode/regroup shuffle. */
+  def foldSteps(root: String, base: Column,
+      items: Seq[(Seq[Step], Column)],
+      refuse: String => Nothing): Column =
+    if (items.exists(_._1.isEmpty)) {
+      if (items.size > 1)
+        refuse(s"column '$root' is assigned more than once")
+      items.head._2
+    } else {
+      items.map(_._1).combinations(2).foreach { pair =>
+        val (a, b) = (pair.head, pair(1))
+        if (a.startsWith(b) || b.startsWith(a))
+          refuse(s"conflicting assignments under '$root': paths " +
+            s"${render(a)} and ${render(b)} overlap")
+      }
+      items.foldLeft(base) { case (acc, (p, v)) =>
+        rebuild(acc, p, v, root, refuse)
+      }
+    }
+
+  private def render(p: Seq[Step]): String = p.map {
+    case Field(n) => s".$n"
+    case Idx(i) => s"[$i]"
+    case Key(k) => s"['$k']"
+  }.mkString.stripPrefix(".")
+
+  private def rebuild(cur: Column, path: Seq[Step], v: Column,
+      root: String, refuse: String => Nothing): Column = path match {
+    case Seq() => v
+    case Field(n) +: rest =>
+      if (n.contains(".") || n.contains("`"))
+        refuse(s"struct field '$n' under '$root' cannot be " +
+          "addressed by a dotted path (name contains '.' or '`')")
+      if (rest.isEmpty) cur.withField(n, v)
+      else cur.withField(n,
+        rebuild(cur.getField(n), rest, v, root, refuse))
+    case Idx(i) +: rest =>
+      if (i < 0)
+        refuse(s"negative array index [$i] under '$root'")
+      org.apache.spark.sql.functions.transform(cur, (x, j) =>
+        when(j === i, rebuild(x, rest, v, root, refuse)).otherwise(x))
+    case Key(k) +: rest =>
+      val key = lit(k)
+      if (rest.isEmpty)
+        // MAP-entry UPSERT: other entries copy, the addressed key's
+        // value replaces (or the entry APPENDS when absent — the map
+        // assignment law); a NULL map stays NULL
+        when(cur.isNotNull, org.apache.spark.sql.functions.map_concat(
+            org.apache.spark.sql.functions.map_filter(cur,
+              (mk, _) => !(mk === key)),
+            org.apache.spark.sql.functions.map(key, v)))
+          .otherwise(cur)
+      else
+        // nested path under a map VALUE: update-if-present only (an
+        // absent entry has no base value to rebuild)
+        org.apache.spark.sql.functions.transform_values(cur,
+          (mk, mv) => when(mk === key,
+            rebuild(mv, rest, v, root, refuse)).otherwise(mv))
   }
 }

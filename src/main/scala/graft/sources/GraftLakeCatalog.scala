@@ -89,7 +89,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   override def capabilities(): util.Set[TableCatalogCapability] =
     Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
       .asJava
 
   private def dirOf(parts: Seq[String]): String =
@@ -218,13 +219,30 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     val genOf: Map[String, String] = info.columns()
       .flatMap(c => Option(c.generationExpression).map(c.name -> _))
       .toMap
+    // IDENTITY columns ride the same seam: the v2 Column carries
+    // identityColumnSpec() and the conversion drops it too — stamp the
+    // analyzer's identity metadata keys so the epoch writers (and
+    // every DESCRIBE) read them from the committed schema
+    val IC = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val idOf: Map[String,
+        org.apache.spark.sql.connector.catalog.IdentityColumnSpec] =
+      info.columns()
+        .flatMap(c => Option(c.identityColumnSpec).map(c.name -> _))
+        .toMap
     val enriched = StructType(info.schema().fields.map { f =>
-      genOf.get(f.name) match {
-        case Some(g) => f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putString(genKey, g).build())
-        case None => f
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      genOf.foreach { case (n, g) =>
+        if (n == f.name) mb.putString(genKey, g) }
+      idOf.get(f.name).foreach { spec =>
+        mb.putLong(IC.IDENTITY_INFO_START, spec.getStart)
+          .putLong(IC.IDENTITY_INFO_STEP, spec.getStep)
+          .putBoolean(IC.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            spec.isAllowExplicitInsert)
       }
+      if (genOf.contains(f.name) || idOf.contains(f.name))
+        f.copy(metadata = mb.build())
+      else f
     })
     val t = createTable(ident, enriched, info.partitions(),
       info.properties())

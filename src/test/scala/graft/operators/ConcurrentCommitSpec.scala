@@ -283,6 +283,38 @@ class ConcurrentCommitSpec extends SparkSpec {
     } finally Export.rewriteRaceInjector = None
   }
 
+
+  test("racing appends on an IDENTITY table claim DISJOINT ordinal ranges (the _idclaim CAS): both land, ids dense and unique across writers") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    val dir = tmp("ccs-identity")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, new MetadataBuilder()
+        .putLong("identity.start", 1L).putLong("identity.step", 1L)
+        .putBoolean("identity.allowExplicitInsert", false).build()),
+      StructField("v", LongType)))
+    Export.createEmptySnapshot(dir, schema)
+    @volatile var failure: Option[Throwable] = None
+    def writer(n: Int): Thread = new Thread(() =>
+      try Export.appendSnapshot(spark,
+        spark.range(n).selectExpr("id AS v"), dir)
+      catch { case t: Throwable => failure = Some(t) })
+    val (t1, t2) = (writer(500), writer(300))
+    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    failure.foreach(throw _)
+    val got = Export.readSnapshot(spark, dir,
+        Export.latestSnapshotVersion(dir))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // disjoint CAS claims: the two epochs drew [1,500] and [501,800]
+    // in SOME order - the union is exactly 1..800, no dup, no gap
+    assert(got === (1L to 800L),
+      s"racing identity appends must never collide: got ${got.size} " +
+        s"ids, min ${got.headOption}, max ${got.lastOption}")
+    // the committed watermark reached the union high water
+    val meta = Export.snapshotMeta(dir,
+      Export.latestSnapshotVersion(dir))
+    assert(meta.get("idc_id") === Some("800"),
+      s"idc_ header must carry the claimed watermark: $meta")
+  }
 }
 
 /** The range-encoded `_versions.hint` (r13 task #4): commit/plan cost

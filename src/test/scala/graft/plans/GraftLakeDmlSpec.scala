@@ -151,7 +151,10 @@ class GraftLakeDmlSpec extends SparkSpec {
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
     }
-    assert(msgOf(e).contains("non-equality"))
+    // r15: the message names the two supported conjunct shapes (a
+    // cross-side inequality is neither a key equality nor a
+    // target-side filter)
+    assert(msgOf(e).contains("target=source column equality"))
     assert(Export.latestSnapshotVersion(dir) === v0)
     // an ON clause binding one target column to DIFFERENT source
     // expressions is refused — any single-join rewrite would silently
@@ -774,5 +777,184 @@ class GraftLakeDmlSpec extends SparkSpec {
       s"SELECT version FROM graft_update('$dir', " +
         "'meta=NULL;meta.score=1', 'k = 0')").collect())
     assert(dup.getMessage.contains("more than once"))
+  }
+
+  test("MERGE ON-clause filter conjuncts: a target-side literal folds into the match semantics AND prunes the partition rewrite; source-side residuals refuse") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.onf (doc_id BIGINT, lang STRING, " +
+      "v BIGINT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO gld.ns.onf SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' " +
+      "ELSE 'fr' END, id FROM range(12)")
+    val dir = s"$wh/ns/onf"
+    val v0 = Export.latestSnapshotVersion(dir)
+    val othersBefore = Export.snapshotManifestEntries(dir, v0)
+      .filterNot(_.partition.get("lang").contains("en")).map(_.path)
+      .toSet
+    spark.range(12).selectExpr("id AS doc_id", "id * 100 AS v")
+      .createOrReplaceTempView("onf_src")
+    // layout (lang) is NOT ⊆ keys (doc_id) — without the residual this
+    // is a full-table rewrite; WITH it, only the lang='en' partition
+    // rewrites and everything else carries verbatim
+    spark.sql("MERGE INTO gld.ns.onf t USING onf_src s " +
+      "ON t.doc_id = s.doc_id AND t.lang = 'en' " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    assert(Export.snapshotMeta(dir, v1).get("merged_partitions")
+      === Some("1"),
+      "the ON residual must scope the rewrite to the lang='en' partition")
+    val othersAfter = Export.snapshotManifestEntries(dir, v1)
+      .filterNot(_.partition.get("lang").contains("en")).map(_.path)
+      .toSet
+    assert(othersAfter === othersBefore,
+      "non-en partition files must carry verbatim")
+    // match semantics: only en rows took the update
+    val got = spark.sql(
+        "SELECT lang, sum(v) FROM gld.ns.onf GROUP BY lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("en") === (0 + 300 + 600 + 900),
+      "en rows must take the matched UPDATE")
+    assert(got("de") === (1 + 4 + 7 + 10) && got("fr") === (2 + 5 + 8 + 11),
+      "residual-false rows must carry unchanged")
+    // a source row keyed ONLY to residual-false incumbents is NOT
+    // MATCHED: with an insert clause it INSERTS (no silent drop)
+    spark.sql("SELECT CAST(1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS v")
+      .createOrReplaceTempView("onf_src2")
+    spark.sql("MERGE INTO gld.ns.onf t USING onf_src2 s " +
+      "ON t.doc_id = s.doc_id AND t.lang = 'en' " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (doc_id, lang, v) " +
+      "VALUES (s.doc_id, 'xx', s.v)")
+    assert(spark.sql(
+        "SELECT v FROM gld.ns.onf WHERE lang = 'xx'")
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L),
+      "doc 1 is de (residual-false): the source row must INSERT")
+    assert(spark.sql(
+        "SELECT v FROM gld.ns.onf WHERE doc_id = 1 AND lang = 'de'")
+      .collect().head.getLong(0) === 1L,
+      "the de incumbent must not be updated through the residual")
+    // with layout ⊆ keys, a layout-column residual SHRINKS the source-
+    // derived touched set
+    spark.sql("CREATE TABLE gld.ns.onf2 (doc_id BIGINT, lang STRING, " +
+      "v BIGINT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO gld.ns.onf2 SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, id FROM range(8)")
+    spark.sql("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'en' " +
+      "ELSE 'de' END AS lang, doc_id * 10 AS v FROM onf_src")
+      .createOrReplaceTempView("onf_src3")
+    spark.sql("MERGE INTO gld.ns.onf2 t USING onf_src3 s " +
+      "ON t.doc_id = s.doc_id AND t.lang = s.lang AND t.lang = 'en' " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")
+    val dir2 = s"$wh/ns/onf2"
+    assert(Export.snapshotMeta(dir2,
+        Export.latestSnapshotVersion(dir2)).get("merged_partitions")
+      === Some("1"),
+      "the residual must shrink the ⊆-keys touched set to en alone")
+    assert(spark.sql("SELECT sum(v) FROM gld.ns.onf2 WHERE lang = 'de'")
+      .collect().head.getLong(0) === (1 + 3 + 5 + 7),
+      "de rows must carry")
+    // SOURCE-side residuals stay refused
+    val e = intercept[UnsupportedOperationException](spark.sql(
+      "MERGE INTO gld.ns.onf t USING onf_src s " +
+        "ON t.doc_id = s.doc_id AND s.v > 0 " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v"))
+    assert(e.getMessage.contains("TARGET-side"), e.getMessage)
+  }
+
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL statements serve the graft_history/graft_detail frames verbatim: by name, by quoted path, abbreviated, and short-named under USE; plain DESCRIBE still reaches Spark") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.dh (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.dh SELECT id, id FROM range(5)")
+    spark.sql("INSERT INTO gld.ns.dh VALUES (9, 9)")
+    val dir = s"$wh/ns/dh"
+    def rows(sql: String): Seq[String] =
+      spark.sql(sql).collect().map(_.toString).toSeq
+    val histTvf = rows(s"SELECT * FROM graft_history('$dir')")
+    assert(histTvf.size >= 2)
+    assert(rows("DESCRIBE HISTORY gld.ns.dh") === histTvf)
+    assert(rows(s"DESCRIBE HISTORY '$dir'") === histTvf,
+      "the quoted-path form must resolve too")
+    assert(rows("DESC HISTORY gld.ns.dh") === histTvf,
+      "DESC abbreviates DESCRIBE")
+    val detTvf = rows(s"SELECT * FROM graft_detail('$dir')")
+    assert(rows("DESCRIBE DETAIL gld.ns.dh") === detTvf)
+    // short name under USE resolves through the current catalog/ns
+    try {
+      spark.sql("USE gld.ns")
+      assert(rows("DESCRIBE DETAIL dh") === detTvf)
+    } finally spark.sql("USE spark_catalog.default")
+    // the probe claims ONLY these two shapes: ordinary DESCRIBE forms
+    // pass through to Spark untouched
+    assert(spark.sql("DESCRIBE TABLE gld.ns.dh").collect()
+      .map(_.getString(0)).contains("k"))
+    // a non-table target refuses loudly, naming the statement
+    val e = intercept[Exception](spark.sql(
+      "DESCRIBE DETAIL gld.ns.nosuch_table"))
+    assert(e.getMessage.contains("DESCRIBE DETAIL"), e.getMessage)
+  }
+
+  test("graft_update shares the SQL UPDATE assignment law: overlapping nested paths refuse, a backtick-quoted dotted top-level column stays addressable") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.adv (k BIGINT, " +
+      "meta STRUCT<a: STRUCT<b: BIGINT>, c: BIGINT>, `x.y` BIGINT)")
+    spark.sql("INSERT INTO gld.ns.adv SELECT id, " +
+      "named_struct('a', named_struct('b', id), 'c', id), id " +
+      "FROM range(3)")
+    val dir = s"$wh/ns/adv"
+    // overlapping nested paths have no defined apply order — refuse
+    // (the foldAssignments law, shared through DmlAssignments)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT version FROM graft_update('$dir', " +
+        "'meta.a=named_struct(\"b\", CAST(1 AS BIGINT));meta.a.b=2', " +
+        "'k = 0')").collect())
+    assert(e.getMessage.contains("overlap"), e.getMessage)
+    // a dotted TOP-LEVEL column, backtick-quoted, assigns as one
+    // column instead of being unsplittable (the r14 gap: bare
+    // split('.') made it unaddressable)
+    spark.sql(s"SELECT version FROM graft_update('$dir', " +
+      "'`x.y`=`x.y` + 10', 'k >= 1')").collect()
+    val got = spark.sql("SELECT `x.y` FROM gld.ns.adv ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(0L, 11L, 12L))
+  }
+
+  test("graft_update array/map element targets: tags[0] rebuilds ONE element, attrs['k'] upserts ONE entry, NULL containers stay NULL, whole-container overlap refuses") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.advc (k BIGINT, " +
+      "tags ARRAY<STRING>, attrs MAP<STRING, BIGINT>)")
+    spark.sql("INSERT INTO gld.ns.advc VALUES " +
+      "(0, array('a', 'b'), map('a', CAST(1 AS BIGINT), 'b', " +
+      "CAST(2 AS BIGINT))), " +
+      "(1, array('c'), map('a', CAST(5 AS BIGINT))), " +
+      "(2, NULL, NULL)")
+    val dir = s"$wh/ns/advc"
+    spark.sql(s"""SELECT version FROM graft_update('$dir', "tags[0]=upper(tags[0]);attrs['a']=attrs['a'] + 10;attrs['c']=CAST(99 AS BIGINT)", 'k <= 2')""")
+      .collect()
+    val got = spark.sql("SELECT k, tags, attrs['a'], attrs['b'], " +
+        "attrs['c'], attrs IS NULL, tags IS NULL " +
+        "FROM gld.ns.advc ORDER BY k")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getSeq[String](1)).map(_.toSeq),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    assert(got(0) === ((0L, Some(Seq("A", "b")), 11L, 2L, 99L,
+      false, false)),
+      s"row 0: ${got(0)}")
+    assert(got(1) === ((1L, Some(Seq("C")), 15L, -1L, 99L,
+      false, false)))
+    // NULL array / NULL map stay NULL - no phantom containers
+    assert(got(2)._6 && got(2)._7, s"row 2: ${got(2)}")
+    // a whole-array assignment overlapping an element refuses (no
+    // defined order), nothing committed
+    val v0 = Export.latestSnapshotVersion(dir)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT version FROM graft_update('$dir', " +
+        "'tags=array();tags[0]=upper(tags[0])', 'k = 0')").collect())
+    assert(e.getMessage.contains("overlap") ||
+      e.getMessage.contains("more than once"), e.getMessage)
+    assert(Export.latestSnapshotVersion(dir) === v0)
   }
 }

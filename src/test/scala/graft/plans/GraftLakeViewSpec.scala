@@ -138,4 +138,69 @@ class GraftLakeViewSpec extends SparkSpec {
       assert(e.getMessage.contains("VIEW"), s"$stmt: ${e.getMessage}")
     }
   }
+
+  test("USE a lake catalog: 1-2-part view names resolve through the current catalog/namespace, temp views keep 1-part precedence, view text binds to its CREATION context") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glv.short")
+    spark.sql("CREATE TABLE glv.short.st (k BIGINT)")
+    spark.sql("INSERT INTO glv.short.st SELECT id FROM range(4)")
+    try {
+      spark.sql("USE glv.short")
+      // short CREATE + short TEXT: both qualify with the current
+      // catalog/namespace; the text's binding is stored with the view
+      spark.sql("CREATE VIEW sv AS SELECT k FROM st WHERE k % 2 = 0")
+      assert(GraftLakeViews.readView(s"$wh/short/sv").isDefined,
+        "short CREATE VIEW must land under the current namespace")
+      assert(spark.sql("SELECT count(*) FROM sv")
+        .collect().head.getLong(0) === 2)
+      assert(spark.sql("SELECT count(*) FROM short.sv")
+        .collect().head.getLong(0) === 2)
+      assert(spark.sql("SHOW VIEWS").collect().map(_.getString(1))
+        .contains("sv"), "SHOW VIEWS must list under the current ns")
+      // a TEMP view claims the 1-part name (the Spark precedence law)
+      spark.range(1).selectExpr("CAST(99 AS BIGINT) AS k")
+        .createOrReplaceTempView("sv")
+      assert(spark.sql("SELECT k FROM sv").collect().head.getLong(0)
+        === 99, "a temp view must win the short name")
+      spark.catalog.dropTempView("sv")
+      // DML on a short view name still refuses
+      val e = intercept[Exception](spark.sql(
+        "DELETE FROM sv WHERE k = 0"))
+      assert(e.getMessage.contains("VIEW"))
+    } finally spark.sql("USE spark_catalog.default")
+    // the stored text referenced bare `st`: from a DIFFERENT session
+    // state it must still resolve against the creation context
+    assert(spark.sql("SELECT count(*) FROM glv.short.sv")
+      .collect().head.getLong(0) === 2,
+      "view text must bind to its creation catalog/namespace")
+    spark.sql("DROP VIEW glv.short.sv")
+  }
+
+  test("CREATE OR REPLACE VIEW is atomic: a reader loop racing repeated replaces never observes a missing or torn view") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glv.race")
+    spark.sql("CREATE VIEW glv.race.rv AS SELECT 0 AS gen")
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          val vd = GraftLakeViews.readView(s"$wh/race/rv")
+          assert(vd.isDefined, "view vanished during replace")
+          assert(vd.get.sql.contains("AS gen"), s"torn view: ${vd.get.sql}")
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try {
+      (1 to 50).foreach { i =>
+        spark.sql(s"CREATE OR REPLACE VIEW glv.race.rv AS " +
+          s"SELECT $i AS gen")
+        if (failure.isDefined) throw failure.get
+      }
+    } finally { stop = true; reader.join(10000) }
+    failure.foreach(throw _)
+    assert(spark.sql("SELECT gen FROM glv.race.rv")
+      .collect().head.getInt(0) === 50)
+  }
 }

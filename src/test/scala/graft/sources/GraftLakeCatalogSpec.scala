@@ -443,4 +443,73 @@ class GraftLakeCatalogSpec extends SparkSpec {
       "ALTER TABLE glc.ns_gen.t DROP COLUMN ts"))
     assert(ed.getMessage.contains("GENERATED"))
   }
+
+  test("backtick-quoted CHECK/generation texts still pin their columns, and an evolved narrow append missing a generated column's dependency computes NULL") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_bt")
+    // a CHECK written with quoted identifiers must still pin `v`
+    // (the lookbehind used to fail on the opening backtick, letting
+    // RENAME through and wedging every later write)
+    spark.sql("CREATE TABLE glc.ns_bt.t (k BIGINT, v BIGINT, " +
+      "CONSTRAINT qpos CHECK (`v` > 0))")
+    val er = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_bt.t RENAME COLUMN v TO w"))
+    assert(er.getMessage.contains("CHECK"), er.getMessage)
+    // same for a generation expression with a quoted dependency
+    spark.sql("CREATE TABLE glc.ns_bt.g (k BIGINT, ts TIMESTAMP, " +
+      "day DATE GENERATED ALWAYS AS (CAST(`ts` AS DATE)))")
+    val eg = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_bt.g DROP COLUMN ts"))
+    assert(eg.getMessage.contains("GENERATED"), eg.getMessage)
+    // an evolved NARROW append omitting the dependency is a lawful
+    // write: the null-fill read contract means `day` computes NULL
+    // (the typed-null shim makes the expression analyze instead of
+    // dying on an unresolved attribute)
+    spark.sql("INSERT INTO glc.ns_bt.g VALUES " +
+      "(1, TIMESTAMP '2026-01-01 10:00:00', NULL)")
+    Export.appendSnapshotEvolved(spark,
+      spark.sql("SELECT CAST(2 AS BIGINT) AS k"), s"$wh/ns_bt/g")
+    val got = spark.sql(
+        "SELECT k, day IS NULL FROM glc.ns_bt.g ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(got.toSeq === Seq((1L, false), (2L, true)))
+  }
+
+  test("IDENTITY columns: ALWAYS assigns dense START/INCREMENT ids at write, explicit INSERT values refuse, rewrites keep ids, BY DEFAULT fills only NULL slots, RENAME refuses") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_id")
+    spark.sql("CREATE TABLE glc.ns_id.t (id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY (START WITH 10 INCREMENT BY 2), v BIGINT)")
+    spark.sql("INSERT INTO glc.ns_id.t (v) SELECT id FROM range(5)")
+    def idsOf(t: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM $t").collect().map(_.getLong(0))
+        .sorted.toSeq
+    assert(idsOf("glc.ns_id.t") === Seq(10L, 12L, 14L, 16L, 18L),
+      "ids must be dense from START by INCREMENT")
+    // explicit values refuse on the INSERT surface, nothing commits
+    val dir = s"$wh/ns_id/t"
+    val v0 = Export.latestSnapshotVersion(dir)
+    intercept[Exception](spark.sql(
+      "INSERT INTO glc.ns_id.t VALUES (100, 99)"))
+    assert(Export.latestSnapshotVersion(dir) === v0,
+      "a refused identity INSERT must not commit")
+    // a REWRITE carries existing ids through (NULL-slots-only law)
+    spark.sql("UPDATE glc.ns_id.t SET v = v + 100 WHERE v <= 1")
+    assert(idsOf("glc.ns_id.t") === Seq(10L, 12L, 14L, 16L, 18L),
+      "an UPDATE must never re-issue ids")
+    // the sequence continues monotone across commits
+    spark.sql("INSERT INTO glc.ns_id.t (v) VALUES (7), (8)")
+    assert(idsOf("glc.ns_id.t") ===
+      Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L))
+    // BY DEFAULT: explicit values pass, NULL slots draw from the seq
+    spark.sql("CREATE TABLE glc.ns_id.d (id BIGINT GENERATED BY " +
+      "DEFAULT AS IDENTITY, v BIGINT)")
+    spark.sql("INSERT INTO glc.ns_id.d VALUES (100, 1)")
+    spark.sql("INSERT INTO glc.ns_id.d (v) VALUES (2)")
+    assert(idsOf("glc.ns_id.d") === Seq(1L, 100L))
+    // RENAME refuses: the allocation watermark is keyed by name
+    val er = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_id.t RENAME COLUMN id TO id2"))
+    assert(er.getMessage.toLowerCase.contains("identity"), er.getMessage)
+  }
 }
