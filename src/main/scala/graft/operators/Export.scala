@@ -1911,7 +1911,7 @@ object Export {
     * no separate zone-map table to keep in sync with the snapshot log. */
   def appendSnapshotClustered(spark: SparkSession, df: DataFrame,
       outDir: String, keyCol: String, nFiles: Int,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty): Int = asInsertSurface {
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)
@@ -2564,7 +2564,7 @@ object Export {
     * never list, never scan non-claimed files. */
   def appendSnapshotBloomed(spark: SparkSession, df: DataFrame,
       outDir: String, keyCol: String, nFiles: Int = 1,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty): Int = asInsertSurface {
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val (fs, root) = fsRoot(outDir)
     fs.mkdirs(root)

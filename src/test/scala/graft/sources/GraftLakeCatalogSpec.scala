@@ -512,4 +512,26 @@ class GraftLakeCatalogSpec extends SparkSpec {
       "ALTER TABLE glc.ns_id.t RENAME COLUMN id TO id2"))
     assert(er.getMessage.toLowerCase.contains("identity"), er.getMessage)
   }
+
+  test("IDENTITY composes with a PARTITIONED layout: one claim covers the whole epoch across partitions, the sequence continues over commits, and partition pruning still works") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_id")
+    spark.sql("CREATE TABLE glc.ns_id.p (id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY, lang STRING, v BIGINT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO glc.ns_id.p (lang, v) SELECT " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, id FROM range(6)")
+    val ids1 = spark.sql("SELECT id FROM glc.ns_id.p")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 === (1L to 6L),
+      "ids must be dense across the partitioned epoch's directories")
+    spark.sql("INSERT INTO glc.ns_id.p (lang, v) VALUES ('fr', 9)")
+    assert(spark.sql("SELECT id FROM glc.ns_id.p WHERE lang = 'fr'")
+      .collect().map(_.getLong(0)).toSeq === Seq(7L),
+      "the sequence must continue across commits")
+    val dir = s"$wh/ns_id/p"
+    val v = Export.latestSnapshotVersion(dir)
+    assert(Export.snapshotManifestEntries(dir, v)
+      .forall(_.partition.contains("lang")),
+      "every identity-epoch file must still carry its p= spec")
+  }
 }
