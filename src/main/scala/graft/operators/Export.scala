@@ -1337,6 +1337,21 @@ object Export {
     val generated = st.map(_.fields.collect {
       case f if f.metadata.contains(genKey) => f.name
     }.toSeq).getOrElse(Seq.empty)
+    // identity columns read back with their consumed WATERMARK (the
+    // `idc_` header — next id = start + consumed*step), the
+    // operational answer to "where is the sequence?"
+    val IC = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val (fs, root) = fsRoot(outDir)
+    val headMeta = snapshotMetaOf(fs, root, v)
+    val identity = st.map(_.fields.collect {
+      case f if f.metadata.contains(IC.IDENTITY_INFO_START) =>
+        val consumed = headMeta.get("idc_" +
+            java.net.URLEncoder.encode(f.name, "UTF-8"))
+          .map(_.toLong).getOrElse(0L)
+        val next = f.metadata.getLong(IC.IDENTITY_INFO_START) +
+          consumed * f.metadata.getLong(IC.IDENTITY_INFO_STEP)
+        s"${f.name}(next=$next)"
+    }.toSeq).getOrElse(Seq.empty)
     val props = snapshotProperties(outDir)
     val checks = snapshotChecks(outDir)
     import spark.implicits._
@@ -1354,12 +1369,14 @@ object Export {
       props.getOrElse("graft.cluster.key", ""),
       st.map(_.fields.length.toLong).getOrElse(0L),
       generated.mkString(","),
+      identity.mkString(","),
       props.toSeq.sorted.map { case (k, x) => s"$k=$x" }.mkString(";"),
       checks.toSeq.sorted.map { case (n, s) => s"$n: $s" }.mkString("; ")
     )).toDF("format", "location", "version", "committed_at",
       "operation", "num_files", "size_bytes", "num_dv_files",
       "num_zoned_files", "partition_columns", "cluster_key",
-      "num_columns", "generated_columns", "properties", "constraints")
+      "num_columns", "generated_columns", "identity_columns",
+      "properties", "constraints")
   }
 
   /** SET/DROP a column's DEFAULT — one metadata-only commit updating

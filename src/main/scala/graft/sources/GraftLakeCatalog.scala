@@ -235,6 +235,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       genOf.foreach { case (n, g) =>
         if (n == f.name) mb.putString(genKey, g) }
       idOf.get(f.name).foreach { spec =>
+        require(spec.getStep != 0L,
+          s"identity column '${f.name}': INCREMENT BY 0 would issue " +
+            "the same id forever")
         mb.putLong(IC.IDENTITY_INFO_START, spec.getStart)
           .putLong(IC.IDENTITY_INFO_STEP, spec.getStep)
           .putBoolean(IC.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,

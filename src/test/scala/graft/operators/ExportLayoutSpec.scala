@@ -1424,4 +1424,30 @@ class ExportLayoutSpec extends SparkSpec {
     assert(all.inputFiles.length === entries.length)
     assert(all.count() === 1000L)
   }
+
+  test("snapshotKeysOverlapping with a TARGET-side ON residual (r15): the filter's conjuncts reach the excludes kernel — files the residual provably excludes never plan, and only residual-true incumbents block an insert") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = tmp("keysresid")
+    graft.util.Dirs.deleteRec(new java.io.File(out))
+    val base = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    Export.appendSnapshotClustered(spark, base, out, "k", nFiles = 10)
+    val entries = Export.snapshotManifestEntries(out, 1)
+    // the batch's envelope covers the WHOLE table — without the
+    // residual every file would plan; with `k < 100` only the low
+    // file(s) can hold a residual-true (blocking) incumbent
+    val batch = spark.range(0, 1000).selectExpr("id AS k")
+    val keys = Export.snapshotKeysOverlapping(spark, out, 1,
+      Seq("k"), batch, residual = Some(col("k") < 100))
+    val planned = keys.inputFiles.toSet
+    val expected = entries.filter(_.stats.get("k").exists {
+      case (lo, _) => lo < 100L }).map(_.path).toSet
+    assert(planned.size < entries.length,
+      "the residual must shrink the planned set below the envelope's")
+    assert(planned.size === expected.size,
+      s"planned ${planned.size} files, expected ${expected.size}")
+    // and the incumbents themselves are residual-FILTERED: a source
+    // row keyed only to residual-false rows must not be blocked
+    assert(keys.as[Long].collect().toSet === (0L until 100L).toSet)
+  }
 }

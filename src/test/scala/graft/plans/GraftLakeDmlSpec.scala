@@ -862,6 +862,29 @@ class GraftLakeDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("TARGET-side"), e.getMessage)
   }
 
+  test("MERGE ON filter + WHEN NOT MATCHED BY SOURCE: a residual-false target row is NOT MATCHED and runs the by-source clauses (the SQL law, pinned because it surprises)") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.onfb (doc_id BIGINT, lang STRING, " +
+      "v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.onfb VALUES " +
+      "(0, 'en', 0), (1, 'de', 1), (2, 'en', 2)")
+    spark.range(3).selectExpr("id AS doc_id", "id * 10 + 100 AS v")
+      .createOrReplaceTempView("onfb_src")
+    // the de row HAS a key partner, but the residual voids the match:
+    // per SQL MERGE it is NOT MATCHED BY SOURCE and the DELETE fires —
+    // exactly the Delta-manual warning about prune-assisted merges
+    spark.sql("MERGE INTO gld.ns.onfb t USING onfb_src s " +
+      "ON t.doc_id = s.doc_id AND t.lang = 'en' " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    val got = spark.sql(
+        "SELECT doc_id, lang, v FROM gld.ns.onfb ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, "en", 100L), (2L, "en", 120L)),
+      s"residual-false rows must run the by-source clauses: " +
+        got.mkString(", "))
+  }
+
   test("DESCRIBE HISTORY / DESCRIBE DETAIL statements serve the graft_history/graft_detail frames verbatim: by name, by quoted path, abbreviated, and short-named under USE; plain DESCRIBE still reaches Spark") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.dh (k BIGINT, v BIGINT)")

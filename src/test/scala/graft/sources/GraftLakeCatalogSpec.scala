@@ -511,6 +511,10 @@ class GraftLakeCatalogSpec extends SparkSpec {
     val er = intercept[Exception](spark.sql(
       "ALTER TABLE glc.ns_id.t RENAME COLUMN id TO id2"))
     assert(er.getMessage.toLowerCase.contains("identity"), er.getMessage)
+    // DESCRIBE DETAIL surfaces the sequence position: 7 ids consumed,
+    // so next = 10 + 7*2
+    assert(spark.sql(s"SELECT identity_columns FROM graft_detail('$dir')")
+      .collect().head.getString(0) === "id(next=24)")
   }
 
   test("IDENTITY composes with a PARTITIONED layout: one claim covers the whole epoch across partitions, the sequence continues over commits, and partition pruning still works") {
