@@ -1287,6 +1287,59 @@ object Export {
     version
   }
 
+  /** `ALTER TABLE ... DROP PARTITION (col=val, ...)` — drop EVERY data
+    * line whose `p=` spec matches the tuple: ONE metadata-only commit,
+    * ZERO bytes rewritten (dropping a day from a 100 TB table costs
+    * one manifest write; the files fall to vacuum after retention, and
+    * old versions still time-travel with the partition). The spec must
+    * name a SUBSET of the layout columns (hive's partial-spec drop: a
+    * prefix drops every matching leaf). Lines without a spec for a
+    * named column never match — unsure lines always carry. Returns the
+    * new version; refuses when nothing matches (the SQL
+    * no-such-partition contract — use IF EXISTS upstream). */
+  def dropSnapshotPartition(outDir: String,
+      spec: Map[String, String]): Int = {
+    require(spec.nonEmpty, "DROP PARTITION needs a (col=val) spec")
+    val (fs, root) = fsRoot(outDir)
+    val head = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $outDir"))
+    val st = snapshotSchema(outDir, head)
+    val schemaJson = snapshotMetaOf(fs, root, head).getOrElse("schema",
+      throw new IllegalStateException(s"version $head under $outDir " +
+        "has no #schema= header (pre-header legacy manifest) - recommit"))
+    // p= specs are PHYSICAL-keyed
+    val physSpec = spec.map { case (k, v) =>
+      st.flatMap(_.fields.find(_.name == k)).map(physicalOf)
+        .getOrElse(k) -> v
+    }
+    val lines = dataLines(readManifestRaw(fs, root, head))
+    val (hit, rest) = lines.partition { l =>
+      val p = partitionOf(l)
+      physSpec.forall { case (k, v) => p.get(k).contains(v) }
+    }
+    require(hit.nonEmpty,
+      s"no partition matching ${spec.map { case (k, v) => s"$k=$v" }
+        .mkString(", ")} under $outDir")
+    // dropping the LAST partition leaves zero lines: re-stamp the
+    // declared layout (the TRUNCATE discipline) so the next INSERT
+    // lands partitioned instead of poisoning partition-scoped DML
+    val layout = declaredPartitionColumns(outDir)
+    val layoutMeta =
+      if (rest.isEmpty && layout.nonEmpty)
+        Map("partition_cols" -> layout.mkString(","))
+      else Map.empty[String, String]
+    val version = head + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root, carryBatch(fs, root, layoutMeta ++ Map(
+        "dropped_partition" -> physSpec.toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString("/"),
+        "dropped_files" -> hit.size.toString)),
+        schemaJson, op = "delete"),
+      rest)
+    version
+  }
+
   /** METADATA-ONLY schema evolution to `unionSchema(head, next)` — the
     * procedure/Scala-API twin of `MERGE ... WITH SCHEMA EVOLUTION`
     * (r15: the two front doors now agree): new columns append
@@ -2289,6 +2342,10 @@ object Export {
             "IDENTITY - explicit values are not allowed on INSERT " +
             "(omit the column, or write NULL for a fresh id)")).isNull)
       else d0
+    // cheap PROBE before any materialization: a pure rewrite (every id
+    // carries — the UPDATE/MERGE/compaction case, possibly a
+    // full-table frame) must not pay a checkpoint of the whole slice
+    if (d.filter(colQ(name).isNull).isEmpty) return d
     // ONE materialization of the (batch-bounded) epoch frame: the
     // per-partition counts and the id projection must see the SAME
     // partitioning, and the write that follows reuses the blocks

@@ -40,6 +40,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => delegate.parsePlan(sqlText)
   }
 
+  // the interface DEFAULT drops the parameter context on the floor
+  // (it calls bare parsePlan) — parameterized spark.sql(sql, args)
+  // must reach the delegate's real implementation
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan = sqlText match {
+    case Desc(_, _) => parsePlan(sqlText) // takes no parameters
+    case _ => delegate.parsePlanWithParameters(sqlText, ctx)
+  }
+
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

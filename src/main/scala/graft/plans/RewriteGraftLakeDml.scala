@@ -103,9 +103,23 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
   /** Rebind a target-column expression by NAME, so the thunk can apply
     * it to the fresh snapshot frame it reads at execution time (the
     * analysis-time exprIds are tied to a relation instance that no
-    * longer exists then). */
-  private def unresolve(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    * longer exists then). UNCORRELATED subqueries pass through whole —
+    * their plans are self-contained, so `DELETE ... WHERE k IN
+    * (SELECT bad FROM quarantine)` (the retention shape) and
+    * scalar-subquery assignments work; a CORRELATED subquery's outer
+    * references are exprId-bound to the dead relation and would
+    * surface as an internal analyzer error from the thunk, so it
+    * refuses loudly here instead. */
+  private def unresolve(e: Expression): Expression = {
+    if (org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+        .hasCorrelatedSubquery(e))
+      throw new UnsupportedOperationException(
+        "correlated subqueries are not supported in lake DML " +
+          s"predicates/assignments (got $e) - rewrite the predicate " +
+          "as an uncorrelated IN (SELECT ...) or use MERGE INTO")
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
   }
 
   private def asColumn(e: Expression): Column =
@@ -563,11 +577,17 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     val srcPlan = Project(m.sourceTable.output.map(a =>
       Alias(a, renameOf(a.exprId))()), m.sourceTable)
 
-    def rebind(e: Expression): Expression = e.transform {
-      case a: AttributeReference if sOut.contains(a) =>
-        UnresolvedAttribute.quoted(renameOf(a.exprId))
-      case a: AttributeReference if tOut.contains(a) =>
-        UnresolvedAttribute.quoted(a.name)
+    def rebind(e: Expression): Expression = {
+      if (org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          .hasCorrelatedSubquery(e))
+        refuse(s"correlated subqueries are not supported in MERGE " +
+          s"clause conditions/assignments (got $e)")
+      e.transform {
+        case a: AttributeReference if sOut.contains(a) =>
+          UnresolvedAttribute.quoted(renameOf(a.exprId))
+        case a: AttributeReference if tOut.contains(a) =>
+          UnresolvedAttribute.quoted(a.name)
+      }
     }
     def rebC(e: Expression): Column = GraftColumnBridge.column(rebind(e))
 

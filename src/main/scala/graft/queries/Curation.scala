@@ -6232,6 +6232,115 @@ object Curation {
       |SELECT doc_id, lang, n_chars FROM src WHERE op = 'I'
       |ORDER BY doc_id""".stripMargin
 
+  /** PARTITION MANAGEMENT (r15): `SHOW PARTITIONS` serves the
+    * manifest's `p=` tuples (one manifest read, zero data-dir
+    * listings — `SupportsPartitionManagement` on the lake table), and
+    * `ALTER TABLE ... DROP PARTITION` is ONE metadata-only commit
+    * dropping the matching lines ([[graft.operators.Export
+    * .dropSnapshotPartition]]): at 100 TB, dropping a day costs one
+    * manifest write and the files fall to vacuum. In-gate pins:
+    * partition count before/after, surviving files carried VERBATIM
+    * (strict subset), old version time-travels. DuckDB replays the
+    * partition filter. */
+  def q_sql_partitions(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlpt_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glpt",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glpt.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glpt.g")
+    s.sql("DROP TABLE IF EXISTS glpt.g.docs")
+    s.sql("CREATE TABLE glpt.g.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_pt_src")
+    s.sql("INSERT INTO glpt.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_pt_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val nLangs = s.sql("SELECT count(DISTINCT lang) FROM q_pt_src")
+      .collect().head.getLong(0)
+    require(s.sql("SHOW PARTITIONS glpt.g.docs").count() == nLangs,
+      "SHOW PARTITIONS must list every manifest tuple")
+    val v0 = E.latestSnapshotVersion(dirT)
+    val before = E.snapshotFiles(dirT, v0).toSet
+    s.sql("ALTER TABLE glpt.g.docs DROP PARTITION (lang='en')")
+    val v1 = E.latestSnapshotVersion(dirT)
+    val after = E.snapshotFiles(dirT, v1).toSet
+    require(v1 == v0 + 1 && after.subsetOf(before) &&
+      after.size < before.size,
+      "DROP PARTITION must be one metadata-only commit carrying the " +
+        "surviving lines verbatim")
+    val rowsAfter = s.sql("SELECT count(*) FROM glpt.g.docs")
+      .collect().head.getLong(0)
+    require(s.sql(
+        s"SELECT count(*) FROM glpt.g.docs VERSION AS OF $v0")
+      .collect().head.getLong(0) > rowsAfter,
+      "the pre-drop version must still time-travel with the partition")
+    s.sql("SELECT lang, count(*) AS n, " +
+      "CAST(sum(n_chars) AS BIGINT) AS chars FROM glpt.g.docs " +
+      "GROUP BY lang ORDER BY lang")
+  }
+
+  val q_sql_partitions_sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE lang <> 'en'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** SUBQUERY predicates in lake DML (r15): `DELETE FROM t WHERE k IN
+    * (SELECT ...)` — THE retention/quarantine shape at 100 TB (an
+    * anti-join delete against a quarantine list) — and scalar-subquery
+    * UPDATE assignments, both through the deferred rewrite
+    * (uncorrelated subquery plans are self-contained, so they re-run
+    * lawfully inside the thunk). Correlated subqueries refuse loudly
+    * with a rewrite hint — pinned in-gate, nothing committed. DuckDB
+    * replays the anti-join + the CASE fill. */
+  def q_sql_delete_subq(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlsq_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glsq",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glsq.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glsq.g")
+    s.sql("DROP TABLE IF EXISTS glsq.g.docs")
+    s.sql("CREATE TABLE glsq.g.docs (doc_id BIGINT, n_chars BIGINT)")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_sq_src")
+    s.sql("INSERT INTO glsq.g.docs SELECT doc_id, n_chars FROM q_sq_src")
+    s.sql("SELECT doc_id FROM q_sq_src WHERE n_chars % 7 = 0")
+      .createOrReplaceTempView("q_sq_bad")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v0 = E.latestSnapshotVersion(dirT)
+    // correlated predicates refuse with a rewrite hint, no commit
+    val refused =
+      try {
+        s.sql("DELETE FROM glsq.g.docs t WHERE EXISTS " +
+          "(SELECT 1 FROM q_sq_bad b WHERE b.doc_id = t.doc_id)")
+        false
+      } catch { case _: Throwable => true }
+    require(refused && E.latestSnapshotVersion(dirT) == v0,
+      "correlated DML subqueries must refuse without committing")
+    s.sql("DELETE FROM glsq.g.docs WHERE doc_id IN " +
+      "(SELECT doc_id FROM q_sq_bad)")
+    s.sql("UPDATE glsq.g.docs SET n_chars = n_chars + " +
+      "(SELECT min(doc_id) FROM q_sq_bad) WHERE doc_id % 5 = 0")
+    s.sql("SELECT doc_id, n_chars FROM glsq.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_delete_subq_sql: String =
+    """WITH bad AS (
+      |  SELECT doc_id FROM documents WHERE n_chars % 7 = 0),
+      |m AS (SELECT min(doc_id) AS mn FROM bad)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 5 = 0 THEN d.n_chars + (SELECT mn FROM m)
+      |       ELSE d.n_chars END AS n_chars
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** MAP-KEY DML targets (r15, the twin of [[q_sql_update_array]]):
     * `attrs['a']=expr` UPSERTS one entry (other entries copy verbatim
     * through `map_filter`+`map_concat` — one codegen'd projection, no

@@ -486,7 +486,95 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
     with GraftV1FallbackBridge {
+
+  // ---- PARTITION MANAGEMENT: `SHOW PARTITIONS` lists the manifest's
+  // p= tuples (one manifest read, zero data-dir listings), and `ALTER
+  // TABLE ... DROP PARTITION` is a METADATA-ONLY commit dropping the
+  // matching lines ([[Export.dropSnapshotPartition]] — at 100 TB,
+  // dropping a day costs one manifest write; files fall to vacuum).
+  // Partitions are IMPLICIT in this lake (the layout appears when rows
+  // do), so ADD PARTITION / partition metadata refuse loudly.
+
+  override def partitionSchema(): StructType = {
+    val cols = Export.declaredPartitionColumns(dir)
+    val st = schema()
+    StructType(cols.flatMap(c => st.fields.find(_.name == c)))
+  }
+
+  /** The EXTERNAL string of one partition value — the exact `p=` spec
+    * form the epoch writers lay out (dates as `2026-01-01`, not the
+    * internal day count). */
+  private def specString(ident0: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int, dt: org.apache.spark.sql.types.DataType): String =
+    String.valueOf(org.apache.spark.sql.catalyst.expressions
+      .Cast(org.apache.spark.sql.catalyst.expressions.Literal(
+          ident0.get(i, dt), dt),
+        org.apache.spark.sql.types.StringType, Some("UTC")).eval(null))
+
+  private def internalOf(s: String,
+      dt: org.apache.spark.sql.types.DataType): Any =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType), dt, Some("UTC")).eval(null)
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    val v = versionAsOf.getOrElse(Export.latestSnapshotVersion(dir))
+    if (v < 1 || ps.isEmpty)
+      return Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+    val tuples = Export.snapshotPartitionTuples(dir, v,
+      ps.fieldNames.toSeq)
+    val wanted: Map[Int, String] = names.zipWithIndex.map {
+      case (n, i) =>
+        val idx = ps.fieldIndex(n)
+        idx -> specString(ident0, i, ps.fields(idx).dataType)
+    }.toMap
+    tuples.toSeq.sortBy(_.mkString("/"))
+      .filter(tp => wanted.forall { case (idx, s) => tp(idx) == s })
+      .map(tp => org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        ps.fields.toSeq.zip(tp).map { case (f, s) =>
+          internalOf(s, f.dataType) }))
+      .toArray
+  }
+
+  override def dropPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    require(versionAsOf.isEmpty,
+      s"cannot DROP PARTITION of time-travel relation ${name()}")
+    val ps = partitionSchema()
+    val spec = ps.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      f.name -> specString(ident0, i, f.dataType) }.toMap
+    try { Export.dropSnapshotPartition(dir, spec); true }
+    catch {
+      // absent partition: false, so IF EXISTS no-ops and the bare
+      // statement raises Spark's own NoSuchPartitionException
+      case e: IllegalArgumentException
+          if e.getMessage.contains("no partition matching") => false
+    }
+  }
+
+  override def createPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"${name()}: partitions are implicit in this lake - INSERT rows " +
+        "and the layout appears; there is nothing to ADD")
+
+  override def replacePartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"${name()}: partition metadata is not a lake concept here")
+
+  override def loadPartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] =
+    java.util.Collections.emptyMap[String, String]()
 
   /** `TRUNCATE TABLE cat.ns.t` — one zero-line replace commit: every
     * row gone, schema and declared partition layout carried, old

@@ -422,4 +422,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(surviving.join(sidecar, Seq("f", "p"), "left_semi")
       .count() === 0L, "a DV'd position survived the subtraction")
   }
+
+  test("the injected parser is transparent: parameterized spark.sql (named and positional) still binds through the delegate") {
+    // the ParserInterface DEFAULT for parsePlanWithParameters drops
+    // the parameter context (it calls bare parsePlan) - the delegating
+    // parser must forward it or every parameterized query breaks
+    assert(spark.sql("SELECT :x + 1 AS y", Map("x" -> 41))
+      .collect().head.get(0).toString === "42")
+    assert(spark.sql("SELECT ? * 2 AS y", Array(21))
+      .collect().head.get(0).toString === "42")
+  }
 }

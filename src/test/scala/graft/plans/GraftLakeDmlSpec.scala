@@ -885,6 +885,32 @@ class GraftLakeDmlSpec extends SparkSpec {
         got.mkString(", "))
   }
 
+  test("DML with subqueries: uncorrelated IN-subquery DELETE (the retention shape) and scalar-subquery UPDATE work; correlated EXISTS refuses loudly instead of an internal analyzer error") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.sq (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.sq SELECT id, id FROM range(10)")
+    spark.range(3).selectExpr("id * 2 AS bad")
+      .createOrReplaceTempView("gld_quarantine")
+    spark.sql("DELETE FROM gld.ns.sq WHERE k IN " +
+      "(SELECT bad FROM gld_quarantine)")
+    assert(spark.sql("SELECT count(*) FROM gld.ns.sq")
+      .collect().head.getLong(0) === 7, "k in {0,2,4} must delete")
+    spark.sql("UPDATE gld.ns.sq SET v = " +
+      "(SELECT max(bad) FROM gld_quarantine) WHERE k = 5")
+    assert(spark.sql("SELECT v FROM gld.ns.sq WHERE k = 5")
+      .collect().head.getLong(0) === 4)
+    // correlated: outer references bind analysis-time exprIds that die
+    // with the relation — refuse with a rewrite hint, never an
+    // INTERNAL_ERROR from the deferred thunk
+    val dir = s"$wh/ns/sq"
+    val v0 = Export.latestSnapshotVersion(dir)
+    val e = intercept[Exception](spark.sql(
+      "DELETE FROM gld.ns.sq WHERE EXISTS " +
+        "(SELECT 1 FROM gld_quarantine q WHERE q.bad = k)"))
+    assert(e.getMessage.contains("correlated"), e.getMessage)
+    assert(Export.latestSnapshotVersion(dir) === v0)
+  }
+
   test("DESCRIBE HISTORY / DESCRIBE DETAIL statements serve the graft_history/graft_detail frames verbatim: by name, by quoted path, abbreviated, and short-named under USE; plain DESCRIBE still reaches Spark") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.dh (k BIGINT, v BIGINT)")

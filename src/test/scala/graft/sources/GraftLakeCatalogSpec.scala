@@ -517,6 +517,58 @@ class GraftLakeCatalogSpec extends SparkSpec {
       .collect().head.getString(0) === "id(next=24)")
   }
 
+  test("PARTITION MANAGEMENT: SHOW PARTITIONS lists manifest tuples, DROP PARTITION is metadata-only (files carried, time travel intact), missing raises NoSuchPartitions, IF EXISTS no-ops, ADD refuses, dropping the LAST partition keeps the layout") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_pm")
+    spark.sql("CREATE TABLE glc.ns_pm.t (k BIGINT, lang STRING, " +
+      "v BIGINT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO glc.ns_pm.t SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' " +
+      "ELSE 'fr' END, id FROM range(9)")
+    val dir = s"$wh/ns_pm/t"
+    assert(spark.sql("SHOW PARTITIONS glc.ns_pm.t").collect()
+      .map(_.getString(0)).toSeq === Seq("lang=de", "lang=en", "lang=fr"))
+    assert(spark.sql(
+        "SHOW PARTITIONS glc.ns_pm.t PARTITION (lang='en')")
+      .collect().map(_.getString(0)).toSeq === Seq("lang=en"))
+    // DROP PARTITION: one METADATA-ONLY commit — every surviving file
+    // carried verbatim, zero bytes rewritten, old version time-travels
+    val v0 = Export.latestSnapshotVersion(dir)
+    val before = Export.snapshotFiles(dir, v0).toSet
+    spark.sql("ALTER TABLE glc.ns_pm.t DROP PARTITION (lang='de')")
+    val v1 = Export.latestSnapshotVersion(dir)
+    assert(v1 === v0 + 1)
+    val after = Export.snapshotFiles(dir, v1).toSet
+    assert(after.subsetOf(before) && after.size < before.size,
+      "DROP PARTITION must carry surviving lines verbatim")
+    assert(spark.sql(
+        "SELECT count(DISTINCT lang) FROM glc.ns_pm.t")
+      .collect().head.getLong(0) === 2)
+    assert(spark.sql(
+        s"SELECT count(*) FROM glc.ns_pm.t VERSION AS OF $v0")
+      .collect().head.getLong(0) === 9, "old version must time-travel")
+    // absent partition: Spark's own NoSuchPartitions error; IF EXISTS
+    // no-ops; ADD refuses (partitions are implicit)
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .NoSuchPartitionsException](spark.sql(
+      "ALTER TABLE glc.ns_pm.t DROP PARTITION (lang='xx')"))
+    spark.sql(
+      "ALTER TABLE glc.ns_pm.t DROP IF EXISTS PARTITION (lang='xx')")
+    val ea = intercept[Exception](spark.sql(
+      "ALTER TABLE glc.ns_pm.t ADD PARTITION (lang='xx')"))
+    assert(ea.getMessage.contains("implicit"), ea.getMessage)
+    // dropping the LAST partitions leaves zero lines but keeps the
+    // DECLARED layout: the next insert lands partitioned again
+    spark.sql("ALTER TABLE glc.ns_pm.t DROP PARTITION (lang='en')")
+    spark.sql("ALTER TABLE glc.ns_pm.t DROP PARTITION (lang='fr')")
+    assert(spark.sql("SELECT count(*) FROM glc.ns_pm.t")
+      .collect().head.getLong(0) === 0)
+    spark.sql("INSERT INTO glc.ns_pm.t VALUES (100, 'it', 1)")
+    assert(spark.sql("SHOW PARTITIONS glc.ns_pm.t").collect()
+      .map(_.getString(0)).toSeq === Seq("lang=it"),
+      "the layout must survive dropping every partition")
+  }
+
   test("IDENTITY composes with a PARTITIONED layout: one claim covers the whole epoch across partitions, the sequence continues over commits, and partition pruning still works") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_id")
