@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, ExprId, GetStructField}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, OverwritePartitionsDynamic, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, OverwriteByExpression, OverwritePartitionsDynamic, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern.COMMAND
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -98,6 +98,9 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       case o: OverwritePartitionsDynamic
           if o.resolved && lakeTableOf(o.table).isDefined =>
         rewriteDynamicOverwrite(o, lakeTableOf(o.table).get)
+      case o: OverwriteByExpression
+          if o.resolved && lakeTableOf(o.table).isDefined =>
+        rewriteOverwriteByFilter(o, lakeTableOf(o.table).get)
     }
 
   /** Rebind a target-column expression by NAME, so the thunk can apply
@@ -255,6 +258,115 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
           Export.replaceSnapshotPartitionsScoped(s, df, dir, partCols,
             touched, meta = Map(
               "overwritten_partitions" -> touched.size.toString))
+      }
+      ()
+    })
+  }
+
+  /** Evaluate predicate Columns (target-name bound, referencing only
+    * `partCols`) against STRING partition tuples: the tuple values are
+    * `try_cast` back to the committed types and a tuple survives when
+    * every predicate holds; `keepUnprovable` decides NULL/uncastable
+    * evaluations (true = keep, the prune direction's
+    * correctness-over-pruning default; false = drop, the
+    * replace-these-partitions direction's conservative default). One
+    * tiny local frame — tuples are the partition count. */
+  private def filterTuplesBy(s: SparkSession, tuples: Set[Seq[String]],
+      partCols: Seq[String],
+      st: org.apache.spark.sql.types.StructType,
+      preds: Seq[Column], keepUnprovable: Boolean): Set[Seq[String]] =
+    if (preds.isEmpty || tuples.isEmpty) tuples
+    else {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType => ST}
+      val schema = ST(partCols.map(c => StructField(s"__s_$c", StringType)))
+      val rows = tuples.toSeq.map(tp =>
+        org.apache.spark.sql.Row(tp: _*))
+      val df = s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+      val typed = partCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.expr(
+          s"try_cast(`__s_$c` AS " +
+            s"${st.fields.find(_.name == c).get.dataType.sql})")))
+      typed.filter(preds.map(p => coalesce(p, lit(keepUnprovable)))
+          .reduce(_ && _))
+        .select(partCols.map(c => col(s"__s_$c")): _*)
+        .collect()
+        .map(r => partCols.indices.map(i => r.getString(i))
+          : Seq[String]).toSet
+    }
+
+  /** STATIC `INSERT OVERWRITE [PARTITION (spec)]` under the v2
+    * OVERWRITE_BY_FILTER capability — Delta's `replaceWhere` in its
+    * partition form. `deleteExpr` is TRUE for the whole-table
+    * overwrite (full replace, declared layout kept) or a conjunction
+    * over partition columns for a spec'd one: replace EXACTLY the
+    * matching partitions — cleared even when the incoming batch holds
+    * nothing for them (the replaceWhere law) — carrying every other
+    * partition's files verbatim. 100 TB shape: reloading one
+    * partition costs that partition. Row-level (non-partition)
+    * overwrite filters refuse loudly: that shape is DELETE + INSERT
+    * or MERGE, never a silent full rewrite. */
+  private def rewriteOverwriteByFilter(o: OverwriteByExpression,
+      t: GraftLakeTable): LogicalPlan = {
+    require(t.versionAsOf.isEmpty,
+      s"cannot INSERT OVERWRITE time-travel relation ${t.name()} - a " +
+        "pinned version is immutable by definition")
+    val projected = Project(o.query.output.zip(o.table.output).map {
+      case (q, ta) => Alias(
+        if (q.dataType == ta.dataType) q else Cast(q, ta.dataType),
+        ta.name)()
+    }, o.query)
+    val isFull = o.deleteExpr match {
+      case org.apache.spark.sql.catalyst.expressions
+        .Literal(true, org.apache.spark.sql.types.BooleanType) => true
+      case _ => false
+    }
+    val condOpt = if (isFull) None else Some(asColumn(o.deleteExpr))
+    val refNames = o.deleteExpr.references.toSeq.map(_.name)
+    val dir = t.dir
+    GraftDmlStatement(s"INSERT OVERWRITE ${t.name()}", () => {
+      val s = SparkSession.active
+      val df = GraftPlanBridge.ofRows(s, projected)
+      val partCols = Export.declaredPartitionColumns(dir)
+      condOpt match {
+        case None =>
+          if (partCols.isEmpty) Export.replaceSnapshot(s, df, dir)
+          else Export.replaceSnapshotPartitioned(s, df, dir, partCols)
+        case Some(cond) =>
+          require(partCols.nonEmpty &&
+            refNames.forall(partCols.contains),
+            s"INSERT OVERWRITE with a filter replaces PARTITIONS - " +
+              s"the condition must reference only partition columns " +
+              s"(got ${refNames.mkString(", ")} vs layout " +
+              s"${partCols.mkString(", ")}); for row-level " +
+              "replacement use DELETE + INSERT or MERGE")
+          // the replaceWhere law: every incoming row must satisfy the
+          // condition, or rows would land in partitions the statement
+          // promised not to touch
+          require(df.filter(!coalesce(cond, lit(false))).isEmpty,
+            s"INSERT OVERWRITE ... PARTITION: incoming rows violate " +
+              s"the partition condition ${o.deleteExpr}")
+          val latest = Export.latestSnapshotVersion(dir)
+          require(latest > 0, s"nothing to overwrite under $dir")
+          val st = Export.snapshotSchema(dir, latest)
+            .getOrElse(df.schema)
+          // touched = existing partitions the condition PROVES true
+          // (unsure tuples keep their files - never silently cleared)
+          // ∪ the batch's own tuples (a spec'd partition that does not
+          // exist yet still lands)
+          val existing = filterTuplesBy(s,
+            Export.snapshotPartitionTuples(dir, latest, partCols),
+            partCols, st, Seq(cond), keepUnprovable = false)
+          val fromBatch: Set[Seq[String]] =
+            df.select(partCols.map(c => col(c).cast("string")): _*)
+              .distinct().collect()
+              .map(r => partCols.indices.map(i => r.getString(i))
+                : Seq[String]).toSet
+          val touched = existing ++ fromBatch
+          if (touched.nonEmpty)
+            Export.replaceSnapshotPartitionsScoped(s, df, dir,
+              partCols, touched, meta = Map(
+                "overwritten_partitions" -> touched.size.toString))
       }
       ()
     })
@@ -851,27 +963,10 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
           case (refs, c) if refs.nonEmpty && refs.subsetOf(partSet) => c }
         def residualTrueTuples(tuples: Set[Seq[String]])
             : Set[Seq[String]] =
-          if (partRes.isEmpty || tuples.isEmpty) tuples
-          else {
-            import org.apache.spark.sql.types.{StringType, StructField, StructType}
-            val schema = StructType(partCols.map(c =>
-              StructField(s"__s_$c", StringType)))
-            val rows = tuples.toSeq.map(tp =>
-              org.apache.spark.sql.Row(tp: _*))
-            val df = s.createDataFrame(
-              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
-              schema)
-            val typed = partCols.foldLeft(df)((d, c) =>
-              d.withColumn(c, org.apache.spark.sql.functions.expr(
-                s"try_cast(`__s_$c` AS " +
-                  s"${st.fields.find(_.name == c).get.dataType.sql})")))
-            typed.filter(partRes.map(r => coalesce(r, lit(true)))
-                .reduce(_ && _))
-              .select(partCols.map(c => col(s"__s_$c")): _*)
-              .collect()
-              .map(r => partCols.indices.map(i => r.getString(i))
-                : Seq[String]).toSet
-          }
+          // keep-if-unprovable: a NULL/uncastable evaluation can never
+          // EXCLUDE a partition (correctness over pruning)
+          filterTuplesBy(s, tuples, partCols, st, partRes,
+            keepUnprovable = true)
         val touchedOpt: Option[Set[Seq[String]]] =
           if (partCols.isEmpty || bySourceActs.nonEmpty) None
           else if (partSet.subsetOf(keys.toSet)) {

@@ -6232,6 +6232,63 @@ object Curation {
       |SELECT doc_id, lang, n_chars FROM src WHERE op = 'I'
       |ORDER BY doc_id""".stripMargin
 
+  /** STATIC `INSERT OVERWRITE ... PARTITION (spec)` (r15, the
+    * OVERWRITE_BY_FILTER twin of [[q_sql_overwrite_dyn]] — Delta's
+    * replaceWhere in its partition form): replace EXACTLY the spec'd
+    * partition (an EMPTY reload still CLEARS it — the replaceWhere
+    * law, exercised on 'de'), every other partition's files carried
+    * VERBATIM (pinned in-gate with `overwritten_partitions=1`).
+    * At 100 TB an hourly one-partition reload costs that partition.
+    * DuckDB replays the splice. */
+  def q_sql_overwrite_static(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlos_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glso",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glso.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glso.g")
+    s.sql("DROP TABLE IF EXISTS glso.g.docs")
+    s.sql("CREATE TABLE glso.g.docs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_os_src")
+    s.sql("INSERT INTO glso.g.docs SELECT doc_id, lang, n_chars " +
+      "FROM q_os_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val v0 = E.latestSnapshotVersion(dirT)
+    val othersBefore = E.snapshotManifestEntries(dirT, v0)
+      .filter(e => !e.partition.get("lang").exists(
+        l => l == "en" || l == "de")).map(_.path).toSet
+    s.sql("INSERT OVERWRITE glso.g.docs PARTITION (lang='en') " +
+      "SELECT doc_id, n_chars + 5000 FROM q_os_src " +
+      "WHERE lang = 'en' AND doc_id % 2 = 0")
+    require(E.latestSnapshotVersion(dirT) == v0 + 1 &&
+      E.snapshotMeta(dirT, v0 + 1).get("overwritten_partitions")
+        == Some("1"),
+      "static partition overwrite must touch exactly one partition")
+    // the replaceWhere CLEARING law: an empty reload still clears
+    s.sql("INSERT OVERWRITE glso.g.docs PARTITION (lang='de') " +
+      "SELECT doc_id, n_chars FROM q_os_src WHERE 1 = 0")
+    val v2 = E.latestSnapshotVersion(dirT)
+    val othersAfter = E.snapshotManifestEntries(dirT, v2)
+      .filter(e => !e.partition.get("lang").exists(
+        l => l == "en" || l == "de")).map(_.path).toSet
+    require(othersAfter == othersBefore,
+      "static partition overwrite rewrote untouched partitions")
+    s.sql("SELECT doc_id, lang, n_chars FROM glso.g.docs " +
+      "ORDER BY doc_id")
+  }
+
+  val q_sql_overwrite_static_sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE lang NOT IN ('en', 'de')
+      |UNION ALL
+      |SELECT doc_id, 'en' AS lang, n_chars + 5000 AS n_chars
+      |FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+      |ORDER BY doc_id""".stripMargin
+
   /** PARTITION MANAGEMENT (r15): `SHOW PARTITIONS` serves the
     * manifest's `p=` tuples (one manifest read, zero data-dir
     * listings — `SupportsPartitionManagement` on the lake table), and

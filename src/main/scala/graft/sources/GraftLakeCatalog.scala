@@ -348,13 +348,19 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         names = names.map { case (m, t) =>
           m -> (if (m == n) c.newDataType else t) }
       case c: TableChange.SetProperty =>
-        require(c.property.startsWith("graft."),
-          s"SET TBLPROPERTIES: only graft.* properties are table " +
-            s"semantics here, got '${c.property}'")
+        // 'comment' rides the property channel too (COMMENT ON TABLE
+        // parses to SetProperty("comment", ...)); everything else
+        // non-graft is Spark bookkeeping, refused as before
+        require(c.property.startsWith("graft.") ||
+          c.property == "comment",
+          s"SET TBLPROPERTIES: only graft.* properties (and the table " +
+            s"comment) are table semantics here, got '${c.property}'")
       case c: TableChange.RemoveProperty =>
-        require(c.property.startsWith("graft."),
-          s"UNSET TBLPROPERTIES: only graft.* properties are table " +
-            s"semantics here, got '${c.property}'")
+        require(c.property.startsWith("graft.") ||
+          c.property == "comment",
+          s"UNSET TBLPROPERTIES: only graft.* properties (and the " +
+            s"table comment) are table semantics here, got " +
+            s"'${c.property}'")
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other - the lake supports " +
           "RENAME/DROP/ADD COLUMN, safe type widening, and graft.* " +
@@ -678,9 +684,14 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
   // EVOLUTION` computes the source-minus-target column delta and lands
   // it through [[alterTable]] (metadata-only ADD COLUMN / safe-widen
   // commits) before the DML rewrite fires.
+  // OVERWRITE_BY_FILTER (r15) routes STATIC `INSERT OVERWRITE
+  // [PARTITION (spec)]` through the analyzer rewrite (Delta's
+  // replaceWhere in its partition form) — the v2 plan is
+  // OverwriteByExpression, claimed by RewriteGraftLakeDml.
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def properties(): util.Map[String, String] =

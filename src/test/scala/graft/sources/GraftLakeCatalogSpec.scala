@@ -517,6 +517,40 @@ class GraftLakeCatalogSpec extends SparkSpec {
       .collect().head.getString(0) === "id(next=24)")
   }
 
+  test("static INSERT OVERWRITE PARTITION: the spec'd partition replaces (empty reload clears), untouched files carry, row-level overwrite filters refuse; COMMENT ON TABLE persists through the property channel") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_os")
+    spark.sql("CREATE TABLE glc.ns_os.t (k BIGINT, lang STRING, " +
+      "v BIGINT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO glc.ns_os.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, id FROM range(6)")
+    val dir = s"$wh/ns_os/t"
+    spark.sql("INSERT OVERWRITE glc.ns_os.t PARTITION (lang='en') " +
+      "SELECT 100, 100")
+    val got = spark.sql("SELECT lang, count(*) FROM glc.ns_os.t " +
+        "GROUP BY lang ORDER BY lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("de" -> 3L, "en" -> 1L),
+      "only the spec'd partition may change")
+    // empty reload still CLEARS the partition (the replaceWhere law)
+    spark.sql("INSERT OVERWRITE glc.ns_os.t PARTITION (lang='de') " +
+      "SELECT k, v FROM glc.ns_os.t WHERE 1 = 0")
+    assert(spark.sql("SELECT count(*) FROM glc.ns_os.t WHERE lang='de'")
+      .collect().head.getLong(0) === 0L)
+    // a ROW-LEVEL overwrite filter (writeTo.overwrite on a non-layout
+    // column) refuses loudly - that shape is DELETE + INSERT or MERGE
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("id AS k", "'en' AS lang", "id AS v")
+        .writeTo("glc.ns_os.t")
+        .overwrite(org.apache.spark.sql.functions.col("v") > 50)
+    }
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
+    // COMMENT ON TABLE rides the property channel and persists
+    spark.sql("COMMENT ON TABLE glc.ns_os.t IS 'hourly reload target'")
+    assert(Export.snapshotProperties(dir).get("comment")
+      === Some("hourly reload target"))
+  }
+
   test("PARTITION MANAGEMENT: SHOW PARTITIONS lists manifest tuples, DROP PARTITION is metadata-only (files carried, time travel intact), missing raises NoSuchPartitions, IF EXISTS no-ops, ADD refuses, dropping the LAST partition keeps the layout") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_pm")
