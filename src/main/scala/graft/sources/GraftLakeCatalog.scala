@@ -503,11 +503,16 @@ final class GraftLakeTable(catalogName: String, ident: Identifier,
   // Partitions are IMPLICIT in this lake (the layout appears when rows
   // do), so ADD PARTITION / partition metadata refuse loudly.
 
-  override def partitionSchema(): StructType = {
+  // CACHED per table instance (loadTable hands a fresh instance per
+  // lookup, so this is per-analysis): the analyzer consults
+  // partitionSchema on far more statements than partition commands,
+  // and each uncached call would cost two manifest reads
+  private lazy val partitionSchemaCached: StructType = {
     val cols = Export.declaredPartitionColumns(dir)
     val st = schema()
     StructType(cols.flatMap(c => st.fields.find(_.name == c)))
   }
+  override def partitionSchema(): StructType = partitionSchemaCached
 
   /** The EXTERNAL string of one partition value — the exact `p=` spec
     * form the epoch writers lay out (dates as `2026-01-01`, not the
