@@ -586,6 +586,29 @@ object GraftExtensions {
           val E = graft.operators.Export
           require(E.latestSnapshotVersion(path) > 0,
             s"nothing to merge into under $path")
+          // 'evolve' is a TWO-COMMIT shape (one metadata-only schema
+          // commit, then the merge commit — each atomic on its own,
+          // the pair not): validate every merge precondition BEFORE
+          // landing the evolution, so a merge that would refuse
+          // cannot leave the widened schema committed behind it
+          locally {
+            val head = E.latestSnapshotVersion(path)
+            val headCols = E.snapshotSchema(path, head)
+              .map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+            keys.foreach(k => require(
+              headCols.contains(k) && updates0.columns.contains(k),
+              s"merge key '$k' must exist in BOTH the table " +
+                s"(${headCols.mkString(", ")}) and the source view"))
+            orderCols.foreach(o => require(
+              updates0.columns.contains(o) || headCols.contains(o),
+              s"order column '$o' exists in neither the table nor " +
+                "the source view"))
+            if (mor) require(
+              E.snapshotPartitionColumns(path, head).isEmpty,
+              "graft_merge(..., 'mor') refuses PARTITIONED tables " +
+                "(a MoR insert epoch carries no p= specs); use the " +
+                "partition-scoped CoW merge instead")
+          }
           // 'evolve': land the source-minus-target delta as ONE
           // metadata-only commit BEFORE the merge (the SQL statement's
           // law), then null-fill the source up to the evolved width -

@@ -1583,6 +1583,15 @@ object Export {
           headMeta.get(k).map(_.toLong).getOrElse(0L),
           idPending.getOrElse(c, 0L)).toString
       }.toMap
+    // the pending entry is CONSUMED here: clear it so a later DROP +
+    // CREATE at the same path (same thread) cannot inherit the dropped
+    // table's watermark as its first `idc_` header. If this commit
+    // loses its race, the claim files still carry the watermark
+    // (identityConsumed = max(claims, header)) and the header merely
+    // lags as a GC floor — claims above it are never pruned.
+    if (idPending.nonEmpty)
+      pendingIdentity.set(pendingIdentity.get()
+        .filterNot { case ((r, _), _) => r == root.toString })
     // column-mapping bookkeeping rides the same headers: the schema is
     // stamped with the physical names the epoch writer used, and the
     // retired-physical set survives every commit (like #batch=)
@@ -2303,6 +2312,26 @@ object Export {
     }
     throw new IllegalStateException(
       s"identity claim under $root kept losing CAS races")
+  }
+
+  /** DML assignment to an IDENTITY column is refused on every UPDATE
+    * front door (SQL UPDATE, MERGE UPDATE clauses, `graft_update`):
+    * `SET id = <v>` silently breaks the surrogate-key uniqueness
+    * contract and `SET id = NULL` would re-issue fresh ids for
+    * EXISTING rows through the null-slot assignment — the reference
+    * model (Delta) refuses identity-column updates for GENERATED
+    * ALWAYS and BY DEFAULT alike. */
+  private[graft] def refuseIdentityAssignment(
+      st: org.apache.spark.sql.types.StructType,
+      targets: Seq[String], what: String): Unit = {
+    val IC = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val bad = targets.filter(n => st.fields.find(_.name == n)
+      .exists(_.metadata.contains(IC.IDENTITY_INFO_START)))
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      s"$what assigns IDENTITY column '${bad.mkString("', '")}' - " +
+        "identity values are engine-assigned (updating one breaks the " +
+        "surrogate-key uniqueness contract); assign every other " +
+        "column, or recreate the column without IDENTITY")
   }
 
   private def materializeIdentity(fs: FileSystem, root: Path,
@@ -3846,6 +3875,7 @@ object Export {
       require(st.fieldNames.contains(n),
         s"UPDATE assigns unknown column '$n' (table has " +
           s"${st.fieldNames.mkString(", ")})") }
+    refuseIdentityAssignment(st, sets.map(_._1), "UPDATE")
     // file pruning through the predicate's conjuncts and the manifest
     // p=/s= tags — the same planning kernel the batch scan uses; a
     // non-analyzable predicate simply prunes nothing
@@ -3925,6 +3955,7 @@ object Export {
       require(st.fieldNames.contains(n),
         s"UPDATE assigns unknown column '$n' (table has " +
           s"${st.fieldNames.mkString(", ")})") }
+    refuseIdentityAssignment(st, sets.map(_._1), "UPDATE")
     // manifest-tag pruning, same kernel as the CoW path: excluded
     // files are never read
     val physOf: Map[String, String] =

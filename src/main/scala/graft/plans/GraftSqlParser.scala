@@ -31,11 +31,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Desc(kind, target) =>
       target.trim match {
         case SQuoted(p) => GraftDescribeStatement(kind.toUpperCase, Nil,
-          Some(p))
+          Some(p), sqlText)
         case DQuoted(p) => GraftDescribeStatement(kind.toUpperCase, Nil,
-          Some(p))
+          Some(p), sqlText)
         case t => GraftDescribeStatement(kind.toUpperCase,
-          delegate.parseMultipartIdentifier(t), None)
+          delegate.parseMultipartIdentifier(t), None, sqlText)
       }
     case _ => delegate.parsePlan(sqlText)
   }
@@ -72,9 +72,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 /** Unresolved `DESCRIBE HISTORY/DETAIL` carrier (kind is "HISTORY" or
   * "DETAIL"; exactly one of nameParts/path is set), claimed at the
   * hint seam by [[RewriteGraftLakeDdl]]. Carries the COMMAND pattern
-  * so the rule's pruning guard visits it. */
+  * so the rule's pruning guard visits it. `original` is the verbatim
+  * statement text: when the target is NOT a lake table and a real
+  * table/view named `history`/`detail` exists, the statement was
+  * Spark's column-describe form (`DESCRIBE history doc_id`) that the
+  * probe regex cannot distinguish — the rule re-parses the original
+  * with Spark's own parser instead of failing. */
 final case class GraftDescribeStatement(kind: String,
-    nameParts: Seq[String], path: Option[String])
+    nameParts: Seq[String], path: Option[String],
+    original: String = "")
     extends UnresolvedLeafNode {
   final override val nodePatterns: Seq[TreePattern.TreePattern] =
     Seq(TreePattern.COMMAND)

@@ -161,16 +161,30 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       // frame the graft_history / graft_detail TVFs serve — pure
       // metadata reads, resolved eagerly like SHOW VIEWS
       case d: GraftDescribeStatement =>
-        val dir = d.path.orElse(viewDirOf(d.nameParts)
-            .filter(x => Export.latestSnapshotVersion(x) >= 1))
-          .getOrElse(throw new IllegalArgumentException(
-            s"DESCRIBE ${d.kind} ${d.nameParts.mkString(".")}: not a " +
-              "lake table (fully qualify the name, USE the lake " +
-              "catalog, or pass a quoted path)"))
-        val df =
-          if (d.kind == "HISTORY") Export.snapshotHistory(spark, dir)
-          else Export.snapshotDetail(spark, dir)
-        df.queryExecution.logical
+        d.path.orElse(viewDirOf(d.nameParts)
+            .filter(x => Export.latestSnapshotVersion(x) >= 1)) match {
+          case Some(dir) =>
+            val df =
+              if (d.kind == "HISTORY") Export.snapshotHistory(spark, dir)
+              else Export.snapshotDetail(spark, dir)
+            df.queryExecution.logical
+          case None
+              if d.original.nonEmpty &&
+                describeKeywordIsATable(d.kind) =>
+            // the probe regex cannot tell `DESCRIBE HISTORY t` from
+            // Spark's column-describe of a table literally named
+            // `history` — when such a table/view exists and the
+            // target is not a lake table, the statement was the
+            // column form: delegate the verbatim text to Spark's own
+            // parser (NOT the session parser, which would re-probe)
+            new org.apache.spark.sql.execution.SparkSqlParser()
+              .parsePlan(d.original)
+          case None =>
+            throw new IllegalArgumentException(
+              s"DESCRIBE ${d.kind} ${d.nameParts.mkString(".")}: not " +
+                "a lake table (fully qualify the name, USE the lake " +
+                "catalog, or pass a quoted path)")
+        }
       // ALTER TABLE ... ADD CONSTRAINT name CHECK (...) / DROP
       // CONSTRAINT: Spark's own route dies twice for this engine
       // (ResolveSessionCatalog rejects any AddCheckConstraint whose
@@ -191,6 +205,22 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       case u: UnresolvedRelation => u.multipartIdentifier
       case t: UnresolvedTable => t.multipartIdentifier
     }
+
+  /** True when a table, temp view, or lake table named `history` /
+    * `detail` (the probe keyword) exists — the only situation in which
+    * `DESCRIBE HISTORY <x>` was actually Spark's column-describe form
+    * against that table rather than the lake statement. */
+  private def describeKeywordIsATable(kind: String): Boolean = {
+    val n = kind.toLowerCase(java.util.Locale.ROOT)
+    val cat = spark.sessionState.catalog
+    cat.getTempView(n).isDefined ||
+      (try cat.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(n))
+        catch { case scala.util.control.NonFatal(_) => false }) ||
+      (try viewDirOf(Seq(n))
+          .exists(x => Export.latestSnapshotVersion(x) >= 1)
+        catch { case scala.util.control.NonFatal(_) => false })
+  }
 
   private def refuseDmlOnView(stmt: String, parts: Seq[String]): Nothing =
     throw new UnsupportedOperationException(

@@ -128,6 +128,17 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
   private def asColumn(e: Expression): Column =
     GraftColumnBridge.column(unresolve(e))
 
+  /** True when the named column is an IDENTITY column in the table's
+    * COMMITTED schema. Checked against the committed schema, not the
+    * plan attribute: the v2 Column round-trip the analyzer builds
+    * relation outputs from does not carry the identity metadata keys.
+    * Both flavors count: updating a BY DEFAULT identity breaks
+    * uniqueness exactly like an ALWAYS one. */
+  private def isIdentityCol(t: GraftLakeTable, name: String): Boolean =
+    t.schema().fields.find(_.name == name)
+      .exists(_.metadata.contains(org.apache.spark.sql.catalyst.util
+        .IdentityColumn.IDENTITY_INFO_START))
+
   /** An assignment target normalized to (root column, struct path):
     * `SET meta.quality.score = v` → (meta, [quality, score]). Only
     * pure struct-field chains rooted at a top-level column qualify —
@@ -162,6 +173,11 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         // leaf-cast to the committed field type, so the struct the
         // withField fold rebuilds keeps its committed shape exactly
         case Some((ar, p)) =>
+          if (isIdentityCol(t, ar.name))
+            refuse(s"assignment targets IDENTITY column '${ar.name}' - " +
+              "identity values are engine-assigned; updating one " +
+              "(including SET = NULL, which would re-issue fresh ids) " +
+              "breaks the surrogate-key uniqueness contract")
           (ar.name, p, asColumn(a.value).cast(Export.nullableType(a.key.dataType)))
         case None => refuse("assignment target must be a top-level " +
           s"column or a struct-field path over one, got ${a.key} " +
@@ -448,6 +464,25 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
             "single-key rewrite would drop one of the equalities")
         (group.head._1, group.head._2, group.forall(_._3))
       }
+
+    // IDENTITY targets refuse on every UPDATE clause (matched and
+    // by-source, every routing) — the same law as SQL UPDATE /
+    // graft_update: identity values are engine-assigned, and a MERGE
+    // UPDATE (including the SET * expansion) re-assigning one breaks
+    // the surrogate-key uniqueness contract. INSERT clauses are
+    // guarded per-row instead (GENERATED ALWAYS refuses explicit
+    // non-NULL values; BY DEFAULT accepts them — the SQL law).
+    (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
+      case UpdateAction(_, as, _) => as.foreach { a =>
+        targetPath(a.key).foreach { case (ar, _) =>
+          if (isIdentityCol(t, ar.name))
+            refuse(s"a MERGE UPDATE clause assigns IDENTITY column " +
+              s"'${ar.name}' - identity values are engine-assigned; " +
+              "list the other columns explicitly instead of SET *")
+        }
+      }
+      case _ => ()
+    }
 
     // ---- fast paths: each claims only its exact BARE-EQUALITY shape,
     // else misses; filter conjuncts always take the general rewrite
@@ -847,12 +882,30 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
             org.apache.spark.sql.functions
               .expr(f.metadata.getString("CURRENT_DEFAULT"))
           else lit(null)).cast(Export.nullableType(f.dataType))
+        // GENERATED ALWAYS AS IDENTITY refuses explicit non-NULL
+        // values per inserted row — the general rewrite commits
+        // through a REPLACE (not an append surface), so the append
+        // writers' law is re-asserted here; NULL passes and takes a
+        // fresh id from the epoch writer's null-slot assignment
+        val IC = org.apache.spark.sql.catalyst.util.IdentityColumn
+        def guardAlways(f: org.apache.spark.sql.types.StructField,
+            v: Column): Column =
+          if (f.metadata.contains(IC.IDENTITY_INFO_START) &&
+              !f.metadata.getBoolean(
+                IC.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT))
+            when(org.apache.spark.sql.functions.assert_true(v.isNull,
+              lit(s"identity column '${f.name}' is GENERATED ALWAYS " +
+                "AS IDENTITY - explicit values are not allowed on " +
+                "MERGE INSERT (omit the column, or write NULL for a " +
+                "fresh id)")).isNull, v)
+          else v
         withIdx.filter(col(insCol) > 0).select(st.fields.toSeq.map {
           f =>
             insertActs.zipWithIndex.foldLeft(Option.empty[Column]) {
               case (acc, ((_, sets), k)) =>
                 val v = sets.get(f.name)
-                  .map(_.cast(Export.nullableType(f.dataType)))
+                  .map(c => guardAlways(f,
+                    c.cast(Export.nullableType(f.dataType))))
                   .getOrElse(unassigned(f))
                 Some(acc.fold(when(col(insCol) === (k + 1), v))(
                   _.when(col(insCol) === (k + 1), v)))

@@ -603,6 +603,88 @@ class GraftLakeCatalogSpec extends SparkSpec {
       "the layout must survive dropping every partition")
   }
 
+  test("IDENTITY enforcement closes the DML side doors: UPDATE SET / MERGE UPDATE / graft_update refuse identity targets, MERGE INSERT refuses explicit ALWAYS values through the general rewrite, and DROP + CREATE at the same path restarts the sequence at START WITH") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_ide")
+    spark.sql("DROP TABLE IF EXISTS glc.ns_ide.t")
+    spark.sql("CREATE TABLE glc.ns_ide.t (id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY, v BIGINT)")
+    spark.sql("INSERT INTO glc.ns_ide.t (v) SELECT id FROM range(4)")
+    val dir = s"$wh/ns_ide/t"
+    val v0 = Export.latestSnapshotVersion(dir)
+    // UPDATE SET id = anything (NULL included) refuses, no commit
+    val e1 = intercept[Exception](spark.sql(
+      "UPDATE glc.ns_ide.t SET id = NULL WHERE v = 1"))
+    assert(e1.getMessage.toLowerCase.contains("identity"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "UPDATE glc.ns_ide.t SET id = 999 WHERE v = 1"))
+    assert(e2.getMessage.toLowerCase.contains("identity"), e2.getMessage)
+    // MERGE UPDATE clause (conditioned => the general rewrite) refuses
+    spark.range(2).selectExpr("id AS k", "id + 50 AS nv")
+      .createOrReplaceTempView("ide_src")
+    val e3 = intercept[Exception](spark.sql(
+      "MERGE INTO glc.ns_ide.t t USING ide_src s ON t.v = s.k " +
+        "WHEN MATCHED AND s.nv > 0 THEN UPDATE SET id = s.nv"))
+    assert(e3.getMessage.toLowerCase.contains("identity"), e3.getMessage)
+    // graft_update shares the refusal (Export.updateWhere owns it)
+    val e4 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_update('$dir', 'id=7', 'v = 1')").collect())
+    assert(e4.getMessage.toLowerCase.contains("identity"), e4.getMessage)
+    // MERGE INSERT with an explicit ALWAYS value refuses PER ROW even
+    // through the general (replace-commit) rewrite path
+    val e5 = intercept[Exception](spark.sql(
+      "MERGE INTO glc.ns_ide.t t USING ide_src s ON t.v = s.nv " +
+        "WHEN MATCHED AND s.nv > 1000 THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.nv, s.k)"))
+    assert(e5.getMessage.toLowerCase.contains("identity"), e5.getMessage)
+    assert(Export.latestSnapshotVersion(dir) === v0,
+      "refused identity DML must not commit")
+    // an unassigned identity column through the same general-rewrite
+    // insert leg still draws fresh ids
+    spark.sql("MERGE INTO glc.ns_ide.t t USING ide_src s ON t.v = s.nv " +
+      "WHEN MATCHED AND s.nv > 1000 THEN UPDATE SET v = s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.nv)")
+    val ids = spark.sql("SELECT id FROM glc.ns_ide.t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (1L to 6L),
+      s"general-rewrite inserts must draw dense fresh ids, got $ids")
+    // DROP + CREATE at the same path on the same thread: the new
+    // table's sequence starts at START WITH, not the dropped table's
+    // stale watermark (the pendingIdentity ThreadLocal is cleared on
+    // consumption)
+    spark.sql("DROP TABLE glc.ns_ide.t")
+    spark.sql("CREATE TABLE glc.ns_ide.t (id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY, v BIGINT)")
+    spark.sql("INSERT INTO glc.ns_ide.t (v) VALUES (1)")
+    assert(spark.sql("SELECT id FROM glc.ns_ide.t")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "a recreated table must restart its identity sequence")
+    assert(!Export.snapshotMeta(dir,
+        Export.latestSnapshotVersion(dir)).keys.exists(_ == "idc_id") ||
+      Export.snapshotMeta(dir, Export.latestSnapshotVersion(dir))
+        .get("idc_id") === Some("1"),
+      "the fresh table must not inherit the dropped table's watermark")
+  }
+
+  test("DESCRIBE HISTORY falls back to Spark's column-describe when a real table named `history` exists") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_dh")
+    spark.sql("DROP TABLE IF EXISTS glc.ns_dh.audit")
+    spark.sql("CREATE TABLE glc.ns_dh.audit (doc_id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO glc.ns_dh.audit VALUES (1, 2)")
+    // a TEMP VIEW named history: `DESCRIBE history doc_id` is Spark's
+    // column-describe of it, not the lake statement
+    spark.range(3).selectExpr("id AS doc_id").createOrReplaceTempView(
+      "history")
+    val cols = spark.sql("DESCRIBE history doc_id").collect()
+      .map(_.getString(0)).toSeq
+    assert(cols.contains("col_name") || cols.contains("doc_id"),
+      s"expected a column-describe frame, got $cols")
+    spark.catalog.dropTempView("history")
+    // without such a table the lake error stays helpful
+    val e = intercept[Exception](spark.sql("DESCRIBE HISTORY nosuch_t"))
+    assert(e.getMessage.contains("not a lake table"), e.getMessage)
+  }
+
   test("IDENTITY composes with a PARTITIONED layout: one claim covers the whole epoch across partitions, the sequence continues over commits, and partition pruning still works") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS glc.ns_id")
