@@ -468,6 +468,31 @@ object Export {
 
   @volatile var commitGuard: CommitGuard = (_: Path, _: Int) => ()
 
+  /** Reference [[CommitGuard]] for object stores — the Delta LogStore
+    * idea: CLAIM `(root, version)` in an external atomic registry
+    * before publishing, so on a store where `exists` can lie
+    * (eventual consistency) and `rename` silently replaces (the S3A
+    * model), two committers can still never both win. This in-process
+    * implementation backs the one-method contract with a
+    * ConcurrentHashMap — correct for every writer in one driver JVM,
+    * and the harness the racy-FS spec certifies; a multi-driver
+    * deployment backs the SAME contract with a conditional PUT (S3
+    * If-None-Match) or a DynamoDB conditional write, where the claim
+    * IS the manifest object. Claims are never released: a claimant
+    * that crashes before publishing wedges its version number in this
+    * registry (the next writer re-plans against the real head anyway);
+    * conditional-PUT backends don't have that window because claim and
+    * publish are one operation. */
+  final class InProcessCommitGuard extends CommitGuard {
+    private val claimed =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    override def beforeCommit(root: Path, version: Int): Unit =
+      if (!claimed.add(s"$root#_v$version"))
+        throw new ConcurrentCommitException(
+          s"commit guard: version $version under $root is already " +
+            "claimed by another committer", version)
+  }
+
   /** Publish a FULLY-WRITTEN temp file at `dest`, failing (false) if
     * `dest` already exists — the commit-point primitive under every
     * manifest, identity claim, and view generation. On a LOCAL
@@ -2342,8 +2367,16 @@ object Export {
       f.metadata.contains(IC.IDENTITY_INFO_START))
     if (ids.isEmpty) df
     else {
+      // ONE checkpoint for the whole epoch, however many identity
+      // columns the table has: the first column that materializes
+      // marks the frame stable, and later columns reuse its blocks
+      // (their derivation is narrow + deterministic)
+      var stable = false
       val out = ids.foldLeft(df) { case (d, f) =>
-        assignIdentity(fs, root, f, d) }
+        val (r, materialized) = assignIdentity(fs, root, f, d, stable)
+        if (materialized) stable = true
+        r
+      }
       // keep the head's column order when a missing column was added
       val headOrder = headFields.map(_.name)
       val order = headOrder.filter(out.columns.contains) ++
@@ -2353,15 +2386,19 @@ object Export {
     }
   }
 
+  /** Returns (frame, materialized): `materialized` is true when the
+    * output derives from a checkpoint this call paid for — a
+    * multi-identity table's later columns skip theirs. */
   private def assignIdentity(fs: FileSystem, root: Path,
       f: org.apache.spark.sql.types.StructField,
-      d0: DataFrame): DataFrame = {
+      d0: DataFrame, stable: Boolean): (DataFrame, Boolean) = {
     val IC = org.apache.spark.sql.catalyst.util.IdentityColumn
     val start = f.metadata.getLong(IC.IDENTITY_INFO_START)
     val step = f.metadata.getLong(IC.IDENTITY_INFO_STEP)
     val allowExplicit =
       f.metadata.getBoolean(IC.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT)
     val name = f.name
+    val colEnc = java.net.URLEncoder.encode(name, "UTF-8")
     val d =
       if (!d0.columns.contains(name))
         d0.withColumn(name, lit(null).cast(nullableType(f.dataType)))
@@ -2371,18 +2408,48 @@ object Export {
             "IDENTITY - explicit values are not allowed on INSERT " +
             "(omit the column, or write NULL for a fresh id)")).isNull)
       else d0
+    // EXPLICIT-VALUE SYNC (r16, the Delta SYNC IDENTITY contract made
+    // automatic): a BY DEFAULT epoch carrying explicit ids ABOVE the
+    // consumed watermark must advance it, or a later generated id
+    // collides with an already-inserted explicit one. The raise is
+    // published through the SAME claim-file CAS as a normal range
+    // claim, so a CONCURRENT writer reading the watermark mid-commit
+    // sees it too — not just readers of this commit's idc_ header.
+    // ALWAYS columns skip (explicit values can't enter), so the extra
+    // one-column agg costs only BY-DEFAULT tables.
+    if (allowExplicit && d0.columns.contains(name)) {
+      val ord = (org.apache.spark.sql.functions.floor(
+        (colQ(name).cast("decimal(38,0)") - lit(start)) / lit(step))
+        + lit(1)).cast("long")
+      val maxOrd = d.filter(colQ(name).isNotNull)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.greatest(ord, lit(0L))))
+        .collect().headOption.flatMap(r =>
+          if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        .getOrElse(0L)
+      if (maxOrd > 0L) {
+        val cur = identityConsumed(fs, root, colEnc)
+        if (maxOrd > cur) {
+          val from = claimIdentityRange(fs, root, colEnc, maxOrd - cur)
+          pendingIdentity.set(pendingIdentity.get() +
+            ((root.toString, colEnc) ->
+              math.max(from + (maxOrd - cur),
+                pendingIdentity.get()
+                  .getOrElse((root.toString, colEnc), 0L))))
+        }
+      }
+    }
     // cheap PROBE before any materialization: a pure rewrite (every id
     // carries — the UPDATE/MERGE/compaction case, possibly a
     // full-table frame) must not pay a checkpoint of the whole slice
-    if (d.filter(colQ(name).isNull).isEmpty) return d
+    if (d.filter(colQ(name).isNull).isEmpty) return (d, false)
     // ONE materialization of the (batch-bounded) epoch frame: the
     // per-partition counts and the id projection must see the SAME
     // partitioning, and the write that follows reuses the blocks
-    val snap = d.localCheckpoint(true)
+    val snap = if (stable) d else d.localCheckpoint(true)
     val nulls = snap.filter(colQ(name).isNull)
     val n = nulls.count()
-    if (n == 0L) return snap // pure rewrite: every id carries, no claim
-    val colEnc = java.net.URLEncoder.encode(name, "UTF-8")
+    if (n == 0L) return (snap, !stable) // every id carries, no claim
     val from = claimIdentityRange(fs, root, colEnc, n)
     pendingIdentity.set(pendingIdentity.get() +
       ((root.toString, colEnc) -> (from + n)))
@@ -2423,7 +2490,7 @@ object Export {
     val assigned = withPid.join(baseDf, pidCol)
       .withColumn(name, idVal)
       .drop(pidCol, idxCol, baseCol)
-    assigned.unionByName(snap.filter(colQ(name).isNotNull))
+    (assigned.unionByName(snap.filter(colQ(name).isNotNull)), !stable)
   }
 
   /** ONE-PASS constraint enforcement for the epoch writers: each row

@@ -44,6 +44,17 @@ final case class GraftDmlStatement(statement: String,
     s"GraftDmlStatement $statement"
 }
 
+/** A maintenance STATEMENT (`OPTIMIZE` / `VACUUM`) — eager like every
+  * command, but returning the procedure twin's one-row result
+  * (version/n_files, dropped/deleted counts) so the operator sees what
+  * the statement did, the Delta OPTIMIZE-metrics shape. */
+final case class GraftMaintenanceResult(statement: String,
+    override val output: Seq[Attribute],
+    run: () => Seq[Seq[Long]]) extends LeafNode with Command {
+  override def simpleString(maxFields: Int): String =
+    s"GraftMaintenanceResult $statement"
+}
+
 /** Physical node for both shapes: the side effect fires once, inside
   * the lazily-initialized result — never at planning/EXPLAIN time. */
 final case class GraftLakeCommandExec(procedure: String,
@@ -70,6 +81,8 @@ object GraftLakeStrategy extends SparkStrategy {
     case s: GraftDmlStatement =>
       GraftLakeCommandExec(s.statement, Nil,
         () => { s.run(); Seq.empty }) :: Nil
+    case m: GraftMaintenanceResult =>
+      GraftLakeCommandExec(m.statement, m.output, m.run) :: Nil
     case _ => Nil
   }
 }

@@ -26,17 +26,52 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+(.+?)\s*;?\s*$""".r
   private val SQuoted = """^'([^']+)'$""".r
   private val DQuoted = """^"([^"]+)"$""".r
+  private val Opt = """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
+  private val Vac = """(?is)^\s*VACUUM\s+(.+?)\s*;?\s*$""".r
+  private val ZTail = """(?is)^(.*?)\s+ZORDER\s+BY\s+(.+)$""".r
+  private val WTail = """(?is)^(.*?)\s+WHERE\s+(.+)$""".r
+  private val RTail =
+    """(?is)^(.*?)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*$""".r
+
+  private def target(t: String): (Seq[String], Option[String]) =
+    t.trim match {
+      case SQuoted(p) => (Nil, Some(p))
+      case DQuoted(p) => (Nil, Some(p))
+      case x => (delegate.parseMultipartIdentifier(x), None)
+    }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Desc(kind, target) =>
-      target.trim match {
-        case SQuoted(p) => GraftDescribeStatement(kind.toUpperCase, Nil,
-          Some(p), sqlText)
-        case DQuoted(p) => GraftDescribeStatement(kind.toUpperCase, Nil,
-          Some(p), sqlText)
-        case t => GraftDescribeStatement(kind.toUpperCase,
-          delegate.parseMultipartIdentifier(t), None, sqlText)
+    case Desc(kind, t) =>
+      val (parts, path) = target(t)
+      GraftDescribeStatement(kind.toUpperCase, parts, path, sqlText)
+    // `OPTIMIZE t [WHERE <pred>] [ZORDER BY (a[, b])]` — what an
+    // operator actually types (the graft_optimize procedure's
+    // statement face). Spark's grammar has no OPTIMIZE rule, so the
+    // probe can never shadow a legal statement.
+    case Opt(rest0) =>
+      val (rest1, zcols) = rest0 match {
+        case ZTail(head, cols) => (head,
+          cols.trim.stripPrefix("(").stripSuffix(")").split(',')
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq)
+        case _ => (rest0, Seq.empty[String])
       }
+      val (tTxt, whereSql) = rest1 match {
+        case WTail(head, w) => (head, Some(w.trim))
+        case _ => (rest1, None)
+      }
+      val (parts, path) = target(tTxt)
+      GraftMaintenanceStatement("OPTIMIZE", parts, path, whereSql,
+        zcols, None, sqlText)
+    // `VACUUM t [RETAIN n HOURS]` — the retention statement
+    case Vac(rest0) =>
+      val (tTxt, retain) = rest0 match {
+        case RTail(head, n) => (head, Some(n.toDouble))
+        case _ => (rest0, None)
+      }
+      val (parts, path) = target(tTxt)
+      GraftMaintenanceStatement("VACUUM", parts, path, None, Nil,
+        retain, sqlText)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -46,7 +81,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
       : LogicalPlan = sqlText match {
-    case Desc(_, _) => parsePlan(sqlText) // takes no parameters
+    case Desc(_, _) | Opt(_) | Vac(_) =>
+      parsePlan(sqlText) // these take no parameters
     case _ => delegate.parsePlanWithParameters(sqlText, ctx)
   }
 
@@ -81,6 +117,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 final case class GraftDescribeStatement(kind: String,
     nameParts: Seq[String], path: Option[String],
     original: String = "")
+    extends UnresolvedLeafNode {
+  final override val nodePatterns: Seq[TreePattern.TreePattern] =
+    Seq(TreePattern.COMMAND)
+}
+
+/** Unresolved `OPTIMIZE` / `VACUUM` carrier (kind is "OPTIMIZE" or
+  * "VACUUM"), claimed by [[RewriteGraftLakeDdl]], which resolves the
+  * target like the DESCRIBE statements and defers the maintenance
+  * commit to execution — `spark.sql` runs it eagerly (Command), and
+  * the result row mirrors the procedure twin (`graft_optimize` →
+  * (version, n_files); `graft_vacuum` → (dropped_versions,
+  * deleted_files)): by-name parity is spec-pinned. */
+final case class GraftMaintenanceStatement(kind: String,
+    nameParts: Seq[String], path: Option[String],
+    whereSql: Option[String], zorderCols: Seq[String],
+    retainHours: Option[Double], original: String)
     extends UnresolvedLeafNode {
   final override val nodePatterns: Seq[TreePattern.TreePattern] =
     Seq(TreePattern.COMMAND)

@@ -185,6 +185,14 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
                 "a lake table (fully qualify the name, USE the lake " +
                 "catalog, or pass a quoted path)")
         }
+      // OPTIMIZE t [WHERE pred] [ZORDER BY (a[, b])] / VACUUM t
+      // [RETAIN n HOURS] (parsed by [[GraftSqlParser]]): the statement
+      // faces of graft_optimize / graft_vacuum — resolved here,
+      // executed DEFERRED (Command: spark.sql runs it eagerly, the
+      // maintenance commit happens at execution, never at analysis),
+      // returning the procedure twin's one-row result
+      case ms: GraftMaintenanceStatement =>
+        rewriteMaintenance(ms)
       // ALTER TABLE ... ADD CONSTRAINT name CHECK (...) / DROP
       // CONSTRAINT: Spark's own route dies twice for this engine
       // (ResolveSessionCatalog rejects any AddCheckConstraint whose
@@ -205,6 +213,100 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       case u: UnresolvedRelation => u.multipartIdentifier
       case t: UnresolvedTable => t.multipartIdentifier
     }
+
+  /** `OPTIMIZE` / `VACUUM` statement resolution: clause mapping onto
+    * the audited compaction/retention commits (the graft_optimize /
+    * graft_vacuum procedures' exact code paths — by-name parity is
+    * spec-pinned):
+    *  - bare OPTIMIZE re-clusters by a declared `graft.cluster.key`
+    *    (never erodes zones) else plain-compacts the head;
+    *  - OPTIMIZE ... WHERE takes partition-column EQUALITY conjuncts
+    *    and rewrites only the matching partitions' files;
+    *  - ZORDER BY (a) re-clusters on `a`; ZORDER BY (a, b) z-orders;
+    *  - VACUUM keeps the head version and deletes unreferenced files
+    *    older than RETAIN (default [[Export.DefaultVacuumHorizonMs]]).
+    */
+  private def rewriteMaintenance(
+      ms: GraftMaintenanceStatement): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    val dir = ms.path.orElse(viewDirOf(ms.nameParts)
+        .filter(x => Export.latestSnapshotVersion(x) >= 1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"${ms.kind} ${ms.nameParts.mkString(".")}: not a lake table " +
+          "(fully qualify the name, USE the lake catalog, or pass a " +
+          "quoted path)"))
+    def la(n: String) = AttributeReference(n, LongType,
+      nullable = false)()
+    if (ms.kind == "OPTIMIZE") {
+      val (whereSql, z) = (ms.whereSql, ms.zorderCols)
+      require(whereSql.isEmpty || z.isEmpty,
+        "OPTIMIZE ... WHERE cannot combine with ZORDER BY - compact " +
+          "the partition first, then re-cluster, or z-order the " +
+          "whole table")
+      GraftMaintenanceResult(s"OPTIMIZE $dir",
+        Seq(la("version"), la("n_files")), () => {
+          val s = SparkSession.active
+          val E = Export
+          val v = (whereSql, z) match {
+            case (Some(w), _) =>
+              val filters = partitionEqualities(s, w)
+              val head = E.latestSnapshotVersion(dir)
+              val partCols = E.snapshotPartitionColumns(dir, head)
+              require(partCols.nonEmpty &&
+                filters.keySet.subsetOf(partCols.toSet),
+                s"OPTIMIZE ... WHERE must name partition-column " +
+                  s"equalities (layout: ${partCols.mkString(", ")}; " +
+                  s"got: ${filters.keys.mkString(", ")})")
+              E.compactSnapshotPartition(s, dir, partCols, filters, 1)
+            case (None, Seq(k)) =>
+              E.compactSnapshotClustered(s, dir, k, 1)
+            case (None, Seq(a, b)) =>
+              E.compactSnapshotZordered(s, dir, a, b, 1)
+            case (None, Nil) =>
+              E.snapshotProperties(dir).get("graft.cluster.key") match {
+                case Some(k) => E.compactSnapshotClustered(s, dir, k, 1)
+                case None => E.compactSnapshot(s, dir, 1)
+              }
+            case (None, more) => throw new IllegalArgumentException(
+              s"ZORDER BY takes one or two columns, got " +
+                more.mkString(", "))
+          }
+          Seq(Seq(v.toLong, E.snapshotFiles(dir, v).size.toLong))
+        })
+    } else
+      GraftMaintenanceResult(s"VACUUM $dir",
+        Seq(la("dropped_versions"), la("deleted_files")), () => {
+          val horizonMs = ms.retainHours
+            .map(h => (h * 3600000.0).toLong)
+            .getOrElse(Export.DefaultVacuumHorizonMs)
+          val (dv, df) = Export.vacuumSnapshots(dir, 1, horizonMs)
+          Seq(Seq(dv.toLong, df.toLong))
+        })
+  }
+
+  /** The WHERE clause of `OPTIMIZE ... WHERE`: a conjunction of
+    * `col = literal` equalities over partition columns — anything else
+    * refuses loudly (a row-level OPTIMIZE filter has no meaning; the
+    * statement scopes PARTITIONS). */
+  private def partitionEqualities(s: SparkSession,
+      w: String): Map[String, String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    def lit(l: Literal): String = Option(l.value).map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        "OPTIMIZE ... WHERE: NULL is not a partition value"))
+    graft.sources.GraftLakeBatch.splitConjuncts(
+        s.sessionState.sqlParser.parseExpression(w)).map {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        a.name -> lit(l)
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        a.name -> lit(l)
+      case other => throw new IllegalArgumentException(
+        "OPTIMIZE ... WHERE supports partition-column equality " +
+          s"conjuncts only (col = literal), got: $other")
+    }.toMap
+  }
 
   /** True when a table, temp view, or lake table named `history` /
     * `detail` (the probe keyword) exists — the only situation in which

@@ -56,9 +56,12 @@ import graft.sources.GraftLakeTable
   * rebuilds, so UPDATE and every MERGE UPDATE clause accept them.
   * TARGET-side ON filter conjuncts (`ON t.k = s.k AND t.dt = '...'`,
   * the Delta prune-assisted merge idiom, r15) fold into the general
-  * rewrite's match condition AND its partition prune.
+  * rewrite's match condition AND its partition prune; SOURCE-side
+  * residuals (`ON t.k = s.k AND s.ts > '...'`, the CDC window idiom,
+  * r16) fold into the match condition and the insert legs' anti-join
+  * — a residual-false source row is NOT MATCHED and still INSERTs.
   * Still refused loudly (never half-applied): time-travel targets,
-  * source-referencing ON residuals, an ON clause binding one target
+  * nondeterministic ON residuals, an ON clause binding one target
   * column to DIFFERENT source expressions, overlapping assignments to
   * one root column, and nested INSERT targets (no base row to
   * rebuild). Execution is DEFERRED to the
@@ -109,19 +112,115 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     * longer exists then). UNCORRELATED subqueries pass through whole —
     * their plans are self-contained, so `DELETE ... WHERE k IN
     * (SELECT bad FROM quarantine)` (the retention shape) and
-    * scalar-subquery assignments work; a CORRELATED subquery's outer
-    * references are exprId-bound to the dead relation and would
-    * surface as an internal analyzer error from the thunk, so it
-    * refuses loudly here instead. */
+    * scalar-subquery assignments work. A CORRELATED `[NOT] EXISTS`
+    * with equality-only correlation (THE quarantine-join shape:
+    * `DELETE FROM t WHERE EXISTS (SELECT 1 FROM s WHERE s.k = t.k AND
+    * s.flag)`) DECORRELATES first — see [[decorrelateExists]]; any
+    * remaining correlation (correlated IN, non-equality correlation)
+    * refuses loudly, because its outer references are exprId-bound to
+    * the dead relation and would surface as an internal analyzer error
+    * from the thunk. */
   private def unresolve(e: Expression): Expression = {
+    val d = decorrelateExists(e)
     if (org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-        .hasCorrelatedSubquery(e))
+        .hasCorrelatedSubquery(d))
       throw new UnsupportedOperationException(
         "correlated subqueries are not supported in lake DML " +
           s"predicates/assignments (got $e) - rewrite the predicate " +
           "as an uncorrelated IN (SELECT ...) or use MERGE INTO")
-    e.transform {
+    d.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+  }
+
+  /** Rewrite a correlated `EXISTS` whose correlation is EQUALITY-ONLY
+    * into the equivalent uncorrelated `IN`:
+    *
+    *   EXISTS (SELECT ... FROM s WHERE s.k = t.k AND p(s))
+    *     ≡ coalesce((t.k) IN (SELECT s.k FROM s WHERE p(s)), false)
+    *
+    * The coalesce makes the equivalence EXACT under SQL's three-valued
+    * logic (an equality against NULL never proves existence), so the
+    * rewrite is polarity-independent — `NOT EXISTS` folds through
+    * unchanged. Correlated conjuncts are collected from Filter nodes
+    * threading down through Project/Filter chains (Projects extend
+    * their lists so the inner sides stay addressable); correlation
+    * anywhere else — under an Aggregate, a non-equality conjunct, an
+    * outer reference inside a projection — is left in place for the
+    * caller's loud refusal. 100 TB shape: the resulting IN plans as
+    * the same semi/anti-join the uncorrelated quarantine delete uses,
+    * and the deferred thunk re-analyzes it against the fresh head. */
+  private def decorrelateExists(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Exists, InSubquery, ListQuery, Literal, NamedExpression, OuterReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+    def hasOuter(x: Expression): Boolean =
+      x.exists(_.isInstanceOf[OuterReference])
+
+    // descend Project/Filter chains: strip equality-correlated
+    // conjuncts into (outer, inner) pairs, widen Projects so the inner
+    // sides survive to the subplan top; None = unsupported shape
+    def strip(p: LogicalPlan)
+        : Option[(LogicalPlan, Seq[(Expression, Expression)])] =
+      p match {
+        case f: Filter =>
+          strip(f.child).flatMap { case (sc, below) =>
+            val cs = graft.sources.GraftLakeBatch
+              .splitConjuncts(f.condition)
+            val (corr, plain) = cs.partition(hasOuter)
+            val pairs = corr.map {
+              case EqualTo(OuterReference(a), inner)
+                  if !hasOuter(inner) => Some((a: Expression, inner))
+              case EqualTo(inner, OuterReference(a))
+                  if !hasOuter(inner) => Some((a: Expression, inner))
+              case _ => None
+            }
+            if (pairs.exists(_.isEmpty)) None
+            else {
+              val nf = plain.reduceOption(
+                  org.apache.spark.sql.catalyst.expressions.And(_, _))
+                .map(Filter(_, sc)).getOrElse(sc)
+              Some((nf, below ++ pairs.flatten))
+            }
+          }
+        case pr: Project if !pr.projectList.exists(hasOuter) =>
+          strip(pr.child).map { case (sc, below) =>
+            if (below.isEmpty) (pr.copy(child = sc), below)
+            else {
+              // keep the inner sides addressable above this projection
+              val have = pr.projectList.map(_.toAttribute)
+              val need = below.flatMap(_._2.references.toSeq).distinct
+                .filterNot(a => have.exists(_.semanticEquals(a)))
+              (Project(pr.projectList ++ need, sc), below)
+            }
+          }
+        case other =>
+          // no correlation below: keep verbatim; correlation under an
+          // unsupported operator: bail (the caller refuses loudly)
+          if (other.exists(_.expressions.exists(hasOuter))) None
+          else Some((other, Nil))
+      }
+
+    e.transform {
+      case ex: Exists if ex.outerAttrs.nonEmpty =>
+        strip(ex.plan) match {
+          case Some((stripped, pairs)) if pairs.nonEmpty &&
+              !stripped.exists(_.expressions.exists(hasOuter)) &&
+              pairs.forall(_._2.references.subsetOf(stripped.outputSet))
+              =>
+            val values = pairs.map(_._1)
+            val inPlan = Project(pairs.zipWithIndex.map { case (pr, i) =>
+              org.apache.spark.sql.catalyst.expressions.Alias(
+                pr._2, s"__corr_$i")()
+            }, stripped)
+            Coalesce(Seq(
+              InSubquery(values,
+                ListQuery(inPlan, Seq.empty,
+                  NamedExpression.newExprId, values.length)),
+              Literal(false,
+                org.apache.spark.sql.types.BooleanType)))
+          case _ => ex
+        }
     }
   }
 
@@ -418,12 +517,15 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     }
     // ON clause: a conjunction of target-col = source-col equalities
     // (the merge keys; `<=>` keeps its null-matching semantics through
-    // the general path's join) plus optional TARGET-side FILTER
-    // conjuncts (`ON t.k = s.k AND t.dt = '2024-08-01'` — the Delta
-    // prune-assisted merge idiom): a target row failing a filter
-    // conjunct matches NO source row. Source-referencing residuals are
-    // refused — they change which source rows count as matched in ways
-    // a single-key rewrite cannot express soundly.
+    // the general path's join) plus optional FILTER conjuncts — either
+    // TARGET-side (`ON t.k = s.k AND t.dt = '2024-08-01'`, the Delta
+    // prune-assisted merge idiom: a target row failing one matches NO
+    // source row) or SOURCE-referencing (`ON t.k = s.k AND s.ts >
+    // '...'`, the CDC window idiom, r16: a source row failing one
+    // matches NOTHING — it is NOT MATCHED and takes the insert
+    // clauses). Both fold into the general rewrite's match condition;
+    // only target-side conjuncts can prune the target's partitions.
+    // Nondeterministic residuals refuse (two evaluations, one law).
     def keyPair(c: Expression)
         : Option[(AttributeReference, AttributeReference, Boolean)] =
       c match {
@@ -437,13 +539,11 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       .splitConjuncts(m.mergeCondition)
       .partition(c => keyPair(c).isDefined)
     residuals.foreach { r =>
-      if (r.references.exists(sOut.contains))
-        refuse(s"ON conjunct $r is neither a target=source column " +
-          "equality nor a TARGET-side filter (source-referencing " +
-          "residuals are not supported)")
       if (!r.deterministic)
         refuse(s"ON filter conjunct $r is nondeterministic")
     }
+    val (srcResiduals, tgtResiduals) =
+      residuals.partition(_.references.exists(sOut.contains))
     if (eqCs.isEmpty)
       refuse("ON clause has no target=source column equality to " +
         "merge on")
@@ -489,11 +589,12 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     // (which folds them into the match condition AND the partition
     // prune)
     if (residuals.nonEmpty)
-      rewriteMergeGeneral(m, t, keyConds, residuals, refuse)
+      rewriteMergeGeneral(m, t, keyConds, tgtResiduals, srcResiduals,
+        refuse)
     else canonical(rewriteMergeDelete(m, t, keyConds, refuse))
       .orElse(canonical(rewriteMergeInsertOnly(m, t, keyConds, refuse)))
       .orElse(canonical(rewriteMergeUpsert(m, t, keyConds, refuse)))
-      .getOrElse(rewriteMergeGeneral(m, t, keyConds, Nil, refuse))
+      .getOrElse(rewriteMergeGeneral(m, t, keyConds, Nil, Nil, refuse))
   }
 
   /** `WHEN MATCHED THEN DELETE` (alone, unconditioned): an anti-join
@@ -708,7 +809,7 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     * is broadcast when small (AQE). */
   private def rewriteMergeGeneral(m: MergeIntoTable, t: GraftLakeTable,
       keyConds: Seq[(AttributeReference, AttributeReference, Boolean)],
-      residuals: Seq[Expression],
+      tgtResiduals: Seq[Expression], srcResiduals: Seq[Expression],
       refuse: String => Nothing): LogicalPlan = {
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
@@ -744,11 +845,31 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
     // folding the residual into the outer-join condition gives exactly
     // that. `resByRefs` keeps each conjunct with its referenced column
     // names so the partition prune below can evaluate the
-    // layout-column subset against candidate tuples.
+    // layout-column subset against candidate tuples (TARGET-side
+    // conjuncts only — a source column named like a layout column
+    // must never masquerade as a partition filter).
     val resFilter: Option[Column] =
-      residuals.map(rebC).reduceOption(_ && _)
+      tgtResiduals.map(rebC).reduceOption(_ && _)
     val resByRefs: Seq[(Set[String], Column)] =
-      residuals.map(r => (r.references.toSeq.map(_.name).toSet, rebC(r)))
+      tgtResiduals.map(r =>
+        (r.references.toSeq.map(_.name).toSet, rebC(r)))
+    // SOURCE-referencing ON residuals (r16): evaluable only per
+    // (target, source) pair — folded into the MATCH condition and the
+    // insert legs' anti-join, never a base pre-filter. The SOURCE-ONLY
+    // subset additionally pre-filters the frames that reason about
+    // matches alone (cardinality check, touched-partition tuples): a
+    // source row failing one can match nothing — though it still
+    // INSERTS through the anti-join (NOT MATCHED, the SQL law).
+    val srcResCond: Option[Column] =
+      srcResiduals.map(rebC).reduceOption(_ && _)
+    val srcOnlyRes: Option[Column] = srcResiduals
+      .filter(_.references.forall(sOut.contains))
+      .map(rebC).reduceOption(_ && _)
+    // target columns a MIXED residual consults (beyond the keys): the
+    // insert-only fast path must carry them into its incumbents frame
+    val srcResTargetRefs: Set[String] = srcResiduals
+      .flatMap(_.references.toSeq.filter(tOut.contains).map(_.name))
+      .toSet
 
     def assignsOf(as: Seq[Assignment], what: String,
         sourceAllowed: Boolean): Map[String, Column] = {
@@ -858,18 +979,21 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
       val joinCond = keyCaptured.map { case (tn, sn, ns) =>
         if (ns) col(tn) <=> col(sn) else col(tn) === col(sn)
       }.reduce(_ && _)
-      // the MATCH condition folds the target-side ON residual in; the
-      // anti-join legs instead pre-filter their target side with it
-      // (equivalent for a target-only predicate, and it keeps the
-      // anti-join an equi-join)
-      val matchCond = resFilter.fold(joinCond)(joinCond && _)
+      // the MATCH condition folds BOTH residual sides in; the
+      // anti-join legs instead pre-filter their target side with the
+      // target-only part (equivalent for a target-only predicate, and
+      // it keeps the anti-join's equi-join core) and carry the
+      // source-referencing part in their join condition
+      val matchCond = Seq(Some(joinCond), resFilter, srcResCond)
+        .flatten.reduce(_ && _)
+      val antiCond = srcResCond.fold(joinCond)(joinCond && _)
       val partCols = Export.snapshotPartitionColumns(dir, latest)
 
       // `eligible` must be the residual-TRUE target rows: a source row
       // keyed only to residual-false incumbents is NOT MATCHED and
       // must insert
       def insertRows(eligible: DataFrame): DataFrame = {
-        val notM = src.join(eligible, joinCond, "left_anti")
+        val notM = src.join(eligible, antiCond, "left_anti")
         val withIdx = notM.withColumn(insCol,
           firstIdx(insertActs.map(_._1)))
         // a column the INSERT clause leaves unassigned takes its
@@ -923,15 +1047,19 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         // An ON residual both PRUNES the scan (its conjuncts reach the
         // excludes kernel) and filters the incumbents — only
         // residual-true rows can block an insert.
+        val extraCols = (srcResTargetRefs -- keys.toSet).toSeq.sorted
         val existing =
-          if (keyCaptured.forall(!_._3))
+          if (keyCaptured.forall(!_._3) && extraCols.isEmpty)
             Export.snapshotKeysOverlapping(s, dir, latest, keys,
               src.select(keyCaptured.map { case (tn, sn, _) =>
                 col(sn).as(tn) }: _*), residual = resFilter)
           else {
+            // a MIXED residual consults non-key target columns: the
+            // incumbents frame carries them (distinct over the wider
+            // tuple preserves the exists() the anti-join needs)
             val all = Export.readSnapshot(s, dir, latest)
             resFilter.fold(all)(all.filter)
-              .select(keys.map(col): _*).distinct()
+              .select((keys ++ extraCols).map(col): _*).distinct()
           }
         val fresh = insertRows(existing)
         if (partCols.nonEmpty)
@@ -945,7 +1073,11 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
         if (matchedActs.nonEmpty) {
           val nonNull = keyCaptured.filterNot(_._3)
             .map { case (_, sn, _) => col(sn).isNotNull }
-          val eligible = nonNull.foldLeft(src)((d, c) => d.filter(c))
+          // SOURCE-ONLY residual-false rows can match nothing: they
+          // are exempt from the cardinality law (they only insert)
+          val srcMatchable = srcOnlyRes.fold(src)(src.filter)
+          val eligible =
+            nonNull.foldLeft(srcMatchable)((d, c) => d.filter(c))
           val dup = eligible
             .groupBy(keyCaptured.map { case (_, sn, _) => col(sn) }: _*)
             .count().filter(col("count") > 1).limit(1).count()
@@ -1025,8 +1157,12 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
           else if (partSet.subsetOf(keys.toSet)) {
             val tupleCols = partCols.map(pc =>
               keyCaptured.find(_._1 == pc).get._2)
+            // source-only-residual-false rows host no MATCHES: their
+            // partitions need no rewrite (their inserts still land,
+            // appended additively outside the touched set)
+            val srcT = srcOnlyRes.fold(src)(src.filter)
             Some(residualTrueTuples(
-              src.select(tupleCols.map(c => col(c).cast("string")): _*)
+              srcT.select(tupleCols.map(c => col(c).cast("string")): _*)
                 .distinct().collect()
                 .map(r => partCols.indices.map(i => r.getString(i))
                   : Seq[String]).toSet))
@@ -1045,7 +1181,8 @@ final case class RewriteGraftLakeDml(spark: SparkSession)
                 case (pc, i) if keyCaptured.exists(k =>
                     k._1 == pc && !k._3) =>
                   val sn = keyCaptured.find(_._1 == pc).get._2
-                  i -> src.select(col(sn).cast("string")).distinct()
+                  i -> srcOnlyRes.fold(src)(src.filter)
+                    .select(col(sn).cast("string")).distinct()
                     .collect().flatMap(r =>
                       if (r.isNullAt(0)) None else Some(r.getString(0)))
                     .toSet

@@ -96,7 +96,18 @@ object GraftLakeBatch {
     val fmt =
       if (mapped.isEmpty) new ParquetFileFormat()
       else new GraftMappedParquetFormat(mapped)
-    HadoopFsRelation(index, new StructType(), schema, None, fmt,
+    // SURFACED partition schema (r16): when every manifest line of the
+    // version carries a `p=` spec for a layout column whose type
+    // string-roundtrips exactly, that column is declared as a REAL
+    // partition column — its per-file value served from the manifest
+    // tag — which is what lets Spark's own DynamicPartitionPruning
+    // inject its runtime subquery on dim⋈fact joins (the single
+    // biggest scan-cost lever at 100 TB: a selective dim filter now
+    // prunes fact FILES at run time, not just static literals).
+    // Tables with untagged lines (MoR insert epochs, legacy commits)
+    // or non-roundtrip types keep the empty partition schema and the
+    // dataFilters tag-prune path — identical results, no DPP.
+    HadoopFsRelation(index, index.partitionSchema, schema, None, fmt,
       params)(spark)
   }
 
@@ -246,10 +257,65 @@ final class GraftLakeFileIndex(spark: SparkSession, table: String,
 
   override def rootPaths: Seq[Path] = Seq(root)
 
-  // partition values are REAL columns in the data files (the layout
-  // shadows them for directories) — so the exact predicates stay pushed
-  // to the parquet scan and this index prunes via dataFilters
-  override def partitionSchema: StructType = new StructType()
+  /** Partition-value parse for the surfaced schema: the `p=` tag holds
+    * `CAST(col AS STRING)` of the written value (non-null, line-safe by
+    * the commit grammar), so only types whose string form casts BACK
+    * to the exact original are eligible — string, integrals, boolean,
+    * date, decimal. A failed parse (None) disables surfacing for the
+    * whole version: correctness over pruning. */
+  private def typeRoundTrips(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+        org.apache.spark.sql.types.BooleanType |
+        org.apache.spark.sql.types.DateType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
+  private def parseValue(s: String, dt: DataType): Option[Any] = {
+    val v = org.apache.spark.sql.catalyst.expressions.Cast(
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        StringType), dt,
+      Option(spark.sessionState.conf.sessionLocalTimeZone),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
+    Option(v)
+  }
+
+  /** The SURFACED partition columns: logical fields whose physical
+    * name is `p=`-tagged on EVERY manifest line of this version and
+    * whose type string-roundtrips. Served as real partition columns
+    * (values from the tags), which (a) routes their predicates through
+    * typed partition-filter evaluation instead of the string-equality
+    * kernel and (b) arms Spark's DynamicPartitionPruning for runtime
+    * file pruning on joins. Any untagged line or unparsable value
+    * disables surfacing for the whole version — readers then serve the
+    * column from the data files exactly as before. */
+  private val surfaced: Seq[org.apache.spark.sql.types.StructField] = {
+    if (entries.isEmpty) Nil
+    else {
+      val common = entries.iterator.map(_.partition.keySet)
+        .reduce(_ intersect _)
+      schema.fields.toSeq.filter(f =>
+        common.contains(physOf(f.name)) && typeRoundTrips(f.dataType))
+    }
+  }
+
+  // entry path -> typed partition tuple; surfacing aborts wholesale on
+  // the first unparsable tag value (never a silently wrong tuple)
+  private val tupleOf: Map[String, InternalRow] =
+    if (surfaced.isEmpty) Map.empty
+    else {
+      val parsed = entries.map { e =>
+        val vs = surfaced.map(f => parseValue(
+          e.partition(physOf(f.name)), f.dataType))
+        if (vs.exists(_.isEmpty)) None
+        else Some(e.path -> InternalRow.fromSeq(vs.map(_.get)))
+      }
+      if (parsed.exists(_.isEmpty)) Map.empty else parsed.flatten.toMap
+    }
+
+  override val partitionSchema: StructType =
+    if (tupleOf.isEmpty && entries.nonEmpty) new StructType()
+    else StructType(surfaced)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -257,8 +323,32 @@ final class GraftLakeFileIndex(spark: SparkSession, table: String,
     val chosen = statuses.filter { case (e, _) =>
       conjuncts.forall(c => !GraftLakeBatch.excludes(c, e, physOf))
     }
-    Seq(PartitionDirectory(InternalRow.empty,
-      chosen.map(_._2).toArray))
+    if (partitionSchema.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty,
+        chosen.map(_._2).toArray))
+    else {
+      // one PartitionDirectory per tag tuple; STATIC partition filters
+      // evaluate interpreted against the typed tuple (runtime
+      // DynamicPruning filters are evaluated by FileSourceScanExec
+      // itself over the returned directories — the DPP contract)
+      val fields = partitionSchema.fields
+      val pred = partitionFilters.reduceOption(And).map { p =>
+        org.apache.spark.sql.catalyst.expressions.Predicate
+          .createInterpreted(p.transform {
+            case a: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference =>
+              val i = fields.indexWhere(_.name == a.name)
+              require(i >= 0, s"partition filter references non-" +
+                s"partition column '${a.name}'")
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                i, fields(i).dataType, nullable = true)
+          })
+      }
+      chosen.groupBy { case (e, _) => tupleOf(e.path) }.toSeq
+        .collect { case (row, es) if pred.forall(_.eval(row)) =>
+          PartitionDirectory(row, es.map(_._2).toArray)
+        }
+    }
   }
 
   override def inputFiles: Array[String] =

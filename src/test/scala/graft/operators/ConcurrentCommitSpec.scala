@@ -363,4 +363,81 @@ class VersionHintRunsSpec extends SparkSpec {
     assert(Export.refreshVersionsHint(dir) === (4901 to 5000))
     assert(fs.exists(hint))
   }
+
+  test("object-store commit guard (r16): on a racy FS (exists lies, rename silently replaces — the S3A model) two committers CAN both win without a guard; with InProcessCommitGuard exactly one wins and the winner's manifest survives") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.racyfs.impl", classOf[RacyFs].getName)
+    def racyRoot(name: String): String = {
+      val local = new java.io.File("target/qtmp_racyfs", name)
+      graft.util.Dirs.deleteRec(local)
+      local.mkdirs()
+      s"racyfs:${local.getAbsolutePath}"
+    }
+    // --- WITHOUT a guard: the documented caveat — the check-then-act
+    // window is real on a store whose rename overwrites: committer B
+    // silently clobbers committer A's already-committed manifest
+    val out = racyRoot("noguard")
+    val (fs, root) = Export.fsRoot(out)
+    Export.commitManifest(fs, root, 1, Map("writer" -> "A"), Nil)
+    Export.commitManifest(fs, root, 1, Map("writer" -> "B"), Nil)
+    assert(Export.snapshotMeta(out, 1).get("writer") === Some("B"),
+      "without a guard the racy FS loses A's committed manifest - " +
+        "the exact lost-update the guard exists to prevent")
+    // --- WITH the guard: the conditional claim refuses the second
+    // committer BEFORE it can clobber; the winner's bytes survive
+    val out2 = racyRoot("guarded")
+    val (fs2, root2) = Export.fsRoot(out2)
+    Export.commitGuard = new Export.InProcessCommitGuard
+    try {
+      Export.commitManifest(fs2, root2, 1, Map("writer" -> "A"), Nil)
+      val e = intercept[Export.ConcurrentCommitException](
+        Export.commitManifest(fs2, root2, 1, Map("writer" -> "B"), Nil))
+      assert(e.winning === 1)
+      assert(Export.snapshotMeta(out2, 1).get("writer") === Some("A"),
+        "the guarded winner's manifest must survive the loser")
+      // the loser re-plans against the real head and commits NEXT
+      Export.commitManifest(fs2, root2, 2, Map("writer" -> "B"), Nil)
+      assert(Export.snapshotMeta(out2, 2).get("writer") === Some("B"))
+    } finally Export.commitGuard = (_: org.apache.hadoop.fs.Path,
+      _: Int) => ()
+    // truly CONCURRENT claimants: exactly one of N wins per version
+    val out3 = racyRoot("stress")
+    val (fs3, root3) = Export.fsRoot(out3)
+    Export.commitGuard = new Export.InProcessCommitGuard
+    try {
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (0 until 8).map(i => new Thread(() => {
+        try {
+          Export.commitManifest(fs3, root3, 1,
+            Map("writer" -> s"w$i"), Nil)
+          wins.incrementAndGet()
+        } catch {
+          case _: Export.ConcurrentCommitException => ()
+        }
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(wins.get() === 1,
+        s"exactly one of 8 concurrent committers may win, " +
+          s"got ${wins.get()}")
+    } finally Export.commitGuard = (_: org.apache.hadoop.fs.Path,
+      _: Int) => ()
+  }
+}
+
+/** The S3A failure model, distilled: `exists` on a manifest path lies
+  * (eventual consistency / negative caching) and `rename` silently
+  * REPLACES an existing destination (object-store rename is
+  * copy+delete) — so `!exists(dest) && rename(tmp, dest)` is a
+  * check-then-act that two committers can both thread. */
+class RacyFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("racyfs:///")
+  override def getScheme: String = "racyfs"
+  override def exists(p: org.apache.hadoop.fs.Path): Boolean =
+    if (p.getName.matches("_v\\d+\\.manifest")) false
+    else super.exists(p)
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (super.exists(dst)) super.delete(dst, false)
+    super.rename(src, dst)
+  }
 }

@@ -779,7 +779,7 @@ class GraftLakeDmlSpec extends SparkSpec {
     assert(dup.getMessage.contains("more than once"))
   }
 
-  test("MERGE ON-clause filter conjuncts: a target-side literal folds into the match semantics AND prunes the partition rewrite; source-side residuals refuse") {
+  test("MERGE ON-clause filter conjuncts: a target-side literal folds into the match semantics AND prunes the partition rewrite; nondeterministic residuals refuse") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.onf (doc_id BIGINT, lang STRING, " +
       "v BIGINT) PARTITIONED BY (lang)")
@@ -854,12 +854,13 @@ class GraftLakeDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(v) FROM gld.ns.onf2 WHERE lang = 'de'")
       .collect().head.getLong(0) === (1 + 3 + 5 + 7),
       "de rows must carry")
-    // SOURCE-side residuals stay refused
+    // NONDETERMINISTIC residuals stay refused (source-side residuals
+    // fold into the match condition since r16 — own spec below)
     val e = intercept[UnsupportedOperationException](spark.sql(
       "MERGE INTO gld.ns.onf t USING onf_src s " +
-        "ON t.doc_id = s.doc_id AND s.v > 0 " +
+        "ON t.doc_id = s.doc_id AND rand() > 0.5 " +
         "WHEN MATCHED THEN UPDATE SET v = s.v"))
-    assert(e.getMessage.contains("TARGET-side"), e.getMessage)
+    assert(e.getMessage.contains("nondeterministic"), e.getMessage)
   }
 
   test("MERGE ON filter + WHEN NOT MATCHED BY SOURCE: a residual-false target row is NOT MATCHED and runs the by-source clauses (the SQL law, pinned because it surprises)") {
@@ -885,7 +886,73 @@ class GraftLakeDmlSpec extends SparkSpec {
         got.mkString(", "))
   }
 
-  test("DML with subqueries: uncorrelated IN-subquery DELETE (the retention shape) and scalar-subquery UPDATE work; correlated EXISTS refuses loudly instead of an internal analyzer error") {
+  test("SOURCE-side MERGE ON residuals fold into the match condition: a residual-false source row is NOT MATCHED (inserts even over an incumbent key), source-only residuals exempt from the cardinality law, mixed residuals evaluate per pair, and the insert-only path carries referenced target columns") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.srcres (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.srcres SELECT id, id * 10 FROM range(4)")
+    // source rows: k=1 ok, k=2 NOT ok (must insert at k+100), k=9 ok
+    // but unmatched (plain insert)
+    spark.sql("SELECT * FROM VALUES (1L, 111L, 1), (2L, 222L, 0), " +
+      "(9L, 999L, 1) AS t(k, nv, ok)").createOrReplaceTempView("sr_src")
+    spark.sql("MERGE INTO gld.ns.srcres t USING sr_src s " +
+      "ON t.k = s.k AND s.ok = 1 " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 100, s.nv)")
+    val got = spark.sql("SELECT k, v FROM gld.ns.srcres ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 0L), (1L, 111L), (2L, 20L), (3L, 30L),
+      (102L, 222L), (109L, 999L)),
+      s"residual-false k=2 must keep its incumbent AND insert at 102: " +
+        got.mkString(", "))
+    // source-only residuals exempt residual-false DUPLICATE keys from
+    // the cardinality law (they can match nothing)
+    spark.sql("SELECT * FROM VALUES (1L, 5L, 1), (1L, 6L, 0) " +
+      "AS t(k, nv, ok)").createOrReplaceTempView("sr_dup")
+    spark.sql("MERGE INTO gld.ns.srcres t USING sr_dup s " +
+      "ON t.k = s.k AND s.ok = 1 " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 200, s.nv)")
+    assert(spark.sql("SELECT v FROM gld.ns.srcres WHERE k = 1")
+      .collect().head.getLong(0) === 5L)
+    assert(spark.sql("SELECT v FROM gld.ns.srcres WHERE k = 201")
+      .collect().head.getLong(0) === 6L)
+    // a TRUE duplicate among residual-true rows still refuses
+    spark.sql("SELECT * FROM VALUES (1L, 5L, 1), (1L, 6L, 1) " +
+      "AS t(k, nv, ok)").createOrReplaceTempView("sr_dup2")
+    val ec = intercept[Exception](spark.sql(
+      "MERGE INTO gld.ns.srcres t USING sr_dup2 s " +
+        "ON t.k = s.k AND s.ok = 1 " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv"))
+    assert(ec.getMessage.contains("cardinality"), ec.getMessage)
+    // MIXED residual (references both sides): evaluated per pair —
+    // only incumbents with v < nv update; others' source rows insert
+    spark.sql("CREATE TABLE gld.ns.srcres2 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.srcres2 VALUES (1, 100), (2, 5)")
+    spark.sql("SELECT * FROM VALUES (1L, 50L), (2L, 50L) AS t(k, nv)")
+      .createOrReplaceTempView("sr_mix")
+    spark.sql("MERGE INTO gld.ns.srcres2 t USING sr_mix s " +
+      "ON t.k = s.k AND t.v < s.nv " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 10, s.nv)")
+    val got2 = spark.sql("SELECT k, v FROM gld.ns.srcres2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 === Seq((1L, 100L), (2L, 50L), (11L, 50L)),
+      s"mixed residual must match per pair: ${got2.mkString(", ")}")
+    // insert-only shape with a mixed residual: the incumbents frame
+    // carries the referenced target column
+    spark.sql("CREATE TABLE gld.ns.srcres3 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gld.ns.srcres3 VALUES (1, 100), (2, 5)")
+    spark.sql("MERGE INTO gld.ns.srcres3 t USING sr_mix s " +
+      "ON t.k = s.k AND t.v > s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 10, s.nv)")
+    val got3 = spark.sql("SELECT k, v FROM gld.ns.srcres3 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got3 === Seq((1L, 100L), (2L, 5L), (12L, 50L)),
+      s"insert-only mixed residual: k=1 blocks (100>50), k=2 inserts " +
+        s"(5<50): ${got3.mkString(", ")}")
+  }
+
+  test("DML with subqueries: uncorrelated IN-subquery DELETE (the retention shape) and scalar-subquery UPDATE work; equality-correlated EXISTS decorrelates, non-equality correlation refuses loudly") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.sq (k BIGINT, v BIGINT)")
     spark.sql("INSERT INTO gld.ns.sq SELECT id, id FROM range(10)")
@@ -899,14 +966,22 @@ class GraftLakeDmlSpec extends SparkSpec {
       "(SELECT max(bad) FROM gld_quarantine) WHERE k = 5")
     assert(spark.sql("SELECT v FROM gld.ns.sq WHERE k = 5")
       .collect().head.getLong(0) === 4)
-    // correlated: outer references bind analysis-time exprIds that die
-    // with the relation — refuse with a rewrite hint, never an
-    // INTERNAL_ERROR from the deferred thunk
+    // equality-correlated EXISTS DECORRELATES (r16) into the same
+    // uncorrelated semi-join — the quarantine shape works natively
+    // (the inner side may be any self-contained expression)
     val dir = s"$wh/ns/sq"
+    spark.sql("DELETE FROM gld.ns.sq t WHERE EXISTS " +
+      "(SELECT 1 FROM gld_quarantine q WHERE q.bad + 1 = t.k)")
+    val kept = spark.sql("SELECT k FROM gld.ns.sq ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(6L, 7L, 8L, 9L),
+      s"EXISTS delete must remove k in {1,3,5}, kept $kept")
+    // NON-EQUALITY correlation still refuses with a rewrite hint,
+    // never an INTERNAL_ERROR from the deferred thunk, no commit
     val v0 = Export.latestSnapshotVersion(dir)
     val e = intercept[Exception](spark.sql(
-      "DELETE FROM gld.ns.sq WHERE EXISTS " +
-        "(SELECT 1 FROM gld_quarantine q WHERE q.bad = k)"))
+      "DELETE FROM gld.ns.sq t WHERE EXISTS " +
+        "(SELECT 1 FROM gld_quarantine q WHERE q.bad > t.k)"))
     assert(e.getMessage.contains("correlated"), e.getMessage)
     assert(Export.latestSnapshotVersion(dir) === v0)
   }
@@ -941,6 +1016,74 @@ class GraftLakeDmlSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       "DESCRIBE DETAIL gld.ns.nosuch_table"))
     assert(e.getMessage.contains("DESCRIBE DETAIL"), e.getMessage)
+  }
+
+  test("OPTIMIZE / VACUUM statements ride the delegating parser onto the audited maintenance commits: bare OPTIMIZE compacts (honoring a declared cluster key), WHERE scopes partitions, ZORDER re-lays files, VACUUM drops history and reclaims files, and EXPLAIN-free analysis commits nothing") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.opt (k BIGINT, v BIGINT)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO gld.ns.opt SELECT id + ${i * 100}, id FROM range(50)"))
+    val dir = s"$wh/ns/opt"
+    val E = Export
+    val before = E.snapshotFiles(dir, E.latestSnapshotVersion(dir)).size
+    assert(before >= 3)
+    // bare OPTIMIZE: one compacted file, same rows; returns the
+    // procedure twin's (version, n_files) row
+    val r = spark.sql("OPTIMIZE gld.ns.opt").collect().head
+    val vC = r.getLong(0).toInt
+    assert(r.getLong(1) === 1L &&
+      vC === E.latestSnapshotVersion(dir) &&
+      E.snapshotFiles(dir, vC).size === 1)
+    assert(spark.sql("SELECT count(*) FROM gld.ns.opt")
+      .collect().head.getLong(0) === 150)
+    // ZORDER BY (a, b) writes fresh zones; ZORDER BY (k) re-clusters
+    spark.sql("OPTIMIZE gld.ns.opt ZORDER BY (k, v)").collect()
+    assert(E.snapshotOperation(dir, E.latestSnapshotVersion(dir))
+      === Some("compact"))
+    spark.sql("OPTIMIZE gld.ns.opt ZORDER BY (k)").collect()
+    assert(spark.sql("SELECT count(*) FROM gld.ns.opt")
+      .collect().head.getLong(0) === 150,
+      "re-layout must never change row content")
+    // OPTIMIZE ... WHERE on a partitioned table rewrites ONLY the
+    // matching partition's files; others carry verbatim
+    spark.sql("CREATE TABLE gld.ns.optp (k BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    (0 until 2).foreach(_ => spark.sql("INSERT INTO gld.ns.optp " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END " +
+      "FROM range(20)"))
+    val dirP = s"$wh/ns/optp"
+    val vP0 = E.latestSnapshotVersion(dirP)
+    val deBefore = E.snapshotManifestEntries(dirP, vP0)
+      .filter(_.partition.get("lang").contains("de")).map(_.path).toSet
+    spark.sql("OPTIMIZE gld.ns.optp WHERE lang = 'en'").collect()
+    val vP1 = E.latestSnapshotVersion(dirP)
+    val deAfter = E.snapshotManifestEntries(dirP, vP1)
+      .filter(_.partition.get("lang").contains("de")).map(_.path).toSet
+    assert(deAfter === deBefore,
+      "OPTIMIZE ... WHERE must carry non-matching partitions verbatim")
+    assert(E.snapshotManifestEntries(dirP, vP1)
+      .count(_.partition.get("lang").contains("en")) === 1,
+      "the matching partition must compact to one file")
+    // a non-equality / non-partition WHERE refuses loudly
+    val ew = intercept[Exception](spark.sql(
+      "OPTIMIZE gld.ns.optp WHERE k > 3").collect())
+    assert(ew.getMessage.contains("partition-column equality") ||
+      ew.getMessage.contains("partition-column"), ew.getMessage)
+    // VACUUM: quoted-path form, RETAIN 0 HOURS reclaims everything
+    // unreferenced; history beyond the head is dropped
+    val files0 = E.snapshotFiles(dir, vC).size
+    val vr = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect().head
+    assert(vr.getLong(0) > 0, "VACUUM must drop old versions")
+    assert(spark.sql("SELECT count(*) FROM gld.ns.opt")
+      .collect().head.getLong(0) === 150,
+      "VACUUM must never touch the head's data")
+    assert(files0 > 0)
+    // by-name parity with the procedure twin: same result columns
+    val proc = spark.sql(s"SELECT * FROM graft_vacuum('$dir', 1)")
+    assert(proc.columns.toSeq ===
+      Seq("dropped_versions", "deleted_files"))
+    assert(spark.sql(s"VACUUM '$dir'").columns.toSeq ===
+      Seq("dropped_versions", "deleted_files"))
   }
 
   test("graft_update shares the SQL UPDATE assignment law: overlapping nested paths refuse, a backtick-quoted dotted top-level column stays addressable") {

@@ -149,14 +149,15 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(t.partitioning().map(p =>
       p.references.head.fieldNames.mkString(".")).toSeq === Seq("grp"))
     // partition-pruned read by name: the equality conjunct drops files
-    // from the plan via the manifest p= tags
+    // from the plan — since r16 it arrives as a typed PARTITION filter
+    // (the surfaced layout), evaluated against the manifest p= tags
     val q = spark.sql("SELECT k FROM glc.part.t WHERE grp = '1'")
     assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
       (0L until 30L).filter(_ % 3 == 1))
     val scanned = q.queryExecution.executedPlan.collectLeaves()
       .flatMap(_.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.relation.location.listFiles(Nil,
+          f.relation.location.listFiles(f.partitionFilters,
             f.dataFilters).map(_.files.size).sum
       }).sum
     assert(scanned < files.size,
@@ -501,12 +502,16 @@ class GraftLakeCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO glc.ns_id.t (v) VALUES (7), (8)")
     assert(idsOf("glc.ns_id.t") ===
       Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L))
-    // BY DEFAULT: explicit values pass, NULL slots draw from the seq
+    // BY DEFAULT: explicit values pass AND advance the watermark
+    // (r16, the Delta SYNC IDENTITY contract made automatic) — the
+    // next generated id continues ABOVE the explicit one, so a later
+    // generated id can never collide with an inserted explicit one
     spark.sql("CREATE TABLE glc.ns_id.d (id BIGINT GENERATED BY " +
       "DEFAULT AS IDENTITY, v BIGINT)")
     spark.sql("INSERT INTO glc.ns_id.d VALUES (100, 1)")
     spark.sql("INSERT INTO glc.ns_id.d (v) VALUES (2)")
-    assert(idsOf("glc.ns_id.d") === Seq(1L, 100L))
+    assert(idsOf("glc.ns_id.d") === Seq(100L, 101L),
+      "an explicit id must rebase the sequence past itself")
     // RENAME refuses: the allocation watermark is keyed by name
     val er = intercept[Exception](spark.sql(
       "ALTER TABLE glc.ns_id.t RENAME COLUMN id TO id2"))
