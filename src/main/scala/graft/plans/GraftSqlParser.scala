@@ -28,6 +28,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DQuoted = """^"([^"]+)"$""".r
   private val Opt = """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
   private val Vac = """(?is)^\s*VACUUM\s+(.+?)\s*;?\s*$""".r
+  private val Rst =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+""" +
+      """(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+?)\s*;?\s*$""").r
   private val ZTail = """(?is)^(.*?)\s+ZORDER\s+BY\s+(.+)$""".r
   private val WTail = """(?is)^(.*?)\s+WHERE\s+(.+)$""".r
   private val RTail =
@@ -72,6 +75,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val (parts, path) = target(tTxt)
       GraftMaintenanceStatement("VACUUM", parts, path, None, Nil,
         retain, sqlText)
+    // `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF v` — the rollback
+    // statement (graft_restore's statement face)
+    case Rst(tTxt, verb, value) =>
+      val (parts, path) = target(tTxt)
+      GraftMaintenanceStatement("RESTORE", parts, path, None, Nil,
+        None, sqlText,
+        asOf = Some((verb.toUpperCase(java.util.Locale.ROOT),
+          value.trim)))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -81,7 +92,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
       : LogicalPlan = sqlText match {
-    case Desc(_, _) | Opt(_) | Vac(_) =>
+    case Desc(_, _) | Opt(_) | Vac(_) | Rst(_, _, _) =>
       parsePlan(sqlText) // these take no parameters
     case _ => delegate.parsePlanWithParameters(sqlText, ctx)
   }
@@ -122,8 +133,10 @@ final case class GraftDescribeStatement(kind: String,
     Seq(TreePattern.COMMAND)
 }
 
-/** Unresolved `OPTIMIZE` / `VACUUM` carrier (kind is "OPTIMIZE" or
-  * "VACUUM"), claimed by [[RewriteGraftLakeDdl]], which resolves the
+/** Unresolved `OPTIMIZE` / `VACUUM` / `RESTORE` carrier (kind is
+  * "OPTIMIZE", "VACUUM" or "RESTORE"; `asOf` carries RESTORE's
+  * (VERSION|TIMESTAMP, value)), claimed by [[RewriteGraftLakeDdl]],
+  * which resolves the
   * target like the DESCRIBE statements and defers the maintenance
   * commit to execution — `spark.sql` runs it eagerly (Command), and
   * the result row mirrors the procedure twin (`graft_optimize` →
@@ -132,7 +145,8 @@ final case class GraftDescribeStatement(kind: String,
 final case class GraftMaintenanceStatement(kind: String,
     nameParts: Seq[String], path: Option[String],
     whereSql: Option[String], zorderCols: Seq[String],
-    retainHours: Option[Double], original: String)
+    retainHours: Option[Double], original: String,
+    asOf: Option[(String, String)] = None)
     extends UnresolvedLeafNode {
   final override val nodePatterns: Seq[TreePattern.TreePattern] =
     Seq(TreePattern.COMMAND)

@@ -274,6 +274,26 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
           }
           Seq(Seq(v.toLong, E.snapshotFiles(dir, v).size.toLong))
         })
+    } else if (ms.kind == "RESTORE") {
+      // `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF v` — the
+      // rollback statement (graft_restore's face): ONE manifest commit
+      // re-pointing the head at the target version's files, zero data
+      // movement; timestamps resolve exactly like TIMESTAMP AS OF
+      val (verb, value) = ms.asOf.getOrElse(
+        throw new IllegalArgumentException(
+          "RESTORE needs TO VERSION AS OF n or TO TIMESTAMP AS OF ts"))
+      GraftMaintenanceResult(s"RESTORE $dir", Seq(la("version")), () => {
+        val toV =
+          if (verb == "VERSION") value.toInt
+          else {
+            val txt = value.stripPrefix("'").stripSuffix("'")
+            val asMs =
+              if (txt.nonEmpty && txt.forall(_.isDigit)) txt.toLong
+              else java.sql.Timestamp.valueOf(txt).getTime
+            Export.resolveAsOfTimestamp(dir, asMs)
+          }
+        Seq(Seq(Export.restoreSnapshot(dir, toV).toLong))
+      })
     } else
       GraftMaintenanceResult(s"VACUUM $dir",
         Seq(la("dropped_versions"), la("deleted_files")), () => {

@@ -1086,6 +1086,28 @@ class GraftLakeDmlSpec extends SparkSpec {
       Seq("dropped_versions", "deleted_files"))
   }
 
+  test("RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF rolls the head with zero data movement (graft_restore's statement face)") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.rst (k BIGINT)")
+    spark.sql("INSERT INTO gld.ns.rst VALUES (1)")
+    spark.sql("INSERT INTO gld.ns.rst VALUES (2)")
+    val dir = s"$wh/ns/rst"
+    def cnt: Long = spark.sql("SELECT count(*) FROM gld.ns.rst")
+      .collect().head.getLong(0)
+    assert(cnt === 2)
+    val r = spark.sql("RESTORE TABLE gld.ns.rst TO VERSION AS OF 2")
+      .collect().head
+    assert(r.getLong(0).toInt === Export.latestSnapshotVersion(dir))
+    assert(cnt === 1, "the head must serve version 2's content")
+    // forward restore by TIMESTAMP resolves exactly like time travel
+    val ts3 = Export.snapshotTimestamp(dir, 3)
+    spark.sql(s"RESTORE gld.ns.rst TO TIMESTAMP AS OF $ts3").collect()
+    assert(cnt === 2, "the timestamp must resolve to version 3")
+    // quoted-path form works like the other statements
+    spark.sql(s"RESTORE TABLE '$dir' TO VERSION AS OF 2").collect()
+    assert(cnt === 1)
+  }
+
   test("graft_update shares the SQL UPDATE assignment law: overlapping nested paths refuse, a backtick-quoted dotted top-level column stays addressable") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.adv (k BIGINT, " +
