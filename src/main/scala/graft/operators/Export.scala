@@ -3831,32 +3831,138 @@ object Export {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Planning-only EXPANSION of subquery conjuncts (r16): a DML
+    * predicate like `k IN (SELECT bad FROM quarantine)` — and the
+    * decorrelated-EXISTS `coalesce(k IN (...), false)` form — carries
+    * no literal the excludes kernel can prune with, so the quarantine
+    * DELETE used to rewrite/read every non-excluded file. The subquery
+    * plan is SELF-CONTAINED (uncorrelated by construction), so the
+    * planner RUNS it first: up to 64 distinct values become a literal
+    * `IN` conjunct (file-exact `p=`/`s=` pruning); larger lists become
+    * the value ENVELOPE over integral columns (range pruning via the
+    * `s=` stats — the quarantine-list shape at 100 TB: millions of
+    * keys, one bounded [lo, hi]). PRUNING-ONLY: the original predicate
+    * still evaluates per row, so the expansion can never change
+    * results — only how many files are read. A failing expansion
+    * (exotic plan, non-literal values) degrades to no pruning. */
+  private def expandSubqueryConjuncts(spark: SparkSession,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Coalesce, GreaterThanOrEqual, InSubquery, LessThanOrEqual, ListQuery, Literal, In => CatIn}
+    import org.apache.spark.sql.types.{BooleanType, ByteType, IntegerType, LongType, ShortType}
+    val MaxInValues = 64
+    def expand(a: Attribute, lq: ListQuery)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      try {
+        val df = org.apache.spark.sql.GraftPlanBridge
+          .ofRows(spark, lq.plan)
+        val vals = df.distinct().limit(MaxInValues + 1).collect()
+          .map(_.get(0)).filter(_ != null).toSeq
+        if (vals.isEmpty) Nil
+        else if (vals.length <= MaxInValues)
+          Seq(CatIn(a, vals.map(v => Literal(v))))
+        else {
+          // large list: the envelope still range-prunes integral
+          // columns via the s= stats
+          val integral = df.schema.fields.headOption.exists(_.dataType
+            match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            })
+          if (!integral) Nil
+          else {
+            val mm = df.agg(
+              org.apache.spark.sql.functions.min(df.columns.head),
+              org.apache.spark.sql.functions.max(df.columns.head))
+              .collect().head
+            if (mm.isNullAt(0)) Nil
+            else Seq(
+              GreaterThanOrEqual(a, Literal(mm.get(0))),
+              LessThanOrEqual(a, Literal(mm.get(1))))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    conjuncts ++ conjuncts.flatMap {
+      case InSubquery(Seq(a: Attribute), lq: ListQuery)
+          if lq.outerAttrs.isEmpty => expand(a, lq)
+      case Coalesce(Seq(InSubquery(Seq(a: Attribute), lq: ListQuery),
+          Literal(false, BooleanType))) if lq.outerAttrs.isEmpty =>
+        expand(a, lq)
+      case _ => Nil
+    }
+  }
+
+  /** The shared pruning-conjunct builder for every predicate-driven
+    * DML path (CoW/MoR DELETE and UPDATE): split + normalize the
+    * predicate, then expand subquery conjuncts into literal/envelope
+    * pruning conjuncts. Never throws — an unanalyzable predicate
+    * simply prunes nothing. */
+  private def dmlPruningConjuncts(spark: SparkSession, cond: Column)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    try expandSubqueryConjuncts(spark,
+      graft.sources.GraftLakeBatch.splitConjuncts(
+        graft.sources.GraftLakeBatch.normalizeOps(
+          org.apache.spark.sql.GraftColumnBridge
+            .catalystExpression(cond))))
+    catch { case scala.util.control.NonFatal(_) =>
+      Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression] }
+
   /** Copy-on-write DELETE — the third leg of the lake DML triad
     * (append = INSERT, [[Merge.upsert]] through [[replaceSnapshot]] =
-    * UPDATE): commit a new full-replace version holding every latest-
-    * version row NOT matching `cond`. Deleted rows remain time-travel-
-    * readable in prior versions until retention drops them — the
-    * GDPR-style hard purge is this followed by [[vacuumSnapshots]].
-    * One manifest-exact scan + one filtered write; no tombstone
-    * bookkeeping on the read path. Returns the new version. */
+    * UPDATE): commit a version holding every latest-version row NOT
+    * matching `cond`. Deleted rows remain time-travel-readable in
+    * prior versions until retention drops them — the GDPR-style hard
+    * purge is this followed by [[vacuumSnapshots]]. MANIFEST-PRUNED
+    * like [[updateWhere]] (r16 — previously a full-table rewrite):
+    * files the predicate's conjuncts provably exclude via the
+    * `p=`/`s=` tags CARRY VERBATIM — their bytes are never read, let
+    * alone rewritten — and subquery conjuncts (`k IN (SELECT ...)`,
+    * the quarantine shape) prune through [[expandSubqueryConjuncts]].
+    * 100 TB shape: a DELETE pinned to one partition/key range costs
+    * the overlapping files, not the table. Rewritten files land
+    * partition-laid-out on a partitioned table (fresh `p=` specs).
+    * Returns the new version (or the current one when no file can
+    * match). */
   def deleteWhere(spark: SparkSession, outDir: String,
       cond: Column): Int = {
     val latest = latestSnapshotVersion(outDir)
     require(latest > 0, s"nothing to delete under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    if (lines.isEmpty) return latest
+    val stOpt = snapshotSchema(outDir, latest)
+    val physOf: Map[String, String] = stOpt
+      .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
+      .getOrElse(Map.empty)
+    val conjuncts = dmlPruningConjuncts(spark, cond)
+    def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
+      statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
+    val (hit, rest) = lines.partition { l =>
+      val e = entryOf(l)
+      conjuncts.forall(c =>
+        !graft.sources.GraftLakeBatch.excludes(c, e, physOf))
+    }
+    if (hit.isEmpty) return latest // every file provably misses: no-op
     // SQL DELETE semantics: remove rows where the predicate is TRUE —
     // a NULL-evaluating predicate KEEPS the row. A plain filter(!cond)
     // would drop NULL rows too (filter discards NULL), silently purging
     // every row with a NULL in the predicate's columns.
     val keep = !coalesce(cond, lit(false))
-    val rows = readSnapshot(spark, outDir, latest).filter(keep)
-    val (fs, root) = fsRoot(outDir)
-    val baseLines = dataLines(readManifestRaw(fs, root, latest))
-    val (_, fresh) = writeEpoch(fs, root, latest + 1, rows)
+    val rows = readFilesAs(spark, fs, root, latest,
+      hit.map(pathOf).toIndexedSeq).filter(keep)
+    val partCols = snapshotPartitionColumns(outDir, latest)
+    val fresh =
+      if (partCols.nonEmpty)
+        writePartitionedEpoch(spark, fs, root, latest + 1, rows,
+          partCols, math.max(1, hit.size), None)
+      else writeEpoch(fs, root, latest + 1, rows)._2
     // retries over interleaved APPENDS (delete-first serialization:
     // their rows were never visible to the predicate); anything else
     // raises the typed conflict
-    commitRewriteThenAppends(fs, root, latest, baseLines, fresh,
-      Map("deleted_from" -> latest.toString), rows.schema.json,
+    commitRewriteThenAppends(fs, root, latest, lines, rest ++ fresh,
+      Map("deleted_from" -> latest.toString,
+        "deleted_files" -> hit.size.toString),
+      stOpt.map(_.json).getOrElse(rows.schema.json),
       op = "delete")
   }
 
@@ -3948,12 +4054,7 @@ object Export {
     // non-analyzable predicate simply prunes nothing
     val physOf: Map[String, String] =
       st.fields.map(f => f.name -> physicalOf(f)).toMap
-    val conjuncts =
-      try graft.sources.GraftLakeBatch.splitConjuncts(
-        graft.sources.GraftLakeBatch.normalizeOps(
-          org.apache.spark.sql.GraftColumnBridge.catalystExpression(cond)))
-      catch { case scala.util.control.NonFatal(_) =>
-        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression] }
+    val conjuncts = dmlPruningConjuncts(spark, cond)
     def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
       statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
     val (hit, rest) = lines.partition { l =>
@@ -4027,12 +4128,7 @@ object Export {
     // files are never read
     val physOf: Map[String, String] =
       st.fields.map(f => f.name -> physicalOf(f)).toMap
-    val conjuncts =
-      try graft.sources.GraftLakeBatch.splitConjuncts(
-        graft.sources.GraftLakeBatch.normalizeOps(
-          org.apache.spark.sql.GraftColumnBridge.catalystExpression(cond)))
-      catch { case scala.util.control.NonFatal(_) =>
-        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression] }
+    val conjuncts = dmlPruningConjuncts(spark, cond)
     def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
       statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
     val candidate = lines.filter { l =>
@@ -4161,10 +4257,25 @@ object Export {
     val (fs, root) = fsRoot(outDir)
     val lines = dataLines(readManifestRaw(fs, root, latest))
     if (lines.isEmpty) return latest
-    val files = lines.map(pathOf).toIndexedSeq
     val stOpt = snapshotMetaOf(fs, root, latest).get("schema")
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+    // manifest-tag pruning of the MATCH scan (r16): a file the
+    // predicate's conjuncts — subquery conjuncts expanded — provably
+    // exclude cannot hold a deletable row, so its bytes are never read
+    // (its existing dv= tags still carry through the manifest line)
+    val physPrune: Map[String, String] = stOpt
+      .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
+      .getOrElse(Map.empty)
+    val pruneConjuncts = dmlPruningConjuncts(spark, cond)
+    val scanLines = lines.filter { l =>
+      val e = ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
+        dvOf(l), lenOf(l), zoneOf(l))
+      pruneConjuncts.forall(c =>
+        !graft.sources.GraftLakeBatch.excludes(c, e, physPrune))
+    }
+    if (scanLines.isEmpty) return latest // no file can hold a match
+    val files = scanLines.map(pathOf).toIndexedSeq
     // decode by PHYSICAL name, surface the metadata position columns
     // BEFORE projecting back to logical names (the predicate is on
     // logical columns; metadata resolves only on the scan output)

@@ -1,0 +1,125 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DML file pruning (r16): CoW DELETE is manifest-pruned like UPDATE
+  * (it used to rewrite the whole table), and SUBQUERY predicates —
+  * `k IN (SELECT ...)`, the quarantine shape, including the
+  * decorrelated-EXISTS form — prune through planner-side expansion:
+  * the self-contained subquery runs FIRST, small lists become literal
+  * IN conjuncts (file-exact `s=` pruning), large lists become the
+  * value envelope (range pruning). Pruning-only: the original
+  * predicate still evaluates per row, so results never depend on the
+  * expansion. */
+class DmlPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def statted(name: String, n: Long = 100L): String = {
+    val out = Files.createTempDirectory(name).toFile.getAbsolutePath
+    graft.util.Dirs.deleteRec(new java.io.File(out))
+    val rows = (0L until n).map(i => (i, s"p_$i")).toDF("k", "s")
+    // 5 k-range files with s= stats: k in [0,19], [20,39], ...
+    Export.appendSnapshotStatted(spark, rows, out, Seq("k"), nFiles = 5)
+    out
+  }
+
+  private def filesOf(dir: String): Set[String] =
+    Export.snapshotFiles(dir,
+      Export.latestSnapshotVersion(dir)).toSet
+
+  test("CoW DELETE carries provably-missing files verbatim: a literal range delete rewrites only the overlapping files") {
+    val dir = statted("dmlprune-lit")
+    val before = filesOf(dir)
+    assert(before.size === 5)
+    val v = Export.deleteWhere(spark, dir, col("k") < 10)
+    val after = filesOf(dir)
+    assert((before intersect after).size === 4,
+      s"4 of 5 range-disjoint files must carry verbatim, " +
+        s"carried ${(before intersect after).size}")
+    assert(Export.snapshotMeta(dir, v).get("deleted_files")
+      === Some("1"))
+    assert(Export.readSnapshot(spark, dir, v).count() === 90)
+  }
+
+  test("a SMALL IN-subquery expands to a literal IN conjunct: only the files holding quarantined keys rewrite") {
+    val dir = statted("dmlprune-inq")
+    val before = filesOf(dir)
+    spark.range(3).selectExpr("id + 40 AS bad") // keys 40..42: 1 file
+      .createOrReplaceTempView("dmlp_quar")
+    spark.read.parquet(before.toSeq: _*) // warm nothing; keep lazy
+    val cond = org.apache.spark.sql.GraftColumnBridge.column(
+      spark.sessionState.sqlParser.parseExpression(
+        "k IN (SELECT bad FROM dmlp_quar)"))
+    // the parsed IN-subquery analyzes inside deleteWhere's frame
+    val v = Export.deleteWhere(spark, dir, cond)
+    val after = filesOf(dir)
+    assert((before intersect after).size >= 3 &&
+      (before intersect after).size < 5,
+      "keys 40..42 live in 1-2 of five sampled k-range files - the " +
+        s"rest must carry verbatim, carried " +
+        s"${(before intersect after).size}")
+    val kept = Export.readSnapshot(spark, dir, v)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === (0L until 100L).filterNot(k => k >= 40 && k <= 42))
+  }
+
+  test("a LARGE IN-subquery (>64 values) expands to its envelope: range-disjoint files still carry") {
+    val dir = statted("dmlprune-env", n = 200L)
+    val before = filesOf(dir)
+    assert(before.size === 5) // k-ranges of 40
+    // 70 keys all inside [100, 169]: the envelope spans 2 of 5 files
+    spark.range(70).selectExpr("id + 100 AS bad")
+      .createOrReplaceTempView("dmlp_quar_big")
+    val cond = org.apache.spark.sql.GraftColumnBridge.column(
+      spark.sessionState.sqlParser.parseExpression(
+        "k IN (SELECT bad FROM dmlp_quar_big)"))
+    val v = Export.deleteWhere(spark, dir, cond)
+    val after = filesOf(dir)
+    // repartitionByRange boundaries are SAMPLED (not exact
+    // 40-multiples): the envelope can overlap 2-3 of the 5 files —
+    // the lock is that range-disjoint files carry (strict subset
+    // rewritten), not an exact count
+    assert((before intersect after).size >= 2 &&
+      (before intersect after).size < 5,
+      s"files range-disjoint from the envelope [100,169] must " +
+        s"carry, carried ${(before intersect after).size} of 5")
+    assert(Export.readSnapshot(spark, dir, v).count() === 130)
+  }
+
+  test("MoR DELETE prunes its match scan the same way, and a no-possible-match predicate commits nothing on either path") {
+    val dir = statted("dmlprune-mor")
+    val v0 = Export.latestSnapshotVersion(dir)
+    // provably-missing predicate: no commit, CoW and MoR alike
+    assert(Export.deleteWhere(spark, dir, col("k") > 1000) === v0)
+    assert(Export.deleteWhereMoR(spark, dir, col("k") > 1000) === v0)
+    // MoR delete through an IN-subquery: DVs land, zero rewrites
+    spark.range(2).selectExpr("id + 7 AS bad")
+      .createOrReplaceTempView("dmlp_quar_mor")
+    val cond = org.apache.spark.sql.GraftColumnBridge.column(
+      spark.sessionState.sqlParser.parseExpression(
+        "k IN (SELECT bad FROM dmlp_quar_mor)"))
+    val before = filesOf(dir)
+    val v1 = Export.deleteWhereMoR(spark, dir, cond)
+    assert(v1 === v0 + 1)
+    assert(before.subsetOf(filesOf(dir)),
+      "MoR delete must not rewrite data files")
+    assert(Export.readSnapshot(spark, dir, v1).count() === 98)
+  }
+
+  test("pruning is PRUNING-ONLY: NULL-predicate rows survive and results equal the unpruned semantics") {
+    val out = Files.createTempDirectory("dmlprune-null").toFile
+      .getAbsolutePath
+    graft.util.Dirs.deleteRec(new java.io.File(out))
+    val rows = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("k", "v")
+    Export.appendSnapshotStatted(spark, rows, out, Seq("v"), nFiles = 1)
+    val v = Export.deleteWhere(spark, out, col("v") < 10)
+    val left = Export.readSnapshot(spark, out, v)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(left === Set((2L, None), (3L, Some(50L))),
+      "a NULL-evaluating predicate must KEEP its row")
+  }
+}

@@ -448,7 +448,8 @@ class ExportLayoutSpec extends SparkSpec {
     val rows = (1L to 100L).map(i => (i, s"payload_$i")).toDF("k", "s")
     Export.replaceSnapshot(spark, rows, out)
     val v2 = Export.deleteWhere(spark, out, col("k") <= 40)
-    assert(Export.snapshotMeta(out, v2) === Map("deleted_from" -> "1"))
+    assert(Export.snapshotMeta(out, v2).get("deleted_from")
+      === Some("1"))
     // soft delete: prior version still reads the deleted rows
     assert(Export.readSnapshot(spark, out, 1).count() === 100)
     assert(Export.readSnapshot(spark, out, v2).count() === 60)
