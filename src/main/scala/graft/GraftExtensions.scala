@@ -723,6 +723,27 @@ object GraftExtensions {
           Seq(v.toLong, E.snapshotFiles(path, v).size.toLong)
         }
       }),
+    (FunctionIdentifier("graft_analyze"),
+      info("graft_analyze", "graft_analyze(path[, 'c1,c2']) - STATS " +
+        "BACKFILL (ANALYZE's lake shape): compute per-file n= " +
+        "rowcounts and per-column s= min/max ranges by reading the " +
+        "head ONCE, committed metadata-only (zero rewrites) - a " +
+        "bulk-loaded table retrofits file pruning and metadata-only " +
+        "count/min/max. Columns default to every integral top-level " +
+        "column. Returns (version)"),
+      (args: Seq[Expression]) => {
+        val path = litPath(args.head, "path")
+        val cols =
+          if (args.length > 1) litString(args(1), "column list")
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          else Seq.empty[String]
+        graft.plans.GraftLakeCommand.oneRow("graft_analyze",
+            Seq("version")) { () =>
+          Seq(graft.operators.Export.analyzeSnapshotStats(
+            org.apache.spark.sql.SparkSession.active, path, cols)
+            .toLong)
+        }
+      }),
     (FunctionIdentifier("graft_restore"),
       info("graft_restore", "graft_restore(path, to_version) - RESTORE " +
         "TABLE TO VERSION: roll the head back by committing a manifest " +

@@ -3474,6 +3474,115 @@ object Export {
     version
   }
 
+  /** STATS BACKFILL (r16) — ANALYZE's lake shape: compute per-file
+    * `n=` rowcounts and per-column `s=` min/max ranges for `cols` by
+    * READING the head's files ONCE (one `_metadata.file_path`-grouped
+    * agg, the same readback the statted writers use), then commit ONE
+    * METADATA-ONLY version whose data lines are the head's exact files
+    * re-stamped with the fresh tags (op="rename" — the pass-through
+    * commit kind streams already skip). ZERO rewrites: a table
+    * ingested without stats gains file pruning for every subsequent
+    * scan/DELETE/UPDATE/merge — and metadata-only count()/min/max —
+    * at the cost of one read pass. 100 TB shape: this is how a
+    * bulk-loaded corpus retrofits the pruning the engine plans with.
+    *
+    * `cols` defaults to EVERY integral top-level column (the `s=`
+    * grammar is a long range; non-integral columns in an explicit list
+    * refuse). Existing `s=` tags for OTHER columns are preserved;
+    * analyzed columns take the fresh range; a file where the column is
+    * entirely NULL (or absent — pre-evolution epochs) simply carries
+    * no tag for it, which never prunes. DV-bearing heads refuse
+    * loudly: tags computed ignoring the vectors would overstate `n=`
+    * (compact first — it materializes the DVs). Returns the new
+    * version (the current one when there is nothing to read). */
+  def analyzeSnapshotStats(spark: SparkSession, outDir: String,
+      cols: Seq[String] = Nil): Int = {
+    val latest = latestSnapshotVersion(outDir)
+    require(latest > 0, s"nothing to analyze under $outDir")
+    val (fs, root) = fsRoot(outDir)
+    val lines = dataLines(readManifestRaw(fs, root, latest))
+    if (lines.isEmpty) return latest
+    require(lines.forall(l => dvOf(l).isEmpty),
+      s"version $latest under $outDir carries deletion vectors - " +
+        "their positions would overstate the n= rowcounts; run " +
+        "compaction first (it materializes the DVs)")
+    val st = snapshotSchema(outDir, latest).getOrElse(
+      throw new IllegalStateException(s"version $latest under $root " +
+        "has no #schema= header (pre-header legacy manifest) - recommit"))
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    val picked: Seq[org.apache.spark.sql.types.StructField] =
+      if (cols.isEmpty) st.fields.toSeq.filter(f => integral(f.dataType))
+      else cols.map { c =>
+        val f = st.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"ANALYZE: unknown column '$c' (table has " +
+              s"${st.fieldNames.mkString(", ")})"))
+        require(integral(f.dataType),
+          s"ANALYZE: column '$c' is ${f.dataType.sql} - the s= stats " +
+            "grammar records integral ranges only")
+        f
+      }
+    val physCols = picked.map(physicalOf)
+    val files = lines.map(pathOf)
+    // read by PHYSICAL names with the head schema pinned, so files
+    // predating an added column read it as NULL instead of failing
+    val physSchema = org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = physicalOf(f))))
+    val aggs = count(lit(1)).as("__n") +: physCols.zipWithIndex.flatMap {
+      case (pc, i) => Seq(
+        min(colQ(pc)).cast("long").as(s"__lo_$i"),
+        max(colQ(pc)).cast("long").as(s"__hi_$i"))
+    }
+    val byFile: Map[String, (Long, Seq[Option[(Long, Long)]])] =
+      spark.read.schema(physSchema).parquet(files: _*)
+        .groupBy(col("_metadata.file_path").as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val ranges = physCols.indices.map { i =>
+            if (r.isNullAt(r.fieldIndex(s"__lo_$i"))) None
+            else Some((r.getAs[Long](s"__lo_$i"),
+              r.getAs[Long](s"__hi_$i")))
+          }
+          fs.makeQualified(new Path(r.getAs[String]("__file"))).toString ->
+            ((r.getAs[Long]("__n"), ranges))
+        }.toMap
+    val analyzedSet = physCols.toSet
+    val stamped = lines.map { l =>
+      val parts = l.split('\t').toSeq
+      // strip the tags this pass recomputes; everything else carries
+      val kept = parts.head +: parts.tail.filterNot { t =>
+        t.startsWith("n=") ||
+          (t.startsWith("s=") &&
+            analyzedSet.contains(t.drop(2).takeWhile(_ != ':')))
+      }
+      val key = fs.makeQualified(new Path(parts.head)).toString
+      val fresh = byFile.get(key) match {
+        case None => "\tn=0" // zero-row file: no read-back group
+        case Some((n, ranges)) =>
+          s"\tn=$n" + physCols.zip(ranges).collect {
+            case (pc, Some((lo, hi))) => s"\ts=$pc:$lo:$hi"
+          }.mkString
+      }
+      kept.mkString("\t") + fresh
+    }
+    val version = latest + 1
+    commitManifest(fs, root, version,
+      internalMeta(fs, root,
+        carryBatch(fs, root, Map(
+          "analyzed_columns" -> picked.map(_.name).mkString(","),
+          "analyzed_files" -> lines.size.toString)),
+        st.json, op = "rename"), stamped)
+    version
+  }
+
   /** ZONE-PRUNED MERGE — the partition-scoped merge generalized to
     * FILE granularity for tables kept CLUSTERED on an integral merge
     * key ([[appendSnapshotClustered]] / [[compactSnapshotClustered]]

@@ -31,6 +31,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Rst =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+""" +
       """(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+?)\s*;?\s*$""").r
+  // claims the two lake-backfillable shapes ONLY: NOSCAN / FOR ALL
+  // COLUMNS / DELTA etc. fall through to Spark's own grammar, and a
+  // non-lake target falls back at resolution (the DESCRIBE pattern)
+  private val Anl =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$""").r
   private val ZTail = """(?is)^(.*?)\s+ZORDER\s+BY\s+(.+)$""".r
   private val WTail = """(?is)^(.*?)\s+WHERE\s+(.+)$""".r
   private val RTail =
@@ -83,6 +89,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         None, sqlText,
         asOf = Some((verb.toUpperCase(java.util.Locale.ROOT),
           value.trim)))
+    // `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]` — the
+    // stats-backfill statement on lake tables (one read pass, zero
+    // rewrites, metadata-only commit); the column list rides the
+    // zorderCols slot
+    case Anl(tTxt, colsTxt) =>
+      val (parts, path) = target(tTxt)
+      GraftMaintenanceStatement("ANALYZE", parts, path, None,
+        Option(colsTxt).map(_.split(',')
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty[String]),
+        None, sqlText)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -92,7 +110,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
       : LogicalPlan = sqlText match {
-    case Desc(_, _) | Opt(_) | Vac(_) | Rst(_, _, _) =>
+    case Desc(_, _) | Opt(_) | Vac(_) | Rst(_, _, _) | Anl(_, _) =>
       parsePlan(sqlText) // these take no parameters
     case _ => delegate.parsePlanWithParameters(sqlText, ctx)
   }

@@ -230,12 +230,18 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       ms: GraftMaintenanceStatement): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.LongType
-    val dir = ms.path.orElse(viewDirOf(ms.nameParts)
-        .filter(x => Export.latestSnapshotVersion(x) >= 1))
-      .getOrElse(throw new IllegalArgumentException(
-        s"${ms.kind} ${ms.nameParts.mkString(".")}: not a lake table " +
-          "(fully qualify the name, USE the lake catalog, or pass a " +
-          "quoted path)"))
+    val dirOpt = ms.path.orElse(viewDirOf(ms.nameParts)
+      .filter(x => Export.latestSnapshotVersion(x) >= 1))
+    // ANALYZE is the one maintenance shape Spark's own grammar also
+    // owns (session-catalog tables): a non-lake target falls back to
+    // the delegate parse of the verbatim text — the DESCRIBE pattern
+    if (dirOpt.isEmpty && ms.kind == "ANALYZE" && ms.original.nonEmpty)
+      return new org.apache.spark.sql.execution.SparkSqlParser()
+        .parsePlan(ms.original)
+    val dir = dirOpt.getOrElse(throw new IllegalArgumentException(
+      s"${ms.kind} ${ms.nameParts.mkString(".")}: not a lake table " +
+        "(fully qualify the name, USE the lake catalog, or pass a " +
+        "quoted path)"))
     def la(n: String) = AttributeReference(n, LongType,
       nullable = false)()
     if (ms.kind == "OPTIMIZE") {
@@ -273,6 +279,17 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
                 more.mkString(", "))
           }
           Seq(Seq(v.toLong, E.snapshotFiles(dir, v).size.toLong))
+        })
+    } else if (ms.kind == "ANALYZE") {
+      // stats backfill: one read pass, zero rewrites — per-file n=/s=
+      // tags land in a metadata-only commit and every later
+      // scan/DELETE/UPDATE prunes with them
+      val cols = ms.zorderCols
+      GraftMaintenanceResult(s"ANALYZE $dir",
+        Seq(la("version"), la("analyzed_files")), () => {
+          val s = SparkSession.active
+          val v = Export.analyzeSnapshotStats(s, dir, cols)
+          Seq(Seq(v.toLong, Export.snapshotFiles(dir, v).size.toLong))
         })
     } else if (ms.kind == "RESTORE") {
       // `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF v` — the

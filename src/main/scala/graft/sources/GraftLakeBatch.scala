@@ -124,9 +124,20 @@ object GraftLakeBatch {
     * `UnresolvedFunction` nodes (`and`, `<`, `=`, ...) rather than the
     * binary catalyst nodes the SQL parser produces — normalize the
     * comparison/conjunction shapes so [[excludes]] prunes for BOTH
-    * front doors. Unknown names stay as-is (never prunes — safe). */
+    * front doors. SQL-ANALYZED predicates additionally wrap their
+    * literals in the coercion casts the analyzer inserts
+    * (`doc_id < CAST(100 AS BIGINT)` — constant folding only happens
+    * in the optimizer, which DML predicates never pass through), so
+    * foldable casts OF literals evaluate here — without this, every
+    * SQL DELETE/UPDATE comparison silently defeated stats pruning.
+    * Unknown names / unfoldable shapes stay as-is (never prunes —
+    * safe). */
   private[graft] def normalizeOps(e: Expression): Expression =
     e.transformUp {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.child.isInstanceOf[Literal] =>
+        try Literal(c.eval(null), c.dataType)
+        catch { case scala.util.control.NonFatal(_) => c }
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.arguments.length == 2 && f.nameParts.length == 1 &&
             !f.isDistinct =>

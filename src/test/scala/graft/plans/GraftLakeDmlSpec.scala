@@ -1086,6 +1086,60 @@ class GraftLakeDmlSpec extends SparkSpec {
       Seq("dropped_versions", "deleted_files"))
   }
 
+  test("ANALYZE TABLE ... COMPUTE STATISTICS backfills n=/s= tags metadata-only: file pruning and metadata-only counts unlock on a bulk-loaded table; non-lake targets fall back to Spark's own ANALYZE") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE gld.ns.anl (k BIGINT, s STRING)")
+    (0 until 3).foreach(i => spark.sql("INSERT INTO gld.ns.anl " +
+      s"SELECT id + ${i * 100}, CAST(id AS STRING) FROM range(50)"))
+    val dir = s"$wh/ns/anl"
+    val v0 = Export.latestSnapshotVersion(dir)
+    val before = Export.snapshotFiles(dir, v0).toSet
+    // bulk-loaded: no tags, so no metadata-only count and no pruning
+    assert(Export.metadataCount(dir, v0).isEmpty)
+    // the backfill: ONE metadata-only commit, files identical
+    val r = spark.sql("ANALYZE TABLE gld.ns.anl COMPUTE STATISTICS")
+      .collect().head
+    val v1 = r.getLong(0).toInt
+    assert(v1 === v0 + 1 &&
+      Export.snapshotFiles(dir, v1).toSet === before,
+      "ANALYZE must re-point the exact files, zero rewrites")
+    assert(Export.metadataCount(dir, v1) === Some(150L))
+    assert(Export.metadataRange(dir, v1, "k") === Some((0L, 249L)))
+    // pruning unlocked: a range DELETE now carries disjoint files
+    val vd = Export.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.col("k") >= 200)
+    val carried = before intersect Export.snapshotFiles(dir, vd).toSet
+    assert(carried.nonEmpty && carried.size < before.size,
+      s"post-ANALYZE DELETE must carry range-disjoint files, " +
+        s"carried ${carried.size} of ${before.size}")
+    assert(spark.sql("SELECT count(*) FROM gld.ns.anl")
+      .collect().head.getLong(0) === 100)
+    // FOR COLUMNS subset + refusals; procedure twin shares the path
+    spark.sql("ANALYZE TABLE gld.ns.anl COMPUTE STATISTICS " +
+      "FOR COLUMNS k").collect()
+    val e1 = intercept[Exception](spark.sql(
+      "ANALYZE TABLE gld.ns.anl COMPUTE STATISTICS FOR COLUMNS s")
+      .collect())
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ANALYZE TABLE gld.ns.anl COMPUTE STATISTICS FOR COLUMNS nope")
+      .collect())
+    assert(e2.getMessage.contains("unknown column"), e2.getMessage)
+    assert(spark.sql(s"SELECT * FROM graft_analyze('$dir', 'k')")
+      .columns.toSeq === Seq("version"))
+    // non-lake target: Spark's own ANALYZE still works (fallback)
+    spark.sql("DROP TABLE IF EXISTS spark_catalog.default.anl_plain")
+    spark.sql("CREATE TABLE spark_catalog.default.anl_plain (k BIGINT)" +
+      " USING parquet")
+    spark.sql("INSERT INTO spark_catalog.default.anl_plain VALUES (1)")
+    spark.sql("ANALYZE TABLE spark_catalog.default.anl_plain " +
+      "COMPUTE STATISTICS")
+    // NOSCAN never matches the probe: straight to Spark's grammar
+    spark.sql("ANALYZE TABLE spark_catalog.default.anl_plain " +
+      "COMPUTE STATISTICS NOSCAN")
+    spark.sql("DROP TABLE spark_catalog.default.anl_plain")
+  }
+
   test("RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF rolls the head with zero data movement (graft_restore's statement face)") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.rst (k BIGINT)")
