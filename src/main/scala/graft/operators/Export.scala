@@ -2415,44 +2415,44 @@ object Export {
     // published through the SAME claim-file CAS as a normal range
     // claim, so a CONCURRENT writer reading the watermark mid-commit
     // sees it too — not just readers of this commit's idc_ header.
-    // ALWAYS columns skip (explicit values can't enter), so the extra
-    // one-column agg costs only BY-DEFAULT tables.
-    if (allowExplicit && d0.columns.contains(name)) {
-      val ord = (org.apache.spark.sql.functions.floor(
-        (colQ(name).cast("decimal(38,0)") - lit(start)) / lit(step))
-        + lit(1)).cast("long")
-      val maxOrd = d.filter(colQ(name).isNotNull)
-        .agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.greatest(ord, lit(0L))))
-        .collect().headOption.flatMap(r =>
-          if (r.isNullAt(0)) None else Some(r.getLong(0)))
-        .getOrElse(0L)
-      if (maxOrd > 0L) {
-        val cur = identityConsumed(fs, root, colEnc)
-        if (maxOrd > cur) {
-          val from = claimIdentityRange(fs, root, colEnc, maxOrd - cur)
-          pendingIdentity.set(pendingIdentity.get() +
-            ((root.toString, colEnc) ->
-              math.max(from + (maxOrd - cur),
-                pendingIdentity.get()
-                  .getOrElse((root.toString, colEnc), 0L))))
+    // ALWAYS columns skip entirely (explicit values can't enter);
+    // BY-DEFAULT pays ONE combined agg that also answers the
+    // null-slot probe — never a second pass over a pure rewrite.
+    val preCounted: Option[Long] =
+      if (allowExplicit && d0.columns.contains(name)) {
+        val ord = (org.apache.spark.sql.functions.floor(
+          (colQ(name).cast("decimal(38,0)") - lit(start)) / lit(step))
+          + lit(1)).cast("long")
+        val r = d.agg(
+          org.apache.spark.sql.functions.max(
+            when(colQ(name).isNotNull,
+              org.apache.spark.sql.functions.greatest(ord, lit(0L)))),
+          count(when(colQ(name).isNull, lit(1)))).collect().head
+        val maxOrd = if (r.isNullAt(0)) 0L else r.getLong(0)
+        if (maxOrd > 0L) {
+          val cur = identityConsumed(fs, root, colEnc)
+          if (maxOrd > cur) {
+            val from = claimIdentityRange(fs, root, colEnc, maxOrd - cur)
+            pendingIdentity.set(pendingIdentity.get() +
+              ((root.toString, colEnc) ->
+                math.max(from + (maxOrd - cur),
+                  pendingIdentity.get()
+                    .getOrElse((root.toString, colEnc), 0L))))
+          }
         }
-      }
-    }
+        Some(r.getLong(1))
+      } else None
     // cheap PROBE before any materialization: a pure rewrite (every id
     // carries — the UPDATE/MERGE/compaction case, possibly a
     // full-table frame) must not pay a checkpoint of the whole slice
-    if (d.filter(colQ(name).isNull).isEmpty) return (d, false)
+    if (preCounted.contains(0L)) return (d, false)
+    if (preCounted.isEmpty && d.filter(colQ(name).isNull).isEmpty)
+      return (d, false)
     // ONE materialization of the (batch-bounded) epoch frame: the
     // per-partition counts and the id projection must see the SAME
     // partitioning, and the write that follows reuses the blocks
     val snap = if (stable) d else d.localCheckpoint(true)
     val nulls = snap.filter(colQ(name).isNull)
-    val n = nulls.count()
-    if (n == 0L) return (snap, !stable) // every id carries, no claim
-    val from = claimIdentityRange(fs, root, colEnc, n)
-    pendingIdentity.set(pendingIdentity.get() +
-      ((root.toString, colEnc) -> (from + n)))
     val cols = snap.columns.toSeq
     val pidCol = freshName("__id_pid", cols)
     val idxCol = freshName("__id_idx", cols)
@@ -2469,8 +2469,15 @@ object Export {
       .withColumn(idxCol,
         org.apache.spark.sql.functions.monotonically_increasing_id()
           .bitwiseAND(lit((1L << 33) - 1)))
+    // the per-partition counts ALSO give the claim size: one job where
+    // a separate nulls.count() used to run first
     val counts = withPid.groupBy(col(pidCol)).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0L) return (snap, !stable) // every id carries, no claim
+    val from = claimIdentityRange(fs, root, colEnc, n)
+    pendingIdentity.set(pendingIdentity.get() +
+      ((root.toString, colEnc) -> (from + n)))
     var acc = 0L
     val bases = counts.map { case (p, c) =>
       val b = acc; acc += c; (p, b) }
@@ -2911,9 +2918,16 @@ object Export {
                   s"line-safe, got: $v")
               s"${phys(c)}=$v"
             }.mkString("/")
-            val zone = zoneKey.map(_ =>
-              s"\tz=${r.getAs[Long]("__z_lo")}:${r.getAs[Long]("__z_hi")}")
-              .getOrElse("")
+            // the zone ALSO rides as a NAMED s= stat (the clustered
+            // writer's convention): planners that don't know the zone
+            // key — the batch FileIndex, DML predicate pruning —
+            // range-prune zoned partitioned files through the
+            // standard stats kernel
+            val zone = zoneKey.map { k =>
+              val lo = r.getAs[Long]("__z_lo")
+              val hi = r.getAs[Long]("__z_hi")
+              s"\tz=$lo:$hi\ts=${phys(k)}:$lo:$hi"
+            }.getOrElse("")
             fs.makeQualified(new Path(r.getAs[String]("file"))).toString ->
               (s"\tp=$spec" + zone)
           }.toMap
@@ -3554,6 +3568,21 @@ object Export {
           fs.makeQualified(new Path(r.getAs[String]("__file"))).toString ->
             ((r.getAs[Long]("__n"), ranges))
         }.toMap
+    // path-keying INVARIANT: every read-back group must key a manifest
+    // line (a store whose `_metadata.file_path` form differs from the
+    // manifest's FileStatus-derived form — URL-encoding, say — would
+    // otherwise stamp n=0 everywhere and turn metadata-only counts
+    // WRONG, not just unpruned; refuse loudly instead)
+    locally {
+      val lineKeys = lines.map(l =>
+        fs.makeQualified(new Path(pathOf(l))).toString).toSet
+      val strays = byFile.keySet -- lineKeys
+      require(strays.isEmpty,
+        s"ANALYZE under $outDir: ${strays.size} read-back file " +
+          s"path(s) match no manifest line (e.g. ${strays.head}) - " +
+          "the store's _metadata.file_path form differs from the " +
+          "manifest's; refusing to stamp tags that would be wrong")
+    }
     val analyzedSet = physCols.toSet
     val stamped = lines.map { l =>
       val parts = l.split('\t').toSeq
@@ -3965,31 +3994,36 @@ object Export {
       try {
         val df = org.apache.spark.sql.GraftPlanBridge
           .ofRows(spark, lq.plan)
-        val vals = df.distinct().limit(MaxInValues + 1).collect()
-          .map(_.get(0)).filter(_ != null).toSeq
-        if (vals.isEmpty) Nil
-        else if (vals.length <= MaxInValues)
-          Seq(CatIn(a, vals.map(v => Literal(v))))
-        else {
-          // large list: the envelope still range-prunes integral
-          // columns via the s= stats
-          val integral = df.schema.fields.headOption.exists(_.dataType
-            match {
-              case ByteType | ShortType | IntegerType | LongType => true
-              case _ => false
-            })
-          if (!integral) Nil
-          else {
-            val mm = df.agg(
-              org.apache.spark.sql.functions.min(df.columns.head),
-              org.apache.spark.sql.functions.max(df.columns.head))
-              .collect().head
-            if (mm.isNullAt(0)) Nil
-            else Seq(
-              GreaterThanOrEqual(a, Literal(mm.get(0))),
-              LessThanOrEqual(a, Literal(mm.get(1))))
-          }
-        }
+        val c0 = df.columns.head
+        val integral = df.schema.fields.headOption.exists(_.dataType
+          match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          })
+        // ONE probe pass answers everything: the envelope (min/max)
+        // and whether the exact value list is small enough to collect
+        // (approx distinct — an undershoot just falls back to the
+        // envelope, never a wrong prune)
+        val probe = df.agg(
+          org.apache.spark.sql.functions.min(colQ(c0)),
+          org.apache.spark.sql.functions.max(colQ(c0)),
+          org.apache.spark.sql.functions.approx_count_distinct(
+            colQ(c0))).collect().head
+        if (probe.isNullAt(0)) Nil // empty or all-NULL list
+        else if (probe.getLong(2) <= MaxInValues) {
+          val vals = df.distinct().limit(MaxInValues + 1).collect()
+            .map(_.get(0)).filter(_ != null).toSeq
+          if (vals.isEmpty) Nil
+          else if (vals.length <= MaxInValues)
+            Seq(CatIn(a, vals.map(v => Literal(v))))
+          else if (integral) Seq(
+            GreaterThanOrEqual(a, Literal(probe.get(0))),
+            LessThanOrEqual(a, Literal(probe.get(1))))
+          else Nil
+        } else if (integral) Seq(
+          GreaterThanOrEqual(a, Literal(probe.get(0))),
+          LessThanOrEqual(a, Literal(probe.get(1))))
+        else Nil
       } catch { case scala.util.control.NonFatal(_) => Nil }
     conjuncts ++ conjuncts.flatMap {
       case InSubquery(Seq(a: Attribute), lq: ListQuery)
@@ -4003,18 +4037,46 @@ object Export {
 
   /** The shared pruning-conjunct builder for every predicate-driven
     * DML path (CoW/MoR DELETE and UPDATE): split + normalize the
-    * predicate, then expand subquery conjuncts into literal/envelope
-    * pruning conjuncts. Never throws — an unanalyzable predicate
-    * simply prunes nothing. */
-  private def dmlPruningConjuncts(spark: SparkSession, cond: Column)
+    * predicate, then — only when the manifest carries tags to prune
+    * WITH (`canExpand`; running a subquery to prune a tagless
+    * bulk-loaded table is pure waste) — expand subquery conjuncts
+    * into literal/envelope pruning conjuncts. Never throws — an
+    * unanalyzable predicate simply prunes nothing. */
+  private def dmlPruningConjuncts(spark: SparkSession, cond: Column,
+      canExpand: Boolean = true)
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-    try expandSubqueryConjuncts(spark,
-      graft.sources.GraftLakeBatch.splitConjuncts(
+    try {
+      val cs = graft.sources.GraftLakeBatch.splitConjuncts(
         graft.sources.GraftLakeBatch.normalizeOps(
           org.apache.spark.sql.GraftColumnBridge
-            .catalystExpression(cond))))
-    catch { case scala.util.control.NonFatal(_) =>
+            .catalystExpression(cond)))
+      if (canExpand) expandSubqueryConjuncts(spark, cs) else cs
+    } catch { case scala.util.control.NonFatal(_) =>
       Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression] }
+
+  /** One manifest data line decoded to its [[ManifestEntry]] — the
+    * single decode point the DML pruning paths share. */
+  private def entryOfLine(l: String): ManifestEntry =
+    ManifestEntry(pathOf(l), partitionOf(l), statsOf(l), dvOf(l),
+      lenOf(l), zoneOf(l))
+
+  /** True when any line carries a tag the excludes kernel can prune
+    * with — the guard that keeps subquery expansion off tagless
+    * (pre-ANALYZE) tables. */
+  private def anyPruningTags(lines: Seq[String]): Boolean =
+    lines.exists(l => l.split('\t').exists(t =>
+      t.startsWith("s=") || t.startsWith("p=")))
+
+  /** Split `lines` into (possibly-matching, provably-excluded) under
+    * `conjuncts` — the shared half of every DML prune. */
+  private def pruneLines(lines: Seq[String],
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      physOf: Map[String, String]): (Seq[String], Seq[String]) =
+    lines.partition { l =>
+      val e = entryOfLine(l)
+      conjuncts.forall(c =>
+        !graft.sources.GraftLakeBatch.excludes(c, e, physOf))
+    }
 
   /** Copy-on-write DELETE — the third leg of the lake DML triad
     * (append = INSERT, [[Merge.upsert]] through [[replaceSnapshot]] =
@@ -4043,14 +4105,9 @@ object Export {
     val physOf: Map[String, String] = stOpt
       .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
       .getOrElse(Map.empty)
-    val conjuncts = dmlPruningConjuncts(spark, cond)
-    def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
-      statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
-    val (hit, rest) = lines.partition { l =>
-      val e = entryOf(l)
-      conjuncts.forall(c =>
-        !graft.sources.GraftLakeBatch.excludes(c, e, physOf))
-    }
+    val conjuncts = dmlPruningConjuncts(spark, cond,
+      canExpand = anyPruningTags(lines))
+    val (hit, rest) = pruneLines(lines, conjuncts, physOf)
     if (hit.isEmpty) return latest // every file provably misses: no-op
     // SQL DELETE semantics: remove rows where the predicate is TRUE —
     // a NULL-evaluating predicate KEEPS the row. A plain filter(!cond)
@@ -4163,14 +4220,9 @@ object Export {
     // non-analyzable predicate simply prunes nothing
     val physOf: Map[String, String] =
       st.fields.map(f => f.name -> physicalOf(f)).toMap
-    val conjuncts = dmlPruningConjuncts(spark, cond)
-    def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
-      statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
-    val (hit, rest) = lines.partition { l =>
-      val e = entryOf(l)
-      conjuncts.forall(c =>
-        !graft.sources.GraftLakeBatch.excludes(c, e, physOf))
-    }
+    val conjuncts = dmlPruningConjuncts(spark, cond,
+      canExpand = anyPruningTags(lines))
+    val (hit, rest) = pruneLines(lines, conjuncts, physOf)
     if (hit.isEmpty) return latest // every file provably misses: no-op
     val version = latest + 1
     // DV-aware, physical-decoded, logical-projected — the standard funnel
@@ -4237,14 +4289,9 @@ object Export {
     // files are never read
     val physOf: Map[String, String] =
       st.fields.map(f => f.name -> physicalOf(f)).toMap
-    val conjuncts = dmlPruningConjuncts(spark, cond)
-    def entryOf(l: String) = ManifestEntry(pathOf(l), partitionOf(l),
-      statsOf(l), dvOf(l), lenOf(l), zoneOf(l))
-    val candidate = lines.filter { l =>
-      val e = entryOf(l)
-      conjuncts.forall(c =>
-        !graft.sources.GraftLakeBatch.excludes(c, e, physOf))
-    }
+    val conjuncts = dmlPruningConjuncts(spark, cond,
+      canExpand = anyPruningTags(lines))
+    val candidate = pruneLines(lines, conjuncts, physOf)._1
     if (candidate.isEmpty) return latest
     val candFiles = candidate.map(pathOf).toIndexedSeq
     val cols = st.fieldNames.toSeq
@@ -4376,13 +4423,9 @@ object Export {
     val physPrune: Map[String, String] = stOpt
       .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
       .getOrElse(Map.empty)
-    val pruneConjuncts = dmlPruningConjuncts(spark, cond)
-    val scanLines = lines.filter { l =>
-      val e = ManifestEntry(pathOf(l), partitionOf(l), statsOf(l),
-        dvOf(l), lenOf(l), zoneOf(l))
-      pruneConjuncts.forall(c =>
-        !graft.sources.GraftLakeBatch.excludes(c, e, physPrune))
-    }
+    val pruneConjuncts = dmlPruningConjuncts(spark, cond,
+      canExpand = anyPruningTags(lines))
+    val scanLines = pruneLines(lines, pruneConjuncts, physPrune)._1
     if (scanLines.isEmpty) return latest // no file can hold a match
     val files = scanLines.map(pathOf).toIndexedSeq
     // decode by PHYSICAL name, surface the metadata position columns

@@ -92,15 +92,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]` — the
     // stats-backfill statement on lake tables (one read pass, zero
     // rewrites, metadata-only commit); the column list rides the
-    // zorderCols slot
+    // zorderCols slot. A target that is NOT a bare identifier/path
+    // (`ANALYZE TABLE t PARTITION (ds=...) COMPUTE STATISTICS` —
+    // Spark's own partition form) falls through to Spark's grammar
+    // verbatim: the probe must never break a previously valid
+    // statement.
     case Anl(tTxt, colsTxt) =>
-      val (parts, path) = target(tTxt)
-      GraftMaintenanceStatement("ANALYZE", parts, path, None,
-        Option(colsTxt).map(_.split(',')
-            .map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty).toSeq)
-          .getOrElse(Seq.empty[String]),
-        None, sqlText)
+      (try Some(target(tTxt))
+        catch { case scala.util.control.NonFatal(_) => None }) match {
+        case Some((parts, path)) =>
+          GraftMaintenanceStatement("ANALYZE", parts, path, None,
+            Option(colsTxt).map(_.split(',')
+                .map(_.trim.stripPrefix("`").stripSuffix("`"))
+                .filter(_.nonEmpty).toSeq)
+              .getOrElse(Seq.empty[String]),
+            None, sqlText)
+        case None => delegate.parsePlan(sqlText)
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 

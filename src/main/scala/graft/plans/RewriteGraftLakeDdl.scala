@@ -330,7 +330,15 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       w: String): Map[String, String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.EqualTo
-    def lit(l: Literal): String = Option(l.value).map(_.toString)
+    // stringify through CAST-to-string — the exact form the p= spec
+    // writer used — so typed literals match (`WHERE dt =
+    // DATE'2024-01-01'` must compare as "2024-01-01", never the
+    // internal day count)
+    def lit(l: Literal): String = Option(
+        org.apache.spark.sql.catalyst.expressions.Cast(l,
+          org.apache.spark.sql.types.StringType,
+          Option(s.sessionState.conf.sessionLocalTimeZone)).eval(null))
+      .map(_.toString)
       .getOrElse(throw new IllegalArgumentException(
         "OPTIMIZE ... WHERE: NULL is not a partition value"))
     graft.sources.GraftLakeBatch.splitConjuncts(

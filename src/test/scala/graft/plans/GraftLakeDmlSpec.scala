@@ -1069,6 +1069,24 @@ class GraftLakeDmlSpec extends SparkSpec {
       "OPTIMIZE gld.ns.optp WHERE k > 3").collect())
     assert(ew.getMessage.contains("partition-column equality") ||
       ew.getMessage.contains("partition-column"), ew.getMessage)
+    // TYPED literals stringify through CAST — `WHERE dt = DATE'...'`
+    // must hit the p= spec's "2024-01-02" form, not the internal day
+    // count (which silently compacted nothing)
+    spark.sql("CREATE TABLE gld.ns.optd (k BIGINT, dt DATE) " +
+      "PARTITIONED BY (dt)")
+    (0 until 2).foreach(_ => spark.sql("INSERT INTO gld.ns.optd " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN DATE'2024-01-01' " +
+      "ELSE DATE'2024-01-02' END FROM range(10)"))
+    val dirD = s"$wh/ns/optd"
+    spark.sql("OPTIMIZE gld.ns.optd WHERE dt = DATE'2024-01-02'")
+      .collect()
+    val vD = E.latestSnapshotVersion(dirD)
+    assert(E.snapshotManifestEntries(dirD, vD)
+      .count(_.partition.get("dt").contains("2024-01-02")) === 1,
+      "the DATE-spec'd partition must compact to one file")
+    assert(E.snapshotManifestEntries(dirD, vD)
+      .count(_.partition.get("dt").contains("2024-01-01")) === 2,
+      "the other partition's files must carry verbatim")
     // VACUUM: quoted-path form, RETAIN 0 HOURS reclaims everything
     // unreferenced; history beyond the head is dropped
     val files0 = E.snapshotFiles(dir, vC).size
@@ -1137,6 +1155,17 @@ class GraftLakeDmlSpec extends SparkSpec {
     // NOSCAN never matches the probe: straight to Spark's grammar
     spark.sql("ANALYZE TABLE spark_catalog.default.anl_plain " +
       "COMPUTE STATISTICS NOSCAN")
+    // Spark's PARTITION form: the target isn't a bare identifier, so
+    // the probe falls through — a previously valid statement must
+    // never break (it errors Spark-side only because the table isn't
+    // partitioned, NOT with a parse error from the probe)
+    val ep = intercept[Exception](spark.sql(
+      "ANALYZE TABLE spark_catalog.default.anl_plain " +
+        "PARTITION (ds='x') COMPUTE STATISTICS"))
+    assert(!ep.getMessage.toLowerCase.contains("syntax error") &&
+      !ep.isInstanceOf[org.apache.spark.sql.catalyst.parser
+        .ParseException], s"the probe must not hijack Spark's " +
+        s"partition form: ${ep.getMessage.take(120)}")
     spark.sql("DROP TABLE spark_catalog.default.anl_plain")
   }
 
