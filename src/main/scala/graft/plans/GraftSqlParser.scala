@@ -41,6 +41,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val WTail = """(?is)^(.*?)\s+WHERE\s+(.+)$""".r
   private val RTail =
     """(?is)^(.*?)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*$""".r
+  private val DTail = """(?is)^(.*?)\s+DRY\s+RUN\s*$""".r
 
   private def target(t: String): (Seq[String], Option[String]) =
     t.trim match {
@@ -72,15 +73,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val (parts, path) = target(tTxt)
       GraftMaintenanceStatement("OPTIMIZE", parts, path, whereSql,
         zcols, None, sqlText)
-    // `VACUUM t [RETAIN n HOURS]` — the retention statement
+    // `VACUUM t [RETAIN n HOURS] [DRY RUN]` — the retention
+    // statement; DRY RUN reports what a real run would reclaim and
+    // touches nothing (the pre-flight every retention change deserves)
     case Vac(rest0) =>
-      val (tTxt, retain) = rest0 match {
+      val (rest1, dry) = rest0 match {
+        case DTail(head) => (head, true)
+        case _ => (rest0, false)
+      }
+      val (tTxt, retain) = rest1 match {
         case RTail(head, n) => (head, Some(n.toDouble))
-        case _ => (rest0, None)
+        case _ => (rest1, None)
       }
       val (parts, path) = target(tTxt)
       GraftMaintenanceStatement("VACUUM", parts, path, None, Nil,
-        retain, sqlText)
+        retain, sqlText, dryRun = dry)
     // `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF v` — the rollback
     // statement (graft_restore's statement face)
     case Rst(tTxt, verb, value) =>
@@ -172,7 +179,8 @@ final case class GraftMaintenanceStatement(kind: String,
     nameParts: Seq[String], path: Option[String],
     whereSql: Option[String], zorderCols: Seq[String],
     retainHours: Option[Double], original: String,
-    asOf: Option[(String, String)] = None)
+    asOf: Option[(String, String)] = None,
+    dryRun: Boolean = false)
     extends UnresolvedLeafNode {
   final override val nodePatterns: Seq[TreePattern.TreePattern] =
     Seq(TreePattern.COMMAND)

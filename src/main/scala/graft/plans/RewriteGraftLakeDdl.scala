@@ -311,15 +311,18 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
           }
         Seq(Seq(Export.restoreSnapshot(dir, toV).toLong))
       })
-    } else
+    } else {
+      val dry = ms.dryRun
       GraftMaintenanceResult(s"VACUUM $dir",
         Seq(la("dropped_versions"), la("deleted_files")), () => {
           val horizonMs = ms.retainHours
             .map(h => (h * 3600000.0).toLong)
             .getOrElse(Export.DefaultVacuumHorizonMs)
-          val (dv, df) = Export.vacuumSnapshots(dir, 1, horizonMs)
+          val (dv, df) = Export.vacuumSnapshots(dir, 1, horizonMs,
+            dryRun = dry)
           Seq(Seq(dv.toLong, df.toLong))
         })
+    }
   }
 
   /** The WHERE clause of `OPTIMIZE ... WHERE`: a conjunction of

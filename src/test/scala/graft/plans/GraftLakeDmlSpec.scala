@@ -1087,6 +1087,14 @@ class GraftLakeDmlSpec extends SparkSpec {
     assert(E.snapshotManifestEntries(dirD, vD)
       .count(_.partition.get("dt").contains("2024-01-01")) === 2,
       "the other partition's files must carry verbatim")
+    // DRY RUN first: reports what a real run would reclaim, touches
+    // NOTHING (versions and files all still present)
+    val versionsBefore = E.snapshotVersions(dir)
+    val dr = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS DRY RUN")
+      .collect().head
+    assert(dr.getLong(0) > 0, "DRY RUN must report droppable versions")
+    assert(E.snapshotVersions(dir) === versionsBefore,
+      "DRY RUN must not drop versions")
     // VACUUM: quoted-path form, RETAIN 0 HOURS reclaims everything
     // unreferenced; history beyond the head is dropped
     val files0 = E.snapshotFiles(dir, vC).size
