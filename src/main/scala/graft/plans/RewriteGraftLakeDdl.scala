@@ -318,6 +318,26 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
           val horizonMs = ms.retainHours
             .map(h => (h * 3600000.0).toLong)
             .getOrElse(Export.DefaultVacuumHorizonMs)
+          // RETENTION FLOOR (advisor r17): a horizon below the
+          // in-flight-commit bound can reclaim a concurrent
+          // committer's already-written-but-uncommitted epoch files,
+          // permanently breaking the version its manifest then
+          // publishes — refuse unless the operator explicitly opts
+          // out (tests, decommissioned tables: no writer can be
+          // live). DRY RUN is exempt: it touches nothing, and its
+          // report is the pre-flight that tells you what a forced
+          // run WOULD reclaim.
+          if (!dry && horizonMs < Export.DefaultVacuumHorizonMs) {
+            val checkOn = SparkSession.active.conf
+              .get("spark.graft.vacuum.retentionCheck", "true").toBoolean
+            require(!checkOn,
+              s"VACUUM RETAIN ${ms.retainHours.getOrElse(0.0)} HOURS " +
+                "is below the in-flight-commit floor (1 hour): a " +
+                "concurrent committer's written-but-uncommitted epoch " +
+                "files could be reclaimed. Set " +
+                "spark.graft.vacuum.retentionCheck=false to override " +
+                "when no writer can possibly be live.")
+          }
           val (dv, df) = Export.vacuumSnapshots(dir, 1, horizonMs,
             dryRun = dry)
           Seq(Seq(dv.toLong, df.toLong))

@@ -6350,9 +6350,10 @@ object Curation {
     * anti-join delete against a quarantine list) — and scalar-subquery
     * UPDATE assignments, both through the deferred rewrite
     * (uncorrelated subquery plans are self-contained, so they re-run
-    * lawfully inside the thunk). Correlated subqueries refuse loudly
-    * with a rewrite hint — pinned in-gate, nothing committed. DuckDB
-    * replays the anti-join + the CASE fill. */
+    * lawfully inside the thunk). Correlated SCALAR assignments refuse
+    * loudly with a rewrite hint — pinned in-gate, nothing committed
+    * (correlated PREDICATES execute since r17: q_sql_delete_in_corr).
+    * DuckDB replays the anti-join + the CASE fill. */
   def q_sql_delete_subq(s: SparkSession, dir: String): DataFrame = {
     val wh = new java.io.File(new java.io.File("target", "qtmp"),
       s"sqlsq_${math.abs(dir.hashCode)}")
@@ -6371,17 +6372,19 @@ object Curation {
     val dirT = s"${wh.getAbsolutePath}/g/docs"
     val E = graft.operators.Export
     val v0 = E.latestSnapshotVersion(dirT)
-    // NON-EQUALITY correlation stays refused with a rewrite hint, no
-    // commit (equality-correlated EXISTS decorrelates - q_sql_delete_exists)
+    // CORRELATED SCALAR subqueries in assignments stay refused with a
+    // rewrite hint, no commit (predicate correlation — IN/EXISTS, any
+    // shape — executes since r17: q_sql_delete_in_corr)
     val refused =
       try {
-        s.sql("DELETE FROM glsq.g.docs t WHERE EXISTS " +
-          "(SELECT 1 FROM q_sq_bad b WHERE b.doc_id > t.doc_id + 400000)")
+        s.sql("UPDATE glsq.g.docs t SET n_chars = " +
+          "(SELECT max(b.doc_id) FROM q_sq_bad b " +
+          "WHERE b.doc_id = t.doc_id)")
         false
       } catch { case _: Throwable => true }
     require(refused && E.latestSnapshotVersion(dirT) == v0,
-      "non-equality-correlated DML subqueries must refuse without " +
-        "committing")
+      "correlated scalar-subquery DML assignments must refuse " +
+        "without committing")
     s.sql("DELETE FROM glsq.g.docs WHERE doc_id IN " +
       "(SELECT doc_id FROM q_sq_bad)")
     s.sql("UPDATE glsq.g.docs SET n_chars = n_chars + " +
@@ -7540,7 +7543,17 @@ object Curation {
       filesPre > 1,
       s"OPTIMIZE must compact $filesPre files into 1 and return the " +
         "committed (version, n_files) row")
-    val vr = s.sql(s"VACUUM glopt.g.docs RETAIN 0 HOURS").collect().head
+    // RETAIN below the in-flight-commit floor refuses by default
+    // (advisor r17) — pinned here, then explicitly overridden (this
+    // gate's table provably has no concurrent writer)
+    val refused = scala.util.Try(
+      s.sql(s"VACUUM glopt.g.docs RETAIN 0 HOURS").collect())
+    require(refused.isFailure,
+      "VACUUM RETAIN 0 HOURS must refuse without the explicit override")
+    s.conf.set("spark.graft.vacuum.retentionCheck", "false")
+    val vr =
+      try s.sql(s"VACUUM glopt.g.docs RETAIN 0 HOURS").collect().head
+      finally s.conf.unset("spark.graft.vacuum.retentionCheck")
     require(vr.getLong(0) >= vPre.toLong &&
       E.snapshotVersions(dirT) == Seq(r.getLong(0).toInt),
       "VACUUM RETAIN 0 HOURS must drop every pre-compaction version")
@@ -7719,4 +7732,178 @@ object Curation {
       |WHERE NOT EXISTS (SELECT 1 FROM quar q
       |  WHERE q.doc_id = d.doc_id AND q.flag)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** CORRELATED `IN` / `NOT IN` and RANGE-correlated `EXISTS` in lake
+    * DML (r17, judge item #2) — the shapes
+    * [[graft.plans.RewriteGraftLakeDml]] used to refuse: the rewrite
+    * rebinds each OuterReference to `__graft_outer__.<col>` and the
+    * deferred thunk's re-analysis against the aliased fresh-head scan
+    * recovers the correlation, so semantics are Spark's own correlated
+    * planning (null-aware anti join for the NOT IN leg). The NULL keys
+    * (every 7th k, every 6th quarantine value) make the 3-valued-logic
+    * surface real on all three statements; DuckDB replays the same
+    * correlated predicates natively. */
+  def q_sql_delete_in_corr(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlic_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glic",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glic.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glic.g")
+    s.sql("DROP TABLE IF EXISTS glic.g.docs")
+    s.sql("CREATE TABLE glic.g.docs (doc_id BIGINT, lang STRING, k BIGINT)")
+    Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q_ic_src")
+    s.sql("INSERT INTO glic.g.docs SELECT doc_id, lang, " +
+      "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars % 50 END " +
+      "FROM q_ic_src")
+    s.sql("SELECT lang, CASE WHEN doc_id % 6 = 0 THEN NULL " +
+      "ELSE n_chars % 50 END AS bad FROM q_ic_src WHERE doc_id % 4 = 0")
+      .createOrReplaceTempView("q_ic_quar")
+    // correlated IN: the per-language quarantine membership
+    s.sql("DELETE FROM glic.g.docs t WHERE k IN " +
+      "(SELECT q.bad FROM q_ic_quar q WHERE q.lang = t.lang)")
+    // correlated NOT IN under a conjunction (null-aware anti join)
+    s.sql("DELETE FROM glic.g.docs t WHERE doc_id % 3 = 0 AND k NOT IN " +
+      "(SELECT q.bad FROM q_ic_quar q " +
+      "WHERE q.lang = t.lang AND q.bad IS NOT NULL)")
+    // RANGE-correlated EXISTS: non-equality correlation riding the
+    // equality (the temporal-quarantine shape)
+    s.sql("DELETE FROM glic.g.docs t WHERE EXISTS " +
+      "(SELECT 1 FROM q_ic_quar q WHERE q.lang = t.lang " +
+      "AND q.bad > t.k + 30)")
+    s.sql("SELECT doc_id, lang, k FROM glic.g.docs ORDER BY doc_id")
+  }
+
+  val q_sql_delete_in_corr_sql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars % 50 END AS k
+      |  FROM documents),
+      |quar AS (
+      |  SELECT lang, CASE WHEN doc_id % 6 = 0 THEN NULL
+      |    ELSE n_chars % 50 END AS bad
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |d1 AS (SELECT * FROM t0 t WHERE NOT coalesce(
+      |  t.k IN (SELECT q.bad FROM quar q WHERE q.lang = t.lang), false)),
+      |d2 AS (SELECT * FROM d1 t WHERE NOT coalesce(
+      |  t.doc_id % 3 = 0 AND t.k NOT IN (SELECT q.bad FROM quar q
+      |    WHERE q.lang = t.lang AND q.bad IS NOT NULL), false)),
+      |d3 AS (SELECT * FROM d2 t WHERE NOT coalesce(
+      |  EXISTS (SELECT 1 FROM quar q WHERE q.lang = t.lang
+      |    AND q.bad > t.k + 30), false))
+      |SELECT doc_id, lang, k FROM d3 ORDER BY doc_id""".stripMargin
+
+  /** `RESTORE t TO VERSION AS OF v` — the rollback statement face
+    * (r17, judge item #5): one manifest commit re-pointing the head at
+    * the target version's exact files, zero data movement. In-gate
+    * pins: the restore COMMITS a new version (history is append-only —
+    * a rollback never erases the mistake, exactly Delta's RESTORE),
+    * the restored file set is identical to the target's, and a
+    * TIMESTAMP AS OF read of the pre-restore instant still sees the
+    * deleted state (time travel is unaffected). DuckDB replays the
+    * settled content. */
+  def q_sql_restore(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlrs_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glrs",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glrs.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glrs.g")
+    s.sql("DROP TABLE IF EXISTS glrs.g.docs")
+    s.sql("CREATE TABLE glrs.g.docs (doc_id BIGINT, n_chars BIGINT)")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_rs_src")
+    s.sql("INSERT INTO glrs.g.docs SELECT doc_id, n_chars FROM q_rs_src")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val vGood = E.latestSnapshotVersion(dirT)
+    val goodFiles = E.snapshotFiles(dirT, vGood).toSet
+    // the mistake: a destructive delete the restore must undo
+    s.sql("DELETE FROM glrs.g.docs WHERE doc_id % 2 = 0")
+    val vBad = E.latestSnapshotVersion(dirT)
+    require(vBad > vGood, "the mistake must have committed")
+    val r = s.sql(s"RESTORE glrs.g.docs TO VERSION AS OF $vGood")
+      .collect().head
+    val vRestored = r.getLong(0).toInt
+    require(vRestored > vBad &&
+      vRestored == E.latestSnapshotVersion(dirT),
+      "RESTORE must COMMIT a new head version, never rewind history")
+    require(E.snapshotFiles(dirT, vRestored).toSet == goodFiles,
+      "the restored version must reference the target's exact files")
+    // history intact: the mistake is still time-travel-readable
+    val badCount = E.readSnapshot(s, dirT, vBad).count()
+    val goodCount = E.readSnapshot(s, dirT, vRestored).count()
+    require(badCount < goodCount,
+      "the pre-restore (deleted) state must stay readable AS OF")
+    s.sql("SELECT count(*) AS n_docs, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM glrs.g.docs")
+  }
+
+  val q_sql_restore_sql: String =
+    """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents""".stripMargin
+
+  /** `VACUUM t RETAIN n HOURS DRY RUN` — the retention pre-flight
+    * (r17, judge item #5): reports exactly what a real run would
+    * reclaim while touching NOTHING. In-gate pins: after the dry run
+    * every version and file is still present; the real (override'd)
+    * run then drops exactly the dry run's reported version count and
+    * deletes exactly its reported file count — reclaimable ==
+    * later-reclaimed, the invariant that makes the report
+    * trustworthy. DuckDB replays the surviving head's content. */
+  def q_sql_vacuum_dry(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlvd_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.glvd",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glvd.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glvd.g")
+    s.sql("DROP TABLE IF EXISTS glvd.g.docs")
+    s.sql("CREATE TABLE glvd.g.docs (doc_id BIGINT, n_chars BIGINT)")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_vd_src")
+    (0 until 3).foreach(i => s.sql("INSERT INTO glvd.g.docs " +
+      s"SELECT doc_id, n_chars FROM q_vd_src WHERE doc_id % 3 = $i"))
+    s.sql("OPTIMIZE glvd.g.docs").collect()
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    val versionsBefore = E.snapshotVersions(dirT)
+    val headFiles = E.snapshotFiles(dirT,
+      E.latestSnapshotVersion(dirT)).toSet
+    val dr = s.sql("VACUUM glvd.g.docs RETAIN 0 HOURS DRY RUN")
+      .collect().head
+    require(dr.getLong(0) > 0 && dr.getLong(1) > 0,
+      "the dry run must report droppable versions and reclaimable files")
+    require(E.snapshotVersions(dirT) == versionsBefore,
+      "DRY RUN must not drop versions")
+    require(E.snapshotFiles(dirT,
+        E.latestSnapshotVersion(dirT)).toSet == headFiles,
+      "DRY RUN must not touch data files")
+    // reclaimable == later-reclaimed: the real run (explicitly
+    // override'd below the retention floor; no writer is live here)
+    // reclaims exactly what the report promised
+    s.conf.set("spark.graft.vacuum.retentionCheck", "false")
+    val vr =
+      try s.sql("VACUUM glvd.g.docs RETAIN 0 HOURS").collect().head
+      finally s.conf.unset("spark.graft.vacuum.retentionCheck")
+    require(vr.getLong(0) == dr.getLong(0) &&
+      vr.getLong(1) == dr.getLong(1),
+      s"the real run must reclaim exactly the dry run's report: " +
+        s"dry (${dr.getLong(0)}, ${dr.getLong(1)}), " +
+        s"real (${vr.getLong(0)}, ${vr.getLong(1)})")
+    s.sql("SELECT count(*) AS n_docs, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM glvd.g.docs")
+  }
+
+  val q_sql_vacuum_dry_sql: String =
+    """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents""".stripMargin
 }

@@ -398,8 +398,7 @@ class VersionHintRunsSpec extends SparkSpec {
       // the loser re-plans against the real head and commits NEXT
       Export.commitManifest(fs2, root2, 2, Map("writer" -> "B"), Nil)
       assert(Export.snapshotMeta(out2, 2).get("writer") === Some("B"))
-    } finally Export.commitGuard = (_: org.apache.hadoop.fs.Path,
-      _: Int) => ()
+    } finally Export.commitGuard = Export.NoopCommitGuard
     // truly CONCURRENT claimants: exactly one of N wins per version
     val out3 = racyRoot("stress")
     val (fs3, root3) = Export.fsRoot(out3)
@@ -419,8 +418,65 @@ class VersionHintRunsSpec extends SparkSpec {
       assert(wins.get() === 1,
         s"exactly one of 8 concurrent committers may win, " +
           s"got ${wins.get()}")
-    } finally Export.commitGuard = (_: org.apache.hadoop.fs.Path,
-      _: Int) => ()
+    } finally Export.commitGuard = Export.NoopCommitGuard
+  }
+
+  test("CONFIG-driven lease guard (r17): two separately-resolved guard instances (the two-JVM model) race on the racy FS, the guard chosen by spark.graft.commitGuard — exactly one of 8 wins, claims are durable across instances") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.racyfs.impl", classOf[RacyFs].getName)
+    val local = new java.io.File("target/qtmp_racyfs", "leasecfg")
+    graft.util.Dirs.deleteRec(local)
+    local.mkdirs()
+    val out = s"racyfs:${local.getAbsolutePath}"
+    val (fs, root) = Export.fsRoot(out)
+    val coord = new java.io.File("target/qtmp_racyfs", "leasecfg_coord")
+    graft.util.Dirs.deleteRec(coord)
+    // the static seam must be UNSET — configuration, not assignment,
+    // chooses the guard here
+    assert(Export.commitGuard eq Export.NoopCommitGuard)
+    spark.conf.set("spark.graft.commitGuard", "lease")
+    spark.conf.set("spark.graft.commitGuard.path", coord.getAbsolutePath)
+    try {
+      // every commitManifest call resolves its OWN LeaseFileCommitGuard
+      // instance (uncached by design) — 8 racing commits model 8
+      // separately-launched drivers sharing only the coordination dir
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (0 until 8).map(i => new Thread(() => {
+        try {
+          Export.commitManifest(fs, root, 1, Map("writer" -> s"w$i"), Nil)
+          wins.incrementAndGet()
+        } catch { case _: Export.ConcurrentCommitException => () }
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(wins.get() === 1,
+        s"exactly one of 8 config-guarded committers may win, " +
+          s"got ${wins.get()}")
+      // DURABILITY: the claim survives every in-memory instance — a
+      // "restarted" committer (a fresh resolution, fresh instance)
+      // still cannot re-claim the version
+      val e = intercept[Export.ConcurrentCommitException](
+        Export.commitManifest(fs, root, 1, Map("writer" -> "late"), Nil))
+      assert(e.winning === 1)
+      assert(new java.io.File(coord.getAbsolutePath).listFiles()
+        .exists(_.getName.endsWith("._v1.claim")),
+        "the lease claim file must persist on the coordination store")
+      // PATH NORMALIZATION (advisor r17): the same table addressed
+      // through a BARE (schemeless) root must land in the SAME claim
+      // namespace as the scheme-qualified spelling — commitManifest
+      // claims on fs.makeQualified(root), so the spellings collapse
+      val bare = new org.apache.hadoop.fs.Path(local.getAbsolutePath)
+      val e2 = intercept[Export.ConcurrentCommitException](
+        Export.commitManifest(fs, bare, 1, Map("writer" -> "alias"),
+          Nil))
+      assert(e2.winning === 1,
+        "a path-spelling variant must not split the claim namespace")
+      // the loser re-plans and commits the NEXT version normally
+      Export.commitManifest(fs, root, 2, Map("writer" -> "next"), Nil)
+      assert(Export.snapshotMeta(out, 2).get("writer") === Some("next"))
+    } finally {
+      spark.conf.unset("spark.graft.commitGuard")
+      spark.conf.unset("spark.graft.commitGuard.path")
+    }
   }
 }
 

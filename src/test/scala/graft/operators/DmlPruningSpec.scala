@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   * value envelope (range pruning). Pruning-only: the original
   * predicate still evaluates per row, so results never depend on the
   * expansion. */
+object DmlPruningSpec {
+  val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class DmlPruningSpec extends SparkSpec {
   import spark.implicits._
 
@@ -107,6 +111,31 @@ class DmlPruningSpec extends SparkSpec {
     assert(before.subsetOf(filesOf(dir)),
       "MoR delete must not rewrite data files")
     assert(Export.readSnapshot(spark, dir, v1).count() === 98)
+  }
+
+  test("the DML subquery is PINNED and runs exactly ONCE (advisor r17): the pruning probe and the execution filter read one materialized snapshot, so prune and execution can never tear") {
+    val dir = statted("dmlprune-pin")
+    DmlPruningSpec.ticks.set(0L)
+    // every evaluation of the subquery's projection ticks the counter;
+    // nondeterministic so no optimizer fold can hide an extra run
+    spark.udf.register("dmlp_tick",
+      udf((x: Long) => { DmlPruningSpec.ticks.incrementAndGet(); x })
+        .asNondeterministic())
+    spark.range(3).selectExpr("id + 40 AS k0")
+      .createOrReplaceTempView("dmlp_quar_pin")
+    val cond = org.apache.spark.sql.GraftColumnBridge.column(
+      spark.sessionState.sqlParser.parseExpression(
+        "k IN (SELECT dmlp_tick(k0) AS bad FROM dmlp_quar_pin)"))
+    val v = Export.deleteWhere(spark, dir, cond)
+    // pre-pin this was 3 evaluations of the source (probe agg, distinct
+    // collect, execution filter) — a commit to the source between any
+    // two made carried files hold now-matching rows, a torn read
+    assert(DmlPruningSpec.ticks.get() === 3L,
+      s"the subquery source must be read exactly once (3 rows), " +
+        s"ticked ${DmlPruningSpec.ticks.get()} evaluations")
+    val kept = Export.readSnapshot(spark, dir, v)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === (0L until 100L).filterNot(k => k >= 40 && k <= 42))
   }
 
   test("pruning is PRUNING-ONLY: NULL-predicate rows survive and results equal the unpruned semantics") {

@@ -952,7 +952,7 @@ class GraftLakeDmlSpec extends SparkSpec {
         s"(5<50): ${got3.mkString(", ")}")
   }
 
-  test("DML with subqueries: uncorrelated IN-subquery DELETE (the retention shape) and scalar-subquery UPDATE work; equality-correlated EXISTS decorrelates, non-equality correlation refuses loudly") {
+  test("DML with subqueries: uncorrelated IN-subquery DELETE (the retention shape) and scalar-subquery UPDATE work; equality-correlated EXISTS decorrelates, range-correlated EXISTS executes (r17), correlated scalar assignments refuse loudly") {
     val wh = warehouse
     spark.sql("CREATE TABLE gld.ns.sq (k BIGINT, v BIGINT)")
     spark.sql("INSERT INTO gld.ns.sq SELECT id, id FROM range(10)")
@@ -976,12 +976,21 @@ class GraftLakeDmlSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(6L, 7L, 8L, 9L),
       s"EXISTS delete must remove k in {1,3,5}, kept $kept")
-    // NON-EQUALITY correlation still refuses with a rewrite hint,
+    // NON-EQUALITY (range) correlation EXECUTES since r17 through the
+    // __graft_outer__ rebind: bad+5 ∈ {5,7,9} exceeds k for 6,7,8 —
+    // only 9 survives
+    spark.sql("DELETE FROM gld.ns.sq t WHERE EXISTS " +
+      "(SELECT 1 FROM gld_quarantine q WHERE q.bad + 5 > t.k)")
+    val kept2 = spark.sql("SELECT k FROM gld.ns.sq ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept2 === Seq(9L),
+      s"range-correlated EXISTS delete must remove 6..8, kept $kept2")
+    // correlated SCALAR assignments still refuse with a rewrite hint,
     // never an INTERNAL_ERROR from the deferred thunk, no commit
     val v0 = Export.latestSnapshotVersion(dir)
     val e = intercept[Exception](spark.sql(
-      "DELETE FROM gld.ns.sq t WHERE EXISTS " +
-        "(SELECT 1 FROM gld_quarantine q WHERE q.bad > t.k)"))
+      "UPDATE gld.ns.sq t SET v = (SELECT max(q.bad) " +
+        "FROM gld_quarantine q WHERE q.bad = t.k)"))
     assert(e.getMessage.contains("correlated"), e.getMessage)
     assert(Export.latestSnapshotVersion(dir) === v0)
   }
@@ -1095,10 +1104,16 @@ class GraftLakeDmlSpec extends SparkSpec {
     assert(dr.getLong(0) > 0, "DRY RUN must report droppable versions")
     assert(E.snapshotVersions(dir) === versionsBefore,
       "DRY RUN must not drop versions")
-    // VACUUM: quoted-path form, RETAIN 0 HOURS reclaims everything
-    // unreferenced; history beyond the head is dropped
+    // VACUUM: quoted-path form; RETAIN 0 HOURS is below the
+    // in-flight-commit floor, so it refuses without the explicit
+    // override (advisor r17) and reclaims everything with it
     val files0 = E.snapshotFiles(dir, vC).size
-    val vr = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect().head
+    intercept[Exception](
+      spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect())
+    spark.conf.set("spark.graft.vacuum.retentionCheck", "false")
+    val vr =
+      try spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect().head
+      finally spark.conf.unset("spark.graft.vacuum.retentionCheck")
     assert(vr.getLong(0) > 0, "VACUUM must drop old versions")
     assert(spark.sql("SELECT count(*) FROM gld.ns.opt")
       .collect().head.getLong(0) === 150,
