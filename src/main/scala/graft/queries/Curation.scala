@@ -7585,15 +7585,21 @@ object Curation {
     s.conf.set("spark.sql.catalog.glanl.warehouse", wh.getAbsolutePath)
     s.sql("CREATE NAMESPACE IF NOT EXISTS glanl.g")
     s.sql("DROP TABLE IF EXISTS glanl.g.docs")
-    s.sql("CREATE TABLE glanl.g.docs (doc_id BIGINT, n_chars BIGINT)")
+    s.sql("CREATE TABLE glanl.g.docs " +
+      "(doc_id BIGINT, n_chars BIGINT, dt DATE)")
     Tables.load(s, dir, "documents").select("doc_id", "n_chars")
       .createOrReplaceTempView("q_anl_src")
-    // three range-disjoint bulk loads (doc_id is 0..N-1 at every sf)
-    s.sql("INSERT INTO glanl.g.docs SELECT doc_id, n_chars " +
+    // three range-disjoint bulk loads (doc_id is 0..N-1 at every sf);
+    // dt rides doc_id so the date ranges are disjoint too (r17: DATE
+    // columns are s=-statable as epoch days)
+    s.sql("INSERT INTO glanl.g.docs SELECT doc_id, n_chars, " +
+      "date_add(DATE'2024-01-01', CAST(doc_id % 300 AS INT)) " +
       "FROM q_anl_src WHERE doc_id < 100")
-    s.sql("INSERT INTO glanl.g.docs SELECT doc_id, n_chars " +
+    s.sql("INSERT INTO glanl.g.docs SELECT doc_id, n_chars, " +
+      "date_add(DATE'2024-01-01', CAST(doc_id % 300 AS INT)) " +
       "FROM q_anl_src WHERE doc_id >= 100 AND doc_id < 200")
-    s.sql("INSERT INTO glanl.g.docs SELECT doc_id, n_chars " +
+    s.sql("INSERT INTO glanl.g.docs SELECT doc_id, n_chars, " +
+      "date_add(DATE'2024-01-01', CAST(doc_id % 300 AS INT)) " +
       "FROM q_anl_src WHERE doc_id >= 200")
     val dirT = s"${wh.getAbsolutePath}/g/docs"
     val E = graft.operators.Export
@@ -7616,15 +7622,33 @@ object Curation {
     require(carried.nonEmpty && carried.size < before.size,
       s"the post-ANALYZE range DELETE must carry disjoint files " +
         s"verbatim (carried ${carried.size} of ${before.size})")
+    // DATE-typed s= stats (r17): the day-100..199 load is provably
+    // disjoint from dt >= 2024-08-01 (day 213) and must carry verbatim
+    val beforeD = E.snapshotFiles(dirT,
+      E.latestSnapshotVersion(dirT)).toSet
+    s.sql("DELETE FROM glanl.g.docs WHERE dt >= DATE'2024-08-01'")
+    val carriedD = beforeD intersect
+      E.snapshotFiles(dirT, E.latestSnapshotVersion(dirT)).toSet
+    require(carriedD.nonEmpty,
+      "a date-range DELETE must carry date-disjoint files verbatim " +
+        "(DATE s= stats prune as epoch days)")
     s.sql("SELECT count(*) AS n_docs, " +
       "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
-      "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM glanl.g.docs")
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "CAST(min(dt) AS STRING) AS min_dt, " +
+      "CAST(max(dt) AS STRING) AS max_dt FROM glanl.g.docs")
   }
 
   val q_sql_analyze_sql: String =
-    """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
-      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-      |FROM documents WHERE doc_id >= 100""".stripMargin
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    DATE '2024-01-01' + CAST(doc_id % 300 AS INT) AS dt
+      |  FROM documents WHERE doc_id >= 100)
+      |SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(min(dt) AS VARCHAR) AS min_dt,
+      |  CAST(max(dt) AS VARCHAR) AS max_dt
+      |FROM t WHERE dt < DATE '2024-08-01'""".stripMargin
 
   /** CORRELATED `[NOT] EXISTS` in lake DML (r16, judge item #4) — THE
     * quarantine-join shape: `DELETE FROM t WHERE EXISTS (SELECT 1 FROM

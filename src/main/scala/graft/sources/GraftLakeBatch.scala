@@ -157,6 +157,11 @@ object GraftLakeBatch {
   private def longOf(l: Literal): Option[Long] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType =>
       Option(l.value).map(v => v.toString.toLong)
+    // DATE's internal value IS its ordered epoch-day integer — the
+    // exact encoding the `s=` writers record (unix_date), so a date
+    // range predicate compares days-to-days (r17)
+    case org.apache.spark.sql.types.DateType =>
+      Option(l.value).map(v => v.toString.toLong)
     case _ => None
   }
 

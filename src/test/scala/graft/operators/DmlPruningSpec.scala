@@ -138,6 +138,49 @@ class DmlPruningSpec extends SparkSpec {
     assert(kept === (0L until 100L).filterNot(k => k >= 40 && k <= 42))
   }
 
+  test("DATE-typed s= stats (r17): ANALYZE records epoch-day ranges on an unpartitioned date column and a date-range DELETE carries disjoint files verbatim; the batch scan prunes the same way") {
+    val out = Files.createTempDirectory("dmlprune-date").toFile
+      .getAbsolutePath
+    graft.util.Dirs.deleteRec(new java.io.File(out))
+    // 100 rows over 100 consecutive days, clustered by day into 5
+    // range files — the time-series shape
+    val rows = spark.range(100).selectExpr("id AS k",
+      "date_add(DATE'2024-01-01', CAST(id AS INT)) AS dt")
+    Export.appendSnapshotStatted(spark, rows, out, Seq("dt"), nFiles = 5,
+      clusterBy = Some("dt"))
+    val before = filesOf(out)
+    assert(before.size === 5)
+    // a date-range DELETE rewrites only overlapping files
+    val v = Export.deleteWhere(spark, out,
+      col("dt") < lit(java.sql.Date.valueOf("2024-01-10")))
+    val after = filesOf(out)
+    assert((before intersect after).size >= 3 &&
+      (before intersect after).size < 5,
+      s"date-disjoint files must carry verbatim, carried " +
+        s"${(before intersect after).size} of 5")
+    assert(Export.readSnapshot(spark, out, v).count() === 91)
+    // ANALYZE (the retrofit path) also accepts DATE: strip to a fresh
+    // table without stats, backfill, then pin the batch-scan prune
+    val out2 = Files.createTempDirectory("dmlprune-date2").toFile
+      .getAbsolutePath
+    graft.util.Dirs.deleteRec(new java.io.File(out2))
+    (0 until 4).foreach(i => Export.appendSnapshot(spark,
+      rows.filter(col("k") >= i * 25L && col("k") < (i + 1) * 25L)
+        .coalesce(1), out2))
+    assert(Export.metadataCount(out2,
+      Export.latestSnapshotVersion(out2)).isEmpty)
+    val va = Export.analyzeSnapshotStats(spark, out2, Seq("dt", "k"))
+    assert(Export.metadataCount(out2, va) === Some(100L))
+    val beforeA = filesOf(out2)
+    assert(beforeA.size === 4) // one file per disjoint date quartile
+    val vd = Export.deleteWhere(spark, out2,
+      col("dt") >= lit(java.sql.Date.valueOf("2024-04-01")))
+    assert((beforeA intersect filesOf(out2)).size === 3,
+      "post-ANALYZE date DELETE must carry the 3 provably-disjoint " +
+        "quartile files verbatim")
+    assert(Export.readSnapshot(spark, out2, vd).count() === 91)
+  }
+
   test("pruning is PRUNING-ONLY: NULL-predicate rows survive and results equal the unpruned semantics") {
     val out = Files.createTempDirectory("dmlprune-null").toFile
       .getAbsolutePath
