@@ -38,6 +38,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS""" +
       """(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$""").r
   private val ZTail = """(?is)^(.*?)\s+ZORDER\s+BY\s+(.+)$""".r
+  private val GTail =
+    """(?is)^(.*?)\s+RETAG(?:\s+BY\s+\((.+?)\))?\s*$""".r
   private val WTail = """(?is)^(.*?)\s+WHERE\s+(.+)$""".r
   private val RTail =
     """(?is)^(.*?)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*$""".r
@@ -58,6 +60,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // operator actually types (the graft_optimize procedure's
     // statement face). Spark's grammar has no OPTIMIZE rule, so the
     // probe can never shadow a legal statement.
+    case Opt(rest0) if GTail.unapplySeq(rest0).isDefined =>
+      // `OPTIMIZE t RETAG [BY (a[, b])]` — partition-tag backfill:
+      // re-stamp `p=` specs on untagged epochs (metadata-only for
+      // single-tuple files, a scoped rewrite for spanning ones) so a
+      // legacy epoch stops disabling DPP surfacing
+      val GTail(tTxt, colsTxt) = rest0: @unchecked
+      val (parts, path) = target(tTxt)
+      GraftMaintenanceStatement("RETAG", parts, path, None,
+        Option(colsTxt).map(_.split(',')
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty[String]),
+        None, sqlText)
     case Opt(rest0) =>
       val (rest1, zcols) = rest0 match {
         case ZTail(head, cols) => (head,

@@ -256,15 +256,18 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
           val E = Export
           val v = (whereSql, z) match {
             case (Some(w), _) =>
-              val filters = partitionEqualities(s, w)
+              val (filters, ranges) = partitionPredicates(s, w)
               val head = E.latestSnapshotVersion(dir)
               val partCols = E.snapshotPartitionColumns(dir, head)
+              val named = filters.keySet ++ ranges.map(_._1)
               require(partCols.nonEmpty &&
-                filters.keySet.subsetOf(partCols.toSet),
+                named.subsetOf(partCols.toSet),
                 s"OPTIMIZE ... WHERE must name partition-column " +
-                  s"equalities (layout: ${partCols.mkString(", ")}; " +
-                  s"got: ${filters.keys.mkString(", ")})")
-              E.compactSnapshotPartition(s, dir, partCols, filters, 1)
+                  s"equality/range conjuncts (layout: " +
+                  s"${partCols.mkString(", ")}; " +
+                  s"got: ${named.mkString(", ")})")
+              E.compactSnapshotPartition(s, dir, partCols, filters, 1,
+                None, ranges)
             case (None, Seq(k)) =>
               E.compactSnapshotClustered(s, dir, k, 1)
             case (None, Seq(a, b)) =>
@@ -289,6 +292,18 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
         Seq(la("version"), la("analyzed_files")), () => {
           val s = SparkSession.active
           val v = Export.analyzeSnapshotStats(s, dir, cols)
+          Seq(Seq(v.toLong, Export.snapshotFiles(dir, v).size.toLong))
+        })
+    } else if (ms.kind == "RETAG") {
+      // partition-tag backfill: stamp `p=` specs on untagged epochs
+      // (metadata-only when files are single-tuple; a rewrite scoped
+      // to just the spanning files otherwise) — the light maintenance
+      // that restores DPP surfacing after a legacy/pre-layout commit
+      val cols = ms.zorderCols
+      GraftMaintenanceResult(s"RETAG $dir",
+        Seq(la("version"), la("n_files")), () => {
+          val s = SparkSession.active
+          val v = Export.retagSnapshotPartitions(s, dir, cols)
           Seq(Seq(v.toLong, Export.snapshotFiles(dir, v).size.toLong))
         })
     } else if (ms.kind == "RESTORE") {
@@ -349,10 +364,11 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
     * `col = literal` equalities over partition columns — anything else
     * refuses loudly (a row-level OPTIMIZE filter has no meaning; the
     * statement scopes PARTITIONS). */
-  private def partitionEqualities(s: SparkSession,
-      w: String): Map[String, String] = {
+  private def partitionPredicates(s: SparkSession, w: String)
+      : (Map[String, String], Seq[(String, String, Literal)]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo,
+      GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
     // stringify through CAST-to-string — the exact form the p= spec
     // writer used — so typed literals match (`WHERE dt =
     // DATE'2024-01-01'` must compare as "2024-01-01", never the
@@ -364,16 +380,46 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       .map(_.toString)
       .getOrElse(throw new IllegalArgumentException(
         "OPTIMIZE ... WHERE: NULL is not a partition value"))
+    // range conjuncts compare TYPED (integrals/DATE as longs — the
+    // prune kernel's shapes); anything else refuses rather than
+    // silently scoping the whole table
+    def rng(a: UnresolvedAttribute, op: String, l: Literal)
+        : (String, String, Literal) = {
+      require(graft.sources.GraftLakeBatch.longOf(l).isDefined,
+        s"OPTIMIZE ... WHERE range conjuncts support integral and " +
+          s"DATE partition-column literals only, got: ${l.dataType.sql}")
+      (a.name, op, l)
+    }
+    val eqs = Seq.newBuilder[(String, String)]
+    val ranges = Seq.newBuilder[(String, String, Literal)]
     graft.sources.GraftLakeBatch.splitConjuncts(
-        s.sessionState.sqlParser.parseExpression(w)).map {
+        s.sessionState.sqlParser.parseExpression(w)).foreach {
       case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-        a.name -> lit(l)
+        eqs += a.name -> lit(l)
       case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-        a.name -> lit(l)
+        eqs += a.name -> lit(l)
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
+        ranges += rng(a, ">", l)
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        ranges += rng(a, ">=", l)
+      case LessThan(a: UnresolvedAttribute, l: Literal) =>
+        ranges += rng(a, "<", l)
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        ranges += rng(a, "<=", l)
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
+        ranges += rng(a, "<", l) // v > col ≡ col < v
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        ranges += rng(a, "<=", l)
+      case LessThan(l: Literal, a: UnresolvedAttribute) =>
+        ranges += rng(a, ">", l)
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        ranges += rng(a, ">=", l)
       case other => throw new IllegalArgumentException(
         "OPTIMIZE ... WHERE supports partition-column equality " +
-          s"conjuncts only (col = literal), got: $other")
-    }.toMap
+          "and range conjuncts only (col = literal, col </<=/>/>= " +
+          s"literal), got: $other")
+    }
+    (eqs.result().toMap, ranges.result())
   }
 
   /** True when a table, temp view, or lake table named `history` /

@@ -154,7 +154,7 @@ object GraftLakeBatch {
         }
     }
 
-  private def longOf(l: Literal): Option[Long] = l.dataType match {
+  private[graft] def longOf(l: Literal): Option[Long] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType =>
       Option(l.value).map(v => v.toString.toLong)
     // DATE's internal value IS its ordered epoch-day integer — the

@@ -142,6 +142,108 @@ class GraftLakeDppSpec extends SparkSpec {
       "DPP must prune a BIGINT-partitioned fact")
   }
 
+  test("OPTIMIZE ... RETAG restores DPP surfacing after an untagged epoch: single-tuple files re-stamp metadata-only, spanning files rewrite scoped, results identical") {
+    val dir = setupFact()
+    val expect = spark.sql("SELECT lang, count(*) AS n, sum(v) AS sv " +
+        "FROM dpp.g.fact GROUP BY lang ORDER BY lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // legacy epoch 1: one en-only file (single-tuple -> metadata-only)
+    Export.appendSnapshot(spark, spark.range(200, 240).selectExpr(
+      "id AS k", "'en' AS lang", "id AS v").coalesce(1), dir)
+    // legacy epoch 2: one file SPANNING de+fr (-> scoped rewrite)
+    Export.appendSnapshot(spark, spark.range(240, 260).selectExpr(
+      "id AS k", "CASE WHEN id % 2 = 0 THEN 'de' ELSE 'fr' END AS lang",
+      "id AS v").coalesce(1), dir)
+    val vLegacy = Export.latestSnapshotVersion(dir)
+    val untaggedFiles = Export.snapshotFiles(dir, vLegacy).toSet --
+      Export.snapshotFiles(dir, vLegacy - 2).toSet
+    assert(untaggedFiles.size === 2)
+    val expect2 = expect.map {
+      case ("en", n, sv) => ("en", n + 40, sv + (200L until 240L).sum)
+      case ("de", n, sv) => ("de", n + 10,
+        sv + (240L until 260L).filter(_ % 2 == 0).sum)
+      case ("fr", n, sv) => ("fr", n + 10,
+        sv + (240L until 260L).filter(_ % 2 == 1).sum)
+      case other => other
+    }
+    // ONE untagged epoch disables surfacing for the whole head
+    val q0 = spark.sql("SELECT k, v FROM dpp.g.fact WHERE lang = 'de'")
+    q0.collect()
+    assert(lakeScans(q0).head.relation.partitionSchema.isEmpty,
+      "an untagged epoch must disable surfacing (sound fallback)")
+    val r = spark.sql("OPTIMIZE dpp.g.fact RETAG").collect().head
+    assert(r.getLong(0) === (vLegacy + 1).toLong)
+    val after = Export.snapshotFiles(dir, vLegacy + 1).toSet
+    val (enFile, spanFile) = {
+      val Seq(a, b) = untaggedFiles.toSeq
+      if (after.contains(a)) (a, b) else (b, a)
+    }
+    assert(after.contains(enFile) && !after.contains(spanFile),
+      "the single-tuple file must carry (metadata-only re-stamp); " +
+        "only the spanning file rewrites")
+    // surfacing is back on and DPP fires on the selective dim join
+    val q = "SELECT f.lang, count(*) AS n, sum(f.v) AS sv " +
+      "FROM dpp.g.fact f JOIN dpp_dim m ON f.lang = m.lang " +
+      "WHERE m.w < 2 GROUP BY f.lang ORDER BY f.lang"
+    val dimDir = Files.createTempDirectory("dpp-dim-rt").toFile
+    spark.range(5).selectExpr(
+        "CASE WHEN id = 0 THEN 'en' WHEN id = 1 THEN 'de' " +
+          "WHEN id = 2 THEN 'fr' WHEN id = 3 THEN 'es' " +
+          "ELSE 'zh' END AS lang", "id AS w")
+      .write.mode("overwrite").parquet(dimDir.getAbsolutePath)
+    spark.read.parquet(dimDir.getAbsolutePath)
+      .createOrReplaceTempView("dpp_dim")
+    val withDpp = spark.sql(q)
+    val got = withDpp.collect().map(r2 =>
+      (r2.getString(0), r2.getLong(1), r2.getLong(2))).toSeq
+    assert(got === expect2.filter(t => t._1 == "en" || t._1 == "de")
+      .sortBy(_._1), "RETAG must not change results")
+    val dppScan = lakeScans(withDpp)
+      .find(_.metrics.contains("staticFilesNum"))
+    assert(dppScan.isDefined, "DPP must fire again after RETAG")
+    assert(dppScan.get.metrics("numFiles").value <
+      dppScan.get.metrics("staticFilesNum").value,
+      "the retagged head must runtime-prune to a strict subset")
+    // full-table check: every row survived the retag
+    val all = spark.sql("SELECT lang, count(*) AS n, sum(v) AS sv " +
+        "FROM dpp.g.fact GROUP BY lang ORDER BY lang").collect()
+      .map(r2 => (r2.getString(0), r2.getLong(1), r2.getLong(2))).toSeq
+    assert(all === expect2.sortBy(_._1))
+  }
+
+  test("RETAG BY (cols) retrofits surfacing onto a never-partitioned table (explicit layout, lang-pure files re-stamp in place)") {
+    val wh = warehouse
+    spark.sql("DROP TABLE IF EXISTS dpp.g.legacy")
+    spark.sql("CREATE TABLE dpp.g.legacy (k BIGINT, lang STRING, " +
+      "v BIGINT)")
+    val dir = s"$wh/g/legacy"
+    // three lang-pure single files: retag is then METADATA-ONLY
+    Seq("en", "de", "fr").zipWithIndex.foreach { case (l, i) =>
+      Export.appendSnapshot(spark, spark.range(i * 10, i * 10 + 10)
+        .selectExpr("id AS k", s"'$l' AS lang", "id AS v")
+        .coalesce(1), dir)
+    }
+    // no declared layout: bare RETAG must refuse, BY (lang) works
+    val bare = intercept[Exception](
+      spark.sql("OPTIMIZE dpp.g.legacy RETAG").collect())
+    assert(bare.getMessage.contains("no declared or tagged"))
+    val before = Export.snapshotFiles(dir,
+      Export.latestSnapshotVersion(dir)).toSet
+    spark.sql("OPTIMIZE dpp.g.legacy RETAG BY (lang)").collect()
+    val v = Export.latestSnapshotVersion(dir)
+    assert(Export.snapshotFiles(dir, v).toSet === before,
+      "lang-pure files must re-stamp in place (zero rewrites)")
+    val one = spark.sql(
+      "SELECT k FROM dpp.g.legacy WHERE lang = 'de' ORDER BY k")
+    assert(one.collect().map(_.getLong(0)).toSeq ===
+      (10L until 20L).toSeq)
+    val scan = lakeScans(one).head
+    assert(scan.relation.partitionSchema.nonEmpty,
+      "RETAG BY must surface the retrofitted layout")
+    assert(scan.metrics("numFiles").value === 1L,
+      "a partition-literal filter must plan exactly the one pure file")
+  }
+
   test("fallback: unpartitioned tables and untagged heads keep the empty partition schema (no surfacing, identical planning)") {
     val wh = warehouse
     spark.sql("DROP TABLE IF EXISTS dpp.g.plain")
