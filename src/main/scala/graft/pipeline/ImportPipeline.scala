@@ -437,9 +437,23 @@ final class ImportPipeline(spark: SparkSession, cfg: ImportConfig,
         val withId0 = withVals
           .withColumn("_row_id", col("_g_rid_base") + col("_row_idx") + 1)
         val withId = withAutoIncFill(withColumnRowIdOverride(withId0), schema)
+        // TASK COUNT = one wave of the cluster, never one-task-per-file
+        // (r17 ingest_many profile): a 64-tiny-table batch ran as 64
+        // one-file tasks in BOTH the write and the checksum job — two
+        // scheduling waves of per-task parquet-writer init for 0.9 MiB.
+        // Coalescing all the way to bytes-proportional (one task) is
+        // WORSE: the writer inits serialize (~2 s measured). The sweet
+        // spot is min(files, one wave of cores): writer inits stay
+        // parallel, scheduling stays one wave, and a full-cap batch
+        // (256 × 4 MiB) still spreads. coalesce is shuffle-free; the
+        // dynamic-partition write sorts by _gk within each task, so a
+        // task writing several tables streams per-dir writers
+        // sequentially, never an open-writer explosion.
+        val targetTasks = math.max(1, spark.sparkContext.defaultParallelism)
         val finalDf = withId.select(
           (schema.columns.map(c => col(c.name)) :+ col("_row_id") :+
             col("_gk").cast("int").as("_gk")): _*)
+          .coalesce(targetTasks)
         val batchName = f"_graft_batch_${Crc64.checksum(
           run.map(t => s"${t.db}.${t.table}").mkString("|")
             .getBytes("UTF-8"))}%016x"
