@@ -3624,16 +3624,20 @@ object Export {
     * loudly: tags computed ignoring the vectors would overstate `n=`
     * (compact first — it materializes the DVs). Returns the new
     * version (the current one when there is nothing to read). */
-  /** `s=` stats eligibility: integrals and DATE (r17, judge item #3 —
-    * a DATE is an ordered integral day count, so time-range queries
-    * over unpartitioned date columns zone-prune exactly like ids). */
+  /** `s=` stats eligibility: integrals, DATE and TIMESTAMP (r17,
+    * judge item #3 — a DATE is an ordered integral day count and an
+    * instant TIMESTAMP is an ordered micros count, so time-range
+    * queries over unpartitioned date/event-time columns zone-prune
+    * exactly like ids; NTZ stays out — it has no tz-independent
+    * long encoding the predicate literal is guaranteed to share). */
   private def statable(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.ByteType |
           org.apache.spark.sql.types.ShortType |
           org.apache.spark.sql.types.IntegerType |
           org.apache.spark.sql.types.LongType |
-          org.apache.spark.sql.types.DateType => true
+          org.apache.spark.sql.types.DateType |
+          org.apache.spark.sql.types.TimestampType => true
       case _ => false
     }
 
@@ -3643,6 +3647,7 @@ object Export {
   private def statLong(c: Column,
       dt: org.apache.spark.sql.types.DataType): Column = dt match {
     case org.apache.spark.sql.types.DateType => unix_date(c).cast("long")
+    case org.apache.spark.sql.types.TimestampType => unix_micros(c)
     case _ => c.cast("long")
   }
 
@@ -3669,7 +3674,7 @@ object Export {
               s"${st.fieldNames.mkString(", ")})"))
         require(statable(f.dataType),
           s"ANALYZE: column '$c' is ${f.dataType.sql} - the s= stats " +
-            "grammar records integral and date ranges only")
+            "grammar records integral, date and timestamp ranges only")
         f
       }
     val physCols = picked.map(physicalOf)

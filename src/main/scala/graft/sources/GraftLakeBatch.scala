@@ -157,10 +157,12 @@ object GraftLakeBatch {
   private[graft] def longOf(l: Literal): Option[Long] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType =>
       Option(l.value).map(v => v.toString.toLong)
-    // DATE's internal value IS its ordered epoch-day integer — the
-    // exact encoding the `s=` writers record (unix_date), so a date
-    // range predicate compares days-to-days (r17)
-    case org.apache.spark.sql.types.DateType =>
+    // DATE's internal value IS its ordered epoch-day integer and an
+    // instant TIMESTAMP's is its epoch-micros long — the exact
+    // encodings the `s=` writers record (unix_date / unix_micros), so
+    // date and event-time range predicates compare like-to-like (r17)
+    case org.apache.spark.sql.types.DateType |
+        org.apache.spark.sql.types.TimestampType =>
       Option(l.value).map(v => v.toString.toLong)
     case _ => None
   }

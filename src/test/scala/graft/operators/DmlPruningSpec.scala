@@ -181,6 +181,46 @@ class DmlPruningSpec extends SparkSpec {
     assert(Export.readSnapshot(spark, out2, vd).count() === 91)
   }
 
+  test("TIMESTAMP-typed s= stats (r17): event-time ranges record as epoch micros; a time-range DELETE carries disjoint files verbatim and ANALYZE backfills the same") {
+    val out = Files.createTempDirectory("dmlprune-ts").toFile
+      .getAbsolutePath
+    graft.util.Dirs.deleteRec(new java.io.File(out))
+    // 100 rows over 100 consecutive hours, clustered into 5 range files
+    val rows = spark.range(100).selectExpr("id AS k",
+      "timestamp_micros(1704067200000000 + id * 3600000000) AS ts")
+    Export.appendSnapshotStatted(spark, rows, out, Seq("ts"), nFiles = 5,
+      clusterBy = Some("ts"))
+    val before = filesOf(out)
+    assert(before.size === 5)
+    // delete everything before hour 20: only overlapping files rewrite
+    val v = Export.deleteWhere(spark, out,
+      col("ts") < lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1704067200L + 20 * 3600))))
+    val after = filesOf(out)
+    assert((before intersect after).size >= 3 &&
+      (before intersect after).size < 5,
+      s"time-disjoint files must carry verbatim, carried " +
+        s"${(before intersect after).size} of 5")
+    assert(Export.readSnapshot(spark, out, v).count() === 80)
+    // ANALYZE accepts TIMESTAMP and the SQL front door prunes too
+    val out2 = Files.createTempDirectory("dmlprune-ts2").toFile
+      .getAbsolutePath
+    graft.util.Dirs.deleteRec(new java.io.File(out2))
+    (0 until 4).foreach(i => Export.appendSnapshot(spark,
+      rows.filter(col("k") >= i * 25L && col("k") < (i + 1) * 25L)
+        .coalesce(1), out2))
+    Export.analyzeSnapshotStats(spark, out2, Seq("ts"))
+    val beforeA = filesOf(out2)
+    assert(beforeA.size === 4)
+    val vd = Export.deleteWhere(spark, out2,
+      col("ts") >= lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1704067200L + 75 * 3600))))
+    assert((beforeA intersect filesOf(out2)).size === 3,
+      "post-ANALYZE time-range DELETE must carry the 3 " +
+        "provably-disjoint quartile files verbatim")
+    assert(Export.readSnapshot(spark, out2, vd).count() === 75)
+  }
+
   test("pruning is PRUNING-ONLY: NULL-predicate rows survive and results equal the unpruned semantics") {
     val out = Files.createTempDirectory("dmlprune-null").toFile
       .getAbsolutePath
