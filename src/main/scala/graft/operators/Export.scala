@@ -494,7 +494,14 @@ object Export {
   private def commitGuardFor(fs: FileSystem, root: Path): CommitGuard = {
     if (commitGuard ne NoopCommitGuard) commitGuard
     else {
+      // active session first, DEFAULT session as the fallback: commits
+      // issued from threads that never inherited the active-session
+      // thread-local (pool threads created before the session existed)
+      // must still see the configured guard — resolving to Noop there
+      // would silently drop the safety net exactly in the
+      // multi-threaded deployments the config targets (review r17)
       val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       def get(k: String): Option[String] =
         conf.flatMap(s => Option(s.conf.get(k, null)))
       get("spark.graft.commitGuard") match {
@@ -511,7 +518,9 @@ object Export {
               "spark.graft.commitGuard=lease needs " +
                 "spark.graft.commitGuard.path (an atomic-create-capable " +
                 "coordination directory shared by every committer)"))
-          new LeaseFileCommitGuard(p)
+          val leaseMs = get("spark.graft.commitGuard.leaseMs")
+            .map(_.toLong).getOrElse(DefaultVacuumHorizonMs)
+          new LeaseFileCommitGuard(p, leaseMs)
         case Some(cls) => guardCache.computeIfAbsent(cls,
           _ => Class.forName(cls).getDeclaredConstructor()
             .newInstance().asInstanceOf[CommitGuard])
@@ -531,34 +540,136 @@ object Export {
     * content-bearing (root, version, pid, wall time) for post-mortems
     * but claim-by-name only for correctness — nothing reads them on
     * the commit path. A claimant that crashes between claim and
-    * publish wedges its version (same documented window as
-    * [[InProcessCommitGuard]]); conditional-PUT backends collapse
-    * claim and publish into one operation and don't have it. Stale
-    * claims for retention-dropped versions are reclaimed by
+    * publish blocks its version only until the LEASE EXPIRES: a claim
+    * older than `leaseMs` whose version was provably never published
+    * is a crashed claimant, and a breaker claims the next GENERATION
+    * of the same version through the same exclusive create (claims
+    * are immutable — no delete/rename-in-place ABA; racing breakers
+    * serialize on one g+1 create, exactly one wins). Conditional-PUT
+    * backends collapse claim and publish into one operation and don't
+    * have the window at all (review r17).
+    * Stale claims for retention-dropped versions are reclaimed by
     * [[vacuumSnapshots]] when the coordination dir is the table's own
-    * `_claims/`; an external coordinator prunes on its own schedule. */
-  final class LeaseFileCommitGuard(coordDir: String) extends CommitGuard {
+    * `_claims/`; an external coordinator prunes on its own schedule.
+    *
+    * Scheme honesty (review r17): the coordination dir must live where
+    * create-exclusive is ATOMIC — local paths use java.nio
+    * `CREATE_NEW` (`RawLocalFileSystem.create(overwrite=false)` is
+    * check-then-act), any other Hadoop scheme uses
+    * `FileSystem.create(path, false)` (atomic at the HDFS NameNode);
+    * object-store schemes REFUSE at construction — a lease there
+    * excludes nothing, which is exactly the lie this guard exists to
+    * prevent. */
+  final class LeaseFileCommitGuard(coordDir: String,
+      leaseMs: Long = DefaultVacuumHorizonMs) extends CommitGuard {
+    private val scheme =
+      Option(new java.net.URI(coordDir).getScheme).getOrElse("file")
+    require(!Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs",
+        "abfss", "oss", "cos", "cosn", "swift").contains(
+        scheme.toLowerCase(java.util.Locale.ROOT)),
+      s"spark.graft.commitGuard.path=$coordDir: scheme '$scheme' has " +
+        "no atomic create-exclusive, so a lease file there cannot " +
+        "exclude a concurrent claimant. Use a local/HDFS coordination " +
+        "dir, or back CommitGuard with a conditional PUT " +
+        "(S3 If-None-Match / DynamoDB conditional write).")
+    private val local = scheme == "file"
+
+    /** Atomic create-exclusive of the claim: true = this committer won
+      * the version; false = a claim already exists. */
+    private def tryClaim(claim: Path, body: Array[Byte]): Boolean =
+      if (local) {
+        val p = java.nio.file.Paths.get(claim.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        try { java.nio.file.Files.write(p, body,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        val fs = claim.getFileSystem(hadoopConf)
+        fs.mkdirs(claim.getParent)
+        try { val out = fs.create(claim, false)
+          try out.write(body) finally out.close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null &&
+                e.getMessage.contains("already exists") => false
+        }
+      }
+
+    private def claimAgeMs(claim: Path): Option[Long] =
+      try {
+        val mtime =
+          if (local) java.nio.file.Files.getLastModifiedTime(
+            java.nio.file.Paths.get(claim.toUri.getPath)).toMillis
+          else claim.getFileSystem(hadoopConf)
+            .getFileStatus(claim).getModificationTime
+        Some(System.currentTimeMillis() - mtime)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     override def beforeCommit(root: Path, version: Int): Unit = {
-      val dir = java.nio.file.Paths.get(coordDir)
-      java.nio.file.Files.createDirectories(dir)
       // the key is the QUALIFIED root's digest (commitManifest
       // qualifies before calling), so path-spelling variants collapse
       val key = java.security.MessageDigest.getInstance("SHA-1")
         .digest(root.toString.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
-      val claim = dir.resolve(s"$key._v$version.claim")
-      try java.nio.file.Files.write(claim,
-        (s"root=$root\nversion=$version\n" +
-          s"pid=${ProcessHandle.current.pid}\n" +
-          s"claimed_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConcurrentCommitException(
-            s"commit guard: version $version under $root is already " +
-              s"claimed (lease ${claim.getFileName})", version)
+      val dir = new Path(coordDir)
+      def claimAt(gen: Int) = new Path(dir,
+        if (gen == 0) s"$key._v$version.claim"
+        else s"$key._v$version.g$gen.claim")
+      val body = (s"root=$root\nversion=$version\n" +
+        s"pid=${ProcessHandle.current.pid}\n" +
+        s"claimed_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8")
+      if (tryClaim(claimAt(0), body)) return
+      // BREAK a crashed claimant's lease (review r17) with GENERATIONS,
+      // never by deleting or renaming the existing claim in place —
+      // delete+recreate and rename+recreate both have ABA windows
+      // where a second breaker's stale decision, made against the OLD
+      // claim, clobbers the first breaker's FRESH claim and both win.
+      // Claims are immutable; the version's holder is the HIGHEST
+      // generation. A breaker may claim generation g+1 only when the
+      // current highest is older than the lease window AND the version
+      // was provably never published (no live committer holds a claim
+      // past the same in-flight bound VACUUM's retention floor
+      // protects; an unpublished version proves the claimant never
+      // reached its commit point). Racing breakers serialize on the
+      // SAME exclusive create of g+1: exactly one wins; a breaker that
+      // lists a fresh higher generation refuses like any conflict.
+      // Tombstoned generations keep the `._v<n>...claim` suffix the
+      // vacuum reclaim collects once the version leaves retention.
+      val genOf = ("\\._v" + version + "(?:\\.g(\\d+))?\\.claim$").r
+      val names: Seq[String] =
+        if (local) {
+          val d = java.nio.file.Paths.get(dir.toUri.getPath)
+          if (!java.nio.file.Files.isDirectory(d)) Nil
+          else {
+            val s = java.nio.file.Files.list(d)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.map(_.getFileName.toString)
+                .filter(_.startsWith(key)).toVector
+            } finally s.close()
+          }
+        } else {
+          val cfs = dir.getFileSystem(hadoopConf)
+          if (!cfs.exists(dir)) Nil
+          else cfs.listStatus(dir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith(key))
+        }
+      val current = names.flatMap(n => genOf.findFirstMatchIn(n)
+        .map(m => Option(m.group(1)).map(_.toInt).getOrElse(0)))
+        .sorted.lastOption
+      val stale = current.exists(g =>
+        claimAgeMs(claimAt(g)).exists(_ > leaseMs)) && {
+        val tfs = root.getFileSystem(hadoopConf)
+        !tfs.exists(manifestPath(root, version))
       }
+      if (stale && tryClaim(claimAt(current.get + 1), body)) return
+      throw new ConcurrentCommitException(
+        s"commit guard: version $version under $root is already " +
+          s"claimed (lease ${claimAt(current.getOrElse(0)).getName})",
+        version)
     }
   }
 
@@ -1990,7 +2101,8 @@ object Export {
       if (!dryRun && fs.exists(claims)) fs.listStatus(claims).toSeq
         .filter { st =>
           val n = st.getPath.getName
-          val v = "._v(\\d+)\\.claim$".r.findFirstMatchIn(n)
+          // bare + broken-lease generational claims (`._v5.g2.claim`)
+          val v = "._v(\\d+)(?:\\.g\\d+)?\\.claim$".r.findFirstMatchIn(n)
             .map(_.group(1).toInt)
           v.exists(_ < oldest) && st.getModificationTime <= cutoffMs
         }
@@ -3651,6 +3763,19 @@ object Export {
     case _ => c.cast("long")
   }
 
+  /** The `s=` tag KEY for a column: timestamp stats key as
+    * `<phys>#us`, a DISTINCT key from the plain form, because a
+    * pre-r17 `CAST(ts AS LONG)` stat recorded SECONDS — a
+    * micros-valued literal compared against a seconds-valued range
+    * would prune files UNSOUNDLY on upgraded tables (review r17).
+    * Legacy plain-key timestamp tags are simply never consulted
+    * (no pruning there, never wrong); a re-ANALYZE strips them. */
+  private[graft] def statKeyOf(phys: String,
+      dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.TimestampType => s"$phys#us"
+    case _ => phys
+  }
+
   def analyzeSnapshotStats(spark: SparkSession, outDir: String,
       cols: Seq[String] = Nil): Int = {
     val latest = latestSnapshotVersion(outDir)
@@ -3727,7 +3852,11 @@ object Export {
           "the store's _metadata.file_path form differs from the " +
           "manifest's; refusing to stamp tags that would be wrong")
     }
-    val analyzedSet = physCols.toSet
+    // strip BOTH key forms for analyzed columns: the fresh typed key
+    // (re-ANALYZE replaces it) and the legacy plain key (for timestamp
+    // columns it held a pre-r17 seconds-encoded range — stale hygiene)
+    val analyzedSet = picked.zip(physCols).flatMap { case (f, pc) =>
+      Seq(pc, statKeyOf(pc, f.dataType)) }.toSet
     val stamped = lines.map { l =>
       val parts = l.split('\t').toSeq
       // strip the tags this pass recomputes; everything else carries
@@ -3750,8 +3879,9 @@ object Export {
               "stamp n=0 over a missing file")
           "\tn=0"
         case Some((n, ranges)) =>
-          s"\tn=$n" + physCols.zip(ranges).collect {
-            case (pc, Some((lo, hi))) => s"\ts=$pc:$lo:$hi"
+          s"\tn=$n" + picked.zip(physCols).zip(ranges).collect {
+            case ((f, pc), Some((lo, hi))) =>
+              s"\ts=${statKeyOf(pc, f.dataType)}:$lo:$hi"
           }.mkString
       }
       kept.mkString("\t") + fresh
@@ -4036,7 +4166,7 @@ object Export {
       .collect()
       .map { r =>
         val tags = s"\tn=${r.getAs[Long]("__n")}" + statCols.map { c =>
-          s"\ts=${phys(c)}:" +
+          s"\ts=${statKeyOf(phys(c), df.schema(c).dataType)}:" +
             s"${r.getAs[Long](s"__lo_$c")}:${r.getAs[Long](s"__hi_$c")}"
         }.mkString
         fs.makeQualified(new Path(r.getAs[String]("file"))).toString -> tags
@@ -4367,7 +4497,12 @@ object Export {
       val e0 = org.apache.spark.sql.GraftColumnBridge
         .catalystExpression(cond)
       var pinnedAny = false
-      val pinned = e0.transformUp {
+      // the pin exists to keep the PRUNING PROBE and the execution
+      // filter on one snapshot — with nothing to prune (canExpand
+      // false: a tagless bulk-loaded table) the filter is the sole
+      // evaluation and cannot tear, so materializing the subquery
+      // would be a wasted cluster job per DML (review r17)
+      val pinned = if (!canExpand) e0 else e0.transformUp {
         case in @ InSubquery(values, lq: ListQuery)
             if lq.outerAttrs.isEmpty =>
           // per-subquery attempt: a CORRELATED subquery arrives with

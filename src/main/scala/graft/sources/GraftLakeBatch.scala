@@ -186,8 +186,12 @@ object GraftLakeBatch {
     * [[Attribute]]s and only the name is consulted. */
   private[graft] def excludes(c: Expression, e: Export.ManifestEntry,
       physOf: Map[String, String]): Boolean = {
-    def statRange(a: Attribute): Option[(Long, Long)] =
-      e.stats.get(physOf.getOrElse(a.name, a.name))
+    // timestamp stats live under the `<phys>#us` key (micros); the
+    // plain key may hold a pre-r17 seconds-encoded range a micros
+    // literal must never compare against (Export.statKeyOf)
+    def statRange(a: Attribute, l: Literal): Option[(Long, Long)] =
+      e.stats.get(Export.statKeyOf(
+        physOf.getOrElse(a.name, a.name), l.dataType))
     c match {
       case EqualTo(a: Attribute, l: Literal) => eqExcludes(a, l, e, physOf)
       case EqualTo(l: Literal, a: Attribute) => eqExcludes(a, l, e, physOf)
@@ -196,17 +200,23 @@ object GraftLakeBatch {
         vs.map(_.asInstanceOf[Literal])
           .forall(l => eqExcludes(a, l, e, physOf))
       case GreaterThan(a: Attribute, l: Literal) =>
-        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi <= v }
+        longOf(l).zip(statRange(a, l))
+          .exists { case (v, (_, hi)) => hi <= v }
       case GreaterThanOrEqual(a: Attribute, l: Literal) =>
-        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi < v }
+        longOf(l).zip(statRange(a, l))
+          .exists { case (v, (_, hi)) => hi < v }
       case LessThan(a: Attribute, l: Literal) =>
-        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo >= v }
+        longOf(l).zip(statRange(a, l))
+          .exists { case (v, (lo, _)) => lo >= v }
       case LessThanOrEqual(a: Attribute, l: Literal) =>
-        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo > v }
+        longOf(l).zip(statRange(a, l))
+          .exists { case (v, (lo, _)) => lo > v }
       case GreaterThan(l: Literal, a: Attribute) => // v > col ≡ col < v
-        longOf(l).zip(statRange(a)).exists { case (v, (lo, _)) => lo >= v }
+        longOf(l).zip(statRange(a, l))
+          .exists { case (v, (lo, _)) => lo >= v }
       case LessThan(l: Literal, a: Attribute) => // v < col ≡ col > v
-        longOf(l).zip(statRange(a)).exists { case (v, (_, hi)) => hi <= v }
+        longOf(l).zip(statRange(a, l))
+          .exists { case (v, (_, hi)) => hi <= v }
       case _ => false
     }
   }
@@ -216,7 +226,8 @@ object GraftLakeBatch {
     val p = physOf.getOrElse(a.name, a.name)
     val partHit = stringOf(l).zip(e.partition.get(p))
       .exists { case (v, spec) => spec != v }
-    val statHit = longOf(l).zip(e.stats.get(p))
+    val statHit = longOf(l)
+      .zip(e.stats.get(Export.statKeyOf(p, l.dataType)))
       .exists { case (v, (lo, hi)) => v < lo || v > hi }
     partHit || statHit
   }

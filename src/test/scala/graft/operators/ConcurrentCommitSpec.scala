@@ -478,6 +478,54 @@ class VersionHintRunsSpec extends SparkSpec {
       spark.conf.unset("spark.graft.commitGuard.path")
     }
   }
+
+  test("lease EXPIRY (r17 review): a crashed claimant's stale, never-published claim is broken via a next-GENERATION claim — the table un-wedges after one lease window; fresh claims and published versions stay protected") {
+    val local = new java.io.File("target/qtmp_racyfs", "leasebrk")
+    graft.util.Dirs.deleteRec(local)
+    local.mkdirs()
+    val (fs, root) = Export.fsRoot(local.getAbsolutePath)
+    val coord = new java.io.File("target/qtmp_racyfs", "leasebrk_coord")
+    graft.util.Dirs.deleteRec(coord)
+    coord.mkdirs()
+    spark.conf.set("spark.graft.commitGuard", "lease")
+    spark.conf.set("spark.graft.commitGuard.path", coord.getAbsolutePath)
+    try {
+      Export.commitManifest(fs, root, 1, Map("writer" -> "a"), Nil)
+      // model a CRASHED claimant: v2's claim exists (old), v2 was
+      // never published
+      val key = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(fs.makeQualified(root).toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val dead = new java.io.File(coord, s"$key._v2.claim")
+      java.nio.file.Files.writeString(dead.toPath, "crashed\n")
+      assert(dead.setLastModified(
+        System.currentTimeMillis() - 2L * 3600 * 1000))
+      // a new committer BREAKS the stale lease and wins v2
+      Export.commitManifest(fs, root, 2, Map("writer" -> "b"), Nil)
+      assert(Export.snapshotMeta(local.getAbsolutePath, 2)
+        .get("writer") === Some("b"))
+      assert(new java.io.File(coord, s"$key._v2.g1.claim").exists(),
+        "the break must claim the next GENERATION, never touch g0")
+      assert(dead.exists(), "the stale claim is immutable evidence")
+      // a PUBLISHED version's stale claim is NOT breakable: v2's g1
+      // claim aged past the lease still refuses (manifest exists)
+      assert(new java.io.File(coord, s"$key._v2.g1.claim")
+        .setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+      val e = intercept[Export.ConcurrentCommitException](
+        Export.commitManifest(fs, root, 2, Map("writer" -> "c"), Nil))
+      assert(e.winning === 2)
+      // a FRESH unpublished claim is NOT breakable (claimant may be
+      // mid-commit)
+      java.nio.file.Files.writeString(
+        new java.io.File(coord, s"$key._v3.claim").toPath, "live\n")
+      val e2 = intercept[Export.ConcurrentCommitException](
+        Export.commitManifest(fs, root, 3, Map("writer" -> "d"), Nil))
+      assert(e2.winning === 3)
+    } finally {
+      spark.conf.unset("spark.graft.commitGuard")
+      spark.conf.unset("spark.graft.commitGuard.path")
+    }
+  }
 }
 
 /** The S3A failure model, distilled: `exists` on a manifest path lies
