@@ -2264,14 +2264,18 @@ object Export {
     val (epochDir, fresh) = writeEpoch(fs, root, version,
       df.repartitionByRange(nFiles, col(keyCol))
         .sortWithinPartitions(keyCol))
-    val zones: Map[String, (Long, Long)] =
+    val keyDt = df.schema(keyCol).dataType
+    val zones: Map[String, (Long, Long, Long, Long)] =
       spark.read.parquet(epochDir.toString)
         .groupBy(col("_metadata.file_path").as("file"))
         .agg(min(col(keyPhys)).cast("long").as("lo"),
-          max(col(keyPhys)).cast("long").as("hi"))
+          max(col(keyPhys)).cast("long").as("hi"),
+          min(statLong(col(keyPhys), keyDt)).as("slo"),
+          max(statLong(col(keyPhys), keyDt)).as("shi"))
         .collect()
         .map(r => fs.makeQualified(new Path(r.getString(0))).toString ->
-          ((r.getLong(1), r.getLong(2)))).toMap
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
     fresh.map { f =>
       // tagged z= form (not the legacy positional triple): the base
       // line already carries the len= tag, and tagged fields compose.
@@ -2279,9 +2283,13 @@ object Export {
       // like every stat tag) so planners that don't know the cluster
       // key - the batch format's FileIndex, readSnapshotRange - prune
       // clustered files too; z= stays the positional zone the clustered
-      // merge/read paths consume.
+      // merge/read paths consume (its cast-long encoding pairs with the
+      // merge envelope's own cast), while the s= stat takes the TYPED
+      // encoding/key (micros under #us for an event-time key) so a
+      // pushed `ts >= TIMESTAMP'...'` range prunes the landing table
       zones.get(fs.makeQualified(new Path(pathOf(f))).toString) match {
-        case Some((lo, hi)) => s"$f\tz=$lo:$hi\ts=$keyPhys:$lo:$hi"
+        case Some((lo, hi, slo, shi)) =>
+          s"$f\tz=$lo:$hi\ts=${statKeyOf(keyPhys, keyDt)}:$slo:$shi"
         case None => f // a file with zero rows carries no zone
       }
     }
@@ -3130,7 +3138,11 @@ object Export {
             first(col(phys(c)).cast("string")).as(s"__p_$c")) ++
           zoneKey.toSeq.flatMap(k => Seq(
             min(col(phys(k))).cast("long").as("__z_lo"),
-            max(col(phys(k))).cast("long").as("__z_hi")))
+            max(col(phys(k))).cast("long").as("__z_hi"),
+            min(statLong(col(phys(k)), df.schema(k).dataType))
+              .as("__zs_lo"),
+            max(statLong(col(phys(k)), df.schema(k).dataType))
+              .as("__zs_hi")))
         val stats = spark.read.parquet(files: _*)
           .groupBy(col("_metadata.file_path").as("file"))
           .agg(aggs.head, aggs.tail: _*)
@@ -3153,7 +3165,11 @@ object Export {
             val zone = zoneKey.map { k =>
               val lo = r.getAs[Long]("__z_lo")
               val hi = r.getAs[Long]("__z_hi")
-              s"\tz=$lo:$hi\ts=${phys(k)}:$lo:$hi"
+              // z= keeps the cast-long pair its merge consumers use;
+              // the named s= takes the TYPED encoding/key (statLong)
+              s"\tz=$lo:$hi\ts=${statKeyOf(phys(k),
+                df.schema(k).dataType)}:${r.getAs[Long]("__zs_lo")}:" +
+                s"${r.getAs[Long]("__zs_hi")}"
             }.getOrElse("")
             fs.makeQualified(new Path(r.getAs[String]("file"))).toString ->
               (s"\tp=$spec" + zone)

@@ -219,6 +219,23 @@ class DmlPruningSpec extends SparkSpec {
       "post-ANALYZE time-range DELETE must carry the 3 " +
         "provably-disjoint quartile files verbatim")
     assert(Export.readSnapshot(spark, out2, vd).count() === 75)
+    // event-time CLUSTERED landing table (the streaming-sink shape):
+    // the named s= zone stat rides the typed #us key, so a pushed
+    // time-range prunes there too
+    val out3 = Files.createTempDirectory("dmlprune-ts3").toFile
+      .getAbsolutePath
+    graft.util.Dirs.deleteRec(new java.io.File(out3))
+    Export.appendSnapshotClustered(spark, rows, out3, "ts", 5)
+    val before3 = filesOf(out3)
+    assert(before3.size === 5)
+    val v3 = Export.deleteWhere(spark, out3,
+      col("ts") >= lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1704067200L + 80 * 3600))))
+    assert((before3 intersect filesOf(out3)).size >= 3 &&
+      (before3 intersect filesOf(out3)).size < 5,
+      "an event-time clustered table must carry time-disjoint files " +
+        s"verbatim, carried ${(before3 intersect filesOf(out3)).size}")
+    assert(Export.readSnapshot(spark, out3, v3).count() === 80)
   }
 
   test("pruning is PRUNING-ONLY: NULL-predicate rows survive and results equal the unpruned semantics") {
