@@ -7650,6 +7650,66 @@ object Curation {
       |  CAST(max(dt) AS VARCHAR) AS max_dt
       |FROM t WHERE dt < DATE '2024-08-01'""".stripMargin
 
+  /** TIMESTAMP `s=` stats through the statement face (r17): ANALYZE
+    * FOR COLUMNS accepts an event-time column, records its range as
+    * epoch MICROS under the typed `#us` key (distinct from any legacy
+    * seconds-encoded plain tag — upgraded tables can never prune
+    * unsoundly), and a time-range DELETE then carries provably-
+    * disjoint files verbatim (pinned in-gate). Outputs are epoch-µs
+    * BIGINTs per the events convention; DuckDB replays the content. */
+  def q_sql_analyze_ts(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(new java.io.File("target", "qtmp"),
+      s"sqlats_${math.abs(dir.hashCode)}")
+    graft.util.Dirs.deleteRec(wh)
+    s.conf.set("spark.sql.catalog.gltsa",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.gltsa.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gltsa.g")
+    s.sql("DROP TABLE IF EXISTS gltsa.g.docs")
+    s.sql("CREATE TABLE gltsa.g.docs (doc_id BIGINT, n_chars BIGINT, " +
+      "ts TIMESTAMP)")
+    Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      .createOrReplaceTempView("q_ats_src")
+    // ts rides doc_id (one hour per id from 2024-01-01 UTC), so the
+    // three range-disjoint bulk loads are time-disjoint too
+    def ins(where: String): Unit =
+      s.sql("INSERT INTO gltsa.g.docs SELECT doc_id, n_chars, " +
+        "timestamp_micros(1704067200000000 + doc_id * 3600000000) " +
+        s"FROM q_ats_src WHERE $where")
+    ins("doc_id < 100")
+    ins("doc_id >= 100 AND doc_id < 200")
+    ins("doc_id >= 200")
+    val dirT = s"${wh.getAbsolutePath}/g/docs"
+    val E = graft.operators.Export
+    s.sql("ANALYZE TABLE gltsa.g.docs COMPUTE STATISTICS " +
+      "FOR COLUMNS ts").collect()
+    val before = E.snapshotFiles(dirT,
+      E.latestSnapshotVersion(dirT)).toSet
+    // hour 200 from the base: exactly the doc_id >= 200 load
+    s.sql("DELETE FROM gltsa.g.docs " +
+      "WHERE ts >= TIMESTAMP'2024-01-09 08:00:00'")
+    val carried = before intersect
+      E.snapshotFiles(dirT, E.latestSnapshotVersion(dirT)).toSet
+    require(carried.nonEmpty && carried.size < before.size,
+      s"a time-range DELETE must carry time-disjoint files verbatim " +
+        s"(carried ${carried.size} of ${before.size})")
+    s.sql("SELECT count(*) AS n_docs, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "unix_micros(min(ts)) AS min_us, " +
+      "unix_micros(max(ts)) AS max_us FROM gltsa.g.docs")
+  }
+
+  val q_sql_analyze_ts_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    make_timestamp(1704067200000000 + doc_id * 3600000000) AS ts
+      |  FROM documents)
+      |SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  epoch_us(min(ts)) AS min_us, epoch_us(max(ts)) AS max_us
+      |FROM t WHERE ts < TIMESTAMP '2024-01-09 08:00:00'""".stripMargin
+
   /** PARTITION-TAG BACKFILL — `OPTIMIZE ... RETAG` (r17, judge item
     * #6): ONE untagged epoch (a legacy/plain append into a partitioned
     * table) disables DPP surfacing for the whole head; RETAG reads
