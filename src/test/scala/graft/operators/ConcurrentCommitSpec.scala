@@ -479,6 +479,19 @@ class VersionHintRunsSpec extends SparkSpec {
     }
   }
 
+  test("lease guard SCHEME honesty (r17 review): an object-store coordination dir refuses at construction — create-exclusive is not atomic there, so a lease would exclude nothing") {
+    Seq("s3a://bucket/claims", "s3://b/c", "gs://b/c", "abfss://c@a/x")
+      .foreach { p =>
+        val e = intercept[IllegalArgumentException](
+          new Export.LeaseFileCommitGuard(p))
+        assert(e.getMessage.contains("no atomic create-exclusive"), p)
+      }
+    // local and hdfs-style schemes construct fine
+    new Export.LeaseFileCommitGuard("target/qtmp_racyfs/schemeok")
+    new Export.LeaseFileCommitGuard("file:/tmp/claims")
+    new Export.LeaseFileCommitGuard("hdfs://nn:8020/claims")
+  }
+
   test("lease EXPIRY (r17 review): a crashed claimant's stale, never-published claim is broken via a next-GENERATION claim — the table un-wedges after one lease window; fresh claims and published versions stay protected") {
     val local = new java.io.File("target/qtmp_racyfs", "leasebrk")
     graft.util.Dirs.deleteRec(local)

@@ -238,6 +238,42 @@ class DmlPruningSpec extends SparkSpec {
     assert(Export.readSnapshot(spark, out3, v3).count() === 80)
   }
 
+  test("legacy SECONDS-encoded timestamp stats are never consulted (r17 review): a plain-key s= tag cannot unsoundly exclude a micros literal, and re-ANALYZE strips it for the #us key") {
+    val out = Files.createTempDirectory("dmlprune-legacyts").toFile
+      .getAbsolutePath
+    graft.util.Dirs.deleteRec(new java.io.File(out))
+    val rows = spark.range(100).selectExpr("id AS k",
+      "timestamp_micros(1704067200000000 + id * 3600000000) AS ts")
+    Export.appendSnapshot(spark, rows.coalesce(1), out)
+    // forge the pre-r17 tag: CAST(ts AS LONG) recorded SECONDS under
+    // the PLAIN key — the upgrade hazard the #us key exists to dodge
+    val mf = java.nio.file.Paths.get(out, "_v1.manifest")
+    val forged = java.nio.file.Files.readAllLines(mf).toArray.toSeq
+      .map(_.toString)
+      .map(l => if (l.startsWith("#")) l
+        else l + s"\ts=ts:1704067200:${1704067200L + 99 * 3600}")
+    java.nio.file.Files.write(mf,
+      forged.mkString("\n").getBytes("UTF-8"))
+    // a micros literal (~1.7e15) against the seconds range (~1.7e9)
+    // would "prove" every file disjoint and silently no-op the DELETE
+    // if the plain key were consulted — it must not be
+    val v = Export.deleteWhere(spark, out,
+      col("ts") >= lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1704067200L + 50 * 3600))))
+    assert(Export.readSnapshot(spark, out, v).count() === 50,
+      "the legacy seconds tag must never exclude a micros predicate")
+    // re-ANALYZE strips the stale plain tag and installs the #us key
+    val va = Export.analyzeSnapshotStats(spark, out, Seq("ts"))
+    val tags = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(out, s"_v$va.manifest"))
+      .toArray.toSeq.map(_.toString).filterNot(_.startsWith("#"))
+      .flatMap(_.split('\t').toSeq)
+    assert(tags.exists(_.startsWith("s=ts#us:")),
+      "ANALYZE must install the micros-keyed stat")
+    assert(!tags.exists(t => t.startsWith("s=ts:")),
+      "ANALYZE must strip the stale plain-key timestamp tag")
+  }
+
   test("pruning is PRUNING-ONLY: NULL-predicate rows survive and results equal the unpruned semantics") {
     val out = Files.createTempDirectory("dmlprune-null").toFile
       .getAbsolutePath

@@ -244,6 +244,38 @@ class GraftLakeDppSpec extends SparkSpec {
       "a partition-literal filter must plan exactly the one pure file")
   }
 
+  test("RETAG refusal matrix: DV-carrying untagged lines refuse loudly (compact first); NULL layout values refuse; a fully-tagged head is a no-op") {
+    val wh = warehouse
+    spark.sql("DROP TABLE IF EXISTS dpp.g.rtref")
+    spark.sql("CREATE TABLE dpp.g.rtref (k BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO dpp.g.rtref SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END FROM range(20)")
+    val dir = s"$wh/g/rtref"
+    // fully tagged: RETAG is a version-preserving no-op
+    val v0 = Export.latestSnapshotVersion(dir)
+    assert(Export.retagSnapshotPartitions(spark, dir) === v0)
+    // untagged epoch + MoR delete on it -> dv= on an untagged line
+    Export.appendSnapshot(spark, spark.range(100, 110).selectExpr(
+      "id AS k", "'en' AS lang").coalesce(1), dir)
+    Export.deleteWhereMoR(spark, dir,
+      org.apache.spark.sql.functions.col("k") === 105L)
+    val e = intercept[IllegalArgumentException](
+      Export.retagSnapshotPartitions(spark, dir))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // NULL layout value in an untagged file refuses
+    spark.sql("DROP TABLE IF EXISTS dpp.g.rtnull")
+    spark.sql("CREATE TABLE dpp.g.rtnull (k BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO dpp.g.rtnull SELECT id, 'en' FROM range(5)")
+    val dir2 = s"$wh/g/rtnull"
+    Export.appendSnapshot(spark, spark.range(5, 8).selectExpr(
+      "id AS k", "CAST(NULL AS STRING) AS lang").coalesce(1), dir2)
+    val e2 = intercept[IllegalArgumentException](
+      Export.retagSnapshotPartitions(spark, dir2))
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
   test("fallback: unpartitioned tables and untagged heads keep the empty partition schema (no surfacing, identical planning)") {
     val wh = warehouse
     spark.sql("DROP TABLE IF EXISTS dpp.g.plain")
