@@ -4231,8 +4231,14 @@ object Export {
       .filterNot(l => nOf(l).contains(0L))
     if (lines.isEmpty || lines.exists(l => dvOf(l).nonEmpty)) None
     else {
-      val ranges = lines.map(l =>
-        statsOf(l).get(physicalIn(outDir, version, column)))
+      // the stat key is TYPED (timestamp ranges live under `#us`,
+      // epoch micros): resolve the column's committed type so an
+      // event-time column answers min/max metadata-only too
+      val key = snapshotSchema(outDir, version)
+        .flatMap(_.fields.find(_.name == column))
+        .map(f => statKeyOf(physicalOf(f), f.dataType))
+        .getOrElse(physicalIn(outDir, version, column))
+      val ranges = lines.map(l => statsOf(l).get(key))
       if (ranges.exists(_.isEmpty)) None
       else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
     }
