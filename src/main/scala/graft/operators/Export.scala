@@ -5311,6 +5311,16 @@ object Export {
     require(partFilters.nonEmpty || partRanges.nonEmpty,
       "partition-scoped compaction needs at least one partition filter" +
         " (use compactSnapshot for the whole table)")
+    partRanges.foreach { case (c, op, lim) =>
+      require(Set("<", "<=", ">", ">=").contains(op),
+        s"unsupported range operator '$op' for column '$c'")
+      // a non-long-able literal would make rangeInScope vacuously true
+      // and silently widen the scope to the whole table — refuse here,
+      // at the API boundary, like the statement parser does
+      require(graft.sources.GraftLakeBatch.longOf(lim).isDefined,
+        s"range conjunct on '$c' needs an integral/DATE/TIMESTAMP " +
+          s"literal, got ${lim.dataType.sql}")
+    }
     val named = partFilters.keySet ++ partRanges.map(_._1)
     require(named.subsetOf(partitionCols.toSet),
       s"filters ${named.mkString(", ")} must be partition " +
