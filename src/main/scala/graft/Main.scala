@@ -60,6 +60,7 @@ object Main {
       case "lake-drop-column" => lakeDropColumn(opts)
       case "lake-add-column" => lakeAddColumn(opts)
       case "lake-widen" => lakeWiden(opts)
+      case "lake-retag" => lakeRetag(opts)
       case "lake-hint" => lakeHint(opts)
       case other => System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
@@ -170,7 +171,7 @@ object Main {
         "checkpoint-destroy|checkpoint-error-ignore|verify|serve " +
         "--source DIR --out DIR [opts]\n" +
         "       graft.Main lake-versions|lake-read|lake-compact|" +
-        "lake-vacuum|lake-delete|lake-update|lake-restore|lake-clone|lake-rename|" +
+        "lake-vacuum|lake-delete|lake-update|lake-restore|lake-retag|lake-clone|lake-rename|" +
         "lake-drop-column|lake-add-column|lake-widen|lake-hint " +
         "--table DIR " +
         "[--version N] [--as-of-ts MILLIS] [--out DIR] [--files N] " +
@@ -303,6 +304,23 @@ object Main {
     * one-time migration for READ-ONLY legacy tables (commits write it
     * as a side effect; a table nobody writes would pay the O(root)
     * listing on every plan forever). Planning-side, no Spark session. */
+  /** Partition-tag backfill (`OPTIMIZE ... RETAG`'s CLI face): restore
+    * `p=` specs on untagged epochs so one legacy commit stops disabling
+    * DPP surfacing — metadata-only for single-tuple files, a rewrite
+    * scoped to just the spanning ones. `--by col` (repeatable)
+    * retrofits an explicit layout onto never-partitioned tables. */
+  private def lakeRetag(o: Map[String, List[String]]): Unit = {
+    val dir = reqTable(o)
+    val cols = o("by")
+    val spark = session()
+    try {
+      val v = graft.operators.Export.retagSnapshotPartitions(
+        spark, dir, cols)
+      val n = graft.operators.Export.snapshotFiles(dir, v).size
+      println(s"retagged $dir: v$v, $n files")
+    } finally spark.stop()
+  }
+
   private def lakeHint(o: Map[String, List[String]]): Unit = {
     val dir = reqTable(o)
     val versions = graft.operators.Export.refreshVersionsHint(dir)
@@ -423,7 +441,7 @@ object Main {
     "checkpoint-url", "bucket-by", "compact-bytes", "config",
     "version", "files", "cluster-by", "zorder-by", "keep", "where", "set",
     "as-of-ts", "to-version", "horizon-ms", "partition", "to", "mor",
-    "dry-run")
+    "dry-run", "by", "from", "column", "type")
 
   private def parseOpts(args: Array[String]): Map[String, List[String]] = {
     val out = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)

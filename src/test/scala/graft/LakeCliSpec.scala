@@ -54,6 +54,12 @@ class LakeCliSpec extends SparkSpec {
     assert(none.contains("no versions"), none)
   }
 
+  // lake-retag spins up and STOPS a Spark session like
+  // lake-compact/lake-delete (correct for a CLI process, fatal to the
+  // suite's shared session) — its operator is spec'd in
+  // GraftLakeDppSpec; the CLI glue is the same option plumbing the
+  // session-free verbs exercise here.
+
   test("lake-hint migrates a legacy table to O(1) planning from the CLI") {
     val out = new java.io.File("target/qtmp", "lakecli_hint")
     graft.util.Dirs.deleteRec(out)

@@ -238,6 +238,26 @@ class DmlPruningSpec extends SparkSpec {
     assert(Export.readSnapshot(spark, out3, v3).count() === 80)
   }
 
+  test("metadataRange resolves the TYPED stat key: an analyzed event-time column answers min/max metadata-only in epoch micros") {
+    val out = Files.createTempDirectory("dmlprune-metats").toFile
+      .getAbsolutePath
+    graft.util.Dirs.deleteRec(new java.io.File(out))
+    val rows = spark.range(100).selectExpr("id AS k",
+      "timestamp_micros(1704067200000000 + id * 3600000000) AS ts",
+      "date_add(DATE'2024-01-01', CAST(id AS INT)) AS dt")
+    Export.appendSnapshot(spark, rows.coalesce(2), out)
+    assert(Export.metadataRange(out, 1, "ts").isEmpty,
+      "no stats committed yet - min/max must refuse, not guess")
+    val v = Export.analyzeSnapshotStats(spark, out, Seq("ts", "dt", "k"))
+    assert(Export.metadataRange(out, v, "ts") ===
+      Some((1704067200000000L, 1704067200000000L + 99 * 3600000000L)),
+      "event-time min/max must answer metadata-only, in epoch micros")
+    assert(Export.metadataRange(out, v, "dt") ===
+      Some((19723L, 19723L + 99L)),
+      "date min/max answers in epoch days")
+    assert(Export.metadataRange(out, v, "k") === Some((0L, 99L)))
+  }
+
   test("legacy SECONDS-encoded timestamp stats are never consulted (r17 review): a plain-key s= tag cannot unsoundly exclude a micros literal, and re-ANALYZE strips it for the #us key") {
     val out = Files.createTempDirectory("dmlprune-legacyts").toFile
       .getAbsolutePath
