@@ -3952,9 +3952,24 @@ object Export {
         s"RETAG: unknown column '$c' (table has " +
           s"${st.fieldNames.mkString(", ")})")))
     val physCols = fields.map(physicalOf)
-    // "tagged" = the spec covers every layout column; partial/foreign
-    // keySets would split the surfacing intersection anyway, so they
-    // re-derive like untagged lines
+    // an EXPLICIT layout that disagrees with existing tags refuses:
+    // re-deriving already-tagged lines under different columns would
+    // silently REPLACE the table's declared layout (declared partition
+    // columns derive from the head's p= keys) — a re-partition is
+    // OPTIMIZE's job, not a tag backfill's
+    locally {
+      val existing = lines.map(partitionOf(_).keySet)
+        .filter(_.nonEmpty).distinct
+      existing.foreach(ks => require(ks == physCols.toSet ||
+          ks.subsetOf(physCols.toSet),
+        s"RETAG under $outDir: existing lines are tagged on " +
+          s"{${ks.mkString(", ")}} but the requested layout is " +
+          s"{${physCols.mkString(", ")}} - a tag backfill must not " +
+          "silently re-layout a partitioned table (compact with the " +
+          "new layout instead)"))
+    }
+    // "tagged" = the spec covers every layout column; partial subsets
+    // (a layout-widening backfill) re-derive like untagged lines
     val (tagged, untagged) = lines.partition(l =>
       physCols.forall(partitionOf(l).contains))
     if (untagged.isEmpty) return latest

@@ -263,6 +263,11 @@ class GraftLakeDppSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Export.retagSnapshotPartitions(spark, dir))
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // an explicit layout that DISAGREES with existing tags refuses —
+    // a tag backfill must never silently re-layout a partitioned table
+    val e3 = intercept[IllegalArgumentException](
+      Export.retagSnapshotPartitions(spark, dir, Seq("k")))
+    assert(e3.getMessage.contains("re-layout"), e3.getMessage)
     // NULL layout value in an untagged file refuses
     spark.sql("DROP TABLE IF EXISTS dpp.g.rtnull")
     spark.sql("CREATE TABLE dpp.g.rtnull (k BIGINT, lang STRING) " +
