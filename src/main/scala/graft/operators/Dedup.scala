@@ -819,29 +819,44 @@ object Dedup {
         .union(mins.select(col("_u"), col("_m").as("_v"))))
     }
 
-    var cur = canon(pre).localCheckpoint(true)
     // Fixpoint test: both sets are canonical+distinct, so set equality ⇔
-    // equal (count, XOR of xxhash64(_u,_v)) — ONE narrow aggregate over
-    // the already-checkpointed arcs, where the previous count+exceptAll
-    // pair cost two jobs and a two-sided shuffle per round. XOR (not sum)
-    // because ANSI mode makes an overflowing sum throw, and each distinct
-    // arc appears exactly once so XOR is a clean set fingerprint. A false
+    // equal (count, XOR of xxhash64(_u,_v)) — a narrow aggregate over
+    // the arcs, where the previous count+exceptAll pair cost two jobs
+    // and a two-sided shuffle per round. XOR (not sum) because ANSI mode
+    // makes an overflowing sum throw, and each distinct arc appears
+    // exactly once so XOR is a clean set fingerprint. A false
     // "converged" needs a hash collision between distinct same-size sets
     // (~2^-64); the cluster gates would catch it as a label mismatch.
-    def fingerprintArcs(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(call_function("bit_xor", xxhash64(col("_u"), col("_v"))),
-          lit(0L))).collect()(0)
-      (r.getLong(0), r.getLong(1))
+    //
+    // r18: the fingerprint rides the checkpoint's OWN materialization
+    // job as an `observe` metric (eager localCheckpoint runs under
+    // withAction, so the CollectMetrics accumulator fires) — one job
+    // per round where fingerprint-after-checkpoint paid two. The
+    // observe node lives below the checkpoint, so the returned Dataset
+    // (a LogicalRDD) never re-fires it.
+    def checkpointWithFingerprint(e: DataFrame)
+        : (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = e.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(call_function("bit_xor",
+            xxhash64(col("_u"), col("_v"))), lit(0L)).as("x"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
     }
-    var curFp = fingerprintArcs(cur)
+    var (cur, curFp) = checkpointWithFingerprint(canon(pre))
     var rounds = 0
     var converged = curFp._1 == 0L
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val (next, nextFp) = checkpointWithFingerprint(smallStar(largeStar(cur)))
       rounds += 1
-      val nextFp = fingerprintArcs(next)
       converged = nextFp == curFp
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized — free them now instead of leaking every
+      // round's arcs to the block manager until RDD GC (r18)
+      org.apache.spark.sql.GraftPlanBridge
+        .unpersistLocalCheckpoint(cur.queryExecution.analyzed)
       cur = next
       curFp = nextFp
     }

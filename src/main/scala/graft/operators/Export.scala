@@ -464,7 +464,22 @@ object Export {
     * on conflict, restoring multi-writer safety where the filesystem
     * can't. The default is a no-op — rename semantics carry the guarantee
     * on HDFS/local (see [[commitManifest]]'s contract). */
-  trait CommitGuard { def beforeCommit(root: Path, version: Int): Unit }
+  trait CommitGuard {
+    def beforeCommit(root: Path, version: Int): Unit
+
+    /** PUBLISH FENCE (r18, advisor): called immediately before the
+      * manifest publish. A guard whose claim can be BROKEN by a lease
+      * (see [[LeaseFileCommitGuard]]) re-verifies here that this
+      * committer still holds the winning claim — a claimant stalled
+      * past its lease (GC pause, VM suspend, partition) is otherwise
+      * indistinguishable from a crashed one, and on a data store whose
+      * rename replaces (the S3A shape) BOTH the stalled claimant and
+      * the breaker would publish. Throws [[ConcurrentCommitException]]
+      * when the claim was broken. Default no-op: guards whose claim
+      * cannot be broken need no fence (the publish primitive itself
+      * serializes on HDFS/local). */
+    def beforePublish(root: Path, version: Int): Unit = ()
+  }
 
   /** The default guard: no external claim — rename/link semantics carry
     * the commit guarantee (HDFS/local). A named object so configuration
@@ -564,13 +579,19 @@ object Export {
       leaseMs: Long = DefaultVacuumHorizonMs) extends CommitGuard {
     private val scheme =
       Option(new java.net.URI(coordDir).getScheme).getOrElse("file")
-    require(!Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs",
-        "abfss", "oss", "cos", "cosn", "swift").contains(
+    // ALLOWLIST, not blocklist (r18, advisor): the guard's whole value
+    // is that create-exclusive EXCLUDES — an unlisted scheme (a new
+    // object store, a custom FS shim) must refuse by default rather
+    // than construct a lease that silently excludes nothing. file,
+    // (web)hdfs and viewfs are the filesystems whose create(…,
+    // overwrite=false) is an atomic namespace operation.
+    require(Set("file", "hdfs", "viewfs", "webhdfs").contains(
         scheme.toLowerCase(java.util.Locale.ROOT)),
-      s"spark.graft.commitGuard.path=$coordDir: scheme '$scheme' has " +
-        "no atomic create-exclusive, so a lease file there cannot " +
-        "exclude a concurrent claimant. Use a local/HDFS coordination " +
-        "dir, or back CommitGuard with a conditional PUT " +
+      s"spark.graft.commitGuard.path=$coordDir: scheme '$scheme' is " +
+        "not on the known-atomic-create-exclusive allowlist " +
+        "(file, hdfs, viewfs, webhdfs), so a lease file there cannot " +
+        "be trusted to exclude a concurrent claimant. Use a local/HDFS " +
+        "coordination dir, or back CommitGuard with a conditional PUT " +
         "(S3 If-None-Match / DynamoDB conditional write).")
     private val local = scheme == "file"
 
@@ -608,20 +629,55 @@ object Export {
         Some(System.currentTimeMillis() - mtime)
       } catch { case scala.util.control.NonFatal(_) => None }
 
-    override def beforeCommit(root: Path, version: Int): Unit = {
-      // the key is the QUALIFIED root's digest (commitManifest
-      // qualifies before calling), so path-spelling variants collapse
-      val key = java.security.MessageDigest.getInstance("SHA-1")
+    /** The claim file name this instance WON per `key#version` — the
+      * publish fence compares it against the coordination dir's current
+      * highest generation. One guard instance serves one commit
+      * ([[commitGuardFor]] resolves `lease` uncached), so the map holds
+      * at most the claims of this commit's attempts. */
+    private val wonClaims =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** QUALIFIED-root digest (commitManifest qualifies before calling),
+      * so path-spelling variants collapse into one claim namespace. */
+    private def keyOf(root: Path): String =
+      java.security.MessageDigest.getInstance("SHA-1")
         .digest(root.toString.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
+
+    /** Claim file names under the coordination dir for `key`. */
+    private def claimNames(key: String): Seq[String] = {
+      val dir = new Path(coordDir)
+      if (local) {
+        val d = java.nio.file.Paths.get(dir.toUri.getPath)
+        if (!java.nio.file.Files.isDirectory(d)) Nil
+        else {
+          val s = java.nio.file.Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.startsWith(key)).toVector
+          } finally s.close()
+        }
+      } else {
+        val cfs = dir.getFileSystem(hadoopConf)
+        if (!cfs.exists(dir)) Nil
+        else cfs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith(key))
+      }
+    }
+
+    override def beforeCommit(root: Path, version: Int): Unit = {
+      val key = keyOf(root)
       val dir = new Path(coordDir)
       def claimAt(gen: Int) = new Path(dir,
         if (gen == 0) s"$key._v$version.claim"
         else s"$key._v$version.g$gen.claim")
+      def won(gen: Int): Unit =
+        wonClaims.put(s"$key#$version", claimAt(gen).getName)
       val body = (s"root=$root\nversion=$version\n" +
         s"pid=${ProcessHandle.current.pid}\n" +
         s"claimed_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8")
-      if (tryClaim(claimAt(0), body)) return
+      if (tryClaim(claimAt(0), body)) { won(0); return }
       // BREAK a crashed claimant's lease (review r17) with GENERATIONS,
       // never by deleting or renaming the existing claim in place —
       // delete+recreate and rename+recreate both have ABA windows
@@ -639,25 +695,7 @@ object Export {
       // Tombstoned generations keep the `._v<n>...claim` suffix the
       // vacuum reclaim collects once the version leaves retention.
       val genOf = ("\\._v" + version + "(?:\\.g(\\d+))?\\.claim$").r
-      val names: Seq[String] =
-        if (local) {
-          val d = java.nio.file.Paths.get(dir.toUri.getPath)
-          if (!java.nio.file.Files.isDirectory(d)) Nil
-          else {
-            val s = java.nio.file.Files.list(d)
-            try {
-              import scala.jdk.CollectionConverters._
-              s.iterator().asScala.map(_.getFileName.toString)
-                .filter(_.startsWith(key)).toVector
-            } finally s.close()
-          }
-        } else {
-          val cfs = dir.getFileSystem(hadoopConf)
-          if (!cfs.exists(dir)) Nil
-          else cfs.listStatus(dir).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith(key))
-        }
-      val current = names.flatMap(n => genOf.findFirstMatchIn(n)
+      val current = claimNames(key).flatMap(n => genOf.findFirstMatchIn(n)
         .map(m => Option(m.group(1)).map(_.toInt).getOrElse(0)))
         .sorted.lastOption
       val stale = current.exists(g =>
@@ -665,11 +703,43 @@ object Export {
         val tfs = root.getFileSystem(hadoopConf)
         !tfs.exists(manifestPath(root, version))
       }
-      if (stale && tryClaim(claimAt(current.get + 1), body)) return
+      if (stale && tryClaim(claimAt(current.get + 1), body)) {
+        won(current.get + 1); return
+      }
       throw new ConcurrentCommitException(
         s"commit guard: version $version under $root is already " +
           s"claimed (lease ${claimAt(current.getOrElse(0)).getName})",
         version)
+    }
+
+    /** PUBLISH FENCE (r18, advisor): the lease break makes "holds the
+      * claim" a revocable state — a claimant stalled past `leaseMs`
+      * (GC pause, VM suspend, partition) looks exactly like a crashed
+      * one, a breaker claims g+1 and publishes, and when the stalled
+      * claimant wakes it would publish TOO on a data store whose
+      * rename replaces. Re-verify, immediately before the publish,
+      * that this committer's claim is still the HIGHEST generation for
+      * (root, version); refuse otherwise. Residual window (documented,
+      * irreducible with a lease): a stall that begins AFTER this check
+      * and outlasts the lease re-opens the race on replace-rename
+      * stores — the zero-window variant is a conditional-PUT backend
+      * where claim and publish are one operation; on local/HDFS data
+      * roots `publishExclusive` itself still serializes the publish,
+      * so the fence only narrows (never carries) correctness there. */
+    override def beforePublish(root: Path, version: Int): Unit = {
+      val key = keyOf(root)
+      val mine = wonClaims.get(s"$key#$version")
+      if (mine == null) return // no claim through this instance: no lease to fence
+      val genOf = ("\\._v" + version + "(?:\\.g(\\d+))?\\.claim$").r
+      val highest = claimNames(key).flatMap(n => genOf.findFirstMatchIn(n)
+        .map(m => (Option(m.group(1)).map(_.toInt).getOrElse(0), n)))
+        .sortBy(_._1).lastOption
+      if (!highest.map(_._2).contains(mine))
+        throw new ConcurrentCommitException(
+          s"commit guard: lease for version $version under $root was " +
+            s"broken while this committer was stalled (held $mine, " +
+            s"current ${highest.map(_._2).getOrElse("none")}) - " +
+            "another committer owns the version now", version)
     }
   }
 
@@ -756,7 +826,8 @@ object Export {
     // addressing one table through differently-normalized spellings
     // (scheme-qualified vs bare) must land in ONE claim namespace, or
     // both pass the guard and the lost-update window reopens
-    commitGuardFor(fs, root).beforeCommit(fs.makeQualified(root), version)
+    val guard = commitGuardFor(fs, root)
+    guard.beforeCommit(fs.makeQualified(root), version)
     val tmp = new Path(root,
       s"_tmp._v$version.manifest.${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
@@ -764,6 +835,16 @@ object Export {
       (meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++ files)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    // publish fence: a breakable-lease guard re-verifies ownership as
+    // close to the publish as a separate registry allows (r18; no-op
+    // for the in-process/none guards). A refused fence must not leak
+    // its temp file (publishExclusive owns that cleanup otherwise).
+    try guard.beforePublish(fs.makeQualified(root), version)
+    catch { case e: Throwable =>
+      try fs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
     // loser-detection through [[publishExclusive]]: hard-link CAS on a
     // local FS (atomic create-exclusive — exists()+rename had a
     // check-then-act window two truly concurrent committers could both
@@ -2051,9 +2132,31 @@ object Export {
     * Returns (versions dropped, files deleted). */
   def vacuumSnapshots(outDir: String, keep: Int,
       horizonMs: Long = DefaultVacuumHorizonMs,
-      dryRun: Boolean = false): (Int, Int) = {
+      dryRun: Boolean = false, retentionCheck: Boolean = true): (Int, Int) = {
     require(keep >= 1, s"must keep at least one version, got $keep")
     require(horizonMs >= 0, s"horizon must be non-negative, got $horizonMs")
+    // RETENTION FLOOR (advisor r17, moved HERE in r18 so every front
+    // door — SQL VACUUM, the graft_vacuum procedure, the lake-vacuum
+    // CLI verb, and direct API callers — inherits it): a horizon below
+    // the in-flight-commit bound can reclaim a concurrent committer's
+    // already-written-but-uncommitted epoch files, permanently
+    // breaking the version its manifest then publishes. DRY RUN is
+    // exempt (touches nothing — it IS the pre-flight); explicit
+    // opt-outs: `spark.graft.vacuum.retentionCheck=false`, or a caller
+    // that passes retentionCheck = false because its own option is the
+    // documented opt-in (the sink's autoVacuumHorizonMs).
+    if (!dryRun && retentionCheck && horizonMs < DefaultVacuumHorizonMs) {
+      val checkOn = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .forall(_.conf.get("spark.graft.vacuum.retentionCheck", "true")
+          .toBoolean)
+      require(!checkOn,
+        s"vacuum horizon ${horizonMs}ms is below the in-flight-commit " +
+          "floor (1 hour): a concurrent committer's " +
+          "written-but-uncommitted epoch files could be reclaimed. Set " +
+          "spark.graft.vacuum.retentionCheck=false to override when no " +
+          "writer can possibly be live.")
+    }
     val (fs, root) = fsRoot(outDir)
     // full listing ON PURPOSE (not the hint): a crashed earlier vacuum may
     // have shrunk the hint before finishing its deletes — only the listing
@@ -4526,14 +4629,27 @@ object Export {
     * statement-time relation. Harmless for every other predicate. */
   private[graft] val DmlOuterAlias = "__graft_outer__"
 
+  /** A planned DML predicate: the pinned execution predicate, the
+    * pruning conjuncts, and the localCheckpoint-pinned subquery plans
+    * whose block storage the caller must release after the commit
+    * ([[DmlPlanned.release]] — r18, advisor finding: the checkpointed
+    * blocks otherwise leak until RDD GC). */
+  private final case class DmlPlanned(cond: Column,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      pinned: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]) {
+    def release(): Unit = pinned.foreach(
+      org.apache.spark.sql.GraftPlanBridge.unpersistLocalCheckpoint)
+  }
+
   private def dmlPlan(spark: SparkSession, cond: Column,
-      canExpand: Boolean = true)
-      : (Column, Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      canExpand: Boolean = true): DmlPlanned =
     try {
       import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
       val e0 = org.apache.spark.sql.GraftColumnBridge
         .catalystExpression(cond)
       var pinnedAny = false
+      val pinnedPlans = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
       // the pin exists to keep the PRUNING PROBE and the execution
       // filter on one snapshot — with nothing to prune (canExpand
       // false: a tagless bulk-loaded table) the filter is the sole
@@ -4553,7 +4669,9 @@ object Export {
             val ck = org.apache.spark.sql.GraftPlanBridge
               .ofRows(spark, lq.plan).localCheckpoint()
             pinnedAny = true
-            InSubquery(values, lq.withNewPlan(ck.queryExecution.analyzed)
+            val analyzed = ck.queryExecution.analyzed
+            pinnedPlans += analyzed
+            InSubquery(values, lq.withNewPlan(analyzed)
               .asInstanceOf[ListQuery])
           } catch { case scala.util.control.NonFatal(_) => in }
       }
@@ -4563,9 +4681,11 @@ object Export {
         else cond
       val cs = graft.sources.GraftLakeBatch.splitConjuncts(
         graft.sources.GraftLakeBatch.normalizeOps(pinned))
-      (pcond, if (canExpand) expandSubqueryConjuncts(spark, cs) else cs)
+      DmlPlanned(pcond,
+        if (canExpand) expandSubqueryConjuncts(spark, cs) else cs,
+        pinnedPlans.toSeq)
     } catch { case scala.util.control.NonFatal(_) =>
-      (cond, Seq.empty) }
+      DmlPlanned(cond, Seq.empty, Seq.empty) }
 
   /** One manifest data line decoded to its [[ManifestEntry]] — the
     * single decode point the DML pruning paths share. */
@@ -4618,31 +4738,33 @@ object Export {
     val physOf: Map[String, String] = stOpt
       .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
       .getOrElse(Map.empty)
-    val (pcond, conjuncts) = dmlPlan(spark, cond,
-      canExpand = anyPruningTags(lines))
-    val (hit, rest) = pruneLines(lines, conjuncts, physOf)
-    if (hit.isEmpty) return latest // every file provably misses: no-op
-    // SQL DELETE semantics: remove rows where the predicate is TRUE —
-    // a NULL-evaluating predicate KEEPS the row. A plain filter(!cond)
-    // would drop NULL rows too (filter discards NULL), silently purging
-    // every row with a NULL in the predicate's columns.
-    val keep = !coalesce(pcond, lit(false))
-    val rows = readFilesAs(spark, fs, root, latest,
-      hit.map(pathOf).toIndexedSeq).alias(DmlOuterAlias).filter(keep)
-    val partCols = snapshotPartitionColumns(outDir, latest)
-    val fresh =
-      if (partCols.nonEmpty)
-        writePartitionedEpoch(spark, fs, root, latest + 1, rows,
-          partCols, math.max(1, hit.size), None)
-      else writeEpoch(fs, root, latest + 1, rows)._2
-    // retries over interleaved APPENDS (delete-first serialization:
-    // their rows were never visible to the predicate); anything else
-    // raises the typed conflict
-    commitRewriteThenAppends(fs, root, latest, lines, rest ++ fresh,
-      Map("deleted_from" -> latest.toString,
-        "deleted_files" -> hit.size.toString),
-      stOpt.map(_.json).getOrElse(rows.schema.json),
-      op = "delete")
+    val dml = dmlPlan(spark, cond, canExpand = anyPruningTags(lines))
+    try {
+      val (pcond, conjuncts) = (dml.cond, dml.conjuncts)
+      val (hit, rest) = pruneLines(lines, conjuncts, physOf)
+      if (hit.isEmpty) return latest // every file provably misses: no-op
+      // SQL DELETE semantics: remove rows where the predicate is TRUE —
+      // a NULL-evaluating predicate KEEPS the row. A plain filter(!cond)
+      // would drop NULL rows too (filter discards NULL), silently purging
+      // every row with a NULL in the predicate's columns.
+      val keep = !coalesce(pcond, lit(false))
+      val rows = readFilesAs(spark, fs, root, latest,
+        hit.map(pathOf).toIndexedSeq).alias(DmlOuterAlias).filter(keep)
+      val partCols = snapshotPartitionColumns(outDir, latest)
+      val fresh =
+        if (partCols.nonEmpty)
+          writePartitionedEpoch(spark, fs, root, latest + 1, rows,
+            partCols, math.max(1, hit.size), None)
+        else writeEpoch(fs, root, latest + 1, rows)._2
+      // retries over interleaved APPENDS (delete-first serialization:
+      // their rows were never visible to the predicate); anything else
+      // raises the typed conflict
+      commitRewriteThenAppends(fs, root, latest, lines, rest ++ fresh,
+        Map("deleted_from" -> latest.toString,
+          "deleted_files" -> hit.size.toString),
+        stOpt.map(_.json).getOrElse(rows.schema.json),
+        op = "delete")
+    } finally dml.release()
   }
 
   /** Commit a ROW-LEVEL rewrite (delete/update/merge — CoW or MoR)
@@ -4733,38 +4855,40 @@ object Export {
     // non-analyzable predicate simply prunes nothing
     val physOf: Map[String, String] =
       st.fields.map(f => f.name -> physicalOf(f)).toMap
-    val (pcond, conjuncts) = dmlPlan(spark, cond,
-      canExpand = anyPruningTags(lines))
-    val (hit, rest) = pruneLines(lines, conjuncts, physOf)
-    if (hit.isEmpty) return latest // every file provably misses: no-op
-    val version = latest + 1
-    // DV-aware, physical-decoded, logical-projected — the standard funnel
-    val rows = readFilesAs(spark, fs, root, latest,
-      hit.map(pathOf).toIndexedSeq).alias(DmlOuterAlias)
-    val hitCond = coalesce(pcond, lit(false))
-    val setMap = sets.toMap
-    val updated = rows.select(st.fields.toSeq.map { f =>
-      setMap.get(f.name) match {
-        case Some(v) =>
-          when(hitCond, v.cast(nullableType(f.dataType)))
-            .otherwise(colQ(f.name))
-            .as(f.name, f.metadata)
-        case None => colQ(f.name)
-      }
-    }: _*)
-    val partCols = snapshotPartitionColumns(outDir, latest)
-    val fresh =
-      if (partCols.nonEmpty)
-        // re-laid-out with fresh p= specs: the rewrite must not leave a
-        // partitioned table inconsistently partitioned
-        writePartitionedEpoch(spark, fs, root, version, updated,
-          partCols, math.max(1, hit.size), None)
-      else writeEpoch(fs, root, version, updated)._2
-    commitRewriteThenAppends(fs, root, latest, lines, rest ++ fresh,
-      meta ++ Map(
-        "updated_from" -> latest.toString,
-        "updated_files" -> hit.size.toString),
-      st.json, op = "update")
+    val dml = dmlPlan(spark, cond, canExpand = anyPruningTags(lines))
+    try {
+      val (pcond, conjuncts) = (dml.cond, dml.conjuncts)
+      val (hit, rest) = pruneLines(lines, conjuncts, physOf)
+      if (hit.isEmpty) return latest // every file provably misses: no-op
+      val version = latest + 1
+      // DV-aware, physical-decoded, logical-projected — the standard funnel
+      val rows = readFilesAs(spark, fs, root, latest,
+        hit.map(pathOf).toIndexedSeq).alias(DmlOuterAlias)
+      val hitCond = coalesce(pcond, lit(false))
+      val setMap = sets.toMap
+      val updated = rows.select(st.fields.toSeq.map { f =>
+        setMap.get(f.name) match {
+          case Some(v) =>
+            when(hitCond, v.cast(nullableType(f.dataType)))
+              .otherwise(colQ(f.name))
+              .as(f.name, f.metadata)
+          case None => colQ(f.name)
+        }
+      }: _*)
+      val partCols = snapshotPartitionColumns(outDir, latest)
+      val fresh =
+        if (partCols.nonEmpty)
+          // re-laid-out with fresh p= specs: the rewrite must not leave a
+          // partitioned table inconsistently partitioned
+          writePartitionedEpoch(spark, fs, root, version, updated,
+            partCols, math.max(1, hit.size), None)
+        else writeEpoch(fs, root, version, updated)._2
+      commitRewriteThenAppends(fs, root, latest, lines, rest ++ fresh,
+        meta ++ Map(
+          "updated_from" -> latest.toString,
+          "updated_files" -> hit.size.toString),
+        st.json, op = "update")
+    } finally dml.release()
   }
 
   /** MERGE-ON-READ UPDATE — [[updateWhere]]'s narrow-predicate shape:
@@ -4802,10 +4926,10 @@ object Export {
     // files are never read
     val physOf: Map[String, String] =
       st.fields.map(f => f.name -> physicalOf(f)).toMap
-    val (pcond, conjuncts) = dmlPlan(spark, cond,
-      canExpand = anyPruningTags(lines))
+    val dml = dmlPlan(spark, cond, canExpand = anyPruningTags(lines))
+    val (pcond, conjuncts) = (dml.cond, dml.conjuncts)
     val candidate = pruneLines(lines, conjuncts, physOf)._1
-    if (candidate.isEmpty) return latest
+    if (candidate.isEmpty) { dml.release(); return latest }
     val candFiles = candidate.map(pathOf).toIndexedSeq
     val cols = st.fieldNames.toSeq
     val fcol = freshName("__upd_file", cols)
@@ -4895,7 +5019,7 @@ object Export {
           "mor_updated_from" -> latest.toString,
           "dv_positions" -> counts.values.sum.toString),
         st.json, op = "merge")
-    } finally matched.unpersist()
+    } finally { matched.unpersist(); dml.release() }
   }
 
   /** MERGE-ON-READ DELETE with deletion vectors (the Delta DV /
@@ -4937,11 +5061,12 @@ object Export {
     val physPrune: Map[String, String] = stOpt
       .map(_.fields.map(f => f.name -> physicalOf(f)).toMap)
       .getOrElse(Map.empty)
-    val (pcond, pruneConjuncts) = dmlPlan(spark, cond,
-      canExpand = anyPruningTags(lines))
+    val dml = dmlPlan(spark, cond, canExpand = anyPruningTags(lines))
+    val (pcond, pruneConjuncts) = (dml.cond, dml.conjuncts)
     val scanLines = pruneLines(lines, pruneConjuncts, physPrune)._1
-    if (scanLines.isEmpty) return latest // no file can hold a match
+    if (scanLines.isEmpty) { dml.release(); return latest }
     val files = scanLines.map(pathOf).toIndexedSeq
+    try {
     // decode by PHYSICAL name, surface the metadata position columns
     // BEFORE projecting back to logical names (the predicate is on
     // logical columns; metadata resolves only on the scan output)
@@ -5009,6 +5134,7 @@ object Export {
         org.apache.spark.sql.types.StructType(base.schema.fields
           .filterNot(f => f.name == fcol || f.name == pcol)).json),
       op = "delete")
+    } finally dml.release()
   }
 
   /** MERGE-ON-READ UPSERT — [[deleteWhereMoR]]'s shape for MERGE: one

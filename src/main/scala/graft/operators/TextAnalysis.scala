@@ -66,13 +66,10 @@ object TextAnalysis {
       .cast("long") / lit((w.length + 2).toLong)).cast("long")
 
   /** Language markers: tiny per-language stopword lists (n-gram heuristic).
-    * Deterministic argmax with fixed tie order (en,de,fr,es,zh). */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "fr" -> Seq("le", "la", "les", "et", "est"),
-    "es" -> Seq("el", "los", "de", "y", "es"),
-    "zh" -> Seq("的", "是", "了", "在", "和"))
+    * Deterministic argmax with fixed tie order (en,de,fr,es,zh). Single
+    * source of truth lives next to the one-pass kernel. */
+  val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.TextScore.langMarkers
 
   def langScores(text: Column): Seq[(String, Column)] = {
     val padded = concat(lit(" "), lower(text), lit(" "))
@@ -81,8 +78,22 @@ object TextAnalysis {
     }
   }
 
-  /** Best-scoring language, 'und' when no marker hits. */
-  def langId(text: Column): Column = {
+  /** Best-scoring language, 'und' when no marker hits.
+    *
+    * r18: delegated to the one-pass codegen kernel
+    * [[graft.functions.TextScore.langId]] — bit-identical values
+    * (locked by `TextScoreSpec` against [[legacyLangId]], the original
+    * `functions._` tree, which `langIdSql` still replays for the
+    * oracle), ~an order of magnitude less per-row string work, and a
+    * tiny expression tree where the old one re-inlined 25 marker
+    * subtrees at every optimizer duplication site. */
+  def langId(text: Column): Column =
+    graft.functions.TextScore.langIdCol(text)
+
+  /** The pre-r18 pure-`functions._` langId tree — kept as the
+    * equivalence reference for `TextScoreSpec` (it IS the formula the
+    * DuckDB oracle replays via [[langIdSql]]). */
+  private[graft] def legacyLangId(text: Column): Column = {
     val scores = langScores(text)
     val best = scores.map(_._2).reduce(greatest(_, _))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
@@ -107,8 +118,18 @@ object TextAnalysis {
 
   /** Quality score in [0,100]: length band + alpha ratio + stopword
     * presence + token-length band − punctuation excess. Pure integer
-    * comparisons (no division) so any engine reproduces it bit-exactly. */
-  def qualityScore(text: Column): Column = {
+    * comparisons (no division) so any engine reproduces it bit-exactly.
+    *
+    * r18: delegated to the one-pass codegen kernel
+    * [[graft.functions.TextScore.qualityScore]] — bit-identical values
+    * (locked by `TextScoreSpec` against [[legacyQualityScore]], which
+    * [[qualityScoreSql]] still replays for the oracle). */
+  def qualityScore(text: Column): Column =
+    graft.functions.TextScore.qualityScoreCol(text)
+
+  /** The pre-r18 pure-`functions._` qualityScore tree — the
+    * equivalence reference for `TextScoreSpec`. */
+  private[graft] def legacyQualityScore(text: Column): Column = {
     val len = length(text).cast("long")
     val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
     val punct = length(regexp_replace(text, "[^!?.,;:]", "")).cast("long")
@@ -117,7 +138,8 @@ object TextAnalysis {
       .when(len.between(20, 99), lit(20L)).otherwise(lit(0L))
     val alphaScore = when(alpha * 10 >= len * 7, lit(20L))
       .when(alpha * 10 >= len * 5, lit(10L)).otherwise(lit(0L))
-    val stopScore = when(langId(text) =!= "und", lit(20L)).otherwise(lit(0L))
+    val stopScore = when(legacyLangId(text) =!= "und", lit(20L))
+      .otherwise(lit(0L))
     val punctPenalty = when(punct * 10 > len, lit(20L)).otherwise(lit(0L))
     val tokScore = when(toks > 0 && len >= toks * 4 && len <= toks * 10, lit(10L))
       .otherwise(lit(0L))

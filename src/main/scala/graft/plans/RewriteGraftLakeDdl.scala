@@ -333,26 +333,11 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
           val horizonMs = ms.retainHours
             .map(h => (h * 3600000.0).toLong)
             .getOrElse(Export.DefaultVacuumHorizonMs)
-          // RETENTION FLOOR (advisor r17): a horizon below the
-          // in-flight-commit bound can reclaim a concurrent
-          // committer's already-written-but-uncommitted epoch files,
-          // permanently breaking the version its manifest then
-          // publishes — refuse unless the operator explicitly opts
-          // out (tests, decommissioned tables: no writer can be
-          // live). DRY RUN is exempt: it touches nothing, and its
-          // report is the pre-flight that tells you what a forced
-          // run WOULD reclaim.
-          if (!dry && horizonMs < Export.DefaultVacuumHorizonMs) {
-            val checkOn = SparkSession.active.conf
-              .get("spark.graft.vacuum.retentionCheck", "true").toBoolean
-            require(!checkOn,
-              s"VACUUM RETAIN ${ms.retainHours.getOrElse(0.0)} HOURS " +
-                "is below the in-flight-commit floor (1 hour): a " +
-                "concurrent committer's written-but-uncommitted epoch " +
-                "files could be reclaimed. Set " +
-                "spark.graft.vacuum.retentionCheck=false to override " +
-                "when no writer can possibly be live.")
-          }
+          // RETENTION FLOOR: enforced inside Export.vacuumSnapshots
+          // since r18 (advisor: the CLI verb and the bare API accepted
+          // sub-floor horizons with no check — one shared guard now
+          // covers every front door; DRY RUN exempt, override via
+          // spark.graft.vacuum.retentionCheck=false).
           val (dv, df) = Export.vacuumSnapshots(dir, 1, horizonMs,
             dryRun = dry)
           Seq(Seq(dv.toLong, df.toLong))
@@ -380,14 +365,15 @@ final case class RewriteGraftLakeDdl(spark: SparkSession)
       .map(_.toString)
       .getOrElse(throw new IllegalArgumentException(
         "OPTIMIZE ... WHERE: NULL is not a partition value"))
-    // range conjuncts compare TYPED (integrals/DATE as longs — the
-    // prune kernel's shapes); anything else refuses rather than
+    // range conjuncts compare TYPED (integrals/DATE/TIMESTAMP as longs
+    // — the prune kernel's shapes); anything else refuses rather than
     // silently scoping the whole table
     def rng(a: UnresolvedAttribute, op: String, l: Literal)
         : (String, String, Literal) = {
       require(graft.sources.GraftLakeBatch.longOf(l).isDefined,
-        s"OPTIMIZE ... WHERE range conjuncts support integral and " +
-          s"DATE partition-column literals only, got: ${l.dataType.sql}")
+        s"OPTIMIZE ... WHERE range conjuncts support integral, DATE " +
+          s"and TIMESTAMP partition-column literals only, got: " +
+          s"${l.dataType.sql}")
       (a.name, op, l)
     }
     val eqs = Seq.newBuilder[(String, String)]

@@ -274,9 +274,14 @@ final class GraftLakeSink(spark: SparkSession,
       // survivor and carries the batch watermark forward, so
       // exactly-once survives any keep; the default in-flight horizon
       // protects a concurrent committer's unreferenced fresh files
+      // an EXPLICIT autoVacuumHorizonMs is the documented per-sink
+      // opt-in ("lower it only when no other writer can be
+      // mid-commit"), so it bypasses the shared retention floor; the
+      // default horizon is the floor itself and always passes
       autoVacuumKeep.foreach(k =>
         Export.vacuumSnapshots(path, keep = k,
-          horizonMs = autoVacuumHorizonMs))
+          horizonMs = autoVacuumHorizonMs,
+          retentionCheck = opt("autoVacuumHorizonMs").isEmpty))
     }
 
   override def toString: String = s"GraftLakeSink[$path, $mode]"

@@ -12,4 +12,18 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Free the block-manager storage behind a `localCheckpoint`ed plan
+    * (r18, advisor finding): `Dataset.unpersist` only drops
+    * cache-manager entries, so the blocks a local checkpoint persisted
+    * otherwise live until RDD GC — a leak that accumulates across every
+    * subquery-bearing DML in a long session. Walks the plan for the
+    * `LogicalRDD` the checkpoint produced and unpersists its RDD
+    * (non-blocking). Callers must be DONE evaluating the plan: a local
+    * checkpoint has no lineage to recompute from. */
+  def unpersistLocalCheckpoint(plan: LogicalPlan): Unit = plan.foreach {
+    case r: org.apache.spark.sql.execution.LogicalRDD =>
+      r.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
 }

@@ -25,6 +25,11 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // reference supports GB18030 data files (S7) - allow JVM charsets
       .config("spark.sql.legacy.javaCharsets", "true")
+      // tests are the documented retention-floor opt-out (no writer can
+      // be live on a fixture table); the refusal default itself is
+      // pinned by GraftLakeDmlSpec, which sets this back to true around
+      // its intercept
+      .config("spark.graft.vacuum.retentionCheck", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

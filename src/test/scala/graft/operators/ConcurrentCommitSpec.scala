@@ -479,17 +479,22 @@ class VersionHintRunsSpec extends SparkSpec {
     }
   }
 
-  test("lease guard SCHEME honesty (r17 review): an object-store coordination dir refuses at construction — create-exclusive is not atomic there, so a lease would exclude nothing") {
-    Seq("s3a://bucket/claims", "s3://b/c", "gs://b/c", "abfss://c@a/x")
+  test("lease guard SCHEME honesty (r17 review; r18 allowlist): any scheme off the known-atomic-create-exclusive ALLOWLIST refuses at construction — object stores AND unknown/custom filesystems alike") {
+    Seq("s3a://bucket/claims", "s3://b/c", "gs://b/c", "abfss://c@a/x",
+        // r18 (advisor): unlisted schemes refuse BY DEFAULT — a new
+        // object store or custom FS shim must not construct a lease
+        // that silently excludes nothing
+        "newstore://b/c", "racyfs:///claims", "moosefs://x/y")
       .foreach { p =>
         val e = intercept[IllegalArgumentException](
           new Export.LeaseFileCommitGuard(p))
-        assert(e.getMessage.contains("no atomic create-exclusive"), p)
+        assert(e.getMessage.contains("allowlist"), p)
       }
     // local and hdfs-style schemes construct fine
     new Export.LeaseFileCommitGuard("target/qtmp_racyfs/schemeok")
     new Export.LeaseFileCommitGuard("file:/tmp/claims")
     new Export.LeaseFileCommitGuard("hdfs://nn:8020/claims")
+    new Export.LeaseFileCommitGuard("viewfs://cluster/claims")
   }
 
   test("lease EXPIRY (r17 review): a crashed claimant's stale, never-published claim is broken via a next-GENERATION claim — the table un-wedges after one lease window; fresh claims and published versions stay protected") {
@@ -538,6 +543,39 @@ class VersionHintRunsSpec extends SparkSpec {
       spark.conf.unset("spark.graft.commitGuard")
       spark.conf.unset("spark.graft.commitGuard.path")
     }
+  }
+
+  test("lease PUBLISH FENCE (r18, advisor): a claimant stalled past its lease wakes to find its claim broken and REFUSES at the publish fence instead of double-publishing; the breaker's fence passes") {
+    val local = new java.io.File("target/qtmp_racyfs", "leasefence")
+    graft.util.Dirs.deleteRec(local)
+    local.mkdirs()
+    val (fs, root0) = Export.fsRoot(local.getAbsolutePath)
+    val root = fs.makeQualified(root0)
+    val coord = new java.io.File("target/qtmp_racyfs", "leasefence_coord")
+    graft.util.Dirs.deleteRec(coord)
+    coord.mkdirs()
+    // two separately constructed instances = the two-JVM model
+    val stalled = new Export.LeaseFileCommitGuard(coord.getAbsolutePath)
+    val breaker = new Export.LeaseFileCommitGuard(coord.getAbsolutePath)
+    stalled.beforeCommit(root, 1) // claims g0, then stalls...
+    val key = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(root.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val g0 = new java.io.File(coord, s"$key._v1.claim")
+    assert(g0.exists())
+    assert(g0.setLastModified(
+      System.currentTimeMillis() - 2L * 3600 * 1000)) // ...past the lease
+    breaker.beforeCommit(root, 1) // breaks: claims g1
+    assert(new java.io.File(coord, s"$key._v1.g1.claim").exists())
+    // the stalled claimant wakes at its commit point: the fence refuses
+    val e = intercept[Export.ConcurrentCommitException](
+      stalled.beforePublish(root, 1))
+    assert(e.winning === 1)
+    // the breaker (current highest generation) publishes fine
+    breaker.beforePublish(root, 1)
+    // an instance that never claimed has no lease to fence: no-op
+    new Export.LeaseFileCommitGuard(coord.getAbsolutePath)
+      .beforePublish(root, 1)
   }
 }
 

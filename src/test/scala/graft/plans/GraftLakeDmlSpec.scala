@@ -1134,12 +1134,13 @@ class GraftLakeDmlSpec extends SparkSpec {
     // in-flight-commit floor, so it refuses without the explicit
     // override (advisor r17) and reclaims everything with it
     val files0 = E.snapshotFiles(dir, vC).size
-    intercept[Exception](
+    // the shared test session opts out of the floor (SparkSpec); pin
+    // the refusal DEFAULT here by setting the check back on
+    spark.conf.set("spark.graft.vacuum.retentionCheck", "true")
+    try intercept[Exception](
       spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect())
-    spark.conf.set("spark.graft.vacuum.retentionCheck", "false")
-    val vr =
-      try spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect().head
-      finally spark.conf.unset("spark.graft.vacuum.retentionCheck")
+    finally spark.conf.set("spark.graft.vacuum.retentionCheck", "false")
+    val vr = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect().head
     assert(vr.getLong(0) > 0, "VACUUM must drop old versions")
     assert(spark.sql("SELECT count(*) FROM gld.ns.opt")
       .collect().head.getLong(0) === 150,
