@@ -39,9 +39,11 @@ object Profile {
       val q = SparkEntry.queries(name)
       val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
-        q(spark, sfDir).count()
+        val df = q(spark, sfDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        df.count()
         val s = (System.nanoTime() - t0) / 1e9
-        println(f"""{"query":"$name","rep":$i,"sec":$s%.3f}""")
+        println(f"""{"query":"$name","rep":$i,"sec":$s%.3f,"build_sec":$tBuild%.3f}""")
         s
       }
       if (doExplain) {

@@ -39,11 +39,26 @@ object InvertedIndex {
     * alone (cost: one posexplode + the position arrays' bytes; leave
     * it off for boolean/BM25-only serving). */
   def buildPostings(df: DataFrame, textCol: String,
-      idCol: String, withPositions: Boolean = false): DataFrame = {
-    val toks = df.filter(col(textCol).isNotNull)
+      idCol: String, withPositions: Boolean = false): DataFrame =
+    buildPostingsObserved(df, textCol, idCol, withPositions, None)
+
+  /** [[buildPostings]] with an optional corpus-stats observation: the
+    * (n_docs, Σdl) constants the `_global` sidecar needs ride the
+    * postings job's OWN materialization as `observe` metrics (r18) —
+    * the index build reads and tokenizes the corpus ONCE where it
+    * previously paid a second full scan just for two numbers. At
+    * 100 TB that second pass IS a corpus read. */
+  private def buildPostingsObserved(df: DataFrame, textCol: String,
+      idCol: String, withPositions: Boolean,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val toks0 = df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         Dedup.tokensOf(Dedup.normalized(col(textCol))).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
+    val toks = obs.map(o => toks0.observe(o,
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
+      .getOrElse(toks0)
     if (withPositions)
       toks.select(col(idCol), col("dl"),
           posexplode(col("_toks")).as(Seq("_p", "token")))
@@ -78,20 +93,17 @@ object InvertedIndex {
       withPositions: Boolean = false): Unit = {
     require(nShards > 0 && nShards <= 65536,
       s"sharding addresses at most 65536 shards, got $nShards")
-    buildPostings(df, textCol, idCol, withPositions)
+    // corpus constants ride the postings write as observe metrics (one
+    // corpus scan+tokenize, not two — r18)
+    val obs = org.apache.spark.sql.Observation()
+    buildPostingsObserved(df, textCol, idCol, withPositions, Some(obs))
       .withColumn("shard", shardExpr(col("token"), nShards))
       .sortWithinPartitions("shard", "token")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    df.filter(col(textCol).isNotNull)
-      .select(size(Dedup.tokensOf(Dedup.normalized(col(textCol))))
-        .cast("long").as("_dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("sum_dl"))
-      .withColumn("n_shards", lit(nShards))
-      .withColumn("hash", lit(hashKindOf(nShards)))
-      .withColumn("id_col", lit(idCol))
-      .withColumn("positions", lit(withPositions))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/_global")
+    val m = obs.get
+    writeGlobal(df.sparkSession, outDir, IndexMeta(
+      m("n_docs").asInstanceOf[Long], m("sum_dl").asInstanceOf[Long],
+      nShards, hashKindOf(nShards), idCol, withPositions))
   }
 
   /** Shard addressing by count: ≤ 16 keeps the original md5-nibble
@@ -157,21 +169,20 @@ object InvertedIndex {
       indexDir: String): Unit = {
     val m = readGlobal(spark, indexDir)
     // the layout contract rides _global: an append into a positional
-    // index carries positions too, so searchPhrase keeps serving
-    buildPostings(df, textCol, m.idCol, m.positions)
+    // index carries positions too, so searchPhrase keeps serving. The
+    // batch's (count, Σdl) ride the postings append as observe metrics
+    // — one batch scan+tokenize, not two (r18)
+    val obs = org.apache.spark.sql.Observation()
+    buildPostingsObserved(df, textCol, m.idCol, m.positions, Some(obs))
       .withColumn("shard",
         if (m.hash == "wide") Export.shardOfWide(col("token"), m.nShards)
         else Export.shardOf(col("token"), m.nShards))
       .sortWithinPartitions("shard", "token")
       .write.mode("append").partitionBy("shard").parquet(indexDir)
-    val s = df.filter(col(textCol).isNotNull)
-      .select(size(Dedup.tokensOf(Dedup.normalized(col(textCol))))
-        .cast("long").as("_dl"))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("_dl")), lit(0L)).as("s"))
-      .collect()(0)
+    val s = obs.get
     writeGlobal(spark, indexDir, m.copy(
-      nDocs = m.nDocs + s.getAs[Long]("n"),
-      sumDl = m.sumDl + s.getAs[Long]("s")))
+      nDocs = m.nDocs + s("n_docs").asInstanceOf[Long],
+      sumDl = m.sumDl + s("sum_dl").asInstanceOf[Long]))
   }
 
   /** Tombstone DELETE for the serving index — the merge-on-read

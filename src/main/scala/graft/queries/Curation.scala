@@ -12,6 +12,15 @@ import graft.util.Tables
   */
 object Curation {
 
+  /** LRU bound shared by every per-source-dir artifact cache below.
+    * MUST be declared before the first DirCache that references it:
+    * Scala object vals initialize in source order, and a cache
+    * constructed before this val would read 0 — a DirCache that evicts
+    * on every put, i.e. a silently dead cache (r18: exactly that bug
+    * made the unigram cache re-train on every call; DirCache now
+    * refuses maxEntries < 1). */
+  private val CachedDirs = 4
+
   private val NormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
@@ -1032,14 +1041,34 @@ object Curation {
     * — so the learned merge tables are identical, greedy-overlap
     * semantics included. `left`/`right` are renamed (`merge_left`/
     * `merge_right`) only because they are SQL keywords. */
+  /** Train-once/reuse cache for the 6 learned BPE merges (r18 — the
+    * unigramCache pattern): txt_bpe and txt_bpe_apply trained the
+    * IDENTICAL merge table on the identical corpus twice (6 argmax
+    * jobs each); the trained artifact is ≤6 driver rows, so both gates
+    * now share one training run per dir. */
+  private val bpeMergesCache =
+    new graft.util.DirCache[Seq[(Int, String, String, Long)]](
+      CachedDirs, _ => ())
+
+  private def bpeMergesFor(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] =
+    bpeMergesCache.getOrElseUpdate(dir, {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val words = docs.select(explode(graft.operators.Dedup.tokensOf(
+          graft.operators.Dedup.normalized(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      graft.operators.CorpusStats.bpeMerges(words, "w", "cnt",
+          rounds = BpeRounds)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    })
+
   def txt_bpe(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
-    val words = docs.select(explode(graft.operators.Dedup.tokensOf(
-        graft.operators.Dedup.normalized(col("text")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    graft.operators.CorpusStats.bpeMerges(words, "w", "cnt", rounds = 6)
-      .select(col("round"), col("left").as("merge_left"),
-        col("right").as("merge_right"), col("pair_count"))
+    import s.implicits._
+    bpeMergesFor(s, dir)
+      .toDF("round", "merge_left", "merge_right", "pair_count")
       .orderBy(col("round"))
   }
 
@@ -1092,13 +1121,7 @@ object Curation {
     * word→symbols dict on both sides. */
   def txt_bpe_apply(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
-    val words = docs.select(explode(graft.operators.Dedup.tokensOf(
-        graft.operators.Dedup.normalized(col("text")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val merges = graft.operators.CorpusStats
-      .bpeMerges(words, "w", "cnt", rounds = BpeRounds)
-      .orderBy("round").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = bpeMergesFor(s, dir).map(m => (m._2, m._3))
     graft.operators.CorpusStats.bpeSegment(docs, "text", "doc_id", merges)
       .orderBy("doc_id")
   }
@@ -1280,7 +1303,12 @@ object Curation {
   import graft.util.DirCache
   /** ≤ 4 source dirs' artifacts each; a dir re-touched after eviction just
     * retrains (correctness never depends on the cache). */
-  private val CachedDirs = 4
+  // (r18) CachedDirs moved ABOVE every DirCache declaration — see its
+  // new home near the top of the object. A val declared AFTER a cache
+  // that referenced it initialized that cache with maxEntries = 0
+  // (Scala object vals initialize in source order), and a 0-entry
+  // DirCache evicts on every put — the unigram cache silently
+  // re-trained on every call. DirCache now refuses maxEntries < 1.
 
   /** Per-directory MinHash signature cache (train-once/reuse pattern —
     * same as the SimHash and IVF caches below). PACKED binary signatures:

@@ -10,6 +10,12 @@ package graft.util
   * re-touched after eviction simply rebuilds — correctness never depends
   * on the cache. */
 final class DirCache[V](maxEntries: Int, release: V => Unit) {
+  // a 0-entry cache evicts on every put — every getOrElseUpdate
+  // rebuilds, which is a silent train-twice bug, not a cache (r18:
+  // an object-initialization-order accident constructed exactly that)
+  require(maxEntries >= 1,
+    s"DirCache needs maxEntries >= 1, got $maxEntries (a constant " +
+      "declared after the cache that references it reads as 0)")
   private val entries = new java.util.LinkedHashMap[String, V](
       16, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
