@@ -379,9 +379,10 @@ object Dedup {
   def minhashSignaturesPacked(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, numHashes: Int = 32): DataFrame = {
     import graft.functions.SketchExpressions.minhashSigsPacked
-    df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("_id"),
-        minhashSigsPacked(normalized(col(textCol)), k, numHashes).as("_sig"))
+    spreadIfNarrow(df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("_id"), col(textCol).as("_t")), col("_id"))
+      .select(col("_id"),
+        minhashSigsPacked(normalized(col("_t")), k, numHashes).as("_sig"))
       .repartition(col("_id"))
   }
 
@@ -517,9 +518,36 @@ object Dedup {
     * CurationOpsSpec); tokenless docs are filtered to match the explode
     * form's row set, and dedup_simhash_verify's INDEPENDENT `simhashOf`
     * lambda reimplementation now also cross-checks this kernel. */
+  /** Scale-adaptive pre-kernel spread (r18; guide §2: partitioning
+    * derives from the input, never a constant): a tiny or unsplittable
+    * input — a one-row-group parquet fixture, a single gzip — arrives
+    * as fewer scan partitions than the cluster has slots, so a heavy
+    * per-row sketch kernel downstream runs effectively single-threaded
+    * while the rest of the cluster idles. When (and only when) the
+    * input is narrower than the default parallelism, hash-repartition
+    * by the deterministic id BEFORE the kernel: the shuffled bytes are
+    * the raw text of an input that is small by construction. A
+    * corpus-sized input already arrives wider than the cluster, the
+    * spread is a NO-OP, and the kernel-then-shuffle shape that moves
+    * signatures — never text — at 100 TB is preserved. */
+  private def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    // toRdd is lazy for the scan+project frames this helper receives
+    // (no exchange ⇒ not adaptive); a frame that somehow can't answer
+    // its partition count just skips the spread
+    val parts =
+      try df.queryExecution.toRdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    if (parts < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, key)
+    else df
+  }
+
   def simhashSketches(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     import graft.functions.SketchExpressions.simhash64
-    df.select(col(idCol).as("_id"), normalized(col(textCol)).as("_norm"))
+    spreadIfNarrow(df.select(col(idCol).as("_id"), col(textCol).as("_t")),
+        col("_id"))
+      .select(col("_id"), normalized(col("_t")).as("_norm"))
       .filter(col("_norm") =!= "") // explode form emits no row for these
       .select(col("_id"), simhash64(col("_norm")).as("_h"))
       .repartition(col("_id")) // barrier: band exprs read an attribute
@@ -712,8 +740,9 @@ object Dedup {
     * bit-for-bit (unlike the xxhash64 production kernel, whose gates are
     * estimator-band verifies). Returns (`_id`, sig_0..sig_7). */
   def md5Signatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val norm = df.select(col(idCol).as("_id"),
-      normalized(col(textCol)).as("s"))
+    val norm = spreadIfNarrow(
+        df.select(col(idCol).as("_id"), col(textCol).as("_t")), col("_id"))
+      .select(col("_id"), normalized(col("_t")).as("s"))
     val sh = norm.select(col("_id"), explode(array_distinct(
       transform(sequence(lit(1), greatest(length(col("s")) - 4, lit(1))),
         i => col("s").substr(i, lit(5))))).as("sh"))
