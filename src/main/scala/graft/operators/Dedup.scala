@@ -518,29 +518,53 @@ object Dedup {
     * CurationOpsSpec); tokenless docs are filtered to match the explode
     * form's row set, and dedup_simhash_verify's INDEPENDENT `simhashOf`
     * lambda reimplementation now also cross-checks this kernel. */
-  /** Scale-adaptive pre-kernel spread (r18; guide §2: partitioning
-    * derives from the input, never a constant): a tiny or unsplittable
-    * input — a one-row-group parquet fixture, a single gzip — arrives
-    * as fewer scan partitions than the cluster has slots, so a heavy
-    * per-row sketch kernel downstream runs effectively single-threaded
-    * while the rest of the cluster idles. When (and only when) the
-    * input is narrower than the default parallelism, hash-repartition
-    * by the deterministic id BEFORE the kernel: the shuffled bytes are
-    * the raw text of an input that is small by construction. A
-    * corpus-sized input already arrives wider than the cluster, the
-    * spread is a NO-OP, and the kernel-then-shuffle shape that moves
-    * signatures — never text — at 100 TB is preserved. */
+  /** Scale-adaptive pre-kernel spread (r18, re-gated r19; guide §2:
+    * partitioning derives from the input, never a constant): a big
+    * UNSPLITTABLE input — a single gzip, one giant parquet row group —
+    * arrives as fewer scan partitions than the cluster has slots, so a
+    * heavy per-row sketch kernel downstream runs effectively
+    * single-threaded while the rest of the cluster idles. Spread =
+    * hash-repartition by the deterministic id BEFORE the kernel.
+    *
+    * r19 adjudication (verdict #1): the r18 version spread on partition
+    * count alone, so every fixture-scale scan (one tiny row group) paid
+    * an extra exchange plus the plan churn's janino recompiles across
+    * the whole dedup family — the official 32c bench charged it ~+15 s
+    * (dedup_ngram 3.77→9.19 s, txt_fuzzy_cluster 2.09→6.55 s) for zero
+    * benefit: a narrow input that is also SMALL finishes faster
+    * single-threaded than shuffled. The spread now requires both
+    *  (a) narrower than the cluster, AND
+    *  (b) enough estimated bytes per existing partition that the
+    *      single-threaded kernel time dominates the shuffle
+    * (`spark.graft.spread.minBytesPerPartition`, default 32 MiB ≈
+    * seconds of single-core string kernel) — so it still fires for the
+    * 1-gzip-at-100 TB case it was built for and is a provable no-op at
+    * bench scale. Also per the r18 advisor: a frame whose physical plan
+    * is adaptive (contains an exchange) is never probed — under AQE,
+    * executing toRdd just to READ a partition count would materialize
+    * the upstream stages eagerly and the real job would re-run them. */
   private def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    // toRdd is lazy for the scan+project frames this helper receives
-    // (no exchange ⇒ not adaptive); a frame that somehow can't answer
-    // its partition count just skips the spread
-    val parts =
-      try df.queryExecution.toRdd.getNumPartitions
-      catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
-    if (parts < sc.defaultParallelism)
-      df.repartition(sc.defaultParallelism, key)
-    else df
+    val minBytesPerPart = df.sparkSession.conf
+      .get("spark.graft.spread.minBytesPerPartition", (32L << 20).toString)
+      .toLong
+    val probed =
+      try {
+        df.queryExecution.executedPlan match {
+          case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            None // exchange inside: probing would run the upstream stages
+          case _ =>
+            // non-adaptive scan/project/filter shape: toRdd stays lazy
+            Some((df.queryExecution.toRdd.getNumPartitions,
+              df.queryExecution.optimizedPlan.stats.sizeInBytes))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    probed match {
+      case Some((parts, bytes)) if parts < sc.defaultParallelism &&
+          bytes >= BigInt(math.max(parts, 1)) * minBytesPerPart =>
+        df.repartition(sc.defaultParallelism, key)
+      case _ => df
+    }
   }
 
   def simhashSketches(df: DataFrame, textCol: String, idCol: String): DataFrame = {

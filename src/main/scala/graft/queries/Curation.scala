@@ -2238,18 +2238,19 @@ object Curation {
     val withQ = emb.select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),
         x => floor(x * 1000).cast("long")).as("_q"))
-    def sgn(t: Int, p: Int)(i: Column): Column =
-      when(conv(substring(md5(concat(lit(s"${t}_${p}_"), i.cast("string"))),
-        1, 1), 16, 10).cast("int") % 2 === 0, lit(1L)).otherwise(lit(-1L))
-    val buckets = (0 until tables).map { t =>
-      (0 until planes).map { p =>
-        when(aggregate(zip_with(col("_q"),
-            sequence(lit(0), size(col("_q")) - 1),
-            (x, i) => x * sgn(t, p)(i)), lit(0L), _ + _) >= 0,
-          lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"_b$t")
-    }
-    val bk = withQ.select(col("vec_id") +: buckets: _*)
+    // r19: both tables' buckets ride ONE lsh_buckets_z kernel pass — the
+    // legacy tree recomputed the hyperplane SIGN as an md5 of the element
+    // index per element per (table, plane): 6 md5+conv+substring calls
+    // per vector element per row for values that depend only on
+    // (t, p, i). The kernel memoizes the sign table per JVM (ZOps.signs)
+    // and folds all 6 projections into one scan of _q. Bit-equal by
+    // ZArgminSpec (legacy tree kept as ZExpressions.legacyLshBucketCols);
+    // the oracle SQL below is untouched.
+    val bk = withQ
+      .select(col("vec_id"), graft.functions.ZExpressions
+        .lshBucketsZ(col("_q"), tables, planes).as("_bks"))
+      .select(col("vec_id") +:
+        (0 until tables).map(t => col("_bks").getItem(t).as(s"_b$t")): _*)
     // per-table band equi-joins on a (id, bucket) projection — quantized
     // vectors rejoin only for the surviving pairs' dot products
     val collided = (0 until tables).map { t =>
@@ -2735,18 +2736,18 @@ object Curation {
     * `_q` = floor(v·1000) per component (long), cell = argmin_j of the
     * integer L2 distance Σ(q_d − cz_jd)², ties to the lowest j — pure
     * integer arithmetic, order-independent, so DuckDB derives bit-equal
-    * cells from the same literals. least() over (dist, j) structs keeps
-    * the argmin ONE expression node. */
+    * cells from the same literals. r19: the nlist-candidate
+    * least-of-structs tree (one zipped-array allocation per candidate
+    * per row, seconds of janino per distinct centroid set) became the
+    * one-pass [[graft.functions.ZOps.pqCodesZ]] kernel — bit-equal by
+    * `ZArgminSpec` against the legacy tree, which lives on as
+    * `ZExpressions.legacyCellCol`. */
   private def quantizedCells(emb: DataFrame, cz: Seq[Seq[Long]]): DataFrame = {
     val withQ = emb.select(col("vec_id"), col("embedding"),
       transform(col("embedding").cast("array<double>"),
         x => floor(x * 1000).cast("long")).as("_q"))
-    val candidates = cz.zipWithIndex.map { case (c, j) =>
-      struct(aggregate(zip_with(col("_q"), typedlit(c),
-          (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
-        lit(j).as("j"))
-    }
-    withQ.withColumn("_cell", least(candidates: _*).getField("j"))
+    withQ.withColumn("_cell",
+      graft.functions.ZExpressions.cellZ(col("_q"), cz))
   }
 
   /** DuckDB CTEs shared by the two centroid-literal twins: cent(cell, cz)
@@ -2931,15 +2932,15 @@ object Curation {
     val withQ = emb.select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),
         x => floor(x * 1000).cast("long")).as("_q"))
-    val codeCols = (0 until m).map { m0 =>
-      val cands = (0 until k).map { j =>
-        struct(aggregate(zip_with(slice(col("_q"), m0 * sub + 1, sub),
-            typedlit(cbz(m0)(j)), (a, b) => (a - b) * (a - b)),
-          lit(0L), _ + _).as("d"), lit(j).as("j"))
-      }
-      least(cands: _*).getField("j").as(s"_c$m0")
-    }
-    val coded = withQ.select(col("vec_id") +: codeCols: _*)
+    // r19: one pq_codes_z kernel call replaces the m×k least-of-structs
+    // trees (ZArgminSpec pins bit-equality; oracle SQL untouched). The
+    // codes array lands as an attribute first so the m extracts don't
+    // re-run the kernel (CollapseProject keeps non-cheap exprs staged).
+    val coded = withQ
+      .select(col("vec_id"),
+        graft.functions.ZExpressions.pqCodesZ(col("_q"), cbz).as("_codes"))
+      .select(col("vec_id") +:
+        (0 until m).map(m0 => col("_codes").getItem(m0).as(s"_c$m0")): _*)
     val qz = queryVec(s, dir).map(x => math.floor(x * 1000).toLong)
     // per-subspace ADC tables from the QUERY's quantized subvectors —
     // 16 Long literals each, the m×k-literal production idiom
@@ -3029,16 +3030,12 @@ object Curation {
         col("_cell").isin(probed: _*))
       .withColumn("_slot", slot)
       .withColumn("_r", zip_with(col("_q"), czCol, (a, b) => a - b))
-    val codeCols = (0 until m).map { m0 =>
-      val cands = (0 until k).map { j =>
-        struct(aggregate(zip_with(slice(col("_r"), m0 * sub + 1, sub),
-            typedlit(cbz(m0)(j)), (a, b) => (a - b) * (a - b)),
-          lit(0L), _ + _).as("d"), lit(j).as("j"))
-      }
-      least(cands: _*).getField("j").as(s"_c$m0")
-    }
-    val coded = cand.select(
-      col("vec_id") +: col("_slot") +: codeCols: _*)
+    // r19: same pq_codes_z kernel swap as ann_pq_md5, over the residual
+    val coded = cand
+      .select(col("vec_id"), col("_slot"),
+        graft.functions.ZExpressions.pqCodesZ(col("_r"), cbz).as("_codes"))
+      .select(col("vec_id") +: col("_slot") +:
+        (0 until m).map(m0 => col("_codes").getItem(m0).as(s"_c$m0")): _*)
     // driver-side literal tables: per-slot base dot(q, c) and the
     // per-slot residual ADC (query residual differs per probed cell)
     val base: Seq[Long] = probed.map(cell =>
