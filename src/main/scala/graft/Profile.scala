@@ -32,7 +32,11 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.legacy.javaCharsets", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // per-job timing: GRAFT_PROFILE_INFO=1 keeps DAGScheduler INFO lines
+    // ("Job N finished ... took X s") so a gate's time splits into its
+    // actual jobs — the §1 stage-level view without a UI
+    spark.sparkContext.setLogLevel(
+      if (sys.env.contains("GRAFT_PROFILE_INFO")) "INFO" else "WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     for (name <- names) {

@@ -2251,15 +2251,19 @@ object Curation {
         .lshBucketsZ(col("_q"), tables, planes).as("_bks"))
       .select(col("vec_id") +:
         (0 until tables).map(t => col("_bks").getItem(t).as(s"_b$t")): _*)
-    // per-table band equi-joins on a (id, bucket) projection — quantized
-    // vectors rejoin only for the surviving pairs' dot products
-    val collided = (0 until tables).map { t =>
-      bk.select(col("vec_id").as("id_a"), col(s"_b$t").as("_k"))
-        .join(bk.select(col("vec_id").as("id_b"), col(s"_b$t").as("_k")),
-          Seq("_k"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-    }.reduce(_ union _)
+    // ONE band equi-join on the exploded (table, bucket) key instead of
+    // a join per table unioned (r19, the embeddingNearDup shape): a pair
+    // colliding in k tables appears exactly k times either way, so the
+    // count is unchanged — but the plan carries one join and one
+    // exchange pair where it carried `tables` of each. Quantized
+    // vectors rejoin only for the surviving pairs' dot products.
+    val bkx = bk.select(col("vec_id"), explode(array((0 until tables).map(
+        t => struct(lit(t).as("_t"), col(s"_b$t").as("_k"))): _*)).as("_tk"))
+      .select(col("vec_id"), col("_tk._t").as("_t"), col("_tk._k").as("_k"))
+    val collided = bkx.select(col("vec_id").as("id_a"), col("_t"), col("_k"))
+      .join(bkx.select(col("vec_id").as("id_b"), col("_t"), col("_k")),
+        Seq("_t", "_k"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_tables"))
     collided
       .join(withQ.select(col("vec_id").as("id_a"), col("_q").as("_qa")), Seq("id_a"))
