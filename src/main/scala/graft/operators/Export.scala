@@ -4927,33 +4927,38 @@ object Export {
     val physOf: Map[String, String] =
       st.fields.map(f => f.name -> physicalOf(f)).toMap
     val dml = dmlPlan(spark, cond, canExpand = anyPruningTags(lines))
-    val (pcond, conjuncts) = (dml.cond, dml.conjuncts)
-    val candidate = pruneLines(lines, conjuncts, physOf)._1
-    if (candidate.isEmpty) { dml.release(); return latest }
-    val candFiles = candidate.map(pathOf).toIndexedSeq
-    val cols = st.fieldNames.toSeq
-    val fcol = freshName("__upd_file", cols)
-    val pcol = freshName("__upd_pos", cols)
-    // candidate scan with provenance, existing DVs subtracted (the
-    // deleteWhereMoR funnel: physical decode, metadata BEFORE the
-    // logical projection)
-    val scan = spark.read
-      .schema(org.apache.spark.sql.types.StructType(
-        st.fields.map(f => f.copy(name = physicalOf(f)))))
-      .parquet(candFiles: _*)
-    val withPos = scan.select(st.fields.toSeq.map(f =>
-        col(physicalOf(f)).as(f.name)) ++
-      Seq(col("_metadata.file_path").as(fcol),
-        col("_metadata.row_index").as(pcol)): _*)
-    val oldDvDirs = candidate.flatMap(dvOf).map(_._1).distinct
-    val live =
-      if (oldDvDirs.isEmpty) withPos
-      else withPos.join(spark.read.parquet(oldDvDirs: _*)
-          .select(col(DvFileCol).as(fcol), col(DvPosCol).as(pcol)),
-        Seq(fcol, pcol), "left_anti")
-    val matched = live.alias(DmlOuterAlias)
-      .filter(coalesce(pcond, lit(false))).persist()
+    // release() also covers the prune + candidate-scan construction
+    // (r18 advisor): an exception between the plan pin and the commit
+    // block must not leak the checkpointed subquery blocks until RDD GC
+    var matchedOpt: Option[DataFrame] = None
     try {
+      val (pcond, conjuncts) = (dml.cond, dml.conjuncts)
+      val candidate = pruneLines(lines, conjuncts, physOf)._1
+      if (candidate.isEmpty) return latest
+      val candFiles = candidate.map(pathOf).toIndexedSeq
+      val cols = st.fieldNames.toSeq
+      val fcol = freshName("__upd_file", cols)
+      val pcol = freshName("__upd_pos", cols)
+      // candidate scan with provenance, existing DVs subtracted (the
+      // deleteWhereMoR funnel: physical decode, metadata BEFORE the
+      // logical projection)
+      val scan = spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          st.fields.map(f => f.copy(name = physicalOf(f)))))
+        .parquet(candFiles: _*)
+      val withPos = scan.select(st.fields.toSeq.map(f =>
+          col(physicalOf(f)).as(f.name)) ++
+        Seq(col("_metadata.file_path").as(fcol),
+          col("_metadata.row_index").as(pcol)): _*)
+      val oldDvDirs = candidate.flatMap(dvOf).map(_._1).distinct
+      val live =
+        if (oldDvDirs.isEmpty) withPos
+        else withPos.join(spark.read.parquet(oldDvDirs: _*)
+            .select(col(DvFileCol).as(fcol), col(DvPosCol).as(pcol)),
+          Seq(fcol, pcol), "left_anti")
+      val matched = live.alias(DmlOuterAlias)
+        .filter(coalesce(pcond, lit(false))).persist()
+      matchedOpt = Some(matched)
       if (matched.isEmpty) return latest // nothing to update: no churn
       val version = latest + 1
       // (a) DV the matched positions — union with the candidates'
@@ -5019,7 +5024,7 @@ object Export {
           "mor_updated_from" -> latest.toString,
           "dv_positions" -> counts.values.sum.toString),
         st.json, op = "merge")
-    } finally { matched.unpersist(); dml.release() }
+    } finally { matchedOpt.foreach(_.unpersist()); dml.release() }
   }
 
   /** MERGE-ON-READ DELETE with deletion vectors (the Delta DV /
@@ -5063,7 +5068,11 @@ object Export {
       .getOrElse(Map.empty)
     val dml = dmlPlan(spark, cond, canExpand = anyPruningTags(lines))
     val (pcond, pruneConjuncts) = (dml.cond, dml.conjuncts)
-    val scanLines = pruneLines(lines, pruneConjuncts, physPrune)._1
+    // the prune step runs under the same release discipline as the
+    // commit block (r18 advisor): a throw here must not leak the pins
+    val scanLines =
+      try pruneLines(lines, pruneConjuncts, physPrune)._1
+      catch { case t: Throwable => dml.release(); throw t }
     if (scanLines.isEmpty) { dml.release(); return latest }
     val files = scanLines.map(pathOf).toIndexedSeq
     try {

@@ -20,10 +20,23 @@ object GraftPlanBridge {
     * subquery-bearing DML in a long session. Walks the plan for the
     * `LogicalRDD` the checkpoint produced and unpersists its RDD
     * (non-blocking). Callers must be DONE evaluating the plan: a local
-    * checkpoint has no lineage to recompute from. */
-  def unpersistLocalCheckpoint(plan: LogicalPlan): Unit = plan.foreach {
-    case r: org.apache.spark.sql.execution.LogicalRDD =>
-      r.rdd.unpersist(blocking = false)
-    case _ => ()
+    * checkpoint has no lineage to recompute from.
+    *
+    * PRECONDITION (r19, advisor finding): every `LogicalRDD` in `plan`
+    * must be one the CALLER checkpointed and owns — the walk unpersists
+    * ALL of them, and a user-owned cached/checkpointed LogicalRDD
+    * embedded in a wider plan would be destroyed unrecoverably. Current
+    * callers pass exactly the checkpoint's own single-node plan; the
+    * guard refuses anything wider so a future caller fails loudly
+    * instead of silently eating someone else's blocks. */
+  def unpersistLocalCheckpoint(plan: LogicalPlan): Unit = {
+    val rdds = plan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
+    }
+    require(rdds.size <= 1,
+      s"unpersistLocalCheckpoint: plan embeds ${rdds.size} LogicalRDDs - " +
+        "pass the checkpoint's own plan (one LogicalRDD), not a " +
+        "composite that may include RDDs the caller does not own")
+    rdds.foreach(_.rdd.unpersist(blocking = false))
   }
 }
